@@ -53,7 +53,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _)
-  ) ++ graft.queries.RelationalQueries.defs
+  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +71,5 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.RelationalQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles
 }

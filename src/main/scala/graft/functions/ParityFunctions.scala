@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders re-expressing the reference's row-level transforms
+  * (`src/kafka_client/transformations.py`) as declarative Spark expressions —
+  * they stay inside whole-stage codegen instead of running per-row Python.
+  */
+object ParityFunctions {
+
+  /** T3 (`transformations.py:6-21`): merge two nullable string columns with a
+    * newline; empty string and NULL are both "absent"; both absent → NULL.
+    * `concat_ws` skips NULLs, the outer `nullif` restores NULL-when-both-empty
+    * (semantics verified against the reference, SURVEY §2a).
+    */
+  def mergeColumns(a: Column, b: Column): Column =
+    nullif(concat_ws("\n", nullif(a, lit("")), nullif(b, lit(""))), lit(""))
+
+  private val datePattern = "(\\d{2}/\\d{2}/\\d{4})"
+
+  /** T4 (`transformations.py:24-41`): extract a commercialisation date range
+    * from free text. Two DD/MM/YYYY hits → (first, last); exactly one hit →
+    * start if the text mentions "depuis le", end if "jusqu"; else NULLs.
+    * Returns a 2-field struct (`start`, `end`).
+    */
+  def splitDateRange(text: Column): Column = {
+    val hits = regexp_extract_all(text, lit(datePattern))
+    val n = size(hits)
+    val lowerText = lower(text)
+    val start = when(n >= 2, element_at(hits, 1))
+      .when(n === 1 && lowerText.contains("depuis le"), element_at(hits, 1))
+    val end = when(n >= 2, element_at(hits, -1))
+      .when(n === 1 && lowerText.contains("jusqu"), element_at(hits, 1))
+    struct(start.as("start"), end.as("end"))
+  }
+
+  /** Whitespace tokenization with lowercasing — shared by the text-analysis
+    * and dedup operators. Empty tokens (from repeated spaces) are dropped.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** Distinct word n-grams (shingles) of `n` consecutive tokens, joined by a
+    * single space. Built with higher-order functions only — stays codegen'd.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val cnt = size(ts) - (n - 1)
+    // Guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark.
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

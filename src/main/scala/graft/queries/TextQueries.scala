@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ParityFunctions => PF, StripAccents}
+
+/** Text-analysis surface (training-data pipeline ops) + the reference's
+  * scalar transforms T2/T3/T4 re-expressed declaratively. All integer-count
+  * based (exact across engines); ratios are single int/int double divisions
+  * (bit-identical in IEEE), rounded to 6 for safety.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // q50: token statistics per language — whitespace tokens + a BPE-ish
+  // regex token count ([a-z]+ | digit runs | single other char).
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = PF.tokens($"text")
+    Tables(s, dir).documents
+      .select($"lang", size(ts).as("n_tok"),
+        size(array_distinct(ts)).as("n_distinct"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum($"n_distinct").as("total_distinct"),
+        sum($"n_bpe").as("total_bpe"),
+        round(avg($"n_tok"), 6).as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  // q51: per-document quality scoring (length / punctuation / stopword
+  // ratio / average word length), the usual pre-training filters.
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = PF.tokens($"text")
+    Tables(s, dir).documents
+      .select($"doc_id", size(ts).as("n_tok"),
+        aggregate(transform(ts, t => length(t)), lit(0), (acc, x) => acc + x).as("tok_chars"),
+        size(filter(ts, t => t.isInCollection(stopwords))).as("n_stop"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).as("n_punct"),
+        length($"text").as("n_chars"))
+      .select($"doc_id", $"n_tok".cast("long").as("n_tok"),
+        round($"n_stop".cast("double") / $"n_tok", 6).as("stop_ratio"),
+        round($"tok_chars".cast("double") / $"n_tok", 6).as("avg_word_len"),
+        round($"n_punct".cast("double") / $"n_chars", 6).as("punct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  // q52: language-ID heuristic (marker-word hit counts, deterministic
+  // priority on ties) → confusion matrix against the labeled lang column.
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = PF.tokens($"text")
+    def score(words: Seq[String]) =
+      words.map(w => array_contains(ts, w).cast("int")).reduce(_ + _)
+    val en = score(Seq("the", "and", "of", "to", "a"))
+    val es = score(Seq("el", "la", "de", "los", "y"))
+    val de = score(Seq("der", "die", "das", "und", "ist"))
+    val fr = score(Seq("le", "les", "et", "des", "une"))
+    val predicted = when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    Tables(s, dir).documents
+      .select($"lang", predicted.as("predicted"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  // q53: document fingerprint — md5 over the sorted distinct token set
+  // (order-insensitive content hash for exact-content dedup).
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = PF.tokens($"text")
+    Tables(s, dir).documents
+      .select($"doc_id", md5(array_join(array_sort(array_distinct(ts)), " ").cast("binary")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  // q60: the reference's T2 accent-strip as a native codegen'd Expression.
+  def stripAccentsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).part
+      .select($"p_partkey",
+        StripAccents.stripAccents(concat(lit("Crème brûlée à Ångström №5 — "), $"p_name")).as("stripped"))
+      .orderBy($"p_partkey")
+  }
+
+  // q61: the reference's T3 conditional merge, exercising every branch
+  // (NULL / empty / value on each side) via doc_id-derived variants.
+  def mergeColumnsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = when($"doc_id" % 3 === 0, lit(null).cast("string"))
+      .when($"doc_id" % 3 === 1, lit(""))
+      .otherwise($"lang")
+    val b = when($"doc_id" % 2 === 0, $"source").otherwise(lit(""))
+    Tables(s, dir).documents
+      .select($"doc_id", PF.mergeColumns(a, b).as("merged"))
+      .orderBy($"doc_id")
+  }
+
+  // q62: the reference's T4 regex date-range split, all four branches.
+  def dateSplitQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d1 = date_format($"o_orderdate", "dd/MM/yyyy")
+    val d2 = date_format($"o_orderdate" + expr("INTERVAL 30 DAYS"), "dd/MM/yyyy")
+    val text = when($"o_orderkey" % 4 === 0, concat(lit("Du "), d1, lit(" au "), d2))
+      .when($"o_orderkey" % 4 === 1, concat(lit("depuis le "), d1))
+      .when($"o_orderkey" % 4 === 2, concat(lit("jusqu'au "), d1))
+      .otherwise(lit("sans date"))
+    val r = PF.splitDateRange(text)
+    Tables(s, dir).orders
+      .select($"o_orderkey", text.as("raw_text"),
+        r.getField("start").as("date_debut"), r.getField("end").as("date_fin"))
+      .orderBy($"o_orderkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_token_stats" -> tokenStats _,
+    "q51_quality_score" -> qualityScore _,
+    "q52_langid_confusion" -> langIdConfusion _,
+    "q53_fingerprint" -> fingerprint _,
+    "q60_strip_accents" -> stripAccentsQ _,
+    "q61_merge_columns" -> mergeColumnsQ _,
+    "q62_date_split" -> dateSplitQ _
+  )
+
+  private val wordsSql =
+    "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "q50_token_stats" ->
+      s"""WITH d AS (SELECT lang, $wordsSql AS w,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(len(list_distinct(w))) AS BIGINT) AS total_distinct,
+         |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+         |  round(avg(len(w)), 6) AS avg_tokens
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q51_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w,
+         |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct, len(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         |  round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+         |  round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6) AS avg_word_len,
+         |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q52_langid_confusion" ->
+      s"""WITH d AS (SELECT lang, $wordsSql AS w FROM documents),
+         |sc AS (SELECT lang,
+         |  CAST(list_contains(w,'the') AS INT) + CAST(list_contains(w,'and') AS INT) + CAST(list_contains(w,'of') AS INT) + CAST(list_contains(w,'to') AS INT) + CAST(list_contains(w,'a') AS INT) AS s_en,
+         |  CAST(list_contains(w,'el') AS INT) + CAST(list_contains(w,'la') AS INT) + CAST(list_contains(w,'de') AS INT) + CAST(list_contains(w,'los') AS INT) + CAST(list_contains(w,'y') AS INT) AS s_es,
+         |  CAST(list_contains(w,'der') AS INT) + CAST(list_contains(w,'die') AS INT) + CAST(list_contains(w,'das') AS INT) + CAST(list_contains(w,'und') AS INT) + CAST(list_contains(w,'ist') AS INT) AS s_de,
+         |  CAST(list_contains(w,'le') AS INT) + CAST(list_contains(w,'les') AS INT) + CAST(list_contains(w,'et') AS INT) + CAST(list_contains(w,'des') AS INT) + CAST(list_contains(w,'une') AS INT) AS s_fr
+         |  FROM d)
+         |SELECT lang, CASE
+         |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |  WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |  WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+         |  WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted, count(*) AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q53_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q60_strip_accents" ->
+      """SELECT p_partkey,
+        |  strip_accents('Crème brûlée à Ångström №5 — ' || p_name) AS stripped
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q61_merge_columns" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN '' ELSE lang END AS a,
+        |  CASE WHEN doc_id % 2 = 0 THEN source ELSE '' END AS b
+        |  FROM documents)
+        |SELECT doc_id, nullif(concat_ws(chr(10), nullif(a, ''), nullif(b, '')), '') AS merged
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q62_date_split" ->
+      """WITH d AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'Du ' || strftime(o_orderdate, '%d/%m/%Y') || ' au ' || strftime(o_orderdate + INTERVAL 30 DAY, '%d/%m/%Y')
+        |       WHEN o_orderkey % 4 = 1 THEN 'depuis le ' || strftime(o_orderdate, '%d/%m/%Y')
+        |       WHEN o_orderkey % 4 = 2 THEN 'jusqu''au ' || strftime(o_orderdate, '%d/%m/%Y')
+        |       ELSE 'sans date' END AS raw_text
+        |  FROM orders),
+        |e AS (SELECT o_orderkey, raw_text,
+        |  regexp_extract_all(raw_text, '(\d{2}/\d{2}/\d{4})') AS hits FROM d)
+        |SELECT o_orderkey, raw_text,
+        |  CASE WHEN len(hits) >= 2 THEN hits[1]
+        |       WHEN len(hits) = 1 AND contains(lower(raw_text), 'depuis le') THEN hits[1] END AS date_debut,
+        |  CASE WHEN len(hits) >= 2 THEN hits[-1]
+        |       WHEN len(hits) = 1 AND contains(lower(raw_text), 'jusqu') THEN hits[1] END AS date_fin
+        |FROM e ORDER BY o_orderkey""".stripMargin
+  )
+}
