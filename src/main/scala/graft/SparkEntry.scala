@@ -53,7 +53,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _)
-  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs
+  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs ++
+    graft.queries.DedupQueries.defs ++ graft.queries.VectorQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles ++
+    graft.queries.DedupQueries.oracles ++ graft.queries.VectorQueries.oracles
 }

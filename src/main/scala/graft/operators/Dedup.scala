@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{ParityFunctions => PF}
+
+/** Fuzzy-deduplication operators for a training-data pipeline: MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Portability note: all hashing is md5-based (identical bytes→hex in every
+  * engine) and "minimum" is lexicographic over hex strings — a valid
+  * min-hash family that the DuckDB oracle can reproduce exactly, unlike
+  * engine-specific hash() builtins.
+  *
+  * Scale notes (100 TB): the pipeline is explode → partial-agg → band join.
+  * Shingle explosion is linear in corpus size; signatures reduce each doc to
+  * `numHashes` strings (map-side combine); the LSH band self-join only
+  * shuffles (band_idx, band_hash) keys, never full texts. Hub buckets (a
+  * band shared by many docs) are the skew risk — AQE skew-join handles
+  * moderate cases; a frequency cap on bucket size is the escape hatch.
+  */
+object Dedup {
+
+  /** Exploded distinct (id, shingle) pairs — the base relation for both
+    * MinHash and Jaccard. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(PF.wordShingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signatures: for hash function i, `min(md5(i || ':' || shingle))`.
+    * One shuffle (groupBy id), `numHashes` partial min-aggregates.
+    */
+  def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"m$i")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: group the signature into bands of `rowsPerBand` hashes;
+    * band key = md5 of the concatenated member hashes. Output one row per
+    * (id, band_idx, band_hash).
+    */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = array((0 until numBands).map { j =>
+      val members = (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_idx"), md5(concat_ws("|", members: _*).cast("binary")).as("band_hash"))
+    }: _*)
+    sig.select(col(idCol), explode(bands).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs: ids sharing at least one LSH band. The join shuffles
+    * only (band_idx, band_hash, id) triples. */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs:
+    * |A∩B| via a co-occurrence join, |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH fuzzy dedup: shingle → signature → bands → candidate
+    * pairs → exact-Jaccard verification ≥ `threshold`. */
+  def minHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, idCol, numHashes)
+    val pairs = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
+    jaccardOnPairs(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over distinct tokens: bit b of md5's first 8 hex chars
+    * votes +1/-1; bit set where the vote sum is positive. Two hash
+    * aggregations, both with map-side combine.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(PF.tokens(col(textCol)))).as("tok"))
+    // nibble index = b / 4; bit within nibble = (nibble >> (3 - b%4)) & 1,
+    // expressed with division (variable shifts aren't supported by
+    // functions.shiftright): bit = floor(nib / 2^(3 - b%4)) % 2.
+    val divisor = when(col("b") % 4 === 0, 8).when(col("b") % 4 === 1, 4)
+      .when(col("b") % 4 === 2, 2).otherwise(1)
+    val votes = toks
+      .select(col(idCol), substring(md5(col("tok").cast("binary")), 1, 8).as("h8"))
+      .select(col(idCol), col("h8"), explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col(idCol), col("b"),
+        (instr(lit("0123456789abcdef"),
+          substring(col("h8"), (col("b") / 4).cast("int") + 1, lit(1))).cast("int") - 1).as("nib"))
+      .select(col(idCol), col("b"),
+        ((floor(col("nib") / divisor).cast("int") % 2) * 2 - 1).as("vote"))
+    // 2^(31-b) via pow (exact in double below 2^53), summed to a long.
+    votes.groupBy(col(idCol), col("b")).agg(sum(col("vote")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), lit(31) - col("b"))).otherwise(lit(0.0)))
+        .cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Cosine is computed with higher-order functions (`zip_with` + `aggregate`)
+  * in double precision — fully codegen'd, no UDF. Results are rounded to 6
+  * decimals before ranking so cross-engine fp summation order can't flip a
+  * rank; ties break on the candidate id.
+  *
+  * Scale: brute-force kNN broadcasts the (small) query set and scans the
+  * corpus once — linear, embarrassingly parallel, no shuffle until the
+  * per-query top-k (which reduces to k rows per partition via the window's
+  * partial rank... i.e. TakeOrderedAndProject semantics per group). The IVF
+  * variant prunes candidates to a deterministic coarse cell
+  * (argmax-|component| axis + sign → 2·dim cells) — candidate volume drops
+  * ~cell-count-fold while staying oracle-reproducible.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (left-fold, deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Deterministic coarse cell for IVF-style pruning: the index (1-based) of
+    * the largest-|value| component, and its sign. Exact float comparisons —
+    * no fp-order ambiguity, reproducible in any engine. */
+  def axisCell(v: Column): (Column, Column) = {
+    val absV = transform(v, x => abs(x))
+    val idx = array_position(absV, array_max(absV))
+    (idx, element_at(v, idx.cast("int")) > lit(0.0f))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector. */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qId: String = "q_id", qVec: String = "q_vec",
+                    cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("sim"))
+    Relational.topKPerGroup(joined, Seq(col(qId)),
+        Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
+  }
+
+  /** IVF-ish approximate kNN: only candidates in the query's coarse cell. */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val (qIdx, qSign) = axisCell(col(qVec))
+    val (cIdx, cSign) = axisCell(col(cVec))
+    val q = queries.withColumn("cell_idx", qIdx).withColumn("cell_sign", qSign)
+    val c = corpus.withColumn("cell_idx", cIdx).withColumn("cell_sign", cSign)
+    val joined = c.join(broadcast(q), Seq("cell_idx", "cell_sign"))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("sim"))
+    Relational.topKPerGroup(joined, Seq(col(qId)),
+        Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
+  }
+}

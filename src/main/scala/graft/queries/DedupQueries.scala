@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Relational}
+
+/** Deduplication surface: exact order-aware dedup (reference A1),
+  * MinHash+LSH fuzzy dedup, SimHash signatures, rare-shingle n-gram
+  * Jaccard. All hashing is md5-hex (portable), all scores integer-ratio
+  * doubles (exact cross-engine).
+  */
+object DedupQueries {
+
+  // q30: the reference's last-wins keyed dedup (A1) made deterministic:
+  // explicit arrival order = event_id.
+  def dedupLastWins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.lastWinsByKey(
+        Tables(s, dir).events.select($"event_id", $"user_id", $"event_type", $"value"),
+        Seq("user_id", "event_type"), $"event_id")
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  // q31: full MinHash-LSH pipeline (shingle → 8-hash signature → 4 bands →
+  // candidate pairs → exact-Jaccard verify).
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashDedup(Tables(s, dir).documents, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // q32: 32-bit SimHash signature per document.
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  // q33: n-gram Jaccard near-dup detection blocked on *rare* shingles
+  // (document frequency <= 20 — hub shingles would create quadratic pairs).
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3)
+    val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 20 && $"df" >= 2)
+    val rareSh = sh.join(rare.select("shingle"), Seq("shingle"))
+    val pairs = rareSh.select($"shingle", $"doc_id".as("id_a"))
+      .join(rareSh.select($"shingle", $"doc_id".as("id_b")), Seq("shingle"))
+      .filter($"id_a" < $"id_b")
+      .select("id_a", "id_b").distinct()
+    Dedup.jaccardOnPairs(pairs, sh, "doc_id")
+      .filter($"jaccard" >= 0.3)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_lastwins" -> dedupLastWins _,
+    "q31_minhash_lsh" -> minhashLsh _,
+    "q32_simhash_signatures" -> simhashSignatures _,
+    "q33_ngram_jaccard" -> ngramJaccard _
+  )
+
+  private val wordsSql =
+    "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+  private val shinglesCte =
+    s"""w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_lastwins" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q31_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (za.sz + zb.sz - c), 6) AS jaccard
+         |FROM common JOIN sizes za ON za.doc_id = id_a
+         |JOIN sizes zb ON zb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q32_simhash_signatures" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
+        |bits AS (SELECT doc_id, t.b,
+        |  strpos('0123456789abcdef', substring(h8, CAST(t.b // 4 AS INT) + 1, 1)) - 1 AS nib
+        |  FROM h, range(0, 32) t(b)),
+        |votes AS (SELECT doc_id, b,
+        |  ((nib // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1 AS vote
+        |  FROM bits),
+        |sums AS (SELECT doc_id, b, sum(vote) AS s FROM votes GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN power(2.0, 31 - b) ELSE 0.0 END) AS BIGINT) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q33_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) <= 20 AND count(*) >= 2),
+         |rsh AS (SELECT doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (za.sz + zb.sz - c), 6) AS jaccard
+         |FROM common JOIN sizes za ON za.doc_id = id_a
+         |JOIN sizes zb ON zb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
