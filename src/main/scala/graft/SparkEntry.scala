@@ -54,7 +54,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _)
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs ++
-    graft.queries.DedupQueries.defs ++ graft.queries.VectorQueries.defs
+    graft.queries.DedupQueries.defs ++ graft.queries.VectorQueries.defs ++
+    graft.queries.EventsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles ++
-    graft.queries.DedupQueries.oracles ++ graft.queries.VectorQueries.oracles
+    graft.queries.DedupQueries.oracles ++ graft.queries.VectorQueries.oracles ++
+    graft.queries.EventsQueries.oracles
 }

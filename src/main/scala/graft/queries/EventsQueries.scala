@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing + semi-structured (JSON props) surface. These are
+  * the batch-checkable faces of the streaming operators — the same
+  * `window`/`session_window` expressions run under Structured Streaming in
+  * `graft.streaming` (covered by ScalaTest with MemoryStream; watermarks
+  * and triggers aren't DuckDB-expressible).
+  */
+object EventsQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // q70: tumbling 1-hour event-time windows per event type.
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  // q71: sliding windows (1 hour long, 15-minute slide — 4 windows/event).
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .select($"w.start".as("window_start"), $"n", $"total")
+      .orderBy($"window_start")
+  }
+
+  // q72: session windows (10-minute inactivity gap) per user.
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"n_events", $"total")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  // q73: JSON props → typed extraction via from_json into a map + stats.
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type",
+        element_at(from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)), "k").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n"), min($"k").as("min_k"), max($"k").as("max_k"),
+        sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_tumbling_hourly" -> tumblingHourly _,
+    "q71_sliding_counts" -> slidingCounts _,
+    "q72_session_windows" -> sessionWindows _,
+    "q73_json_props" -> jsonProps _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q71_sliding_counts" ->
+      """WITH expanded AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start, value
+        |  FROM events, range(0, 4) k(k))
+        |SELECT window_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM expanded GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "q72_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '10 minutes' AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM numbered GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q73_json_props" ->
+      """SELECT event_type, count(k) AS n,
+        |  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

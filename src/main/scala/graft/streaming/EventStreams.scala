@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.operators.Relational
+
+/** Structured Streaming pipelines over the `events` schema.
+  *
+  * The reference's streaming job (`src/spark_pgsql/spark_streaming.py`) is an
+  * incremental batch: Kafka source → parse → anti-join → JDBC append under
+  * `trigger(once=True)`. Here that generalizes to: any streaming source →
+  * event-time windowed/stateful transforms with real watermarks →
+  * idempotent foreachBatch sink under `Trigger.AvailableNow` (the
+  * non-deprecated successor of run-once).
+  *
+  * Scale: state stores are keyed by (window/session, key) — Spark shards
+  * them by the shuffle partitioning; watermarks bound state size. The
+  * idempotent sink anti-joins only the sink's key column (broadcast).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window counts with a watermark: late events beyond
+    * `watermark` are dropped; state for closed windows is evicted. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Session windows (inactivity gap) per user under a watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup bounded by the watermark (the streaming analogue
+    * of the reference's producer-side dedup A1). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful aggregation: running per-user totals via
+    * mapGroupsWithState (processing-time timeout unused — state lives for
+    * the stream's lifetime; a watermark-timeout variant would evict). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** The reference's EP2 sink semantics (J1 + W1): per micro-batch, drop
+    * rows whose key already exists in the sink, then append. Idempotent
+    * under replays. */
+  def idempotentParquetSink(stream: DataFrame, sinkDir: String, key: String,
+                            checkpointDir: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(sinkDir).select(key)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.select(key).schema) }
+        Relational.idempotentAppend(batch, existing, key)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Relational}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastWinsByKey keeps the highest-seq row per key (reference A1)") {
+    val df = Seq((1L, "k1", "old"), (2L, "k1", "new"), (3L, "k2", "only"))
+      .toDF("seq", "key", "payload")
+    val out = Relational.lastWinsByKey(df, Seq("key"), $"seq")
+      .orderBy($"key").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(("k1", "new"), ("k2", "only")))
+  }
+
+  test("idempotentAppend drops existing keys; appending twice adds nothing") {
+    val existing = Seq(1L, 2L).toDF("k")
+    val batch = Seq((1L, "dup"), (3L, "fresh")).toDF("k", "v")
+    val first = Relational.idempotentAppend(batch, existing, "k")
+    assert(first.select("k").as[Long].collect().toSeq == Seq(3L))
+    // replay: now 3 exists too → empty
+    val second = Relational.idempotentAppend(batch, existing.union(first.select("k")), "k")
+    assert(second.count() == 0)
+  }
+
+  test("asof join picks latest right row at-or-before each left ts") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, 100L, ts(10)), (2L, 100L, ts(20)), (3L, 200L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(10), 77L), (100L, ts(15), 88L), (200L, ts(30), 99L))
+      .toDF("user_id", "ts", "purchase_id")
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("purchase_id"),
+        leftOuter = true)
+      .orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    // event 1 @10 → purchase @10 (>= semantics); event 2 @20 → @15; event 3 @5 → none
+    assert(out == Seq((1L, Some(77L)), (2L, Some(88L)), (3L, None)))
+  }
+
+  test("topKPerGroup is deterministic with tie-breaker") {
+    val df = Seq(("g", 5, 1), ("g", 5, 2), ("g", 3, 3)).toDF("grp", "score", "id")
+    val out = Relational.topKPerGroup(df, Seq($"grp"), Seq($"score".desc, $"id".asc), 2)
+      .select($"id").as[Int].collect().toSeq
+    assert(out == Seq(1, 2))
+  }
+}

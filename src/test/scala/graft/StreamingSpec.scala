@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  private def ev(id: Long, min: Int, user: Long = 1L, typ: String = "click"): Event =
+    Event(id, ts(min), user, typ, 1.0, "{}")
+
+  test("watermark drops late events from tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("update").start()
+    // Late data is dropped only once its whole WINDOW is behind the
+    // watermark (window.end <= watermark), not merely its own timestamp.
+    mem.addData(ev(1, 10), ev(2, 130))  // watermark → 02:10 - 30m = 01:40 > hour-0 end
+    q.processAllAvailable()
+    mem.addData(ev(3, 5))               // hour-0 window closed → dropped
+    q.processAllAvailable()
+    mem.addData(ev(4, 110))             // hour-1 window end 02:00 > wm → accepted
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("tumbling_t")
+      .groupBy("window_start").agg(org.apache.spark.sql.functions.max("n")).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(counts("2024-01-01 00:00:00.0") == 1L) // ev3 never added
+    assert(counts("2024-01-01 01:00:00.0") == 1L)
+    assert(counts("2024-01-01 02:00:00.0") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    mem.addData(ev(1, 10), ev(1, 10), ev(2, 11))
+    q.processAllAvailable()
+    mem.addData(ev(1, 12)) // same key replayed within watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_t").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_t")
+      .outputMode("update").start()
+    mem.addData(ev(1, 1, user = 7), ev(2, 2, user = 7))
+    q.processAllAvailable()
+    mem.addData(ev(3, 3, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_t").filter($"user_id" === 7)
+      .orderBy($"n_events".desc).head()
+    assert(last.getLong(1) == 3L && last.getDouble(2) == 3.0)
+  }
+
+  test("idempotent parquet sink: replaying the same source adds no rows (EP2 parity)") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sink"
+    Seq(ev(1, 1), ev(2, 2)).toDS().write.parquet(src)
+    val stream1 = spark.readStream.schema(Seq.empty[Event].toDS().schema).parquet(src)
+    EventStreams.idempotentParquetSink(stream1, sink, "event_id", s"$tmp/cp1")
+      .awaitTermination()
+    assert(spark.read.parquet(sink).count() == 2)
+    // fresh checkpoint → full replay of the same source; anti-join keeps it idempotent
+    val stream2 = spark.readStream.schema(Seq.empty[Event].toDS().schema).parquet(src)
+    EventStreams.idempotentParquetSink(stream2, sink, "event_id", s"$tmp/cp2")
+      .awaitTermination()
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
+  test("session windows merge events within gap under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(mem.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("complete").start()
+    mem.addData(ev(1, 10), ev(2, 15), ev(3, 40))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("session_t").orderBy("session_start")
+      .collect().map(_.getLong(3)).toSeq
+    assert(sessions == Seq(2L, 1L)) // {10,15} merged; {40} alone
+  }
+}
