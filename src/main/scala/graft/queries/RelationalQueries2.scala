@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ParityFunctions => PF}
+
+/** Second relational batch: pivot, ranking/distribution window functions,
+  * array battery, subqueries (run as the SAME SQL text on Spark and DuckDB),
+  * exact percentiles, decimal-exact variance.
+  */
+object RelationalQueries2 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // q25: ranking & distribution window functions. percent_rank/cume_dist
+  // are integer-ratio doubles — exact cross-engine.
+  def windowRankFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // q26: first_value / last_value / lead with explicit frames.
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(wAll).as("first_order"),
+        last($"o_orderkey").over(wAll).as("last_order"),
+        lead($"o_orderkey", 1).over(wOrd).as("next_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // q27: array-function battery over document tokens.
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = PF.tokens($"text")
+    Tables(s, dir).documents
+      .select($"doc_id",
+        size(ts).cast("long").as("n"),
+        array_join(slice(ts, 1, 3), "_").as("first3"),
+        array_join(reverse(slice(ts, 1, 3)), "_").as("first3_rev"),
+        array_join(array_sort(slice(ts, 1, 5)), "_").as("first5_sorted"),
+        array_contains(ts, "spark").as("has_spark"),
+        array_join(array_sort(array_distinct(slice(ts, 1, 6))), "_").as("first6_distinct"),
+        element_at(ts, -1).as("last_tok"))
+      .orderBy($"doc_id")
+  }
+
+  // q29: pivot (conditional-aggregation form in the oracle).
+  def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum($"l_quantity"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Subquery queries run the SAME SQL text on Spark and DuckDB (ANSI
+    * subset both parse) — demonstrating SQL-surface parity. */
+  private def bySql(tables: Seq[String], sql: String)(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    tables.foreach(n => t.table(n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  private val scalarSubquerySql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 2 * (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val inSubquerySql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |  AND o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val existsSubquerySql =
+    """SELECT p_partkey, p_brand FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin
+
+  // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
+  // quantile_cont) over 2-decimal data.
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q39: decimal-exact sample variance/stddev via the sum-of-squares
+  // identity (engine-internal variance algorithms differ; this is
+  // deterministic on both).
+  def varianceExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = dec($"l_quantity")
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(sum(x * x).cast("double").as("sxx"),
+        sum(x).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        round((($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("var_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_window_rank_funcs" -> windowRankFuncs _,
+    "q26_window_first_last" -> windowFirstLast _,
+    "q27_array_funcs" -> arrayFuncs _,
+    "q29_pivot_returnflag" -> pivotReturnflag _,
+    "q35_scalar_subquery" -> bySql(Seq("orders"), scalarSubquerySql) _,
+    "q36_in_subquery" -> bySql(Seq("orders", "customer"), inSubquerySql) _,
+    "q37_exists_subquery" -> bySql(Seq("part", "lineitem"), existsSubquerySql) _,
+    "q38_percentiles" -> percentiles _,
+    "q39_variance_exact" -> varianceExact _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_window_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q26_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER wa AS first_order,
+        |  last_value(o_orderkey) OVER wa AS last_order,
+        |  lead(o_orderkey, 1) OVER wo AS next_order
+        |FROM orders WINDOW
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_array_funcs" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |  array_to_string(w[1:3], '_') AS first3,
+        |  array_to_string(list_reverse(w[1:3]), '_') AS first3_rev,
+        |  array_to_string(list_sort(w[1:5]), '_') AS first5_sorted,
+        |  list_contains(w, 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(w[1:6])), '_') AS first6_distinct,
+        |  w[-1] AS last_tok
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q29_pivot_returnflag" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q35_scalar_subquery" -> scalarSubquerySql,
+    "q36_in_subquery" -> inSubquerySql,
+    "q37_exists_subquery" -> existsSubquerySql,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_variance_exact" ->
+      """SELECT l_returnflag,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty
+        |FROM (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

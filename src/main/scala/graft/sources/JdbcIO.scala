@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC scan/append (reference J2/W1/D1, `src/spark_pgsql/spark_streaming
+  * .py:73-87`, `scripts/create_table.py:29-45`).
+  *
+  * Scale posture: the reference reads the FULL existing table just to
+  * anti-join on one key (`spark_streaming.py:73-75`). `readKeys` prunes the
+  * scan to the key column and can partition it; at 100 TB the key set is
+  * what gets broadcast, never the table.
+  */
+object JdbcIO {
+
+  def props(user: String, password: String,
+            driver: String = "org.postgresql.Driver"): Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p.setProperty("driver", driver)
+    p
+  }
+
+  /** J2 with column pruning: select only the anti-join key. */
+  def readKeys(spark: SparkSession, url: String, table: String, key: String,
+               properties: Properties, numPartitions: Int = 1): DataFrame = {
+    val base = spark.read
+    val pruned = s"(SELECT $key FROM $table) AS ${table}_keys"
+    base.jdbc(url, pruned, properties)
+  }
+
+  def readTable(spark: SparkSession, url: String, table: String,
+                properties: Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
+  /** W1: append. */
+  def append(df: DataFrame, url: String, table: String, properties: Properties): Unit =
+    df.write.mode("append").jdbc(url, table, properties)
+
+  /** D1: CREATE TABLE with all-text columns and a primary key, issued over
+    * plain JDBC (the reference's psycopg2 DDL). */
+  def createAllTextTable(url: String, table: String, fields: Seq[String],
+                         primaryKey: String, properties: Properties): Unit = {
+    val cols = fields.map { f =>
+      if (f == primaryKey) s"$f text PRIMARY KEY" else s"$f text"
+    }.mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE IF NOT EXISTS $table ($cols)")
+      finally st.close()
+    } finally conn.close()
+  }
+}
