@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.StripAccents
+
+/** SQL-surface registration for graft's custom expressions, so
+  * `spark.sql("SELECT strip_accents(c) ...")` works alongside the Column
+  * API. Usable two ways:
+  *  - `GraftFunctions.register(spark)` on an existing session;
+  *  - `.withExtensions(new GraftExtensions)` at session build time.
+  */
+object GraftFunctions {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strip_accents" -> (exprs => StripAccents(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  private[graft] def inject(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.StripAccents", name), b))
+    }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+}

@@ -55,7 +55,8 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _)
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.VectorQueries.defs ++
-    graft.queries.EventsQueries.defs ++ graft.queries.RelationalQueries2.defs
+    graft.queries.EventsQueries.defs ++ graft.queries.RelationalQueries2.defs ++
+    graft.queries.MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.VectorQueries.oracles ++
-    graft.queries.EventsQueries.oracles ++ graft.queries.RelationalQueries2.oracles
+    graft.queries.EventsQueries.oracles ++ graft.queries.RelationalQueries2.oracles ++
+    graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads + typed
+  * metadata, with decode/feature-extraction as partition-batched functions.
+  *
+  * The decode step itself is a STUB (this container has no image/audio
+  * codecs): `FakeDecoder` derives deterministic "features" from the bytes.
+  * Everything around it is the real 100 TB-shape plumbing:
+  *  - media rows are (id, kind, bytes, meta struct) — schema-first;
+  *  - decoding runs via `mapPartitions` over an iterator, one model/codec
+  *    init per PARTITION (the Scala analogue of a Pandas `mapInPandas`
+  *    batch UDF — amortized setup, no per-row driver involvement);
+  *  - feature output is a fixed-width `array<float>` ready for the
+  *    similarity operators (`graft.operators.Similarity`).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true))), nullable = true)))
+
+  /** Build a deterministic media table from `documents` (text bytes stand in
+    * for encoded media; kind alternates image/audio). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** STUB decoder — a real deployment swaps this for an image/audio codec.
+    * Deterministic: 16-bin byte-value histogram, L1-normalized. The
+    * signature (bytes, meta → fixed-width float features) is the real
+    * contract. */
+  object FakeDecoder {
+    val featureDim = 16
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](featureDim)
+      if (payload == null || payload.isEmpty) return hist
+      var i = 0
+      while (i < payload.length) {
+        hist(((payload(i) & 0xff) * featureDim) / 256) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < featureDim) { hist(j) /= payload.length; j += 1 }
+      hist
+    }
+  }
+
+  private val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Partition-batched decode: codec initialized once per partition (the
+    * expensive step a Pandas UDF would amortize the same way), then a
+    * streaming iterator — constant memory per partition. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { rows =>
+      // per-partition init happens HERE (stub decoder is stateless; a real
+      // codec/model handle would be constructed once at this point)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = FakeDecoder.decode(payload)
+        Row(r.getLong(0), r.getString(1),
+          if (payload == null) 0 else payload.length, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th fixed-size
+    * chunk, declaratively (no UDF) — slice/transform stay codegen'd. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    media.select(col("media_id"), col("payload"),
+      explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => i % stride === 0 && (i + 1) * frameBytes <= length(col("payload")))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+  }
+}

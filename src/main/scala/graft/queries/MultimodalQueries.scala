@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing surface. q80 has no SQL oracle (the stub decoder
+  * runs via mapPartitions → the driver records the weaker rows-only check);
+  * q81's frame accounting is fully oracle-checked, and q28's HLL sketch is
+  * approximate by definition (rows-only).
+  */
+object MultimodalQueries {
+
+  // q80: binary payload → partition-batched feature extraction.
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
+      .orderBy($"media_id")
+  }
+
+  // q81: frame sampling accounting (64-byte frames, stride 2), per kind.
+  def mediaFrameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables(s, dir).documents)
+    Multimodal.sampleFrames(media, 64, 2)
+      .join(media.select($"media_id", $"kind"), Seq("media_id"))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct($"media_id").as("n_media"),
+        sum(length($"frame_bytes")).as("total_bytes"))
+      .orderBy($"kind")
+  }
+
+  // q28: approximate distinct (HLL++) — sketch output, rows-only check.
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_media_features" -> mediaFeatures _,
+    "q81_media_frame_stats" -> mediaFrameStats _,
+    "q28_approx_distinct" -> approxDistinct _
+  )
+
+  val oracles: Map[String, String] = Map(
+    // documents.text is ASCII in this corpus → payload bytes = chars.
+    "q81_media_frame_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  len(text) // 64 AS n_frames_raw FROM documents)
+        |SELECT kind,
+        |  CAST(sum((n_frames_raw + 1) // 2) AS BIGINT) AS n_frames,
+        |  count(CASE WHEN n_frames_raw > 0 THEN 1 END) AS n_media,
+        |  CAST(sum(((n_frames_raw + 1) // 2) * 64) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+  )
+}
