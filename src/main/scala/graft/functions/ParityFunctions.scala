@@ -43,14 +43,20 @@ object ParityFunctions {
 
   /** Distinct word n-grams (shingles) of `n` consecutive tokens, joined by a
     * single space. Built with higher-order functions only — stays codegen'd.
+    *
+    * Perf: callers should pass a MATERIALIZED tokens column (separate
+    * projection), not `tokens(text)` inline — otherwise every array access
+    * in the lambda re-runs the split. `slice` keeps it to one array
+    * reference per shingle.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def shinglesFromTokens(ts: Column, n: Int): Column = {
     val cnt = size(ts) - (n - 1)
     // Guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark.
     when(cnt >= 1,
       array_distinct(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+        i => array_join(slice(ts, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  def wordShingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }

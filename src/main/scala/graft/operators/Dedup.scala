@@ -22,18 +22,25 @@ import graft.functions.{ParityFunctions => PF}
 object Dedup {
 
   /** Exploded distinct (id, shingle) pairs — the base relation for both
-    * MinHash and Jaccard. */
+    * MinHash and Jaccard. Tokenization is materialized in its own
+    * projection so the per-shingle lambda doesn't re-split the text. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(PF.wordShingles(col(textCol), n)).as("shingle"))
+    df.repartition(col(idCol)) // shuffle raw docs (small) instead of exploded
+                               // shingles; downstream groupBy(id) reuses this
+                               // partitioning with no further exchange
+      .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(PF.shinglesFromTokens(col("_toks"), n)).as("shingle"))
 
   /** MinHash signatures: for hash function i, `min(md5(i || ':' || shingle))`.
-    * One shuffle (groupBy id), `numHashes` partial min-aggregates.
+    * One shuffle (groupBy id), `numHashes` partial min-aggregates — the
+    * shingle-set size rides along in the same pass (`sz`), so the
+    * Jaccard-verify stage never rescans the shingle relation for sizes.
     */
   def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { i =>
       min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"m$i")
     }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"), mins: _*)
   }
 
   /** LSH banding: group the signature into bands of `rowsPerBand` hashes;
@@ -62,8 +69,13 @@ object Dedup {
 
   /** Exact Jaccard over shingle sets for given candidate pairs:
     * |A∩B| via a co-occurrence join, |A∪B| = |A|+|B|-|A∩B|. */
-  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    jaccardOnPairs(pairs, sh, idCol,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+
+  /** Variant with precomputed per-id set sizes (a `(idCol, sz)` relation). */
+  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame, idCol: String,
+                     sizes: DataFrame): DataFrame = {
     val common = pairs
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
@@ -82,10 +94,14 @@ object Dedup {
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.4): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
+    // the shingle relation feeds the signature pass AND both sides of the
+    // Jaccard common-join — materialize it once instead of re-tokenizing
+    // the corpus per consumer
+    val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
     val sig = minHashSignatures(sh, idCol, numHashes)
     val pairs = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardOnPairs(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+    jaccardOnPairs(pairs, sh, idCol, sig.select(col(idCol), col("sz")))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over distinct tokens: bit b of md5's first 8 hex chars
@@ -93,8 +109,9 @@ object Dedup {
     * aggregations, both with map-side combine.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(PF.tokens(col(textCol)))).as("tok"))
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(array_distinct(col("_toks"))).as("tok"))
     // nibble index = b / 4; bit within nibble = (nibble >> (3 - b%4)) & 1,
     // expressed with division (variable shifts aren't supported by
     // functions.shiftright): bit = floor(nib / 2^(3 - b%4)) % 2.

@@ -42,13 +42,27 @@ object Similarity {
     (idx, element_at(v, idx.cast("int")) > lit(0.0f))
   }
 
+  /** Cast the vector to double + attach its L2 norm — evaluated ONCE per
+    * input row (the projection sits below the join), so pair-level work is
+    * just the dot product. Other columns pass through. */
+  private def normalized(df: DataFrame, vec: String, norm: String): DataFrame =
+    df.withColumn(vec, col(vec).cast("array<double>"))
+      .withColumn(norm, l2Norm(col(vec)))
+
+  private def pairSim(qVec: String, cVec: String): Column =
+    round(dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")), 6)
+
   /** Brute-force top-k cosine neighbors for each query vector. */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
                     qId: String = "q_id", qVec: String = "q_vec",
                     cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val q = normalized(queries, qVec, "_qn")
+    // spread the corpus side (a single small parquet file arrives as one
+    // partition locally; at scale this is a no-op-cost hash exchange)
+    val c = normalized(corpus, cVec, "_cn").repartition(col(cId))
+    val joined = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("sim"))
+      .select(col(qId), col(cId), pairSim(qVec, cVec).as("sim"))
     Relational.topKPerGroup(joined, Seq(col(qId)),
         Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
   }
@@ -59,11 +73,16 @@ object Similarity {
              cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val (qIdx, qSign) = axisCell(col(qVec))
     val (cIdx, cSign) = axisCell(col(cVec))
-    val q = queries.withColumn("cell_idx", qIdx).withColumn("cell_sign", qSign)
-    val c = corpus.withColumn("cell_idx", cIdx).withColumn("cell_sign", cSign)
+    // cells are computed on the ORIGINAL float vectors (exact float
+    // comparisons, oracle-reproducible), then the double cast + norm lands.
+    val q = normalized(
+      queries.withColumn("cell_idx", qIdx).withColumn("cell_sign", qSign), qVec, "_qn")
+    val c = normalized(
+      corpus.withColumn("cell_idx", cIdx).withColumn("cell_sign", cSign), cVec, "_cn")
+      .repartition(col(cId))
     val joined = c.join(broadcast(q), Seq("cell_idx", "cell_sign"))
       .filter(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), round(cosine(col(qVec), col(cVec)), 6).as("sim"))
+      .select(col(qId), col(cId), pairSim(qVec, cVec).as("sim"))
     Relational.topKPerGroup(joined, Seq(col(qId)),
         Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
   }

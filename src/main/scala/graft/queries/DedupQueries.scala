@@ -41,17 +41,23 @@ object DedupQueries {
   }
 
   // q33: n-gram Jaccard near-dup detection blocked on *rare* shingles
-  // (document frequency <= 20 — hub shingles would create quadratic pairs).
+  // (document frequency <= 20 — hub shingles would create quadratic pairs)
+  // AND a minimum shared-shingle count. The co-occurrence count is a cheap
+  // partial-aggregated groupBy; only pairs sharing >= 5 rare shingles reach
+  // the expensive exact-Jaccard join (random pairs share 1-2, near-dups
+  // share dozens — this is what keeps the op sub-quadratic at 100 TB).
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3)
+    val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3).localCheckpoint()
     val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= 20 && $"df" >= 2)
     val rareSh = sh.join(rare.select("shingle"), Seq("shingle"))
     val pairs = rareSh.select($"shingle", $"doc_id".as("id_a"))
       .join(rareSh.select($"shingle", $"doc_id".as("id_b")), Seq("shingle"))
       .filter($"id_a" < $"id_b")
-      .select("id_a", "id_b").distinct()
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 5)
+      .select("id_a", "id_b")
     Dedup.jaccardOnPairs(pairs, sh, "doc_id")
       .filter($"jaccard" >= 0.3)
       .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
@@ -126,8 +132,9 @@ object DedupQueries {
          |rare AS (SELECT shingle FROM sh GROUP BY shingle
          |  HAVING count(*) <= 20 AND count(*) >= 2),
          |rsh AS (SELECT doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
          |  JOIN sh sa ON sa.doc_id = p.id_a

