@@ -97,6 +97,43 @@ object RelationalQueries2 {
       |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
       |ORDER BY p_partkey""".stripMargin
 
+  // q42: right outer join (supplier side preserved).
+  def rightJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.lineitem.join(t.supplier, $"l_suppkey" === $"s_suppkey", "right")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count($"l_orderkey").as("n_items"), dsum($"l_extendedprice").as("volume"))
+      .orderBy($"s_suppkey")
+  }
+
+  // q43: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL), tagged and
+  // unioned so one result covers both.
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val a = t.orders.filter($"o_orderstatus" =!= "P").select($"o_custkey".as("custkey"))
+    val b = t.orders.filter($"o_totalprice" > 100000.0).select($"o_custkey".as("custkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .groupBy($"op", $"custkey").agg(count(lit(1)).as("n"))
+      .orderBy($"op", $"custkey")
+  }
+
+  // q44: multi-format string→date parsing (ISO and French forms), the
+  // reference's two date representations (`SURVEY §1`).
+  def toDateMultiFormat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iso = date_format($"o_orderdate", "yyyy-MM-dd")
+    val fr = date_format($"o_orderdate", "dd/MM/yyyy")
+    Tables(s, dir).orders
+      .select($"o_orderkey",
+        to_date(iso, "yyyy-MM-dd").as("d_iso"),
+        to_date(fr, "dd/MM/yyyy").as("d_fr"),
+        datediff(to_date(fr, "dd/MM/yyyy"), to_date(iso, "yyyy-MM-dd")).as("zero_diff"))
+      .orderBy($"o_orderkey")
+  }
+
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
   // quantile_cont) over 2-decimal data.
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -136,7 +173,10 @@ object RelationalQueries2 {
     "q36_in_subquery" -> bySql(Seq("orders", "customer"), inSubquerySql) _,
     "q37_exists_subquery" -> bySql(Seq("part", "lineitem"), existsSubquerySql) _,
     "q38_percentiles" -> percentiles _,
-    "q39_variance_exact" -> varianceExact _
+    "q39_variance_exact" -> varianceExact _,
+    "q42_right_join" -> rightJoin _,
+    "q43_setops_all" -> setOpsAll _,
+    "q44_to_date_multiformat" -> toDateMultiFormat _
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,6 +219,26 @@ object RelationalQueries2 {
     "q35_scalar_subquery" -> scalarSubquerySql,
     "q36_in_subquery" -> inSubquerySql,
     "q37_exists_subquery" -> existsSubquerySql,
+    "q42_right_join" ->
+      """SELECT s_suppkey, s_name, count(l_orderkey) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q43_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0),
+        |tagged AS (
+        |  SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM a INTERSECT ALL SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'except_all', custkey FROM (SELECT custkey FROM a EXCEPT ALL SELECT * FROM b))
+        |SELECT op, custkey, count(*) AS n FROM tagged
+        |GROUP BY op, custkey ORDER BY op, custkey""".stripMargin,
+    "q44_to_date_multiformat" ->
+      """SELECT o_orderkey,
+        |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS d_iso,
+        |  CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d_fr,
+        |  CAST(0 AS INT) AS zero_diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q38_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

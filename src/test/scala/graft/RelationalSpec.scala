@@ -38,6 +38,18 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1L, Some(77L)), (2L, Some(88L)), (3L, None)))
   }
 
+  test("LastWinsAggregator (typed) matches lastWinsByKey semantics") {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("last_wins", udaf(graft.operators.LastWinsAggregator))
+    val df = Seq((1L, "k1", "old"), (5L, "k1", "new"), (3L, "k2", "only"))
+      .toDF("seq", "key", "payload")
+    df.createOrReplaceTempView("lw_t")
+    val out = spark.sql(
+        "SELECT key, last_wins(seq, payload) AS p FROM lw_t GROUP BY key ORDER BY key")
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("k1", "new"), ("k2", "only")))
+  }
+
   test("topKPerGroup is deterministic with tie-breaker") {
     val df = Seq(("g", 5, 1), ("g", 5, 2), ("g", 3, 3)).toDF("grp", "score", "id")
     val out = Relational.topKPerGroup(df, Seq($"grp"), Seq($"score".desc, $"id".asc), 2)
