@@ -42,13 +42,37 @@ object MultimodalQueries {
       .orderBy($"l_returnflag")
   }
 
+  // q82: multimodal struct composition — documents ⋈ embeddings on id,
+  // nesting text metadata + vector into one struct column (the "one row =
+  // one sample with every modality" shape), then field access back out.
+  def docEmbeddingJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.documents.join(t.embeddings, $"doc_id" === $"vec_id")
+      .select($"doc_id", struct(
+        struct($"lang", $"source", $"n_chars").as("meta"),
+        $"embedding", $"label").as("sample"))
+      .select($"doc_id",
+        $"sample.meta.lang".as("lang"),
+        $"sample.label".as("label"),
+        size($"sample.embedding").as("dim"),
+        round(element_at($"sample.embedding", 1).cast("double"), 6).as("e0"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_doc_embedding_join" -> docEmbeddingJoin _,
     "q80_media_features" -> mediaFeatures _,
     "q81_media_frame_stats" -> mediaFrameStats _,
     "q28_approx_distinct" -> approxDistinct _
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_doc_embedding_join" ->
+      """SELECT doc_id, lang, label, CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
     // documents.text is ASCII in this corpus → payload bytes = chars.
     "q81_media_frame_stats" ->
       """WITH m AS (SELECT doc_id,

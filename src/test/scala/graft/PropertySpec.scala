@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{ParityFunctions => PF, StripAccents}
+import graft.operators.Relational
+
+/** Property-based invariants (SURVEY §5): T3 merge laws with nulls/empties,
+  * dedup idempotence, and the idempotent-append invariant
+  * (`anti-join(append(x)) = ∅`, the reference's core guarantee).
+  * Raw ScalaCheck generators sampled over fixed seeds (the scalatest
+  * bridge artifact isn't available offline).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val maybeStr: Gen[Option[String]] =
+    Gen.oneOf(Gen.const(None), Gen.const(Some("")),
+      Gen.alphaNumStr.map(s => Some(s.take(8))))
+
+  test("T3 merge: None iff both sides falsy; contains both sides when both truthy") {
+    samples(Gen.listOfN(24, Gen.zip(maybeStr, maybeStr)), 8).foreach { pairs =>
+      val df = pairs.map { case (a, b) => (a.orNull, b.orNull) }.toDF("a", "b")
+      val out = df.select(PF.mergeColumns($"a", $"b")).collect().map(r => Option(r.getString(0)))
+      pairs.zip(out).foreach { case ((a, b), m) =>
+        val aT = a.exists(_.nonEmpty); val bT = b.exists(_.nonEmpty)
+        assert(m.isDefined == (aT || bT))
+        if (aT && bT) assert(m.get == a.get + "\n" + b.get)
+        else if (aT) assert(m.get == a.get)
+        else if (bT) assert(m.get == b.get)
+      }
+    }
+  }
+
+  test("strip accents is idempotent and length-preserving on precomposed Latin") {
+    samples(Gen.listOfN(12, Gen.oneOf("é", "à", "ü", "ñ", "ç", "x", " ", "Å")), 20)
+      .foreach { chars =>
+        val s = chars.mkString
+        val once = StripAccents.strip(s)
+        assert(StripAccents.strip(once) == once)
+        assert(once.length == s.length) // NFC input: one mark removed per composed char
+      }
+  }
+
+  test("lastWinsByKey is idempotent and keeps exactly one row per key") {
+    samples(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 1000L))), 6)
+      .foreach { rows =>
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("seq", "key", "v")
+        val once = Relational.lastWinsByKey(df, Seq("key"), $"seq")
+        assert(once.count() == rows.map(_._1).distinct.size)
+        val twice = Relational.lastWinsByKey(once, Seq("key"), $"seq")
+        assert(twice.orderBy("key").collect().toSeq == once.orderBy("key").collect().toSeq)
+      }
+  }
+
+  test("idempotent append invariant: re-appending the same batch adds nothing") {
+    samples(Gen.listOfN(20, Gen.choose(0L, 15L)), 6).foreach { keys =>
+      val existing = Seq.empty[Long].toDF("k")
+      val batch = keys.distinct.toDF("k")
+      val appended = Relational.idempotentAppend(batch, existing, "k")
+      val replay = Relational.idempotentAppend(batch, appended, "k")
+      assert(replay.count() == 0)
+    }
+  }
+}
