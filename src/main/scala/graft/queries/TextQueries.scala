@@ -86,6 +86,29 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q54: TF-IDF top terms per language — tf per (doc, term), document
+  // frequency via a second agg, corpus size broadcast as a 1-row join
+  // (no driver-side count), ln-weighted, top-3 per lang via window rank.
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val toks = docs.repartition($"doc_id")
+      .select($"doc_id", $"lang", PF.tokens($"text").as("_toks"))
+      .select($"doc_id", $"lang", explode(col("_toks")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val tfidf = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nTotal))
+      .select($"lang", $"term",
+        ($"tf" * log($"n_total".cast("double") / $"df")).as("tfidf"))
+    val byLang = tfidf.groupBy($"lang", $"term")
+      .agg(round(avg($"tfidf"), 6).as("avg_tfidf"))
+    graft.operators.Relational.topKPerGroup(byLang, Seq($"lang"),
+        Seq($"avg_tfidf".desc, $"term".asc), 3, rankCol = "rk")
+      .select($"lang", $"term", $"avg_tfidf", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
   // q60: the reference's T2 accent-strip as a native codegen'd Expression.
   def stripAccentsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -129,6 +152,7 @@ object TextQueries {
     "q51_quality_score" -> qualityScore _,
     "q52_langid_confusion" -> langIdConfusion _,
     "q53_fingerprint" -> fingerprint _,
+    "q54_tfidf_top_terms" -> tfidfTopTerms _,
     "q60_strip_accents" -> stripAccentsQ _,
     "q61_merge_columns" -> mergeColumnsQ _,
     "q62_date_split" -> dateSplitQ _
@@ -175,6 +199,20 @@ object TextQueries {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |tfidf AS (SELECT lang, tf.term, tf * ln(CAST(n_total AS DOUBLE) / df) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |by_lang AS (SELECT lang, term, round(avg(tfidf), 6) AS avg_tfidf
+         |  FROM tfidf GROUP BY lang, term),
+         |ranked AS (SELECT lang, term, avg_tfidf,
+         |  row_number() OVER (PARTITION BY lang ORDER BY avg_tfidf DESC, term ASC) AS rk
+         |  FROM by_lang)
+         |SELECT lang, term, avg_tfidf, CAST(rk AS INT) AS rk FROM ranked
+         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q60_strip_accents" ->
       """SELECT p_partkey,
         |  strip_accents('Crème brûlée à Ångström №5 — ' || p_name) AS stripped

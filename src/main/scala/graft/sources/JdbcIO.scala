@@ -40,17 +40,29 @@ object JdbcIO {
     df.write.mode("append").jdbc(url, table, properties)
 
   /** D1: CREATE TABLE with all-text columns and a primary key, issued over
-    * plain JDBC (the reference's psycopg2 DDL). */
+    * plain JDBC (the reference's psycopg2 DDL). `colType` defaults to
+    * postgres `text`; embedded engines without it (e.g. Derby in tests)
+    * pass a VARCHAR. */
   def createAllTextTable(url: String, table: String, fields: Seq[String],
-                         primaryKey: String, properties: Properties): Unit = {
+                         primaryKey: String, properties: Properties,
+                         colType: String = "text"): Unit = {
     val cols = fields.map { f =>
-      if (f == primaryKey) s"$f text PRIMARY KEY" else s"$f text"
+      if (f == primaryKey) s"$f $colType PRIMARY KEY" else s"$f $colType"
     }.mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
-      val st = conn.createStatement()
-      try st.execute(s"CREATE TABLE IF NOT EXISTS $table ($cols)")
-      finally st.close()
+      // existence check via metadata — `IF NOT EXISTS` isn't universal
+      // (Derby lacks it); identifiers may come back case-folded.
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var exists = false
+      while (rs.next() && !exists)
+        exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      rs.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.execute(s"CREATE TABLE $table ($cols)")
+        finally st.close()
+      }
     } finally conn.close()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import java.util.Properties
+
+import graft.operators.Relational
+import graft.pipeline.RappelConso
+import graft.sources.JdbcIO
+
+/** Real JDBC round-trip against embedded Derby (ships with Spark): DDL →
+  * append → key-pruned scan → anti-join → second append — the reference's
+  * J1/J2/W1/D1 path (`spark_streaming.py:73-87`, `create_table.py:29-45`)
+  * without a Postgres container.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  test("DDL + append + key-pruned scan + idempotent re-append (J1/J2/W1/D1)") {
+    val table = "rappel_conso_table"
+    JdbcIO.createAllTextTable(url, table, RappelConso.dbFields,
+      "reference_fiche", props, colType = "VARCHAR(512)")
+
+    def mkRow(ref: String) = RappelConso.dbFields.map {
+      case "reference_fiche" => ref
+      case f => s"v_$f".take(20)
+    }
+    val batch1 = Seq(mkRow("R-1"), mkRow("R-2"))
+      .map(vs => org.apache.spark.sql.Row(vs: _*))
+    val df1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(batch1), RappelConso.schema)
+    JdbcIO.append(df1, url, table, props)
+    assert(JdbcIO.readTable(spark, url, table, props).count() == 2)
+
+    // key-pruned existing scan → anti-join → only the new key lands
+    val keys = JdbcIO.readKeys(spark, url, table, "reference_fiche", props)
+    assert(keys.columns.toSeq == Seq("reference_fiche".toUpperCase) ||
+      keys.columns.toSeq == Seq("reference_fiche")) // Derby uppercases identifiers
+    val keysNormalized = keys.toDF("reference_fiche")
+    val batch2 = Seq(mkRow("R-2"), mkRow("R-3"))
+      .map(vs => org.apache.spark.sql.Row(vs: _*))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(batch2), RappelConso.schema)
+    val fresh = Relational.idempotentAppend(df2, keysNormalized, "reference_fiche")
+    assert(fresh.select("reference_fiche").as[String].collect().toSeq == Seq("R-3"))
+    JdbcIO.append(fresh, url, table, props)
+    val finalRows = JdbcIO.readTable(spark, url, table, props)
+    assert(finalRows.count() == 3)
+    assert(finalRows.select("reference_fiche").as[String].collect().sorted.toSeq ==
+      Seq("R-1", "R-2", "R-3"))
+  }
+}

@@ -38,6 +38,15 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1L, Some(77L)), (2L, Some(88L)), (3L, None)))
   }
 
+  test("sortWithinPartitions sorts per partition and keeps partition count") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "v").repartition(4, $"k")
+    val sorted = df.sortWithinPartitions($"v")
+    assert(sorted.rdd.getNumPartitions == 4)
+    val perPartition = sorted.rdd
+      .mapPartitions(it => Iterator(it.map(_.getInt(1)).toSeq)).collect()
+    assert(perPartition.forall(s => s == s.sorted))
+  }
+
   test("LastWinsAggregator (typed) matches lastWinsByKey semantics") {
     import org.apache.spark.sql.functions.udaf
     spark.udf.register("last_wins", udaf(graft.operators.LastWinsAggregator))
