@@ -37,6 +37,21 @@ object Relational {
     batch.join(right, Seq(key), "left_anti")
   }
 
+  /** Skew-resistant inner equi-join: the skewed (left) side's key is salted
+    * with a deterministic shard derived from a stable row expression, and
+    * the right side is replicated `salts`× via explode — so one hot key
+    * spreads over `salts` reducers instead of one straggler task. Results
+    * are identical to a plain join (spec-verified). AQE's skew handling
+    * covers moderate skew at runtime; explicit salting is for the
+    * pathological keys you know about.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salts: Int, saltBy: Column): DataFrame = {
+    val l = skewed.withColumn("_salt", pmod(hash(saltBy), lit(salts)))
+    val r = other.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Order-aware last-wins dedup (reference A1, `kafka_stream_data.py:78-79`:
     * dict-comprehension keeps the LAST occurrence). `seq` is the explicit
     * arrival-order column — positional semantics are made explicit so the

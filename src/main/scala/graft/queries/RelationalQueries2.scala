@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{ParityFunctions => PF}
+import graft.operators.Relational
 
 /** Second relational batch: pivot, ranking/distribution window functions,
   * array battery, subqueries (run as the SAME SQL text on Spark and DuckDB),
@@ -134,6 +135,18 @@ object RelationalQueries2 {
       .orderBy($"o_orderkey")
   }
 
+  // q45: skew-resistant salted join — must produce byte-identical results
+  // to the plain join (which is exactly what the oracle runs).
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    Relational.saltedJoin(t.lineitem, t.supplier.withColumnRenamed("s_suppkey", "l_suppkey"),
+        "l_suppkey", salts = 8, saltBy = $"l_orderkey" * 7 + $"l_linenumber")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("volume"))
+      .orderBy($"s_name")
+  }
+
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
   // quantile_cont) over 2-decimal data.
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -175,6 +188,7 @@ object RelationalQueries2 {
     "q38_percentiles" -> percentiles _,
     "q39_variance_exact" -> varianceExact _,
     "q42_right_join" -> rightJoin _,
+    "q45_salted_join" -> saltedJoinAgg _,
     "q43_setops_all" -> setOpsAll _,
     "q44_to_date_multiformat" -> toDateMultiFormat _
   )
@@ -224,6 +238,11 @@ object RelationalQueries2 {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q45_salted_join" ->
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q43_setops_all" ->
       """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'),
         |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Scale-mechanism specs: salted joins return plain-join results; bucketed
+  * tables co-locate a join with NO shuffle exchange on either side.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin == plain join results under a hot key") {
+    // 90% of fact rows share key 1 (the pathological case)
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 10, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L to 10L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select($"k", $"v", $"name")
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8, saltBy = $"v")
+      .select($"k", $"v", $"name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the metastore is per-JVM but table locations persist on disk — a
+    // stale location from a previous test run blocks CREATE
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(d) }
+    }
+    Tables(spark, "/root/testdata/sf0.001").orders
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables(spark, "/root/testdata/sf0.001").lineitem
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // force the sort-merge path: with auto-broadcast on, a small dim would
+    // make this assertion vacuous (broadcast joins never hash-exchange)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      // co-located: the join must not introduce a shuffle on either side
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected exchange in:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
