@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.StripAccents
+import graft.functions.{RollingHash, StripAccents}
 
 /** SQL-surface registration for graft's custom expressions, so
   * `spark.sql("SELECT strip_accents(c) ...")` works alongside the Column
@@ -14,7 +14,8 @@ import graft.functions.StripAccents
   */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "strip_accents" -> (exprs => StripAccents(exprs.head)))
+    "strip_accents" -> (exprs => StripAccents(exprs.head)),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
@@ -24,7 +25,7 @@ object GraftFunctions {
   private[graft] def inject(e: SparkSessionExtensions): Unit =
     builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.StripAccents", name), b))
+        new ExpressionInfo("graft.functions", name), b))
     }
 }
 

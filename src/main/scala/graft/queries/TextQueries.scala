@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{ParityFunctions => PF, StripAccents}
+import graft.functions.{ParityFunctions => PF, RollingHash, StripAccents}
 
 /** Text-analysis surface (training-data pipeline ops) + the reference's
   * scalar transforms T2/T3/T4 re-expressed declaratively. All integer-count
@@ -86,6 +86,15 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q55: polynomial rolling-hash fingerprint (custom codegen Expression)
+  // — the order-sensitive cousin of q53's content hash.
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", RollingHash.rollingHash($"text").as("rhash"))
+      .orderBy($"doc_id")
+  }
+
   // q54: TF-IDF top terms per language — tf per (doc, term), document
   // frequency via a second agg, corpus size broadcast as a 1-row join
   // (no driver-side count), ln-weighted, top-3 per lang via window rank.
@@ -153,6 +162,7 @@ object TextQueries {
     "q52_langid_confusion" -> langIdConfusion _,
     "q53_fingerprint" -> fingerprint _,
     "q54_tfidf_top_terms" -> tfidfTopTerms _,
+    "q55_rolling_fingerprint" -> rollingFingerprint _,
     "q60_strip_accents" -> stripAccentsQ _,
     "q61_merge_columns" -> mergeColumnsQ _,
     "q62_date_split" -> dateSplitQ _
@@ -213,6 +223,12 @@ object TextQueries {
          |  FROM by_lang)
          |SELECT lang, term, avg_tfidf, CAST(rk AS INT) AS rk FROM ranked
          |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "q55_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(list_reduce(
+        |    list_transform(range(1, len(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007), 0) AS BIGINT) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_strip_accents" ->
       """SELECT p_partkey,
         |  strip_accents('Crème brûlée à Ångström №5 — ' || p_name) AS stripped

@@ -44,4 +44,15 @@ class MultimodalSpec extends SparkSpec {
     val out = spark.sql("SELECT strip_accents('Crèmerie Noël') AS s").head().getString(0)
     assert(out == "Cremerie Noel")
   }
+
+  test("rolling_hash matches the hand-computed polynomial and handles edges") {
+    GraftFunctions.register(spark)
+    // ((97*31 + 98)*31 + 99) % 1000000007 = 96354
+    val rows = spark.sql(
+        "SELECT rolling_hash('abc'), rolling_hash(''), rolling_hash(CAST(NULL AS STRING))")
+      .head()
+    assert(rows.getLong(0) == 96354L)
+    assert(rows.getLong(1) == 0L)
+    assert(rows.isNullAt(2))
+  }
 }
