@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-up probe: times the heavy dedup/text pipelines against an
+  * arbitrary table directory (e.g. a synthetically enlarged corpus) —
+  * used to check that candidate-pair discipline holds under 10×+ growth.
+  *
+  *   sbt "runMain graft.ScaleTest /tmp/sf_scaled q31_minhash_lsh q33_ngram_jaccard"
+  */
+object ScaleTest {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q32_simhash_signatures", "q54_tfidf_top_terms")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- names) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(f"[scale] $q%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%d rows")
+    }
+    spark.stop()
+  }
+}

@@ -48,9 +48,16 @@ object DedupQueries {
   // share dozens — this is what keeps the op sub-quadratic at 100 TB).
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3).localCheckpoint()
+    val docs = Tables(s, dir).documents
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    // rarity must be RELATIVE to corpus size: a fixed df cap ages out as
+    // the corpus grows (verified empirically — at 10× docs a df<=20 band
+    // excludes every cluster shingle and finds nothing). Cap = max(20,
+    // 0.4% of N), broadcast as a 1-row join.
+    val cap = docs.agg(greatest(lit(20L), (count(lit(1)) * 4 / 1000)).as("df_cap"))
     val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= 20 && $"df" >= 2)
+      .crossJoin(broadcast(cap))
+      .filter($"df" <= $"df_cap" && $"df" >= 2)
     val rareSh = sh.join(rare.select("shingle"), Seq("shingle"))
     val pairs = rareSh.select($"shingle", $"doc_id".as("id_a"))
       .join(rareSh.select($"shingle", $"doc_id".as("id_b")), Seq("shingle"))
@@ -129,8 +136,9 @@ object DedupQueries {
         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q33_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle
-         |  HAVING count(*) <= 20 AND count(*) >= 2),
+         |cap AS (SELECT greatest(20, count(*) * 4 // 1000) AS df_cap FROM documents),
+         |rare AS (SELECT shingle FROM sh, cap GROUP BY shingle, df_cap
+         |  HAVING count(*) <= df_cap AND count(*) >= 2),
          |rsh AS (SELECT doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
