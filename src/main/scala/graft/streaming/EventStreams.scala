@@ -67,6 +67,52 @@ object EventStreams {
       }
   }
 
+  case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                            session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization with explicit state + EVENT-TIME TIMEOUT: unlike
+    * `session_window` (fixed gap semantics), this emits a session summary
+    * only when the watermark passes the session's gap deadline, and the
+    * per-user state is EVICTED on timeout — bounded state at any scale.
+    * The shape to copy for bespoke state machines `session_window` can't
+    * express. */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 10,
+                          watermark: String = "30 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (uid, start, last, n) = state.get
+            state.remove()
+            Iterator(SessionSummary(uid, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(last + gapMs), n))
+          } else {
+            val sortedTs = batch.map(_.ts.getTime).toSeq.sorted
+            val closed = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption.map { case (_, s, l, n) => (s, l, n) }
+            sortedTs.foreach { t =>
+              cur match {
+                case Some((s, l, n)) if t - l < gapMs => cur = Some((s, t, n + 1))
+                case Some((s, l, n)) =>
+                  closed += SessionSummary(userId, new java.sql.Timestamp(s),
+                    new java.sql.Timestamp(l + gapMs), n)
+                  cur = Some((t, t, 1L))
+                case None => cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { case (s, l, n) =>
+              state.update((userId, s, l, n))
+              state.setTimeoutTimestamp(l + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** The reference's EP2 sink semantics (J1 + W1): per micro-batch, drop
     * rows whose key already exists in the sink, then append. Idempotent
     * under replays. */

@@ -52,6 +52,17 @@ object StreamingDemo {
     q2.awaitTermination()
     val sessions = spark.read.parquet(s"$tmp/out_session")
     println(s"[stream-demo] sessions closed: ${sessions.count()}")
+
+    import spark.implicits._
+    val typed = stream.as[EventStreams.Event]
+    val q3 = EventStreams.sessionizeWithState(typed, gapMinutes = 10, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp_fmgs")
+      .option("path", s"$tmp/out_fmgs")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q3.awaitTermination()
+    val custom = spark.read.parquet(s"$tmp/out_fmgs")
+    println(s"[stream-demo] stateful sessions (flatMapGroupsWithState): ${custom.count()}")
     spark.stop()
   }
 }

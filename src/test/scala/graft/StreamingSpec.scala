@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("flatMapGroupsWithState sessionizer emits on event-time timeout and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(mem.toDS(), gapMinutes = 10, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fmgs_t")
+      .outputMode("append").start()
+    mem.addData(ev(1, 10, user = 1), ev(2, 15, user = 1))
+    q.processAllAvailable()
+    // advance the watermark far past the session deadline → timeout fires
+    mem.addData(ev(3, 120, user = 2))
+    q.processAllAvailable()
+    mem.addData(ev(4, 240, user = 2)) // pushes watermark past user-2 session too
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("fmgs_t").orderBy("session_start").collect()
+    assert(sessions.length >= 1)
+    val s1 = sessions(0)
+    assert(s1.getLong(0) == 1L && s1.getLong(3) == 2L) // user 1, 2 events merged
+    assert(s1.getTimestamp(2).getTime - s1.getTimestamp(1).getTime == 15 * 60000L) // 5m span + 10m gap
+  }
+
   test("session windows merge events within gap under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
