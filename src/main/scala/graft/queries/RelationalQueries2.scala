@@ -147,6 +147,47 @@ object RelationalQueries2 {
       .orderBy($"s_name")
   }
 
+  // q46: null-handling battery (coalesce / nullif / nvl / nanvl-free).
+  def nullFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = when($"doc_id" % 3 === 0, lit(null).cast("string")).otherwise($"lang")
+    val b = when($"doc_id" % 2 === 0, lit(null).cast("string")).otherwise($"source")
+    Tables(s, dir).documents
+      .select($"doc_id",
+        coalesce(a, b, lit("fallback")).as("first_present"),
+        nullif($"lang", lit("en")).as("non_en_lang"),
+        isnull(a).as("a_missing"),
+        when(a.isNotNull && b.isNotNull, "both").otherwise("partial").as("presence"))
+      .orderBy($"doc_id")
+  }
+
+  // q56: posexplode — positional flattening of the token array.
+  def posExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .filter($"doc_id" < 50)
+      .select($"doc_id", PF.tokens($"text").as("_toks"))
+      .select($"doc_id", posexplode(col("_toks")).as(Seq("pos", "tok")))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  // q57: TPC-H Q3-shaped composite — selective filters, 3-way join,
+  // decimal-exact revenue, global top-10.
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.customer.filter($"c_mktsegment" === "BUILDING")
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
   // quantile_cont) over 2-decimal data.
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -189,6 +230,9 @@ object RelationalQueries2 {
     "q39_variance_exact" -> varianceExact _,
     "q42_right_join" -> rightJoin _,
     "q45_salted_join" -> saltedJoinAgg _,
+    "q46_null_funcs" -> nullFuncs _,
+    "q56_posexplode" -> posExplode _,
+    "q57_tpch_q3" -> tpchQ3 _,
     "q43_setops_all" -> setOpsAll _,
     "q44_to_date_multiformat" -> toDateMultiFormat _
   )
@@ -238,6 +282,33 @@ object RelationalQueries2 {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q46_null_funcs" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS a,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS b,
+        |  lang FROM documents)
+        |SELECT doc_id, coalesce(a, b, 'fallback') AS first_present,
+        |  nullif(lang, 'en') AS non_en_lang,
+        |  a IS NULL AS a_missing,
+        |  CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 'both' ELSE 'partial' END AS presence
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q56_posexplode" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
+        |FROM d, lateral (SELECT unnest(range(1, len(w) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q57_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q45_salted_join" ->
       """SELECT s_name, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
