@@ -32,6 +32,22 @@ object MultimodalQueries {
       .orderBy($"kind")
   }
 
+  // q83: dominant feature bin per media — the oracle-checkable face of the
+  // q80 decode: argmax histogram bin (tie → lowest bin) + its fraction.
+  // Fraction stays in FLOAT on both engines (count/len in float, then
+  // widened) so the values are bit-identical.
+  def mediaDominantBin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(Tables(s, dir).documents))
+    feats.filter($"n_bytes" > 0)
+      .select($"media_id", $"kind", $"n_bytes",
+        (array_position($"features", array_max($"features")) - 1).cast("int").as("top_bin"),
+        round(element_at($"features",
+          array_position($"features", array_max($"features")).cast("int")).cast("double"), 6).as("top_frac"))
+      .orderBy($"media_id")
+  }
+
   // q28: approximate distinct (HLL++) — sketch output, rows-only check.
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -62,6 +78,7 @@ object MultimodalQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_doc_embedding_join" -> docEmbeddingJoin _,
+    "q83_media_dominant_bin" -> mediaDominantBin _,
     "q80_media_features" -> mediaFeatures _,
     "q81_media_frame_stats" -> mediaFrameStats _,
     "q28_approx_distinct" -> approxDistinct _
@@ -74,6 +91,20 @@ object MultimodalQueries {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
     // documents.text is ASCII in this corpus → payload bytes = chars.
+    "q83_media_dominant_bin" ->
+      """WITH chars AS (SELECT doc_id, len(text) AS n,
+        |    ascii(substring(text, i, 1)) * 16 // 256 AS bin
+        |  FROM documents, lateral (SELECT unnest(range(1, len(text) + 1)) AS i)
+        |  WHERE len(text) > 0),
+        |hist AS (SELECT doc_id, n, bin, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+        |ranked AS (SELECT doc_id, n, bin, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin ASC) AS rn
+        |  FROM hist)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(n AS INT) AS n_bytes, CAST(bin AS INT) AS top_bin,
+        |  round(CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE), 6) AS top_frac
+        |FROM ranked WHERE rn = 1 ORDER BY media_id""".stripMargin,
     "q81_media_frame_stats" ->
       """WITH m AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
