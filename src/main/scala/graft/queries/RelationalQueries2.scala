@@ -147,6 +147,19 @@ object RelationalQueries2 {
       .orderBy($"s_name")
   }
 
+  // q47: min_by / max_by aggregates. Ties must be broken deterministically
+  // (bare max_by is engine-arbitrary): the (price, orderkey) composite is
+  // encoded as one collision-free sortable long — cents·1e7 + orderkey.
+  def minMaxBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = round($"l_extendedprice" * 100, 0).cast("long") * 10000000L + $"l_orderkey"
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(max_by($"l_orderkey", ord).as("priciest_order"),
+        min_by($"l_orderkey", ord).as("cheapest_order"))
+      .orderBy($"l_returnflag")
+  }
+
   // q46: null-handling battery (coalesce / nullif / nvl / nanvl-free).
   def nullFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -231,6 +244,7 @@ object RelationalQueries2 {
     "q42_right_join" -> rightJoin _,
     "q45_salted_join" -> saltedJoinAgg _,
     "q46_null_funcs" -> nullFuncs _,
+    "q47_min_max_by" -> minMaxBy _,
     "q56_posexplode" -> posExplode _,
     "q57_tpch_q3" -> tpchQ3 _,
     "q43_setops_all" -> setOpsAll _,
@@ -282,6 +296,11 @@ object RelationalQueries2 {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q47_min_max_by" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS priciest_order,
+        |  arg_min(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS cheapest_order
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q46_null_funcs" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS a,

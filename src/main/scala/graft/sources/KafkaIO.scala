@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.StructType
   * `src/kafka_client/kafka_stream_data.py:101-125`,
   * `src/spark_pgsql/spark_streaming.py:38-63`).
   *
-  * The CI container has no broker; these are exercised through the same
-  * parse/serialize columns by the file-backed jobs and specs (the Kafka
-  * format string is the only untested line — identical call shape to the
-  * reference's).
+  * The CI container has no broker AND no spark-sql-kafka connector jar;
+  * these are exercised through the same parse/serialize columns by the
+  * file-backed jobs and specs (the `format("kafka")` calls are the only
+  * untested lines — identical call shape to the reference's). Deployments
+  * must ship `spark-sql-kafka-0-10` on the classpath.
   */
 object KafkaIO {
 
