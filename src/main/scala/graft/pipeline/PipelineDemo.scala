@@ -42,6 +42,17 @@ object PipelineDemo {
       .select("reference_fiche", "motif_du_rappel", "risques_pour_le_consommateur",
         "date_debut_commercialisation")
       .orderBy("reference_fiche").show(false)
+
+    // DSv2 face of the same source: date predicate pushed to the transport,
+    // pages fetched as parallel partitions.
+    graft.sources.v2.TransportRegistry.register("demo",
+      (where, off, _) => if (off == 0) rows.filter(_("date_de_publication") > where) else Seq())
+    val v2 = spark.read.format("graft.sources.v2.HttpApiSource")
+      .option("transport", "demo").option("limit", "100").option("maxOffset", "200")
+      .load()
+      .filter(org.apache.spark.sql.functions.col("date_de_publication") > "2024-04-19")
+    println(s"[demo] DSv2 rows after pushed filter: ${v2.count()} " +
+      s"(plan has residual Filter: ${v2.queryExecution.executedPlan.toString.contains("Filter (")})")
     spark.stop()
   }
 }
