@@ -67,6 +67,35 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with event-time range bounds: each click
+    * joins purchases of the same user within [click − window, click]. Both
+    * sides carry watermarks so join state is evicted once the range can no
+    * longer match — bounded state at 100 TB stream volumes.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowMinutes: Int = 30,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Production state-store settings: RocksDB-backed state (ships with
+    * Spark) keeps large watermark/session/join state off-heap and
+    * incremental-checkpointable — the right default once state exceeds
+    * executor heap. Call before starting stateful queries. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
                             session_end: java.sql.Timestamp, n_events: Long)
 

@@ -63,6 +63,19 @@ object StreamingDemo {
     q3.awaitTermination()
     val custom = spark.read.parquet(s"$tmp/out_fmgs")
     println(s"[stream-demo] stateful sessions (flatMapGroupsWithState): ${custom.count()}")
+
+    // stream-stream join: clicks to same-user purchases within 30 minutes
+    EventStreams.useRocksDbStateStore(spark)
+    val q4 = EventStreams.clickPurchaseJoin(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"), 30, "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp_ssj")
+      .option("path", s"$tmp/out_ssj")
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q4.awaitTermination()
+    println(s"[stream-demo] click→purchase joins (RocksDB state): " +
+      spark.read.parquet(s"$tmp/out_ssj").count())
     spark.stop()
   }
 }

@@ -106,6 +106,46 @@ class StreamingSpec extends SparkSpec {
     assert(s1.getTimestamp(2).getTime - s1.getTimestamp(1).getTime == 15 * 60000L) // 5m span + 10m gap
   }
 
+  test("stream-stream join matches purchases within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF(), 30, "1 hour")
+      .writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    clicks.addData(ev(1, 60, user = 1), ev(2, 200, user = 1))
+    purchases.addData(ev(10, 40, user = 1), ev(11, 190, user = 1), ev(12, 300, user = 2))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssjoin_t")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    // click@60 ← purchase@40 (within 30m); click@200 ← purchase@190;
+    // purchase@300 is user 2 / after any click → no match
+    assert(pairs == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("stateful aggregation runs on the RocksDB state store backend") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val mem = MemoryStream[Event]
+      val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName("rocks_t")
+        .outputMode("update").start()
+      mem.addData(ev(1, 10), ev(2, 20), ev(3, 70))
+      q.processAllAvailable()
+      // confirm the running query actually uses RocksDB
+      val progress = q.lastProgress.stateOperators
+      q.stop()
+      assert(spark.table("rocks_t").count() >= 2)
+      assert(progress.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows merge events within gap under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
