@@ -104,6 +104,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs → dedup clusters
+    * (component id = smallest member id). Min-label propagation: each
+    * iteration is one join + partial-min aggregate, converging within the
+    * cluster diameter (near-dup clusters are shallow). The driver loop
+    * checkpoints per iteration — the GraphX-free formulation that scales
+    * with ordinary shuffle capacity.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("dcomp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dcomp")).as("ncomp"))
+      val updated = labels
+        .join(nmin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      done = updated.select(col("id"), col("component").as("newc"))
+        .join(labels, Seq("id"))
+        .filter(col("newc") =!= col("component")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct tokens: bit b of md5's first 8 hex chars
     * votes +1/-1; bit set where the vote sum is positive. Two hash
     * aggregations, both with map-side combine.

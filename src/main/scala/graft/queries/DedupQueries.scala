@@ -71,7 +71,20 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q58: dedup clusters — connected components over the MinHash-verified
+  // near-dup pairs; canonical doc per cluster = smallest id.
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashDedup(Tables(s, dir).documents, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      .select($"id_a", $"id_b")
+    Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_dedup_clusters" -> dedupClusters _,
     "q30_dedup_lastwins" -> dedupLastWins _,
     "q31_minhash_lsh" -> minhashLsh _,
     "q32_simhash_signatures" -> simhashSignatures _,
@@ -86,6 +99,40 @@ object DedupQueries {
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q58_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7,
+         |  count(*) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM cand p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |  JOIN sig za ON za.doc_id = id_a
+         |  JOIN sig zb ON zb.doc_id = id_b
+         |  WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2),
+         |bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |rc(src, dst) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT rc.src, bi.b FROM rc JOIN bi ON rc.dst = bi.a),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM rc GROUP BY src)
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "q30_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,

@@ -160,6 +160,25 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q48: math-function battery (rounded where transcendental).
+  def mathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .filter($"l_linenumber" === 1)
+      .select($"l_orderkey",
+        abs($"l_discount" - 0.05).as("abs_d"),
+        ceil($"l_quantity").cast("long").as("ceil_q"),
+        floor($"l_quantity").cast("long").as("floor_q"),
+        round(sqrt($"l_extendedprice"), 6).as("sqrt_p"),
+        round(pow($"l_quantity", 2.0), 6).as("q_sq"),
+        round(exp($"l_discount"), 6).as("exp_d"),
+        signum($"l_quantity" - 25.0).cast("int").as("sign_q"),
+        ($"l_orderkey" % 7).as("mod7"),
+        greatest($"l_discount", $"l_tax").as("gt"),
+        least($"l_discount", $"l_tax").as("lt"))
+      .orderBy($"l_orderkey")
+  }
+
   // q46: null-handling battery (coalesce / nullif / nvl / nanvl-free).
   def nullFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -245,6 +264,7 @@ object RelationalQueries2 {
     "q45_salted_join" -> saltedJoinAgg _,
     "q46_null_funcs" -> nullFuncs _,
     "q47_min_max_by" -> minMaxBy _,
+    "q48_math_funcs" -> mathFuncs _,
     "q56_posexplode" -> posExplode _,
     "q57_tpch_q3" -> tpchQ3 _,
     "q43_setops_all" -> setOpsAll _,
@@ -301,6 +321,19 @@ object RelationalQueries2 {
         |  arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS priciest_order,
         |  arg_min(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS cheapest_order
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_math_funcs" ->
+      """SELECT l_orderkey,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        |  CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  round(power(l_quantity, 2.0), 6) AS q_sq,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  CAST(sign(l_quantity - 25.0) AS INT) AS sign_q,
+        |  l_orderkey % 7 AS mod7,
+        |  greatest(l_discount, l_tax) AS gt,
+        |  least(l_discount, l_tax) AS lt
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
     "q46_null_funcs" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS a,
