@@ -160,6 +160,19 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q49: RANGE window frame — 30-day trailing spend per customer (value
+  //-based frame, vs the ROWS frames elsewhere).
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayN = datediff($"o_orderdate", lit("1995-01-01").cast("timestamp"))
+    val w = Window.partitionBy($"o_custkey").orderBy(dayN)
+      .rangeBetween(-30, Window.currentRow)
+    Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderkey", dayN.as("day_n"),
+        sum(dec($"o_totalprice")).over(w).cast("double").as("trailing_30d_spend"))
+      .orderBy($"o_custkey", $"day_n", $"o_orderkey")
+  }
+
   // q48: math-function battery (rounded where transcendental).
   def mathFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -265,6 +278,7 @@ object RelationalQueries2 {
     "q46_null_funcs" -> nullFuncs _,
     "q47_min_max_by" -> minMaxBy _,
     "q48_math_funcs" -> mathFuncs _,
+    "q49_range_frame" -> rangeFrame _,
     "q56_posexplode" -> posExplode _,
     "q57_tpch_q3" -> tpchQ3 _,
     "q43_setops_all" -> setOpsAll _,
@@ -321,6 +335,14 @@ object RelationalQueries2 {
         |  arg_max(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS priciest_order,
         |  arg_min(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS cheapest_order
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS day_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+        |FROM orders ORDER BY o_custkey, day_n, o_orderkey""".stripMargin,
     "q48_math_funcs" ->
       """SELECT l_orderkey,
         |  abs(l_discount - 0.05) AS abs_d,

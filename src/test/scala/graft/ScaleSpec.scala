@@ -21,6 +21,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("partitioned parquet sink prunes partitions at read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, "/root/testdata/sf0.001").lineitem
+      .write.partitionBy("l_returnflag", "l_linestatus").parquet(s"$tmp/li")
+    // hive-style directory layout
+    assert(new java.io.File(s"$tmp/li/l_returnflag=R").exists())
+    val pruned = spark.read.parquet(s"$tmp/li")
+      .filter($"l_returnflag" === "R" && $"l_linestatus" === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    // pruned read matches the unpartitioned filter
+    val expected = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .filter($"l_returnflag" === "R" && $"l_linestatus" === "F").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
