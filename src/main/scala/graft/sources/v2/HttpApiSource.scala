@@ -81,8 +81,9 @@ class HttpApiScanBuilder(schema: StructType, opts: Map[String, String])
       case GreaterThan(c, v: String) if c == dateCol => true
       case _ => false
     }
-    mine.foreach { case GreaterThan(_, v: String) =>
-      if (v > where) where = v
+    mine.foreach {
+      case GreaterThan(_, v: String) => if (v > where) where = v
+      case _ => () // partition above only admits GreaterThan(dateCol, String)
     }
     pushed = mine
     residual
