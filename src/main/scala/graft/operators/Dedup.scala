@@ -137,6 +137,17 @@ object Dedup {
     labels
   }
 
+  /** The dedup endpoint: given the corpus and near-dup components, keep
+    * one canonical row per cluster (the smallest id) plus every row that
+    * was never in a cluster. A broadcast of the (id, component) relation —
+    * tiny relative to the corpus — and one anti-ish filter; the corpus is
+    * scanned once. */
+  def keepCanonical(df: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val losers = components.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over distinct tokens: bit b of md5's first 8 hex chars
     * votes +1/-1; bit set where the vote sum is positive. Two hash
     * aggregations, both with map-side combine.

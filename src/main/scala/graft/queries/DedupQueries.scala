@@ -83,8 +83,22 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  // q59: the dedup endpoint — drop every non-canonical near-duplicate,
+  // keep one doc per cluster + all unclustered docs.
+  def dedupKeepCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      .select($"id_a", $"id_b")
+    Dedup.keepCanonical(docs, "doc_id", Dedup.connectedComponents(pairs))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_dedup_clusters" -> dedupClusters _,
+    "q59_dedup_keep_canonical" -> dedupKeepCanonical _,
     "q30_dedup_lastwins" -> dedupLastWins _,
     "q31_minhash_lsh" -> minhashLsh _,
     "q32_simhash_signatures" -> simhashSignatures _,
@@ -98,9 +112,8 @@ object DedupQueries {
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q58_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
+  private lazy val componentsCte: String =
+    s"""WITH RECURSIVE $shinglesCte,
          |sig AS (SELECT doc_id,
          |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
          |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
@@ -131,8 +144,16 @@ object DedupQueries {
          |  UNION
          |  SELECT rc.src, bi.b FROM rc JOIN bi ON rc.dst = bi.a),
          |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |  FROM rc GROUP BY src)
-         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+         |  FROM rc GROUP BY src)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q58_dedup_clusters" ->
+      s"$componentsCte\nSELECT doc_id, component FROM comp ORDER BY doc_id",
+    "q59_dedup_keep_canonical" ->
+      s"""$componentsCte
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |ORDER BY doc_id""".stripMargin,
     "q30_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,

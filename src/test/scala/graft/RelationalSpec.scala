@@ -38,6 +38,15 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1L, Some(77L)), (2L, Some(88L)), (3L, None)))
   }
 
+  test("asof join inner mode drops left rows with no prior right row") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, 100L, ts(10)), (3L, 200L, ts(5))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(8), 77L)).toDF("user_id", "ts", "purchase_id")
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("purchase_id"))
+      .select("event_id").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // user 200 has no prior purchase → dropped
+  }
+
   test("sortWithinPartitions sorts per partition and keeps partition count") {
     val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "v").repartition(4, $"k")
     val sorted = df.sortWithinPartitions($"v")
