@@ -5,10 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop sink
   * (count() would let Catalyst prune the very aggregates being measured).
-  * Prints ONE JSON line.
+  * Prints ONE JSON line on stdout; per-query regressions vs the committed
+  * `bench_baseline.json` (last round's numbers) go to stderr.
+  *
+  * Optional arg: comma-separated query-name substrings (dev loop).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val nameFilter: String => Boolean =
+      if (args.nonEmpty) { val pats = args(0).split(","); n => pats.exists(n.contains) }
+      else _ => true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // A/B'd: AQE on vs off is within machine noise at this scale (±3%),
@@ -29,7 +35,8 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -41,6 +48,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    diffVsBaseline(results)
     spark.stop()
+  }
+
+  /** Flag >30% regressions (and >2× improvements) vs bench_baseline.json —
+    * a flat {"query": sec} map committed once per round. Stderr only: the
+    * driver parses stdout's single JSON line. */
+  private def diffVsBaseline(results: Seq[(String, Double)]): Unit = {
+    val f = new java.io.File("bench_baseline.json")
+    if (!f.exists()) return
+    val base = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(return)
+    val lines = results.flatMap { case (name, t) =>
+      base.get(name).collect {
+        case b if t > b * 1.3 && t - b > 0.3 => f"[bench-diff] REGRESSED $name%s: $b%.2fs -> $t%.2fs"
+        case b if b > t * 2 && b - t > 0.3   => f"[bench-diff] improved  $name%s: $b%.2fs -> $t%.2fs"
+      }
+    }
+    lines.foreach(System.err.println)
   }
 }

@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (left-fold, deterministic order). */
+  /** Dot product of two double arrays — native codegen expression (see
+    * [[graft.functions.DotProduct]]); same left-fold order as the HOF
+    * formulation it replaced, so values are bit-for-bit identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")

@@ -5,17 +5,26 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing surface. q80 has no SQL oracle (the stub decoder
-  * runs via mapPartitions → the driver records the weaker rows-only check);
-  * q81's frame accounting is fully oracle-checked, and q28's HLL sketch is
-  * approximate by definition (rows-only).
+/** Multimodal plumbing surface — every query here is hash-checked against a
+  * DuckDB oracle. q80 serializes the feature vector deterministically
+  * (integer parts-per-million, see below) so the raw `array<float>` never
+  * reaches the driver's pandas compare; q28 exposes the HLL sketch through a
+  * checkable `within_5pct` face.
   */
 object MultimodalQueries {
 
-  // q80: binary payload → partition-batched feature extraction.
+  // q80: binary payload → partition-batched feature extraction. The
+  // `array<float>` features are serialized as comma-joined integer ppm
+  // (round(f*1e6)): both Spark `round` and DuckDB `round` are
+  // half-away-from-zero, so ties like 1/128 = 0.0078125 agree — unlike
+  // format_number (HALF_UP) vs printf (HALF_EVEN).
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
+      .select($"media_id", $"kind", $"n_bytes",
+        array_join(transform($"features",
+          f => round(f.cast("double") * 1000000).cast("long").cast("string")), ",")
+          .as("features_ppm"))
       .orderBy($"media_id")
   }
 
@@ -48,13 +57,18 @@ object MultimodalQueries {
       .orderBy($"media_id")
   }
 
-  // q28: approximate distinct (HLL++) — sketch output, rows-only check.
+  // q28: approximate distinct (HLL++) — the sketch value itself is not
+  // SQL-reproducible, so the checkable face is the accuracy contract:
+  // |approx − exact| / exact ≤ 5% (HLL++ at default rsd 0.05), which the
+  // oracle asserts as a constant TRUE next to the exact count.
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir).lineitem
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") / $"exact_parts" <= 0.05).as("within_5pct"))
       .orderBy($"l_returnflag")
   }
 
@@ -85,6 +99,32 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // documents.text is ASCII in this corpus → payload bytes = chars; the
+    // stub decoder's 16-bin histogram is reproduced bin-by-bin (zero bins
+    // included), L1-normalized in FLOAT on both engines, then serialized as
+    // integer ppm so float formatting never enters the hash.
+    "q80_media_features" ->
+      """WITH docs0 AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        |bins AS (SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM docs0),
+        |chars AS (SELECT doc_id, ascii(substring(text, i, 1)) * 16 // 256 AS bin
+        |  FROM docs0, lateral (SELECT unnest(range(1, n + 1)) AS i)),
+        |hist AS (SELECT b.doc_id, b.n, b.bin, count(c.bin) AS cnt
+        |  FROM bins b LEFT JOIN chars c ON b.doc_id = c.doc_id AND b.bin = c.bin
+        |  GROUP BY 1, 2, 3),
+        |feat AS (SELECT doc_id, n, bin,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE CAST(round(CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)
+        |    END AS ppm
+        |  FROM hist)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(n AS INT) AS n_bytes,
+        |  string_agg(CAST(ppm AS VARCHAR), ',' ORDER BY bin) AS features_ppm
+        |FROM feat GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+    "q28_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_doc_embedding_join" ->
       """SELECT doc_id, lang, label, CAST(len(embedding) AS INT) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0

@@ -418,7 +418,7 @@ object RelationalQueries {
         |  date_trunc('month', o_orderdate) AS month_start,
         |  o_orderdate + INTERVAL 30 DAY AS plus30,
         |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch0,
-        |  epoch(o_orderdate) AS epoch_sec
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q22_case_when_agg" ->
       """SELECT l_linestatus,

@@ -43,23 +43,32 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
-  // q34: embedding near-dup scan — top-20 same-label pairs by cosine.
+  // q34: embedding near-dup scan — top-20 same-(label, coarse-cell) pairs by
+  // exact cosine. Blocking (the near-dup contract): candidate pairs must
+  // share the label AND the deterministic axis cell (argmax-|component| +
+  // sign, Similarity.axisCell — the same blocking q41 uses, reproduced in
+  // the oracle). This keeps pair volume sub-quadratic: the join shuffles on
+  // (label, cell_idx, cell_sign) — 2·dim cells per label — with NO corpus
+  // broadcast, so it survives a corpus that doesn't fit in one executor.
+  // Near-identical vectors agree on their dominant axis, so true near-dups
+  // co-bucket; a hot bucket at real scale is AQE-skew-split territory.
   def nearDupTopPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir).embeddings
-    // norms materialized below the join (once per vector, not per pair);
-    // one side broadcast so the 10-key label join doesn't bottleneck on
-    // 10 shuffle partitions.
-    def side(id: String, v: String, n: String) = emb
-      .select($"label", $"vec_id".as(id), $"embedding".cast("array<double>").as(v))
-      .withColumn(n, sqrt(aggregate(transform(col(v), x => x * x), lit(0.0), (acc, x) => acc + x)))
-    // single small parquet file = one input partition — spread the stream
-    // side so the pair computation parallelizes across all cores
-    val a = side("id_a", "va", "_na").repartition($"id_a")
-    val b = side("id_b", "vb", "_nb")
-    a.join(broadcast(b), Seq("label")).filter($"id_a" < $"id_b")
+    // cell from the ORIGINAL float vector (exact float comparisons →
+    // oracle-reproducible); double cast + norm materialized once per vector
+    // below the join, so pair-level work is a single codegen'd dot product.
+    val (idx, sign) = Similarity.axisCell($"embedding")
+    val cells = emb.select($"label", $"vec_id",
+        idx.as("cell_idx"), sign.as("cell_sign"),
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2Norm($"v"))
+    def side(suffix: String) = cells.select($"label", $"cell_idx", $"cell_sign",
+      $"vec_id".as(s"id_$suffix"), $"v".as(s"v$suffix"), $"nrm".as(s"n$suffix"))
+    side("a").join(side("b"), Seq("label", "cell_idx", "cell_sign"))
+      .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
-        round(Similarity.dot($"va", $"vb") / ($"_na" * $"_nb"), 6).as("sim"))
+        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
       .orderBy($"sim".desc, $"id_a", $"id_b")
       .limit(20)
   }
@@ -97,9 +106,16 @@ object VectorQueries {
          |SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q34_embedding_neardup" ->
-      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
+         |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
+         |cells AS (SELECT label, vec_id, v,
+         |    list_position(la, list_aggregate(la, 'max')) AS cell_idx,
+         |    v[list_position(la, list_aggregate(la, 'max'))] > 0 AS cell_sign
+         |  FROM e)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM cells a JOIN cells b
+         |  ON a.label = b.label AND a.cell_idx = b.cell_idx
+         | AND a.cell_sign = b.cell_sign AND a.vec_id < b.vec_id
          |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
   )
 }
