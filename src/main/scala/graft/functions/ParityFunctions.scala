@@ -20,18 +20,21 @@ object ParityFunctions {
   private val datePattern = "(\\d{2}/\\d{2}/\\d{4})"
 
   /** T4 (`transformations.py:24-41`): extract a commercialisation date range
-    * from free text. Two DD/MM/YYYY hits → (first, last); exactly one hit →
-    * start if the text mentions "depuis le", end if "jusqu"; else NULLs.
-    * Returns a 2-field struct (`start`, `end`).
+    * from free text, with the reference's EXACT branch structure: exactly
+    * two DD/MM/YYYY hits → (first, second); 3+ hits → both NULL (the
+    * reference checks `len(patterns) == 2`, not `>= 2`); exactly one hit →
+    * an if/elif chain, so "depuis le" wins and "jusqu" only sets the end
+    * when "depuis le" is absent. Returns a 2-field struct (`start`, `end`).
     */
   def splitDateRange(text: Column): Column = {
     val hits = regexp_extract_all(text, lit(datePattern))
     val n = size(hits)
     val lowerText = lower(text)
-    val start = when(n >= 2, element_at(hits, 1))
+    val start = when(n === 2, element_at(hits, 1))
       .when(n === 1 && lowerText.contains("depuis le"), element_at(hits, 1))
-    val end = when(n >= 2, element_at(hits, -1))
-      .when(n === 1 && lowerText.contains("jusqu"), element_at(hits, 1))
+    val end = when(n === 2, element_at(hits, 2))
+      .when(n === 1 && !lowerText.contains("depuis le") && lowerText.contains("jusqu"),
+        element_at(hits, 1))
     struct(start.as("start"), end.as("end"))
   }
 

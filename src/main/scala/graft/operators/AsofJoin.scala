@@ -42,8 +42,11 @@ object AsofJoin {
       df.withColumn(prefix + c,
         last(when(col("_tag") === 0, col(c)), ignoreNulls = true).over(w))
     }
-    val out = carried.filter(col("_tag") === 1)
+    // Dedicated matched flag: a left row that matched a right row whose value
+    // columns are ALL NULL is still an inner match (value-NULL ≠ no-match).
+      .withColumn("_matched", last(when(col("_tag") === 0, lit(1)), ignoreNulls = true).over(w))
+    val matched = if (leftOuter) carried else carried.filter(col("_matched").isNotNull)
+    matched.filter(col("_tag") === 1)
       .select(leftCols.map(col) ++ rightValueCols.map(c => col(prefix + c)): _*)
-    if (leftOuter) out else out.filter(rightValueCols.map(c => col(prefix + c).isNotNull).reduce(_ || _))
   }
 }

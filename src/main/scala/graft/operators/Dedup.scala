@@ -107,31 +107,55 @@ object Dedup {
   /** Connected components over near-duplicate pairs → dedup clusters
     * (component id = smallest member id). Min-label propagation: each
     * iteration is one join + partial-min aggregate, converging within the
-    * cluster diameter (near-dup clusters are shallow). The driver loop
-    * checkpoints per iteration — the GraphX-free formulation that scales
-    * with ordinary shuffle capacity.
+    * cluster diameter (near-dup clusters are shallow). The GraphX-free
+    * formulation that scales with ordinary shuffle capacity.
+    *
+    * Fault-tolerance: labels are RELIABLY checkpointed each iteration
+    * (`rdd.checkpoint()` to `checkpointDir` — pass a durable HDFS/S3 path in
+    * production; `localCheckpoint` would pin blocks to executors and lose
+    * them on executor failure/deallocation). The convergence test rides the
+    * SAME job that materializes the new labels, via a changed-row
+    * accumulator — no per-iteration `isEmpty` re-scan of the join lineage.
+    * (Task retries can over-count the accumulator; it is only compared to
+    * zero, so the worst case is one redundant extra iteration.)
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().checkpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint()
+      .select(col("id"), col("id").as("component"))
+    val labelSchema = labels.schema
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dcomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dcomp")).as("ncomp"))
-      val updated = labels
+      val flagged = labels
         .join(nmin.select(col("src").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint()
-      done = updated.select(col("id"), col("component").as("newc"))
-        .join(labels, Seq("id"))
-        .filter(col("newc") =!= col("component")).isEmpty
-      labels = updated
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("newc"),
+          (coalesce(col("ncomp"), col("component")) < col("component")).as("_ch"))
+      val acc = sc.longAccumulator(s"cc-changed-$iter")
+      val rdd = flagged.rdd.map { r =>
+        if (r.getBoolean(2)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(1))
+      }
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint() // written from the cached partitions after the count job
+      rdd.count()
+      done = acc.value == 0
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      labels = spark.createDataFrame(rdd, labelSchema)
       iter += 1
     }
     labels

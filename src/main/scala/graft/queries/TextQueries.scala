@@ -250,10 +250,11 @@ object TextQueries {
         |e AS (SELECT o_orderkey, raw_text,
         |  regexp_extract_all(raw_text, '(\d{2}/\d{2}/\d{4})') AS hits FROM d)
         |SELECT o_orderkey, raw_text,
-        |  CASE WHEN len(hits) >= 2 THEN hits[1]
+        |  CASE WHEN len(hits) = 2 THEN hits[1]
         |       WHEN len(hits) = 1 AND contains(lower(raw_text), 'depuis le') THEN hits[1] END AS date_debut,
-        |  CASE WHEN len(hits) >= 2 THEN hits[-1]
-        |       WHEN len(hits) = 1 AND contains(lower(raw_text), 'jusqu') THEN hits[1] END AS date_fin
+        |  CASE WHEN len(hits) = 2 THEN hits[2]
+        |       WHEN len(hits) = 1 AND NOT contains(lower(raw_text), 'depuis le')
+        |            AND contains(lower(raw_text), 'jusqu') THEN hits[1] END AS date_fin
         |FROM e ORDER BY o_orderkey""".stripMargin
   )
 }

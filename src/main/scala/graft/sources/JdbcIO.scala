@@ -23,13 +23,36 @@ object JdbcIO {
     p
   }
 
-  /** J2 with column pruning: select only the anti-join key. */
+  /** J2 with column pruning: select only the anti-join key.
+    *
+    * With `numPartitions > 1` and a numeric `partitionExpr` (a DB-side SQL
+    * expression over the row — a numeric id column, or e.g.
+    * `abs(hashtext(key))` on postgres for an all-text table), the scan is
+    * split into range predicates so it runs over `numPartitions` parallel
+    * JDBC connections instead of serializing through one. Bounds are
+    * fetched with a single scalar min/max query when not supplied.
+    */
   def readKeys(spark: SparkSession, url: String, table: String, key: String,
-               properties: Properties, numPartitions: Int = 1): DataFrame = {
-    val base = spark.read
-    val pruned = s"(SELECT $key FROM $table) AS ${table}_keys"
-    base.jdbc(url, pruned, properties)
-  }
+               properties: Properties, numPartitions: Int = 1,
+               partitionExpr: Option[String] = None,
+               bounds: Option[(Long, Long)] = None): DataFrame =
+    partitionExpr match {
+      case Some(expr) if numPartitions > 1 =>
+        val (lo, hi) = bounds.getOrElse {
+          val conn = java.sql.DriverManager.getConnection(url, properties)
+          try {
+            val rs = conn.createStatement()
+              .executeQuery(s"SELECT MIN($expr), MAX($expr) FROM $table")
+            rs.next()
+            (rs.getLong(1), rs.getLong(2))
+          } finally conn.close()
+        }
+        val pruned = s"(SELECT $key, $expr AS graft_pt FROM $table) AS ${table}_keys"
+        spark.read.jdbc(url, pruned, "graft_pt", lo, hi, numPartitions, properties)
+          .drop("graft_pt")
+      case _ =>
+        spark.read.jdbc(url, s"(SELECT $key FROM $table) AS ${table}_keys", properties)
+    }
 
   def readTable(spark: SparkSession, url: String, table: String,
                 properties: Properties): DataFrame =

@@ -64,19 +64,28 @@ object PaginatedHttpSource {
     * offset 0 — re-fetched rows are handled by the downstream last-wins
     * dedup. */
   def fetchAll(transport: Transport, lastProcessed: String,
-               limit: Int = 100, maxOffset: Int = 10000): Seq[Map[String, String]] = {
-    val out = Seq.newBuilder[Map[String, String]]
+               limit: Int = 100, maxOffset: Int = 10000): Seq[Map[String, String]] =
+    fetchPages(transport, lastProcessed, limit, maxOffset).flatten
+
+  /** Page-granular variant of the same loop — the DSv2 scan
+    * ([[graft.sources.v2.HttpApiSource]]) plans one InputPartition per
+    * returned page, so both faces share this single loop (and issue an
+    * identical number of requests). */
+  def fetchPages(transport: Transport, lastProcessed: String,
+                 limit: Int = 100, maxOffset: Int = 10000,
+                 dateCol: String = "date_de_publication"): Seq[Seq[Map[String, String]]] = {
+    val out = Seq.newBuilder[Seq[Map[String, String]]]
     var where = lastProcessed
     var n = 0
     var done = false
     while (!done) {
       val page = transport(where, n, limit)
-      out ++= page
+      if (page.nonEmpty) out += page
       n += page.size
       if (page.size < limit) done = true
       else if (n + limit >= maxOffset) {
-        val lastDate = page.last.getOrElse("date_de_publication",
-          sys.error("page row missing date_de_publication"))
+        val lastDate = page.last.getOrElse(dateCol,
+          sys.error(s"page row missing $dateCol"))
         where = LocalDate.parse(lastDate, fmt).minusDays(1).format(fmt)
         n = 0
       }
@@ -93,6 +102,17 @@ object PaginatedHttpSource {
            limit: Int = 100, maxOffset: Int = 10000): DataFrame = {
     import spark.implicits._
     val rows = fetchAll(transport, readWatermark(watermarkPath), limit, maxOffset)
+    // Routine "no new data since watermark" run: short-circuit BEFORE schema
+    // inference — columns are derived from returned rows, so an empty fetch
+    // would otherwise produce a keyless frame the dedup can't resolve
+    // (the reference guards this with `if full_data:`,
+    // kafka_stream_data.py:89). Watermark stays untouched, like the reference.
+    if (rows.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.StringType, nullable = true))))
+    }
     val columns = rows.flatMap(_.keys).distinct.sorted
     val df = rows.zipWithIndex
       .map { case (m, i) => (i.toLong, columns.map(c => m.get(c).orNull)) }

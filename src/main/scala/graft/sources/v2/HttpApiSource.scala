@@ -30,15 +30,21 @@ import graft.sources.PaginatedHttpSource.Transport
   *    `SupportsPushDownFilters` and becomes the remote `where` parameter —
   *    Catalyst removes the residual filter from the plan (S2 as true
   *    source pushdown, not a fetch argument);
-  *  - offset windows become `InputPartition`s, so pages are fetched IN
-  *    PARALLEL by executors (the reference pages sequentially).
+  *  - the page loop — short-page stop AND offset-cap restart
+  *    (`kafka_stream_data.py:60-75`) — runs at PLANNING time via the shared
+  *    `PaginatedHttpSource.fetchPages`, so the scan issues exactly the
+  *    reference's request count (a 2-row day = ONE request, never a fixed
+  *    `maxOffset/limit` fan-out) and each fetched page becomes an
+  *    `InputPartition` decoded in parallel by executors.
   *
-  * Scope note: the offset-cap restart + watermark advance (S3/S4) are
-  * driver-side incremental-state concerns and stay in
-  * `PaginatedHttpSource`; this scan covers the steady-state read. The
+  * Driver-side fetch is the right shape here: the remote API caps a window
+  * at `maxOffset` (10k) rows and the restart date depends on the previous
+  * page's data, so pagination is inherently sequential; the cluster-wide
+  * work (decode, transform, dedup, join) all happens below the scan. The
   * transport registry is process-local (fine under local[*] and tests); a
   * cluster deployment would construct the HTTP transport from options
-  * (URL template) instead.
+  * (URL template) instead. Restart overlap rows are emitted as-is, exactly
+  * like the reference loop — downstream last-wins dedup (A1) removes them.
   */
 class HttpApiSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -94,32 +100,40 @@ class HttpApiScanBuilder(schema: StructType, opts: Map[String, String])
     opts.getOrElse("transport", sys.error("option 'transport' is required")),
     where,
     opts.getOrElse("limit", "100").toInt,
-    opts.getOrElse("maxOffset", "10000").toInt)
+    opts.getOrElse("maxOffset", "10000").toInt,
+    dateCol)
 }
 
-case class HttpPagePartition(offset: Int) extends InputPartition
+/** One fetched page, embedded at planning time (a page is ≤ `limit` rows —
+  * trivially serializable; the API, not Spark, is the volume bound). */
+case class HttpPagePartition(rows: Seq[Map[String, String]]) extends InputPartition
 
 case class HttpApiScan(schema: StructType, transportName: String,
-                       where: String, limit: Int, maxOffset: Int)
+                       where: String, limit: Int, maxOffset: Int,
+                       dateCol: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"HttpApiScan(transport=$transportName, pushed where $where, limit=$limit)"
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until maxOffset / limit).map(i => HttpPagePartition(i * limit)).toArray
+  /** The reference's page loop (short-page stop + offset-cap restart) runs
+    * HERE — request count is exactly the reference's. Memoized: Spark may
+    * call planInputPartitions more than once per query (statistics +
+    * execution), and the fetch must not re-issue HTTP requests. */
+  private lazy val pages: Array[InputPartition] =
+    graft.sources.PaginatedHttpSource
+      .fetchPages(TransportRegistry.get(transportName), where, limit, maxOffset, dateCol)
+      .map(HttpPagePartition(_): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = pages
   override def createReaderFactory(): PartitionReaderFactory =
-    new HttpPageReaderFactory(schema, transportName, where, limit)
+    new HttpPageReaderFactory(schema)
 }
 
-class HttpPageReaderFactory(schema: StructType, transportName: String,
-                            where: String, limit: Int)
-    extends PartitionReaderFactory {
+class HttpPageReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val offset = partition.asInstanceOf[HttpPagePartition].offset
     new PartitionReader[InternalRow] {
-      private lazy val rows: Iterator[Map[String, String]] =
-        TransportRegistry.get(transportName)(where, offset, limit).iterator
+      private val rows: Iterator[Map[String, String]] =
+        partition.asInstanceOf[HttpPagePartition].rows.iterator
       private var current: Map[String, String] = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

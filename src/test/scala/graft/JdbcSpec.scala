@@ -54,4 +54,27 @@ class JdbcSpec extends SparkSpec {
     assert(finalRows.select("reference_fiche").as[String].collect().sorted.toSeq ==
       Seq("R-1", "R-2", "R-3"))
   }
+
+  test("readKeys splits the key scan across >1 JDBC partitions") {
+    val table = "keyed_events"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (id INT, ref VARCHAR(32))")
+      (0 until 100).foreach(i => st.execute(s"INSERT INTO $table VALUES ($i, 'K-$i')"))
+      st.close()
+    } finally conn.close()
+
+    val keys = JdbcIO.readKeys(spark, url, table, "ref", props,
+      numPartitions = 4, partitionExpr = Some("id"))
+    assert(keys.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${keys.rdd.getNumPartitions}")
+    assert(keys.count() == 100)
+    assert(keys.toDF("ref").as[String].collect().toSet ==
+      (0 until 100).map(i => s"K-$i").toSet)
+    // bounds auto-fetch didn't drop boundary rows
+    val explicit = JdbcIO.readKeys(spark, url, table, "ref", props,
+      numPartitions = 4, partitionExpr = Some("id"), bounds = Some((0L, 99L)))
+    assert(explicit.count() == 100)
+  }
 }

@@ -40,7 +40,7 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         g = got.sort_values(by=gc, ignore_index=True)
         w = want.sort_values(by=wc, ignore_index=True)
-        mismatch = []
+        mismatch, tol_only = [], []
         for c in gc:
             a, b = g[c], w[c]
             try:
@@ -48,10 +48,23 @@ def main():
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():
+                # float columns get a 1e-9 relative-tolerance fallback,
+                # reported as WARN (the driver's gate is exact — a WARN
+                # here still means the round hash will MISS)
+                import pandas.api.types as ptypes
+                if ptypes.is_float_dtype(a) and ptypes.is_float_dtype(b):
+                    close = ((a - b).abs() <= 1e-9 * b.abs().clip(lower=1)) | (a.isna() & b.isna())
+                    if close.all():
+                        i = (~eq).idxmax()
+                        tol_only.append(f"{c}[row{i}]: {a[i]!r} ~ {b[i]!r}")
+                        continue
                 i = (~eq).idxmax()
                 mismatch.append(f"{c}[row{i}]: {a[i]!r} != {b[i]!r}")
         if mismatch:
             print(f"FAIL {name}: " + "; ".join(mismatch[:3])); n_fail += 1
+        elif tol_only:
+            print(f"WARN {name}: exact-miss within 1e-9 rel tol (driver gate would FAIL): "
+                  + "; ".join(tol_only[:3])); n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
