@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one generated class per stage; a 70-query
+  // run overflows the default 240 MB JIT code cache, after which HotSpot
+  // stops compiling and the biggest shuffle joins run interpreted
+  // (observed: q3 1.5s -> 13s only when 30+ queries precede it).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -35,14 +35,21 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
       .sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis - g0) / 1e3
+      if (gc > 0.5) System.err.println(f"[bench-gc] $name%s: ${t}%.2fs wall, $gc%.2fs GC")
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
