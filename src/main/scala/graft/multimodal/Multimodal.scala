@@ -60,28 +60,31 @@ object Multimodal {
     }
   }
 
-  private val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = true),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+  /** Decoded-feature row — the typed contract of [[extractFeatures]]. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           features: Array[Float])
 
   /** Partition-batched decode: codec initialized once per partition (the
     * expensive step a Pandas UDF would amortize the same way), then a
-    * streaming iterator — constant memory per partition. */
+    * streaming iterator — constant memory per partition. Typed
+    * `Dataset.mapPartitions` keeps the Encoder pipeline end to end (no
+    * RDD↔DataFrame schema round-trip; the deserialize→serialize pair stays
+    * inside one whole-stage-codegen span). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { rows =>
-      // per-partition init happens HERE (stub decoder is stateless; a real
-      // codec/model handle would be constructed once at this point)
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats = FakeDecoder.decode(payload)
-        Row(r.getLong(0), r.getString(1),
-          if (payload == null) 0 else payload.length, feats.toSeq)
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE (stub decoder is stateless; a real
+        // codec/model handle would be constructed once at this point)
+        rows.map { case (id, kind, payload) =>
+          MediaFeatures(id, kind,
+            if (payload == null) 0 else payload.length,
+            FakeDecoder.decode(payload))
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TrainingData => TD}
+import graft.functions.{ParityFunctions => PF}
+
+/** Training-data preparation surface: deterministic hash sampling,
+  * train/val/test splitting, class balancing, sequence packing, PII
+  * scrubbing, and banded-SimHash near-dup — the corpus-prep operators an
+  * LLM pretraining pipeline runs between dedup and tokenization.
+  *
+  * All randomness is md5-keyed (see [[graft.operators.TrainingData]]), so
+  * every query here is exactly reproducible in the DuckDB oracle.
+  */
+object TrainingDataQueries {
+
+  /** DuckDB spelling of [[TD.hashBucket]]. */
+  private def bucketSql(key: String, buckets: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 6))::BIGINT % $buckets"
+
+  // q63: 10% deterministic hash sample of the corpus. No shuffle: a
+  // per-row filter that composes with parquet pushdown of other predicates.
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    TD.sampleByHash(docs, $"doc_id", 1000, 10000)
+      .select($"doc_id", $"lang", $"source",
+        TD.hashBucket($"doc_id", 10000).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  // q64: stable train/val/test assignment (80/10/10 by key hash), reported
+  // as per-(split, lang) counts — adding documents later never moves an
+  // existing one across splits.
+  def splitStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    TD.assignSplit(docs, $"doc_id", 80, 10)
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  // q65: class-balanced downsample — at most 30 vectors per label, chosen
+  // by deterministic md5 order (reproducible "random").
+  def classBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    TD.balanceClasses(emb, $"label", $"vec_id", 30)
+      .select($"label", $"vec_id", $"rk")
+      .orderBy($"label", $"rk")
+  }
+
+  // q66: concat-and-chunk sequence packing into 512-token bins within 8
+  // hash shards; reports per-bin document/token totals. The shard count is
+  // the pack stage's parallelism (pick ~cluster cores at real scale).
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", size(PF.tokens($"text")).as("n_tokens"))
+      .withColumn("shard", TD.hashBucket($"doc_id", 8))
+    TD.packSequences(docs, $"shard", $"doc_id", $"n_tokens", 512)
+      .groupBy($"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .orderBy($"shard", $"bin")
+  }
+
+  // q67: PII scrub audit. The synthetic corpus carries no PII, so a
+  // deterministic contact line (email + phone derived from doc_id) is
+  // appended first; the scrubbed text is md5-fingerprinted so the oracle
+  // hash-checks the exact redaction output, not just the counts.
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = Tables(s, dir).documents.select($"doc_id",
+      concat($"text", lit(" Contact: user"), $"doc_id",
+        lit("@mail.example or +1 555 "),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+    withPii.select(
+        $"doc_id",
+        TD.countMatches($"text", TD.emailPattern).as("n_emails"),
+        TD.countMatches($"text", TD.phonePattern).as("n_phones"),
+        md5(TD.scrubPii($"text").cast("binary")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // q68: banded-SimHash near-dup pairs (Hamming <= 1 over 32 bits).
+  // Candidates must share an 8-bit band — the join shuffles only
+  // (band_idx, band_val, id, sig) rows, never text; complete for
+  // Hamming <= 3 by pigeonhole, so <=1 is exact here.
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
+    TD.simhashNearDup(sig, "doc_id", maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_hash_sample" -> hashSample _,
+    "q64_split_stats" -> splitStats _,
+    "q65_class_balance" -> classBalance _,
+    "q66_pack_sequences" -> packSequences _,
+    "q67_pii_scrub" -> piiScrub _,
+    "q68_simhash_neardup" -> simhashNearDup _
+  )
+
+  private val simhashSigCte =
+    """toks AS (SELECT doc_id,
+      |  unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
+      |bits AS (SELECT doc_id, t.b,
+      |  strpos('0123456789abcdef', substring(h8, CAST(t.b // 4 AS INT) + 1, 1)) - 1 AS nib
+      |  FROM h, range(0, 32) t(b)),
+      |votes AS (SELECT doc_id, b,
+      |  ((nib // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1 AS vote
+      |  FROM bits),
+      |sums AS (SELECT doc_id, b, sum(vote) AS s FROM votes GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN power(2.0, 31 - b) ELSE 0.0 END) AS BIGINT) AS simhash
+      |  FROM sums GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q63_hash_sample" ->
+      s"""SELECT doc_id, lang, source,
+         |  CAST(${bucketSql("doc_id", 10000)} AS INT) AS bucket
+         |FROM documents
+         |WHERE ${bucketSql("doc_id", 10000)} < 1000
+         |ORDER BY doc_id""".stripMargin,
+    "q64_split_stats" ->
+      s"""WITH b AS (SELECT *, ${bucketSql("doc_id", 100)} AS bkt FROM documents),
+         |s AS (SELECT *, CASE WHEN bkt < 80 THEN 'train'
+         |                     WHEN bkt < 90 THEN 'val'
+         |                     ELSE 'test' END AS split FROM b)
+         |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q65_class_balance" ->
+      """SELECT label, vec_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT label, vec_id, row_number() OVER (
+        |    PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+        |  FROM embeddings)
+        |WHERE rk <= 30 ORDER BY label, rk""".stripMargin,
+    "q66_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS n_tokens,
+         |    ${bucketSql("doc_id", 8)} AS shard
+         |  FROM documents),
+         |packed AS (SELECT shard, n_tokens,
+         |    CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      // 512 AS INT) AS bin
+         |  FROM d)
+         |SELECT CAST(shard AS INT) AS shard, bin, count(*) AS n_docs,
+         |  sum(n_tokens) AS bin_tokens
+         |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q67_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' Contact: user' || doc_id || '@mail.example or +1 555 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\+\d{1,2} \d{3} \d{4}')) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2} \d{3} \d{4}', '<PHONE>', 'g')) AS clean_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q68_simhash_neardup" ->
+      s"""WITH $simhashSigCte,
+         |bands AS (SELECT doc_id, simhash, t.k AS band_idx,
+         |    CAST(simhash // power(256.0, t.k) AS BIGINT) % 256 AS band_val
+         |  FROM sig, range(0, 4) t(k)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM bands a JOIN bands b USING (band_idx, band_val)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+         |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin
+  )
+}

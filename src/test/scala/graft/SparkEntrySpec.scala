@@ -15,7 +15,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "dedup" -> graft.queries.DedupQueries.defs,
     "vector" -> graft.queries.VectorQueries.defs,
     "events" -> graft.queries.EventsQueries.defs,
-    "multimodal" -> graft.queries.MultimodalQueries.defs)
+    "multimodal" -> graft.queries.MultimodalQueries.defs,
+    "trainingdata" -> graft.queries.TrainingDataQueries.defs)
 
   test("no query name collides across modules (merge would drop it silently)") {
     val all = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }
