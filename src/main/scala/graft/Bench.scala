@@ -51,6 +51,11 @@ object Bench {
       if (gc > 0.5) System.err.println(f"[bench-gc] $name%s: ${t}%.2fs wall, $gc%.2fs GC")
       name -> t
     }
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("CodeHeap")).foreach { p =>
+        System.err.println(f"[bench-jit] ${p.getName}%s: " +
+          f"${p.getUsage.getUsed / 1e6}%.0f MB used / ${p.getUsage.getMax / 1e6}%.0f MB max")
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

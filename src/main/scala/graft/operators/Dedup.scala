@@ -173,30 +173,44 @@ object Dedup {
   }
 
   /** 32-bit SimHash over distinct tokens: bit b of md5's first 8 hex chars
-    * votes +1/-1; bit set where the vote sum is positive. Two hash
-    * aggregations, both with map-side combine.
+    * votes +1/-1; bit set where the vote sum is positive (equivalently:
+    * where set-bit count s satisfies 2·s > N over N tokens).
+    *
+    * Shuffle-lean formulation: instead of exploding 32 bit-rows per
+    * (doc, token) — 32·|tokens| rows through the first aggregate — explode
+    * the 8 hex NIBBLES, histogram them per (doc, position, value) with
+    * map-side combine (≤ 8·16 rows per doc survive), and only then expand
+    * each histogram cell into its 4 bit contributions. Identical output,
+    * ~4× less aggregate input.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.repartition(col(idCol))
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(array_distinct(col("_toks"))).as("tok"))
-    // nibble index = b / 4; bit within nibble = (nibble >> (3 - b%4)) & 1,
-    // expressed with division (variable shifts aren't supported by
-    // functions.shiftright): bit = floor(nib / 2^(3 - b%4)) % 2.
-    val divisor = when(col("b") % 4 === 0, 8).when(col("b") % 4 === 1, 4)
-      .when(col("b") % 4 === 2, 2).otherwise(1)
-    val votes = toks
+    // (doc, pos 1..8, nib 0..15) histogram; Σcnt over nib = token count N
+    // for every pos, so N never needs its own pass.
+    val counts = toks
       .select(col(idCol), substring(md5(col("tok").cast("binary")), 1, 8).as("h8"))
-      .select(col(idCol), col("h8"), explode(sequence(lit(0), lit(31))).as("b"))
-      .select(col(idCol), col("b"),
-        (instr(lit("0123456789abcdef"),
-          substring(col("h8"), (col("b") / 4).cast("int") + 1, lit(1))).cast("int") - 1).as("nib"))
-      .select(col(idCol), col("b"),
-        ((floor(col("nib") / divisor).cast("int") % 2) * 2 - 1).as("vote"))
-    // 2^(31-b) via pow (exact in double below 2^53), summed to a long.
-    votes.groupBy(col(idCol), col("b")).agg(sum(col("vote")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), lit(31) - col("b"))).otherwise(lit(0.0)))
+      .select(col(idCol), explode(sequence(lit(1), lit(8))).as("pos"), col("h8"))
+      .select(col(idCol), col("pos"),
+        (instr(lit("0123456789abcdef"), substring(col("h8"), col("pos"), lit(1)))
+          .cast("int") - 1).as("nib"))
+      .groupBy(col(idCol), col("pos"), col("nib")).agg(count(lit(1)).as("cnt"))
+    // bit within nibble: bl 0..3 MSB-first — bit = floor(nib / (8 >> bl)) % 2
+    // (variable shifts aren't supported by functions.shiftright).
+    val divisor = when(col("bl") === 0, 8).when(col("bl") === 1, 4)
+      .when(col("bl") === 2, 2).otherwise(1)
+    val bits = counts
+      .select(col(idCol), col("pos"), col("cnt"), col("nib"),
+        explode(sequence(lit(0), lit(3))).as("bl"))
+      .select(col(idCol), col("pos"), col("bl"), col("cnt"),
+        (col("cnt") * (floor(col("nib") / divisor).cast("int") % 2)).as("contrib"))
+      .groupBy(col(idCol), col("pos"), col("bl"))
+      .agg(sum(col("contrib")).as("s"), sum(col("cnt")).as("n"))
+    // global bit index b = (pos-1)*4 + bl; set iff vote sum 2s-N > 0.
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("s") * 2 > col("n"),
+          pow(lit(2.0), lit(31) - ((col("pos") - 1) * 4 + col("bl")))).otherwise(lit(0.0)))
         .cast("long").as("simhash"))
   }
 }

@@ -123,7 +123,10 @@ object TrainingData {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
+      // hamming is per-pair deterministic, so filtering BEFORE the distinct
+      // is equivalent — and shrinks the dedup shuffle by the selectivity of
+      // the threshold (most band collisions are far pairs)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
