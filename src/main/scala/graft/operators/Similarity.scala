@@ -68,6 +68,30 @@ object Similarity {
         Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
   }
 
+  /** Random-hyperplane LSH bucket: sign bit per hyperplane, packed into a
+    * long. Hyperplane weights are md5-derived (deterministic, reproducible
+    * in any engine — same portability rationale as [[Dedup]]): weight(k, i)
+    * = (hex24(md5("k:i")) % 2001 - 1000) / 1000 ∈ (-1, 1).
+    *
+    * Scale: the weights are LITERAL arrays baked into the plan (8 × dim
+    * doubles — bytes, not data), so bucketing is a pure map over the corpus:
+    * no join, no shuffle, full codegen via [[graft.functions.DotProduct]].
+    * Cosine-similar vectors agree on hyperplane signs with probability
+    * 1 - θ/π per plane, so near-identical vectors share buckets with
+    * near-certainty while random pairs scatter across 2^numPlanes buckets.
+    */
+  def hyperplaneBucket(vecDouble: Column, dim: Int, numPlanes: Int = 8): Column = {
+    def w(k: Int): Array[Double] = Array.tabulate(dim) { i0 =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:${i0 + 1}".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+    }
+    (0 until numPlanes).map { k =>
+      when(dot(vecDouble, typedLit(w(k).toSeq)) > 0.0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** IVF-ish approximate kNN: only candidates in the query's coarse cell. */
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              qId: String = "q_id", qVec: String = "q_vec",

@@ -73,10 +73,33 @@ object VectorQueries {
       .limit(20)
   }
 
+  // q69: hyperplane-sign LSH near-dup scan — the 2^8-bucket alternative to
+  // q34's axis-cell blocking. Bucketing is a literal-weight map (NO join or
+  // shuffle to assign buckets); only co-bucketed pairs get the exact cosine.
+  // Top-20 by similarity with id tie-breaks (this corpus has no true
+  // embedding near-dups, so a threshold would return an empty — the top-k
+  // face keeps the query deterministic AND non-vacuous).
+  def lshNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val cells = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket($"v", dim = 64))
+      .withColumn("nrm", Similarity.l2Norm($"v"))
+    def side(suffix: String) = cells.select($"bucket",
+      $"vec_id".as(s"id_$suffix"), $"v".as(s"v$suffix"), $"nrm".as(s"n$suffix"))
+    side("a").join(side("b"), Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
+      .orderBy($"sim".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute" -> knnBrute _,
     "q41_knn_ivf" -> knnIvf _,
-    "q34_embedding_neardup" -> nearDupTopPairs _
+    "q34_embedding_neardup" -> nearDupTopPairs _,
+    "q69_lsh_neardup" -> lshNearDup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +128,18 @@ object VectorQueries {
          |  FROM sims)
          |SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q69_lsh_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |proj AS (SELECT vec_id, t.k,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> v[i] * ((('0x' || substr(md5(k || ':' || i), 1, 6))::BIGINT % 2001 - 1000) / 1000.0))) AS p
+         |  FROM e, range(0, 8) t(k)),
+         |b AS (SELECT vec_id, sum(CASE WHEN p > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |bv AS (SELECT b.vec_id, bucket, v FROM b JOIN e USING (vec_id))
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosSql("a.v", "b2.v")} AS sim
+         |FROM bv a JOIN bv b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q34_embedding_neardup" ->
       s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
          |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),

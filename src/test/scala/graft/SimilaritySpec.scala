@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hyperplaneBucket: near-identical vectors co-bucket, negations do not") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian())
+    val nearDup = base.map(_ * 1.0001 + 1e-7) // cosine ~ 1
+    val negated = base.map(-_)                // cosine = -1: all signs flip
+    val df = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, negated.toSeq))
+      .toDF("id", "v")
+    val out = df.select($"id",
+        Similarity.hyperplaneBucket($"v", dim = 64).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L), "near-duplicate must share the bucket")
+    assert(out(1L) == (~out(3L) & 0xffL), "negation flips every sign bit")
+    assert(out.values.forall(b => b >= 0 && b < 256))
+  }
+
+  test("hyperplaneBucket is a pure map: no shuffle in the plan") {
+    val df = spark.range(0, 100)
+      .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))
+    val bucketed = df.withColumn("bucket", Similarity.hyperplaneBucket($"v", 64))
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketing must not shuffle:\n$plan")
+  }
+}
