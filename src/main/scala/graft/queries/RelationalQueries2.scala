@@ -263,7 +263,25 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q74: PURE interval join — no equi key at all. Spark would plan the raw
+  // predicate as a nested-loop join (O(|L|·|R|) at 100 TB); RangeJoin.binned
+  // manufactures the equi key (14-day time bins; each interval explodes into
+  // ≤2 bins) so it runs as an ordinary hash join + residual filter.
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val windows = t.orders.filter($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("w_start"),
+        date_add($"o_orderdate".cast("date"), 14).as("w_end"))
+    val ships = t.lineitem.select($"l_shipdate".cast("date").as("ship_d"), $"l_quantity")
+    graft.operators.RangeJoin.binned(ships, windows, "ship_d", "w_start", "w_end", 14)
+      .groupBy($"o_orderkey", $"w_start")
+      .agg(count(lit(1)).as("n_shipped"), dsum($"l_quantity").as("qty"))
+      .orderBy($"o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
     "q27_array_funcs" -> arrayFuncs _,
@@ -286,6 +304,16 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_interval_join" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
+        |  count(*) AS n_shipped,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        | AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 14
+        |WHERE o.o_orderkey % 997 = 0
+        |GROUP BY o_orderkey, w_start
+        |ORDER BY o_orderkey""".stripMargin,
     "q25_window_rank_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
