@@ -110,17 +110,21 @@ object Dedup {
     * cluster diameter (near-dup clusters are shallow). The GraphX-free
     * formulation that scales with ordinary shuffle capacity.
     *
-    * Fault-tolerance: labels are RELIABLY checkpointed each iteration
-    * (`rdd.checkpoint()` to `checkpointDir` — pass a durable HDFS/S3 path in
-    * production; `localCheckpoint` would pin blocks to executors and lose
-    * them on executor failure/deallocation). The convergence test rides the
-    * SAME job that materializes the new labels, via a changed-row
-    * accumulator — no per-iteration `isEmpty` re-scan of the join lineage.
-    * (Task retries can over-count the accumulator; it is only compared to
-    * zero, so the worst case is one redundant extra iteration.)
+    * Fault-tolerance: labels are RELIABLY checkpointed every
+    * `checkpointEvery` iterations (`rdd.checkpoint()` to `checkpointDir` —
+    * pass a durable HDFS/S3 path in production; `localCheckpoint` would pin
+    * blocks to executors and lose them on executor failure/deallocation).
+    * Between checkpoints the persisted RDD bounds lineage to
+    * `checkpointEvery` join+agg rounds — recomputable, cheap to write. The
+    * convergence test rides the SAME job that materializes the new labels,
+    * via a changed-row accumulator — no per-iteration `isEmpty` re-scan of
+    * the join lineage. (Task retries can over-count the accumulator; it is
+    * only compared to zero, so the worst case is one redundant extra
+    * iteration.)
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          checkpointEvery: Int = 3): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty)
@@ -150,7 +154,8 @@ object Dedup {
         org.apache.spark.sql.Row(r.get(0), r.get(1))
       }
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.checkpoint() // written from the cached partitions after the count job
+      if (iter % checkpointEvery == checkpointEvery - 1)
+        rdd.checkpoint() // written from the cached partitions after the count job
       rdd.count()
       done = acc.value == 0
       prevRdd.foreach(_.unpersist(blocking = false))
@@ -183,24 +188,27 @@ object Dedup {
     * each histogram cell into its 4 bit contributions. Identical output,
     * ~4× less aggregate input.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    require(bits % 4 == 0 && bits <= 124, "bits: multiple of 4, < BIGINT range")
+    val nibbles = bits / 4
     val toks = df.repartition(col(idCol))
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(array_distinct(col("_toks"))).as("tok"))
-    // (doc, pos 1..8, nib 0..15) histogram; Σcnt over nib = token count N
-    // for every pos, so N never needs its own pass.
+    // (doc, pos 1..nibbles, nib 0..15) histogram; Σcnt over nib = token
+    // count N for every pos, so N never needs its own pass.
     val counts = toks
-      .select(col(idCol), substring(md5(col("tok").cast("binary")), 1, 8).as("h8"))
-      .select(col(idCol), explode(sequence(lit(1), lit(8))).as("pos"), col("h8"))
+      .select(col(idCol), substring(md5(col("tok").cast("binary")), 1, nibbles).as("hh"))
+      .select(col(idCol), explode(sequence(lit(1), lit(nibbles))).as("pos"), col("hh"))
       .select(col(idCol), col("pos"),
-        (instr(lit("0123456789abcdef"), substring(col("h8"), col("pos"), lit(1)))
+        (instr(lit("0123456789abcdef"), substring(col("hh"), col("pos"), lit(1)))
           .cast("int") - 1).as("nib"))
       .groupBy(col(idCol), col("pos"), col("nib")).agg(count(lit(1)).as("cnt"))
     // bit within nibble: bl 0..3 MSB-first — bit = floor(nib / (8 >> bl)) % 2
     // (variable shifts aren't supported by functions.shiftright).
     val divisor = when(col("bl") === 0, 8).when(col("bl") === 1, 4)
       .when(col("bl") === 2, 2).otherwise(1)
-    val bits = counts
+    val bitSums = counts
       .select(col(idCol), col("pos"), col("cnt"), col("nib"),
         explode(sequence(lit(0), lit(3))).as("bl"))
       .select(col(idCol), col("pos"), col("bl"), col("cnt"),
@@ -208,9 +216,13 @@ object Dedup {
       .groupBy(col(idCol), col("pos"), col("bl"))
       .agg(sum(col("contrib")).as("s"), sum(col("cnt")).as("n"))
     // global bit index b = (pos-1)*4 + bl; set iff vote sum 2s-N > 0.
-    bits.groupBy(col(idCol))
+    // Each pow term is a single power of two (exact in double); it must be
+    // cast to LONG before summing — a double SUM of >53-bit signatures
+    // rounds, and rounds differently per engine.
+    bitSums.groupBy(col(idCol))
       .agg(sum(when(col("s") * 2 > col("n"),
-          pow(lit(2.0), lit(31) - ((col("pos") - 1) * 4 + col("bl")))).otherwise(lit(0.0)))
-        .cast("long").as("simhash"))
+          pow(lit(2.0), lit(bits - 1) - ((col("pos") - 1) * 4 + col("bl"))).cast("long"))
+        .otherwise(lit(0L)))
+        .as("simhash"))
   }
 }

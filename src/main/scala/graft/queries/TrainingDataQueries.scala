@@ -85,14 +85,16 @@ object TrainingDataQueries {
       .orderBy($"doc_id")
   }
 
-  // q68: banded-SimHash near-dup pairs (Hamming <= 1 over 32 bits).
-  // Candidates must share an 8-bit band — the join shuffles only
-  // (band_idx, band_val, id, sig) rows, never text; complete for
-  // Hamming <= 3 by pigeonhole, so <=1 is exact here.
+  // q68: banded-SimHash near-dup pairs over a 60-bit signature (32 bits
+  // collides quadratically on a large corpus — scale-probed), two-tier:
+  // identical signatures collapse to a min-id representative FIRST (linear
+  // agg), then 15-bit-band candidates pair up and exact Hamming <= 2
+  // filters. The band join shuffles only (band, id, sig) rows, never text;
+  // complete for Hamming <= 3 by pigeonhole, so <= 2 is exact.
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
-    TD.simhashNearDup(sig, "doc_id", maxHamming = 1)
+    val sig = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text", bits = 60)
+    TD.simhashNearDup(sig, "doc_id", maxHamming = 2, bits = 60)
       .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
       .orderBy($"id_a", $"id_b")
   }
@@ -110,16 +112,16 @@ object TrainingDataQueries {
     """toks AS (SELECT doc_id,
       |  unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS tok
       |  FROM documents),
-      |h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
+      |h AS (SELECT doc_id, substring(md5(tok), 1, 15) AS hh FROM toks),
       |bits AS (SELECT doc_id, t.b,
-      |  strpos('0123456789abcdef', substring(h8, CAST(t.b // 4 AS INT) + 1, 1)) - 1 AS nib
-      |  FROM h, range(0, 32) t(b)),
+      |  strpos('0123456789abcdef', substring(hh, CAST(t.b // 4 AS INT) + 1, 1)) - 1 AS nib
+      |  FROM h, range(0, 60) t(b)),
       |votes AS (SELECT doc_id, b,
       |  ((nib // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1 AS vote
       |  FROM bits),
       |sums AS (SELECT doc_id, b, sum(vote) AS s FROM votes GROUP BY doc_id, b),
       |sig AS (SELECT doc_id,
-      |  CAST(sum(CASE WHEN s > 0 THEN power(2.0, 31 - b) ELSE 0.0 END) AS BIGINT) AS simhash
+      |  sum(CASE WHEN s > 0 THEN CAST(power(2.0, 59 - b) AS BIGINT) ELSE 0 END) AS simhash
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -170,14 +172,15 @@ object TrainingDataQueries {
         |FROM p ORDER BY doc_id""".stripMargin,
     "q68_simhash_neardup" ->
       s"""WITH $simhashSigCte,
+         |reps AS (SELECT simhash, min(doc_id) AS doc_id FROM sig GROUP BY simhash),
          |bands AS (SELECT doc_id, simhash, t.k AS band_idx,
-         |    CAST(simhash // power(256.0, t.k) AS BIGINT) % 256 AS band_val
-         |  FROM sig, range(0, 4) t(k)),
+         |    (simhash >> (15 * CAST(t.k AS INT))) & 32767 AS band_val
+         |  FROM reps, range(0, 4) t(k)),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    bit_count(xor(a.simhash, b.simhash)) AS hamming
          |  FROM bands a JOIN bands b USING (band_idx, band_val)
          |  WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
-         |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin
+         |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
   )
 }

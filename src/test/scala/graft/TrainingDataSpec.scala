@@ -87,4 +87,15 @@ class TrainingDataSpec extends SparkSpec {
     assert(Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).subsetOf(pairs))
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
+
+  test("simhashNearDup collapses identical signatures before the band join") {
+    val base = 0xABCD1234L
+    // 100 exact copies of one signature + one near signature: the copies
+    // must contribute a single representative (min id), not C(100,2) pairs
+    val sigs = ((1L to 100L).map(_ -> base) :+ (200L -> (base ^ 2L)))
+      .toDF("doc_id", "simhash")
+    val pairs = TD.simhashNearDup(sigs, "doc_id", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 200L)))
+  }
 }
