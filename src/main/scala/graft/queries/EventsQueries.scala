@@ -60,11 +60,47 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q76: retention cohorts — users grouped by first-seen day, counted on
+  // each later active day. Two hash aggregates + one equi-join on user_id;
+  // the (cohort, day_n) matrix is tiny however large the event log is.
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").cast("int").as("day_n"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_n")
+  }
+
+  // q77: ordered funnel view → click → purchase, each step's timestamp
+  // strictly after the previous step's. Three aggregate+join rounds, each
+  // shuffling only (user_id, ts) pairs — no per-user event sorting.
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events.select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, Seq("user_id"))
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, Seq("user_id"))
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), $"n")
+      .unionByName(t2.agg(count(lit(1)).as("n")).select(lit("2_click").as("step"), $"n"))
+      .unionByName(t3.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("step"), $"n"))
+    counts.orderBy($"step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
     "q72_session_windows" -> sessionWindows _,
-    "q73_json_props" -> jsonProps _
+    "q73_json_props" -> jsonProps _,
+    "q76_retention_cohorts" -> retentionCohorts _,
+    "q77_funnel_steps" -> funnelSteps _
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,6 +136,25 @@ object EventsQueries {
       """SELECT event_type, count(k) AS n,
         |  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q76_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_n,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohorts USING (user_id)
+        |GROUP BY cohort_day, day_n ORDER BY cohort_day, day_n""".stripMargin,
+    "q77_funnel_steps" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2.t2 GROUP BY e.user_id)
+        |SELECT step, n FROM (
+        |  SELECT '1_view' AS step, count(*) AS n FROM t1
+        |  UNION ALL SELECT '2_click', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM t3)
+        |ORDER BY step""".stripMargin
   )
 }

@@ -244,6 +244,43 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q75: approximate-percentile accuracy face (same pattern as q28's HLL
+  // face): the sketch value itself isn't cross-engine reproducible, so the
+  // hash-checked output is the EXACT percentile plus a boolean asserting
+  // the approx landed within 1% relative error. At 100 TB the sketch
+  // (fixed-size, mergeable map-side) is the only affordable path; this
+  // query keeps it honest against the exact answer.
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("_a99"))
+      .select($"l_returnflag", $"p50_exact", $"p99_exact",
+        (abs($"_a50" - $"p50_exact") / $"p50_exact" <= 0.01).as("p50_ok"),
+        (abs($"_a99" - $"p99_exact") / $"p99_exact" <= 0.01).as("p99_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q78: z-order locality face — Morton-interleave (l_partkey % 1024,
+  // l_suppkey % 1024) and report per-z-prefix-bucket ranges of BOTH
+  // dimensions. Narrow per-bucket min/max in both columns is exactly the
+  // property that makes parquet file/row-group stats prune scans on EITHER
+  // predicate after a z-ordered write (ZOrder.zOrderBy).
+  def zorderLocality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withZ = Tables(s, dir).lineitem
+      .select(($"l_partkey" % 1024).as("a"), ($"l_suppkey" % 1024).as("b"))
+      .withColumn("z", graft.operators.ZOrder.zValue($"a", $"b", bits = 10))
+    withZ.groupBy(shiftright($"z", 14).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"a").as("a_min"), max($"a").as("a_max"),
+        min($"b").as("b_min"), max($"b").as("b_max"))
+      .orderBy($"z_bucket")
+  }
+
   // q39: exact sample variance via the sum-of-squares identity over
   // integer cents — engine-internal variance algorithms differ (Welford vs
   // naive), and Decimal128 sums are 5× slower than long sums; long-cent
@@ -290,6 +327,8 @@ object RelationalQueries2 {
     "q36_in_subquery" -> bySql(Seq("orders", "customer"), inSubquerySql) _,
     "q37_exists_subquery" -> bySql(Seq("part", "lineitem"), existsSubquerySql) _,
     "q38_percentiles" -> percentiles _,
+    "q75_approx_percentile" -> approxPercentiles _,
+    "q78_zorder_locality" -> zorderLocality _,
     "q39_variance_exact" -> varianceExact _,
     "q42_right_join" -> rightJoin _,
     "q45_salted_join" -> saltedJoinAgg _,
@@ -435,6 +474,22 @@ object RelationalQueries2 {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q78_zorder_locality" ->
+      """WITH ab AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem),
+        |z AS (SELECT a, b,
+        |  (SELECT sum(((a >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i) AS BIGINT)
+        |            + ((b >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT))
+        |   FROM range(0, 10) t(i)) AS z
+        |  FROM ab)
+        |SELECT z >> 14 AS z_bucket, count(*) AS n,
+        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q75_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+        |  TRUE AS p50_ok, TRUE AS p99_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_variance_exact" ->
       """SELECT l_returnflag,
