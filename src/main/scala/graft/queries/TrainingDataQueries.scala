@@ -99,7 +99,56 @@ object TrainingDataQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q79: benchmark-contamination scan. Unlike near-dup (symmetric Jaccard),
+  // contamination is ASYMMETRIC containment: |corpus ∩ benchmark| /
+  // |benchmark| — a training doc that embeds a whole eval item is
+  // contaminated even if the doc is 100× larger than the item. The
+  // "benchmark" here is a deterministic held-out slice (hash bucket) of
+  // documents; candidates are blocked on shared shingles (the benchmark
+  // side is small — at real scale it broadcasts), then exact containment
+  // >= 0.5 is computed only on pairs sharing >= 3 shingles.
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val bench = TD.sampleByHash(docs, $"doc_id", 5, 100)
+    val corpus = docs.join(bench.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val shC = Dedup.shingles(corpus, "doc_id", "text", 3)
+      .select($"doc_id".as("c_id"), $"shingle")
+    val shB = Dedup.shingles(bench, "doc_id", "text", 3)
+      .select($"doc_id".as("b_id"), $"shingle")
+    val bSizes = shB.groupBy($"b_id").agg(count(lit(1)).as("b_sz"))
+    shC.join(shB, Seq("shingle"))
+      .groupBy($"c_id", $"b_id").agg(count(lit(1)).as("common"))
+      .filter($"common" >= 3)
+      .join(bSizes, Seq("b_id"))
+      .select($"c_id", $"b_id",
+        round($"common".cast("double") / $"b_sz", 6).as("containment"))
+      .filter($"containment" >= 0.5)
+      .orderBy($"c_id", $"b_id")
+  }
+
+  /** GPT-style pre-tokenization classes: letter runs, digit runs,
+    * non-space symbol runs. Identical in Java regex and RE2. */
+  private val pretokPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  // q84: BPE-ish pre-tokenization counts — the token-budget estimator a
+  // pretraining pipeline runs before the real (proprietary) tokenizer.
+  // Pure per-row regexp work, no shuffle below the final order.
+  def pretokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir).documents
+      .select($"doc_id", regexp_extract_all($"text", lit(pretokPattern), lit(0)).as("pt"))
+    toks.select($"doc_id",
+        size($"pt").as("n_pretokens"),
+        size(filter($"pt", t => t.rlike("^\\p{L}+$"))).as("n_word"),
+        size(filter($"pt", t => t.rlike("^\\p{N}+$"))).as("n_num"),
+        size(array_distinct($"pt")).as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_contamination" -> contamination _,
+    "q84_pretokenize" -> pretokenize _,
     "q63_hash_sample" -> hashSample _,
     "q64_split_stats" -> splitStats _,
     "q65_class_balance" -> classBalance _,
@@ -125,6 +174,29 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q79_contamination" ->
+      s"""WITH w AS (SELECT doc_id, ${bucketSql("doc_id", 100)} AS bkt,
+         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w FROM documents),
+         |sh AS (SELECT doc_id, bkt, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w),
+         |shb AS (SELECT doc_id AS b_id, shingle FROM sh WHERE bkt < 5),
+         |shc AS (SELECT doc_id AS c_id, shingle FROM sh WHERE bkt >= 5),
+         |bsz AS (SELECT b_id, count(*) AS b_sz FROM shb GROUP BY b_id),
+         |common AS (SELECT c_id, b_id, count(*) AS common
+         |  FROM shc JOIN shb USING (shingle) GROUP BY c_id, b_id HAVING count(*) >= 3)
+         |SELECT c_id, b_id, round(CAST(common AS DOUBLE) / b_sz, 6) AS containment
+         |FROM common JOIN bsz USING (b_id)
+         |WHERE CAST(common AS DOUBLE) / b_sz >= 0.5
+         |ORDER BY c_id, b_id""".stripMargin,
+    "q84_pretokenize" ->
+      """WITH pt AS (SELECT doc_id,
+        |    regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+') AS pt
+        |  FROM documents)
+        |SELECT doc_id, len(pt) AS n_pretokens,
+        |  len(list_filter(pt, t -> regexp_full_match(t, '\p{L}+'))) AS n_word,
+        |  len(list_filter(pt, t -> regexp_full_match(t, '\p{N}+'))) AS n_num,
+        |  len(list_distinct(pt)) AS n_distinct
+        |FROM pt ORDER BY doc_id""".stripMargin,
     "q63_hash_sample" ->
       s"""SELECT doc_id, lang, source,
          |  CAST(${bucketSql("doc_id", 10000)} AS INT) AS bucket
