@@ -142,6 +142,59 @@ object EventStreams {
       }
   }
 
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double,
+                      n_types: Int)
+
+  /** Spark 4 `transformWithState` processor: per-user running stats with
+    * two independent typed state variables (a counter ValueState and a
+    * seen-event-types MapState) — the post-`mapGroupsWithState` API:
+    * composable state vars, TTL, timers. Requires the RocksDB state store
+    * provider ([[useRocksDbStateStore]]).
+    *
+    * With `ttl = Some(d)`, idle users' state is evicted by the store
+    * itself — no hand-rolled timeout state machine. Caveat (verified
+    * empirically on 4.1): `TimeMode.ProcessingTime` (which a TTL requires)
+    * makes the microbatch loop schedule continuous empty batches under the
+    * default trigger, so `processAllAvailable` never quiesces — production
+    * queries pair it with a real `Trigger.ProcessingTime` interval; the
+    * no-TTL path runs under `TimeMode.None` and quiesces normally. */
+  class UserStatsProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStat] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState, MapState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    @transient private var types: MapState[String, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), cfg)
+      types = getHandle.getMapState[String, Boolean]("types",
+        Encoders.STRING, Encoders.scalaBoolean, cfg)
+    }
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timers: streaming.TimerValues): Iterator[UserStat] = {
+      var (n, tot) = Option(totals.get()).getOrElse((0L, 0.0))
+      rows.foreach { e =>
+        n += 1; tot += e.value
+        if (!types.containsKey(e.event_type)) types.updateValue(e.event_type, true)
+      }
+      totals.update((n, tot))
+      Iterator.single(UserStat(userId, n, tot, types.keys().size))
+    }
+  }
+
+  /** Running per-user stats via `transformWithState`. */
+  def runningUserStats(events: Dataset[Event],
+                       ttl: Option[java.time.Duration] = None): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor(ttl), timeMode,
+        OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserStat]])
+  }
+
   /** The reference's EP2 sink semantics (J1 + W1): per micro-batch, drop
     * rows whose key already exists in the sink, then append. Idempotent
     * under replays. */

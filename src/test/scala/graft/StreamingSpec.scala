@@ -146,6 +146,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState keeps multi-variable per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDbStateStore(spark) // transformWithState requires it
+    try {
+      val mem = MemoryStream[Event]
+      val q = EventStreams.runningUserStats(mem.toDS())
+        .writeStream.format("memory").queryName("tws_t")
+        .outputMode("update").start()
+      mem.addData(ev(1, 10, user = 7, typ = "view"), ev(2, 11, user = 7, typ = "click"))
+      q.processAllAvailable()
+      mem.addData(ev(3, 12, user = 7, typ = "view"), ev(4, 13, user = 8, typ = "view"))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_t")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("n_types").as("nt"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      assert(last(7L) == ((3L, 2)))  // counter state survived the batch gap
+      assert(last(8L) == ((1L, 1)))  // distinct-type MapState tracked per user
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stateless training-data ops compose with Structured Streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // hash split/sample are per-row filters with no state — they run
+    // unchanged inside a streaming plan (the 100 TB ingest shape: assign
+    // splits AS data arrives, no batch re-shuffle later)
+    val q = graft.operators.TrainingData.assignSplit(mem.toDF(), $"event_id", 80, 10)
+      .writeStream.format("memory").queryName("split_t")
+      .outputMode("append").start()
+    mem.addData((1L to 50L).map(i => ev(i, i.toInt % 60)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("split_t")
+      .select($"event_id", $"split").as[(Long, String)].collect().toMap
+    val batch = graft.operators.TrainingData.assignSplit(
+        (1L to 50L).map(i => ev(i, i.toInt % 60)).toDF(), $"event_id", 80, 10)
+      .select($"event_id", $"split").as[(Long, String)].collect().toMap
+    assert(streamed == batch) // identical assignment, stream or batch
+  }
+
   test("session windows merge events within gap under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
