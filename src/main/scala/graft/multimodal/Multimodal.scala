@@ -87,6 +87,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resized-media row — the typed contract of [[resize]]. */
+  case class ResizedMedia(media_id: Long, kind: String, n_orig: Int,
+                          stride: Int, payload: Array[Byte])
+
+  /** "Resize" in the byte domain: stride-downsample the payload to at most
+    * `targetBytes` (stride = ceil(len/target), keep bytes 0, s, 2s, …) —
+    * the deterministic stand-in for an image/audio resampler, in the same
+    * partition-batched typed-mapPartitions contract as [[extractFeatures]]
+    * (a real codec would decode → resample → re-encode per batch here). */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload) =>
+          val n = if (payload == null) 0 else payload.length
+          val stride = math.max(1, (n + targetBytes - 1) / targetBytes)
+          val out = new Array[Byte]((n + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+          ResizedMedia(id, kind, n, stride, out)
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * chunk, declaratively (no UDF) — slice/transform stay codegen'd. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {

@@ -90,7 +90,26 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  // q85: byte-domain resize (stride downsample to ≤128 bytes) then re-run
+  // the stub decoder on the RESIZED payload — dominant bin + fraction,
+  // hash-checked. Proves the resample plumbing end to end: stride math,
+  // payload reconstruction, and that downstream features still compute.
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val resized = Multimodal.resize(
+      Multimodal.mediaFromDocuments(Tables(s, dir).documents), 128)
+    Multimodal.extractFeatures(resized)
+      .join(resized.select($"media_id", $"n_orig", $"stride"), Seq("media_id"))
+      .filter($"n_bytes" > 0)
+      .select($"media_id", $"kind", $"n_orig", $"stride", $"n_bytes",
+        (array_position($"features", array_max($"features")) - 1).cast("int").as("top_bin"),
+        round(element_at($"features",
+          array_position($"features", array_max($"features")).cast("int")).cast("double"), 6).as("top_frac"))
+      .orderBy($"media_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_media_resize" -> mediaResize _,
     "q82_doc_embedding_join" -> docEmbeddingJoin _,
     "q83_media_dominant_bin" -> mediaDominantBin _,
     "q80_media_features" -> mediaFeatures _,
@@ -130,6 +149,28 @@ object MultimodalQueries {
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    // documents.text is ASCII in this corpus → payload bytes = chars;
+    // resize keeps chars at 1-based positions 1, 1+s, 1+2s, …
+    "q85_media_resize" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n,
+        |    greatest(1, (len(text) + 127) // 128) AS stride
+        |  FROM documents WHERE len(text) > 0),
+        |kept AS (SELECT doc_id, n, stride,
+        |    ascii(substring(text, i, 1)) * 16 // 256 AS bin
+        |  FROM d, lateral (SELECT unnest(range(1, n + 1)) AS i)
+        |  WHERE (i - 1) % stride = 0),
+        |sz AS (SELECT doc_id, count(*) AS n_res FROM kept GROUP BY doc_id),
+        |hist AS (SELECT doc_id, n, stride, bin, count(*) AS cnt
+        |  FROM kept GROUP BY 1, 2, 3, 4),
+        |ranked AS (SELECT doc_id, n, stride, bin, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin ASC) AS rn
+        |  FROM hist)
+        |SELECT r.doc_id AS media_id,
+        |  CASE WHEN r.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(r.n AS INT) AS n_orig, CAST(r.stride AS INT) AS stride,
+        |  CAST(sz.n_res AS INT) AS n_bytes, CAST(r.bin AS INT) AS top_bin,
+        |  round(CAST(CAST(r.cnt AS FLOAT) / CAST(sz.n_res AS FLOAT) AS DOUBLE), 6) AS top_frac
+        |FROM ranked r JOIN sz USING (doc_id) WHERE rn = 1 ORDER BY media_id""".stripMargin,
     // documents.text is ASCII in this corpus → payload bytes = chars.
     "q83_media_dominant_bin" ->
       """WITH chars AS (SELECT doc_id, len(text) AS n,
