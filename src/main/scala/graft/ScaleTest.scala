@@ -12,7 +12,9 @@ object ScaleTest {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q32_simhash_signatures", "q54_tfidf_top_terms")
+      else Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q32_simhash_signatures",
+        "q54_tfidf_top_terms", "q58_dedup_clusters", "q66_pack_sequences",
+        "q68_simhash_neardup", "q69_lsh_neardup", "q79_contamination")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

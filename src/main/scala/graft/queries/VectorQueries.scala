@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Relational, Similarity}
 
 /** Similarity-search surface over `embeddings.embedding array<float>`:
   * brute-force cosine kNN (baseline) and a deterministic IVF-ish pruned
@@ -95,11 +95,41 @@ object VectorQueries {
       .limit(20)
   }
 
+  // q86: int8-quantized kNN with a recall face. Candidates are ranked by
+  // the INTEGER dot product of unit-norm int8 vectors (exact cross-engine:
+  // no float enters the ranking), and each approx top-10 hit is flagged
+  // against the exact-cosine top-10 — the accuracy contract of the 4×
+  // memory-compressed scan, hash-checked end to end.
+  def knnQuantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = emb.select($"vec_id", $"v", Similarity.quantizeInt8($"v").as("q"))
+    val queries = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"q".as("qq"))
+    val joined = quant.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"),
+        Similarity.dotInt8($"qq", $"q").as("score_int"),
+        round(Similarity.dot($"qv", $"v") /
+          (Similarity.l2Norm($"qv") * Similarity.l2Norm($"v")), 6).as("sim_exact"))
+    val approxTop = Relational.topKPerGroup(joined, Seq(col("q_id")),
+      Seq(col("score_int").desc, col("c_id").asc), 10, rankCol = "rank")
+    val exactTop = Relational.topKPerGroup(joined, Seq(col("q_id")),
+        Seq(col("sim_exact").desc, col("c_id").asc), 10, rankCol = "xrank")
+      .select($"q_id", $"c_id", lit(true).as("in_exact_top10"))
+    approxTop.join(exactTop, Seq("q_id", "c_id"), "left")
+      .select($"q_id", $"rank", $"c_id", $"score_int",
+        coalesce($"in_exact_top10", lit(false)).as("in_exact_top10"))
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute" -> knnBrute _,
     "q41_knn_ivf" -> knnIvf _,
     "q34_embedding_neardup" -> nearDupTopPairs _,
-    "q69_lsh_neardup" -> lshNearDup _
+    "q69_lsh_neardup" -> lshNearDup _,
+    "q86_knn_quantized" -> knnQuantized _
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +158,27 @@ object VectorQueries {
          |  FROM sims)
          |SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q86_knn_quantized" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (SELECT vec_id, v,
+         |    list_transform(v, x -> CAST(round(
+         |      x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+         |  FROM e),
+         |queries AS (SELECT vec_id AS q_id, v AS qv, q AS qq FROM qz WHERE vec_id < 5),
+         |pairs AS (SELECT q_id, z.vec_id AS c_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * z.q[i])) AS BIGINT) AS score_int,
+         |    ${cosSql("qv", "z.v")} AS sim_exact
+         |  FROM qz z, queries WHERE z.vec_id <> q_id),
+         |at AS (SELECT q_id, c_id, score_int,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score_int DESC, c_id ASC) AS rank
+         |  FROM pairs),
+         |xt AS (SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, c_id ASC) AS xrank
+         |  FROM pairs)
+         |SELECT a.q_id, CAST(a.rank AS INT) AS rank, a.c_id, a.score_int,
+         |  coalesce(x.xrank <= 10, FALSE) AS in_exact_top10
+         |FROM at a LEFT JOIN xt x ON a.q_id = x.q_id AND a.c_id = x.c_id
+         |WHERE a.rank <= 10 ORDER BY a.q_id, a.rank""".stripMargin,
     "q69_lsh_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |proj AS (SELECT vec_id, t.k,
