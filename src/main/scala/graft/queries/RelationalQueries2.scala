@@ -256,8 +256,8 @@ object RelationalQueries2 {
       .groupBy($"l_returnflag")
       .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("_a99"))
+        expr("approx_percentile(l_extendedprice, 0.5, 2500)").as("_a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("_a99"))
       .select($"l_returnflag", $"p50_exact", $"p99_exact",
         (abs($"_a50" - $"p50_exact") / $"p50_exact" <= 0.01).as("p50_ok"),
         (abs($"_a99" - $"p99_exact") / $"p99_exact" <= 0.01).as("p99_ok"))
