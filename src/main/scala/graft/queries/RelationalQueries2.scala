@@ -281,6 +281,29 @@ object RelationalQueries2 {
       .orderBy($"z_bucket")
   }
 
+  // q87: one-pass dataset profiling (the data-quality staple): per column
+  // row count, null count, exact distinct, lexicographic min/max — ALL
+  // columns' stats computed in a SINGLE scan + aggregate (each stat is one
+  // aggregate expression; no per-column re-scan), then stacked. At 100 TB,
+  // one pass vs C passes is the difference between a profile and a week.
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+    val agg = Tables(s, dir).orders.agg(
+      count(lit(1)).as("_n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))): _*)
+    val stacked = cols.map { c =>
+      agg.select(lit(c).as("column"), $"_n".as("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+    }.reduce(_.unionByName(_))
+    stacked.orderBy($"column")
+  }
+
   // q39: exact sample variance via the sum-of-squares identity over
   // integer cents — engine-internal variance algorithms differ (Welford vs
   // naive), and Decimal128 sums are 5× slower than long sums; long-cent
@@ -329,6 +352,7 @@ object RelationalQueries2 {
     "q38_percentiles" -> percentiles _,
     "q75_approx_percentile" -> approxPercentiles _,
     "q78_zorder_locality" -> zorderLocality _,
+    "q87_profile_columns" -> profileColumns _,
     "q39_variance_exact" -> varianceExact _,
     "q42_right_join" -> rightJoin _,
     "q45_salted_join" -> saltedJoinAgg _,
@@ -475,6 +499,28 @@ object RelationalQueries2 {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q87_profile_columns" ->
+      """WITH s AS (SELECT
+        |  count(*) AS n,
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+        |  count(DISTINCT o_orderstatus) AS st_d,
+        |  min(CAST(o_orderstatus AS VARCHAR)) AS st_min, max(CAST(o_orderstatus AS VARCHAR)) AS st_max,
+        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
+        |  count(DISTINCT o_orderpriority) AS pr_d,
+        |  min(CAST(o_orderpriority AS VARCHAR)) AS pr_min, max(CAST(o_orderpriority AS VARCHAR)) AS pr_max,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+        |  count(DISTINCT o_custkey) AS ck_d,
+        |  min(CAST(o_custkey AS VARCHAR)) AS ck_min, max(CAST(o_custkey AS VARCHAR)) AS ck_max,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS sp_nulls,
+        |  count(DISTINCT o_orderdate) AS sp_d,
+        |  min(CAST(o_orderdate AS VARCHAR)) AS sp_min, max(CAST(o_orderdate AS VARCHAR)) AS sp_max
+        |FROM orders)
+        |SELECT 'o_custkey' AS "column", n AS n_rows, ck_nulls AS n_nulls, ck_d AS n_distinct,
+        |  ck_min AS min_str, ck_max AS max_str FROM s
+        |UNION ALL SELECT 'o_orderpriority', n, pr_nulls, pr_d, pr_min, pr_max FROM s
+        |UNION ALL SELECT 'o_orderstatus', n, st_nulls, st_d, st_min, st_max FROM s
+        |UNION ALL SELECT 'o_orderdate', n, sp_nulls, sp_d, sp_min, sp_max FROM s
+        |ORDER BY "column"""".stripMargin,
     "q78_zorder_locality" ->
       """WITH ab AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem),
         |z AS (SELECT a, b,
