@@ -502,16 +502,16 @@ object RelationalQueries2 {
     "q87_profile_columns" ->
       """WITH s AS (SELECT
         |  count(*) AS n,
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
         |  count(DISTINCT o_orderstatus) AS st_d,
         |  min(CAST(o_orderstatus AS VARCHAR)) AS st_min, max(CAST(o_orderstatus AS VARCHAR)) AS st_max,
-        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pr_nulls,
         |  count(DISTINCT o_orderpriority) AS pr_d,
         |  min(CAST(o_orderpriority AS VARCHAR)) AS pr_min, max(CAST(o_orderpriority AS VARCHAR)) AS pr_max,
-        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
         |  count(DISTINCT o_custkey) AS ck_d,
         |  min(CAST(o_custkey AS VARCHAR)) AS ck_min, max(CAST(o_custkey AS VARCHAR)) AS ck_max,
-        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS sp_nulls,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sp_nulls,
         |  count(DISTINCT o_orderdate) AS sp_d,
         |  min(CAST(o_orderdate AS VARCHAR)) AS sp_min, max(CAST(o_orderdate AS VARCHAR)) AS sp_max
         |FROM orders)
@@ -524,8 +524,8 @@ object RelationalQueries2 {
     "q78_zorder_locality" ->
       """WITH ab AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem),
         |z AS (SELECT a, b,
-        |  (SELECT sum(((a >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i) AS BIGINT)
-        |            + ((b >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT))
+        |  (SELECT CAST(sum(((a >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i) AS BIGINT)
+        |            + ((b >> CAST(i AS INT)) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT)) AS BIGINT)
         |   FROM range(0, 10) t(i)) AS z
         |  FROM ab)
         |SELECT z >> 14 AS z_bucket, count(*) AS n,

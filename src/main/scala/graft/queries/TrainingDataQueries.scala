@@ -208,7 +208,7 @@ object TrainingDataQueries {
          |s AS (SELECT *, CASE WHEN bkt < 80 THEN 'train'
          |                     WHEN bkt < 90 THEN 'val'
          |                     ELSE 'test' END AS split FROM b)
-         |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q65_class_balance" ->
       """SELECT label, vec_id, CAST(rk AS INT) AS rk FROM (
@@ -228,7 +228,7 @@ object TrainingDataQueries {
          |      // 512 AS INT) AS bin
          |  FROM d)
          |SELECT CAST(shard AS INT) AS shard, bin, count(*) AS n_docs,
-         |  sum(n_tokens) AS bin_tokens
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q67_pii_scrub" ->
       """WITH p AS (SELECT doc_id,

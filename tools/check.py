@@ -40,6 +40,16 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         g = got.sort_values(by=gc, ignore_index=True)
         w = want.sort_values(by=wc, ignore_index=True)
+        # Dtype guard: the driver's gate hashes exact value reprs, so int64
+        # vs float64 (DuckDB HUGEINT sums → pandas float64) fails there even
+        # when values compare equal (123 vs 123.0). Width differences within
+        # a kind (int32 vs int64) repr identically and are fine — compare
+        # dtype KIND ('i'nt vs 'f'loat vs 'O'bject …), not exact dtype.
+        dtype_bad = [f"{c}: spark={g[c].dtype} oracle={w[c].dtype}"
+                     for c in gc if g[c].dtype.kind != w[c].dtype.kind]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash would MISS): "
+                  + "; ".join(dtype_bad)); n_fail += 1; continue
         mismatch, tol_only = [], []
         for c in gc:
             a, b = g[c], w[c]
