@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line on stdout; per-query regressions vs the committed
   * `bench_baseline.json` (last round's numbers) go to stderr.
   *
+  * Measurement protocol (round-2 postmortem: 12 queries regressed >2× in
+  * two CONTIGUOUS run-order blocks on code identical to the baseline —
+  * positional/JVM-environmental, not plan regressions):
+  *   - each query is measured SPARK_GRAFT_ROUNDS times (default 3) and
+  *     scored by its MEDIAN, so one noisy measurement can't flag a query;
+  *   - every round visits the queries in a different order, shuffled by a
+  *     deterministic seed (SPARK_GRAFT_SEED, default 42; never
+  *     Math.random), so host-level interference can't cluster on the same
+  *     alphabetic block in every round.
+  *
   * Optional arg: comma-separated query-name substrings (dev loop).
   */
 object Bench {
@@ -17,6 +27,8 @@ object Bench {
       else _ => true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    val seed = sys.env.getOrElse("SPARK_GRAFT_SEED", "42").toLong
     // A/B'd: AQE on vs off is within machine noise at this scale (±3%),
     // so keep the cluster-correct default; SPARK_GRAFT_AQE overrides.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
@@ -38,18 +50,33 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      val g0 = gcMillis
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+
+    val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (r <- 0 until rounds) {
+      val order = new scala.util.Random(seed + r).shuffle(queries)
+      for ((name, fn) <- order) {
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        val gc = (gcMillis - g0) / 1e3
+        if (gc > 0.5) System.err.println(f"[bench-gc] $name%s r$r%d: ${t}%.2fs wall, $gc%.2fs GC")
+        samples(name) = t :: samples.getOrElse(name, Nil)
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      val gc = (gcMillis - g0) / 1e3
-      if (gc > 0.5) System.err.println(f"[bench-gc] $name%s: ${t}%.2fs wall, $gc%.2fs GC")
-      name -> t
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = queries.map { case (name, _) => name -> median(samples(name)) }
+    for ((name, t) <- results) {
+      val xs = samples(name).sorted
+      if (xs.last > math.max(xs.head * 2, xs.head + 0.5))
+        System.err.println(f"[bench-noise] $name%s: min ${xs.head}%.2fs max ${xs.last}%.2fs (median $t%.2fs used)")
     }
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.contains("CodeHeap")).foreach { p =>

@@ -124,12 +124,42 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
-                          checkpointEvery: Int = 3): DataFrame = {
+                          checkpointEvery: Int = 3): DataFrame =
+    connectedComponentsStats(pairs, maxIter, checkpointDir, checkpointEvery)._1
+
+  /** [[connectedComponents]] plus per-iteration wall seconds — the scale
+    * probe ([[graft.CCProbe]]) asserts iteration count stays within the
+    * graph diameter bound and per-iteration cost stays flat (i.e. the
+    * persist/checkpoint discipline really does stop lineage growth). */
+  def connectedComponentsStats(pairs: DataFrame, maxIter: Int = 20,
+                               checkpointDir: Option[String] = None,
+                               checkpointEvery: Int = 3): (DataFrame, List[Double]) = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString))
+    if (sc.getCheckpointDir.isEmpty) checkpointDir match {
+      case Some(d) => sc.setCheckpointDir(d)
+      case None =>
+        // A driver-local temp dir is only a RELIABLE checkpoint target when
+        // driver and executors share a filesystem — i.e. local mode. On a
+        // cluster each executor would write its parts to its own disk and
+        // the checkpoint would be silently non-durable: fail fast instead.
+        require(sc.isLocal,
+          "connectedComponents: no checkpoint dir configured. On a cluster, " +
+          "set sc.setCheckpointDir to a durable shared path (HDFS/S3) or " +
+          "pass checkpointDir explicitly.")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+        sc.setCheckpointDir(tmp.toString)
+        // Checkpoint parts must outlive this call (the returned frame's
+        // lineage references them until the caller materializes it), so
+        // clean up at JVM exit rather than at convergence.
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(tmp.toFile)
+        }))
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().checkpoint()
@@ -139,7 +169,9 @@ object Dedup {
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var iter = 0
     var done = false
+    val iterSecs = List.newBuilder[Double]
     while (iter < maxIter && !done) {
+      val t0 = System.nanoTime()
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dcomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dcomp")).as("ncomp"))
@@ -162,8 +194,9 @@ object Dedup {
       prevRdd = Some(rdd)
       labels = spark.createDataFrame(rdd, labelSchema)
       iter += 1
+      iterSecs += (System.nanoTime() - t0) / 1e9
     }
-    labels
+    (labels, iterSecs.result())
   }
 
   /** The dedup endpoint: given the corpus and near-dup components, keep
@@ -190,7 +223,12 @@ object Dedup {
     */
   def simHash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    require(bits % 4 == 0 && bits <= 124, "bits: multiple of 4, < BIGINT range")
+    // 60, not 63: the top term is pow(2.0, bits-1).cast("long"), and the
+    // non-ANSI cast silently clamps once 2^(bits-1) exceeds Long.MaxValue —
+    // corrupt signatures with no error. 60 is the largest multiple of 4
+    // whose sign-bit term stays exact, and matches simhashBands' 15-bit
+    // shift/mask layout (4 bands × 15 bits).
+    require(bits % 4 == 0 && bits <= 60, "bits: multiple of 4, at most 60")
     val nibbles = bits / 4
     val toks = df.repartition(col(idCol))
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))

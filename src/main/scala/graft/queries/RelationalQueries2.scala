@@ -304,6 +304,37 @@ object RelationalQueries2 {
     stacked.orderBy($"column")
   }
 
+  // q88: sized-writer round trip — the write path as a CORRECTNESS row,
+  // not just a spec. Sized-write documents into ceil(n/120) range-
+  // clustered parquet files, read them BACK, and profile per lang: counts,
+  // char volume, and an md5-based content fingerprint (min/max/distinct of
+  // md5(text) — byte-identical across engines). The oracle computes the
+  // same over the ORIGINAL table, so any row lost/duplicated/mangled by
+  // the write→read cycle breaks the hash. files_ok asserts the small-files
+  // contract itself: actual file count == ceil(rows / rowsPerFile).
+  def sizedWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rowsPerFile = 120L
+    val out = s"${sys.props("java.io.tmpdir")}/graft_q88_${Integer.toHexString(dir.hashCode)}"
+    val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars", $"text")
+    val n = docs.count()
+    graft.sources.SizedWriter
+      .sizedByRange(docs, rowsPerFile, $"doc_id", knownRows = Some(n))
+      .write.mode("overwrite").parquet(out)
+    val expectedFiles = ((n + rowsPerFile - 1) / rowsPerFile).toInt
+    val actualFiles = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .count(f => f.getName.endsWith(".parquet"))
+    s.read.parquet(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min(md5($"text".cast("binary"))).as("md5_min"),
+        max(md5($"text".cast("binary"))).as("md5_max"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct_md5"))
+      .withColumn("files_ok", lit(actualFiles == expectedFiles))
+      .orderBy($"lang")
+  }
+
   // q39: exact sample variance via the sum-of-squares identity over
   // integer cents — engine-internal variance algorithms differ (Welford vs
   // naive), and Decimal128 sums are 5× slower than long sums; long-cent
@@ -353,6 +384,7 @@ object RelationalQueries2 {
     "q75_approx_percentile" -> approxPercentiles _,
     "q78_zorder_locality" -> zorderLocality _,
     "q87_profile_columns" -> profileColumns _,
+    "q88_sized_write_roundtrip" -> sizedWriteRoundtrip _,
     "q39_variance_exact" -> varianceExact _,
     "q42_right_join" -> rightJoin _,
     "q45_salted_join" -> saltedJoinAgg _,
@@ -531,6 +563,12 @@ object RelationalQueries2 {
         |SELECT z >> 14 AS z_bucket, count(*) AS n,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q88_sized_write_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5,
+        |  TRUE AS files_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q75_approx_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,

@@ -38,18 +38,30 @@ object JdbcIO {
                bounds: Option[(Long, Long)] = None): DataFrame =
     partitionExpr match {
       case Some(expr) if numPartitions > 1 =>
-        val (lo, hi) = bounds.getOrElse {
+        // MIN/MAX over an empty table (or all-NULL partitionExpr) is SQL
+        // NULL, which getLong silently reads as 0 — degenerate (0, 0)
+        // bounds. Detect via wasNull and fall back to the single-partition
+        // scan instead of feeding spark.read.jdbc garbage.
+        val fetched = bounds.orElse {
           val conn = java.sql.DriverManager.getConnection(url, properties)
           try {
             val rs = conn.createStatement()
               .executeQuery(s"SELECT MIN($expr), MAX($expr) FROM $table")
             rs.next()
-            (rs.getLong(1), rs.getLong(2))
+            val lo = rs.getLong(1)
+            val loNull = rs.wasNull()
+            val hi = rs.getLong(2)
+            if (loNull || rs.wasNull()) None else Some((lo, hi))
           } finally conn.close()
         }
-        val pruned = s"(SELECT $key, $expr AS graft_pt FROM $table) AS ${table}_keys"
-        spark.read.jdbc(url, pruned, "graft_pt", lo, hi, numPartitions, properties)
-          .drop("graft_pt")
+        fetched match {
+          case Some((lo, hi)) =>
+            val pruned = s"(SELECT $key, $expr AS graft_pt FROM $table) AS ${table}_keys"
+            spark.read.jdbc(url, pruned, "graft_pt", lo, hi, numPartitions, properties)
+              .drop("graft_pt")
+          case None =>
+            spark.read.jdbc(url, s"(SELECT $key FROM $table) AS ${table}_keys", properties)
+        }
       case _ =>
         spark.read.jdbc(url, s"(SELECT $key FROM $table) AS ${table}_keys", properties)
     }

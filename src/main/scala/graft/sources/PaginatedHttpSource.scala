@@ -96,10 +96,17 @@ object PaginatedHttpSource {
   /** Full S1–S4 read: fetch new rows since the watermark, last-wins dedup on
     * the business key (A1 — pagination restarts re-fetch rows), advance the
     * watermark, return a DataFrame with one string column per key seen.
+    *
+    * `emptySchemaCols` is the column set of the frame returned on a quiet
+    * no-new-data run (default: the canonical 25-column RappelConso record).
+    * Without it the schema would depend on WHAT the fetch returned, and a
+    * caller projecting e.g. `date_de_publication` would fail analysis only
+    * on quiet runs — a run-dependent contract.
     */
   def read(spark: SparkSession, transport: Transport, watermarkPath: String,
            keyCol: String = "reference_fiche",
-           limit: Int = 100, maxOffset: Int = 10000): DataFrame = {
+           limit: Int = 100, maxOffset: Int = 10000,
+           emptySchemaCols: Seq[String] = graft.pipeline.RappelConso.dbFields): DataFrame = {
     import spark.implicits._
     val rows = fetchAll(transport, readWatermark(watermarkPath), limit, maxOffset)
     // Routine "no new data since watermark" run: short-circuit BEFORE schema
@@ -108,9 +115,11 @@ object PaginatedHttpSource {
     // (the reference guards this with `if full_data:`,
     // kafka_stream_data.py:89). Watermark stays untouched, like the reference.
     if (rows.isEmpty) {
+      val cols = if (emptySchemaCols.contains(keyCol)) emptySchemaCols
+                 else keyCol +: emptySchemaCols
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
             org.apache.spark.sql.types.StringType, nullable = true))))
     }
     val columns = rows.flatMap(_.keys).distinct.sorted

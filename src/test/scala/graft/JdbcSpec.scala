@@ -77,4 +77,21 @@ class JdbcSpec extends SparkSpec {
       numPartitions = 4, partitionExpr = Some("id"), bounds = Some((0L, 99L)))
     assert(explicit.count() == 100)
   }
+
+  test("readKeys on an empty table: NULL min/max falls back to one partition") {
+    val table = "empty_keys"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (id INT, ref VARCHAR(32))")
+      st.close()
+    } finally conn.close()
+    // MIN/MAX over zero rows is SQL NULL; getLong would silently read (0,0)
+    // and hand spark.read.jdbc degenerate bounds — the wasNull guard must
+    // route to the single-partition path instead.
+    val keys = JdbcIO.readKeys(spark, url, table, "ref", props,
+      numPartitions = 4, partitionExpr = Some("id"))
+    assert(keys.count() == 0)
+    assert(keys.rdd.getNumPartitions == 1)
+  }
 }

@@ -91,6 +91,19 @@ class RappelConsoSpec extends SparkSpec {
     assert(calls.size == 3)
   }
 
+  test("empty fetch returns the FULL canonical schema (stable across runs)") {
+    val transport: PaginatedHttpSource.Transport = (_, _, _) => Seq()
+    val tmp = Files.createTempDirectory("wm_empty").toString + "/wm.json"
+    PaginatedHttpSource.writeWatermark(tmp, "2024-01-02")
+    val out = PaginatedHttpSource.read(spark, transport, tmp)
+    // the quiet-run contract: same columns as a data-bearing run, so a
+    // caller projecting e.g. date_de_publication resolves on EVERY run
+    assert(out.columns.toSeq.sorted == RappelConso.dbFields.sorted)
+    assert(out.select("date_de_publication", "reference_fiche").count() == 0)
+    // watermark untouched, like the reference's `if full_data:` guard
+    assert(PaginatedHttpSource.readWatermark(tmp) == "2024-01-01")
+  }
+
   test("ingest job: replay adds no rows (reference EP2 idempotence)") {
     val tmp = Files.createTempDirectory("ingest").toString
     val src = s"$tmp/src"

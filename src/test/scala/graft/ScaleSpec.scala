@@ -1,13 +1,59 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Relational
+import graft.operators.{Relational, ZOrder}
 
 /** Scale-mechanism specs: salted joins return plain-join results; bucketed
-  * tables co-locate a join with NO shuffle exchange on either side.
+  * tables co-locate a join with NO shuffle exchange on either side;
+  * z-ordered parquet prunes row groups on BOTH clustered dimensions.
   */
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Rows actually produced by the parquet scan (post row-group pruning,
+    * pre Spark-side Filter) for `pred` over `path`. */
+  private def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+    val df = spark.read.parquet(path).filter(pred)
+    df.collect() // drive THIS queryExecution (count() would plan a new one)
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"no parquet scan leaf in:\n$finalPlan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-ordered write prunes row groups on BOTH dimensions; 1-D sort does not") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
+    val total = li.count()
+    // same file count for a fair comparison: 16 z-run files vs 16
+    // partkey-sorted files
+    ZOrder.zOrderBy(li, "l_partkey", "l_suppkey", bits = 10, numPartitions = 16)
+      .write.parquet(s"$tmp/z")
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.parquet(s"$tmp/s")
+    val loPart = $"l_partkey" <= 12    // narrow range in dimension A
+    val loSupp = $"l_suppkey" <= 1     // narrow range in dimension B
+    // dimension A prunes under both layouts
+    assert(scannedRows(s"$tmp/z", loPart) < total / 2,
+      "z-order failed to prune on its first dimension")
+    assert(scannedRows(s"$tmp/s", loPart) < total / 2,
+      "plain sort failed to prune on its own sort key")
+    // dimension B prunes ONLY under z-order: the 1-D sorted layout
+    // scatters l_suppkey across every file, so min/max stats can't skip
+    val zB = scannedRows(s"$tmp/z", loSupp)
+    val sB = scannedRows(s"$tmp/s", loSupp)
+    assert(zB < total / 2, s"z-order failed to prune on its second dimension ($zB of $total rows scanned)")
+    assert(sB > total / 2, s"expected the 1-D layout to scan most rows for the off-key predicate (got $sB of $total)")
+    assert(zB * 2 < sB, s"z-order should scan far fewer rows than 1-D sort on dim B ($zB vs $sB)")
+  }
 
   test("saltedJoin == plain join results under a hot key") {
     // 90% of fact rows share key 1 (the pathological case)

@@ -88,6 +88,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("simHash rejects bit widths whose top term would overflow a long") {
+    // pow(2.0, bits-1).cast("long") clamps silently past 63 bits — the
+    // guard must refuse anything above 60 (largest 4-multiple that is
+    // exact AND matches the 4×15-bit band layout)
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simHash(docs, "doc_id", "text", bits = 64)
+    }
+    // existing callers' widths stay accepted
+    assert(graft.operators.Dedup.simHash(docs, "doc_id", "text", bits = 60)
+      .columns.contains("simhash"))
+  }
+
   test("simhashNearDup collapses identical signatures before the band join") {
     val base = 0xABCD1234L
     // 100 exact copies of one signature + one near signature: the copies
