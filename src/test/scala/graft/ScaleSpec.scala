@@ -55,6 +55,16 @@ class ScaleSpec extends SparkSpec {
     assert(zB * 2 < sB, s"z-order should scan far fewer rows than 1-D sort on dim B ($zB vs $sB)")
   }
 
+  test("approx_count_distinct stays within its 5% contract at bench scale") {
+    // q28's accuracy face is evaluated inline wherever it runs; assert it
+    // at sf0.1 too so the sketch is kept honest at the BENCH scale, not
+    // only the sf0.01 correctness gate
+    val rows = SparkEntry.queries("q28_approx_distinct")(spark, "/root/testdata/sf0.1")
+      .select("within_5pct").collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(0)),
+      "HLL++ approx_count_distinct drifted past 5% of exact at sf0.1")
+  }
+
   test("saltedJoin == plain join results under a hot key") {
     // 90% of fact rows share key 1 (the pathological case)
     val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 10, i.toLong))
