@@ -56,7 +56,8 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.VectorQueries.defs ++
     graft.queries.EventsQueries.defs ++ graft.queries.RelationalQueries2.defs ++
-    graft.queries.MultimodalQueries.defs ++ graft.queries.TrainingDataQueries.defs
+    graft.queries.MultimodalQueries.defs ++ graft.queries.TrainingDataQueries.defs ++
+    graft.queries.WarehouseQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.VectorQueries.oracles ++
     graft.queries.EventsQueries.oracles ++ graft.queries.RelationalQueries2.oracles ++
-    graft.queries.MultimodalQueries.oracles ++ graft.queries.TrainingDataQueries.oracles
+    graft.queries.MultimodalQueries.oracles ++ graft.queries.TrainingDataQueries.oracles ++
+    graft.queries.WarehouseQueries.oracles
 }

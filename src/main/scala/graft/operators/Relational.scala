@@ -52,6 +52,27 @@ object Relational {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Keyed MERGE (upsert): matched keys take the update row, unmatched
+    * target rows pass through, unmatched updates insert — the write side of
+    * the warehouse staple the reference approximates with insert-only
+    * anti-join (`spark_streaming.py:80-88` can never update a row; this
+    * can). `seq` makes within-batch conflicts deterministic (last wins).
+    *
+    * Scale shape: one shuffle of each side on `key` (the anti-join and the
+    * union share it), no broadcast needed on either side — both may be
+    * huge. With a partitioned target, filter the target to the partitions
+    * present in `updates` first and rewrite only those (partition-pruned
+    * merge); the row-level semantics are exactly this function.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, key: Seq[String],
+             seq: Column): DataFrame = {
+    // updates may carry bookkeeping columns (the seq) — align to target
+    val deduped = lastWinsByKey(updates, key, seq)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    target.join(deduped.select(key.map(col): _*), key, "left_anti")
+      .unionByName(deduped)
+  }
+
   /** Order-aware last-wins dedup (reference A1, `kafka_stream_data.py:78-79`:
     * dict-comprehension keeps the LAST occurrence). `seq` is the explicit
     * arrival-order column — positional semantics are made explicit so the

@@ -109,6 +109,56 @@ object Similarity {
   def dotInt8(a: Column, b: Column): Column =
     dot(a.cast("array<double>"), b.cast("array<double>")).cast("long")
 
+  /** Squared L2 distance between two integer-quantized vectors — exact:
+    * differences ≤ 254, squares ≤ 64516, sums ≤ dim·64516 ≪ 2^53, so the
+    * double-typed fold never rounds. Integer-valued long out. */
+  def l2SqInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).cast("long")
+
+  /** Distributed Lloyd k-means over an embedding column — IVF centroid
+    * training. Each iteration: broadcast the k centroids, assign every row
+    * to its nearest centroid (k-way crossJoin against the broadcast — a
+    * map-side operation, no shuffle of the corpus), then recompute
+    * centroids as per-cluster element-wise means (posexplode → one hash
+    * aggregate on (cluster, pos) — the only shuffle, and it carries
+    * k·dim·partitions rows at most after partial aggregation).
+    *
+    * Deterministic: init = the k rows with the smallest ids (no RNG —
+    * retry- and engine-stable, same rationale as the md5 hash sampling),
+    * ties in the argmin break on cluster index. Returns (assignments:
+    * id, cluster; centroids: cluster, centroid array<double>).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iterations: Int,
+             idCol: String = "vec_id", vecCol: String = "v"): (DataFrame, DataFrame) = {
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    var centroids = vecs.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(idCol))).cast("long").as("_j"), col("_v").as("_c"))
+    def assign(cs: DataFrame): DataFrame = {
+      val d = aggregate(zip_with(col("_v"), col("_c"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      vecs.crossJoin(broadcast(cs))
+        .select(col(idCol), col("_v"), d.as("_d"), col("_j"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("_d"), col("_j"))).getField("_j").as("cluster"),
+          first(col("_v")).as("_v"))
+    }
+    var a: DataFrame = null
+    for (_ <- 0 until iterations) {
+      a = assign(centroids)
+      centroids = a.select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("cluster"), col("_p"))
+        .agg(avg(col("_x")).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+          s => s.getField("_m")).as("_c"))
+        .select(col("cluster").as("_j"), col("_c"))
+    }
+    (a.select(col(idCol), col("cluster")),
+      centroids.select(col("_j").as("cluster"), col("_c").as("centroid")))
+  }
+
   /** IVF-ish approximate kNN: only candidates in the query's coarse cell. */
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              qId: String = "q_id", qVec: String = "q_vec",

@@ -124,12 +124,63 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q91: IVF centroid TRAINING (k-means) face — two Lloyd iterations made
+  // integer-exact so the oracle can hash-check them: int8-quantized vectors
+  // (q86's trick), iteration-0 centroids = the 8 smallest vec_ids, integer
+  // L2 assignment (ties → smaller cluster), then centroid SUMS (integer,
+  // not means) with iteration-1 distances ||n·x − S||²/n² — every term an
+  // integer-valued double below 2^53 (exact up to ~sf0.1: n·127 ≈ 6.4e6,
+  // squared ×64 dims ≈ 2.6e15 < 2^53) and the single IEEE division is
+  // exactly rounded, so both engines agree bit-for-bit. Output per
+  // cluster: population at each iteration, movers, integer inertia.
+  // The float-mean operator behind real training is Similarity.kmeans.
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val quant = Tables(s, dir).embeddings
+      .select($"vec_id", Similarity.quantizeInt8($"embedding".cast("array<double>")).as("q"))
+    val c0 = quant.filter($"vec_id" < k).select($"vec_id".as("j"), $"q".as("c"))
+    val a0 = quant.crossJoin(broadcast(c0))
+      .select($"vec_id", $"q", $"j", Similarity.l2SqInt($"q", $"c").as("d"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d", $"j")).as("m"), first($"q").as("q"))
+      .select($"vec_id", $"q", $"m".getField("j").as("a0"), $"m".getField("d").as("d0"))
+    val cents1 = a0.select($"a0", posexplode($"q").as(Seq("p", "x")))
+      .groupBy($"a0", $"p").agg(sum($"x").cast("long").as("sv"))
+      .groupBy($"a0")
+      .agg(transform(array_sort(collect_list(struct($"p", $"sv"))),
+        e => e.getField("sv")).as("s"))
+      .join(a0.groupBy($"a0").agg(count(lit(1)).as("n")), "a0")
+      .select($"a0".as("j"), $"s", $"n")
+    val nD = $"n".cast("double")
+    val a1 = a0.crossJoin(broadcast(cents1))
+      .select($"vec_id", $"a0", $"d0", $"j",
+        (aggregate(zip_with($"q".cast("array<double>"), $"s".cast("array<double>"),
+          (x, y) => (nD * x - y) * (nD * x - y)),
+          lit(0.0), (acc, x) => acc + x) / ($"n" * $"n")).as("d1"))
+      .groupBy($"vec_id")
+      .agg(first($"a0").as("a0"), first($"d0").as("d0"),
+        min(struct($"d1", $"j")).getField("j").as("a1"))
+    val stats0 = a1.groupBy($"a0".as("cluster"))
+      .agg(count(lit(1)).as("n0"), sum($"d0").as("inertia0"),
+        sum(when($"a1" =!= $"a0", 1).otherwise(0)).cast("long").as("moved_out"))
+    val stats1 = a1.groupBy($"a1".as("cluster")).agg(count(lit(1)).as("n1"))
+    c0.select($"j".as("cluster"))
+      .join(stats0, Seq("cluster"), "left").join(stats1, Seq("cluster"), "left")
+      .select($"cluster", coalesce($"n0", lit(0L)).as("n0"),
+        coalesce($"n1", lit(0L)).as("n1"),
+        coalesce($"moved_out", lit(0L)).as("moved_out"),
+        coalesce($"inertia0", lit(0L)).as("inertia0"))
+      .orderBy($"cluster")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute" -> knnBrute _,
     "q41_knn_ivf" -> knnIvf _,
     "q34_embedding_neardup" -> nearDupTopPairs _,
     "q69_lsh_neardup" -> lshNearDup _,
-    "q86_knn_quantized" -> knnQuantized _
+    "q86_knn_quantized" -> knnQuantized _,
+    "q91_kmeans_train" -> kmeansTrain _
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +253,44 @@ object VectorQueries {
          |FROM cells a JOIN cells b
          |  ON a.label = b.label AND a.cell_idx = b.cell_idx
          | AND a.cell_sign = b.cell_sign AND a.vec_id < b.vec_id
-         |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+         |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "q91_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+        |  FROM e),
+        |c0 AS (SELECT vec_id AS j, q AS c FROM qt WHERE vec_id < 8),
+        |d0 AS (SELECT qt.vec_id, c0.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qt.q[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qt.q[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM qt, c0),
+        |a0 AS (SELECT vec_id, j AS a0, d AS d0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |sums AS (SELECT a0.a0 AS j, t.i,
+        |    CAST(sum(qt.q[CAST(t.i AS INT)]) AS BIGINT) AS sv
+        |  FROM a0 JOIN qt USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+        |cnt AS (SELECT a0 AS j, count(*) AS n FROM a0 GROUP BY 1),
+        |c1 AS (SELECT sums.j, cnt.n, list(sv ORDER BY i) AS s
+        |  FROM sums JOIN cnt USING (j) GROUP BY sums.j, cnt.n),
+        |d1 AS (SELECT qt.vec_id, c1.j,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(c1.n AS DOUBLE) * qt.q[CAST(i AS INT)] - c1.s[CAST(i AS INT)])
+        |         * (CAST(c1.n AS DOUBLE) * qt.q[CAST(i AS INT)] - c1.s[CAST(i AS INT)])))
+        |      / (c1.n * c1.n) AS d
+        |  FROM qt, c1),
+        |a1 AS (SELECT vec_id, j AS a1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |joined AS (SELECT a0.vec_id, a0.a0, a0.d0, a1.a1 FROM a0 JOIN a1 USING (vec_id)),
+        |s0 AS (SELECT a0 AS cluster, count(*) AS n0, CAST(sum(d0) AS BIGINT) AS inertia0,
+        |    CAST(sum(CASE WHEN a1 <> a0 THEN 1 ELSE 0 END) AS BIGINT) AS moved_out
+        |  FROM joined GROUP BY 1),
+        |s1 AS (SELECT a1 AS cluster, count(*) AS n1 FROM joined GROUP BY 1)
+        |SELECT c0.j AS cluster, coalesce(s0.n0, 0) AS n0, coalesce(s1.n1, 0) AS n1,
+        |  coalesce(s0.moved_out, 0) AS moved_out, coalesce(s0.inertia0, 0) AS inertia0
+        |FROM c0 LEFT JOIN s0 ON c0.j = s0.cluster LEFT JOIN s1 ON c0.j = s1.cluster
+        |ORDER BY cluster""".stripMargin
   )
 }

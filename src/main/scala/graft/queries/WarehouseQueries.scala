@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational
+
+/** Incremental-warehouse staples the reference's insert-only pipeline
+  * cannot express: keyed MERGE/upsert (its anti-join can insert but never
+  * update a row — `spark_streaming.py:80-88`) and SCD2 validity windows.
+  */
+object WarehouseQueries {
+
+  // q89: keyed upsert/MERGE face. Target = orders (projected); updates
+  // carry an in-batch key CONFLICT (seq 0 vs seq 1 on the same keys — the
+  // later must win), plus pure inserts under fresh keys. The face verifies
+  // full merge semantics: untouched rows pass through, matched keys take
+  // exactly the winning update, inserts land once.
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    val base = Tables(s, dir).orders
+    val losing = base.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 500).as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(0L).as("_seq"))
+    val winning = base.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 1000).as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(1L).as("_seq"))
+    val inserts = base.filter($"o_orderkey" % 997 === 0)
+      .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_totalprice",
+        lit("I").as("o_orderstatus"), lit(2L).as("_seq"))
+    val merged = Relational.upsert(target,
+      losing.unionByName(winning).unionByName(inserts),
+      Seq("o_orderkey"), col("_seq"))
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("total_cents"),
+        countDistinct($"o_orderkey").as("n_keys"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // q90: SCD2 validity windows — each order becomes a slowly-changing-
+  // dimension version row per customer: valid_from = its date, valid_to =
+  // the next version's date (NULL while current). One shuffle on the
+  // customer key; the window sort is per-partition.
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".as("valid_from"),
+        lead($"o_orderdate", 1).over(w).as("valid_to"),
+        lead($"o_orderdate", 1).over(w).isNull.as("is_current"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_upsert_merge" -> upsertMerge _,
+    "q90_scd2_history" -> scd2History _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q89_upsert_merge" ->
+      """WITH target AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_totalprice + 500 AS o_totalprice,
+        |    'U' AS o_orderstatus, 0 AS _seq FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000, 'U', 1 FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, 'I', 2 FROM orders WHERE o_orderkey % 997 = 0),
+        |deduped AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+        |    FROM updates) WHERE rn = 1),
+        |merged AS (
+        |  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deduped)
+        |  UNION ALL SELECT * FROM deduped)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(DISTINCT o_orderkey) AS n_keys
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q90_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

@@ -24,6 +24,21 @@ class RelationalSpec extends SparkSpec {
     assert(second.count() == 0)
   }
 
+  test("upsert: matched keys update, new keys insert, conflicts last-win") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq(
+      (2L, "B_stale", 0L), (2L, "B", 1L), // in-batch conflict — seq 1 wins
+      (4L, "d", 2L))                      // fresh key — insert
+      .toDF("k", "v", "_seq")
+    val out = Relational.upsert(target, updates, Seq("k"), $"_seq")
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // idempotent: re-applying the same updates changes nothing
+    val again = Relational.upsert(out.toDF("k", "v"), updates, Seq("k"), $"_seq")
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(again == out)
+  }
+
   test("asof join picks latest right row at-or-before each left ts") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val left = Seq((1L, 100L, ts(10)), (2L, 100L, ts(20)), (3L, 200L, ts(5)))

@@ -21,6 +21,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("kmeans recovers well-separated blobs with deterministic assignment") {
+    // 3 blobs at distinct corners of 4-d space; ids interleave blobs so the
+    // smallest-ids init (0,1,2) seeds one centroid per blob
+    val pts = (0 until 60).map { i =>
+      val blob = i % 3
+      val v = Array.tabulate(4) { d =>
+        (if (d == blob) 10.0 else 0.0) + ((i * 7 + d * 13) % 5) * 0.1
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "v")
+    val (assign, cents) = Similarity.kmeans(pts, k = 3, iterations = 4)
+    // perfect separation: each blob lands in exactly one cluster and no
+    // cluster holds two blobs → exactly 3 distinct (blob, cluster) pairs
+    val pairs = assign.select(($"vec_id" % 3).as("blob"), $"cluster")
+      .distinct().collect()
+    assert(pairs.length == 3, s"blobs split across clusters: ${pairs.toSeq}")
+    val cs = cents.collect()
+    assert(cs.length == 3)
+    // every centroid sits near one blob corner (dominant axis ≈ 10)
+    cs.foreach { r =>
+      val c = r.getSeq[Double](1)
+      assert(c.max > 9.0 && c.count(_ > 5.0) == 1, s"centroid off-blob: $c")
+    }
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))

@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "vector" -> graft.queries.VectorQueries.defs,
     "events" -> graft.queries.EventsQueries.defs,
     "multimodal" -> graft.queries.MultimodalQueries.defs,
-    "trainingdata" -> graft.queries.TrainingDataQueries.defs)
+    "trainingdata" -> graft.queries.TrainingDataQueries.defs,
+    "warehouse" -> graft.queries.WarehouseQueries.defs)
 
   test("no query name collides across modules (merge would drop it silently)") {
     val all = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }
