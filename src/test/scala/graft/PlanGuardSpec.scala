@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties the engine promises
+  * (pushdown, broadcast, top-k pushdown, no nested loops in blocked joins)
+  * asserted on the ACTUAL optimized plans, so a refactor that silently
+  * degrades a plan fails here rather than in a 100 TB run.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filter reaches the parquet scan (PushedFilters), columns pruned") {
+    val p = planOf("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushed filters in:\n$p")
+    // projection pruning: the scan must not read every lineitem column
+    assert(!p.contains("l_comment"), s"unpruned scan reads l_comment:\n$p")
+  }
+
+  test("q4: small dimension joins broadcast, not shuffle") {
+    val p = planOf("q4_broadcast_join_brand")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("q6: existing-key anti join broadcasts the key side") {
+    val p = planOf("q6_anti_join_no_orders")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti in:\n$p")
+  }
+
+  test("q19: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q19_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k pushdown in:\n$p")
+  }
+
+  test("q74: binned interval join never falls back to a nested loop") {
+    val p = planOf("q74_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+  }
+
+  test("dedup candidate generation contains no cartesian product") {
+    for (q <- Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q68_simhash_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+    }
+  }
+
+  test("q91: centroid sides broadcast — the corpus is never shuffled for assignment") {
+    val p = planOf("q91_kmeans_train")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast centroids in:\n$p")
+  }
+}
