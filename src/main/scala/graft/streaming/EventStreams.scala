@@ -195,6 +195,44 @@ object EventStreams {
         OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserStat]])
   }
 
+  /** Streaming MERGE sink: per micro-batch, upsert into a keyed parquet
+    * target — matched keys take the batch row (last-wins within the batch
+    * by `seqCol`), unmatched target rows survive, new keys insert. The
+    * streaming face of [[Relational.upsert]]; where [[idempotentParquetSink]]
+    * can only insert (the reference's EP2), this also UPDATES — CDC-style
+    * ingestion. The rewrite is atomic-enough for a single writer: the
+    * merged frame is staged to `<sinkDir>.tmp`, then swapped in.
+    *
+    * At 100 TB: partition the target and merge only the partitions present
+    * in the batch; the per-batch row semantics are exactly this function.
+    */
+  def upsertParquetSink(stream: DataFrame, sinkDir: String, key: String,
+                        seqCol: String, checkpointDir: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val targetCols = batch.columns.filterNot(_ == seqCol)
+        val target =
+          try spark.read.parquet(sinkDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.drop(seqCol).schema) }
+        val merged = Relational.upsert(
+          target.select(targetCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+          batch, Seq(key), org.apache.spark.sql.functions.col(seqCol))
+        val tmp = sinkDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap: read-back from tmp then overwrite the sink (parquet has no
+        // rename-commit on a raw dir; single-writer assumption documented)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(sinkDir)
+        ()
+      }
+      .start()
+  }
+
   /** The reference's EP2 sink semantics (J1 + W1): per micro-batch, drop
     * rows whose key already exists in the sink, then append. Idempotent
     * under replays. */

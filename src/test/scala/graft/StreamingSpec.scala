@@ -85,6 +85,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("upsertParquetSink merges micro-batches: updates, inserts, no dups") {
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sink"
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "_seq").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val s1 = spark.readStream.schema(schema).parquet(src)
+    EventStreams.upsertParquetSink(s1, sink, "k", "_seq", s"$tmp/cp").awaitTermination()
+    assert(spark.read.parquet(sink).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // later files: UPDATE k=2, INSERT k=3 with an in-batch conflict
+    // (seq 5 beats seq 4) — same checkpoint, so only new files process
+    Seq((2L, "B", 3L), (3L, "c_old", 4L), (3L, "c", 5L)).toDF("k", "v", "_seq")
+      .write.mode("append").parquet(src)
+    val s2 = spark.readStream.schema(schema).parquet(src)
+    EventStreams.upsertParquetSink(s2, sink, "k", "_seq", s"$tmp/cp").awaitTermination()
+    assert(spark.read.parquet(sink).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("flatMapGroupsWithState sessionizer emits on event-time timeout and evicts state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
