@@ -14,7 +14,8 @@ object ScaleTest {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q32_simhash_signatures",
         "q54_tfidf_top_terms", "q58_dedup_clusters", "q66_pack_sequences",
-        "q68_simhash_neardup", "q69_lsh_neardup", "q79_contamination")
+        "q68_simhash_neardup", "q69_lsh_neardup", "q79_contamination",
+        "q89_upsert_merge", "q91_kmeans_train")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

@@ -228,6 +228,9 @@ object EventStreams {
         // swap: read-back from tmp then overwrite the sink (parquet has no
         // rename-commit on a raw dir; single-writer assumption documented)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(sinkDir)
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         ()
       }
       .start()

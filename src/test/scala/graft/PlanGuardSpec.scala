@@ -56,4 +56,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"expected broadcast centroids in:\n$p")
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // force the sort-merge path and allow injection at test-table sizes
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val t = Tables(spark, Sf)
+      val sel = t.orders.filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"))
+      val joined = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      // at 100 TB this runtime filter is the difference between scanning the
+      // fact table and scanning 1% of it — assert Spark injects it when the
+      // build side is selective
+      assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter in:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
