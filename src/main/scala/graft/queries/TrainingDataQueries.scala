@@ -146,9 +146,60 @@ object TrainingDataQueries {
       .orderBy($"doc_id")
   }
 
+  // q92: fixed-size chunking with overlap — RAG/context-window prep. Each
+  // document explodes into 256-char windows advancing by stride 192 (64
+  // overlap); chunk content is md5-fingerprinted so the oracle checks the
+  // exact bytes of every chunk, not just counts. Pure per-row explode —
+  // no shuffle below the final order; at 100 TB the chunker is a map.
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stride = 192
+    val size = 256
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .filter($"n" > 0)
+    docs
+      .select($"doc_id", $"text", $"n",
+        explode(sequence(lit(0), floor(($"n" - 1) / stride).cast("int"))).as("ci"))
+      .select($"doc_id", $"ci".as("chunk_idx"),
+        length($"text".substr($"ci" * stride + 1, lit(size))).as("chunk_len"),
+        md5($"text".substr($"ci" * stride + 1, lit(size)).cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  // q93: repetition/diversity quality filter (Gopher/C4-style rules): the
+  // type-token ratio and the share of the most repeated word bigram flag
+  // TEMPLATE/boilerplate text that length-based heuristics miss. Ratios
+  // are count/count IEEE divisions (exactly rounded — cross-engine safe),
+  // rounded to 6 for the hash.
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir).documents
+      .select($"doc_id",
+        filter(split(lower($"text"), " "), t => length(t) > 0).as("t"))
+      .filter(size($"t") >= 2)
+    val bigrams = toks.select($"doc_id", size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"),
+        explode(zip_with(slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    bigrams.groupBy($"doc_id", $"n_tokens", $"n_distinct", $"bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n_distinct")
+      .agg(max($"c").as("top_bg"), count(lit(1)).as("n_bigrams_distinct"),
+        sum($"c").cast("long").as("n_bigrams"))
+      .select($"doc_id", $"n_tokens",
+        round($"n_distinct".cast("double") / $"n_tokens", 6).as("ttr"),
+        round($"top_bg".cast("double") / $"n_bigrams", 6).as("top_bigram_ratio"),
+        ($"n_distinct".cast("double") / $"n_tokens" > 0.3 &&
+          $"top_bg".cast("double") / $"n_bigrams" < 0.2).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> contamination _,
     "q84_pretokenize" -> pretokenize _,
+    "q92_chunk_overlap" -> chunkOverlap _,
+    "q93_repetition_filter" -> repetitionFilter _,
     "q63_hash_sample" -> hashSample _,
     "q64_split_stats" -> splitStats _,
     "q65_class_balance" -> classBalance _,
@@ -174,6 +225,33 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0)
+        |SELECT doc_id, CAST(t.ci AS INT) AS chunk_idx,
+        |  len(substring(text, CAST(t.ci AS INT) * 192 + 1, 256)) AS chunk_len,
+        |  md5(substring(text, CAST(t.ci AS INT) * 192 + 1, 256)) AS chunk_md5
+        |FROM d, lateral (SELECT unnest(range(0, (n - 1) // 192 + 1)) AS ci) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q93_repetition_filter" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, t, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, n_tokens, n_distinct,
+        |    t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+        |  FROM t2, lateral (SELECT unnest(range(1, len(t))) AS i) r),
+        |bgc AS (SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, n_tokens, n_distinct, max(c) AS top_bg,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bgc GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  round(CAST(top_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_ratio,
+        |  (CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+        |    AND CAST(top_bg AS DOUBLE) / n_bigrams < 0.2) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q79_contamination" ->
       s"""WITH w AS (SELECT doc_id, ${bucketSql("doc_id", 100)} AS bkt,
          |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w FROM documents),
