@@ -57,6 +57,19 @@ class PlanGuardSpec extends SparkSpec {
       s"expected broadcast centroids in:\n$p")
   }
 
+  test("q92: the chunker is a pure map — no exchange below the output sort") {
+    val p = planOf("q92_chunk_overlap")
+    // exactly one exchange: the rangepartitioning for the final ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking should not shuffle below the sort:\n$p")
+  }
+
+  test("q89: upsert plans hash joins — no cartesian, no nested loop") {
+    val p = planOf("q89_upsert_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"upsert degraded:\n$p")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // force the sort-merge path and allow injection at test-table sizes
