@@ -69,7 +69,12 @@ object Relational {
     // updates may carry bookkeeping columns (the seq) — align to target
     val deduped = lastWinsByKey(updates, key, seq)
       .select(target.columns.map(col).toIndexedSeq: _*)
-    target.join(deduped.select(key.map(col): _*), key, "left_anti")
+    // null-safe anti-join: groupBy above treats NULL keys as one group, so
+    // the anti-join must too (plain = never matches NULL and a NULL-key row
+    // would both survive AND re-insert, duplicating on every merge)
+    val updKeys = deduped.select(key.map(k => col(k).as(s"_u_$k")): _*)
+    val cond = key.map(k => target(k) <=> updKeys(s"_u_$k")).reduce(_ && _)
+    target.join(updKeys, cond, "left_anti")
       .unionByName(deduped)
   }
 

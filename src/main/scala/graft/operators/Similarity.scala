@@ -131,10 +131,24 @@ object Similarity {
     */
   def kmeans(corpus: DataFrame, k: Int, iterations: Int,
              idCol: String = "vec_id", vecCol: String = "v"): (DataFrame, DataFrame) = {
+    require(k >= 1 && iterations >= 1, "kmeans: k and iterations must be >= 1")
+    val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-    var centroids = vecs.orderBy(col(idCol)).limit(k)
+    // centroids are k small rows: materialize them to the driver each
+    // iteration (k·dim doubles — bytes, not data) and rebuild a literal
+    // frame, so the Lloyd loop carries NO growing lineage — each iteration
+    // recomputes only itself, and the returned frames don't re-run the
+    // whole chain (same discipline as connectedComponents' checkpoints).
+    import scala.jdk.CollectionConverters._
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_j", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_c",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.collect().toSeq.asJava, centroidSchema)
+    var centroids = materialize(vecs.orderBy(col(idCol)).limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col(idCol))).cast("long").as("_j"), col("_v").as("_c"))
+        .orderBy(col(idCol))).cast("long").as("_j"), col("_v").as("_c")))
     def assign(cs: DataFrame): DataFrame = {
       val d = aggregate(zip_with(col("_v"), col("_c"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
@@ -144,16 +158,22 @@ object Similarity {
         .agg(min(struct(col("_d"), col("_j"))).getField("_j").as("cluster"),
           first(col("_v")).as("_v"))
     }
-    var a: DataFrame = null
-    for (_ <- 0 until iterations) {
-      a = assign(centroids)
-      centroids = a.select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
+    var a: DataFrame = assign(centroids)
+    for (i <- 0 until iterations) {
+      if (i > 0) a = assign(centroids)
+      val recomputed = a.select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy(col("cluster"), col("_p"))
         .agg(avg(col("_x")).as("_m"))
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
           s => s.getField("_m")).as("_c"))
         .select(col("cluster").as("_j"), col("_c"))
+      // a cluster that lost every member keeps its previous centroid —
+      // silently returning fewer than k cells would break IVF consumers
+      centroids = materialize(
+        centroids.select(col("_j"), col("_c").as("_prev"))
+          .join(recomputed, Seq("_j"), "left")
+          .select(col("_j"), coalesce(col("_c"), col("_prev")).as("_c")))
     }
     (a.select(col(idCol), col("cluster")),
       centroids.select(col("_j").as("cluster"), col("_c").as("centroid")))

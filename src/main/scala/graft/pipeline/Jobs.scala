@@ -77,8 +77,13 @@ object Jobs {
       val existing = JdbcIO
         .readKeys(spark, url, table, "reference_fiche", properties)
         .toDF("reference_fiche")
+      // localCheckpoint (eager) CUTS the lineage before the append: the
+      // anti-join read the JDBC table pre-append, so any later
+      // re-materialization of the returned frame (cache eviction, caller
+      // action) would re-run it against the post-append table and silently
+      // return empty. The checkpointed blocks are the frame.
       val fresh = Relational.idempotentAppend(transformed, existing, "reference_fiche")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       JdbcIO.append(fresh, url, table, properties)
       val maxDate = deduped.agg(max(col("date_de_publication"))).head().getString(0)
       Option(maxDate).foreach(PaginatedHttpSource.writeWatermark(watermarkPath, _))

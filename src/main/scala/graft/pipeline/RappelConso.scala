@@ -67,6 +67,18 @@ object RappelConso {
     ("informations_complementaires",
       "informations_complementaires", "informations_complementaires_publiques"))
 
+  /** The RAW API column set the transform consumes (the ~31 upstream
+    * columns minus the two dropped version-control ones): passthrough +
+    * normalize inputs + the six merge SOURCES + the composite date-range
+    * column. This — not [[dbFields]] — is the stable schema of a quiet
+    * (empty-fetch) read: a data-bearing fetch of the real API returns
+    * these raw names, so only this set keeps caller projections resolving
+    * on every run. */
+  val rawApiFields: Seq[String] =
+    (columnsToKeep ++ columnsToNormalize ++
+      mergePairs.flatMap { case (_, a, b) => Seq(a, b) } :+
+      "date_debut_fin_de_commercialisation").distinct
+
   private def rawCol(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name) else lit(null).cast(StringType)
 

@@ -185,8 +185,7 @@ object TrainingDataQueries {
     bigrams.groupBy($"doc_id", $"n_tokens", $"n_distinct", $"bg")
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id", $"n_tokens", $"n_distinct")
-      .agg(max($"c").as("top_bg"), count(lit(1)).as("n_bigrams_distinct"),
-        sum($"c").cast("long").as("n_bigrams"))
+      .agg(max($"c").as("top_bg"), sum($"c").cast("long").as("n_bigrams"))
       .select($"doc_id", $"n_tokens",
         round($"n_distinct".cast("double") / $"n_tokens", 6).as("ttr"),
         round($"top_bg".cast("double") / $"n_bigrams", 6).as("top_bigram_ratio"),

@@ -98,15 +98,16 @@ object PaginatedHttpSource {
     * watermark, return a DataFrame with one string column per key seen.
     *
     * `emptySchemaCols` is the column set of the frame returned on a quiet
-    * no-new-data run (default: the canonical 25-column RappelConso record).
-    * Without it the schema would depend on WHAT the fetch returned, and a
-    * caller projecting e.g. `date_de_publication` would fail analysis only
-    * on quiet runs — a run-dependent contract.
+    * no-new-data run (default: the RAW RappelConso API columns — what a
+    * data-bearing fetch of the real API yields, so the same projections
+    * resolve on busy AND quiet runs; NOT the post-transform `dbFields`,
+    * whose names differ from the raw ones). Without it the schema would
+    * depend on WHAT the fetch returned — a run-dependent contract.
     */
   def read(spark: SparkSession, transport: Transport, watermarkPath: String,
            keyCol: String = "reference_fiche",
            limit: Int = 100, maxOffset: Int = 10000,
-           emptySchemaCols: Seq[String] = graft.pipeline.RappelConso.dbFields): DataFrame = {
+           emptySchemaCols: Seq[String] = graft.pipeline.RappelConso.rawApiFields): DataFrame = {
     import spark.implicits._
     val rows = fetchAll(transport, readWatermark(watermarkPath), limit, maxOffset)
     // Routine "no new data since watermark" run: short-circuit BEFORE schema

@@ -214,23 +214,33 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val targetCols = batch.columns.filterNot(_ == seqCol)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+        val tmpPath = new org.apache.hadoop.fs.Path(sinkDir + ".tmp")
+        val fs = sinkPath.getFileSystem(hconf)
+        // crash recovery: a previous batch may have died between deleting
+        // the sink and promoting tmp — the merged copy in tmp is the truth
+        if (!fs.exists(sinkPath) && fs.exists(tmpPath)) fs.rename(tmpPath, sinkPath)
+        // ONLY a genuinely absent sink counts as empty; any other read
+        // failure (corrupt part file, transient FS error) must propagate —
+        // swallowing it would merge against an empty target and the final
+        // swap would silently discard every previously merged row
         val target =
-          try spark.read.parquet(sinkDir)
-          catch { case _: Throwable => spark.createDataFrame(
+          if (fs.exists(sinkPath)) spark.read.parquet(sinkDir)
+          else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop(seqCol).schema) }
+            batch.drop(seqCol).schema)
+        val targetCols = batch.columns.filterNot(_ == seqCol)
         val merged = Relational.upsert(
           target.select(targetCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
           batch, Seq(key), org.apache.spark.sql.functions.col(seqCol))
-        val tmp = sinkDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        // swap: read-back from tmp then overwrite the sink (parquet has no
-        // rename-commit on a raw dir; single-writer assumption documented)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(sinkDir)
-        val fs = new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // stage the full merge, then delete + rename: at every crash point
+        // either the sink or the staged tmp holds a complete copy, and the
+        // recovery preamble above promotes tmp when the sink is missing
+        fs.delete(tmpPath, true)
+        merged.write.parquet(tmpPath.toString)
+        fs.delete(sinkPath, true)
+        fs.rename(tmpPath, sinkPath)
         ()
       }
       .start()

@@ -167,8 +167,11 @@ class OracleDtypeLintSpec extends SparkSpec {
 
     for ((name, rawSql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
       val sql = blankLiterals(rawSql)
-      val outCols = SparkEntry.queries(name)(spark, SfDir)
-        .schema.fieldNames.map(_.toLowerCase).toSet
+      // construct each query ONCE — some builders are eager (q88 runs its
+      // sized write at construction), so a second build doubles side effects
+      val schemaFields = SparkEntry.queries(name)(spark, SfDir)
+        .schema.fieldNames.map(_.toLowerCase)
+      val outCols = schemaFields.toSet
       val tainted = mutable.Set[String]()
 
       // seed: bare aggregates → their direct aliases (or outright flags)
@@ -247,8 +250,7 @@ class OracleDtypeLintSpec extends SparkSpec {
       // columns BY POSITION, with no alias for taint to latch onto. Walk
       // every depth-0 SELECT, split its items at depth-0 commas, and flag
       // any item whose tainted identifier / bare aggregate isn't CAST.
-      val fieldOrder = SparkEntry.queries(name)(spark, SfDir)
-        .schema.fieldNames.map(_.toLowerCase)
+      val fieldOrder = schemaFields
       var depth = 0
       var i = 0
       while (i < sql.length) {

@@ -96,10 +96,14 @@ class RappelConsoSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("wm_empty").toString + "/wm.json"
     PaginatedHttpSource.writeWatermark(tmp, "2024-01-02")
     val out = PaginatedHttpSource.read(spark, transport, tmp)
-    // the quiet-run contract: same columns as a data-bearing run, so a
-    // caller projecting e.g. date_de_publication resolves on EVERY run
-    assert(out.columns.toSeq.sorted == RappelConso.dbFields.sorted)
-    assert(out.select("date_de_publication", "reference_fiche").count() == 0)
+    // the quiet-run contract: the RAW API columns — what a data-bearing
+    // run returns — so the same projections (incl. merge-source columns
+    // like risques_encourus_par_le_consommateur) resolve on EVERY run
+    assert(out.columns.toSeq.sorted == RappelConso.rawApiFields.sorted)
+    assert(out.select("date_de_publication", "reference_fiche",
+      "risques_encourus_par_le_consommateur").count() == 0)
+    // and the transform accepts the quiet frame unchanged
+    assert(RappelConso.transform(out).columns.toSeq == RappelConso.dbFields)
     // watermark untouched, like the reference's `if full_data:` guard
     assert(PaginatedHttpSource.readWatermark(tmp) == "2024-01-01")
   }

@@ -39,6 +39,17 @@ class RelationalSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("upsert treats NULL keys as one key (null-safe anti-join, no dup growth)") {
+    val target = Seq((Some(1L), "a"), (None, "n0")).toDF("k", "v")
+    val updates = Seq((Option.empty[Long], "n1", 1L)).toDF("k", "v", "_seq")
+    val once = Relational.upsert(target, updates, Seq("k"), $"_seq")
+    assert(once.count() == 2) // NULL row UPDATED, not duplicated
+    assert(once.filter($"k".isNull).select("v").as[String].collect().toSeq == Seq("n1"))
+    // re-applying must not grow the NULL group either
+    val twice = Relational.upsert(once, updates, Seq("k"), $"_seq")
+    assert(twice.count() == 2)
+  }
+
   test("asof join picks latest right row at-or-before each left ts") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val left = Seq((1L, 100L, ts(10)), (2L, 100L, ts(20)), (3L, 200L, ts(5)))

@@ -46,6 +46,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans keeps k centroids when a cluster empties; rejects bad args") {
+    // ids 0 and 1 are IDENTICAL vectors → two identical seed centroids;
+    // ties break to the smaller cluster, so cluster 2 empties in iteration
+    // 1 and must keep its previous centroid rather than vanish
+    val pts = (0 until 20).map { i =>
+      val v = if (i <= 1) Seq(1.0, 0.0) else Seq(0.0, 1.0 + (i % 3) * 0.1)
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+    val (_, cents) = Similarity.kmeans(pts, k = 3, iterations = 3)
+    assert(cents.count() == 3, "empty cluster silently dropped")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(pts, k = 3, iterations = 0)
+    }
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))

@@ -104,6 +104,27 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("upsertParquetSink recovers a crashed swap from the staging dir") {
+    val tmp = Files.createTempDirectory("graft_upsert_rec").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sink"
+    Seq((1L, "a", 1L)).toDF("k", "v", "_seq").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
+      sink, "k", "_seq", s"$tmp/cp").awaitTermination()
+    // simulate dying between `delete(sink)` and `rename(tmp, sink)`: the
+    // staged copy is the only surviving truth
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(sink),
+      new org.apache.hadoop.fs.Path(sink + ".tmp"))
+    Seq((2L, "b", 2L)).toDF("k", "v", "_seq").write.mode("append").parquet(src)
+    EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
+      sink, "k", "_seq", s"$tmp/cp").awaitTermination()
+    // the pre-crash row survived via promotion, the new row merged in
+    assert(spark.read.parquet(sink).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("flatMapGroupsWithState sessionizer emits on event-time timeout and evicts state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
