@@ -194,11 +194,32 @@ object TrainingDataQueries {
       .orderBy($"doc_id")
   }
 
+  // q94: domain mixing — per-source weighted sampling, the pretraining
+  // mix step (web×0.1 … books×1.0). Weights here derive from the source
+  // name (so the oracle can mirror them); membership is the same md5
+  // bucket as q63 — deterministic, retry-stable, shuffle-free per row.
+  // Each source reports its weight, population, and the sampled doc/char
+  // volume the mix admits.
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weight = (substring($"source", 4, 8).cast("int") % 10 + 1) * 1000
+    Tables(s, dir).documents
+      .select($"source", $"n_chars",
+        TD.hashBucket($"doc_id", 10000).as("b"), weight.as("w"))
+      .groupBy($"source")
+      .agg(first($"w").as("weight_bp"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"b" < $"w", 1).otherwise(0)).cast("long").as("n_sampled"),
+        sum(when($"b" < $"w", $"n_chars").otherwise(0)).cast("long").as("sampled_chars"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> contamination _,
     "q84_pretokenize" -> pretokenize _,
     "q92_chunk_overlap" -> chunkOverlap _,
     "q93_repetition_filter" -> repetitionFilter _,
+    "q94_domain_mix" -> domainMix _,
     "q63_hash_sample" -> hashSample _,
     "q64_split_stats" -> splitStats _,
     "q65_class_balance" -> classBalance _,
@@ -224,6 +245,15 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q94_domain_mix" ->
+      s"""WITH d AS (SELECT source, n_chars,
+         |    ${bucketSql("doc_id", 10000)} AS b,
+         |    (CAST(substr(source, 4) AS INT) % 10 + 1) * 1000 AS w
+         |  FROM documents)
+         |SELECT source, min(w) AS weight_bp, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN b < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN b < w THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q92_chunk_overlap" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0)
         |SELECT doc_id, CAST(t.ci AS INT) AS chunk_idx,
