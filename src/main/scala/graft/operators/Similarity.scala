@@ -149,6 +149,12 @@ object Similarity {
     var centroids = materialize(vecs.orderBy(col(idCol)).limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col(idCol))).cast("long").as("_j"), col("_v").as("_c")))
+    // limit(k) on a smaller corpus silently seeds < k centroids, and the
+    // empty-cluster retention would then preserve that shrunken count
+    // forever — the exact silent-fewer-cells failure IVF consumers can't
+    // tolerate. The init collect gives the check for free.
+    require(centroids.count() == k,
+      s"kmeans: corpus has fewer than k=$k vectors")
     def assign(cs: DataFrame): DataFrame = {
       val d = aggregate(zip_with(col("_v"), col("_c"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)

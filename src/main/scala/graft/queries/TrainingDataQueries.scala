@@ -202,7 +202,12 @@ object TrainingDataQueries {
   // volume the mix admits.
   def domainMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val weight = (substring($"source", 4, 8).cast("int") % 10 + 1) * 1000
+    // total on ANY source shape, identical in both engines: last ≤6 digits
+    // (or '' → NULL → 0 for non-numeric names) — avoids Spark's silent
+    // NULL-vs-DuckDB's-error divergence on a bare CAST of the raw suffix
+    val weight =
+      (coalesce(expr("try_cast(regexp_extract(source, '([0-9]{1,6})$', 1) as int)"),
+        lit(0)) % 10 + 1) * 1000
     Tables(s, dir).documents
       .select($"source", $"n_chars",
         TD.hashBucket($"doc_id", 10000).as("b"), weight.as("w"))
@@ -248,7 +253,8 @@ object TrainingDataQueries {
     "q94_domain_mix" ->
       s"""WITH d AS (SELECT source, n_chars,
          |    ${bucketSql("doc_id", 10000)} AS b,
-         |    (CAST(substr(source, 4) AS INT) % 10 + 1) * 1000 AS w
+         |    (coalesce(try_cast(regexp_extract(source, '([0-9]{1,6})$$', 1) AS INT), 0)
+         |      % 10 + 1) * 1000 AS w
          |  FROM documents)
          |SELECT source, min(w) AS weight_bp, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN b < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

@@ -215,18 +215,39 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val hconf = spark.sparkContext.hadoopConfiguration
+        // Path() normalizes trailing slashes, so getParent/getName are safe
         val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
-        val tmpPath = new org.apache.hadoop.fs.Path(sinkDir + ".tmp")
+        // SIBLING of the sink (never a child — string concat on a
+        // trailing-slash sinkDir would stage INSIDE the sink and the swap
+        // would delete the staged copy together with the sink)
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          sinkPath.getParent, sinkPath.getName + ".graft-tmp")
+        val marker = new org.apache.hadoop.fs.Path(
+          sinkPath.getParent, sinkPath.getName + ".graft-commit")
         val fs = sinkPath.getFileSystem(hconf)
-        // crash recovery: a previous batch may have died between deleting
-        // the sink and promoting tmp — the merged copy in tmp is the truth
-        if (!fs.exists(sinkPath) && fs.exists(tmpPath)) fs.rename(tmpPath, sinkPath)
-        // ONLY a genuinely absent sink counts as empty; any other read
+        def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(src, dst), s"upsertParquetSink: rename $src -> $dst failed")
+        // Crash recovery, marker-based: the marker file means "tmp is the
+        // committed truth" — it is created only AFTER tmp holds the full
+        // merge and removed only AFTER tmp has been promoted. So: marker +
+        // tmp → finish the promotion (the sink may be absent or partially
+        // deleted); marker without tmp → the promotion completed, only the
+        // marker removal was lost.
+        if (fs.exists(marker)) {
+          if (fs.exists(tmpPath)) {
+            fs.delete(sinkPath, true)
+            renameOrDie(tmpPath, sinkPath)
+          }
+          fs.delete(marker, false)
+        }
+        // A sink dir that exists but holds no files (operator pre-created
+        // the mount point) bootstraps like an absent one; any OTHER read
         // failure (corrupt part file, transient FS error) must propagate —
-        // swallowing it would merge against an empty target and the final
-        // swap would silently discard every previously merged row
+        // swallowing it would merge against an empty target and the swap
+        // would silently discard every previously merged row.
+        val sinkHasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty
         val target =
-          if (fs.exists(sinkPath)) spark.read.parquet(sinkDir)
+          if (sinkHasData) spark.read.parquet(sinkDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             batch.drop(seqCol).schema)
@@ -234,13 +255,16 @@ object EventStreams {
         val merged = Relational.upsert(
           target.select(targetCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
           batch, Seq(key), org.apache.spark.sql.functions.col(seqCol))
-        // stage the full merge, then delete + rename: at every crash point
-        // either the sink or the staged tmp holds a complete copy, and the
-        // recovery preamble above promotes tmp when the sink is missing
+        // commit protocol: stage full merge → marker → delete sink →
+        // promote → unmark. Every crash window either predates the marker
+        // (sink untouched, stale tmp is discarded next run) or is covered
+        // by the marker recovery above.
         fs.delete(tmpPath, true)
         merged.write.parquet(tmpPath.toString)
+        fs.create(marker, true).close()
         fs.delete(sinkPath, true)
-        fs.rename(tmpPath, sinkPath)
+        renameOrDie(tmpPath, sinkPath)
+        fs.delete(marker, false)
         ()
       }
       .start()

@@ -59,6 +59,10 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.kmeans(pts, k = 3, iterations = 0)
     }
+    // a corpus smaller than k must fail loudly, not silently seed < k cells
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(pts.limit(2), k = 3, iterations = 1)
+    }
   }
 
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {

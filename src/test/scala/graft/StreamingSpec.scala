@@ -104,23 +104,45 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
-  test("upsertParquetSink recovers a crashed swap from the staging dir") {
+  test("upsertParquetSink recovers a crashed swap from the staged commit") {
     val tmp = Files.createTempDirectory("graft_upsert_rec").toString
     val src = s"$tmp/src"; val sink = s"$tmp/sink"
     Seq((1L, "a", 1L)).toDF("k", "v", "_seq").write.parquet(src)
     val schema = spark.read.parquet(src).schema
     EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
       sink, "k", "_seq", s"$tmp/cp").awaitTermination()
-    // simulate dying between `delete(sink)` and `rename(tmp, sink)`: the
-    // staged copy is the only surviving truth
+    // simulate dying inside the commit window: merge staged, marker
+    // created, sink (partially) deleted, promotion not yet done. Under
+    // the protocol this state ALWAYS carries the marker.
     val fs = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(sink),
-      new org.apache.hadoop.fs.Path(sink + ".tmp"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sink),
+      new org.apache.hadoop.fs.Path(s"$tmp/sink.graft-tmp")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/sink.graft-commit"), true).close()
     Seq((2L, "b", 2L)).toDF("k", "v", "_seq").write.mode("append").parquet(src)
     EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
       sink, "k", "_seq", s"$tmp/cp").awaitTermination()
-    // the pre-crash row survived via promotion, the new row merged in
+    // the pre-crash row survived via marker promotion, the new row merged
+    assert(spark.read.parquet(sink).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/sink.graft-commit")))
+  }
+
+  test("upsertParquetSink: trailing-slash sink stages as a SIBLING; empty pre-created dir bootstraps") {
+    val tmp = Files.createTempDirectory("graft_upsert_edge").toString
+    val src = s"$tmp/src"; val sink = s"$tmp/sink"
+    // operator pre-creates the sink mount point (old code crash-looped on
+    // schema inference over the empty dir)
+    new java.io.File(sink).mkdirs()
+    Seq((1L, "a", 1L)).toDF("k", "v", "_seq").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // trailing slash: string-concat staging would nest tmp INSIDE the sink
+    // and the swap would delete the staged copy with it
+    EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
+      sink + "/", "k", "_seq", s"$tmp/cp").awaitTermination()
+    Seq((2L, "b", 2L)).toDF("k", "v", "_seq").write.mode("append").parquet(src)
+    EventStreams.upsertParquetSink(spark.readStream.schema(schema).parquet(src),
+      sink + "/", "k", "_seq", s"$tmp/cp").awaitTermination()
     assert(spark.read.parquet(sink).orderBy("k").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b")))
   }
