@@ -60,6 +60,59 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q95: gap-filled resampling + forward fill — the time-series staple.
+  // Per user (a 10% id slice keeps the grid bounded), bucket events into
+  // 15-minute bins, generate the FULL bin grid over the user's active
+  // span, left-join actuals, and forward-fill the last observed bin sum
+  // into the gaps. The grid explode is per-user rows (no shuffle beyond
+  // the bucket aggregate); the fill is one ordered window per user.
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables(s, dir).events
+      .filter($"user_id" % 10 === 0)
+      .groupBy($"user_id", window($"ts", "15 minutes").getField("start").as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+    val grid = b.groupBy($"user_id").agg(min($"bucket_ts").as("lo"), max($"bucket_ts").as("hi"))
+      .select($"user_id",
+        explode(expr("sequence(lo, hi, interval 15 minutes)")).as("bucket_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"bucket_ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(b, Seq("user_id", "bucket_ts"), "left")
+      .select($"user_id", $"bucket_ts",
+        coalesce($"n", lit(0L)).as("n_events"),
+        last($"v", ignoreNulls = true).over(w).as("v_ffill"))
+      .orderBy($"user_id", $"bucket_ts")
+  }
+
+  // q96: windowed anomaly detection — daily event counts per type scored
+  // against the TRAILING week (prior 7 days only, never the current day):
+  // z = (n − mean) / stddev. Counts are integers, so mean/var/sqrt are
+  // single exactly-rounded IEEE ops — identical in both engines; rounded
+  // to 6 for the hash. Rows without a full 7-day history or with zero
+  // variance are excluded (cross-engine NULL/inf semantics differ there).
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day").rowsBetween(-7, -1)
+    val stats = daily.select($"event_type", $"day", $"n",
+      count($"n").over(w).as("w_cnt"),
+      sum($"n").over(w).cast("long").as("w_sum"),
+      sum($"n" * $"n").over(w).cast("long").as("w_sumsq"))
+    stats
+      .filter($"w_cnt" === 7)
+      .select($"event_type", $"day", $"n",
+        (($"w_sumsq".cast("double") - $"w_sum".cast("double") * $"w_sum" / 7) / 6).as("variance"),
+        ($"w_sum".cast("double") / 7).as("mean"))
+      .filter($"variance" > 0)
+      .select($"event_type", $"day", $"n",
+        round(($"n" - $"mean") / sqrt($"variance"), 6).as("z"))
+      .orderBy($"event_type", $"day")
+  }
+
   // q76: retention cohorts — users grouped by first-seen day, counted on
   // each later active day. Two hash aggregates + one equi-join on user_id;
   // the (cohort, day_n) matrix is tiny however large the event log is.
@@ -100,10 +153,43 @@ object EventsQueries {
     "q72_session_windows" -> sessionWindows _,
     "q73_json_props" -> jsonProps _,
     "q76_retention_cohorts" -> retentionCohorts _,
-    "q77_funnel_steps" -> funnelSteps _
+    "q77_funnel_steps" -> funnelSteps _,
+    "q95_resample_ffill" -> resampleFfill _,
+    "q96_anomaly_zscore" -> anomalyZscore _
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+        |    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL '15 minutes')) AS bucket_ts
+        |  FROM b GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.bucket_ts, b.n, b.v
+        |  FROM grid g LEFT JOIN b USING (user_id, bucket_ts))
+        |SELECT user_id, bucket_ts, coalesce(n, 0) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "q96_anomaly_zscore" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, day, n,
+        |    count(n) OVER w AS w_cnt,
+        |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sumsq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT event_type, day, n,
+        |    (CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / 7) / 6 AS variance,
+        |    CAST(w_sum AS DOUBLE) / 7 AS mean
+        |  FROM stats WHERE w_cnt = 7)
+        |SELECT event_type, day, n, round((n - mean) / sqrt(variance), 6) AS z
+        |FROM v WHERE variance > 0 ORDER BY event_type, day""".stripMargin,
     "q70_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

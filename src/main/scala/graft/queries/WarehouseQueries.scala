@@ -56,9 +56,27 @@ object WarehouseQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  // q97: declarative data-quality report (Deequ-lite) — uniqueness, null,
+  // range, domain, and referential-integrity checks over orders, every
+  // row-level check sharing ONE scan (see operators.Quality). The report
+  // shape (check, violations, n_rows) is what a pipeline gates on.
+  def qualityReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    graft.operators.Quality.report(t.orders, Seq(
+      graft.operators.Quality.Unique("orderkey_unique", Seq("o_orderkey")),
+      graft.operators.Quality.NotNull("custkey_not_null", "o_custkey"),
+      graft.operators.Quality.InRange("totalprice_range", "o_totalprice", 0.0, 1e7),
+      graft.operators.Quality.Satisfies("status_domain",
+        $"o_orderstatus".isin("O", "F", "P")),
+      graft.operators.Quality.ForeignKey("custkey_fk", "o_custkey",
+        t.customer, "c_custkey")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_upsert_merge" -> upsertMerge _,
-    "q90_scd2_history" -> scd2History _
+    "q90_scd2_history" -> scd2History _,
+    "q97_quality_report" -> qualityReport _
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +100,23 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
         |  count(DISTINCT o_orderkey) AS n_keys
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q97_quality_report" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT 'custkey_fk' AS "check",
+        |  CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations,
+        |  n_rows FROM t
+        |UNION ALL SELECT 'custkey_not_null',
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT), n_rows FROM t
+        |UNION ALL SELECT 'orderkey_unique',
+        |  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT), n_rows FROM t
+        |UNION ALL SELECT 'status_domain',
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT), n_rows FROM t
+        |UNION ALL SELECT 'totalprice_range',
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 10000000)) AS BIGINT), n_rows FROM t
+        |ORDER BY "check"""".stripMargin,
     "q90_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER w AS valid_to,
