@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * conditional-sum aggregate expression, so ALL of them share a SINGLE
   * scan+aggregate of the table (the q87 one-pass discipline — at 100 TB,
   * one pass vs one-per-check is the difference between a report and a
-  * day). Uniqueness adds one hash aggregate; a foreign-key check adds one
-  * anti-join against the (broadcast when small) dimension's key column.
+  * day). Uniqueness adds one hash aggregate (which carries its own row
+  * count — no extra scan); a foreign-key check adds one anti-join against
+  * the dimension's key column plus ONE shared row-count job across all
+  * FK checks.
   */
 object Quality {
 
@@ -20,18 +22,21 @@ object Quality {
   final case class NotNull(name: String, col: String) extends Check
   /** Violations = rows outside [lo, hi] (NULLs don't count — add NotNull). */
   final case class InRange(name: String, col: String, lo: Double, hi: Double) extends Check
-  /** Violations = rows failing an arbitrary row predicate. */
+  /** Violations = rows failing an arbitrary row predicate (NULL = fail). */
   final case class Satisfies(name: String, predicate: Column) extends Check
-  /** Violations = duplicate rows beyond the first per key = n − n_distinct. */
+  /** Violations = duplicate rows beyond the first per key. NULL key values
+    * form a key group like any other (matching groupBy semantics). */
   final case class Unique(name: String, cols: Seq[String]) extends Check
   /** Violations = rows whose `keyCol` has no match in `dim.dimKey`
-    * (NULL keys are not violations — add NotNull for that). */
+    * (NULL keys are not violations — add NotNull for that).
+    * `broadcastDim` = false for dimensions too large to broadcast — the
+    * anti-join then shuffles both sides and AQE picks the strategy. */
   final case class ForeignKey(name: String, keyCol: String,
-                              dim: DataFrame, dimKey: String) extends Check
+                              dim: DataFrame, dimKey: String,
+                              broadcastDim: Boolean = true) extends Check
 
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(checks.nonEmpty, "Quality.report: no checks given")
     val rowLevel = checks.collect {
       case NotNull(n, c) => n -> sum(when(col(c).isNull, 1).otherwise(0))
       case InRange(n, c, lo, hi) =>
@@ -41,25 +46,32 @@ object Quality {
     val base: Option[DataFrame] =
       if (rowLevel.isEmpty) None
       else Some {
+        // coalesce: sum() over an EMPTY table is NULL, and a quality gate
+        // reading violations must see 0, not a surprise NULL
         val agg = df.agg(count(lit(1)).as("_n"),
-          rowLevel.map { case (n, e) => e.cast("long").as(s"_v_$n") }: _*)
+          rowLevel.map { case (n, e) => coalesce(e, lit(0)).cast("long").as(s"_v_$n") }: _*)
         rowLevel.map { case (n, _) =>
           agg.select(lit(n).as("check"), col(s"_v_$n").as("violations"),
             col("_n").as("n_rows"))
         }.reduce(_.unionByName(_))
       }
+    // FK checks share ONE row-count job instead of one per check
+    lazy val nRows = df.agg(count(lit(1)).as("n_rows"))
     val extra = checks.collect {
       case Unique(n, cols) =>
-        df.agg(count(lit(1)).as("_n"),
-            countDistinct(cols.head, cols.tail: _*).as("_d"))
-          .select(lit(n).as("check"), (col("_n") - col("_d")).as("violations"),
-            col("_n").as("n_rows"))
-      case ForeignKey(n, keyCol, dim, dimKey) =>
+        // per-key group counts: NULL keys group like values (countDistinct
+        // would DROP them and flag every NULL-keyed row as a duplicate);
+        // the same aggregate carries the row count — no extra scan
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c") - 1), lit(0)).cast("long").as("violations"),
+            coalesce(sum(col("_c")), lit(0)).cast("long").as("n_rows"))
+          .select(lit(n).as("check"), col("violations"), col("n_rows"))
+      case ForeignKey(n, keyCol, dim, dimKey, bcast) =>
+        val dimKeys = dim.select(col(dimKey).as(keyCol)).distinct()
         val orphans = df.filter(col(keyCol).isNotNull)
-          .join(broadcast(dim.select(col(dimKey).as(keyCol)).distinct()),
-            Seq(keyCol), "left_anti")
+          .join(if (bcast) broadcast(dimKeys) else dimKeys, Seq(keyCol), "left_anti")
           .agg(count(lit(1)).cast("long").as("violations"))
-        orphans.crossJoin(df.agg(count(lit(1)).as("n_rows")))
+        orphans.crossJoin(nRows)
           .select(lit(n).as("check"), col("violations"), col("n_rows"))
     }
     (base.toSeq ++ extra).reduce(_.unionByName(_)).orderBy(col("check"))

@@ -86,11 +86,15 @@ object EventsQueries {
   }
 
   // q96: windowed anomaly detection — daily event counts per type scored
-  // against the TRAILING week (prior 7 days only, never the current day):
-  // z = (n − mean) / stddev. Counts are integers, so mean/var/sqrt are
-  // single exactly-rounded IEEE ops — identical in both engines; rounded
-  // to 6 for the hash. Rows without a full 7-day history or with zero
-  // variance are excluded (cross-engine NULL/inf semantics differ there).
+  // against the prior 7 OBSERVED days for that type (a ROWS frame: days
+  // with zero events don't appear in `daily`, so the baseline is the last
+  // 7 active days, not a calendar week — gap-fill first, as in q95, for a
+  // calendar-bounded baseline): z = (n − mean) / stddev. n² is computed in
+  // DOUBLE (exact for daily counts < 2^26; Spark's non-ANSI long multiply
+  // would silently WRAP where DuckDB errors), so mean/var/sqrt are single
+  // exactly-rounded IEEE ops — identical in both engines; rounded to 6
+  // for the hash. Rows without 7 prior observations or with zero variance
+  // are excluded (cross-engine NULL/inf semantics differ there).
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables(s, dir).events
@@ -101,11 +105,11 @@ object EventsQueries {
     val stats = daily.select($"event_type", $"day", $"n",
       count($"n").over(w).as("w_cnt"),
       sum($"n").over(w).cast("long").as("w_sum"),
-      sum($"n" * $"n").over(w).cast("long").as("w_sumsq"))
+      sum($"n".cast("double") * $"n").over(w).as("w_sumsq"))
     stats
       .filter($"w_cnt" === 7)
       .select($"event_type", $"day", $"n",
-        (($"w_sumsq".cast("double") - $"w_sum".cast("double") * $"w_sum" / 7) / 6).as("variance"),
+        (($"w_sumsq" - $"w_sum".cast("double") * $"w_sum" / 7) / 6).as("variance"),
         ($"w_sum".cast("double") / 7).as("mean"))
       .filter($"variance" > 0)
       .select($"event_type", $"day", $"n",
@@ -180,12 +184,12 @@ object EventsQueries {
         |stats AS (SELECT event_type, day, n,
         |    count(n) OVER w AS w_cnt,
         |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
-        |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sumsq
+        |    sum(CAST(n AS DOUBLE) * n) OVER w AS w_sumsq
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
         |v AS (SELECT event_type, day, n,
-        |    (CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / 7) / 6 AS variance,
+        |    (w_sumsq - CAST(w_sum AS DOUBLE) * w_sum / 7) / 6 AS variance,
         |    CAST(w_sum AS DOUBLE) / 7 AS mean
         |  FROM stats WHERE w_cnt = 7)
         |SELECT event_type, day, n, round((n - mean) / sqrt(variance), 6) AS z

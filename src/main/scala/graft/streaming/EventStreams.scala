@@ -233,6 +233,12 @@ object EventStreams {
         // tmp → finish the promotion (the sink may be absent or partially
         // deleted); marker without tmp → the promotion completed, only the
         // marker removal was lost.
+        //
+        // SCOPE: this protocol is crash-safe where directory rename is
+        // atomic (local FS, HDFS). On object stores (S3A renames are
+        // copy-then-delete) a crash mid-rename can leave BOTH copies
+        // partial — raw-parquet merge cannot be made atomic there; use a
+        // transactional table format for that deployment.
         if (fs.exists(marker)) {
           if (fs.exists(tmpPath)) {
             fs.delete(sinkPath, true)

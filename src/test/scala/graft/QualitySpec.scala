@@ -36,4 +36,25 @@ class QualitySpec extends SparkSpec {
       .head()
     assert(rep.getLong(1) == 1L) // the NULL row: predicate NULL → violation
   }
+
+  test("Unique groups NULL keys like values; a lone NULL is no duplicate") {
+    val df = Seq(Some(1L), None, None).toDF("k")
+    val rep = Quality.report(df, Seq(Quality.Unique("u", Seq("k")))).head()
+    // key groups: {1}×1, {NULL}×2 → exactly one duplicate beyond the first
+    assert(rep.getLong(1) == 1L && rep.getLong(2) == 3L)
+    val lone = Quality.report(Seq(Some(1L), None).toDF("k"),
+      Seq(Quality.Unique("u", Seq("k")))).head()
+    assert(lone.getLong(1) == 0L) // countDistinct would have flagged the NULL
+  }
+
+  test("empty table reports zero violations, not NULL; empty check list rejected") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "c")
+    val rep = Quality.report(empty, Seq(
+      Quality.NotNull("c_nn", "c"), Quality.Unique("k_u", Seq("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("c_nn" -> 0L, "k_u" -> 0L))
+    intercept[IllegalArgumentException] {
+      Quality.report(empty, Seq.empty)
+    }
+  }
 }
