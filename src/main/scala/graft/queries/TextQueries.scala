@@ -118,6 +118,37 @@ object TextQueries {
       .orderBy($"lang", $"rk")
   }
 
+  // q98: count-min sketch heavy hitters — a frequency sketch whose hash
+  // rows are md5-salted (engine-reproducible, same portability trick as
+  // the LSH planes). 4 rows × 64 buckets: each cell is an ordinary hash
+  // aggregate with map-side combine, and the whole sketch is 256 rows no
+  // matter how large the corpus — THE shape for streaming/mergeable
+  // frequency estimation at scale. Estimate = min over rows; the face
+  // pins the structural guarantee est ≥ exact on the exact top-20 tokens
+  // (every quantity an integer — bit-exact cross-engine).
+  def countMinHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir).documents
+      .select(explode(PF.tokens($"text")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy($"exact".desc, $"tok".asc).limit(20)
+    import graft.operators.{TrainingData => TD}
+    def bucketOf(k: Int, c: org.apache.spark.sql.Column) =
+      TD.hashBucket(concat(lit(s"$k:"), c), 64)
+    val cells = (0 until 4).map { k =>
+      toks.select(lit(k).as("k"), bucketOf(k, $"tok").as("bucket"))
+    }.reduce(_.unionByName(_))
+      .groupBy($"k", $"bucket").agg(count(lit(1)).cast("long").as("cell"))
+    val probes = (0 until 4).map { k =>
+      top.select($"tok", $"exact", lit(k).as("k"), bucketOf(k, $"tok").as("bucket"))
+    }.reduce(_.unionByName(_))
+    probes.join(cells, Seq("k", "bucket"))
+      .groupBy($"tok", $"exact")
+      .agg(min($"cell").as("est"))
+      .select($"tok", $"exact", $"est", ($"est" >= $"exact").as("never_under"))
+      .orderBy($"exact".desc, $"tok".asc)
+  }
+
   // q60: the reference's T2 accent-strip as a native codegen'd Expression.
   def stripAccentsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -165,13 +196,31 @@ object TextQueries {
     "q55_rolling_fingerprint" -> rollingFingerprint _,
     "q60_strip_accents" -> stripAccentsQ _,
     "q61_merge_columns" -> mergeColumnsQ _,
-    "q62_date_split" -> dateSplitQ _
+    "q62_date_split" -> dateSplitQ _,
+    "q98_count_min" -> countMinHeavyHitters _
   )
 
   private val wordsSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q98_count_min" ->
+      s"""WITH toks AS (SELECT unnest($wordsSql) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
+         |top AS (SELECT tok, exact FROM exact ORDER BY exact DESC, tok ASC LIMIT 20),
+         |cells AS (
+         |  SELECT k.k, ('0x' || substr(md5(k.k || ':' || tok), 1, 6))::BIGINT % 64 AS bucket,
+         |    count(*) AS cell
+         |  FROM toks, range(0, 4) k(k) GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT tok, exact, k.k,
+         |    ('0x' || substr(md5(k.k || ':' || tok), 1, 6))::BIGINT % 64 AS bucket
+         |  FROM top, range(0, 4) k(k))
+         |SELECT p.tok, p.exact, CAST(min(c.cell) AS BIGINT) AS est,
+         |  min(c.cell) >= p.exact AS never_under
+         |FROM probes p JOIN cells c ON p.k = c.k AND p.bucket = c.bucket
+         |GROUP BY p.tok, p.exact
+         |ORDER BY p.exact DESC, p.tok ASC""".stripMargin,
     "q50_token_stats" ->
       s"""WITH d AS (SELECT lang, $wordsSql AS w,
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
