@@ -58,21 +58,27 @@ object Bench {
       for ((name, fn) <- order) {
         val g0 = gcMillis
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         val gc = (gcMillis - g0) / 1e3
         if (gc > 0.5) System.err.println(f"[bench-gc] $name%s r$r%d: ${t}%.2fs wall, $gc%.2fs GC")
-        samples(name) = t :: samples.getOrElse(name, Nil)
+        // failed measurements are NOT scored: a regression-to-failure would
+        // otherwise enter its (typically tiny) failure latency as a fast
+        // median and read as a speedup vs baseline
+        if (ok) samples(name) = t :: samples.getOrElse(name, Nil)
       }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = queries.map { case (name, _) => name -> median(samples(name)) }
+    for ((name, _) <- queries if !samples.contains(name))
+      System.err.println(s"[bench-fail] $name: all $rounds measurements failed — excluded from results")
+    val results = queries.flatMap { case (name, _) => samples.get(name).map(name -> median(_)) }
     for ((name, t) <- results) {
       val xs = samples(name).sorted
       if (xs.last > math.max(xs.head * 2, xs.head + 0.5))

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * (check, violations, n_rows) report row.
   *
   * Scale shape: every ROW-LEVEL check (null / range / predicate) is one
-  * conditional-sum aggregate expression, so ALL of them share a SINGLE
-  * scan+aggregate of the table (the q87 one-pass discipline — at 100 TB,
-  * one pass vs one-per-check is the difference between a report and a
-  * day). Uniqueness adds one hash aggregate (which carries its own row
-  * count — no extra scan); a foreign-key check adds one anti-join against
-  * the dimension's key column plus ONE shared row-count job across all
-  * FK checks.
+  * conditional-sum aggregate expression in ONE scan+aggregate of the
+  * table, and the single agg row is exploded into report rows — the
+  * one-pass property is STRUCTURAL (one scan in the plan), not reliant on
+  * optimizer exchange reuse across union branches (the q87 one-pass
+  * discipline — at 100 TB, one pass vs one-per-check is the difference
+  * between a report and a day). Uniqueness adds one hash aggregate (which
+  * carries its own row count — no extra scan); foreign-key checks add one
+  * anti-join each plus ONE shared row-count job, materialized eagerly at
+  * report() time iff any FK check is present.
   */
 object Quality {
 
@@ -50,13 +52,19 @@ object Quality {
         // reading violations must see 0, not a surprise NULL
         val agg = df.agg(count(lit(1)).as("_n"),
           rowLevel.map { case (n, e) => coalesce(e, lit(0)).cast("long").as(s"_v_$n") }: _*)
-        rowLevel.map { case (n, _) =>
-          agg.select(lit(n).as("check"), col(s"_v_$n").as("violations"),
-            col("_n").as("n_rows"))
-        }.reduce(_.unionByName(_))
+        // the ONE agg row exploded into one report row per check: the
+        // single-scan property is structural, not a best-effort
+        // exchange-reuse across N union branches (which AQE may not honor)
+        agg.select(explode(array(rowLevel.map { case (n, _) =>
+            struct(lit(n).as("check"), col(s"_v_$n").as("violations")) }: _*)).as("_kv"),
+          col("_n").as("n_rows"))
+          .select(col("_kv.check").as("check"), col("_kv.violations").as("violations"),
+            col("n_rows"))
       }
-    // FK checks share ONE row-count job instead of one per check
-    lazy val nRows = df.agg(count(lit(1)).as("n_rows"))
+    // FK checks share ONE materialized row count (the count() job runs here
+    // iff at least one FK check is present) instead of re-scanning the fact
+    // table once per union branch
+    lazy val nRowsLit = lit(df.count())
     val extra = checks.collect {
       case Unique(n, cols) =>
         // per-key group counts: NULL keys group like values (countDistinct
@@ -68,11 +76,10 @@ object Quality {
           .select(lit(n).as("check"), col("violations"), col("n_rows"))
       case ForeignKey(n, keyCol, dim, dimKey, bcast) =>
         val dimKeys = dim.select(col(dimKey).as(keyCol)).distinct()
-        val orphans = df.filter(col(keyCol).isNotNull)
+        df.filter(col(keyCol).isNotNull)
           .join(if (bcast) broadcast(dimKeys) else dimKeys, Seq(keyCol), "left_anti")
           .agg(count(lit(1)).cast("long").as("violations"))
-        orphans.crossJoin(nRows)
-          .select(lit(n).as("check"), col("violations"), col("n_rows"))
+          .select(lit(n).as("check"), col("violations"), nRowsLit.as("n_rows"))
     }
     (base.toSeq ++ extra).reduce(_.unionByName(_)).orderBy(col("check"))
   }

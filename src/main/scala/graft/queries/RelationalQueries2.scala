@@ -315,7 +315,9 @@ object RelationalQueries2 {
   def sizedWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rowsPerFile = 120L
-    val out = s"${sys.props("java.io.tmpdir")}/graft_q88_${Integer.toHexString(dir.hashCode)}"
+    // PID in the path: two concurrent JVMs (bench + correctness run) must
+    // not share an overwrite-vs-read scratch dir
+    val out = s"${sys.props("java.io.tmpdir")}/graft_q88_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
     val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars", $"text")
     val n = docs.count()
     graft.sources.SizedWriter

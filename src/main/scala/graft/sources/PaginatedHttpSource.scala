@@ -116,8 +116,13 @@ object PaginatedHttpSource {
     // (the reference guards this with `if full_data:`,
     // kafka_stream_data.py:89). Watermark stays untouched, like the reference.
     if (rows.isEmpty) {
-      val cols = if (emptySchemaCols.contains(keyCol)) emptySchemaCols
-                 else keyCol +: emptySchemaCols
+      // .sorted matches the data-bearing path's column ordering below, so
+      // positional consumers see the same layout on quiet and busy runs
+      // (busy runs may still carry EXTRA columns beyond this canonical set
+      // if the API returns keys outside rawApiFields — by-name access is
+      // the stable contract)
+      val cols = (if (emptySchemaCols.contains(keyCol)) emptySchemaCols
+                  else keyCol +: emptySchemaCols).sorted
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c,

@@ -29,6 +29,19 @@ class QualitySpec extends SparkSpec {
       "fk_valid" -> (1L, 4L)))     // 99 (NULL fk is NOT an fk violation)
   }
 
+  test("row-level-only report plans exactly ONE scan of the input (structural, not exchange-reuse)") {
+    val df = Seq((Some(1L), 5.0), (None, -1.0), (Some(3L), 1e9)).toDF("fk", "price")
+    val rep = Quality.report(df, Seq(
+      Quality.NotNull("fk_not_null", "fk"),
+      Quality.InRange("price_range", "price", 0.0, 100.0),
+      Quality.Satisfies("price_pos", $"price" > 0)))
+    val plan = rep.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan|Scan ".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan, plan:\n$plan")
+    assert(rep.collect().map(_.getString(0)).sorted ===
+      Array("fk_not_null", "price_pos", "price_range"))
+  }
+
   test("Satisfies counts NULL predicate results as violations") {
     val df = Seq(Some("a"), None).toDF("c")
     val rep = Quality.report(df, Seq(
