@@ -91,4 +91,30 @@ object Relational {
       .agg(max_by(struct(cols: _*), seq).as("_row"))
       .select(col("_row.*"))
   }
+
+  /** Incremental materialized-view maintenance for distributive aggregates
+    * (count / sum): [[partialAggs]] turns raw rows into per-key partials,
+    * [[mergePartialAggs]] folds a new delta's partials into a prior
+    * snapshot by re-summing. History is never rescanned — only the
+    * snapshot (|keys| rows, typically ≪ the fact table) and the delta
+    * move, which is the only refresh shape that survives a 100 TB history
+    * with daily deltas. The batch analogue of streaming state-store
+    * aggregation; partials are also the unit that merges across shards,
+    * engines, or a backfill + live split.
+    */
+  def partialAggs(df: DataFrame, keys: Seq[String], cntCol: String,
+                  sums: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as(cntCol) +: sums.map { case (n, c) => sum(c).as(n) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge any number of partial-agg frames (same schema) into one:
+    * counts and sums re-sum; the result is again a valid partial. */
+  def mergePartialAggs(partials: Seq[DataFrame], keys: Seq[String],
+                       cntCol: String, sumCols: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "mergePartialAggs: no inputs")
+    val aggs = sum(col(cntCol)).as(cntCol) +: sumCols.map(n => sum(col(n)).as(n))
+    partials.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -204,4 +204,62 @@ object Similarity {
     Relational.topKPerGroup(joined, Seq(col(qId)),
         Seq(col("sim").desc, col(cId).asc), k, rankCol = "rank")
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus around k
+    * seed centroids (the k smallest ids — deterministic, no RNG), then
+    * search for near-duplicate pairs ONLY within a cluster and drop every
+    * vector that has a same-cluster neighbor with a smaller id above the
+    * cosine threshold.
+    *
+    * Scale shape: clustering cuts candidate pairs from |corpus|² to
+    * Σ|cluster|² — the operator's entire point (SemDeDup, Abbas et al.
+    * 2023, runs exactly this recipe over web-scale embeddings; k grows
+    * with the corpus so clusters stay bounded). Assignment is a map-side
+    * crossJoin against k broadcast centroids (no corpus shuffle); the
+    * pair join shuffles on the cluster id only. A pathologically hot
+    * cluster is AQE-skew territory, same as any skewed join key.
+    *
+    * Exactness: vectors are int8-quantized (q86 discipline) and the
+    * threshold is the rational thrNum/thrDen, so "is a near-dup" is the
+    * INTEGER inequality dp>0 ∧ dp²·thrDen² ≥ thrNum²·|a|²·|b|² — every
+    * term an integer-valued long far below 2^63 (|q|² ≈ 127², so dp²·10⁴
+    * ≲ 3·10¹²), bit-reproducible in any engine.
+    *
+    * Returns (marked, dupPairs): `marked` = one row per input vector with
+    * its cluster and a `dropped` flag; `dupPairs` = the near-dup pairs
+    * (cluster, id_a < id_b) that justified each drop.
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, thrNum: Int, thrDen: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && thrDen > 0 && thrNum >= 0, "semanticDedup: bad arguments")
+    val quant = corpus.select(col(idCol).as("_id"),
+      quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
+    val seeds = broadcast(quant.orderBy(col("_id")).limit(k)
+      .select(col("_id").as("_j"), col("_q").as("_c")))
+    val assigned = quant.crossJoin(seeds)
+      .select(col("_id"), col("_q"), col("_j"), l2SqInt(col("_q"), col("_c")).as("_d"))
+      .groupBy(col("_id"))
+      .agg(min(struct(col("_d"), col("_j"))).getField("_j").as("cluster"),
+        first(col("_q")).as("_q"))
+    val a = assigned.select(col("cluster"), col("_id").as("id_a"), col("_q").as("_qa"))
+    val b = assigned.select(col("cluster"), col("_id").as("id_b"), col("_q").as("_qb"))
+    val dupPairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        dotInt8(col("_qa"), col("_qb")).as("_dp"),
+        dotInt8(col("_qa"), col("_qa")).as("_na2"),
+        dotInt8(col("_qb"), col("_qb")).as("_nb2"))
+      .filter(col("_dp") > 0 &&
+        col("_dp") * col("_dp") * lit(thrDen.toLong * thrDen) >=
+          lit(thrNum.toLong * thrNum) * col("_na2") * col("_nb2"))
+      .select(col("cluster"), col("id_a"), col("id_b"))
+    val dropped = dupPairs.select(col("id_b").as("_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    val marked = assigned
+      .join(dropped, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cluster"),
+        coalesce(col("_dropped"), lit(false)).as("dropped"))
+    (marked, dupPairs)
+  }
 }

@@ -37,6 +37,22 @@ object TrainingData {
                    numerator: Int, denominator: Int): DataFrame =
     df.filter(hashBucket(key, denominator) < numerator)
 
+  /** Per-stratum deterministic sampling: keep a row iff its hash bucket
+    * (of `denominator`) is below its stratum's numerator — different
+    * sampling rates per group (the domain/language rebalancing move in
+    * every pretraining mix) while staying a STATELESS per-row filter: no
+    * shuffle, no per-group state, pushdown-friendly, and the kept set for
+    * a stratum never changes when other strata's rates do. Strata absent
+    * from `fractions` get `defaultNumerator` (0 = drop). */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Seq[(String, Int)], denominator: Int,
+                       defaultNumerator: Int = 0): DataFrame = {
+    val num = fractions.foldLeft(lit(defaultNumerator)) {
+      case (acc, (s, n)) => when(stratum === s, n).otherwise(acc)
+    }
+    df.filter(hashBucket(key, denominator) < num)
+  }
+
   /** Assign each row a train/val/test split by hash percentile of its key.
     * Adding rows later never moves an existing row between splits. */
   def assignSplit(df: DataFrame, key: Column, trainPct: Int, valPct: Int,

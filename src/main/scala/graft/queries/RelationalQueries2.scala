@@ -373,7 +373,61 @@ object RelationalQueries2 {
       .orderBy($"o_orderkey")
   }
 
+  // q100: incremental aggregate maintenance — the snapshot (orders before
+  // 1997) is reduced to per-key partials ONCE, then the 1997+ delta's
+  // partials are merged in by re-summing. The plan shows the shape that
+  // matters at 100 TB: the delta scan carries a pushed o_orderdate filter,
+  // history contributes only |keys| partial rows, and nothing rescans the
+  // full fact table. The oracle recomputes from scratch over ALL orders —
+  // incremental ≡ full IS the correctness contract. Decimal partial sums
+  // merge exactly (q1 money discipline); the final cast to double happens
+  // once, after the merge.
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir).orders
+    val cut = lit("1997-01-01").cast("timestamp")
+    def partials(df: DataFrame) = Relational.partialAggs(df, Seq("o_custkey"),
+      "n_orders", Seq("total_dec" -> dec($"o_totalprice")))
+    val snapshot = partials(orders.filter($"o_orderdate" < cut))
+    val delta = partials(orders.filter($"o_orderdate" >= cut))
+    Relational.mergePartialAggs(Seq(snapshot, delta), Seq("o_custkey"),
+        "n_orders", Seq("total_dec"))
+      .select($"o_custkey", $"n_orders".cast("long").as("n_orders"),
+        $"total_dec".cast("double").as("total_price"))
+      .orderBy($"o_custkey")
+  }
+
+  // q103: declarative Bloom-filter semi-join reduction face. Build the bit
+  // set from BUILDING-segment customers (the small side), broadcast it,
+  // and tag every distinct ordering customer with a pure-map membership
+  // probe — the 100 TB pre-filter shape when the exact key set is too wide
+  // to ship but m bits are not. The face buckets probes by key%4 and pins
+  // the structural contracts: no false negatives (every member passes) and
+  // exact false-positive counts per bucket — md5 positions make both
+  // engines compute the identical filter bit-for-bit.
+  def bloomFilterFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Sketches
+    val (m, k) = (65536, 7)
+    val t = Tables(s, dir)
+    val members = t.customer.filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("key")).distinct()
+    val bloom = Sketches.bloomBuild(members, "key", m, k)
+    val probes = t.orders.select($"o_custkey".as("key")).distinct()
+    Sketches.bloomMightContain(probes, "key", bloom, m, k, "bloom_pass")
+      .join(members.withColumn("_member", lit(true)), Seq("key"), "left")
+      .groupBy(($"key" % 4).cast("int").as("kb"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when($"_member", 1L).otherwise(0L)).as("n_members"),
+        sum(when($"bloom_pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when($"bloom_pass" && $"_member".isNull, 1L).otherwise(0L)).as("n_false_pos"),
+        (sum(when($"_member" && !$"bloom_pass", 1L).otherwise(0L)) === 0L).as("no_false_neg"))
+      .orderBy($"kb")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_incremental_agg" -> incrementalAgg _,
+    "q103_bloom_filter" -> bloomFilterFace _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -401,6 +455,31 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_incremental_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q103_bloom_filter" ->
+      """WITH members AS (SELECT DISTINCT c_custkey AS key FROM customer
+        |    WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(t.i || ':' || CAST(key AS VARCHAR)), 1, 6))::BIGINT % 65536 AS bit
+        |  FROM members, range(0, 7) t(i)),
+        |probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |pp AS (SELECT key,
+        |    ('0x' || substr(md5(t.i || ':' || CAST(key AS VARCHAR)), 1, 6))::BIGINT % 65536 AS bit
+        |  FROM probes, range(0, 7) t(i)),
+        |pass AS (SELECT pp.key, (count(b.bit) = 7) AS bloom_pass
+        |  FROM pp LEFT JOIN bits b USING (bit) GROUP BY pp.key),
+        |j AS (SELECT p.key, p.bloom_pass, m.key IS NOT NULL AS member
+        |  FROM pass p LEFT JOIN members m USING (key))
+        |SELECT CAST(key % 4 AS INT) AS kb,
+        |  CAST(count(*) AS BIGINT) AS n_probe,
+        |  CAST(count(*) FILTER (member) AS BIGINT) AS n_members,
+        |  CAST(count(*) FILTER (bloom_pass) AS BIGINT) AS n_pass,
+        |  CAST(count(*) FILTER (bloom_pass AND NOT member) AS BIGINT) AS n_false_pos,
+        |  (count(*) FILTER (member AND NOT bloom_pass) = 0) AS no_false_neg
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_interval_join" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
         |  count(*) AS n_shipped,

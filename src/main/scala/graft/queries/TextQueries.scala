@@ -149,6 +149,51 @@ object TextQueries {
       .orderBy($"exact".desc, $"tok".asc)
   }
 
+  // q102: one BPE-training iteration — corpus-wide adjacent-token-pair
+  // counts, top 30 merge candidates. THE inner loop of tokenizer training:
+  // zip the token array against itself shifted by one (pure codegen HOFs,
+  // no UDF), explode, and one hash aggregate with map-side combine — at
+  // 100 TB the pair space, not the corpus, bounds the shuffle (the
+  // aggregate carries one row per DISTINCT pair per partition). Ordering
+  // (n desc, pair asc) is total, so the top-30 cut is deterministic.
+  def bpePairCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select(PF.tokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc).limit(30)
+  }
+
+  // q104: rare-trigram quality score — the cheap stand-in for LM
+  // perplexity filtering: a document whose character trigrams are mostly
+  // corpus-rare is likely noise/garble. Per-doc DISTINCT trigrams (df
+  // counts document frequency), corpus df via one hash aggregate, then a
+  // per-doc rare ratio reported in exact ppm (n_rare·10⁶ exact below
+  // 2^53; floor of the single IEEE division is engine-identical) — no
+  // float enters the hash.
+  def rareTrigramScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tris = Tables(s, dir).documents
+      .select($"doc_id", lower($"text").as("_txt"))
+      .filter(length($"_txt") >= 3)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), length($"_txt") - 2),
+        i => $"_txt".substr(i, lit(3))))).as("tri"))
+    val dfreq = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
+    tris.join(dfreq, "tri")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select($"doc_id", $"n_tri", $"n_rare",
+        floor($"n_rare" * 1000000.0 / $"n_tri").cast("long").as("rare_ppm"))
+      .orderBy($"doc_id")
+  }
+
   // q60: the reference's T2 accent-strip as a native codegen'd Expression.
   def stripAccentsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -197,7 +242,9 @@ object TextQueries {
     "q60_strip_accents" -> stripAccentsQ _,
     "q61_merge_columns" -> mergeColumnsQ _,
     "q62_date_split" -> dateSplitQ _,
-    "q98_count_min" -> countMinHeavyHitters _
+    "q98_count_min" -> countMinHeavyHitters _,
+    "q102_bpe_pairs" -> bpePairCounts _,
+    "q104_rare_trigram" -> rareTrigramScore _
   )
 
   private val wordsSql =
@@ -221,6 +268,26 @@ object TextQueries {
          |FROM probes p JOIN cells c ON p.k = c.k AND p.bucket = c.bucket
          |GROUP BY p.tok, p.exact
          |ORDER BY p.exact DESC, p.tok ASC""".stripMargin,
+    "q102_bpe_pairs" ->
+      s"""WITH d AS (SELECT $wordsSql AS t FROM documents),
+         |p AS (SELECT t[i] || ' ' || t[i + 1] AS pair
+         |  FROM d, lateral (SELECT unnest(range(1, len(t))) AS i)
+         |  WHERE len(t) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+    "q104_rare_trigram" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents
+        |    WHERE len(lower(text)) >= 3),
+        |tri AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 3) AS tri
+        |  FROM d, lateral (SELECT unnest(range(1, len(txt) - 1)) AS i)),
+        |dfq AS (SELECT tri, count(*) AS df FROM tri GROUP BY tri),
+        |per AS (SELECT doc_id, count(*) AS n_tri,
+        |    count(*) FILTER (df <= 2) AS n_rare
+        |  FROM tri JOIN dfq USING (tri) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+        |  CAST(n_rare AS BIGINT) AS n_rare,
+        |  CAST(floor(n_rare * 1000000.0 / n_tri) AS BIGINT) AS rare_ppm
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q50_token_stats" ->
       s"""WITH d AS (SELECT lang, $wordsSql AS w,
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe

@@ -31,6 +31,20 @@ object TrainingDataQueries {
       .orderBy($"doc_id")
   }
 
+  // q101: stratified sampling — per-language rates (en 20%, fr 50%, de
+  // 80%, es 100%, zh dropped) in ONE stateless per-row filter: the domain
+  // rebalancing move of a pretraining mix with no shuffle and no
+  // per-group state, and each stratum's kept set is independent of every
+  // other stratum's rate. Row-level output: any row wrongly kept/dropped
+  // breaks the hash.
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TD.stratifiedSample(Tables(s, dir).documents, $"lang", $"doc_id",
+        Seq("en" -> 20, "fr" -> 50, "de" -> 80, "es" -> 100), 100)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   // q64: stable train/val/test assignment (80/10/10 by key hash), reported
   // as per-(split, lang) counts — adding documents later never moves an
   // existing one across splits.
@@ -226,6 +240,7 @@ object TrainingDataQueries {
     "q93_repetition_filter" -> repetitionFilter _,
     "q94_domain_mix" -> domainMix _,
     "q63_hash_sample" -> hashSample _,
+    "q101_stratified_sample" -> stratifiedSample _,
     "q64_split_stats" -> splitStats _,
     "q65_class_balance" -> classBalance _,
     "q66_pack_sequences" -> packSequences _,
@@ -315,6 +330,12 @@ object TrainingDataQueries {
          |  CAST(${bucketSql("doc_id", 10000)} AS INT) AS bucket
          |FROM documents
          |WHERE ${bucketSql("doc_id", 10000)} < 1000
+         |ORDER BY doc_id""".stripMargin,
+    "q101_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${bucketSql("doc_id", 100)} <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'fr' THEN 50 WHEN 'de' THEN 80
+         |            WHEN 'es' THEN 100 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
     "q64_split_stats" ->
       s"""WITH b AS (SELECT *, ${bucketSql("doc_id", 100)} AS bkt FROM documents),

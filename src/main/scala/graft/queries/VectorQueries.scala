@@ -174,13 +174,36 @@ object VectorQueries {
       .orderBy($"cluster")
   }
 
+  // q99: SemDeDup-style semantic dedup face — cluster around the 8
+  // smallest-id seed vectors (integer-exact assignment, q91 discipline),
+  // then count near-dup pairs and drops ONLY within clusters. Threshold
+  // 7/20 (cos ≥ 0.35) sits above this synthetic corpus's 99.9th pairwise
+  // percentile so the pair logic actually fires; real corpora would run
+  // the same operator at ~0.95. Per-cluster output: population, dup
+  // pairs, dropped, kept.
+  def semanticDedupFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (marked, pairs) = Similarity.semanticDedup(
+      Tables(s, dir).embeddings, k = 8, thrNum = 7, thrDen = 20)
+    val per = marked.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"))
+    val dpc = pairs.groupBy($"cluster").agg(count(lit(1)).as("dup_pairs"))
+    per.join(dpc, Seq("cluster"), "left")
+      .select($"cluster", $"n_vecs",
+        coalesce($"dup_pairs", lit(0L)).as("dup_pairs"),
+        $"n_dropped", ($"n_vecs" - $"n_dropped").as("n_kept"))
+      .orderBy($"cluster")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute" -> knnBrute _,
     "q41_knn_ivf" -> knnIvf _,
     "q34_embedding_neardup" -> nearDupTopPairs _,
     "q69_lsh_neardup" -> lshNearDup _,
     "q86_knn_quantized" -> knnQuantized _,
-    "q91_kmeans_train" -> kmeansTrain _
+    "q91_kmeans_train" -> kmeansTrain _,
+    "q99_semantic_dedup" -> semanticDedupFace _
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +314,40 @@ object VectorQueries {
         |SELECT c0.j AS cluster, coalesce(s0.n0, 0) AS n0, coalesce(s1.n1, 0) AS n1,
         |  coalesce(s0.moved_out, 0) AS moved_out, coalesce(s0.inertia0, 0) AS inertia0
         |FROM c0 LEFT JOIN s0 ON c0.j = s0.cluster LEFT JOIN s1 ON c0.j = s1.cluster
+        |ORDER BY cluster""".stripMargin,
+    "q99_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+        |  FROM e),
+        |c0 AS (SELECT vec_id AS j, q AS c FROM qt ORDER BY vec_id LIMIT 8),
+        |d0 AS (SELECT qt.vec_id, c0.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qt.q[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qt.q[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM qt, c0),
+        |asg AS (SELECT vec_id, j AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |aq AS (SELECT asg.vec_id, cluster, qt.q FROM asg JOIN qt USING (vec_id)),
+        |pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.q[CAST(i AS INT)] AS DOUBLE) * b.q[CAST(i AS INT)])) AS BIGINT) AS dp,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.q[CAST(i AS INT)] AS DOUBLE) * a.q[CAST(i AS INT)])) AS BIGINT) AS na2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b.q[CAST(i AS INT)] AS DOUBLE) * b.q[CAST(i AS INT)])) AS BIGINT) AS nb2
+        |  FROM aq a JOIN aq b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dup AS (SELECT cluster, id_a, id_b FROM pr
+        |  WHERE dp > 0 AND dp * dp * 400 >= 49 * na2 * nb2),
+        |dropped AS (SELECT DISTINCT id_b FROM dup),
+        |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(count(*) FILTER (vec_id IN (SELECT id_b FROM dropped)) AS BIGINT) AS n_dropped
+        |  FROM asg GROUP BY 1),
+        |dpc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS dup_pairs FROM dup GROUP BY 1)
+        |SELECT per.cluster, per.n_vecs, coalesce(dpc.dup_pairs, 0) AS dup_pairs,
+        |  per.n_dropped, per.n_vecs - per.n_dropped AS n_kept
+        |FROM per LEFT JOIN dpc USING (cluster)
         |ORDER BY cluster""".stripMargin
   )
 }

@@ -100,4 +100,20 @@ class RelationalSpec extends SparkSpec {
       .select($"id").as[Int].collect().toSeq
     assert(out == Seq(1, 2))
   }
+
+  test("partialAggs + mergePartialAggs equals a full recompute (incremental view maintenance)") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 100).map(i => (i % 7, i.toLong, i * 1.5))
+    val df = rows.toDF("k", "n", "x")
+    val (oldHalf, delta) = (df.filter($"n" <= 60), df.filter($"n" > 60))
+    val parts = Seq(oldHalf, delta).map(d =>
+      Relational.partialAggs(d, Seq("k"), "cnt", Seq("sx" -> $"x".cast("decimal(18,2)"))))
+    val merged = Relational.mergePartialAggs(parts, Seq("k"), "cnt", Seq("sx"))
+      .select($"k", $"cnt".cast("long").as("cnt"), $"sx".cast("double").as("sx"))
+      .as[(Int, Long, Double)].collect().toSet
+    val full = df.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"x".cast("decimal(18,2)")).cast("double").as("sx"))
+      .as[(Int, Long, Double)].collect().toSet
+    assert(merged == full)
+  }
 }

@@ -72,4 +72,24 @@ class SimilaritySpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketing must not shuffle:\n$plan")
   }
+
+  test("semanticDedup drops the higher id of each within-cluster near-dup pair, keeps cross-direction pairs") {
+    val a = Seq(10.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 10.0, 0.0, 0.0)
+    val data = Seq(
+      (0L, a),                              // seed / kept
+      (1L, b),                              // seed / kept
+      (2L, a.map(_ * 2.0)),                 // cos 1 with id 0 → dropped
+      (3L, Seq(7.0, 0.0, 7.0, 0.0)),        // cluster 0, cos .707 < 0.95 → kept
+      (4L, b.map(_ * 0.5))                  // cos 1 with id 1 → dropped
+    ).toDF("vec_id", "embedding")
+    val (marked, pairs) = Similarity.semanticDedup(data, k = 2, thrNum = 19, thrDen = 20)
+    val m = marked.select($"vec_id", $"cluster", $"dropped")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L) == ((0L, false)) && m(2L) == ((0L, true)) && m(3L) == ((0L, false)))
+    assert(m(1L) == ((1L, false)) && m(4L) == ((1L, true)))
+    val p = pairs.select($"cluster", $"id_a", $"id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p == Set((0L, 0L, 2L), (1L, 1L, 4L)))
+  }
 }

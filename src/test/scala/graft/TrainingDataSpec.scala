@@ -111,4 +111,20 @@ class TrainingDataSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 200L)))
   }
+
+  test("stratifiedSample: per-stratum rates, absent strata dropped, strata independent") {
+    val df = (1L to 300L).map(i => (i, Seq("A", "B", "C")((i % 3).toInt))).toDF("id", "g")
+    def kept(fr: Seq[(String, Int)]) =
+      TD.stratifiedSample(df, $"g", $"id", fr, 100)
+        .as[(Long, String)].collect().toSet
+    val k1 = kept(Seq("A" -> 100, "B" -> 50))
+    assert(k1.filter(_._2 == "A").size == 100, "rate 100/100 keeps the whole stratum")
+    assert(k1.forall(_._2 != "C"), "stratum absent from fractions is dropped")
+    val bIds = df.filter($"g" === "B" && TD.hashBucket($"id", 100) < 50)
+      .select($"id").as[Long].collect().toSet
+    assert(k1.filter(_._2 == "B").map(_._1) == bIds, "B keeps exactly its sub-threshold hash buckets")
+    // changing B's rate must not move any A row (stratum independence)
+    val k2 = kept(Seq("A" -> 100, "B" -> 90))
+    assert(k1.filter(_._2 == "A") == k2.filter(_._2 == "A"))
+  }
 }
