@@ -25,9 +25,11 @@ object Dedup {
     * MinHash and Jaccard. Tokenization is materialized in its own
     * projection so the per-shingle lambda doesn't re-split the text. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(col(idCol)) // shuffle raw docs (small) instead of exploded
-                               // shingles; downstream groupBy(id) reuses this
-                               // partitioning with no further exchange
+    Relational.spread(df, col(idCol)) // shuffle raw docs (small) instead of
+                               // exploded shingles; downstream groupBy(id)
+                               // reuses this partitioning with no further
+                               // exchange; explicit count so AQE can't
+                               // coalesce the CPU-heavy shingle stage to 1
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(PF.shinglesFromTokens(col("_toks"), n)).as("shingle"))
 
@@ -230,7 +232,7 @@ object Dedup {
     // shift/mask layout (4 bands × 15 bits).
     require(bits % 4 == 0 && bits <= 60, "bits: multiple of 4, at most 60")
     val nibbles = bits / 4
-    val toks = df.repartition(col(idCol))
+    val toks = Relational.spread(df, col(idCol))
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(array_distinct(col("_toks"))).as("tok"))
     // (doc, pos 1..nibbles, nib 0..15) histogram; Σcnt over nib = token

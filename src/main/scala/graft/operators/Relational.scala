@@ -92,6 +92,17 @@ object Relational {
       .select(col("_row.*"))
   }
 
+  /** Spread rows across the session's full shuffle-partition count, keyed
+    * by `key`. Unlike `repartition(col)` (shuffle origin
+    * REPARTITION_BY_COL), an explicit count is exempt from AQE partition
+    * coalescing — which otherwise sees a byte-small but CPU-heavy stage
+    * (e.g. the documents table before a per-char transform) and
+    * serializes it back through ONE task. Byte size is AQE's only signal;
+    * when the downstream cost is CPU per row, pin the fan-out.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
   /** Incremental materialized-view maintenance for distributive aggregates
     * (count / sum): [[partialAggs]] turns raw rows into per-key partials,
     * [[mergePartialAggs]] folds a new delta's partials into a prior

@@ -60,7 +60,7 @@ object Similarity {
     val q = normalized(queries, qVec, "_qn")
     // spread the corpus side (a single small parquet file arrives as one
     // partition locally; at scale this is a no-op-cost hash exchange)
-    val c = normalized(corpus, cVec, "_cn").repartition(col(cId))
+    val c = Relational.spread(normalized(corpus, cVec, "_cn"), col(cId))
     val joined = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId), pairSim(qVec, cVec).as("sim"))
@@ -195,9 +195,9 @@ object Similarity {
     // comparisons, oracle-reproducible), then the double cast + norm lands.
     val q = normalized(
       queries.withColumn("cell_idx", qIdx).withColumn("cell_sign", qSign), qVec, "_qn")
-    val c = normalized(
-      corpus.withColumn("cell_idx", cIdx).withColumn("cell_sign", cSign), cVec, "_cn")
-      .repartition(col(cId))
+    val c = Relational.spread(normalized(
+      corpus.withColumn("cell_idx", cIdx).withColumn("cell_sign", cSign), cVec, "_cn"),
+      col(cId))
     val joined = c.join(broadcast(q), Seq("cell_idx", "cell_sign"))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId), pairSim(qVec, cVec).as("sim"))

@@ -30,24 +30,40 @@ object Sketches {
         16, 10).cast("long") % m
     }: _*)
 
-  /** Build the filter: ONE row holding the sorted distinct set bits
-    * (array<long>, ≤ m entries). One scan of `keys` + a tiny hash
-    * distinct; the result is broadcast-sized by construction (m bits ⇒
-    * ≤ m·8 bytes worst case, vs the key set's unbounded width). */
-  def bloomBuild(keys: DataFrame, keyCol: String, m: Int, k: Int): DataFrame =
-    keys.select(explode(bloomPositions(col(keyCol), m, k)).as("_bit"))
+  /** The 64 single-bit masks as a literal array — variable-distance shift
+    * isn't in the Scala Column API, so mask lookup is an O(1) literal-array
+    * index instead. */
+  private val masks: Column = typedLit(Array.tabulate(64)(1L << _).toSeq)
+
+  /** Build the filter: ONE row holding a DENSE bitset (`array<long>` of
+    * m/64 words). One scan of `keys` + a tiny hash distinct/aggregate; the
+    * result is exactly m bits = m/8 bytes broadcast, however wide the key
+    * set. Dense words (not a sorted position list) keep the probe O(1):
+    * a position list would make every probe an O(m) array scan. */
+  def bloomBuild(keys: DataFrame, keyCol: String, m: Int, k: Int): DataFrame = {
+    require(m % 64 == 0, "bloomBuild: m must be a multiple of 64")
+    keys.select(explode(bloomPositions(col(keyCol), m, k)).as("_p"))
       .distinct()
-      .agg(array_sort(collect_list(col("_bit"))).as("bits"))
+      // distinct positions within a word carry distinct masks, so SUM ≡ OR
+      .groupBy(shiftright(col("_p"), 6).cast("int").as("_w"))
+      .agg(sum(element_at(masks, (col("_p") % 64).cast("int") + 1)).as("_m"))
+      .agg(collect_list(struct(col("_w"), col("_m"))).as("_kv"))
+      .select(transform(sequence(lit(0), lit(m / 64 - 1)),
+        w => coalesce(element_at(map_from_entries(col("_kv")), w.cast("int")), lit(0L)))
+        .as("bits"))
+  }
 
   /** Tag each row of `df` with `outCol` = "might the filter contain
-    * keyCol?" — a pure broadcast-map (crossJoin against the 1-row bits
-    * frame, then forall/array_contains over the sorted bit array): no
-    * shuffle of `df`, fully codegen. No false negatives by construction;
-    * false-positive rate ≈ (1 − e^{−kn/m})^k. */
+    * keyCol?" — a pure broadcast-map (crossJoin against the 1-row bitset,
+    * then per position: O(1) word index + mask AND): no shuffle of `df`,
+    * fully codegen. No false negatives by construction; false-positive
+    * rate ≈ (1 − e^{−kn/m})^k. */
   def bloomMightContain(df: DataFrame, keyCol: String, bloom: DataFrame,
                         m: Int, k: Int, outCol: String = "might_contain"): DataFrame =
     df.crossJoin(broadcast(bloom))
       .withColumn(outCol,
-        forall(bloomPositions(col(keyCol), m, k), p => array_contains(col("bits"), p)))
+        forall(bloomPositions(col(keyCol), m, k), p =>
+          element_at(col("bits"), shiftright(p, 6).cast("int") + 1)
+            .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1)) =!= 0L))
       .drop("bits")
 }

@@ -101,7 +101,7 @@ object TextQueries {
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents
-    val toks = docs.repartition($"doc_id")
+    val toks = graft.operators.Relational.spread(docs, $"doc_id")
       .select($"doc_id", $"lang", PF.tokens($"text").as("_toks"))
       .select($"doc_id", $"lang", explode(col("_toks")).as("term"))
     val tf = toks.groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
@@ -171,26 +171,39 @@ object TextQueries {
 
   // q104: rare-trigram quality score — the cheap stand-in for LM
   // perplexity filtering: a document whose character trigrams are mostly
-  // corpus-rare is likely noise/garble. Per-doc DISTINCT trigrams (df
-  // counts document frequency), corpus df via one hash aggregate, then a
-  // per-doc rare ratio reported in exact ppm (n_rare·10⁶ exact below
-  // 2^53; floor of the single IEEE division is engine-identical) — no
-  // float enters the hash.
+  // corpus-rare is likely noise/garble. Rarity is df ≤ 2 — and that bound
+  // IS the scale trick: a trigram with df ≤ 2 lives in at most {min_doc,
+  // max_doc}, so the one df hash-aggregate can carry its owners in two
+  // cheap min/max partials and NOTHING joins back against the exploded
+  // trigram set (the naive dfreq⋈trigrams join re-shuffles the whole
+  // corpus; the rare set itself is the long tail — never broadcastable).
+  // n_tri is a per-row array size, computed before any explode. Ratio in
+  // exact ppm (n_rare·10⁶ < 2^53; floor of the single IEEE division is
+  // engine-identical) — no float enters the hash.
   def rareTrigramScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tris = Tables(s, dir).documents
+    def withTris(df: DataFrame) = df
       .select($"doc_id", lower($"text").as("_txt"))
       .filter(length($"_txt") >= 3)
-      .select($"doc_id", explode(array_distinct(transform(
+      .select($"doc_id", array_distinct(transform(
         sequence(lit(1), length($"_txt") - 2),
-        i => $"_txt".substr(i, lit(3))))).as("tri"))
-    val dfreq = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
-    tris.join(dfreq, "tri")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_rare"))
-      .select($"doc_id", $"n_tri", $"n_rare",
-        floor($"n_rare" * 1000000.0 / $"n_tri").cast("long").as("rare_ppm"))
+        i => $"_txt".substr(i, lit(3)))).as("_tris"))
+    // a single parquet file would otherwise serialize the trigram
+    // transform through one task (q54 discipline: spread by id first)
+    val docs = graft.operators.Relational.spread(Tables(s, dir).documents, $"doc_id")
+    val rarePerDoc = withTris(docs)
+      .select($"doc_id", explode($"_tris").as("tri"))
+      .groupBy($"tri")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("_d1"), max($"doc_id").as("_d2"))
+      .filter($"df" <= 2)
+      .select(explode(when($"_d1" === $"_d2", array($"_d1"))
+        .otherwise(array($"_d1", $"_d2"))).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    withTris(docs)
+      .select($"doc_id", size($"_tris").cast("long").as("n_tri"))
+      .join(rarePerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tri", coalesce($"n_rare", lit(0L)).as("n_rare"),
+        floor(coalesce($"n_rare", lit(0L)) * 1000000.0 / $"n_tri").cast("long").as("rare_ppm"))
       .orderBy($"doc_id")
   }
 
