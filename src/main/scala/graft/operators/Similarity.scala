@@ -237,19 +237,25 @@ object Similarity {
       quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
     val seeds = broadcast(quant.orderBy(col("_id")).limit(k)
       .select(col("_id").as("_j"), col("_q").as("_c")))
+    // squared norm + the double-typed vector view are computed ONCE per
+    // vector here — the pair stage below touches O(Σ|cluster|²) rows and
+    // must do exactly one dot product per pair, nothing per-vector
     val assigned = quant.crossJoin(seeds)
       .select(col("_id"), col("_q"), col("_j"), l2SqInt(col("_q"), col("_c")).as("_d"))
       .groupBy(col("_id"))
       .agg(min(struct(col("_d"), col("_j"))).getField("_j").as("cluster"),
         first(col("_q")).as("_q"))
-    val a = assigned.select(col("cluster"), col("_id").as("id_a"), col("_q").as("_qa"))
-    val b = assigned.select(col("cluster"), col("_id").as("id_b"), col("_q").as("_qb"))
+      .withColumn("_qd", col("_q").cast("array<double>"))
+      .withColumn("_n2", dotInt8(col("_q"), col("_q")))
+    val a = assigned.select(col("cluster"), col("_id").as("id_a"),
+      col("_qd").as("_qa"), col("_n2").as("_na2"))
+    val b = assigned.select(col("cluster"), col("_id").as("id_b"),
+      col("_qd").as("_qb"), col("_n2").as("_nb2"))
     val dupPairs = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
-        dotInt8(col("_qa"), col("_qb")).as("_dp"),
-        dotInt8(col("_qa"), col("_qa")).as("_na2"),
-        dotInt8(col("_qb"), col("_qb")).as("_nb2"))
+        dot(col("_qa"), col("_qb")).cast("long").as("_dp"),
+        col("_na2"), col("_nb2"))
       .filter(col("_dp") > 0 &&
         col("_dp") * col("_dp") * lit(thrDen.toLong * thrDen) >=
           lit(thrNum.toLong * thrNum) * col("_na2") * col("_nb2"))

@@ -254,10 +254,14 @@ object RelationalQueries2 {
     import s.implicits._
     Tables(s, dir).lineitem
       .groupBy($"l_returnflag")
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 2500)").as("_a50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("_a99"))
+      // array-form percentile: ONE value buffer per group serves both
+      // quantiles (two scalar calls would buffer the column twice)
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.99))").as("_px"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 2500)").as("_ax"))
+      .select($"l_returnflag",
+        round($"_px".getItem(0), 6).as("p50_exact"),
+        round($"_px".getItem(1), 6).as("p99_exact"),
+        $"_ax".getItem(0).as("_a50"), $"_ax".getItem(1).as("_a99"))
       .select($"l_returnflag", $"p50_exact", $"p99_exact",
         (abs($"_a50" - $"p50_exact") / $"p50_exact" <= 0.01).as("p50_ok"),
         (abs($"_a99" - $"p99_exact") / $"p99_exact" <= 0.01).as("p99_ok"))

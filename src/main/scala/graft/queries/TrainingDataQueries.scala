@@ -188,7 +188,7 @@ object TrainingDataQueries {
   // rounded to 6 for the hash.
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables(s, dir).documents
+    val toks = graft.operators.Relational.spread(Tables(s, dir).documents, $"doc_id")
       .select($"doc_id",
         filter(split(lower($"text"), " "), t => length(t) > 0).as("t"))
       .filter(size($"t") >= 2)
