@@ -207,6 +207,56 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q105: vocabulary encoding — build the top-1000 token vocab (count
+  // desc, token asc — a total order, so ids are deterministic), broadcast
+  // it, and encode each document's first 30 tokens to ids (OOV → 0). The
+  // 100 TB shape of "apply the tokenizer": vocab is a broadcast map-side
+  // join (never a shuffle of the corpus), order is restored per doc by
+  // sorting the tiny collected (pos, id) list, and the id sequence is
+  // fingerprinted with md5 so any wrong id, order, or OOV decision breaks
+  // the hash.
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.operators.Relational.spread(Tables(s, dir).documents, $"doc_id")
+    val toks = docs.select($"doc_id", posexplode(PF.tokens($"text")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok".asc).limit(1000)
+      .select($"tok", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"tok".asc))
+        .cast("long").as("id"))
+    toks.filter($"pos" < 30)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_enc"),
+        sum(when($"id" === 0L, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
+          e => e.getField("id").cast("string")), ",").cast("binary")).as("ids_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // q106: distribution-drift detection between corpus slices — the
+  // Wilcoxon rank-sum statistic of each source's n_chars against the
+  // rest. Ranks use the average-rank tie convention (rank() + (ties−1)/2
+  // — halves are exact in binary, so rank sums are order-independent and
+  // engine-identical; no float hazard). The global rank window is fine
+  // here because drift runs on the per-document METRIC table (id + one
+  // number — TBs of text reduce to GBs of metrics before this op); a
+  // truly unbounded rank would use a range-partitioned two-pass rank.
+  def rankDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = Tables(s, dir).documents.select($"source", $"n_chars")
+      .withColumn("_rk", rank().over(w.orderBy($"n_chars")))
+      .withColumn("_ties", count(lit(1)).over(w.partitionBy($"n_chars")))
+      .withColumn("_ar", $"_rk" + ($"_ties" - 1) / 2.0)
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"_ar").cast("double").as("r_sum"))
+      .select($"source", $"n", $"r_sum",
+        ($"r_sum" - $"n" * ($"n" + 1) / 2.0).as("u_stat"))
+      .orderBy($"source")
+  }
+
   // q60: the reference's T2 accent-strip as a native codegen'd Expression.
   def stripAccentsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -257,7 +307,9 @@ object TextQueries {
     "q62_date_split" -> dateSplitQ _,
     "q98_count_min" -> countMinHeavyHitters _,
     "q102_bpe_pairs" -> bpePairCounts _,
-    "q104_rare_trigram" -> rareTrigramScore _
+    "q104_rare_trigram" -> rareTrigramScore _,
+    "q105_vocab_encode" -> vocabEncode _,
+    "q106_rank_drift" -> rankDrift _
   )
 
   private val wordsSql =
@@ -301,6 +353,30 @@ object TextQueries {
         |  CAST(n_rare AS BIGINT) AS n_rare,
         |  CAST(floor(n_rare * 1000000.0 / n_tri) AS BIGINT) AS rare_ppm
         |FROM per ORDER BY doc_id""".stripMargin,
+    "q105_vocab_encode" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |toks AS (SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+         |  FROM d, lateral (SELECT unnest(range(1, len(w) + 1)) AS i)),
+         |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |vocab AS (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS id
+         |  FROM vc ORDER BY c DESC, tok ASC LIMIT 1000),
+         |enc AS (SELECT doc_id, pos, coalesce(id, 0) AS id
+         |  FROM toks LEFT JOIN vocab USING (tok) WHERE pos <= 30)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_enc,
+         |  CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_oov,
+         |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q106_rank_drift" ->
+      """WITH c AS (SELECT source, n_chars,
+        |    rank() OVER (ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY n_chars) AS ties
+        |  FROM documents),
+        |r AS (SELECT source, rk + (ties - 1) / 2.0 AS ar FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ar) AS DOUBLE) AS r_sum,
+        |  CAST(sum(ar) - count(*) * (count(*) + 1) / 2.0 AS DOUBLE) AS u_stat
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q50_token_stats" ->
       s"""WITH d AS (SELECT lang, $wordsSql AS w,
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
