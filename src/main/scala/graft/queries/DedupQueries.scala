@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Relational}
+import graft.functions.{ParityFunctions => PF}
 
 /** Deduplication surface: exact order-aware dedup (reference A1),
   * MinHash+LSH fuzzy dedup, SimHash signatures, rare-shingle n-gram
@@ -96,9 +97,36 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  // q107: span-level exact-substring duplication (the Lee et al. 2022
+  // "Deduplicating Training Data" signal, at token-8-gram granularity):
+  // a span duplicated ACROSS documents marks boilerplate/mirrored text
+  // that whole-doc dedup can't see. Per doc: distinct spans, spans shared
+  // with ≥2 docs, and the duplicated share in exact ppm. Scale shape: the
+  // span df aggregate and the join back are BOTH keyed on the span, so
+  // the join reuses the aggregate's hash partitioning (one shuffle of the
+  // span set, no broadcast of an unbounded dup set); production would
+  // hash spans to 128-bit before the shuffle — here they stay raw strings
+  // so the oracle can mirror them.
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Relational.spread(Tables(s, dir).documents, $"doc_id")
+      .select($"doc_id", PF.tokens($"text").as("_toks"))
+      .filter(size($"_toks") >= 8)
+      .select($"doc_id", explode(PF.shinglesFromTokens($"_toks", 8)).as("s"))
+    val df8 = sp.groupBy($"s").agg(count(lit(1)).as("c"))
+    sp.join(df8, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"c" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        floor($"n_dup_spans" * 1000000.0 / $"n_spans").cast("long").as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_dedup_clusters" -> dedupClusters _,
     "q59_dedup_keep_canonical" -> dedupKeepCanonical _,
+    "q107_dup_spans" -> dupSpans _,
     "q30_dedup_lastwins" -> dedupLastWins _,
     "q31_minhash_lsh" -> minhashLsh _,
     "q32_simhash_signatures" -> simhashSignatures _,
@@ -147,6 +175,20 @@ object DedupQueries {
          |  FROM rc GROUP BY src)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q107_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS s
+         |  FROM w WHERE len(w) >= 8),
+         |df8 AS (SELECT s, count(*) AS c FROM sp GROUP BY s),
+         |per AS (SELECT doc_id, count(*) AS n_spans,
+         |    count(*) FILTER (c >= 2) AS n_dup_spans
+         |  FROM sp JOIN df8 USING (s) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+         |  CAST(floor(n_dup_spans * 1000000.0 / n_spans) AS BIGINT) AS dup_ppm
+         |FROM per ORDER BY doc_id""".stripMargin,
     "q58_dedup_clusters" ->
       s"$componentsCte\nSELECT doc_id, component FROM comp ORDER BY doc_id",
     "q59_dedup_keep_canonical" ->
