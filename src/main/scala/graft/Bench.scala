@@ -92,15 +92,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
-    diffVsBaseline(results)
+    // failed queries go into the JSON line too — the baseline-refresh
+    // protocol reads this stdout artifact, and a silently-omitted query
+    // would otherwise vanish from bench_baseline.json on the next refresh
+    val failed = queries.collect { case (n, _) if !samples.contains(n) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s"}""")
+    diffVsBaseline(results, queries.map(_._1).toSet)
     spark.stop()
   }
 
   /** Flag >30% regressions (and >2× improvements) vs bench_baseline.json —
     * a flat {"query": sec} map committed once per round. Stderr only: the
     * driver parses stdout's single JSON line. */
-  private def diffVsBaseline(results: Seq[(String, Double)]): Unit = {
+  private def diffVsBaseline(results: Seq[(String, Double)],
+                             attempted: Set[String]): Unit = {
     val f = new java.io.File("bench_baseline.json")
     if (!f.exists()) return
     val base = scala.util.Try {
@@ -115,5 +121,12 @@ object Bench {
       }
     }
     lines.foreach(System.err.println)
+    // an attempted query that's in the baseline but produced no
+    // measurement is a regression-to-failure — surface it here too, so it
+    // can't evaporate from the comparison (names outside `attempted` were
+    // merely filtered out by the dev-loop arg, not broken)
+    val measured = results.map(_._1).toSet
+    attempted.intersect(base.keySet).diff(measured).toSeq.sorted.foreach(n =>
+      System.err.println(s"[bench-diff] MISSING $n: in bench_baseline.json but produced no measurement this run"))
   }
 }

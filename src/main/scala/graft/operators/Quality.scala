@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * discipline — at 100 TB, one pass vs one-per-check is the difference
   * between a report and a day). Uniqueness adds one hash aggregate (which
   * carries its own row count — no extra scan); foreign-key checks add one
-  * anti-join each plus ONE shared row-count job, materialized eagerly at
-  * report() time iff any FK check is present.
+  * anti-join each plus ONE shared, still-lazy row-count aggregate (all FK
+  * branches union before a single crossJoin against it, so the count scan
+  * appears exactly once in the plan).
   */
 object Quality {
 
@@ -61,11 +62,7 @@ object Quality {
           .select(col("_kv.check").as("check"), col("_kv.violations").as("violations"),
             col("n_rows"))
       }
-    // FK checks share ONE materialized row count (the count() job runs here
-    // iff at least one FK check is present) instead of re-scanning the fact
-    // table once per union branch
-    lazy val nRowsLit = lit(df.count())
-    val extra = checks.collect {
+    val uniques = checks.collect {
       case Unique(n, cols) =>
         // per-key group counts: NULL keys group like values (countDistinct
         // would DROP them and flag every NULL-keyed row as a duplicate);
@@ -74,13 +71,24 @@ object Quality {
           .agg(coalesce(sum(col("_c") - 1), lit(0)).cast("long").as("violations"),
             coalesce(sum(col("_c")), lit(0)).cast("long").as("n_rows"))
           .select(lit(n).as("check"), col("violations"), col("n_rows"))
+    }
+    val fks = checks.collect {
       case ForeignKey(n, keyCol, dim, dimKey, bcast) =>
         val dimKeys = dim.select(col(dimKey).as(keyCol)).distinct()
         df.filter(col(keyCol).isNotNull)
           .join(if (bcast) broadcast(dimKeys) else dimKeys, Seq(keyCol), "left_anti")
           .agg(count(lit(1)).cast("long").as("violations"))
-          .select(lit(n).as("check"), col("violations"), nRowsLit.as("n_rows"))
+          .select(lit(n).as("check"), col("violations"))
     }
-    (base.toSeq ++ extra).reduce(_.unionByName(_)).orderBy(col("check"))
+    // all FK branches union FIRST, then ONE crossJoin against the 1-row
+    // count frame: the count scan appears once in the plan (structural,
+    // like the row-level explode above), stays LAZY (no job at report-
+    // construction time), and never goes stale relative to the plan's
+    // other scans
+    val fkRows =
+      if (fks.isEmpty) None
+      else Some(fks.reduce(_.unionByName(_))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n_rows")))))
+    (base.toSeq ++ uniques ++ fkRows).reduce(_.unionByName(_)).orderBy(col("check"))
   }
 }

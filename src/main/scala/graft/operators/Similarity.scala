@@ -232,7 +232,12 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, k: Int, thrNum: Int, thrDen: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
-    require(k >= 1 && thrDen > 0 && thrNum >= 0, "semanticDedup: bad arguments")
+    // thrDen ≤ 10⁴ keeps dp²·thrDen² ≤ ~3·10⁸·10⁸ ≪ 2^63 for unit-norm
+    // int8 vectors — a finer threshold would silently WRAP in non-ANSI
+    // long multiply and misclassify pairs; thrNum ≤ thrDen because a
+    // cosine threshold above 1 matches nothing
+    require(k >= 1 && thrDen > 0 && thrDen <= 10000 && thrNum >= 0 && thrNum <= thrDen,
+      s"semanticDedup: need 1 <= thrDen <= 10000 and 0 <= thrNum <= thrDen, got $thrNum/$thrDen")
     val quant = corpus.select(col(idCol).as("_id"),
       quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
     val seeds = broadcast(quant.orderBy(col("_id")).limit(k)

@@ -48,9 +48,11 @@ object Sketches {
       .groupBy(shiftright(col("_p"), 6).cast("int").as("_w"))
       .agg(sum(element_at(masks, (col("_p") % 64).cast("int") + 1)).as("_m"))
       .agg(collect_list(struct(col("_w"), col("_m"))).as("_kv"))
+      // "_bloom_bits", not "bits": the probe crossJoins this frame into
+      // arbitrary caller frames, so the carried column must not collide
       .select(transform(sequence(lit(0), lit(m / 64 - 1)),
         w => coalesce(element_at(map_from_entries(col("_kv")), w.cast("int")), lit(0L)))
-        .as("bits"))
+        .as("_bloom_bits"))
   }
 
   /** Tag each row of `df` with `outCol` = "might the filter contain
@@ -63,7 +65,7 @@ object Sketches {
     df.crossJoin(broadcast(bloom))
       .withColumn(outCol,
         forall(bloomPositions(col(keyCol), m, k), p =>
-          element_at(col("bits"), shiftright(p, 6).cast("int") + 1)
+          element_at(col("_bloom_bits"), shiftright(p, 6).cast("int") + 1)
             .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1)) =!= 0L))
-      .drop("bits")
+      .drop("_bloom_bits")
 }

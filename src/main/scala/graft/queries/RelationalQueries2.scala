@@ -320,8 +320,13 @@ object RelationalQueries2 {
     import s.implicits._
     val rowsPerFile = 120L
     // PID in the path: two concurrent JVMs (bench + correctness run) must
-    // not share an overwrite-vs-read scratch dir
-    val out = s"${sys.props("java.io.tmpdir")}/graft_q88_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    // not share an overwrite-vs-read scratch dir. Own dir is removed at
+    // JVM exit (the returned frame reads it lazily, so not before); stale
+    // siblings from crashed runs are swept here so repeated runs can't
+    // accumulate one documents-copy per process in tmpdir.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q88_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
     val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars", $"text")
     val n = docs.count()
     graft.sources.SizedWriter
@@ -669,4 +674,30 @@ object RelationalQueries2 {
         |  GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin
   )
+}
+
+/** q88 scratch-dir hygiene: sweep stale sibling dirs (dead PIDs from
+  * crashed runs) and remove this JVM's own dir at exit — repeated runs
+  * must not accumulate one documents-table copy per process in tmpdir. */
+private[queries] object Q88Scratch {
+  private val registered = scala.collection.mutable.Set.empty[String]
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(): Unit
+  }
+  def sweepAndRegister(prefix: String, own: String): Unit = synchronized {
+    val dir = new java.io.File(prefix).getParentFile
+    val name = new java.io.File(prefix).getName
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.getPath != own &&
+        // dead-PID siblings, plus exact-name dirs from the pre-PID scheme
+        (f.getName == name || (f.getName.startsWith(name + "_p") && {
+          val pid = f.getName.substring(f.getName.lastIndexOf("_p") + 2)
+          pid.toLongOption.exists(p => !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        })))
+      .foreach(f => scala.util.Try(rmTree(f)))
+    if (registered.add(own))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.util.Try(rmTree(new java.io.File(own))): Unit))
+  }
 }
