@@ -434,9 +434,83 @@ object RelationalQueries2 {
       .orderBy($"kb")
   }
 
+  // q108: fuzzy entity matching — blocked edit-distance join, the core of
+  // entity resolution / record linkage. Blocking on the first name token
+  // keeps candidates at Σ|block|² instead of corpus² (the same
+  // sub-quadratic discipline as every dedup op here); levenshtein is a
+  // codegen built-in with identical unit-cost semantics in DuckDB. Top-20
+  // by (distance, ids) — a total order, so the cut is deterministic.
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables(s, dir).part
+      .select($"p_partkey", $"p_name", split($"p_name", " ").getItem(0).as("_blk"),
+        length($"p_name").as("_len"))
+    // the build side broadcasts (20k rows — tiny next to its pair
+    // space), so the join is a pure map with NO shuffle keys to skew —
+    // this corpus's 8-hot-block shape costs nothing. What DID cost: the
+    // probe side arrives as one parquet file = one task, serializing all
+    // 25M candidate pairs through a single core; spread() pins the probe
+    // fan-out (measured 22 s → ~1 s).
+    val a = Relational.spread(
+      parts.select($"_blk", $"p_partkey".as("id_a"), $"p_name".as("name_a"),
+        $"_len".as("_la")), col("p_partkey"))
+    val b = broadcast(
+      parts.select($"_blk", $"p_partkey".as("id_b"), $"p_name".as("name_b"),
+        $"_len".as("_lb")))
+    a.join(b, Seq("_blk"))
+      .filter($"id_a" < $"id_b" && $"name_a" =!= $"name_b" &&
+        // length band is IMPLIED by dist <= 3 — a free pre-cut before the
+        // DP; the thresholded levenshtein then early-abandons (returns -1
+        // past the bound) instead of filling the full matrix per pair
+        abs($"_la" - $"_lb") <= 3)
+      .select($"id_a", $"id_b", $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b", 3).as("dist"))
+      .filter($"dist" >= 0)
+      .orderBy($"dist".asc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+  }
+
+  // q109: equi-width histograms — ANALYZE-style column statistics. Global
+  // min/max come from one broadcast 1-row aggregate; bucketing is pure
+  // INTEGER arithmetic over cents (round(x·100)), so bucket edges are
+  // engine-exact — a double-division bucket could flip a boundary value
+  // between engines. One scan for stats, one for counts.
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"l_extendedprice" * 100, 0).cast("long")
+    val li = Tables(s, dir).lineitem.select($"l_returnflag", cents.as("c"))
+    val stats = li.agg(min($"c").as("_lo"), max($"c").as("_hi"))
+    li.crossJoin(broadcast(stats))
+      .select($"l_returnflag",
+        least(($"c" - $"_lo") * 10 / greatest($"_hi" - $"_lo", lit(1L)), lit(9L))
+          .cast("int").as("bucket"))
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"bucket")
+  }
+
+  // q110: unpivot/melt — the wide→long inverse of q29's pivot, via a
+  // per-row generator (Spark stack ≡ SQL UNION ALL of constants): one
+  // scan however many measures melt.
+  def unpivotOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_finished"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .select($"o_orderpriority", expr(
+        """stack(3, 'n_orders', n_orders, 'n_finished', n_finished,
+          |'n_customers', n_customers) AS (measure, value)""".stripMargin))
+      .orderBy($"o_orderpriority", $"measure")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_incremental_agg" -> incrementalAgg _,
     "q103_bloom_filter" -> bloomFilterFace _,
+    "q108_fuzzy_match" -> fuzzyMatch _,
+    "q109_histogram" -> histogram _,
+    "q110_unpivot" -> unpivotOrders _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -468,6 +542,34 @@ object RelationalQueries2 {
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q108_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin,
+    "q109_histogram" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |st AS (SELECT min(c) AS lo, max(c) AS hi FROM li)
+        |SELECT l_returnflag,
+        |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, measure, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM w
+        |  UNION ALL SELECT o_orderpriority, 'n_finished', n_finished FROM w
+        |  UNION ALL SELECT o_orderpriority, 'n_customers', n_customers FROM w)
+        |ORDER BY o_orderpriority, measure""".stripMargin,
     "q103_bloom_filter" ->
       """WITH members AS (SELECT DISTINCT c_custkey AS key FROM customer
         |    WHERE c_mktsegment = 'BUILDING'),
