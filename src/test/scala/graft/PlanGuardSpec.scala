@@ -95,4 +95,32 @@ class PlanGuardSpec extends SparkSpec {
       assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter in:\n$p")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q99: semantic dedup broadcasts seeds; pair join is a shuffle join, never a cartesian") {
+    val p = planOf("q99_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"seed assignment should be a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair stage degraded to cartesian:\n$p")
+  }
+
+  test("q103: bloom probe is a broadcast map — the probe side is never shuffled before tagging") {
+    val p = planOf("q103_bloom_filter")
+    // the 1-row bitset arrives via BroadcastExchange; a SortMergeJoin
+    // before the forall() probe would mean the probe side shuffled
+    assert(p.contains("BroadcastExchange"), s"bitset not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe side shuffled for the bloom tag:\n$p")
+  }
+
+  test("q108: fuzzy match broadcasts the build side and spreads the probe side") {
+    val p = planOf("q108_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast block join:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"probe side must carry the AQE-coalescing-exempt spread:\n$p")
+  }
+
+  test("q100: incremental agg pushes both date filters to the scans (no full-history rescan)") {
+    val p = planOf("q100_incremental_agg")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      s"date filters not pushed to the orders scans:\n$p")
+  }
 }
