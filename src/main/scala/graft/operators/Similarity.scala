@@ -238,8 +238,12 @@ object Similarity {
     // cosine threshold above 1 matches nothing
     require(k >= 1 && thrDen > 0 && thrDen <= 10000 && thrNum >= 0 && thrNum <= thrDen,
       s"semanticDedup: need 1 <= thrDen <= 10000 and 0 <= thrNum <= thrDen, got $thrNum/$thrDen")
-    val quant = corpus.select(col(idCol).as("_id"),
-      quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
+    // spread before quantization + the k-way assignment fan-out: a
+    // single-file corpus would serialize the map-side work through one
+    // task (and the explicit count is AQE-coalescing-exempt)
+    val quant = Relational.spread(corpus, col(idCol))
+      .select(col(idCol).as("_id"),
+        quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
     val seeds = broadcast(quant.orderBy(col("_id")).limit(k)
       .select(col("_id").as("_j"), col("_q").as("_c")))
     // squared norm + the double-typed vector view are computed ONCE per

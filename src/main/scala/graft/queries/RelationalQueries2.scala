@@ -505,7 +505,33 @@ object RelationalQueries2 {
       .orderBy($"o_orderpriority", $"measure")
   }
 
+  // q111: JSON-lines source/sink round trip — format coverage beyond
+  // parquet/JDBC/HTTP, on the q88 pattern: write documents as JSONL, read
+  // them BACK with an explicit schema (inference would both cost a scan
+  // and weaken the contract), and fingerprint per lang; the oracle
+  // profiles the ORIGINAL table, so any row/field mangled by JSON
+  // escaping (newlines, quotes, non-ASCII — all present in this corpus)
+  // breaks the hash.
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q111_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+    docs.write.mode("overwrite").json(out)
+    s.read.schema("doc_id long, lang string, n_chars long, text string").json(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min(md5($"text".cast("binary"))).as("md5_min"),
+        max(md5($"text".cast("binary"))).as("md5_max"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct_md5"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q100_incremental_agg" -> incrementalAgg _,
     "q103_bloom_filter" -> bloomFilterFace _,
     "q108_fuzzy_match" -> fuzzyMatch _,
@@ -755,6 +781,11 @@ object RelationalQueries2 {
         |SELECT z >> 14 AS z_bucket, count(*) AS n,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q111_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q88_sized_write_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,

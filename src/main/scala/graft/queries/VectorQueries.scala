@@ -137,7 +137,10 @@ object VectorQueries {
   def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 8
-    val quant = Tables(s, dir).embeddings
+    // spread before the per-row quantization + k-way distance fan-out —
+    // the single-file embeddings table would otherwise run one task
+    val quant = graft.operators.Relational
+      .spread(Tables(s, dir).embeddings, $"vec_id")
       .select($"vec_id", Similarity.quantizeInt8($"embedding".cast("array<double>")).as("q"))
     val c0 = quant.filter($"vec_id" < k).select($"vec_id".as("j"), $"q".as("c"))
     val a0 = quant.crossJoin(broadcast(c0))
