@@ -30,7 +30,15 @@ object GraftFunctions {
     }
 }
 
-/** `SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()` */
+/** `SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()`
+  * (or `spark.sql.extensions=graft.GraftExtensions`): injects the custom
+  * SQL functions AND the optimizer rules
+  * ([[graft.plans.LevenshteinBandRule]] — auto-derives the length-band
+  * predicate implied by edit-distance filters so it can be pushed below
+  * the candidate-pair join). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(e)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+  }
 }
