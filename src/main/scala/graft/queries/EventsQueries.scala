@@ -151,7 +151,34 @@ object EventsQueries {
     counts.orderBy($"step")
   }
 
+  // q112: corrupt-record robustness — a deterministic subset of the JSON
+  // props (event_id % 7 == 0) is mangled with a leading garbage prefix,
+  // then parsed permissively. The oracle never parses JSON at all: it
+  // KNOWS the corruption set arithmetically, so the face asserts Spark's
+  // null-on-malformed semantics exactly partition the rows — no valid
+  // row fails to parse, no corrupt row "parses". That contract (bad
+  // records become NULLs to count/quarantine, never job failures) is
+  // what keeps a 100 TB ingest running when 0.01% of upstream is trash.
+  def corruptJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type", $"event_id",
+        when($"event_id" % 7 === 0, concat(lit("corrupt{"), $"props"))
+          .otherwise($"props").as("p"))
+      .select($"event_type", from_json($"p",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"), $"p")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"m".isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+        sum(when($"m".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"m".isNotNull, length($"p")).otherwise(0)).cast("long").as("parsed_bytes"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
     "q72_session_windows" -> sessionWindows _,
@@ -163,6 +190,13 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q112_corrupt_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (event_id % 7 <> 0) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) FILTER (event_id % 7 = 0) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN len(props) ELSE 0 END) AS BIGINT)
+        |    AS parsed_bytes
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q95_resample_ffill" ->
       """WITH b AS (
         |  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
