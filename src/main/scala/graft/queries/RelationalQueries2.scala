@@ -530,7 +530,32 @@ object RelationalQueries2 {
       .orderBy($"lang")
   }
 
+  // q113: ORC source/sink round trip — the third columnar-format leg
+  // (parquet native everywhere, JSONL in q111). Same contract shape:
+  // read-back must match the original table's per-lang fingerprint, and
+  // the ORC scan gets a pushed filter (lang <> '') to keep the format's
+  // predicate-pushdown path exercised too.
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q113_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    Tables(s, dir).documents
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter($"lang" =!= "")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min(md5($"text".cast("binary"))).as("md5_min"),
+        max(md5($"text".cast("binary"))).as("md5_max"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct_md5"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_orc_roundtrip" -> orcRoundtrip _,
     "q111_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q100_incremental_agg" -> incrementalAgg _,
     "q103_bloom_filter" -> bloomFilterFace _,
@@ -781,6 +806,11 @@ object RelationalQueries2 {
         |SELECT z >> 14 AS z_bucket, count(*) AS n,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q113_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents WHERE lang <> '' GROUP BY lang ORDER BY lang""".stripMargin,
     "q111_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
