@@ -554,7 +554,38 @@ object RelationalQueries2 {
       .orderBy($"lang")
   }
 
+  // q114: CSV round trip — the adversarial format leg: this corpus's
+  // text embeds newlines, quotes, commas, and non-ASCII, so the write
+  // must quote/escape and the read must run multiLine (a record no
+  // longer equals a physical line — which also costs CSV its
+  // splittability: a multiLine file parses in one task per file, the
+  // honest reason bulk pipelines land on parquet/ORC). Fidelity is the
+  // same per-lang fingerprint contract as q88/q111/q113.
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q114_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    Tables(s, dir).documents
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(out)
+    s.read
+      .schema("doc_id long, lang string, n_chars long, text string")
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min(md5($"text".cast("binary"))).as("md5_min"),
+        max(md5($"text".cast("binary"))).as("md5_max"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct_md5"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_csv_roundtrip" -> csvRoundtrip _,
     "q113_orc_roundtrip" -> orcRoundtrip _,
     "q111_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q100_incremental_agg" -> incrementalAgg _,
@@ -806,6 +837,11 @@ object RelationalQueries2 {
         |SELECT z >> 14 AS z_bucket, count(*) AS n,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q114_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q113_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
