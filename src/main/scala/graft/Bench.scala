@@ -16,7 +16,14 @@ import org.apache.spark.sql.SparkSession
   *   - every round visits the queries in a different order, shuffled by a
   *     deterministic seed (SPARK_GRAFT_SEED, default 42; never
   *     Math.random), so host-level interference can't cluster on the same
-  *     alphabetic block in every round.
+  *     alphabetic block in every round;
+  *   - an untimed warm-up runs BEFORE round 1 at the BENCH scale factor
+  *     (not just the sf0.001 entry smoke), so whichever query the shuffle
+  *     places first never absorbs session/JIT/classloader warm-up;
+  *   - queries whose 3-round median lands under 1 s get two extra
+  *     measurements and are scored by a 5-sample median — sub-second
+  *     queries are the most noise-sensitive (a single inflated sample can
+  *     double a 0.6 s median when 2 of 3 rounds are taxed).
   *
   * Optional arg: comma-separated query-name substrings (dev loop).
   */
@@ -35,6 +42,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
@@ -42,9 +50,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/classload warmup on the smallest sf so measured times reflect
-    // execution, not first-query compilation.
+    // JIT/classload warmup: the sf0.001 entry smoke, then a scan-heavy
+    // aggregate at the BENCH scale factor — so the first measured query
+    // (whichever the shuffle picks) pays neither first-query compilation
+    // nor first-touch of the bench-scale parquet files.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    try SparkEntry.q1PricingSummary(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
     import scala.jdk.CollectionConverters._
@@ -53,28 +66,40 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                r: Int): Unit = {
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis - g0) / 1e3
+      if (gc > 0.5) System.err.println(f"[bench-gc] $name%s r$r%d: ${t}%.2fs wall, $gc%.2fs GC")
+      // failed measurements are NOT scored: a regression-to-failure would
+      // otherwise enter its (typically tiny) failure latency as a fast
+      // median and read as a speedup vs baseline
+      if (ok) samples(name) = t :: samples.getOrElse(name, Nil)
+    }
     for (r <- 0 until rounds) {
       val order = new scala.util.Random(seed + r).shuffle(queries)
-      for ((name, fn) <- order) {
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        val gc = (gcMillis - g0) / 1e3
-        if (gc > 0.5) System.err.println(f"[bench-gc] $name%s r$r%d: ${t}%.2fs wall, $gc%.2fs GC")
-        // failed measurements are NOT scored: a regression-to-failure would
-        // otherwise enter its (typically tiny) failure latency as a fast
-        // median and read as a speedup vs baseline
-        if (ok) samples(name) = t :: samples.getOrElse(name, Nil)
-      }
+      for ((name, fn) <- order) measure(name, fn, r)
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // sub-second queries: two extra measurements → 5-sample median. A
+    // short query needs 2 of 3 rounds clean to survive noise; 5 samples
+    // make a single environmental spike per round irrelevant.
+    val subSecond = queries.filter { case (n, _) =>
+      samples.get(n).exists(xs => median(xs) < 1.0)
+    }
+    for (r <- rounds until rounds + 2) {
+      val order = new scala.util.Random(seed + r).shuffle(subSecond)
+      for ((name, fn) <- order) measure(name, fn, r)
     }
     for ((name, _) <- queries if !samples.contains(name))
       System.err.println(s"[bench-fail] $name: all $rounds measurements failed — excluded from results")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -17,19 +17,28 @@ import org.apache.spark.sql.types.IntegerType
   * blocking trick, automated for ANY query in the session.
   *
   * Soundness: `lev <= k ⇒ band <= k`, so rewriting the conjunct
-  * `lev <= k` to `lev <= k AND band <= k` preserves semantics at any
-  * position where the conjunct itself is not negated. The rule therefore
-  * only touches TOP-LEVEL conjuncts of a Filter condition (negations and
-  * disjunctions are left alone), and tags injected predicates so a
-  * re-run never stacks duplicates (the rule is fixed-point-safe).
+  * `lev <= k` to `band <= k AND lev <= k` preserves semantics at any
+  * position where the conjunct itself is not negated — including in 3VL
+  * (null inputs make BOTH the distance bound and the band null, so the
+  * conjunction's null behavior is unchanged), which is why the rewrite is
+  * safe inside ANY join type's condition, not just inner. The rule
+  * touches TOP-LEVEL conjuncts of a Filter condition AND of a Join
+  * condition (negations and disjunctions are left alone) — the Join case
+  * matters because `PushDownPredicates` absorbs a filter sitting above a
+  * join into the join condition in the same optimizer iteration, so the
+  * natural fuzzy-join spelling `a.join(b, levenshtein(x, y) <= k)` never
+  * reaches us as a Filter. Injected bands are deduped by `semanticEquals`
+  * so a re-run never stacks duplicates (the rule is fixed-point-safe).
+  * Bands are PREPENDED so the O(1) length check short-circuits the
+  * conjunction before the O(|a|·|b|) DP runs per surviving pair.
   *
   * Covered shapes (both orientations):
   *   - `levenshtein(a, b) <= k`  /  `k >= levenshtein(a, b)`
   *   - `levenshtein(a, b) <  k`  /  `k >  levenshtein(a, b)`
   *   - `levenshtein(a, b, t) >= 0` (thresholded form returns -1 above t)
   *
-  * Registered via [[GraftExtensions]]:
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Registered via [[graft.GraftExtensions]]:
+  * `spark.sql.extensions=graft.GraftExtensions`.
   */
 object LevenshteinBandRule extends Rule[LogicalPlan] {
 
@@ -52,14 +61,20 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `cond` with every implied band prepended, or None if nothing new. */
+  private def withBands(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    val bands = conjuncts.flatMap(impliedBand)
+      // fixed point: don't re-add a band that's already a conjunct
+      .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+    if (bands.isEmpty) None else Some((bands ++ conjuncts).reduce(And))
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val bands = conjuncts.flatMap(impliedBand)
-        // fixed point: don't re-add a band that's already a conjunct
-        .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
-      if (bands.isEmpty) f
-      else Filter((conjuncts ++ bands).reduce(And), child)
+      withBands(cond).map(Filter(_, child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      withBands(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -453,7 +453,7 @@ object RelationalQueries2 {
     // fan-out (measured 22 s → ~1 s).
     val a = Relational.spread(
       parts.select($"_blk", $"p_partkey".as("id_a"), $"p_name".as("name_a"),
-        $"_len".as("_la")), col("p_partkey"))
+        $"_len".as("_la")), col("id_a"))
     val b = broadcast(
       parts.select($"_blk", $"p_partkey".as("id_b"), $"p_name".as("name_b"),
         $"_len".as("_lb")))
@@ -470,11 +470,43 @@ object RelationalQueries2 {
       .limit(20)
   }
 
+  // q115: the NAIVE fuzzy-join spelling, relied on to be optimized by the
+  // session extension. Unlike q108 (manual length band + thresholded
+  // early-abandon levenshtein), this face writes only what a user would:
+  // first-token blocking plus a bare `levenshtein(a, b) <= 3` conjunct in
+  // the join condition. [[graft.plans.LevenshteinBandRule]] — registered
+  // in the Verify/Bench sessions via [[graft.GraftExtensions]] — injects
+  // the implied |len(a)−len(b)| <= 3 band as the FIRST conjunct, so the
+  // O(|a|·|b|) DP runs only on length-compatible pairs (PlanGuardSpec
+  // pins the injected band and its short-circuit position). This proves
+  // the optimizer extension in the correctness gate itself, not only in
+  // unit specs: if the rule mis-rewrote, the hash would break.
+  def fuzzyJoinNaive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables(s, dir).part
+      .select($"p_partkey", $"p_name", split($"p_name", " ").getItem(0).as("blk"))
+    val a = Relational.spread(
+      parts.select($"blk".as("_blk_a"), $"p_partkey".as("id_a"),
+        $"p_name".as("name_a")), col("id_a"))
+    val b = broadcast(
+      parts.select($"blk".as("_blk_b"), $"p_partkey".as("id_b"),
+        $"p_name".as("name_b")))
+    a.join(b, $"_blk_a" === $"_blk_b" && $"id_a" < $"id_b" &&
+        $"name_a" =!= $"name_b" && levenshtein($"name_a", $"name_b") <= 3)
+      .groupBy($"_blk_a".as("blk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"id_a").as("n_left"),
+        min(levenshtein($"name_a", $"name_b")).as("min_dist"))
+      .orderBy($"blk")
+  }
+
   // q109: equi-width histograms — ANALYZE-style column statistics. Global
   // min/max come from one broadcast 1-row aggregate; bucketing is pure
-  // INTEGER arithmetic over cents (round(x·100)), so bucket edges are
-  // engine-exact — a double-division bucket could flip a boundary value
-  // between engines. One scan for stats, one for counts.
+  // INTEGER arithmetic over cents (round(x·100)) with explicit integer
+  // division (`div`, matching DuckDB's `//` since the numerator is
+  // non-negative), so bucket edges are integer-exact by construction at
+  // any operand magnitude — a double-division bucket could flip a
+  // boundary value between engines. One scan for stats, one for counts.
   def histogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = round($"l_extendedprice" * 100, 0).cast("long")
@@ -482,7 +514,7 @@ object RelationalQueries2 {
     val stats = li.agg(min($"c").as("_lo"), max($"c").as("_hi"))
     li.crossJoin(broadcast(stats))
       .select($"l_returnflag",
-        least(($"c" - $"_lo") * 10 / greatest($"_hi" - $"_lo", lit(1L)), lit(9L))
+        least(expr("((c - _lo) * 10) div greatest(_hi - _lo, 1L)"), lit(9L))
           .cast("int").as("bucket"))
       .groupBy($"l_returnflag", $"bucket")
       .agg(count(lit(1)).as("n"))
@@ -591,6 +623,7 @@ object RelationalQueries2 {
     "q100_incremental_agg" -> incrementalAgg _,
     "q103_bloom_filter" -> bloomFilterFace _,
     "q108_fuzzy_match" -> fuzzyMatch _,
+    "q115_fuzzy_join_naive" -> fuzzyJoinNaive _,
     "q109_histogram" -> histogram _,
     "q110_unpivot" -> unpivotOrders _,
     "q74_interval_join" -> intervalJoin _,
@@ -633,6 +666,15 @@ object RelationalQueries2 {
         |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin,
+    "q115_fuzzy_join_naive" ->
+      """WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.blk AS blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.p_partkey) AS BIGINT) AS n_left,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+        | AND levenshtein(a.p_name, b.p_name) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_histogram" ->
       """WITH li AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),

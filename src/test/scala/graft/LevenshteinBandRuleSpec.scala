@@ -38,6 +38,36 @@ class LevenshteinBandRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule injects the band into Join conditions — direct and filter-above-join shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val l = Seq("kitten", "red", "ab").toDF("x")
+    val r = Seq("sitting", "read", "xyzzyxy").toDF("y")
+    // direct spelling: the user writes the bound in the join condition
+    val direct = l.join(r, levenshtein($"x", $"y") <= 2).queryExecution.analyzed
+    val rewritten = LevenshteinBandRule(direct).toString
+    assert(rewritten.contains("abs((length(") && rewritten.contains(") <= 2"),
+      s"no band in the direct join condition:\n$rewritten")
+    // filter-above-join: PushDownPredicates absorbs the filter into the
+    // join condition in the same optimizer iteration BEFORE injected rules
+    // run — so by the time our rule sees the plan there is no Filter node
+    // left, only a Join carrying the levenshtein conjunct. (Plan built on
+    // a bare context without our extension so the optimizer output shows
+    // the pre-rule shape.)
+    val absorbed = l.crossJoin(r).filter(levenshtein($"x", $"y") <= 2)
+      .queryExecution.optimizedPlan
+    val preCond = absorbed.collectFirst { case Join(_, _, _, Some(c), _) => c }
+    assert(preCond.isDefined, s"expected the filter absorbed into a join:\n$absorbed")
+    val banded = LevenshteinBandRule(absorbed)
+    val cond = banded.collectFirst { case Join(_, _, _, Some(c), _) => c }.get.toString
+    assert(cond.contains("abs((length("), s"no band in the absorbed join condition:\n$cond")
+    // the band is PREPENDED: the O(1) length check short-circuits before the DP
+    assert(cond.indexOf("abs((length(") < cond.indexOf("levenshtein"),
+      s"band must precede the levenshtein conjunct for short-circuit:\n$cond")
+    // fixed point holds for the Join case too
+    assert(LevenshteinBandRule(banded).toString == banded.toString,
+      "rule must not stack duplicate bands in join conditions")
+  }
+
   test("extension-registered session plans the band and returns identical results") {
     val Sf = "/root/testdata/sf0.001"
     // parquet-backed, not a LocalRelation — the local-relation optimizer

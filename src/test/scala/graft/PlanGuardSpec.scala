@@ -118,6 +118,22 @@ class PlanGuardSpec extends SparkSpec {
       s"probe side must carry the AQE-coalescing-exempt spread:\n$p")
   }
 
+  test("q115: the extension injects the length band into the naive fuzzy join, short-circuit first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q115_fuzzy_join_naive")(spark, Sf)
+    // the session registers GraftExtensions (SparkSpec mirrors Verify/
+    // Bench), so the naive `levenshtein <= 2` join conjunct must come out
+    // of the optimizer with the implied |Δlen| <= 2 band prepended
+    val cond = df.queryExecution.optimizedPlan.collectFirst {
+      case j: Join if j.condition.exists(_.toString.contains("levenshtein")) =>
+        j.condition.get.toString
+    }
+    assert(cond.isDefined, "no join carrying the levenshtein conjunct in the optimized plan")
+    assert(cond.get.contains("abs((length("), s"band not injected:\n${cond.get}")
+    assert(cond.get.indexOf("abs((length(") < cond.get.indexOf("levenshtein"),
+      s"band must short-circuit before the DP:\n${cond.get}")
+  }
+
   test("q100: incremental agg pushes both date filters to the scans (no full-history rescan)") {
     val p = planOf("q100_incremental_agg")
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
