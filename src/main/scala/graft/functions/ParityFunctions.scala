@@ -52,12 +52,26 @@ object ParityFunctions {
     * in the lambda re-runs the split. `slice` keeps it to one array
     * reference per shingle.
     */
-  def shinglesFromTokens(ts: Column, n: Int): Column = {
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    array_distinct(shingleSeq(ts, n))
+
+  /** All n-token shingles IN ORDER (duplicates kept). When per-row
+    * n-gram arrays run to HUNDREDS of elements (char trigrams — q104),
+    * explode this raw sequence and dedup with a `.distinct()` aggregate:
+    * feeding `array_distinct(...)` as a generator input measured ~12×
+    * slower there than the identical expression in a plain projection,
+    * and after `spread(df, id)` the distinct aggregate is partition-local
+    * (`HashPartitioning(id)` satisfies the (id, shingle) clustering — no
+    * exchange, and downstream `groupBy(id)` stays exchange-free). For
+    * ~50-token word shingles the trade INVERTS (A/B-measured 15-25%
+    * slower): the O(n²) per-row distinct is cheap at n≈50 and beats
+    * per-row hash-table inserts — use [[shinglesFromTokens]] there. */
+  def shingleSeq(ts: Column, n: Int): Column = {
     val cnt = size(ts) - (n - 1)
     // Guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark.
     when(cnt >= 1,
-      array_distinct(transform(sequence(lit(1), cnt),
-        i => array_join(slice(ts, i, lit(n)), " "))))
+      transform(sequence(lit(1), cnt),
+        i => array_join(slice(ts, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 

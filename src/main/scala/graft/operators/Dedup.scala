@@ -31,6 +31,11 @@ object Dedup {
                                // exchange; explicit count so AQE can't
                                // coalesce the CPU-heavy shingle stage to 1
       .select(col(idCol), PF.tokens(col(textCol)).as("_toks"))
+      // fused array_distinct is fine HERE: ~50-token docs make the O(n²)
+      // per-row distinct cheap, and A/B showed a distinct-aggregate
+      // variant 15-25% SLOWER (hash-table inserts cost more than 2.5k
+      // string compares). Char-trigram-scale arrays (hundreds of
+      // elements) are the opposite — see PF.shingleSeq and q104.
       .select(col(idCol), explode(PF.shinglesFromTokens(col("_toks"), n)).as("shingle"))
 
   /** MinHash signatures: for hash function i, `min(md5(i || ':' || shingle))`.

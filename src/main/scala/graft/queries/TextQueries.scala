@@ -177,30 +177,49 @@ object TextQueries {
   // cheap min/max partials and NOTHING joins back against the exploded
   // trigram set (the naive dfreq⋈trigrams join re-shuffles the whole
   // corpus; the rare set itself is the long tail — never broadcastable).
-  // n_tri is a per-row array size, computed before any explode. Ratio in
-  // exact ppm (n_rare·10⁶ < 2^53; floor of the single IEEE division is
-  // engine-identical) — no float enters the hash.
+  // Ratio in exact ppm (n_rare·10⁶ < 2^53; floor of the single IEEE
+  // division is engine-identical) — no float enters the hash.
+  //
+  // Two measured scale choices (sf0.1, median-of-3):
+  //   - Per-doc dedup happens in a DISTINCT aggregate over exploded raw
+  //     instances, NOT as `explode(array_distinct(transform(...)))`: a
+  //     generator whose input expression carries array_distinct ran ~12×
+  //     slower than the same expression in a plain projection (4.1 s vs
+  //     0.3 s here — the fused Generate re-pays the O(n²) distinct), and
+  //     the distinct aggregate collapses map-side anyway because spread()
+  //     colocates each doc's trigrams, so the exchange ships only the
+  //     already-distinct (doc, trik) longs. n_tri falls out of the same
+  //     distinct frame (count per doc) — the old shape paid the whole
+  //     trigram transform a second time just to take size(_tris).
+  //   - The df aggregate — the suite's one high-cardinality shuffle —
+  //     keys on xxhash64 of the trigram, not the trigram itself: nothing
+  //     downstream ever reads the string back, so an 8-byte codegen'd
+  //     long key shrinks hash-table entries and shuffle rows. 64-bit
+  //     collisions are birthday-bounded at n²/2⁶⁵ over the ≤|charset|³
+  //     trigram space (~5e-9 here), and a collision merges exactly two
+  //     trigrams' df — an acceptable wobble for a quality-score
+  //     heuristic, traded for the smaller shuffle.
   def rareTrigramScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def withTris(df: DataFrame) = df
-      .select($"doc_id", lower($"text").as("_txt"))
-      .filter(length($"_txt") >= 3)
-      .select($"doc_id", array_distinct(transform(
-        sequence(lit(1), length($"_txt") - 2),
-        i => $"_txt".substr(i, lit(3)))).as("_tris"))
     // a single parquet file would otherwise serialize the trigram
     // transform through one task (q54 discipline: spread by id first)
     val docs = graft.operators.Relational.spread(Tables(s, dir).documents, $"doc_id")
-    val rarePerDoc = withTris(docs)
-      .select($"doc_id", explode($"_tris").as("tri"))
-      .groupBy($"tri")
+    val dt = docs
+      .select($"doc_id", lower($"text").as("_txt"))
+      .filter(length($"_txt") >= 3)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), length($"_txt") - 2),
+        i => $"_txt".substr(i, lit(3)))).as("tri"))
+      .select($"doc_id", xxhash64($"tri").as("trik"))
+      .distinct()
+    val rarePerDoc = dt
+      .groupBy($"trik")
       .agg(count(lit(1)).as("df"), min($"doc_id").as("_d1"), max($"doc_id").as("_d2"))
       .filter($"df" <= 2)
       .select(explode(when($"_d1" === $"_d2", array($"_d1"))
         .otherwise(array($"_d1", $"_d2"))).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
-    withTris(docs)
-      .select($"doc_id", size($"_tris").cast("long").as("n_tri"))
+    dt.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n_tri"))
       .join(rarePerDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tri", coalesce($"n_rare", lit(0L)).as("n_rare"),
         floor(coalesce($"n_rare", lit(0L)) * 1000000.0 / $"n_tri").cast("long").as("rare_ppm"))
