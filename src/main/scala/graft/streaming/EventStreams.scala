@@ -214,66 +214,137 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hconf = spark.sparkContext.hadoopConfiguration
-        // Path() normalizes trailing slashes, so getParent/getName are safe
-        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
-        // SIBLING of the sink (never a child — string concat on a
-        // trailing-slash sinkDir would stage INSIDE the sink and the swap
-        // would delete the staged copy together with the sink)
-        val tmpPath = new org.apache.hadoop.fs.Path(
-          sinkPath.getParent, sinkPath.getName + ".graft-tmp")
-        val marker = new org.apache.hadoop.fs.Path(
-          sinkPath.getParent, sinkPath.getName + ".graft-commit")
-        val fs = sinkPath.getFileSystem(hconf)
-        def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-          require(fs.rename(src, dst), s"upsertParquetSink: rename $src -> $dst failed")
-        // Crash recovery, marker-based: the marker file means "tmp is the
-        // committed truth" — it is created only AFTER tmp holds the full
-        // merge and removed only AFTER tmp has been promoted. So: marker +
-        // tmp → finish the promotion (the sink may be absent or partially
-        // deleted); marker without tmp → the promotion completed, only the
-        // marker removal was lost.
-        //
-        // SCOPE: this protocol is crash-safe where directory rename is
-        // atomic (local FS, HDFS). On object stores (S3A renames are
-        // copy-then-delete) a crash mid-rename can leave BOTH copies
-        // partial — raw-parquet merge cannot be made atomic there; use a
-        // transactional table format for that deployment.
-        if (fs.exists(marker)) {
-          if (fs.exists(tmpPath)) {
-            fs.delete(sinkPath, true)
-            renameOrDie(tmpPath, sinkPath)
-          }
-          fs.delete(marker, false)
-        }
-        // A sink dir that exists but holds no files (operator pre-created
-        // the mount point) bootstraps like an absent one; any OTHER read
-        // failure (corrupt part file, transient FS error) must propagate —
-        // swallowing it would merge against an empty target and the swap
-        // would silently discard every previously merged row.
-        val sinkHasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty
-        val target =
-          if (sinkHasData) spark.read.parquet(sinkDir)
-          else spark.createDataFrame(
+        // no batch-id guard: the merge is idempotent by construction
+        // (replayed keys just re-take the same last-wins row)
+        stagedRewrite(spark, sinkDir, batchId = None) { targetOpt =>
+          val target = targetOpt.getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop(seqCol).schema)
-        val targetCols = batch.columns.filterNot(_ == seqCol)
-        val merged = Relational.upsert(
-          target.select(targetCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
-          batch, Seq(key), org.apache.spark.sql.functions.col(seqCol))
-        // commit protocol: stage full merge → marker → delete sink →
-        // promote → unmark. Every crash window either predates the marker
-        // (sink untouched, stale tmp is discarded next run) or is covered
-        // by the marker recovery above.
-        fs.delete(tmpPath, true)
-        merged.write.parquet(tmpPath.toString)
-        fs.create(marker, true).close()
-        fs.delete(sinkPath, true)
-        renameOrDie(tmpPath, sinkPath)
-        fs.delete(marker, false)
-        ()
+            batch.drop(seqCol).schema))
+          val targetCols = batch.columns.filterNot(_ == seqCol)
+          Relational.upsert(
+            target.select(targetCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+            batch, Seq(key), org.apache.spark.sql.functions.col(seqCol))
+        }
       }
       .start()
+  }
+
+  /** Streaming incremental-aggregate sink: per micro-batch, reduce the
+    * batch to per-key partials ([[Relational.partialAggs]]) and re-sum
+    * them into the parquet snapshot ([[Relational.mergePartialAggs]]) —
+    * the streaming face of q100's snapshot+delta maintenance, under the
+    * same staged-commit protocol as [[upsertParquetSink]]. History is
+    * never rescanned: each batch moves |batch| rows in and |keys| rows
+    * through the rewrite.
+    *
+    * Unlike the upsert sink, re-summing is NOT naturally idempotent — a
+    * replayed micro-batch would double-count — so commits carry the batch
+    * id in a `_graft_batchid` file inside the sink (underscore-prefixed:
+    * invisible to parquet readers) and a batch ≤ the last committed id is
+    * skipped. This binds the sink to ONE checkpoint lineage: pointing a
+    * fresh checkpoint (batch ids restart at 0) at an existing sink is
+    * treated as a replay, exactly the Structured Streaming contract that
+    * (checkpoint, sink) move together.
+    */
+  def incrementalAggParquetSink(stream: DataFrame, sinkDir: String,
+                                keys: Seq[String], cntCol: String,
+                                sums: Seq[(String, org.apache.spark.sql.Column)],
+                                checkpointDir: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = Relational.partialAggs(batch, keys, cntCol, sums)
+        stagedRewrite(spark, sinkDir, batchId = Some(batchId)) {
+          case Some(snapshot) =>
+            Relational.mergePartialAggs(Seq(snapshot, delta), keys, cntCol, sums.map(_._1))
+          case None => delta
+        }
+      }
+      .start()
+  }
+
+  /** Shared staged-commit rewrite for the parquet merge sinks: read the
+    * current sink, compute its full replacement via `merge` (None when the
+    * sink is absent/empty), stage to a sibling tmp dir, swap atomically.
+    *
+    * Crash recovery, marker-based: the marker file means "tmp is the
+    * committed truth" — it is created only AFTER tmp holds the full merge
+    * and removed only AFTER tmp has been promoted. So: marker + tmp →
+    * finish the promotion (the sink may be absent or partially deleted);
+    * marker without tmp → the promotion completed, only the marker removal
+    * was lost.
+    *
+    * `batchId`, when given, makes replays no-ops: the id is committed
+    * WITH the data (written into tmp before the marker, so it promotes
+    * atomically with the merge) and a call whose id is ≤ the committed id
+    * returns without touching the sink.
+    *
+    * SCOPE: crash-safe where directory rename is atomic (local FS, HDFS).
+    * On object stores (S3A renames are copy-then-delete) a crash
+    * mid-rename can leave BOTH copies partial — raw-parquet merge cannot
+    * be made atomic there; use a transactional table format for that
+    * deployment.
+    */
+  private def stagedRewrite(spark: SparkSession, sinkDir: String,
+                            batchId: Option[Long])
+                           (merge: Option[DataFrame] => DataFrame): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // Path() normalizes trailing slashes, so getParent/getName are safe
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    // SIBLING of the sink (never a child — string concat on a
+    // trailing-slash sinkDir would stage INSIDE the sink and the swap
+    // would delete the staged copy together with the sink)
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      sinkPath.getParent, sinkPath.getName + ".graft-tmp")
+    val marker = new org.apache.hadoop.fs.Path(
+      sinkPath.getParent, sinkPath.getName + ".graft-commit")
+    val fs = sinkPath.getFileSystem(hconf)
+    def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"stagedRewrite: rename $src -> $dst failed")
+    if (fs.exists(marker)) {
+      if (fs.exists(tmpPath)) {
+        fs.delete(sinkPath, true)
+        renameOrDie(tmpPath, sinkPath)
+      }
+      fs.delete(marker, false)
+    }
+    val idFile = new org.apache.hadoop.fs.Path(sinkPath, "_graft_batchid")
+    def committedId: Option[Long] =
+      if (!fs.exists(idFile)) None
+      else {
+        val in = fs.open(idFile)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    if (batchId.exists(id => committedId.exists(id <= _))) return
+    // A sink dir that exists but holds no files (operator pre-created
+    // the mount point) bootstraps like an absent one; any OTHER read
+    // failure (corrupt part file, transient FS error) must propagate —
+    // swallowing it would merge against an empty target and the swap
+    // would silently discard every previously merged row.
+    val sinkHasData = fs.exists(sinkPath) &&
+      fs.listStatus(sinkPath).exists(!_.getPath.getName.startsWith("_"))
+    val merged = merge(if (sinkHasData) Some(spark.read.parquet(sinkDir)) else None)
+    // commit protocol: stage full merge (+ batch id) → marker → delete
+    // sink → promote → unmark. Every crash window either predates the
+    // marker (sink untouched, stale tmp is discarded next run) or is
+    // covered by the marker recovery above.
+    fs.delete(tmpPath, true)
+    merged.write.parquet(tmpPath.toString)
+    batchId.foreach { id =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_graft_batchid"), true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    fs.create(marker, true).close()
+    fs.delete(sinkPath, true)
+    renameOrDie(tmpPath, sinkPath)
+    fs.delete(marker, false)
+    ()
   }
 
   /** The reference's EP2 sink semantics (J1 + W1): per micro-batch, drop

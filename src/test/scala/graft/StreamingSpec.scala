@@ -104,6 +104,40 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("incrementalAggParquetSink: partials merge across micro-batches ≡ full recompute; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_incagg").toString
+    val sink = s"$tmp/sink"
+    val sums = Seq("total_dec" -> col("value").cast("decimal(18,2)"))
+    def evv(id: Long, user: Long, v: Double) = Event(id, ts(id.toInt), user, "click", v, "{}")
+    val b1 = Seq(evv(1, 1, 10.0), evv(2, 1, 5.0), evv(3, 2, 7.0))
+    val b2 = Seq(evv(4, 1, 2.5), evv(5, 3, 1.0))
+    // two micro-batches through ONE checkpoint lineage — the q100 contract
+    // (incremental ≡ full) asserted against the merged snapshot
+    val mem = MemoryStream[Event]
+    mem.addData(b1: _*)
+    EventStreams.incrementalAggParquetSink(mem.toDF(), sink, Seq("user_id"),
+      "n_events", sums, s"$tmp/cp").awaitTermination()
+    mem.addData(b2: _*)
+    EventStreams.incrementalAggParquetSink(mem.toDF(), sink, Seq("user_id"),
+      "n_events", sums, s"$tmp/cp").awaitTermination()
+    def snapshot() = spark.read.parquet(sink)
+      .select(col("user_id"), col("n_events"), col("total_dec").cast("double"))
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(snapshot() == Seq((1L, 3L, 17.5), (2L, 1L, 7.0), (3L, 1L, 1.0)))
+    // replay: a fresh checkpoint restarts batch ids at 0, so re-running
+    // the full source against the existing sink must be skipped by the
+    // batch-id guard — re-summing is not idempotent and would otherwise
+    // double every count
+    val mem2 = MemoryStream[Event]
+    mem2.addData(b1 ++ b2: _*)
+    EventStreams.incrementalAggParquetSink(mem2.toDF(), sink, Seq("user_id"),
+      "n_events", sums, s"$tmp/cp2").awaitTermination()
+    assert(snapshot() == Seq((1L, 3L, 17.5), (2L, 1L, 7.0), (3L, 1L, 1.0)),
+      "replayed batch must not double-count")
+  }
+
   test("upsertParquetSink recovers a crashed swap from the staged commit") {
     val tmp = Files.createTempDirectory("graft_upsert_rec").toString
     val src = s"$tmp/src"; val sink = s"$tmp/sink"
