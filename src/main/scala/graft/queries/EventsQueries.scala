@@ -177,7 +177,29 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q119: activity-gap detection — the time-series complement of
+  // sessionization: per user, how often consecutive events are more than
+  // an hour apart, and the longest silence. Gap arithmetic runs on
+  // integer epoch MILLIseconds (seconds would differ: Spark's
+  // unix_timestamp truncates sub-second parts where DuckDB's
+  // BIGINT-cast epoch() rounds); ordering ties on equal timestamps
+  // break by event_id, a total order.
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .withColumn("_gap", $"ms" - lag($"ms", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"_gap" > 3600000L, 1L).otherwise(0L)).as("n_gaps_1h"),
+        coalesce(max($"_gap"), lit(0L)).as("max_gap_ms"))
+      .orderBy($"user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_event_gaps" -> eventGaps _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -190,6 +212,14 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q119_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, ms - lag(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS gap FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (gap > 3600000) AS BIGINT) AS n_gaps_1h,
+        |  coalesce(CAST(max(gap) AS BIGINT), 0) AS max_gap_ms
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q112_corrupt_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(*) FILTER (event_id % 7 <> 0) AS BIGINT) AS n_parsed,

@@ -98,6 +98,18 @@ object RelationalQueries2 {
       |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
       |ORDER BY p_partkey""".stripMargin
 
+  // q116: correlated LATERAL join — per-customer top-2 orders, the
+  // "top-N per key as a join" SQL surface (both engines parse the same
+  // text; Spark plans it as a rank-partitioned window, not a per-row
+  // re-scan). (price, orderkey) is a total order → deterministic cut.
+  private val lateralTopkSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   // q42: right outer join (supplier side preserved).
   def rightJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -634,6 +646,7 @@ object RelationalQueries2 {
     "q35_scalar_subquery" -> bySql(Seq("orders"), scalarSubquerySql) _,
     "q36_in_subquery" -> bySql(Seq("orders", "customer"), inSubquerySql) _,
     "q37_exists_subquery" -> bySql(Seq("part", "lineitem"), existsSubquerySql) _,
+    "q116_lateral_topk" -> bySql(Seq("customer", "orders"), lateralTopkSql) _,
     "q38_percentiles" -> percentiles _,
     "q75_approx_percentile" -> approxPercentiles _,
     "q78_zorder_locality" -> zorderLocality _,
@@ -764,6 +777,7 @@ object RelationalQueries2 {
     "q35_scalar_subquery" -> scalarSubquerySql,
     "q36_in_subquery" -> inSubquerySql,
     "q37_exists_subquery" -> existsSubquerySql,
+    "q116_lateral_topk" -> lateralTopkSql,
     "q42_right_join" ->
       """SELECT s_suppkey, s_name, count(l_orderkey) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume

@@ -314,7 +314,53 @@ object TextQueries {
       .orderBy($"o_orderkey")
   }
 
+  // q117: inverted-index build — the search-infrastructure face of the
+  // text surface: token → document frequency + posting-list fingerprint.
+  // One (doc, token) row per distinct token per doc (fused array_distinct
+  // is right here — ~50-token arrays, see shingleSeq), one token-keyed
+  // shuffle builds every posting list; at 100 TB that shuffle IS how
+  // index segments shard by term. The posting list is sorted before
+  // fingerprinting, so the md5 is order-independent; top-200 by
+  // (df desc, tok) is a total order.
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Relational.spread(Tables(s, dir).documents, $"doc_id")
+      .select($"doc_id", explode(array_distinct(PF.tokens($"text"))).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("df"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"),
+        md5(array_join(transform(array_sort(collect_list($"doc_id")),
+          _.cast("string")), ",").cast("binary")).as("postings_md5"))
+      .orderBy($"df".desc, $"tok".asc)
+      .limit(200)
+  }
+
+  // q118: weight-proportional document sampling — longer documents carry
+  // more training signal, so sample with p = min(n_chars, 800)/1000. One
+  // stateless per-row md5 filter (the stratified sampler's recipe):
+  // retry-stable, cluster-size-independent, no RNG state to coordinate,
+  // and bit-identical in the oracle. The per-lang id fingerprint pins the
+  // exact sample membership, not just its size.
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = expr("conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10)")
+      .cast("long") % 1000
+    Tables(s, dir).documents
+      .filter(h < least($"n_chars", lit(800L)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"n_chars").cast("long").as("chars_sampled"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"),
+        md5(array_join(transform(array_sort(collect_list($"doc_id")),
+          _.cast("string")), ",").cast("binary")).as("ids_md5"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_inverted_index" -> invertedIndex _,
+    "q118_weighted_sample" -> weightedSample _,
     "q50_token_stats" -> tokenStats _,
     "q51_quality_score" -> qualityScore _,
     "q52_langid_confusion" -> langIdConfusion _,
@@ -335,6 +381,21 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q117_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS tok FROM documents)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ',')) AS postings_md5
+         |FROM w GROUP BY tok ORDER BY df DESC, tok LIMIT 200""".stripMargin,
+    "q118_weighted_sample" ->
+      """WITH s AS (SELECT * FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |        < least(n_chars, 800))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ',')) AS ids_md5
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_count_min" ->
       s"""WITH toks AS (SELECT unnest($wordsSql) AS tok FROM documents),
          |exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
