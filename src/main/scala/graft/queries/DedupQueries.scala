@@ -123,7 +123,41 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  // q120: the end-to-end training-data prep pipeline — the composition a
+  // 100 TB corpus actually runs, in the order that makes each stage
+  // cheapest for the next: near-dup dedup to canonical docs (MinHash-LSH
+  // + connected components), a quality gate, deterministic stratified
+  // sampling, and a hash-keyed train/val/test split, reported as per
+  // (lang, split) counts plus an exact membership fingerprint. Every
+  // stage is one of this library's operators; the oracle recomputes the
+  // WHOLE pipeline independently (recursive-CTE components + the same
+  // md5 arithmetic), so the hash pins the composed semantics, not each
+  // stage in isolation. The split key is salted ("s:" prefix) so sample
+  // and split buckets are independent — reusing the sample's hash would
+  // funnel every sampled doc into 'train'.
+  def trainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TrainingData
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      .select($"id_a", $"id_b")
+    val canonical = Dedup.keepCanonical(docs, "doc_id", Dedup.connectedComponents(pairs))
+    val gated = canonical.filter($"n_chars" >= 120)
+    val sampled = TrainingData.stratifiedSample(gated, $"lang", $"doc_id",
+      Seq("en" -> 50, "fr" -> 80, "de" -> 100, "es" -> 100),
+      denominator = 100, defaultNumerator = 30)
+    TrainingData.assignSplit(sampled, concat(lit("s:"), $"doc_id"), 80, 10)
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("n_chars"),
+        md5(array_join(transform(array_sort(collect_list($"doc_id")),
+          _.cast("string")), ",").cast("binary")).as("ids_md5"))
+      .orderBy($"lang", $"split")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_training_pipeline" -> trainingPipeline _,
     "q58_dedup_clusters" -> dedupClusters _,
     "q59_dedup_keep_canonical" -> dedupKeepCanonical _,
     "q107_dup_spans" -> dupSpans _,
@@ -196,6 +230,25 @@ object DedupQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
          |ORDER BY doc_id""".stripMargin,
+    "q120_training_pipeline" ->
+      s"""$componentsCte,
+         |canon AS (SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)),
+         |gated AS (SELECT * FROM canon WHERE n_chars >= 120),
+         |samp AS (SELECT * FROM gated
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 <
+         |    CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 80 WHEN 'de' THEN 100
+         |              WHEN 'es' THEN 100 ELSE 30 END),
+         |sp AS (SELECT *, CASE
+         |    WHEN ('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+         |      THEN 'train'
+         |    WHEN ('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90
+         |      THEN 'val'
+         |    ELSE 'test' END AS split FROM samp)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ',')) AS ids_md5
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q30_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
