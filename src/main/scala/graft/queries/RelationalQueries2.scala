@@ -533,6 +533,24 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag", $"bucket")
   }
 
+  // q122: equi-DEPTH histogram (deciles) — the other ANALYZE statistic
+  // next to q109's equi-width buckets: decile boundaries of order value
+  // via ntile over the (price, orderkey) total order, so ties cannot
+  // straddle engines differently. The global window is fine on a METRIC
+  // projection (two columns); at 100 TB the same statistic comes from a
+  // range-partitioned two-pass rank, but the per-decile contract below is
+  // unchanged.
+  def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables(s, dir).orders.select($"o_totalprice", $"o_orderkey")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      .orderBy($"decile")
+  }
+
   // q110: unpivot/melt — the wide→long inverse of q29's pivot, via a
   // per-row generator (Spark stack ≡ SQL UNION ALL of constants): one
   // scan however many measures melt.
@@ -638,6 +656,7 @@ object RelationalQueries2 {
     "q115_fuzzy_join_naive" -> fuzzyJoinNaive _,
     "q109_histogram" -> histogram _,
     "q110_unpivot" -> unpivotOrders _,
+    "q122_equidepth_histogram" -> equiDepthHistogram _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -778,6 +797,13 @@ object RelationalQueries2 {
     "q36_in_subquery" -> inSubquerySql,
     "q37_exists_subquery" -> existsSubquerySql,
     "q116_lateral_topk" -> lateralTopkSql,
+    "q122_equidepth_histogram" ->
+      """WITH t AS (SELECT o_totalprice, o_orderkey,
+        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+        |  FROM orders)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_right_join" ->
       """SELECT s_suppkey, s_name, count(l_orderkey) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume

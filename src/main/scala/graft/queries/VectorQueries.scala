@@ -18,6 +18,37 @@ object VectorQueries {
       s"(sqrt(list_sum(list_transform($a, x -> x * x))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x * x)))), 6)"
 
+  // q121: label-centroid similarity matrix — corpus-level embedding
+  // analytics (class overlap / cluster drift): per-label element-wise
+  // integer sums of int8-quantized vectors, then the pairwise cosine
+  // between label SUM vectors (≡ cosine of the mean vectors — the 1/n
+  // scalars cancel). Everything before the final divide is integer-exact:
+  // per-dim sums ≤ |label|·127, cross products ≤ dim·(|label|·127)² ≪
+  // 2^53, so the one divide/round per pair is a single exactly-rounded
+  // IEEE op — identical in DuckDB. One posexplode shuffle builds every
+  // centroid (k·dim rows out); the k×k pair stage is centroid-sized, not
+  // corpus-sized — the plan a 100 TB corpus needs, since only the
+  // (label, pos) partial sums ever shuffle.
+  def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+      .select($"label", Similarity.quantizeInt8($"embedding".cast("array<double>")).as("_q"))
+    val sums = quant
+      .select($"label", posexplode($"_q").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(sum($"x").as("sx"))
+    val a = sums.select($"label".as("la"), $"pos", $"sx".as("xa"))
+    val b = sums.select($"label".as("lb"), $"pos", $"sx".as("xb"))
+    val dots = a.join(b, Seq("pos")).filter($"la" <= $"lb")
+      .groupBy($"la", $"lb").agg(sum($"xa" * $"xb").as("dot"))
+    val norms = dots.filter($"la" === $"lb").select($"la".as("_l"), $"dot".as("_n2"))
+    dots
+      .join(norms.select($"_l".as("la"), $"_n2".as("_na2")), Seq("la"))
+      .join(norms.select($"_l".as("lb"), $"_n2".as("_nb2")), Seq("lb"))
+      .select($"la", $"lb",
+        round($"dot".cast("double") / (sqrt($"_na2") * sqrt($"_nb2")), 6).as("cos"))
+      .orderBy($"la", $"lb")
+  }
+
   // q40: brute-force top-10 cosine neighbors for query vectors vec_id < 5.
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -201,6 +232,7 @@ object VectorQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_knn_brute" -> knnBrute _,
+    "q121_label_centroid_sim" -> labelCentroidSim _,
     "q41_knn_ivf" -> knnIvf _,
     "q34_embedding_neardup" -> nearDupTopPairs _,
     "q69_lsh_neardup" -> lshNearDup _,
@@ -210,6 +242,20 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_label_centroid_sim" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT label, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q FROM e),
+        |px AS (SELECT label, i AS pos, q[i] AS x FROM qt,
+        |  LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) t),
+        |sums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx FROM px GROUP BY 1, 2),
+        |d AS (SELECT a.label AS la, b.label AS lb, CAST(sum(a.sx * b.sx) AS BIGINT) AS dot
+        |  FROM sums a JOIN sums b USING (pos) WHERE a.label <= b.label GROUP BY 1, 2),
+        |n AS (SELECT la, dot AS n2 FROM d WHERE la = lb)
+        |SELECT d.la, d.lb,
+        |  round(CAST(d.dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+        |FROM d JOIN n na ON na.la = d.la JOIN n nb ON nb.la = d.lb
+        |ORDER BY d.la, d.lb""".stripMargin,
     "q40_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
