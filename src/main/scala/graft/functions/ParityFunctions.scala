@@ -38,6 +38,17 @@ object ParityFunctions {
     struct(start.as("start"), end.as("end"))
   }
 
+  /** Order-independent membership fingerprint of a grouped id column:
+    * md5 over the sorted, comma-joined ids. The cross-engine contract —
+    * DuckDB mirror: `md5(list_aggregate(list_sort(list(id)), 'string_agg',
+    * ','))` — lives HERE in one place; the sort makes the digest
+    * aggregation-order-independent, so it is shuffle-safe. Used by the
+    * sampling/pipeline faces (q117/q118/q120) to pin exact sample
+    * membership, not just counts. */
+  def idsFingerprint(id: Column): Column =
+    md5(array_join(transform(array_sort(collect_list(id)),
+      _.cast("string")), ",").cast("binary"))
+
   /** Whitespace tokenization with lowercasing — shared by the text-analysis
     * and dedup operators. Empty tokens (from repeated spaces) are dropped.
     */

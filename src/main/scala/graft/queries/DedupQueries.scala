@@ -151,8 +151,7 @@ object DedupQueries {
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").cast("long").as("n_chars"),
-        md5(array_join(transform(array_sort(collect_list($"doc_id")),
-          _.cast("string")), ",").cast("binary")).as("ids_md5"))
+        PF.idsFingerprint($"doc_id").as("ids_md5"))
       .orderBy($"lang", $"split")
   }
 

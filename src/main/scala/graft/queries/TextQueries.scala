@@ -330,8 +330,7 @@ object TextQueries {
       .agg(count(lit(1)).as("df"),
         min($"doc_id").as("first_doc"),
         max($"doc_id").as("last_doc"),
-        md5(array_join(transform(array_sort(collect_list($"doc_id")),
-          _.cast("string")), ",").cast("binary")).as("postings_md5"))
+        PF.idsFingerprint($"doc_id").as("postings_md5"))
       .orderBy($"df".desc, $"tok".asc)
       .limit(200)
   }
@@ -344,8 +343,8 @@ object TextQueries {
   // exact sample membership, not just its size.
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = expr("conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10)")
-      .cast("long") % 1000
+    import graft.operators.TrainingData
+    val h = TrainingData.hashBucket($"doc_id", 1000)
     Tables(s, dir).documents
       .filter(h < least($"n_chars", lit(800L)))
       .groupBy($"lang")
@@ -353,8 +352,7 @@ object TextQueries {
         sum($"n_chars").cast("long").as("chars_sampled"),
         min($"doc_id").as("min_doc"),
         max($"doc_id").as("max_doc"),
-        md5(array_join(transform(array_sort(collect_list($"doc_id")),
-          _.cast("string")), ",").cast("binary")).as("ids_md5"))
+        PF.idsFingerprint($"doc_id").as("ids_md5"))
       .orderBy($"lang")
   }
 

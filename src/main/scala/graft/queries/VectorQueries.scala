@@ -23,11 +23,15 @@ object VectorQueries {
   // integer sums of int8-quantized vectors, then the pairwise cosine
   // between label SUM vectors (≡ cosine of the mean vectors — the 1/n
   // scalars cancel). Everything before the final divide is integer-exact:
-  // per-dim sums ≤ |label|·127, cross products ≤ dim·(|label|·127)² ≪
-  // 2^53, so the one divide/round per pair is a single exactly-rounded
-  // IEEE op — identical in DuckDB. One posexplode shuffle builds every
-  // centroid (k·dim rows out); the k×k pair stage is centroid-sized, not
-  // corpus-sized — the plan a 100 TB corpus needs, since only the
+  // per-dim sums ≤ |label|·127 accumulate in long, and the pair-stage
+  // cross products route through DECIMAL(38,0) — a long×long product
+  // would silently WRAP past ~2.4e7 docs per label (non-ANSI), exactly
+  // the population a 100 TB corpus reaches; decimal keeps the dot exact
+  // to 38 digits and merges exactly. The one divide/round per pair is
+  // then a single exactly-rounded IEEE op — identical in DuckDB, whose
+  // BIGINT sums promote to HUGEINT (exact) on the same path. One
+  // posexplode shuffle builds every centroid (k·dim rows out); the k×k
+  // pair stage is centroid-sized, not corpus-sized — only the
   // (label, pos) partial sums ever shuffle.
   def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -39,7 +43,8 @@ object VectorQueries {
     val a = sums.select($"label".as("la"), $"pos", $"sx".as("xa"))
     val b = sums.select($"label".as("lb"), $"pos", $"sx".as("xb"))
     val dots = a.join(b, Seq("pos")).filter($"la" <= $"lb")
-      .groupBy($"la", $"lb").agg(sum($"xa" * $"xb").as("dot"))
+      .groupBy($"la", $"lb")
+      .agg(sum($"xa".cast("decimal(19,0)") * $"xb".cast("decimal(19,0)")).as("dot"))
     val norms = dots.filter($"la" === $"lb").select($"la".as("_l"), $"dot".as("_n2"))
     dots
       .join(norms.select($"_l".as("la"), $"_n2".as("_na2")), Seq("la"))

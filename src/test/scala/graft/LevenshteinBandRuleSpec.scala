@@ -49,22 +49,23 @@ class LevenshteinBandRuleSpec extends SparkSpec {
       s"no band in the direct join condition:\n$rewritten")
     // filter-above-join: PushDownPredicates absorbs the filter into the
     // join condition in the same optimizer iteration BEFORE injected rules
-    // run — so by the time our rule sees the plan there is no Filter node
-    // left, only a Join carrying the levenshtein conjunct. (Plan built on
-    // a bare context without our extension so the optimizer output shows
-    // the pre-rule shape.)
+    // run — so the rule must match Join, not only Filter. The shared spec
+    // session registers GraftExtensions, so this optimizedPlan comes out
+    // with the filter absorbed AND the band already injected by the
+    // session optimizer — which is itself the end-to-end claim; re-running
+    // the rule manually on that output must then be a no-op (fixed point
+    // through the real optimizer pipeline, not just a synthetic plan).
     val absorbed = l.crossJoin(r).filter(levenshtein($"x", $"y") <= 2)
       .queryExecution.optimizedPlan
-    val preCond = absorbed.collectFirst { case Join(_, _, _, Some(c), _) => c }
-    assert(preCond.isDefined, s"expected the filter absorbed into a join:\n$absorbed")
-    val banded = LevenshteinBandRule(absorbed)
-    val cond = banded.collectFirst { case Join(_, _, _, Some(c), _) => c }.get.toString
-    assert(cond.contains("abs((length("), s"no band in the absorbed join condition:\n$cond")
+    val cond = absorbed.collectFirst { case Join(_, _, _, Some(c), _) => c }
+    assert(cond.isDefined, s"expected the filter absorbed into a join:\n$absorbed")
+    assert(cond.get.toString.contains("abs((length("),
+      s"session optimizer did not inject the band into the join condition:\n${cond.get}")
     // the band is PREPENDED: the O(1) length check short-circuits before the DP
-    assert(cond.indexOf("abs((length(") < cond.indexOf("levenshtein"),
-      s"band must precede the levenshtein conjunct for short-circuit:\n$cond")
+    assert(cond.get.toString.indexOf("abs((length(") < cond.get.toString.indexOf("levenshtein"),
+      s"band must precede the levenshtein conjunct for short-circuit:\n${cond.get}")
     // fixed point holds for the Join case too
-    assert(LevenshteinBandRule(banded).toString == banded.toString,
+    assert(LevenshteinBandRule(absorbed).toString == absorbed.toString,
       "rule must not stack duplicate bands in join conditions")
   }
 
