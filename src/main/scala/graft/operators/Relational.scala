@@ -25,6 +25,61 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Equi-depth bucketing (ntile semantics) WITHOUT a single-partition
+    * global sort — the 100 TB replacement for `ntile(k) OVER (ORDER BY
+    * ...)`, whose plan funnels the whole relation through one task.
+    *
+    * Two-pass rank: range-partition on the order columns (so partition p
+    * holds a contiguous value range), rank locally inside each partition,
+    * and add per-partition row-count offsets. The only driver-side state
+    * is one long per partition — bytes, not data. Bucket assignment uses
+    * ntile's EXACT arithmetic — with q = N div k and r = N mod k the
+    * first r buckets hold q+1 rows and the rest q (the tempting identity
+    * `(rank−1)·k DIV N + 1` is NOT ntile: it under-fills the early
+    * buckets and shifts every boundary row up one bucket) — in integer
+    * `DIV` (a double division could flip a boundary row — the q109
+    * lesson).
+    *
+    * The ranged frame is `localCheckpoint()`ed before the two consumers
+    * (count pass, rank pass): range boundaries come from SAMPLING, so two
+    * independent executions could draw different boundaries and the
+    * offsets would not match the data they're added to. In production the
+    * checkpoint is the same "materialize the expensive shuffle once"
+    * move, on a durable dir.
+    *
+    * `order` must be a TOTAL order (include a unique tie-breaker):
+    * range partitioning may split equal keys across partitions, and only
+    * a total order makes the global rank well-defined.
+    */
+  def distributedNtile(df: DataFrame, order: Seq[Column], k: Int,
+                       out: String = "bucket"): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total == 0L) return ranged.drop("_pid").withColumn(out, lit(null).cast("int"))
+    val offsets = (0 until parts).map(p =>
+      (p, (0 until p).map(counts.getOrElse(_, 0L)).sum))
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF("_pid", "_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val q = total / k
+    val r = total % k
+    ranged.join(offDf, Seq("_pid"))
+      .withColumn("_grn", row_number().over(w).cast("long") + col("_off"))
+      .withColumn(out,
+        when(col("_grn") <= r * (q + 1),
+          expr(s"CAST((_grn - 1) DIV ${q + 1} AS INT) + 1"))
+        // max(q,1) only guards the dead branch when N < k (then every
+        // rank satisfies the first predicate)
+        .otherwise(expr(
+          s"CAST($r + (_grn - 1 - ${r * (q + 1)}) DIV ${math.max(q, 1L)} AS INT) + 1")))
+      .drop("_pid", "_off", "_grn")
+  }
+
   /** Idempotent-insert filter: drop batch rows whose key already exists
     * (reference J1, `spark_streaming.py:77-84`). `broadcastExisting` should
     * be true whenever the existing-key set fits an executor (at 100 TB the

@@ -245,6 +245,32 @@ object RelationalQueries2 {
       .limit(10)
   }
 
+  // q123: TPC-H Q5-style local-supplier revenue — the 6-way join
+  // composite, the join-REORDER face next to q57's 3-way Q3: region and
+  // nation broadcast, customer⋈orders⋈lineitem carry the mass, and the
+  // supplier join's extra residual (s_nationkey = n_nationkey, the
+  // "local supplier" constraint) rides the same hash join. Catalyst's
+  // reorder + AQE pick the physical order; the plan guard pins that no
+  // pair of fact tables meets without a key. Money through the q1/q57
+  // decimal discipline.
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.region.filter($"r_name" === "ASIA")
+      .join(t.nation, $"r_regionkey" === $"n_regionkey")
+      .join(t.customer, $"n_nationkey" === $"c_nationkey")
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey" &&
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
   // quantile_cont) over 2-decimal data.
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -534,18 +560,19 @@ object RelationalQueries2 {
   }
 
   // q122: equi-DEPTH histogram (deciles) — the other ANALYZE statistic
-  // next to q109's equi-width buckets: decile boundaries of order value
-  // via ntile over the (price, orderkey) total order, so ties cannot
-  // straddle engines differently. The global window is fine on a METRIC
-  // projection (two columns); at 100 TB the same statistic comes from a
-  // range-partitioned two-pass rank, but the per-decile contract below is
-  // unchanged.
+  // next to q109's equi-width buckets, over the (price, orderkey) total
+  // order so ties cannot straddle engines differently. Buckets come from
+  // [[Relational.distributedNtile]] — a range-partitioned two-pass rank,
+  // NOT `ntile() OVER (ORDER BY ...)`, whose plan funnels the whole
+  // relation through ONE task (the oracle keeps the ntile spelling —
+  // the operator reproduces ntile's exact ragged-bucket arithmetic, and
+  // PlanGuardSpec pins that no single-partition window survives here).
   def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-    Tables(s, dir).orders.select($"o_totalprice", $"o_orderkey")
-      .withColumn("decile", ntile(10).over(w))
-      .groupBy($"decile")
+    val deciled = Relational.distributedNtile(
+      Tables(s, dir).orders.select($"o_totalprice", $"o_orderkey"),
+      Seq($"o_totalprice", $"o_orderkey"), 10, out = "decile")
+    deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n"),
         min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
       .orderBy($"decile")
@@ -680,6 +707,7 @@ object RelationalQueries2 {
     "q49_range_frame" -> rangeFrame _,
     "q56_posexplode" -> posExplode _,
     "q57_tpch_q3" -> tpchQ3 _,
+    "q123_tpch_q5" -> tpchQ5 _,
     "q43_setops_all" -> setOpsAll _,
     "q44_to_date_multiformat" -> toDateMultiFormat _
   )
@@ -862,6 +890,19 @@ object RelationalQueries2 {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q123_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q45_salted_join" ->
       """SELECT s_name, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume

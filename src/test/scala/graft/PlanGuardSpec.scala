@@ -134,6 +134,34 @@ class PlanGuardSpec extends SparkSpec {
       s"band must short-circuit before the DP:\n${cond.get}")
   }
 
+  test("q123: the 6-way Q5 join plans hash joins only — no cartesian, no nested loop on facts") {
+    val p = planOf("q123_tpch_q5")
+    assert(!p.contains("CartesianProduct"), s"Q5 degraded to a cartesian:\n$p")
+    // region/nation are broadcastable dims; customer⋈orders⋈lineitem must
+    // all meet on keys (a key-less fact-fact meet would nest-loop)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join in Q5:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"key-less join in Q5:\n$p")
+  }
+
+  test("q116: lateral top-k plans as a window group-limit, not a per-row re-scan") {
+    val p = planOf("q116_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), s"lateral not rewritten to group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral degraded to cartesian:\n$p")
+  }
+
+  test("q122: equi-depth deciles plan NO single-partition global sort/window") {
+    val p = planOf("q122_equidepth_histogram")
+    assert(!p.contains("SinglePartition"),
+      s"distributedNtile must not funnel the relation through one task:\n$p")
+  }
+
+  test("q117/q120/q121: pipeline and vector faces plan no cartesian products") {
+    for (q <- Seq("q117_inverted_index", "q120_training_pipeline", "q121_label_centroid_sim")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+    }
+  }
+
   test("q100: incremental agg pushes both date filters to the scans (no full-history rescan)") {
     val p = planOf("q100_incremental_agg")
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,

@@ -101,6 +101,24 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(1, 2))
   }
 
+  test("distributedNtile == ntile for non-divisible N, and survives empty input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // N=107, k=10: first 7 buckets get 11 rows, the rest 10 — the ragged
+    // case where a wrong bucket identity shows; values deliberately
+    // unsorted and with near-ties broken by the id column
+    val rows = (1 to 107).map(i => ((i * 37) % 50, i))
+    val df = rows.toDF("v", "id")
+    val viaOp = Relational.distributedNtile(df, Seq($"v", $"id"), 10, "b")
+      .select($"v", $"id", $"b").as[(Int, Int, Int)].collect().toSet
+    val viaNtile = df.withColumn("b", ntile(10).over(Window.orderBy($"v", $"id")))
+      .select($"v", $"id", $"b").as[(Int, Int, Int)].collect().toSet
+    assert(viaOp == viaNtile)
+    val empty = Relational.distributedNtile(
+      df.filter($"v" < -1), Seq($"v", $"id"), 10, "b")
+    assert(empty.count() == 0 && empty.columns.contains("b"))
+  }
+
   test("partialAggs + mergePartialAggs equals a full recompute (incremental view maintenance)") {
     import org.apache.spark.sql.functions._
     val rows = (1 to 100).map(i => (i % 7, i.toLong, i * 1.5))
