@@ -53,31 +53,47 @@ object Relational {
     */
   def distributedNtile(df: DataFrame, order: Seq[Column], k: Int,
                        out: String = "bucket"): DataFrame = {
+    require(k > 0, s"distributedNtile: k must be positive, got $k " +
+      "(fail fast — Spark's own ntile(0) rejects at analysis, and a " +
+      "negative k would emit garbage buckets after paying the shuffle)")
+    // temp names must not clobber caller columns (the round-4 join-helper
+    // collision bug class): pick the first free suffix
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n) && n != out).get
+    val (pidC, offC, grnC) = (fresh("_pid"), fresh("_off"), fresh("_grn"))
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn(pidC, spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+    val counts = ranged.groupBy(col(pidC)).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // row_number() is IntegerType: a partition past 2^31 rows would wrap
+    // BEFORE the long cast and silently corrupt buckets — refuse loudly;
+    // the fix at that scale is more range partitions, not bigger ints
+    require(counts.values.forall(_ <= Int.MaxValue),
+      s"distributedNtile: a range partition holds more than 2^31 rows " +
+        s"(max ${counts.values.max}); raise spark.sql.shuffle.partitions " +
+        s"(currently $parts) so per-partition ranks fit row_number()")
     val total = counts.values.sum
-    if (total == 0L) return ranged.drop("_pid").withColumn(out, lit(null).cast("int"))
+    if (total == 0L) return ranged.drop(pidC).withColumn(out, lit(null).cast("int"))
     val offsets = (0 until parts).map(p =>
       (p, (0 until p).map(counts.getOrElse(_, 0L)).sum))
     val offDf = broadcast(
-      df.sparkSession.createDataFrame(offsets).toDF("_pid", "_off"))
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      df.sparkSession.createDataFrame(offsets).toDF(pidC, offC))
+    val w = Window.partitionBy(col(pidC)).orderBy(order: _*)
     val q = total / k
     val r = total % k
-    ranged.join(offDf, Seq("_pid"))
-      .withColumn("_grn", row_number().over(w).cast("long") + col("_off"))
+    ranged.join(offDf, Seq(pidC))
+      .withColumn(grnC, row_number().over(w).cast("long") + col(offC))
       .withColumn(out,
-        when(col("_grn") <= r * (q + 1),
-          expr(s"CAST((_grn - 1) DIV ${q + 1} AS INT) + 1"))
+        when(col(grnC) <= r * (q + 1),
+          expr(s"CAST(($grnC - 1) DIV ${q + 1} AS INT) + 1"))
         // max(q,1) only guards the dead branch when N < k (then every
         // rank satisfies the first predicate)
         .otherwise(expr(
-          s"CAST($r + (_grn - 1 - ${r * (q + 1)}) DIV ${math.max(q, 1L)} AS INT) + 1")))
-      .drop("_pid", "_off", "_grn")
+          s"CAST($r + ($grnC - 1 - ${r * (q + 1)}) DIV ${math.max(q, 1L)} AS INT) + 1")))
+      .drop(pidC, offC, grnC)
   }
 
   /** Idempotent-insert filter: drop batch rows whose key already exists

@@ -57,6 +57,24 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("distributedNtile == ntile over random (N, k) incl. N < k and heavy ties") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the ragged-bucket space: N mod k != 0 is where a wrong bucket
+    // identity shows (caught one already — see Relational.distributedNtile)
+    val cases = samples(Gen.zip(Gen.choose(1, 200), Gen.choose(1, 12)), 8)
+    cases.foreach { case (n, k) =>
+      // values drawn from a SMALL domain so range partitions split ties
+      val df = (1 to n).map(i => ((i * 31) % 7, i)).toDF("v", "id")
+      val viaOp = Relational.distributedNtile(df, Seq($"v", $"id"), k, "b")
+        .select($"id", $"b").as[(Int, Int)].collect().toMap
+      val viaNtile = df
+        .withColumn("b", ntile(k).over(Window.orderBy($"v", $"id")))
+        .select($"id", $"b").as[(Int, Int)].collect().toMap
+      assert(viaOp == viaNtile, s"mismatch at N=$n k=$k")
+    }
+  }
+
   test("idempotent append invariant: re-appending the same batch adds nothing") {
     samples(Gen.listOfN(20, Gen.choose(0L, 15L)), 6).foreach { keys =>
       val existing = Seq.empty[Long].toDF("k")

@@ -117,6 +117,15 @@ class RelationalSpec extends SparkSpec {
     val empty = Relational.distributedNtile(
       df.filter($"v" < -1), Seq($"v", $"id"), 10, "b")
     assert(empty.count() == 0 && empty.columns.contains("b"))
+    // caller columns named like the operator's temps must survive intact
+    val clash = df.withColumn("_pid", $"id" * 2).withColumn("_grn", $"id" * 3)
+    val kept = Relational.distributedNtile(clash, Seq($"v", $"id"), 10, "b")
+      .select($"id", $"_pid", $"_grn").as[(Int, Int, Int)].collect()
+    assert(kept.forall { case (id, p, g) => p == id * 2 && g == id * 3 },
+      "temp-name collision clobbered caller columns")
+    intercept[IllegalArgumentException] {
+      Relational.distributedNtile(df, Seq($"v", $"id"), 0, "b")
+    }
   }
 
   test("partialAggs + mergePartialAggs equals a full recompute (incremental view maintenance)") {
