@@ -61,6 +61,31 @@ object RelationalQueries2 {
       .orderBy($"doc_id")
   }
 
+  // q124: map-function battery — the MapType complement of q27's array
+  // battery: per-document token→count maps built with map_from_entries,
+  // then probed with element_at, filtered with map_filter, and reduced
+  // over map_values. Map iteration order is engine-arbitrary, so every
+  // map-derived aggregate goes through an order-insensitive form (size,
+  // sum, sorted-key fingerprint) — the only way map results can
+  // hash-compare across engines.
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ParityFunctions => PF}
+    val counts = Tables(s, dir).documents
+      .select($"doc_id", explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    counts.groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"tok", $"c"))).as("m"))
+      .select($"doc_id",
+        size(map_keys($"m")).cast("long").as("n_keys"),
+        element_at($"m", "the").as("the_cnt"),
+        size(map_filter($"m", (_, v) => v >= 2L)).cast("long").as("n_repeated"),
+        md5(array_join(array_sort(map_keys(map_filter($"m", (_, v) => v >= 3L))), ",")
+          .cast("binary")).as("heavy_md5"),
+        aggregate(map_values($"m"), lit(0L), (acc, v) => acc + v).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -684,6 +709,7 @@ object RelationalQueries2 {
     "q109_histogram" -> histogram _,
     "q110_unpivot" -> unpivotOrders _,
     "q122_equidepth_histogram" -> equiDepthHistogram _,
+    "q124_map_funcs" -> mapFuncs _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -825,6 +851,19 @@ object RelationalQueries2 {
     "q36_in_subquery" -> inSubquerySql,
     "q37_exists_subquery" -> existsSubquerySql,
     "q116_lateral_topk" -> lateralTopkSql,
+    "q124_map_funcs" ->
+      """WITH c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  max(CASE WHEN tok = 'the' THEN c END) AS the_cnt,
+        |  CAST(count(*) FILTER (c >= 2) AS BIGINT) AS n_repeated,
+        |  md5(coalesce(array_to_string(list_sort(list(tok) FILTER (c >= 3)), ','), ''))
+        |    AS heavy_md5,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q122_equidepth_histogram" ->
       """WITH t AS (SELECT o_totalprice, o_orderkey,
         |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
