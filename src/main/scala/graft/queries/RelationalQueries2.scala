@@ -71,7 +71,14 @@ object RelationalQueries2 {
   def mapFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{ParityFunctions => PF}
-    val counts = Tables(s, dir).documents
+    // Both aggregates key on doc_id (the second on a strict subset of the
+    // first's keys), so one up-front spread by doc_id makes BOTH
+    // partition-local: HashPartitioning(doc_id) satisfies the
+    // (doc_id, tok) clustering, and the wide collect_list stage never
+    // re-shuffles its struct rows. Also pins the fan-out of the
+    // CPU-heavy tokenize+explode (byte-small input, q104's AQE finding).
+    val counts = graft.operators.Relational
+      .spread(Tables(s, dir).documents.select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", explode(PF.tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     counts.groupBy($"doc_id")
