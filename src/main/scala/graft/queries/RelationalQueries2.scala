@@ -93,6 +93,70 @@ object RelationalQueries2 {
       .orderBy($"doc_id")
   }
 
+  // q125: bucketed co-located join — the storage-layout answer to the
+  // shuffle question. Both sides are written as bucketed tables on the
+  // join key (16 buckets here; at 100 TB you size buckets so one bucket
+  // ≈ one task's memory and use the same count on every table that joins
+  // on this key), so the sort-merge join reads pre-hashed files and
+  // needs NO Exchange on either side — the layout replaces the shuffle,
+  // which is the only way a recurring fact⋈fact join survives daily runs
+  // at scale. PlanGuardSpec pins the exchange-free join subtree; the
+  // merge hints keep AQE from demoting the face to a broadcast join at
+  // this toy scale. External-table paths (PID-suffixed scratch, swept
+  // like q88's) keep concurrent bench/verify JVMs apart.
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pid = ProcessHandle.current().pid()
+    def scratch(tag: String): String = {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+      val out = s"${base}_p$pid"
+      Q88Scratch.sweepAndRegister(base, out)
+      out
+    }
+    val (tO, tC) = (s"q125_orders_p$pid", s"q125_customer_p$pid")
+    Tables(s, dir).orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .option("path", scratch("q125o")).saveAsTable(tO)
+    Tables(s, dir).customer.select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .option("path", scratch("q125c")).saveAsTable(tC)
+    s.table(tO).hint("merge")
+      .join(s.table(tC).hint("merge"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("total_price"),
+        countDistinct($"o_custkey").as("n_buyers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  // q126: partitioned write + partition-pruned read — directory-level
+  // data skipping. Documents land partitioned by lang; the read-back
+  // filter lang IN ('en','fr') must prune at PLANNING time (the scan's
+  // PartitionFilters — de/es/zh directories are never listed into the
+  // scan), which at 100 TB is the difference between reading 2/5 of the
+  // corpus and all of it. The spec asserts every input file of the
+  // result sits under a lang=en/ or lang=fr/ directory; the oracle
+  // profiles the ORIGINAL table under the same filter, so a row lost or
+  // mangled by the partitioned round trip breaks the hash.
+  def partitionPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q126_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    Tables(s, dir).documents.select($"doc_id", $"source", $"n_chars", $"text", $"lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter($"lang".isin("en", "fr"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min(md5($"text".cast("binary"))).as("md5_min"),
+        max(md5($"text".cast("binary"))).as("md5_max"))
+      .orderBy($"lang", $"source")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -717,6 +781,8 @@ object RelationalQueries2 {
     "q110_unpivot" -> unpivotOrders _,
     "q122_equidepth_histogram" -> equiDepthHistogram _,
     "q124_map_funcs" -> mapFuncs _,
+    "q125_bucketed_join" -> bucketedJoin _,
+    "q126_partition_pruning" -> partitionPrunedRead _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -776,6 +842,18 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q125_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q126_partition_pruning" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+        |FROM documents WHERE lang IN ('en','fr')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q110_unpivot" ->
       """WITH w AS (SELECT o_orderpriority,
         |    CAST(count(*) AS BIGINT) AS n_orders,

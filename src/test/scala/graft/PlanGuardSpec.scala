@@ -167,4 +167,46 @@ class PlanGuardSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
       s"date filters not pushed to the orders scans:\n$p")
   }
+
+  test("q125: bucketed join runs exchange-free — the layout replaces the shuffle") {
+    val df = SparkEntry.queries("q125_bucketed_join")(spark, Sf)
+    df.collect() // materialize so AQE (if on) settles on the final plan
+    val full = df.queryExecution.executedPlan.toString
+    // AQE's toString appends the pre-execution "== Initial Plan ==" after
+    // the final plan — only the final plan's shape is under test
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    val join = p.indexOf("SortMergeJoin")
+    assert(join >= 0, s"bucketed join did not plan as sort-merge:\n$p")
+    // the tree prints parents first: the aggregate/sort exchanges above
+    // the join are legal, but ANY Exchange printed after the join line
+    // sits below it — i.e. a side still shuffled and the bucket layout
+    // went unused
+    assert(p.lastIndexOf("Exchange") < join,
+      s"bucketed join still shuffles a side — bucket layout not used:\n$p")
+  }
+
+  test("q126: lang filter prunes partitions — only en/fr directories are ever read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q126_partition_pruning")(spark, Sf)
+    // df.inputFiles reports the relation PRE-pruning; ask the scan's own
+    // FileIndex what survives its partition filters — exactly the file
+    // set the executed scan reads
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_q126")) => f
+    }
+    assert(scans.nonEmpty, "no scan over the partitioned scratch dir in the plan")
+    val files = scans.flatMap(f =>
+      f.relation.location.listFiles(f.partitionFilters, f.dataFilters))
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty, "partition-filtered listing is empty")
+    val offending = files.filterNot(f => f.contains("lang=en") || f.contains("lang=fr"))
+    assert(offending.isEmpty,
+      s"scan reads pruned partitions: ${offending.take(3).mkString(", ")}")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "lang filter did not become a partition filter")
+  }
 }
