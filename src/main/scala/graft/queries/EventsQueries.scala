@@ -198,8 +198,76 @@ object EventsQueries {
       .orderBy($"user_id")
   }
 
+  // q128: burst dedup — the event-log form of near-dup removal: within
+  // each (user, event_type), an event arriving ≤ 60 s after its
+  // predecessor is a duplicate of the burst, not a new action (double
+  // clicks, retry storms, at-least-once replays). One lag() per keyed
+  // window; gap arithmetic on integer epoch millis (q119's recipe);
+  // collect_list skips nulls, so the conditional id fingerprint hashes
+  // exactly the kept set — mirrored by FILTER on DuckDB's list().
+  def burstDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ParityFunctions => PF}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ms", $"event_id")
+    Tables(s, dir).events
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      .withColumn("_gap", $"ms" - lag($"ms", 1).over(w))
+      .withColumn("_keep", $"_gap".isNull || $"_gap" > 60000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"_keep", 1L).otherwise(0L)).as("n_kept"),
+        PF.idsFingerprint(when($"_keep", $"event_id")).as("kept_md5"))
+      .orderBy($"event_type")
+  }
+
+  // q129: first-order Markov transitions — per user, each event's
+  // successor in (ms, event_id) order; the (from, to) count matrix is a
+  // sequence-mining primitive (and the batch face of what a streaming
+  // state machine would track). lead() is one pass over the keyed
+  // window; the result is |types|² rows regardless of corpus size.
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"), $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  // q130: first-touch attribution — every user's FIRST event type claims
+  // all their subsequent purchases. Purchase value stays DECIMAL through
+  // both aggregation levels (per-user, then per-first-touch-type) and
+  // only the final result casts to double, so the two-level sum is exact
+  // regardless of partitioning.
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val ev = Tables(s, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"value", unix_millis($"ts").as("ms"))
+    val firstTouch = ev.withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+      .select($"user_id", $"event_type".as("first_type"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("np"), sum($"value".cast("decimal(18,2)")).as("pval"))
+    firstTouch.join(purchases, Seq("user_id"), "left")
+      .groupBy($"first_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce($"np", lit(0L))).as("n_purchases"),
+        sum(coalesce($"pval", lit(0).cast("decimal(18,2)"))).cast("double").as("purchase_value"))
+      .orderBy($"first_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_event_gaps" -> eventGaps _,
+    "q128_burst_dedup" -> burstDedup _,
+    "q129_event_transitions" -> eventTransitions _,
+    "q130_first_touch" -> firstTouchAttribution _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -212,6 +280,43 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_burst_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        |    FROM events),
+        |g AS (SELECT event_id, event_type, ms - lag(ms) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ms, event_id) AS gap
+        |  FROM e),
+        |k AS (SELECT event_id, event_type,
+        |    (gap IS NULL OR gap > 60000) AS keep FROM g)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+        |  md5(list_aggregate(list_sort(list(event_id) FILTER (keep)),
+        |    'string_agg', ',')) AS kept_md5
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q129_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+        |    FROM events),
+        |p AS (SELECT event_type AS from_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS to_type FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    "q130_first_touch" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_ms(ts) AS ms FROM events),
+        |ft AS (SELECT user_id, event_type AS first_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ms, event_id) AS rn FROM e)
+        |  WHERE rn = 1),
+        |p AS (SELECT user_id, count(*) AS np,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS pval
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT first_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(coalesce(np, 0)) AS BIGINT) AS n_purchases,
+        |  CAST(sum(coalesce(pval, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS purchase_value
+        |FROM ft LEFT JOIN p USING (user_id)
+        |GROUP BY first_type ORDER BY first_type""".stripMargin,
     "q119_event_gaps" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |g AS (SELECT user_id, ms - lag(ms) OVER (

@@ -372,8 +372,29 @@ object TextQueries {
     "q102_bpe_pairs" -> bpePairCounts _,
     "q104_rare_trigram" -> rareTrigramScore _,
     "q105_vocab_encode" -> vocabEncode _,
-    "q106_rank_drift" -> rankDrift _
+    "q106_rank_drift" -> rankDrift _,
+    "q127_heavy_hitters" -> heavyHitters _
   )
+
+  // q127: exact per-group heavy hitters — top-3 tokens per lang with a
+  // total order (count desc, token asc). The rank≤3 predicate compiles to
+  // WindowGroupLimit (Spark 3.5+): each map task keeps only its local
+  // top-3 per lang BEFORE the exchange, so the per-lang sort never sees
+  // the full vocabulary — the exact-top-k shape that survives a 100 TB
+  // corpus (the sketch-based companion is q98's count-min). Guarded in
+  // PlanGuardSpec alongside q116.
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"c".desc, $"tok")
+    Tables(s, dir).documents
+      .select($"lang", explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"lang", $"rnk".cast("long").as("rnk"), $"tok", $"c")
+      .orderBy($"lang", $"rnk")
+  }
 
   private val wordsSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
@@ -418,6 +439,13 @@ object TextQueries {
          |  WHERE len(t) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+    "q127_heavy_hitters" ->
+      s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS tok FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+         |r AS (SELECT lang, tok, c, row_number() OVER (
+         |    PARTITION BY lang ORDER BY c DESC, tok) AS rnk FROM c)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok, CAST(c AS BIGINT) AS c
+         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
     "q104_rare_trigram" ->
       """WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents
         |    WHERE len(lower(text)) >= 3),

@@ -149,6 +149,11 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"lateral degraded to cartesian:\n$p")
   }
 
+  test("q127: per-lang top-3 plans a WindowGroupLimit — map tasks never sort the vocabulary") {
+    val p = planOf("q127_heavy_hitters")
+    assert(p.contains("WindowGroupLimit"), s"rank<=3 not pushed below the exchange:\n$p")
+  }
+
   test("q122: equi-depth deciles plan NO single-partition global sort/window") {
     val p = planOf("q122_equidepth_histogram")
     assert(!p.contains("SinglePartition"),
