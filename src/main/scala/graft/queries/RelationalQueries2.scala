@@ -157,6 +157,38 @@ object RelationalQueries2 {
       .orderBy($"lang", $"source")
   }
 
+  // q132: winsorized statistics — outlier-robust aggregation: per
+  // priority, clip order totals to the group's exact [p1, p99] and
+  // average the clipped values. Spark's `percentile` (exact,
+  // interpolating — q75's approx_percentile is the 100 TB path; exact is
+  // affordable per-group here because the agg state is per-VALUE, not
+  // per-row) feeds back via a broadcast of 5 cutoff rows. The clipped
+  // mean routes through DECIMAL(18,6): a raw double sum over the group
+  // accumulates ~1e-4 of association-order error at this magnitude —
+  // comparable to the rounding granularity — where the decimal sum is
+  // exact on both engines.
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cuts = Tables(s, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+    Tables(s, dir).orders
+      .join(broadcast(cuts), Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"p01", $"p99",
+        least(greatest($"o_totalprice", $"p01"), $"p99").as("w"),
+        $"o_totalprice")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(min($"p01"), 6).as("p01"),
+        round(min($"p99"), 6).as("p99"),
+        sum(when($"o_totalprice" < $"p01", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"o_totalprice" > $"p99", 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum($"w".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("win_avg"))
+      .orderBy($"o_orderpriority")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -783,6 +815,7 @@ object RelationalQueries2 {
     "q124_map_funcs" -> mapFuncs _,
     "q125_bucketed_join" -> bucketedJoin _,
     "q126_partition_pruning" -> partitionPrunedRead _,
+    "q132_winsorized_stats" -> winsorizedStats _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -842,6 +875,19 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q132_winsorized_stats" ->
+      """WITH cuts AS (SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.01) AS p01,
+        |    quantile_cont(o_totalprice, 0.99) AS p99
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(p01), 6) AS p01, round(min(p99), 6) AS p99,
+        |  CAST(count(*) FILTER (o_totalprice < p01) AS BIGINT) AS n_clip_lo,
+        |  CAST(count(*) FILTER (o_totalprice > p99) AS BIGINT) AS n_clip_hi,
+        |  round(CAST(sum(CAST(least(greatest(o_totalprice, p01), p99)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS win_avg
+        |FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q125_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

@@ -373,7 +373,9 @@ object TextQueries {
     "q104_rare_trigram" -> rareTrigramScore _,
     "q105_vocab_encode" -> vocabEncode _,
     "q106_rank_drift" -> rankDrift _,
-    "q127_heavy_hitters" -> heavyHitters _
+    "q127_heavy_hitters" -> heavyHitters _,
+    "q131_oov_rate" -> oovRate _,
+    "q134_char_entropy" -> charEntropy _
   )
 
   // q127: exact per-group heavy hitters — top-3 tokens per lang with a
@@ -394,6 +396,57 @@ object TextQueries {
       .filter($"rnk" <= 3)
       .select($"lang", $"rnk".cast("long").as("rnk"), $"tok", $"c")
       .orderBy($"lang", $"rnk")
+  }
+
+  // q131: out-of-vocabulary rate — a corpus-relative quality signal: the
+  // vocab is every token covering ≥ 0.1% of all occurrences (the
+  // integer inequality c*1000 ≥ total is exact on both engines, and the
+  // threshold scales with the corpus — q33's aging-cap lesson). By
+  // construction ≤ 1000 tokens can each hold ≥ 0.1%, so the vocab side
+  // is broadcast-bounded no matter how big the corpus; per-doc OOV is a
+  // broadcast-probe, never a token-keyed shuffle of the corpus.
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir).documents
+      .select($"doc_id", $"lang", explode(PF.tokens($"text")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").as("total"))
+    val vocab = counts.crossJoin(broadcast(total))
+      .filter($"c" * 1000L >= $"total")
+      .select($"tok", lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"_in".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum($"n_oov").as("total_oov"),
+        round(avg($"n_oov".cast("double") / $"n_tok"), 6).as("avg_oov_rate"))
+      .orderBy($"lang")
+  }
+
+  // q134: per-document character entropy — the distribution-shape quality
+  // signal (gibberish and template spam sit at the entropy extremes).
+  // H = log2(n) − Σ c·log2(c) / n over per-char counts; per-doc sums run
+  // over ≤ |alphabet| terms, so round-6 absorbs FP association order.
+  // The corpus is ASCII (verified), where Spark's UTF-16 split and
+  // DuckDB's codepoint split agree; a multilingual corpus would need a
+  // codepoint-explicit splitter. The doc_id spread pins fan-out for the
+  // byte-small → per-char CPU-heavy explode (q104's AQE finding); both
+  // aggregates then run partition-local.
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = graft.operators.Relational
+      .spread(Tables(s, dir).documents.select($"doc_id", $"text"), $"doc_id")
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter(length($"ch") > 0) // empty-text artifact differs per engine
+    chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        round(log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c"), 6).as("entropy"))
+      .orderBy($"doc_id")
   }
 
   private val wordsSql =
@@ -439,6 +492,30 @@ object TextQueries {
          |  WHERE len(t) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+    "q131_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($wordsSql) AS tok
+         |    FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |t AS (SELECT sum(c) AS total FROM c),
+         |vocab AS (SELECT tok FROM c, t WHERE c * 1000 >= total),
+         |per AS (SELECT doc_id, lang, count(*) AS n_tok,
+         |    count(*) FILTER (v.tok IS NULL) AS n_oov
+         |  FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+         |  GROUP BY doc_id, lang)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_oov) AS BIGINT) AS total_oov,
+         |  round(avg(n_oov * 1.0 / n_tok), 6) AS avg_oov_rate
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    "q134_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |    FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE len(ch) > 0 GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q127_heavy_hitters" ->
       s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS tok FROM documents),
          |c AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
