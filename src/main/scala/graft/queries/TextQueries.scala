@@ -375,6 +375,7 @@ object TextQueries {
     "q106_rank_drift" -> rankDrift _,
     "q127_heavy_hitters" -> heavyHitters _,
     "q131_oov_rate" -> oovRate _,
+    "q133_bigram_lm" -> bigramLm _,
     "q134_char_entropy" -> charEntropy _
   )
 
@@ -449,6 +450,37 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q133: bigram language-model scoring — perplexity-style quality: train
+  // add-one-smoothed bigram probabilities ON the corpus, score each doc
+  // by its mean log2 P(w_i | w_{i-1}). History counts c(w1) are counts
+  // over history POSITIONS (every token but each doc's last), so the
+  // model normalizes exactly: Σ_w2 P(w2|w1) = 1. The probability/count
+  // joins are token-keyed shuffles of the exploded corpus — the standard
+  // LM-training shape; the smoothing denominator |V| rides a broadcast
+  // 1-row frame. Per-doc means are sums of ≤ |doc| log terms → round-6
+  // absorbs FP association order (and the ≤1 ulp libm log2 spread).
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val toks = graft.operators.Relational
+      .spread(Tables(s, dir).documents.select($"doc_id", $"text"), $"doc_id")
+      .select($"doc_id", posexplode(PF.tokens($"text")))
+      .withColumnRenamed("col", "tok")
+    val bi = toks.withColumn("next", lead($"tok", 1).over(w))
+      .filter($"next".isNotNull)
+    val cu = bi.groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val c2 = bi.groupBy($"tok", $"next").agg(count(lit(1)).as("cb"))
+    val v = toks.agg(countDistinct($"tok").as("v"))
+    bi.join(c2, Seq("tok", "next")).join(cu, Seq("tok"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        log2(($"cb" + lit(1)).cast("double") / ($"cu" + $"v")).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 6).as("avg_log2p"))
+      .orderBy($"doc_id")
+  }
+
   private val wordsSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
@@ -492,6 +524,20 @@ object TextQueries {
          |  WHERE len(t) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+    "q133_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |toks AS (SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+         |  FROM d, lateral (SELECT unnest(range(1, len(w) + 1)) AS i)),
+         |bi AS (SELECT doc_id, tok, lead(tok) OVER (
+         |    PARTITION BY doc_id ORDER BY pos) AS next FROM toks),
+         |bif AS (SELECT * FROM bi WHERE next IS NOT NULL),
+         |cu AS (SELECT tok, count(*) AS cu FROM bif GROUP BY tok),
+         |c2 AS (SELECT tok, next, count(*) AS cb FROM bif GROUP BY tok, next),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(log2((cb + 1.0) / (cu + v))), 6) AS avg_log2p
+         |FROM bif JOIN c2 USING (tok, next) JOIN cu USING (tok), v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q131_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest($wordsSql) AS tok
          |    FROM documents),
