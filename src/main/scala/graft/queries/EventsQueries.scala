@@ -263,11 +263,37 @@ object EventsQueries {
       .orderBy($"first_type")
   }
 
+  // q135: re-aggregatable distinct-count sketches — the 100 TB shape for
+  // distinct users: build a DataSketches HLL sketch PER (event_type, day)
+  // partial, then MERGE sketches across days (hll_union_agg) instead of
+  // re-scanning raw events — the pattern that lets daily segment sketches
+  // roll up to any time range at constant cost. The sketch bytes aren't
+  // cross-engine-comparable, so the gate face is q28's accuracy-contract
+  // pattern: exact count + a TRUE the estimate must stay within 5% of.
+  def hllDailyReagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", $"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select($"event_type", $"n_days", $"exact_users",
+        (abs($"approx_users" - $"exact_users") / $"exact_users" <= 0.05)
+          .as("within_5pct"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_event_gaps" -> eventGaps _,
     "q128_burst_dedup" -> burstDedup _,
     "q129_event_transitions" -> eventTransitions _,
     "q130_first_touch" -> firstTouchAttribution _,
+    "q135_hll_daily_reagg" -> hllDailyReagg _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -280,6 +306,12 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_hll_daily_reagg" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q128_burst_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
         |    FROM events),

@@ -399,6 +399,30 @@ object RelationalQueries2 {
       .orderBy($"revenue".desc, $"n_name".asc)
   }
 
+  // q136: TPC-H Q10 (returned-item revenue ranking) — the second
+  // many-join composite next to Q5 (q123): customer⋈orders⋈lineitem on
+  // keys with the date window pushed to the orders scan and the
+  // returnflag filter pushed to the lineitem scan, nation broadcast,
+  // exact decimal revenue, top-20 by (revenue desc, custkey) — a total
+  // order, so the LIMIT selects the same rows on both engines.
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem.filter($"l_returnflag" === "R"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
   // quantile_cont) over 2-decimal data.
   def percentiles(s: SparkSession, dir: String): DataFrame = {
@@ -816,6 +840,7 @@ object RelationalQueries2 {
     "q125_bucketed_join" -> bucketedJoin _,
     "q126_partition_pruning" -> partitionPrunedRead _,
     "q132_winsorized_stats" -> winsorizedStats _,
+    "q136_tpch_q10" -> tpchQ10 _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -875,6 +900,20 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q136_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q132_winsorized_stats" ->
       """WITH cuts AS (SELECT o_orderpriority,
         |    quantile_cont(o_totalprice, 0.01) AS p01,
