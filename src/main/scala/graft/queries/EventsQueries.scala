@@ -288,12 +288,34 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q137: 7-day rolling active users — the windowed-distinct metric every
+  // activity dashboard needs, in its exact-at-scale shape: first reduce
+  // raw events to DISTINCT (user, day) (the only pass over the full
+  // log), then fan each user-day out to the ≤7 window days it
+  // contributes to and count distinct per day. The fan-out runs on the
+  // REDUCED set — 7·|user-days|, not 7·|events| — and the alternative
+  // (count distinct over a RANGE frame) funnels each day's users through
+  // one window partition, which is exactly what doesn't survive 100 TB.
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables(s, dir).events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val bounds = ud.agg(max($"day").as("max_day"))
+    ud.select($"user_id", explode(sequence($"day", date_add($"day", 6))).as("day2"))
+      .crossJoin(broadcast(bounds))
+      .filter($"day2" <= $"max_day")
+      .groupBy($"day2".as("day"))
+      .agg(countDistinct($"user_id").as("active_7d"))
+      .orderBy($"day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_event_gaps" -> eventGaps _,
     "q128_burst_dedup" -> burstDedup _,
     "q129_event_transitions" -> eventTransitions _,
     "q130_first_touch" -> firstTouchAttribution _,
     "q135_hll_daily_reagg" -> hllDailyReagg _,
+    "q137_rolling_active" -> rollingActiveUsers _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -306,6 +328,15 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |    FROM events),
+        |b AS (SELECT max(day) AS max_day FROM ud),
+        |c AS (SELECT user_id, day + CAST(i AS INT) AS day2
+        |  FROM ud, lateral (SELECT unnest(range(0, 7)) AS i))
+        |SELECT day2 AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        |FROM c, b WHERE day2 <= max_day
+        |GROUP BY day2 ORDER BY day2""".stripMargin,
     "q135_hll_daily_reagg" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

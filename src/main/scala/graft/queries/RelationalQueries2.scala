@@ -238,6 +238,21 @@ object RelationalQueries2 {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
+  // q139: TPC-H Q18 (large-volume orders) — the group-HAVING-subquery
+  // composite: the IN subquery re-aggregates lineitem and its survivors
+  // gate the 3-way join. Same SQL text on both engines; Spark plans the
+  // IN as a left-semi hash join on l_orderkey, so the filter is a keyed
+  // join, not a per-row re-scan. Exact decimal quantity sums.
+  private val tpchQ18Sql =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // q42: right outer join (supplier side preserved).
   def rightJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -421,6 +436,31 @@ object RelationalQueries2 {
       .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
+  }
+
+  // q138: join-key skew diagnostics — the report you run BEFORE a big
+  // join: per-key cardinality profile of orders.o_custkey (key count
+  // percentiles, hottest key and its share). One groupBy(key) pass, then
+  // aggregation over the |keys|-row count table — the profile cost is
+  // the key space, not the fact table. This is the measurement side of
+  // the q45 salted-join remedy.
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).orders
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+      max($"cnt").as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+    // hottest key, min-key tie-break — deterministic across engines
+    val top = counts.crossJoin(broadcast(stats.select($"max_cnt".as("m"))))
+      .filter($"cnt" === $"m")
+      .agg(min($"o_custkey").as("top_key"))
+    stats.crossJoin(broadcast(top))
+      .select($"n_keys", $"n_rows", $"max_cnt", $"p50_cnt", $"p99_cnt",
+        $"top_key",
+        round($"max_cnt".cast("double") / $"n_rows", 6).as("top_share"))
   }
 
   // q38: exact interpolated percentiles (Spark percentile ≡ DuckDB
@@ -841,6 +881,8 @@ object RelationalQueries2 {
     "q126_partition_pruning" -> partitionPrunedRead _,
     "q132_winsorized_stats" -> winsorizedStats _,
     "q136_tpch_q10" -> tpchQ10 _,
+    "q138_skew_report" -> skewReport _,
+    "q139_tpch_q18" -> bySql(Seq("customer", "orders", "lineitem"), tpchQ18Sql) _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -900,6 +942,20 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q138_skew_report" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
+        |    GROUP BY o_custkey),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |    round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+        |  FROM c),
+        |t AS (SELECT min(o_custkey) AS top_key FROM c, s WHERE cnt = max_cnt)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, top_key,
+        |  round(max_cnt * 1.0 / n_rows, 6) AS top_share
+        |FROM s, t""".stripMargin,
+    "q139_tpch_q18" -> tpchQ18Sql,
     "q136_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name, c_acctbal,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
