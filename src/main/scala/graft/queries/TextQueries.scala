@@ -461,21 +461,29 @@ object TextQueries {
   // absorbs FP association order (and the ≤1 ulp libm log2 spread).
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val toks = graft.operators.Relational
+    // bigrams via the shifted-array zip_with (q102's shape) — a pure
+    // per-row generator, where a posexplode + lead() window would sort
+    // every doc partition just to recover adjacency the array already has
+    val docs = graft.operators.Relational
       .spread(Tables(s, dir).documents.select($"doc_id", $"text"), $"doc_id")
-      .select($"doc_id", posexplode(PF.tokens($"text")))
-      .withColumnRenamed("col", "tok")
-    val bi = toks.withColumn("next", lead($"tok", 1).over(w))
-      .filter($"next".isNotNull)
+      .select($"doc_id", PF.tokens($"text").as("t"))
+    val bi = docs.filter(size($"t") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => struct(a.as("tok"), b.as("next")))).as("bg"))
+      .select($"doc_id", $"bg.tok".as("tok"), $"bg.next".as("next"))
     val cu = bi.groupBy($"tok").agg(count(lit(1)).as("cu"))
     val c2 = bi.groupBy($"tok", $"next").agg(count(lit(1)).as("cb"))
-    val v = toks.agg(countDistinct($"tok").as("v"))
-    bi.join(c2, Seq("tok", "next")).join(cu, Seq("tok"))
-      .crossJoin(broadcast(v))
-      .select($"doc_id",
+    val v = docs.select(explode($"t").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    // assemble P(w2|w1) on the |bigram-TYPES| table first (c2 ⋈ cu is
+    // types-sized), so the exploded corpus shuffles ONCE — against the
+    // finished probability table — instead of once per count table
+    val probs = c2.join(cu, Seq("tok")).crossJoin(broadcast(v))
+      .select($"tok", $"next",
         log2(($"cb" + lit(1)).cast("double") / ($"cu" + $"v")).as("lp"))
+    bi.join(probs, Seq("tok", "next"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 6).as("avg_log2p"))
       .orderBy($"doc_id")
