@@ -189,6 +189,46 @@ object RelationalQueries2 {
       .orderBy($"o_orderpriority")
   }
 
+  // q140: statistical aggregates — corr / covariance / least-squares fit
+  // per group, the regression surface DuckDB mirrors as corr/covar_samp/
+  // regr_slope/regr_intercept. All are one-pass co-moment aggregates
+  // (partial-mergeable, so they scale like any hash agg); both engines
+  // accumulate co-moments in doubles with engine-specific merge order →
+  // round-6 on scale-invariant corr and on slope/intercept whose FP
+  // error sits orders below the rounding granularity.
+  def statAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("covar_qd"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q141: higher-order-function battery #2 — the lambda HOFs q27's array
+  // battery doesn't touch: exists / forall / filter / flatten / sequence
+  // (all codegen'd generator-free per-row work; DuckDB mirrors with
+  // list_* lambdas and range()). Every derived value is integer or a
+  // joined string → exact across engines.
+  def hofBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = col("_toks")
+    Tables(s, dir).documents
+      .select($"doc_id", PF.tokens($"text").as("_toks"))
+      .select($"doc_id",
+        exists(ts, _ === "the").as("has_the"),
+        forall(ts, length(_) > 0).as("all_nonempty"),
+        size(filter(ts, length(_) >= 6)).cast("long").as("n_long"),
+        md5(array_join(flatten(array(slice(ts, 1, 2), slice(ts, 3, 2))), "_")
+          .cast("binary")).as("first4_md5"),
+        aggregate(sequence(lit(1), least(size(ts), lit(5))), lit(0L),
+          (acc, x) => acc + x).as("seq_sum"))
+      .orderBy($"doc_id")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -883,6 +923,8 @@ object RelationalQueries2 {
     "q136_tpch_q10" -> tpchQ10 _,
     "q138_skew_report" -> skewReport _,
     "q139_tpch_q18" -> bySql(Seq("customer", "orders", "lineitem"), tpchQ18Sql) _,
+    "q140_stat_aggs" -> statAggs _,
+    "q141_hof_battery" -> hofBattery _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -942,6 +984,24 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q140_stat_aggs" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q141_hof_battery" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+         |  FROM documents)
+         |SELECT doc_id, list_contains(w, 'the') AS has_the,
+         |  len(list_filter(w, x -> len(x) = 0)) = 0 AS all_nonempty,
+         |  CAST(len(list_filter(w, x -> len(x) >= 6)) AS BIGINT) AS n_long,
+         |  md5(list_aggregate(flatten([w[1:2], w[3:4]]), 'string_agg', '_'))
+         |    AS first4_md5,
+         |  CAST(list_sum(range(1, least(len(w), 5) + 1)) AS BIGINT) AS seq_sum
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q138_skew_report" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
         |    GROUP BY o_custkey),
