@@ -289,6 +289,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // identical assignment, stream or batch
   }
 
+  test("stream-static join enriches events against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[Event]
+    // the standard ingest-enrichment shape: the static dim is planned as
+    // a broadcast hash join against every micro-batch — no stream-side
+    // shuffle, no state store, and the dim can be re-read per batch on a
+    // real source (refreshed dims without restarting the query)
+    val dim = Seq((1L, "bronze"), (2L, "gold")).toDF("user_id", "segment")
+    val q = mem.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", coalesce($"segment", lit("unknown")).as("segment"))
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    mem.addData(ev(1, 1, user = 1), ev(2, 2, user = 2), ev(3, 3, user = 9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_t")
+      .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "bronze", 2L -> "gold", 3L -> "unknown"))
+  }
+
   test("session windows merge events within gap under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
