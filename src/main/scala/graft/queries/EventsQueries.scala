@@ -309,6 +309,52 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  // q142: failure-safe expression surface — try_cast / try_divide return
+  // NULL where the strict forms raise or poison (the ingest contract for
+  // dirty feeds: a bad record must not kill a 100 TB job, and the null
+  // counts ARE the data-quality signal). The mixed column is numeric for
+  // 2/3 of rows and a JSON blob for the rest, so the parse rate is
+  // exercised, not assumed; the oracle spells the same semantics with
+  // TRY_CAST and NULLIF-guarded division.
+  def tryFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type", $"event_id", $"value",
+        when($"event_id" % 3 === 0, $"props")
+          .otherwise($"event_id".cast("string")).as("mixed"))
+      .select($"event_type",
+        expr("try_cast(mixed AS BIGINT)").as("parsed"),
+        expr("try_divide(value, event_id % 5)").as("ratio"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count($"parsed").as("n_parsed"),
+        sum($"parsed").as("sum_parsed"),
+        sum(when($"ratio".isNull, 1L).otherwise(0L)).as("n_div0"),
+        round(sum(coalesce($"ratio", lit(0.0)).cast("decimal(18,6)"))
+          .cast("double"), 4).as("sum_ratio"))
+      .orderBy($"event_type")
+  }
+
+  // q143: calendar-spine gap fill — global zero-filled daily counts per
+  // event type (dashboards break on MISSING rows, not wrong ones). The
+  // spine is generated from the 1-row min/max bounds (a broadcast
+  // sequence — never a scan of the fact table per day), cross-joined
+  // with the |types| dimension, then left-joined against the day-level
+  // pre-aggregate. Complements q95's per-entity resample+ffill.
+  def calendarSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val types = ev.select($"event_type").distinct()
+    broadcast(spine).crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"day", $"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_event_gaps" -> eventGaps _,
     "q128_burst_dedup" -> burstDedup _,
@@ -316,6 +362,8 @@ object EventsQueries {
     "q130_first_touch" -> firstTouchAttribution _,
     "q135_hll_daily_reagg" -> hllDailyReagg _,
     "q137_rolling_active" -> rollingActiveUsers _,
+    "q142_try_funcs" -> tryFuncs _,
+    "q143_calendar_spine" -> calendarSpine _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -328,6 +376,30 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_try_funcs" ->
+      """WITH m AS (SELECT event_type,
+        |    TRY_CAST(CASE WHEN event_id % 3 = 0 THEN props
+        |      ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed,
+        |    value / NULLIF(event_id % 5, 0) AS ratio
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(parsed) AS BIGINT) AS n_parsed,
+        |  CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+        |  CAST(count(*) FILTER (ratio IS NULL) AS BIGINT) AS n_div0,
+        |  round(CAST(sum(CAST(coalesce(ratio, 0) AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS sum_ratio
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q143_calendar_spine" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT s.day, t.event_type, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        |ORDER BY s.day, t.event_type""".stripMargin,
     "q137_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |    FROM events),
