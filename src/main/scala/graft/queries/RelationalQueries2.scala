@@ -229,6 +229,24 @@ object RelationalQueries2 {
       .orderBy($"doc_id")
   }
 
+  // q144: top-k as a mergeable AGGREGATE (graft.operators.TopKAggregator)
+  // — the no-sort alternative to q127's WindowGroupLimit: map tasks
+  // reduce their slice to ≤3 rows, partials merge associatively, only
+  // |groups|·3 rows shuffle. Oracle = the window spelling; identical
+  // results prove the aggregate implements exactly row_number ≤ k with
+  // the (score desc, id asc) total order.
+  def topkAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.operators.TopKAggregator(3))
+    Tables(s, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rnk"),
+        $"col.id".as("o_orderkey"), $"col.score".as("o_totalprice"))
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -925,6 +943,7 @@ object RelationalQueries2 {
     "q139_tpch_q18" -> bySql(Seq("customer", "orders", "lineitem"), tpchQ18Sql) _,
     "q140_stat_aggs" -> statAggs _,
     "q141_hof_battery" -> hofBattery _,
+    "q144_topk_aggregate" -> topkAggregate _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -984,6 +1003,13 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q144_topk_aggregate" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |  o_totalprice
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     "q140_stat_aggs" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
