@@ -15,7 +15,10 @@ object ScaleTest {
       else Seq("q31_minhash_lsh", "q33_ngram_jaccard", "q32_simhash_signatures",
         "q54_tfidf_top_terms", "q58_dedup_clusters", "q66_pack_sequences",
         "q68_simhash_neardup", "q69_lsh_neardup", "q79_contamination",
-        "q89_upsert_merge", "q91_kmeans_train")
+        "q89_upsert_merge", "q91_kmeans_train",
+        // round-6 heavy additions
+        "q127_heavy_hitters", "q131_oov_rate", "q133_bigram_lm",
+        "q134_char_entropy", "q137_rolling_active")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
