@@ -247,6 +247,50 @@ object RelationalQueries2 {
       .orderBy($"o_orderpriority", $"rnk")
   }
 
+  // q145: calendar-grain truncation battery — the same order stream
+  // rolled up at year/quarter/month/week grains (ISO Monday weeks agree
+  // across engines) in one result, the shape every time-partitioned
+  // rollup job emits. Each grain is an independent hash agg over the
+  // truncated timestamp; integer counts → exact.
+  def dateTruncBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders.select($"o_orderdate".as("d"))
+    def g(grain: String) =
+      o.groupBy(date_trunc(grain, $"d").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(grain).as("grain"), $"bucket", $"n")
+    g("year").unionAll(g("quarter")).unionAll(g("month")).unionAll(g("week"))
+      .orderBy($"grain", $"bucket")
+  }
+
+  // q146: cross-table reconciliation — the consistency check a warehouse
+  // runs between a rollup column and its detail table: per order,
+  // lineitem revenue (exact decimal) vs the orders.o_totalprice header,
+  // reported as within/over 1% relative difference per priority (plus
+  // headers with no detail rows). The detail aggregate reduces lineitem
+  // BEFORE the join, so the reconciliation joins |orders| rows to
+  // |orders| rows — never fact×fact.
+  def reconcileOrderTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir).lineitem
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))
+        * (lit(1).cast("decimal(18,2)") + dec($"l_tax"))).cast("double").as("li_total"))
+    Tables(s, dir).orders
+      .join(li, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderpriority",
+        $"li_total",
+        when($"li_total".isNotNull,
+          abs($"li_total" - $"o_totalprice") / $"o_totalprice").as("rel_diff"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"li_total".isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when($"rel_diff" <= 0.01, 1L).otherwise(0L)).as("n_within_1pct"),
+        sum(when($"rel_diff" > 0.01, 1L).otherwise(0L)).as("n_over_1pct"),
+        round(max($"rel_diff"), 6).as("max_rel_diff"))
+      .orderBy($"o_orderpriority")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -944,6 +988,8 @@ object RelationalQueries2 {
     "q140_stat_aggs" -> statAggs _,
     "q141_hof_battery" -> hofBattery _,
     "q144_topk_aggregate" -> topkAggregate _,
+    "q145_date_trunc" -> dateTruncBattery _,
+    "q146_reconcile_totals" -> reconcileOrderTotals _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -1003,6 +1049,35 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q145_date_trunc" ->
+      """WITH o AS (SELECT o_orderdate AS d FROM orders)
+        |SELECT grain, bucket, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'year' AS grain, date_trunc('year', d) AS bucket, count(*) AS n
+        |    FROM o GROUP BY 2
+        |  UNION ALL SELECT 'quarter', date_trunc('quarter', d), count(*)
+        |    FROM o GROUP BY 2
+        |  UNION ALL SELECT 'month', date_trunc('month', d), count(*)
+        |    FROM o GROUP BY 2
+        |  UNION ALL SELECT 'week', date_trunc('week', d), count(*)
+        |    FROM o GROUP BY 2)
+        |ORDER BY grain, bucket""".stripMargin,
+    "q146_reconcile_totals" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+        |      AS DOUBLE) AS li_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o_orderpriority, li_total,
+        |    CASE WHEN li_total IS NOT NULL
+        |      THEN abs(li_total - o_totalprice) / o_totalprice END AS rel_diff
+        |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) FILTER (li_total IS NULL) AS BIGINT) AS n_no_lines,
+        |  CAST(count(*) FILTER (rel_diff <= 0.01) AS BIGINT) AS n_within_1pct,
+        |  CAST(count(*) FILTER (rel_diff > 0.01) AS BIGINT) AS n_over_1pct,
+        |  round(max(rel_diff), 6) AS max_rel_diff
+        |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q144_topk_aggregate" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
