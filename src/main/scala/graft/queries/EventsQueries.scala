@@ -355,6 +355,22 @@ object EventsQueries {
       .orderBy($"day", $"event_type")
   }
 
+  // q148: bitwise aggregates + exact median — bit_and/bit_or/bit_xor are
+  // distributive (partial-mergeable like sum), the membership-mask /
+  // checksum shapes; median ≡ percentile 0.5 (interpolating on both
+  // engines, round-6 for the interpolation ulp).
+  def bitAndMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(event_id)").as("band"),
+        expr("bit_or(event_id)").as("bor"),
+        expr("bit_xor(event_id)").as("bxor"),
+        round(expr("median(value)"), 6).as("median_value"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_event_gaps" -> eventGaps _,
     "q128_burst_dedup" -> burstDedup _,
@@ -364,6 +380,7 @@ object EventsQueries {
     "q137_rolling_active" -> rollingActiveUsers _,
     "q142_try_funcs" -> tryFuncs _,
     "q143_calendar_spine" -> calendarSpine _,
+    "q148_bit_median" -> bitAndMedian _,
     "q112_corrupt_json" -> corruptJson _,
     "q70_tumbling_hourly" -> tumblingHourly _,
     "q71_sliding_counts" -> slidingCounts _,
@@ -376,6 +393,13 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_bit_median" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(bit_and(event_id) AS BIGINT) AS band,
+        |  CAST(bit_or(event_id) AS BIGINT) AS bor,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+        |  round(median(value), 6) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q142_try_funcs" ->
       """WITH m AS (SELECT event_type,
         |    TRY_CAST(CASE WHEN event_id % 3 = 0 THEN props

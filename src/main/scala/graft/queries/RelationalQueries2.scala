@@ -291,6 +291,21 @@ object RelationalQueries2 {
       .orderBy($"o_orderpriority")
   }
 
+  // q149: string-function battery #2 — translate / lpad / reverse /
+  // repeat / concat_ws, the formatting-and-normalization surface beyond
+  // q20; all byte-deterministic on both engines.
+  def stringBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).customer
+      .select($"c_custkey",
+        translate($"c_name", "Ce#", "ce_").as("translated"),
+        lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
+        reverse($"c_name").as("reversed"),
+        repeat(substring($"c_name", 1, 2), 2).as("doubled"),
+        concat_ws("-", $"c_mktsegment", $"c_nationkey".cast("string")).as("seg_nat"))
+      .orderBy($"c_custkey")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -990,6 +1005,7 @@ object RelationalQueries2 {
     "q144_topk_aggregate" -> topkAggregate _,
     "q145_date_trunc" -> dateTruncBattery _,
     "q146_reconcile_totals" -> reconcileOrderTotals _,
+    "q149_string_battery" -> stringBattery _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -1049,6 +1065,14 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q149_string_battery" ->
+      """SELECT c_custkey,
+        |  translate(c_name, 'Ce#', 'ce_') AS translated,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  reverse(c_name) AS reversed,
+        |  repeat(substr(c_name, 1, 2), 2) AS doubled,
+        |  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q145_date_trunc" ->
       """WITH o AS (SELECT o_orderdate AS d FROM orders)
         |SELECT grain, bucket, CAST(n AS BIGINT) AS n FROM (

@@ -376,7 +376,8 @@ object TextQueries {
     "q127_heavy_hitters" -> heavyHitters _,
     "q131_oov_rate" -> oovRate _,
     "q133_bigram_lm" -> bigramLm _,
-    "q134_char_entropy" -> charEntropy _
+    "q134_char_entropy" -> charEntropy _,
+    "q147_array_setops" -> arraySetOps _
   )
 
   // q127: exact per-group heavy hitters — top-3 tokens per lang with a
@@ -489,6 +490,27 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q147: array set operations — per-doc distinct tokens intersected /
+  // subtracted against a constant stopword set (array_intersect /
+  // array_except ≡ DuckDB list_intersect / list_filter-not-contains).
+  // Set results are ORDER-ARBITRARY on both engines, so every derived
+  // value is a size or a sorted join (the q124 map lesson applied to
+  // arrays); the empty-intersection case coalesces to '' because
+  // DuckDB's string_agg of an empty list is NULL where Spark's
+  // array_join is ''.
+  def arraySetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = array(stopwords.map(lit): _*)
+    Tables(s, dir).documents
+      .select($"doc_id", array_distinct(PF.tokens($"text")).as("u"))
+      .select($"doc_id",
+        size($"u").cast("long").as("n_distinct"),
+        size(array_intersect($"u", stop)).cast("long").as("n_stop"),
+        size(array_except($"u", stop)).cast("long").as("n_nonstop"),
+        array_join(array_sort(array_intersect($"u", stop)), ",").as("stops_sorted"))
+      .orderBy($"doc_id")
+  }
+
   private val wordsSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
@@ -532,6 +554,17 @@ object TextQueries {
          |  WHERE len(t) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
          |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+    "q147_array_setops" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($wordsSql) AS u FROM documents),
+         |x AS (SELECT doc_id, u,
+         |    list_intersect(u, ['the','a','of','and','to','in','is']) AS st
+         |  FROM d)
+         |SELECT doc_id, CAST(len(u) AS BIGINT) AS n_distinct,
+         |  CAST(len(st) AS BIGINT) AS n_stop,
+         |  CAST(len(u) - len(st) AS BIGINT) AS n_nonstop,
+         |  coalesce(list_aggregate(list_sort(st), 'string_agg', ','), '')
+         |    AS stops_sorted
+         |FROM x ORDER BY doc_id""".stripMargin,
     "q133_bigram_lm" ->
       s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
          |toks AS (SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
