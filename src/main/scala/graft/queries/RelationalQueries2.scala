@@ -306,6 +306,32 @@ object RelationalQueries2 {
       .orderBy($"c_custkey")
   }
 
+  // q150: schema evolution on read — a v1 writer lands (doc_id, lang)
+  // files and a later v2 writer adds n_chars; `mergeSchema` unions the
+  // footers at read time and back-fills v1 rows with NULL — the contract
+  // that lets a 100 TB lake add columns without rewriting history. The
+  // aggregate's null accounting proves which rows came from which
+  // schema generation; the oracle recomputes from the original table
+  // with the same even/odd writer split.
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q150_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    val docs = Tables(s, dir).documents
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"lang", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"n_chars").as("n_with_chars"),
+        sum(when($"n_chars".isNull, 1L).otherwise(0L)).as("n_v1_rows"),
+        coalesce(sum($"n_chars"), lit(0L)).cast("long").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   // q29: pivot (conditional-aggregation form in the oracle).
   def pivotReturnflag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1006,6 +1032,7 @@ object RelationalQueries2 {
     "q145_date_trunc" -> dateTruncBattery _,
     "q146_reconcile_totals" -> reconcileOrderTotals _,
     "q149_string_battery" -> stringBattery _,
+    "q150_schema_evolution" -> schemaEvolution _,
     "q74_interval_join" -> intervalJoin _,
     "q25_window_rank_funcs" -> windowRankFuncs _,
     "q26_window_first_last" -> windowFirstLast _,
@@ -1065,6 +1092,15 @@ object RelationalQueries2 {
         |  CAST(least(((c - lo) * 10) // greatest(hi - lo, 1), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM li, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q150_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_with_chars,
+        |  CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_v1_rows,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+        |    AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q149_string_battery" ->
       """SELECT c_custkey,
         |  translate(c_name, 'Ce#', 'ce_') AS translated,
