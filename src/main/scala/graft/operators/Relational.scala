@@ -96,6 +96,53 @@ object Relational {
       .drop(pidC, offC, grnC)
   }
 
+  /** Global running sum WITHOUT a single-partition window — the 100 TB
+    * replacement for `SUM(v) OVER (ORDER BY ...)`, which funnels the whole
+    * relation through one task. Same two-pass shape as [[distributedNtile]]:
+    * range-partition on the order columns (partition p holds a contiguous
+    * key range), running-sum locally, add per-partition value-sum offsets
+    * (one long per partition of driver state, bytes not data).
+    *
+    * `order` MUST be a total order (include a unique tie-breaker): range
+    * partitioning may split equal keys across partitions, and only a total
+    * order makes every row's prefix well-defined — under it the default
+    * RANGE frame coincides with ROWS and the per-row value is exact and
+    * engine-independent. `value` must be integral (cast to long): the
+    * offsets re-associate addition across partitions, which is only exact
+    * for integers.
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                       out: String): DataFrame = {
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n) && n != out).get
+    val (pidC, offC, valC) = (fresh("_pid"), fresh("_off"), fresh("_val"))
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: range boundaries come from sampling; the count pass
+    // and the sum pass must see the SAME partitioning (distributedNtile's
+    // reasoning, verbatim).
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn(valC, value.cast("long"))
+      .withColumn(pidC, spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged.groupBy(col(pidC)).agg(sum(col(valC)).as("_s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val offsets = (0 until parts).map(p =>
+      (p, (0 until p).map(sums.getOrElse(_, 0L)).sum))
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF(pidC, offC))
+    val w = Window.partitionBy(col(pidC)).orderBy(order: _*)
+    ranged.join(offDf, Seq(pidC))
+      .withColumn(out, sum(col(valC)).over(w) + col(offC))
+      .drop(pidC, offC, valC)
+  }
+
+  /** Global row rank (1-based) over a TOTAL order — running count of ones
+    * through [[globalRunningSum]] (same unique-tie-breaker requirement).
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], out: String = "g_rank"): DataFrame =
+    globalRunningSum(df, order, lit(1L), out)
+
   /** Idempotent-insert filter: drop batch rows whose key already exists
     * (reference J1, `spark_streaming.py:77-84`). `broadcastExisting` should
     * be true whenever the existing-key set fits an executor (at 100 TB the

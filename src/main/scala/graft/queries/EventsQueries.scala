@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -371,7 +372,88 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q154: concurrent-session sweep line — per day, the peak number of
+  // simultaneously open sessions. Events are first REDUCED to sessions
+  // (q72's 10-minute session_window semantics), sessions to ±1 boundary
+  // events — so the global scan runs over 2·|sessions| rows, orders of
+  // magnitude below the fact table. The running concurrency uses
+  // Relational.globalRunningSum (range partition + offsets, no
+  // single-partition window); the order (ts, delta, user_id) is total —
+  // ends sort before starts at the same instant (half-open [start, end)
+  // activity), and user_id breaks remaining ties so every row's prefix is
+  // engine-independent. Peak-per-day is then a plain keyed aggregate.
+  def concurrencySweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = Tables(s, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("st"), $"w.end".as("en"))
+    val bounds = sess.select($"st".as("ts"), lit(1L).as("delta"), $"user_id")
+      .unionAll(sess.select($"en".as("ts"), lit(-1L).as("delta"), $"user_id"))
+    graft.operators.Relational
+      .globalRunningSum(bounds,
+        Seq($"ts".asc, $"delta".asc, $"user_id".asc), $"delta", "conc")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(max($"conc").cast("long").as("max_concurrent"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).cast("long").as("n_starts"))
+      .orderBy($"day")
+  }
+
+  // q155: deterministic per-user mode — most frequent event type, ties
+  // broken lexicographically. One (user, type) count aggregate feeds both
+  // the windowed argmax (rank ≤ 1 compiles to WindowGroupLimit: map-side
+  // partial top-1 before the exchange) and the per-user totals; both key
+  // on user_id so AQE reuses the exchange. No collect, no global window.
+  def userMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).events
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+    val mode = graft.operators.Relational
+      .topKPerGroup(counts, Seq($"user_id"),
+        Seq($"c".desc, $"event_type".asc), 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"c".as("n_mode"))
+    val totals = counts.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_types"), sum($"c").cast("long").as("n_events"))
+    mode.join(totals, Seq("user_id"))
+      .orderBy($"user_id")
+  }
+
+  // q158: CUSUM changepoint — per event type, the day where the cumulative
+  // deviation of daily counts from the type's mean peaks. The textbook
+  // statistic Σ_{i≤k}(cnt_i − mean) is rescaled by n_days to
+  // n·S_k − k·T (S_k running count sum, T total, k day index): pure
+  // INTEGER arithmetic, so the argmax is bit-exact on any engine — no
+  // double accumulation order to worry about. Windows are partitioned by
+  // event_type (the day series per type is small by construction:
+  // |days| rows); the tie rule is the earliest peak day.
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val tot = daily.groupBy($"event_type")
+      .agg(sum($"cnt").as("t"), count(lit(1)).as("nd"))
+    val scored = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk", sum($"cnt").over(w))
+      .join(tot, Seq("event_type"))
+      .withColumn("dev", abs($"nd" * $"sk" - $"k" * $"t"))
+    val mx = scored.groupBy($"event_type")
+      .agg(max($"dev").as("max_dev_scaled"), max($"nd").cast("long").as("n_days"))
+    val cp = scored.join(mx.select($"event_type", $"max_dev_scaled".as("_m")),
+        Seq("event_type"))
+      .filter($"dev" === $"_m")
+      .groupBy($"event_type").agg(min($"day").as("changepoint_day"))
+    mx.join(cp, Seq("event_type"))
+      .select($"event_type", $"n_days", $"max_dev_scaled", $"changepoint_day")
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_concurrency_sweep" -> concurrencySweep _,
+    "q155_user_mode" -> userMode _,
+    "q158_cusum_changepoint" -> cusumChangepoint _,
     "q119_event_gaps" -> eventGaps _,
     "q128_burst_dedup" -> burstDedup _,
     "q129_event_transitions" -> eventTransitions _,
@@ -393,6 +475,68 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_concurrency_sweep" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, min(ts) AS st,
+        |    max(ts) + INTERVAL '10 minutes' AS en
+        |  FROM numbered GROUP BY user_id, sess),
+        |bounds AS (
+        |  SELECT st AS ts, CAST(1 AS BIGINT) AS delta, user_id FROM sessions
+        |  UNION ALL
+        |  SELECT en, CAST(-1 AS BIGINT), user_id FROM sessions),
+        |scanned AS (
+        |  SELECT ts, delta,
+        |    sum(delta) OVER (ORDER BY ts, delta, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_starts
+        |FROM scanned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_user_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |    FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, event_type AS mode_type, c AS n_mode
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, event_type) AS rn FROM c)
+        |  WHERE rn = 1),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_events FROM c GROUP BY user_id)
+        |SELECT user_id, mode_type, n_mode, n_types, n_events
+        |FROM m JOIN t USING (user_id) ORDER BY user_id""".stripMargin,
+    "q158_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(cnt) AS t, count(*) AS nd
+        |  FROM daily GROUP BY event_type),
+        |scored AS (SELECT d.event_type, d.day,
+        |    abs(nd * sum(cnt) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |        * t) AS dev
+        |  FROM daily d JOIN tot USING (event_type)),
+        |mx AS (SELECT event_type, max(dev) AS max_dev_scaled
+        |  FROM scored GROUP BY event_type),
+        |cp AS (SELECT s.event_type, min(day) AS changepoint_day
+        |  FROM scored s JOIN mx USING (event_type)
+        |  WHERE dev = max_dev_scaled GROUP BY s.event_type)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+        |  CAST(max_dev_scaled AS BIGINT) AS max_dev_scaled, changepoint_day
+        |FROM mx JOIN cp USING (event_type) JOIN tot USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q148_bit_median" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(bit_and(event_id) AS BIGINT) AS band,

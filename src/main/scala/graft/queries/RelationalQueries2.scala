@@ -1008,7 +1008,156 @@ object RelationalQueries2 {
       .orderBy($"lang")
   }
 
+  // q151: TPC-H Q7-style volume shipping — bidirectional two-nation trade
+  // flow by ship year. The nation dims are PRE-filtered to the two nations
+  // of interest and broadcast (each key join prunes its fact side before
+  // the next), and the asymmetric pair predicate reduces to
+  // supp_nation <> cust_nation AFTER the IN-filter — pushed selectivity
+  // instead of a post-join residual over the full cross of nations.
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val picked = Seq("NATION_1", "NATION_2")
+    val n1 = t.nation.filter($"n_name".isin(picked: _*))
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    val n2 = t.nation.filter($"n_name".isin(picked: _*))
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation"))
+    t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("int").as("l_year"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  // q152: TPC-H Q14-style promo revenue share — conditional aggregate
+  // ratio over a one-month lineitem slice joined to the part dim
+  // (broadcast; the date filter is pushed to the lineitem scan so the
+  // join sees one month, not seven years). Both sums are decimal-exact;
+  // the percentage is formed once in double and rounded — the division
+  // is the ONLY inexact op, performed identically by both engines on
+  // identical inputs.
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val rev = dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))
+    t.lineitem
+      .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_promo"),
+        sum(rev).as("_total"),
+        count(lit(1)).as("n_lines"))
+      .select($"n_lines",
+        $"_promo".cast("double").as("promo_revenue"),
+        $"_total".cast("double").as("total_revenue"),
+        round(lit(100.0) * $"_promo".cast("double") / $"_total".cast("double"), 6)
+          .as("promo_pct"))
+  }
+
+  // q153: RFM customer segmentation — the classic marketing cube: per
+  // customer recency (days since last order, fixed anchor), frequency
+  // (order count) and monetary (decimal-exact spend), each scored into
+  // quartiles, then segment-cell counts. The quartiles use
+  // distributedNtile (q122's scalable ntile: range partition + offsets,
+  // no single-partition sort) over the CUSTOMER dimension — orders were
+  // reduced to one row per customer first, so each of the three ranking
+  // passes moves |customers| rows, never the fact table. Every ntile
+  // order carries the custkey tie-breaker: ntile is deterministic only
+  // under a total order.
+  def rfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(lit("2001-08-02").cast("timestamp"), max($"o_orderdate"))
+          .cast("int").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(dec($"o_totalprice")).cast("decimal(18,2)").as("monetary"))
+    val r = Relational.distributedNtile(per,
+      Seq($"recency_days".asc, $"o_custkey".asc), 4, "r_score")
+    val f = Relational.distributedNtile(r,
+      Seq($"frequency".desc, $"o_custkey".asc), 4, "f_score")
+    val m = Relational.distributedNtile(f,
+      Seq($"monetary".desc, $"o_custkey".asc), 4, "m_score")
+    m.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary").cast("double").as("segment_spend"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  // q156: Gini coefficient of customer spend — exact inequality measure
+  // via the rank formula G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with
+  // x sorted ascending. The global rank comes from
+  // Relational.globalRank (range partition + per-partition offsets), so
+  // no single task ever sees the whole relation; Σ i·x_i is a
+  // decimal-exact product-sum (rank ≤ 1e12 × spend(18,2) fits
+  // decimal(31,2) headroom at any realistic customer count). Only the
+  // final ratio is a double, formed by the same expression both engines
+  // evaluate on identical decimal inputs.
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("spend"))
+    val ranked = Relational.globalRank(spend,
+      Seq($"spend".asc, $"o_custkey".asc), "i")
+    ranked
+      .agg(count(lit(1)).as("n"), sum($"spend").as("s0"),
+        sum($"i".cast("decimal(12,0)") * $"spend").as("s1"))
+      .select($"n".cast("long").as("n_customers"),
+        $"s0".cast("double").as("total_spend"),
+        round((lit(2.0) * $"s1".cast("double") -
+            ($"n" + 1).cast("double") * $"s0".cast("double")) /
+          ($"n".cast("double") * $"s0".cast("double")), 6).as("gini"))
+  }
+
+  // q157: chi-square contingency — mktsegment × orderpriority observed vs
+  // expected counts with per-cell chi² contribution. Row/column totals
+  // ride windows PARTITIONED by one margin each (never a global
+  // single-partition window), and the grand total joins in via a
+  // broadcast 1-row cross (the q138 recipe). All inputs to the double
+  // expressions are exact integers — margin products stay in long
+  // (≤ n², exact far past this scale) and both engines form
+  // expected = (row·col)/n with one identical division.
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val cells = t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    val tot = cells.agg(sum($"obs").as("n_total"))
+    val e = ($"seg_tot" * $"pri_tot").cast("double") / $"n_total"
+    cells
+      .withColumn("seg_tot",
+        sum($"obs").over(Window.partitionBy($"c_mktsegment")))
+      .withColumn("pri_tot",
+        sum($"obs").over(Window.partitionBy($"o_orderpriority")))
+      .crossJoin(broadcast(tot))
+      .select($"c_mktsegment", $"o_orderpriority", $"obs",
+        $"seg_tot", $"pri_tot",
+        round(e, 6).as("expected"),
+        round(pow($"obs".cast("double") - e, 2.0) / e, 6).as("chi2_term"))
+      .orderBy($"c_mktsegment", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_tpch_q7" -> tpchQ7 _,
+    "q152_tpch_q14" -> tpchQ14 _,
+    "q153_rfm_segments" -> rfmSegmentation _,
+    "q156_gini_spend" -> giniSpend _,
+    "q157_chi_square" -> chiSquare _,
     "q114_csv_roundtrip" -> csvRoundtrip _,
     "q113_orc_roundtrip" -> orcRoundtrip _,
     "q111_jsonl_roundtrip" -> jsonlRoundtrip _,
@@ -1062,6 +1211,92 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q152_tpch_q14" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'),
+        |a AS (SELECT
+        |    sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+        |    sum(rev) AS total, count(*) AS n_lines FROM j)
+        |SELECT CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS promo_pct
+        |FROM a""".stripMargin,
+    "q153_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '2001-08-02') AS INT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (SELECT monetary,
+        |    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        |  FROM per)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) AS DOUBLE) AS segment_spend
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q156_gini_spend" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT spend,
+        |    row_number() OVER (ORDER BY spend, o_custkey) AS i FROM s),
+        |a AS (SELECT count(*) AS n, sum(spend) AS s0,
+        |    sum(CAST(i AS DECIMAL(12,0)) * spend) AS s1 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(s0 AS DOUBLE) AS total_spend,
+        |  round((2.0 * CAST(s1 AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)), 6) AS gini
+        |FROM a""".stripMargin,
+    "q157_chi_square" ->
+      """WITH cells AS (SELECT c_mktsegment, o_orderpriority,
+        |    count(*) AS obs
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT c_mktsegment, o_orderpriority, obs,
+        |    sum(obs) OVER (PARTITION BY c_mktsegment) AS st_raw,
+        |    sum(obs) OVER (PARTITION BY o_orderpriority) AS pt_raw,
+        |    sum(obs) OVER () AS nt_raw
+        |  FROM cells)
+        |SELECT c_mktsegment, o_orderpriority, CAST(obs AS BIGINT) AS obs,
+        |  CAST(st_raw AS BIGINT) AS seg_tot,
+        |  CAST(pt_raw AS BIGINT) AS pri_tot,
+        |  round(CAST(st_raw * pt_raw AS DOUBLE) / nt_raw, 6) AS expected,
+        |  round(pow(CAST(obs AS DOUBLE)
+        |      - CAST(st_raw * pt_raw AS DOUBLE) / nt_raw, 2)
+        |    / (CAST(st_raw * pt_raw AS DOUBLE) / nt_raw), 6) AS chi2_term
+        |FROM m ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
     "q100_incremental_agg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
