@@ -450,7 +450,62 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q161: gaps-and-islands activity streaks — per user, consecutive-day
+  // runs found with the classic anchor trick (day − row_number is constant
+  // within a run; both pure integer/date arithmetic, no session state).
+  // The window partitions by user, everything else is keyed aggregation —
+  // the whole face is two shuffles on user_id at any scale.
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables(s, dir).events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val islands = ud
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+    islands.groupBy($"user_id")
+      .agg(max($"len").cast("long").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum($"len").cast("long").as("active_days"),
+        min($"start_day").as("first_day"))
+      .orderBy($"user_id")
+  }
+
+  // q162: two-sample A/B lift (Welch t-statistic) on purchase values —
+  // variant = user_id parity (a deterministic split any engine
+  // reproduces). All moments come from decimal-exact Σv and Σv² in ONE
+  // conditional-aggregate pass (no per-variant subqueries, no second
+  // scan); means, variances and the t-stat are then a fixed chain of
+  // IEEE ops on those exact sums, identical on both engines, rounded
+  // once at the end.
+  def abTtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir).events
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2).cast("int").as("variant"),
+        $"value".cast("decimal(18,2)").as("v"))
+    val a = p.agg(
+      count(when($"variant" === 0, 1)).as("n0"),
+      sum(when($"variant" === 0, $"v")).as("s0"),
+      sum(when($"variant" === 0, $"v" * $"v")).as("ss0"),
+      count(when($"variant" === 1, 1)).as("n1"),
+      sum(when($"variant" === 1, $"v")).as("s1"),
+      sum(when($"variant" === 1, $"v" * $"v")).as("ss1"))
+    val m0 = $"s0".cast("double") / $"n0"
+    val m1 = $"s1".cast("double") / $"n1"
+    val var0 = ($"ss0".cast("double") - $"s0".cast("double") * $"s0".cast("double") / $"n0") / ($"n0" - 1)
+    val var1 = ($"ss1".cast("double") - $"s1".cast("double") * $"s1".cast("double") / $"n1") / ($"n1" - 1)
+    a.select(
+      $"n0", $"n1",
+      round(m0, 6).as("mean0"), round(m1, 6).as("mean1"),
+      round(var0, 6).as("var0"), round(var1, 6).as("var1"),
+      round((m0 - m1) / sqrt(var0 / $"n0" + var1 / $"n1"), 6).as("t_stat"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_streaks" -> activityStreaks _,
+    "q162_ab_ttest" -> abTtest _,
     "q154_concurrency_sweep" -> concurrencySweep _,
     "q155_user_mode" -> userMode _,
     "q158_cusum_changepoint" -> cusumChangepoint _,
@@ -475,6 +530,44 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |    FROM events),
+        |isl AS (SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS anchor, day
+        |  FROM ud),
+        |runs AS (SELECT user_id, anchor, count(*) AS len,
+        |    min(day) AS start_day
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  min(start_day) AS first_day
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q162_ab_ttest" ->
+      """WITH p AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    count(CASE WHEN variant = 0 THEN 1 END) AS cn0,
+        |    sum(CASE WHEN variant = 0 THEN v END) AS s0,
+        |    sum(CASE WHEN variant = 0 THEN v * v END) AS ss0,
+        |    count(CASE WHEN variant = 1 THEN 1 END) AS cn1,
+        |    sum(CASE WHEN variant = 1 THEN v END) AS s1,
+        |    sum(CASE WHEN variant = 1 THEN v * v END) AS ss1
+        |  FROM p),
+        |m AS (SELECT CAST(cn0 AS BIGINT) AS n0, CAST(cn1 AS BIGINT) AS n1,
+        |    CAST(s0 AS DOUBLE) / cn0 AS m0, CAST(s1 AS DOUBLE) / cn1 AS m1,
+        |    (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / cn0)
+        |      / (cn0 - 1) AS v0,
+        |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cn1)
+        |      / (cn1 - 1) AS v1
+        |  FROM a)
+        |SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+        |  round(v0, 6) AS var0, round(v1, 6) AS var1,
+        |  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat
+        |FROM m""".stripMargin,
     "q154_concurrency_sweep" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -1152,7 +1152,50 @@ object RelationalQueries2 {
       .orderBy($"c_mktsegment", $"o_orderpriority")
   }
 
+  // q160: market-basket part affinity — which part pairs co-occur in the
+  // same order beyond chance (support + lift). The pair join is keyed on
+  // l_orderkey with per-order fan-out bounded by basket size (C(lines,2),
+  // single-digit for order tables), never a part×part cross; the
+  // part-frequency joins are token-dim-sized keyed shuffles. Lift's only
+  // double is one division over exact integer counts.
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val nOrders = Tables(s, dir).orders.agg(count(lit(1)).as("n_orders"))
+    // build each basket once — collect_set dedups and shuffles in ONE
+    // hash aggregate (a separate distinct() would pay a second exchange
+    // over the same rows), then generate the C(lines,2) ordered pairs
+    // with codegen'd array lambdas — no self-join, no second copy of the
+    // item table
+    val baskets = items.groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("ps"))
+    val pairArr = flatten(transform($"ps", (x, i) =>
+      transform(slice($"ps", i + lit(2), size($"ps")),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val pairs = baskets
+      .select(explode(pairArr).as("p"))
+      .groupBy($"p.pa".as("part_a"), $"p.pb".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    // part frequencies are catalog-sized (|parts|, not |lineitem|) —
+    // derived from the already-deduped baskets (reuses their exchange)
+    // and broadcast into both enrichment joins so the pair table, the
+    // big side, never re-shuffles on part keys
+    val freq = baskets.select(explode($"ps").as("pk"))
+      .groupBy($"pk").agg(count(lit(1)).as("c"))
+    pairs
+      .join(broadcast(freq.select($"pk".as("part_a"), $"c".as("c_a"))), Seq("part_a"))
+      .join(broadcast(freq.select($"pk".as("part_b"), $"c".as("c_b"))), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"part_a", $"part_b", $"support", $"c_a", $"c_b",
+        round(($"support" * $"n_orders").cast("double") / ($"c_a" * $"c_b"), 6)
+          .as("lift"))
+      .orderBy($"support".desc, $"lift".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_basket_pairs" -> basketPairs _,
     "q151_tpch_q7" -> tpchQ7 _,
     "q152_tpch_q14" -> tpchQ14 _,
     "q153_rfm_segments" -> rfmSegmentation _,
@@ -1211,6 +1254,22 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |no AS (SELECT count(*) AS norders_raw FROM orders),
+        |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+        |    count(*) AS sup_raw
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |freq AS (SELECT pk, count(*) AS c FROM items GROUP BY pk)
+        |SELECT part_a, part_b, CAST(sup_raw AS BIGINT) AS support,
+        |  CAST(fa.c AS BIGINT) AS c_a, CAST(fb.c AS BIGINT) AS c_b,
+        |  round(CAST(sup_raw * norders_raw AS DOUBLE) / (fa.c * fb.c), 6)
+        |    AS lift
+        |FROM pairs JOIN freq fa ON part_a = fa.pk
+        |JOIN freq fb ON part_b = fb.pk, no
+        |ORDER BY support DESC, lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q151_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

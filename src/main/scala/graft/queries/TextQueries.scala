@@ -356,7 +356,60 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  // q159: bounded token co-occurrence PMI — which token pairs appear in
+  // the same document far more often than chance. The fan-out is BOUNDED
+  // BY CONSTRUCTION: each document contributes its first 20 distinct
+  // ≥4-char tokens (sorted, so "first" is deterministic), giving ≤190
+  // pairs per document at ANY corpus scale — the difference between a
+  // pair join that survives 100 TB and one that explodes quadratically in
+  // document length. The pair self-join shuffles on doc_id (bounded rows
+  // per key), the document-frequency join on token. PMI's only doubles
+  // are one division and one log2 on exact integer counts.
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyToks = slice(array_sort(array_distinct(
+      filter(PF.tokens($"text"), t => length(t) >= 4))), 1, 20)
+    val toks = Tables(s, dir).documents
+      .select($"doc_id", explode(keyToks).as("tok"))
+    val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 5)
+    val df = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    pairs
+      .join(df.select($"tok".as("tok_a"), $"c".as("c_a")), Seq("tok_a"))
+      .join(df.select($"tok".as("tok_b"), $"c".as("c_b")), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select($"tok_a", $"tok_b", $"c_ab", $"c_a", $"c_b",
+        round(log2(($"c_ab" * $"n_docs").cast("double") / ($"c_a" * $"c_b")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"tok_a", $"tok_b")
+      .limit(20)
+  }
+
+  // q163: per-source language-mix entropy — corpus-composition telemetry
+  // (is a crawl source monolingual or mixed?). Same integer-count entropy
+  // identity as q134 (H = log2 n − Σ c·log2 c / n) lifted from chars to
+  // (source, lang) counts; the Σ runs over ≤|langs| doubles per source.
+  def sourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).documents
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    counts.groupBy($"source")
+      .agg(sum($"c").cast("long").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum($"c".cast("double") * log2($"c")).as("_sclc"))
+      .select($"source", $"n_docs", $"n_langs",
+        round(log2($"n_docs") - $"_sclc" / $"n_docs", 6).as("lang_entropy"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_token_pmi" -> tokenPmi _,
+    "q163_source_entropy" -> sourceEntropy _,
     "q117_inverted_index" -> invertedIndex _,
     "q118_weighted_sample" -> weightedSample _,
     "q50_token_stats" -> tokenStats _,
@@ -515,6 +568,36 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q159_token_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) >= 4)))[1:20]) AS tok
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS ndocs_raw FROM documents),
+        |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    count(*) AS cab_raw
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |df AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        |SELECT tok_a, tok_b, CAST(cab_raw AS BIGINT) AS c_ab,
+        |  CAST(da.c AS BIGINT) AS c_a, CAST(db.c AS BIGINT) AS c_b,
+        |  round(log2(CAST(cab_raw * ndocs_raw AS DOUBLE) / (da.c * db.c)), 6)
+        |    AS pmi
+        |FROM pairs JOIN df da ON tok_a = da.tok
+        |JOIN df db ON tok_b = db.tok, nd
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+    "q163_source_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents
+        |    GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS nl,
+        |    sum(CAST(cnt AS DOUBLE) * log2(cnt)) AS sclc
+        |  FROM c GROUP BY source)
+        |SELECT source, nd AS n_docs, nl AS n_langs,
+        |  round(log2(nd) - sclc / nd, 6) AS lang_entropy
+        |FROM a ORDER BY source""".stripMargin,
     "q117_inverted_index" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS tok FROM documents)
          |SELECT tok, CAST(count(*) AS BIGINT) AS df,
