@@ -503,7 +503,82 @@ object EventsQueries {
       round((m0 - m1) / sqrt(var0 / $"n0" + var1 / $"n1"), 6).as("t_stat"))
   }
 
+  // q165: view→purchase conversion lag — per user, first view then first
+  // purchase strictly after it; lag distribution in exact interpolated
+  // percentiles over integer epoch-millis (q119's ms recipe + q38's
+  // percentile ≡ quantile_cont parity). Two keyed aggregates and one
+  // user-keyed join — no windows over the raw event table.
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ms").as("t_view"))
+    val lags = ev.filter($"event_type" === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter($"ms" > $"t_view")
+      .groupBy($"user_id")
+      .agg((min($"ms") - min($"t_view")).as("lag_ms"))
+    lags.agg(
+      count(lit(1)).as("n_converted"),
+      min($"lag_ms").as("min_ms"),
+      max($"lag_ms").as("max_ms"),
+      round(expr("percentile(lag_ms, 0.5)"), 6).as("p50_ms"),
+      round(expr("percentile(lag_ms, 0.9)"), 6).as("p90_ms"))
+  }
+
+  // q166: rolling 7-day exact median of daily event counts per type —
+  // percentile as a WINDOW aggregate over a ROWS frame (the moving-median
+  // smoother). The window partitions by event_type over the |days|-sized
+  // pre-aggregate, never the raw events; the interpolated median over
+  // integer counts is an exact rational both engines agree on.
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .select($"event_type", $"day", $"cnt",
+        count(lit(1)).over(w).cast("long").as("n_window"),
+        round(expr("percentile(cnt, 0.5)")
+          .over(w), 6).as("med7"))
+      .orderBy($"event_type", $"day")
+  }
+
+  // q168: URL parsing battery — parse_url (HOST / PATH / QUERY / one
+  // query parameter) over URLs assembled from event fields. The oracle
+  // re-derives each component from the same fields directly, so the face
+  // pins Spark's parser against the construction rule rather than a
+  // second parser. Pure per-row projection + one keyed aggregate.
+  def urlParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://shop.example.com/"), $"event_type",
+      lit("/item"), ($"event_id" % 100).cast("string"),
+      lit("?uid="), $"user_id".cast("string"), lit("&ref=email"))
+    Tables(s, dir).events
+      .select($"event_type", url.as("url"))
+      .select($"event_type",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("QUERY"), lit("uid")).cast("long").as("uid"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"host" === "shop.example.com", 1L).otherwise(0L))
+          .cast("long").as("n_host_ok"),
+        countDistinct($"path").as("n_paths"),
+        sum(when($"query".startsWith("uid="), 1L).otherwise(0L))
+          .cast("long").as("n_query_ok"),
+        sum($"uid").cast("long").as("sum_uid"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_conversion_lag" -> conversionLag _,
+    "q166_rolling_median" -> rollingMedian _,
+    "q168_url_parse" -> urlParse _,
     "q161_streaks" -> activityStreaks _,
     "q162_ab_ttest" -> abTtest _,
     "q154_concurrency_sweep" -> concurrencySweep _,
@@ -530,6 +605,47 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |    FROM events),
+        |fv AS (SELECT user_id, min(ms) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |l AS (SELECT e.user_id, min(ms) - min(t_view) AS lag_ms
+        |  FROM ev e JOIN fv USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t_view
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(min(lag_ms) AS BIGINT) AS min_ms,
+        |  CAST(max(lag_ms) AS BIGINT) AS max_ms,
+        |  round(quantile_cont(lag_ms, 0.5), 6) AS p50_ms,
+        |  round(quantile_cont(lag_ms, 0.9), 6) AS p90_ms
+        |FROM l""".stripMargin,
+    "q166_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  round(quantile_cont(cnt, 0.5) OVER w, 6) AS med7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q168_url_parse" ->
+      """WITH u AS (SELECT event_type,
+        |    'shop.example.com' AS host,
+        |    '/' || event_type || '/item' || CAST(event_id % 100 AS VARCHAR)
+        |      AS path,
+        |    'uid=' || CAST(user_id AS VARCHAR) || '&ref=email' AS query,
+        |    user_id AS uid
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN host = 'shop.example.com' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_host_ok,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+        |  CAST(sum(CASE WHEN starts_with(query, 'uid=') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_query_ok,
+        |  CAST(sum(uid) AS BIGINT) AS sum_uid
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q161_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |    FROM events),

@@ -1194,7 +1194,63 @@ object RelationalQueries2 {
       .limit(20)
   }
 
+  // q164: decile gains table — the marketing "top 10% of customers drive
+  // X% of revenue" chart. Deciles come from distributedNtile over the
+  // reduced customer dim (no single-partition sort anywhere near the fact
+  // table); the cumulative share then runs over exactly k=10 rows, where
+  // a plain ordered window is the right tool at any corpus scale. The
+  // cumulative sum stays DECIMAL until the one share division.
+  def decileGains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("spend"))
+    val deciled = Relational.distributedNtile(spend,
+      Seq($"spend".desc, $"o_custkey".asc), 10, "decile")
+    val per = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"spend").as("dspend"))
+    val tot = per.agg(sum($"dspend").as("tspend"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum", sum($"dspend").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_customers",
+        $"dspend".cast("double").as("decile_spend"),
+        round($"cum".cast("double") / $"tspend".cast("double"), 6).as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  // q167: share-of-total window analytics — each nation's revenue share
+  // and rank WITHIN its region (the ratio_to_report pattern). The fact
+  // join reduces to |nations| rows first; the share/rank windows then
+  // partition by region — never a global single-partition window — and
+  // the share's denominator stays a decimal-exact window sum until the
+  // one division.
+  def regionShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val natRev = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val wR = Window.partitionBy($"r_name")
+    val wRank = wR.orderBy($"rev".desc, $"n_name".asc)
+    natRev
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"rev",
+        sum($"rev").over(wR).as("rtot"),
+        rank().over(wRank).as("rnk"))
+      .select($"r_name", $"n_name", $"rev".cast("double").as("revenue"),
+        round($"rev".cast("double") / $"rtot".cast("double"), 6)
+          .as("region_share"),
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"r_name", $"rnk", $"n_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_decile_gains" -> decileGains _,
+    "q167_region_share" -> regionShare _,
     "q160_basket_pairs" -> basketPairs _,
     "q151_tpch_q7" -> tpchQ7 _,
     "q152_tpch_q14" -> tpchQ14 _,
@@ -1254,6 +1310,40 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_decile_gains" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT spend,
+        |    ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM s),
+        |per AS (SELECT decile, count(*) AS nc, sum(spend) AS dspend
+        |  FROM d GROUP BY decile),
+        |c AS (SELECT decile, nc, dspend,
+        |    sum(dspend) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(dspend) OVER () AS tspend
+        |  FROM per)
+        |SELECT decile, CAST(nc AS BIGINT) AS n_customers,
+        |  CAST(dspend AS DOUBLE) AS decile_spend,
+        |  round(CAST(cum AS DOUBLE) / CAST(tspend AS DOUBLE), 6) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
+    "q167_region_share" ->
+      """WITH nr AS (SELECT c_nationkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey),
+        |j AS (SELECT r_name, n_name, rev,
+        |    sum(rev) OVER (PARTITION BY r_name) AS rtot,
+        |    rank() OVER (PARTITION BY r_name
+        |      ORDER BY rev DESC, n_name) AS rnk
+        |  FROM nr JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(rtot AS DOUBLE), 6)
+        |    AS region_share,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM j ORDER BY r_name, rnk, n_name""".stripMargin,
     "q160_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),

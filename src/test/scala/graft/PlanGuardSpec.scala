@@ -96,6 +96,27 @@ class PlanGuardSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q151: TPC-H Q7 broadcasts the pre-filtered nation dims, no cartesian") {
+    val p = planOf("q151_tpch_q7")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected both nation dims broadcast (got $bhj):\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q7 degraded to cartesian:\n$p")
+  }
+
+  test("q155: per-user mode argmax compiles to WindowGroupLimit (map-side top-1)") {
+    val p = planOf("q155_user_mode")
+    assert(p.contains("WindowGroupLimit"), s"rank<=1 did not push down:\n$p")
+  }
+
+  test("q160: basket pairs — top-k pushdown, broadcast frequency dims, no self-join SMJ") {
+    val p = planOf("q160_basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 sorts globally:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"frequency dims should broadcast (got $bhj):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair generation should be array lambdas + broadcast, never an SMJ:\n$p")
+  }
+
   test("q99: semantic dedup broadcasts seeds; pair join is a shuffle join, never a cartesian") {
     val p = planOf("q99_semantic_dedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
