@@ -1248,7 +1248,57 @@ object RelationalQueries2 {
       .orderBy($"r_name", $"rnk", $"n_name")
   }
 
+  // q169: TPC-H Q6 (forecast revenue change) — the pure scan-predicate
+  // aggregate: every filter reaches the parquet scan (date range,
+  // discount band, quantity cap — all min/max-prunable at the row-group
+  // level), then one decimal-exact product sum. Same SQL text on both
+  // engines.
+  private val tpchQ6Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // q170: TPC-H Q13 (customer order-count distribution) — the LEFT JOIN
+  // + double aggregation composite: customers keep their zero-order rows,
+  // the first groupBy reduces to |customers|, the second to |distinct
+  // counts|. Same SQL text on both engines (the reference Q13's comment
+  // filter is dropped — this schema carries no o_comment).
+  private val tpchQ13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // q172: discrete vs continuous percentiles — percentile_disc returns an
+  // ACTUAL data element (no interpolation: the right statistic for
+  // quantized or categorical-ish numerics), percentile_cont the
+  // interpolated value; both exact cross-engine on this 2-decimal data.
+  def percentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q90_disc"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50_cont"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_tpch_q6" -> bySql(Seq("lineitem"), tpchQ6Sql) _,
+    "q170_tpch_q13" -> bySql(Seq("customer", "orders"), tpchQ13Sql) _,
+    "q172_percentile_disc" -> percentileDisc _,
     "q164_decile_gains" -> decileGains _,
     "q167_region_share" -> regionShare _,
     "q160_basket_pairs" -> basketPairs _,
@@ -1310,6 +1360,16 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_tpch_q6" -> tpchQ6Sql,
+    "q170_tpch_q13" -> tpchQ13Sql,
+    "q172_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25_disc,
+        |  quantile_disc(l_quantity, 0.5) AS q50_disc,
+        |  quantile_disc(l_quantity, 0.9) AS q90_disc,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50_cont,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q164_decile_gains" ->
       """WITH s AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))

@@ -233,7 +233,29 @@ object TrainingDataQueries {
       .orderBy($"source")
   }
 
+  // q171: token-budget mixture plan — the planning step BEFORE q94's
+  // weighted sampling: given a per-source token budget, compute each
+  // source's admission fraction min(1, budget/tokens) and the doc/token
+  // volume that admits. One token-count aggregate per source; the plan
+  // itself is |sources| rows of closed-form arithmetic (floor of one
+  // double product — the same IEEE op on both engines), so the mix can
+  // be audited before any sampling pass runs.
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = Tables(s, dir).documents
+      .select($"source", size(PF.tokens($"text")).cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+    val frac = least(lit(1.0), lit(5000.0) / $"n_tokens")
+    perSrc.select($"source", $"n_docs", $"n_tokens",
+      round(frac, 6).as("sample_frac"),
+      floor($"n_tokens" * frac).cast("long").as("exp_tokens"),
+      floor($"n_docs" * frac).cast("long").as("exp_docs"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_mix_plan" -> mixPlan _,
     "q79_contamination" -> contamination _,
     "q84_pretokenize" -> pretokenize _,
     "q92_chunk_overlap" -> chunkOverlap _,
@@ -265,6 +287,21 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q171_mix_plan" ->
+      """WITH t AS (SELECT source,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(least(1.0, 5000.0 / n_tokens), 6) AS sample_frac,
+        |  CAST(floor(n_tokens * least(1.0, 5000.0 / n_tokens)) AS BIGINT)
+        |    AS exp_tokens,
+        |  CAST(floor(n_docs * least(1.0, 5000.0 / n_tokens)) AS BIGINT)
+        |    AS exp_docs
+        |FROM a ORDER BY source""".stripMargin,
     "q94_domain_mix" ->
       s"""WITH d AS (SELECT source, n_chars,
          |    ${bucketSql("doc_id", 10000)} AS b,
