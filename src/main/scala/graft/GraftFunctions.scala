@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    // whole-operator extension: the native distributed prefix scan
+    // (custom LogicalPlan + Strategy + SparkPlan, graft.plans.PrefixScan)
+    e.injectPlannerStrategy(_ => graft.plans.PrefixScanStrategy)
   }
 }

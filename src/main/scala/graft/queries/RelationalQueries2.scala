@@ -1295,7 +1295,30 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q173: global running order totals THROUGH THE NATIVE OPERATOR —
+  // graft.plans.PrefixScan (custom LogicalPlan → PrefixScanStrategy →
+  // PrefixScanExec, injected by GraftExtensions): one range exchange,
+  // two streaming passes over the same shuffle output, |partitions| longs
+  // of driver state. Money rides integer cents (q109's recipe); the rank
+  // is a second PrefixScan whose required distribution the first already
+  // satisfies — no extra exchange. Oracle: the equivalent single-
+  // partition SQL window.
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val keys = Seq("o_orderdate", "o_orderkey")
+    val scanned = graft.plans.PrefixScan.rank(
+      graft.plans.PrefixScan.runningSum(o, keys, $"cents", "run_cents"),
+      keys, "rn")
+    scanned.select($"o_orderkey", to_date($"o_orderdate").as("day"),
+        $"cents", $"rn", $"run_cents")
+      .orderBy($"rn")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_running_total" -> runningTotal _,
     "q169_tpch_q6" -> bySql(Seq("lineitem"), tpchQ6Sql) _,
     "q170_tpch_q13" -> bySql(Seq("customer", "orders"), tpchQ13Sql) _,
     "q172_percentile_disc" -> percentileDisc _,
@@ -1360,6 +1383,18 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_running_total" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, cents,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_cents
+        |FROM o
+        |WINDOW w AS (ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY rn""".stripMargin,
     "q169_tpch_q6" -> tpchQ6Sql,
     "q170_tpch_q13" -> tpchQ13Sql,
     "q172_percentile_disc" ->
