@@ -19,7 +19,9 @@ object ScaleTest {
         // round-6 heavy additions
         "q127_heavy_hitters", "q131_oov_rate", "q133_bigram_lm",
         "q134_char_entropy", "q137_rolling_active")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

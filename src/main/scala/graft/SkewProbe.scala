@@ -26,7 +26,9 @@ object SkewProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val takeN = if (args.length > 1) args(1).toInt else 20000
     val parts = 32
-    val spark = SparkSession.builder().master(s"local[$parts]")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$parts]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       // the at-scale shape: the per-vector assigned relation of a 100 TB
