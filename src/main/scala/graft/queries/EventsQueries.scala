@@ -575,7 +575,27 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q176: session-duration log₂ histogram — q72's sessions bucketed by
+  // power-of-two duration (the latency-histogram shape that keeps bucket
+  // count bounded at any scale). Both engines evaluate the identical
+  // floor(log2(·)) on identical doubles, so bucket edges can't diverge.
+  def sessionDurationHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = Tables(s, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select((unix_millis($"w.end") - unix_millis($"w.start")).as("dur_ms"))
+    sess
+      .select($"dur_ms",
+        floor(log2($"dur_ms" / 1000.0 + 1)).cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        min($"dur_ms").as("min_ms"), max($"dur_ms").as("max_ms"))
+      .orderBy($"bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_session_hist" -> sessionDurationHist _,
     "q165_conversion_lag" -> conversionLag _,
     "q166_rolling_median" -> rollingMedian _,
     "q168_url_parse" -> urlParse _,
@@ -605,6 +625,29 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_session_hist" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT epoch_ms(max(ts) + INTERVAL '10 minutes')
+        |      - epoch_ms(min(ts)) AS dur_ms
+        |  FROM numbered GROUP BY user_id, sess),
+        |b AS (SELECT dur_ms,
+        |    CAST(floor(log2(dur_ms / 1000.0 + 1)) AS INT) AS bucket
+        |  FROM sessions)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(min(dur_ms) AS BIGINT) AS min_ms,
+        |  CAST(max(dur_ms) AS BIGINT) AS max_ms
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q165_conversion_lag" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
         |    FROM events),

@@ -1317,7 +1317,43 @@ object RelationalQueries2 {
       .orderBy($"rn")
   }
 
+  // q174: window navigation battery — nth_value over the full frame,
+  // lead/lag WITH DEFAULTS, and running first-non-null (IGNORE NULLS):
+  // the navigation functions ETL backfills lean on, each pinned with an
+  // explicit frame so both engines evaluate the same spec. Windows
+  // partition by customer — never global.
+  def windowNav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bigOrNull = when($"o_totalprice" > 200000.0, $"o_totalprice")
+    Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        nth_value($"o_orderkey", 2).over(wAll).as("second_order"),
+        lead($"o_totalprice", 2, -1.0).over(wOrd).as("lead2_price"),
+        lag($"o_totalprice", 1, 0.0).over(wOrd).as("lag1_price"),
+        first(bigOrNull, ignoreNulls = true).over(wRun).as("first_big"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // q175: FILTER-clause aggregate battery — the SAME SQL text runs on
+  // both engines (conditional aggregation without CASE scaffolding);
+  // money through the decimal discipline.
+  private val filterClauseSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+      |  CAST(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+      |    AS o_max,
+      |  min(o_orderdate) FILTER (WHERE o_orderstatus = 'P') AS p_first
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_window_nav" -> windowNav _,
+    "q175_filter_clause" -> bySql(Seq("orders"), filterClauseSql) _,
     "q173_running_total" -> runningTotal _,
     "q169_tpch_q6" -> bySql(Seq("lineitem"), tpchQ6Sql) _,
     "q170_tpch_q13" -> bySql(Seq("customer", "orders"), tpchQ13Sql) _,
@@ -1383,6 +1419,22 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_filter_clause" -> filterClauseSql,
+    "q174_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER wa AS second_order,
+        |  lead(o_totalprice, 2, -1.0) OVER wo AS lead2_price,
+        |  lag(o_totalprice, 1, 0.0) OVER wo AS lag1_price,
+        |  first_value(CASE WHEN o_totalprice > 200000.0
+        |    THEN o_totalprice END IGNORE NULLS) OVER wr AS first_big
+        |FROM orders
+        |WINDOW
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q173_running_total" ->
       """WITH o AS (SELECT o_orderkey, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
