@@ -1351,7 +1351,30 @@ object RelationalQueries2 {
       |  min(o_orderdate) FILTER (WHERE o_orderstatus = 'P') AS p_first
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // q178: pivot with MULTIPLE aggregates per cell (count + decimal-exact
+  // sum) — the wide-report shape. Absent cells come back NULL from pivot
+  // but 0 from conditional aggregation, so both legs normalize through
+  // coalesce: the face stays total across scale factors where a
+  // (priority, status) cell may be empty.
+  def pivotMultiAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir).orders
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+    p.select($"o_orderpriority",
+      coalesce($"F_n", lit(0L)).as("f_n"),
+      coalesce($"F_total", lit(0.0)).as("f_total"),
+      coalesce($"O_n", lit(0L)).as("o_n"),
+      coalesce($"O_total", lit(0.0)).as("o_total"),
+      coalesce($"P_n", lit(0L)).as("p_n"),
+      coalesce($"P_total", lit(0.0)).as("p_total"))
+      .orderBy($"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_pivot_multi" -> pivotMultiAgg _,
     "q174_window_nav" -> windowNav _,
     "q175_filter_clause" -> bySql(Seq("orders"), filterClauseSql) _,
     "q173_running_total" -> runningTotal _,
@@ -1419,6 +1442,18 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS o_total,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q175_filter_clause" -> filterClauseSql,
     "q174_window_nav" ->
       """SELECT o_custkey, o_orderkey,

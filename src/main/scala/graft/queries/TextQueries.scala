@@ -407,7 +407,27 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // q177: explode_outer semantics — generator rows must NOT drop parents
+  // with empty arrays (the left-join-shaped explode every enrichment
+  // pipeline eventually needs). Rare ≥8-char tokens leave ~20% of docs with empty arrays; the per-lang accounting separates real token rows from
+  // preserved empty-parent rows. Oracle mirrors outer semantics by
+  // unnesting a [NULL] sentinel for empty lists.
+  def explodeOuterFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(PF.tokens($"text"), t => length(t) >= 8)
+    Tables(s, dir).documents
+      .select($"lang", explode_outer(toks).as("tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"tok").as("n_tok_rows"),
+        sum(when($"tok".isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_docs_empty"),
+        countDistinct($"tok").as("n_distinct"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_explode_outer" -> explodeOuterFace _,
     "q159_token_pmi" -> tokenPmi _,
     "q163_source_entropy" -> sourceEntropy _,
     "q117_inverted_index" -> invertedIndex _,
@@ -568,6 +588,19 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q177_explode_outer" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) >= 8) AS l
+        |  FROM documents),
+        |e AS (SELECT lang, unnest(CASE WHEN len(l) = 0
+        |    THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS tok FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(tok) AS BIGINT) AS n_tok_rows,
+        |  CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_empty,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
     "q159_token_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_sort(list_distinct(
