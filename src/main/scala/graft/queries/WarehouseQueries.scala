@@ -73,13 +73,103 @@ object WarehouseQueries {
         t.customer, "c_custkey")))
   }
 
+  // q179: cohort LTV triangle — per first-order-month cohort, revenue by
+  // months-since-acquisition with cumulative share (the lifetime-value
+  // curve). Month indices are pure integers (year·12 + month), revenue
+  // decimal-exact; the cumulative window partitions by cohort over the
+  // |cohorts|×|months| triangle, never the fact table.
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        $"o_totalprice".cast("decimal(18,2)").as("rev"))
+    val cohort = o.groupBy($"o_custkey").agg(min($"m").as("cm"))
+    val cells = o.join(cohort, Seq("o_custkey"))
+      .groupBy($"cm", ($"m" - $"cm").as("k"))
+      .agg(countDistinct($"o_custkey").as("active"), sum($"rev").as("crev"))
+    val wCum = Window.partitionBy($"cm").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"cm")
+    cells
+      .select($"cm", $"k", $"active",
+        $"crev".cast("double").as("rev"),
+        sum($"crev").over(wCum).as("_cum"),
+        sum($"crev").over(wTot).as("_tot"))
+      .select($"cm", $"k", $"active", $"rev",
+        round($"_cum".cast("double") / $"_tot".cast("double"), 6)
+          .as("cum_share"))
+      .orderBy($"cm", $"k")
+  }
+
+  // q180: segment migration matrix — customers re-quartiled in two
+  // periods (1996 vs 1997 spend, distributedNtile both times), transition
+  // cell counts + decimal-exact spend delta. The periods rank
+  // independently over the reduced customer dim; the matrix is the
+  // re-engagement report marketing runs every year.
+  def segmentMigration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def spendIn(yr: Int) = Tables(s, dir).orders
+      .filter(year($"o_orderdate") === yr)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as(s"spend$yr"))
+    val a = Relational.distributedNtile(spendIn(1996),
+      Seq($"spend1996".desc, $"o_custkey".asc), 4, "q96")
+    val b = Relational.distributedNtile(spendIn(1997),
+      Seq($"spend1997".desc, $"o_custkey".asc), 4, "q97")
+    a.join(b, Seq("o_custkey"))
+      .groupBy($"q96", $"q97")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"spend1997" - $"spend1996").cast("double").as("spend_delta"))
+      .orderBy($"q96", $"q97")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_cohort_ltv" -> cohortLtv _,
+    "q180_segment_migration" -> segmentMigration _,
     "q89_upsert_merge" -> upsertMerge _,
     "q90_scd2_history" -> scd2History _,
     "q97_quality_report" -> qualityReport _
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        |  FROM orders),
+        |c AS (SELECT o_custkey, CAST(min(m) AS INT) AS cm FROM o
+        |  GROUP BY o_custkey),
+        |cells AS (SELECT cm, m - cm AS k,
+        |    count(DISTINCT o.o_custkey) AS act, sum(rev) AS crev
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+        |w AS (SELECT cm, k, act, crev,
+        |    sum(crev) OVER (PARTITION BY cm ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(crev) OVER (PARTITION BY cm) AS tot
+        |  FROM cells)
+        |SELECT cm, CAST(k AS INT) AS k, CAST(act AS BIGINT) AS active,
+        |  CAST(crev AS DOUBLE) AS rev,
+        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM w ORDER BY cm, k""".stripMargin,
+    "q180_segment_migration" ->
+      """WITH a AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS s96
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+        |b AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS s97
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+        |ra AS (SELECT o_custkey, s96,
+        |    ntile(4) OVER (ORDER BY s96 DESC, o_custkey) AS q96 FROM a),
+        |rb AS (SELECT o_custkey, s97,
+        |    ntile(4) OVER (ORDER BY s97 DESC, o_custkey) AS q97 FROM b)
+        |SELECT q96, q97, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(s97 - s96) AS DOUBLE) AS spend_delta
+        |FROM ra JOIN rb USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q89_upsert_merge" ->
       """WITH target AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |updates AS (

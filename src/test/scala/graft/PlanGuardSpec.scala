@@ -117,6 +117,14 @@ class PlanGuardSpec extends SparkSpec {
       s"pair generation should be array lambdas + broadcast, never an SMJ:\n$p")
   }
 
+  test("q169: TPC-H Q6 pushes every predicate to the parquet scan") {
+    val p = planOf("q169_tpch_q6")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"Q6 predicates did not reach the scan:\n$p")
+    // the scan must stay narrow: only the filter+agg columns
+    assert(!p.contains("l_partkey"), s"unpruned Q6 scan reads l_partkey:\n$p")
+  }
+
   test("q99: semantic dedup broadcasts seeds; pair join is a shuffle join, never a cartesian") {
     val p = planOf("q99_semantic_dedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
