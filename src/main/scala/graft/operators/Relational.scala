@@ -137,6 +137,42 @@ object Relational {
       .drop(pidC, offC, valC)
   }
 
+  /** Global running MAX over a total order — [[globalRunningSum]]'s
+    * shape with (max, greatest) in place of (sum, +): range partition,
+    * local running max, per-partition max offsets (exclusive prefix-max,
+    * Long.MinValue as identity). Same total-order requirement.
+    * `inclusive = false` excludes the current row (strictly-preceding
+    * max, Long.MinValue for the first row) — the skyline's dominance
+    * test in ONE pass instead of rank + self-join.
+    */
+  def globalRunningMax(df: DataFrame, order: Seq[Column], value: Column,
+                       out: String, inclusive: Boolean = true): DataFrame = {
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n) && n != out).get
+    val (pidC, offC, valC) = (fresh("_pid"), fresh("_off"), fresh("_val"))
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn(valC, value.cast("long"))
+      .withColumn(pidC, spark_partition_id())
+      .localCheckpoint()
+    val maxes = ranged.groupBy(col(pidC)).agg(max(col(valC)).as("_m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    val offsets = (0 until parts).map(p =>
+      (p, (0 until p).map(maxes.getOrElse(_, Long.MinValue))
+        .foldLeft(Long.MinValue)(math.max)))
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF(pidC, offC))
+    val wBase = Window.partitionBy(col(pidC)).orderBy(order: _*)
+    val w = if (inclusive) wBase
+      else wBase.rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(offDf, Seq(pidC))
+      .withColumn(out, greatest(
+        coalesce(max(col(valC)).over(w), lit(Long.MinValue)), col(offC)))
+      .drop(pidC, offC, valC)
+  }
+
   /** Global row rank (1-based) over a TOTAL order — running count of ones
     * through [[globalRunningSum]] (same unique-tie-breaker requirement).
     */

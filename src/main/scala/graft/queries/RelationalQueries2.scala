@@ -1373,7 +1373,32 @@ object RelationalQueries2 {
       .orderBy($"o_orderpriority")
   }
 
+  // q181: 2-D skyline (Pareto frontier) over (spend, order count),
+  // maximizing both — "no other customer is at least as good on both axes
+  // and better on one". The quadratic NOT-EXISTS the oracle runs is
+  // replaced by the sort-based identity: group by spend (gmax = best
+  // order count per spend value), then ONE exclusive globalRunningMax
+  // pass down the spend-descending order — a point survives iff it holds
+  // its group's max AND beats every higher-spend group's max. Range
+  // partition + offsets over the |distinct spend| table — O(n log n) by
+  // sort, never O(n²) pairs.
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("spend"),
+        count(lit(1)).as("n_orders"))
+    val grp = per.groupBy($"spend").agg(max($"n_orders").as("gmax"))
+    val flags = Relational.globalRunningMax(grp,
+      Seq($"spend".desc), $"gmax", "prevmax", inclusive = false)
+    per.join(flags, Seq("spend"))
+      .filter($"n_orders" === $"gmax" && $"gmax" > $"prevmax")
+      .select($"o_custkey", $"spend".cast("double").as("spend"), $"n_orders")
+      .orderBy($"spend".desc, $"o_custkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_skyline" -> skyline _,
     "q178_pivot_multi" -> pivotMultiAgg _,
     "q174_window_nav" -> windowNav _,
     "q175_filter_clause" -> bySql(Seq("orders"), filterClauseSql) _,
@@ -1442,6 +1467,19 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_skyline" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT p.o_custkey, CAST(p.spend AS DOUBLE) AS spend,
+        |  CAST(p.n_orders AS BIGINT) AS n_orders
+        |FROM per p WHERE NOT EXISTS (
+        |  SELECT 1 FROM per q
+        |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+        |    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+        |ORDER BY spend DESC, o_custkey""".stripMargin,
     "q178_pivot_multi" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,

@@ -47,6 +47,18 @@ class GlobalScanSpec extends SparkSpec {
     assert(r.toSeq == Seq(42L))
   }
 
+  test("globalRunningMax matches a sequential prefix max (mixed signs, desc order)") {
+    val data = (1L to 499L).map(k => (k * 7919 % 1000 * 1000 + k, (k % 23) - 11))
+    val df = data.toDF("k", "v").repartition(6)
+    val got = Relational.globalRunningMax(df, Seq($"k".desc), $"v", "rm")
+      .select($"k", $"rm").as[(Long, Long)].collect().toMap
+    var acc = Long.MinValue
+    val want = data.sortBy(-_._1).map { case (k, v) =>
+      acc = math.max(acc, v); k -> acc
+    }.toMap
+    assert(got == want)
+  }
+
   test("globalRunningSum does not clobber caller columns named like temps") {
     val df = Seq((1L, 2L, 9L), (2L, 3L, 8L)).toDF("k", "v", "_pid")
     val out = Relational.globalRunningSum(df, Seq($"k"), $"v", "ps")
