@@ -594,7 +594,47 @@ object EventsQueries {
       .orderBy($"bucket")
   }
 
+  // q182: bitmap-aggregate distinct counting — Spark's bitmap_construct_agg
+  // builds a fixed-size bitmap per group (mergeable, EXACT — the
+  // dense-bitmap cousin of HLL for bounded key domains; positions are
+  // 1-based, hence the +1 shift); the face pins
+  // bitmap_count ≡ count(DISTINCT) on the same column, so the oracle needs
+  // no bitmap support. Per-group bitmaps are the at-scale shape for exact
+  // distinct over integer keys: partial bitmaps OR-merge map-side.
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type", ($"user_id" % 10000 + 1).as("uk"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(uk)))")
+          .as("bitmap_distinct"),
+        countDistinct($"uk").as("exact_distinct"))
+      .select($"event_type", $"n", $"bitmap_distinct", $"exact_distinct",
+        ($"bitmap_distinct" === $"exact_distinct").as("bitmap_exact"))
+      .orderBy($"event_type")
+  }
+
+  // q183: VARIANT ingestion — parse_json into Spark 4's VARIANT type,
+  // typed extraction via variant_get with a cast path. The open-schema
+  // answer to q73's fixed MapType: the column stores arbitrary JSON
+  // shapes, extraction is late-bound. Oracle extracts the same path with
+  // DuckDB's JSON functions.
+  def variantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n"), min($"k").as("min_k"), max($"k").as("max_k"),
+        sum($"k").cast("long").as("sum_k"),
+        countDistinct($"k").as("n_distinct"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_bitmap_distinct" -> bitmapDistinct _,
+    "q183_variant_props" -> variantProps _,
     "q176_session_hist" -> sessionDurationHist _,
     "q165_conversion_lag" -> conversionLag _,
     "q166_rolling_median" -> rollingMedian _,
@@ -625,6 +665,21 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id % 10000) AS BIGINT) AS bitmap_distinct,
+        |  CAST(count(DISTINCT user_id % 10000) AS BIGINT) AS exact_distinct,
+        |  TRUE AS bitmap_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q183_variant_props" ->
+      """SELECT event_type,
+        |  count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q176_session_hist" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
