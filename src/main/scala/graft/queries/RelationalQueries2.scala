@@ -1397,7 +1397,54 @@ object RelationalQueries2 {
       .orderBy($"spend".desc, $"o_custkey")
   }
 
+  // q184: exact weighted median — price weighted by quantity, per return
+  // flag: the first value whose running weight reaches half the group
+  // total. Money in integer cents, weights integer, the cumulative
+  // window PARTITIONED by group — scalable and bit-exact (no
+  // interpolation, lower-median convention).
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir).lineitem
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("w"),
+        $"l_orderkey", $"l_linenumber")
+    val wOrd = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+    val wAll = Window.partitionBy($"l_returnflag")
+    li.select($"l_returnflag", $"cents",
+        sum($"w").over(wOrd).as("cw"), sum($"w").over(wAll).as("tw"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      .agg(max($"tw").as("total_weight"),
+        min($"cents").as("wmedian_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q185: Benford first-digit audit — the fraud/data-quality screen: the
+  // first significant digit of order totals against Benford's
+  // log10(1 + 1/d) expectation, with per-digit chi² contributions.
+  // Digit extraction is integer/string-exact; the expectation and chi²
+  // are the same IEEE expression on both engines.
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digit = substring(round($"o_totalprice" * 100).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val counts = Tables(s, dir).orders
+      .select(digit.as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("obs"))
+    val tot = counts.agg(sum($"obs").as("n_total"))
+    val e = $"n_total".cast("double") * log10(lit(1.0) + lit(1.0) / $"digit")
+    counts.crossJoin(broadcast(tot))
+      .select($"digit", $"obs",
+        round(e, 6).as("expected"),
+        round(pow($"obs".cast("double") - e, 2.0) / e, 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_weighted_median" -> weightedMedian _,
+    "q185_benford" -> benfordDigits _,
     "q181_skyline" -> skyline _,
     "q178_pivot_multi" -> pivotMultiAgg _,
     "q174_window_nav" -> windowNav _,
@@ -1467,6 +1514,35 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, cents,
+        |    sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM li)
+        |SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |  CAST(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q185_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+        |t AS (SELECT sum(obs) AS nt_raw FROM c)
+        |SELECT digit, CAST(obs AS BIGINT) AS obs,
+        |  round(CAST(nt_raw AS DOUBLE) * log10(1.0 + 1.0 / digit), 6)
+        |    AS expected,
+        |  round(pow(CAST(obs AS DOUBLE)
+        |      - CAST(nt_raw AS DOUBLE) * log10(1.0 + 1.0 / digit), 2)
+        |    / (CAST(nt_raw AS DOUBLE) * log10(1.0 + 1.0 / digit)), 6)
+        |    AS chi2_term
+        |FROM c, t ORDER BY digit""".stripMargin,
     "q181_skyline" ->
       """WITH per AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
