@@ -21,6 +21,43 @@ class PropertySpec extends SparkSpec {
     Gen.oneOf(Gen.const(None), Gen.const(Some("")),
       Gen.alphaNumStr.map(s => Some(s.take(8))))
 
+  test("global scan family: random data, random partitioning ≡ sequential reference") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(-50L, 50L))
+    samples(Gen.zip(Gen.listOfN(300, gen), Gen.choose(1, 11)), 6).foreach {
+      case (pairs, parts) =>
+        // unique keys (total order requirement)
+        val rows = pairs.zipWithIndex.map { case ((k, v), i) => (k * 1000 + i, v) }
+        val df = rows.toDF("k", "v").repartition(parts)
+        val sorted = rows.sortBy(_._1)
+        // running sum
+        val ps = Relational.globalRunningSum(df, Seq($"k".asc), $"v", "o")
+          .select($"k", $"o").as[(Long, Long)].collect().toMap
+        var acc = 0L
+        sorted.foreach { case (k, v) => acc += v; assert(ps(k) == acc, s"sum@$k") }
+        // running max, inclusive and exclusive
+        val im = Relational.globalRunningMax(df, Seq($"k".asc), $"v", "o")
+          .select($"k", $"o").as[(Long, Long)].collect().toMap
+        val em = Relational.globalRunningMax(df, Seq($"k".asc), $"v", "o",
+          inclusive = false).select($"k", $"o").as[(Long, Long)].collect().toMap
+        var mx = Long.MinValue
+        sorted.foreach { case (k, v) =>
+          assert(em(k) == mx, s"exclusive max@$k")
+          mx = math.max(mx, v)
+          assert(im(k) == mx, s"inclusive max@$k")
+        }
+        // ntile ≡ Spark's own ntile arithmetic
+        val nt = Relational.distributedNtile(df, Seq($"k".asc), 7, "b")
+          .select($"k", $"b").as[(Long, Int)].collect().toMap
+        val n = sorted.size; val q = n / 7; val r = n % 7
+        sorted.zipWithIndex.foreach { case ((k, _), i) =>
+          val want = if (i < r * (q + 1)) i / (q + 1) + 1
+            else r + (i - r * (q + 1)) / math.max(q, 1) + 1
+          assert(nt(k) == want, s"ntile@$k")
+        }
+    }
+  }
+
   test("T3 merge: None iff both sides falsy; contains both sides when both truthy") {
     samples(Gen.listOfN(24, Gen.zip(maybeStr, maybeStr)), 8).foreach { pairs =>
       val df = pairs.map { case (a, b) => (a.orNull, b.orNull) }.toDF("a", "b")
