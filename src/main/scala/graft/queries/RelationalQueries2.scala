@@ -1442,7 +1442,42 @@ object RelationalQueries2 {
       .orderBy($"digit")
   }
 
+  // q186: triangle counting on the part co-occurrence graph — graph
+  // analytics over a graph DERIVED relationally (edges = part pairs
+  // co-bought in ≥2 orders, q160's bounded basket pairs). The a<b<c
+  // ordering makes every triangle counted exactly once; wedges join on
+  // the shared middle vertex (keyed shuffles over the edge table, sized
+  // by Σdeg² of a support-thresholded graph — the threshold IS the
+  // at-scale guard), closure is triangles/paths.
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val baskets = items.groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("ps"))
+    val pairArr = flatten(transform($"ps", (x, i) =>
+      transform(slice($"ps", i + lit(2), size($"ps")),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val edges = baskets.select(explode(pairArr).as("p"))
+      .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"pa", $"pb")
+    val paths = edges.as("e1")
+      .join(edges.as("e2"), col("e1.pb") === col("e2.pa"))
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("cv"))
+    val tris = paths.join(edges,
+      paths("a") === edges("pa") && paths("cv") === edges("pb"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nP = paths.agg(count(lit(1)).as("n_paths"))
+    val nT = tris.agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(broadcast(nP)).crossJoin(broadcast(nT))
+      .select($"n_edges", $"n_paths", $"n_triangles",
+        round($"n_triangles".cast("double") /
+          greatest($"n_paths", lit(1L)), 6).as("closure"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_triangles" -> triangleCount _,
     "q184_weighted_median" -> weightedMedian _,
     "q185_benford" -> benfordDigits _,
     "q181_skyline" -> skyline _,
@@ -1514,6 +1549,24 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |e AS (SELECT pa, pb FROM pairs WHERE c >= 2),
+        |p AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS cv
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa),
+        |t AS (SELECT count(*) AS ntri FROM p
+        |  JOIN e ON p.a = e.pa AND p.cv = e.pb),
+        |ne AS (SELECT count(*) AS nedge FROM e),
+        |np AS (SELECT count(*) AS npath FROM p)
+        |SELECT CAST(nedge AS BIGINT) AS n_edges,
+        |  CAST(npath AS BIGINT) AS n_paths,
+        |  CAST(ntri AS BIGINT) AS n_triangles,
+        |  round(CAST(ntri AS DOUBLE) / greatest(npath, 1), 6) AS closure
+        |FROM ne, np, t""".stripMargin,
     "q184_weighted_median" ->
       """WITH li AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
