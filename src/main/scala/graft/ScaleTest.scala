@@ -18,7 +18,11 @@ object ScaleTest {
         "q89_upsert_merge", "q91_kmeans_train",
         // round-6 heavy additions
         "q127_heavy_hitters", "q131_oov_rate", "q133_bigram_lm",
-        "q134_char_entropy", "q137_rolling_active")
+        "q134_char_entropy", "q137_rolling_active",
+        // round-6 continuation: scan-family + pair-join faces
+        "q153_rfm_segments", "q154_concurrency_sweep", "q159_token_pmi",
+        "q160_basket_pairs", "q173_running_total", "q181_skyline",
+        "q186_triangles")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[32]")

@@ -632,7 +632,21 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q187: the typed Aggregator surfaced as a SQL function —
+  // functions.udaf(LastWinsAggregator) registered and called from SQL
+  // text (the remaining leg of the UDF surface: Column API and Dataset
+  // API were already gate-covered by q30). Same shuffle profile as
+  // max_by: single hash aggregate with map-side partial buffers.
+  def udafLastWins(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("last_wins", udaf(graft.operators.LastWinsAggregator))
+    Tables(s, dir).events.createOrReplaceTempView("ev_q187")
+    s.sql("""SELECT user_id, last_wins(event_id, event_type) AS last_type,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM ev_q187 GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_udaf_sql" -> udafLastWins _,
     "q182_bitmap_distinct" -> bitmapDistinct _,
     "q183_variant_props" -> variantProps _,
     "q176_session_hist" -> sessionDurationHist _,
@@ -665,6 +679,10 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_udaf_sql" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS last_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q182_bitmap_distinct" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id % 10000) AS BIGINT) AS bitmap_distinct,

@@ -1476,7 +1476,28 @@ object RelationalQueries2 {
           greatest($"n_paths", lit(1L)), 6).as("closure"))
   }
 
+  // q188: modern array-mutation battery (Spark 3.4+/3.5 additions):
+  // append/prepend/compact/position/overlap/remove over a deterministic
+  // 5-token base. Absent-element position is normalized (Spark returns 0,
+  // DuckDB NULL → coalesce 0) — the only semantic edge in the set.
+  def arrayMutations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = slice(array_sort(array_distinct(PF.tokens($"text"))), 1, 5)
+    Tables(s, dir).documents
+      .select($"doc_id", base.as("b"))
+      .select($"doc_id",
+        array_join(array_append($"b", lit("zzz")), "_").as("appended"),
+        array_join(array_prepend($"b", lit("aaa")), "_").as("prepended"),
+        array_join(array_compact(concat($"b",
+          array(lit(null).cast("string")))), "_").as("compacted"),
+        array_position($"b", "the").cast("long").as("pos_the"),
+        arrays_overlap($"b", array(lit("the"), lit("spark"))).as("has_any"),
+        array_join(array_remove($"b", "the"), "_").as("removed"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_array_mutations" -> arrayMutations _,
     "q186_triangles" -> triangleCount _,
     "q184_weighted_median" -> weightedMedian _,
     "q185_benford" -> benfordDigits _,
@@ -1549,6 +1570,23 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_array_mutations" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> len(x) > 0)))[1:5] AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_aggregate(list_append(b, 'zzz'), 'string_agg', '_')
+        |    AS appended,
+        |  list_aggregate(list_prepend('aaa', b), 'string_agg', '_')
+        |    AS prepended,
+        |  list_aggregate(list_filter(list_concat(b, [NULL]),
+        |    x -> x IS NOT NULL), 'string_agg', '_') AS compacted,
+        |  CAST(coalesce(list_position(b, 'the'), 0) AS BIGINT) AS pos_the,
+        |  list_has_any(b, ['the', 'spark']) AS has_any,
+        |  list_aggregate(list_filter(b, x -> x <> 'the'), 'string_agg', '_')
+        |    AS removed
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q186_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
