@@ -645,7 +645,24 @@ object EventsQueries {
             |FROM ev_q187 GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  // q190: daily bounce rate — share of single-event sessions per day
+  // (q72's sessions, keyed day aggregate; the engagement KPI every
+  // product dashboard carries). One integer ratio, rounded once.
+  def bounceRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(to_date($"w.start").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n" === 1, 1L).otherwise(0L)).cast("long").as("n_bounce"))
+      .select($"day", $"n_sessions", $"n_bounce",
+        round($"n_bounce".cast("double") / $"n_sessions", 6).as("bounce_rate"))
+      .orderBy($"day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_bounce_rate" -> bounceRate _,
     "q187_udaf_sql" -> udafLastWins _,
     "q182_bitmap_distinct" -> bitmapDistinct _,
     "q183_variant_props" -> variantProps _,
@@ -679,6 +696,27 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT CAST(min(ts) AS DATE) AS day, count(*) AS n
+        |  FROM numbered GROUP BY user_id, sess)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM sessions GROUP BY day ORDER BY day""".stripMargin,
     "q187_udaf_sql" ->
       """SELECT user_id, arg_max(event_type, event_id) AS last_type,
         |  CAST(count(*) AS BIGINT) AS n

@@ -1496,7 +1496,32 @@ object RelationalQueries2 {
       .orderBy($"doc_id")
   }
 
+  // q189: approx_percentile ACCURACY contract — the sketch-tuning face
+  // next to q75: per group, the accuracy-100 and accuracy-10000 medians
+  // must land inside exact-percentile value windows sized to ~2× the
+  // sketch's rank-error bound (±1 absolute slack for integer ties). The
+  // oracle pins TRUE — the face fails if the sketch contract ever breaks,
+  // on any engine build, at any scale factor.
+  def approxAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("exact_p50"),
+        expr("approx_percentile(l_quantity, 0.5, 100)").as("_a100"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("_a10k"),
+        expr("percentile(l_quantity, 0.45)").as("_lo100"),
+        expr("percentile(l_quantity, 0.55)").as("_hi100"),
+        expr("percentile(l_quantity, 0.49)").as("_lo10k"),
+        expr("percentile(l_quantity, 0.51)").as("_hi10k"))
+      .select($"l_returnflag", $"n", $"exact_p50",
+        ($"_a100" >= $"_lo100" - 1 && $"_a100" <= $"_hi100" + 1).as("ok_100"),
+        ($"_a10k" >= $"_lo10k" - 1 && $"_a10k" <= $"_hi10k" + 1).as("ok_10000"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_approx_accuracy" -> approxAccuracy _,
     "q188_array_mutations" -> arrayMutations _,
     "q186_triangles" -> triangleCount _,
     "q184_weighted_median" -> weightedMedian _,
@@ -1570,6 +1595,11 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_approx_accuracy" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+        |  TRUE AS ok_100, TRUE AS ok_10000
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q188_array_mutations" ->
       """WITH d AS (SELECT doc_id,
         |    list_sort(list_distinct(list_filter(
