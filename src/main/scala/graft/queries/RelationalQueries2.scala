@@ -1520,7 +1520,82 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q191: shipment-aging report (TPC-H Q12 adapted to this schema — no
+  // l_shipmode/commitdate here): per order month, lineitems shipped
+  // within 30/60 days vs later, plus the mean lag. Integer day
+  // arithmetic; one fact join on the order key with the month derived
+  // from the dimension side.
+  def shipmentAging(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val lag = datediff($"l_shipdate", $"o_orderdate")
+    t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(date_trunc("month", $"o_orderdate").as("month"), lag.as("lag_days"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"lag_days" <= 30, 1L).otherwise(0L)).cast("long").as("within_30"),
+        sum(when($"lag_days" > 30 && $"lag_days" <= 60, 1L).otherwise(0L))
+          .cast("long").as("within_60"),
+        sum(when($"lag_days" > 60, 1L).otherwise(0L)).cast("long").as("later"),
+        round(avg($"lag_days"), 6).as("avg_lag_days"))
+      .orderBy($"month")
+  }
+
+  // q192: repeat-purchase cadence — per-customer gaps between consecutive
+  // orders (a lag window partitioned by customer), then the global gap
+  // distribution in exact interpolated percentiles. The raw fact table
+  // never sees a global window; the percentile runs over the |gaps|
+  // aggregate input.
+  def purchaseCadence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables(s, dir).orders
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("gap", datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+      .filter($"gap".isNotNull)
+    gaps.agg(count(lit(1)).as("n_gaps"),
+      min($"gap").cast("int").as("min_days"),
+      max($"gap").cast("int").as("max_days"),
+      round(expr("percentile(gap, 0.25)"), 6).as("p25"),
+      round(expr("percentile(gap, 0.5)"), 6).as("p50"),
+      round(expr("percentile(gap, 0.9)"), 6).as("p90"))
+  }
+
+  // q194: brand share drift — per-brand revenue share and rank in 1996 vs
+  // 1997 from ONE conditional-aggregate pass over the fact join, then
+  // share/rank windows over the |brands| dimension table (25 rows — the
+  // reduce-first posture makes the unpartitioned window irrelevant).
+  def brandShareDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val rev = dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))
+    val per = t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum(when(year($"l_shipdate") === 1996, rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("r96"),
+        sum(when(year($"l_shipdate") === 1997, rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("r97"))
+    val w96 = Window.orderBy($"r96".desc, $"p_brand".asc)
+    val w97 = Window.orderBy($"r97".desc, $"p_brand".asc)
+    per
+      .select($"p_brand", $"r96", $"r97",
+        rank().over(w96).as("rank96"), rank().over(w97).as("rank97"))
+      .crossJoin(broadcast(per.agg(sum($"r96").as("t96"), sum($"r97").as("t97"))))
+      .select($"p_brand",
+        round($"r96".cast("double") / $"t96".cast("double"), 6).as("share96"),
+        round($"r97".cast("double") / $"t97".cast("double"), 6).as("share97"),
+        $"rank96".cast("int").as("rank96"), $"rank97".cast("int").as("rank97"),
+        ($"rank96" - $"rank97").cast("int").as("rank_gain"))
+      .orderBy($"p_brand")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_shipment_aging" -> shipmentAging _,
+    "q192_purchase_cadence" -> purchaseCadence _,
+    "q194_brand_share_drift" -> brandShareDrift _,
     "q189_approx_accuracy" -> approxAccuracy _,
     "q188_array_mutations" -> arrayMutations _,
     "q186_triangles" -> triangleCount _,
@@ -1595,6 +1670,62 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_shipment_aging" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS within_30,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE)) > 30
+        |      AND date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS within_60,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS later,
+        |  round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE))), 6) AS avg_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q192_purchase_cadence" ->
+      """WITH g AS (SELECT date_diff('day',
+        |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS INT) AS min_days,
+        |  CAST(max(gap) AS INT) AS max_days,
+        |  round(quantile_cont(gap, 0.25), 6) AS p25,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50,
+        |  round(quantile_cont(gap, 0.9), 6) AS p90
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
+    "q194_brand_share_drift" ->
+      """WITH per AS (SELECT p_brand,
+        |    sum(CASE WHEN year(l_shipdate) = 1996
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS r96,
+        |    sum(CASE WHEN year(l_shipdate) = 1997
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS r97
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY p_brand),
+        |r AS (SELECT p_brand, r96, r97,
+        |    rank() OVER (ORDER BY r96 DESC, p_brand) AS rank96,
+        |    rank() OVER (ORDER BY r97 DESC, p_brand) AS rank97,
+        |    sum(r96) OVER () AS t96, sum(r97) OVER () AS t97
+        |  FROM per)
+        |SELECT p_brand,
+        |  round(CAST(r96 AS DOUBLE) / CAST(t96 AS DOUBLE), 6) AS share96,
+        |  round(CAST(r97 AS DOUBLE) / CAST(t97 AS DOUBLE), 6) AS share97,
+        |  CAST(rank96 AS INT) AS rank96, CAST(rank97 AS INT) AS rank97,
+        |  CAST(rank96 - rank97 AS INT) AS rank_gain
+        |FROM r ORDER BY p_brand""".stripMargin,
     "q189_approx_accuracy" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,

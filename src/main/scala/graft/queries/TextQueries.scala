@@ -426,7 +426,20 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  // q193: word-length histogram per language — the vocabulary-shape
+  // telemetry behind tokenizer-fertility decisions. Integer buckets
+  // (length capped at 15), one explode + one keyed aggregate.
+  def wordLenHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"lang", explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"lang", least(length($"tok"), lit(15)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy($"lang", $"len_bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_wordlen_hist" -> wordLenHist _,
     "q177_explode_outer" -> explodeOuterFace _,
     "q159_token_pmi" -> tokenPmi _,
     "q163_source_entropy" -> sourceEntropy _,
@@ -588,6 +601,14 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q193_wordlen_hist" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT lang, CAST(least(len(tok), 15) AS INT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q177_explode_outer" ->
       """WITH t AS (SELECT lang,
         |    list_filter(string_split(lower(text), ' '),
