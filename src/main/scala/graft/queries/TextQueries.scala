@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{ParityFunctions => PF, RollingHash, StripAccents}
@@ -438,7 +439,39 @@ object TextQueries {
       .orderBy($"lang", $"len_bucket")
   }
 
+  // q198: nucleus (top-p) vocabulary size — per document, the smallest
+  // set of token types covering 80% of token mass (the top-p truncation
+  // statistic, here as a redundancy signal). The inclusion test is pure
+  // integer arithmetic — a type is in the nucleus iff the mass BEFORE it
+  // (frequency-desc, token-asc order) is under 4/5 of the total — so the
+  // boundary can't flip cross-engine. Windows partition by doc.
+  def nucleusSize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = graft.operators.Relational
+      .spread(Tables(s, dir).documents.select($"doc_id", $"text"), $"doc_id")
+      .select($"doc_id", explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"c".desc, $"tok".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"doc_id")
+    counts
+      .select($"doc_id", $"c",
+        sum($"c").over(wOrd).as("cum"),
+        sum($"c").over(wAll).as("total"),
+        count(lit(1)).over(wAll).as("n_types"))
+      .groupBy($"doc_id")
+      .agg(max($"n_types").cast("long").as("n_types"),
+        max($"total").cast("long").as("n_tokens"),
+        sum(when(($"cum" - $"c") * 5 < $"total" * 4, 1L).otherwise(0L))
+          .cast("long").as("nucleus_types"))
+      .select($"doc_id", $"n_types", $"n_tokens", $"nucleus_types",
+        round($"nucleus_types".cast("double") / $"n_types", 6)
+          .as("nucleus_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_nucleus_size" -> nucleusSize _,
     "q193_wordlen_hist" -> wordLenHist _,
     "q177_explode_outer" -> explodeOuterFace _,
     "q159_token_pmi" -> tokenPmi _,
@@ -601,6 +634,25 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q198_nucleus_size" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |w AS (SELECT doc_id, c,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY doc_id) AS total,
+        |    count(*) OVER (PARTITION BY doc_id) AS nt
+        |  FROM c)
+        |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_types,
+        |  CAST(max(total) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN (cum - c) * 5 < total * 4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nucleus_types,
+        |  round(sum(CASE WHEN (cum - c) * 5 < total * 4 THEN 1 ELSE 0 END)
+        |    / CAST(max(nt) AS DOUBLE), 6) AS nucleus_ratio
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q193_wordlen_hist" ->
       """WITH t AS (SELECT lang,
         |    unnest(list_filter(string_split(lower(text), ' '),

@@ -54,6 +54,57 @@ object VectorQueries {
       .orderBy($"la", $"lb")
   }
 
+  // q195: embedding norm screen — the degenerate-vector audit run before
+  // any similarity work (zero vectors poison cosine; extreme norms skew
+  // IVF cells). L2 norms via the same left-fold double arithmetic both
+  // engines share; integer buckets of the ROUNDED norm so the bucket
+  // edge can't flip cross-engine.
+  def normScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n2 = aggregate($"embedding".cast("array<double>"), lit(0.0),
+      (acc, x) => acc + x * x)
+    Tables(s, dir).embeddings
+      .select($"label", round(sqrt(n2), 6).as("nrm"))
+      .groupBy($"label", floor($"nrm").cast("int").as("norm_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"nrm").as("min_norm"), max($"nrm").as("max_norm"))
+      .orderBy($"label", $"norm_bucket")
+  }
+
+  // q196: corpus similarity-distribution histogram — cosine over pairs
+  // WITHIN hash blocks (vec_id % 50), so the pair count is block-bounded
+  // at any corpus size (the geometry telemetry that decides LSH plane
+  // counts / IVF cell counts). Cosines round to 6 before bucketing.
+  def simHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .select($"vec_id", ($"vec_id" % 50).as("blk"),
+        $"embedding".cast("array<double>").as("v"))
+    val dot = graft.functions.DotProduct.dotProduct(col("a.v"), col("b.v"))
+    val n2a = aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x)
+    val n2b = aggregate(col("b.v"), lit(0.0), (acc, x) => acc + x * x)
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(round(dot / (sqrt(n2a) * sqrt(n2b)), 6).as("cos"))
+      .groupBy(floor($"cos" * 10).cast("int").as("cos_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"cos_bucket")
+  }
+
+  // q197: the custom codegen dot_product Expression through its SQL
+  // registration (GraftExtensions injectFunction) — the SQL leg of the
+  // Expression surface, bounded to a 30-vector pair block. The oracle
+  // re-derives the same left-fold double arithmetic with list lambdas.
+  def dotExprSql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).embeddings.createOrReplaceTempView("emb_q197")
+    s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round(dot_product(CAST(a.embedding AS ARRAY<DOUBLE>),
+            |    CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS dot
+            |FROM emb_q197 a JOIN emb_q197 b ON a.vec_id < b.vec_id
+            |WHERE a.vec_id < 30 AND b.vec_id < 30
+            |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   // q40: brute-force top-10 cosine neighbors for query vectors vec_id < 5.
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -236,6 +287,9 @@ object VectorQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_norm_screen" -> normScreen _,
+    "q196_sim_histogram" -> simHistogram _,
+    "q197_dot_expr_sql" -> dotExprSql _,
     "q40_knn_brute" -> knnBrute _,
     "q121_label_centroid_sim" -> labelCentroidSim _,
     "q41_knn_ivf" -> knnIvf _,
@@ -247,6 +301,36 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_norm_screen" ->
+      """WITH e AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, CAST(floor(nrm) AS INT) AS norm_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q196_sim_histogram" ->
+      """WITH e AS (SELECT vec_id, vec_id % 50 AS blk,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT round(
+        |    list_sum(list_transform(range(1, len(a.v)+1),
+        |      i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+        |SELECT CAST(floor(cos * 10) AS INT) AS cos_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q197_dot_expr_sql" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE)
+        |      * CAST(b.embedding[i] AS DOUBLE))), 6) AS dot
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 30 AND b.vec_id < 30
+        |ORDER BY id_a, id_b""".stripMargin,
     "q121_label_centroid_sim" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |qt AS (SELECT label, list_transform(v, x -> CAST(round(
