@@ -1592,7 +1592,20 @@ object RelationalQueries2 {
       .orderBy($"p_brand")
   }
 
+  // q200: TPC-H Q17 (small-quantity-order revenue) — the correlated
+  // scalar subquery composite: lineitems under 20% of their part's
+  // average quantity. Both engines decorrelate the subquery into a
+  // per-part aggregate joined back (no per-row re-scan); same SQL text.
+  private val tpchQ17Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / 7.0, 6) AS avg_yearly
+      |FROM lineitem l1
+      |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_tpch_q17" -> bySql(Seq("lineitem"), tpchQ17Sql) _,
     "q191_shipment_aging" -> shipmentAging _,
     "q192_purchase_cadence" -> purchaseCadence _,
     "q194_brand_share_drift" -> brandShareDrift _,
@@ -1670,6 +1683,7 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q200_tpch_q17" -> tpchQ17Sql,
     "q191_shipment_aging" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
         |  CAST(count(*) AS BIGINT) AS n_lines,

@@ -254,7 +254,36 @@ object TrainingDataQueries {
       .orderBy($"source")
   }
 
+  // q199: corpus-prep pipeline v2 — the round-6 composition: exact
+  // content dedup (md5 canonical, min-id keeps), then q171's token-budget
+  // admission applied to the DEDUPED corpus (per-source fraction
+  // min(1, budget/tokens) realized as an md5-bucket threshold — the same
+  // retry-stable membership as q63/q94), reported per source with an
+  // id-set fingerprint so the oracle pins exact membership, not just
+  // counts. Each stage is a keyed aggregate or per-row filter — the
+  // pipeline inherits every stage's scale posture.
+  def pipelineV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text".cast("binary")))
+    val deduped = Tables(s, dir).documents
+      .withColumn("_min_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"_min_id")
+    val toks = deduped.select($"source", $"doc_id",
+      size(PF.tokens($"text")).cast("long").as("tk"))
+    val per = toks.groupBy($"source").agg(sum($"tk").as("ntok"))
+    val thresh = floor(least(lit(1.0), lit(5000.0) / $"ntok") * 1000)
+    toks.join(per, Seq("source"))
+      .filter(TD.hashBucket($"doc_id", 1000) < thresh)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum($"tk").cast("long").as("admitted_tokens"),
+        PF.idsFingerprint($"doc_id").as("ids_md5"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_pipeline_v2" -> pipelineV2 _,
     "q171_mix_plan" -> mixPlan _,
     "q79_contamination" -> contamination _,
     "q84_pretokenize" -> pretokenize _,
@@ -287,6 +316,25 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q199_pipeline_v2" ->
+      s"""WITH d AS (SELECT source, doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS mid
+         |  FROM documents),
+         |dd AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> len(x) > 0)) AS BIGINT) AS tk
+         |  FROM d WHERE doc_id = mid),
+         |per AS (SELECT source, CAST(sum(tk) AS BIGINT) AS ntok
+         |  FROM dd GROUP BY source),
+         |a AS (SELECT dd.source, dd.doc_id, dd.tk,
+         |    floor(least(1.0, 5000.0 / ntok) * 1000) AS th
+         |  FROM dd JOIN per USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_admitted,
+         |  CAST(sum(tk) AS BIGINT) AS admitted_tokens,
+         |  md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ','))
+         |    AS ids_md5
+         |FROM a WHERE ${bucketSql("doc_id", 1000)} < th
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q171_mix_plan" ->
       """WITH t AS (SELECT source,
         |    len(list_filter(string_split(lower(text), ' '),
