@@ -661,7 +661,34 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  // q202: time-bounded funnel — q77's ordered funnel with a 1-hour
+  // conversion window at each step (first view → first later click ≤1h →
+  // first later purchase ≤1h). Integer epoch-millis guards; same
+  // aggregate+join rounds as q77, nothing per-user is sorted.
+  def timedFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ms").as("t1"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, Seq("user_id"))
+      .filter($"ms" > $"t1").groupBy($"user_id")
+      .agg(min($"ms").as("t2"), min($"t1").as("t1m"))
+      .filter($"t2" - $"t1m" <= 3600000L)
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, Seq("user_id"))
+      .filter($"ms" > $"t2").groupBy($"user_id")
+      .agg(min($"ms").as("t3"), min($"t2").as("t2m"))
+      .filter($"t3" - $"t2m" <= 3600000L)
+    t1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), $"n")
+      .unionByName(t2.agg(count(lit(1)).as("n"))
+        .select(lit("2_click_1h").as("step"), $"n"))
+      .unionByName(t3.agg(count(lit(1)).as("n"))
+        .select(lit("3_purchase_1h").as("step"), $"n"))
+      .orderBy($"step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_timed_funnel" -> timedFunnel _,
     "q190_bounce_rate" -> bounceRate _,
     "q187_udaf_sql" -> udafLastWins _,
     "q182_bitmap_distinct" -> bitmapDistinct _,
@@ -696,6 +723,24 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_timed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |    FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ms) AS t2, min(t1.t1) AS t1m
+        |  FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t1.t1
+        |  GROUP BY e.user_id HAVING min(ms) - min(t1.t1) <= 3600000),
+        |t3 AS (SELECT e.user_id, min(ms) AS t3, min(t2.t2) AS t2m
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t2.t2
+        |  GROUP BY e.user_id HAVING min(ms) - min(t2.t2) <= 3600000)
+        |SELECT step, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT '1_view' AS step, count(*) AS n FROM t1
+        |  UNION ALL SELECT '2_click_1h', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase_1h', count(*) FROM t3)
+        |ORDER BY step""".stripMargin,
     "q190_bounce_rate" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

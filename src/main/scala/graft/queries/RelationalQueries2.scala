@@ -1604,7 +1604,59 @@ object RelationalQueries2 {
       |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
       |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
+  // q201: calendar-function battery 2 — last_day / day-of-week /
+  // ISO week / quarter / day-of-year, with the ONE cross-engine semantic
+  // gap normalized explicitly (Spark dayofweek is 1-based Sunday, DuckDB
+  // 0-based — the face encodes dow = Sunday-0 on both).
+  def dateBattery2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"o_orderdate"
+    Tables(s, dir).orders
+      .select(quarter(d).cast("int").as("qtr"),
+        (dayofweek(d) - 1).cast("int").as("dow"),
+        weekofyear(d).cast("int").as("woy"),
+        dayofyear(d).cast("int").as("doy"),
+        last_day(d).cast("date").as("ld"))
+      .groupBy($"qtr", $"dow")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"woy").as("n_weeks"),
+        min($"doy").cast("int").as("min_doy"),
+        max($"doy").cast("int").as("max_doy"),
+        min($"ld").as("first_month_end"))
+      .orderBy($"qtr", $"dow")
+  }
+
+  // q203: month-over-month revenue growth — the reporting staple: month
+  // pre-aggregate (decimal-exact), one lag over the |months| table (the
+  // reduce-first posture makes the unpartitioned window a non-issue),
+  // growth as a single mirrored double expression.
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables(s, dir).orders
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"month")
+    monthly
+      .select($"month", $"rev", lag($"rev", 1).over(w).as("prev"))
+      .select($"month", $"rev".cast("double").as("revenue"),
+        round(($"rev".cast("double") - $"prev".cast("double"))
+          / $"prev".cast("double") * 100, 6).as("growth_pct"))
+      .orderBy($"month")
+  }
+
+  // q204: GROUP BY ALL — the grouping-inference parser face, same SQL
+  // text on both engines.
+  private val groupByAllSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ALL
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_date_battery2" -> dateBattery2 _,
+    "q203_mom_growth" -> momGrowth _,
+    "q204_group_by_all" -> bySql(Seq("orders"), groupByAllSql) _,
     "q200_tpch_q17" -> bySql(Seq("lineitem"), tpchQ17Sql) _,
     "q191_shipment_aging" -> shipmentAging _,
     "q192_purchase_cadence" -> purchaseCadence _,
@@ -1683,6 +1735,30 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_date_battery2" ->
+      """WITH d AS (SELECT CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |    CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |    CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |    CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |    last_day(CAST(o_orderdate AS DATE)) AS ld
+        |  FROM orders)
+        |SELECT qtr, dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT woy) AS BIGINT) AS n_weeks,
+        |  CAST(min(doy) AS INT) AS min_doy,
+        |  CAST(max(doy) AS INT) AS max_doy,
+        |  min(ld) AS first_month_end
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q203_mom_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev
+        |  FROM m)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+        |    / CAST(prev AS DOUBLE) * 100, 6) AS growth_pct
+        |FROM l ORDER BY month""".stripMargin,
+    "q204_group_by_all" -> groupByAllSql,
     "q200_tpch_q17" -> tpchQ17Sql,
     "q191_shipment_aging" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
