@@ -687,7 +687,45 @@ object EventsQueries {
       .orderBy($"step")
   }
 
+  // q205: user-activity distribution — log₂ buckets of per-user event
+  // counts (the engagement-shape telemetry behind sampling and capacity
+  // decisions). Two keyed aggregates; bucket edges are exact powers of
+  // two, so floor(log2) of an integer can't flip cross-engine.
+  def activityDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy(floor(log2($"cnt")).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min($"cnt").cast("long").as("min_events"),
+        max($"cnt").cast("long").as("max_events"))
+      .orderBy($"bucket")
+  }
+
+  // q207: run-length structure of event streams — per user, consecutive
+  // same-type events collapse to runs (lag-compare + sum, one partitioned
+  // window pass); the run/event ratio is the repetitiveness signal.
+  def runLengths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // integer epoch-millis ordering (q119's recipe) so the oracle's
+    // tie-breaks match exactly
+    val w = Window.partitionBy($"user_id").orderBy(unix_millis($"ts"), $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_id", $"event_type",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L)
+          .otherwise(0L).as("is_start"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"is_start").cast("long").as("n_runs"))
+      .select($"user_id", $"n_events", $"n_runs",
+        round($"n_runs".cast("double") / $"n_events", 6).as("run_ratio"))
+      .orderBy($"user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_activity_dist" -> activityDistribution _,
+    "q207_run_lengths" -> runLengths _,
     "q202_timed_funnel" -> timedFunnel _,
     "q190_bounce_rate" -> bounceRate _,
     "q187_udaf_sql" -> udafLastWins _,
@@ -723,6 +761,26 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q205_activity_dist" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |    GROUP BY user_id)
+        |SELECT CAST(floor(log2(cnt)) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(cnt) AS BIGINT) AS min_events,
+        |  CAST(max(cnt) AS BIGINT) AS max_events
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q207_run_lengths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |r AS (SELECT user_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(is_start) AS BIGINT) AS n_runs,
+        |  round(sum(is_start) / CAST(count(*) AS DOUBLE), 6) AS run_ratio
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q202_timed_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
         |    FROM events),

@@ -1653,7 +1653,48 @@ object RelationalQueries2 {
       |FROM orders GROUP BY ALL
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  // q206: near-duplicate order screen — the double-charge audit: same
+  // customer, totals within 1000, order dates within 30 days. The
+  // self-join keys on customer (per-key fan-out bounded by orders per
+  // customer), never a global cross; price deltas route through decimal.
+  def nearDupOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+      .select($"o_custkey".as("ck"), $"o_orderkey".as("ok"),
+        $"o_totalprice".as("tp"), $"o_orderdate".as("od"))
+    o.as("a").join(o.as("b"),
+        col("a.ck") === col("b.ck") && col("a.ok") < col("b.ok") &&
+        abs(col("a.tp") - col("b.tp")) < 1000.0 &&
+        abs(datediff(col("a.od"), col("b.od"))) <= 30)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.ck")).as("n_customers"),
+        max(abs(datediff(col("a.od"), col("b.od")))).cast("int").as("max_day_gap"),
+        sum(abs(col("a.tp").cast("decimal(18,2)") - col("b.tp").cast("decimal(18,2)")))
+          .cast("double").as("total_price_diff"))
+  }
+
+  // q209: median absolute deviation — the robust dispersion statistic:
+  // per-group exact median, then the exact median of |x − median|. Two
+  // percentile passes over interpolated half-integers (exact rationals
+  // both engines agree on); the per-group median broadcasts back.
+  def madStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val med = Tables(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    Tables(s, dir).lineitem
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select($"l_returnflag", $"med", abs($"l_quantity" - $"med").as("dev"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(min($"med"), 6).as("median"),
+        round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_neardup_orders" -> nearDupOrders _,
+    "q209_mad_stats" -> madStats _,
     "q201_date_battery2" -> dateBattery2 _,
     "q203_mom_growth" -> momGrowth _,
     "q204_group_by_all" -> bySql(Seq("orders"), groupByAllSql) _,
@@ -1735,6 +1776,29 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_neardup_orders" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(max(abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+        |    CAST(a.o_orderdate AS DATE)))) AS INT) AS max_day_gap,
+        |  CAST(sum(abs(CAST(a.o_totalprice AS DECIMAL(18,2))
+        |    - CAST(b.o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS total_price_diff
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND abs(a.o_totalprice - b.o_totalprice) < 1000.0
+        |  AND abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+        |    CAST(a.o_orderdate AS DATE))) <= 30""".stripMargin,
+    "q209_mad_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, med, abs(l_quantity - med) AS dev
+        |  FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(med), 6) AS median,
+        |  round(quantile_cont(dev, 0.5), 6) AS mad
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q201_date_battery2" ->
       """WITH d AS (SELECT CAST(quarter(o_orderdate) AS INT) AS qtr,
         |    CAST(dayofweek(o_orderdate) AS INT) AS dow,
