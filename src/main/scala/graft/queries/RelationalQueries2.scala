@@ -1692,7 +1692,29 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q208: Pareto concentration KPI — the 80/20 headline: revenue share
+  // held by the top spend quintile. distributedNtile over the reduced
+  // customer dim (q164's machinery), one decimal-exact conditional sum,
+  // one division.
+  def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("spend"))
+    Relational.distributedNtile(spend,
+        Seq($"spend".desc, $"o_custkey".asc), 5, "quintile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"spend").as("_tot"),
+        sum(when($"quintile" === 1, $"spend")
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_top"))
+      .select($"n_customers",
+        $"_tot".cast("double").as("total_spend"),
+        round($"_top".cast("double") / $"_tot".cast("double"), 6)
+          .as("top20_share"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_pareto_share" -> paretoShare _,
     "q206_neardup_orders" -> nearDupOrders _,
     "q209_mad_stats" -> madStats _,
     "q201_date_battery2" -> dateBattery2 _,
@@ -1776,6 +1798,22 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_pareto_share" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (SELECT spend,
+        |    ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS quintile
+        |  FROM s),
+        |a AS (SELECT count(*) AS nc, sum(spend) AS tot,
+        |    sum(CASE WHEN quintile = 1 THEN spend
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS top
+        |  FROM q)
+        |SELECT CAST(nc AS BIGINT) AS n_customers,
+        |  CAST(tot AS DOUBLE) AS total_spend,
+        |  round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top20_share
+        |FROM a""".stripMargin,
     "q206_neardup_orders" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers,
