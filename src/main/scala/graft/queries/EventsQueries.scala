@@ -723,7 +723,29 @@ object EventsQueries {
       .orderBy($"user_id")
   }
 
+  // q214: within-session type co-occurrence — per day, sessions that
+  // contain a view, a purchase, and both (the intent-to-conversion
+  // telescope at session grain rather than q77's user grain). Session
+  // flags are conditional sums inside the session aggregate — no second
+  // pass over events.
+  def sessionCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .groupBy(to_date($"w.start").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"nv" > 0, 1L).otherwise(0L)).cast("long").as("with_view"),
+        sum(when($"np" > 0, 1L).otherwise(0L)).cast("long").as("with_purchase"),
+        sum(when($"nv" > 0 && $"np" > 0, 1L).otherwise(0L)).cast("long")
+          .as("with_both"))
+      .orderBy($"day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_session_cooccur" -> sessionCooccurrence _,
     "q205_activity_dist" -> activityDistribution _,
     "q207_run_lengths" -> runLengths _,
     "q202_timed_funnel" -> timedFunnel _,
@@ -761,6 +783,31 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q214_session_cooccur" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT CAST(min(ts) AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |  FROM numbered GROUP BY user_id, sess)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS with_view,
+        |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS with_purchase,
+        |  CAST(sum(CASE WHEN nv > 0 AND np > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS with_both
+        |FROM sessions GROUP BY day ORDER BY day""".stripMargin,
     "q205_activity_dist" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
         |    GROUP BY user_id)

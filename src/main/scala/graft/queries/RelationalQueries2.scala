@@ -1713,7 +1713,83 @@ object RelationalQueries2 {
           .as("top20_share"))
   }
 
+  // q210: weekend/weekday revenue split per year — dow-derived boolean
+  // dimension (Sunday-0 base, q201's normalization), decimal revenue,
+  // one mirrored share division.
+  def weekendSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isWeekend = (dayofweek($"o_orderdate") - 1).isin(0, 6)
+    Tables(s, dir).orders
+      .groupBy(year($"o_orderdate").cast("int").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(isWeekend, dec($"o_totalprice"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_we"),
+        sum(dec($"o_totalprice")).as("_tot"))
+      .select($"yr", $"n_orders",
+        $"_we".cast("double").as("weekend_rev"),
+        $"_tot".cast("double").as("total_rev"),
+        round($"_we".cast("double") / $"_tot".cast("double"), 6)
+          .as("weekend_share"))
+      .orderBy($"yr")
+  }
+
+  // q211: basket-size distribution — lineitem count per order, then
+  // per-size order counts and decimal-exact average order value. Two
+  // keyed aggregates; the size dimension is single-digit wide.
+  def orderSizeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val per = t.lineitem.groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+    t.orders.join(per, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"n_lines")
+      .agg(count(lit(1)).as("_n"), sum(dec($"o_totalprice")).as("_sum"))
+      .select($"n_lines", $"_n".as("n_orders"),
+        $"_sum".cast("double").as("total_value"),
+        // explicit sum/count: avg(decimal) returns DECIMAL on Spark but
+        // DOUBLE on DuckDB — the explicit form is the one identical path
+        round($"_sum".cast("double") / $"_n", 6).as("avg_value"))
+      .orderBy($"n_lines")
+  }
+
+  // q212: customer lifetime span — days between first and last order per
+  // customer, distribution in exact percentiles over the reduced dim.
+  def lifetimeSpan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val span = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"o_orderdate"), min($"o_orderdate")).as("span_days"),
+        count(lit(1)).as("n_orders"))
+    span.agg(count(lit(1)).as("n_customers"),
+      min($"span_days").cast("int").as("min_span"),
+      max($"span_days").cast("int").as("max_span"),
+      round(expr("percentile(span_days, 0.5)"), 6).as("p50_span"),
+      round(expr("percentile(span_days, 0.9)"), 6).as("p90_span"),
+      sum(when($"n_orders" === 1, 1L).otherwise(0L)).cast("long")
+        .as("one_timers"))
+  }
+
+  // q215: top-k WITH ties — rank() ≤ k keeps every peer of the k-th row
+  // (row_number would cut arbitrarily on equal keys): the
+  // include-ties semantic face, on integer quantities where ties are
+  // guaranteed. WindowGroupLimit still prunes map-side.
+  def topkWithTies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity".desc)
+    Tables(s, dir).lineitem
+      .select($"l_returnflag", $"l_quantity", rank().over(w).as("rnk"))
+      .filter($"rnk" <= 3)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_kept"),
+        min($"l_quantity").as("min_kept_qty"),
+        max($"rnk").cast("int").as("max_rank"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_weekend_split" -> weekendSplit _,
+    "q211_order_size_dist" -> orderSizeDist _,
+    "q212_lifetime_span" -> lifetimeSpan _,
+    "q215_topk_ties" -> topkWithTies _,
     "q208_pareto_share" -> paretoShare _,
     "q206_neardup_orders" -> nearDupOrders _,
     "q209_mad_stats" -> madStats _,
@@ -1798,6 +1874,54 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_weekend_split" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS weekend_rev,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_rev,
+        |  round(CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS weekend_share
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q211_order_size_dist" ->
+      """WITH per AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |    GROUP BY l_orderkey)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value
+        |FROM orders JOIN per ON o_orderkey = l_orderkey
+        |GROUP BY n_lines ORDER BY n_lines""".stripMargin,
+    "q212_lifetime_span" ->
+      """WITH s AS (SELECT o_custkey,
+        |    date_diff('day', CAST(min(o_orderdate) AS DATE),
+        |      CAST(max(o_orderdate) AS DATE)) AS span_days,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(min(span_days) AS INT) AS min_span,
+        |  CAST(max(span_days) AS INT) AS max_span,
+        |  round(quantile_cont(span_days, 0.5), 6) AS p50_span,
+        |  round(quantile_cont(span_days, 0.9), 6) AS p90_span,
+        |  CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS one_timers
+        |FROM s""".stripMargin,
+    "q215_topk_ties" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(l_quantity) AS min_kept_qty,
+        |  CAST(max(rnk) AS INT) AS max_rank
+        |FROM r WHERE rnk <= 3
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q208_pareto_share" ->
       """WITH s AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))

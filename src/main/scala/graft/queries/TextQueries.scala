@@ -470,7 +470,26 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q213: hapax legomena rate — share of vocabulary appearing exactly
+  // once per language (the Zipf-tail richness signal that predicts
+  // tokenizer OOV pressure). One (lang, token) aggregate, integer
+  // conditionals, one mirrored division.
+  def hapaxRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"lang", explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum($"c").cast("long").as("n_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select($"lang", $"vocab_size", $"n_tokens", $"n_hapax",
+        round($"n_hapax".cast("double") / $"vocab_size", 6).as("hapax_rate"))
+      .orderBy($"lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_hapax_rate" -> hapaxRate _,
     "q198_nucleus_size" -> nucleusSize _,
     "q193_wordlen_hist" -> wordLenHist _,
     "q177_explode_outer" -> explodeOuterFace _,
@@ -634,6 +653,19 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q213_hapax_rate" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q198_nucleus_size" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '),
