@@ -744,7 +744,40 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  // q217: hour-of-day seasonality profile — events per (type, hour)
+  // normalized by the type's active-day count (the load-shape telemetry
+  // capacity planning reads). Hourly and per-type aggregates join on the
+  // tiny type dim.
+  def hourlySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val hourly = ev.groupBy($"event_type", hour($"ts").cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val perType = ev.groupBy($"event_type")
+      .agg(countDistinct(to_date($"ts")).as("n_days"))
+    hourly.join(broadcast(perType), Seq("event_type"))
+      .select($"event_type", $"hr", $"n", $"n_days",
+        round($"n".cast("double") / $"n_days", 6).as("avg_per_day"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  // q218: adoption curve — new users per first-seen day, cumulated
+  // THROUGH THE NATIVE PrefixScan operator (its second gate face, on a
+  // |days|-sized series): one range exchange, two streaming passes.
+  def adoptionCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val newPerDay = Tables(s, dir).events
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    graft.plans.PrefixScan
+      .runningSum(newPerDay, Seq("day"), $"new_users", "cum_users")
+      .select($"day", $"new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_hourly_profile" -> hourlySeasonality _,
+    "q218_adoption_curve" -> adoptionCurve _,
     "q214_session_cooccur" -> sessionCooccurrence _,
     "q205_activity_dist" -> activityDistribution _,
     "q207_run_lengths" -> runLengths _,
@@ -783,6 +816,26 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q217_hourly_profile" ->
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, hr, CAST(n AS BIGINT) AS n, n_days,
+        |  round(CAST(n AS DOUBLE) / n_days, 6) AS avg_per_day
+        |FROM h JOIN d USING (event_type)
+        |ORDER BY event_type, hr""".stripMargin,
+    "q218_adoption_curve" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |    FROM events GROUP BY user_id),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
     "q214_session_cooccur" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_type,

@@ -1785,7 +1785,45 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q216: supplier revenue concentration per nation (Herfindahl index) —
+  // HHI = Σ cents_i² / (Σ cents_i)², kept EXACT end-to-end: revenues in
+  // integer cents, squares and sums in DECIMAL(38,0) (a long square
+  // wraps past ~3e9 cents — non-ANSI silent corruption at exactly the
+  // revenue a real nation reaches), one double division at the end.
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val perSupp = t.lineitem
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", $"s_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+    perSupp
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"cents".cast("decimal(19,0)") * $"cents".cast("decimal(19,0)"))
+          .as("_sq"),
+        sum($"cents".cast("decimal(19,0)")).as("_tot"))
+      .select($"s_nationkey", $"n_suppliers",
+        round($"_sq".cast("double") /
+          ($"_tot".cast("double") * $"_tot".cast("double")), 6).as("hhi"))
+      .orderBy($"s_nationkey")
+  }
+
+  // q219: ROLLUP with GROUPING() indicators — subtotal rows made
+  // machine-readable (the indicator, not the NULL, distinguishes "total"
+  // from a genuinely-NULL key). Same SQL text both engines.
+  private val groupingIdSql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+      |  coalesce(o_orderstatus, 'ALL') AS st,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY g_pri, g_st, pri, st""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_grouping_id" -> bySql(Seq("orders"), groupingIdSql) _,
+    "q216_supplier_hhi" -> supplierHhi _,
     "q210_weekend_split" -> weekendSplit _,
     "q211_order_size_dist" -> orderSizeDist _,
     "q212_lifetime_span" -> lifetimeSpan _,
@@ -1874,6 +1912,21 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_grouping_id" -> groupingIdSql,
+    "q216_supplier_hhi" ->
+      """WITH ps AS (SELECT s_nationkey, s_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |a AS (SELECT s_nationkey, count(*) AS ns,
+        |    sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |      AS sq,
+        |    sum(CAST(cents AS DECIMAL(19,0))) AS tot
+        |  FROM ps GROUP BY s_nationkey)
+        |SELECT s_nationkey, CAST(ns AS BIGINT) AS n_suppliers,
+        |  round(CAST(sq AS DOUBLE)
+        |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+        |FROM a ORDER BY s_nationkey""".stripMargin,
     "q210_weekend_split" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  CAST(count(*) AS BIGINT) AS n_orders,
