@@ -775,7 +775,53 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  // q224: day-over-day retention Jaccard — |active(d) ∩ active(d+1)| /
+  // |active(d) ∪ active(d+1)| per day. Reduce-first: the fact collapses
+  // to the distinct user-day table (|users|·|days| max) BEFORE any
+  // self-join, so the d/d+1 overlap join runs on the reduced set; union
+  // size comes from the two day counts (no second join).
+  def retentionJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables(s, dir).events
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val sizes = ud.groupBy($"day").agg(count(lit(1)).as("n"))
+    val inter = ud.as("a")
+      .join(ud.as("b"),
+        date_add(col("a.day"), 1) === col("b.day") &&
+          col("a.user_id") === col("b.user_id"))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_inter"))
+    sizes.as("s1")
+      .join(sizes.as("s2"), date_add(col("s1.day"), 1) === col("s2.day"))
+      .join(inter, col("s1.day") === inter("day"), "left")
+      .select(col("s1.day").as("day"), col("s1.n").as("n_day"),
+        col("s2.n").as("n_next"),
+        coalesce($"n_inter", lit(0L)).as("n_inter"))
+      .withColumn("jaccard", round($"n_inter".cast("double") /
+        ($"n_day" + $"n_next" - $"n_inter"), 6))
+      .orderBy($"day")
+  }
+
+  // q225: trigram event-sequence mining — every 3-consecutive-event-type
+  // pattern per user (ordered by ts, event_id — tie-free total order),
+  // counted corpus-wide. One (user_id)-partitioned window pass builds the
+  // trigrams (lead×2 over the same sort), then a |types|³-bounded count
+  // agg; output is the FULL pattern table (≤|types|³ rows at any scale),
+  // so no top-k tie hazard exists.
+  def trigramSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_type".as("e1"),
+        lead($"event_type", 1).over(w).as("e2"),
+        lead($"event_type", 2).over(w).as("e3"))
+      .filter($"e3".isNotNull)
+      .groupBy($"e1", $"e2", $"e3").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1", $"e2", $"e3")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_retention_jaccard" -> retentionJaccard _,
+    "q225_trigram_seqs" -> trigramSequences _,
     "q217_hourly_profile" -> hourlySeasonality _,
     "q218_adoption_curve" -> adoptionCurve _,
     "q214_session_cooccur" -> sessionCooccurrence _,
@@ -816,6 +862,32 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_retention_jaccard" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |    FROM events),
+        |s AS (SELECT day, count(*) AS n FROM ud GROUP BY day),
+        |i AS (SELECT a.day AS day, count(*) AS n_inter
+        |  FROM ud a JOIN ud b
+        |    ON a.day + INTERVAL 1 DAY = b.day AND a.user_id = b.user_id
+        |  GROUP BY a.day)
+        |SELECT s1.day AS day, CAST(s1.n AS BIGINT) AS n_day,
+        |  CAST(s2.n AS BIGINT) AS n_next,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / (s1.n + s2.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+        |FROM s s1 JOIN s s2 ON s1.day + INTERVAL 1 DAY = s2.day
+        |LEFT JOIN i ON s1.day = i.day
+        |ORDER BY day""".stripMargin,
+    "q225_trigram_seqs" ->
+      """WITH t AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3""".stripMargin,
     "q217_hourly_profile" ->
       """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hr,
         |    count(*) AS n

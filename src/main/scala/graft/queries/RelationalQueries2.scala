@@ -1821,7 +1821,137 @@ object RelationalQueries2 {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY g_pri, g_st, pri, st""".stripMargin
 
+  // q220: TPC-H Q8 (national market share, adapted to this schema's
+  // enum-valued p_type): of PROMO-part revenue sold into ASIA in
+  // 1995-1996, the share supplied by NATION_2, per order year. The
+  // 7-table snowflake: region/nation/part prune BEFORE the fact joins
+  // (Catalyst pushes r_name/p_type into the dim scans and broadcasts
+  // them); revenue stays DECIMAL through the conditional share. Same SQL
+  // text both engines.
+  private val tpchQ8Sql =
+    """WITH vol AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, n2.n_name AS supp_nation,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM vol GROUP BY yr ORDER BY yr""".stripMargin
+
+  // q221: TPC-H Q15 (top supplier by quarterly revenue) — the
+  // scalar-subquery-max composite: both engines compute the revenue CTE
+  // once, take its max, and filter the join against it. DECIMAL equality
+  // against the max is exact (sums of exact decimals), so ties surface
+  // deterministically. Same SQL text both engines.
+  private val tpchQ15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // q222: PageRank (3 iterations, damping 0.85) on the support-≥2 part
+  // co-purchase graph — the iterative-graph face next to q186's
+  // triangles. Ranks are SCALED LONGS (total mass 1e12) with floor
+  // division at every step, so the fixpoint math is bit-identical on any
+  // engine and any partitioning: each iteration is one (src)-keyed
+  // broadcast-free join + one (dst)-keyed sum — 2 shuffles per iteration
+  // over the EDGE table, never the fact table. The only driver scalar is
+  // N = |nodes| (one long, k-means-centroid-style justified).
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val baskets = items.groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("ps"))
+    val pairArr = flatten(transform($"ps", (x, i) =>
+      transform(slice($"ps", i + lit(2), size($"ps")),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val und = baskets.select(explode(pairArr).as("p"))
+      .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"pa", $"pb")
+    val edges = und.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(und.select($"pb".as("src"), $"pa".as("dst")))
+      .localCheckpoint() // pin the graph: 3 iterations re-read it
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg, "src").localCheckpoint()
+    val n = deg.count()
+    val total = 1000000000000L
+    val init = total / n
+    val tele = (init * 15L) / 100L
+    var rank = deg.select($"src".as("node"), $"deg", lit(init).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edgeDeg
+        .join(rank.select($"node", $"r"), edgeDeg("src") === $"node")
+        .select($"dst", expr("((r * 85) div 100) div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("sc"))
+      rank = rank.select($"node", $"deg")
+        .join(contrib, $"node" === contrib("dst"), "left")
+        .select($"node", $"deg",
+          (lit(tele) + coalesce($"sc", lit(0L))).as("r"))
+    }
+    rank.select($"node", $"deg", $"r".as("rank_scaled"))
+      .orderBy($"rank_scaled".desc, $"node")
+  }
+
+  // q223: PSI distribution drift (population stability index) — the
+  // pre-retraining drift monitor: order-value histograms for 1995-1997 vs
+  // 1998+, PSI = Σ (pa−pb)·ln(pa/pb) over 50k-wide buckets. Counts are
+  // exact integers; the two scans are ONE conditional-aggregate pass;
+  // empty-on-either-side buckets contribute NULL (excluded from the
+  // total) rather than ±inf.
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders
+      .select(least(floor($"o_totalprice" / 50000).cast("long"), lit(9L))
+          .as("bucket"),
+        (year($"o_orderdate") <= 1997).as("is_a"))
+    val byBucket = o.groupBy($"bucket")
+      .agg(sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byBucket
+      .select($"bucket", $"n_a", $"n_b",
+        ($"n_a".cast("double") / sum($"n_a").over(w)).as("_pa"),
+        ($"n_b".cast("double") / sum($"n_b").over(w)).as("_pb"))
+      .select($"bucket", $"n_a", $"n_b", $"_pa", $"_pb",
+        when($"n_a" > 0 && $"n_b" > 0,
+          ($"_pa" - $"_pb") * log($"_pa" / $"_pb")).as("_c"))
+      .select($"bucket", $"n_a", $"n_b",
+        round($"_pa", 6).as("pa"), round($"_pb", 6).as("pb"),
+        round($"_c", 6).as("contrib"),
+        round(sum($"_c").over(w), 6).as("psi"))
+      .orderBy($"bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_tpch_q8" -> bySql(Seq("lineitem", "orders", "customer", "nation",
+      "region", "supplier", "part"), tpchQ8Sql) _,
+    "q221_tpch_q15" -> bySql(Seq("lineitem", "supplier"), tpchQ15Sql) _,
+    "q222_pagerank" -> pageRank _,
+    "q223_psi_drift" -> psiDrift _,
     "q219_grouping_id" -> bySql(Seq("orders"), groupingIdSql) _,
     "q216_supplier_hhi" -> supplierHhi _,
     "q210_weekend_split" -> weekendSplit _,
@@ -1912,6 +2042,56 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q220_tpch_q8" -> tpchQ8Sql,
+    "q221_tpch_q15" -> tpchQ15Sql,
+    "q222_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |t AS (SELECT (1000000000000 // nn) * 15 // 100 AS tele FROM n),
+        |r0 AS (SELECT d.src AS node, d.deg,
+        |    1000000000000 // (SELECT nn FROM n) AS r FROM d),
+        |c1 AS (SELECT e.dst, sum(((r0.r * 85) // 100) // r0.deg) AS sc
+        |  FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |r1 AS (SELECT r0.node, r0.deg,
+        |    (SELECT tele FROM t) + coalesce(c1.sc, 0) AS r
+        |  FROM r0 LEFT JOIN c1 ON r0.node = c1.dst),
+        |c2 AS (SELECT e.dst, sum(((r1.r * 85) // 100) // r1.deg) AS sc
+        |  FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |r2 AS (SELECT r1.node, r1.deg,
+        |    (SELECT tele FROM t) + coalesce(c2.sc, 0) AS r
+        |  FROM r1 LEFT JOIN c2 ON r1.node = c2.dst),
+        |c3 AS (SELECT e.dst, sum(((r2.r * 85) // 100) // r2.deg) AS sc
+        |  FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+        |r3 AS (SELECT r2.node, r2.deg,
+        |    (SELECT tele FROM t) + coalesce(c3.sc, 0) AS r
+        |  FROM r2 LEFT JOIN c3 ON r2.node = c3.dst)
+        |SELECT node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(r AS BIGINT) AS rank_scaled
+        |FROM r3 ORDER BY rank_scaled DESC, node""".stripMargin,
+    "q223_psi_drift" ->
+      """WITH o AS (SELECT
+        |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+        |    year(o_orderdate) <= 1997 AS is_a FROM orders),
+        |b AS (SELECT bucket,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b
+        |  FROM o GROUP BY bucket),
+        |p AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
+        |    CAST(n_b AS BIGINT) AS n_b,
+        |    CAST(n_a AS DOUBLE) / sum(n_a) OVER () AS pa_r,
+        |    CAST(n_b AS DOUBLE) / sum(n_b) OVER () AS pb_r FROM b),
+        |c AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN (pa_r - pb_r) * ln(pa_r / pb_r) END AS c_r FROM p)
+        |SELECT bucket, n_a, n_b, round(pa_r, 6) AS pa, round(pb_r, 6) AS pb,
+        |  round(c_r, 6) AS contrib, round(sum(c_r) OVER (), 6) AS psi
+        |FROM c ORDER BY bucket""".stripMargin,
     "q219_grouping_id" -> groupingIdSql,
     "q216_supplier_hhi" ->
       """WITH ps AS (SELECT s_nationkey, s_suppkey,
