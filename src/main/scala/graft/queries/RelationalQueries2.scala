@@ -1900,7 +1900,13 @@ object RelationalQueries2 {
     val total = 1000000000000L
     val init = total / n
     val tele = (init * 15L) / 100L
+    // Per-iteration localCheckpoint: each step references the previous
+    // rank TWICE (contribution branch + carry-forward branch) — without
+    // pinning, the lineage re-executes 2^iters times. The pinned table is
+    // |nodes| rows (node, deg, r) — the per-iteration frontier, exactly
+    // what Pregel-style engines materialize.
     var rank = deg.select($"src".as("node"), $"deg", lit(init).as("r"))
+      .localCheckpoint()
     for (_ <- 1 to 3) {
       val contrib = edgeDeg
         .join(rank.select($"node", $"r"), edgeDeg("src") === $"node")
@@ -1910,6 +1916,7 @@ object RelationalQueries2 {
         .join(contrib, $"node" === contrib("dst"), "left")
         .select($"node", $"deg",
           (lit(tele) + coalesce($"sc", lit(0L))).as("r"))
+        .localCheckpoint()
     }
     rank.select($"node", $"deg", $"r".as("rank_scaled"))
       .orderBy($"rank_scaled".desc, $"node")
@@ -1946,7 +1953,109 @@ object RelationalQueries2 {
       .orderBy($"bucket")
   }
 
+  // q226: ABC/XYZ inventory classification — the planner's 2-D part
+  // segmentation: ABC by cumulative revenue share (80/95 cut on the
+  // revenue-desc running sum — distributed via globalRunningSum, never a
+  // single-partition window over |parts|), XYZ by demand variability.
+  // BOTH classifications are INTEGER-EXACT: share cuts compare
+  // cum·100 ≤ tot·{80,95} and CV cuts compare 4·(n·Σq²−(Σq)²) vs (Σq)²
+  // (cv = √(n·Σq²−(Σq)²)/Σq, so cv<0.5 ⇔ 4d<(Σq)²) — no floating-point
+  // boundary anywhere in a bucketing decision.
+  def abcXyz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir).lineitem.select($"l_partkey",
+      round($"l_extendedprice" * 100).cast("long").as("cents"),
+      $"l_quantity".cast("long").as("qty"),
+      date_trunc("month", $"l_shipdate").as("mon"))
+    val monthly = li.groupBy($"l_partkey", $"mon").agg(sum($"qty").as("mq"))
+    val stats = monthly.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_mon"), sum($"mq").as("sq"),
+        sum($"mq" * $"mq").as("sq2"))
+    val rev = li.groupBy($"l_partkey").agg(sum($"cents").as("cents"))
+    val cum = Relational.globalRunningSum(rev,
+      Seq($"cents".desc, $"l_partkey"), $"cents", "cum_cents")
+    val tot = rev.agg(sum($"cents").as("tot"))
+    val d = $"n_mon" * $"sq2" - $"sq" * $"sq"
+    cum.crossJoin(broadcast(tot))
+      .join(stats, "l_partkey")
+      .select(
+        when($"cum_cents" * 100 <= $"tot" * 80, "A")
+          .when($"cum_cents" * 100 <= $"tot" * 95, "B")
+          .otherwise("C").as("abc"),
+        when(d * 4 < $"sq" * $"sq", "X")
+          .when(d < $"sq" * $"sq", "Y")
+          .otherwise("Z").as("xyz"),
+        $"cents")
+      .groupBy($"abc", $"xyz")
+      .agg(count(lit(1)).as("n_parts"), sum($"cents").as("cents_total"))
+      .orderBy($"abc", $"xyz")
+  }
+
+  // q227: new-vs-returning monthly revenue split — each order is "new"
+  // iff its month equals the customer's first-order month. The customer
+  // dim (first month) is a reduce of the fact itself, then one keyed join
+  // back; revenue stays DECIMAL through both conditional sums.
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir).orders.select($"o_custkey",
+      date_trunc("month", $"o_orderdate").as("mon"),
+      dec($"o_totalprice").as("rev"))
+    val firstMon = o.groupBy($"o_custkey").agg(min($"mon").as("first_mon"))
+    o.join(firstMon, "o_custkey")
+      .groupBy($"mon")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"mon" === $"first_mon", 1L).otherwise(0L)).as("n_new"),
+        coalesce(sum(when($"mon" === $"first_mon", $"rev")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("new_rev"),
+        coalesce(sum(when($"mon" =!= $"first_mon", $"rev")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("ret_rev"))
+      .orderBy($"mon")
+  }
+
+  // q230: null-safe comparison battery — IS [NOT] DISTINCT FROM over a
+  // derived nullable column: the three-valued-logic parity face (count(col)
+  // vs count(*), DISTINCT-counting of NULL groups). Same SQL text both
+  // engines.
+  private val nullSafeSql =
+    """WITH t AS (SELECT nullif(o_orderstatus, 'F') AS st FROM orders)
+      |SELECT
+      |  CAST(sum(CASE WHEN st IS DISTINCT FROM 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_distinct_from_o,
+      |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_nullsafe_null,
+      |  CAST(count(st) AS BIGINT) AS n_nonnull,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT st) AS BIGINT) AS n_distinct_vals
+      |FROM t""".stripMargin
+
+  // q231: month-of-year seasonality index — avg monthly revenue for each
+  // calendar month over the overall monthly average. Both averages are
+  // ratios of EXACT aggregates (decimal revenue sums, integer month
+  // counts), assembled as one double expression: (sm·nt)/(nm·st).
+  def seasonalityIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables(s, dir).orders
+      .groupBy(date_trunc("month", $"o_orderdate").as("mon"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val overall = monthly.agg(count(lit(1)).as("nt"),
+      sum($"rev").as("st"))
+    monthly
+      .groupBy(month($"mon").cast("int").as("moy"))
+      .agg(count(lit(1)).as("n_months"),
+        sum($"rev").as("_sm"))
+      .crossJoin(broadcast(overall))
+      .select($"moy", $"n_months",
+        $"_sm".cast("double").as("rev_total"),
+        round(($"_sm".cast("double") * $"nt") /
+          ($"n_months" * $"st".cast("double")), 6).as("idx"))
+      .orderBy($"moy")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_abc_xyz" -> abcXyz _,
+    "q227_new_vs_returning" -> newVsReturning _,
+    "q230_null_safe" -> bySql(Seq("orders"), nullSafeSql) _,
+    "q231_seasonality" -> seasonalityIndex _,
     "q220_tpch_q8" -> bySql(Seq("lineitem", "orders", "customer", "nation",
       "region", "supplier", "part"), tpchQ8Sql) _,
     "q221_tpch_q15" -> bySql(Seq("lineitem", "supplier"), tpchQ15Sql) _,
@@ -2042,6 +2151,54 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_abc_xyz" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    date_trunc('month', l_shipdate) AS mon FROM lineitem),
+        |m AS (SELECT l_partkey, mon, sum(qty) AS mq FROM li GROUP BY 1, 2),
+        |st AS (SELECT l_partkey, count(*) AS n_mon, sum(mq) AS sq,
+        |    sum(mq * mq) AS sq2 FROM m GROUP BY 1),
+        |r AS (SELECT l_partkey, sum(cents) AS cents FROM li GROUP BY 1),
+        |c AS (SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER () AS tot FROM r),
+        |j AS (SELECT c.l_partkey,
+        |    CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |      WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN 4 * (n_mon * sq2 - sq * sq) < sq * sq THEN 'X'
+        |      WHEN n_mon * sq2 - sq * sq < sq * sq THEN 'Y'
+        |      ELSE 'Z' END AS xyz,
+        |    c.cents FROM c JOIN st ON c.l_partkey = st.l_partkey)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q227_new_vs_returning" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev FROM orders),
+        |f AS (SELECT o_custkey, min(mon) AS first_mon FROM o GROUP BY 1)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN mon = first_mon THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN mon = first_mon THEN rev END),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS new_rev,
+        |  CAST(coalesce(sum(CASE WHEN mon <> first_mon THEN rev END),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS ret_rev
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q230_null_safe" -> nullSafeSql,
+    "q231_seasonality" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |ov AS (SELECT count(*) AS nt, sum(rev) AS st FROM m)
+        |SELECT CAST(month(mon) AS INT) AS moy,
+        |  CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(sum(rev) AS DOUBLE) AS rev_total,
+        |  round((CAST(sum(rev) AS DOUBLE) * (SELECT nt FROM ov))
+        |    / (count(*) * CAST((SELECT st FROM ov) AS DOUBLE)), 6) AS idx
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q220_tpch_q8" -> tpchQ8Sql,
     "q221_tpch_q15" -> tpchQ15Sql,
     "q222_pagerank" ->

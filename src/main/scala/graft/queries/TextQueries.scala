@@ -488,7 +488,56 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  // q228: Zipf rank-frequency slope — OLS fit of ln(freq) on ln(rank)
+  // over the corpus token distribution (natural-language corpora slope
+  // ≈ −1; a drifting slope flags synthetic/degenerate text). Counts and
+  // ranks are exact integers; the four OLS sums are doubles over the
+  // REDUCED |vocab| table (bounded by distinct-token count at any corpus
+  // scale), assembled via the closed form
+  // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), rounded at the end.
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).documents
+      .select(explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.Relational.globalRank(counts,
+      Seq($"c".desc, $"tok"), "rank")
+      .select(log($"rank".cast("double")).as("x"),
+        log($"c".cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("_n"), sum($"x").as("_sx"),
+        sum($"y").as("_sy"), sum($"x" * $"y").as("_sxy"),
+        sum($"x" * $"x").as("_sxx"))
+      .select($"_n".as("n_terms"),
+        round(($"_n" * $"_sxy" - $"_sx" * $"_sy") /
+          ($"_n" * $"_sxx" - $"_sx" * $"_sx"), 6).as("slope"),
+        round(($"_sy" - ($"_n" * $"_sxy" - $"_sx" * $"_sy") /
+          ($"_n" * $"_sxx" - $"_sx" * $"_sx") * $"_sx") / $"_n", 6)
+          .as("intercept"))
+  }
+
+  // q229: document-length survival curve — P(n_chars ≥ L) for a fixed
+  // threshold ladder: the truncation-policy design table (pick max_len to
+  // keep X% of docs). One scan, |thresholds| conditional counts — the
+  // explode is over the 5-row constant ladder, not the corpus.
+  def lengthSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"n_chars")
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val ladder = Seq(50, 100, 200, 400, 800).toDF("threshold")
+    docs.crossJoin(broadcast(ladder))
+      .groupBy($"threshold")
+      .agg(sum(when($"n_chars" >= $"threshold", 1L).otherwise(0L))
+        .as("n_surviving"))
+      .crossJoin(broadcast(tot))
+      .select($"threshold".cast("int").as("threshold"), $"n_surviving",
+        $"n_docs",
+        round($"n_surviving".cast("double") / $"n_docs", 6).as("frac"))
+      .orderBy($"threshold")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_zipf_slope" -> zipfSlope _,
+    "q229_length_survival" -> lengthSurvival _,
     "q213_hapax_rate" -> hapaxRate _,
     "q198_nucleus_size" -> nucleusSize _,
     "q193_wordlen_hist" -> wordLenHist _,
@@ -653,6 +702,32 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q228_zipf_slope" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |r AS (SELECT
+        |    ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+        |      AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y FROM c),
+        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |    6) AS intercept
+        |FROM a""".stripMargin,
+    "q229_length_survival" ->
+      """WITH th AS (SELECT unnest([50, 100, 200, 400, 800]) AS threshold),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT CAST(threshold AS INT) AS threshold,
+        |  CAST(sum(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_surviving,
+        |  CAST((SELECT n_docs FROM tot) AS BIGINT) AS n_docs,
+        |  round(sum(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+        |    / CAST((SELECT n_docs FROM tot) AS DOUBLE), 6) AS frac
+        |FROM documents CROSS JOIN th GROUP BY threshold
+        |ORDER BY threshold""".stripMargin,
     "q213_hapax_rate" ->
       """WITH t AS (SELECT lang,
         |    unnest(list_filter(string_split(lower(text), ' '),
