@@ -819,7 +819,43 @@ object EventsQueries {
       .orderBy($"n".desc, $"e1", $"e2", $"e3")
   }
 
+  // q232: streaming/batch parity — the gate face that runs the REAL
+  // Structured Streaming engine (readStream → event-time tumbling windows
+  // → AvailableNow → memory sink) and hash-compares it against the batch
+  // SQL oracle. Complete output mode makes the final state independent of
+  // file→micro-batch chunking, so the result is bit-deterministic. The
+  // memory sink holds |days × types| rows (the AGGREGATE, never the
+  // stream); production sinks are the foreachBatch/parquet paths proven
+  // in ST1/StreamingSpec.
+  def streamingParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events // side effect: sets the nanosAsLong conf
+    // the stream must read the RAW parquet schema (ts is TIMESTAMP(NANOS),
+    // surfaced as long under nanosAsLong) and apply Tables' ns→µs
+    // truncation itself
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val nm = "q232_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // the file stream source wants a DIRECTORY: stream the sf dir with a
+    // glob filter so only the events table's file enters the stream
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = (rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    })
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".cast("date").as("day"), $"event_type", $"n")
+      .writeStream.format("memory").queryName(nm).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(nm).orderBy($"day", $"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_stream_parity" -> streamingParity _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
     "q217_hourly_profile" -> hourlySeasonality _,
@@ -862,6 +898,10 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q232_stream_parity" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q224_retention_jaccard" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |    FROM events),

@@ -1859,15 +1859,15 @@ object RelationalQueries2 {
     """WITH rev AS (
       |  SELECT l_suppkey AS supplier_no,
       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_raw
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name,
-      |  round(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+      |  round(CAST(rev_raw AS DOUBLE), 6) AS total_revenue
       |FROM supplier JOIN rev ON s_suppkey = supplier_no
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |WHERE rev_raw = (SELECT max(rev_raw) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
   // q222: PageRank (3 iterations, damping 0.85) on the support-≥2 part
@@ -2051,7 +2051,120 @@ object RelationalQueries2 {
       .orderBy($"moy")
   }
 
+  // q233: ordered string aggregation — deterministic listagg: per
+  // returnflag, the DISTINCT line statuses in sorted order, plus ordered
+  // per-group order-key samples (first 5 by a total order). Spark builds
+  // it as array_sort∘collect_set (order-insensitive merge, THEN one
+  // deterministic sort per group — never an ordered shuffle); DuckDB uses
+  // native string_agg(... ORDER BY).
+  def orderedListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(array_join(array_sort(collect_set($"l_linestatus")), ",")
+          .as("statuses"),
+        array_join(transform(slice(array_sort(collect_set($"l_suppkey")),
+          1, 5), _.cast("string")), ",").as("first5_suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q234: interval RANGE window frame — trailing-30-day revenue over the
+  // daily pre-aggregate (reduce-first: the fact collapses to |days| rows
+  // before the calendar-bounded unpartitioned window; |days| is
+  // date-range-bounded at ANY data scale). The frame is event-time RANGE
+  // (INTERVAL 30 DAYS), not ROWS — calendar gaps widen the row span, and
+  // both engines agree because the frame is data-independent.
+  def intervalFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(dec($"o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      .selectExpr("day", "n", "CAST(rev AS DOUBLE) AS rev",
+        """CAST(sum(rev) OVER (ORDER BY day
+          |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          |  AS DOUBLE) AS trailing30""".stripMargin)
+      .orderBy($"day")
+  }
+
+  // q235: multi-hop anti join — customers WITH orders but with NO
+  // promo-part lineitem: the "never bought X" cohort. The promo buyer set
+  // reduces through part (pruned dim, broadcast) before the DISTINCT —
+  // the anti probe is |buyers|, not |lineitem|.
+  def neverPromo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val promoBuyers = t.lineitem
+      .join(broadcast(t.part.filter($"p_type" === "PROMO")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(t.orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey").distinct()
+    val withOrders = t.orders.select($"o_custkey").distinct()
+    t.customer
+      .join(withOrders, $"c_custkey" === withOrders("o_custkey"))
+      .join(promoBuyers, $"c_custkey" === promoBuyers("o_custkey"),
+        "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_never_promo"),
+        min($"c_custkey").as("sample_custkey"))
+      .orderBy($"c_nationkey")
+  }
+
+  // q236: disjunctive multi-range predicate (TPC-H Q19 shape, adapted) —
+  // the OR-of-ANDs revenue query: three (brand, size-range,
+  // quantity-range) arms. One fact⋈dim join; the disjunction sits in ONE
+  // post-join filter that Catalyst can still partially push (p_brand IN
+  // (...) and the l_quantity hull prune both scans). Same SQL text both
+  // engines.
+  private val disjunctivePredSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+      |    AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+      |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // q237: Spearman rank correlation between customer order count and
+  // customer revenue — the monotone-association KPI with an INTEGER-EXACT
+  // core: both rankings are total orders (tie-broken by custkey), so
+  // Σd² is integer (DECIMAL(38,0) — squares of rank gaps overflow a long
+  // at ~2M customers) and ρ = 1 − 6Σd²/(n(n²−1)) is one double division.
+  // Rankings come from globalRank (distributed range-partition scan), not
+  // a single-partition window.
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val rx = Relational.globalRank(per,
+      Seq($"n_orders".desc, $"o_custkey"), "rx")
+    val both = Relational.globalRank(rx,
+      Seq($"cents".desc, $"o_custkey"), "ry")
+    both
+      .select((($"rx" - $"ry").cast("decimal(19,0)") *
+        ($"rx" - $"ry").cast("decimal(19,0)")).as("d2"))
+      .agg(count(lit(1)).as("n"), sum($"d2").as("_sd2"))
+      .select($"n".as("n_customers"),
+        $"_sd2".cast("double").as("sum_d2"),
+        round(lit(1.0) - (lit(6.0) * $"_sd2".cast("double")) /
+          ($"n".cast("double") *
+            ($"n".cast("double") * $"n".cast("double") - 1.0)), 6)
+          .as("rho"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_ordered_listagg" -> orderedListagg _,
+    "q234_interval_frame" -> intervalFrame _,
+    "q235_never_promo" -> neverPromo _,
+    "q236_disjunctive_pred" -> bySql(Seq("lineitem", "part"),
+      disjunctivePredSql) _,
+    "q237_spearman" -> spearmanCorr _,
     "q226_abc_xyz" -> abcXyz _,
     "q227_new_vs_returning" -> newVsReturning _,
     "q230_null_safe" -> bySql(Seq("orders"), nullSafeSql) _,
@@ -2151,6 +2264,60 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_ordered_listagg" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |    string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |  FROM d GROUP BY 1),
+        |d2 AS (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem),
+        |r AS (SELECT l_returnflag, l_suppkey, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_suppkey) AS rn FROM d2),
+        |f AS (SELECT l_returnflag, string_agg(CAST(l_suppkey AS VARCHAR),
+        |    ',' ORDER BY l_suppkey) AS first5_suppliers
+        |  FROM r WHERE rn <= 5 GROUP BY 1),
+        |c AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, s.statuses, f.first5_suppliers,
+        |  CAST(c.n AS BIGINT) AS n
+        |FROM s JOIN f USING (l_returnflag) JOIN c USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q234_interval_frame" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_raw,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(rev_raw AS DOUBLE) AS rev,
+        |  CAST(sum(rev_raw) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing30
+        |FROM d ORDER BY day""".stripMargin,
+    "q235_never_promo" ->
+      """WITH pb AS (SELECT DISTINCT o_custkey FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |    JOIN orders ON l_orderkey = o_orderkey),
+        |wo AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_never_promo,
+        |  CAST(min(c_custkey) AS BIGINT) AS sample_custkey
+        |FROM customer JOIN wo ON c_custkey = wo.o_custkey
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM pb)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q236_disjunctive_pred" -> disjunctivePredSql,
+    "q237_spearman" ->
+      """WITH per AS (SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rx,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS ry
+        |  FROM per),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(rx - ry AS DECIMAL(19,0))
+        |      * CAST(rx - ry AS DECIMAL(19,0))) AS sd2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(sd2 AS DOUBLE) AS sum_d2,
+        |  round(1.0 - (6.0 * CAST(sd2 AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6) AS rho
+        |FROM a""".stripMargin,
     "q226_abc_xyz" ->
       """WITH li AS (SELECT l_partkey,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -2237,13 +2404,13 @@ object RelationalQueries2 {
         |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
         |    year(o_orderdate) <= 1997 AS is_a FROM orders),
         |b AS (SELECT bucket,
-        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
-        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na_raw,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb_raw
         |  FROM o GROUP BY bucket),
-        |p AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
-        |    CAST(n_b AS BIGINT) AS n_b,
-        |    CAST(n_a AS DOUBLE) / sum(n_a) OVER () AS pa_r,
-        |    CAST(n_b AS DOUBLE) / sum(n_b) OVER () AS pb_r FROM b),
+        |p AS (SELECT bucket, CAST(na_raw AS BIGINT) AS n_a,
+        |    CAST(nb_raw AS BIGINT) AS n_b,
+        |    CAST(na_raw AS DOUBLE) / sum(na_raw) OVER () AS pa_r,
+        |    CAST(nb_raw AS DOUBLE) / sum(nb_raw) OVER () AS pb_r FROM b),
         |c AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
         |    THEN (pa_r - pb_r) * ln(pa_r / pb_r) END AS c_r FROM p)
         |SELECT bucket, n_a, n_b, round(pa_r, 6) AS pa, round(pb_r, 6) AS pb,

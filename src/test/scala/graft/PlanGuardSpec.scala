@@ -243,4 +243,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(scans.forall(_.partitionFilters.nonEmpty),
       "lang filter did not become a partition filter")
   }
+
+  test("q220: TPC-H Q8 broadcasts the pruned dims — no cartesian, no fact-fact SMJ explosion") {
+    val p = planOf("q220_tpch_q8")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected region/nation/part dims broadcast (got $bhj):\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q8 degraded to cartesian:\n$p")
+  }
+
+  test("q222: PageRank iterations read checkpointed tables — the plan never re-reads parquet") {
+    val p = planOf("q222_pagerank")
+    // edges/edgeDeg/per-iteration ranks are localCheckpoint()ed: the final
+    // iteration's plan must be rooted on RDD scans, or the 3-iteration
+    // lineage re-executes the basket pair generation 2^3 times
+    assert(!p.contains("FileScan parquet"),
+      s"PageRank lineage escapes the checkpoints (re-reads parquet):\n$p")
+    assert(!p.contains("CartesianProduct"), s"PageRank degraded:\n$p")
+  }
+
+  test("q235: never-promo is a broadcast left-anti with the part dim broadcast") {
+    val p = planOf("q235_never_promo")
+    assert(p.contains("LeftAnti"), s"expected an anti join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never-promo degraded:\n$p")
+  }
+
+  test("q236: disjunctive Q19 predicate — part dim broadcasts, quantity hull pushed to the fact scan") {
+    val p = planOf("q236_disjunctive_pred")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q19 degraded:\n$p")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no predicate reached a scan:\n$p")
+  }
 }

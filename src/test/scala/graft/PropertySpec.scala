@@ -121,4 +121,46 @@ class PropertySpec extends SparkSpec {
       assert(replay.count() == 0)
     }
   }
+
+  test("q237 Spearman: identity permutation → ρ=1, reversal → ρ=−1 (exact)") {
+    import org.apache.spark.sql.functions._
+    // a synthetic orders table where revenue rank == order-count rank
+    // (perfect monotone) and one where it's exactly reversed
+    val n = 40
+    val asc = (1 to n).flatMap(c => (1 to c).map(_ =>
+      (c.toLong, 1000.0))) // customer c: c equal-value orders → cents ∝ c
+    // order-count rank asc == custkey asc; revenue rank: cents = c*1000
+    val df = asc.toDF("o_custkey", "o_totalprice")
+    val per = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    def rho(ranked: org.apache.spark.sql.DataFrame): Double = {
+      val rx = Relational.globalRank(ranked, Seq($"n_orders".desc, $"o_custkey"), "rx")
+      val both = Relational.globalRank(rx, Seq($"cents".desc, $"o_custkey"), "ry")
+      val r = both.select((($"rx" - $"ry") * ($"rx" - $"ry")).as("d2"))
+        .agg(count(lit(1)).as("n"), sum($"d2").as("sd2"))
+        .select(lit(1.0) - (lit(6.0) * $"sd2") /
+          ($"n".cast("double") * ($"n" * $"n" - lit(1.0)))).as[Double]
+      r.collect().head
+    }
+    // identity: more orders ⇒ proportionally more cents (ties broken the same)
+    assert(math.abs(rho(per) - 1.0) < 1e-12, s"identity rho != 1")
+    // reversal: cents = -order count ⇒ ranks exactly reversed
+    val rev = per.withColumn("cents", -$"cents")
+    assert(math.abs(rho(rev) + 1.0) < 1e-12, s"reversed rho != -1")
+  }
+
+  test("q222 PageRank: scaled mass is conserved up to floor-division loss, ranks positive") {
+    import org.apache.spark.sql.functions._
+    val ranks = SparkEntry.queries("q222_pagerank")(spark, "/root/testdata/sf0.001")
+      .select($"rank_scaled".cast("long")).as[Long].collect()
+    val total = 1000000000000L
+    val sum = ranks.sum
+    assert(ranks.forall(_ > 0), "non-positive rank")
+    // every floor division loses < 1 unit per (edge, iteration) on the
+    // contribution path and <1 per node on the teleport term; with 15%
+    // retained per hop the mass can only shrink, never grow
+    assert(sum <= total, s"mass grew: $sum > $total")
+    assert(sum >= (total * 80) / 100, s"mass collapsed: $sum")
+  }
 }
