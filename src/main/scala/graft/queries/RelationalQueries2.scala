@@ -1967,17 +1967,25 @@ object RelationalQueries2 {
       round($"l_extendedprice" * 100).cast("long").as("cents"),
       $"l_quantity".cast("long").as("qty"),
       date_trunc("month", $"l_shipdate").as("mon"))
-    val monthly = li.groupBy($"l_partkey", $"mon").agg(sum($"qty").as("mq"))
+    // ONE fact scan + one fact shuffle: the (partkey, month) pre-aggregate
+    // carries both the demand series and the revenue; the per-part stats
+    // fold revenue into the SAME aggregate and are pinned once
+    // (localCheckpoint, |parts| rows) so the three downstream consumers
+    // (running sum, grand total, classification join) never re-touch the
+    // fact
+    val monthly = li.groupBy($"l_partkey", $"mon")
+      .agg(sum($"qty").as("mq"), sum($"cents").as("mcents"))
     val stats = monthly.groupBy($"l_partkey")
       .agg(count(lit(1)).as("n_mon"), sum($"mq").as("sq"),
-        sum($"mq" * $"mq").as("sq2"))
-    val rev = li.groupBy($"l_partkey").agg(sum($"cents").as("cents"))
-    val cum = Relational.globalRunningSum(rev,
+        sum($"mq" * $"mq").as("sq2"), sum($"mcents").as("cents"))
+      .localCheckpoint()
+    val cum = Relational.globalRunningSum(
+      stats.select($"l_partkey", $"cents"),
       Seq($"cents".desc, $"l_partkey"), $"cents", "cum_cents")
-    val tot = rev.agg(sum($"cents").as("tot"))
+    val tot = stats.agg(sum($"cents").as("tot"))
     val d = $"n_mon" * $"sq2" - $"sq" * $"sq"
     cum.crossJoin(broadcast(tot))
-      .join(stats, "l_partkey")
+      .join(stats.drop("cents"), "l_partkey")
       .select(
         when($"cum_cents" * 100 <= $"tot" * 80, "A")
           .when($"cum_cents" * 100 <= $"tot" * 95, "B")
