@@ -155,7 +155,56 @@ object DedupQueries {
       .orderBy($"lang", $"split")
   }
 
+  // q239: near-duplicate cluster-size histogram — the dedup QA report:
+  // how big do MinHash components get (size 2, 3-4, 5-8, 9-16, 17+) and
+  // how many docs sit in each band, plus the singleton row (bucket 1).
+  // Buckets are an integer CASE ladder — no floating-point boundary.
+  // A heavy tail here flags boilerplate/mirror content BEFORE a
+  // transitive-closure canonical pass eats a whole source.
+  def clusterSizeHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      .select($"id_a", $"id_b")
+    val sizes = Dedup.connectedComponents(pairs)
+      .groupBy($"component").agg(count(lit(1)).as("sz"))
+    val banded = sizes.groupBy(
+        when($"sz" <= 2, 2).when($"sz" <= 4, 4).when($"sz" <= 8, 8)
+          .when($"sz" <= 16, 16).otherwise(0).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs_in"))
+    val totals = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(sizes.agg(coalesce(sum($"sz"), lit(0L)).as("nc")))
+    val singletons = totals.select(lit(1).cast("int").as("size_bucket"),
+      ($"nd" - $"nc").as("n_clusters"), ($"nd" - $"nc").as("n_docs_in"))
+    banded.unionAll(singletons).orderBy($"size_bucket")
+  }
+
+  // q240: exact-dedup savings report — per source: docs/chars kept vs
+  // dropped under content-hash dedup (canonical = min doc_id per md5).
+  // The canonical choice is one (hash)-keyed window min — the at-scale
+  // shape is a single shuffle of (hash, id, chars), never a self-join.
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    docs.withColumn("keep_id", min($"doc_id").over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        sum(when($"doc_id" === $"keep_id", $"n_chars").otherwise(0))
+          .cast("long").as("kept_chars"),
+        sum(when($"doc_id" =!= $"keep_id", $"n_chars").otherwise(0))
+          .cast("long").as("dropped_chars"))
+      .withColumn("savings",
+        round($"dropped_chars".cast("double") / $"total_chars", 6))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_cluster_sizes" -> clusterSizeHist _,
+    "q240_dedup_savings" -> dedupSavings _,
     "q120_training_pipeline" -> trainingPipeline _,
     "q58_dedup_clusters" -> dedupClusters _,
     "q59_dedup_keep_canonical" -> dedupKeepCanonical _,
@@ -224,6 +273,36 @@ object DedupQueries {
          |FROM per ORDER BY doc_id""".stripMargin,
     "q58_dedup_clusters" ->
       s"$componentsCte\nSELECT doc_id, component FROM comp ORDER BY doc_id",
+    "q239_cluster_sizes" ->
+      s"""$componentsCte,
+         |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+         |banded AS (SELECT CASE WHEN sz <= 2 THEN 2 WHEN sz <= 4 THEN 4
+         |    WHEN sz <= 8 THEN 8 WHEN sz <= 16 THEN 16 ELSE 0 END
+         |    AS size_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs_in FROM sz GROUP BY 1),
+         |t AS (SELECT (SELECT count(*) FROM documents)
+         |    - coalesce((SELECT CAST(sum(sz) AS BIGINT) FROM sz), 0)
+         |    AS n_single)
+         |SELECT CAST(size_bucket AS INT) AS size_bucket, n_clusters,
+         |  n_docs_in FROM banded
+         |UNION ALL
+         |SELECT 1, CAST(n_single AS BIGINT), CAST(n_single AS BIGINT)
+         |FROM t
+         |ORDER BY size_bucket""".stripMargin,
+    "q240_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS kept_chars,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS dropped_chars,
+        |  round(CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0
+        |    END) AS DOUBLE) / sum(n_chars), 6) AS savings
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q59_dedup_keep_canonical" ->
       s"""$componentsCte
          |SELECT doc_id, lang, source FROM documents

@@ -2166,7 +2166,32 @@ object RelationalQueries2 {
           .as("rho"))
   }
 
+  // q238: TPC-H Q22 (global sales opportunity, adapted — this schema has
+  // no c_phone, so the "country code" group is c_nationkey, and every
+  // synthetic customer has SOME order, so "no orders" becomes "no orders
+  // since 1999", the lapsed-customer cohort): above-average positive
+  // balance AND lapsed. The above-average filter is INTEGER-EXACT —
+  // cents·n > Σcents instead of a double-average compare — and the
+  // lapsed test is the decorrelated NOT EXISTS anti join (with the date
+  // predicate pushed into the anti side's scan). Same SQL text both
+  // engines.
+  private val tpchQ22Sql =
+    """WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100, 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > 0.0
+      |  AND CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
+      |    > (SELECT s FROM pos)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_tpch_q22" -> bySql(Seq("customer", "orders"), tpchQ22Sql) _,
     "q233_ordered_listagg" -> orderedListagg _,
     "q234_interval_frame" -> intervalFrame _,
     "q235_never_promo" -> neverPromo _,
@@ -2272,6 +2297,7 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_tpch_q22" -> tpchQ22Sql,
     "q233_ordered_listagg" ->
       """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
         |s AS (SELECT l_returnflag,
