@@ -854,7 +854,65 @@ object EventsQueries {
     s.table(nm).orderBy($"day", $"event_type")
   }
 
+  // q241: typed-API sessionization — groupByKey/flatMapGroups over
+  // Dataset[(Long, Long)] with imperative per-user session logic (the
+  // "(d) per-partition imperative" tier used where it's genuinely
+  // clearest), gate-proven against the gaps-and-islands SQL oracle.
+  // Timestamps travel as MICROSECOND longs (unix_micros) so the 10-min
+  // gap compare never truncates to millis. Per-group state is one user's
+  // events — bounded by per-user activity; unbounded keys would use
+  // session_window (q72) instead.
+  def typedSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 600000000L
+    val ev = Tables(s, dir).events
+      .select($"user_id", unix_micros($"ts").as("tus")).as[(Long, Long)]
+    ev.groupByKey(_._1).flatMapGroups { (uid, it) =>
+      val ts = it.map(_._2).toArray.sorted
+      val out = scala.collection.mutable.Buffer[(Long, Long, Long, Long)]()
+      var start = ts(0); var prev = ts(0); var n = 1L
+      ts.iterator.drop(1).foreach { t =>
+        if (t - prev > gapUs) { out += ((uid, start, prev, n)); start = t; n = 1L }
+        else n += 1
+        prev = t
+      }
+      out += ((uid, start, prev, n))
+      out
+    }.toDF("user_id", "s", "e", "n_events")
+      .select($"user_id", timestamp_micros($"s").as("session_start"),
+        timestamp_micros($"e").as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  // q242: stream-static broadcast enrichment THROUGH the streaming
+  // engine — readStream(orders) ⋈ broadcast(customer dim) → revenue per
+  // market segment, AvailableNow + complete mode + memory sink, proven
+  // against the batch join oracle. The dim side is a plain batch
+  // DataFrame: exactly the at-scale shape (facts stream, dims broadcast
+  // per micro-batch).
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordSchema = s.read.parquet(s"$dir/orders.parquet").schema
+    val cust = Tables(s, dir).customer
+      .select($"c_custkey", $"c_mktsegment")
+    val nm = "q242_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(ordSchema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(nm).orderBy($"c_mktsegment")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_typed_sessions" -> typedSessions _,
+    "q242_stream_enrich" -> streamEnrich _,
     "q232_stream_parity" -> streamingParity _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -898,6 +956,24 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q241_typed_sessions" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q242_stream_enrich" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q232_stream_parity" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n
