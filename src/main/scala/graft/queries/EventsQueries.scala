@@ -910,7 +910,41 @@ object EventsQueries {
     s.table(nm).orderBy($"c_mktsegment")
   }
 
+  // q244: early-error impact — users who hit an 'error' within their
+  // first 10 events vs users who didn't: purchase count and purchase
+  // value per group (every "has type X ever" flag is degenerate on this
+  // corpus — each user touches every type — so the cohort cut is
+  // position-bounded). One user-keyed window pass for the early flag,
+  // one user reduce, one |groups| aggregate; per-group stats only, so an
+  // SF where one cohort is empty still yields a well-defined result.
+  def earlyErrorImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val per = Tables(s, dir).events
+      .select($"user_id", $"event_type", $"value",
+        row_number().over(w).as("rn"))
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "error" && $"rn" <= 10, 1)
+          .otherwise(0)).as("early_error"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        coalesce(sum(when($"event_type" === "purchase",
+          $"value".cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+          .as("purch_value"))
+    per.groupBy($"early_error".cast("int").as("early_error"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n_purch").as("total_purchases"),
+        sum($"purch_value").as("_val"))
+      .select($"early_error", $"n_users", $"total_purchases",
+        round($"total_purchases".cast("double") / $"n_users", 6)
+          .as("avg_purchases"),
+        round($"_val".cast("double") / $"n_users", 6)
+          .as("avg_purchase_value"))
+      .orderBy($"early_error")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_early_error" -> earlyErrorImpact _,
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
     "q232_stream_parity" -> streamingParity _,
@@ -956,6 +990,31 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q244_early_error" ->
+      """WITH r AS (SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'error' AND rn <= 10
+        |      THEN 1 ELSE 0 END) AS early_error,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purch,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS purch_value
+        |  FROM r GROUP BY user_id),
+        |g AS (SELECT CAST(early_error AS INT) AS early_error,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(n_purch) AS BIGINT) AS total_purchases,
+        |    sum(purch_value) AS val_raw
+        |  FROM per GROUP BY 1)
+        |SELECT early_error, n_users, total_purchases,
+        |  round(CAST(total_purchases AS DOUBLE) / n_users, 6)
+        |    AS avg_purchases,
+        |  round(CAST(val_raw AS DOUBLE) / n_users, 6)
+        |    AS avg_purchase_value
+        |FROM g ORDER BY early_error""".stripMargin,
     "q241_typed_sessions" ->
       """WITH e AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -2190,7 +2190,51 @@ object RelationalQueries2 {
       |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // q243: percent-of-parent hierarchy — nation revenue share within its
+  // region and region share of the total, from ONE |nations|-sized
+  // pre-aggregate: the fact reduces first, the two ratio levels are
+  // windows over ≤25 rows. Decimal window sums stay exact; each ratio is
+  // one double division (decimal÷decimal would carry engine-specific
+  // result scales).
+  def parentShares(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val rev = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val wR = Window.partitionBy($"r_name")
+    val wT = Window.partitionBy()
+    rev.select($"r_name", $"n_name", $"rev".cast("double").as("rev"),
+        round($"rev".cast("double") /
+          sum($"rev").over(wR).cast("double"), 6).as("share_in_region"),
+        round(sum($"rev").over(wR).cast("double") /
+          sum($"rev").over(wT).cast("double"), 6).as("region_share"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // q245: repeat-purchase rate by acquisition-year cohort — per first-
+  // order year: customers, repeaters (≥2 orders), repeat rate. Two
+  // aggregates, both on the reduced customer grain.
+  def repeatCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        year(min($"o_orderdate")).cast("int").as("cohort_year"))
+      .groupBy($"cohort_year")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"n_orders" >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select($"cohort_year", $"n_customers", $"n_repeat",
+        round($"n_repeat".cast("double") / $"n_customers", 6)
+          .as("repeat_rate"))
+      .orderBy($"cohort_year")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_parent_shares" -> parentShares _,
+    "q245_repeat_cohorts" -> repeatCohorts _,
     "q238_tpch_q22" -> bySql(Seq("customer", "orders"), tpchQ22Sql) _,
     "q233_ordered_listagg" -> orderedListagg _,
     "q234_interval_frame" -> intervalFrame _,
@@ -2297,6 +2341,30 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q243_parent_shares" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_raw
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(rev_raw AS DOUBLE) AS rev,
+        |  round(CAST(rev_raw AS DOUBLE) / CAST(sum(rev_raw)
+        |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_in_region,
+        |  round(CAST(sum(rev_raw) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    / CAST(sum(rev_raw) OVER () AS DOUBLE), 6) AS region_share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "q245_repeat_cohorts" ->
+      """WITH per AS (SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(year(min(o_orderdate)) AS INT) AS cohort_year
+        |  FROM orders GROUP BY 1)
+        |SELECT cohort_year, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat,
+        |  round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS repeat_rate
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q238_tpch_q22" -> tpchQ22Sql,
     "q233_ordered_listagg" ->
       """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),

@@ -286,7 +286,28 @@ object VectorQueries {
       .orderBy($"cluster")
   }
 
+  // q246: IVF cell-balance audit — the partition-skew telemetry for the
+  // vector index: per axis-cell population, then one summary row (cells,
+  // vectors, hottest cell, its share, and the max/avg balance factor —
+  // the number that predicts whether one probe list dominates query
+  // latency). All counts exact; ratios integer-ratio doubles.
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (idx, sign) = Similarity.axisCell($"embedding")
+    Tables(s, dir).embeddings
+      .select(idx.as("cell_idx"), sign.as("cell_sign"))
+      .groupBy($"cell_idx", $"cell_sign").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum($"n").as("_tot"),
+        max($"n").as("max_cell"))
+      .select($"n_cells", $"_tot".cast("long").as("n_vectors"),
+        $"max_cell",
+        round($"max_cell".cast("double") / $"_tot", 6).as("max_share"),
+        round($"max_cell".cast("double") * $"n_cells" / $"_tot", 6)
+          .as("balance_factor"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_ivf_balance" -> ivfBalance _,
     "q195_norm_screen" -> normScreen _,
     "q196_sim_histogram" -> simHistogram _,
     "q197_dot_expr_sql" -> dotExprSql _,
@@ -301,6 +322,23 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
+        |cells AS (SELECT
+        |    list_position(la, list_aggregate(la, 'max')) AS cell_idx,
+        |    v[list_position(la, list_aggregate(la, 'max'))] > 0
+        |      AS cell_sign FROM e),
+        |c AS (SELECT cell_idx, cell_sign, count(*) AS n FROM cells
+        |  GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n) AS BIGINT) AS tot, CAST(max(n) AS BIGINT)
+        |      AS max_cell FROM c)
+        |SELECT n_cells, tot AS n_vectors, max_cell,
+        |  round(CAST(max_cell AS DOUBLE) / tot, 6) AS max_share,
+        |  round(CAST(max_cell AS DOUBLE) * n_cells / tot, 6)
+        |    AS balance_factor
+        |FROM a""".stripMargin,
     "q195_norm_screen" ->
       """WITH e AS (SELECT label,
         |    round(sqrt(list_sum(list_transform(embedding,
