@@ -535,7 +535,33 @@ object TextQueries {
       .orderBy($"threshold")
   }
 
+  // q247: vocabulary coverage curve — what fraction of all token
+  // occurrences the top-k vocabulary covers, for a k ladder: the
+  // tokenizer-budget design table. The corpus reduces to |vocab| counts
+  // once (pinned — the ladder fan-out and the total must not re-explode
+  // the corpus), ranks come from the distributed globalRank, and the
+  // ladder join is a broadcast of 4 constants.
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir).documents
+      .select(explode(PF.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ranked = graft.operators.Relational.globalRank(counts,
+      Seq($"c".desc, $"tok"), "rank")
+    val tot = counts.agg(sum($"c").cast("long").as("tot"))
+    val ladder = Seq(10, 20, 50, 100).toDF("k")
+    ranked.crossJoin(broadcast(ladder)).filter($"rank" <= $"k")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_terms"), sum($"c").cast("long").as("covered"))
+      .crossJoin(broadcast(tot))
+      .select($"k".cast("int").as("k"), $"n_terms", $"covered",
+        round($"covered".cast("double") / $"tot", 6).as("coverage"))
+      .orderBy($"k")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_vocab_coverage" -> vocabCoverage _,
     "q228_zipf_slope" -> zipfSlope _,
     "q229_length_survival" -> lengthSurvival _,
     "q213_hapax_rate" -> hapaxRate _,
@@ -702,6 +728,20 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q247_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+        |k AS (SELECT unnest([10, 20, 50, 100]) AS k)
+        |SELECT CAST(k AS INT) AS k, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(c) AS BIGINT) AS covered,
+        |  round(CAST(sum(c) AS DOUBLE) / (SELECT tot FROM tot), 6)
+        |    AS coverage
+        |FROM r CROSS JOIN k WHERE rank <= k
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q228_zipf_slope" ->
       """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |    x -> len(x) > 0)) AS tok FROM documents),

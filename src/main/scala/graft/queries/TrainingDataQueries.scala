@@ -282,7 +282,28 @@ object TrainingDataQueries {
       .orderBy($"source")
   }
 
+  // q248: nested-sampling invariant face — the 5% hash sample must be a
+  // SUBSET of the 10% one (bucket < 5 ⊆ bucket < 10), so growing a
+  // sample rate only ADDS rows: retraining on a larger sample reuses
+  // every example already curated at the smaller rate. The face counts
+  // escapees (rows in 5% but not 10%) — pinned 0 through BOTH engines —
+  // exactly the q189-style contract shape; rand()-based sampling has no
+  // such guarantee, which is why every sampler here is hash-bucketed.
+  def nestedSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = TD.hashBucket($"doc_id", 100)
+    Tables(s, dir).documents.select(b.as("bk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"bk" < 5, 1L).otherwise(0L)).as("n_5pct"),
+        sum(when($"bk" < 10, 1L).otherwise(0L)).as("n_10pct"),
+        sum(when($"bk" < 5 && !($"bk" < 10), 1L).otherwise(0L))
+          .as("n_escaped"))
+      .select($"n_docs", $"n_5pct", $"n_10pct", $"n_escaped",
+        ($"n_escaped" === 0L).as("nested_ok"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_nested_sampling" -> nestedSampling _,
     "q199_pipeline_v2" -> pipelineV2 _,
     "q171_mix_plan" -> mixPlan _,
     "q79_contamination" -> contamination _,
@@ -316,6 +337,19 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q248_nested_sampling" ->
+      """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 6))::BIGINT % 100 AS bk FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN bk < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_5pct,
+        |  CAST(sum(CASE WHEN bk < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_10pct,
+        |  CAST(sum(CASE WHEN bk < 5 AND NOT (bk < 10) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_escaped,
+        |  CAST(sum(CASE WHEN bk < 5 AND NOT (bk < 10) THEN 1 ELSE 0 END)
+        |    AS BIGINT) = 0 AS nested_ok
+        |FROM b""".stripMargin,
     "q199_pipeline_v2" ->
       s"""WITH d AS (SELECT source, doc_id, text,
          |    min(doc_id) OVER (PARTITION BY md5(text)) AS mid
