@@ -2232,7 +2232,55 @@ object RelationalQueries2 {
       .orderBy($"cohort_year")
   }
 
+  // q249: sourcing-risk profile — the supply-chain redundancy histogram:
+  // how many parts have exactly k distinct suppliers, and how many
+  // suppliers carry k-banded part catalogs. Both sides are double
+  // reduces of the same (part, supplier) distinct edge; a 'side' tag
+  // unions them into one report.
+  def sourcingRisk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edge = Tables(s, dir).lineitem
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .localCheckpoint() // reduced edge set feeds both profile sides
+    val perPart = edge.groupBy($"l_partkey")
+      .agg(countDistinct($"l_suppkey").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .select(lit("suppliers_per_part").as("side"), $"k", $"n")
+    val perSupp = edge.groupBy($"l_suppkey")
+      .agg(countDistinct($"l_partkey").as("kp"))
+      .groupBy(
+        when($"kp" <= 50, 50).when($"kp" <= 100, 100)
+          .when($"kp" <= 200, 200).otherwise(0).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("parts_per_supplier_band").as("side"), $"k", $"n")
+    perPart.unionAll(perSupp).orderBy($"side", $"k")
+  }
+
+  // q250: DAU/WAU stickiness — per ISO week: mean daily actives over the
+  // days present, weekly distinct actives, and their ratio (the
+  // engagement KPI). The fact reduces to distinct user-days FIRST; both
+  // aggregates and the final join run on that reduced set.
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables(s, dir).events
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+      .localCheckpoint() // feeds the daily AND weekly sides
+    val wk = weekofyear($"day").cast("int")
+    val daily = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      .groupBy(wk.as("week"))
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("dau_sum"))
+    val weekly = ud.groupBy(wk.as("week"))
+      .agg(countDistinct($"user_id").as("wau"))
+    daily.join(weekly, "week")
+      .select($"week", $"n_days", $"dau_sum", $"wau",
+        round($"dau_sum".cast("double") / ($"n_days" * $"wau"), 6)
+          .as("stickiness"))
+      .orderBy($"week")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_sourcing_risk" -> sourcingRisk _,
+    "q250_stickiness" -> stickiness _,
     "q243_parent_shares" -> parentShares _,
     "q245_repeat_cohorts" -> repeatCohorts _,
     "q238_tpch_q22" -> bySql(Seq("customer", "orders"), tpchQ22Sql) _,
@@ -2341,6 +2389,33 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q249_sourcing_risk" ->
+      """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |pp AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS k FROM e
+        |  GROUP BY 1),
+        |a AS (SELECT 'suppliers_per_part' AS side, CAST(k AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM pp GROUP BY 2),
+        |ps AS (SELECT l_suppkey, count(DISTINCT l_partkey) AS kp FROM e
+        |  GROUP BY 1),
+        |b AS (SELECT 'parts_per_supplier_band' AS side,
+        |    CAST(CASE WHEN kp <= 50 THEN 50 WHEN kp <= 100 THEN 100
+        |      WHEN kp <= 200 THEN 200 ELSE 0 END AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM ps GROUP BY 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |ORDER BY side, k""".stripMargin,
+    "q250_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |    FROM events),
+        |d AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |dw AS (SELECT CAST(weekofyear(day) AS INT) AS week,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS dau_sum FROM d GROUP BY 1),
+        |w AS (SELECT CAST(weekofyear(day) AS INT) AS week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM ud
+        |  GROUP BY 1)
+        |SELECT week, n_days, dau_sum, wau,
+        |  round(CAST(dau_sum AS DOUBLE) / (n_days * wau), 6) AS stickiness
+        |FROM dw JOIN w USING (week) ORDER BY week""".stripMargin,
     "q243_parent_shares" ->
       """WITH rev AS (SELECT r_name, n_name,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_raw
