@@ -2278,7 +2278,186 @@ object RelationalQueries2 {
       .orderBy($"week")
   }
 
+  // ------------------------------------------------------------------
+  // TPC-H completion (q251-q257): the seven queries whose classic form
+  // needs columns this schema lacks (partsupp, l_commitdate/receiptdate,
+  // p_mfgr/p_container, c_phone). Each is adapted to PRESERVE THE PLAN
+  // SHAPE the query exists to exercise — correlated scalar subqueries
+  // (Q2), EXISTS semi joins (Q4), scalar-subquery thresholds (Q11),
+  // NOT IN anti joins (Q16), correlated-aggregate HAVING (Q20), and the
+  // EXISTS + NOT EXISTS double self-join (Q21) — on the columns that do
+  // exist. `partsupp` is derived once per query as the distinct
+  // (l_partkey, l_suppkey) edge with ps_supplycost := min unit price
+  // observed (order-independent min of identical IEEE divisions, so both
+  // engines agree bitwise). Subquery queries run the SAME SQL text on
+  // Spark and DuckDB (bySql); Q9 is native DataFrame.
+
+  // q251: TPC-H Q2 minimum-cost supplier. The correlated scalar subquery
+  // (min cost among EUROPE suppliers of the same part) decorrelates to a
+  // per-part min aggregate joined back — Catalyst's RewriteCorrelated
+  // ScalarSubquery does this; at 100 TB the rewritten form is one extra
+  // agg over the derived edge, not a per-row re-scan.
+  private val tpchQ2Sql =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  ps_supplycost AS cost
+      |FROM part, partsupp, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_size = 11 AND p_type = 'ECONOMY'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  // q252: TPC-H Q4 order-priority checking. "Commit date missed" becomes
+  // "some line shipped >60 days after the order date"; the EXISTS is the
+  // point — it must plan as a LEFT SEMI join with the date predicate as
+  // the join condition, never a per-order subquery execution.
+  private val tpchQ4Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q254: TPC-H Q11 important stock. Classic Q11's threshold is a FIXED
+  // fraction (0.0001/SF) — which silently empties as the corpus grows
+  // (the same aging-cap bug ScaleTest caught in the rare-shingle df cap).
+  // Here "important" is scale-invariant: value > 3× the MEAN part value,
+  // as the integer-exact cross-multiply cents·n > 3·Σcents over one
+  // shared scalar subquery (no double-average drift between engines).
+  private val tpchQ11Sql =
+    """WITH edgeval AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+      |        CAST(count(*) AS BIGINT) AS c FROM edgeval)
+      |SELECT l_partkey AS p_key,
+      |  round(CAST(cents AS DOUBLE) / 100, 2) AS value
+      |FROM edgeval
+      |WHERE cents * (SELECT c FROM tot) > 3 * (SELECT s FROM tot)
+      |ORDER BY value DESC, p_key""".stripMargin
+
+  // q255: TPC-H Q16 supplier count by part attributes. NOT IN over the
+  // negative-balance suppliers is the null-safe anti join (s_suppkey is
+  // non-null, so NullAwareAntiJoin degenerates to a plain broadcast
+  // anti); count(DISTINCT) rides the (brand,type,size) shuffle.
+  private val tpchQ16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |        l_suppkey AS ps_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      |  AND ps_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // q256: TPC-H Q20 excess-stock promotion. Classic Q20's correlated
+  // "half of shipped quantity" aggregate folds into a decorrelated
+  // GROUP BY + HAVING over (supplier, part) — set-based from the start,
+  // which is exactly how it must run at scale. Quantities are integral
+  // doubles; BIGINT casts make 2·qty_1999 > qty_total exact. The ≥60
+  // floor keeps the pair volume meaningful (year share of a 3-row pair
+  // is noise, of a 60-unit pair is signal).
+  private val tpchQ20Sql =
+    """SELECT s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN
+      |    (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |               AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      |             THEN CAST(l_quantity AS BIGINT)
+      |             ELSE CAST(0 AS BIGINT) END) * 2
+      |       > sum(CAST(l_quantity AS BIGINT))
+      |     AND sum(CAST(l_quantity AS BIGINT)) >= 60)
+      |ORDER BY s_name""".stripMargin
+
+  // q257: TPC-H Q21 suppliers who kept orders waiting. No receipt/commit
+  // dates, so "the one who held it up" is the supplier whose latest ship
+  // date strictly trails every other supplier's on a multi-supplier 'F'
+  // order. The l1 side pre-aggregates to (order, supplier, max ship) —
+  // the EXISTS plans as semi join, the NOT EXISTS as anti join, both on
+  // l_orderkey; a shipdate tie eliminates the order for everyone
+  // (deterministic by construction, no arbitrary winner).
+  private val tpchQ21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+      |      FROM lineitem GROUP BY 1, 2) l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >= l1.sd)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  // q253: TPC-H Q9 product-type profit (native DataFrame). No
+  // ps_supplycost, so cost := 60% of retail per unit. Revenue and cost
+  // sum as exact decimals inside ONE aggregate; the only double math is
+  // the final rev − 0.6·cost, identical IEEE ops in both engines. The
+  // filtered part side and both supplier dims broadcast — lineitem⋈orders
+  // is the single shuffled join, keyed on the natural l_orderkey.
+  def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val gear = t.part.filter($"p_name".like("%gear%"))
+      .select($"p_partkey", $"p_retailprice")
+    t.lineitem
+      .join(broadcast(gear), $"l_partkey" === $"p_partkey")
+      .join(t.orders.select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.supplier.select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("int").as("o_year"))
+      .agg(
+        sum(dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec($"l_discount"))).as("rev"),
+        sum(dec($"p_retailprice") * dec($"l_quantity")).as("cost"))
+      .select($"n_name".as("nation"), $"o_year",
+        round($"rev".cast("double") - lit(0.6) * $"cost".cast("double"), 2)
+          .as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_tpch_q2" -> bySql(Seq("part", "lineitem", "supplier", "nation",
+      "region"), tpchQ2Sql) _,
+    "q252_tpch_q4" -> bySql(Seq("orders", "lineitem"), tpchQ4Sql) _,
+    "q253_tpch_q9" -> tpchQ9 _,
+    "q254_tpch_q11" -> bySql(Seq("lineitem", "supplier", "nation"),
+      tpchQ11Sql) _,
+    "q255_tpch_q16" -> bySql(Seq("lineitem", "part", "supplier"),
+      tpchQ16Sql) _,
+    "q256_tpch_q20" -> bySql(Seq("supplier", "lineitem", "part"),
+      tpchQ20Sql) _,
+    "q257_tpch_q21" -> bySql(Seq("lineitem", "orders", "supplier"),
+      tpchQ21Sql) _,
     "q249_sourcing_risk" -> sourcingRisk _,
     "q250_stickiness" -> stickiness _,
     "q243_parent_shares" -> parentShares _,
@@ -2389,6 +2568,26 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q251_tpch_q2" -> tpchQ2Sql,
+    "q252_tpch_q4" -> tpchQ4Sql,
+    "q253_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    - 0.6 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS profit
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q254_tpch_q11" -> tpchQ11Sql,
+    "q255_tpch_q16" -> tpchQ16Sql,
+    "q256_tpch_q20" -> tpchQ20Sql,
+    "q257_tpch_q21" -> tpchQ21Sql,
     "q249_sourcing_risk" ->
       """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |pp AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS k FROM e
