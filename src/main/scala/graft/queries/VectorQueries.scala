@@ -306,7 +306,75 @@ object VectorQueries {
           .as("balance_factor"))
   }
 
+  // q258: Product-Quantization ADC kNN — the third ANN scale path next to
+  // IVF (q41) and LSH (q69), and the one that actually fits 100 TB in
+  // memory: vectors compress 64 ints → 4 codebook codes (16× on top of
+  // int8's 4×), and query-time distance is 4 table lookups + an integer
+  // add, never a 64-dim float op. Made integer-exact end to end so the
+  // oracle hash-checks training AND search: int8-quantize then shift
+  // +127 (L2 is shift-invariant, and the non-negative domain makes the
+  // centroid rounding below exact in integer arithmetic); 4 subspaces ×
+  // 16 dims, 8 codes each, seeded from the 8 smallest vec_ids (q91
+  // discipline); one Lloyd update with centroids rounded half-up via
+  // (2S+n) div (2n) — pure positive-integer ops, no IEEE division
+  // anywhere; ADC tables and totals are integer sums, so summation
+  // order can't matter. Corpus stays distributed (spread): encoding is
+  // a map against 32 broadcast centroids; the only shuffles are the
+  // (sub, code, pos) partial-sum agg (≤512 groups) and the final
+  // per-vector score agg. Output: top-10 by ADC distance with the true
+  // int8 L2 alongside — the quantization-error telemetry.
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (m, w, seeds, k) = (4, 16, 8, 10)
+    val quant = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+      .select($"vec_id",
+        transform(Similarity.quantizeInt8($"embedding".cast("array<double>")),
+          x => x + 127).as("q"))
+    val sub = quant.select($"vec_id", explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"), slice($"q", j * w + 1, w).as("sq"))): _*)).as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.sq".as("sq"))
+    val c0 = sub.filter($"vec_id" < seeds)
+      .select($"vec_id".as("j"), $"sub", $"sq".as("c"))
+    val a0 = sub.join(broadcast(c0), "sub")
+      .select($"vec_id", $"sub", $"sq", $"j", Similarity.l2SqInt($"sq", $"c").as("d"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d", $"j")).getField("j").as("code0"), first($"sq").as("sq"))
+    val c1u = a0.select($"sub", $"code0", posexplode($"sq").as(Seq("p", "x")))
+      .groupBy($"sub", $"code0", $"p")
+      .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(2 * sv + n) DIV (2 * n)"))
+      .groupBy($"sub", $"code0")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cv"))),
+        e => e.getField("cv")).as("c"))
+      .select($"sub", $"code0".as("j"), $"c")
+    // a seed whose cluster emptied keeps its seed subvector (q91 rule)
+    val c1 = c0.select($"sub", $"j", $"c".cast("array<long>").as("c_seed"))
+      .join(c1u, Seq("sub", "j"), "left")
+      .select($"sub", $"j", coalesce($"c", $"c_seed").as("c"))
+    val qsub = sub.filter($"vec_id" === 0).select($"sub", $"sq".as("qs"))
+    val dtab = c1.join(broadcast(qsub), "sub")
+      .select($"sub", $"j", Similarity.l2SqInt($"qs", $"c").as("dl"))
+    val a1 = sub.join(broadcast(c1), "sub")
+      .select($"vec_id", $"sub", $"j", Similarity.l2SqInt($"sq", $"c").as("d"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d", $"j")).getField("j").as("code1"))
+    val score = a1.join(broadcast(dtab),
+        a1("sub") === dtab("sub") && a1("code1") === dtab("j"))
+      .groupBy($"vec_id").agg(sum($"dl").as("adc_d"))
+    val topk = score.filter($"vec_id" =!= 0)
+      .orderBy($"adc_d", $"vec_id").limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"adc_d", $"vec_id")).cast("int").as("rank"),
+        $"vec_id", $"adc_d")
+    val qfull = quant.filter($"vec_id" === 0).select($"q".as("qq"))
+    topk.join(quant, "vec_id").crossJoin(broadcast(qfull))
+      .select($"rank", $"vec_id", $"adc_d",
+        Similarity.l2SqInt($"q", $"qq").as("true_d"))
+      .orderBy($"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_pq_knn" -> pqAdc _,
     "q246_ivf_balance" -> ivfBalance _,
     "q195_norm_screen" -> normScreen _,
     "q196_sim_histogram" -> simHistogram _,
@@ -322,6 +390,60 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q258_pq_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |sub AS (SELECT vec_id, CAST(s.s AS INT) AS sub,
+        |    qt.q[CAST(s.s * 16 + 1 AS INT) : CAST(s.s * 16 + 16 AS INT)] AS sq
+        |  FROM qt, range(0, 4) s(s)),
+        |c0 AS (SELECT vec_id AS j, sub, sq AS c FROM sub WHERE vec_id < 8),
+        |d0 AS (SELECT sub.vec_id, sub.sub, c0.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c0 USING (sub)),
+        |a0 AS (SELECT vec_id, sub, j AS code0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |sums AS (SELECT a0.sub, a0.code0, t.i,
+        |    CAST(sum(sub.sq[CAST(t.i AS INT)]) AS BIGINT) AS sv
+        |  FROM a0 JOIN sub USING (vec_id, sub), range(1, 17) t(i) GROUP BY 1, 2, 3),
+        |cnt AS (SELECT sub, code0, CAST(count(*) AS BIGINT) AS n FROM a0 GROUP BY 1, 2),
+        |c1u AS (SELECT sums.sub, sums.code0 AS j,
+        |    list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM sums JOIN cnt USING (sub, code0) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.sub, c0.j, coalesce(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c0.sub = c1u.sub AND c0.j = c1u.j),
+        |qsub AS (SELECT sub, sq FROM sub WHERE vec_id = 0),
+        |dtab AS (SELECT c1.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS dl
+        |  FROM c1 JOIN qsub USING (sub)),
+        |d1 AS (SELECT sub.vec_id, sub.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c1 USING (sub)),
+        |a1 AS (SELECT vec_id, sub, j AS code1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |score AS (SELECT a1.vec_id, CAST(sum(dtab.dl) AS BIGINT) AS adc_d
+        |  FROM a1 JOIN dtab ON a1.sub = dtab.sub AND a1.code1 = dtab.j
+        |  GROUP BY 1),
+        |topk AS (SELECT vec_id, adc_d,
+        |    CAST(row_number() OVER (ORDER BY adc_d, vec_id) AS INT) AS rank
+        |  FROM score WHERE vec_id <> 0
+        |  ORDER BY adc_d, vec_id LIMIT 10),
+        |qfull AS (SELECT q FROM qt WHERE vec_id = 0)
+        |SELECT t.rank, t.vec_id, t.adc_d,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(qt.q[CAST(i AS INT)] - qfull.q[CAST(i AS INT)] AS DOUBLE)
+        |       * CAST(qt.q[CAST(i AS INT)] - qfull.q[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS true_d
+        |FROM topk t JOIN qt ON t.vec_id = qt.vec_id, qfull
+        |ORDER BY t.rank""".stripMargin,
     "q246_ivf_balance" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
