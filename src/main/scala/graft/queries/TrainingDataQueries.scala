@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TrainingData => TD}
+import graft.operators.{Dedup, Relational, TrainingData => TD}
 import graft.functions.{ParityFunctions => PF}
 
 /** Training-data preparation surface: deterministic hash sampling,
@@ -302,7 +302,37 @@ object TrainingDataQueries {
         ($"n_escaped" === 0L).as("nested_ok"))
   }
 
+  // q261: systematic PPS sampling — probability-proportional-to-size
+  // selection (big documents are likelier picks, selection count is
+  // exactly bounded) via ONE distributed prefix sum: doc i is selected
+  // iff the char-weight interval (cum−w, cum] crosses a multiple of
+  // step = ⌊ΣW / 200⌋. Everything is integer (cumulative char counts,
+  // floor division), so the sample is bit-reproducible in any engine and
+  // stable under re-runs — the property md5-hash sampling (q63) gives
+  // uniformly that this gives size-weighted. The prefix sum is
+  // Relational.globalRunningSum (range partition + per-partition offsets,
+  // driver state = |partitions| longs), NEVER a single-task global
+  // window — the shape that survives a 100 TB corpus. Output: per-source
+  // admitted counts/mass + exact id-sum fingerprint of the membership.
+  def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("w"))
+    val tot = docs.agg(sum($"w").as("tw"))
+    val cum = Relational.globalRunningSum(
+        docs.crossJoin(broadcast(tot)), Seq($"doc_id"), $"w", "cw")
+      .withColumn("step", expr("tw DIV 200"))
+      .withColumn("sel", expr("cw DIV step") > expr("(cw - w) DIV step"))
+    cum.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("chars_total"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_selected"),
+        sum(when($"sel", $"w").otherwise(0L)).as("chars_selected"),
+        sum(when($"sel", $"doc_id").otherwise(0L)).as("id_fingerprint"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_pps_sample" -> ppsSample _,
     "q248_nested_sampling" -> nestedSampling _,
     "q199_pipeline_v2" -> pipelineV2 _,
     "q171_mix_plan" -> mixPlan _,
@@ -337,6 +367,24 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q261_pps_sample" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) // 200 AS step FROM d),
+        |c AS (SELECT doc_id, source, w,
+        |    CAST(sum(w) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM d),
+        |sel AS (SELECT source, w, doc_id,
+        |    ((cw // (SELECT step FROM t))
+        |      > ((cw - w) // (SELECT step FROM t))) AS sel FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(sum(CASE WHEN sel THEN w ELSE 0 END) AS BIGINT)
+        |    AS chars_selected,
+        |  CAST(sum(CASE WHEN sel THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS id_fingerprint
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     "q248_nested_sampling" ->
       """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
         |    1, 6))::BIGINT % 100 AS bk FROM documents)

@@ -125,7 +125,114 @@ object WarehouseQueries {
       .orderBy($"q96", $"q97")
   }
 
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // q259: incremental JOIN-view maintenance — the delta-join identity
+  // behind every materialized join view: for V = A ⋈ B with A = A₀ ∪ ΔA,
+  // B = B₀ ∪ ΔB, the new contribution is ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three
+  // DELTA-SIZED joins (each has a delta on at least one side), never a
+  // re-join of history against history. Combined with q100's mergeable
+  // partials, the daily cost at 100 TB is |Δ|·log instead of |A|·|B|:
+  // the snapshot contributes only its per-key partial rows. Correctness
+  // contract = the oracle recomputes the view from scratch over ALL
+  // data; incremental ≡ full is the hash-checked identity.
+  def incrementalJoinView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1999-01-01").cast("timestamp")
+    val t = Tables(s, dir)
+    val (a0, dA) = (t.orders.filter($"o_orderdate" < cut),
+      t.orders.filter($"o_orderdate" >= cut))
+    val (b0, dB) = (t.lineitem.filter($"l_shipdate" < cut),
+      t.lineitem.filter($"l_shipdate" >= cut))
+    def joined(a: DataFrame, b: DataFrame) =
+      a.select($"o_custkey", $"o_orderkey")
+        .join(b.select($"l_orderkey", (dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec($"l_discount"))).as("v")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey", $"v")
+    def partials(df: DataFrame) = Relational.partialAggs(df,
+      Seq("o_custkey"), "n_items", Seq("rev_dec" -> col("v")))
+    val snapshot = partials(joined(a0, b0)) // materialized once, reused
+    val delta = partials(joined(dA, b0)
+      .unionByName(joined(a0, dB)).unionByName(joined(dA, dB)))
+    Relational.mergePartialAggs(Seq(snapshot, delta), Seq("o_custkey"),
+        "n_items", Seq("rev_dec"))
+      .select($"o_custkey", $"n_items".cast("long").as("n_items"),
+        $"rev_dec".cast("double").as("revenue"))
+      .orderBy($"o_custkey")
+  }
+
+  // q260: CDC changelog apply — an ordered stream of I/U/D operations
+  // folded onto a base snapshot, the consumer side of Debezium-style
+  // feeds (q89's MERGE can update but never DELETE). Last-op-per-key via
+  // ONE max_by-shaped aggregate (max on a seq-first struct — mergeable,
+  // no window sort), then: final U rows replace, final D rows erase, and
+  // untouched base rows pass through a key anti join. The base is never
+  // rescanned beyond that single join; the changelog shuffles once on
+  // key. Synthetic log: every post-cut order upserts (seq 1), every 3rd
+  // key upserts again (seq 2, must win over seq 1), every 10th deletes
+  // (seq 3, must win over both), and every 7th PRE-cut key deletes a row
+  // that exists only in the base.
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1999-01-01").cast("timestamp")
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val base = Tables(s, dir).orders.filter($"o_orderdate" < cut)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"), cents.as("cents"))
+    val delta = Tables(s, dir).orders.filter($"o_orderdate" >= cut)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"), cents.as("cents"))
+    val log = delta.select($"k", lit("U").as("op"), lit(1L).as("seq"),
+        $"st", ($"cents" + 10000L).as("cents"))
+      .unionByName(delta.filter($"k" % 3 === 0).select($"k", lit("U").as("op"),
+        lit(2L).as("seq"), $"st", ($"cents" + 20000L).as("cents")))
+      .unionByName(delta.filter($"k" % 10 < 2).select($"k", lit("D").as("op"),
+        lit(3L).as("seq"), lit(null).cast("string").as("st"),
+        lit(null).cast("long").as("cents")))
+      .unionByName(base.filter($"k" % 7 === 0).select($"k", lit("D").as("op"),
+        lit(1L).as("seq"), lit(null).cast("string").as("st"),
+        lit(null).cast("long").as("cents")))
+    val fin = log.groupBy($"k")
+      .agg(max(struct($"seq", $"op", $"st", $"cents")).as("m"))
+      .select($"k", $"m.op".as("op"), $"m.st".as("st"), $"m.cents".as("cents"))
+    val untouched = base.join(fin.select($"k"), Seq("k"), "left_anti")
+    val state = untouched.unionByName(
+      fin.filter($"op" === "U").select($"k", $"st", $"cents"))
+    state.groupBy($"st".as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"),
+        countDistinct($"k").as("n_keys"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // q262: Observation metrics — pipeline telemetry that rides the SAME
+  // scan as the primary aggregate (`Dataset.observe`): at 100 TB a
+  // separate profiling pass over the fact table is a second full scan,
+  // observe() collects row counts / sums / conditional counts for free
+  // at the existing exchange boundary. The face runs a real grouped
+  // aggregate as the primary action, harvests the observed metrics, and
+  // returns metrics + primary-result checksum in one row; the oracle
+  // recomputes both directly. Observation names are UUID-fresh — the
+  // Verify/Bench sessions run this repeatedly.
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      "q262_" + java.util.UUID.randomUUID.toString)
+    val li = Tables(s, dir).lineitem.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(round($"l_extendedprice" * 100).cast("long")).as("price_cents"),
+      sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("n_discounted"))
+    val primary = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0)(0).toLong * r.getLong(1)).sum
+    val m = obs.get
+    s.createDataFrame(Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long],
+        m("n_discounted").asInstanceOf[Long], primary)))
+      .toDF("n_rows", "price_cents", "n_discounted", "primary_checksum")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_incr_join_view" -> incrementalJoinView _,
+    "q260_cdc_apply" -> cdcApply _,
+    "q262_observe_metrics" -> observeMetrics _,
     "q179_cohort_ltv" -> cohortLtv _,
     "q180_segment_migration" -> segmentMigration _,
     "q89_upsert_merge" -> upsertMerge _,
@@ -134,6 +241,47 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q259_incr_join_view" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q260_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        |delta AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+        |log AS (
+        |  SELECT k, 'U' AS op, 1 AS seq, st, cents + 10000 AS cents FROM delta
+        |  UNION ALL SELECT k, 'U', 2, st, cents + 20000 FROM delta
+        |    WHERE k % 3 = 0
+        |  UNION ALL SELECT k, 'D', 3, NULL, NULL FROM delta WHERE k % 10 < 2
+        |  UNION ALL SELECT k, 'D', 1, NULL, NULL FROM base WHERE k % 7 = 0),
+        |fin AS (SELECT k, op, st, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+        |      AS rn FROM log) WHERE rn = 1),
+        |state AS (
+        |  SELECT b.k, b.st, b.cents FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.k = b.k)
+        |  UNION ALL SELECT k, st, cents FROM fin WHERE op = 'U')
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM state GROUP BY st ORDER BY st""".stripMargin,
+    "q262_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_discounted,
+        |  (SELECT CAST(sum(ascii(l_returnflag) * n) AS BIGINT)
+        |   FROM (SELECT l_returnflag, count(*) AS n FROM lineitem
+        |         GROUP BY 1)) AS primary_checksum
+        |FROM lineitem""".stripMargin,
     "q179_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
