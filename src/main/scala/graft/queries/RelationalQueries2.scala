@@ -2445,7 +2445,124 @@ object RelationalQueries2 {
       .orderBy($"nation", $"o_year".desc)
   }
 
+  // q263: exact proration — allocate each order's header amount across
+  // its lineitems proportional to extended price, in integer cents with
+  // LARGEST-REMAINDER rounding, so the allocated cents sum back to the
+  // order cents EXACTLY (the invariant finance reconciliation needs;
+  // naive per-line rounding leaks ±1 cent per order, millions of cents at
+  // 100 TB). Pure integer arithmetic: base = ⌊order·line/Σline⌋, then the
+  // leftover r = order − Σbase cents go to the r lines with the largest
+  // integer remainder (l_linenumber tie-break). Both windows ride ONE
+  // orderkey shuffle; the output aggregate proves Σalloc ≡ Σorder.
+  def proration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val li = t.lineitem.select($"l_orderkey", $"l_linenumber",
+      round($"l_extendedprice" * 100).cast("long").as("lc"))
+    val o = t.orders.select($"o_orderkey", $"o_orderpriority",
+      round($"o_totalprice" * 100).cast("long").as("oc"))
+    val wO = Window.partitionBy($"l_orderkey")
+    val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .withColumn("ls", sum($"lc").over(wO))
+      .withColumn("base", expr("(oc * lc) DIV ls"))
+      .withColumn("rem", expr("(oc * lc) % ls"))
+      .withColumn("r", $"oc" - sum($"base").over(wO))
+      .withColumn("rn", row_number().over(
+        wO.orderBy($"rem".desc, $"l_linenumber")))
+      .withColumn("alloc", $"base" + when($"rn" <= $"r", 1L).otherwise(0L))
+    joined.groupBy($"o_orderpriority")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum($"alloc").as("alloc_cents"),
+        sum(when($"rn" === 1, $"oc").otherwise(0L)).as("order_cents"),
+        sum(when($"rn" <= $"r", 1L).otherwise(0L)).as("n_bumped"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // q264: snapshot diff / reconciliation — the data-diff audit between
+  // two table versions: one FULL OUTER join on the key classifies every
+  // row as added / removed / changed / unchanged (payload equality via
+  // md5 of a canonical concat — at 100 TB you ship one 128-bit digest
+  // per row to the join, not the payload). v2 is synthesized
+  // deterministically from orders: every 13th key re-priced, every 17th
+  // deleted, every 19th re-keyed high (inserted). Output: per-class row
+  // counts and exact cents deltas.
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = Tables(s, dir).orders.select($"o_orderkey".as("k"),
+      $"o_orderstatus".as("st"), round($"o_totalprice" * 100).cast("long").as("cents"))
+    val v2 = v1.filter($"k" % 17 =!= 0)
+      .select($"k", $"st",
+        when($"k" % 13 === 0, $"cents" + 10000L).otherwise($"cents").as("cents"))
+      .unionByName(v1.filter($"k" % 19 === 0)
+        .select(($"k" + 100000000L).as("k"), $"st", $"cents"))
+    def sig(df: DataFrame) = df.select($"k",
+      md5(concat_ws("|", $"st", $"cents")).as("sig"), $"cents")
+    val d = sig(v1).as("a").join(sig(v2).as("b"), Seq("k"), "full_outer")
+      .select(
+        when(col("a.sig").isNull, "added")
+          .when(col("b.sig").isNull, "removed")
+          .when(col("a.sig") =!= col("b.sig"), "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("b.cents"), lit(0L)).as("c2"),
+        coalesce(col("a.cents"), lit(0L)).as("c1"))
+    d.groupBy($"class")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"c2" - $"c1").as("cents_delta"))
+      .orderBy($"class")
+  }
+
+  // q265: BFS hop levels from the minimum node of the support-≥2
+  // co-purchase graph (q222's edges) — frontier expansion, the primitive
+  // under "products within k recommendation hops". Three Pregel-style
+  // rounds: join the frontier against the edge table (src-keyed shuffle,
+  // edge table pinned once), anti-join out already-visited nodes,
+  // checkpoint the visited set (it is read twice per round). The oracle
+  // is a DuckDB RECURSIVE CTE with UNION-dedup — same fixpoint, bounded
+  // at nodes×(h+1) rows. Unreached nodes report level -1: the
+  // reachability audit is the point of the report.
+  def bfsLevels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val baskets = items.groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("ps"))
+    val pairArr = flatten(transform($"ps", (x, i) =>
+      transform(slice($"ps", i + lit(2), size($"ps")),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val und = baskets.select(explode(pairArr).as("p"))
+      .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"pa", $"pb")
+    val edges = und.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(und.select($"pb".as("src"), $"pa".as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
+    val seed = nodes.agg(min($"node")).head.getLong(0) // one driver long
+    var visited = nodes.filter($"node" === seed)
+      .select($"node", lit(0).as("lvl")).localCheckpoint()
+    var frontier = visited.select($"node")
+    for (h <- 1 to 3) {
+      // next is read twice (union + next round's frontier) — pin it
+      val next = edges.join(frontier, $"src" === $"node")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(h).as("lvl"))
+        .localCheckpoint()
+      visited = visited.unionByName(next)
+      frontier = next.select($"node")
+    }
+    nodes.join(visited, Seq("node"), "left")
+      .select($"node", coalesce($"lvl", lit(-1)).as("lvl"))
+      .groupBy($"lvl")
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("id_sum"))
+      .orderBy($"lvl")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_proration" -> proration _,
+    "q264_snapshot_diff" -> snapshotDiff _,
+    "q265_bfs_levels" -> bfsLevels _,
     "q251_tpch_q2" -> bySql(Seq("part", "lineitem", "supplier", "nation",
       "region"), tpchQ2Sql) _,
     "q252_tpch_q4" -> bySql(Seq("orders", "lineitem"), tpchQ4Sql) _,
@@ -2568,6 +2685,74 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q263_proration" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS lc FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS oc FROM orders),
+        |j AS (SELECT li.l_orderkey, li.l_linenumber, li.lc,
+        |    o.o_orderpriority, o.oc,
+        |    CAST(sum(lc) OVER (PARTITION BY l_orderkey) AS BIGINT) AS ls
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |b AS (SELECT *, (oc * lc) // ls AS base, (oc * lc) % ls AS rem
+        |  FROM j),
+        |c AS (SELECT *,
+        |    oc - CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS r,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rn FROM b)
+        |SELECT o_orderpriority,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(base + CASE WHEN rn <= r THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS alloc_cents,
+        |  CAST(sum(CASE WHEN rn = 1 THEN oc ELSE 0 END) AS BIGINT)
+        |    AS order_cents,
+        |  CAST(sum(CASE WHEN rn <= r THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bumped
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q264_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v2 AS (SELECT k, st,
+        |    CASE WHEN k % 13 = 0 THEN cents + 10000 ELSE cents END AS cents
+        |  FROM v1 WHERE k % 17 <> 0
+        |  UNION ALL SELECT k + 100000000, st, cents FROM v1
+        |  WHERE k % 19 = 0),
+        |a AS (SELECT k, md5(concat_ws('|', st, CAST(cents AS VARCHAR)))
+        |    AS sig, cents FROM v1),
+        |b AS (SELECT k, md5(concat_ws('|', st, CAST(cents AS VARCHAR)))
+        |    AS sig, cents FROM v2),
+        |d AS (SELECT CASE WHEN a.sig IS NULL THEN 'added'
+        |      WHEN b.sig IS NULL THEN 'removed'
+        |      WHEN a.sig <> b.sig THEN 'changed'
+        |      ELSE 'unchanged' END AS class,
+        |    coalesce(b.cents, 0) AS c2, coalesce(a.cents, 0) AS c1
+        |  FROM a FULL OUTER JOIN b USING (k))
+        |SELECT class, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c2 - c1) AS BIGINT) AS cents_delta
+        |FROM d GROUP BY class ORDER BY class""".stripMargin,
+    "q265_bfs_levels" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |bfs(node, d) AS (
+        |  SELECT (SELECT min(node) FROM nodes), 0
+        |  UNION
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.d < 3),
+        |lvl AS (SELECT node, CAST(min(d) AS INT) AS lvl FROM bfs
+        |  GROUP BY node)
+        |SELECT coalesce(lvl.lvl, -1) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(nodes.node) AS BIGINT) AS id_sum
+        |FROM nodes LEFT JOIN lvl USING (node)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q251_tpch_q2" -> tpchQ2Sql,
     "q252_tpch_q4" -> tpchQ4Sql,
     "q253_tpch_q9" ->
