@@ -22,7 +22,11 @@ object ScaleTest {
         // round-6 continuation: scan-family + pair-join faces
         "q153_rfm_segments", "q154_concurrency_sweep", "q159_token_pmi",
         "q160_basket_pairs", "q173_running_total", "q181_skyline",
-        "q186_triangles")
+        "q186_triangles",
+        // round-6 session-2: PQ codebooks, delta-join view, PPS prefix
+        // sum, proration windows, BFS frontier iteration
+        "q258_pq_knn", "q259_incr_join_view", "q261_pps_sample",
+        "q263_proration", "q265_bfs_levels")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[32]")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Relational, Similarity}
@@ -325,51 +325,68 @@ object VectorQueries {
   // int8 L2 alongside — the quantization-error telemetry.
   def pqAdc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (m, w, seeds, k) = (4, 16, 8, 10)
-    val quant = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
-      .select($"vec_id",
-        transform(Similarity.quantizeInt8($"embedding".cast("array<double>")),
-          x => x + 127).as("q"))
-    val sub = quant.select($"vec_id", explode(array((0 until m).map(j =>
-        struct(lit(j).as("sub"), slice($"q", j * w + 1, w).as("sq"))): _*)).as("e"))
-      .select($"vec_id", $"e.sub".as("sub"), $"e.sq".as("sq"))
-    val c0 = sub.filter($"vec_id" < seeds)
-      .select($"vec_id".as("j"), $"sub", $"sq".as("c"))
-    val a0 = sub.join(broadcast(c0), "sub")
-      .select($"vec_id", $"sub", $"sq", $"j", Similarity.l2SqInt($"sq", $"c").as("d"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min(struct($"d", $"j")).getField("j").as("code0"), first($"sq").as("sq"))
-    val c1u = a0.select($"sub", $"code0", posexplode($"sq").as(Seq("p", "x")))
-      .groupBy($"sub", $"code0", $"p")
+    val (m, w, kCodes, k) = (4, 16, 8, 10)
+    // The quantized corpus IS the PQ index artifact (4× smaller than the
+    // floats): materialize it once and run training AND search over it,
+    // instead of re-scanning + re-quantizing per pass (HOF quantization
+    // is the per-row hot spot — profiled at ~1.2 s/pass on the 10× probe)
+    val corpus = Similarity.withQuantizedInt8(
+        Relational.spread(Tables(s, dir).embeddings, $"vec_id"),
+        $"embedding".cast("array<double>"), "_qi")
+      .select($"vec_id", transform($"_qi", x => x + 127).as("q"))
+      .localCheckpoint()
+    // Codebooks are m·k·w = 512 ints — DRIVER STATE, like k-means
+    // centroids (bytes, not data). Shipping them as literals makes both
+    // encode passes pure map-side expressions over the corpus scan: no
+    // corpus-sized groupBy, no join, no second materialization of the
+    // exploded subvector table.
+    def subVec(q: Seq[Int], si: Int): Seq[Int] = q.slice(si * w, si * w + w)
+    def l2(a: Seq[Int], b: Seq[Int]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) =>
+        val d = (x - y).toLong; d * d }.sum
+    val seedRows = corpus.filter($"vec_id" < kCodes)
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
+    // codebook column: argmin over the k literal centroids — array_min on
+    // (d, j) structs reproduces the ties→smaller-j rule in one codegen op
+    def argminCode(sqCol: Column, cb: Seq[(Int, Seq[Int])]): Column =
+      array_min(array(cb.map { case (j, c) =>
+        struct(Similarity.l2SqInt(sqCol, typedLit(c)).as("d"),
+          lit(j).as("j")) }: _*)).getField("j")
+    val cb0: Seq[Seq[(Int, Seq[Int])]] =
+      (0 until m).map(si => seedRows.map { case (j, q) => j -> subVec(q, si) })
+    // one Lloyd update: the only corpus shuffle in the whole query —
+    // (sub, code, pos) partial sums, ≤ m·k·w = 512 groups after map-side
+    // combine. Centroid rounding (2S+n) DIV (2n) happens on the DRIVER in
+    // exact integer arithmetic (same formula the oracle runs in SQL).
+    val sums = corpus.select(explode(array((0 until m).map(si =>
+        struct(lit(si).as("sub"),
+          argminCode(slice($"q", si * w + 1, w), cb0(si)).as("code"),
+          slice($"q", si * w + 1, w).as("sq"))): _*)).as("e"))
+      .select($"e.sub".as("sub"), $"e.code".as("code"),
+        posexplode($"e.sq").as(Seq("p", "x")))
+      .groupBy($"sub", $"code", $"p")
       .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
-      .withColumn("cv", expr("(2 * sv + n) DIV (2 * n)"))
-      .groupBy($"sub", $"code0")
-      .agg(transform(array_sort(collect_list(struct($"p", $"cv"))),
-        e => e.getField("cv")).as("c"))
-      .select($"sub", $"code0".as("j"), $"c")
-    // a seed whose cluster emptied keeps its seed subvector (q91 rule)
-    val c1 = c0.select($"sub", $"j", $"c".cast("array<long>").as("c_seed"))
-      .join(c1u, Seq("sub", "j"), "left")
-      .select($"sub", $"j", coalesce($"c", $"c_seed").as("c"))
-    val qsub = sub.filter($"vec_id" === 0).select($"sub", $"sq".as("qs"))
-    val dtab = c1.join(broadcast(qsub), "sub")
-      .select($"sub", $"j", Similarity.l2SqInt($"qs", $"c").as("dl"))
-    val a1 = sub.join(broadcast(c1), "sub")
-      .select($"vec_id", $"sub", $"j", Similarity.l2SqInt($"sq", $"c").as("d"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min(struct($"d", $"j")).getField("j").as("code1"))
-    val score = a1.join(broadcast(dtab),
-        a1("sub") === dtab("sub") && a1("code1") === dtab("j"))
-      .groupBy($"vec_id").agg(sum($"dl").as("adc_d"))
-    val topk = score.filter($"vec_id" =!= 0)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((2 * r.getLong(3) + r.getLong(4)) / (2 * r.getLong(4))).toInt).toMap
+    val cb1: Seq[Seq[(Int, Seq[Int])]] = (0 until m).map(si =>
+      cb0(si).map { case (j, seed) =>
+        // a code that lost every member keeps its seed subvector (q91 rule)
+        j -> seed.indices.map(p => sums.getOrElse((si, j, p), seed(p))) })
+    val qFull: Seq[Int] = seedRows.find(_._1 == 0).get._2
+    // ADC tables: query-to-centroid integer distances, m·k = 32 longs
+    val dtab: Seq[Map[Int, Long]] = (0 until m).map(si =>
+      cb1(si).map { case (j, c) => j -> l2(subVec(qFull, si), c) }.toMap)
+    // search pass: per-row code + table lookup, integer adds — all inside
+    // one codegen stage; global top-k = TakeOrderedAndProject, never a sort
+    val adc = (0 until m).map(si => element_at(typedLit(dtab(si)),
+      argminCode(slice($"q", si * w + 1, w), cb1(si)))).reduce(_ + _)
+    corpus.filter($"vec_id" =!= 0)
+      .select($"vec_id", adc.as("adc_d"),
+        Similarity.l2SqInt($"q", typedLit(qFull)).as("true_d"))
       .orderBy($"adc_d", $"vec_id").limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy($"adc_d", $"vec_id")).cast("int").as("rank"),
-        $"vec_id", $"adc_d")
-    val qfull = quant.filter($"vec_id" === 0).select($"q".as("qq"))
-    topk.join(quant, "vec_id").crossJoin(broadcast(qfull))
-      .select($"rank", $"vec_id", $"adc_d",
-        Similarity.l2SqInt($"q", $"qq").as("true_d"))
+        $"vec_id", $"adc_d", $"true_d")
       .orderBy($"rank")
   }
 
