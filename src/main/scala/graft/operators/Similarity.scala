@@ -255,9 +255,9 @@ object Similarity {
     // spread before quantization + the k-way assignment fan-out: a
     // single-file corpus would serialize the map-side work through one
     // task (and the explicit count is AQE-coalescing-exempt)
-    val quant = Relational.spread(corpus, col(idCol))
-      .select(col(idCol).as("_id"),
-        quantizeInt8(col(vecCol).cast("array<double>")).as("_q"))
+    val quant = withQuantizedInt8(Relational.spread(corpus, col(idCol)),
+        col(vecCol).cast("array<double>"), "_q")
+      .select(col(idCol).as("_id"), col("_q"))
     val seeds = broadcast(quant.orderBy(col("_id")).limit(k)
       .select(col("_id").as("_j"), col("_q").as("_c")))
     // squared norm + the double-typed vector view are computed ONCE per

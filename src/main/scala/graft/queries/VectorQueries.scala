@@ -35,8 +35,10 @@ object VectorQueries {
   // (label, pos) partial sums ever shuffle.
   def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val quant = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
-      .select($"label", Similarity.quantizeInt8($"embedding".cast("array<double>")).as("_q"))
+    val quant = Similarity.withQuantizedInt8(
+        Relational.spread(Tables(s, dir).embeddings, $"vec_id"),
+        $"embedding".cast("array<double>"), "_q")
+      .select($"label", $"_q")
     val sums = quant
       .select($"label", posexplode($"_q").as(Seq("pos", "x")))
       .groupBy($"label", $"pos").agg(sum($"x").as("sx"))
@@ -191,7 +193,8 @@ object VectorQueries {
     import s.implicits._
     val emb = Tables(s, dir).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val quant = emb.select($"vec_id", $"v", Similarity.quantizeInt8($"v").as("q"))
+    val quant = Similarity.withQuantizedInt8(emb, $"v", "q")
+      .select($"vec_id", $"v", $"q")
     val queries = quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"q".as("qq"))
     val joined = quant.crossJoin(broadcast(queries))
@@ -226,9 +229,10 @@ object VectorQueries {
     val k = 8
     // spread before the per-row quantization + k-way distance fan-out —
     // the single-file embeddings table would otherwise run one task
-    val quant = graft.operators.Relational
-      .spread(Tables(s, dir).embeddings, $"vec_id")
-      .select($"vec_id", Similarity.quantizeInt8($"embedding".cast("array<double>")).as("q"))
+    val quant = Similarity.withQuantizedInt8(
+        graft.operators.Relational.spread(Tables(s, dir).embeddings, $"vec_id"),
+        $"embedding".cast("array<double>"), "q")
+      .select($"vec_id", $"q")
     val c0 = quant.filter($"vec_id" < k).select($"vec_id".as("j"), $"q".as("c"))
     val a0 = quant.crossJoin(broadcast(c0))
       .select($"vec_id", $"q", $"j", Similarity.l2SqInt($"q", $"c").as("d"))
