@@ -854,6 +854,34 @@ object EventsQueries {
     s.table(nm).orderBy($"day", $"event_type")
   }
 
+  // q267: streaming exact-dedup parity — the at-least-once ingestion
+  // contract through the REAL streaming engine: the event stream is
+  // self-unioned (every event arrives twice, the adversarial redelivery)
+  // and dropDuplicates state keeps exactly one row per event_id; the
+  // batch DuckDB oracle is plain DISTINCT. Append mode with NO watermark:
+  // state is never evicted, so the emitted set is chunk-independent —
+  // deterministic under any micro-batching. The stream is projected to
+  // (event_id, event_type) BEFORE dedup, so both the state store and the
+  // memory sink hold two skinny columns per distinct id, never the
+  // stream's payload (the watermarked/TTL variant for unbounded keys is
+  // EventStreams' dropDuplicatesWithinWatermark, spec-proven).
+  def streamingDedupParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events // side effect: sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val nm = "q267_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select($"event_id", $"event_type")
+    val q = src.union(src).dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(nm).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(nm).groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   // q241: typed-API sessionization — groupByKey/flatMapGroups over
   // Dataset[(Long, Long)] with imperative per-user session logic (the
   // "(d) per-partition imperative" tier used where it's genuinely
@@ -948,6 +976,7 @@ object EventsQueries {
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
     "q232_stream_parity" -> streamingParity _,
+    "q267_stream_dedup" -> streamingDedupParity _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
     "q217_hourly_profile" -> hourlySeasonality _,
@@ -1037,6 +1066,10 @@ object EventsQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q267_stream_dedup" ->
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
+        |    AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q224_retention_jaccard" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |    FROM events),

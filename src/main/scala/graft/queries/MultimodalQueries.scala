@@ -108,7 +108,40 @@ object MultimodalQueries {
       .orderBy($"media_id")
   }
 
+  // q266: perceptual-hash near-dup banding — aHash over the decoded
+  // payload: 64 bytes sampled at integer stride, bit i = sample·64 > Σ
+  // (the above-mean test without division), packed into four 16-bit
+  // bands, then LSH-style bucket stats per band (distinct values, hottest
+  // bucket, Σ C(n,2) candidate pairs — the number that decides whether a
+  // band join is feasible before running it, q246's audit for the image
+  // pipeline). Visually-similar media agree on most bits, so true
+  // near-dups co-bucket in ≥1 band (q68's SimHash pigeonhole, on media).
+  // Everything integer; the stub decoder stands in for the codec, the
+  // sampling/hash/band plumbing is the real contract.
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaFromDocuments(Tables(s, dir).documents)
+      .select($"media_id", decode($"payload", "utf-8").as("s"))
+      .withColumn("n", length($"s")).filter($"n" >= 64)
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), i -> " +
+        "ascii(substring(s, CAST(1 + (i * n) DIV 64 AS INT), 1)))"))
+      .withColumn("sv", expr("aggregate(v, 0L, (a, x) -> a + x)"))
+      .select($"media_id", posexplode(expr(
+        "transform(sequence(0, 3), b -> aggregate(sequence(0, 15), 0L, " +
+        "(a, i) -> a + CAST(CASE WHEN element_at(v, CAST(b * 16 + i + 1 AS INT)) " +
+        "* 64 > sv THEN 1 ELSE 0 END AS BIGINT) * shiftleft(1L, CAST(i AS INT))))"))
+        .as(Seq("band_idx", "band_val")))
+      .groupBy($"band_idx", $"band_val").agg(count(lit(1)).as("c"))
+      .groupBy($"band_idx".cast("int").as("band_idx"))
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_buckets"),
+        max($"c").as("max_bucket"),
+        sum(expr("c * (c - 1) DIV 2")).as("cand_pairs"))
+      .orderBy($"band_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_media_phash" -> mediaPhash _,
     "q85_media_resize" -> mediaResize _,
     "q82_doc_embedding_join" -> docEmbeddingJoin _,
     "q83_media_dominant_bin" -> mediaDominantBin _,
@@ -118,6 +151,25 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_media_phash" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS s, len(text) AS n
+        |  FROM documents WHERE len(text) >= 64),
+        |v AS (SELECT media_id, n, list_transform(range(0, 64), i ->
+        |    ascii(substring(s, CAST(1 + (i * n) // 64 AS INT), 1))) AS v
+        |  FROM m),
+        |b AS (SELECT media_id, v, list_sum(v) AS sv FROM v),
+        |bands AS (SELECT media_id, CAST(t.b AS INT) AS band_idx,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (CASE WHEN v[CAST(t.b * 16 + i + 1 AS INT)] * 64 > sv
+        |       THEN 1 ELSE 0 END) * (1 << i))) AS BIGINT) AS band_val
+        |  FROM b, range(0, 4) t(b)),
+        |buckets AS (SELECT band_idx, band_val, CAST(count(*) AS BIGINT)
+        |    AS c FROM bands GROUP BY 1, 2)
+        |SELECT band_idx, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(c) AS BIGINT) AS max_bucket,
+        |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+        |FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
     // documents.text is ASCII in this corpus → payload bytes = chars; the
     // stub decoder's 16-bin histogram is reproduced bin-by-bin (zero bins
     // included), L1-normalized in FLOAT on both engines, then serialized as
