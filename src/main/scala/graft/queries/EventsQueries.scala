@@ -882,6 +882,61 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q268: time-weighted average (TWAP) — each observation weighted by its
+  // HOLDING DURATION (till the user's next event), the finance/metrics
+  // aggregate a plain avg silently gets wrong on irregular samples. One
+  // user-keyed window for the lead, then one bucket aggregate.
+  // cents×micros products reach ~1e19 — past long range — so the
+  // numerator runs in DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB), both
+  // exact; the two final IEEE divisions are fixed-order identical.
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur", lead($"tus", 1).over(w) - $"tus")
+      .filter($"dur".isNotNull)
+      .groupBy(($"user_id" % 25).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum($"dur").as("held_us"),
+        sum($"cents".cast("decimal(19,0)") * $"dur".cast("decimal(19,0)"))
+          .as("_num"))
+      .select($"bucket", $"n_holds", $"held_us",
+        round(($"_num".cast("double") / $"held_us".cast("double")) / 100, 6)
+          .as("twap"))
+      .orderBy($"bucket")
+  }
+
+  // q269: sequence-pattern matching (MATCH_RECOGNIZE-lite) — per-user
+  // event sequences as initial-letter strings (total order: ts then
+  // event_id; per-user collect is bounded by user activity, q241's
+  // argument), then pattern occurrences counted by pure string algebra:
+  // occ = (len − len(replace(seq, pat, ''))) / 2 — integer-exact in any
+  // engine, no regex dialect in the compare. Patterns: view→purchase,
+  // signup→view, error→purchase adjacencies — the conversion/diagnostic
+  // transitions a funnel query can't see (q77 allows gaps; these are
+  // STRICT adjacencies).
+  def eventPatterns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqs = Tables(s, dir).events
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        substring($"event_type", 1, 1).as("ini"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"tus", $"event_id", $"ini"))),
+        e => e.getField("ini")), "").as("seq"))
+      .localCheckpoint() // three pattern passes share the reduced seqs
+    def one(p: String) = seqs
+      .select(expr(s"(length(seq) - length(replace(seq, '$p', ''))) DIV 2")
+        .as("occ"))
+      .agg(count(when($"occ" > 0, 1)).as("n_users_match"),
+        sum($"occ").as("n_occurrences"))
+      .select(lit(p).as("pattern"), $"n_users_match", $"n_occurrences")
+    Seq("ep", "sv", "vp").map(one).reduce(_.unionByName(_))
+      .orderBy($"pattern")
+  }
+
   // q241: typed-API sessionization — groupByKey/flatMapGroups over
   // Dataset[(Long, Long)] with imperative per-user session logic (the
   // "(d) per-partition imperative" tier used where it's genuinely
@@ -977,6 +1032,8 @@ object EventsQueries {
     "q242_stream_enrich" -> streamEnrich _,
     "q232_stream_parity" -> streamingParity _,
     "q267_stream_dedup" -> streamingDedupParity _,
+    "q268_twap" -> twap _,
+    "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
     "q217_hourly_profile" -> hourlySeasonality _,
@@ -1070,6 +1127,33 @@ object EventsQueries {
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
         |    AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q268_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      - tus AS dur FROM e),
+        |f AS (SELECT CAST(user_id % 25 AS INT) AS bucket, cents, dur
+        |  FROM d WHERE dur IS NOT NULL)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_holds,
+        |  CAST(sum(dur) AS BIGINT) AS held_us,
+        |  round((CAST(sum(CAST(cents AS HUGEINT) * CAST(dur AS HUGEINT))
+        |    AS DOUBLE) / CAST(sum(dur) AS DOUBLE)) / 100, 6) AS twap
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q269_event_patterns" ->
+      """WITH seqs AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |p(pattern) AS (VALUES ('ep'), ('sv'), ('vp')),
+        |occ AS (SELECT p.pattern,
+        |    (length(seq) - length(replace(seq, p.pattern, ''))) // 2 AS occ
+        |  FROM seqs, p)
+        |SELECT pattern,
+        |  CAST(count(CASE WHEN occ > 0 THEN 1 END) AS BIGINT)
+        |    AS n_users_match,
+        |  CAST(sum(occ) AS BIGINT) AS n_occurrences
+        |FROM occ GROUP BY pattern ORDER BY pattern""".stripMargin,
     "q224_retention_jaccard" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |    FROM events),

@@ -275,4 +275,45 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       s"no predicate reached a scan:\n$p")
   }
+
+  test("q251: Q2's correlated min-cost subquery decorrelates to an aggregate + join (no per-row subquery)") {
+    val p = planOf("q251_tpch_q2")
+    // RewriteCorrelatedScalarSubquery leaves no scalar-subquery node in
+    // the physical plan — the min is an aggregate joined back
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"Q2 subquery did not decorrelate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q2 degraded:\n$p")
+  }
+
+  test("q252: Q4's EXISTS plans as a left semi join") {
+    val p = planOf("q252_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan as semi join:\n$p")
+    // the lineitem side carries no static predicate (the ship-date test
+    // is the JOIN condition) — assert the orders-side window specifically
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the order-date window never reached the orders scan:\n$p")
+  }
+
+  test("q257: Q21's EXISTS + NOT EXISTS plan as semi + anti joins") {
+    val p = planOf("q257_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi+anti joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q21 degraded:\n$p")
+  }
+
+  test("q259: delta-join view — every join is hash/broadcast, date filters reach the scans") {
+    val p = planOf("q259_incr_join_view")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta joins degraded:\n$p")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"the snapshot/delta date splits never reached the scans:\n$p")
+  }
+
+  test("q258: PQ search is map-side — encode/ADC plan has no join and one top-k") {
+    val p = planOf("q258_pq_knn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PQ top-k should plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"PQ search pass should not join:\n$p")
+  }
 }
