@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -125,7 +125,7 @@ object WarehouseQueries {
       .orderBy($"q96", $"q97")
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def dec(c: Column) = c.cast("decimal(18,2)")
 
   // q259: incremental JOIN-view maintenance — the delta-join identity
   // behind every materialized join view: for V = A ⋈ B with A = A₀ ∪ ΔA,
@@ -229,7 +229,45 @@ object WarehouseQueries {
       .toDF("n_rows", "price_cents", "n_discounted", "primary_checksum")
   }
 
+  // q270: versioned-table time travel — the snapshot-isolation contract
+  // through graft.sources.ManifestTable (Iceberg-lite: immutable data
+  // files + per-version manifests, readers never list directories).
+  // Three commits: v1 = the pre-cut snapshot (overwrite), v2 = the
+  // post-cut delta (append — manifest v2 ⊇ v1's files), v3 = a logical
+  // rewrite keeping only finished orders (overwrite — the compaction /
+  // DELETE path; v1/v2 readers are untouched because their files are
+  // never mutated). The face reads ALL THREE versions back and reports
+  // per-version row counts + exact cents; the oracle recomputes each
+  // version's defining predicate from the base table — time travel ≡
+  // recompute is the hash-checked identity.
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q270_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    // deterministic versions on every run (bench measures this 3×)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1999-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(slice($"o_orderdate" < cut), out, append = false)
+    ManifestTable.commit(slice($"o_orderdate" >= cut), out, append = true)
+    ManifestTable.commit(
+      ManifestTable.read(s, out, 2).filter($"o_orderstatus" === "F"),
+      out, append = false)
+    (1 to 3).map { v =>
+      ManifestTable.read(s, out, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(v).as("version"), $"n_rows", $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_time_travel" -> timeTravel _,
     "q259_incr_join_view" -> incrementalJoinView _,
     "q260_cdc_apply" -> cdcApply _,
     "q262_observe_metrics" -> observeMetrics _,
@@ -241,6 +279,19 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q270_time_travel" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE o_orderstatus = 'F'
+        |ORDER BY version""".stripMargin,
     "q259_incr_join_view" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
