@@ -157,6 +157,37 @@ object RelationalQueries2 {
       .orderBy($"lang", $"source")
   }
 
+  // q271: DYNAMIC partition pruning — the star-join optimization static
+  // pruning (q126) can't do: the fact filter arrives THROUGH a join with
+  // a filtered dimension, so which lang= directories survive is only
+  // known at runtime. Spark injects a dynamicpruning subquery into the
+  // fact scan (reusing the dim's broadcast), so the partitioned fact
+  // reads only the dim-selected partitions — at 100 TB, the difference
+  // between scanning the selected slice and the full fact table on every
+  // dim-filtered join. The dim here is the per-lang doc-count table
+  // filtered to high-volume langs; the threshold is derivable in SQL, so
+  // the oracle recomputes the same subset via HAVING + IN. PlanGuard
+  // pins the dynamicpruningexpression in the fact scan.
+  def dynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q271_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    Tables(s, dir).documents.select($"doc_id", $"source", $"n_chars", $"lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val fact = s.read.parquet(out)
+    val tot = Tables(s, dir).documents.count() // one driver long
+    val dim = Tables(s, dir).documents.groupBy($"lang".as("d_lang"))
+      .agg(count(lit(1)).as("n_docs_lang"))
+      .filter($"n_docs_lang" * 5 > tot) // >20% share: 'en' only, both SFs
+    fact.join(broadcast(dim), fact("lang") === dim("d_lang"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"lang")
+  }
+
   // q132: winsorized statistics — outlier-robust aggregation: per
   // priority, clip order totals to the group's exact [p1, p99] and
   // average the clipped values. Spark's `percentile` (exact,
@@ -2561,6 +2592,7 @@ object RelationalQueries2 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_proration" -> proration _,
+    "q271_dynamic_pruning" -> dynamicPartitionPruning _,
     "q264_snapshot_diff" -> snapshotDiff _,
     "q265_bfs_levels" -> bfsLevels _,
     "q251_tpch_q2" -> bySql(Seq("part", "lineitem", "supplier", "nation",
@@ -2685,6 +2717,16 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q271_dynamic_pruning" ->
+      """WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM lc),
+        |keep AS (SELECT lang FROM lc WHERE n * 5 > (SELECT t FROM tot))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN keep USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q263_proration" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS lc FROM lineitem),

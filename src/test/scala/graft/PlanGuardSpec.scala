@@ -309,6 +309,13 @@ class PlanGuardSpec extends SparkSpec {
       s"the snapshot/delta date splits never reached the scans:\n$p")
   }
 
+  test("q271: dim-filtered join injects DYNAMIC partition pruning into the fact scan") {
+    val p = planOf("q271_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim should broadcast:\n$p")
+  }
+
   test("q258: PQ search is map-side — encode/ADC plan has no join and one top-k") {
     val p = planOf("q258_pq_knn")
     assert(p.contains("TakeOrderedAndProject"),
