@@ -882,6 +882,51 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q272: stream-stream join parity — the real streaming engine joining
+  // TWO unbounded sides (view events ⋈ purchase events per user within
+  // 1 hour), the capability stream-static enrichment (q242) can't
+  // express. Inner join, append mode, NO watermark: both state stores
+  // retain everything, so the emitted pair set is exactly the batch join
+  // under any micro-batching — the oracle is the plain SQL join. The
+  // production variant bounds state with watermarks + time-range
+  // conditions (spec'd in EventStreams); the parity face pins the join
+  // SEMANTICS in the gate. Both sides project to 3 skinny columns before
+  // the state store.
+  def streamStreamJoinParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events // side effect: sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val nm = "q272_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def src = {
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val views = src.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("vts"), $"event_id".as("vid"))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("pts"), $"event_id".as("pid"))
+    val q = views.join(purchases,
+        $"user_id" === $"p_user" && $"pts" >= $"vts" &&
+          $"pts" <= $"vts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"vid", $"pid",
+        (unix_micros($"pts") - unix_micros($"vts")).as("lag_us"))
+      .writeStream.format("memory").queryName(nm).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(nm).groupBy(($"user_id" % 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"vid").as("n_views"),
+        countDistinct($"pid").as("n_purchases"),
+        sum($"lag_us").as("lag_us_sum"))
+      .orderBy($"bucket")
+  }
+
   // q268: time-weighted average (TWAP) — each observation weighted by its
   // HOLDING DURATION (till the user's next event), the finance/metrics
   // aggregate a plain avg silently gets wrong on irregular samples. One
@@ -1033,6 +1078,7 @@ object EventsQueries {
     "q232_stream_parity" -> streamingParity _,
     "q267_stream_dedup" -> streamingDedupParity _,
     "q268_twap" -> twap _,
+    "q272_stream_stream_join" -> streamStreamJoinParity _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1127,6 +1173,20 @@ object EventsQueries {
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
         |    AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q272_stream_stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id AS vid
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT v.user_id, v.vid, p.pid, p.t - v.t AS lag_us
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.t >= v.t AND p.t <= v.t + 3600000000)
+        |SELECT CAST(user_id % 10 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT vid) AS BIGINT) AS n_views,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(sum(lag_us) AS BIGINT) AS lag_us_sum
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q268_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
