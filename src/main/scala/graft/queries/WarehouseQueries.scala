@@ -266,7 +266,67 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  // q273: compaction + snapshot expiry — the storage-maintenance half of
+  // the versioned table (q270 proved reads; this proves the REWRITE and
+  // RECLAIM paths a 100 TB lake table lives or dies by). Three
+  // 8-file commits build a 24-file append chain; `compact` rewrites the
+  // snapshot into 2 files as v4 (readers of v1-v3 untouched — their files
+  // are immutable). Expiry is then asserted to respect append-chain
+  // LIVENESS: `expire(keep = 2)` drops the v1/v2 manifests but deletes
+  // ZERO data files, because surviving v3 still references every one of
+  // them (liveness is a property of the surviving manifests' file-set
+  // union, not of which commit wrote a file); `expire(keep = 1)` leaves
+  // only the compacted v4, so all 24 pre-compaction files become orphans
+  // and are reclaimed. The hash-checked identity: full chain ≡ compacted
+  // ≡ post-expiry content, with manifest file counts pinned per stage.
+  def compactExpire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q273_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val cut1 = lit("1997-01-01").cast("timestamp")
+    val cut2 = lit("1999-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .repartition(8)
+    ManifestTable.commit(slice($"o_orderdate" < cut1), out, append = false)
+    ManifestTable.commit(
+      slice($"o_orderdate" >= cut1 && $"o_orderdate" < cut2), out, append = true)
+    ManifestTable.commit(slice($"o_orderdate" >= cut2), out, append = true)
+    val v4 = ManifestTable.compact(s, out, numFiles = 2)
+    require(v4 == 4, s"q273: expected compaction to commit v4, got v$v4")
+    def snap(stage: String, version: Int) =
+      ManifestTable.read(s, out, version)
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"n_rows", $"total_cents",
+          lit(ManifestTable.fileCount(out, version)).as("n_files"))
+    // materialize BEFORE expiry mutates the manifest set
+    val full = snap("1_append_chain", 3).localCheckpoint()
+    val compacted = snap("2_compacted", 4).localCheckpoint()
+    val (d2, o2) = ManifestTable.expire(out, keep = 2)
+    require(d2 == 2 && o2 == 0,
+      s"q273: keep=2 must drop v1/v2 manifests but delete NO files " +
+        s"(v3 still references them) — got ($d2, $o2)")
+    val (d1, o1) = ManifestTable.expire(out, keep = 1)
+    require(d1 == 1 && o1 == 24,
+      s"q273: keep=1 leaves only compacted v4; all 24 chain files must be " +
+        s"reclaimed — got ($d1, $o1)")
+    val expiredUnreadable =
+      try { ManifestTable.read(s, out, 3); false }
+      catch { case _: Exception => true }
+    require(expiredUnreadable, "q273: time travel to an expired version must fail")
+    full.unionByName(compacted)
+      .unionByName(snap("3_after_expiry", -1))
+      .orderBy($"stage")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_compact_expire" -> compactExpire _,
     "q270_time_travel" -> timeTravel _,
     "q259_incr_join_view" -> incrementalJoinView _,
     "q260_cdc_apply" -> cdcApply _,
@@ -279,6 +339,16 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q273_compact_expire" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o)
+        |SELECT '1_append_chain' AS stage, n_rows, total_cents,
+        |  CAST(24 AS INT) AS n_files FROM a
+        |UNION ALL SELECT '2_compacted', n_rows, total_cents, 2 FROM a
+        |UNION ALL SELECT '3_after_expiry', n_rows, total_cents, 2 FROM a
+        |ORDER BY stage""".stripMargin,
     "q270_time_travel" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

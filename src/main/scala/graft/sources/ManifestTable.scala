@@ -66,4 +66,43 @@ object ManifestTable {
     require(v > 0, s"ManifestTable.read: no committed version under $dir")
     spark.read.parquet(manifestFiles(dir, v): _*)
   }
+
+  /** Number of data files in a snapshot — O(1) from the manifest, never a
+    * directory listing. */
+  def fileCount(dir: String, version: Int = -1): Int = {
+    val v = if (version > 0) version else currentVersion(dir)
+    manifestFiles(dir, v).size
+  }
+
+  /** Small-file compaction: rewrite the CURRENT snapshot into `numFiles`
+    * files and publish it as a new overwrite commit. Readers of older
+    * versions are untouched (their files are immutable); the new manifest
+    * replaces a long accumulated append chain with `numFiles` entries, so
+    * subsequent reads plan O(numFiles) splits instead of O(appends). At
+    * 100 TB the equivalent operation binpacks per partition; the commit
+    * protocol — rewrite, publish, never mutate — is identical. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
+    commit(read(spark, dir).coalesce(numFiles), dir, append = false)
+
+  /** Snapshot expiry: drop every manifest older than the newest `keep`
+    * versions, then delete data files no SURVIVING manifest references
+    * (append-chain files shared with a live version are kept — liveness is
+    * a property of the file set union, not of which commit wrote the
+    * file). Returns (versions removed, orphan files deleted). Time travel
+    * to an expired version fails loudly on the missing manifest. */
+  def expire(dir: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, "expire: must keep at least the current version")
+    val cutoff = currentVersion(dir) - keep + 1
+    val md = manifests(dir)
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
+        s.stripPrefix("v").stripSuffix(".list").toInt }.toSeq
+    val (dead, live) = versions.partition(_ < cutoff)
+    val liveFiles = live.flatMap(manifestFiles(dir, _)).toSet
+    val orphans = dead.flatMap(manifestFiles(dir, _)).toSet -- liveFiles
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    dead.foreach(v => Files.delete(md.resolve(s"v$v.list")))
+    (dead.size, orphans.size)
+  }
 }

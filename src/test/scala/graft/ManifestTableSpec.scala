@@ -33,6 +33,32 @@ class ManifestTableSpec extends SparkSpec {
       == (1L to 15L).sum)
   }
 
+  test("compact rewrites the snapshot without changing content; expiry respects append-chain liveness") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k").repartition(4), dir, append = false)
+    ManifestTable.commit((11L to 20L).toDF("k").repartition(4), dir, append = true)
+    ManifestTable.commit((21L to 30L).toDF("k").repartition(4), dir, append = true)
+    assert(ManifestTable.fileCount(dir, 3) == 12)
+
+    val v4 = ManifestTable.compact(spark, dir, numFiles = 2)
+    assert(v4 == 4 && ManifestTable.fileCount(dir, 4) == 2)
+    assert(ManifestTable.read(spark, dir, 4).agg(sum($"k")).head.getLong(0)
+      == (1L to 30L).sum)
+    // pre-compaction snapshot still readable (immutable files)
+    assert(ManifestTable.read(spark, dir, 3).count() == 30)
+
+    // keep=2: v1/v2 manifests drop, but v3 still references every chain
+    // file — zero orphans may be deleted
+    assert(ManifestTable.expire(dir, keep = 2) == (2, 0))
+    assert(ManifestTable.read(spark, dir, 3).count() == 30)
+    // keep=1: only compacted v4 survives; all 12 chain files reclaimed
+    assert(ManifestTable.expire(dir, keep = 1) == (1, 12))
+    assert(ManifestTable.read(spark, dir).agg(sum($"k")).head.getLong(0)
+      == (1L to 30L).sum)
+    intercept[Exception](ManifestTable.read(spark, dir, 3).count())
+  }
+
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
     import spark.implicits._
     val dir = freshDir()
