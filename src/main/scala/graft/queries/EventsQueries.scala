@@ -927,6 +927,148 @@ object EventsQueries {
       .orderBy($"bucket")
   }
 
+  // q274: OHLC bars — per-hour candles over purchase events: open/close
+  // picked by event time via min_by/max_by on the µs timestamp (globally
+  // unique in this feed; a production stream appends a sequence-number
+  // tiebreak), high/low/volume in exact cents. ONE hash aggregate with
+  // map-side partials; output is |hours|-bounded however large the log.
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .filter($"event_type" === "purchase")
+      .select(date_trunc("hour", $"ts").as("bar"), $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"bar")
+      .agg(min_by($"cents", $"ts").as("open"),
+        max_by($"cents", $"ts").as("close"),
+        max($"cents").as("high"), min($"cents").as("low"),
+        count(lit(1)).as("n_trades"), sum($"cents").as("vol_cents"))
+      .orderBy($"bar")
+  }
+
+  // q275: salted two-stage aggregation — the skew-mitigation rewrite for a
+  // hot GROUPING key: stage 1 aggregates (key, salt) partials so one hot
+  // key fans out over 16 tasks; stage 2 merges partials by key. Sound
+  // because every carried statistic is algebraic (count/sum/min/max merge
+  // associatively) — the face hash-proves the rewrite ≡ the plain GROUP
+  // BY. AQE skew handling covers JOINS only; a skewed aggregation key at
+  // 100 TB needs exactly this manual salt.
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type", pmod($"event_id", lit(16)).as("_salt"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"_salt")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        min($"cents").as("mn"), max($"cents").as("mx"))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"), sum($"s").as("total_cents"),
+        min($"mn").as("min_cents"), max($"mx").as("max_cents"))
+      .select($"event_type", $"n_events", $"total_cents", $"min_cents",
+        $"max_cents",
+        round($"total_cents".cast("double") / $"n_events", 6).as("avg_cents"))
+      .orderBy($"event_type")
+  }
+
+  // q276: linear-interpolation resampling — q95 forward-fills; this
+  // interpolates each hourly grid point between its bracketing
+  // observations, the other half of time-series regularization. Real and
+  // grid points union into ONE ordered window pass per user: the
+  // last-real-at-or-before / first-real-at-or-after observations ride
+  // (t, v) structs. The interpolation arithmetic takes exact integer
+  // inputs (cents, µs) through single correctly-rounded IEEE ops in
+  // identical order — bit-equal across engines — and the per-user sums are
+  // fixed-scale longs, so the aggregate is exact.
+  def interpolateGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600000000L
+    val pts = Tables(s, dir).events
+      .filter($"user_id" % 10 === 0 && $"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("tus"),
+        round($"value" * 100).cast("long").as("cents"))
+    val grid = pts.groupBy($"user_id")
+      .agg(min($"tus").as("lo"), max($"tus").as("hi"))
+      .select($"user_id",
+        ($"lo" - pmod($"lo", lit(hourUs)) + hourUs).as("start"), $"hi")
+      .filter($"start" <= $"hi")
+      .select($"user_id", explode(sequence($"start", $"hi", lit(hourUs))).as("tus"))
+    val u = pts.select($"user_id", $"tus", $"cents", lit(1).as("is_real"))
+      .unionByName(grid.select($"user_id", $"tus",
+        lit(null).cast("long").as("cents"), lit(0).as("is_real")))
+    val ord = Window.partitionBy($"user_id").orderBy($"tus", $"is_real")
+    val real = when($"is_real" === 1, struct($"tus".as("t"), $"cents".as("v")))
+    val filled = u
+      .withColumn("p", last(real, ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nx", first(real, ignoreNulls = true)
+        .over(ord.rowsBetween(0, Window.unboundedFollowing)))
+      .filter($"is_real" === 0 && $"p".isNotNull && $"nx".isNotNull)
+    val interp = $"p.v".cast("double") +
+      ($"nx.v" - $"p.v").cast("double") * ($"tus" - $"p.t").cast("double") /
+        ($"nx.t" - $"p.t").cast("double")
+    filled.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_grid"),
+        sum(round(interp * 10000).cast("long")).as("interp_sum_e4"))
+      .orderBy($"user_id")
+  }
+
+  // q277: session path mining — the first three event types of each
+  // 30-minute-gap session concatenated into a path signature
+  // ("view>click>purchase"), counted across all sessions. Sessionization
+  // is the standard gaps-and-islands running sum (one ordered window per
+  // user); first-3 extraction is three conditional aggregates keyed on
+  // row_number ≤ 3 — no collect_list ordering hazard anywhere. Top 20 by
+  // (count desc, path) — a total order, so the cut is deterministic.
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gapUs = 1800000000L
+    val e = Tables(s, dir).events
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("new_sess",
+        when(lag($"tus", 1).over(wu).isNull ||
+          $"tus" - lag($"tus", 1).over(wu) > gapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum($"new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy($"user_id", $"sess").orderBy($"tus", $"event_id")
+    e.withColumn("rn", row_number().over(ws))
+      .filter($"rn" <= 3)
+      .groupBy($"user_id", $"sess")
+      .agg(concat_ws(">",
+        max(when($"rn" === 1, $"event_type")),
+        max(when($"rn" === 2, $"event_type")),
+        max(when($"rn" === 3, $"event_type"))).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(20)
+  }
+
+  // q279: exact Pearson correlation (value cents × hour-of-day, per event
+  // type) — the five sufficient statistics are exact integer sums carried
+  // in DECIMAL(38,0) (≡ DuckDB HUGEINT), so the numerator and both
+  // variance terms are EXACT integers; only the final sqrt/divide touch
+  // floating point (correctly-rounded IEEE ops on identical inputs),
+  // rounded to 6. One scan + a 6-number partial per group is the 100 TB
+  // spelling of correlation over any column pair.
+  def pearsonCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = "decimal(38,0)"
+    Tables(s, dir).events
+      .select($"event_type", round($"value" * 100).cast("long").as("x"),
+        hour($"ts").cast("long").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"x").cast(d38).as("sx"), sum($"y").cast(d38).as("sy"),
+        sum(($"x" * $"y").cast(d38)).as("sxy"),
+        sum(($"x" * $"x").cast(d38)).as("sx2"),
+        sum(($"y" * $"y").cast(d38)).as("sy2"))
+      .select($"event_type", $"n".cast("long").as("n_events"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double"))), 6).as("corr"))
+      .orderBy($"event_type")
+  }
+
   // q268: time-weighted average (TWAP) — each observation weighted by its
   // HOLDING DURATION (till the user's next event), the finance/metrics
   // aggregate a plain avg silently gets wrong on irregular samples. One
@@ -1079,6 +1221,11 @@ object EventsQueries {
     "q267_stream_dedup" -> streamingDedupParity _,
     "q268_twap" -> twap _,
     "q272_stream_stream_join" -> streamStreamJoinParity _,
+    "q274_ohlc_bars" -> ohlcBars _,
+    "q275_salted_agg" -> saltedAgg _,
+    "q276_interpolate" -> interpolateGrid _,
+    "q277_session_paths" -> sessionPaths _,
+    "q279_pearson_corr" -> pearsonCorr _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1173,6 +1320,87 @@ object EventsQueries {
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
         |    AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q274_ohlc_bars" ->
+      """WITH p AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT date_trunc('hour', ts) AS bar,
+        |  arg_min(cents, ts) AS open, arg_max(cents, ts) AS close,
+        |  max(cents) AS high, min(cents) AS low,
+        |  CAST(count(*) AS BIGINT) AS n_trades,
+        |  CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM p GROUP BY 1 ORDER BY bar""".stripMargin,
+    "q275_salted_agg" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT)
+        |    AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q276_interpolate" ->
+      """WITH pts AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 10 = 0 AND event_type = 'purchase'),
+        |g0 AS (SELECT user_id, min(tus) AS lo, max(tus) AS hi FROM pts
+        |  GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |    lo - (lo % 3600000000) + 3600000000, hi, 3600000000)) AS tus
+        |  FROM g0 WHERE lo - (lo % 3600000000) + 3600000000 <= hi),
+        |u AS (SELECT user_id, tus, cents, 1 AS is_real FROM pts
+        |  UNION ALL SELECT user_id, tus, NULL, 0 FROM grid),
+        |w AS (SELECT user_id, tus, is_real,
+        |  last_value(CASE WHEN is_real = 1
+        |      THEN struct_pack(t := tus, v := cents) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tus, is_real
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  first_value(CASE WHEN is_real = 1
+        |      THEN struct_pack(t := tus, v := cents) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tus, is_real
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM u),
+        |i AS (SELECT user_id, CAST(p.v AS DOUBLE)
+        |    + CAST(nx.v - p.v AS DOUBLE) * CAST(tus - p.t AS DOUBLE)
+        |      / CAST(nx.t - p.t AS DOUBLE) AS interp
+        |  FROM w WHERE is_real = 0 AND p IS NOT NULL AND nx IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_grid,
+        |  CAST(sum(CAST(round(interp * 10000) AS BIGINT)) AS BIGINT)
+        |    AS interp_sum_e4
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q277_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |s1 AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s1),
+        |s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY tus, event_id) AS rn FROM s2),
+        |p AS (SELECT user_id, sess, concat_ws('>',
+        |    max(CASE WHEN rn = 1 THEN event_type END),
+        |    max(CASE WHEN rn = 2 THEN event_type END),
+        |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM s3 WHERE rn <= 3 GROUP BY user_id, sess)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "q279_pearson_corr" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sx2,
+        |    CAST(sum(y * y) AS HUGEINT) AS sy2
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr
+        |FROM a ORDER BY event_type""".stripMargin,
     "q272_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id AS vid
         |  FROM events WHERE event_type = 'view'),

@@ -2590,7 +2590,36 @@ object RelationalQueries2 {
       .orderBy($"lvl")
   }
 
+  // q278: business-day latency — weekdays between order date and each
+  // line's ship date by pure epoch-day integer arithmetic (no calendar
+  // table, no per-day explode): W(d) = 5·⌊d/7⌋ + min(d mod 7, 5) counts
+  // weekdays since the Monday anchor 1970-01-05, so busdays =
+  // W(ship) − W(order). O(1) per row at any scale; floor division is
+  // spelled exactly ((d − d mod 7) / 7 on non-negatives) so both engines
+  // compute identical integers. A 1/199 orderkey slice bounds the face.
+  def businessDays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    def wd(d: Column): Column =
+      lit(5) * (d - pmod(d, lit(7))).cast("long") / 7 + least(pmod(d, lit(7)), lit(5))
+    val anchor = lit("1970-01-05").cast("date")
+    val li = t.lineitem.filter($"l_orderkey" % 199 === 0)
+      .select($"l_orderkey",
+        datediff($"l_shipdate".cast("date"), anchor).as("ms"))
+    val o = t.orders.filter($"o_orderkey" % 199 === 0)
+      .select($"o_orderkey", $"o_orderpriority",
+        datediff($"o_orderdate".cast("date"), anchor).as("mo"))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority", (wd($"ms") - wd($"mo")).cast("long").as("bd"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), min($"bd").as("min_bd"),
+        max($"bd").as("max_bd"), sum($"bd").as("sum_bd"),
+        round(sum($"bd").cast("double") / count(lit(1)), 6).as("avg_bd"))
+      .orderBy($"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_business_days" -> businessDays _,
     "q263_proration" -> proration _,
     "q271_dynamic_pruning" -> dynamicPartitionPruning _,
     "q264_snapshot_diff" -> snapshotDiff _,
@@ -2717,6 +2746,23 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q278_business_days" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(l_shipdate AS DATE) - DATE '1970-01-05' AS ms
+        |  FROM lineitem WHERE l_orderkey % 199 = 0),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-05' AS mo
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |j AS (SELECT o_orderpriority,
+        |    CAST(5 * ((ms - ms % 7) // 7) + least(ms % 7, 5)
+        |       - (5 * ((mo - mo % 7) // 7) + least(mo % 7, 5)) AS BIGINT)
+        |      AS bd
+        |  FROM li JOIN o ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  min(bd) AS min_bd, max(bd) AS max_bd,
+        |  CAST(sum(bd) AS BIGINT) AS sum_bd,
+        |  round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_bd
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q271_dynamic_pruning" ->
       """WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
         |  FROM documents GROUP BY lang),

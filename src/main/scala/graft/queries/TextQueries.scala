@@ -560,7 +560,25 @@ object TextQueries {
       .orderBy($"k")
   }
 
+  // q280: regular-expression extraction battery — per-document counts,
+  // first match, and an order-preserving md5 fingerprint of ALL matches:
+  // the screens a text-cleaning pipeline runs on every document. Patterns
+  // stay inside the POSIX-class subset where Java regex (Spark) and RE2
+  // (DuckDB) agree. Pure per-row map: composes with scan pruning, no
+  // shuffle, codegen end to end.
+  def regexBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select($"doc_id",
+      expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("n_numbers"),
+      expr("size(regexp_extract_all(text, '[A-Z][a-z]+', 0))").cast("long").as("n_capwords"),
+      expr("regexp_extract(text, '[0-9]+', 0)").as("first_number"),
+      md5(expr("array_join(regexp_extract_all(text, '[A-Z][a-z]+', 0), ',')")
+        .cast("binary")).as("caps_md5"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_regex_battery" -> regexBattery _,
     "q247_vocab_coverage" -> vocabCoverage _,
     "q228_zipf_slope" -> zipfSlope _,
     "q229_length_survival" -> lengthSurvival _,
@@ -728,6 +746,17 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q280_regex_battery" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |    AS n_numbers,
+        |  CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+        |    AS n_capwords,
+        |  regexp_extract(text, '[0-9]+') AS first_number,
+        |  md5(coalesce(
+        |    array_to_string(regexp_extract_all(text, '[A-Z][a-z]+'), ','), ''))
+        |    AS caps_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q247_vocab_coverage" ->
       """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |    x -> len(x) > 0)) AS tok FROM documents),

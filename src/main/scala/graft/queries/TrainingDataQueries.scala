@@ -331,7 +331,30 @@ object TrainingDataQueries {
       .orderBy($"source")
   }
 
+  // q281: group-aware K-fold assignment — the leakage-free split for
+  // training data: ALL rows of a user land in one fold because the fold is
+  // a pure md5 hash of the GROUP key, never of the row (GroupKFold
+  // semantics). No join, no shuffle beyond the audit aggregates; future
+  // rows of a known user route identically forever (q63's determinism
+  // argument). The face pins fold balance (user/event counts per fold) and
+  // the disjointness audit: Σ per-fold distinct users ≡ global distinct
+  // users iff no user straddles folds.
+  def groupFolds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events.select($"user_id",
+      (conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 5).cast("int").as("fold"))
+    val per = ev.groupBy($"fold")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val tot = ev.agg(countDistinct($"user_id").as("_tot"))
+    val audit = per.agg(sum($"n_users").as("_sum"))
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(audit))
+      .select($"fold", $"n_users", $"n_events", ($"_sum" === $"_tot").as("disjoint"))
+      .orderBy($"fold")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_group_folds" -> groupFolds _,
     "q261_pps_sample" -> ppsSample _,
     "q248_nested_sampling" -> nestedSampling _,
     "q199_pipeline_v2" -> pipelineV2 _,
@@ -367,6 +390,16 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q281_group_folds" ->
+      s"""WITH f AS (SELECT user_id,
+         |    CAST(${bucketSql("user_id", 5)} AS INT) AS fold FROM events),
+         |per AS (SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT)
+         |    AS n_users, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT user_id) AS t FROM f),
+         |s AS (SELECT sum(n_users) AS su FROM per)
+         |SELECT fold, n_users, n_events, (s.su = tot.t) AS disjoint
+         |FROM per, tot, s ORDER BY fold""".stripMargin,
     "q261_pps_sample" ->
       """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
         |  FROM documents),
