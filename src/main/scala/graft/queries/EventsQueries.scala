@@ -1069,6 +1069,32 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q286: exponentially-decayed engagement score — recency-weighted spend
+  // with decay ½ per step over each user's 20 most recent purchases.
+  // EWMA is usually a sequential recurrence (unpartitionable as written);
+  // restated as Σ vᵢ·2^(20−rankᵢ) it becomes ONE window rank + ONE hash
+  // aggregate — and because the weights are powers of two on integer
+  // cents, the scaled score is an EXACT integer (no float accumulation
+  // anywhere; 2^19·max_cents ≈ 2.6e13 rides comfortably in a long). The
+  // 20-term truncation is what bounds state at 100 TB — the tail beyond
+  // 20 contributes < 2^-20 of the score, below the integer's own
+  // resolution. Engines agree on 2^k exactly (power() is exact on
+  // power-of-two results ≤ 2^52).
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables(s, dir).events
+      .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 20)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_used"),
+        sum($"cents" * pow(lit(2), lit(20) - $"rn").cast("long")).as("score_x2e19"))
+      .orderBy($"user_id")
+  }
+
   // q268: time-weighted average (TWAP) — each observation weighted by its
   // HOLDING DURATION (till the user's next event), the finance/metrics
   // aggregate a plain avg silently gets wrong on irregular samples. One
@@ -1226,6 +1252,7 @@ object EventsQueries {
     "q276_interpolate" -> interpolateGrid _,
     "q277_session_paths" -> sessionPaths _,
     "q279_pearson_corr" -> pearsonCorr _,
+    "q286_decay_score" -> decayScore _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1401,6 +1428,16 @@ object EventsQueries {
         |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr
         |FROM a ORDER BY event_type""".stripMargin,
+    "q286_decay_score" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+        |  CAST(sum(cents * CAST(power(2, 20 - rn) AS BIGINT)) AS BIGINT)
+        |    AS score_x2e19
+        |FROM p WHERE rn <= 20 GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q272_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id AS vid
         |  FROM events WHERE event_type = 'view'),

@@ -157,6 +157,106 @@ object RelationalQueries2 {
       .orderBy($"lang", $"source")
   }
 
+  // q282: runtime Bloom-filter join pruning — q271's complement for
+  // NON-partition join keys: a selective dim filter can't prune fact
+  // partitions when the key doesn't define the layout, so Spark's
+  // InjectRuntimeFilter builds a Bloom filter over the filtered dim's
+  // keys and applies `might_contain(xxhash64(l_orderkey))` at the fact
+  // scan — rows from pruned orders die BEFORE the shuffle, which at
+  // 100 TB is the difference between shuffling the whole fact table and
+  // shuffling the selected ~20%. Injection requires a probable shuffle
+  // join (broadcast disabled) and fires only above size thresholds meant
+  // for real clusters, so the face pins them down in a CHILD session
+  // (`newSession` shares the SparkContext but isolates conf — the
+  // engine's other plans keep their broadcast strategies). Results are
+  // Bloom-false-positive-proof by construction: the filter only prunes,
+  // the join still decides. PlanGuard pins might_contain in the plan.
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import s2.implicits._
+    val t = Tables(s2, dir)
+    val dim = t.orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    t.lineitem
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_discount")
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q284: distributed least squares — two-predictor OLS (value-cents on
+  // hour-of-day and day-of-month, per event type) solved by NORMAL
+  // EQUATIONS over sufficient statistics: ONE scan produces the 9 sums
+  // (all exact BIGINTs — the largest, Σx2·y ≲ 1.6e12, is far inside both
+  // long and double-exact range), and Cramer's rule inverts the 3×3
+  // system in the reduce. No gradient iterations, no driver matrix — the
+  // one-pass mergeable-partials shape is THE scalable regression at
+  // 100 TB, and grows to k predictors as k² sums. Runs as the SAME SQL
+  // text on both engines, so the double-precision determinant arithmetic
+  // evaluates the identical IEEE expression tree → bit-equal before the
+  // round(6).
+  private val olsSql =
+    """WITH e AS (SELECT event_type,
+      |    CAST(hour(ts) AS BIGINT) AS x1, CAST(day(ts) AS BIGINT) AS x2,
+      |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+      |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+      |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+      |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+      |    CAST(sum(x2 * y) AS DOUBLE) AS s2y
+      |  FROM e GROUP BY event_type),
+      |d AS (SELECT *,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det
+      |  FROM s)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |    + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+      |  round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |    + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+      |  round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |    + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+      |FROM d ORDER BY event_type""".stripMargin
+
+  // q287: join-strategy hint battery — the SAME logical join forced
+  // through all three shuffle-capable physical strategies (broadcast
+  // hash, sort-merge, shuffled hash) via hints, each plan REQUIRED to
+  // honor its hint, and the three results union-distinct'd: any
+  // strategy-dependent row would surface as extra rows against the
+  // oracle. Hints are the per-join override lever when the optimizer's
+  // stats are wrong at 100 TB (a "small" side that isn't, a build side
+  // that must be the partitioned one); this face pins that the lever
+  // actually switches the operator AND that results are
+  // strategy-invariant.
+  def joinHints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val li = t.lineitem.select($"l_orderkey", $"l_quantity")
+    val o = t.orders.select($"o_orderkey", $"o_orderpriority")
+    def agg(hint: String) = li
+      .join(o.hint(hint), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("total_qty"))
+    val plans = Seq("broadcast" -> "BroadcastHashJoin", "merge" -> "SortMergeJoin",
+      "shuffle_hash" -> "ShuffledHashJoin").map { case (h, op) =>
+      val df = agg(h)
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains(op), s"q287: hint $h did not plan $op:\n$p")
+      df
+    }
+    plans.reduce(_.unionByName(_)).distinct().orderBy($"o_orderpriority")
+  }
+
   // q271: DYNAMIC partition pruning — the star-join optimization static
   // pruning (q126) can't do: the fact filter arrives THROUGH a join with
   // a filtered dimension, so which lang= directories survive is only
@@ -377,7 +477,10 @@ object RelationalQueries2 {
     * subset both parse) — demonstrating SQL-surface parity. */
   private def bySql(tables: Seq[String], sql: String)(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    tables.foreach(n => t.table(n).createOrReplaceTempView(n))
+    // "events" must register through the accessor (ns→µs ts conversion),
+    // not the raw parquet, or every SQL timestamp function sees a BIGINT
+    tables.foreach(n => (if (n == "events") t.events else t.table(n))
+      .createOrReplaceTempView(n))
     s.sql(sql)
   }
 
@@ -2620,6 +2723,9 @@ object RelationalQueries2 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_business_days" -> businessDays _,
+    "q282_bloom_join_prune" -> runtimeBloomJoin _,
+    "q284_ols_regression" -> bySql(Seq("events"), olsSql) _,
+    "q287_join_hints" -> joinHints _,
     "q263_proration" -> proration _,
     "q271_dynamic_pruning" -> dynamicPartitionPruning _,
     "q264_snapshot_diff" -> snapshotDiff _,
@@ -2746,6 +2852,20 @@ object RelationalQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q284_ols_regression" -> olsSql,
+    "q287_join_hints" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q282_bloom_join_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q278_business_days" ->
       """WITH li AS (SELECT l_orderkey,
         |    CAST(l_shipdate AS DATE) - DATE '1970-01-05' AS ms

@@ -577,7 +577,43 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q285: content-defined chunking — chunk boundaries picked by the
+  // CONTENT (hash of the 8-gram at each position ≡ 0 mod 64), not by
+  // fixed offsets, so an insertion early in a document shifts only the
+  // chunk it lands in and every later chunk keeps its identity — the
+  // property that makes chunk-level dedup survive document edits (FastCDC
+  // / restic's contract; q92's fixed-size chunker loses all alignment
+  // after one insert). Pure per-row array work: boundary detection,
+  // cut-point assembly and length stats all happen inside higher-order
+  // functions — no explode, no shuffle, composes with scan pruning. A
+  // production chunker swaps the md5 probe for a gear/rolling hash (q55's
+  // RollingHash expression); md5 here keeps the face engine-agreeing
+  // bit-for-bit. Fingerprint = md5 of the comma-joined chunk lengths
+  // (order-preserving).
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = length($"text")
+    val cuts = expr(
+      """filter(transform(sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> if(i <= length(text) - 7
+        |          and cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 4), 16, 10) as bigint) % 64 = 0,
+        |          cast(i as bigint), cast(null as bigint))),
+        |  x -> x is not null)""".stripMargin)
+    Tables(s, dir).documents
+      .select($"doc_id", n.as("n_chars"), cuts.as("cuts"))
+      .select($"doc_id", $"n_chars",
+        expr("concat(array(cast(0 as bigint)), cuts, array(cast(n_chars as bigint)))").as("bounds"))
+      .select($"doc_id",
+        expr("size(bounds) - 1").cast("long").as("n_chunks"),
+        expr("array_min(zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> b - a))").as("min_len"),
+        expr("array_max(zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> b - a))").as("max_len"),
+        md5(expr("array_join(transform(zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> b - a), x -> cast(x as string)), ',')")
+          .cast("binary")).as("lens_md5"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_cdc_chunks" -> cdcChunks _,
     "q280_regex_battery" -> regexBattery _,
     "q247_vocab_coverage" -> vocabCoverage _,
     "q228_zipf_slope" -> zipfSlope _,
@@ -746,6 +782,25 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q285_cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, len(text) AS n_chars,
+        |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> CASE WHEN ('0x' || substr(md5(substr(text, i, 8)), 1, 4))::BIGINT % 64 = 0
+        |         THEN CAST(i AS BIGINT) END),
+        |    x -> x IS NOT NULL) AS cuts
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |      [CAST(n_chars AS BIGINT)]) AS bounds
+        |  FROM c),
+        |l AS (SELECT doc_id,
+        |    list_transform(range(1, len(bounds)),
+        |      i -> bounds[i + 1] - bounds[i]) AS lens
+        |  FROM b)
+        |SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_chunks,
+        |  list_min(lens) AS min_len, list_max(lens) AS max_len,
+        |  md5(array_to_string(lens, ',')) AS lens_md5
+        |FROM l ORDER BY doc_id""".stripMargin,
     "q280_regex_battery" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)

@@ -325,7 +325,55 @@ object WarehouseQueries {
       .orderBy($"stage")
   }
 
+  // q283: equality-delete merge-on-read — deleting 0.1% of keys from a
+  // 100 TB table by REWRITING it costs 100 TB of IO; the manifest table
+  // instead commits a delete-key file (v2) that readers anti-join at scan
+  // time. The face proves the three contracts that make that correct:
+  // (1) the delete is sequence-scoped — '3-MEDIUM' rows appended AFTER
+  // the delete (v3) survive, only pre-delete data is erased; (2) time
+  // travel to v1 still sees the deleted rows (immutability); (3) compact
+  // (v4) materializes the merge and PURGES the delete file physically —
+  // read(v4) ≡ read(v3) with a delete-free manifest. Stage rows pin all
+  // three states; the requires pin file-level bookkeeping.
+  def deleteVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q283_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val cut = lit("1998-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(slice($"o_orderdate" < cut), out, append = false)
+    val delKeys = ManifestTable.read(s, out, 1)
+      .filter($"o_orderpriority" === "3-MEDIUM").select($"o_orderkey")
+    val v2 = ManifestTable.delete(delKeys, out, "o_orderkey")
+    require(v2 == 2, s"q283: delete must commit v2, got v$v2")
+    ManifestTable.commit(slice($"o_orderdate" >= cut), out, append = true)
+    val v4 = ManifestTable.compact(s, out, numFiles = 2)
+    require(v4 == 4, s"q283: compaction must commit v4, got v$v4")
+    def snap(stage: String, version: Int) =
+      ManifestTable.read(s, out, version)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows",
+          $"total_cents")
+    // v1 time travel still sees deleted rows; v3 is merge-on-read; v4 is
+    // the materialized merge — v3 ≡ v4 content with the deletes purged.
+    require(ManifestTable.fileCount(out, 4) == 2,
+      s"q283: compacted manifest must hold exactly the 2 rewritten files")
+    snap("1_before_delete", 1)
+      .unionByName(snap("2_merge_on_read", 3))
+      .unionByName(snap("3_compacted", 4))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_delete_vectors" -> deleteVectors _,
     "q273_compact_expire" -> compactExpire _,
     "q270_time_travel" -> timeTravel _,
     "q259_incr_join_view" -> incrementalJoinView _,
@@ -339,6 +387,24 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q283_delete_vectors" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT * FROM base
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |merged AS (SELECT * FROM v1 WHERE o_orderpriority <> '3-MEDIUM'
+        |  UNION ALL SELECT * FROM base
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |m AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM merged GROUP BY 1)
+        |SELECT '1_before_delete' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM v1 GROUP BY 2
+        |UNION ALL SELECT '2_merge_on_read', * FROM m
+        |UNION ALL SELECT '3_compacted', * FROM m
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q273_compact_expire" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),

@@ -44,6 +44,23 @@ object ManifestTable {
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     Files.readAllLines(manifests(dir).resolve(s"v$v.list")).asScala.toSeq
 
+  /** Manifest line → (commit sequence, delete key column if a delete file,
+    * data path). Data lines are a bare path (round-5 manifests stay
+    * readable); delete lines are `D|<keyCol>|<path>`. The sequence is
+    * parsed from the `commit-N` path segment every commit writes under. */
+  private final case class Entry(seq: Int, deleteKey: Option[String], path: String)
+  private val SeqRe = raw"commit-(\d+)".r
+  private def parseEntry(line: String): Entry = {
+    val (del, path) =
+      if (line.startsWith("D|")) {
+        val parts = line.split('|')
+        (Some(parts(1)), parts(2))
+      } else (None, line)
+    val seq = SeqRe.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(0)
+    Entry(seq, del, path)
+  }
+  private def pathOf(line: String): String = parseEntry(line).path
+
   /** Commit `df` as the next version. Returns the new version number. */
   def commit(df: DataFrame, dir: String, append: Boolean): Int = {
     val v = currentVersion(dir) + 1
@@ -60,11 +77,56 @@ object ManifestTable {
     v
   }
 
-  /** Read a snapshot; `version = -1` (default) reads the latest. */
+  /** Equality-delete commit (merge-on-read): the next version's manifest
+    * keeps every existing line and adds the delete-key files — NO data
+    * file is rewritten, which is the only affordable delete shape when
+    * 0.1% of keys leave a 100 TB table (GDPR erasure, late retractions).
+    * Readers apply the delete as an anti join, and SEQUENCE-scoped: a
+    * delete at commit v erases matching keys only from data committed
+    * BEFORE v; rows re-appended after survive (Iceberg's equality-delete
+    * sequencing). `compact` purges deletes physically — its overwrite
+    * commit materializes the merged read. */
+  def delete(keys: DataFrame, dir: String, keyCol: String): Int = {
+    val v = currentVersion(dir) + 1
+    require(v > 1, s"ManifestTable.delete: no committed data under $dir")
+    val dataDir = s"$dir/data/commit-$v"
+    keys.select(keyCol).distinct().write.mode("overwrite").parquet(dataDir)
+    val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"D|$keyCol|${f.getAbsolutePath}").sorted
+    val all = manifestFiles(dir, v - 1) ++ delFiles
+    val tmp = manifests(dir).resolve(s".v$v.tmp")
+    Files.write(tmp, all.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
+    v
+  }
+
+  /** Read a snapshot; `version = -1` (default) reads the latest. Replays
+    * the manifest in commit order: data commits union in, delete commits
+    * anti-join OUT of everything earlier — so the plan is data-file scans
+    * plus one anti join per surviving delete commit (compaction collapses
+    * the chain). A delete-free manifest takes the plain multi-path scan. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.read: no committed version under $dir")
-    spark.read.parquet(manifestFiles(dir, v): _*)
+    val entries = manifestFiles(dir, v).map(parseEntry)
+    if (entries.forall(_.deleteKey.isEmpty))
+      return spark.read.parquet(entries.map(_.path): _*)
+    var df: DataFrame = null
+    entries.groupBy(_.seq).toSeq.sortBy(_._1).foreach { case (_, es) =>
+      val (dels, datas) = es.partition(_.deleteKey.isDefined)
+      if (datas.nonEmpty) {
+        val d = spark.read.parquet(datas.map(_.path): _*)
+        df = if (df == null) d else df.unionByName(d)
+      }
+      dels.groupBy(_.deleteKey.get).foreach { case (keyCol, ds) =>
+        require(df != null, s"ManifestTable.read: delete before any data in $dir")
+        val keys = spark.read.parquet(ds.map(_.path): _*)
+          .select(org.apache.spark.sql.functions.col(keyCol).as("_del_key"))
+        df = df.join(keys, df(keyCol) === keys("_del_key"), "left_anti")
+      }
+    }
+    df
   }
 
   /** Number of data files in a snapshot — O(1) from the manifest, never a
@@ -99,8 +161,8 @@ object ManifestTable {
       .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
         s.stripPrefix("v").stripSuffix(".list").toInt }.toSeq
     val (dead, live) = versions.partition(_ < cutoff)
-    val liveFiles = live.flatMap(manifestFiles(dir, _)).toSet
-    val orphans = dead.flatMap(manifestFiles(dir, _)).toSet -- liveFiles
+    val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet
+    val orphans = dead.flatMap(manifestFiles(dir, _)).map(pathOf).toSet -- liveFiles
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
     dead.foreach(v => Files.delete(md.resolve(s"v$v.list")))
     (dead.size, orphans.size)

@@ -59,6 +59,32 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception](ManifestTable.read(spark, dir, 3).count())
   }
 
+  test("equality deletes are sequence-scoped, survive time travel, and purge on compact") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    // v2: delete even keys — no data file rewritten
+    val v2 = ManifestTable.delete((1L to 10L).filter(_ % 2 == 0).toDF("k"), dir, "k")
+    assert(v2 == 2)
+    assert(ManifestTable.read(spark, dir, 2).as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 5L, 7L, 9L)))
+    // v1 time travel still sees all 10 (immutability)
+    assert(ManifestTable.read(spark, dir, 1).count() == 10)
+    // v3 re-appends 4 and 20: appended AFTER the delete → both survive
+    ManifestTable.commit(Seq(4L, 20L).toDF("k"), dir, append = true)
+    assert(ManifestTable.read(spark, dir, 3).as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 4L, 5L, 7L, 9L, 20L)))
+    // a second delete hits BOTH earlier commits (4 from v3, nothing from v1)
+    ManifestTable.delete(Seq(4L, 9L).toDF("k"), dir, "k")
+    assert(ManifestTable.read(spark, dir, 4).as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 5L, 7L, 20L)))
+    // compact materializes the merge and purges every delete entry
+    val v5 = ManifestTable.compact(spark, dir, numFiles = 1)
+    assert(v5 == 5 && ManifestTable.fileCount(dir, 5) == 1)
+    assert(ManifestTable.read(spark, dir, 5).as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 5L, 7L, 20L)))
+  }
+
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
     import spark.implicits._
     val dir = freshDir()

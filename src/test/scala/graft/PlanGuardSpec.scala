@@ -316,6 +316,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim should broadcast:\n$p")
   }
 
+  test("q282: runtime Bloom filter prunes the fact side of a shuffle join") {
+    val p = planOf("q282_bloom_join_prune")
+    assert(p.contains("might_contain"),
+      s"no runtime Bloom filter applied at the fact scan:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"no Bloom filter built over the filtered dim keys:\n$p")
+  }
+
   test("q258: PQ search is map-side — encode/ADC plan has no join and one top-k") {
     val p = planOf("q258_pq_knn")
     assert(p.contains("TakeOrderedAndProject"),
