@@ -202,7 +202,76 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  // q288: golden-record entity resolution (MDM survivorship) — the
+  // end-to-end composition a master-data pipeline runs: block → fuzzy
+  // match → transitive closure → survivorship rules. Scale posture:
+  // exact-duplicate names collapse to ONE representative per (block,
+  // name) BEFORE pairing (the q68 trick), so the levenshtein pair space
+  // is |distinct names|² within a block, never |parts|² — a 100× corpus
+  // with the same name vocabulary generates the same pair count. Cluster
+  // id = min partkey in the cluster (CC convention); survivorship picks
+  // deterministic winners (lexicographic-min name, price envelope,
+  // brand-variant count; price min/max are SELECTIONS of stored doubles,
+  // bit-identical cross-engine — no sum, no rounding). Oracle closes the
+  // same pairs with a RECURSIVE CTE.
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir).part
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice")
+      .withColumn("blk", split($"p_name", " ").getItem(0))
+    val names = p.groupBy($"blk", $"p_name").agg(min($"p_partkey").as("rep"))
+    val a = names.select($"blk", $"p_name".as("name_a"), $"rep".as("id_a"))
+    val b = names.select($"blk", $"p_name".as("name_b"), $"rep".as("id_b"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter($"id_a" < $"id_b" && levenshtein($"name_a", $"name_b") <= 1)
+      .select($"id_a", $"id_b")
+    val comp = Dedup.connectedComponents(pairs)
+    p.join(names.select($"p_name", $"rep"), Seq("p_name"))
+      .join(comp, $"rep" === comp("id"), "left")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice",
+        coalesce($"component", $"rep").as("cluster"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min($"p_name").as("golden_name"),
+        countDistinct($"p_brand").as("n_brands"),
+        min($"p_retailprice").as("price_min"),
+        max($"p_retailprice").as("price_max"))
+      .orderBy($"cluster")
+  }
+
+  // q298: sketch-accuracy contract for MinHash — the q189 pattern applied
+  // to similarity estimation: over every LSH candidate pair, the 8-hash
+  // signature estimate (matching positions / 8) is compared against the
+  // EXACT shingle Jaccard, and the face pins the error distribution
+  // (bucketed |est − exact|). Both quantities are ratios of exact
+  // integers, so the buckets are bit-deterministic; what the face
+  // certifies is that the sketch the dedup path trusts (q31/q58) stays
+  // inside its analytic error envelope — the sketch-calibration audit a
+  // 100 TB dedup run does on a sample before committing to thresholds.
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3)
+    val sig = Dedup.minHashSignatures(sh, "doc_id", 8)
+    val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
+    val exact = Dedup.jaccardOnPairs(cand, sh, "doc_id",
+      sig.select($"doc_id", $"sz"))
+    val sa = sig.select(($"doc_id".as("id_a")) +:
+      (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select(($"doc_id".as("id_b")) +:
+      (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
+    val est = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    exact.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(floor(abs(est.cast("double") / 8 - $"jaccard") * 10)
+        .cast("long").as("err_decile"))
+      .groupBy($"err_decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"err_decile")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_golden_record" -> goldenRecord _,
+    "q298_minhash_calibration" -> minhashCalibration _,
     "q239_cluster_sizes" -> clusterSizeHist _,
     "q240_dedup_savings" -> dedupSavings _,
     "q120_training_pipeline" -> trainingPipeline _,
@@ -257,6 +326,66 @@ object DedupQueries {
          |  FROM rc GROUP BY src)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q288_golden_record" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand,
+        |    p_retailprice, string_split(p_name, ' ')[1] AS blk FROM part),
+        |names AS (SELECT blk, p_name, min(p_partkey) AS rep
+        |  FROM p GROUP BY 1, 2),
+        |pr AS (SELECT a.rep AS id_a, b.rep AS id_b
+        |  FROM names a JOIN names b ON a.blk = b.blk AND a.rep < b.rep
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+        |bi AS (SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |rc(src, dst) AS (SELECT a, b FROM bi
+        |  UNION SELECT rc.src, bi.b FROM rc JOIN bi ON rc.dst = bi.a),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM rc GROUP BY src),
+        |cl AS (SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice,
+        |    coalesce(c.component, n.rep) AS cluster
+        |  FROM p JOIN names n ON p.blk = n.blk AND p.p_name = n.p_name
+        |  LEFT JOIN comp c ON n.rep = c.id)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(p_name) AS golden_name,
+        |  CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+        |  min(p_retailprice) AS price_min, max(p_retailprice) AS price_max
+        |FROM cl GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q298_minhash_calibration" ->
+      s"""WITH $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7,
+         |  count(*) AS sz
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM cand p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b),
+         |j AS (SELECT co.id_a, co.id_b,
+         |    CAST(co.c AS DOUBLE) / (za.sz + zb.sz - co.c) AS jaccard,
+         |    CAST((CASE WHEN za.m0 = zb.m0 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m1 = zb.m1 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m2 = zb.m2 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m3 = zb.m3 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m4 = zb.m4 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m5 = zb.m5 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m6 = zb.m6 THEN 1 ELSE 0 END
+         |      + CASE WHEN za.m7 = zb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / 8
+         |      AS est
+         |  FROM common co JOIN sig za ON za.doc_id = co.id_a
+         |  JOIN sig zb ON zb.doc_id = co.id_b)
+         |SELECT CAST(floor(abs(est - jaccard) * 10) AS BIGINT) AS err_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1 ORDER BY err_decile""".stripMargin,
     "q107_dup_spans" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
          |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),

@@ -1095,6 +1095,46 @@ object EventsQueries {
       .orderBy($"user_id")
   }
 
+  // q291: seasonal-naive forecast backtest with exact MASE — the
+  // capacity-planning loop: forecast the last week's hourly event volume
+  // with "same hour last week" and score it against the in-sample naive
+  // (previous hour) baseline. MASE = (test MAE of the seasonal forecast)
+  // / (train MAE of the 1-step naive) is THE scale-free backtest metric,
+  // and here it's built entirely from exact integers: hourly counts on a
+  // ZERO-FILLED (type × hour) spine (missing hours are real zeros, not
+  // absent rows — without the spine every lag is silently wrong), integer
+  // absolute errors, one final integer-ratio division. The spine is a
+  // REDUCED table (|hours|·|types|), so the lag windows never touch raw
+  // events — the q137/q234 reduce-first posture.
+  def seasonalBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600000000L
+    val ev = Tables(s, dir).events
+      .select($"event_type", expr(s"unix_micros(ts) div $hourUs").as("h"))
+    val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("y"))
+    val span = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"), $"h1")
+    val filled = grid.join(counts, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", $"h1", coalesce($"y", lit(0L)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    filled
+      .withColumn("lag168", lag($"y", 168).over(w))
+      .withColumn("lag1", lag($"y", 1).over(w))
+      .withColumn("is_test", ($"h" > $"h1" - 168).cast("int"))
+      .groupBy($"event_type")
+      .agg(sum(when($"is_test" === 0 && $"lag1".isNotNull, 1L)).as("n_train"),
+        sum(when($"is_test" === 1, 1L)).as("n_test"),
+        sum(when($"is_test" === 1, abs($"y" - $"lag168"))).as("sae_seasonal"),
+        sum(when($"is_test" === 0 && $"lag1".isNotNull, abs($"y" - $"lag1")))
+          .as("sae_naive"))
+      .select($"event_type", $"n_train", $"n_test", $"sae_seasonal", $"sae_naive",
+        round(($"sae_seasonal" * $"n_train").cast("double") /
+          ($"sae_naive" * $"n_test").cast("double"), 6).as("mase"))
+      .orderBy($"event_type")
+  }
+
   // q268: time-weighted average (TWAP) — each observation weighted by its
   // HOLDING DURATION (till the user's next event), the finance/metrics
   // aggregate a plain avg silently gets wrong on irregular samples. One
@@ -1253,6 +1293,7 @@ object EventsQueries {
     "q277_session_paths" -> sessionPaths _,
     "q279_pearson_corr" -> pearsonCorr _,
     "q286_decay_score" -> decayScore _,
+    "q291_seasonal_backtest" -> seasonalBacktest _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1428,6 +1469,38 @@ object EventsQueries {
         |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr
         |FROM a ORDER BY event_type""".stripMargin,
+    "q291_seasonal_backtest" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+        |  FROM events),
+        |counts AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |grid AS (SELECT t.event_type,
+        |    unnest(generate_series(span.h0, span.h1)) AS h, span.h1
+        |  FROM (SELECT DISTINCT event_type FROM e) t, span),
+        |filled AS (SELECT g.event_type, g.h, g.h1,
+        |    coalesce(c.y, 0) AS y
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.h = c.h),
+        |lg AS (SELECT *, lag(y, 168) OVER w AS lag168,
+        |    lag(y, 1) OVER w AS lag1,
+        |    CASE WHEN h > h1 - 168 THEN 1 ELSE 0 END AS is_test
+        |  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN is_test = 0 AND lag1 IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN is_test = 1 THEN 1 END) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN is_test = 1 THEN abs(y - lag168) END)
+        |    AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(CASE WHEN is_test = 0 AND lag1 IS NOT NULL
+        |    THEN abs(y - lag1) END) AS BIGINT) AS sae_naive,
+        |  round(CAST(sum(CASE WHEN is_test = 1 THEN abs(y - lag168) END)
+        |      * sum(CASE WHEN is_test = 0 AND lag1 IS NOT NULL THEN 1 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CASE WHEN is_test = 0 AND lag1 IS NOT NULL
+        |        THEN abs(y - lag1) END)
+        |      * sum(CASE WHEN is_test = 1 THEN 1 END) AS DOUBLE), 6) AS mase
+        |FROM lg GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q286_decay_score" ->
       """WITH p AS (SELECT user_id, ts, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

@@ -257,6 +257,34 @@ object RelationalQueries2 {
     plans.reduce(_.unionByName(_)).distinct().orderBy($"o_orderpriority")
   }
 
+  // q289: weight-of-evidence feature binning — the credit-scoring/feature-
+  // engineering transform: bin a continuous feature, score each bin by
+  // WOE = ln(odds ratio) and its information-value contribution. One scan
+  // to per-bin (good, bad) counts; totals ride a broadcast 1-row frame.
+  // WOE's argument is a ratio of exact integers ((g·B)/(b·G)) so both
+  // engines hand ln the identical double; per-bin IV contribution avoids
+  // any cross-row float sum (the engine-order-sensitive shape). Bins that
+  // can't define an odds ratio (zero goods or bads) are excluded by
+  // construction — the HAVING both engines share.
+  def woeBinning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables(s, dir).orders
+      .select(least(floor($"o_totalprice" / 50000), lit(9)).cast("long").as("band"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("good"))
+    val per = binned.groupBy($"band")
+      .agg(sum($"good").as("n_good"), sum(lit(1L) - $"good").as("n_bad"))
+      .filter($"n_good" > 0 && $"n_bad" > 0)
+    val tot = per.agg(sum($"n_good").as("tg"), sum($"n_bad").as("tb"))
+    per.crossJoin(broadcast(tot))
+      .select($"band", $"n_good", $"n_bad",
+        round(log(($"n_good" * $"tb").cast("double") /
+          ($"n_bad" * $"tg").cast("double")), 6).as("woe"),
+        round(($"n_good".cast("double") / $"tg" - $"n_bad".cast("double") / $"tb") *
+          log(($"n_good" * $"tb").cast("double") / ($"n_bad" * $"tg").cast("double")), 6)
+          .as("iv_contrib"))
+      .orderBy($"band")
+  }
+
   // q271: DYNAMIC partition pruning — the star-join optimization static
   // pruning (q126) can't do: the fact filter arrives THROUGH a join with
   // a filtered dimension, so which lang= directories survive is only
@@ -2725,6 +2753,7 @@ object RelationalQueries2 {
     "q278_business_days" -> businessDays _,
     "q282_bloom_join_prune" -> runtimeBloomJoin _,
     "q284_ols_regression" -> bySql(Seq("events"), olsSql) _,
+    "q289_woe_binning" -> woeBinning _,
     "q287_join_hints" -> joinHints _,
     "q263_proration" -> proration _,
     "q271_dynamic_pruning" -> dynamicPartitionPruning _,
@@ -2853,6 +2882,23 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q284_ols_regression" -> olsSql,
+    "q289_woe_binning" ->
+      """WITH binned AS (SELECT
+        |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS band,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+        |  FROM orders),
+        |per AS (SELECT band, CAST(sum(good) AS BIGINT) AS n_good,
+        |    CAST(sum(1 - good) AS BIGINT) AS n_bad
+        |  FROM binned GROUP BY 1
+        |  HAVING sum(good) > 0 AND sum(1 - good) > 0),
+        |tot AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM per)
+        |SELECT band, n_good, n_bad,
+        |  round(ln(CAST(n_good * tb AS DOUBLE) / CAST(n_bad * tg AS DOUBLE)),
+        |    6) AS woe,
+        |  round((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+        |    * ln(CAST(n_good * tb AS DOUBLE) / CAST(n_bad * tg AS DOUBLE)),
+        |    6) AS iv_contrib
+        |FROM per, tot ORDER BY band""".stripMargin,
     "q287_join_hints" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
