@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Relational
 
 /** Event-time windowing + semi-structured (JSON props) surface. These are
   * the batch-checkable faces of the streaming operators — the same
@@ -1095,6 +1096,176 @@ object EventsQueries {
       .orderBy($"user_id")
   }
 
+  // q290: Wilson score intervals per experiment arm — the A/B readout
+  // (q162 tests means; this bounds RATES): deterministic md5 arm
+  // assignment, per-arm user conversion to 'purchase', and the Wilson
+  // 95% interval — the interval that stays inside [0,1] and behaves at
+  // small n where the normal approximation fails. Inputs are exact
+  // integers; the closed-form interval is single correctly-rounded IEEE
+  // ops in an identical spelling on both engines (sqrt is IEEE-exact),
+  // so the bounds agree bitwise before round(6). One scan, two
+  // aggregates, no shuffle beyond |users|.
+  def wilsonIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables(s, dir).events
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(
+        (conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % 2).cast("int").as("arm"), $"conv")
+    val z = lit(1.96)
+    perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+      .select($"arm", $"n_users", $"n_conv",
+        round($"n_conv".cast("double") / $"n_users", 6).as("rate"),
+        round((($"n_conv".cast("double") / $"n_users" + z * z / (lit(2) * $"n_users")) -
+          z * sqrt(($"n_conv".cast("double") / $"n_users") *
+            (lit(1) - $"n_conv".cast("double") / $"n_users") / $"n_users" +
+            z * z / (lit(4) * $"n_users" * $"n_users"))) /
+          (lit(1) + z * z / $"n_users"), 6).as("wilson_lo"),
+        round((($"n_conv".cast("double") / $"n_users" + z * z / (lit(2) * $"n_users")) +
+          z * sqrt(($"n_conv".cast("double") / $"n_users") *
+            (lit(1) - $"n_conv".cast("double") / $"n_users") / $"n_users" +
+            z * z / (lit(4) * $"n_users" * $"n_users"))) /
+          (lit(1) + z * z / $"n_users"), 6).as("wilson_hi"))
+      .orderBy($"arm")
+  }
+
+  // q292: incremental sessionization — the daily-batch answer to "you
+  // cannot re-window all history every night at 100 TB". Stage 1
+  // sessionizes each (user, DAY) independently — the shape of a daily
+  // partition-local job that never touches other days. Stage 2 runs the
+  // SAME gaps-and-islands merge over the per-day session SUMMARIES
+  // (|users|·|days| rows, not events): adjacent summaries merge iff the
+  // boundary gap ≤ 30 min, which stitches midnight-crossing sessions —
+  // including multi-day chains, because interval merging under a gap
+  // threshold is associative on ordered summaries. The face hash-proves
+  // the two-stage result ≡ GLOBAL sessionization (the oracle), i.e. the
+  // incremental recompute is exact, not an approximation.
+  def incrementalSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800000000L
+    val dayUs = 86400000000L
+    val e = Tables(s, dir).events
+      .select($"user_id", expr("unix_micros(ts)").as("tus"), $"event_id")
+      .withColumn("day", expr(s"tus div $dayUs"))
+    // stage 1: per-(user, day) sessionization — the daily job
+    val wd = Window.partitionBy($"user_id", $"day").orderBy($"tus", $"event_id")
+    val daily = e
+      .withColumn("ns", when(lag($"tus", 1).over(wd).isNull ||
+        $"tus" - lag($"tus", 1).over(wd) > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum($"ns").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"day", $"sess")
+      .agg(min($"tus").as("start_us"), max($"tus").as("end_us"),
+        count(lit(1)).as("n"))
+    // stage 2: stitch over summaries only — |users|·|days| rows
+    val ws = Window.partitionBy($"user_id").orderBy($"start_us")
+    daily
+      .withColumn("merge_ns", when(lag($"end_us", 1).over(ws).isNull ||
+        $"start_us" - lag($"end_us", 1).over(ws) > gapUs, 1).otherwise(0))
+      .withColumn("g", sum($"merge_ns").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"g")
+      .agg(sum($"n").as("n"), (max($"end_us") - min($"start_us")).as("dur"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"),
+        sum($"dur").as("sum_dur_us"), max($"dur").as("max_dur_us"))
+      .orderBy($"user_id")
+  }
+
+  // q295: time-decayed multi-touch attribution — each purchase credits
+  // the channels (event types) of its user's preceding 8 touches with
+  // weights 2^-(recency rank): the multi-touch model between last-touch
+  // (all credit to rank 1) and linear (uniform). Power-of-two weights on
+  // a bounded window make every credit an EXACT integer (q286's trick) —
+  // scaled by 2^8 so rank 1 earns 128, rank 8 earns 1 — and the
+  // per-channel shares are integer ratios rounded once. One ordered
+  // window per user + one hash aggregate; the 8-touch bound is what
+  // keeps per-purchase state O(1) at any history length.
+  def decayAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val e = Tables(s, dir).events
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts)").as("tus"))
+    // purchases-remaining-from-here partitions each user's history into
+    // attribution groups: all rows sharing (user, p_after) precede the
+    // SAME next purchase, and that purchase closes its own group — so
+    // earlier purchases never act as touches, with no next-purchase join.
+    val g = e
+      .withColumn("p_after",
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter($"p_after" >= 1 && $"event_type" =!= "purchase")
+      .withColumn("rank_back", row_number().over(
+        Window.partitionBy($"user_id", $"p_after")
+          .orderBy($"tus".desc, $"event_id".desc)))
+      .filter($"rank_back" <= 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(pow(lit(2), lit(8) - $"rank_back").cast("long")).as("credit"))
+    val tot = g.agg(sum($"credit").as("t"))
+    g.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_touches", $"credit",
+        round($"credit".cast("double") / $"t", 6).as("share"))
+      .orderBy($"event_type")
+  }
+
+  // q293: rolling 14-day regression slope — trend detection as a WINDOW
+  // over the reduced (type, day) revenue table: the five co-moment sums
+  // ride one 14-row frame each, and the slope closed form
+  // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is evaluated on EXACT integer sums —
+  // the denominator is a catastrophic-cancellation trap in doubles
+  // (7e10 − 7e10 ≈ 1e3) that integer arithmetic sidesteps entirely; only
+  // the final division touches floating point. Zero-filled day spine so
+  // a quiet day is a real y=0 observation, not a silently shortened
+  // frame. |types|·|days| rows: the raw log never enters a window.
+  def rollingSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val ev = Tables(s, dir).events
+      .filter($"event_type" === "purchase")
+      .select($"event_type", expr(s"unix_micros(ts) div $dayUs").as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+    val byDay = ev.groupBy($"event_type", $"d").agg(sum($"cents").as("y"))
+    val span = ev.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("d"), $"d0")
+    val filled = grid.join(byDay, Seq("event_type", "d"), "left")
+      .select($"event_type", ($"d" - $"d0").as("x"), coalesce($"y", lit(0L)).as("y"))
+    val f = Window.partitionBy($"event_type").orderBy($"x").rowsBetween(-13, 0)
+    filled
+      .select($"event_type", $"x", count(lit(1)).over(f).as("n"),
+        sum($"x").over(f).as("sx"), sum($"y").over(f).as("sy"),
+        sum($"x" * $"y").over(f).as("sxy"), sum($"x" * $"x").over(f).as("sx2"))
+      .filter($"n" === 14)
+      .select($"event_type", $"x".as("day_idx"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sx2" - $"sx" * $"sx").cast("double"), 6).as("slope_cents_per_day"))
+      .orderBy($"event_type", $"day_idx")
+  }
+
+  // q297: cumulative distinct-user curve — the growth dashboard query
+  // that naively needs COUNT(DISTINCT) over an ever-growing window (a
+  // full rescan per day). Reduce-first makes it two tiny steps: each
+  // user collapses to a FIRST-SEEN day (one hash aggregate — the only
+  // pass over the raw log), daily new-user counts then flow through the
+  // distributed prefix-scan (range partition + broadcast offsets), so
+  // cumulative uniques at day d = running Σ of new users. |days| output
+  // rows; the scan family (q173/q218) does the accumulation without a
+  // single-partition window.
+  def cumulativeUniques(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val firstSeen = Tables(s, dir).events
+      .select($"user_id", expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .groupBy($"user_id").agg(min($"d").as("f"))
+    val daily = firstSeen.groupBy($"f".as("d")).agg(count(lit(1)).as("n_new"))
+    Relational.globalRunningSum(daily, Seq($"d"), $"n_new", "cum_users")
+      .select($"d".as("day"), $"n_new", $"cum_users")
+      .orderBy($"day")
+  }
+
   // q291: seasonal-naive forecast backtest with exact MASE — the
   // capacity-planning loop: forecast the last week's hourly event volume
   // with "same hour last week" and score it against the in-sample naive
@@ -1294,6 +1465,11 @@ object EventsQueries {
     "q279_pearson_corr" -> pearsonCorr _,
     "q286_decay_score" -> decayScore _,
     "q291_seasonal_backtest" -> seasonalBacktest _,
+    "q290_wilson_interval" -> wilsonIntervals _,
+    "q292_incremental_sessions" -> incrementalSessions _,
+    "q295_decay_attribution" -> decayAttribution _,
+    "q293_rolling_slope" -> rollingSlope _,
+    "q297_cumulative_uniques" -> cumulativeUniques _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1469,6 +1645,102 @@ object EventsQueries {
         |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr
         |FROM a ORDER BY event_type""".stripMargin,
+    "q293_rolling_slope" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |byday AS (SELECT event_type, d, CAST(sum(cents) AS BIGINT) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        |grid AS (SELECT t.event_type,
+        |    unnest(generate_series(span.d0, span.d1)) AS d, span.d0
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, span),
+        |filled AS (SELECT g.event_type, g.d - g.d0 AS x,
+        |    coalesce(b.y, 0) AS y
+        |  FROM grid g LEFT JOIN byday b
+        |    ON g.event_type = b.event_type AND g.d = b.d),
+        |wins AS (SELECT event_type, x,
+        |    CAST(count(*) OVER f AS BIGINT) AS n,
+        |    CAST(sum(x) OVER f AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER f AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER f AS BIGINT) AS sx2
+        |  FROM filled WINDOW f AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, x AS day_idx,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_cents_per_day
+        |FROM wins WHERE n = 14
+        |ORDER BY event_type, day_idx""".stripMargin,
+    "q297_cumulative_uniques" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1)
+        |SELECT d AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+    "q290_wilson_interval" ->
+      s"""WITH u AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |      1, 6))::BIGINT % 2 AS INT) AS arm, conv FROM u),
+         |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(conv) AS BIGINT) AS n_conv FROM arms GROUP BY 1)
+         |SELECT arm, n_users, n_conv,
+         |  round(CAST(n_conv AS DOUBLE) / n_users, 6) AS rate,
+         |  round(((CAST(n_conv AS DOUBLE) / n_users
+         |      + 1.96 * 1.96 / (2 * n_users))
+         |    - 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_users)
+         |        * (1 - CAST(n_conv AS DOUBLE) / n_users) / n_users
+         |      + 1.96 * 1.96 / (4 * n_users * n_users)))
+         |    / (1 + 1.96 * 1.96 / n_users), 6) AS wilson_lo,
+         |  round(((CAST(n_conv AS DOUBLE) / n_users
+         |      + 1.96 * 1.96 / (2 * n_users))
+         |    + 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_users)
+         |        * (1 - CAST(n_conv AS DOUBLE) / n_users) / n_users
+         |      + 1.96 * 1.96 / (4 * n_users * n_users)))
+         |    / (1 + 1.96 * 1.96 / n_users), 6) AS wilson_hi
+         |FROM a ORDER BY arm""".stripMargin,
+    "q292_incremental_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |s1 AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s1),
+        |per AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n,
+        |    max(tus) - min(tus) AS dur FROM s2 GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+        |  CAST(max(dur) AS BIGINT) AS max_dur_us
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q295_decay_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts)
+        |    AS tus FROM events),
+        |g AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_after
+        |  FROM e),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, p_after
+        |      ORDER BY tus DESC, event_id DESC) AS rank_back
+        |  FROM g WHERE p_after >= 1 AND event_type <> 'purchase'),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |    CAST(sum(CAST(power(2, 8 - rank_back) AS BIGINT)) AS BIGINT)
+        |      AS credit
+        |  FROM r WHERE rank_back <= 8 GROUP BY 1),
+        |t AS (SELECT sum(credit) AS t FROM c)
+        |SELECT event_type, n_touches, credit,
+        |  round(CAST(credit AS DOUBLE) / t, 6) AS share
+        |FROM c, t ORDER BY event_type""".stripMargin,
     "q291_seasonal_backtest" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
         |  FROM events),

@@ -285,6 +285,36 @@ object RelationalQueries2 {
       .orderBy($"band")
   }
 
+  // q296: nested basket analytics — the order's lines folded into an
+  // array-of-structs column (the nested data model a denormalized lake
+  // table or a document store hands you) and analyzed WITHOUT
+  // re-exploding: `aggregate`/`transform` higher-order functions compute
+  // basket value, quantity and max line inside the row. The oracle
+  // computes the same stats from the FLAT relation — the hash compare
+  // proves the nested path loses nothing. All basket folds are integer
+  // sums (commutative — collect_list's nondeterministic order cannot
+  // matter), so no sort is spent building the arrays.
+  def nestedBaskets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .select($"l_orderkey",
+        struct($"l_partkey".as("pk"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty")).as("item"))
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"item").as("items"))
+      .select(
+        size($"items").cast("long").as("n_items"),
+        expr("aggregate(items, cast(0 as bigint), (acc, x) -> acc + x.cents)").as("basket_cents"),
+        expr("aggregate(items, cast(0 as bigint), (acc, x) -> acc + x.qty)").as("basket_qty"),
+        expr("array_max(transform(items, x -> x.cents))").as("max_item_cents"))
+      .groupBy($"n_items")
+      .agg(count(lit(1)).as("n_orders"), sum($"basket_cents").as("total_cents"),
+        sum($"basket_qty").as("total_qty"),
+        max($"max_item_cents").as("max_cents"))
+      .orderBy($"n_items")
+  }
+
   // q271: DYNAMIC partition pruning — the star-join optimization static
   // pruning (q126) can't do: the fact filter arrives THROUGH a join with
   // a filtered dimension, so which lang= directories survive is only
@@ -2754,6 +2784,7 @@ object RelationalQueries2 {
     "q282_bloom_join_prune" -> runtimeBloomJoin _,
     "q284_ols_regression" -> bySql(Seq("events"), olsSql) _,
     "q289_woe_binning" -> woeBinning _,
+    "q296_nested_baskets" -> nestedBaskets _,
     "q287_join_hints" -> joinHints _,
     "q263_proration" -> proration _,
     "q271_dynamic_pruning" -> dynamicPartitionPruning _,
@@ -2882,6 +2913,18 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q284_ols_regression" -> olsSql,
+    "q296_nested_baskets" ->
+      """WITH b AS (SELECT l_orderkey, count(*) AS n_items,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS basket_cents,
+        |    sum(CAST(l_quantity AS BIGINT)) AS basket_qty,
+        |    max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_item_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(basket_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(basket_qty) AS BIGINT) AS total_qty,
+        |  max(max_item_cents) AS max_cents
+        |FROM b GROUP BY 1 ORDER BY n_items""".stripMargin,
     "q289_woe_binning" ->
       """WITH binned AS (SELECT
         |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS band,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Relational, TrainingData => TD}
@@ -353,7 +354,44 @@ object TrainingDataQueries {
       .orderBy($"fold")
   }
 
+  // q294: deterministic negative sampling — contrastive training pairs
+  // for a recommender: per customer, up to 5 parts they have NEVER
+  // ordered, drawn by a pure hash of (customer, trial index) — no RNG
+  // state, so every retry, every engine, every partition layout draws
+  // the SAME sample (q63's determinism argument extended to sampling
+  // WITH rejection). Candidates = |customers|·8 rows, positives rejected
+  // by one anti join on (customer, part); at any scale the sample cost
+  // is per-customer O(trials), never O(|parts|). Fingerprint is
+  // order-pinned by trial index (sorted struct array → md5), so the
+  // hash compare proves the exact sample, not just its size.
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val maxp = t.part.agg(max($"p_partkey").as("maxp"))
+    val pos = t.orders.join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+    val trials = t.customer.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("c"))
+      .crossJoin(broadcast(maxp))
+      .select($"c", explode(sequence(lit(0), lit(7))).as("i"), $"maxp")
+      .select($"c", $"i",
+        (conv(substring(md5(concat($"c".cast("string"), lit(":"),
+          $"i".cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % ($"maxp" + 1)).as("p"))
+    trials.join(pos, Seq("c", "p"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"c").orderBy($"i")))
+      .filter($"rn" <= 5)
+      .groupBy($"c")
+      .agg(count(lit(1)).as("n_neg"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(i, p))), x -> cast(x.p as string)), ',')")
+          .cast("binary")).as("sample_md5"))
+      .select($"c".as("custkey"), $"n_neg", $"sample_md5")
+      .orderBy($"custkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_negative_sampling" -> negativeSampling _,
     "q281_group_folds" -> groupFolds _,
     "q261_pps_sample" -> ppsSample _,
     "q248_nested_sampling" -> nestedSampling _,
@@ -390,6 +428,26 @@ object TrainingDataQueries {
       |  FROM sums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q294_negative_sampling" ->
+      """WITH mp AS (SELECT max(p_partkey) AS maxp FROM part),
+        |pos AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cust AS (SELECT c_custkey AS c FROM customer
+        |  WHERE c_custkey % 10 = 0),
+        |trials AS (SELECT c, unnest(generate_series(0, 7)) AS i, maxp
+        |  FROM cust, mp),
+        |tp AS (SELECT c, i,
+        |    ('0x' || substr(md5(CAST(c AS VARCHAR) || ':'
+        |      || CAST(i AS VARCHAR)), 1, 8))::BIGINT % (maxp + 1) AS p
+        |  FROM trials),
+        |negs AS (SELECT tp.* FROM tp LEFT JOIN pos
+        |    ON tp.c = pos.c AND tp.p = pos.p
+        |  WHERE pos.c IS NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c ORDER BY i)
+        |    AS rn FROM negs)
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_neg,
+        |  md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY i)) AS sample_md5
+        |FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY custkey""".stripMargin,
     "q281_group_folds" ->
       s"""WITH f AS (SELECT user_id,
          |    CAST(${bucketSql("user_id", 5)} AS INT) AS fold FROM events),
