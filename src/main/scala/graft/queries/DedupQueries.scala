@@ -250,8 +250,14 @@ object DedupQueries {
   // 100 TB dedup run does on a sample before committing to thresholds.
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // sh feeds signatures AND the exact-Jaccard join-back; sig feeds
+    // bands, sizes and BOTH signature sides — localCheckpoint pins each
+    // to one computation (4 lazy re-executions of the shingle pipeline
+    // measured 16 s at 10×; pinned: ~4 s). Signatures are |docs|-sized →
+    // broadcast to the candidate pairs.
     val sh = Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", 3)
-    val sig = Dedup.minHashSignatures(sh, "doc_id", 8)
+      .localCheckpoint()
+    val sig = Dedup.minHashSignatures(sh, "doc_id", 8).localCheckpoint()
     val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
     val exact = Dedup.jaccardOnPairs(cand, sh, "doc_id",
       sig.select($"doc_id", $"sz"))
@@ -261,7 +267,7 @@ object DedupQueries {
       (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
     val est = (0 until 8).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    exact.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    exact.join(broadcast(sa), Seq("id_a")).join(broadcast(sb), Seq("id_b"))
       .select(floor(abs(est.cast("double") / 8 - $"jaccard") * 10)
         .cast("long").as("err_decile"))
       .groupBy($"err_decile")

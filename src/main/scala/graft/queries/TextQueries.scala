@@ -590,19 +590,28 @@ object TextQueries {
   // RollingHash expression); md5 here keeps the face engine-agreeing
   // bit-for-bit. Fingerprint = md5 of the comma-joined chunk lengths
   // (order-preserving).
+  /** q285/q300 shared: content-defined cut positions (rolling 8-byte
+    * window hash ≡ 0 mod 64, via the native [[graft.functions.CdcCuts]]
+    * expression — one O(n) pass per document) assembled into chunk
+    * bounds [0, cuts…, n]. */
+  private def cdcBounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", $"source", $"text", length($"text").as("n_chars"),
+        graft.functions.CdcCuts.cdcCuts($"text").as("cuts"))
+      .select($"doc_id", $"source", $"text", $"n_chars",
+        expr("concat(array(cast(0 as bigint)), cuts, array(cast(n_chars as bigint)))").as("bounds"))
+  }
+
+  /** The per-position polynomial-hash spelling of [[cdcBounds]]'s cut
+    * rule for the DuckDB oracle (ASCII corpus: bytes ≡ codepoints). */
+  private val cdcCutSqlHash: String =
+    (1 until 8).foldLeft("CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)")(
+      (acc, j) => s"(($acc * 31 + ascii(substr(text, CAST(i + $j AS INT), 1))) % 1000000007)")
+
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val n = length($"text")
-    val cuts = expr(
-      """filter(transform(sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> if(i <= length(text) - 7
-        |          and cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 4), 16, 10) as bigint) % 64 = 0,
-        |          cast(i as bigint), cast(null as bigint))),
-        |  x -> x is not null)""".stripMargin)
-    Tables(s, dir).documents
-      .select($"doc_id", n.as("n_chars"), cuts.as("cuts"))
-      .select($"doc_id", $"n_chars",
-        expr("concat(array(cast(0 as bigint)), cuts, array(cast(n_chars as bigint)))").as("bounds"))
+    cdcBounds(s, dir)
       .select($"doc_id",
         expr("size(bounds) - 1").cast("long").as("n_chunks"),
         expr("array_min(zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> b - a))").as("min_len"),
@@ -612,8 +621,43 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q300: chunk-level dedup pipeline — the composition that motivated the
+  // CDC chunker: split every document at content-defined boundaries
+  // (q285), then dedup CHUNKS by content hash across the whole corpus.
+  // Because the boundaries are content-addressed, shared passages
+  // (boilerplate, quoted blocks, templated sections) hash to identical
+  // chunks from ANY document that contains them — chunk-level dedup
+  // catches what document-level dedup (q30) and near-dup (q31) both miss:
+  // partial overlap inside otherwise-distinct documents. Winner = first
+  // (doc_id, pos) occurrence via one row_number over the hash; per-source
+  // savings in exact chars and ppm. All per-row array work + ONE
+  // (hash)-keyed window + one aggregate: the 100 TB cost is the chunk
+  // shuffle, bounded by corpus bytes / expected-chunk-size.
+  def chunkDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcBounds(s, dir)
+      .select($"doc_id", $"source", posexplode(expr(
+        "zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> substring(text, cast(a + 1 as int), cast(b - a as int)))")))
+      .select($"doc_id", $"source", $"pos", $"col".as("chunk"))
+    val ranked = chunks
+      .withColumn("h", md5($"chunk".cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id", $"pos")))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(length($"chunk")).cast("long").as("chars_total"),
+        sum(when($"rn" === 1, length($"chunk")).otherwise(0L)).cast("long")
+          .as("chars_kept"))
+      .select($"source", $"n_chunks", $"n_kept", $"chars_total", $"chars_kept",
+        floor(($"chars_total" - $"chars_kept") * lit(1000000L) / $"chars_total")
+          .cast("long").as("dedup_ppm"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_cdc_chunks" -> cdcChunks _,
+    "q300_chunk_dedup" -> chunkDedupPipeline _,
     "q280_regex_battery" -> regexBattery _,
     "q247_vocab_coverage" -> vocabCoverage _,
     "q228_zipf_slope" -> zipfSlope _,
@@ -782,10 +826,41 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
-    "q285_cdc_chunks" ->
-      """WITH c AS (SELECT doc_id, len(text) AS n_chars,
+    "q300_chunk_dedup" ->
+      s"""WITH c AS (SELECT doc_id, source, text, len(text) AS n_chars,
         |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
-        |    i -> CASE WHEN ('0x' || substr(md5(substr(text, i, 8)), 1, 4))::BIGINT % 64 = 0
+        |    i -> CASE WHEN $cdcCutSqlHash % 64 = 0
+        |         THEN CAST(i AS BIGINT) END),
+        |    x -> x IS NOT NULL) AS cuts
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, text,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |      [CAST(n_chars AS BIGINT)]) AS bounds
+        |  FROM c),
+        |ch0 AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(bounds)),
+        |      i -> struct_pack(pos := i - 1,
+        |        chunk := substr(text, CAST(bounds[i] + 1 AS INT),
+        |          CAST(bounds[i + 1] - bounds[i] AS INT)))) AS lst
+        |  FROM b),
+        |ch AS (SELECT doc_id, source, u.pos AS pos, u.chunk AS chunk
+        |  FROM (SELECT doc_id, source, unnest(lst) AS u FROM ch0)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(len(chunk)) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN rn = 1 THEN len(chunk) ELSE 0 END) AS BIGINT)
+        |    AS chars_kept,
+        |  CAST(floor((sum(len(chunk))
+        |      - sum(CASE WHEN rn = 1 THEN len(chunk) ELSE 0 END))
+        |    * 1000000 / sum(len(chunk))) AS BIGINT) AS dedup_ppm
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+    "q285_cdc_chunks" ->
+      s"""WITH c AS (SELECT doc_id, len(text) AS n_chars,
+        |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> CASE WHEN $cdcCutSqlHash % 64 = 0
         |         THEN CAST(i AS BIGINT) END),
         |    x -> x IS NOT NULL) AS cuts
         |  FROM documents),

@@ -372,7 +372,56 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q299: DSv2 transactional write — the engine's DataSource-V2 BATCH
+  // WRITE path (graft.sources.v2.ManifestWriteSource) driven end-to-end
+  // under the correctness gate: executors stage one parquet file per
+  // partition via the example-Group writer, the driver's BatchWrite
+  // .commit moves them into the manifest table and publishes
+  // write-then-rename — readers see the old version or the new one,
+  // never a torn directory. Two append commits + one overwrite commit,
+  // read back THROUGH the manifest (never a directory listing) and
+  // aggregated; the oracle recomputes the same slices relationally. The
+  // hash compare certifies the full loop: InternalRow → Group encoding →
+  // staging → atomic publish → manifest-scoped scan.
+  def dsv2Write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q299_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val fmt = "graft.sources.v2.ManifestWriteSource"
+    val cut = lit("1998-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    slice($"o_orderdate" < cut).repartition(4)
+      .write.format(fmt).option("path", out).mode("append").save()
+    slice($"o_orderdate" >= cut).repartition(2)
+      .write.format(fmt).option("path", out).mode("append").save()
+    import graft.sources.ManifestTable
+    require(ManifestTable.currentVersion(out) == 2,
+      s"q299: two append commits must land v2")
+    // overwrite commit: keep only open orders (truncate → new file set)
+    ManifestTable.read(s, out).filter($"o_orderstatus" === "O")
+      .write.format(fmt).option("path", out).mode("overwrite").save()
+    require(ManifestTable.currentVersion(out) == 3,
+      s"q299: overwrite must land v3")
+    def snap(stage: String, version: Int) =
+      ManifestTable.read(s, out, version)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows",
+          $"total_cents")
+    snap("1_first_append", 1)
+      .unionByName(snap("2_appended", 2))
+      .unionByName(snap("3_overwritten", 3))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
     "q273_compact_expire" -> compactExpire _,
     "q270_time_travel" -> timeTravel _,
@@ -387,6 +436,23 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q299_dsv2_write" ->
+      """WITH base AS (SELECT o_orderpriority, o_orderstatus, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |s1 AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |s2 AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM base GROUP BY 1),
+        |s3 AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM base WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT '1_first_append' AS stage, * FROM s1
+        |UNION ALL SELECT '2_appended', * FROM s2
+        |UNION ALL SELECT '3_overwritten', * FROM s3
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q283_delete_vectors" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

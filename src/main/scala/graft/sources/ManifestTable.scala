@@ -68,6 +68,18 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(dataDir)
     val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    publishAt(dir, v, newFiles, append)
+  }
+
+  /** Publish ALREADY-WRITTEN data files as the next version — the commit
+    * half of the protocol, shared by [[commit]] and the DSv2 batch writer
+    * (executors stage files, exactly one driver-side publish makes them
+    * visible). Returns the committed version. */
+  def publish(dir: String, files: Seq[String], append: Boolean): Int =
+    publishAt(dir, currentVersion(dir) + 1, files.sorted, append)
+
+  private def publishAt(dir: String, v: Int, newFiles: Seq[String],
+                        append: Boolean): Int = {
     val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++ newFiles
     Files.createDirectories(manifests(dir))
     // write-then-rename: the manifest appears atomically or not at all

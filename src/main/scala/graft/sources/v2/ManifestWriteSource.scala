@@ -1,0 +1,200 @@
+package graft.sources.v2
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.ManifestTable
+
+/** DataSource V2 BATCH WRITE into a [[graft.sources.ManifestTable]] — the
+  * write half of the engine's DSv2 surface (the read half is
+  * [[HttpApiSource]]). The interesting part is the COMMIT PROTOCOL, which
+  * maps one-to-one onto the manifest table's:
+  *
+  *  - every task's [[DataWriter]] streams its partition into its OWN
+  *    parquet file under `<table>/_staging/<uuid>/` — invisible to every
+  *    reader, because readers resolve manifests, never directory listings;
+  *  - `commit()` on the task returns the staged path as the
+  *    [[WriterCommitMessage]] — Spark guarantees exactly one task
+  *    attempt's message per partition reaches the driver (speculative /
+  *    retried attempts either never commit or are dropped);
+  *  - [[BatchWrite!.commit]] on the DRIVER moves the acknowledged files
+  *    into `data/commit-<v>/` and publishes the manifest with
+  *    write-then-rename — the table flips to the new version atomically,
+  *    or (on any failure before that point) not at all;
+  *  - `abort()` deletes the staging directory: a failed job leaves the
+  *    table bit-for-bit untouched.
+  *
+  * This is exactly how a 100 TB lake writer must behave: no output
+  * committer renames per task into the live directory, no reader ever
+  * observes a half-written job, and the commit cost is O(files), not
+  * O(bytes). `SaveMode.Append` maps to an append commit;
+  * `.mode("overwrite")` arrives as [[SupportsTruncate]] and maps to an
+  * overwrite commit (old files stay for time travel until expiry).
+  *
+  * Supported column types: long/int/double/boolean/string — the
+  * example-Group parquet writer bundled with parquet-hadoop carries
+  * these faithfully; richer types route through `ManifestTable.commit`
+  * (Spark's own parquet writer) instead.
+  *
+  * Usage: `df.write.format("graft.sources.v2.ManifestWriteSource")
+  *   .option("path", dir).mode("append"|"overwrite").save()`
+  */
+class ManifestWriteSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  // reads go through ManifestTable.read; schema inference only serves the
+  // rare describe-before-write path
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = Option(options.get("path")).getOrElse(
+      sys.error("graft-manifest: 'path' option is required"))
+    ManifestTable.read(SparkSession.active, dir).schema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ManifestWriteTable(schema, properties.asScala.toMap)
+}
+
+class ManifestWriteTable(writeSchema: StructType, props: Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_manifest(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestWriteBuilder(
+      props.getOrElse("path", sys.error("graft-manifest: 'path' option is required")),
+      info.schema())
+}
+
+class ManifestWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var append = true
+  override def truncate(): WriteBuilder = { append = false; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+  }
+}
+
+final case class StagedFileMessage(path: String) extends WriterCommitMessage
+
+class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean)
+    extends BatchWrite {
+  private val stagingDir = s"$dir/_staging/${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val v = ManifestTable.currentVersion(dir) + 1
+    val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
+    java.nio.file.Files.createDirectories(dataDir)
+    val finalPaths = staged.toSeq.sorted.map { p =>
+      val target = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
+      target.toAbsolutePath.toString
+    }
+    val committed = ManifestTable.publish(dir, finalPaths, append)
+    require(committed == v, s"concurrent writer detected: expected v$v, got v$committed")
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(stagingDir))
+  }
+}
+
+class ManifestWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** Per-task parquet writer over the example Group API (the only parquet
+  * write path available without Spark's private classes). Streams rows —
+  * memory is one parquet row group, independent of partition size. */
+class ManifestDataWriter(stagingDir: String, schema: StructType,
+                         partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val parquetSchema: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      val t: Type = f.dataType match {
+        case LongType    => new PrimitiveType(rep, PrimitiveTypeName.INT64, f.name)
+        case IntegerType => new PrimitiveType(rep, PrimitiveTypeName.INT32, f.name)
+        case DoubleType  => new PrimitiveType(rep, PrimitiveTypeName.DOUBLE, f.name)
+        case BooleanType => new PrimitiveType(rep, PrimitiveTypeName.BOOLEAN, f.name)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case other => sys.error(
+          s"graft-manifest DSv2 writer: unsupported type $other for column ${f.name}")
+      }
+      b.addField(t)
+    }
+    b.named("graft_manifest_row")
+  }
+
+  private val path = s"$stagingDir/part-$partitionId-$taskId.parquet"
+  private val writer: ParquetWriter[Group] = {
+    new java.io.File(stagingDir).mkdirs()
+    ExampleParquetWriter.builder(new HPath(path))
+      .withConf(new Configuration(false))
+      .withType(parquetSchema)
+      .build()
+  }
+  private val factory = new SimpleGroupFactory(parquetSchema)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType    => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType  => g.add(i, row.getDouble(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType  => g.add(i, row.getUTF8String(i).toString)
+        case other => sys.error(s"unsupported $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    StagedFileMessage(path)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new java.io.File(path).delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}
