@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Relational}
@@ -275,7 +276,62 @@ object DedupQueries {
       .orderBy($"err_decile")
   }
 
+  // q302: sparse cosine similarity over shingle term-frequency vectors —
+  // the bag-of-ngrams similarity that complements Jaccard (q33 scores
+  // set overlap; cosine weighs REPEATED shingles). Candidate pairs come
+  // from q33's corpus-relative rare-shingle blocking (pair space bounded
+  // by rare-shingle co-occurrence, never |docs|²); the dot product and
+  // both norms are sums of products of exact integer term frequencies,
+  // so cos = dot/(√na·√nb) is identical-input IEEE arithmetic on both
+  // engines — the sketch-free, float-safe spelling of TF cosine.
+  def sparseCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // exact-duplicate collapse FIRST (the q68/q288 posture): byte-equal
+    // documents share one representative (min doc_id per content hash),
+    // so a corpus with heavy verbatim duplication pairs its UNIQUE texts,
+    // never each clone against each clone — on the 10× probe corpus (10
+    // verbatim copies of everything) this is the difference between 250k
+    // degenerate cosine-1.0 pairs (76 s) and the true pair space.
+    val docs = Tables(s, dir).documents
+      .withColumn("_h", md5($"text".cast("binary")))
+      .withColumn("_rep", min($"doc_id").over(Window.partitionBy($"_h")))
+      .filter($"doc_id" === $"_rep")
+      .select($"doc_id", $"text")
+    // tf vectors keep DUPLICATE shingles (no array_distinct): explode
+    // non-distinct shingles and count
+    val tf = Relational.spread(docs, $"doc_id")
+      .select($"doc_id", explode(PF.shingleSeq(PF.tokens($"text"), 3)).as("shingle"))
+      .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cap = docs.agg(greatest(lit(20L), (count(lit(1)) * 4 / 1000)).as("df_cap"))
+    val rare = tf.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .filter($"df" <= $"df_cap" && $"df" >= 2)
+    val rareSh = tf.join(rare.select("shingle"), Seq("shingle"))
+    val pairs = rareSh.select($"shingle", $"doc_id".as("id_a"))
+      .join(rareSh.select($"shingle", $"doc_id".as("id_b")), Seq("shingle"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 5)
+      .select("id_a", "id_b")
+    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val dot = pairs
+      .join(tf.select($"doc_id".as("id_a"), $"shingle", $"tf".as("tf_a")), Seq("id_a"))
+      .join(tf.select($"doc_id".as("id_b"), $"shingle".as("sh_b"), $"tf".as("tf_b")), Seq("id_b"))
+      .filter($"shingle" === $"sh_b")
+      .groupBy($"id_a", $"id_b").agg(sum($"tf_a" * $"tf_b").as("dot"))
+    dot
+      .join(norms.select($"doc_id".as("id_a"), $"n2".as("na")), Seq("id_a"))
+      .join(norms.select($"doc_id".as("id_b"), $"n2".as("nb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        round($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6).as("cosine"))
+      .filter($"cosine" >= 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_sparse_cosine" -> sparseCosine _,
     "q288_golden_record" -> goldenRecord _,
     "q298_minhash_calibration" -> minhashCalibration _,
     "q239_cluster_sizes" -> clusterSizeHist _,
@@ -510,6 +566,40 @@ object DedupQueries {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN power(2.0, 31 - b) ELSE 0.0 END) AS BIGINT) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q302_sparse_cosine" ->
+      s"""WITH reps AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |    FROM documents) WHERE doc_id = rep),
+         |w AS (SELECT doc_id, $wordsSql AS w FROM reps),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle FROM w),
+         |tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+         |  FROM sh GROUP BY 1, 2),
+         |cap AS (SELECT greatest(20, count(*) * 4 // 1000) AS df_cap
+         |  FROM reps),
+         |rare AS (SELECT shingle FROM tf, cap GROUP BY shingle, df_cap
+         |  HAVING count(*) <= df_cap AND count(*) >= 2),
+         |rsh AS (SELECT doc_id, tf.shingle FROM tf JOIN rare USING (shingle)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM tf GROUP BY 1),
+         |dots AS (SELECT p.id_a, p.id_b, CAST(sum(ta.tf * tb.tf) AS BIGINT)
+         |    AS dot
+         |  FROM pairs p JOIN tf ta ON ta.doc_id = p.id_a
+         |  JOIN tf tb ON tb.doc_id = p.id_b AND tb.shingle = ta.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+         |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+         |FROM dots JOIN norms na ON na.doc_id = id_a
+         |JOIN norms nb ON nb.doc_id = id_b
+         |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+         |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q33_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |cap AS (SELECT greatest(20, count(*) * 4 // 1000) AS df_cap FROM documents),

@@ -655,8 +655,64 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // q303: BM25 ranked retrieval — the search-engine scoring function run
+  // as one scan + one broadcast stats row: per-document term frequencies
+  // come from per-row array filters (NO posting-list explode for a
+  // fixed query), corpus statistics (N, Σlen, per-term df) ride a single
+  // aggregate, and the three per-term contributions are summed in
+  // EXPLICIT expression order — never a float aggregation whose order
+  // the engine picks. idf's argument is a ratio of exact integers ±0.5,
+  // so both engines hand ln the identical double. Top-20 cut is total-
+  // ordered by (raw score, doc_id); the raw scores are bit-identical so
+  // the cut set is too. The 100 TB posture: scoring is embarrassingly
+  // parallel map work + TakeOrderedAndProject — no shuffle before the
+  // final k rows.
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("merge", "window", "stream")
+    val t = Tables(s, dir).documents
+      .select($"doc_id", PF.tokens($"text").as("toks"))
+      .select(($"doc_id" +: size($"toks").cast("long").as("len") +:
+        terms.zipWithIndex.map { case (w, i) =>
+          size(filter($"toks", x => x === w)).cast("long").as(s"tf$i") }): _*)
+    val aggCols = count(lit(1)).as("n") +: sum($"len").as("sl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val st = t.agg(aggCols.head, aggCols.tail: _*)
+    val avglen = $"sl".cast("double") / $"n"
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i")
+      log(($"n".cast("double") - df + 0.5) / (df + lit(0.5))) *
+        (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / avglen))
+    }.reduce(_ + _)
+    t.crossJoin(broadcast(st))
+      .withColumn("score_raw", score)
+      .orderBy($"score_raw".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"tf0", $"tf1", $"tf2",
+        round($"score_raw", 6).as("score"))
+  }
+
+  // q304: the SQL leg of the native CDC chunker — `cdc_cuts` reached
+  // through its GraftExtensions registration (q197's pattern for
+  // dot_product): plain SQL text over a temp view, proving a SQL-only
+  // user gets the same native expression the Column API exposes. The
+  // chunk-count histogram doubles as a distribution audit for the
+  // chunker (expected-64-byte geometric-ish spread).
+  def cdcCutsSql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).documents.createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT CAST(size(cdc_cuts(text)) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY n_chunks""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_cdc_chunks" -> cdcChunks _,
+    "q303_bm25" -> bm25 _,
+    "q304_cdc_cuts_sql" -> cdcCutsSql _,
     "q300_chunk_dedup" -> chunkDedupPipeline _,
     "q280_regex_battery" -> regexBattery _,
     "q247_vocab_coverage" -> vocabCoverage _,
@@ -857,6 +913,46 @@ object TextQueries {
         |      - sum(CASE WHEN rn = 1 THEN len(chunk) ELSE 0 END))
         |    * 1000000 / sum(len(chunk))) AS BIGINT) AS dedup_ppm
         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+    "q304_cdc_cuts_sql" ->
+      s"""WITH c AS (SELECT doc_id, text,
+        |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> CASE WHEN $cdcCutSqlHash % 64 = 0
+        |         THEN CAST(i AS BIGINT) END),
+        |    x -> x IS NOT NULL) AS cuts
+        |  FROM documents)
+        |SELECT CAST(len(cuts) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars
+        |FROM c GROUP BY 1 ORDER BY n_chunks""".stripMargin,
+    "q303_bm25" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+         |    CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf0,
+         |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS tf2
+         |  FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS sl,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |  FROM t),
+         |sc AS (SELECT doc_id, tf0, tf1, tf2,
+         |    ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+         |      * (CAST(tf0 AS DOUBLE) * 2.2)
+         |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
+         |        / (CAST(sl AS DOUBLE) / n)))
+         |    + ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+         |      * (CAST(tf1 AS DOUBLE) * 2.2)
+         |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
+         |        / (CAST(sl AS DOUBLE) / n)))
+         |    + ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+         |      * (CAST(tf2 AS DOUBLE) * 2.2)
+         |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
+         |        / (CAST(sl AS DOUBLE) / n))) AS score_raw
+         |  FROM t, st)
+         |SELECT doc_id, tf0, tf1, tf2, round(score_raw, 6) AS score
+         |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     "q285_cdc_chunks" ->
       s"""WITH c AS (SELECT doc_id, len(text) AS n_chars,
         |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),

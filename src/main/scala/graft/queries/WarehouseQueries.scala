@@ -420,7 +420,46 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q301: incremental read (change feed) — "give me what's new since
+  // version v" answered from the MANIFEST DIFF, so the cost is the delta
+  // files only: yesterday's 100 TB never gets re-opened, which is the
+  // entire point of incremental consumption on a lake table. Three
+  // append commits (day-sliced orders); changes(v1→v3) must (a) plan a
+  // scan over EXACTLY the commit-2/3 files — pinned with a require on
+  // inputFiles, the file-level proof — and (b) aggregate to the same
+  // answer as the relational slice (the row-level proof the oracle
+  // hash-checks). The non-append guard rails (overwrite/delete in range
+  // fail loudly) are spec-covered.
+  def incrementalRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q301_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val cut1 = lit("1997-01-01").cast("timestamp")
+    val cut2 = lit("1999-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(slice($"o_orderdate" < cut1), out, append = false)
+    ManifestTable.commit(
+      slice($"o_orderdate" >= cut1 && $"o_orderdate" < cut2), out, append = true)
+    ManifestTable.commit(slice($"o_orderdate" >= cut2), out, append = true)
+    val delta = ManifestTable.changes(s, out, fromVersion = 1)
+    val read = delta.inputFiles.toSet
+    require(read.nonEmpty && read.forall(f =>
+      f.contains("commit-2") || f.contains("commit-3")),
+      s"q301: incremental read must touch ONLY delta files, read: $read")
+    delta.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
     "q273_compact_expire" -> compactExpire _,
@@ -436,6 +475,12 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q301_incremental_read" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q299_dsv2_write" ->
       """WITH base AS (SELECT o_orderpriority, o_orderstatus, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -141,6 +141,34 @@ object ManifestTable {
     df
   }
 
+  /** Incremental read (change feed): the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), computed from the MANIFEST
+    * DIFF — only the delta files are ever opened, so reading "what's new
+    * since yesterday's version" costs O(delta bytes) however large the
+    * table (the Iceberg incremental-scan contract; a row-diff join like
+    * q264's snapshotDiff costs O(table) and is only needed for non-append
+    * histories). Fails loudly when the range contains an overwrite or a
+    * delete commit — files removed or rows erased can't be expressed as
+    * an append-only feed. */
+  def changes(spark: SparkSession, dir: String, fromVersion: Int,
+              toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(dir)
+    require(fromVersion >= 0 && fromVersion < to,
+      s"changes: need 0 <= fromVersion < toVersion, got ($fromVersion, $to)")
+    val before = (if (fromVersion == 0) Seq.empty else manifestFiles(dir, fromVersion))
+      .map(parseEntry)
+    val after = manifestFiles(dir, to).map(parseEntry)
+    val beforeSet = before.map(_.path).toSet
+    require(before.map(_.path).forall(after.map(_.path).toSet.contains),
+      s"changes: v$fromVersion→v$to removed files (overwrite/compaction in " +
+        "range) — not an append-only history; use a snapshot diff")
+    val added = after.filterNot(e => beforeSet.contains(e.path))
+    require(added.forall(_.deleteKey.isEmpty),
+      s"changes: v$fromVersion→v$to contains delete commits — rows were " +
+        "erased; use a snapshot diff")
+    spark.read.parquet(added.map(_.path): _*)
+  }
+
   /** Number of data files in a snapshot — O(1) from the manifest, never a
     * directory listing. */
   def fileCount(dir: String, version: Int = -1): Int = {

@@ -85,6 +85,28 @@ class ManifestTableSpec extends SparkSpec {
       .sameElements(Array(1L, 3L, 5L, 7L, 20L)))
   }
 
+  test("incremental read returns exactly the appended delta; non-append ranges fail loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    ManifestTable.commit((11L to 15L).toDF("k"), dir, append = true)
+    ManifestTable.commit((16L to 18L).toDF("k"), dir, append = true)
+    // v1→v3 delta = the two appended slices, nothing re-read from v1
+    val delta = ManifestTable.changes(spark, dir, 1)
+    assert(delta.as[Long].collect().sorted.toSeq == (11L to 18L).toSeq)
+    assert(delta.inputFiles.forall(f => !f.contains("commit-1")))
+    // from version 0 = everything
+    assert(ManifestTable.changes(spark, dir, 0).count() == 18)
+    // an overwrite in range breaks append-only semantics → loud failure
+    ManifestTable.commit(Seq(99L).toDF("k"), dir, append = false)
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 1))
+    // a delete commit in range likewise
+    val dir2 = freshDir()
+    ManifestTable.commit((1L to 5L).toDF("k"), dir2, append = false)
+    ManifestTable.delete(Seq(2L).toDF("k"), dir2, "k")
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir2, 1))
+  }
+
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
     import spark.implicits._
     val dir = freshDir()
