@@ -315,6 +315,93 @@ object RelationalQueries2 {
       .orderBy($"n_items")
   }
 
+  // q305: price-volume-mix decomposition — the BI bridge between two
+  // periods: ΔRevenue = p₀·ΔQ (volume effect) + Δp·Q₀ (price effect)
+  // + Δp·ΔQ (joint), per brand across two order-years. Period totals
+  // (cents, quantity) are EXACT integer sums from one conditional-
+  // aggregate scan of the fact join; the three effects are single
+  // identical-spelling IEEE expressions over those integers (unit price
+  // is the rational R/Q), rounded once for display. The exact-cents ΔR
+  // rides alongside so the decomposition is auditable against an
+  // integer ground truth.
+  def priceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1998-01-01").cast("timestamp")
+    val y2 = lit("1999-01-01").cast("timestamp")
+    val f = t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= y0 && $"o_orderdate" < y2)
+      .join(broadcast(t.part.select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", ($"o_orderdate" >= y1).as("is_p1"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("qty"))
+    val per = f.groupBy($"p_brand")
+      .agg(sum(when(!$"is_p1", $"cents").otherwise(0L)).as("r0"),
+        sum(when(!$"is_p1", $"qty").otherwise(0L)).as("q0"),
+        sum(when($"is_p1", $"cents").otherwise(0L)).as("r1"),
+        sum(when($"is_p1", $"qty").otherwise(0L)).as("q1"))
+      .filter($"q0" > 0 && $"q1" > 0)
+    val p0 = $"r0".cast("double") / $"q0"
+    val p1 = $"r1".cast("double") / $"q1"
+    per.select($"p_brand", ($"r1" - $"r0").as("delta_cents"),
+        round(p0 * ($"q1" - $"q0"), 2).as("volume_effect"),
+        round((p1 - p0) * $"q0", 2).as("price_effect"),
+        round((p1 - p0) * ($"q1" - $"q0"), 2).as("joint_effect"))
+      .orderBy($"p_brand")
+  }
+
+  // q306: AQE skew-join as a GATE face — the runtime answer to a hot key
+  // the optimizer can't see coming: a fifth of all users collapse onto
+  // key 0, broadcast is off (the at-scale shape), and AQE must split the
+  // hot partition instead of leaving one straggler task. The face
+  // EXECUTES the join in a child session with probe-scale skew
+  // thresholds, then requires `skew=true` in the final adaptive plan —
+  // so the gate fails if a config or Spark upgrade silently turns the
+  // mitigation off. Result is an exact-integer per-segment aggregate
+  // (skew handling must not change ANY row), hash-checked against the
+  // relational oracle.
+  def aqeSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "16")
+
+    import s2.implicits._
+    // a skewed reduce partition splits at MAP-OUTPUT granularity: the
+    // one-file probe scan is ONE mapper = one indivisible block, so
+    // spread the fact across mappers first (any real 100 TB fact table
+    // has thousands of mappers; the repartition stands in for that)
+    val e = Tables(s2, dir).events
+      .select(when($"user_id" % 5 === 0, 0L).otherwise($"user_id").as("k"),
+        round($"value" * 100).cast("long").as("cents"))
+      .repartition(8)
+    // localCheckpoint pins the dim BELOW an exchange boundary: the skew
+    // rule only matches SMJ(Sort(Shuffle), Sort(Shuffle)) — an aggregate
+    // sitting between shuffle and join on either side disables it
+    val dim = Tables(s2, dir).events
+      .select(when($"user_id" % 5 === 0, 0L).otherwise($"user_id").as("k"))
+      .distinct()
+      .select($"k", pmod($"k", lit(7)).as("seg"))
+      .localCheckpoint()
+    val joined = e.join(dim, Seq("k"))
+    val agg = joined.groupBy($"seg")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+      .orderBy($"seg")
+    // execute THIS plan so the adaptive final plan exists, then pin the
+    // skew split
+    agg.collect(): Unit
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("skew=true"),
+      s"q306: AQE did not mark/split the hot partition:\n$plan")
+    agg
+  }
+
   // q271: DYNAMIC partition pruning — the star-join optimization static
   // pruning (q126) can't do: the fact filter arrives THROUGH a join with
   // a filtered dimension, so which lang= directories survive is only
@@ -2785,6 +2872,8 @@ object RelationalQueries2 {
     "q284_ols_regression" -> bySql(Seq("events"), olsSql) _,
     "q289_woe_binning" -> woeBinning _,
     "q296_nested_baskets" -> nestedBaskets _,
+    "q305_price_volume_mix" -> priceVolumeMix _,
+    "q306_aqe_skew_join" -> aqeSkewJoin _,
     "q287_join_hints" -> joinHints _,
     "q263_proration" -> proration _,
     "q271_dynamic_pruning" -> dynamicPartitionPruning _,
@@ -2913,6 +3002,37 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q284_ols_regression" -> olsSql,
+    "q305_price_volume_mix" ->
+      """WITH f AS (SELECT p_brand,
+        |    (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') AS is_p1,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        |per AS (SELECT p_brand,
+        |    CAST(sum(CASE WHEN NOT is_p1 THEN cents ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN NOT is_p1 THEN qty ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN is_p1 THEN cents ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN is_p1 THEN qty ELSE 0 END) AS BIGINT) AS q1
+        |  FROM f GROUP BY 1 HAVING q0 > 0 AND q1 > 0)
+        |SELECT p_brand, CAST(r1 - r0 AS BIGINT) AS delta_cents,
+        |  round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0), 2) AS volume_effect,
+        |  round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) * q0, 2)
+        |    AS price_effect,
+        |  round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+        |    * (q1 - q0), 2) AS joint_effect
+        |FROM per ORDER BY p_brand""".stripMargin,
+    "q306_aqe_skew_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 5 = 0 THEN 0
+        |      ELSE user_id END AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |dim AS (SELECT DISTINCT k, k % 7 AS seg FROM e)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM e JOIN dim USING (k)
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "q296_nested_baskets" ->
       """WITH b AS (SELECT l_orderkey, count(*) AS n_items,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS basket_cents,
