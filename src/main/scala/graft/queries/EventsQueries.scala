@@ -1266,6 +1266,64 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  // q309: HLL set algebra — audience overlap WITHOUT a join: the
+  // viewers∩purchasers estimate via inclusion-exclusion over three
+  // mergeable sketches (|A| + |B| − |A∪B|). At 100 TB this is two scans'
+  // worth of sketch partials and zero shuffled user ids, vs an exact
+  // distinct-join over both audiences; the face keeps the sketch honest
+  // by computing the EXACT overlap alongside and pinning the estimates
+  // inside their bounds (intersection error compounds all three sketch
+  // errors — hence the wider 15% gate). Output is exact integers + the
+  // bound booleans, so the oracle stays engine-expressible.
+  def hllIntersection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val a = ev.filter($"event_type" === "view")
+      .agg(expr("hll_sketch_agg(user_id)").as("ska"))
+    val b = ev.filter($"event_type" === "purchase")
+      .agg(expr("hll_sketch_agg(user_id)").as("skb"))
+    val est = a.crossJoin(b).select(
+      expr("hll_sketch_estimate(ska)").as("est_a"),
+      expr("hll_sketch_estimate(skb)").as("est_b"),
+      expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+    val ua = ev.filter($"event_type" === "view").select($"user_id").distinct()
+    val ub = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    val exact = ua.join(ub, Seq("user_id")).agg(count(lit(1)).as("exact_inter"))
+      .crossJoin(ua.agg(count(lit(1)).as("exact_a")))
+      .crossJoin(ub.agg(count(lit(1)).as("exact_b")))
+    est.crossJoin(exact).select(
+      $"exact_a", $"exact_b", $"exact_inter",
+      ($"exact_a" + $"exact_b" - $"exact_inter").as("exact_union"),
+      (abs($"est_a" - $"exact_a") / $"exact_a" <= 0.05).as("a_within_5pct"),
+      (abs($"est_b" - $"exact_b") / $"exact_b" <= 0.05).as("b_within_5pct"),
+      (abs(($"est_a" + $"est_b" - $"est_u") - $"exact_inter") /
+        $"exact_inter" <= 0.15).as("inter_within_15pct"))
+  }
+
+  // q310: sketch persistence — the incremental-analytics contract that
+  // makes q135's re-aggregation operational: per-day HLL sketches are
+  // WRITTEN TO PARQUET (binary column), read back in a separate scan,
+  // and merged with hll_union_agg — so yesterday's raw events never need
+  // to exist again; any date range's distinct count comes from unioning
+  // stored kilobyte sketches. The face pins the whole loop (aggregate →
+  // persist → read → merge → estimate) against the exact distinct count.
+  def sketchPersistence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q310_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    val ev = Tables(s, dir).events.select($"user_id", to_date($"ts").as("day"))
+    ev.groupBy($"day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val merged = s.read.parquet(out)
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"))
+    val exact = ev.agg(countDistinct($"user_id").as("exact_total"))
+    merged.crossJoin(exact).select($"n_days", $"exact_total",
+      (abs($"est_total" - $"exact_total") / $"exact_total" <= 0.05)
+        .as("within_5pct"))
+  }
+
   // q291: seasonal-naive forecast backtest with exact MASE — the
   // capacity-planning loop: forecast the last week's hourly event volume
   // with "same hour last week" and score it against the in-sample naive
@@ -1470,6 +1528,8 @@ object EventsQueries {
     "q295_decay_attribution" -> decayAttribution _,
     "q293_rolling_slope" -> rollingSlope _,
     "q297_cumulative_uniques" -> cumulativeUniques _,
+    "q309_hll_intersection" -> hllIntersection _,
+    "q310_sketch_persistence" -> sketchPersistence _,
     "q269_event_patterns" -> eventPatterns _,
     "q224_retention_jaccard" -> retentionJaccard _,
     "q225_trigram_seqs" -> trigramSequences _,
@@ -1645,6 +1705,25 @@ object EventsQueries {
         |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr
         |FROM a ORDER BY event_type""".stripMargin,
+    "q309_hll_intersection" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM a JOIN b USING (user_id)),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
+        |cb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b)
+        |SELECT exact_a, exact_b, exact_inter,
+        |  CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+        |  TRUE AS a_within_5pct, TRUE AS b_within_5pct,
+        |  TRUE AS inter_within_15pct
+        |FROM x, ca, cb""".stripMargin,
+    "q310_sketch_persistence" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total,
+        |  TRUE AS within_5pct
+        |FROM events""".stripMargin,
     "q293_rolling_slope" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
         |    CAST(round(value * 100) AS BIGINT) AS cents

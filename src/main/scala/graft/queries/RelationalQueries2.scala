@@ -402,6 +402,36 @@ object RelationalQueries2 {
     agg
   }
 
+  // q307: k-anonymity / l-diversity audit — the privacy gate a training
+  // corpus or data release runs before shipping: group by quasi-
+  // identifiers (nation, segment, balance band) and count groups an
+  // attacker could single out (size < k = 5) plus groups whose SENSITIVE
+  // attribute (order priority) shows too little diversity (l < 3).
+  // Pure exact-integer aggregation: one QI grouping over the dim, one
+  // join to the sensitive relation — at 100 TB both shuffles key on the
+  // QI tuple, and the report is |nations|-bounded.
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val qi = t.customer.select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+      floor($"c_acctbal" / 2000).cast("long").as("bal_band"))
+    val groups = qi.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("gsize"))
+    val sens = qi.join(t.orders.select($"o_custkey", $"o_orderpriority"),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(countDistinct($"o_orderpriority").as("l_div"))
+    groups.join(sens, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"gsize" < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when($"gsize" < 5, $"gsize").otherwise(0L)).as("customers_at_risk"),
+        min(coalesce($"l_div", lit(0L))).as("min_l"),
+        sum(when(coalesce($"l_div", lit(0L)) < 3, 1L).otherwise(0L))
+          .as("n_low_diversity"))
+      .orderBy($"c_nationkey")
+  }
+
   // q271: DYNAMIC partition pruning — the star-join optimization static
   // pruning (q126) can't do: the fact filter arrives THROUGH a join with
   // a filtered dimension, so which lang= directories survive is only
@@ -2873,6 +2903,7 @@ object RelationalQueries2 {
     "q289_woe_binning" -> woeBinning _,
     "q296_nested_baskets" -> nestedBaskets _,
     "q305_price_volume_mix" -> priceVolumeMix _,
+    "q307_k_anonymity" -> kAnonymity _,
     "q306_aqe_skew_join" -> aqeSkewJoin _,
     "q287_join_hints" -> joinHints _,
     "q263_proration" -> proration _,
@@ -3002,6 +3033,29 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q284_ols_regression" -> olsSql,
+    "q307_k_anonymity" ->
+      """WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |grp AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(count(*) AS BIGINT) AS gsize
+        |  FROM qi GROUP BY 1, 2, 3),
+        |sens AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+        |  FROM qi JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT g.c_nationkey AS c_nationkey, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS customers_at_risk,
+        |  min(coalesce(l_div, 0)) AS min_l,
+        |  CAST(sum(CASE WHEN coalesce(l_div, 0) < 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low_diversity
+        |FROM grp g LEFT JOIN sens s
+        |  ON g.c_nationkey = s.c_nationkey
+        |  AND g.c_mktsegment = s.c_mktsegment AND g.bal_band = s.bal_band
+        |GROUP BY g.c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q305_price_volume_mix" ->
       """WITH f AS (SELECT p_brand,
         |    (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') AS is_p1,

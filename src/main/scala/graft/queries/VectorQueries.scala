@@ -394,7 +394,34 @@ object VectorQueries {
       .orderBy($"rank")
   }
 
+  // q308: per-dimension distribution audit over int8-quantized vectors —
+  // the feature-scaling statistics (mean/σ/range per dimension) computed
+  // where they are EXACT: quantized components are integers, so n, Σq,
+  // Σq² are exact longs and σ = √(n·Σq² − (Σq)²)/n is one IEEE
+  // expression both engines evaluate identically — a float-embedding
+  // version of the same stats would be summation-order-dependent and
+  // engine-divergent. One posexplode + one hash aggregate; output is
+  // |dims| rows however large the corpus. Dead/degenerate dimensions
+  // (σ ≈ 0) are what this screen exists to catch before training.
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = Similarity.withQuantizedInt8(emb, $"v", "q")
+    quant.select(posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"qv").cast("long").as("s"),
+        sum(($"qv" * $"qv").cast("long")).as("s2"),
+        min($"qv").as("q_min"), max($"qv").as("q_max"))
+      .select($"dim".cast("long").as("dim"), $"n", $"q_min", $"q_max",
+        round($"s".cast("double") / $"n", 6).as("mean"),
+        round(sqrt(($"n" * $"s2" - $"s" * $"s").cast("double")) / $"n", 6)
+          .as("std"))
+      .orderBy($"dim")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_dim_stats" -> dimStats _,
     "q258_pq_knn" -> pqAdc _,
     "q246_ivf_balance" -> ivfBalance _,
     "q195_norm_screen" -> normScreen _,
@@ -411,6 +438,22 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q308_dim_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT))
+        |    AS q FROM e),
+        |d AS (SELECT unnest(range(0, len(q))) AS dim, unnest(q) AS qv
+        |  FROM qt),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS s,
+        |    CAST(sum(qv * qv) AS BIGINT) AS s2,
+        |    CAST(min(qv) AS INT) AS q_min, CAST(max(qv) AS INT) AS q_max
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, q_min, q_max,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |  round(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n, 6) AS std
+        |FROM a ORDER BY dim""".stripMargin,
     "q258_pq_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
