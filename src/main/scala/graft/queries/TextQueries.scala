@@ -709,10 +709,67 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY n_chunks""".stripMargin)
   }
 
+  // q312: chunk-level contamination scan — q79 asks "does a training DOC
+  // overlap a benchmark"; this asks the sharper question modern decontam
+  // pipelines ask: does any content-defined CHUNK of a training document
+  // appear verbatim in the benchmark set? Because CdcCuts boundaries are
+  // content-addressed, a leaked passage chunks identically on both sides
+  // no matter where it sits in its document — so detection is ONE
+  // hash-equi join of training chunk hashes against the (small,
+  // broadcast) benchmark chunk-hash set; no pairwise text comparison
+  // anywhere. Benchmark = every 37th doc (stand-in for the eval suite);
+  // report = per-source contaminated docs/chunks/chars.
+  def chunkContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcBounds(s, dir)
+      .select($"doc_id", $"source", posexplode(expr(
+        "zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> substring(text, cast(a + 1 as int), cast(b - a as int)))")))
+      .select($"doc_id", $"source", $"pos", md5($"col".cast("binary")).as("h"),
+        length($"col").as("len"))
+    val bench = chunks.filter($"doc_id" % 37 === 0).select($"h").distinct()
+    val train = chunks.filter($"doc_id" % 37 =!= 0)
+    train.join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
+        count(lit(1)).as("n_leaked_chunks"),
+        sum($"len").cast("long").as("leaked_chars"))
+      .orderBy($"source")
+  }
+
+  // q313: boilerplate detection — chunks recurring across MANY DISTINCT
+  // documents (df ≥ 5) are templates/headers/navigation, the content a
+  // quality pipeline strips before training. CDC chunking makes the
+  // detector positional-shift-proof; the df aggregate keys on the chunk
+  // hash (one shuffle of hashes, never text), and the report is the
+  // per-source boilerplate share in exact ppm.
+  def boilerplateDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcBounds(s, dir)
+      .select($"doc_id", $"source", explode(expr(
+        "zip_with(slice(bounds, 1, size(bounds) - 1), slice(bounds, 2, size(bounds) - 1), (a, b) -> substring(text, cast(a + 1 as int), cast(b - a as int)))")).as("chunk"))
+      .select($"doc_id", $"source", md5($"chunk".cast("binary")).as("h"),
+        length($"chunk").as("len"))
+    val df5 = chunks.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("docfreq"))
+      .filter($"docfreq" >= 5)
+    chunks.join(broadcast(df5.select($"h")), Seq("h"), "left_semi")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_boiler_chunks"),
+        sum($"len").cast("long").as("boiler_chars"))
+      .join(chunks.groupBy($"source")
+        .agg(sum($"len").cast("long").as("total_chars")), Seq("source"))
+      .select($"source", $"n_boiler_chunks", $"boiler_chars", $"total_chars",
+        floor($"boiler_chars" * lit(1000000L) / $"total_chars").cast("long")
+          .as("boiler_ppm"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_cdc_chunks" -> cdcChunks _,
     "q303_bm25" -> bm25 _,
     "q304_cdc_cuts_sql" -> cdcCutsSql _,
+    "q312_chunk_contamination" -> chunkContamination _,
+    "q313_boilerplate" -> boilerplateDetect _,
     "q300_chunk_dedup" -> chunkDedupPipeline _,
     "q280_regex_battery" -> regexBattery _,
     "q247_vocab_coverage" -> vocabCoverage _,
@@ -913,6 +970,65 @@ object TextQueries {
         |      - sum(CASE WHEN rn = 1 THEN len(chunk) ELSE 0 END))
         |    * 1000000 / sum(len(chunk))) AS BIGINT) AS dedup_ppm
         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+    "q312_chunk_contamination" ->
+      s"""WITH c AS (SELECT doc_id, source, text, len(text) AS n_chars,
+        |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> CASE WHEN $cdcCutSqlHash % 64 = 0
+        |         THEN CAST(i AS BIGINT) END),
+        |    x -> x IS NOT NULL) AS cuts
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, text,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |      [CAST(n_chars AS BIGINT)]) AS bounds
+        |  FROM c),
+        |ch0 AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(bounds)),
+        |      i -> substr(text, CAST(bounds[i] + 1 AS INT),
+        |        CAST(bounds[i + 1] - bounds[i] AS INT))) AS lst
+        |  FROM b),
+        |ch AS (SELECT doc_id, source, md5(u) AS h,
+        |    CAST(len(u) AS INT) AS len
+        |  FROM (SELECT doc_id, source, unnest(lst) AS u FROM ch0)),
+        |bench AS (SELECT DISTINCT h FROM ch WHERE doc_id % 37 = 0)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+        |  CAST(count(*) AS BIGINT) AS n_leaked_chunks,
+        |  CAST(sum(len) AS BIGINT) AS leaked_chars
+        |FROM ch JOIN bench USING (h)
+        |WHERE doc_id % 37 <> 0
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "q313_boilerplate" ->
+      s"""WITH c AS (SELECT doc_id, source, text, len(text) AS n_chars,
+        |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),
+        |    i -> CASE WHEN $cdcCutSqlHash % 64 = 0
+        |         THEN CAST(i AS BIGINT) END),
+        |    x -> x IS NOT NULL) AS cuts
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, text,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |      [CAST(n_chars AS BIGINT)]) AS bounds
+        |  FROM c),
+        |ch0 AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(bounds)),
+        |      i -> substr(text, CAST(bounds[i] + 1 AS INT),
+        |        CAST(bounds[i + 1] - bounds[i] AS INT))) AS lst
+        |  FROM b),
+        |ch AS (SELECT doc_id, source, md5(u) AS h,
+        |    CAST(len(u) AS INT) AS len
+        |  FROM (SELECT doc_id, source, unnest(lst) AS u FROM ch0)),
+        |df5 AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM ch)
+        |  GROUP BY h HAVING count(*) >= 5),
+        |boiler AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_boiler_chunks,
+        |    CAST(sum(len) AS BIGINT) AS boiler_chars
+        |  FROM ch SEMI JOIN df5 USING (h) GROUP BY 1),
+        |tot AS (SELECT source, CAST(sum(len) AS BIGINT) AS total_chars
+        |  FROM ch GROUP BY 1)
+        |SELECT b2.source, n_boiler_chunks, boiler_chars, total_chars,
+        |  CAST(floor(boiler_chars * 1000000 / total_chars) AS BIGINT)
+        |    AS boiler_ppm
+        |FROM boiler b2 JOIN tot USING (source)
+        |ORDER BY source""".stripMargin,
     "q304_cdc_cuts_sql" ->
       s"""WITH c AS (SELECT doc_id, text,
         |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),

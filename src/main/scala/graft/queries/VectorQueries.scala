@@ -420,7 +420,47 @@ object VectorQueries {
       .orderBy($"dim")
   }
 
+  // q314: ANN ranking-quality evaluation — the harness that decides
+  // whether the quantized fast path is GOOD ENOUGH to ship: for each of
+  // 50 queries, where does the true (exact-cosine) nearest neighbor land
+  // in the int8 ranking? Output is the rank histogram with cumulative
+  // recall in exact ppm (rank_bucket 0 = "missed the top-10") — pure
+  // integer ratios, so the evaluation itself can never be the flaky
+  // part. MRR/recall@k all read off this table. One broadcast of the
+  // query set, one candidate pass, two WindowGroupLimit top-ks.
+  def annRankEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = Similarity.withQuantizedInt8(emb, $"v", "q")
+      .select($"vec_id", $"v", $"q")
+    val queries = quant.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"q".as("qq"))
+    val joined = quant.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"),
+        Similarity.dotInt8($"qq", $"q").as("score_int"),
+        round(Similarity.dot($"qv", $"v") /
+          (Similarity.l2Norm($"qv") * Similarity.l2Norm($"v")), 6).as("sim_exact"))
+      .localCheckpoint()
+    val truth = Relational.topKPerGroup(joined, Seq(col("q_id")),
+        Seq(col("sim_exact").desc, col("c_id").asc), 1, rankCol = "xr")
+      .select($"q_id", $"c_id")
+    val approx = Relational.topKPerGroup(joined, Seq(col("q_id")),
+        Seq(col("score_int").desc, col("c_id").asc), 10, rankCol = "arank")
+      .select($"q_id", $"c_id", $"arank")
+    val found = truth.join(approx, Seq("q_id", "c_id"), "left")
+      .select($"q_id", coalesce($"arank", lit(0)).as("rank_bucket"))
+    val tot = found.agg(count(lit(1)).as("n_q"))
+    found.groupBy($"rank_bucket").agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(tot))
+      .select($"rank_bucket".cast("long").as("rank_bucket"), $"n_queries",
+        floor($"n_queries" * lit(1000000L) / $"n_q").cast("long").as("share_ppm"))
+      .orderBy($"rank_bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_ann_rank_eval" -> annRankEval _,
     "q308_dim_stats" -> dimStats _,
     "q258_pq_knn" -> pqAdc _,
     "q246_ivf_balance" -> ivfBalance _,
@@ -438,6 +478,35 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q314_ann_rank_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (SELECT vec_id, v,
+         |    list_transform(v, x -> CAST(round(
+         |      x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+         |  FROM e),
+         |queries AS (SELECT vec_id AS q_id, v AS qv, q AS qq FROM qz
+         |  WHERE vec_id < 50),
+         |pairs AS (SELECT q_id, z.vec_id AS c_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * z.q[i])) AS BIGINT) AS score_int,
+         |    ${cosSql("qv", "z.v")} AS sim_exact
+         |  FROM qz z, queries WHERE z.vec_id <> q_id),
+         |truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim_exact DESC, c_id ASC) AS xr FROM pairs)
+         |  WHERE xr = 1),
+         |approx AS (SELECT q_id, c_id, arank FROM (SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_int DESC, c_id ASC) AS arank FROM pairs)
+         |  WHERE arank <= 10),
+         |found AS (SELECT t.q_id, coalesce(a.arank, 0) AS rank_bucket
+         |  FROM truth t LEFT JOIN approx a
+         |    ON t.q_id = a.q_id AND t.c_id = a.c_id),
+         |tot AS (SELECT count(*) AS n_q FROM found)
+         |SELECT CAST(rank_bucket AS BIGINT) AS rank_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(floor(count(*) * 1000000 / n_q) AS BIGINT) AS share_ppm
+         |FROM found, tot GROUP BY rank_bucket, n_q
+         |ORDER BY rank_bucket""".stripMargin,
     "q308_dim_stats" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
