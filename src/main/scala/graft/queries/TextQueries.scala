@@ -99,6 +99,15 @@ object TextQueries {
   // q54: TF-IDF top terms per language — tf per (doc, term), document
   // frequency via a second agg, corpus size broadcast as a 1-row join
   // (no driver-side count), ln-weighted, top-3 per lang via window rank.
+  // Cross-engine float contract (the q303 pinned-constant pattern): the
+  // per-term idf is pinned to integer MICRO-units at its source —
+  // round(ln(N/df)·1e6) as a long — so the per-doc weight tf·idf_micro
+  // is an exact long, the per-(lang,term) average sums LONGS (order-free,
+  // unlike a float sum whose low bits depend on each engine's add order),
+  // and avg_tfidf is ONE correctly-rounded IEEE division of exact
+  // integers — bit-identical across engines by construction. (Σ tf·idf
+  // stays < 2^53 through ~10^9-token corpora; past that, lift the sum to
+  // DECIMAL(38,0) — same plan, wider accumulator.)
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents
@@ -110,9 +119,11 @@ object TextQueries {
     val nTotal = docs.agg(count(lit(1)).as("n_total"))
     val tfidf = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nTotal))
       .select($"lang", $"term",
-        ($"tf" * log($"n_total".cast("double") / $"df")).as("tfidf"))
+        ($"tf" * round(log($"n_total".cast("double") / $"df") * 1000000.0)
+          .cast("long")).as("tfidf_micro"))
     val byLang = tfidf.groupBy($"lang", $"term")
-      .agg(round(avg($"tfidf"), 6).as("avg_tfidf"))
+      .agg((sum($"tfidf_micro").cast("double") /
+        (count(lit(1)) * lit(1000000L)).cast("double")).as("avg_tfidf"))
     graft.operators.Relational.topKPerGroup(byLang, Seq($"lang"),
         Seq($"avg_tfidf".desc, $"term".asc), 3, rankCol = "rk")
       .select($"lang", $"term", $"avg_tfidf", $"rk")
@@ -394,17 +405,25 @@ object TextQueries {
   // q163: per-source language-mix entropy — corpus-composition telemetry
   // (is a crawl source monolingual or mixed?). Same integer-count entropy
   // identity as q134 (H = log2 n − Σ c·log2 c / n) lifted from chars to
-  // (source, lang) counts; the Σ runs over ≤|langs| doubles per source.
+  // (source, lang) counts. Cross-engine float contract (the q303
+  // pinned-constant pattern): each log2 is pinned to integer MICRO-units
+  // at its source — round(log2(c)·1e6) as a long — so Σ c·log2c_micro is
+  // an exact integer sum (order-free; a raw double Σ would carry each
+  // engine's addition order in its low bits), and the entropy is ONE
+  // correctly-rounded IEEE division of exact longs:
+  //   H = (n·log2n_micro − Σ c·log2c_micro) / (n · 1e6).
   def sourceEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val micro = (x: org.apache.spark.sql.Column) => round(log2(x) * 1000000.0).cast("long")
     val counts = Tables(s, dir).documents
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
     counts.groupBy($"source")
       .agg(sum($"c").cast("long").as("n_docs"),
         count(lit(1)).as("n_langs"),
-        sum($"c".cast("double") * log2($"c")).as("_sclc"))
+        sum($"c" * micro($"c")).cast("long").as("_sclc_u"))
       .select($"source", $"n_docs", $"n_langs",
-        round(log2($"n_docs") - $"_sclc" / $"n_docs", 6).as("lang_entropy"))
+        (($"n_docs" * micro($"n_docs") - $"_sclc_u").cast("double") /
+          ($"n_docs" * lit(1000000L)).cast("double")).as("lang_entropy"))
       .orderBy($"source")
   }
 
@@ -490,11 +509,17 @@ object TextQueries {
 
   // q228: Zipf rank-frequency slope — OLS fit of ln(freq) on ln(rank)
   // over the corpus token distribution (natural-language corpora slope
-  // ≈ −1; a drifting slope flags synthetic/degenerate text). Counts and
-  // ranks are exact integers; the four OLS sums are doubles over the
-  // REDUCED |vocab| table (bounded by distinct-token count at any corpus
-  // scale), assembled via the closed form
-  // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), rounded at the end.
+  // ≈ −1; a drifting slope flags synthetic/degenerate text). Cross-engine
+  // float contract (the q303 pinned-constant pattern): both regressors
+  // are pinned to integer MICRO-units at the source — round(ln(·)·1e6) as
+  // longs — so the four OLS sums are EXACT integers (xm·ym < 2^53 per
+  // element; the Σs ride DECIMAL(38,0)/HUGEINT accumulators, order-free),
+  // the closed forms  slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²)  and
+  // intercept = (ΣyΣxx − ΣxΣxy)/(n·Σxx − Σx²)/1e6  are exact-integer
+  // ratios, and the only float ops are the final conversions+division
+  // (≤1 ulp of engine slack from >2^53 int→double conversion, absorbed
+  // by round(·, 6)). |vocab| is bounded by distinct-token count at any
+  // corpus scale, so the DECIMAL headroom (~1e33 of 1e38) holds.
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val counts = Tables(s, dir).documents
@@ -502,16 +527,17 @@ object TextQueries {
       .groupBy($"tok").agg(count(lit(1)).as("c"))
     val ranked = graft.operators.Relational.globalRank(counts,
       Seq($"c".desc, $"tok"), "rank")
-      .select(log($"rank".cast("double")).as("x"),
-        log($"c".cast("double")).as("y"))
-    ranked.agg(count(lit(1)).as("_n"), sum($"x").as("_sx"),
-        sum($"y").as("_sy"), sum($"x" * $"y").as("_sxy"),
-        sum($"x" * $"x").as("_sxx"))
+      .select(round(log($"rank".cast("double")) * 1000000.0).cast("long").as("xm"),
+        round(log($"c".cast("double")) * 1000000.0).cast("long").as("ym"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ranked.agg(count(lit(1)).as("_n"), sum(dec($"xm")).as("_sx"),
+        sum(dec($"ym")).as("_sy"), sum(dec($"xm" * $"ym")).as("_sxy"),
+        sum(dec($"xm" * $"xm")).as("_sxx"))
       .select($"_n".as("n_terms"),
-        round(($"_n" * $"_sxy" - $"_sx" * $"_sy") /
-          ($"_n" * $"_sxx" - $"_sx" * $"_sx"), 6).as("slope"),
-        round(($"_sy" - ($"_n" * $"_sxy" - $"_sx" * $"_sy") /
-          ($"_n" * $"_sxx" - $"_sx" * $"_sx") * $"_sx") / $"_n", 6)
+        round(($"_n" * $"_sxy" - $"_sx" * $"_sy").cast("double") /
+          ($"_n" * $"_sxx" - $"_sx" * $"_sx").cast("double"), 6).as("slope"),
+        round(($"_sy" * $"_sxx" - $"_sx" * $"_sxy").cast("double") /
+          ($"_n" * $"_sxx" - $"_sx" * $"_sx").cast("double") / 1000000.0, 6)
           .as("intercept"))
   }
 
@@ -661,12 +687,26 @@ object TextQueries {
   // fixed query), corpus statistics (N, Σlen, per-term df) ride a single
   // aggregate, and the three per-term contributions are summed in
   // EXPLICIT expression order — never a float aggregation whose order
-  // the engine picks. idf's argument is a ratio of exact integers ±0.5,
-  // so both engines hand ln the identical double. Top-20 cut is total-
-  // ordered by (raw score, doc_id); the raw scores are bit-identical so
-  // the cut set is too. The 100 TB posture: scoring is embarrassingly
-  // parallel map work + TakeOrderedAndProject — no shuffle before the
-  // final k rows.
+  // the engine picks. Cross-engine float contract (the round-6 lesson:
+  // identical ln *input* does NOT give identical ln *output* — JVM
+  // Math.log and libm ln are each ≤1 ulp off but not the SAME ulp):
+  //   1. Each per-term idf is PINNED — round(ln(·), 6) — as part of the
+  //      query definition. After pinning, both engines hold the same
+  //      double (the transcendental's ulp slack is absorbed unless the
+  //      true value sits within ~1 ulp of a 5e-7 boundary — 3 values,
+  //      not 20 per-doc chains).
+  //   2. The per-doc term is rewritten as a SINGLE division of exact
+  //      integers: with k1=1.2=12/10, b=0.75=3/4, avglen=sl/n,
+  //        tf·(k1+1) / (tf + k1·(1−b+b·len·n/sl))
+  //        = 22·tf·sl / (10·tf·sl + 3·sl + 9·len·n),
+  //      so term_i = idf6_i * CAST(int) / CAST(int): long arithmetic is
+  //      exact, long→double conversion is identical in both engines
+  //      (num/den < 2^53 up to ~10^12 corpus tokens·tf), and *, /, + on
+  //      identical doubles in identical association order are IEEE
+  //      correctly-rounded → score is bit-identical BY CONSTRUCTION.
+  // Top-20 cut is total-ordered by (bit-identical score, doc_id).
+  // The 100 TB posture: scoring is embarrassingly parallel map work +
+  // TakeOrderedAndProject — no shuffle before the final k rows.
   def bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val terms = Seq("merge", "window", "stream")
@@ -679,12 +719,14 @@ object TextQueries {
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val st = t.agg(aggCols.head, aggCols.tail: _*)
-    val avglen = $"sl".cast("double") / $"n"
     val score = terms.indices.map { i =>
-      val tf = col(s"tf$i").cast("double")
+      val tf = col(s"tf$i")
       val df = col(s"df$i")
-      log(($"n".cast("double") - df + 0.5) / (df + lit(0.5))) *
-        (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / avglen))
+      val idf6 = round(
+        log(($"n".cast("double") - df + 0.5) / (df + lit(0.5))), 6)
+      idf6 * (tf * lit(22L) * $"sl").cast("double") /
+        (tf * lit(10L) * $"sl" + lit(3L) * $"sl" +
+          lit(9L) * $"len" * $"n").cast("double")
     }.reduce(_ + _)
     t.crossJoin(broadcast(st))
       .withColumn("score_raw", score)
@@ -1054,18 +1096,16 @@ object TextQueries {
          |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
          |  FROM t),
          |sc AS (SELECT doc_id, tf0, tf1, tf2,
-         |    ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
-         |      * (CAST(tf0 AS DOUBLE) * 2.2)
-         |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
-         |        / (CAST(sl AS DOUBLE) / n)))
-         |    + ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
-         |      * (CAST(tf1 AS DOUBLE) * 2.2)
-         |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
-         |        / (CAST(sl AS DOUBLE) / n)))
-         |    + ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
-         |      * (CAST(tf2 AS DOUBLE) * 2.2)
-         |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
-         |        / (CAST(sl AS DOUBLE) / n))) AS score_raw
+         |    round(ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)), 6)
+         |      * CAST(tf0 * 22 * sl AS DOUBLE)
+         |      / CAST(tf0 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |    + round(ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)), 6)
+         |      * CAST(tf1 * 22 * sl AS DOUBLE)
+         |      / CAST(tf1 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |    + round(ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)), 6)
+         |      * CAST(tf2 * 22 * sl AS DOUBLE)
+         |      / CAST(tf2 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |      AS score_raw
          |  FROM t, st)
          |SELECT doc_id, tf0, tf1, tf2, round(score_raw, 6) AS score
          |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
@@ -1118,15 +1158,17 @@ object TextQueries {
         |    x -> len(x) > 0)) AS tok FROM documents),
         |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
         |r AS (SELECT
-        |    ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
-        |      AS x,
-        |    ln(CAST(c AS DOUBLE)) AS y FROM c),
-        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |    CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+        |      AS DOUBLE)) * 1000000.0) AS BIGINT) AS xm,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS ym
+        |  FROM c),
+        |a AS (SELECT count(*) AS n, sum(xm) AS sx, sum(ym) AS sy,
+        |    sum(xm * ym) AS sxy, sum(xm * xm) AS sxx FROM r)
         |SELECT CAST(n AS BIGINT) AS n_terms,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-        |    6) AS intercept
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS intercept
         |FROM a""".stripMargin,
     "q229_length_survival" ->
       """WITH th AS (SELECT unnest([50, 100, 200, 400, 800]) AS threshold),
@@ -1217,10 +1259,13 @@ object TextQueries {
         |    GROUP BY 1, 2),
         |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS nd,
         |    CAST(count(*) AS BIGINT) AS nl,
-        |    sum(CAST(cnt AS DOUBLE) * log2(cnt)) AS sclc
+        |    CAST(sum(cnt * CAST(round(log2(cnt) * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS sclc_u
         |  FROM c GROUP BY source)
         |SELECT source, nd AS n_docs, nl AS n_langs,
-        |  round(log2(nd) - sclc / nd, 6) AS lang_entropy
+        |  CAST(nd * CAST(round(log2(nd) * 1000000.0) AS BIGINT) - sclc_u
+        |      AS DOUBLE)
+        |    / CAST(nd * 1000000 AS DOUBLE) AS lang_entropy
         |FROM a ORDER BY source""".stripMargin,
     "q117_inverted_index" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS tok FROM documents)
@@ -1396,9 +1441,13 @@ object TextQueries {
          |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*) AS n_total FROM documents),
-         |tfidf AS (SELECT lang, tf.term, tf * ln(CAST(n_total AS DOUBLE) / df) AS tfidf
+         |tfidf AS (SELECT lang, tf.term,
+         |    tf * CAST(round(ln(CAST(n_total AS DOUBLE) / df) * 1000000.0)
+         |      AS BIGINT) AS tfidf_micro
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-         |by_lang AS (SELECT lang, term, round(avg(tfidf), 6) AS avg_tfidf
+         |by_lang AS (SELECT lang, term,
+         |    CAST(sum(tfidf_micro) AS DOUBLE)
+         |      / CAST(count(*) * 1000000 AS DOUBLE) AS avg_tfidf
          |  FROM tfidf GROUP BY lang, term),
          |ranked AS (SELECT lang, term, avg_tfidf,
          |  row_number() OVER (PARTITION BY lang ORDER BY avg_tfidf DESC, term ASC) AS rk

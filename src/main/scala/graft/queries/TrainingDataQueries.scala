@@ -322,7 +322,10 @@ object TrainingDataQueries {
     val tot = docs.agg(sum($"w").as("tw"))
     val cum = Relational.globalRunningSum(
         docs.crossJoin(broadcast(tot)), Seq($"doc_id"), $"w", "cw")
-      .withColumn("step", expr("tw DIV 200"))
+      // greatest(1, ·): on a degenerate corpus with ΣW < 200 a zero step
+      // would be NULL-division in Spark but a hard error in DuckDB — the
+      // engines must take the same path (here: every doc selected)
+      .withColumn("step", greatest(lit(1L), expr("tw DIV 200")))
       .withColumn("sel", expr("cw DIV step") > expr("(cw - w) DIV step"))
     cum.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"w").as("chars_total"),
@@ -461,7 +464,8 @@ object TrainingDataQueries {
     "q261_pps_sample" ->
       """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
         |  FROM documents),
-        |t AS (SELECT CAST(sum(w) AS BIGINT) // 200 AS step FROM d),
+        |t AS (SELECT greatest(1, CAST(sum(w) AS BIGINT) // 200) AS step
+        |  FROM d),
         |c AS (SELECT doc_id, source, w,
         |    CAST(sum(w) OVER (ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM d),

@@ -30,15 +30,24 @@ object ManifestTable {
 
   private def manifests(dir: String): Path = Paths.get(dir, "_manifests")
 
+  /** Manifest version numbers present on disk, closing the directory
+    * stream (Files.list holds an open handle until closed — every
+    * commit/read calls this, so a leak here exhausts fds). */
+  private def versionsOnDisk(md: Path): Seq[Int] = {
+    val stream = Files.list(md)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
+        s.stripPrefix("v").stripSuffix(".list").toInt }
+      .toSeq
+    finally stream.close()
+  }
+
   /** Highest committed version, 0 if the table does not exist yet. */
   def currentVersion(dir: String): Int = {
     val md = manifests(dir)
     if (!Files.isDirectory(md)) 0
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
-        s.stripPrefix("v").stripSuffix(".list").toInt }
-      .foldLeft(0)(math.max)
+    else versionsOnDisk(md).foldLeft(0)(math.max)
   }
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
@@ -49,14 +58,20 @@ object ManifestTable {
     * readable); delete lines are `D|<keyCol>|<path>`. The sequence is
     * parsed from the `commit-N` path segment every commit writes under. */
   private final case class Entry(seq: Int, deleteKey: Option[String], path: String)
-  private val SeqRe = raw"commit-(\d+)".r
+  // Anchored to the `/data/commit-N/` segment the commit protocol writes
+  // under, and taking the LAST match — a table rooted somewhere beneath a
+  // directory that itself matches (`/lake/data/commit-7/mytable/…`) must
+  // not inherit that ancestor's number, or delete sequencing and the
+  // changes() append-only checks silently misorder.
+  private val SeqRe = raw"/data/commit-(\d+)/".r
   private def parseEntry(line: String): Entry = {
     val (del, path) =
       if (line.startsWith("D|")) {
         val parts = line.split('|')
         (Some(parts(1)), parts(2))
       } else (None, line)
-    val seq = SeqRe.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(0)
+    val seq = SeqRe.findAllMatchIn(path).toSeq.lastOption
+      .map(_.group(1).toInt).getOrElse(0)
     Entry(seq, del, path)
   }
   private def pathOf(line: String): String = parseEntry(line).path
@@ -77,6 +92,20 @@ object ManifestTable {
     * visible). Returns the committed version. */
   def publish(dir: String, files: Seq[String], append: Boolean): Int =
     publishAt(dir, currentVersion(dir) + 1, files.sorted, append)
+
+  /** Publish at EXACTLY version `v`, or fail without publishing anything.
+    * The no-replace manifest rename in [[publishAt]] is the atomic create:
+    * if a concurrent writer already claimed `v<v>.list`, the move throws
+    * and the caller's files stay unreferenced (invisible to readers) —
+    * the conflict is detected BEFORE any state becomes visible, not after.
+    * This is the CAS the DSv2 batch writer commits through. */
+  def publishExpected(dir: String, v: Int, files: Seq[String],
+                      append: Boolean): Int = {
+    val cur = currentVersion(dir)
+    require(v == cur + 1,
+      s"publishExpected: version $v is not next (current $cur) — concurrent writer")
+    publishAt(dir, v, files.sorted, append)
+  }
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
                         append: Boolean): Int = {
@@ -196,11 +225,7 @@ object ManifestTable {
     require(keep >= 1, "expire: must keep at least the current version")
     val cutoff = currentVersion(dir) - keep + 1
     val md = manifests(dir)
-    val versions = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
-        s.stripPrefix("v").stripSuffix(".list").toInt }.toSeq
-    val (dead, live) = versions.partition(_ < cutoff)
+    val (dead, live) = versionsOnDisk(md).partition(_ < cutoff)
     val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet
     val orphans = dead.flatMap(manifestFiles(dir, _)).map(pathOf).toSet -- liveFiles
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))

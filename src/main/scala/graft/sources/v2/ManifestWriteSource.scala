@@ -104,6 +104,13 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedFileMessage(p) => p }
+    // Claim the version ONCE, move staged files under it, then publish at
+    // exactly that version. publishExpected's no-replace manifest rename is
+    // the atomic create: if a concurrent writer claimed v first, the
+    // publish throws and the moved files remain unreferenced — readers
+    // resolve manifests, never listings, so nothing half-committed is ever
+    // visible (the old shape published first and detected the race only
+    // after the wrong manifest was already live).
     val v = ManifestTable.currentVersion(dir) + 1
     val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
     java.nio.file.Files.createDirectories(dataDir)
@@ -112,8 +119,7 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean)
       java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
       target.toAbsolutePath.toString
     }
-    val committed = ManifestTable.publish(dir, finalPaths, append)
-    require(committed == v, s"concurrent writer detected: expected v$v, got v$committed")
+    ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
     cleanupStaging()
   }
 

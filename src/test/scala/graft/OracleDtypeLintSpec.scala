@@ -161,6 +161,134 @@ class OracleDtypeLintSpec extends SparkSpec {
     None
   }
 
+  /** Outermost NAMED call lexically enclosing `idx` (skipping bare parens),
+    * as (name, openParenIdx), or None. */
+  private def outermostCall(sql: String, idx: Int): Option[(String, Int)] = {
+    var depth = 0
+    var i = idx - 1
+    var last: Option[(String, Int)] = None
+    while (i >= 0) {
+      sql.charAt(i) match {
+        case ')'              => depth += 1
+        case '(' if depth > 0 => depth -= 1
+        case '(' =>
+          var j = i - 1
+          while (j >= 0 && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j -= 1
+          val name = sql.substring(j + 1, i).toLowerCase
+          if (name.nonEmpty) last = Some((name, i))
+        case _ =>
+      }
+      i -= 1
+    }
+    last
+  }
+
+  test("transcendental outputs are pinned at the source (round-6 class guard)") {
+    // The q303 lesson: JVM Math.log and libm ln are each correctly-rounded
+    // to within 1 ulp but NOT to the SAME ulp, so a transcendental's raw
+    // double may differ between Spark and DuckDB. Any such value that
+    // crosses a select-item alias UNPINNED and later reaches an output
+    // column is a latent hash-miss — even when the use site wraps it in
+    // round(...): rounding two inputs that differ by 1 ulp can land on
+    // opposite sides of a half-way boundary (exactly how q303 went red in
+    // round 6). The pinned-constant pattern: quantize AT THE SOURCE —
+    // round(ln(x), 6) / floor(log2(x)) / CAST(power(2, k) AS BIGINT) —
+    // after which both engines hold the identical double and all further
+    // +,-,*,/ in identical association order are IEEE correctly-rounded,
+    // i.e. bit-identical by construction.
+    // sqrt/cbrt are exempt: IEEE requires correct rounding for those.
+    val violations = mutable.Buffer[String]()
+    for ((name, rawSql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      if (TransRe.findFirstIn(rawSql).isDefined) {
+        val outCols = SparkEntry.queries(name)(spark, SfDir)
+          .schema.fieldNames.map(_.toLowerCase).toSet
+        violations ++= transcendentalViolations(name, rawSql, outCols)
+      }
+    }
+    assert(violations.isEmpty,
+      "\ntranscendental pin lint violations:\n" + violations.mkString("\n"))
+  }
+
+  test("transcendental pin lint catches the round-6 q303 spelling (regression)") {
+    // The exact shape that went red in CORRECTNESS_r06: ln() crosses the
+    // score_raw alias unpinned, and round(score_raw, 6) at the USE site
+    // does not absorb the ln ulp slack. The lint must stay red on it.
+    val oldQ303 =
+      """WITH sc AS (SELECT doc_id,
+        |    ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+        |      * (CAST(tf0 AS DOUBLE) * 2.2)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * len
+        |        / (CAST(sl AS DOUBLE) / n))) AS score_raw
+        |  FROM t, st)
+        |SELECT doc_id, round(score_raw, 6) AS score
+        |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin
+    val v = transcendentalViolations("old_q303", oldQ303, Set("doc_id", "score"))
+    assert(v.exists(_.contains("'score'")),
+      s"lint failed to flag the old q303 spelling; got: $v")
+    // and the pinned spelling is clean: round(ln(·), 6) quantizes at source
+    val pinned =
+      """SELECT doc_id,
+        |  round(ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)), 6)
+        |    * CAST(tf0 * 22 * sl AS DOUBLE)
+        |    / CAST(tf0 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE) AS score
+        |FROM t""".stripMargin
+    assert(transcendentalViolations("new_q303", pinned, Set("doc_id", "score")).isEmpty)
+  }
+
+  private val TransRe = "(?i)(?<![a-z0-9_])(ln|log|log2|log10|exp|pow|power)\\s*\\(".r
+  private val Pinning = Set("round", "floor", "ceil", "ceiling", "cast")
+
+  private def transcendentalViolations(
+      name: String, rawSql: String, outCols: Set[String]): Seq[String] = {
+    val sql = blankLiterals(rawSql)
+    val tainted = mutable.Set[String]()
+
+    // seed: unpinned transcendental → the alias its select item binds
+    for (m <- TransRe.findAllMatchIn(sql)) {
+      if (!enclosing(sql, m.start).exists(Pinning)) {
+        // jump past the outermost enclosing named call if any (its value
+        // carries the slack: sum(t*ln(x)) is as tainted as ln(x) itself)
+        val from = outermostCall(sql, m.start) match {
+          case Some((_, open)) => closeParen(sql, open) + 1
+          case None =>
+            val open = sql.indexOf('(', m.start)
+            closeParen(sql, open) + 1
+        }
+        if (from > 0) aliasAfterExpr(sql, from) match {
+          case Some(a) => tainted += a
+          case None    => // no alias: value dies in a comparison/filter —
+                          // boolean results carry no emitted-dtype hazard
+        }
+      }
+    }
+
+    // propagate: tainted id → its select-item alias; round/cast at the
+    // USE site do NOT clear transcendental slack (the old-q303 shape),
+    // so jump past any enclosing call and re-alias unconditionally
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 6) {
+      changed = false; rounds += 1
+      for (t <- tainted.toSeq) {
+        val idRe = s"(?i)(?<![a-z0-9_])${java.util.regex.Pattern.quote(t)}(?![a-z0-9_])".r
+        for (m <- idRe.findAllMatchIn(sql)) {
+          val from = outermostCall(sql, m.start) match {
+            case Some((_, open)) => closeParen(sql, open) + 1
+            case None            => m.end
+          }
+          if (from > 0) aliasAfterExpr(sql, from).foreach { a =>
+            if (!tainted.contains(a)) { tainted += a; changed = true }
+          }
+        }
+      }
+    }
+
+    (for (t <- tainted.toSeq.sorted if outCols.contains(t))
+      yield s"$name: output column '$t' carries an UNPINNED transcendental " +
+        "(JVM vs libm ulp slack crosses an alias before quantization — " +
+        "pin at source: round(ln(x), 6), then exact arithmetic downstream)")
+  }
+
   test("oracle integer aggregates reaching the output are explicitly CAST") {
     val aggRe = "(?i)(?<![a-z0-9_])(sum|list_sum|epoch)\\s*\\(".r
     val violations = mutable.Buffer[String]()
