@@ -66,6 +66,19 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Noise floor: a fixed CPU-bound calibration job (deterministic, no IO,
+    // no shuffle) timed before/between/after rounds. Its dispersion
+    // (max/min) is a pure host-contention meter — the queries can't cause
+    // it, so a dispersion ≫ 1 tells the reader "this run's absolute times
+    // are inflated by the host, don't adjudicate per-query flags" (round-6
+    // spent 25 false REGRESSED flags on exactly that ambiguity).
+    val calib = scala.collection.mutable.ListBuffer.empty[Double]
+    def calibrate(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * (id % 7)) AS s").collect(): Unit
+      calib += (System.nanoTime() - t0) / 1e9
+    }
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 r: Int): Unit = {
       val g0 = gcMillis
@@ -83,9 +96,13 @@ object Bench {
       // median and read as a speedup vs baseline
       if (ok) samples(name) = t :: samples.getOrElse(name, Nil)
     }
+    calibrate(); calibrate() // JIT/codegen warm-up for the calib path …
+    calib.clear()            // … is NOT part of the noise measurement
+    calibrate()
     for (r <- 0 until rounds) {
       val order = new scala.util.Random(seed + r).shuffle(queries)
       for ((name, fn) <- order) measure(name, fn, r)
+      calibrate()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -122,7 +139,23 @@ object Bench {
     // would otherwise vanish from bench_baseline.json on the next refresh
     val failed = queries.collect { case (n, _) if !samples.contains(n) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s"}""")
+    // mins ride along so a reader can see each query's quiet-floor from
+    // THIS run without a separate sweep; the noise block says how much of
+    // (median − min) is the host's fault: calib dispersion ~1 on a quiet
+    // host, ≫1 under contention (in which case per-query REGRESSED flags
+    // are environmental, not structural).
+    val mins = queries.flatMap { case (name, _) =>
+      samples.get(name).map(xs => "\"" + name + "\":" + f"${xs.min}%.3f") }
+      .mkString("{", ",", "}")
+    val calibS = calib.toList.sorted
+    val noise =
+      if (calibS.isEmpty) "null"
+      else {
+        // drop the first (warm-up) pair conservatively via median/min form
+        val disp = calibS.last / calibS.head
+        f"""{"calib_median_s":${median(calibS)}%.3f,"calib_min_s":${calibS.head}%.3f,"calib_max_s":${calibS.last}%.3f,"dispersion":$disp%.2f}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median_of_$rounds%d_shuffled","queries":$qs%s,"mins":$mins%s,"noise":$noise%s,"failed":$failed%s,"sf":"$sfDir%s"}""")
     diffVsBaseline(results, queries.map(_._1).toSet)
     spark.stop()
   }
