@@ -458,7 +458,106 @@ object WarehouseQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // q315: manifest-grain FILE SKIPPING — the planning win after partition
+  // pruning (q126): every commit's manifest line carries per-column
+  // min/max read once from the parquet footers, so a range query over a
+  // date-clustered table opens ONLY the files whose stored range
+  // intersects — no footer reads, no directory listing, no data I/O for
+  // the skipped 10/14 files; at 100 TB with daily commits that is the
+  // difference between planning against 7 years and reading 12 months.
+  // Orders are committed in 7 year-clustered appends (2 files each); the
+  // 1995-07→1996-06 window must prune to EXACTLY the 1995/1996 commits —
+  // pinned with requires on both the stats prune count and the actual
+  // scanned file set — and the pruned read + exact row filter must
+  // aggregate to the same answer the oracle computes relationally from
+  // the base table (stats pruning is a superset by construction; the
+  // hash compare certifies no row was wrongly skipped).
+  def fileSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q315_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").as("y"))
+    // the synthetic orders table spans 1995-01-01 … 2001-08-01 (all SFs)
+    (1995 to 2001).foreach { y =>
+      ManifestTable.commit(rows.filter($"y" === y).drop("y").repartition(2),
+        out, append = y > 1995)
+    }
+    val lo = java.time.LocalDate.of(1995, 7, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 6, 30).toEpochDay
+    val (kept, total) = ManifestTable.pruneInfo(out, "d", lo.toDouble, hi.toDouble)
+    require(total == 14 && kept == 4,
+      s"q315: year-clustered stats must prune to 4/14 files, got $kept/$total")
+    val pruned = ManifestTable.readWhere(s, out, "d", lo.toDouble, hi.toDouble)
+    val scanned = pruned.inputFiles.toSet
+    require(scanned.size == 4 && scanned.forall(f =>
+      f.contains("commit-1") || f.contains("commit-2")),
+      s"q315: pruned scan must touch only the 1995/1996 commits, got $scanned")
+    pruned.filter($"d" >= lo && $"d" <= hi)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // q316: row-level DELETE WHERE via POSITION deletes — the second
+  // Iceberg delete shape next to q283's equality deletes: the delete
+  // commit records exact (file, row-position) pairs from one filtered
+  // scan of the current snapshot, no key column required and NO data
+  // file rewritten (the only affordable arbitrary-predicate erasure on a
+  // 100 TB table). Readers anti-join on (file, pos), so physical rows
+  // are pinned: matching rows APPENDED AFTER the delete survive — the
+  // semantics the face proves across three versions (before / deleted /
+  // appended-after), with a require pinning that v2 scans the SAME data
+  // files as v1 (merge-on-read, not copy-on-write).
+  def positionDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q316_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val cut = lit("1998-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(slice($"o_orderdate" < cut), out, append = false)
+    val v1Files = ManifestTable.read(s, out, 1).inputFiles.toSet
+    val v2 = ManifestTable.deleteWhere(s, out,
+      $"o_orderpriority" === "1-URGENT" && $"cents" % 100 < 50)
+    require(v2 == 2, s"q316: position delete must commit v2, got v$v2")
+    // v2's scan set = v1's data files (unchanged — merge-on-read, not
+    // copy-on-write) plus ONLY the commit-2 position-delete file
+    val v2Files = ManifestTable.read(s, out, 2).inputFiles.toSet
+    require(v1Files.subsetOf(v2Files) &&
+      (v2Files -- v1Files).forall(_.contains("commit-2")),
+      "q316: merge-on-read must scan the SAME data files, none rewritten")
+    ManifestTable.commit(slice($"o_orderdate" >= cut), out, append = true)
+    def snap(stage: String, v: Int) =
+      ManifestTable.read(s, out, v)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows",
+          $"total_cents")
+    snap("1_before", 1)
+      .unionByName(snap("2_pos_deleted", 2))
+      .unionByName(snap("3_appended_after", 3))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_position_deletes" -> positionDeletes _,
+    "q315_file_skipping" -> fileSkipping _,
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
@@ -475,6 +574,37 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q315_file_skipping" -> {
+      val lo = java.time.LocalDate.of(1995, 7, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 6, 30).toEpochDay
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS total_cents
+         |FROM orders
+         |WHERE datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |  BETWEEN $lo AND $hi
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
+    "q316_position_deletes" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT * FROM base
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |v2 AS (SELECT * FROM v1
+        |  WHERE NOT (o_orderpriority = '1-URGENT' AND cents % 100 < 50)),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM base
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT '1_before' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM v1 GROUP BY 2
+        |UNION ALL SELECT '2_pos_deleted', o_orderpriority,
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM v2 GROUP BY 2
+        |UNION ALL SELECT '3_appended_after', o_orderpriority,
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM v3 GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q301_incremental_read" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -53,11 +53,26 @@ object ManifestTable {
   private def manifestFiles(dir: String, v: Int): Seq[String] =
     Files.readAllLines(manifests(dir).resolve(s"v$v.list")).asScala.toSeq
 
-  /** Manifest line → (commit sequence, delete key column if a delete file,
-    * data path). Data lines are a bare path (round-5 manifests stay
-    * readable); delete lines are `D|<keyCol>|<path>`. The sequence is
-    * parsed from the `commit-N` path segment every commit writes under. */
-  private final case class Entry(seq: Int, deleteKey: Option[String], path: String)
+  /** Manifest line → (commit sequence, kind, data path, column stats).
+    * Four line shapes, all newline-framed and `|`-separated — no JSON
+    * parser on the read path:
+    *
+    *  - `<path>`                         data file, no stats (round-5
+    *                                     manifests stay readable);
+    *  - `F|<path>|c:min:max;c2:min:max`  data file WITH per-column
+    *                                     min/max (file-skipping stats,
+    *                                     round-7);
+    *  - `D|<keyCol>|<path>`              equality-delete file;
+    *  - `P|<path>`                       position-delete file
+    *                                     (`file_path`,`pos` rows).
+    *
+    * The sequence is parsed from the `commit-N` path segment every commit
+    * writes under. */
+  private final case class Entry(seq: Int, deleteKey: Option[String],
+                                 posDelete: Boolean, path: String,
+                                 stats: Map[String, (Double, Double)]) {
+    def isData: Boolean = deleteKey.isEmpty && !posDelete
+  }
   // Anchored to the `/data/commit-N/` segment the commit protocol writes
   // under, and taking the LAST match — a table rooted somewhere beneath a
   // directory that itself matches (`/lake/data/commit-7/mytable/…`) must
@@ -65,16 +80,93 @@ object ManifestTable {
   // changes() append-only checks silently misorder.
   private val SeqRe = raw"/data/commit-(\d+)/".r
   private def parseEntry(line: String): Entry = {
-    val (del, path) =
+    val (del, pos, path, stats) =
       if (line.startsWith("D|")) {
         val parts = line.split('|')
-        (Some(parts(1)), parts(2))
-      } else (None, line)
+        (Some(parts(1)), false, parts(2), Map.empty[String, (Double, Double)])
+      } else if (line.startsWith("P|")) {
+        (None, true, line.stripPrefix("P|"), Map.empty[String, (Double, Double)])
+      } else if (line.startsWith("F|")) {
+        val parts = line.split('|')
+        val st = parts(2).split(';').iterator.map { s =>
+          val Array(n, lo, hi) = s.split(':')
+          n -> (lo.toDouble, hi.toDouble)
+        }.toMap
+        (None, false, parts(1), st)
+      } else (None, false, line, Map.empty[String, (Double, Double)])
     val seq = SeqRe.findAllMatchIn(path).toSeq.lastOption
       .map(_.group(1).toInt).getOrElse(0)
-    Entry(seq, del, path)
+    Entry(seq, del, pos, path, stats)
   }
   private def pathOf(line: String): String = parseEntry(line).path
+
+  /** Per-column (min, max) of a parquet file, read from the FOOTER only —
+    * O(file-count) metadata reads at commit time, never a data scan; this
+    * is the planning metadata Iceberg keeps in its manifests. Covered:
+    * top-level INT32/INT64/FLOAT/DOUBLE columns (incl. date days and
+    * timestamp micros — both surface as their physical integers).
+    * Skipped: decimals (physical stats are unscaled ints), INT96,
+    * binary/boolean, nested paths. Long bounds are widened one ulp when
+    * they exceed 2^53 so the Double encoding can only OVER-approximate a
+    * file's range — pruning stays conservative by construction. */
+  private[graft] def fileStats(path: String): Map[String, (Double, Double)] =
+    scala.util.Try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.column.statistics._
+      import org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      def widenLo(v: Long): Double =
+        if (math.abs(v) <= (1L << 53)) v.toDouble else math.nextDown(v.toDouble)
+      def widenHi(v: Long): Double =
+        if (math.abs(v) <= (1L << 53)) v.toDouble else math.nextUp(v.toDouble)
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration(false)))
+      try {
+        val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala
+             if c.getPath.size == 1) {
+          val pt = c.getPrimitiveType
+          val ok = (pt.getPrimitiveTypeName match {
+            case INT32 | INT64 | FLOAT | DOUBLE => true
+            case _ => false
+          }) && !pt.getLogicalTypeAnnotation.isInstanceOf[DecimalLogicalTypeAnnotation]
+          val name = c.getPath.toDotString
+          // a column name that collides with the line grammar gets no stats
+          if (ok && !name.exists("|;:".contains(_))) {
+            val range: Option[(Double, Double)] = c.getStatistics match {
+              case s: IntStatistics if s.hasNonNullValue =>
+                Some((s.getMin.toDouble, s.getMax.toDouble))
+              case s: LongStatistics if s.hasNonNullValue =>
+                Some((widenLo(s.getMin), widenHi(s.getMax)))
+              case s: FloatStatistics if s.hasNonNullValue =>
+                Some((s.getMin.toDouble, s.getMax.toDouble))
+              case s: DoubleStatistics if s.hasNonNullValue =>
+                Some((s.getMin, s.getMax))
+              case _ => None
+            }
+            range.foreach { case (lo, hi) =>
+              val merged = acc.get(name) match {
+                case Some((l0, h0)) => (math.min(l0, lo), math.max(h0, hi))
+                case None           => (lo, hi)
+              }
+              acc(name) = merged
+            }
+          }
+        }
+        acc.toMap
+      } finally rd.close()
+    }.getOrElse(Map.empty)
+
+  /** A data file's manifest line: `F|path|stats` when the footer yields
+    * usable stats, the bare legacy path otherwise. */
+  private def dataLine(path: String): String = {
+    val st = fileStats(path)
+    if (st.isEmpty) path
+    else "F|" + path + "|" + st.toSeq.sortBy(_._1)
+      .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+  }
 
   /** Commit `df` as the next version. Returns the new version number. */
   def commit(df: DataFrame, dir: String, append: Boolean): Int = {
@@ -109,7 +201,11 @@ object ManifestTable {
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
                         append: Boolean): Int = {
-    val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++ newFiles
+    // the new files enter the manifest WITH footer stats (file-skipping
+    // metadata); prior lines carry forward verbatim — stats are written
+    // once, at the only moment the file is new
+    val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
+      newFiles.map(dataLine)
     Files.createDirectories(manifests(dir))
     // write-then-rename: the manifest appears atomically or not at all
     val tmp = manifests(dir).resolve(s".v$v.tmp")
@@ -143,31 +239,124 @@ object ManifestTable {
   }
 
   /** Read a snapshot; `version = -1` (default) reads the latest. Replays
-    * the manifest in commit order: data commits union in, delete commits
-    * anti-join OUT of everything earlier — so the plan is data-file scans
-    * plus one anti join per surviving delete commit (compaction collapses
-    * the chain). A delete-free manifest takes the plain multi-path scan. */
+    * the manifest in commit order: data commits union in, equality-delete
+    * commits anti-join OUT of everything earlier (sequence-scoped), and
+    * position-delete commits anti-join on exact (file, row-position) at
+    * the end — so the plan is data-file scans plus one anti join per
+    * surviving delete commit (compaction collapses the chain). A
+    * delete-free manifest takes the plain multi-path scan. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.read: no committed version under $dir")
-    val entries = manifestFiles(dir, v).map(parseEntry)
-    if (entries.forall(_.deleteKey.isEmpty))
+    assemble(spark, manifestFiles(dir, v).map(parseEntry), dir, withMeta = false)
+  }
+
+  /** Stats-pruned read: every row of the snapshot whose file MAY contain
+    * `col` in [lo, hi], per the manifest's per-file min/max — a SUPERSET
+    * of the matching rows (files without stats for `col` are scanned
+    * conservatively); the caller still applies the exact row filter.
+    * The point is what is NOT read: at 100 TB a time-ranged query over a
+    * date-clustered table opens only the files whose range intersects —
+    * planning cost O(|manifest|) string compares, zero data-file footers,
+    * zero directory listings. Delete files are never pruned (a delete
+    * against a pruned-out file anti-joins nothing). */
+  def readWhere(spark: SparkSession, dir: String, col: String,
+                lo: Double, hi: Double, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.readWhere: no committed version under $dir")
+    val entries = manifestFiles(dir, v).map(parseEntry).filter { e =>
+      !e.isData || e.stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    assemble(spark, entries, dir, withMeta = false)
+  }
+
+  /** (files kept, data files total) for a stats prune — the planning-time
+    * skip ratio, exposed so callers/tests can ASSERT the skip happened
+    * rather than trust it. */
+  def pruneInfo(dir: String, col: String, lo: Double, hi: Double,
+                version: Int = -1): (Int, Int) = {
+    val v = if (version > 0) version else currentVersion(dir)
+    val datas = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
+    val kept = datas.count(_.stats.get(col).forall {
+      case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, datas.size)
+  }
+
+  private val MetaCols = Seq("_graft_file", "_graft_pos")
+
+  private def assemble(spark: SparkSession, entries: Seq[Entry], dir: String,
+                       withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val needMeta = withMeta || entries.exists(_.posDelete)
+    if (!needMeta && entries.forall(_.isData))
       return spark.read.parquet(entries.map(_.path): _*)
+    // _metadata is only addressable at the scan, so (file, pos) are
+    // materialized as ordinary columns immediately and dropped at the end
+    def scan(paths: Seq[String]): DataFrame = {
+      val d = spark.read.parquet(paths: _*)
+      if (needMeta)
+        d.withColumn(MetaCols(0), col("_metadata.file_path"))
+          .withColumn(MetaCols(1), col("_metadata.row_index"))
+      else d
+    }
     var df: DataFrame = null
     entries.groupBy(_.seq).toSeq.sortBy(_._1).foreach { case (_, es) =>
-      val (dels, datas) = es.partition(_.deleteKey.isDefined)
+      val (dels, rest) = es.partition(_.deleteKey.isDefined)
+      val datas = rest.filter(_.isData)
       if (datas.nonEmpty) {
-        val d = spark.read.parquet(datas.map(_.path): _*)
+        val d = scan(datas.map(_.path))
         df = if (df == null) d else df.unionByName(d)
       }
       dels.groupBy(_.deleteKey.get).foreach { case (keyCol, ds) =>
-        require(df != null, s"ManifestTable.read: delete before any data in $dir")
-        val keys = spark.read.parquet(ds.map(_.path): _*)
-          .select(org.apache.spark.sql.functions.col(keyCol).as("_del_key"))
-        df = df.join(keys, df(keyCol) === keys("_del_key"), "left_anti")
+        // a delete whose earlier data was entirely pruned away has
+        // nothing to erase — skip instead of failing the pruned read
+        if (df != null) {
+          val keys = spark.read.parquet(ds.map(_.path): _*)
+            .select(col(keyCol).as("_del_key"))
+          df = df.join(keys, df(keyCol) === keys("_del_key"), "left_anti")
+        }
       }
     }
+    val posFiles = entries.filter(_.posDelete).map(_.path)
+    if (posFiles.nonEmpty && df != null) {
+      val dels = spark.read.parquet(posFiles: _*)
+      df = df.join(dels,
+        df(MetaCols(0)) === dels("file_path") && df(MetaCols(1)) === dels("pos"),
+        "left_anti")
+    }
+    if (df != null && !withMeta && needMeta) df = df.drop(MetaCols: _*)
     df
+  }
+
+  /** Row-level DELETE WHERE via POSITION deletes — the second Iceberg
+    * delete shape, complementing [[delete]] (equality): instead of a key
+    * column, the delete file records exact (file_path, row position)
+    * pairs, resolved by scanning the CURRENT snapshot once with parquet
+    * row indexes attached. No data file is rewritten; readers anti-join
+    * on (file, pos). Position deletes pin physical rows, so rows
+    * APPENDED after the delete always survive — no sequence bookkeeping
+    * needed — and an arbitrary predicate (no key required) can be erased
+    * from a 100 TB table at the cost of one filtered scan plus a
+    * delete-file write. Returns the committed version. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(dir) + 1
+    require(v > 1, s"ManifestTable.deleteWhere: no committed data under $dir")
+    val snap = assemble(spark, manifestFiles(dir, v - 1).map(parseEntry), dir,
+      withMeta = true)
+    val hits = snap.filter(predicate)
+      .select(col(MetaCols(0)).as("file_path"), col(MetaCols(1)).as("pos"))
+    val dataDir = s"$dir/data/commit-$v"
+    hits.write.mode("overwrite").parquet(dataDir)
+    val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"P|${f.getAbsolutePath}").sorted
+    val all = manifestFiles(dir, v - 1) ++ delFiles
+    val tmp = manifests(dir).resolve(s".v$v.tmp")
+    Files.write(tmp, all.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
+    v
   }
 
   /** Incremental read (change feed): the rows ADDED between `fromVersion`
@@ -192,7 +381,7 @@ object ManifestTable {
       s"changes: v$fromVersion→v$to removed files (overwrite/compaction in " +
         "range) — not an append-only history; use a snapshot diff")
     val added = after.filterNot(e => beforeSet.contains(e.path))
-    require(added.forall(_.deleteKey.isEmpty),
+    require(added.forall(_.isData),
       s"changes: v$fromVersion→v$to contains delete commits — rows were " +
         "erased; use a snapshot diff")
     spark.read.parquet(added.map(_.path): _*)

@@ -107,6 +107,62 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](ManifestTable.changes(spark, dir2, 1))
   }
 
+  test("manifest stats prune clustered files; unknown columns and legacy bare lines scan everything") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k").coalesce(1), dir, append = false)
+    ManifestTable.commit((11L to 20L).toDF("k").coalesce(1), dir, append = true)
+    ManifestTable.commit((21L to 30L).toDF("k").coalesce(1), dir, append = true)
+    assert(ManifestTable.pruneInfo(dir, "k", 12, 15) == (1, 3),
+      "one clustered file must intersect [12,15]")
+    val pruned = ManifestTable.readWhere(spark, dir, "k", 12, 15)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.filter($"k" >= 12 && $"k" <= 15)
+      .agg(sum($"k")).head.getLong(0) == (12L to 15L).sum)
+    // a column the stats don't cover prunes NOTHING (conservative)
+    assert(ManifestTable.pruneInfo(dir, "absent", 0, 0) == (3, 3))
+    // legacy manifests — bare path lines, no F| prefix — read fine and
+    // prune nothing (forward compat with round-5 tables)
+    val mf = java.nio.file.Paths.get(dir, "_manifests", "v3.list")
+    import scala.jdk.CollectionConverters._
+    val legacy = java.nio.file.Files.readAllLines(mf).asScala
+      .map(l => if (l.startsWith("F|")) l.split('|')(1) else l)
+    java.nio.file.Files.write(mf, legacy.asJava)
+    assert(ManifestTable.read(spark, dir).count() == 30)
+    assert(ManifestTable.pruneInfo(dir, "k", 12, 15) == (3, 3))
+    assert(ManifestTable.readWhere(spark, dir, "k", 12, 15).count() == 30)
+  }
+
+  test("position deletes erase by (file,pos) without rewriting data; later appends survive; compaction purges") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).map(k => (k, k % 3)).toDF("k", "tag"),
+      dir, append = false)
+    val v1Files = ManifestTable.read(spark, dir, 1).inputFiles.toSet
+    val v2 = ManifestTable.deleteWhere(spark, dir, col("tag") === 1)
+    assert(v2 == 2)
+    // merge-on-read: same data files, plus only the delete file
+    val v2Files = ManifestTable.read(spark, dir, 2).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files) &&
+      (v2Files -- v1Files).forall(_.contains("commit-2")))
+    assert(ManifestTable.read(spark, dir, 2).select("k").as[Long].collect().sorted
+      .toSeq == (1L to 10L).filter(_ % 3 != 1))
+    // rows matching the predicate APPENDED AFTER the delete survive —
+    // position deletes pin physical rows, not values
+    ManifestTable.commit(Seq((100L, 1L)).toDF("k", "tag"), dir, append = true)
+    assert(ManifestTable.read(spark, dir, 3).filter($"tag" === 1)
+      .select("k").as[Long].collect().toSeq == Seq(100L))
+    // time travel: v1 still sees every row
+    assert(ManifestTable.read(spark, dir, 1).count() == 10)
+    // a position delete breaks the append-only change feed, loudly
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 1, 2))
+    // compaction materializes the merge and drops the delete file
+    val v4 = ManifestTable.compact(spark, dir, numFiles = 1)
+    assert(ManifestTable.fileCount(dir, v4) == 1)
+    assert(ManifestTable.read(spark, dir, v4).agg(sum($"k")).head.getLong(0)
+      == (1L to 10L).filter(_ % 3 != 1).sum + 100L)
+  }
+
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
     import spark.implicits._
     val dir = freshDir()
