@@ -10,7 +10,17 @@ import org.apache.spark.sql.functions._
   * `.explain("formatted")`: `PushedFilters` / `ReadSchema`).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = {
+    // The driver's generator writes timestamps with isAdjustedToUTC=false;
+    // Spark 4 would infer those as TIMESTAMP_NTZ, which half the timestamp
+    // function surface (unix_millis, to_utc_timestamp, …) rejects. Read them
+    // as session-TZ timestamps instead (session is pinned UTC everywhere, so
+    // wall-clock values are identical) — same runtime-conf pattern as the
+    // nanosAsLong shim below. Verify re-emits NTZ at the output boundary so
+    // the dumped parquet stays repr-identical with DuckDB's naive reads.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")

@@ -733,7 +733,13 @@ object TextQueries {
       .orderBy($"score_raw".desc, $"doc_id")
       .limit(20)
       .select($"doc_id", $"tf0", $"tf1", $"tf2",
-        round($"score_raw", 6).as("score"))
+        // + 0.0 normalizes IEEE signed zero on BOTH legs: a zero-tf doc's
+        // score is idf6 * ±0.0 = -0.0 when idf6 < 0 (df > n/2 — true for
+        // all 3 terms on this corpus). Spark's round() routes through
+        // BigDecimal and emits +0.0; DuckDB's keeps -0.0. pandas == calls
+        // them equal but the gate's repr-hash does not (r07's only red
+        // row). x + 0.0 is the identity for every double EXCEPT -0.0 → +0.0.
+        (round($"score_raw", 6) + lit(0.0)).as("score"))
   }
 
   // q304: the SQL leg of the native CDC chunker — `cdc_cuts` reached
@@ -1107,7 +1113,7 @@ object TextQueries {
          |      / CAST(tf2 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
          |      AS score_raw
          |  FROM t, st)
-         |SELECT doc_id, tf0, tf1, tf2, round(score_raw, 6) AS score
+         |SELECT doc_id, tf0, tf1, tf2, round(score_raw, 6) + 0.0 AS score
          |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     "q285_cdc_chunks" ->
       s"""WITH c AS (SELECT doc_id, len(text) AS n_chars,

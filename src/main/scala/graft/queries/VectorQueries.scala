@@ -327,63 +327,83 @@ object VectorQueries {
   // (sub, code, pos) partial-sum agg (≤512 groups) and the final
   // per-vector score agg. Output: top-10 by ADC distance with the true
   // int8 L2 alongside — the quantization-error telemetry.
-  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+  // ---- shared PQ machinery (q258 / q317) ------------------------------
+  // m subspaces × w dims, kCodes codes per subspace. Codebooks are
+  // m·kCodes·w = 512 ints — DRIVER STATE, like k-means centroids (bytes,
+  // not data). Shipping them as literals makes every encode pass a pure
+  // map-side expression over the corpus scan: no corpus-sized groupBy, no
+  // join, no second materialization of the exploded subvector table.
+  private val (pqM, pqW, pqKCodes) = (4, 16, 8)
+  private def pqSubVec(q: Seq[Int], si: Int): Seq[Int] =
+    q.slice(si * pqW, si * pqW + pqW)
+  private def pqL2(a: Seq[Int], b: Seq[Int]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) =>
+      val d = (x - y).toLong; d * d }.sum
+  // codebook column: argmin over the k literal centroids — array_min on
+  // (d, j) structs reproduces the ties→smaller-j rule in one codegen op
+  private def pqArgminCode(sqCol: Column, cb: Seq[(Int, Seq[Int])]): Column =
+    array_min(array(cb.map { case (j, c) =>
+      struct(Similarity.l2SqInt(sqCol, typedLit(c)).as("d"),
+        lit(j).as("j")) }: _*)).getField("j")
+
+  /** int8(+127)-quantize the embeddings into the PQ index artifact (4×
+    * smaller than the floats), materialized ONCE for training + search —
+    * HOF quantization is the per-row hot spot (profiled ~1.2 s/pass on
+    * the 10× probe). `extra` carries caller columns (e.g. IVF cells). */
+  private def pqCorpus(s: SparkSession, dir: String, extra: Seq[(String, Column)]): DataFrame = {
     import s.implicits._
-    val (m, w, kCodes, k) = (4, 16, 8, 10)
-    // The quantized corpus IS the PQ index artifact (4× smaller than the
-    // floats): materialize it once and run training AND search over it,
-    // instead of re-scanning + re-quantizing per pass (HOF quantization
-    // is the per-row hot spot — profiled at ~1.2 s/pass on the 10× probe)
-    val corpus = Similarity.withQuantizedInt8(
+    Similarity.withQuantizedInt8(
         Relational.spread(Tables(s, dir).embeddings, $"vec_id"),
         $"embedding".cast("array<double>"), "_qi")
-      .select($"vec_id", transform($"_qi", x => x + 127).as("q"))
+      .select(Seq($"vec_id", transform($"_qi", x => x + 127).as("q")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
       .localCheckpoint()
-    // Codebooks are m·k·w = 512 ints — DRIVER STATE, like k-means
-    // centroids (bytes, not data). Shipping them as literals makes both
-    // encode passes pure map-side expressions over the corpus scan: no
-    // corpus-sized groupBy, no join, no second materialization of the
-    // exploded subvector table.
-    def subVec(q: Seq[Int], si: Int): Seq[Int] = q.slice(si * w, si * w + w)
-    def l2(a: Seq[Int], b: Seq[Int]): Long =
-      a.iterator.zip(b.iterator).map { case (x, y) =>
-        val d = (x - y).toLong; d * d }.sum
-    val seedRows = corpus.filter($"vec_id" < kCodes)
-      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
-    // codebook column: argmin over the k literal centroids — array_min on
-    // (d, j) structs reproduces the ties→smaller-j rule in one codegen op
-    def argminCode(sqCol: Column, cb: Seq[(Int, Seq[Int])]): Column =
-      array_min(array(cb.map { case (j, c) =>
-        struct(Similarity.l2SqInt(sqCol, typedLit(c)).as("d"),
-          lit(j).as("j")) }: _*)).getField("j")
+  }
+
+  /** One-Lloyd-update PQ training: seeds = the kCodes smallest vec_ids,
+    * assignment by integer L2 (ties → smaller code), centroids rounded
+    * half-up via (2S+n) div (2n) on the DRIVER in exact integer
+    * arithmetic (same formula the oracle runs in SQL). The only corpus
+    * shuffle is the (sub, code, pos) partial-sum agg — ≤ 512 groups
+    * after map-side combine. Returns (seedRows, cb1). */
+  private def pqTrain(corpus: DataFrame, s: SparkSession)
+      : (Seq[(Int, Seq[Int])], Seq[Seq[(Int, Seq[Int])]]) = {
+    import s.implicits._
+    val seedRows: Seq[(Int, Seq[Int])] = corpus.filter($"vec_id" < pqKCodes)
+      .select($"vec_id", $"q")
+      .collect().toSeq.map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
     val cb0: Seq[Seq[(Int, Seq[Int])]] =
-      (0 until m).map(si => seedRows.map { case (j, q) => j -> subVec(q, si) })
-    // one Lloyd update: the only corpus shuffle in the whole query —
-    // (sub, code, pos) partial sums, ≤ m·k·w = 512 groups after map-side
-    // combine. Centroid rounding (2S+n) DIV (2n) happens on the DRIVER in
-    // exact integer arithmetic (same formula the oracle runs in SQL).
-    val sums = corpus.select(explode(array((0 until m).map(si =>
+      (0 until pqM).map(si => seedRows.map { case (j, q) => j -> pqSubVec(q, si) })
+    val sums = corpus.select(explode(array((0 until pqM).map(si =>
         struct(lit(si).as("sub"),
-          argminCode(slice($"q", si * w + 1, w), cb0(si)).as("code"),
-          slice($"q", si * w + 1, w).as("sq"))): _*)).as("e"))
+          pqArgminCode(slice($"q", si * pqW + 1, pqW), cb0(si)).as("code"),
+          slice($"q", si * pqW + 1, pqW).as("sq"))): _*)).as("e"))
       .select($"e.sub".as("sub"), $"e.code".as("code"),
         posexplode($"e.sq").as(Seq("p", "x")))
       .groupBy($"sub", $"code", $"p")
       .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
         ((2 * r.getLong(3) + r.getLong(4)) / (2 * r.getLong(4))).toInt).toMap
-    val cb1: Seq[Seq[(Int, Seq[Int])]] = (0 until m).map(si =>
+    val cb1: Seq[Seq[(Int, Seq[Int])]] = (0 until pqM).map(si =>
       cb0(si).map { case (j, seed) =>
         // a code that lost every member keeps its seed subvector (q91 rule)
         j -> seed.indices.map(p => sums.getOrElse((si, j, p), seed(p))) })
+    (seedRows, cb1)
+  }
+
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val corpus = pqCorpus(s, dir, Seq.empty)
+    val (seedRows, cb1) = pqTrain(corpus, s)
     val qFull: Seq[Int] = seedRows.find(_._1 == 0).get._2
     // ADC tables: query-to-centroid integer distances, m·k = 32 longs
-    val dtab: Seq[Map[Int, Long]] = (0 until m).map(si =>
-      cb1(si).map { case (j, c) => j -> l2(subVec(qFull, si), c) }.toMap)
+    val dtab: Seq[Map[Int, Long]] = (0 until pqM).map(si =>
+      cb1(si).map { case (j, c) => j -> pqL2(pqSubVec(qFull, si), c) }.toMap)
     // search pass: per-row code + table lookup, integer adds — all inside
     // one codegen stage; global top-k = TakeOrderedAndProject, never a sort
-    val adc = (0 until m).map(si => element_at(typedLit(dtab(si)),
-      argminCode(slice($"q", si * w + 1, w), cb1(si)))).reduce(_ + _)
+    val adc = (0 until pqM).map(si => element_at(typedLit(dtab(si)),
+      pqArgminCode(slice($"q", si * pqW + 1, pqW), cb1(si)))).reduce(_ + _)
     corpus.filter($"vec_id" =!= 0)
       .select($"vec_id", adc.as("adc_d"),
         Similarity.l2SqInt($"q", typedLit(qFull)).as("true_d"))
@@ -392,6 +412,55 @@ object VectorQueries {
         .orderBy($"adc_d", $"vec_id")).cast("int").as("rank"),
         $"vec_id", $"adc_d", $"true_d")
       .orderBy($"rank")
+  }
+
+  // q317: IVF-PQ composed ANN — the shape a production 100 TB vector
+  // store actually runs (FAISS IVFx,PQy): a coarse quantizer prunes the
+  // candidate list to the query's cell, then PQ-ADC scores ONLY in-cell
+  // candidates with 4 table lookups + integer adds per vector. Composes
+  // q41's deterministic axis-cell coarse quantizer (argmax-|component| +
+  // sign, from the ORIGINAL floats — oracle-reproducible) with q258's
+  // integer-exact PQ stack (global codebooks; cell-local residual
+  // training is the classic refinement, but the axis cells have no
+  // centroid to take residuals against — documented trade-off). Per
+  // query, the ADC distance tables are m·kCodes = 32 longs; for the 20
+  // broadcast queries that's 640 longs of driver state shipped as a
+  // nested literal map, so the whole search is ONE broadcast-hash join
+  // on (cell_idx, cell_sign) + map-side scoring + a per-group top-k —
+  // the corpus is touched exactly once, shuffles only for the final
+  // 20-group WindowGroupLimit. At 100 TB: cells partition the corpus,
+  // queries batch-broadcast, and the scan per query reads 1/(2·dim) of
+  // the data — the IVF pruning ratio — at 16× PQ compression.
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cellIdx, cellSign) = Similarity.axisCell($"embedding")
+    val corpus = pqCorpus(s, dir,
+      Seq("cell_idx" -> cellIdx, "cell_sign" -> cellSign))
+    val (_, cb1) = pqTrain(corpus, s)
+    // 20 query vectors = bounded driver artifact (like the codebooks):
+    // collect once to build their ADC tables against cb1
+    val qVecs: Seq[(Long, Seq[Int])] = corpus.filter($"vec_id" < 20)
+      .select($"vec_id", $"q").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val dtab: Seq[Map[Long, Map[Int, Long]]] = (0 until pqM).map(si =>
+      qVecs.map { case (qid, qv) =>
+        qid -> cb1(si).map { case (j, c) => j -> pqL2(pqSubVec(qv, si), c) }.toMap
+      }.toMap)
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"cell_idx", $"cell_sign", $"q".as("qq"))
+    // per-candidate score: code under cb1 (literal argmin) → nested-map
+    // lookup dtab[q_id][code] — zero joins beyond the cell broadcast
+    val adc = (0 until pqM).map(si =>
+      element_at(element_at(typedLit(dtab(si)), $"q_id"),
+        pqArgminCode(slice($"q", si * pqW + 1, pqW), cb1(si)))).reduce(_ + _)
+    val cand = corpus.join(broadcast(queries), Seq("cell_idx", "cell_sign"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"), adc.as("adc_d"),
+        Similarity.l2SqInt($"q", $"qq").as("true_d"))
+    Relational.topKPerGroup(cand, Seq(col("q_id")),
+        Seq(col("adc_d").asc, col("c_id").asc), 5, rankCol = "rank")
+      .select($"q_id", $"rank", $"c_id", $"adc_d", $"true_d")
+      .orderBy($"q_id", $"rank")
   }
 
   // q308: per-dimension distribution audit over int8-quantized vectors —
@@ -460,6 +529,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_ivfpq" -> ivfPq _,
     "q314_ann_rank_eval" -> annRankEval _,
     "q308_dim_stats" -> dimStats _,
     "q258_pq_knn" -> pqAdc _,
@@ -478,6 +548,69 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q317_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
+        |cells AS (SELECT vec_id,
+        |    list_position(la, list_aggregate(la, 'max')) AS cell_idx,
+        |    v[list_position(la, list_aggregate(la, 'max'))] > 0 AS cell_sign
+        |  FROM e),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |sub AS (SELECT vec_id, CAST(s.s AS INT) AS sub,
+        |    qt.q[CAST(s.s * 16 + 1 AS INT) : CAST(s.s * 16 + 16 AS INT)] AS sq
+        |  FROM qt, range(0, 4) s(s)),
+        |c0 AS (SELECT vec_id AS j, sub, sq AS c FROM sub WHERE vec_id < 8),
+        |d0 AS (SELECT sub.vec_id, sub.sub, c0.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c0 USING (sub)),
+        |a0 AS (SELECT vec_id, sub, j AS code0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |sums AS (SELECT a0.sub, a0.code0, t.i,
+        |    CAST(sum(sub.sq[CAST(t.i AS INT)]) AS BIGINT) AS sv
+        |  FROM a0 JOIN sub USING (vec_id, sub), range(1, 17) t(i) GROUP BY 1, 2, 3),
+        |cnt AS (SELECT sub, code0, CAST(count(*) AS BIGINT) AS n FROM a0 GROUP BY 1, 2),
+        |c1u AS (SELECT sums.sub, sums.code0 AS j,
+        |    list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM sums JOIN cnt USING (sub, code0) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.sub, c0.j, coalesce(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c0.sub = c1u.sub AND c0.j = c1u.j),
+        |d1 AS (SELECT sub.vec_id, sub.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c1 USING (sub)),
+        |a1 AS (SELECT vec_id, sub, j AS code1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |qry AS (SELECT vec_id AS q_id, cell_idx, cell_sign FROM cells WHERE vec_id < 20),
+        |qsub AS (SELECT vec_id AS q_id, sub, sq FROM sub WHERE vec_id < 20),
+        |dtab AS (SELECT qsub.q_id, c1.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS dl
+        |  FROM c1 JOIN qsub USING (sub)),
+        |cand AS (SELECT q.q_id, c.vec_id AS c_id
+        |  FROM qry q JOIN cells c USING (cell_idx, cell_sign)
+        |  WHERE c.vec_id <> q.q_id),
+        |score AS (SELECT cand.q_id, cand.c_id, CAST(sum(dtab.dl) AS BIGINT) AS adc_d
+        |  FROM cand JOIN a1 ON a1.vec_id = cand.c_id
+        |  JOIN dtab ON dtab.q_id = cand.q_id AND dtab.sub = a1.sub AND dtab.j = a1.code1
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, adc_d,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS rank
+        |  FROM score)
+        |SELECT r.q_id, CAST(r.rank AS INT) AS rank, r.c_id, r.adc_d,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(cq.q[CAST(i AS INT)] - qq.q[CAST(i AS INT)] AS DOUBLE)
+        |       * CAST(cq.q[CAST(i AS INT)] - qq.q[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS true_d
+        |FROM ranked r JOIN qt cq ON cq.vec_id = r.c_id JOIN qt qq ON qq.vec_id = r.q_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.q_id, r.rank""".stripMargin,
     "q314_ann_rank_eval" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |qz AS (SELECT vec_id, v,

@@ -220,6 +220,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("stream-stream join EVICTS state once the watermark passes the range") {
+    // The 100 TB argument for q272 made empirical: both join sides buffer
+    // rows in the state store, and the watermark must provably REMOVE them
+    // — otherwise an unbounded stream accumulates unbounded state. Feed a
+    // matched pair, snapshot state size, advance event time ~10 h on BOTH
+    // sides (global watermark = min of the two), and assert the store
+    // reports removals and ends below its peak.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF(), 30, "1 hour")
+      .writeStream.format("memory").queryName("ssjoin_evict_t")
+      .outputMode("append").start()
+    clicks.addData(ev(1, 60, user = 1))
+    purchases.addData(ev(10, 40, user = 1))
+    q.processAllAvailable()
+    val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(peak >= 2, s"expected both sides buffered, state=$peak")
+    // advance watermark: wm = max_event_time − 1 h ≈ min 540 ≫ old rows +
+    // the 30-min join range, so rows at mins 40/60 can never match again
+    clicks.addData(ev(2, 600, user = 9))
+    purchases.addData(ev(11, 600, user = 9))
+    q.processAllAvailable()
+    // eviction lands in the batch AFTER the watermark update — run one more
+    clicks.addData(ev(3, 610, user = 9))
+    purchases.addData(ev(12, 610, user = 9))
+    q.processAllAvailable()
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(removed >= 2, s"watermark advance removed no state rows (removed=$removed)")
+    // only the 4 fresh rows (mins 600/610, both sides) may remain; the
+    // originals at mins 40/60 must be gone — unevicted state would show 6
+    assert(fin <= 4, s"state did not shrink: final=$fin peak=$peak removed=$removed")
+  }
+
   test("stateful aggregation runs on the RocksDB state store backend") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -55,6 +55,13 @@ def main():
             a, b = g[c], w[c]
             try:
                 eq = (a == b) | (a.isna() & b.isna())
+                # BIT-exact guard for floats: the driver hashes value reprs,
+                # so -0.0 vs 0.0 (numerically ==) still fails there. Compare
+                # the sign bit too (r07's q303 lesson).
+                import pandas.api.types as _pt
+                if _pt.is_float_dtype(a) and _pt.is_float_dtype(b):
+                    import numpy as _np
+                    eq = eq & (_np.signbit(a.to_numpy()) == _np.signbit(b.to_numpy()))
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():
