@@ -2868,6 +2868,52 @@ object RelationalQueries2 {
       .orderBy($"lvl")
   }
 
+  // q319: recursive-CTE parity — hierarchy rollup to the root over a
+  // parent-pointer table (org charts, BOM explosions, account trees: the
+  // classic WITH RECURSIVE workload Spark SQL lacks). The hierarchy is
+  // derived deterministically from the customer table (parent = custkey
+  // div 10; keys < 10 are roots — ~4 levels at sf0.01), and the rollup
+  // reports, per root: subtree population, max depth, exact subtree
+  // balance cents. Spark leg = frontier-free ancestor climbing: every
+  // node carries (anc, depth) and each iteration advances ONLY the
+  // non-root rows one level via a keyed join against the parent map,
+  // localCheckpoint-pinned per round (the q265 lineage discipline).
+  // O(depth) keyed joins, no driver data, no recursion in the plan —
+  // at 100 TB an account tree is ~12 levels, i.e. 12 shuffles bounded
+  // by |nodes|, and pointer-doubling (anc → anc's anc) would halve that
+  // to O(log d) at the cost of materializing the doubled map; linear is
+  // the right trade below ~20 levels. Oracle = DuckDB WITH RECURSIVE —
+  // rollup ≡ recursive closure is the checked identity.
+  def hierRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables(s, dir).customer
+      .select($"c_custkey".as("node"),
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val parents = nodes.select($"node".as("anc"),
+        when($"node" < 10, $"node").otherwise(expr("node div 10")).as("parent"))
+      .localCheckpoint()
+    var cur = nodes.select($"node", $"cents",
+      when($"node" < 10, $"node").otherwise(expr("node div 10")).as("anc"),
+      when($"node" < 10, 0).otherwise(1).as("depth"))
+    var iters = 0
+    var climbing = cur.filter($"anc" >= 10).limit(1).count() > 0
+    while (climbing && iters < 20) {
+      val done = cur.filter($"anc" < 10)
+      val stepped = cur.filter($"anc" >= 10)
+        .join(parents, Seq("anc"))
+        .select($"node", $"cents", $"parent".as("anc"),
+          ($"depth" + 1).as("depth"))
+      cur = done.unionByName(stepped).localCheckpoint()
+      climbing = cur.filter($"anc" >= 10).limit(1).count() > 0
+      iters += 1
+    }
+    cur.groupBy($"anc".as("root"))
+      .agg(count(lit(1)).as("n_nodes"),
+        max($"depth").cast("int").as("max_depth"),
+        sum($"cents").as("total_cents"))
+      .orderBy($"root")
+  }
+
   // q278: business-day latency — weekdays between order date and each
   // line's ship date by pure epoch-day integer arithmetic (no calendar
   // table, no per-day explode): W(d) = 5·⌊d/7⌋ + min(d mod 7, 5) counts
@@ -2897,6 +2943,7 @@ object RelationalQueries2 {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_hier_rollup" -> hierRollup _,
     "q278_business_days" -> businessDays _,
     "q282_bloom_join_prune" -> runtimeBloomJoin _,
     "q284_ols_regression" -> bySql(Seq("events"), olsSql) _,
@@ -3129,6 +3176,20 @@ object RelationalQueries2 {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q319_hier_rollup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT t.root, c.c_custkey, t.depth + 1
+        |  FROM t JOIN customer c
+        |    ON c.c_custkey // 10 = t.node AND c.c_custkey >= 10)
+        |SELECT CAST(t.root AS BIGINT) AS root,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(max(t.depth) AS INT) AS max_depth,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM t JOIN customer c ON c.c_custkey = t.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q278_business_days" ->
       """WITH li AS (SELECT l_orderkey,
         |    CAST(l_shipdate AS DATE) - DATE '1970-01-05' AS ms

@@ -32,6 +32,29 @@ object TrainingDataQueries {
       .orderBy($"doc_id")
   }
 
+  // q320: deterministic epoch shuffle — multi-epoch training needs a
+  // DIFFERENT, reproducible global permutation of the corpus each epoch,
+  // with no RNG state to coordinate across 1000 executors: the sort key
+  // is md5(epoch ':' doc_id), so order-by-key IS the permutation —
+  // seedable (epoch), stable under retries/stragglers, and at 100 TB a
+  // range partition on a uniform hash, i.e. an embarrassingly parallel
+  // sort with no hot ranges by construction. The face emits each
+  // epoch's first 10 positions (epochs 0-2) via a per-group top-k
+  // (WindowGroupLimit — never a global single-task sort) with the key
+  // prefix alongside, proving the three epochs produce distinct
+  // decorrelated prefixes while every rerun hashes identically.
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).documents.select($"doc_id")
+      .select($"doc_id", explode(array((0 until 3).map(lit(_)): _*)).as("epoch"))
+      .select($"epoch", $"doc_id",
+        md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))).as("sk"))
+    Relational.topKPerGroup(e, Seq(col("epoch")),
+        Seq(col("sk").asc, col("doc_id").asc), 10, rankCol = "pos")
+      .select($"epoch", $"pos", $"doc_id", substring($"sk", 1, 8).as("key_prefix"))
+      .orderBy($"epoch", $"pos")
+  }
+
   // q101: stratified sampling — per-language rates (en 20%, fr 50%, de
   // 80%, es 100%, zh dropped) in ONE stateless per-row filter: the domain
   // rebalancing move of a pretraining mix with no shuffle and no
@@ -405,6 +428,7 @@ object TrainingDataQueries {
     "q92_chunk_overlap" -> chunkOverlap _,
     "q93_repetition_filter" -> repetitionFilter _,
     "q94_domain_mix" -> domainMix _,
+    "q320_epoch_shuffle" -> epochShuffle _,
     "q63_hash_sample" -> hashSample _,
     "q101_stratified_sample" -> stratifiedSample _,
     "q64_split_stats" -> splitStats _,
@@ -587,6 +611,16 @@ object TrainingDataQueries {
         |  len(list_filter(pt, t -> regexp_full_match(t, '\p{N}+'))) AS n_num,
         |  len(list_distinct(pt)) AS n_distinct
         |FROM pt ORDER BY doc_id""".stripMargin,
+    "q320_epoch_shuffle" ->
+      """WITH e AS (SELECT d.doc_id, CAST(t.e AS INT) AS epoch,
+        |    md5(CAST(t.e AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS sk
+        |  FROM documents d, range(0, 3) t(e)),
+        |r AS (SELECT epoch, doc_id, sk,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS pos
+        |  FROM e)
+        |SELECT epoch, CAST(pos AS INT) AS pos, doc_id,
+        |  substr(sk, 1, 8) AS key_prefix
+        |FROM r WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin,
     "q63_hash_sample" ->
       s"""SELECT doc_id, lang, source,
          |  CAST(${bucketSql("doc_id", 10000)} AS INT) AS bucket

@@ -325,6 +325,47 @@ object WarehouseQueries {
       .orderBy($"stage")
   }
 
+  // q318: snapshot ROLLBACK (Delta RESTORE / Iceberg rollback) — the
+  // operational recovery path a versioned lake table exists for: a bad
+  // overwrite (v3 drops every non-finished order) is undone by
+  // publishing v4 whose manifest is v2's verbatim. Contracts proven by
+  // the hash: (1) rollback restores BIT-identical content (v4 row ≡ v2
+  // row); (2) history is preserved, not rewritten — v3 stays readable
+  // after the rollback (its row is computed post-rollback); (3) the
+  // rollback itself moves ZERO data bytes at any table size (a require
+  // pins v4's file set to v2's — manifest lines, not rewrites). The
+  // oracle recomputes each version's defining predicate from the base
+  // table: restore ≡ recompute is the checked identity.
+  def restoreRollback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q318_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1999-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(slice($"o_orderdate" < cut), out, append = false)
+    ManifestTable.commit(slice($"o_orderdate" >= cut), out, append = true)
+    // the "incident": an overwrite that wrongly drops every non-F order
+    ManifestTable.commit(
+      ManifestTable.read(s, out, 2).filter($"o_orderstatus" === "F"),
+      out, append = false)
+    val v4 = ManifestTable.rollback(out, toVersion = 2)
+    require(v4 == 4, s"q318: expected rollback to publish v4, got v$v4")
+    require(ManifestTable.fileCount(out, 4) == ManifestTable.fileCount(out, 2),
+      "q318: rollback must reference v2's files verbatim, not rewrite them")
+    (1 to 4).map { v =>
+      ManifestTable.read(s, out, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(v).as("version"), $"n_rows", $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+
   // q283: equality-delete merge-on-read — deleting 0.1% of keys from a
   // 100 TB table by REWRITING it costs 100 TB of IO; the manifest table
   // instead commits a delete-key file (v2) that readers anti-join at scan
@@ -561,6 +602,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q318_restore" -> restoreRollback _,
     "q273_compact_expire" -> compactExpire _,
     "q270_time_travel" -> timeTravel _,
     "q259_incr_join_view" -> incrementalJoinView _,
@@ -646,6 +688,22 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q318_restore" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o
+        |ORDER BY version""".stripMargin,
     "q273_compact_expire" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),

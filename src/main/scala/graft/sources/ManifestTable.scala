@@ -404,6 +404,28 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
     commit(read(spark, dir).coalesce(numFiles), dir, append = false)
 
+  /** Roll the table BACK to `toVersion` as a NEW commit (Delta RESTORE /
+    * Iceberg rollback semantics): the next version's manifest is the
+    * target version's manifest verbatim — delete entries, file stats and
+    * all — so the restored state is bit-identical to the historical read
+    * while history stays intact (the bad commits remain time-travelable
+    * until expiry reclaims them). Zero data IO at ANY table size: a
+    * rollback of a 100 TB table copies a few KB of manifest lines,
+    * because data files are immutable and the manifest IS the state.
+    * Published through the same write-then-rename atomic create as every
+    * other commit. Returns the new version. */
+  def rollback(dir: String, toVersion: Int): Int = {
+    val cur = currentVersion(dir)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"rollback: version $toVersion not in [1, $cur]")
+    val v = cur + 1
+    val all = manifestFiles(dir, toVersion)
+    val tmp = manifests(dir).resolve(s".v$v.tmp")
+    Files.write(tmp, all.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
+    v
+  }
+
   /** Snapshot expiry: drop every manifest older than the newest `keep`
     * versions, then delete data files no SURVIVING manifest references
     * (append-chain files shared with a live version are kept — liveness is

@@ -59,6 +59,26 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception](ManifestTable.read(spark, dir, 3).count())
   }
 
+  test("rollback restores a prior snapshot as a new commit, preserving history and deletes") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    ManifestTable.delete(Seq(3L, 7L).toDF("k"), dir, "k")     // v2: 8 rows live
+    ManifestTable.commit((100L to 101L).toDF("k"), dir, append = false) // v3: bad overwrite
+    val v4 = ManifestTable.rollback(dir, toVersion = 2)
+    assert(v4 == 4)
+    // restored state is bit-identical to v2 — INCLUDING the delete entry
+    assert(ManifestTable.read(spark, dir).select("k").as[Long].collect().sorted.toSeq
+      == (1L to 10L).filterNot(Set(3L, 7L)).toSeq)
+    // history intact: the bad v3 stays time-travelable after the rollback
+    assert(ManifestTable.read(spark, dir, 3).count() == 2)
+    // zero data movement: v4 references v2's manifest lines verbatim
+    assert(ManifestTable.fileCount(dir, 4) == ManifestTable.fileCount(dir, 2))
+    // bounds checked
+    intercept[IllegalArgumentException](ManifestTable.rollback(dir, 0))
+    intercept[IllegalArgumentException](ManifestTable.rollback(dir, 9))
+  }
+
   test("equality deletes are sequence-scoped, survive time travel, and purge on compact") {
     import spark.implicits._
     val dir = freshDir()
