@@ -38,6 +38,33 @@ object Quality {
                               dim: DataFrame, dimKey: String,
                               broadcastDim: Boolean = true) extends Check
 
+  /** Row-level quarantine: the WRITE-side half of data quality (report
+    * tells you the table is 0.3% bad; quarantine routes those rows OUT of
+    * the pipeline with machine-readable reasons instead of failing the
+    * load). Every row gains `_reasons` — the array of failed row-level
+    * check names, in declaration order, empty = clean — and the split is
+    * two filters over the same projection: ONE scan, zero shuffles, pure
+    * codegen (the reasons array is a `when` per check + a null-filter
+    * HOF). Only row-level checks apply (Unique/ForeignKey need global
+    * state — they quarantine via an explicit anti-join, not per-row).
+    * Returns (clean rows unchanged, quarantined rows + `_reasons`). */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val rowLevel: Seq[(String, Column)] = checks.collect {
+      case NotNull(n, c) => n -> col(c).isNull
+      case InRange(n, c, lo, hi) =>
+        n -> (col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case Satisfies(n, p) => n -> !coalesce(p, lit(false))
+    }
+    require(rowLevel.nonEmpty, "Quality.quarantine: needs a row-level check")
+    require(rowLevel.size == checks.size,
+      "Quality.quarantine: Unique/ForeignKey are not row-local — quarantine them via an anti-join")
+    val reasons = filter(array(rowLevel.map { case (n, p) =>
+      when(p, lit(n)) }: _*), x => x.isNotNull)
+    val marked = df.withColumn("_reasons", reasons)
+    (marked.filter(size(col("_reasons")) === 0).drop("_reasons"),
+      marked.filter(size(col("_reasons")) > 0))
+  }
+
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Quality.report: no checks given")
     val rowLevel = checks.collect {

@@ -109,13 +109,11 @@ object Similarity {
     * and HOF interpretation re-evaluates it per ELEMENT — dim× redundant
     * work (dim²=4096 ops/row at dim 64; profiled as the hot spot of the
     * PQ index build). Use this wherever the whole corpus is quantized. */
-  def withQuantizedInt8(df: DataFrame, vec: Column, out: String): DataFrame = {
-    val nrmCol = Iterator.from(0).map(i => s"_qnrm$i")
-      .find(n => !df.columns.contains(n)).get
-    df.withColumn(nrmCol, l2Norm(vec))
-      .withColumn(out, transform(vec, x => round(x / col(nrmCol) * 127).cast("int")))
-      .drop(nrmCol)
-  }
+  def withQuantizedInt8(df: DataFrame, vec: Column, out: String): DataFrame =
+    // native one-pass expression (norm + per-element round in one buffer
+    // walk) — bit-identical to the HOF spelling it replaced, see
+    // functions.QuantizeInt8
+    df.withColumn(out, graft.functions.QuantizeInt8.quantizeInt8(vec))
 
   /** Integer dot product of two int8-quantized vectors. Products ≤ 127²·dim
     * stay far below 2^53, so routing through the double-typed codegen

@@ -368,7 +368,71 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q322: prefix-filtered exact similarity join (AllPairs/PPJoin
+  // family) — the canonical EXACT-threshold algorithm next to the
+  // probabilistic paths (MinHash q31, SimHash q32, rare-shingle
+  // blocking q302): order each doc's distinct tokens rarest-first
+  // (global df asc, token asc), index only the first
+  // |x| − ⌈t·|x|⌉ + 1 tokens, and join on prefix tokens. The pruning
+  // is COMPLETE by pigeonhole: two sets with Jaccard ≥ t = 3/5 overlap
+  // in > (1−t)·|x| tokens, so ignoring any (1−t)-fraction prefix of
+  // one side cannot hide a qualifying pair — every J ≥ t pair shares a
+  // prefix token, no false dismissals, unlike LSH. Verification is an
+  // exact integer Jaccard on the full sorted token arrays, thresholded
+  // as 5·∩ ≥ 3·∪ (rational inequality — no float enters the decision).
+  // At 100 TB: the join shuffles on prefix TOKENS (rarest tokens →
+  // smallest postings), candidate volume is bounded by rare-token
+  // co-occurrence, and the df table that defines "rare" is vocabulary-
+  // sized, broadcast once. CAVEAT measured on this corpus: the
+  // synthetic documents share most of a tiny vocabulary (57% of ALL
+  // pairs have J ≥ 0.6 at sf0.01 — real corpora post-dedup are
+  // orders sparser), so the qualifying set itself is Θ(n²) and no
+  // exact algorithm can beat its own output size; the face therefore
+  // runs on a deterministic 1/10 id slice (the q278 bounding move)
+  // while the algorithm stays full-fidelity.
+  def prefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir).documents
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(array_distinct(PF.tokens($"text"))).as("tok"))
+    val dfs = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+    val ranked = toks.join(dfs, Seq("tok"))
+      .select($"doc_id", $"tok",
+        row_number().over(wDoc).as("rnk"),
+        count(lit(1)).over(Window.partitionBy($"doc_id")).as("sz"))
+    // prefix length for t = 3/5: |x| − ⌈3|x|/5⌉ + 1, ceil in integers
+    val prefix = ranked
+      .filter($"rnk" <= expr("sz - (sz * 3 + 4) div 5 + 1"))
+      .select($"tok", $"doc_id")
+    val docsets = toks.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"tok")).as("ts"), count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val cand = prefix.select($"tok", $"doc_id".as("id_a"))
+      .join(prefix.select($"tok", $"doc_id".as("id_b")), Seq("tok"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    cand
+      .join(docsets.select($"doc_id".as("id_a"), $"ts".as("ta"), $"sz".as("sza")), Seq("id_a"))
+      .join(docsets.select($"doc_id".as("id_b"), $"ts".as("tb"), $"sz".as("szb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        ($"sza" + $"szb" - size(array_intersect($"ta", $"tb"))).as("uni"))
+      .filter($"inter" * 5 >= $"uni" * 3)
+      // this synthetic corpus is dup-dense (~71k qualifying pairs at
+      // sf0.01) — emit the bounded per-bucket summary, with exact id
+      // sums pinning pair MEMBERSHIP (any wrong/missing pair moves a
+      // bucket's count and both checksums)
+      .select(expr("inter * 20 div uni").as("jac_bucket"),
+        $"id_a", $"id_b")
+      .groupBy($"jac_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"id_a").as("sum_a"), sum($"id_b").as("sum_b"))
+      .orderBy($"jac_bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_prefix_filter_join" -> prefixFilterJoin _,
     "q311_incremental_dedup" -> incrementalDedup _,
     "q302_sparse_cosine" -> sparseCosine _,
     "q288_golden_record" -> goldenRecord _,
@@ -427,6 +491,32 @@ object DedupQueries {
          |  FROM rc GROUP BY src)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q322_prefix_filter_join" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS tok
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+        |rk AS (SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, tok ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY doc_id) AS sz
+        |  FROM tk JOIN dfs USING (tok)),
+        |pf AS (SELECT tok, doc_id FROM rk
+        |  WHERE rnk <= sz - (sz * 3 + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |ds AS (SELECT doc_id, list_sort(list(tok)) AS ts,
+        |    CAST(count(*) AS BIGINT) AS sz FROM tk GROUP BY 1),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |    a.sz + b.sz - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+        |  FROM cand JOIN ds a ON a.doc_id = cand.id_a
+        |  JOIN ds b ON b.doc_id = cand.id_b)
+        |SELECT inter * 20 // uni AS jac_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(id_a) AS BIGINT) AS sum_a,
+        |  CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM j WHERE inter * 5 >= uni * 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q288_golden_record" ->
       """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand,
         |    p_retailprice, string_split(p_name, ' ')[1] AS blk FROM part),

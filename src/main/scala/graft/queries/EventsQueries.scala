@@ -1508,7 +1508,43 @@ object EventsQueries {
       .orderBy($"early_error")
   }
 
+  // q321: sketch-based join-cardinality estimation — the query-planner
+  // telemetry that decides a join strategy BEFORE running the join:
+  // |A ⋈_u B| = Σ_u a_u·b_u, and a count-min sketch estimates it as
+  // min_k Σ_b cms_A[k][b]·cms_B[k][b] (here A = B = events keyed by
+  // user: exact Σ c_u², the self-join size that predicts skew blowups).
+  // The CMS inner product NEVER underestimates (hash collisions only
+  // ADD non-negative cross terms), so the planner can trust the bound;
+  // the face asserts exactly that, plus the overestimate in exact ppm.
+  // At 100 TB: the sketch is d·w = 256 longs built in ONE pass with
+  // map-side combine (vs shuffling the join to count it) and merges
+  // across partitions/days by cell-wise addition — the mergeable-
+  // sufficient-statistics property the q310 persisted-sketch loop
+  // relies on. All arithmetic integer-exact (md5 buckets, long sums,
+  // integer div for the ppm).
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{TrainingData => TD}
+    val freqs = Tables(s, dir).events
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused by the exact leg and all 4 sketch rows
+    val exact = freqs.agg(sum($"c" * $"c").cast("long").as("exact_size"))
+    val cells = (0 until 4).map { k =>
+      freqs.select(lit(k).as("k"),
+        TD.hashBucket(concat(lit(s"$k:"), $"user_id"), 64).as("bucket"), $"c")
+    }.reduce(_.unionByName(_))
+      .groupBy($"k", $"bucket").agg(sum($"c").cast("long").as("cell"))
+    val est = cells.groupBy($"k")
+      .agg(sum($"cell" * $"cell").cast("long").as("est_k"))
+      .agg(min($"est_k").as("cms_est"))
+    exact.crossJoin(broadcast(est))
+      .select($"exact_size", $"cms_est",
+        expr("(cms_est - exact_size) * 1000000 div exact_size").as("over_ppm"),
+        ($"cms_est" >= $"exact_size").as("never_under"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_join_size_est" -> joinSizeEst _,
     "q244_early_error" -> earlyErrorImpact _,
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
@@ -1573,6 +1609,22 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q321_join_size_est" ->
+      """WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM f),
+        |cells AS (SELECT t.k,
+        |    ('0x' || substr(md5(CAST(t.k AS VARCHAR) || ':'
+        |      || CAST(f.user_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cell
+        |  FROM f, range(0, 4) t(k) GROUP BY 1, 2),
+        |est AS (SELECT CAST(min(est_k) AS BIGINT) AS cms_est FROM (
+        |    SELECT k, CAST(sum(cell * cell) AS BIGINT) AS est_k
+        |    FROM cells GROUP BY 1))
+        |SELECT exact_size, cms_est,
+        |  CAST((cms_est - exact_size) * 1000000 // exact_size AS BIGINT) AS over_ppm,
+        |  cms_est >= exact_size AS never_under
+        |FROM ex, est""".stripMargin,
     "q244_early_error" ->
       """WITH r AS (SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id

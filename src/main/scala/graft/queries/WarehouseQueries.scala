@@ -366,6 +366,67 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  // q324: constraint quarantine — the write-side DQ operator q97's
+  // report doesn't give: violating rows are ROUTED OUT with
+  // machine-readable reasons (the dead-letter pattern for batch loads)
+  // instead of failing the job or silently loading garbage. One scan,
+  // zero shuffles to classify (reasons = codegen'd when-array);
+  // the face groups quarantined rows by their exact reason COMBINATION
+  // (multi-violation rows surface as 'a,b' rows — the signal that two
+  // upstream bugs overlap) plus one 'clean' row, with exact cents so a
+  // single misrouted row breaks the hash.
+  def quarantineFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (clean, quar) = graft.operators.Quality.quarantine(
+      Tables(s, dir).orders, Seq(
+        graft.operators.Quality.NotNull("custkey_null", "o_custkey"),
+        graft.operators.Quality.InRange("price_range", "o_totalprice", 0.0, 300000.0),
+        graft.operators.Quality.Satisfies("status_domain",
+          $"o_orderstatus".isin("O", "F"))))
+    quar.select(array_join($"_reasons", ",").as("reasons"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .unionByName(clean.select(lit("clean").as("reasons"),
+        round($"o_totalprice" * 100).cast("long").as("cents")))
+      .groupBy($"reasons")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"reasons")
+  }
+
+  // q323: order-independent table checksum — the cross-system
+  // reconciliation primitive (did the migration/replication/backfill
+  // produce the SAME table?) that q146's totals can't give: totals
+  // collide, a content checksum doesn't. Each row is canonically
+  // serialized (keys + money-as-cents + dates as yyyy-MM-dd, unit-
+  // separator joined — doubles never enter the hashed string, their
+  // engine-specific repr would break cross-system stability), md5'd,
+  // and the top 40 bits summed in DECIMAL(38,0) — commutative and
+  // associative, so the checksum is partition-order-independent and
+  // MERGEABLE: shard checksums add up to the table checksum, which is
+  // how 100 TB gets checksummed incrementally (per partition/day,
+  // rolled up, compared shard-by-shard to pin WHERE a mismatch lives).
+  // Grouped by l_returnflag here to prove the mergeable-shards face;
+  // emitted as digit strings (decimal38 reprs identical cross-engine).
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = concat_ws("\u001f", // unit separator: "12"+"3" != "1"+"23"
+      $"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+      round($"l_quantity" * 100).cast("long"),
+      round($"l_extendedprice" * 100).cast("long"),
+      round($"l_discount" * 100).cast("long"),
+      round($"l_tax" * 100).cast("long"),
+      $"l_returnflag", $"l_linestatus",
+      date_format($"l_shipdate", "yyyy-MM-dd"))
+    Tables(s, dir).lineitem
+      .select($"l_returnflag",
+        conv(substring(md5(canon.cast("binary")), 1, 10), 16, 10)
+          .cast("decimal(38,0)").as("hv"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"hv").as("_cs"))
+      .select($"l_returnflag", $"n_rows",
+        $"_cs".cast("decimal(38,0)").cast("string").as("checksum"))
+      .orderBy($"l_returnflag")
+  }
+
   // q283: equality-delete merge-on-read — deleting 0.1% of keys from a
   // 100 TB table by REWRITING it costs 100 TB of IO; the manifest table
   // instead commits a delete-key file (v2) that readers anti-join at scan
@@ -602,6 +663,8 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q324_quarantine" -> quarantineFace _,
+    "q323_table_checksum" -> tableChecksum _,
     "q318_restore" -> restoreRollback _,
     "q273_compact_expire" -> compactExpire _,
     "q270_time_travel" -> timeTravel _,
@@ -688,6 +751,38 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q324_quarantine" ->
+      """WITH m AS (SELECT o_totalprice, list_filter([
+        |    CASE WHEN o_custkey IS NULL THEN 'custkey_null' END,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 300000)
+        |      THEN 'price_range' END,
+        |    CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
+        |      THEN 'status_domain' END
+        |  ], x -> x IS NOT NULL) AS rs FROM orders)
+        |SELECT CASE WHEN len(rs) = 0 THEN 'clean'
+        |    ELSE array_to_string(rs, ',') END AS reasons,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q323_table_checksum" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    ('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || chr(31) ||
+        |      CAST(l_partkey AS VARCHAR) || chr(31) ||
+        |      CAST(l_suppkey AS VARCHAR) || chr(31) ||
+        |      CAST(l_linenumber AS VARCHAR) || chr(31) ||
+        |      CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) || chr(31) ||
+        |      CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || chr(31) ||
+        |      CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR) || chr(31) ||
+        |      CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR) || chr(31) ||
+        |      l_returnflag || chr(31) || l_linestatus || chr(31) ||
+        |      strftime(l_shipdate, '%Y-%m-%d')), 1, 10))::BIGINT AS hv
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(hv) AS HUGEINT) AS VARCHAR) AS checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q318_restore" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

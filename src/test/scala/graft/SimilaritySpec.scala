@@ -21,6 +21,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("native QuantizeInt8 is bit-identical to the HOF spelling it replaced") {
+    // every ANN consumer is oracle-hash-checked, so the native expression
+    // must reproduce round(x / l2Norm(v) * 127).cast(int) EXACTLY —
+    // including Spark Round's BigDecimal-HALF-UP ties and the NaN→0 path
+    // of a zero vector through a non-ANSI int cast
+    val rng = new scala.util.Random(13)
+    val vecs = (Seq.fill(200)(Array.fill(64)(rng.nextGaussian() * rng.nextInt(5))) :+
+      Array.tabulate(64)(i => (i - 32) * 0.015625)) // exact dyadics → .5 ties
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = vecs.toDF("id", "v").select($"id", $"v".cast("array<double>").as("v"))
+    val hof = df.select($"id",
+      transform($"v", x => round(x / sqrt(graft.functions.DotProduct
+        .dotProduct($"v", $"v")) * 127).cast("int")).as("q"))
+    val native = df.select($"id",
+      graft.functions.QuantizeInt8.quantizeInt8($"v").as("q"))
+    val expect = hof.as[(Long, Seq[Int])].collect().toMap
+    val got = native.as[(Long, Seq[Int])].collect().toMap
+    val mismatches = expect.keys.filter(id => expect(id) != got(id)).toSeq.sorted
+    assert(mismatches.isEmpty,
+      s"native != HOF for ids $mismatches: " +
+        mismatches.take(1).map(id => s"${expect(id)} vs ${got(id)}").mkString)
+    // divergence by design: under ANSI (Spark 4 default) the HOF spelling
+    // THROWS DIVIDE_BY_ZERO on an all-zero vector; the native expression
+    // is total and quantizes it to zeros (no such vector exists in the
+    // corpus — q195's norm screen proves it — but an operator shouldn't
+    // fail a 100 TB job on one degenerate row)
+    val zero = Seq((0L, Seq.fill(64)(0.0))).toDF("id", "v")
+      .select(graft.functions.QuantizeInt8.quantizeInt8($"v").as("q"))
+      .as[Seq[Int]].head()
+    assert(zero == Seq.fill(64)(0))
+  }
+
   test("kmeans recovers well-separated blobs with deterministic assignment") {
     // 3 blobs at distinct corners of 4-d space; ids interleave blobs so the
     // smallest-ids init (0,1,2) seeds one centroid per blob
