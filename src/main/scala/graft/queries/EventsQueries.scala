@@ -1543,7 +1543,39 @@ object EventsQueries {
         ($"cms_est" >= $"exact_size").as("never_under"))
   }
 
+  // q325: STL-lite seasonal decomposition, integer-exact — the
+  // trend/seasonal/remainder split every forecasting pipeline starts
+  // with, spelled so NO division ever happens: trend is the raw 7-day
+  // centered SUM (t7), the detrended residual is r = 7·c − t7 (scaling
+  // by 7 instead of dividing by 7), the weekday seasonal is carried as
+  // (Σr, n) per ISO weekday, and the remainder is rem = n·r − Σr
+  // (scaling by n instead of subtracting the mean). Every column is an
+  // exact integer — the float STL's summation-order sensitivity can't
+  // exist. The decomposition identity 7·n·c = n·t7 + ... holds by
+  // construction. The centered window is UNPARTITIONED but over the
+  // |days| table (~400 rows — the q143/months precedent: bounded
+  // driver-known cardinality, never event-sized); edge days without a
+  // full 7-row window are excluded like real STL trims its margins.
+  def stlDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("c"))
+    val w7 = Window.orderBy($"d").rowsBetween(-3, 3)
+    val t = daily.select($"d", $"c",
+        sum($"c").over(w7).as("t7"), count(lit(1)).over(w7).as("nw"))
+      .filter($"nw" === 7)
+      .select($"d", $"c", $"t7", ($"c" * 7 - $"t7").as("r"),
+        (expr("weekday(d)") + 1).cast("int").as("dow"))
+    val seas = t.groupBy($"dow")
+      .agg(sum($"r").as("sr"), count(lit(1)).as("nd"))
+    t.join(broadcast(seas), Seq("dow"))
+      .select($"d", $"c", $"t7", $"r", $"dow", $"sr", $"nd",
+        ($"r" * $"nd" - $"sr").as("rem_scaled"))
+      .orderBy($"d")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_stl_decompose" -> stlDecompose _,
     "q321_join_size_est" -> joinSizeEst _,
     "q244_early_error" -> earlyErrorImpact _,
     "q241_typed_sessions" -> typedSessions _,
@@ -1609,6 +1641,20 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q325_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |t AS (SELECT d, c, CAST(sum(c) OVER w AS BIGINT) AS t7,
+        |    count(*) OVER w AS nw
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT d, c, t7, c * 7 - t7 AS r,
+        |    CAST(isodow(d) AS INT) AS dow FROM t WHERE nw = 7),
+        |seas AS (SELECT dow, CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(count(*) AS BIGINT) AS nd FROM t2 GROUP BY 1)
+        |SELECT d, c, t7, CAST(r AS BIGINT) AS r, t2.dow, sr, nd,
+        |  CAST(r * nd - sr AS BIGINT) AS rem_scaled
+        |FROM t2 JOIN seas USING (dow) ORDER BY d""".stripMargin,
     "q321_join_size_est" ->
       """WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1),

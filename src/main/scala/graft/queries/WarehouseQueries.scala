@@ -366,6 +366,50 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  // q326: Bloom point-lookup file skipping — the manifest-stats
+  // complement q315 can't cover: an UNSORTED/key-sharded table has
+  // every file spanning the whole key range, so min/max prunes nothing
+  // for `key = ?`; per-file Bloom sidecars in the manifest prune to
+  // ~1 + fpp·(files−1) with zero file IO at planning time (the filter
+  // words live in the manifest line itself). Two 8-file bloom commits
+  // build a 16-file table deliberately repartition()-sharded (worst
+  // case for min/max); five point keys are then planned through the
+  // bloom, a require pins that files WERE skipped in aggregate, and
+  // the emitted rows are hash-checked against a plain point-select
+  // oracle — skipping must never lose a row (no false negatives by
+  // construction).
+  def bloomPointSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q326_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1998-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .repartition(8) // key-sharded: min/max stats are useless for k = ?
+    ManifestTable.commitWithBloom(slice($"o_orderdate" < cut), out,
+      append = false, Seq("o_orderkey"))
+    ManifestTable.commitWithBloom(slice($"o_orderdate" >= cut), out,
+      append = true, Seq("o_orderkey"))
+    val keys = Seq(7L, 137L, 555L, 1001L, 1400L)
+    val total = ManifestTable.fileCount(out)
+    val kept = keys.map(k =>
+      ManifestTable.pointPruneInfo(out, "o_orderkey", k.toString)._1).sum
+    require(kept < keys.size * total,
+      s"q326: bloom pruned nothing ($kept of ${keys.size * total} file-probes kept)")
+    keys.map { k =>
+      ManifestTable.readPoint(s, out, "o_orderkey", k.toString)
+        .filter($"o_orderkey" === k)
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("cents"))
+        .select(lit(k).as("o_orderkey"), $"n_rows", $"cents")
+    }.reduce(_.unionByName(_)).orderBy($"o_orderkey")
+  }
+
   // q324: constraint quarantine — the write-side DQ operator q97's
   // report doesn't give: violating rows are ROUTED OUT with
   // machine-readable reasons (the dead-letter pattern for batch loads)
@@ -663,6 +707,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q326_bloom_point_skip" -> bloomPointSkip _,
     "q324_quarantine" -> quarantineFace _,
     "q323_table_checksum" -> tableChecksum _,
     "q318_restore" -> restoreRollback _,
@@ -751,6 +796,14 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q326_bloom_point_skip" ->
+      """WITH k AS (SELECT unnest([7, 137, 555, 1001, 1400]) AS o_orderkey)
+        |SELECT CAST(k.o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM k LEFT JOIN orders o USING (o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q324_quarantine" ->
       """WITH m AS (SELECT o_totalprice, list_filter([
         |    CASE WHEN o_custkey IS NULL THEN 'custkey_null' END,

@@ -54,7 +54,7 @@ object ManifestTable {
     Files.readAllLines(manifests(dir).resolve(s"v$v.list")).asScala.toSeq
 
   /** Manifest line → (commit sequence, kind, data path, column stats).
-    * Four line shapes, all newline-framed and `|`-separated — no JSON
+    * Five line shapes, all newline-framed and `|`-separated — no JSON
     * parser on the read path:
     *
     *  - `<path>`                         data file, no stats (round-5
@@ -62,6 +62,11 @@ object ManifestTable {
     *  - `F|<path>|c:min:max;c2:min:max`  data file WITH per-column
     *                                     min/max (file-skipping stats,
     *                                     round-7);
+    *  - `F|<path>|<stats or ->|c:hex;…`  … plus per-column BLOOM words
+    *                                     (point-lookup file skipping,
+    *                                     round-8; hex = the filter's
+    *                                     64-bit words, 16 hex chars
+    *                                     each, `-` = no min/max stats);
     *  - `D|<keyCol>|<path>`              equality-delete file;
     *  - `P|<path>`                       position-delete file
     *                                     (`file_path`,`pos` rows).
@@ -70,7 +75,8 @@ object ManifestTable {
     * writes under. */
   private final case class Entry(seq: Int, deleteKey: Option[String],
                                  posDelete: Boolean, path: String,
-                                 stats: Map[String, (Double, Double)]) {
+                                 stats: Map[String, (Double, Double)],
+                                 blooms: Map[String, Array[Long]] = Map.empty) {
     def isData: Boolean = deleteKey.isEmpty && !posDelete
   }
   // Anchored to the `/data/commit-N/` segment the commit protocol writes
@@ -88,15 +94,28 @@ object ManifestTable {
         (None, true, line.stripPrefix("P|"), Map.empty[String, (Double, Double)])
       } else if (line.startsWith("F|")) {
         val parts = line.split('|')
-        val st = parts(2).split(';').iterator.map { s =>
-          val Array(n, lo, hi) = s.split(':')
-          n -> (lo.toDouble, hi.toDouble)
-        }.toMap
+        val st =
+          if (parts(2) == "-") Map.empty[String, (Double, Double)]
+          else parts(2).split(';').iterator.map { s =>
+            val Array(n, lo, hi) = s.split(':')
+            n -> (lo.toDouble, hi.toDouble)
+          }.toMap
         (None, false, parts(1), st)
       } else (None, false, line, Map.empty[String, (Double, Double)])
+    val blooms: Map[String, Array[Long]] =
+      if (!line.startsWith("F|")) Map.empty
+      else {
+        val parts = line.split('|')
+        if (parts.length <= 3) Map.empty
+        else parts(3).split(';').iterator.map { s =>
+          val i = s.indexOf(':')
+          s.substring(0, i) -> s.substring(i + 1).grouped(16)
+            .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        }.toMap
+      }
     val seq = SeqRe.findAllMatchIn(path).toSeq.lastOption
       .map(_.group(1).toInt).getOrElse(0)
-    Entry(seq, del, pos, path, stats)
+    Entry(seq, del, pos, path, stats, blooms)
   }
   private def pathOf(line: String): String = parseEntry(line).path
 
@@ -159,13 +178,24 @@ object ManifestTable {
       } finally rd.close()
     }.getOrElse(Map.empty)
 
-  /** A data file's manifest line: `F|path|stats` when the footer yields
-    * usable stats, the bare legacy path otherwise. */
-  private def dataLine(path: String): String = {
+  /** A data file's manifest line: `F|path|stats[|blooms]` when the footer
+    * yields usable stats or the commit built blooms, the bare legacy path
+    * otherwise. */
+  private def dataLine(path: String,
+                       blooms: Map[String, Array[Long]] = Map.empty): String = {
     val st = fileStats(path)
-    if (st.isEmpty) path
-    else "F|" + path + "|" + st.toSeq.sortBy(_._1)
-      .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+    if (st.isEmpty && blooms.isEmpty) path
+    else {
+      val statSeg =
+        if (st.isEmpty) "-"
+        else st.toSeq.sortBy(_._1)
+          .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+      val bloomSeg =
+        if (blooms.isEmpty) ""
+        else "|" + blooms.toSeq.sortBy(_._1).map { case (c, ws) =>
+          c + ":" + ws.map(w => f"$w%016x").mkString }.mkString(";")
+      "F|" + path + "|" + statSeg + bloomSeg
+    }
   }
 
   /** Commit `df` as the next version. Returns the new version number. */
@@ -200,12 +230,13 @@ object ManifestTable {
   }
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
-                        append: Boolean): Int = {
+                        append: Boolean,
+                        blooms: Map[String, Map[String, Array[Long]]] = Map.empty): Int = {
     // the new files enter the manifest WITH footer stats (file-skipping
     // metadata); prior lines carry forward verbatim — stats are written
     // once, at the only moment the file is new
     val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
-      newFiles.map(dataLine)
+      newFiles.map(f => dataLine(f, blooms.getOrElse(f, Map.empty)))
     Files.createDirectories(manifests(dir))
     // write-then-rename: the manifest appears atomically or not at all
     val tmp = manifests(dir).resolve(s".v$v.tmp")
@@ -213,6 +244,98 @@ object ManifestTable {
     Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
     v
   }
+
+  /** How many md5-derived bit positions a manifest bloom sets/probes per
+    * key — fixed so writer and reader never disagree. */
+  val BloomK = 4
+
+  /** Driver-side twin of [[graft.operators.Sketches.bloomPositions]]:
+    * first 24 bits of md5(i ":" value) mod m — byte-identical to the
+    * Column formula the distributed build uses. */
+  private def bloomPos(i: Int, value: String, m: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$value".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+    (v % m).toInt
+  }
+
+  /** Commit `df` WITH per-file Bloom sidecars for `bloomCols` — the
+    * point-lookup complement to the min/max stats (q315): a key-sharded
+    * or unsorted table has every file spanning the whole key range, so
+    * min/max prunes NOTHING for `key = ?`; a per-file bloom prunes to
+    * ~1 + fpp·(files−1). The build is ONE distributed read-back pass
+    * (explode k positions → distinct → per-(file, col, word) SUM of
+    * single-bit masks ≡ OR — the q103 dense-bitset trick), so commit
+    * cost stays O(data scan), and the filters live IN the manifest line
+    * (hex words): planning a point read is still zero file IO, zero
+    * listings. `bits` sizes the filter; at 100 TB you size it to the
+    * file's expected distinct keys (~10 bits/key for ~1% fpp). */
+  def commitWithBloom(df: DataFrame, dir: String, append: Boolean,
+                      bloomCols: Seq[String], bits: Int = 16384): Int = {
+    require(bits % 64 == 0, "commitWithBloom: bits must be a multiple of 64")
+    require(bloomCols.nonEmpty, "commitWithBloom: no bloom columns given")
+    val v = currentVersion(dir) + 1
+    val dataDir = s"$dir/data/commit-$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val masks = typedLit(Array.tabulate(64)(1L << _).toSeq)
+    val back = spark.read.parquet(dataDir)
+    val words = bloomCols.map { c =>
+      back.select(input_file_name().as("_f"), lit(c).as("_c"),
+        explode(graft.operators.Sketches.bloomPositions(col(c), bits, BloomK)).as("_p"))
+    }.reduce(_.unionByName(_))
+      .distinct()
+      .groupBy(col("_f"), col("_c"), shiftright(col("_p"), 6).cast("int").as("_w"))
+      .agg(sum(element_at(masks, (col("_p") % 64).cast("int") + 1)).as("_m"))
+      .collect()
+    val blooms: Map[String, Map[String, Array[Long]]] = words
+      .groupBy(r => new java.net.URI(r.getString(0)).getPath)
+      .map { case (path, rows) =>
+        path -> rows.groupBy(_.getString(1)).map { case (c, rs) =>
+          val arr = new Array[Long](bits / 64)
+          rs.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+          c -> arr
+        }
+      }
+    publishAt(dir, v, newFiles, append, blooms)
+  }
+
+  /** Point-lookup read: every row of the snapshot whose file's bloom for
+    * `col` MAY contain `value` — a superset (no false negatives by
+    * construction; files without a bloom for `col` scan conservatively).
+    * The caller still applies the exact `col = value` filter. Planning is
+    * O(|manifest|) bit probes — k word-index + mask ANDs per file. */
+  def readPoint(spark: SparkSession, dir: String, col: String,
+                value: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.readPoint: no committed version under $dir")
+    val entries = manifestFiles(dir, v).map(parseEntry)
+      .filter(e => !e.isData || bloomKeep(e.blooms.get(col), value))
+    assemble(spark, entries, dir, withMeta = false)
+  }
+
+  /** (files kept, data files total) for a bloom point prune — exposed so
+    * callers/tests ASSERT the skip happened (the q315 pruneInfo twin). */
+  def pointPruneInfo(dir: String, col: String, value: String,
+                     version: Int = -1): (Int, Int) = {
+    val v = if (version > 0) version else currentVersion(dir)
+    val datas = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
+    (datas.count(e => bloomKeep(e.blooms.get(col), value)), datas.size)
+  }
+
+  private def bloomKeep(words: Option[Array[Long]], value: String): Boolean =
+    words match {
+      case None => true
+      case Some(ws) =>
+        val m = ws.length * 64
+        (0 until BloomK).forall { i =>
+          val p = bloomPos(i, value, m)
+          (ws(p >> 6) & (1L << (p & 63))) != 0L
+        }
+    }
 
   /** Equality-delete commit (merge-on-read): the next version's manifest
     * keeps every existing line and adds the delete-key files — NO data

@@ -59,6 +59,32 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception](ManifestTable.read(spark, dir, 3).count())
   }
 
+  test("bloom sidecars skip files on point lookups, never losing a row; legacy lines scan conservatively") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 8 files, keys hash-sharded so min/max stats can't prune k = ?
+    ManifestTable.commitWithBloom((1L to 4000L).toDF("k").repartition(8),
+      dir, append = false, Seq("k"), bits = 16384)
+    val (keptHit, total) = ManifestTable.pointPruneInfo(dir, "k", "2024")
+    assert(total == 8)
+    assert(keptHit < 8, s"bloom kept all $keptHit/8 files for a present key")
+    // the pruned read still finds the row — no false negatives
+    assert(ManifestTable.readPoint(spark, dir, "k", "2024")
+      .filter($"k" === 2024L).count() == 1)
+    // a key that was never written prunes to ~0 files (fpp-bounded)
+    val (keptMiss, _) = ManifestTable.pointPruneInfo(dir, "k", "999999")
+    assert(keptMiss <= 2, s"absent key kept $keptMiss files")
+    // a column with no bloom scans everything (conservative)
+    assert(ManifestTable.pointPruneInfo(dir, "nope", "1") == (8, 8))
+    // append WITHOUT blooms: new files scan conservatively, old skip
+    ManifestTable.commit((10001L to 10500L).toDF("k").repartition(2), dir, append = true)
+    val (kept2, total2) = ManifestTable.pointPruneInfo(dir, "k", "999999")
+    assert(total2 == 10 && kept2 >= 2 && kept2 <= 4,
+      s"expected ~2 conservative + fpp files, got $kept2/$total2")
+    assert(ManifestTable.readPoint(spark, dir, "k", "10100")
+      .filter($"k" === 10100L).count() == 1)
+  }
+
   test("rollback restores a prior snapshot as a new commit, preserving history and deletes") {
     import spark.implicits._
     val dir = freshDir()

@@ -331,4 +331,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"PQ search pass should not join:\n$p")
   }
+
+  test("q317: IVF-PQ probes via ONE broadcast cell join; scoring is map-side") {
+    val p = planOf("q317_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query set should broadcast onto the corpus cells:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ search must not shuffle-join or cross-join the corpus:\n$p")
+  }
+
+  test("q320: epoch shuffle plans per-epoch WindowGroupLimit, no global sort") {
+    val p = planOf("q320_epoch_shuffle")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-epoch top-k should push the limit below the exchange:\n$p")
+  }
+
+  test("q322: prefix-filter join is hash/broadcast joins only — no cartesian") {
+    val p = planOf("q322_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate/verify stages degraded to a product:\n$p")
+  }
+
+  test("q323: the checksum is one scan + one partial-agg exchange") {
+    val p = planOf("q323_table_checksum")
+    // canonicalization + md5 + conv are all codegen projections over the
+    // scan; the only exchange is the l_returnflag hash aggregate
+    assert(p.contains("HashAggregate"), s"expected hash agg in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"a checksum must not join:\n$p")
+  }
 }
