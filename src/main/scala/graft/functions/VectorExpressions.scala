@@ -102,7 +102,7 @@ case class QuantizeInt8(child: Expression) extends
 }
 
 object QuantizeInt8 {
-  def quantize(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  def quantize(v: ArrayData): ArrayData = {
     val n = v.numElements()
     var ss = 0.0
     var i = 0
@@ -118,7 +118,12 @@ object QuantizeInt8 {
           .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toInt
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // Unsafe primitive encoding, NOT GenericArrayData: the quantized
+    // array is re-read per candidate PAIR by the ANN join stages, and a
+    // boxed Integer[] there measured 1.5-2.5× slower end-to-end
+    // (q314/q91/q99) than the HOF chain's unsafe output it replaced
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Column API: input must already be array<double>. */

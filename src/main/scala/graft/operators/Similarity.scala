@@ -112,8 +112,15 @@ object Similarity {
   def withQuantizedInt8(df: DataFrame, vec: Column, out: String): DataFrame =
     // native one-pass expression (norm + per-element round in one buffer
     // walk) — bit-identical to the HOF spelling it replaced, see
-    // functions.QuantizeInt8
+    // functions.QuantizeInt8. localCheckpoint is load-bearing: the old
+    // HOF chain was CodegenFallback, which forced a materialized
+    // projection boundary; the native expression fuses into downstream
+    // join stages where codegen's LAZY variable evaluation re-quantizes
+    // once per candidate PAIR (measured 2.1× on q314's 50-query cross
+    // join). Pinning the quantized corpus makes it what it conceptually
+    // is — the index artifact, built once (the q258 pqCorpus design).
     df.withColumn(out, graft.functions.QuantizeInt8.quantizeInt8(vec))
+      .localCheckpoint()
 
   /** Integer dot product of two int8-quantized vectors. Products ≤ 127²·dim
     * stay far below 2^53, so routing through the double-typed codegen
