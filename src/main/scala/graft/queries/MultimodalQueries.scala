@@ -28,6 +28,51 @@ object MultimodalQueries {
       .orderBy($"media_id")
   }
 
+  // q327: shot-boundary detection — the video-segmentation primitive a
+  // multimodal training pipeline runs before captioning/sampling: frames
+  // whose intensity jumps against the previous frame start a new shot.
+  // The pipeline is the REAL contract (64-byte frames via the declarative
+  // sampler, per-frame "luma" = exact integer byte sum through the
+  // typed-mapPartitions codec seam where a real decoder slots in, keyed
+  // lag + running boundary count per media, per-shot lengths), the
+  // decode is the documented stub. At 100 TB every stage is keyed by
+  // media_id: the windows sort frames-per-video, never the corpus; the
+  // only shuffles are (media_id) keyed. Boundaries are integer
+  // comparisons (|Δluma| > 400), so both engines segment identically.
+  def shotBoundary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.mediaFromDocuments(Tables(s, dir).documents)
+    val frames = Multimodal.sampleFrames(media, 64, 1)
+    val lumas = frames.select($"media_id", $"frame_idx", $"frame_bytes")
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init point: a real frame decoder would be
+        // constructed once here (FakeDecoder discipline, q80)
+        rows.map { case (id, fi, b) =>
+          var sum = 0L
+          var i = 0
+          while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+          (id, fi, sum)
+        }
+      }.toDF("media_id", "frame_idx", "luma")
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    val seg = lumas
+      .withColumn("prev", lag($"luma", 1).over(w))
+      .withColumn("cut",
+        when($"prev".isNotNull && abs($"luma" - $"prev") > 400, 1).otherwise(0))
+      .withColumn("shot", sum($"cut").over(w))
+    seg.groupBy($"media_id", $"shot").agg(count(lit(1)).as("flen"))
+      .groupBy($"media_id")
+      .agg((max($"shot") + 1).cast("long").as("n_shots"),
+        sum($"flen").as("n_frames"),
+        max($"flen").as("max_shot_frames"))
+      .join(lumas.groupBy($"media_id").agg(sum($"luma").as("luma_sum")),
+        Seq("media_id"))
+      .select($"media_id", $"n_frames", $"n_shots", $"max_shot_frames", $"luma_sum")
+      .orderBy($"media_id")
+  }
+
   // q81: frame sampling accounting (64-byte frames, stride 2), per kind.
   def mediaFrameStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -145,6 +190,7 @@ object MultimodalQueries {
     "q85_media_resize" -> mediaResize _,
     "q82_doc_embedding_join" -> docEmbeddingJoin _,
     "q83_media_dominant_bin" -> mediaDominantBin _,
+    "q327_shot_boundary" -> shotBoundary _,
     "q80_media_features" -> mediaFeatures _,
     "q81_media_frame_stats" -> mediaFrameStats _,
     "q28_approx_distinct" -> approxDistinct _
@@ -174,6 +220,30 @@ object MultimodalQueries {
     // stub decoder's 16-bin histogram is reproduced bin-by-bin (zero bins
     // included), L1-normalized in FLOAT on both engines, then serialized as
     // integer ppm so float formatting never enters the hash.
+    "q327_shot_boundary" ->
+      """WITH f AS (SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> ascii(substr(text, CAST(t.i * 64 + j AS INT), 1))))
+        |      AS BIGINT) AS luma
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, len(text) // 64)) AS i) t),
+        |c AS (SELECT media_id, frame_idx, luma,
+        |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        |  FROM f),
+        |g AS (SELECT media_id, frame_idx, luma,
+        |    sum(CASE WHEN prev IS NOT NULL AND abs(luma - prev) > 400
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY media_id ORDER BY frame_idx) AS shot
+        |  FROM c),
+        |per AS (SELECT media_id, shot, count(*) AS flen FROM g GROUP BY 1, 2),
+        |a AS (SELECT media_id, CAST(max(shot) + 1 AS BIGINT) AS n_shots,
+        |    CAST(sum(flen) AS BIGINT) AS n_frames,
+        |    CAST(max(flen) AS BIGINT) AS max_shot_frames
+        |  FROM per GROUP BY 1),
+        |l AS (SELECT media_id, CAST(sum(luma) AS BIGINT) AS luma_sum
+        |  FROM f GROUP BY 1)
+        |SELECT a.media_id, n_frames, n_shots, max_shot_frames, luma_sum
+        |FROM a JOIN l USING (media_id) ORDER BY a.media_id""".stripMargin,
     "q80_media_features" ->
       """WITH docs0 AS (SELECT doc_id, text, len(text) AS n FROM documents),
         |bins AS (SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM docs0),

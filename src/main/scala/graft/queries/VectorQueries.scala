@@ -463,6 +463,67 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q328: IVF multi-probe recall/cost curve — the tuning face every IVF
+  // deployment reads before picking nprobe: probing ONLY the query's
+  // primary cell misses true neighbors whose dominant axis differs by a
+  // hair; probing the runner-up cell too roughly doubles the scanned
+  // candidates and buys back recall. Cells are the deterministic axis
+  // quantizer (q41); the runner-up is the second-largest |component|
+  // (primary position masked to a sentinel, argmax again — both engines
+  // reproduce ties identically via first-position semantics). Ranking
+  // is exact integer int8 L2 with id tie-breaks; ground truth is the
+  // brute-force top-5 under the SAME metric, so recall isolates the
+  // PROBE decision (not quantization error — q314 measures that).
+  // Output: per nprobe, total candidates scanned + hits + exact-ppm
+  // recall@5 over 20 queries. At 100 TB: candidates/query scale as
+  // nprobe/(2·dim) of the corpus; the probe list is a per-query literal
+  // explode, the join stays one broadcast against corpus cells.
+  def ivfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+    val base = Similarity.withQuantizedInt8(emb, $"embedding".cast("array<double>"), "q")
+    val absV = transform($"embedding", x => abs(x))
+    val p1 = array_position(absV, array_max(absV))
+    val masked = transform(absV, (x, i) =>
+      when(i === (p1 - 1).cast("int"), lit(-1.0f)).otherwise(x))
+    val p2 = array_position(masked, array_max(masked))
+    val cells = base.select($"vec_id", $"q",
+      p1.as("c1i"), (element_at($"embedding", p1.cast("int")) > lit(0.0f)).as("c1s"),
+      p2.as("c2i"), (element_at($"embedding", p2.cast("int")) > lit(0.0f)).as("c2s"))
+      .localCheckpoint()
+    val queries = cells.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"q".as("qq"),
+        $"c1i".as("qc1i"), $"c1s".as("qc1s"), $"c2i".as("qc2i"), $"c2s".as("qc2s"))
+    val truth = Relational.topKPerGroup(
+      cells.crossJoin(broadcast(queries.select($"q_id", $"qq")))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d")),
+      Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), 5, rankCol = "tr")
+      .select($"q_id", $"c_id")
+    def face(nprobe: Int): DataFrame = {
+      val probeArr =
+        if (nprobe == 1) array(struct($"qc1i".as("pi"), $"qc1s".as("ps")))
+        else array(struct($"qc1i".as("pi"), $"qc1s".as("ps")),
+          struct($"qc2i".as("pi"), $"qc2s".as("ps")))
+      val probes = queries.select($"q_id", $"qq", explode(probeArr).as("p"))
+        .select($"q_id", $"qq", $"p.pi".as("c1i"), $"p.ps".as("c1s"))
+      val cand = cells.join(broadcast(probes), Seq("c1i", "c1s"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d"))
+      val approx = Relational.topKPerGroup(cand,
+        Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), 5, rankCol = "ar")
+        .select($"q_id", $"c_id")
+      val hits = approx.join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_q"))))
+        .select(lit(nprobe).as("nprobe"), $"n_q", $"n_candidates", $"hits",
+          expr("hits * 1000000 div (5 * n_q)").as("recall_ppm"))
+    }
+    face(1).unionByName(face(2)).orderBy($"nprobe")
+  }
+
   // q308: per-dimension distribution audit over int8-quantized vectors —
   // the feature-scaling statistics (mean/σ/range per dimension) computed
   // where they are EXACT: quantized components are integers, so n, Σq,
@@ -529,6 +590,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_ivf_multiprobe" -> ivfMultiprobe _,
     "q317_ivfpq" -> ivfPq _,
     "q314_ann_rank_eval" -> annRankEval _,
     "q308_dim_stats" -> dimStats _,
@@ -548,6 +610,56 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q328_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+        |  FROM e),
+        |cl AS (SELECT e.vec_id, qt.q,
+        |    list_position(la, list_aggregate(la, 'max')) AS c1i,
+        |    v[list_position(la, list_aggregate(la, 'max'))] > 0 AS c1s,
+        |    list_transform(range(1, len(la) + 1), j -> CASE
+        |      WHEN j = list_position(la, list_aggregate(la, 'max'))
+        |      THEN -1.0 ELSE la[CAST(j AS INT)] END) AS lm
+        |  FROM e JOIN qt USING (vec_id)),
+        |c2 AS (SELECT vec_id, q, c1i, c1s,
+        |    list_position(lm, list_aggregate(lm, 'max')) AS c2i
+        |  FROM cl),
+        |cells AS (SELECT c2.vec_id, c2.q, c1i, c1s, c2i,
+        |    e.v[CAST(c2i AS INT)] > 0 AS c2s
+        |  FROM c2 JOIN e ON e.vec_id = c2.vec_id),
+        |qs AS (SELECT vec_id AS q_id, q AS qq, c1i AS qc1i, c1s AS qc1s,
+        |    c2i AS qc2i, c2s AS qc2s FROM cells WHERE vec_id < 20),
+        |alld AS (SELECT q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.q[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(c.q[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM cells c, qs WHERE c.vec_id <> q_id),
+        |truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS tr
+        |  FROM alld) WHERE tr <= 5),
+        |probes AS (
+        |  SELECT 1 AS np, q_id, qc1i AS pi, qc1s AS ps FROM qs
+        |  UNION ALL SELECT 2, q_id, qc1i, qc1s FROM qs
+        |  UNION ALL SELECT 2, q_id, qc2i, qc2s FROM qs),
+        |cand AS (SELECT p.np, p.q_id, c.vec_id AS c_id, a.d
+        |  FROM probes p JOIN cells c ON c.c1i = p.pi AND c.c1s = p.ps
+        |  JOIN alld a ON a.q_id = p.q_id AND a.c_id = c.vec_id
+        |  WHERE c.vec_id <> p.q_id),
+        |approx AS (SELECT np, q_id, c_id FROM (SELECT np, q_id, c_id,
+        |    row_number() OVER (PARTITION BY np, q_id ORDER BY d, c_id) AS ar
+        |  FROM cand) WHERE ar <= 5),
+        |h AS (SELECT np, CAST(count(*) AS BIGINT) AS hits FROM approx
+        |  WHERE EXISTS (SELECT 1 FROM truth t
+        |    WHERE t.q_id = approx.q_id AND t.c_id = approx.c_id)
+        |  GROUP BY 1),
+        |nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qs)
+        |SELECT nc.np AS nprobe, n_q, n_candidates, hits,
+        |  CAST(hits * 1000000 // (5 * n_q) AS BIGINT) AS recall_ppm
+        |FROM nc JOIN h USING (np), nq ORDER BY nprobe""".stripMargin,
     "q317_ivfpq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
