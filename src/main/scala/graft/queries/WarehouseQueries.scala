@@ -366,6 +366,88 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  // q330: Write-Audit-Publish — the batch-load discipline that makes a
+  // bad upstream delivery a NON-EVENT: the dirty batch (every %31 key's
+  // status corrupted to 'X') is staged, audited against the staged
+  // BYTES, and aborted — the table stays at v1, no reader ever saw a
+  // corrupt row, the staging dir is reclaimed; the clean batch then
+  // publishes as v2. requires pin the abort (version unchanged, zero
+  // staged files leak) and the publish (v2); the hashed output is the
+  // final table state, which must equal base ∪ clean-batch exactly —
+  // i.e. the aborted rows left no trace.
+  def wapFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q330_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1998-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    import graft.operators.Quality
+    val o = Tables(s, dir).orders
+    def proj(df: DataFrame) = df.select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(proj(o.filter($"o_orderdate" < cut)), out, append = false)
+    val batch = o.filter($"o_orderdate" >= cut)
+    val dirty = proj(batch).withColumn("o_orderstatus",
+      when($"o_orderkey" % 31 === 0, lit("X")).otherwise($"o_orderstatus"))
+    val checks = Seq(
+      Quality.Satisfies("status_domain", $"o_orderstatus".isin("O", "F", "P")),
+      Quality.InRange("cents_range", "cents", 0.0, 1e11))
+    val (vBad, nBad) = ManifestTable.wapCommit(dirty, out, append = true, checks)
+    require(vBad == -1 && nBad > 0,
+      s"q330: dirty batch must abort with violations, got ($vBad, $nBad)")
+    require(ManifestTable.currentVersion(out) == 1,
+      "q330: an aborted WAP must leave the table at v1")
+    require(!new java.io.File(s"$out/staging").exists() ||
+      new java.io.File(s"$out/staging").listFiles().isEmpty,
+      "q330: aborted staging files must be reclaimed")
+    val (vOk, nOk) = ManifestTable.wapCommit(proj(batch), out, append = true, checks)
+    require(vOk == 2 && nOk == 0,
+      s"q330: clean batch must publish v2, got ($vOk, $nOk)")
+    ManifestTable.read(s, out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // q329: manifest schema evolution — the add-column contract a living
+  // lake table needs: v2 appends rows WITH a new column and history is
+  // never rewritten; the current read surfaces the union schema with
+  // NULLs for pre-evolution rows (mergeSchema at the scan,
+  // name-resolved union across commits), while time travel to v1 still
+  // serves the ORIGINAL schema (a require pins it — evolution must not
+  // leak backwards). The face groups by the evolved column with
+  // pre-evolution rows under its NULL bucket, exact cents per group.
+  def schemaEvolutionManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q329_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1998-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    val o = Tables(s, dir).orders
+    ManifestTable.commit(o.filter($"o_orderdate" < cut)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents")),
+      out, append = false)
+    ManifestTable.commit(o.filter($"o_orderdate" >= cut)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderpriority"), // the evolved column
+      out, append = true)
+    require(ManifestTable.read(s, out, 1).schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "cents"),
+      "q329: time travel to v1 must serve the pre-evolution schema")
+    ManifestTable.read(s, out)
+      .groupBy(coalesce($"o_orderpriority", lit("<pre-evolution>")).as("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"prio")
+  }
+
   // q326: Bloom point-lookup file skipping — the manifest-stats
   // complement q315 can't cover: an UNSORTED/key-sharded table has
   // every file spanning the whole key range, so min/max prunes nothing
@@ -707,6 +789,8 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q330_wap" -> wapFace _,
+    "q329_schema_evolution_manifest" -> schemaEvolutionManifest _,
     "q326_bloom_point_skip" -> bloomPointSkip _,
     "q324_quarantine" -> quarantineFace _,
     "q323_table_checksum" -> tableChecksum _,
@@ -796,6 +880,18 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q330_wap" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q329_schema_evolution_manifest" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN '<pre-evolution>' ELSE o_orderpriority END AS prio,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q326_bloom_point_skip" ->
       """WITH k AS (SELECT unnest([7, 137, 555, 1001, 1400]) AS o_orderkey)
         |SELECT CAST(k.o_orderkey AS BIGINT) AS o_orderkey,

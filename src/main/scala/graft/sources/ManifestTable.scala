@@ -412,11 +412,16 @@ object ManifestTable {
     import org.apache.spark.sql.functions.col
     val needMeta = withMeta || entries.exists(_.posDelete)
     if (!needMeta && entries.forall(_.isData))
-      return spark.read.parquet(entries.map(_.path): _*)
+      return spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_.path): _*)
     // _metadata is only addressable at the scan, so (file, pos) are
-    // materialized as ordinary columns immediately and dropped at the end
+    // materialized as ordinary columns immediately and dropped at the end.
+    // mergeSchema within a scan + allowMissingColumns across commits =
+    // SCHEMA EVOLUTION: a commit may add columns, and older files read
+    // them as NULL — no rewrite of history (the Iceberg add-column
+    // contract; drops/renames are out of scope for the line format).
     def scan(paths: Seq[String]): DataFrame = {
-      val d = spark.read.parquet(paths: _*)
+      val d = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       if (needMeta)
         d.withColumn(MetaCols(0), col("_metadata.file_path"))
           .withColumn(MetaCols(1), col("_metadata.row_index"))
@@ -428,7 +433,8 @@ object ManifestTable {
       val datas = rest.filter(_.isData)
       if (datas.nonEmpty) {
         val d = scan(datas.map(_.path))
-        df = if (df == null) d else df.unionByName(d)
+        df = if (df == null) d
+        else df.unionByName(d, allowMissingColumns = true)
       }
       dels.groupBy(_.deleteKey.get).foreach { case (keyCol, ds) =>
         // a delete whose earlier data was entirely pruned away has
@@ -547,6 +553,32 @@ object ManifestTable {
     Files.write(tmp, all.asJava)
     Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
     v
+  }
+
+  /** Write-Audit-Publish: stage `df`'s files where no reader looks, AUDIT
+    * the staged bytes with row-level quality checks, and publish the
+    * manifest only if clean — the pattern that keeps a bad upstream batch
+    * from ever becoming a visible snapshot (vs publish-then-repair, which
+    * leaks garbage to concurrent readers and pollutes the change feed).
+    * The audit reads what was WRITTEN, not the input plan — corruption in
+    * the write path itself is caught. On violations the staged files are
+    * deleted and the table is bit-untouched (same guarantee as the DSv2
+    * abort path). Returns (published version, 0) or (-1, violations). */
+  def wapCommit(df: DataFrame, dir: String, append: Boolean,
+                checks: Seq[graft.operators.Quality.Check]): (Int, Long) = {
+    val stage = s"$dir/staging/wap-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(stage)
+    val spark = df.sparkSession
+    val staged = spark.read.parquet(stage)
+    val bad = graft.operators.Quality.quarantine(staged, checks)._2.count()
+    val files = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    if (bad > 0) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+      rm(new java.io.File(stage))
+      (-1, bad)
+    } else (publish(dir, files, append), 0L)
   }
 
   /** Snapshot expiry: drop every manifest older than the newest `keep`
