@@ -366,6 +366,88 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  // q331: clustered compaction restores data skipping — the OPTIMIZE
+  // pass a time-partitioned lake table runs weekly: after key-sharded
+  // appends every file spans the whole shipdate range, so the q315
+  // manifest stats prune NOTHING for a one-year slice (kept = all);
+  // compactClustered rewrites range-partitioned + sorted, each file
+  // owns a narrow range, and the SAME pruneInfo probe now skips most
+  // files — requires pin before == all and after < before. The hashed
+  // output is the sliced CONTENT through the stats-pruned read (plus
+  // the caller's exact residual filter), which must equal a plain
+  // predicate scan — clustering must never change results.
+  def clusterCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q331_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    // epoch-day long, not the raw timestamp: Spark writes parquet
+    // timestamps as INT96 by default, whose footer stats fileStats
+    // (rightly) refuses — the portable clustering key is the integer
+    ManifestTable.commit(Tables(s, dir).lineitem
+      .select($"l_orderkey", $"l_returnflag",
+        datediff($"l_shipdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .repartition(8), // hash layout: every file spans the full date range
+      out, append = false)
+    // probe: ship days within 1996 (day 9496 .. 9861)
+    val (lo, hi) = (9496.0, 9861.0)
+    val (k0, t0) = ManifestTable.pruneInfo(out, "ship_day", lo, hi)
+    require(k0 == t0, s"q331: hash layout should defeat stats ($k0/$t0)")
+    ManifestTable.compactClustered(s, out, numFiles = 8, Seq("ship_day"))
+    val (k1, t1) = ManifestTable.pruneInfo(out, "ship_day", lo, hi)
+    require(k1 < t1 && t1 == 8,
+      s"q331: clustered files must prune for the 1996 slice ($k1/$t1)")
+    ManifestTable.readWhere(s, out, "ship_day", lo, hi)
+      .filter($"ship_day".between(9496, 9861)) // exact residual on the superset
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q332: change data feed with row-level deletes — what an incremental
+  // downstream consumer (replica, IVM, audit log) actually ingests: the
+  // v1→v3 feed decomposes into INSERT events (v2's appended rows) and
+  // DELETE events (the rows v3's equality-delete erased, reconstructed
+  // from the merge-on-read view visible just before the delete — never
+  // a snapshot diff). The feed is O(changed files); requires pin that
+  // an overwrite range refuses loudly (file removals don't decompose
+  // into row events). Output: per (change_type, status) counts + cents.
+  def changeFeedCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q332_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val cut = lit("1998-01-01").cast("timestamp")
+    import graft.sources.ManifestTable
+    def proj(df: DataFrame) = df.select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val o = Tables(s, dir).orders
+    ManifestTable.commit(proj(o.filter($"o_orderdate" < cut)), out, append = false)
+    ManifestTable.commit(proj(o.filter($"o_orderdate" >= cut)), out, append = true)
+    ManifestTable.delete(
+      o.filter($"o_orderkey" % 53 === 0).select($"o_orderkey"),
+      out, "o_orderkey")
+    val feed = ManifestTable.changeFeed(s, out, fromVersion = 1)
+    // an overwrite inside the range must refuse, not emit garbage
+    ManifestTable.compact(s, out, numFiles = 2)
+    val refused =
+      try { ManifestTable.changeFeed(s, out, fromVersion = 1); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "q332: a compacted range must refuse row-level CDF")
+    feed.groupBy($"_change_type", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"_change_type", $"o_orderstatus")
+  }
+
   // q330: Write-Audit-Publish — the batch-load discipline that makes a
   // bad upstream delivery a NON-EVENT: the dirty batch (every %31 key's
   // status corrupted to 'X') is staged, audited against the staged
@@ -789,6 +871,8 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q332_change_feed_cdc" -> changeFeedCdc _,
+    "q331_cluster_compact" -> clusterCompact _,
     "q330_wap" -> wapFace _,
     "q329_schema_evolution_manifest" -> schemaEvolutionManifest _,
     "q326_bloom_point_skip" -> bloomPointSkip _,
@@ -880,6 +964,26 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q331_cluster_compact" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) - DATE '1970-01-01' BETWEEN 9496 AND 9861
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q332_change_feed_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT 'insert' AS _change_type, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'delete', o_orderstatus,
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE o_orderkey % 53 = 0 GROUP BY 1, 2
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
     "q330_wap" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

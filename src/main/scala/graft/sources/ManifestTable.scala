@@ -533,6 +533,76 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
     commit(read(spark, dir).coalesce(numFiles), dir, append = false)
 
+  /** CLUSTERED compaction: rewrite the snapshot range-partitioned + sorted
+    * on `cols`, so each output file owns a narrow value range and the
+    * manifest's min/max stats (q315) actually prune. Plain [[compact]]
+    * fixes the small-files problem but leaves every file spanning the full
+    * range — after an append-heavy week a time-ranged query still opens
+    * every file; this is the OPTIMIZE/ZORDER-lite maintenance pass that
+    * restores skipping. Same commit protocol: readers of older versions
+    * untouched. */
+  def compactClustered(spark: SparkSession, dir: String, numFiles: Int,
+                       cols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val cs = cols.map(col)
+    commit(read(spark, dir).repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*), dir, append = false)
+  }
+
+  /** Change-data-feed between two versions: every row the range ADDED
+    * (`insert`) and every previously-visible row the range ERASED via
+    * equality deletes (`delete`) — the Delta-CDF/Iceberg-changelog shape
+    * downstream incremental consumers (IVM, replication, audit) ingest
+    * instead of diffing snapshots. Deletes are sequence-scoped like the
+    * read path: a delete at seq s erases only matching rows from data
+    * committed BEFORE s, and the erased rows are reconstructed by
+    * scanning exactly those files (O(affected files), never a snapshot
+    * diff). Refuses ranges containing overwrites/compactions (file
+    * REMOVALS don't decompose into row-level changes; consumers resync
+    * from the rewritten snapshot instead — same rule as [[changes]]). */
+  def changeFeed(spark: SparkSession, dir: String,
+                 fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val to = if (toVersion > 0) toVersion else currentVersion(dir)
+    val before = manifestFiles(dir, fromVersion).map(parseEntry)
+    val after = manifestFiles(dir, to).map(parseEntry)
+    val beforePaths = before.map(_.path).toSet
+    require(before.map(_.path).forall(after.map(_.path).toSet.contains),
+      s"changeFeed: v$fromVersion→v$to removed files (overwrite/compaction " +
+        "in range) — row-level changes undefined; resync from the snapshot")
+    val added = after.filterNot(e => beforePaths.contains(e.path))
+    require(added.forall(e => e.isData || e.deleteKey.isDefined),
+      s"changeFeed: v$fromVersion→v$to contains position deletes — " +
+        "reconstructing their rows needs row indexes; use a snapshot diff")
+    val inserts = added.filter(_.isData) match {
+      case Nil => None
+      case ds  => Some(scanPaths(spark, ds.map(_.path))
+        .withColumn("_change_type", lit("insert")))
+    }
+    val deletes = added.filter(_.deleteKey.isDefined)
+      .groupBy(d => (d.seq, d.deleteKey.get))
+      .map { case ((seq, keyCol), des) =>
+        // rows erased = the merge-on-read view VISIBLE just before this
+        // delete's sequence (earlier deletes already applied — a key
+        // erased twice emits one delete event per actual erasure, and a
+        // re-delete of an already-gone key emits nothing), semi-joined
+        // against this commit's keys
+        val visible = assemble(spark,
+          after.filter(e => e.seq < seq && (e.isData || e.deleteKey.isDefined)),
+          dir, withMeta = false)
+        val keys = spark.read.parquet(des.map(_.path): _*)
+          .select(col(keyCol).as("_del_key"))
+        visible.join(keys, visible(keyCol) === keys("_del_key"), "left_semi")
+          .withColumn("_change_type", lit("delete"))
+      }.toSeq
+    (inserts.toSeq ++ deletes)
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  private def scanPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Roll the table BACK to `toVersion` as a NEW commit (Delta RESTORE /
     * Iceberg rollback semantics): the next version's manifest is the
     * target version's manifest verbatim — delete entries, file stats and
