@@ -883,6 +883,49 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q333: exactly-once streaming ingestion INTO the versioned table —
+  // the lakehouse sink pattern that closes the loop between the
+  // streaming engine and the manifest table: each micro-batch commits
+  // as version base+batchId+1, so the batch→version mapping is the
+  // idempotence ledger (no tmp-swap, no sidecar batch file — the
+  // no-replace manifest CAS is the exactly-once mechanism, and every
+  // batch becomes a time-travelable snapshot feeding the q332 change
+  // feed). The face runs the stream, then replays it under a FRESH
+  // checkpoint — the adversarial redelivery where every batch id
+  // restarts at 0 — and requires the table version unmoved; the hashed
+  // output is the table content, which must equal the plain batch
+  // aggregate (one misrouted/duplicated batch breaks it).
+  def streamManifestSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import graft.streaming.EventStreams
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q333_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    Tables(s, dir).events // side effect: session read confs
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val tbl = s"$out/tbl"
+    EventStreams.manifestAppendSink(src, tbl, base = 0, s"$out/_ck1")
+      .awaitTermination()
+    val v1 = ManifestTable.currentVersion(tbl)
+    require(v1 >= 1, "q333: the stream must commit at least one version")
+    EventStreams.manifestAppendSink(src, tbl, base = 0, s"$out/_ck2")
+      .awaitTermination()
+    require(ManifestTable.currentVersion(tbl) == v1,
+      "q333: a full replay must commit NOTHING (exactly-once)")
+    ManifestTable.read(s, tbl)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+      .orderBy($"event_type")
+  }
+
   // q272: stream-stream join parity — the real streaming engine joining
   // TWO unbounded sides (view events ⋈ purchase events per user within
   // 1 hour), the capability stream-static enrichment (q242) can't
@@ -1575,6 +1618,7 @@ object EventsQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_stream_manifest_sink" -> streamManifestSink _,
     "q325_stl_decompose" -> stlDecompose _,
     "q321_join_size_est" -> joinSizeEst _,
     "q244_early_error" -> earlyErrorImpact _,
@@ -1641,6 +1685,11 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q333_stream_manifest_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q325_stl_decompose" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),

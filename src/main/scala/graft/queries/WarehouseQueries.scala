@@ -556,10 +556,16 @@ object WarehouseQueries {
       .select($"o_orderkey", $"o_orderstatus",
         round($"o_totalprice" * 100).cast("long").as("cents"))
       .repartition(8) // key-sharded: min/max stats are useless for k = ?
+    // size the filter to the data, like any production bloom index:
+    // ~10 bits per expected key per file (k=4 → fpp ≈ 1.2%); a FIXED
+    // size saturates the moment the table grows 10× (measured: 16384
+    // bits at 94k keys/file → fpp ≈ 1, zero files skipped)
+    val keysPerFile = math.max(Tables(s, dir).orders.count() / 16, 256L)
+    val bits = (((keysPerFile * 10) + 63) / 64 * 64).toInt
     ManifestTable.commitWithBloom(slice($"o_orderdate" < cut), out,
-      append = false, Seq("o_orderkey"))
+      append = false, Seq("o_orderkey"), bits)
     ManifestTable.commitWithBloom(slice($"o_orderdate" >= cut), out,
-      append = true, Seq("o_orderkey"))
+      append = true, Seq("o_orderkey"), bits)
     val keys = Seq(7L, 137L, 555L, 1001L, 1400L)
     val total = ManifestTable.fileCount(out)
     val kept = keys.map(k =>

@@ -215,6 +215,24 @@ object ManifestTable {
   def publish(dir: String, files: Seq[String], append: Boolean): Int =
     publishAt(dir, currentVersion(dir) + 1, files.sorted, append)
 
+  /** Commit `df` at EXACTLY version `v` (or fail without publishing):
+    * the idempotent-writer primitive. Staged data goes under the target
+    * version's own directory with mode=overwrite, so a CRASHED previous
+    * attempt's leftovers are simply rewritten, and the no-replace
+    * manifest rename is the single atomic commit point. A concurrent or
+    * replayed writer claiming the same `v` fails the CAS with its files
+    * unreferenced — which is exactly what lets a streaming sink map
+    * batchId → version deterministically and treat "version already
+    * exists" as "this batch already committed" (exactly-once without a
+    * separate batch ledger). */
+  def commitAt(df: DataFrame, dir: String, v: Int, append: Boolean): Int = {
+    val dataDir = s"$dir/data/commit-$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    publishExpected(dir, v, newFiles, append)
+  }
+
   /** Publish at EXACTLY version `v`, or fail without publishing anything.
     * The no-replace manifest rename in [[publishAt]] is the atomic create:
     * if a concurrent writer already claimed `v<v>.list`, the move throws

@@ -229,6 +229,41 @@ object EventStreams {
       .start()
   }
 
+  /** Exactly-once streaming sink into a [[graft.sources.ManifestTable]]:
+    * each micro-batch appends as the table version `base + batchId + 1` —
+    * a DETERMINISTIC batch→version mapping, so a replayed batch (restart,
+    * retry, checkpoint recovery) either fast-path skips (version already
+    * visible) or loses the no-replace manifest CAS and is swallowed as
+    * already-committed. No batch ledger, no tmp-swap: the versioned
+    * table's own commit protocol IS the exactly-once mechanism, and every
+    * micro-batch lands as a time-travelable snapshot with the change feed
+    * (q332) for free. `base` is the table's version when the stream is
+    * wired (0 for a fresh table); the (checkpoint, table) pair moves
+    * together, same contract as [[incrementalAggParquetSink]]. */
+  def manifestAppendSink(stream: DataFrame, tableDir: String, base: Int,
+                         checkpointDir: String): StreamingQuery = {
+    import graft.sources.ManifestTable
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = base + batchId.toInt + 1
+        if (ManifestTable.currentVersion(tableDir) < v) {
+          try { ManifestTable.commitAt(batch, tableDir, v, append = v > 1): Unit }
+          catch {
+            // lost the CAS to an earlier attempt of the SAME batch —
+            // its manifest is live, our staged rewrite was of identical
+            // content at the same path; already-committed, swallow
+            case e: java.nio.file.FileAlreadyExistsException => ()
+            case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("not next") => ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental-aggregate sink: per micro-batch, reduce the
     * batch to per-key partials ([[Relational.partialAggs]]) and re-sum
     * them into the parquet snapshot ([[Relational.mergePartialAggs]]) —
