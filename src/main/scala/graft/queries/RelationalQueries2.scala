@@ -2868,6 +2868,41 @@ object RelationalQueries2 {
       .orderBy($"lvl")
   }
 
+  // q334: A-priori frequent 3-itemsets — the candidate-PRUNING step that
+  // makes distributed frequent-itemset mining tractable (q160 mines
+  // pairs; the naive triple space is |items|³): every frequent triple's
+  // three sub-pairs must each be frequent, so in-basket pairs are first
+  // filtered against L2 (broadcast semi join; minsup is the SAME at
+  // every level — that is what makes the pruning LOSSLESS), extended by a third in-basket item,
+  // and pruned again on BOTH remaining sub-pairs before counting. The
+  // shuffles are (basket)-keyed self-joins plus one (a,b,c) count — no
+  // stage ever materializes an unpruned candidate. Supports are exact
+  // integers; top-20 under a total order.
+  def aprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val it = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("b"), $"l_partkey".as("i")).distinct()
+      .localCheckpoint() // reused by 3 self-join legs
+    val inPairs = it.as("x").join(it.as("y"), $"x.b" === $"y.b" && $"x.i" < $"y.i")
+      .select($"x.b".as("b"), $"x.i".as("pa"), $"y.i".as("pb"))
+    val l2 = inPairs.groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"pa", $"pb")
+      .localCheckpoint() // the broadcast prune side, used 3×
+    val bp = inPairs.join(broadcast(l2), Seq("pa", "pb"), "left_semi")
+    val triples = bp.as("w")
+      .join(it.as("z"), $"w.b" === $"z.b" && $"z.i" > $"w.pb")
+      .select($"w.pa".as("a"), $"w.pb".as("bb"), $"z.i".as("cc"))
+      .join(broadcast(l2.select($"pa".as("bb"), $"pb".as("cc"))),
+        Seq("bb", "cc"), "left_semi")
+      .join(broadcast(l2.select($"pa".as("a"), $"pb".as("cc"))),
+        Seq("a", "cc"), "left_semi")
+    triples.groupBy($"a", $"bb", $"cc").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"support".desc, $"a", $"bb", $"cc")
+      .limit(20)
+      .select($"a", $"bb".as("b"), $"cc".as("c"), $"support")
+  }
+
   // q319: recursive-CTE parity — hierarchy rollup to the root over a
   // parent-pointer table (org charts, BOM explosions, account trees: the
   // classic WITH RECURSIVE workload Spark SQL lacks). The hierarchy is
@@ -2943,6 +2978,7 @@ object RelationalQueries2 {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_apriori_triples" -> aprioriTriples _,
     "q319_hier_rollup" -> hierRollup _,
     "q278_business_days" -> businessDays _,
     "q282_bloom_join_prune" -> runtimeBloomJoin _,
@@ -3176,6 +3212,28 @@ object RelationalQueries2 {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q334_apriori_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ip AS (SELECT x.b, x.i AS pa, y.i AS pb
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i),
+        |l2 AS (SELECT pa, pb FROM (
+        |    SELECT pa, pb, count(*) AS n FROM ip GROUP BY 1, 2)
+        |  WHERE n >= 2),
+        |bp AS (SELECT ip.b, ip.pa, ip.pb FROM ip
+        |  WHERE EXISTS (SELECT 1 FROM l2
+        |    WHERE l2.pa = ip.pa AND l2.pb = ip.pb)),
+        |t AS (SELECT bp.b, bp.pa AS a, bp.pb AS bb, z.i AS cc
+        |  FROM bp JOIN it z ON z.b = bp.b AND z.i > bp.pb
+        |  WHERE EXISTS (SELECT 1 FROM l2
+        |      WHERE l2.pa = bp.pb AND l2.pb = z.i)
+        |    AND EXISTS (SELECT 1 FROM l2
+        |      WHERE l2.pa = bp.pa AND l2.pb = z.i)),
+        |cnt AS (SELECT a, bb, cc, CAST(count(*) AS BIGINT) AS support
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT a, bb AS b, cc AS c, support FROM cnt
+        |WHERE support >= 2
+        |ORDER BY support DESC, a, bb, cc LIMIT 20""".stripMargin,
     "q319_hier_rollup" ->
       """WITH RECURSIVE t AS (
         |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
