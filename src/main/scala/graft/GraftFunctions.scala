@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcCuts, DotProduct, RollingHash, StripAccents}
+import graft.functions.{CdcCuts, DotProduct, QuantizeInt8, RollingHash, StripAccents}
 
 /** SQL-surface registration for graft's custom expressions, so
   * `spark.sql("SELECT strip_accents(c) ...")` works alongside the Column
@@ -17,7 +17,8 @@ object GraftFunctions {
     "strip_accents" -> (exprs => StripAccents(exprs.head)),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "cdc_cuts" -> (exprs => CdcCuts(exprs.head)),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "quantize_int8" -> (exprs => QuantizeInt8(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -524,6 +524,27 @@ object VectorQueries {
     face(1).unionByName(face(2)).orderBy($"nprobe")
   }
 
+  // q335: the native vector stack reached FROM SQL — `quantize_int8`
+  // and `dot_product` registered through GraftExtensions, so a SQL-only
+  // user (BI tool, notebook, spark-sql shell) runs the same codegen
+  // expressions the Column API uses (the q304 cdc_cuts discipline,
+  // extended to the vector family). Integer dot products of unit-norm
+  // int8 vectors over a bounded id slice, total-ordered top-25; the
+  // oracle recomputes quantization + dot in pure DuckDB SQL — one
+  // wrong element in the native path's SQL leg breaks the hash.
+  def vectorSql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).embeddings.createOrReplaceTempView("emb_q335")
+    s.sql("""WITH z AS (SELECT vec_id,
+            |    quantize_int8(CAST(embedding AS ARRAY<DOUBLE>)) AS q
+            |  FROM emb_q335 WHERE vec_id < 30),
+            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |    CAST(dot_product(CAST(a.q AS ARRAY<DOUBLE>),
+            |      CAST(b.q AS ARRAY<DOUBLE>)) AS BIGINT) AS dot_int
+            |  FROM z a JOIN z b ON a.vec_id < b.vec_id)
+            |SELECT id_a, id_b, dot_int FROM p
+            |ORDER BY dot_int DESC, id_a, id_b LIMIT 25""".stripMargin)
+  }
+
   // q308: per-dimension distribution audit over int8-quantized vectors —
   // the feature-scaling statistics (mean/σ/range per dimension) computed
   // where they are EXACT: quantized components are integers, so n, Σq,
@@ -590,6 +611,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_vector_sql" -> vectorSql _,
     "q328_ivf_multiprobe" -> ivfMultiprobe _,
     "q317_ivfpq" -> ivfPq _,
     "q314_ann_rank_eval" -> annRankEval _,
@@ -610,6 +632,18 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q335_vector_sql" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 30),
+        |z AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot_int
+        |  FROM z a JOIN z b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, dot_int FROM p
+        |ORDER BY dot_int DESC, id_a, id_b LIMIT 25""".stripMargin,
     "q328_ivf_multiprobe" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),

@@ -643,6 +643,38 @@ object ManifestTable {
     v
   }
 
+  /** The snapshot's file inventory as a DataFrame — the `table$files`
+    * metadata table (Iceberg/Delta expose the same): one row per manifest
+    * entry with its commit sequence, kind, and which planning metadata it
+    * carries. Built from the manifest ALONE — zero file IO, zero
+    * listings — so it's the O(|files|) tool for answering "why didn't my
+    * point read skip?" (no bloom for that column) or "is compaction due?"
+    * (many entries, low seq spread) without touching data. */
+  def filesTable(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.filesTable: no committed version under $dir")
+    manifestFiles(dir, v).map(parseEntry).map { e =>
+      val kind =
+        if (e.posDelete) "pos_delete"
+        else if (e.deleteKey.isDefined) "eq_delete" else "data"
+      (e.seq, kind, e.path, e.stats.keys.toSeq.sorted.mkString(","),
+        e.blooms.keys.toSeq.sorted.mkString(","))
+    }.toDF("seq", "kind", "path", "stats_cols", "bloom_cols")
+  }
+
+  /** Commit history as a DataFrame — the `table$history` metadata table:
+    * per version, its entry counts by kind. Manifest-only, zero data IO. */
+  def historyTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val md = manifests(dir)
+    versionsOnDisk(md).sorted.map { v =>
+      val es = manifestFiles(dir, v).map(parseEntry)
+      (v, es.size, es.count(_.isData),
+        es.count(_.deleteKey.isDefined), es.count(_.posDelete))
+    }.toDF("version", "n_entries", "n_data_files", "n_eq_deletes", "n_pos_deletes")
+  }
+
   /** Write-Audit-Publish: stage `df`'s files where no reader looks, AUDIT
     * the staged bytes with row-level quality checks, and publish the
     * manifest only if clean — the pattern that keeps a bad upstream batch

@@ -85,6 +85,26 @@ class ManifestTableSpec extends SparkSpec {
       .filter($"k" === 10100L).count() == 1)
   }
 
+  test("files/history metadata tables reflect commits, deletes, and sidecars with zero data IO") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commitWithBloom((1L to 100L).toDF("k").repartition(2),
+      dir, append = false, Seq("k"))
+    ManifestTable.commit((101L to 200L).toDF("k").repartition(3), dir, append = true)
+    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
+    val files = ManifestTable.filesTable(spark, dir)
+      .groupBy($"kind").count().as[(String, Long)].collect().toMap
+    assert(files == Map("data" -> 5L, "eq_delete" -> 1L))
+    // bloom sidecars visible on commit-1 files only
+    val blooms = ManifestTable.filesTable(spark, dir)
+      .filter($"bloom_cols" === "k").count()
+    assert(blooms == 2, s"expected 2 bloom-carrying files, got $blooms")
+    val hist = ManifestTable.historyTable(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(hist.map(h => (h._1, h._3, h._4)) ==
+      Seq((1, 2L, 0L), (2, 5L, 0L), (3, 5L, 1L)))
+  }
+
   test("rollback restores a prior snapshot as a new commit, preserving history and deletes") {
     import spark.implicits._
     val dir = freshDir()
