@@ -368,6 +368,35 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q336: incremental dedup index with REMOVALS — the other half of
+  // q311's maintenance story (adds): GDPR erasures, retractions, and
+  // quality purges leave the corpus daily, and re-shingling +
+  // re-signing 100 TB to honor them is the recompute this exists to
+  // avoid. Maintenance is ONE anti join per index artifact (bands,
+  // shingles, sizes — all O(|index|), nothing touches raw text), and
+  // the checked identity is the strong one: pairs from the maintained
+  // index ≡ a from-scratch rebuild over the reduced corpus, hash-exact
+  // — tombstoned docs can neither surface in pairs nor affect any
+  // surviving pair's Jaccard.
+  def incrementalDedupDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    // the PERSISTED index artifacts (in production: q310-style parquet)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    val sig = Dedup.minHashSignatures(sh, "doc_id", 8).localCheckpoint()
+    val bands = Dedup.lshBands(sig, "doc_id", 8, 2).localCheckpoint()
+    val tomb = docs.filter($"doc_id" % 17 === 0).select($"doc_id")
+    val updated = bands.join(tomb, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.lshCandidatePairs(updated, "doc_id")
+    val shLive = sh.join(tomb, Seq("doc_id"), "left_anti")
+    val szLive = sig.join(tomb, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"sz")
+    Dedup.jaccardOnPairs(pairs, shLive, "doc_id", szLive)
+      .filter($"jaccard" >= 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // q322: prefix-filtered exact similarity join (AllPairs/PPJoin
   // family) — the canonical EXACT-threshold algorithm next to the
   // probabilistic paths (MinHash q31, SimHash q32, rare-shingle
@@ -432,6 +461,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_incremental_dedup_del" -> incrementalDedupDelete _,
     "q322_prefix_filter_join" -> prefixFilterJoin _,
     "q311_incremental_dedup" -> incrementalDedup _,
     "q302_sparse_cosine" -> sparseCosine _,
@@ -653,6 +683,36 @@ object DedupQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "q336_incremental_dedup_del" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents
+         |  WHERE doc_id % 17 <> 0),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w),
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (za.sz + zb.sz - c), 6) AS jaccard
+         |FROM common JOIN sizes za ON za.doc_id = id_a
+         |JOIN sizes zb ON zb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "q311_incremental_dedup" ->
       s"""WITH $shinglesCte,
          |sig AS (SELECT doc_id,
