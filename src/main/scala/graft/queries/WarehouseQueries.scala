@@ -410,6 +410,50 @@ object WarehouseQueries {
       .orderBy($"l_returnflag")
   }
 
+  // q337: Z-ORDER compaction prunes on BOTH dimensions — the 2-D
+  // OPTIMIZE q331's 1-D sort can't deliver: a shipdate-sorted rewrite
+  // makes date probes prune and partkey probes WORSE (each file then
+  // spans the full key range). The z-value interleave gives every file
+  // a narrow bounding box in both columns, so the SAME manifest stats
+  // serve time-sliced scans AND key-ranged scans. requires pin: hash
+  // layout keeps 8/8 on both probes; post-z-order BOTH probes keep < 8.
+  // Output = the 2-D slice's content through the stats-pruned read plus
+  // the exact residual filter — clustering must never change results.
+  def zorderCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q337_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    ManifestTable.commit(Tables(s, dir).lineitem
+      .select($"l_orderkey", $"l_returnflag",
+        datediff($"l_shipdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        $"l_partkey".as("pkey"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .repartition(8), out, append = false)
+    // probes: one quarter of 1996 (days 9496..9586) and the lowest tenth
+    // of the key space (scaled to the sf — keys are 0-based contiguous)
+    val pkHi = math.max(Tables(s, dir).part.count() / 10, 10L).toDouble
+    val (dLo, dHi) = (9496.0, 9586.0)
+    require(ManifestTable.pruneInfo(out, "ship_day", dLo, dHi)._1 == 8 &&
+      ManifestTable.pruneInfo(out, "pkey", 0.0, pkHi)._1 == 8,
+      "q337: hash layout should defeat stats on both dims")
+    ManifestTable.compactZOrder(s, out, numFiles = 8, "ship_day", "pkey")
+    val (kd, td) = ManifestTable.pruneInfo(out, "ship_day", dLo, dHi)
+    val (kp, tp) = ManifestTable.pruneInfo(out, "pkey", 0.0, pkHi)
+    require(kd < td && kp < tp && td == 8 && tp == 8,
+      s"q337: z-order must prune BOTH dims (ship_day $kd/$td, pkey $kp/$tp)")
+    ManifestTable.readWhere(s, out, "ship_day", dLo, dHi)
+      .filter($"ship_day".between(9496, 9586) && $"pkey" < pkHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   // q332: change data feed with row-level deletes — what an incremental
   // downstream consumer (replica, IVM, audit log) actually ingests: the
   // v1→v3 feed decomposes into INSERT events (v2's appended rows) and
@@ -877,6 +921,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q337_zorder_compact" -> zorderCompact _,
     "q332_change_feed_cdc" -> changeFeedCdc _,
     "q331_cluster_compact" -> clusterCompact _,
     "q330_wap" -> wapFace _,
@@ -970,6 +1015,15 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q337_zorder_compact" ->
+      """WITH p AS (SELECT greatest(count(*) // 10, 10) AS hi FROM part)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM lineitem, p
+        |WHERE CAST(l_shipdate AS DATE) - DATE '1970-01-01' BETWEEN 9496 AND 9586
+        |  AND l_partkey < p.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q331_cluster_compact" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

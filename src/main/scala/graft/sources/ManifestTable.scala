@@ -567,6 +567,17 @@ object ManifestTable {
       .sortWithinPartitions(cs: _*), dir, append = false)
   }
 
+  /** Z-ORDER compaction: rewrite the snapshot ordered by the interleaved
+    * z-value of TWO columns, so every file carries a narrow min/max range
+    * in BOTH — the multi-dimensional OPTIMIZE [[compactClustered]] can't
+    * give (a 1-D sort makes the second column's per-file ranges WORSE,
+    * not better). Same commit protocol; stats land in the manifest at
+    * publish like any commit. */
+  def compactZOrder(spark: SparkSession, dir: String, numFiles: Int,
+                    colA: String, colB: String): Int =
+    commit(graft.operators.ZOrder.zOrderBy(read(spark, dir), colA, colB,
+      numPartitions = numFiles), dir, append = false)
+
   /** Change-data-feed between two versions: every row the range ADDED
     * (`insert`) and every previously-visible row the range ERASED via
     * equality deletes (`delete`) — the Delta-CDF/Iceberg-changelog shape
