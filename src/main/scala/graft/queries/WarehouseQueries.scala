@@ -410,6 +410,47 @@ object WarehouseQueries {
       .orderBy($"l_returnflag")
   }
 
+  // q338: planner NDV statistics in the manifest — the cost-based-
+  // optimizer inputs (how many distinct join keys? broadcast or
+  // shuffle?) answered with ZERO data IO at planning: each commit
+  // persists an HLL sketch per declared column (Iceberg keeps the same
+  // in puffin files), and the table-level estimate at any version is
+  // the union of its contributing commits' sketches — mergeable by
+  // construction, so appends never re-scan history. The face builds
+  // the table in three commits, requires full sketch coverage, and
+  // emits the q28/q189 tolerance contract: |est − exact|·20 ≤ exact
+  // (within 5%, an integer inequality — HLL at lgK=12 is ~1.6%
+  // stderr, so the bound is robust), with exact NDV recomputed by the
+  // oracle.
+  def ndvStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q338_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val o = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val c1 = lit("1996-01-01").cast("timestamp")
+    val c2 = lit("1998-01-01").cast("timestamp")
+    ManifestTable.commitWithNdv(o.filter($"o_orderdate" < c1), out,
+      append = false, Seq("o_orderkey", "o_custkey"))
+    ManifestTable.commitWithNdv(o.filter($"o_orderdate" >= c1 && $"o_orderdate" < c2),
+      out, append = true, Seq("o_orderkey", "o_custkey"))
+    ManifestTable.commitWithNdv(o.filter($"o_orderdate" >= c2), out,
+      append = true, Seq("o_orderkey", "o_custkey"))
+    val snap = ManifestTable.read(s, out)
+    Seq("o_orderkey", "o_custkey").map { c =>
+      val (est, full) = ManifestTable.ndvEstimate(s, out, c)
+      require(full, s"q338: every commit must carry a sketch for $c")
+      snap.agg(countDistinct(col(c)).as("exact_ndv"))
+        .select(lit(c).as("col"), $"exact_ndv",
+          (abs(lit(est) - $"exact_ndv") * 20 <= $"exact_ndv").as("within_5pct"))
+    }.reduce(_.unionByName(_)).orderBy($"col")
+  }
+
   // q337: Z-ORDER compaction prunes on BOTH dimensions — the 2-D
   // OPTIMIZE q331's 1-D sort can't deliver: a shipdate-sorted rewrite
   // makes date probes prune and partkey probes WORSE (each file then
@@ -921,6 +962,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q338_ndv_stats" -> ndvStats _,
     "q337_zorder_compact" -> zorderCompact _,
     "q332_change_feed_cdc" -> changeFeedCdc _,
     "q331_cluster_compact" -> clusterCompact _,
@@ -1015,6 +1057,14 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q338_ndv_stats" ->
+      """SELECT 'o_custkey' AS col,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+        |  TRUE AS within_5pct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey',
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT), TRUE FROM orders
+        |ORDER BY col""".stripMargin,
     "q337_zorder_compact" ->
       """WITH p AS (SELECT greatest(count(*) // 10, 10) AS hi FROM part)
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

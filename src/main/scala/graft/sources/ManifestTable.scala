@@ -567,6 +567,60 @@ object ManifestTable {
       .sortWithinPartitions(cs: _*), dir, append = false)
   }
 
+  /** Commit `df` WITH per-commit NDV sketches for `cols` — the planner
+    * statistics an engine's CBO reads to size joins (broadcast vs
+    * shuffle) and aggregations WITHOUT scanning data (Iceberg keeps the
+    * same as theta sketches in puffin files). One extra aggregate over
+    * the input frame (no read-back) produces an HLL sketch per column,
+    * persisted as a base64 sidecar next to the version's manifest;
+    * sketches are MERGEABLE, so the table-level NDV at any version is
+    * the union of its surviving commits' sketches — O(commits) tiny
+    * reads at planning, zero data IO. */
+  def commitWithNdv(df: DataFrame, dir: String, append: Boolean,
+                    cols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{base64, col, hll_sketch_agg}
+    require(cols.nonEmpty, "commitWithNdv: no columns given")
+    val v = commit(df, dir, append)
+    val row = df.agg(
+      base64(hll_sketch_agg(col(cols.head))).as(cols.head),
+      cols.tail.map(c => base64(hll_sketch_agg(col(c))).as(c)): _*).head()
+    // Spark's base64 is MIME-chunked (newline every 76 chars) — flatten
+    // to one line or the sidecar's line-per-column format shears the
+    // sketch bytes
+    val lines = cols.zipWithIndex.map { case (c, i) =>
+      s"$c:${row.getString(i).replaceAll("\\s", "")}" }
+    val tmp = manifests(dir).resolve(s".v$v.ndv.tmp")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.ndv")): Unit
+    v
+  }
+
+  /** Table-level NDV estimate for `col` at a version: union of the HLL
+    * sketches of every commit CONTRIBUTING data to that version's
+    * manifest (commits without a sketch for the column contribute
+    * nothing — the estimate is then a lower bound, flagged by the
+    * second return). Returns (estimate, allCommitsCovered). */
+  def ndvEstimate(spark: SparkSession, dir: String, col: String,
+                  version: Int = -1): (Long, Boolean) = {
+    import org.apache.spark.sql.functions.{hll_sketch_estimate, hll_union_agg, unbase64}
+    import spark.implicits._
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.ndvEstimate: no committed version under $dir")
+    val seqs = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
+      .map(_.seq).distinct.sorted
+    val sketches = seqs.flatMap { sq =>
+      val p = manifests(dir).resolve(s"v$sq.ndv")
+      if (!Files.exists(p)) None
+      else Files.readAllLines(p).asScala
+        .find(_.startsWith(col + ":")).map(_.substring(col.length + 1))
+    }
+    if (sketches.isEmpty) return (0L, false)
+    val est = sketches.toDF("b64")
+      .agg(hll_sketch_estimate(hll_union_agg(unbase64($"b64"))))
+      .head().getLong(0)
+    (est, sketches.size == seqs.size)
+  }
+
   /** Z-ORDER compaction: rewrite the snapshot ordered by the interleaved
     * z-value of TWO columns, so every file carries a narrow min/max range
     * in BOTH — the multi-dimensional OPTIMIZE [[compactClustered]] can't
