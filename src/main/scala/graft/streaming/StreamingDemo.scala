@@ -19,6 +19,7 @@ object StreamingDemo {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -31,8 +32,14 @@ object StreamingDemo {
     // streaming read needs an explicit schema; ts arrives as nanos (long)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$tmp/src").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$tmp/src")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(rawSchema).parquet(s"$tmp/src")
+    // ts arrives as nanos (long) in legacy corpora, micros timestamp in
+    // current ones — shim only the long variant (the Tables.events rule)
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
 
     val q1 = EventStreams.tumblingCounts(stream, "1 hour", "30 minutes")
       .writeStream.outputMode("append")
