@@ -451,6 +451,53 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"col")
   }
 
+  // q339: histogram range-selectivity SANDWICH — the third planner
+  // statistic (min/max q315, bloom q326, NDV q338): per-commit exact
+  // equi-width bucket counts merge by addition, and any range
+  // predicate's cardinality is bounded from BOTH sides with zero data
+  // IO — buckets fully inside count toward the lower bound,
+  // intersecting buckets toward the upper. Unlike a sketch this is a
+  // deterministic guarantee (lower ≤ |σ| ≤ upper, require-pinned with
+  // exact counts on both legs), the number a CBO needs to choose scan
+  // strategies and a skew-guard needs to veto a broadcast. The hashed
+  // output is the exact range aggregate the bounds bracket.
+  def histogramSelectivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q339_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val o = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val c1 = lit("1996-01-01").cast("timestamp")
+    val c2 = lit("1998-01-01").cast("timestamp")
+    // cents ∈ [0, 64M) framed into 32 exact 2M-wide buckets
+    def cm(df: DataFrame) = ManifestTable.commitWithHistogram(
+      df.drop("o_orderdate"), out, append = ManifestTable.currentVersion(out) > 0,
+      "cents", 0L, 64000000L, 32)
+    cm(o.filter($"o_orderdate" < c1))
+    cm(o.filter($"o_orderdate" >= c1 && $"o_orderdate" < c2))
+    cm(o.filter($"o_orderdate" >= c2))
+    // probe: orders between $50k and $150k (cents 5M .. 15M)
+    val (qlo, qhi) = (5000000L, 15000000L)
+    val (lower, upper, covered) = ManifestTable.rangeCardinality(out, "cents", qlo, qhi)
+    val exact = ManifestTable.read(s, out)
+      .filter($"cents" >= qlo && $"cents" < qhi).count()
+    require(covered, "q339: every commit must carry the cents histogram")
+    require(lower <= exact && exact <= upper,
+      s"q339: sandwich violated — $lower ≤ $exact ≤ $upper must hold")
+    require(upper < o.count(),
+      s"q339: the upper bound must be informative (< total rows)")
+    ManifestTable.read(s, out)
+      .filter($"cents" >= qlo && $"cents" < qhi)
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .select($"n_rows", $"total_cents", lit(true).as("bounds_hold"))
+  }
+
   // q337: Z-ORDER compaction prunes on BOTH dimensions — the 2-D
   // OPTIMIZE q331's 1-D sort can't deliver: a shipdate-sorted rewrite
   // makes date probes prune and partkey probes WORSE (each file then
@@ -962,6 +1009,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q339_histogram_selectivity" -> histogramSelectivity _,
     "q338_ndv_stats" -> ndvStats _,
     "q337_zorder_compact" -> zorderCompact _,
     "q332_change_feed_cdc" -> changeFeedCdc _,
@@ -1057,6 +1105,12 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q339_histogram_selectivity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents, TRUE AS bounds_hold
+        |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |WHERE cents >= 5000000 AND cents < 15000000""".stripMargin,
     "q338_ndv_stats" ->
       """SELECT 'o_custkey' AS col,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,

@@ -621,6 +621,87 @@ object ManifestTable {
     (est, sketches.size == seqs.size)
   }
 
+  /** Commit `df` WITH an exact equi-width histogram sidecar for a LONG
+    * column — the range-selectivity statistic next to q338's NDV: bucket
+    * counts are exact integers, MERGE by element-wise addition across
+    * commits, and bound any range predicate's cardinality from both
+    * sides with zero data IO. `lo`/`hi` frame the buckets (out-of-range
+    * rows land in under/over counts); (hi−lo) must divide by `buckets`
+    * so bucket edges are exact integers. */
+  def commitWithHistogram(df: DataFrame, dir: String, append: Boolean,
+                          histCol: String, lo: Long, hi: Long,
+                          buckets: Int): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, when, floor}
+    require(hi > lo && (hi - lo) % buckets == 0,
+      "commitWithHistogram: (hi - lo) must divide by buckets")
+    val w = (hi - lo) / buckets
+    val v = commit(df, dir, append)
+    val b = when(col(histCol) < lo, lit(-1L))
+      .when(col(histCol) >= hi, lit(buckets.toLong))
+      .otherwise(floor((col(histCol) - lo) / w).cast("long"))
+    val counts = df.select(b.as("_b")).groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = (0 until buckets).map(i => counts.getOrElse(i.toLong, 0L))
+    val line = s"$histCol:$lo:$hi:${counts.getOrElse(-1L, 0L)}:" +
+      s"${counts.getOrElse(buckets.toLong, 0L)}:${cells.mkString(",")}"
+    val tmp = manifests(dir).resolve(s".v$v.hist.tmp")
+    Files.write(tmp, Seq(line).asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.hist")): Unit
+    v
+  }
+
+  /** Range-cardinality SANDWICH for `histCol ∈ [qlo, qhi)` at a version,
+    * from the merged histograms of its contributing commits: buckets
+    * fully inside the range bound from BELOW, intersecting buckets from
+    * ABOVE — deterministic bounds, not estimates (the histogram counts
+    * are exact), so `lower ≤ |σ| ≤ upper` always holds when `covered`.
+    * Returns (lower, upper, covered = every contributing commit carried
+    * a histogram for the column). */
+  def rangeCardinality(dir: String, histCol: String, qlo: Long, qhi: Long,
+                       version: Int = -1): (Long, Long, Boolean) = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.rangeCardinality: no committed version under $dir")
+    val seqs = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
+      .map(_.seq).distinct.sorted
+    var lo = 0L; var hi = 0L; var w = 0L
+    var under = 0L; var over = 0L
+    var cells: Array[Long] = null
+    var covered = true
+    seqs.foreach { sq =>
+      val p = manifests(dir).resolve(s"v$sq.hist")
+      val lineOpt =
+        if (!Files.exists(p)) None
+        else Files.readAllLines(p).asScala.find(_.startsWith(histCol + ":"))
+      lineOpt match {
+        case None => covered = false
+        case Some(line) =>
+          val parts = line.substring(histCol.length + 1).split(':')
+          val (l, h) = (parts(0).toLong, parts(1).toLong)
+          val cs = parts(4).split(',').map(_.toLong)
+          if (cells == null) {
+            lo = l; hi = h; cells = new Array[Long](cs.length)
+            w = (hi - lo) / cs.length
+          }
+          require(l == lo && h == hi && cs.length == cells.length,
+            s"rangeCardinality: commit $sq histogram frame mismatch")
+          under += parts(2).toLong; over += parts(3).toLong
+          var i = 0
+          while (i < cs.length) { cells(i) += cs(i); i += 1 }
+      }
+    }
+    if (cells == null) return (0L, Long.MaxValue, false)
+    var lower = 0L; var upper = 0L
+    cells.indices.foreach { i =>
+      val (bLo, bHi) = (lo + i * w, lo + (i + 1) * w)
+      if (bLo >= qlo && bHi <= qhi) { lower += cells(i); upper += cells(i) }
+      else if (bHi > qlo && bLo < qhi) upper += cells(i)
+    }
+    if (qlo < lo) upper += under
+    if (qhi > hi) upper += over
+    (lower, upper, covered)
+  }
+
   /** Z-ORDER compaction: rewrite the snapshot ordered by the interleaved
     * z-value of TWO columns, so every file carries a narrow min/max range
     * in BOTH — the multi-dimensional OPTIMIZE [[compactClustered]] can't
