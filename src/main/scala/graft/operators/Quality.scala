@@ -65,6 +65,25 @@ object Quality {
       marked.filter(size(col("_reasons")) > 0))
   }
 
+  /** Referential quarantine — the anti-join half [[quarantine]] refuses
+    * (FK validity is not row-local): rows whose `keyCol` has no match in
+    * the dimension are routed out, NULL keys pass (q97's FK contract —
+    * add NotNull to catch those). One anti join + one semi join against
+    * the same (broadcast) key set; at 100 TB the dimension's distinct
+    * keys broadcast once and the fact never shuffles. Returns
+    * (clean rows unchanged, orphans). */
+  def quarantineFk(df: DataFrame, keyCol: String,
+                   dim: DataFrame, dimKey: String,
+                   broadcastDim: Boolean = true): (DataFrame, DataFrame) = {
+    val dimKeys0 = dim.select(col(dimKey).as(keyCol)).distinct()
+    val dimKeys = if (broadcastDim) broadcast(dimKeys0) else dimKeys0
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val clean = df.filter(col(keyCol).isNull)
+      .unionByName(nonNull.join(dimKeys, Seq(keyCol), "left_semi"))
+    val orphans = nonNull.join(dimKeys, Seq(keyCol), "left_anti")
+    (clean, orphans)
+  }
+
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Quality.report: no checks given")
     val rowLevel = checks.collect {

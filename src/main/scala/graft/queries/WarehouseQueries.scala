@@ -451,6 +451,33 @@ object WarehouseQueries {
     }.reduce(_.unionByName(_)).orderBy($"col")
   }
 
+  // q340: referential quarantine — the FK half of the dead-letter
+  // pattern (q324 routed row-local violations; this routes rows whose
+  // customer does not EXIST — the classic late-dimension/early-fact
+  // race every warehouse load hits). A deterministic 1/51 slice of
+  // orders gets its custkey shifted out of the dimension's key space;
+  // quarantineFk must route exactly those rows out (orphans) and pass
+  // every other row untouched — one broadcast key set, one anti + one
+  // semi join, fact never shuffles. Output: per-disposition counts +
+  // exact cents; one misrouted row breaks the hash.
+  def fkQuarantineFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val facts = t.orders.select(
+      when($"o_orderkey" % 51 === 0, $"o_custkey" + 1000000000L)
+        .otherwise($"o_custkey").as("o_custkey"),
+      $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val (clean, orphans) = graft.operators.Quality.quarantineFk(
+      facts, "o_custkey", t.customer, "c_custkey")
+    clean.select(lit("clean").as("disposition"), $"o_orderstatus", $"cents")
+      .unionByName(orphans.select(lit("orphan").as("disposition"),
+        $"o_orderstatus", $"cents"))
+      .groupBy($"disposition", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"disposition", $"o_orderstatus")
+  }
+
   // q339: histogram range-selectivity SANDWICH — the third planner
   // statistic (min/max q315, bloom q326, NDV q338): per-commit exact
   // equi-width bucket counts merge by addition, and any range
@@ -1009,6 +1036,7 @@ object WarehouseQueries {
     "q301_incremental_read" -> incrementalRead _,
     "q299_dsv2_write" -> dsv2Write _,
     "q283_delete_vectors" -> deleteVectors _,
+    "q340_fk_quarantine" -> fkQuarantineFace _,
     "q339_histogram_selectivity" -> histogramSelectivity _,
     "q338_ndv_stats" -> ndvStats _,
     "q337_zorder_compact" -> zorderCompact _,
@@ -1105,6 +1133,13 @@ object WarehouseQueries {
         |UNION ALL SELECT '2_merge_on_read', * FROM m
         |UNION ALL SELECT '3_compacted', * FROM m
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q340_fk_quarantine" ->
+      """SELECT CASE WHEN o_orderkey % 51 = 0 THEN 'orphan' ELSE 'clean' END
+        |    AS disposition,
+        |  o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q339_histogram_selectivity" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS total_cents, TRUE AS bounds_hold
