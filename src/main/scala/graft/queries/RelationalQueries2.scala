@@ -2868,6 +2868,35 @@ object RelationalQueries2 {
       .orderBy($"lvl")
   }
 
+  // q341: relational DIVISION — the "for ALL" quantifier SQL has no
+  // operator for (suppliers-who-stock-every-part, customers-who-bought-
+  // the-whole-bundle): spelled scalably as a semi join against the
+  // broadcast divisor followed by a per-dividend distinct count equal
+  // to |divisor| — never a nested NOT EXISTS double negation (which
+  // plans a correlated subquery per row). The divisor here is the 3
+  // globally most-purchased parts (deterministic total order), and the
+  // face emits every customer who bought ALL of them; each divided
+  // customer's distinct-match count EQUALS |divisor| by construction,
+  // so one false positive breaks the hash. At 100 TB: the divisor
+  // broadcasts (it is small by definition of "the bundle"), the fact
+  // shuffles once on the dividend key.
+  def relationalDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val cp = t.orders
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .join(t.part, $"l_partkey" === $"p_partkey")
+      .select($"o_custkey", $"p_brand").distinct()
+    val divisor = cp.groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"p_brand").limit(3).select($"p_brand")
+    cp.join(broadcast(divisor), Seq("p_brand"))
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"p_brand").as("k"))
+      .filter($"k" === 3)
+      .select($"o_custkey", $"k".cast("long").as("n_matched"))
+      .orderBy($"o_custkey")
+  }
+
   // q334: A-priori frequent 3-itemsets — the candidate-PRUNING step that
   // makes distributed frequent-itemset mining tractable (q160 mines
   // pairs; the naive triple space is |items|³): every frequent triple's
@@ -2978,6 +3007,7 @@ object RelationalQueries2 {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_relational_division" -> relationalDivision _,
     "q334_apriori_triples" -> aprioriTriples _,
     "q319_hier_rollup" -> hierRollup _,
     "q278_business_days" -> businessDays _,
@@ -3212,6 +3242,18 @@ object RelationalQueries2 {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q341_relational_division" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey, p_brand
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |divisor AS (SELECT p_brand FROM (
+        |    SELECT p_brand, count(*) AS n FROM cp GROUP BY 1)
+        |  ORDER BY n DESC, p_brand LIMIT 3)
+        |SELECT o_custkey,
+        |  CAST(count(DISTINCT cp.p_brand) AS BIGINT) AS n_matched
+        |FROM cp JOIN divisor USING (p_brand)
+        |GROUP BY 1 HAVING count(DISTINCT cp.p_brand) = 3
+        |ORDER BY o_custkey""".stripMargin,
     "q334_apriori_triples" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
