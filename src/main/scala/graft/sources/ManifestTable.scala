@@ -861,6 +861,23 @@ object ManifestTable {
     val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet
     val orphans = dead.flatMap(manifestFiles(dir, _)).map(pathOf).toSet -- liveFiles
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // stat sidecars (vN.ndv / vN.hist) are keyed by COMMIT, and surviving
+    // append-chain manifests still resolve them by entry seq — a sidecar
+    // lives exactly as long as SOME surviving manifest references its
+    // commit's files (same liveness rule as the data files). Sweep ALL
+    // sidecar files on disk, not just this call's dead versions: a
+    // sidecar can outlive its own manifest across several expires while
+    // referenced, and must still be reclaimed once the last reference
+    // goes.
+    val liveSeqs = live.flatMap(v => manifestFiles(dir, v).map(parseEntry).map(_.seq)).toSet
+    val SidecarRe = raw"v(\d+)\.(ndv|hist)".r
+    Option(md.toFile.listFiles()).toSeq.flatten.foreach { f =>
+      f.getName match {
+        case SidecarRe(sq, _) if !liveSeqs.contains(sq.toInt) =>
+          Files.deleteIfExists(f.toPath): Unit
+        case _ =>
+      }
+    }
     dead.foreach(v => Files.delete(md.resolve(s"v$v.list")))
     (dead.size, orphans.size)
   }

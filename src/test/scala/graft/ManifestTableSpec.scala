@@ -85,6 +85,30 @@ class ManifestTableSpec extends SparkSpec {
       .filter($"k" === 10100L).count() == 1)
   }
 
+  test("expire reclaims stat sidecars only when no surviving manifest references the commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commitWithNdv((1L to 50L).toDF("k"), dir, append = false, Seq("k"))
+    ManifestTable.commitWithNdv((51L to 80L).toDF("k"), dir, append = true, Seq("k"))
+    ManifestTable.commitWithNdv((81L to 90L).toDF("k"), dir, append = true, Seq("k"))
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    // keep=2: v1's manifest dies but v2/v3 still reference commit-1 files
+    // — its sidecar must SURVIVE so ndvEstimate stays covered
+    ManifestTable.expire(dir, keep = 2)
+    assert(java.nio.file.Files.exists(md.resolve("v1.ndv")),
+      "v1 sidecar reclaimed while its files are still referenced")
+    val (est, covered) = ManifestTable.ndvEstimate(spark, dir, "k")
+    assert(covered && est >= 85 && est <= 95, s"($est, $covered)")
+    // overwrite, then expire to just the overwrite: commit 1-3 files are
+    // orphaned, so their sidecars reclaim with them
+    ManifestTable.commit((1L to 5L).toDF("k"), dir, append = false)
+    ManifestTable.expire(dir, keep = 1)
+    assert(!java.nio.file.Files.exists(md.resolve("v1.ndv")) &&
+      !java.nio.file.Files.exists(md.resolve("v2.ndv")) &&
+      !java.nio.file.Files.exists(md.resolve("v3.ndv")),
+      "dead commits' sidecars must be reclaimed with their files")
+  }
+
   test("files/history metadata tables reflect commits, deletes, and sidecars with zero data IO") {
     import spark.implicits._
     val dir = freshDir()
