@@ -905,21 +905,32 @@ object EventsQueries {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
     rm(new java.io.File(out))
-    Tables(s, dir).events // side effect: session read confs
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // stage the events as THREE source files so AvailableNow +
+    // maxFilesPerTrigger=1 drives three distinct micro-batches — the
+    // batch→version mapping is then exercised across a real sequence
+    // (v1, v2, v3), not a single batch
+    val events = Tables(s, dir).events
+    val srcDir = s"$out/src"
+    events.filter($"event_id" % 3 === 0).coalesce(1).write.parquet(s"$srcDir/p0")
+    events.filter($"event_id" % 3 === 1).coalesce(1).write.parquet(s"$srcDir/p1")
+    events.filter($"event_id" % 3 === 2).coalesce(1).write.parquet(s"$srcDir/p2")
+    val rawSchema = s.read.parquet(s"$srcDir/p0").schema
     def src = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true").parquet(srcDir)
       .select($"event_id", $"event_type",
         round($"value" * 100).cast("long").as("cents"))
     val tbl = s"$out/tbl"
     EventStreams.manifestAppendSink(src, tbl, base = 0, s"$out/_ck1")
       .awaitTermination()
     val v1 = ManifestTable.currentVersion(tbl)
-    require(v1 >= 1, "q333: the stream must commit at least one version")
+    require(v1 == 3,
+      s"q333: three micro-batches must land as versions 1..3, got v$v1")
     EventStreams.manifestAppendSink(src, tbl, base = 0, s"$out/_ck2")
       .awaitTermination()
     require(ManifestTable.currentVersion(tbl) == v1,
-      "q333: a full replay must commit NOTHING (exactly-once)")
+      "q333: a full replay of ALL batches must commit NOTHING (exactly-once)")
     ManifestTable.read(s, tbl)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))

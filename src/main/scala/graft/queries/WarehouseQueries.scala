@@ -571,12 +571,14 @@ object WarehouseQueries {
 
   // q332: change data feed with row-level deletes — what an incremental
   // downstream consumer (replica, IVM, audit log) actually ingests: the
-  // v1→v3 feed decomposes into INSERT events (v2's appended rows) and
-  // DELETE events (the rows v3's equality-delete erased, reconstructed
-  // from the merge-on-read view visible just before the delete — never
-  // a snapshot diff). The feed is O(changed files); requires pin that
-  // an overwrite range refuses loudly (file removals don't decompose
-  // into row events). Output: per (change_type, status) counts + cents.
+  // v1→v4 feed decomposes into INSERT events (v2's appended rows) and
+  // DELETE events of BOTH kinds — v3's equality-delete rows
+  // reconstructed from the merge-on-read view visible just before the
+  // delete, and v4's position-delete rows pinned by exact (file, pos)
+  // with row indexes attached — never a snapshot diff. The feed is
+  // O(changed files); requires pin that an overwrite range refuses
+  // loudly (file removals don't decompose into row events). Output:
+  // per (change_type, status) counts + cents.
   def changeFeedCdc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = s"${sys.props("java.io.tmpdir")}/graft_q332_${Integer.toHexString(dir.hashCode)}"
@@ -595,6 +597,10 @@ object WarehouseQueries {
     ManifestTable.delete(
       o.filter($"o_orderkey" % 53 === 0).select($"o_orderkey"),
       out, "o_orderkey")
+    // v4: POSITION delete (predicate erasure, no key) — its CDF events
+    // are the rows visible at v3 matching it, i.e. %41 minus the
+    // already-eq-deleted %53 overlap
+    ManifestTable.deleteWhere(s, out, $"o_orderkey" % 41 === 0)
     val feed = ManifestTable.changeFeed(s, out, fromVersion = 1)
     // an overwrite inside the range must refuse, not emit garbage
     ManifestTable.compact(s, out, numFiles = 2)
@@ -1181,7 +1187,8 @@ object WarehouseQueries {
         |UNION ALL
         |SELECT 'delete', o_orderstatus,
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
-        |FROM o WHERE o_orderkey % 53 = 0 GROUP BY 1, 2
+        |FROM o WHERE o_orderkey % 53 = 0 OR o_orderkey % 41 = 0
+        |GROUP BY 1, 2
         |ORDER BY _change_type, o_orderstatus""".stripMargin,
     "q330_wap" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,

@@ -721,9 +721,12 @@ object ManifestTable {
     * read path: a delete at seq s erases only matching rows from data
     * committed BEFORE s, and the erased rows are reconstructed by
     * scanning exactly those files (O(affected files), never a snapshot
-    * diff). Refuses ranges containing overwrites/compactions (file
-    * REMOVALS don't decompose into row-level changes; consumers resync
-    * from the rewritten snapshot instead — same rule as [[changes]]). */
+    * diff). Position deletes decompose too: their rows are pinned by
+    * exact (file, row-position), reconstructed from the pre-delete view
+    * with row indexes attached. Refuses ranges containing overwrites/
+    * compactions (file REMOVALS don't decompose into row-level changes;
+    * consumers resync from the rewritten snapshot instead — same rule
+    * as [[changes]]). */
   def changeFeed(spark: SparkSession, dir: String,
                  fromVersion: Int, toVersion: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -735,9 +738,6 @@ object ManifestTable {
       s"changeFeed: v$fromVersion→v$to removed files (overwrite/compaction " +
         "in range) — row-level changes undefined; resync from the snapshot")
     val added = after.filterNot(e => beforePaths.contains(e.path))
-    require(added.forall(e => e.isData || e.deleteKey.isDefined),
-      s"changeFeed: v$fromVersion→v$to contains position deletes — " +
-        "reconstructing their rows needs row indexes; use a snapshot diff")
     val inserts = added.filter(_.isData) match {
       case Nil => None
       case ds  => Some(scanPaths(spark, ds.map(_.path))
@@ -759,7 +759,22 @@ object ManifestTable {
         visible.join(keys, visible(keyCol) === keys("_del_key"), "left_semi")
           .withColumn("_change_type", lit("delete"))
       }.toSeq
-    (inserts.toSeq ++ deletes)
+    // position-delete events: the erased rows are pinned by exact
+    // (file, row-position), so reconstruction scans the pre-delete
+    // merge-on-read view WITH row indexes attached and semi-joins the
+    // delete pairs — O(affected files), like the equality branch
+    val posDeletes = added.filter(_.posDelete).groupBy(_.seq)
+      .map { case (seq, des) =>
+        val visible = assemble(spark,
+          after.filter(e => e.seq < seq), dir, withMeta = true)
+        val dels = spark.read.parquet(des.map(_.path): _*)
+        visible.join(dels,
+            visible(MetaCols(0)) === dels("file_path") &&
+              visible(MetaCols(1)) === dels("pos"), "left_semi")
+          .drop(MetaCols: _*).drop("file_path", "pos")
+          .withColumn("_change_type", lit("delete"))
+      }.toSeq
+    (inserts.toSeq ++ deletes ++ posDeletes)
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)
   }
