@@ -10,7 +10,23 @@ import org.apache.spark.sql.functions._
   * `.explain("formatted")`: `PushedFilters` / `ReadSchema`).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = {
+  /** Run `body` with runtime conf `key` set to `value`, restoring the
+    * caller's prior value (or unsetting) after — parquet schema inference
+    * resolves eagerly inside `spark.read.parquet(...)`, so the override
+    * never has to outlive the call, and unrelated reads in the same
+    * session keep their own settings (ADVICE r8: no session-global
+    * side effects from a table load). */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  def table(name: String): DataFrame =
     // The driver's generator writes timestamps with isAdjustedToUTC=false;
     // Spark 4 would infer those as TIMESTAMP_NTZ, which half the timestamp
     // function surface (unix_millis, to_utc_timestamp, …) rejects. Read them
@@ -18,9 +34,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     // wall-clock values are identical) — same runtime-conf pattern as the
     // nanosAsLong shim below. Verify re-emits NTZ at the output boundary so
     // the dumped parquet stays repr-identical with DuckDB's naive reads.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+    withConf("spark.sql.parquet.inferTimestampNTZ.enabled", "false") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")

@@ -109,18 +109,24 @@ object Similarity {
     * and HOF interpretation re-evaluates it per ELEMENT — dim× redundant
     * work (dim²=4096 ops/row at dim 64; profiled as the hot spot of the
     * PQ index build). Use this wherever the whole corpus is quantized. */
-  def withQuantizedInt8(df: DataFrame, vec: Column, out: String): DataFrame =
+  def withQuantizedInt8(df: DataFrame, vec: Column, out: String,
+                        pin: Boolean = true): DataFrame = {
     // native one-pass expression (norm + per-element round in one buffer
     // walk) — bit-identical to the HOF spelling it replaced, see
-    // functions.QuantizeInt8. localCheckpoint is load-bearing: the old
-    // HOF chain was CodegenFallback, which forced a materialized
-    // projection boundary; the native expression fuses into downstream
-    // join stages where codegen's LAZY variable evaluation re-quantizes
-    // once per candidate PAIR (measured 2.1× on q314's 50-query cross
-    // join). Pinning the quantized corpus makes it what it conceptually
-    // is — the index artifact, built once (the q258 pqCorpus design).
-    df.withColumn(out, graft.functions.QuantizeInt8.quantizeInt8(vec))
-      .localCheckpoint()
+    // functions.QuantizeInt8. The default pin (localCheckpoint) is
+    // load-bearing for INDEX BUILDS: the old HOF chain was
+    // CodegenFallback, which forced a materialized projection boundary;
+    // the native expression fuses into downstream join stages where
+    // codegen's LAZY variable evaluation re-quantizes once per candidate
+    // PAIR (measured 2.1× on q314's 50-query cross join). Pinning the
+    // quantized corpus makes it what it conceptually is — the index
+    // artifact, built once (the q258 pqCorpus design). `pin = false`
+    // keeps the call a pure lazy transformation — for small/one-shot
+    // frames, streaming plans (localCheckpoint is unsupported there),
+    // or callers that only want the expression (ADVICE r8).
+    val q = df.withColumn(out, graft.functions.QuantizeInt8.quantizeInt8(vec))
+    if (pin) q.localCheckpoint() else q
+  }
 
   /** Integer dot product of two int8-quantized vectors. Products ≤ 127²·dim
     * stay far below 2^53, so routing through the double-typed codegen

@@ -1036,7 +1036,69 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q342: HIDDEN PARTITIONING — Iceberg-style partition transforms
+  // declared ONCE on the table (bucket(16, o_orderkey) major for point
+  // lookups, days(o_orderdate) minor for time ranges); commits cluster
+  // files by the transform values and the manifest carries each file's
+  // transform range, so readers prune by naming only the SOURCE column —
+  // no physical directories, no listing, no knowledge of the layout in
+  // query code. This is the cheapest planning win left after stats/
+  // blooms/histograms at 100 TB: `ts >= yesterday` opens one day-grain
+  // slice, `key = ?` opens ~1/16 of the files, and BOTH compose on the
+  // same table because the clustering is major→minor. Requires pin both
+  // prunes (kept < total at planning time, zero data IO); the emitted
+  // rows are hash-checked against a plain relational recompute —
+  // transform pruning is a superset by construction, so one wrongly
+  // skipped file breaks the hash.
+  def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q342_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
+    val spec = Seq(BucketTransform(16, "o_orderkey"), DaysTransform("od"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    def slice(cond: Column) = Tables(s, dir).orders.filter(cond)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate".as("od"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commitPartitioned(slice($"o_orderdate" < cut), out,
+      append = false, spec, numFiles = 24)
+    ManifestTable.commitPartitioned(slice($"o_orderdate" >= cut), out,
+      append = true, spec, numFiles = 24)
+    // time-range face: prune through days(od) by naming od alone
+    val lo = java.time.LocalDate.of(1995, 7, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 6, 30).toEpochDay
+    val (keptD, total) = ManifestTable.sourceDaysPruneInfo(out, "od", lo, hi)
+    require(keptD < total,
+      s"q342: days transform pruned nothing ($keptD/$total files kept)")
+    val ranged = ManifestTable.readSourceDays(s, out, "od", lo, hi)
+      .filter($"od" >= lit("1995-07-01").cast("timestamp") &&
+        $"od" < lit("1996-07-01").cast("timestamp"))
+      .groupBy($"o_orderpriority".as("key"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .select(lit("range").as("face"), $"key", $"n_rows", $"total_cents")
+    // point face: prune through bucket(16, o_orderkey) per key
+    val keys = Seq(7L, 555L, 1400L, 9999L)
+    val keptB = keys.map(k =>
+      ManifestTable.sourceBucketPruneInfo(out, "o_orderkey", k.toString)._1).sum
+    require(keptB < keys.size * total,
+      s"q342: bucket transform pruned nothing ($keptB of ${keys.size * total})")
+    val points = keys.map { k =>
+      ManifestTable.readSourceBucket(s, out, "o_orderkey", k.toString)
+        .filter($"o_orderkey" === k)
+    }.reduce(_.unionByName(_))
+      .groupBy($"o_orderkey".cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .select(lit("point").as("face"), $"key", $"n_rows", $"total_cents")
+    ranged.unionByName(points).orderBy($"face", $"key")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_hidden_partitioning" -> hiddenPartitioning _,
     "q316_position_deletes" -> positionDeletes _,
     "q315_file_skipping" -> fileSkipping _,
     "q301_incremental_read" -> incrementalRead _,
@@ -1067,6 +1129,24 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q342_hidden_partitioning" ->
+      """SELECT 'range' AS face, o_orderpriority AS key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'point' AS face, CAST(o_orderkey AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderkey IN (7, 555, 1400, 9999)
+        |GROUP BY 2
+        |ORDER BY face, key""".stripMargin,
     "q315_file_skipping" -> {
       val lo = java.time.LocalDate.of(1995, 7, 1).toEpochDay
       val hi = java.time.LocalDate.of(1996, 6, 30).toEpochDay

@@ -28,6 +28,14 @@ import scala.jdk.CollectionConverters._
   * pointer. */
 object ManifestTable {
 
+  /** A commit lost the version CAS: either the version it targeted is no
+    * longer next, or another writer won the no-replace manifest rename.
+    * A dedicated type (not `IllegalArgumentException` + message matching)
+    * so callers retrying or de-duplicating commits classify the failure
+    * structurally — ADVICE r8. */
+  final class CommitConflictException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   private def manifests(dir: String): Path = Paths.get(dir, "_manifests")
 
   /** Manifest version numbers present on disk, closing the directory
@@ -242,9 +250,16 @@ object ManifestTable {
   def publishExpected(dir: String, v: Int, files: Seq[String],
                       append: Boolean): Int = {
     val cur = currentVersion(dir)
-    require(v == cur + 1,
-      s"publishExpected: version $v is not next (current $cur) — concurrent writer")
-    publishAt(dir, v, files.sorted, append)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishExpected: version $v is not next (current $cur) — concurrent writer")
+    try publishAt(dir, v, files.sorted, append)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"publishExpected: lost the manifest CAS for v$v — another writer " +
+            "published it between the version check and the rename", e)
+    }
   }
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
@@ -425,13 +440,20 @@ object ManifestTable {
 
   private val MetaCols = Seq("_graft_file", "_graft_pos")
 
+  /** Strip reserved hidden-partition columns — they are commit-time
+    * planning metadata (transform values), never user data. */
+  private def dropHidden(df: DataFrame): DataFrame = {
+    val hidden = df.columns.filter(_.startsWith("_ptn_"))
+    if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
+  }
+
   private def assemble(spark: SparkSession, entries: Seq[Entry], dir: String,
                        withMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     val needMeta = withMeta || entries.exists(_.posDelete)
     if (!needMeta && entries.forall(_.isData))
-      return spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(_.path): _*)
+      return dropHidden(spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_.path): _*))
     // _metadata is only addressable at the scan, so (file, pos) are
     // materialized as ordinary columns immediately and dropped at the end.
     // mergeSchema within a scan + allowMissingColumns across commits =
@@ -472,7 +494,7 @@ object ManifestTable {
         "left_anti")
     }
     if (df != null && !withMeta && needMeta) df = df.drop(MetaCols: _*)
-    df
+    if (df != null) dropHidden(df) else df
   }
 
   /** Row-level DELETE WHERE via POSITION deletes — the second Iceberg
@@ -531,7 +553,7 @@ object ManifestTable {
     require(added.forall(_.isData),
       s"changes: v$fromVersion→v$to contains delete commits — rows were " +
         "erased; use a snapshot diff")
-    spark.read.parquet(added.map(_.path): _*)
+    scanPaths(spark, added.map(_.path))
   }
 
   /** Number of data files in a snapshot — O(1) from the manifest, never a
@@ -747,13 +769,14 @@ object ManifestTable {
       .groupBy(d => (d.seq, d.deleteKey.get))
       .map { case ((seq, keyCol), des) =>
         // rows erased = the merge-on-read view VISIBLE just before this
-        // delete's sequence (earlier deletes already applied — a key
-        // erased twice emits one delete event per actual erasure, and a
-        // re-delete of an already-gone key emits nothing), semi-joined
-        // against this commit's keys
+        // delete's sequence (earlier deletes of BOTH kinds already
+        // applied — a key erased twice emits one delete event per actual
+        // erasure, and a re-delete of an already-gone key emits nothing;
+        // excluding earlier position deletes would re-emit a spurious
+        // delete event for a row a position delete already erased —
+        // ADVICE r8), semi-joined against this commit's keys
         val visible = assemble(spark,
-          after.filter(e => e.seq < seq && (e.isData || e.deleteKey.isDefined)),
-          dir, withMeta = false)
+          after.filter(_.seq < seq), dir, withMeta = false)
         val keys = spark.read.parquet(des.map(_.path): _*)
           .select(col(keyCol).as("_del_key"))
         visible.join(keys, visible(keyCol) === keys("_del_key"), "left_semi")
@@ -780,7 +803,201 @@ object ManifestTable {
   }
 
   private def scanPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    dropHidden(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+
+  // ------------------------------------------------------------------
+  // Hidden partitioning (Iceberg-style partition transforms)
+  // ------------------------------------------------------------------
+
+  /** A declared partition transform: a derived value computed from a
+    * SOURCE column at commit time, clustered on at write, and pruned on
+    * at read — while the reader only ever names the source column
+    * (Iceberg's hidden partitioning: nobody queries `_ptn_days_ts`, they
+    * query `ts`, and the table maps the predicate through the declared
+    * transform). The transform value is materialized as a reserved
+    * `_ptn_`-prefixed integer column INSIDE the data files, so the
+    * existing footer-stats pipeline records per-file transform ranges in
+    * the manifest with zero new read-path machinery; every read drops
+    * the reserved columns, keeping them invisible. */
+  sealed trait Transform {
+    def source: String
+    /** Reserved hidden column carrying the transform value. */
+    def ptnCol: String
+    private[sources] def metaLine: String
+    private[sources] def column(df: DataFrame): org.apache.spark.sql.Column
+  }
+
+  /** `days(source)`: the source DATE/TIMESTAMP as epoch days — the
+    * calendar-grain transform for time-ranged pruning. Computed as the
+    * UTC calendar day (`cast to date`), portable across engines. */
+  final case class DaysTransform(source: String) extends Transform {
+    val ptnCol = s"_ptn_days_$source"
+    private[sources] def metaLine = s"days|$source|$ptnCol"
+    private[sources] def column(df: DataFrame): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      datediff(col(source).cast("date"), to_date(lit("1970-01-01"))).cast("long")
+    }
+  }
+
+  /** `bucket(n, source)`: a stable hash of the source value mod `n` — the
+    * point-lookup transform for high-cardinality keys where calendar
+    * grains don't apply. Hash = first 24 bits of md5("b:" + value), the
+    * same engine-independent keying used everywhere else in this repo
+    * (retry-stable, reproducible driver-side for planning). */
+  final case class BucketTransform(n: Int, source: String) extends Transform {
+    require(n >= 2 && n <= (1 << 20), s"bucket($n): n must be in [2, 2^20]")
+    val ptnCol = s"_ptn_bucket${n}_$source"
+    private[sources] def metaLine = s"bucket|$n|$source|$ptnCol"
+    private[sources] def column(df: DataFrame): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      (conv(substring(md5(concat(lit("b:"), col(source).cast("string"))), 1, 6),
+        16, 10) % n).cast("long")
+    }
+    /** Driver-side twin of [[column]] — byte-identical, so planning a
+      * point read computes the bucket without touching data. */
+    def bucketOf(value: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("b:" + value).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+      v % n
+    }
+  }
+
+  /** The table's declared partition spec, empty if unpartitioned. */
+  def partitionTransforms(dir: String): Seq[Transform] = {
+    val p = manifests(dir).resolve("ptn")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.map { line =>
+      line.split('|') match {
+        case Array("days", src, _)      => DaysTransform(src)
+        case Array("bucket", n, src, _) => BucketTransform(n.toInt, src)
+        case other => throw new IllegalStateException(
+          s"partitionTransforms: unreadable spec line '$line'")
+      }
+    }
+  }
+
+  /** Commit `df` clustered by the table's partition transforms. First call
+    * declares the spec (write-once `ptn` metadata next to the manifests);
+    * later commits must declare the SAME spec — partition evolution is out
+    * of scope, a mismatch fails loudly. The transforms are computed from
+    * source columns, the frame is range-clustered on them IN GIVEN ORDER
+    * (put the equality-probed bucket first, the range-probed days last:
+    * major→minor, so both prune), and the hidden columns ride into the
+    * data files where footer stats pick them up — the manifest line then
+    * carries each file's transform range and [[readWhere]]-style pruning
+    * applies with no new metadata shape. At 100 TB this is the cheapest
+    * planning win there is: a `ts >= yesterday` or `key = ?` query plans
+    * against transform-grain manifests and opens only the matching
+    * files — no physical directories, no listing, and the layout can be
+    * recomputed at any compaction because the transform derives from the
+    * source columns. */
+  def commitPartitioned(df: DataFrame, dir: String, append: Boolean,
+                        transforms: Seq[Transform], numFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    require(transforms.nonEmpty, "commitPartitioned: no transforms given")
+    require(numFiles >= 1, "commitPartitioned: numFiles must be >= 1")
+    val declared = partitionTransforms(dir)
+    if (declared.isEmpty) {
+      Files.createDirectories(manifests(dir))
+      val tmp = manifests(dir).resolve(s".ptn.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, transforms.map(_.metaLine).asJava)
+      try Files.move(tmp, manifests(dir).resolve("ptn"))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp): Unit }
+    }
+    val spec = partitionTransforms(dir)
+    require(spec == transforms,
+      s"commitPartitioned: declared spec $spec != given $transforms — " +
+        "partition evolution is not supported; use a new table")
+    val withP = transforms.foldLeft(df)((d, t) => d.withColumn(t.ptnCol, t.column(d)))
+    val cols = transforms.map(t => col(t.ptnCol))
+    commit(withP.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*), dir, append)
+  }
+
+  /** Hidden-partition range read on a SOURCE column carrying a `days`
+    * transform: `[loDay, hiDay]` are epoch days, mapped through the
+    * declared transform to a manifest stats prune — a superset of the
+    * matching rows (the caller still applies the exact source filter).
+    * Fails loudly if no days transform covers `source` (a typo must not
+    * silently full-scan). */
+  def readSourceDays(spark: SparkSession, dir: String, source: String,
+                     loDay: Long, hiDay: Long, version: Int = -1): DataFrame = {
+    val t = daysTransformFor(dir, source)
+    readWhere(spark, dir, t.ptnCol, loDay.toDouble, hiDay.toDouble, version)
+  }
+
+  /** (files kept, data files total) for a source-days prune. */
+  def sourceDaysPruneInfo(dir: String, source: String, loDay: Long,
+                          hiDay: Long, version: Int = -1): (Int, Int) =
+    pruneInfo(dir, daysTransformFor(dir, source).ptnCol,
+      loDay.toDouble, hiDay.toDouble, version)
+
+  /** Hidden-partition point read on a SOURCE column carrying a `bucket`
+    * transform: the bucket of `value` is computed driver-side (zero data
+    * IO) and pruned via the manifest's per-file transform range. Superset
+    * semantics as always. */
+  def readSourceBucket(spark: SparkSession, dir: String, source: String,
+                       value: String, version: Int = -1): DataFrame = {
+    val t = bucketTransformFor(dir, source)
+    val b = t.bucketOf(value).toDouble
+    readWhere(spark, dir, t.ptnCol, b, b, version)
+  }
+
+  /** (files kept, data files total) for a source-bucket prune. */
+  def sourceBucketPruneInfo(dir: String, source: String, value: String,
+                            version: Int = -1): (Int, Int) = {
+    val t = bucketTransformFor(dir, source)
+    val b = t.bucketOf(value).toDouble
+    pruneInfo(dir, t.ptnCol, b, b, version)
+  }
+
+  private def daysTransformFor(dir: String, source: String): DaysTransform =
+    partitionTransforms(dir).collectFirst {
+      case t @ DaysTransform(`source`) => t
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no days transform declared on '$source' under $dir — " +
+        s"declared: ${partitionTransforms(dir)}"))
+
+  private def bucketTransformFor(dir: String, source: String): BucketTransform =
+    partitionTransforms(dir).collectFirst {
+      case t @ BucketTransform(_, `source`) => t
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no bucket transform declared on '$source' under $dir — " +
+        s"declared: ${partitionTransforms(dir)}"))
+
+  /** Claim version `v`'s SOURCE-TAG sidecar (`v<v>.src`) for `tag` — the
+    * idempotence ledger a streaming sink reads to distinguish "this
+    * version IS my batch, already committed" from "a foreign writer took
+    * my version number" (ADVICE r8: the silent-drop fix). No-replace
+    * creation: the first writer's tag sticks; a claim against an existing
+    * tag is a no-op (callers then read [[sourceTag]] to adjudicate).
+    * Written BEFORE the manifest CAS, so a crash between the two leaves a
+    * tag without a manifest — harmless (the next attempt of the same
+    * batch re-verifies its own tag and proceeds), never the reverse
+    * (a manifest whose provenance can't be checked). */
+  def claimSourceTag(dir: String, v: Int, tag: String): Unit = {
+    Files.createDirectories(manifests(dir))
+    val tmp = manifests(dir).resolve(
+      s".v$v.src.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, Seq(tag).asJava)
+    try Files.move(tmp, manifests(dir).resolve(s"v$v.src"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp): Unit
+    }
+  }
+
+  /** The source tag claimed for version `v`, if any. Commits made through
+    * [[commit]]/[[delete]]/compaction never write one — an untagged
+    * version read by a sink expecting its own tag is proof of a foreign
+    * writer. */
+  def sourceTag(dir: String, v: Int): Option[String] = {
+    val p = manifests(dir).resolve(s"v$v.src")
+    if (Files.exists(p)) Some(Files.readAllLines(p).asScala.mkString("\n"))
+    else None
+  }
 
   /** Roll the table BACK to `toVersion` as a NEW commit (Delta RESTORE /
     * Iceberg rollback semantics): the next version's manifest is the
@@ -852,14 +1069,37 @@ object ManifestTable {
     val spark = df.sparkSession
     val staged = spark.read.parquet(stage)
     val bad = graft.operators.Quality.quarantine(staged, checks)._2.count()
-    val files = Option(new java.io.File(stage).listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
     if (bad > 0) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
       rm(new java.io.File(stage))
       (-1, bad)
-    } else (publish(dir, files, append), 0L)
+    } else {
+      // Publish under the canonical commit path, NOT the staging path:
+      // parseEntry derives a file's commit sequence from the
+      // `/data/commit-N/` segment, and a `staging/wap-…` path parses as
+      // seq 0 — which would let any equality/position delete committed
+      // BEFORE this WAP commit erase rows from the newly published data
+      // and misorder the change feed (ADVICE r8, high). The audited files
+      // move (same filesystem — a metadata rename, the bytes audited are
+      // the bytes published) into the version directory computed at
+      // publish time, the same inherit-the-publishing-sequence rule as
+      // Iceberg's WAP.
+      val v = currentVersion(dir) + 1
+      val dataDir = new java.io.File(s"$dir/data/commit-$v")
+      Files.createDirectories(dataDir.getParentFile.toPath)
+      if (dataDir.exists()) {
+        // leftovers of a crashed attempt at this version: unreferenced
+        // (no manifest claimed v), safe to clear before the move
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+        rm(dataDir)
+      }
+      Files.move(Paths.get(stage), dataDir.toPath)
+      val moved = Option(dataDir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      (publishExpected(dir, v, moved, append), 0L)
+    }
   }
 
   /** Snapshot expiry: drop every manifest older than the newest `keep`
@@ -885,7 +1125,7 @@ object ManifestTable {
     // referenced, and must still be reclaimed once the last reference
     // goes.
     val liveSeqs = live.flatMap(v => manifestFiles(dir, v).map(parseEntry).map(_.seq)).toSet
-    val SidecarRe = raw"v(\d+)\.(ndv|hist)".r
+    val SidecarRe = raw"v(\d+)\.(ndv|hist|src|bloom)".r
     Option(md.toFile.listFiles()).toSeq.flatten.foreach { f =>
       f.getName match {
         case SidecarRe(sq, _) if !liveSeqs.contains(sq.toInt) =>

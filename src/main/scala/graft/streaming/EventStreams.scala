@@ -232,14 +232,21 @@ object EventStreams {
   /** Exactly-once streaming sink into a [[graft.sources.ManifestTable]]:
     * each micro-batch appends as the table version `base + batchId + 1` —
     * a DETERMINISTIC batch→version mapping, so a replayed batch (restart,
-    * retry, checkpoint recovery) either fast-path skips (version already
-    * visible) or loses the no-replace manifest CAS and is swallowed as
-    * already-committed. No batch ledger, no tmp-swap: the versioned
-    * table's own commit protocol IS the exactly-once mechanism, and every
-    * micro-batch lands as a time-travelable snapshot with the change feed
-    * (q332) for free. `base` is the table's version when the stream is
-    * wired (0 for a fresh table); the (checkpoint, table) pair moves
-    * together, same contract as [[incrementalAggParquetSink]]. */
+    * retry, checkpoint recovery, even a fresh checkpoint re-delivering
+    * the whole source) either fast-path skips (version already visible)
+    * or loses the no-replace manifest CAS — and in BOTH cases the skip is
+    * VERIFIED against the version's source-tag ledger (`v<N>.src`,
+    * claimed no-replace before the commit) rather than assumed: a version
+    * taken by a foreign writer (compaction, delete, a different sink
+    * lineage) carries no/another tag and fails loudly instead of silently
+    * dropping the batch (ADVICE r8). CAS losses surface as the dedicated
+    * `ManifestTable.CommitConflictException`, not string-matched message
+    * text. Every committed micro-batch lands as a time-travelable
+    * snapshot feeding the change feed (q332) for free. `base` is the
+    * table's version when the stream is wired (0 for a fresh table).
+    * Residual race (accepted under the table's single-writer contract): a
+    * foreign writer claiming the version BETWEEN this sink's tag claim
+    * and its commit is attributed to the sink's own lineage. */
   def manifestAppendSink(stream: DataFrame, tableDir: String, base: Int,
                          checkpointDir: String): StreamingQuery = {
     import graft.sources.ManifestTable
@@ -249,15 +256,28 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val v = base + batchId.toInt + 1
-        if (ManifestTable.currentVersion(tableDir) < v) {
+        // the tag names the BATCH, not the checkpoint instance: a replay
+        // under a fresh checkpoint re-delivers the same batch ids over
+        // the same source and must recognize its own prior commits
+        val tag = s"stream-batch:$batchId"
+        def verifyOurs(context: String): Unit = {
+          val existing = ManifestTable.sourceTag(tableDir, v)
+          if (!existing.contains(tag)) throw new IllegalStateException(
+            s"manifestAppendSink: $context, but version $v of $tableDir " +
+              s"was committed by ${existing.map(t => s"'$t'")
+                .getOrElse("an untagged writer")}, not this stream's batch " +
+              s"$batchId — a foreign commit broke the batch->version " +
+              "mapping; failing loudly instead of dropping the batch")
+        }
+        if (ManifestTable.currentVersion(tableDir) >= v) {
+          verifyOurs(s"version $v already visible")
+        } else {
+          ManifestTable.claimSourceTag(tableDir, v, tag)
+          verifyOurs(s"claiming the v$v ledger")
           try { ManifestTable.commitAt(batch, tableDir, v, append = v > 1): Unit }
           catch {
-            // lost the CAS to an earlier attempt of the SAME batch —
-            // its manifest is live, our staged rewrite was of identical
-            // content at the same path; already-committed, swallow
-            case e: java.nio.file.FileAlreadyExistsException => ()
-            case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("not next") => ()
+            case _: ManifestTable.CommitConflictException =>
+              verifyOurs(s"lost the v$v commit CAS")
           }
         }
       }

@@ -33,6 +33,88 @@ class ManifestTableSpec extends SparkSpec {
       == (1L to 15L).sum)
   }
 
+  test("WAP-published files inherit the publishing commit's sequence — an earlier delete can't erase them") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    // v2: equality-delete key 5 — sequence-scoped to data committed BEFORE v2
+    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
+    assert(ManifestTable.read(spark, dir).count() == 9)
+    // v3: WAP commit RE-APPENDS key 5 (plus 99). Before the r9 fix the
+    // published files kept their staging/wap-… paths, parsed as seq 0,
+    // and the v2 delete erased the re-appended 5 on read.
+    val (v3, bad) = ManifestTable.wapCommit(Seq(5L, 99L).toDF("k"), dir,
+      append = true, checks = Seq(graft.operators.Quality.NotNull("k_null", "k")))
+    assert(v3 == 3 && bad == 0L)
+    val now = ManifestTable.read(spark, dir).select($"k").as[Long].collect().sorted
+    assert(now.contains(5L) && now.contains(99L) && now.length == 11,
+      s"WAP-published rows must survive earlier deletes, got ${now.mkString(",")}")
+    // and the files physically live under the commit path (seq = 3)
+    assert(ManifestTable.read(spark, dir, 3).inputFiles
+      .exists(_.contains("commit-3")))
+    // a failed audit still aborts without a trace
+    val before = ManifestTable.currentVersion(dir)
+    val (vBad, nBad) = ManifestTable.wapCommit(
+      Seq[java.lang.Long](null).toDF("k"), dir, append = true,
+      checks = Seq(graft.operators.Quality.NotNull("k_null", "k")))
+    assert(vBad == -1 && nBad == 1L && ManifestTable.currentVersion(dir) == before)
+  }
+
+  test("hidden partitioning: source-column predicates prune through declared days/bucket transforms") {
+    import spark.implicits._
+    import ManifestTable.{BucketTransform, DaysTransform}
+    val dir = freshDir()
+    val spec = Seq(BucketTransform(8, "k"), DaysTransform("d"))
+    def rows(lo: Long, hi: Long) = (lo to hi).toDF("k")
+      .withColumn("d", expr("date_add(date '2024-01-01', cast(k % 200 as int))"))
+      .withColumn("v", $"k" * 10)
+    ManifestTable.commitPartitioned(rows(1, 2000), dir, append = false, spec, numFiles = 16)
+    ManifestTable.commitPartitioned(rows(2001, 4000), dir, append = true, spec, numFiles = 16)
+    // spec is write-once: a different spec fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.commitPartitioned(rows(1, 5), dir, append = true,
+        Seq(DaysTransform("d")), numFiles = 1)
+    }
+    // hidden columns never surface
+    assert(!ManifestTable.read(spark, dir).columns.exists(_.startsWith("_ptn_")))
+    // bucket point prune: named by SOURCE column, pruned via the transform
+    val (keptB, total) = ManifestTable.sourceBucketPruneInfo(dir, "k", "777")
+    assert(total == 32 && keptB < total, s"bucket prune kept $keptB/$total")
+    val hit = ManifestTable.readSourceBucket(spark, dir, "k", "777")
+      .filter($"k" === 777L).select($"v").as[Long].collect()
+    assert(hit.toSeq == Seq(7770L))
+    // days range prune: epoch-day window maps through the transform
+    val lo = java.time.LocalDate.of(2024, 2, 1).toEpochDay
+    val hi = java.time.LocalDate.of(2024, 2, 15).toEpochDay
+    val (keptD, _) = ManifestTable.sourceDaysPruneInfo(dir, "d", lo, hi)
+    assert(keptD < total, s"days prune kept $keptD/$total")
+    val got = ManifestTable.readSourceDays(spark, dir, "d", lo, hi)
+      .filter($"d" >= lit("2024-02-01").cast("date") &&
+        $"d" <= lit("2024-02-15").cast("date")).count()
+    val want = rows(1, 4000).filter($"d" >= lit("2024-02-01").cast("date") &&
+      $"d" <= lit("2024-02-15").cast("date")).count()
+    assert(got == want, s"pruned read must be a lossless superset: $got != $want")
+    // undeclared source fails loudly instead of silently full-scanning
+    intercept[IllegalArgumentException](
+      ManifestTable.sourceDaysPruneInfo(dir, "nope", lo, hi))
+  }
+
+  test("change feed: a row erased by a position delete is not re-emitted by a later equality delete") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 6L).toDF("k"), dir, append = false)
+    ManifestTable.deleteWhere(spark, dir, col("k") === 3L) // v2: pos-delete k=3
+    ManifestTable.delete(Seq(3L, 4L).toDF("k"), dir, "k")  // v3: eq-delete {3,4}
+    val feed = ManifestTable.changeFeed(spark, dir, 1, 3)
+    val dels = feed.filter($"_change_type" === "delete")
+      .select($"k").as[Long].collect().sorted.toSeq
+    // exactly one event per actual erasure: k=3 by the v2 position delete,
+    // k=4 by the v3 equality delete — the v3 delete must NOT re-emit k=3
+    // (it was no longer visible at seq 3)
+    assert(dels == Seq(3L, 4L),
+      s"expected one delete event each for 3 (pos) and 4 (eq), got $dels")
+  }
+
   test("compact rewrites the snapshot without changing content; expiry respects append-chain liveness") {
     import spark.implicits._
     val dir = freshDir()

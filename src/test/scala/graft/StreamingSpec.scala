@@ -85,6 +85,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("manifestAppendSink: replay skips its own versions; a foreign commit at a mapped version fails loudly") {
+    import graft.sources.ManifestTable
+    val tmp = Files.createTempDirectory("graft_msink").toString
+    val src = s"$tmp/src"; val tbl = s"$tmp/tbl"
+    Seq(ev(1, 1), ev(2, 2)).toDS().coalesce(1).write.parquet(s"$src/p0")
+    val schema = Seq.empty[Event].toDS().schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(src)
+    EventStreams.manifestAppendSink(stream, tbl, base = 0, s"$tmp/cp1")
+      .awaitTermination()
+    assert(ManifestTable.currentVersion(tbl) == 1)
+    assert(ManifestTable.sourceTag(tbl, 1).contains("stream-batch:0"))
+    // foreign writer (compaction / another job) takes v2 — untagged
+    ManifestTable.commit(Seq(ev(9, 9)).toDS().toDF(), tbl, append = true)
+    assert(ManifestTable.currentVersion(tbl) == 2)
+    // second source file: replay under a FRESH checkpoint re-delivers
+    // batch 0 (→ v1, ours: verified skip) then batch 1 (→ v2, FOREIGN:
+    // must fail loudly, not silently drop the batch — ADVICE r8)
+    Seq(ev(3, 3)).toDS().coalesce(1).write.parquet(s"$src/p1")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.manifestAppendSink(stream, tbl, base = 0, s"$tmp/cp2")
+        .awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("foreign commit")),
+      s"expected the loud foreign-writer failure, got: $e")
+    // nothing was dropped silently: the table is exactly v2
+    assert(ManifestTable.currentVersion(tbl) == 2)
+  }
+
   test("upsertParquetSink merges micro-batches: updates, inserts, no dups") {
     val tmp = Files.createTempDirectory("graft_upsert").toString
     val src = s"$tmp/src"; val sink = s"$tmp/sink"
