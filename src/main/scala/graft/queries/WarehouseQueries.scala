@@ -1097,7 +1097,67 @@ object WarehouseQueries {
     ranged.unionByName(points).orderBy($"face", $"key")
   }
 
+  // q343: manifest-native MERGE INTO — the lakehouse verb q89's
+  // whole-target rewrite can't afford at 100 TB: ONE commit pairs an
+  // equality-delete of the update keys (sequence-scoped to earlier data)
+  // with an append of the update rows (this commit's sequence, so its own
+  // re-inserts survive). Commit cost is O(|updates|) with ZERO target IO —
+  // no join, no rewrite; matched keys replace, unmatched insert. The
+  // requires pin the three contracts: merge-on-read (v1 files untouched,
+  // only commit-2 files added), time travel (pre-merge snapshot intact —
+  // its aggregate is the face's '1_before' stage, computed AFTER the
+  // merge), and the change feed decomposing the merge into one
+  // delete+insert event pair per matched key, insert-only for new keys.
+  // The '2_merged' stage must hash-equal the oracle's relational
+  // recompute of the same upsert.
+  def mergeInto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q343_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    ManifestTable.commit(rows, out, append = false)
+    // matched updates: every key % 97 == 0 re-priced and re-labeled;
+    // inserts: fresh keys derived from % 53 == 0 (disjoint key space)
+    val updates = rows.filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", lit("MERGED").as("o_orderpriority"),
+        ($"cents" + 1000).as("cents"))
+      .unionByName(rows.filter($"o_orderkey" % 53 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("NEW").as("o_orderpriority"), lit(777L).as("cents")))
+    val nMatched = rows.filter($"o_orderkey" % 97 === 0).count()
+    val nUpdates = updates.count()
+    val v2 = ManifestTable.merge(updates, out, "o_orderkey")
+    require(v2 == 2, s"q343: merge must commit v2, got v$v2")
+    val v1Files = ManifestTable.read(s, out, 1).inputFiles.toSet
+    val v2Files = ManifestTable.read(s, out, 2).inputFiles.toSet
+    require(v1Files.subsetOf(v2Files) &&
+      (v2Files -- v1Files).forall(_.contains("commit-2")),
+      "q343: merge must be merge-on-read — no target file rewritten")
+    val feed = ManifestTable.changeFeed(s, out, 1, 2)
+    val nDelEvents = feed.filter($"_change_type" === "delete").count()
+    val nInsEvents = feed.filter($"_change_type" === "insert").count()
+    require(nDelEvents == nMatched && nInsEvents == nUpdates,
+      s"q343: feed must decompose the merge ($nDelEvents dels vs $nMatched " +
+        s"matched; $nInsEvents inserts vs $nUpdates updates)")
+    def snap(stage: String, v: Int) =
+      ManifestTable.read(s, out, v)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows",
+          $"total_cents")
+    snap("1_before", 1).unionByName(snap("2_merged", 2))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_merge_into" -> mergeInto _,
     "q342_hidden_partitioning" -> hiddenPartitioning _,
     "q316_position_deletes" -> positionDeletes _,
     "q315_file_skipping" -> fileSkipping _,
@@ -1129,6 +1189,23 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q343_merge_into" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT k, 'MERGED' AS p, cents + 1000 AS cents FROM base
+        |    WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, 'NEW', 777 FROM base WHERE k % 53 = 0),
+        |merged AS (SELECT * FROM base
+        |    WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT '1_before' AS stage, p AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT '2_merged', p, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM merged GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q342_hidden_partitioning" ->
       """SELECT 'range' AS face, o_orderpriority AS key,
         |  CAST(count(*) AS BIGINT) AS n_rows,

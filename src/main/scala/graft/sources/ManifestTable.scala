@@ -394,6 +394,40 @@ object ManifestTable {
     v
   }
 
+  /** MERGE INTO (merge-on-read): upsert every `updates` row by `keyCol`
+    * in ONE commit pairing an equality-delete of the update keys with an
+    * append of the update rows. The delete is sequence-scoped to data
+    * BEFORE this commit, the appended rows carry this commit's sequence —
+    * so matched target rows are replaced, the merge's own re-inserts
+    * survive, and unmatched keys simply insert (deleting an absent key is
+    * a read-time no-op, which is what makes the commit O(|updates|) with
+    * ZERO target IO: no join, no data-file rewrite — the only affordable
+    * upsert shape on a 100 TB table; [[graft.operators.Relational.upsert]]
+    * by contrast rewrites the whole target). Readers pay one extra anti
+    * join until [[compact]] materializes the merge and purges the delete
+    * file. Time travel, snapshot isolation, and the change feed (a
+    * delete+insert event pair per matched key, insert-only for new keys)
+    * hold by construction of the commit protocol. Returns the committed
+    * version. */
+  def merge(updates: DataFrame, dir: String, keyCol: String): Int = {
+    val v = currentVersion(dir) + 1
+    require(v > 1, s"ManifestTable.merge: no committed data under $dir")
+    val dataDir = s"$dir/data/commit-$v"
+    updates.write.mode("overwrite").parquet(s"$dataDir/rows")
+    updates.select(keyCol).distinct()
+      .write.mode("overwrite").parquet(s"$dataDir/del")
+    def files(sub: String): Seq[String] =
+      Option(new java.io.File(s"$dataDir/$sub").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val lines = files("del").map(f => s"D|$keyCol|$f") ++
+      files("rows").map(f => dataLine(f))
+    val all = manifestFiles(dir, v - 1) ++ lines
+    val tmp = manifests(dir).resolve(s".v$v.tmp")
+    Files.write(tmp, all.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
+    v
+  }
+
   /** Read a snapshot; `version = -1` (default) reads the latest. Replays
     * the manifest in commit order: data commits union in, equality-delete
     * commits anti-join OUT of everything earlier (sequence-scoped), and
@@ -471,11 +505,11 @@ object ManifestTable {
     entries.groupBy(_.seq).toSeq.sortBy(_._1).foreach { case (_, es) =>
       val (dels, rest) = es.partition(_.deleteKey.isDefined)
       val datas = rest.filter(_.isData)
-      if (datas.nonEmpty) {
-        val d = scan(datas.map(_.path))
-        df = if (df == null) d
-        else df.unionByName(d, allowMissingColumns = true)
-      }
+      // equality deletes are sequence-scoped to STRICTLY EARLIER data
+      // (Iceberg: a delete applies to seq < its own), so they anti-join
+      // BEFORE this commit's own files union in — a MERGE commit's
+      // delete+append pair then replaces matched keys without erasing
+      // its own re-inserted rows
       dels.groupBy(_.deleteKey.get).foreach { case (keyCol, ds) =>
         // a delete whose earlier data was entirely pruned away has
         // nothing to erase — skip instead of failing the pruned read
@@ -484,6 +518,11 @@ object ManifestTable {
             .select(col(keyCol).as("_del_key"))
           df = df.join(keys, df(keyCol) === keys("_del_key"), "left_anti")
         }
+      }
+      if (datas.nonEmpty) {
+        val d = scan(datas.map(_.path))
+        df = if (df == null) d
+        else df.unionByName(d, allowMissingColumns = true)
       }
     }
     val posFiles = entries.filter(_.posDelete).map(_.path)

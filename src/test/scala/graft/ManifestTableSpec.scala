@@ -60,6 +60,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(vBad == -1 && nBad == 1L && ManifestTable.currentVersion(dir) == before)
   }
 
+  test("MERGE INTO: one commit replaces matched keys and inserts new ones; time travel and compaction hold") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).map(k => (k, k * 10)).toDF("k", "v"),
+      dir, append = false)
+    val v2 = ManifestTable.merge(
+      Seq((3L, 999L), (5L, 999L), (42L, 777L)).toDF("k", "v"), dir, "k")
+    assert(v2 == 2)
+    val now = ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(now.size == 11 && now(3L) == 999L && now(5L) == 999L &&
+      now(42L) == 777L && now(4L) == 40L)
+    // merge-on-read: v1's data files are untouched, v2 only ADDS files
+    val v1Files = ManifestTable.read(spark, dir, 1).inputFiles.toSet
+    val v2Files = ManifestTable.read(spark, dir, 2).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files) &&
+      (v2Files -- v1Files).forall(_.contains("commit-2")))
+    // time travel: pre-merge snapshot intact
+    assert(ManifestTable.read(spark, dir, 1).as[(Long, Long)]
+      .collect().toMap == (1L to 10L).map(k => k -> k * 10).toMap)
+    // change feed: matched keys emit delete(old)+insert(new); new keys insert-only
+    val feed = ManifestTable.changeFeed(spark, dir, 1, 2)
+    val dels = feed.filter($"_change_type" === "delete")
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._2)).sorted.toSeq
+    assert(dels == Seq((3L, 30L), (5L, 50L)), s"delete events: $dels")
+    assert(feed.filter($"_change_type" === "insert").count() == 3)
+    // a second merge on an already-merged key replaces the MERGED value
+    ManifestTable.merge(Seq((3L, 1L)).toDF("k", "v"), dir, "k")
+    assert(ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+      .apply(3L) == 1L)
+    // compaction materializes the merge and purges delete entries
+    val v4 = ManifestTable.compact(spark, dir, numFiles = 1)
+    assert(ManifestTable.read(spark, dir, v4).as[(Long, Long)].collect().toMap
+      == now.updated(3L, 1L))
+    assert(ManifestTable.filesTable(spark, dir, v4)
+      .filter($"kind" =!= "data").count() == 0)
+  }
+
   test("hidden partitioning: source-column predicates prune through declared days/bucket transforms") {
     import spark.implicits._
     import ManifestTable.{BucketTransform, DaysTransform}
