@@ -937,6 +937,64 @@ object EventsQueries {
       .orderBy($"event_type")
   }
 
+  // q344: STREAMING SOURCE over the versioned table — the read half that
+  // closes the lakehouse streaming loop (q333 is the write half): offsets
+  // ARE manifest versions, so one commit = one micro-batch (pinned via
+  // recentProgress), planning each batch is the manifest DIFF (O(delta),
+  // the q301 contract under a checkpoint), and a checkpointed resume
+  // reads ONLY commits made after the first run (pinned: the resumed
+  // run's input rows = the 4th slice exactly). The streamed rows feed a
+  // stateful aggregate whose state lives in the checkpoint across the
+  // resume; the final table must hash-equal the batch aggregate over ALL
+  // events — one duplicated or dropped micro-batch breaks it. This is
+  // Delta-CDF-style table tailing: at 100 TB the warehouse table itself
+  // is the replayable stream, not a broker retention window.
+  def streamManifestSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.types.StructType
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q344_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val events = Tables(s, dir).events
+      .select($"event_id", $"event_type", round($"value" * 100).cast("long").as("cents"))
+    val tbl = s"$out/tbl"
+    ManifestTable.commit(events.filter($"event_id" % 4 === 0), tbl, append = false)
+    ManifestTable.commit(events.filter($"event_id" % 4 === 1), tbl, append = true)
+    ManifestTable.commit(events.filter($"event_id" % 4 === 2), tbl, append = true)
+    val schema = new StructType().add("event_id", "long")
+      .add("event_type", "string").add("cents", "long")
+    val nm = "q344_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def run() = {
+      val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+        .schema(schema).option("path", tbl).load()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+        .writeStream.format("memory").queryName(nm).outputMode("complete")
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = run()
+    val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+    require(batches1 == 3,
+      s"q344: three commits must stream as three micro-batches, got $batches1")
+    // commit a 4th slice AFTER the first run; the checkpointed resume
+    // must read exactly that delta, never re-reading v1..v3
+    val tail = events.filter($"event_id" % 4 === 3)
+    val nTail = tail.count()
+    ManifestTable.commit(tail, tbl, append = true)
+    val q2 = run()
+    val resumedRows = q2.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sum
+    require(resumedRows == nTail,
+      s"q344: resume must read only the new commit ($resumedRows vs $nTail rows)")
+    s.table(nm).orderBy($"event_type")
+  }
+
   // q272: stream-stream join parity — the real streaming engine joining
   // TWO unbounded sides (view events ⋈ purchase events per user within
   // 1 hour), the capability stream-static enrichment (q242) can't
@@ -1635,6 +1693,7 @@ object EventsQueries {
     "q244_early_error" -> earlyErrorImpact _,
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
+    "q344_stream_manifest_source" -> streamManifestSource _,
     "q232_stream_parity" -> streamingParity _,
     "q267_stream_dedup" -> streamingDedupParity _,
     "q268_twap" -> twap _,
@@ -1697,6 +1756,11 @@ object EventsQueries {
 
   val oracles: Map[String, String] = Map(
     "q333_stream_manifest_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q344_stream_manifest_source" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents

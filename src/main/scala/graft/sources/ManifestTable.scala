@@ -581,18 +581,29 @@ object ManifestTable {
     val to = if (toVersion > 0) toVersion else currentVersion(dir)
     require(fromVersion >= 0 && fromVersion < to,
       s"changes: need 0 <= fromVersion < toVersion, got ($fromVersion, $to)")
-    val before = (if (fromVersion == 0) Seq.empty else manifestFiles(dir, fromVersion))
-      .map(parseEntry)
-    val after = manifestFiles(dir, to).map(parseEntry)
+    scanPaths(spark, addedDataFiles(dir, fromVersion, to))
+  }
+
+  /** Data-file paths ADDED between two versions — the manifest-diff
+    * planning core shared by [[changes]] and the streaming source
+    * ([[graft.sources.v2.ManifestStreamSource]]): O(|manifest|) string
+    * work, zero file IO, with the append-only guards (file removals and
+    * delete commits don't decompose into an append feed — fail loudly,
+    * consumers resync from a snapshot). */
+  private[graft] def addedDataFiles(dir: String, fromVersion: Int,
+                                    toVersion: Int): Seq[String] = {
+    val before = (if (fromVersion == 0) Seq.empty
+      else manifestFiles(dir, fromVersion)).map(parseEntry)
+    val after = manifestFiles(dir, toVersion).map(parseEntry)
     val beforeSet = before.map(_.path).toSet
     require(before.map(_.path).forall(after.map(_.path).toSet.contains),
-      s"changes: v$fromVersion→v$to removed files (overwrite/compaction in " +
+      s"changes: v$fromVersion→v$toVersion removed files (overwrite/compaction in " +
         "range) — not an append-only history; use a snapshot diff")
     val added = after.filterNot(e => beforeSet.contains(e.path))
     require(added.forall(_.isData),
-      s"changes: v$fromVersion→v$to contains delete commits — rows were " +
+      s"changes: v$fromVersion→v$toVersion contains delete commits — rows were " +
         "erased; use a snapshot diff")
-    scanPaths(spark, added.map(_.path))
+    added.map(_.path)
   }
 
   /** Number of data files in a snapshot — O(1) from the manifest, never a

@@ -118,6 +118,47 @@ class StreamingSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(tbl) == 2)
   }
 
+  test("manifest streaming source: one commit per micro-batch, delta-only resume, loud non-append failure") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_msrc").toString
+    val tbl = s"$tmp/tbl"
+    ManifestTable.commit((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      tbl, append = false)
+    ManifestTable.commit((11L to 15L).map(k => (k, s"b$k")).toDF("k", "s"),
+      tbl, append = true)
+    val schema = new StructType().add("k", "long").add("s", "string")
+    def stream = spark.readStream.format("graft.sources.v2.ManifestStreamSource")
+      .schema(schema).option("path", tbl).load()
+    val sink = s"$tmp/sink"
+    def run() = {
+      val q = stream.writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", s"$tmp/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = run()
+    // one micro-batch per commit, all rows delivered exactly once
+    assert(q1.recentProgress.count(_.numInputRows > 0) == 2,
+      q1.recentProgress.map(_.numInputRows).mkString(","))
+    assert(spark.read.parquet(sink).count() == 15)
+    // resume from the checkpoint: ONLY the new commit's delta is read
+    ManifestTable.commit(Seq((16L, "c16")).toDF("k", "s"), tbl, append = true)
+    val q2 = run()
+    val resumed = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(resumed.map(_.numInputRows).sum == 1, "resume must read only the delta")
+    assert(spark.read.parquet(sink).count() == 16)
+    // a delete commit in range cannot stream — fails loudly
+    ManifestTable.delete(Seq(3L).toDF("k"), tbl, "k")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("snapshot diff")), s"got: $e")
+  }
+
   test("upsertParquetSink merges micro-batches: updates, inserts, no dups") {
     val tmp = Files.createTempDirectory("graft_upsert").toString
     val src = s"$tmp/src"; val sink = s"$tmp/sink"
