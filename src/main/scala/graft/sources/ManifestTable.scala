@@ -91,8 +91,11 @@ object ManifestTable {
   // under, and taking the LAST match — a table rooted somewhere beneath a
   // directory that itself matches (`/lake/data/commit-7/mytable/…`) must
   // not inherit that ancestor's number, or delete sequencing and the
-  // changes() append-only checks silently misorder.
-  private val SeqRe = raw"/data/commit-(\d+)/".r
+  // changes() append-only checks silently misorder. Optimistic writers
+  // ([[appendOptimistic]]) publish under `commit-N-<writer id>` so
+  // contending writers never share a directory; the optional hex suffix
+  // carries no sequence meaning.
+  private val SeqRe = raw"/data/commit-(\d+)(?:-[0-9a-f]{12})?/".r
   private def parseEntry(line: String): Entry = {
     val (del, pos, path, stats) =
       if (line.startsWith("D|")) {
@@ -290,6 +293,47 @@ object ManifestTable {
       .digest(s"$i:$value".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
     (v % m).toInt
+  }
+
+  /** MULTI-WRITER optimistic append: stage once, then CAS-retry until the
+    * commit lands. Pure appends never semantically conflict with any
+    * foreign commit — the rebased manifest is simply the new current
+    * version's lines plus ours — so a lost CAS re-targets the next
+    * version and retries (Iceberg's optimistic concurrency for
+    * non-overlapping commits). Two disciplines make the retry safe:
+    *
+    *  - files live under `data/commit-<v>-<writer id>` — a per-writer
+    *    directory, so contenders never clobber each other's staged bytes
+    *    (sharing `commit-<v>` would let writer B sweep writer A's files
+    *    between A's stage and A's publish); a retry is a metadata rename
+    *    to the next version's name, the bytes are written once;
+    *  - the no-replace manifest rename stays the single arbiter: losers
+    *    observe [[CommitConflictException]] and never any torn state.
+    *
+    * Commits that DEPEND on the base snapshot (overwrite/compaction,
+    * sequence-scoped deletes) must NOT blind-retry — a foreign commit
+    * may have changed what they read; they keep the loud-abort contract
+    * ([[publishExpected]]/[[delete]]'s CAS failure), and the caller
+    * re-reads and re-derives. Returns the committed version. */
+  def appendOptimistic(df: DataFrame, dir: String, maxAttempts: Int = 10): Int = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val stage = s"$dir/staging/opt-$id"
+    df.write.mode("overwrite").parquet(stage)
+    var cur = Paths.get(stage)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion(dir) + 1
+      val target = Paths.get(s"$dir/data/commit-$v-$id")
+      Files.createDirectories(target.getParent)
+      Files.move(cur, target)
+      cur = target
+      val files = Option(target.toFile.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      try return publishExpected(dir, v, files, append = v > 1)
+      catch { case _: CommitConflictException => attempt += 1 }
+    }
+    throw new CommitConflictException(
+      s"appendOptimistic: gave up after $maxAttempts attempts under contention on $dir")
   }
 
   /** Commit `df` WITH per-file Bloom sidecars for `bloomCols` — the
