@@ -1156,7 +1156,60 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q345: MULTI-WRITER OPTIMISTIC COMMITS — four writers append disjoint
+  // slices of orders CONCURRENTLY through appendOptimistic: each stages
+  // its bytes once under a per-writer directory, then CAS-retries the
+  // manifest claim until it lands (pure appends never semantically
+  // conflict — the rebase is "current lines + mine"). This is what a
+  // shared 100 TB table needs: ingest jobs from many clusters commit
+  // without coordination, losers pay one metadata rename per retry (the
+  // data files are never rewritten), and the link-CAS guarantees no
+  // torn manifest and no lost commit. The requires pin the protocol —
+  // four DISTINCT contiguous versions, and the per-version deltas are
+  // exactly the four slices (no row lost, duplicated, or cross-wired);
+  // the final aggregate must hash-equal a plain recompute over orders.
+  def optimisticWriters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q345_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val nWriters = 4
+    val sliceCounts = (0 until nWriters)
+      .map(i => rows.filter($"o_orderkey" % nWriters === i).count()).sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val versions =
+      try {
+        val futs = (0 until nWriters).map { i =>
+          Future(ManifestTable.appendOptimistic(
+            rows.filter($"o_orderkey" % nWriters === i), out))(ec)
+        }
+        futs.map(Await.result(_, 5.minutes))
+      } finally pool.shutdown()
+    require(versions.toSet == (1 to nWriters).toSet,
+      s"q345: $nWriters contending appends must land at versions 1..$nWriters, got $versions")
+    val counts = (0 to nWriters).map(v =>
+      if (v == 0) 0L else ManifestTable.read(s, out, v).count())
+    val deltas = counts.sliding(2).map(p => p(1) - p(0)).toSeq.sorted
+    require(deltas == sliceCounts,
+      s"q345: per-version deltas must be exactly the writer slices ($deltas vs $sliceCounts)")
+    ManifestTable.read(s, out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_optimistic_writers" -> optimisticWriters _,
     "q343_merge_into" -> mergeInto _,
     "q342_hidden_partitioning" -> hiddenPartitioning _,
     "q316_position_deletes" -> positionDeletes _,
@@ -1189,6 +1242,11 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q345_optimistic_writers" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q343_merge_into" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

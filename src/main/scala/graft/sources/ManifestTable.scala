@@ -256,13 +256,7 @@ object ManifestTable {
     if (v != cur + 1)
       throw new CommitConflictException(
         s"publishExpected: version $v is not next (current $cur) — concurrent writer")
-    try publishAt(dir, v, files.sorted, append)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"publishExpected: lost the manifest CAS for v$v — another writer " +
-            "published it between the version check and the rename", e)
-    }
+    publishAt(dir, v, files.sorted, append) // link-CAS conflicts throw CommitConflictException
   }
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
@@ -273,11 +267,33 @@ object ManifestTable {
     // once, at the only moment the file is new
     val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
       newFiles.map(f => dataLine(f, blooms.getOrElse(f, Map.empty)))
+    claimManifest(dir, v, all)
+  }
+
+  /** Atomically claim `v<v>.list` with `lines` — the ONE code path every
+    * commit kind publishes through. Write-then-LINK: the manifest appears
+    * atomically or not at all, and the create is a true compare-and-set.
+    * POSIX rename(2) silently REPLACES an existing target (Files.move
+    * without REPLACE_EXISTING only pre-checks existence — a TOCTOU window
+    * under real contention), whereas link(2) atomically fails with
+    * EEXIST, so exactly ONE of any number of contending writers claims
+    * the version and every loser gets [[CommitConflictException]] with
+    * its bytes unreferenced. The tmp name carries a per-writer nonce for
+    * the same reason — a shared `.v<v>.tmp` would let contenders
+    * interleave writes into one file. (On an object store this maps to a
+    * conditional PUT / If-None-Match; on HDFS, to create-no-overwrite —
+    * same single-arbiter contract.) */
+  private def claimManifest(dir: String, v: Int, lines: Seq[String]): Int = {
     Files.createDirectories(manifests(dir))
-    // write-then-rename: the manifest appears atomically or not at all
-    val tmp = manifests(dir).resolve(s".v$v.tmp")
-    Files.write(tmp, all.asJava)
-    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
+    val tmp = manifests(dir).resolve(
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, lines.asJava)
+    try Files.createLink(manifests(dir).resolve(s"v$v.list"), tmp): Unit
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"lost the manifest CAS for v$v — another writer published it first", e)
+    } finally Files.deleteIfExists(tmp)
     v
   }
 
@@ -431,11 +447,7 @@ object ManifestTable {
     val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"D|$keyCol|${f.getAbsolutePath}").sorted
-    val all = manifestFiles(dir, v - 1) ++ delFiles
-    val tmp = manifests(dir).resolve(s".v$v.tmp")
-    Files.write(tmp, all.asJava)
-    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
-    v
+    claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 
   /** MERGE INTO (merge-on-read): upsert every `updates` row by `keyCol`
@@ -465,11 +477,7 @@ object ManifestTable {
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
     val lines = files("del").map(f => s"D|$keyCol|$f") ++
       files("rows").map(f => dataLine(f))
-    val all = manifestFiles(dir, v - 1) ++ lines
-    val tmp = manifests(dir).resolve(s".v$v.tmp")
-    Files.write(tmp, all.asJava)
-    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
-    v
+    claimManifest(dir, v, manifestFiles(dir, v - 1) ++ lines)
   }
 
   /** Read a snapshot; `version = -1` (default) reads the latest. Replays
@@ -604,11 +612,7 @@ object ManifestTable {
     val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"P|${f.getAbsolutePath}").sorted
-    val all = manifestFiles(dir, v - 1) ++ delFiles
-    val tmp = manifests(dir).resolve(s".v$v.tmp")
-    Files.write(tmp, all.asJava)
-    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
-    v
+    claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 
   /** Incremental read (change feed): the rows ADDED between `fromVersion`
@@ -1108,11 +1112,7 @@ object ManifestTable {
     require(toVersion >= 1 && toVersion <= cur,
       s"rollback: version $toVersion not in [1, $cur]")
     val v = cur + 1
-    val all = manifestFiles(dir, toVersion)
-    val tmp = manifests(dir).resolve(s".v$v.tmp")
-    Files.write(tmp, all.asJava)
-    Files.move(tmp, manifests(dir).resolve(s"v$v.list")): Unit
-    v
+    claimManifest(dir, v, manifestFiles(dir, toVersion))
   }
 
   /** The snapshot's file inventory as a DataFrame — the `table$files`

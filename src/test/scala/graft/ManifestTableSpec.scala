@@ -383,4 +383,48 @@ class ManifestTableSpec extends SparkSpec {
     assert(readerAtV1.count() == 4)
     assert(ManifestTable.read(spark, dir).count() == 1)
   }
+
+  test("optimistic concurrency: contending appenders all land via CAS-retry; snapshot-dependent commits abort loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit(Seq(0L).toDF("k"), dir, append = false)
+
+    // (a) REAL contention: six writers append disjoint rows concurrently.
+    // Every commit must land at a DISTINCT version (the link-CAS admits
+    // exactly one claimant per version; losers rebase and retry), and no
+    // row may be lost or duplicated.
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val versions =
+      try {
+        val futs = (1 to n).map { i =>
+          Future(ManifestTable.appendOptimistic(
+            Seq(i.toLong * 100).toDF("k"), dir))(ec)
+        }
+        futs.map(Await.result(_, 3.minutes))
+      } finally pool.shutdown()
+    assert(versions.toSet.size == n,
+      s"two writers claimed the same version: $versions")
+    assert(versions.toSet == (2 to n + 1).toSet,
+      s"versions must be the contiguous next-$n, got $versions")
+    assert(ManifestTable.currentVersion(dir) == 1 + n)
+    val rows = ManifestTable.read(spark, dir)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(rows == 0L +: (1 to n).map(_ * 100L),
+      s"rows lost or duplicated under contention: $rows")
+
+    // (b) INTERLEAVED snapshot-dependent writer: plans its target version,
+    // then a foreign commit intervenes — the late publish must abort with
+    // CommitConflictException and leave NO trace (no torn manifest).
+    val planned = ManifestTable.currentVersion(dir) + 1
+    ManifestTable.commit(Seq(999L).toDF("k"), dir, append = true) // foreign writer wins `planned`
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.publishExpected(dir, planned, Seq.empty, append = true)
+    }
+    assert(ManifestTable.currentVersion(dir) == 2 + n) // only the foreign commit landed
+    assert(ManifestTable.read(spark, dir).count() == (n + 2).toLong)
+  }
 }
