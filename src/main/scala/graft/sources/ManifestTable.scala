@@ -260,13 +260,12 @@ object ManifestTable {
   }
 
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
-                        append: Boolean,
-                        blooms: Map[String, Map[String, Array[Long]]] = Map.empty): Int = {
+                        append: Boolean): Int = {
     // the new files enter the manifest WITH footer stats (file-skipping
     // metadata); prior lines carry forward verbatim — stats are written
     // once, at the only moment the file is new
     val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
-      newFiles.map(f => dataLine(f, blooms.getOrElse(f, Map.empty)))
+      newFiles.map(f => dataLine(f))
     claimManifest(dir, v, all)
   }
 
@@ -352,17 +351,23 @@ object ManifestTable {
       s"appendOptimistic: gave up after $maxAttempts attempts under contention on $dir")
   }
 
-  /** Commit `df` WITH per-file Bloom sidecars for `bloomCols` — the
+  /** Commit `df` WITH per-file Bloom filters for `bloomCols` — the
     * point-lookup complement to the min/max stats (q315): a key-sharded
     * or unsorted table has every file spanning the whole key range, so
     * min/max prunes NOTHING for `key = ?`; a per-file bloom prunes to
     * ~1 + fpp·(files−1). The build is ONE distributed read-back pass
     * (explode k positions → distinct → per-(file, col, word) SUM of
     * single-bit masks ≡ OR — the q103 dense-bitset trick), so commit
-    * cost stays O(data scan), and the filters live IN the manifest line
-    * (hex words): planning a point read is still zero file IO, zero
-    * listings. `bits` sizes the filter; at 100 TB you size it to the
-    * file's expected distinct keys (~10 bits/key for ~1% fpp). */
+    * cost stays O(data scan). The words land in a per-commit SIDECAR
+    * (`v<v>.bloom`, q338's NDV pattern — Iceberg keeps the same shape in
+    * puffin files), NOT in manifest lines: manifest lines stay
+    * O(path+stats) however many blooms the table accrues, append commits
+    * never re-copy bloom bytes forward, and the driver holds only THIS
+    * commit's words (files-in-commit × cols × bits/64 longs), never the
+    * table's. Point reads load the sidecars of the snapshot's
+    * contributing commits — O(commits) tiny reads, zero data IO.
+    * `bits` sizes the filter; at 100 TB you size it to the file's
+    * expected distinct keys (~10 bits/key for ~1% fpp). */
   def commitWithBloom(df: DataFrame, dir: String, append: Boolean,
                       bloomCols: Seq[String], bits: Int = 16384): Int = {
     require(bits % 64 == 0, "commitWithBloom: bits must be a multiple of 64")
@@ -393,7 +398,39 @@ object ManifestTable {
           c -> arr
         }
       }
-    publishAt(dir, v, newFiles, append, blooms)
+    val committed = publishAt(dir, v, newFiles, append)
+    // sidecar AFTER the manifest claim: a conflict leaves no orphan, and
+    // a reader racing the sidecar write just scans conservatively
+    val lines = blooms.toSeq.sortBy(_._1).flatMap { case (path, byCol) =>
+      byCol.toSeq.sortBy(_._1).map { case (c, ws) =>
+        s"$path|$c:${ws.map(w => f"$w%016x").mkString}" }
+    }
+    val tmp = manifests(dir).resolve(s".v$committed.bloom.tmp")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, manifests(dir).resolve(s"v$committed.bloom")): Unit
+    committed
+  }
+
+  /** path → col → bloom words, merged from the `.bloom` sidecars of the
+    * given commit sequences (absent sidecars contribute nothing — their
+    * files scan conservatively). */
+  private def bloomSidecars(dir: String,
+                            seqs: Seq[Int]): Map[String, Map[String, Array[Long]]] = {
+    seqs.flatMap { sq =>
+      val p = manifests(dir).resolve(s"v$sq.bloom")
+      if (!Files.exists(p)) Nil
+      else Files.readAllLines(p).asScala.map { line =>
+        val bar = line.lastIndexOf('|')
+        val rest = line.substring(bar + 1)
+        val colon = rest.indexOf(':')
+        val hex = rest.substring(colon + 1)
+        (line.substring(0, bar), rest.substring(0, colon),
+          Array.tabulate(hex.length / 16)(i =>
+            java.lang.Long.parseUnsignedLong(hex.substring(i * 16, i * 16 + 16), 16)))
+      }
+    }.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.map(r => r._2 -> r._3).toMap
+    }
   }
 
   /** Point-lookup read: every row of the snapshot whose file's bloom for
@@ -405,10 +442,19 @@ object ManifestTable {
                 value: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.readPoint: no committed version under $dir")
-    val entries = manifestFiles(dir, v).map(parseEntry)
-      .filter(e => !e.isData || bloomKeep(e.blooms.get(col), value))
+    val all = manifestFiles(dir, v).map(parseEntry)
+    val side = bloomSidecars(dir, all.filter(_.isData).map(_.seq).distinct)
+    val entries = all.filter(e => !e.isData ||
+      bloomKeep(bloomFor(side, e, col), value))
     assemble(spark, entries, dir, withMeta = false)
   }
+
+  /** The bloom words governing `col` for a data entry: the commit's
+    * sidecar first, legacy inline manifest words as fallback (round-8
+    * tables stay prunable). */
+  private def bloomFor(side: Map[String, Map[String, Array[Long]]],
+                       e: Entry, col: String): Option[Array[Long]] =
+    side.get(e.path).flatMap(_.get(col)).orElse(e.blooms.get(col))
 
   /** (files kept, data files total) for a bloom point prune — exposed so
     * callers/tests ASSERT the skip happened (the q315 pruneInfo twin). */
@@ -416,7 +462,8 @@ object ManifestTable {
                      version: Int = -1): (Int, Int) = {
     val v = if (version > 0) version else currentVersion(dir)
     val datas = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
-    (datas.count(e => bloomKeep(e.blooms.get(col), value)), datas.size)
+    val side = bloomSidecars(dir, datas.map(_.seq).distinct)
+    (datas.count(e => bloomKeep(bloomFor(side, e, col), value)), datas.size)
   }
 
   private def bloomKeep(words: Option[Array[Long]], value: String): Boolean =
@@ -1126,12 +1173,15 @@ object ManifestTable {
     import spark.implicits._
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.filesTable: no committed version under $dir")
-    manifestFiles(dir, v).map(parseEntry).map { e =>
+    val all = manifestFiles(dir, v).map(parseEntry)
+    val side = bloomSidecars(dir, all.filter(_.isData).map(_.seq).distinct)
+    all.map { e =>
       val kind =
         if (e.posDelete) "pos_delete"
         else if (e.deleteKey.isDefined) "eq_delete" else "data"
       (e.seq, kind, e.path, e.stats.keys.toSeq.sorted.mkString(","),
-        e.blooms.keys.toSeq.sorted.mkString(","))
+        (e.blooms.keySet ++ side.getOrElse(e.path, Map.empty).keySet)
+          .toSeq.sorted.mkString(","))
     }.toDF("seq", "kind", "path", "stats_cols", "bloom_cols")
   }
 

@@ -202,6 +202,38 @@ class ManifestTableSpec extends SparkSpec {
       s"expected ~2 conservative + fpp files, got $kept2/$total2")
     assert(ManifestTable.readPoint(spark, dir, "k", "10100")
       .filter($"k" === 10100L).count() == 1)
+    // r9: bloom words live in a per-commit sidecar, NOT in manifest lines —
+    // lines stay O(path+stats) however many blooms the table accrues
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    assert(java.nio.file.Files.exists(md.resolve("v1.bloom")),
+      "commitWithBloom must write a v1.bloom sidecar")
+    val lines = java.nio.file.Files.readAllLines(md.resolve("v2.list"))
+    lines.forEach(l => assert(!l.matches(""".*\|[A-Za-z_]\w*:[0-9a-f]{32,}"""),
+      s"manifest line carries inline bloom words: $l"))
+  }
+
+  test("bloom sidecars live exactly as long as a surviving manifest references their commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    ManifestTable.commitWithBloom((1L to 2000L).toDF("k").repartition(4),
+      dir, append = false, Seq("k"))
+    ManifestTable.commit((9001L to 9100L).toDF("k").repartition(2), dir, append = true)
+    // expire v1's manifest; v2 still references commit-1's files via the
+    // append chain → the sidecar must SURVIVE and the point prune still skip
+    ManifestTable.expire(dir, keep = 1)
+    assert(java.nio.file.Files.exists(md.resolve("v1.bloom")),
+      "sidecar reclaimed while a surviving manifest references its commit")
+    val (kept, total) = ManifestTable.pointPruneInfo(dir, "k", "777777")
+    assert(total == 6 && kept <= 3, s"expected skip to survive expire, got $kept/$total")
+    assert(ManifestTable.readPoint(spark, dir, "k", "1500")
+      .filter($"k" === 1500L).count() == 1)
+    // overwrite drops commit-1 from the live set → next expire reclaims it
+    ManifestTable.commit(Seq(5L).toDF("k"), dir, append = false)
+    ManifestTable.expire(dir, keep = 1)
+    assert(!java.nio.file.Files.exists(md.resolve("v1.bloom")),
+      "sidecar must be reclaimed once no surviving manifest references its commit")
+    assert(ManifestTable.pointPruneInfo(dir, "k", "1500") == (1, 1)) // conservative
   }
 
   test("expire reclaims stat sidecars only when no surviving manifest references the commit") {
