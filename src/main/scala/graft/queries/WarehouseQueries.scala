@@ -601,13 +601,29 @@ object WarehouseQueries {
     // are the rows visible at v3 matching it, i.e. %41 minus the
     // already-eq-deleted %53 overlap
     ManifestTable.deleteWhere(s, out, $"o_orderkey" % 41 === 0)
-    val feed = ManifestTable.changeFeed(s, out, fromVersion = 1)
-    // an overwrite inside the range must refuse, not emit garbage
+    val nPre = ManifestTable.changeFeed(s, out, fromVersion = 1).count()
+    // v5: compaction is a MARKED rewrite (dataChange=false) — the feed
+    // range may span it and the commit contributes ZERO events
     ManifestTable.compact(s, out, numFiles = 2)
+    require(ManifestTable.changeFeed(s, out, 4, 5).count() == 0,
+      "q332: a rewrite commit must contribute zero row-level events")
+    // v6: a post-compaction delete still decomposes into delete events
+    // (the segment AFTER the rewrite reconstructs from compacted files)
+    ManifestTable.delete(
+      o.filter($"o_orderkey" % 67 === 0).select($"o_orderkey"),
+      out, "o_orderkey")
+    val n67 = ManifestTable.read(s, out, 5)
+      .filter($"o_orderkey" % 67 === 0).count()
+    val feed = ManifestTable.changeFeed(s, out, fromVersion = 1)
+    require(feed.count() == nPre + n67,
+      s"q332: spanning feed must be pre-rewrite events + post-rewrite deletes " +
+        s"(${feed.count()} vs $nPre + $n67)")
+    // an UNMARKED overwrite (content change) must still refuse, not emit garbage
+    ManifestTable.commit(proj(o.filter($"o_orderkey" % 997 === 0)), out, append = false)
     val refused =
       try { ManifestTable.changeFeed(s, out, fromVersion = 1); false }
       catch { case _: IllegalArgumentException => true }
-    require(refused, "q332: a compacted range must refuse row-level CDF")
+    require(refused, "q332: an unmarked overwrite range must refuse row-level CDF")
     feed.groupBy($"_change_type", $"o_orderstatus")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
       .orderBy($"_change_type", $"o_orderstatus")
@@ -1403,6 +1419,7 @@ object WarehouseQueries {
         |SELECT 'delete', o_orderstatus,
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
         |FROM o WHERE o_orderkey % 53 = 0 OR o_orderkey % 41 = 0
+        |  OR (o_orderkey % 67 = 0)
         |GROUP BY 1, 2
         |ORDER BY _change_type, o_orderstatus""".stripMargin,
     "q330_wap" ->

@@ -716,7 +716,24 @@ object ManifestTable {
     * 100 TB the equivalent operation binpacks per partition; the commit
     * protocol — rewrite, publish, never mutate — is identical. */
   def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
-    commit(read(spark, dir).coalesce(numFiles), dir, append = false)
+    markRewrite(dir, commit(read(spark, dir).coalesce(numFiles), dir, append = false))
+
+  /** Flag version `v` as a REWRITE commit (`dataChange = false` in Delta
+    * terms): its snapshot is bit-identical in content to `v-1`, only the
+    * physical layout changed. The change feed uses the marker to treat
+    * the commit as a row-level no-op instead of refusing the range —
+    * without it, any table that ever compacts becomes unreadable to
+    * incremental consumers. Marker is a zero-meaning sidecar file keyed
+    * by VERSION (`v<v>.rw`), reclaimed with its manifest at expire. */
+  private def markRewrite(dir: String, v: Int): Int = {
+    Files.write(manifests(dir).resolve(s"v$v.rw"),
+      Seq("rewrite").asJava): Unit
+    v
+  }
+
+  /** Versions in `(from, to]` whose commits are marked `dataChange=false`. */
+  private def rewriteVersions(dir: String, from: Int, to: Int): Seq[Int] =
+    ((from + 1) to to).filter(v => Files.exists(manifests(dir).resolve(s"v$v.rw")))
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned + sorted
     * on `cols`, so each output file owns a narrow value range and the
@@ -730,8 +747,8 @@ object ManifestTable {
                        cols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     val cs = cols.map(col)
-    commit(read(spark, dir).repartitionByRange(numFiles, cs: _*)
-      .sortWithinPartitions(cs: _*), dir, append = false)
+    markRewrite(dir, commit(read(spark, dir).repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*), dir, append = false))
   }
 
   /** Commit `df` WITH per-commit NDV sketches for `cols` — the planner
@@ -877,8 +894,8 @@ object ManifestTable {
     * publish like any commit. */
   def compactZOrder(spark: SparkSession, dir: String, numFiles: Int,
                     colA: String, colB: String): Int =
-    commit(graft.operators.ZOrder.zOrderBy(read(spark, dir), colA, colB,
-      numPartitions = numFiles), dir, append = false)
+    markRewrite(dir, commit(graft.operators.ZOrder.zOrderBy(read(spark, dir),
+      colA, colB, numPartitions = numFiles), dir, append = false))
 
   /** Change-data-feed between two versions: every row the range ADDED
     * (`insert`) and every previously-visible row the range ERASED via
@@ -890,14 +907,32 @@ object ManifestTable {
     * scanning exactly those files (O(affected files), never a snapshot
     * diff). Position deletes decompose too: their rows are pinned by
     * exact (file, row-position), reconstructed from the pre-delete view
-    * with row indexes attached. Refuses ranges containing overwrites/
-    * compactions (file REMOVALS don't decompose into row-level changes;
-    * consumers resync from the rewritten snapshot instead — same rule
+    * with row indexes attached. Commits MARKED as rewrites
+    * (`dataChange=false`: compact/compactClustered/compactZOrder) are
+    * row-level NO-OPS — the feed splits the range at each marker and
+    * unions the segment feeds, so a table that compacts weekly stays
+    * consumable end-to-end. UNMARKED overwrites still refuse loudly
+    * (file REMOVALS that change content don't decompose into row-level
+    * changes; consumers resync from the rewritten snapshot — same rule
     * as [[changes]]). */
   def changeFeed(spark: SparkSession, dir: String,
                  fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val to0 = if (toVersion > 0) toVersion else currentVersion(dir)
+    val rewrites = rewriteVersions(dir, fromVersion, to0)
+    if (rewrites.nonEmpty) {
+      // segment at each rewrite: (from, r1-1], (r1, r2-1], …, (rk, to].
+      // Each boundary version contributes ZERO events — its content is
+      // v-1's by the marker's contract — and each segment re-enters the
+      // no-removals fast path below.
+      val bounds = (fromVersion +: rewrites.map(r => r)).zip(
+        rewrites.map(_ - 1) :+ to0)
+      return bounds.filter { case (f, t) => t > f }
+        .map { case (f, t) => changeFeed(spark, dir, f, t) }
+        .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+        .getOrElse(spark.emptyDataFrame)
+    }
     import org.apache.spark.sql.functions.{col, lit}
-    val to = if (toVersion > 0) toVersion else currentVersion(dir)
+    val to = to0
     val before = manifestFiles(dir, fromVersion).map(parseEntry)
     val after = manifestFiles(dir, to).map(parseEntry)
     val beforePaths = before.map(_.path).toSet
@@ -1277,7 +1312,12 @@ object ManifestTable {
         case _ =>
       }
     }
-    dead.foreach(v => Files.delete(md.resolve(s"v$v.list")))
+    dead.foreach { v =>
+      Files.delete(md.resolve(s"v$v.list"))
+      // rewrite markers are keyed by VERSION, not commit seq — they die
+      // with their manifest (no surviving manifest can name version v)
+      Files.deleteIfExists(md.resolve(s"v$v.rw")): Unit
+    }
     (dead.size, orphans.size)
   }
 }
