@@ -463,6 +463,86 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q346: IVF-PQ with RESIDUAL codebooks — the classic refinement q317
+  // documents as its trade-off, closed: the coarse quantizer is q91's
+  // seeded k-means (one Lloyd update, centroids rounded half-up via
+  // (2S+n) div (2n) to EXACT integers), and PQ trains on the residuals
+  // q − centroid[cell] — which concentrate near zero, so the same 8
+  // codes per subspace spend their resolution on a far tighter domain
+  // than the raw vectors (FAISS IVF+PQ-on-residuals). Residuals shift
+  // +254 into the non-negative domain (L2 is shift-invariant; the
+  // half-up rounding formula stays exact only over non-negative sums).
+  // Everything stays integer end to end, so the DuckDB oracle
+  // hash-checks coarse training, cell assignment, residual PQ training,
+  // and the ADC search. The face also PINS the refinement claim: its
+  // recall@5 against brute-force int8-L2 truth must be ≥ the axis-cell
+  // variant's (q317) on the same corpus — computed in-face, crash if
+  // violated. At 100 TB: centroids + codebooks are driver bytes, the
+  // corpus is touched once per pass, candidates are the query's cell
+  // (~1/k of the corpus), and scoring is 4 table lookups + integer adds
+  // per candidate.
+  def ivfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kCoarse = 8
+    val corpus = pqCorpus(s, dir, Seq.empty)
+    // coarse k-means: seeds = 8 smallest vec_ids, ONE rounded Lloyd update
+    val seeds: Seq[(Int, Seq[Int])] = corpus.filter($"vec_id" < kCoarse)
+      .select($"vec_id", $"q").collect().toSeq
+      .map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
+    val kmSums = corpus
+      .select(pqArgminCode($"q", seeds).as("j"), $"q")
+      .select($"j", posexplode($"q").as(Seq("p", "x")))
+      .groupBy($"j", $"p")
+      .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))).toInt).toMap
+    val ckm: Seq[(Int, Seq[Int])] = seeds.map { case (j, seed) =>
+      j -> seed.indices.map(p => kmSums.getOrElse((j, p), seed(p))) }
+    // cell + shifted residual per vector (the index artifact, pinned)
+    val ckmLit = typedLit(ckm.map(_._2))
+    val resCorpus = corpus
+      .select($"vec_id", $"q", pqArgminCode($"q", ckm).as("kcell"))
+      .select($"vec_id", $"q".as("orig"), $"kcell",
+        transform($"q", (x, i) =>
+          x - element_at(element_at(ckmLit, $"kcell" + 1), i + 1) + 254).as("q"))
+      .localCheckpoint()
+    val (_, cbRes) = pqTrain(resCorpus, s) // codebooks over RESIDUALS
+    val qRes: Seq[(Long, Seq[Int])] = resCorpus.filter($"vec_id" < 20)
+      .select($"vec_id", $"q").collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val dtab: Seq[Map[Long, Map[Int, Long]]] = (0 until pqM).map(si =>
+      qRes.map { case (qid, qv) =>
+        qid -> cbRes(si).map { case (j, c) => j -> pqL2(pqSubVec(qv, si), c) }.toMap
+      }.toMap)
+    val queries = resCorpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"kcell", $"orig".as("qorig"))
+    val adc = (0 until pqM).map(si =>
+      element_at(element_at(typedLit(dtab(si)), $"q_id"),
+        pqArgminCode(slice($"q", si * pqW + 1, pqW), cbRes(si)))).reduce(_ + _)
+    val cand = resCorpus.join(broadcast(queries), Seq("kcell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"), adc.as("adc_d"),
+        Similarity.l2SqInt($"orig", $"qorig").as("true_d"))
+    val top = Relational.topKPerGroup(cand, Seq(col("q_id")),
+        Seq(col("adc_d").asc, col("c_id").asc), 5, rankCol = "rank")
+      .select($"q_id", $"rank", $"c_id", $"adc_d", $"true_d")
+    // the refinement pin: recall@5 vs brute truth, residual ≥ axis-cell
+    val queriesOrig = corpus.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"q".as("qq"))
+    val truth = Relational.topKPerGroup(
+      corpus.crossJoin(broadcast(queriesOrig)).filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d")),
+      Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), 5, rankCol = "tr")
+      .select($"q_id", $"c_id")
+    def hits(df: DataFrame): Long = df.select($"q_id", $"c_id")
+      .join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    val (resHits, axisHits) = (hits(top), hits(ivfPq(s, dir)))
+    require(resHits >= axisHits,
+      s"q346: residual IVF-PQ recall must be >= the axis-cell variant " +
+        s"($resHits vs $axisHits of 100)")
+    top.orderBy($"q_id", $"rank")
+  }
+
   // q328: IVF multi-probe recall/cost curve — the tuning face every IVF
   // deployment reads before picking nprobe: probing ONLY the query's
   // primary cell misses true neighbors whose dominant axis differs by a
@@ -612,6 +692,7 @@ object VectorQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q335_vector_sql" -> vectorSql _,
+    "q346_ivfpq_residual" -> ivfPqResidual _,
     "q328_ivf_multiprobe" -> ivfMultiprobe _,
     "q317_ivfpq" -> ivfPq _,
     "q314_ann_rank_eval" -> annRankEval _,
@@ -694,6 +775,93 @@ object VectorQueries {
         |SELECT nc.np AS nprobe, n_q, n_candidates, hits,
         |  CAST(hits * 1000000 // (5 * n_q) AS BIGINT) AS recall_ppm
         |FROM nc JOIN h USING (np), nq ORDER BY nprobe""".stripMargin,
+    "q346_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |ks AS (SELECT vec_id AS j, q AS c FROM qt WHERE vec_id < 8),
+        |kd0 AS (SELECT qt.vec_id, ks.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qt.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qt.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM qt, ks),
+        |ka0 AS (SELECT vec_id, j AS a0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM kd0)
+        |  WHERE rn = 1),
+        |ksums AS (SELECT ka0.a0, t.i,
+        |    CAST(sum(qt.q[CAST(t.i AS INT)]) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ka0 JOIN qt USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+        |ckmu AS (SELECT a0 AS j, list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM ksums GROUP BY 1),
+        |ckm AS (SELECT ks.j, coalesce(ckmu.c, ks.c) AS c
+        |  FROM ks LEFT JOIN ckmu ON ks.j = ckmu.j),
+        |cd AS (SELECT qt.vec_id, ckm.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qt.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qt.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM qt, ckm),
+        |cell AS (SELECT vec_id, j AS kcell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cd)
+        |  WHERE rn = 1),
+        |res AS (SELECT qt.vec_id, cell.kcell,
+        |    list_transform(range(1, 65),
+        |      i -> qt.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] + 254) AS r
+        |  FROM qt JOIN cell USING (vec_id) JOIN ckm ON ckm.j = cell.kcell),
+        |sub AS (SELECT vec_id, kcell, CAST(s.s AS INT) AS sub,
+        |    res.r[CAST(s.s * 16 + 1 AS INT) : CAST(s.s * 16 + 16 AS INT)] AS sq
+        |  FROM res, range(0, 4) s(s)),
+        |c0 AS (SELECT vec_id AS j, sub, sq AS c FROM sub WHERE vec_id < 8),
+        |d0 AS (SELECT sub.vec_id, sub.sub, c0.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c0.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c0 USING (sub)),
+        |a0 AS (SELECT vec_id, sub, j AS code0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |sums AS (SELECT a0.sub, a0.code0, t.i,
+        |    CAST(sum(sub.sq[CAST(t.i AS INT)]) AS BIGINT) AS sv
+        |  FROM a0 JOIN sub USING (vec_id, sub), range(1, 17) t(i) GROUP BY 1, 2, 3),
+        |cnt AS (SELECT sub, code0, CAST(count(*) AS BIGINT) AS n FROM a0 GROUP BY 1, 2),
+        |c1u AS (SELECT sums.sub, sums.code0 AS j,
+        |    list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM sums JOIN cnt USING (sub, code0) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.sub, c0.j, coalesce(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c0.sub = c1u.sub AND c0.j = c1u.j),
+        |d1 AS (SELECT sub.vec_id, sub.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(sub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM sub JOIN c1 USING (sub)),
+        |a1 AS (SELECT vec_id, sub, j AS code1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |qry AS (SELECT vec_id AS q_id, kcell FROM res WHERE vec_id < 20),
+        |qsub AS (SELECT vec_id AS q_id, sub, sq FROM sub WHERE vec_id < 20),
+        |dtab AS (SELECT qsub.q_id, c1.sub, c1.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qsub.sq[CAST(i AS INT)] - c1.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS dl
+        |  FROM c1 JOIN qsub USING (sub)),
+        |cand AS (SELECT q.q_id, c.vec_id AS c_id
+        |  FROM qry q JOIN res c USING (kcell)
+        |  WHERE c.vec_id <> q.q_id),
+        |score AS (SELECT cand.q_id, cand.c_id, CAST(sum(dtab.dl) AS BIGINT) AS adc_d
+        |  FROM cand JOIN a1 ON a1.vec_id = cand.c_id
+        |  JOIN dtab ON dtab.q_id = cand.q_id AND dtab.sub = a1.sub AND dtab.j = a1.code1
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, c_id, adc_d,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS rank
+        |  FROM score)
+        |SELECT r.q_id, CAST(r.rank AS INT) AS rank, r.c_id, r.adc_d,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(cq.q[CAST(i AS INT)] - qq.q[CAST(i AS INT)] AS DOUBLE)
+        |       * CAST(cq.q[CAST(i AS INT)] - qq.q[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS true_d
+        |FROM ranked r JOIN qt cq ON cq.vec_id = r.c_id JOIN qt qq ON qq.vec_id = r.q_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.q_id, r.rank""".stripMargin,
     "q317_ivfpq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    list_transform(embedding, x -> abs(x)) AS la FROM embeddings),
