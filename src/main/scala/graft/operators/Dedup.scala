@@ -270,4 +270,62 @@ object Dedup {
         .otherwise(lit(0L)))
         .as("simhash"))
   }
+
+  /** AllPairs/PPJoin candidate generation for an EXACT Jaccard-threshold
+    * join at `t = tNum/tDen`: rank each id's distinct tokens rarest-first
+    * (global df asc, token asc — one consistent total order), index only
+    * the first `sz − ⌈t·sz⌉ + 1` tokens, and self-join on prefix tokens.
+    * Complete by pigeonhole: a pair with J ≥ t overlaps in more than
+    * (1−t)·|x| tokens, so some common token lands in BOTH prefixes.
+    *
+    * `positional = true` adds PPJoin's two candidate-time prunes, both
+    * still complete:
+    *  - SIZE: J ≥ t forces tNum·|x| ≤ tDen·|y| (and symmetrically);
+    *  - POSITION: at the FIRST common token (positions pa, pb in the
+    *    shared order) the overlap is at most 1 + min(|x|−pa, |y|−pb);
+    *    J ≥ t needs overlap ≥ ⌈tNum(|x|+|y|)/(tNum+tDen)⌉, so a pair
+    *    where NO shared prefix token satisfies the bound cannot qualify
+    *    (the first common token of a qualifying pair is in both
+    *    prefixes — else all common tokens sit in the last ⌈t·|x|⌉−1
+    *    positions, capping overlap below t·|x| ≤ the threshold).
+    *    Keeping a pair iff ∃ a passing shared token therefore never
+    *    dismisses a qualifying pair, and on sparse corpora (where two
+    *    docs typically share ONE rare token, deep in the smaller doc's
+    *    tail) it cuts the verification load well below plain AllPairs.
+    *
+    * Input: (id, tok) distinct pairs. Output: (id_a, id_b) candidate
+    * pairs, id_a < id_b, distinct — verification (exact intersection
+    * over full token arrays) stays the caller's. At 100 TB the join
+    * shuffles on prefix tokens (rarest tokens → smallest postings); the
+    * positional prune is a per-row integer filter BEFORE the distinct,
+    * i.e. it shrinks the shuffle, not just the verify. */
+  def prefixCandidates(toks: DataFrame, idCol: String, tokCol: String,
+                       positional: Boolean,
+                       tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen > tNum, s"prefixCandidates: need 0 < $tNum/$tDen < 1")
+    val dfs = toks.groupBy(col(tokCol)).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df").asc, col(tokCol).asc)
+    val ranked = toks.join(dfs, Seq(tokCol))
+      .select(col(idCol), col(tokCol),
+        row_number().over(wDoc).as("rnk"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))).as("sz"))
+    val prefix = ranked
+      .filter(col("rnk") <= expr(s"sz - (sz * $tNum + ${tDen - 1}) div $tDen + 1"))
+    val raw = prefix.select(col(tokCol), col(idCol).as("id_a"),
+        col("rnk").as("pa"), col("sz").as("sza"))
+      .join(prefix.select(col(tokCol), col(idCol).as("id_b"),
+        col("rnk").as("pb"), col("sz").as("szb")), Seq(tokCol))
+      .filter(col("id_a") < col("id_b"))
+    val pruned =
+      if (!positional) raw
+      else raw
+        .filter(col("sza") * tNum <= col("szb") * tDen &&
+          col("szb") * tNum <= col("sza") * tDen)
+        // ub ≥ ⌈v/(tNum+tDen)⌉ ⟺ (tNum+tDen)·ub ≥ v for integer ub
+        .filter((lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")))
+          * (tNum + tDen) >= (col("sza") + col("szb")) * tNum)
+    pruned.select(col("id_a"), col("id_b")).distinct()
+  }
 }

@@ -424,23 +424,15 @@ object DedupQueries {
     val toks = Tables(s, dir).documents
       .filter($"doc_id" % 10 === 0)
       .select($"doc_id", explode(array_distinct(PF.tokens($"text"))).as("tok"))
-    val dfs = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
-    val ranked = toks.join(dfs, Seq("tok"))
-      .select($"doc_id", $"tok",
-        row_number().over(wDoc).as("rnk"),
-        count(lit(1)).over(Window.partitionBy($"doc_id")).as("sz"))
-    // prefix length for t = 3/5: |x| − ⌈3|x|/5⌉ + 1, ceil in integers
-    val prefix = ranked
-      .filter($"rnk" <= expr("sz - (sz * 3 + 4) div 5 + 1"))
-      .select($"tok", $"doc_id")
     val docsets = toks.groupBy($"doc_id")
       .agg(sort_array(collect_set($"tok")).as("ts"), count(lit(1)).as("sz"))
       .localCheckpoint()
-    val cand = prefix.select($"tok", $"doc_id".as("id_a"))
-      .join(prefix.select($"tok", $"doc_id".as("id_b")), Seq("tok"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b").distinct()
+    // r9: candidate generation now carries PPJoin's size + positional
+    // prunes (complete — see Dedup.prefixCandidates); on this dup-dense
+    // corpus they trim little, on sparse corpora they cut verification
+    // well below plain AllPairs (spec-pinned on a sparse fixture)
+    val cand = graft.operators.Dedup.prefixCandidates(
+      toks, "doc_id", "tok", positional = true)
     cand
       .join(docsets.select($"doc_id".as("id_a"), $"ts".as("ta"), $"sz".as("sza")), Seq("id_a"))
       .join(docsets.select($"doc_id".as("id_b"), $"ts".as("tb"), $"sz".as("szb")), Seq("id_b"))
