@@ -1040,6 +1040,74 @@ object EventsQueries {
       .orderBy($"bucket")
   }
 
+  // q350: the MEDALLION LOOP end-to-end — bronze manifest table → CDF
+  // streaming source (q344's one-commit-one-batch offsets) → stateless
+  // transform → EXACTLY-ONCE manifest sink (q333's batch→version CAS
+  // ledger) → silver manifest table. Every hop is incremental: a bronze
+  // commit plans as one manifest diff, flows through one micro-batch,
+  // and lands as exactly one time-travelable silver version — at 100 TB
+  // the nightly delta costs O(delta) in EVERY stage, and yesterday's
+  // petabytes are never re-listed, re-read, or re-written. The requires
+  // pin the whole contract: 3 bronze commits → silver v3; two more
+  // bronze commits + a checkpointed resume → silver v5 with the resumed
+  // batches reading ONLY the delta; a full REPLAY under a fresh
+  // checkpoint commits NOTHING (every batch recognizes its own prior
+  // version via the source-tag ledger); and the silver table must
+  // hash-equal the oracle's single-shot batch recompute over all events
+  // — one duplicated, dropped, or cross-wired micro-batch breaks it.
+  def medallionPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.types.StructType
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q350_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val events = Tables(s, dir).events
+      .select($"event_id", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val bronze = s"$out/bronze"
+    val silver = s"$out/silver"
+    def commitSlice(i: Long): Unit =
+      ManifestTable.commit(events.filter($"event_id" % 5 === i), bronze,
+        append = i > 0): Unit
+    (0L to 2L).foreach(commitSlice)
+    val bronzeSchema = new StructType().add("event_id", "long")
+      .add("user_id", "long").add("event_type", "string").add("cents", "long")
+    def run(ckpt: String) = {
+      val transformed = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+        .schema(bronzeSchema).option("path", bronze).load()
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"cents")
+      val q = graft.streaming.EventStreams.manifestAppendSink(
+        transformed, silver, base = 0, checkpointDir = ckpt)
+      q.awaitTermination(); q
+    }
+    run(s"$out/_cp")
+    require(ManifestTable.currentVersion(silver) == 3,
+      "q350: three bronze commits must land as silver v1..v3")
+    (3L to 4L).foreach(commitSlice)
+    val q2 = run(s"$out/_cp")
+    require(ManifestTable.currentVersion(silver) == 5,
+      "q350: the checkpointed resume must append silver v4..v5 only")
+    val resumedRows = q2.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sum
+    val tailRows = events.filter($"event_id" % 5 >= 3).count()
+    require(resumedRows == tailRows,
+      s"q350: resume must stream only the bronze delta ($resumedRows vs $tailRows)")
+    // full replay under a FRESH checkpoint: every batch re-delivers, every
+    // commit is recognized via the version ledger, silver stays at v5
+    run(s"$out/_cp_replay")
+    require(ManifestTable.currentVersion(silver) == 5,
+      "q350: a fresh-checkpoint replay must commit nothing (exactly-once)")
+    ManifestTable.read(s, silver)
+      .groupBy(($"user_id" % 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("total_cents"))
+      .orderBy($"bucket")
+  }
+
   // q274: OHLC bars — per-hour candles over purchase events: open/close
   // picked by event time via min_by/max_by on the µs timestamp (globally
   // unique in this feed; a production stream appends a sequence-number
@@ -1694,6 +1762,7 @@ object EventsQueries {
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
     "q344_stream_manifest_source" -> streamManifestSource _,
+    "q350_medallion_pipeline" -> medallionPipeline _,
     "q232_stream_parity" -> streamingParity _,
     "q267_stream_dedup" -> streamingDedupParity _,
     "q268_twap" -> twap _,
@@ -1765,6 +1834,13 @@ object EventsQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q350_medallion_pipeline" ->
+      """SELECT CAST(user_id % 50 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q325_stl_decompose" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),

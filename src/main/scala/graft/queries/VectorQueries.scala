@@ -463,6 +463,64 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q351: BINARY SIGN-SKETCH ANN — 1-bit quantization with int8 rerank,
+  // the RaBitQ/binary-hashing end of the compression curve: each 64-dim
+  // vector collapses to its sign pattern, packed into two 32-bit halves
+  // of exact BIGINTs (bit i = q[i] > 0), so the prefilter scans 16 BYTES
+  // per vector — 4× smaller than int8, 16× smaller than float — and
+  // ranks by Hamming distance, which whole-stage codegen executes as two
+  // XOR + two POPCNT instructions per candidate. The top-64 sketch
+  // candidates per query are then reranked with the exact integer int8
+  // L2, giving back most of the recall the 1-bit sketch loses. This is
+  // the 100 TB IO argument in its purest form: the first pass touches
+  // 16 bytes/vector of a checkpointed index artifact, the exact arrays
+  // are fetched only for the 64-per-query survivors. The oracle
+  // reproduces the ENTIRE pipeline — quantization, packing, XOR/popcount
+  // Hamming, candidate cut, rerank — in DuckDB SQL; recall@5 vs brute
+  // int8-L2 truth is require-pinned in-face so a silently broken sketch
+  // (recall collapse with a still-valid hash shape) crashes the gate.
+  def binarySignAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+    val base = Similarity.withQuantizedInt8(emb, $"embedding".cast("array<double>"), "q")
+    def half(start: Int): Column =
+      (0 until 32).map(i => when(element_at($"q", start + i + 1) > lit(0),
+        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    // the 16-byte sketch rides next to the int8 codes as the index artifact
+    val packed = base
+      .select($"vec_id", $"q", half(0).as("h1"), half(32).as("h2"))
+      .localCheckpoint()
+    val queries = packed.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"q".as("qq"), $"h1".as("qh1"), $"h2".as("qh2"))
+    val hd = bit_count($"h1".bitwiseXOR($"qh1")) +
+      bit_count($"h2".bitwiseXOR($"qh2"))
+    val cand = Relational.topKPerGroup(
+      packed.crossJoin(broadcast(queries.select($"q_id", $"qh1", $"qh2")))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), hd.cast("long").as("hd")),
+      Seq(col("q_id")), Seq(col("hd").asc, col("c_id").asc), 64, rankCol = "hr")
+      .select($"q_id", $"c_id", $"hd")
+    // exact arrays only for the survivors — candidates broadcast back
+    val rer = packed.select($"vec_id".as("c_id"), $"q".as("cq"))
+      .join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(queries.select($"q_id", $"qq")), Seq("q_id"))
+      .select($"q_id", $"c_id", $"hd", Similarity.l2SqInt($"cq", $"qq").as("d"))
+    val top = Relational.topKPerGroup(rer, Seq(col("q_id")),
+        Seq(col("d").asc, col("c_id").asc), 5, rankCol = "rank")
+      .select($"q_id", $"rank", $"c_id", $"hd", $"d")
+    val truth = Relational.topKPerGroup(
+      packed.crossJoin(broadcast(queries.select($"q_id", $"qq")))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d")),
+      Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), 5, rankCol = "tr")
+      .select($"q_id", $"c_id")
+    val hits = top.select($"q_id", $"c_id")
+      .join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    require(hits >= 20,
+      s"q351: 64-bit sign-sketch recall@5 collapsed ($hits of 100 truth slots)")
+    top.orderBy($"q_id", $"rank")
+  }
+
   // q346: IVF-PQ with RESIDUAL codebooks — the classic refinement q317
   // documents as its trade-off, closed: the coarse quantizer is q91's
   // seeded k-means (one Lloyd update, centroids rounded half-up via
@@ -693,6 +751,7 @@ object VectorQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q335_vector_sql" -> vectorSql _,
     "q346_ivfpq_residual" -> ivfPqResidual _,
+    "q351_binary_sign_ann" -> binarySignAnn _,
     "q328_ivf_multiprobe" -> ivfMultiprobe _,
     "q317_ivfpq" -> ivfPq _,
     "q314_ann_rank_eval" -> annRankEval _,
@@ -713,6 +772,38 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_binary_sign_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT)) AS q
+        |  FROM e),
+        |pk AS (SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(range(0, 32), i -> CASE
+        |      WHEN q[CAST(i + 1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << i)
+        |      ELSE 0 END)) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(0, 32), i -> CASE
+        |      WHEN q[CAST(i + 33 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << i)
+        |      ELSE 0 END)) AS BIGINT) AS h2
+        |  FROM qz),
+        |qs AS (SELECT vec_id AS q_id, q AS qq, h1 AS qh1, h2 AS qh2
+        |  FROM pk WHERE vec_id < 20),
+        |ham AS (SELECT q_id, p.vec_id AS c_id,
+        |    CAST(bit_count(xor(p.h1, qh1)) + bit_count(xor(p.h2, qh2)) AS BIGINT) AS hd,
+        |    p.q AS cq, qq
+        |  FROM pk p, qs WHERE p.vec_id <> q_id),
+        |cand AS (SELECT q_id, c_id, hd, cq, qq FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hd, c_id) AS hr
+        |  FROM ham) WHERE hr <= 64),
+        |rer AS (SELECT q_id, c_id, hd,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(cq[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(cq[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE)))
+        |      AS BIGINT) AS d
+        |  FROM cand)
+        |SELECT q_id, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY d, c_id) AS INT) AS rank,
+        |  c_id, hd, d
+        |FROM rer QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q335_vector_sql" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings WHERE vec_id < 30),

@@ -1224,7 +1224,195 @@ object WarehouseQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // q347: METADATA-ONLY AGGREGATES — COUNT(*) / MIN / MAX answered from
+  // the manifest alone. Every commit already stores each file's footer
+  // row count (`__rows`) and per-column min/max in its manifest line, so
+  // the three canonical planner aggregates fold over O(|manifest|)
+  // strings with ZERO data-file IO — on a 100 TB table, an instant
+  // answer vs a full scan (Iceberg's count-from-manifests / DSv2
+  // aggregate-pushdown contract). The contract is honestly partial and
+  // the face pins both halves: with position deletes visible the
+  // metadata path REFUSES (an equality/position delete's surviving-row
+  // count is unknowable without IO — require(None)), and after
+  // compaction purges the deletes physically the O(1) answers come back
+  // (require(Some)). Both emitted stages are computed purely from
+  // metadata; the oracle recomputes them relationally, so a single stale
+  // or wrong stat breaks the hash.
+  def metadataAggregates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q347_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").as("y"))
+    Seq(1995 to 1996, 1997 to 1998, 1999 to 2001).zipWithIndex.foreach {
+      case (ys, i) =>
+        ManifestTable.commit(
+          rows.filter($"y".isin(ys: _*)).drop("y"), out, append = i > 0)
+    }
+    def meta(stage: String): Seq[Any] = {
+      val n = ManifestTable.countStar(out)
+        .getOrElse(sys.error(s"q347 $stage: metadata count must be available"))
+      val Seq((loC, hiC), (loD, hiD)) = Seq("cents", "d").map(c =>
+        ManifestTable.statsMinMax(out, c)
+          .getOrElse(sys.error(s"q347 $stage: metadata min/max($c) missing")))
+      Seq(stage, n, loC.toLong, hiC.toLong, loD.toLong, hiD.toLong)
+    }
+    val full = meta("1_append_only")
+    ManifestTable.deleteWhere(s, out, $"cents" % 100 < 10)
+    require(ManifestTable.countStar(out).isEmpty &&
+      ManifestTable.statsMinMax(out, "cents").isEmpty,
+      "q347: with position deletes visible the metadata path must refuse")
+    ManifestTable.compact(s, out, 4)
+    val compacted = meta("3_compacted")
+    Seq(full, compacted)
+      .map { case Seq(st: String, a: Long, b: Long, c: Long, dd: Long, e: Long) =>
+        (st, a, b, c, dd, e) }
+      .toDF("stage", "n_rows", "min_cents", "max_cents", "min_day", "max_day")
+      .orderBy($"stage")
+  }
+
+  // q348: the SQL CATALOG face — the lakehouse stack reachable from pure
+  // SQL, no library calls in query code. `GraftCatalog` registers as a
+  // DSv2 TableCatalog; CREATE TABLE / INSERT INTO / INSERT OVERWRITE /
+  // SELECT … VERSION AS OF all resolve through it onto the SAME manifest
+  // protocol every other face uses (INSERT = the q299 staged-write commit;
+  // time travel = manifest-pinned reads). The 100 TB teeth: the catalog's
+  // scan builder intercepts the pushed WHERE conjuncts and prunes whole
+  // files against manifest min/max stats BEFORE any parquet footer is
+  // opened — require-pinned here via inputFiles (1 of 3 year-clustered
+  // files for the 1996 window). Three year-sliced INSERTs make v1..v3,
+  // an INSERT OVERWRITE makes v4; every stage is read back through SQL
+  // and hash-checked against the oracle's relational recompute.
+  def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q348_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").as("y"))
+      .createOrReplaceTempView("q348_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.orders_t")
+    s.sql("""CREATE TABLE graft_cat.db.orders_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT, d BIGINT)
+            |""".stripMargin)
+    (1995 to 1997).foreach { y =>
+      s.sql(s"""INSERT INTO graft_cat.db.orders_t
+               |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority, cents, d
+               |FROM q348_src WHERE y = $y""".stripMargin)
+    }
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/orders_t"
+    require(ManifestTable.currentVersion(tblDir) == 3,
+      "q348: three INSERT INTOs must land as manifest versions 1..3")
+    // manifest-stats file pruning through a SQL WHERE: 1996 keeps 1/3 files
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val prunedDf = s.sql(
+      s"SELECT * FROM graft_cat.db.orders_t WHERE d >= $lo AND d <= $hi")
+    val scanned = graft.sources.v2.GraftCatalog.scannedFiles(prunedDf).length
+    require(scanned == 1 && ManifestTable.fileCount(tblDir) == 3,
+      s"q348: the 1996 window must prune to 1 of 3 year files, scanned $scanned")
+    s.sql("""INSERT OVERWRITE graft_cat.db.orders_t
+            |SELECT o_orderkey, o_orderpriority, cents, d
+            |FROM q348_src WHERE y = 1997 AND o_orderkey % 2 = 0""".stripMargin)
+    require(ManifestTable.currentVersion(tblDir) == 4,
+      "q348: INSERT OVERWRITE must land as version 4")
+    def agg(stage: String, from: String, where: String = "") = s.sql(
+      s"""SELECT '$stage' AS stage, o_orderpriority,
+         |  count(*) AS n_rows, sum(cents) AS total_cents
+         |FROM $from $where GROUP BY o_orderpriority""".stripMargin)
+    agg("1_first_year", "graft_cat.db.orders_t VERSION AS OF 1")
+      .unionByName(agg("2_three_years", "graft_cat.db.orders_t VERSION AS OF 3"))
+      .unionByName(agg("3_pruned_1996", "graft_cat.db.orders_t VERSION AS OF 3",
+        s"WHERE d >= $lo AND d <= $hi"))
+      .unionByName(agg("4_overwritten", "graft_cat.db.orders_t"))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
+  // q349: BRANCHES + FAST-FORWARD — git semantics on the manifest table
+  // (Iceberg branch refs). An experiment branch forks at main v1, takes
+  // two append commits in its OWN manifest namespace (main provably never
+  // sees them — require pins main's head and content untouched), is
+  // audited as a whole lineage via readBranch, then fast-forwards: main
+  // replays the branch manifests as versions fork+1…head under the same
+  // link-CAS as every commit — ZERO data bytes move (the branch
+  // pre-reserved its version numbers and data directories), divergence
+  // aborts loudly, and every intermediate branch commit becomes a
+  // time-travelable main version. This is the 100 TB collaboration
+  // contract: long-running backfills and experiments write full-speed
+  // without touching prod reads, and publishing is O(commits) metadata.
+  // A second branch is dropped to pin the reclaim rule: only files NO
+  // main manifest references are deleted. Every stage hash-checks
+  // against the oracle's relational recompute.
+  def branchesFastForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q349_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("y"))
+    ManifestTable.commit(rows.filter($"y" <= 1996).drop("y"), out, append = false)
+    val fork = ManifestTable.createBranch(out, "exp")
+    require(fork == 1, s"q349: branch must fork at v1, got v$fork")
+    ManifestTable.commitToBranch(rows.filter($"y" === 1997).drop("y"), out, "exp")
+    ManifestTable.commitToBranch(rows.filter($"y" === 1998).drop("y"), out, "exp")
+    require(ManifestTable.currentVersion(out) == 1,
+      "q349: branch commits must not advance main")
+    val mainRows = ManifestTable.read(s, out).count()
+    val headRows = ManifestTable.readBranch(s, out, "exp").count()
+    require(headRows > mainRows,
+      s"q349: branch head must carry the extra commits ($headRows vs $mainRows)")
+    // a second, abandoned branch: its files reclaim; main's never do
+    ManifestTable.createBranch(out, "dead")
+    ManifestTable.commitToBranch(rows.filter($"y" === 2001).drop("y"), out, "dead")
+    val reclaimed = ManifestTable.dropBranch(out, "dead")
+    require(reclaimed > 0 && ManifestTable.read(s, out).count() == mainRows,
+      "q349: dropBranch must reclaim only branch-exclusive files")
+    def agg(stage: String, df: DataFrame) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows",
+          $"total_cents")
+    val before = agg("1_main_before", ManifestTable.read(s, out))
+      .unionByName(agg("2_branch_head", ManifestTable.readBranch(s, out, "exp")))
+    val head = ManifestTable.fastForward(out, "exp")
+    require(head == 3 && ManifestTable.currentVersion(out) == 3,
+      s"q349: fast-forward must replay the branch to main v3, got v$head")
+    require(ManifestTable.read(s, out, 1).count() == mainRows,
+      "q349: time travel to the pre-branch main must survive the fast-forward")
+    before
+      .unionByName(agg("3_main_after_ff", ManifestTable.read(s, out)))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_branches" -> branchesFastForward _,
+    "q348_sql_catalog" -> sqlCatalog _,
+    "q347_metadata_aggregates" -> metadataAggregates _,
     "q345_optimistic_writers" -> optimisticWriters _,
     "q343_merge_into" -> mergeInto _,
     "q342_hidden_partitioning" -> hiddenPartitioning _,
@@ -1258,6 +1446,65 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q349_branches" ->
+      """WITH src AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    year(o_orderdate) AS y FROM orders),
+        |main AS (SELECT * FROM src WHERE y <= 1996),
+        |branch AS (SELECT * FROM src WHERE y <= 1998)
+        |SELECT '1_main_before' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM main GROUP BY 2
+        |UNION ALL
+        |SELECT '2_branch_head', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM branch GROUP BY 2
+        |UNION ALL
+        |SELECT '3_main_after_ff', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM branch GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q348_sql_catalog" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d,
+        |    year(o_orderdate) AS y FROM orders),
+        |y3 AS (SELECT * FROM src WHERE y BETWEEN 1995 AND 1997)
+        |SELECT '1_first_year' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM src WHERE y = 1995 GROUP BY 2
+        |UNION ALL
+        |SELECT '2_three_years', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM y3 GROUP BY 2
+        |UNION ALL
+        |SELECT '3_pruned_1996', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM y3 WHERE d BETWEEN datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |  AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT '4_overwritten', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM src WHERE y = 1997 AND o_orderkey % 2 = 0 GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q347_metadata_aggregates" ->
+      """WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d FROM orders),
+        |kept AS (SELECT * FROM base WHERE cents % 100 >= 10)
+        |SELECT '1_append_only' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+        |FROM base
+        |UNION ALL
+        |SELECT '3_compacted', CAST(count(*) AS BIGINT),
+        |  CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+        |  CAST(min(d) AS BIGINT), CAST(max(d) AS BIGINT)
+        |FROM kept
+        |ORDER BY stage""".stripMargin,
     "q345_optimistic_writers" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

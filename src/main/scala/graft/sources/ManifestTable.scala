@@ -155,6 +155,12 @@ object ManifestTable {
         new org.apache.hadoop.conf.Configuration(false)))
       try {
         val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        // Footer row count rides the stats map as the reserved pseudo-column
+        // `__rows` (lo = hi = count) — the planning metadata that makes
+        // COUNT(*) a manifest-only query ([[countStar]]); exact for any
+        // file below 2^53 rows, i.e. always.
+        val nRows = rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        acc("__rows") = (nRows.toDouble, nRows.toDouble)
         for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala
              if c.getPath.size == 1) {
           val pt = c.getPrimitiveType
@@ -282,12 +288,15 @@ object ManifestTable {
     * interleave writes into one file. (On an object store this maps to a
     * conditional PUT / If-None-Match; on HDFS, to create-no-overwrite —
     * same single-arbiter contract.) */
-  private def claimManifest(dir: String, v: Int, lines: Seq[String]): Int = {
-    Files.createDirectories(manifests(dir))
-    val tmp = manifests(dir).resolve(
+  private def claimManifest(dir: String, v: Int, lines: Seq[String]): Int =
+    claimManifestIn(manifests(dir), v, lines)
+
+  private def claimManifestIn(md: Path, v: Int, lines: Seq[String]): Int = {
+    Files.createDirectories(md)
+    val tmp = md.resolve(
       s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, lines.asJava)
-    try Files.createLink(manifests(dir).resolve(s"v$v.list"), tmp): Unit
+    try Files.createLink(md.resolve(s"v$v.list"), tmp): Unit
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
@@ -570,6 +579,58 @@ object ManifestTable {
       case (mn, mx) => mx >= lo && mn <= hi })
     (kept, datas.size)
   }
+
+  /** Metadata-only COUNT(*): the snapshot's row count summed from the
+    * `__rows` footer counts the commit protocol stores in every manifest
+    * line — zero data files opened, zero footers re-read, O(|manifest|)
+    * planning work. On a 100 TB table this is the difference between an
+    * instant answer and a full scan; it is exactly Iceberg's
+    * count-from-manifests / Spark's DSv2 aggregate-pushdown contract.
+    * Honestly partial: returns None (caller falls back to a scan) when the
+    * visible snapshot carries ANY delete entry (an equality delete's match
+    * count is unknowable without data IO) or any pre-`__rows` legacy line.
+    * Compaction purges deletes physically, so a compacted table answers
+    * from metadata again — the maintenance loop restores O(1) counts. */
+  def countStar(dir: String, version: Int = -1): Option[Long] = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.countStar: no committed version under $dir")
+    val entries = manifestFiles(dir, v).map(parseEntry)
+    if (entries.exists(e => !e.isData)) None
+    else {
+      val counts = entries.map(_.stats.get("__rows"))
+      if (counts.exists(_.isEmpty)) None
+      else Some(counts.flatten.map(_._1.toLong).sum)
+    }
+  }
+
+  /** Metadata-only MIN/MAX of `col`: folded from the per-file footer
+    * min/max already in the manifest lines — same zero-IO contract as
+    * [[countStar]]. Footer stats are null-skipping exact minima/maxima for
+    * INT32/INT64/FLOAT/DOUBLE, so the fold is exact wherever every data
+    * file carries a stat for `col` (long bounds beyond 2^53 are widened at
+    * commit time and would be conservative, not wrong). None when any
+    * visible file lacks the stat (e.g. an all-null file) or any delete
+    * entry is visible (the deleted rows' contribution is unknowable
+    * without a scan). */
+  def statsMinMax(dir: String, col: String,
+                  version: Int = -1): Option[(Double, Double)] = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.statsMinMax: no committed version under $dir")
+    val entries = manifestFiles(dir, v).map(parseEntry)
+    if (entries.exists(e => !e.isData)) None
+    else {
+      val ranges = entries.map(_.stats.get(col))
+      if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+      else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+    }
+  }
+
+  /** (isData, path, stats) of the entries visible at `v` — the planning
+    * surface the SQL catalog ([[graft.sources.v2.GraftCatalog]]) consumes:
+    * it prunes paths against the stats and refuses delete entries. */
+  private[sources] def entriesAt(dir: String, v: Int)
+      : Seq[(Boolean, String, Map[String, (Double, Double)])] =
+    manifestFiles(dir, v).map(parseEntry).map(e => (e.isData, e.path, e.stats))
 
   private val MetaCols = Seq("_graft_file", "_graft_pos")
 
@@ -1287,6 +1348,130 @@ object ManifestTable {
     * a property of the file set union, not of which commit wrote the
     * file). Returns (versions removed, orphan files deleted). Time travel
     * to an expired version fails loudly on the missing manifest. */
+  // ------------------------------------------------------------- branches
+
+  private def branchMd(dir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"illegal branch name '$name'")
+    manifests(dir).resolve(s"branch-$name")
+  }
+  /** 12 hex chars — fits SeqRe's optional `-[0-9a-f]{12}` suffix, so a
+    * branch data directory `commit-<v>-<nonce>` parses to sequence v just
+    * like an optimistic writer's. */
+  private def branchNonce(name: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+
+  /** Create branch `name` forked at the CURRENT main version (Iceberg
+    * branch refs, git semantics): the branch starts as an exact copy of
+    * the fork snapshot and its commits are numbered fork+1, fork+2, … in
+    * its OWN manifest namespace (`_manifests/branch-<name>/`). Main never
+    * sees branch commits — writers keep publishing main versions
+    * unperturbed — and branch data files live under per-branch-nonce
+    * commit directories, so the two streams never clobber each other's
+    * bytes. Because a branch manifest is a full snapshot listing, every
+    * branch version is time-travelable exactly like a main version.
+    * Returns the fork version. */
+  def createBranch(dir: String, name: String): Int = {
+    val fork = currentVersion(dir)
+    require(fork > 0, s"createBranch: no committed version under $dir")
+    val md = branchMd(dir, name)
+    if (Files.isDirectory(md))
+      throw new CommitConflictException(s"branch '$name' already exists")
+    Files.createDirectories(md)
+    Files.write(md.resolve("FORK"), Seq(fork.toString).asJava)
+    claimManifestIn(md, fork, manifestFiles(dir, fork))
+    fork
+  }
+
+  def branchExists(dir: String, name: String): Boolean =
+    Files.isDirectory(branchMd(dir, name))
+
+  /** Head version of the branch (its fork version until the first branch
+    * commit). */
+  def branchVersion(dir: String, name: String): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    versionsOnDisk(md).max
+  }
+
+  /** Commit `df` onto the branch head — same protocol as [[commit]], in
+    * the branch's namespace. The data directory `commit-<v>-<nonce>`
+    * keeps sequence scoping correct both before AND after a fast-forward
+    * (the branch's version numbers are pre-reserved to become main's),
+    * so equality/position deletes inside a branch behave exactly as on
+    * main. Returns the new branch head version. */
+  def commitToBranch(df: DataFrame, dir: String, name: String,
+                     append: Boolean = true): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val v = versionsOnDisk(md).max + 1
+    val dataDir = s"$dir/data/commit-$v-${branchNonce(name)}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    val lines = (if (append) Files.readAllLines(md.resolve(s"v${v - 1}.list"))
+                   .asScala.toSeq
+                 else Seq.empty) ++ newFiles.map(f => dataLine(f))
+    claimManifestIn(md, v, lines)
+  }
+
+  /** Snapshot read of a branch (head by default, any branch version via
+    * `version`) — the WAP-for-many-commits read: audit an experiment's
+    * whole lineage without it ever being visible on main. */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+                 version: Int = -1): DataFrame = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val v = if (version > 0) version else versionsOnDisk(md).max
+    assemble(spark,
+      Files.readAllLines(md.resolve(s"v$v.list")).asScala.toSeq.map(parseEntry),
+      dir, withMeta = false)
+  }
+
+  /** Fast-forward main to the branch head by REPLAYING the branch's
+    * manifests as main versions fork+1…head — pure metadata (zero data
+    * bytes move; the branch pre-reserved those version numbers), every
+    * intermediate branch commit stays time-travelable on main, and the
+    * replay is guarded by the same link-CAS as every commit: if main
+    * diverged past the fork (or a concurrent writer claims mid-replay),
+    * the claim throws [[CommitConflictException]] — each already-claimed
+    * version is itself a consistent snapshot, so an aborted replay never
+    * leaves a torn table. Returns main's new head. */
+  def fastForward(dir: String, name: String): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val fork = Files.readAllLines(md.resolve("FORK")).get(0).trim.toInt
+    val head = versionsOnDisk(md).max
+    require(head > fork, s"fastForward: branch '$name' has no commits past its fork v$fork")
+    val cur = currentVersion(dir)
+    if (cur != fork)
+      throw new CommitConflictException(
+        s"fastForward: main moved to v$cur past the fork v$fork — " +
+          "rebase by re-branching from current and replaying")
+    (fork + 1 to head).foreach { v =>
+      claimManifest(dir, v, Files.readAllLines(md.resolve(s"v$v.list")).asScala.toSeq)
+    }
+    head
+  }
+
+  /** Delete an abandoned branch: reclaims data files that ONLY the branch
+    * references (never anything any main manifest lists — live or
+    * historical, so main's time travel is untouched), then removes the
+    * branch namespace. Returns the number of files reclaimed. */
+  def dropBranch(dir: String, name: String): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val mainFiles = versionsOnDisk(manifests(dir))
+      .flatMap(manifestFiles(dir, _)).map(pathOf).toSet
+    val branchOnly = versionsOnDisk(md)
+      .flatMap(v => Files.readAllLines(md.resolve(s"v$v.list")).asScala)
+      .map(pathOf).toSet -- mainFiles
+    branchOnly.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Option(md.toFile.listFiles()).toSeq.flatten.foreach(f => Files.delete(f.toPath))
+    Files.delete(md)
+    branchOnly.size
+  }
+
   def expire(dir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "expire: must keep at least the current version")
     val cutoff = currentVersion(dir) - keep + 1

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+
+/** SQL-catalog contracts (q348): CREATE/INSERT/SELECT/time-travel through
+  * `GraftCatalog`, manifest-stats file pruning from SQL WHERE clauses, and
+  * the honest refusals (delete entries, writes into pinned versions). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_catalog_spec")
+    d.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", d.toString)
+    d.toString
+  }
+
+  test("create, insert, select, time travel, overwrite, drop — all through SQL") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.t (k BIGINT, tag STRING)")
+    assert(spark.sql("SELECT * FROM gtest.ns.t").count() == 0) // empty, schema from DDL
+    (1L to 10L).map(k => (k, "a")).toDF("k", "tag").createOrReplaceTempView("src_a")
+    (11L to 15L).map(k => (k, "b")).toDF("k", "tag").createOrReplaceTempView("src_b")
+    spark.sql("INSERT INTO gtest.ns.t SELECT * FROM src_a")
+    spark.sql("INSERT INTO gtest.ns.t SELECT * FROM src_b")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.t").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.t VERSION AS OF 1")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.t VERSION AS OF 2")
+      .head.getLong(0) == (1L to 15L).sum)
+    spark.sql("INSERT OVERWRITE gtest.ns.t SELECT * FROM src_b")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.t").head.getLong(0) == 5)
+    // history intact after the overwrite
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.t VERSION AS OF 2")
+      .head.getLong(0) == 15)
+    assert(spark.sql("SHOW TABLES IN gtest.ns").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE gtest.ns.t")
+    assert(!spark.catalog.tableExists("gtest.ns.t"))
+  }
+
+  test("WHERE conjuncts prune whole files against manifest stats before any footer is read") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.clustered (k BIGINT, bucket BIGINT)")
+    (0L to 2L).foreach { b =>
+      (b * 100L until (b + 1) * 100L).map(k => (k, b)).toDF("k", "bucket")
+        .createOrReplaceTempView("src_c")
+      spark.sql(
+        "INSERT INTO gtest.ns.clustered SELECT /*+ REPARTITION(1) */ * FROM src_c")
+    }
+    val dir = s"$wh/ns/clustered"
+    assert(ManifestTable.fileCount(dir) == 3)
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val q = spark.sql("SELECT sum(k) FROM gtest.ns.clustered WHERE k >= 120 AND k < 180")
+    assert(scannedFiles(q).length == 1, "the k∈[120,180) window must keep 1 of 3 files")
+    assert(q.head.getLong(0) == (120L until 180L).sum)
+    // equality point lookup prunes too, and stays correct
+    val p = spark.sql("SELECT bucket FROM gtest.ns.clustered WHERE k = 250")
+    assert(scannedFiles(p).length == 1 && p.head.getLong(0) == 2L)
+    // an unconstrained read scans everything
+    assert(scannedFiles(spark.sql("SELECT * FROM gtest.ns.clustered")).length == 3)
+  }
+
+  test("delete entries refuse the SQL face loudly; compaction restores it; pinned versions refuse writes") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.refusals (k BIGINT, tag STRING)")
+    (1L to 10L).map(k => (k, "x")).toDF("k", "tag").createOrReplaceTempView("src_r")
+    spark.sql("INSERT INTO gtest.ns.refusals SELECT * FROM src_r")
+    val dir = s"$wh/ns/refusals"
+    ManifestTable.delete(Seq(3L).toDF("k"), dir, "k")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ns.refusals").collect()
+    }
+    assert(e.getMessage.contains("delete entries"), s"got: ${e.getMessage}")
+    ManifestTable.compact(spark, dir, 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 9)
+    val w = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.ns.refusals VERSION AS OF 1 SELECT * FROM src_r")
+    }
+    assert(w != null) // parser or analysis must refuse a pinned-version write
+  }
+}

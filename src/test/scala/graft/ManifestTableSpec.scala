@@ -404,6 +404,75 @@ class ManifestTableSpec extends SparkSpec {
       == (1L to 10L).filter(_ % 3 != 1).sum + 100L)
   }
 
+  test("metadata aggregates: count/min/max fold from manifest lines, refuse under deletes, return after compaction") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    ManifestTable.commit((11L to 25L).toDF("k"), dir, append = true)
+    // zero data IO by construction — both fold over parsed manifest lines
+    assert(ManifestTable.countStar(dir).contains(25L))
+    assert(ManifestTable.statsMinMax(dir, "k").contains((1.0, 25.0)))
+    // time travel: the v1 metadata answer is the v1 snapshot's
+    assert(ManifestTable.countStar(dir, 1).contains(10L))
+    assert(ManifestTable.statsMinMax(dir, "k", 1).contains((1.0, 10.0)))
+    // no stat for an unknown column
+    assert(ManifestTable.statsMinMax(dir, "nope").isEmpty)
+    // any visible delete entry makes both refuse (survivor count unknowable)
+    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
+    assert(ManifestTable.countStar(dir).isEmpty)
+    assert(ManifestTable.statsMinMax(dir, "k").isEmpty)
+    // …but the pre-delete version still answers from metadata
+    assert(ManifestTable.countStar(dir, 2).contains(25L))
+    // compaction purges the delete physically — O(1) answers come back
+    ManifestTable.compact(spark, dir, 2)
+    assert(ManifestTable.countStar(dir).contains(24L))
+    assert(ManifestTable.statsMinMax(dir, "k").contains((1.0, 25.0)))
+    // a legacy manifest line without stats poisons only what it can't answer
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    val v = ManifestTable.currentVersion(dir)
+    val lines = java.nio.file.Files.readAllLines(md.resolve(s"v$v.list"))
+    val legacy = new java.util.ArrayList[String](lines)
+    legacy.set(0, lines.get(0).split('|')(1)) // strip F|…|stats → bare path
+    java.nio.file.Files.write(md.resolve(s"v${v + 1}.list"), legacy)
+    assert(ManifestTable.countStar(dir).isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 24) // reads still fine
+  }
+
+  test("branches: isolated commits, fast-forward replay, divergence conflict, drop reclaim") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    assert(ManifestTable.createBranch(dir, "exp") == 1)
+    ManifestTable.commitToBranch((11L to 15L).toDF("k"), dir, "exp")
+    // a delete INSIDE the branch scopes correctly (branch seqs are real)
+    ManifestTable.commitToBranch((16L to 18L).toDF("k"), dir, "exp")
+    assert(ManifestTable.branchVersion(dir, "exp") == 3)
+    assert(ManifestTable.currentVersion(dir) == 1) // main untouched
+    assert(ManifestTable.readBranch(spark, dir, "exp").count() == 18)
+    assert(ManifestTable.readBranch(spark, dir, "exp", 2).count() == 15)
+    // duplicate branch name refuses
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.createBranch(dir, "exp")
+    }
+    // fast-forward replays every branch version onto main
+    assert(ManifestTable.fastForward(dir, "exp") == 3)
+    assert(ManifestTable.read(spark, dir).count() == 18)
+    assert(ManifestTable.read(spark, dir, 2).count() == 15) // intermediate commit time-travels
+    assert(ManifestTable.read(spark, dir, 1).count() == 10)
+    // divergence: a branch forked before a foreign main commit can't ff
+    ManifestTable.createBranch(dir, "late")
+    ManifestTable.commitToBranch((100L to 101L).toDF("k"), dir, "late")
+    ManifestTable.commit((200L to 201L).toDF("k"), dir, append = true) // main moves
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.fastForward(dir, "late")
+    }
+    // drop reclaims ONLY branch-exclusive files; main history intact
+    val reclaimed = ManifestTable.dropBranch(dir, "late")
+    assert(reclaimed > 0 && !ManifestTable.branchExists(dir, "late"))
+    assert(ManifestTable.read(spark, dir).count() == 20)
+    assert(ManifestTable.read(spark, dir, 1).count() == 10)
+  }
+
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
     import spark.implicits._
     val dir = freshDir()
