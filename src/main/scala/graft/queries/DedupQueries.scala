@@ -397,6 +397,78 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // q354: DEDUP INDEX MAINTAINED FROM THE CHANGE FEED — the integration
+  // that turns q311 (incremental adds) + q336 (removals) + q332 (row-
+  // level CDF) into one pipeline: the corpus lives in a versioned
+  // manifest table, and the dedup index (shingles, signatures, bands,
+  // verified pairs) is maintained by CONSUMING ITS CHANGE FEED — insert
+  // events sign themselves and pair only against the live index, delete
+  // events become tombstone anti joins — so the index tracks the table
+  // with O(delta + |index|) work per version while raw history text is
+  // never re-read. This is how a 100 TB training corpus actually keeps
+  // its dedup state: the lakehouse table is the source of truth, the
+  // index is a downstream materialization of its CDF, and GDPR erasures
+  // flow through the SAME feed as ingest. The checked identity is the
+  // strong one: pairs from the feed-maintained index ≡ a from-scratch
+  // rebuild over the final snapshot (the oracle recomputes the whole
+  // MinHash pipeline on the surviving corpus), hash-exact.
+  def cdcDedupIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_q354_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base0}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base0, out)
+    def rmf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmf); f.delete(): Unit }
+    rmf(new java.io.File(out))
+    val docs = Tables(s, dir).documents
+    ManifestTable.commit(docs.filter($"doc_id" % 10 < 8), out, append = false)
+    // index artifacts built once, at v1 (in production: q310-style parquet)
+    val v1 = ManifestTable.read(s, out, 1)
+    val shB = Dedup.shingles(v1, "doc_id", "text", 3).localCheckpoint()
+    val sigB = Dedup.minHashSignatures(shB, "doc_id", 8).localCheckpoint()
+    val bandsB = Dedup.lshBands(sigB, "doc_id", 8, 2).localCheckpoint()
+    val pairsB = Dedup.lshCandidatePairs(bandsB, "doc_id").localCheckpoint()
+    // the table moves on: v2 appends a delta, v3 erases keys (GDPR shape)
+    ManifestTable.commit(docs.filter($"doc_id" % 10 === 8), out, append = true)
+    ManifestTable.delete(
+      docs.filter($"doc_id" % 10 <= 8 && $"doc_id" % 17 === 0)
+        .select($"doc_id"), out, "doc_id")
+    // ONE feed read drives both maintenance paths
+    val feed = ManifestTable.changeFeed(s, out, 1).localCheckpoint()
+    val ins = feed.filter($"_change_type" === "insert")
+      .select($"doc_id", $"text")
+    val tomb = feed.filter($"_change_type" === "delete")
+      .select($"doc_id").distinct().localCheckpoint()
+    require(ins.count() > 0 && tomb.count() > 0,
+      "q354: the feed must carry both insert and delete events")
+    // adds: delta-only signatures; removals: anti joins per artifact
+    val shD = Dedup.shingles(ins, "doc_id", "text", 3)
+    val sigD = Dedup.minHashSignatures(shD, "doc_id", 8)
+    val bandsD = Dedup.lshBands(sigD, "doc_id", 8, 2)
+    val liveBands = bandsB.unionByName(bandsD)
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val deltaPairs = bandsD.join(tomb, Seq("doc_id"), "left_anti")
+      .select($"band_idx", $"band_hash", $"doc_id".as("da"))
+      .join(liveBands.select($"band_idx", $"band_hash", $"doc_id".as("db")),
+        Seq("band_idx", "band_hash"))
+      .filter($"da" =!= $"db")
+      .select(least($"da", $"db").as("id_a"), greatest($"da", $"db").as("id_b"))
+      .distinct()
+    val livePairsB = pairsB
+      .join(tomb.select($"doc_id".as("id_a")), Seq("id_a"), "left_anti")
+      .join(tomb.select($"doc_id".as("id_b")), Seq("id_b"), "left_anti")
+    val pairs = livePairsB.unionByName(deltaPairs).distinct()
+    val shLive = shB.unionByName(shD).join(tomb, Seq("doc_id"), "left_anti")
+    val szLive = sigB.select($"doc_id", $"sz")
+      .unionByName(sigD.select($"doc_id", $"sz"))
+      .join(tomb, Seq("doc_id"), "left_anti")
+    Dedup.jaccardOnPairs(pairs, shLive, "doc_id", szLive)
+      .filter($"jaccard" >= 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // q322: prefix-filtered exact similarity join (AllPairs/PPJoin
   // family) — the canonical EXACT-threshold algorithm next to the
   // probabilistic paths (MinHash q31, SimHash q32, rare-shingle
@@ -453,6 +525,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_cdc_dedup_index" -> cdcDedupIndex _,
     "q336_incremental_dedup_del" -> incrementalDedupDelete _,
     "q322_prefix_filter_join" -> prefixFilterJoin _,
     "q311_incremental_dedup" -> incrementalDedup _,
@@ -675,6 +748,36 @@ object DedupQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "q354_cdc_dedup_index" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents
+         |  WHERE doc_id % 10 <= 8 AND doc_id % 17 <> 0),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM w),
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         |  min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         |  min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         |  min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(m0 || '|' || m1) AS band_hash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_idx, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (za.sz + zb.sz - c), 6) AS jaccard
+         |FROM common JOIN sizes za ON za.doc_id = id_a
+         |JOIN sizes zb ON zb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "q336_incremental_dedup_del" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents
          |  WHERE doc_id % 17 <> 0),

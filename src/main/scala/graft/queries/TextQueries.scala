@@ -812,7 +812,49 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  // q353: LANGUAGE-ID by character-trigram profiles — the classic n-gram
+  // heuristic (Cavnar-Trenkle shape, overlap-scored): TRAIN (doc_id%10<8)
+  // builds each language's top-50 trigram profile (count desc, trigram
+  // asc tie-break — deterministic); TEST docs score each language by how
+  // many of their DISTINCT trigrams hit that language's profile, predict
+  // the argmax (score desc, lang asc), and the face emits the confusion
+  // matrix. All counts are integers, the profile is a |langs|×50
+  // broadcast, and the scan is one trigram explode — at 100 TB this is a
+  // map-side classify against a driver-sized model, no shuffle beyond
+  // the per-doc score aggregate. Honesty note: the synthetic corpus
+  // draws every language's text from the same 31-word vocabulary, so
+  // accuracy here is near-chance BY CONSTRUCTION — the face pins the
+  // MECHANISM (profile build, overlap scoring, deterministic argmax,
+  // confusion accounting) via the oracle's full recompute, which is what
+  // transfers to a real corpus where trigram distributions do separate.
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"text")
+    def trigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", $"lang", $"text",
+        explode(sequence(lit(1), length($"text") - 2)).as("i"))
+      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("tg"))
+    val train = trigrams(docs.filter($"doc_id" % 10 < 8))
+    val profile = graft.operators.Relational.topKPerGroup(
+      train.groupBy($"lang", $"tg").agg(count(lit(1)).as("n")),
+      Seq(col("lang")), Seq(col("n").desc, col("tg").asc), 50, rankCol = "r")
+      .select($"lang".as("plang"), $"tg")
+    val test = trigrams(docs.filter($"doc_id" % 10 >= 8))
+      .select($"doc_id", $"lang", $"tg").distinct()
+    val scores = test.join(broadcast(profile), Seq("tg"))
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(count(lit(1)).as("score"))
+    val pred = graft.operators.Relational.topKPerGroup(scores,
+      Seq(col("doc_id")), Seq(col("score").desc, col("plang").asc), 1,
+      rankCol = "pr")
+      .select($"doc_id", $"lang", $"plang".as("predicted"))
+    pred.groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_language_id" -> languageId _,
     "q285_cdc_chunks" -> cdcChunks _,
     "q303_bm25" -> bm25 _,
     "q304_cdc_cuts_sql" -> cdcCutsSql _,
@@ -987,6 +1029,24 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    "q353_language_id" ->
+      """WITH tg AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS tg
+        |  FROM documents),
+        |train AS (SELECT lang, tg, count(*) AS n FROM tg
+        |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |profile AS (SELECT lang AS plang, tg FROM (SELECT lang, tg,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg ASC) AS r
+        |  FROM train) WHERE r <= 50),
+        |test AS (SELECT DISTINCT doc_id, lang, tg FROM tg WHERE doc_id % 10 >= 8),
+        |scores AS (SELECT doc_id, lang, plang, count(*) AS score
+        |  FROM test JOIN profile USING (tg) GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang AS predicted FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS pr
+        |  FROM scores) WHERE pr = 1)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "q300_chunk_dedup" ->
       s"""WITH c AS (SELECT doc_id, source, text, len(text) AS n_chars,
         |  list_filter(list_transform(range(1, greatest(len(text) - 6, 1)),

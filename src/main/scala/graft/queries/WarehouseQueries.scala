@@ -1409,7 +1409,117 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
+  // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
+  // = arbitrary-predicate mutation). The write path derives per-column
+  // bounds from the predicate's conjuncts and rewrites ONLY the files
+  // whose manifest min/max overlap them — the SAME stats stack that
+  // prunes reads bounds the write, so on a date-clustered 100 TB table
+  // an UPDATE over one year rewrites that year and carries every other
+  // manifest line forward VERBATIM. Requires pin the touch set
+  // (updatePruneInfo = 2 rewritten / 12 carried of the 7 year-clustered
+  // commits), pin that the carried files are bit-the-same paths (no
+  // rewrite), and pin time travel to the pre-update snapshot. The
+  // emitted post-update aggregate hash-checks against the oracle's
+  // relational UPDATE recompute — one wrongly-skipped file (a row that
+  // matched the predicate inside an un-rewritten file) breaks the hash.
+  def updateWhereFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q352_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").as("y"))
+    (1995 to 2001).foreach { y =>
+      ManifestTable.commit(rows.filter($"y" === y).drop("y").repartition(2),
+        out, append = y > 1995)
+    }
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay.toDouble
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay.toDouble
+    val pred = $"d" >= lo && $"d" <= hi && $"o_orderpriority" === "1-URGENT"
+    val (touch, carry) = ManifestTable.updatePruneInfo(out, pred)
+    require(touch == 2 && carry == 12,
+      s"q352: the 1996 window must touch 2 of 14 files, got ($touch, $carry)")
+    val beforeFiles = ManifestTable.read(s, out, 7).inputFiles.toSet
+    val beforeCount = ManifestTable.read(s, out, 7).count()
+    val v8 = ManifestTable.updateWhere(s, out, pred,
+      Map("cents" -> ($"cents" + 1000L),
+          "o_orderpriority" -> lit("1-URGENT-REPRICED")))
+    require(v8 == 8, s"q352: update must commit v8, got v$v8")
+    val afterFiles = ManifestTable.read(s, out, 8).inputFiles.toSet
+    val carried = afterFiles.intersect(beforeFiles)
+    require(carried.size == 12 && (afterFiles -- beforeFiles).forall(_.contains("commit-8")),
+      s"q352: 12 files must carry forward verbatim, only the touch set rewrites")
+    require(ManifestTable.read(s, out, 7).count() == beforeCount,
+      "q352: time travel to the pre-update snapshot must be intact")
+    ManifestTable.read(s, out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // q355: VACUUM — referenced-set orphan GC, the storage-hygiene verb
+  // that completes the maintenance trio (compact = layout, expire =
+  // history, vacuum = failure debris). The face manufactures the three
+  // real orphan shapes the commit protocol leaves behind by design — a
+  // writer that staged bytes and died before publish (staging/), an
+  // optimistic writer's crashed lost-CAS directory (data/commit-N-id
+  // never referenced), an aborted DSv2 job's _staging/ — then vacuums
+  // with grace 0 and pins: every orphan byte reclaimed, every referenced
+  // file of EVERY version still on disk (time travel bit-intact,
+  // require-checked against the pre-vacuum v1 aggregate), and a second
+  // vacuum reclaims zero (idempotent). The emitted aggregate is the
+  // post-vacuum table content, hash-checked relationally — a vacuum that
+  // swept a referenced file breaks the hash or the v1 require.
+  def vacuumFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q355_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("y"))
+    ManifestTable.commit(rows.filter($"y" <= 1997).drop("y"), out, append = false)
+    ManifestTable.commit(rows.filter($"y" > 1997).drop("y"), out, append = true)
+    val v1Sum = ManifestTable.read(s, out, 1).agg(sum($"cents")).head.getLong(0)
+    // the three orphan shapes, written where real failures leave them
+    val junk = rows.limit(100).drop("y")
+    junk.write.parquet(s"$out/staging/opt-deadwriter")
+    junk.write.parquet(s"$out/data/commit-99-deadbeefdead")
+    junk.write.parquet(s"$out/_staging/aborted-job-uuid")
+    val (n1, bytes1) = ManifestTable.vacuum(out, graceMs = 0)
+    require(n1 > 0 && bytes1 > 0,
+      s"q355: vacuum must reclaim the orphan files, got ($n1, $bytes1)")
+    require(!new java.io.File(s"$out/staging/opt-deadwriter").exists() &&
+      !new java.io.File(s"$out/data/commit-99-deadbeefdead").exists() &&
+      !new java.io.File(s"$out/_staging/aborted-job-uuid").exists(),
+      "q355: all three orphan directories must be gone")
+    require(ManifestTable.read(s, out, 1).agg(sum($"cents")).head.getLong(0) == v1Sum,
+      "q355: time travel to v1 must be bit-intact after vacuum")
+    val (n2, _) = ManifestTable.vacuum(out, graceMs = 0)
+    require(n2 == 0, s"q355: a second vacuum must reclaim nothing, got $n2")
+    ManifestTable.read(s, out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_vacuum" -> vacuumFace _,
+    "q352_update_where" -> updateWhereFace _,
     "q349_branches" -> branchesFastForward _,
     "q348_sql_catalog" -> sqlCatalog _,
     "q347_metadata_aggregates" -> metadataAggregates _,
@@ -1446,6 +1556,29 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q355_vacuum" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q352_update_where" ->
+      """WITH src AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d FROM orders),
+        |upd AS (SELECT CASE WHEN d BETWEEN
+        |      datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |      AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |      AND o_orderpriority = '1-URGENT'
+        |    THEN '1-URGENT-REPRICED' ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN d BETWEEN
+        |      datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |      AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |      AND o_orderpriority = '1-URGENT'
+        |    THEN cents + 1000 ELSE cents END AS cents FROM src)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM upd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q349_branches" ->
       """WITH src AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -723,6 +723,139 @@ object ManifestTable {
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 
+  /** Conjunct → (column, lo, hi) when it is a simple comparison between a
+    * column and a literal on the same number line as the stored footer
+    * stats (ints/longs/floats/doubles; date days; timestamp micros).
+    * Shared by the SQL catalog's scan pruning and [[updateWhere]]'s
+    * touch-set derivation; anything unrecognized contributes no
+    * constraint, so consumers stay conservative by construction. */
+  private[sources] def intervalOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def num(l: Literal): Option[Double] = l.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: FloatType | _: DoubleType | _: DateType | _: TimestampType |
+           _: TimestampNTZType =>
+        Option(l.value).map {
+          case n: java.lang.Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+      case _ => None
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case _ => None // a cast moves the number line — no constraint
+    }
+    e match {
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
+      case GreaterThan(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
+      case LessThanOrEqual(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
+      case LessThan(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
+      case EqualTo(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, v)
+      case EqualTo(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, v)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
+      case GreaterThan(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
+      case LessThanOrEqual(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
+      case LessThan(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
+      case _ => None
+    }
+  }
+
+  private[sources] def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Per-column bounds implied by a predicate — intersection of every
+    * recognized conjunct's interval. A row satisfying the predicate
+    * satisfies every bound, so a file whose stats miss ANY bound holds no
+    * matching row. */
+  /** Per-column bounds implied by a Column predicate — intersection of
+    * every recognized conjunct's interval, walked over the Column-DSL
+    * node tree by [[org.apache.spark.sql.graftbridge.ColumnBridge]]. */
+  private[sources] def predicateBounds(predicate: org.apache.spark.sql.Column)
+      : Map[String, (Double, Double)] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.predicateIntervals(predicate)
+      .groupBy(_._1).map { case (c, ivs) =>
+        c -> ((ivs.map(_._2).max, ivs.map(_._3).min)) }
+
+  /** Copy-on-write UPDATE: set `assignments` on every row matching
+    * `predicate`, rewriting ONLY the files whose manifest stats overlap
+    * the predicate's implied column bounds — every other manifest line
+    * carries forward VERBATIM (old bytes untouched, time travel intact).
+    * This is the third row-level verb next to [[deleteWhere]] (merge-on-
+    * read position deletes) and [[merge]] (keyed upsert): an arbitrary-
+    * predicate mutation whose cost is O(files overlapping the predicate),
+    * not O(table) — on a 100 TB date-clustered table, an UPDATE over one
+    * month rewrites that month, and the stats that prune reads are the
+    * SAME stats that bound the write (one metadata stack, both
+    * directions). Refuses tables carrying delete entries: rewriting a
+    * file shifts row positions out from under position deletes and
+    * re-sequences rows past equality deletes — compact first (which
+    * purges deletes physically), then update. Returns the new version. */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.when
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val v = currentVersion(dir) + 1
+    require(v > 1, s"ManifestTable.updateWhere: no committed data under $dir")
+    val lines = manifestFiles(dir, v - 1)
+    val entries = lines.map(parseEntry)
+    require(entries.forall(_.isData),
+      s"updateWhere: $dir carries row-level delete entries — a rewrite " +
+        "would shift positions/sequences under them; compact first")
+    val bounds = predicateBounds(predicate)
+    val (touchedLines, keptLines) = lines.partition { l =>
+      val st = parseEntry(l).stats
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    }
+    require(touchedLines.nonEmpty,
+      "updateWhere: predicate bounds exclude every file — nothing to update")
+    val touched = touchedLines.map(parseEntry).map(_.path)
+    // ONE simultaneous projection: every assignment (and the predicate)
+    // evaluates against the ORIGINAL row — sequential withColumn would let
+    // an assignment that rewrites a predicate column corrupt the next
+    val rewritten =
+      dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+        .withColumns(assignments.map { case (c, expr) =>
+          c -> when(predicate, expr)
+            .otherwise(org.apache.spark.sql.functions.col(c)) })
+    val dataDir = s"$dir/data/commit-$v"
+    rewritten.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
+  }
+
+  /** (files to rewrite, files carried forward verbatim) for an
+    * [[updateWhere]] touch set — assertable planning info, like
+    * [[pruneInfo]]. */
+  def updatePruneInfo(dir: String, predicate: org.apache.spark.sql.Column,
+                      version: Int = -1): (Int, Int) = {
+    val v = if (version > 0) version else currentVersion(dir)
+    val bounds = predicateBounds(predicate)
+    val datas = manifestFiles(dir, v).map(parseEntry).filter(_.isData)
+    val touched = datas.count(e => bounds.forall { case (c, (lo, hi)) =>
+      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } })
+    (touched, datas.size - touched)
+  }
+
   /** Incremental read (change feed): the rows ADDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive), computed from the MANIFEST
     * DIFF — only the delta files are ever opened, so reading "what's new
@@ -1470,6 +1603,53 @@ object ManifestTable {
     Option(md.toFile.listFiles()).toSeq.flatten.foreach(f => Files.delete(f.toPath))
     Files.delete(md)
     branchOnly.size
+  }
+
+  /** VACUUM: reclaim every file under the table's data/staging roots that
+    * NO manifest references — main versions, branch versions, live or
+    * historical — and that is older than `graceMs`. Orphans accumulate
+    * from real failure modes the commit protocol deliberately leaves
+    * behind rather than risk a blocking cleanup: a writer that staged
+    * bytes and died before publish, an optimistic writer's lost-CAS
+    * directory whose process crashed mid-retry, an aborted DSv2 job whose
+    * driver never ran abort(). Readers never list directories (manifests
+    * are the source of truth), so orphans cost only storage — but at
+    * 100 TB "only storage" is real money, and this is the Delta/Iceberg
+    * VACUUM contract: referenced-set subtraction, with a grace window so
+    * an IN-FLIGHT writer's staged-but-unpublished bytes are never swept
+    * (its claim would otherwise publish dangling paths). Time travel is
+    * untouched by construction — every historical manifest's files are in
+    * the referenced set; use [[expire]] first to shrink that set.
+    * Returns (files reclaimed, bytes reclaimed). */
+  def vacuum(dir: String, graceMs: Long = 24L * 3600 * 1000): (Int, Long) = {
+    val md = manifests(dir)
+    if (!Files.isDirectory(md)) return (0, 0L)
+    val mainRefs = versionsOnDisk(md).flatMap(manifestFiles(dir, _)).map(pathOf)
+    val branchRefs = Option(md.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("branch-"))
+      .flatMap { b =>
+        versionsOnDisk(b.toPath).flatMap { v =>
+          Files.readAllLines(b.toPath.resolve(s"v$v.list")).asScala.map(pathOf)
+        }
+      }
+    val refd = (mainRefs ++ branchRefs)
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var n = 0
+    var bytes = 0L
+    def sweep(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        Option(f.listFiles()).toSeq.flatten.foreach(sweep)
+        if (Option(f.listFiles()).exists(_.isEmpty)) f.delete(): Unit
+      } else if (!refd.contains(f.toPath.toAbsolutePath.normalize.toString) &&
+                 f.lastModified() < cutoff) {
+        bytes += f.length()
+        if (f.delete()) n += 1
+      }
+    Seq("data", "staging", "_staging")
+      .map(r => new java.io.File(dir, r)).filter(_.isDirectory)
+      .foreach(sweep)
+    (n, bytes)
   }
 
   def expire(dir: String, keep: Int): (Int, Int) = {

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -277,61 +277,11 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Conjunct → (column, lo, hi) interval when it is a simple comparison
-    * between a column and a literal whose value lives on the same number
-    * line as the stored footer stats (ints/longs/floats/doubles; date
-    * days; timestamp micros). Anything else contributes no constraint. */
-  private def interval(e: Expression): Option[(String, Double, Double)] = {
-    def num(l: Literal): Option[Double] = l.dataType match {
-      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
-           _: FloatType | _: DoubleType | _: DateType | _: TimestampType |
-           _: TimestampNTZType =>
-        Option(l.value).map {
-          case n: java.lang.Number => n.doubleValue()
-          case other => other.toString.toDouble
-        }
-      case _ => None
-    }
-    def attr(x: Expression): Option[String] = x match {
-      case a: Attribute => Some(a.name)
-      case Cast(a: Attribute, _, _, _) => None // a cast moves the number line
-      case _ => None
-    }
-    e match {
-      case GreaterThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
-      case GreaterThan(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
-      case LessThanOrEqual(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
-      case LessThan(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
-      case EqualTo(a, l: Literal) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, v)
-      case EqualTo(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, v)
-      case GreaterThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
-      case LessThanOrEqual(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
-      case GreaterThan(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield (c, Double.NegativeInfinity, v)
-      case LessThan(l: Literal, a) =>
-        for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
-      case And(x, y) => // nested conjunctions still narrow
-        (interval(x), interval(y)) match {
-          case (Some((c1, lo1, hi1)), Some((c2, lo2, hi2))) if c1 == c2 =>
-            Some((c1, math.max(lo1, lo2), math.min(hi1, hi2)))
-          case (one @ Some(_), None) => one
-          case (None, other) => other
-          case _ => None
-        }
-      case _ => None
-    }
-  }
-
   private[v2] def prunedPaths: Seq[String] = {
-    val bounds = conjuncts.flatMap(interval)
+    // interval extraction is shared with ManifestTable.updateWhere — the
+    // same metadata bounds reads and writes
+    val bounds = conjuncts.flatMap(ManifestTable.splitConjuncts)
+      .flatMap(ManifestTable.intervalOf)
       .groupBy(_._1).map { case (c, ivs) =>
         c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
     entries.filter { case (_, stats) =>

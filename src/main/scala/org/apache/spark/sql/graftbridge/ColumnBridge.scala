@@ -12,4 +12,52 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Per-conjunct (column, lo, hi) bounds implied by a Column predicate,
+    * walked over the sql-api ColumnNode tree (Spark 4 Columns wrap
+    * `private[sql]` ColumnNodes, not catalyst expressions — hence this
+    * bridge). Conjunctions recurse; simple `<col> <op> <numeric literal>`
+    * comparisons yield bounds; anything else yields none, so consumers
+    * (ManifestTable.updateWhere's touch set) stay conservative. Strict
+    * ops widen to closed bounds — conservative in the only direction
+    * that matters. */
+  def predicateIntervals(c: Column): Seq[(String, Double, Double)] =
+    nodeBounds(c.node)
+
+  private def nodeBounds(n: org.apache.spark.sql.internal.ColumnNode)
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute => UA, UnresolvedFunction => UF, Literal => NL}
+    def num(l: NL): Option[Double] = l.value match {
+      case x: java.lang.Number => Some(x.doubleValue())
+      case _ => None // strings, dates, instants — off the stats number line
+    }
+    def attr(x: ColumnNode): Option[String] = x match {
+      case a: UA => a.nameParts.lastOption
+      case _ => None
+    }
+    def one(op: String, c0: String, v: Double, flipped: Boolean)
+        : Seq[(String, Double, Double)] = op match {
+      case ">=" | ">" =>
+        if (flipped) Seq((c0, Double.NegativeInfinity, v))
+        else Seq((c0, v, Double.PositiveInfinity))
+      case "<=" | "<" =>
+        if (flipped) Seq((c0, v, Double.PositiveInfinity))
+        else Seq((c0, Double.NegativeInfinity, v))
+      case "=" | "==" | "<=>" => Seq((c0, v, v))
+      case _ => Seq.empty
+    }
+    n match {
+      case f: UF if f.functionName == "and" => f.arguments.flatMap(nodeBounds)
+      case f: UF => f.arguments match {
+        case Seq(a, l: NL) =>
+          (for (c0 <- attr(a); v <- num(l))
+            yield one(f.functionName, c0, v, flipped = false)).getOrElse(Seq.empty)
+        case Seq(l: NL, a) =>
+          (for (c0 <- attr(a); v <- num(l))
+            yield one(f.functionName, c0, v, flipped = true)).getOrElse(Seq.empty)
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+  }
 }

@@ -438,6 +438,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir).count() == 24) // reads still fine
   }
 
+  test("updateWhere: stats-bounded copy-on-write, simultaneous assignments, delete refusal") {
+    import spark.implicits._
+    val dir = freshDir()
+    // two value-clustered commits: k 1..10 and k 101..110
+    ManifestTable.commit((1L to 10L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartition(1), dir, append = false)
+    ManifestTable.commit((101L to 110L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartition(1), dir, append = true)
+    val pred = col("k") >= 100L && col("v") >= 0L
+    assert(ManifestTable.updatePruneInfo(dir, pred) == (1, 1))
+    // swap-style simultaneous assignment: both see the ORIGINAL row
+    ManifestTable.updateWhere(spark, dir, pred,
+      Map("k" -> col("v"), "v" -> col("k")))
+    val got = ManifestTable.read(spark, dir).filter(col("v") >= 101L)
+    assert(got.count() == 10)
+    assert(got.agg(sum(col("k"))).head.getLong(0) == (101L to 110L).map(_ * 10).sum)
+    assert(got.agg(sum(col("v"))).head.getLong(0) == (101L to 110L).sum)
+    // the untouched file carried forward verbatim; time travel intact
+    assert(ManifestTable.read(spark, dir).filter(col("k") <= 10L).count() == 10)
+    assert(ManifestTable.read(spark, dir, 2).agg(sum(col("k"))).head.getLong(0)
+      == (1L to 10L).sum + (101L to 110L).sum)
+    // delete entries refuse the rewrite
+    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, dir, col("k") > 0L, Map("v" -> lit(0L)))
+    }
+  }
+
   test("branches: isolated commits, fast-forward replay, divergence conflict, drop reclaim") {
     import spark.implicits._
     val dir = freshDir()
@@ -471,6 +499,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(reclaimed > 0 && !ManifestTable.branchExists(dir, "late"))
     assert(ManifestTable.read(spark, dir).count() == 20)
     assert(ManifestTable.read(spark, dir, 1).count() == 10)
+  }
+
+  test("vacuum: reclaims only unreferenced files, honors grace, spares branch-referenced files") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)
+    ManifestTable.createBranch(dir, "wip")
+    ManifestTable.commitToBranch((11L to 12L).toDF("k"), dir, "wip")
+    // orphan: staged bytes from a dead writer
+    (100L to 101L).toDF("k").write.parquet(s"$dir/staging/opt-dead")
+    // fresh orphans survive a graced vacuum (in-flight writer protection)
+    val (g, _) = ManifestTable.vacuum(dir, graceMs = 60000)
+    assert(g == 0 && new java.io.File(s"$dir/staging/opt-dead").exists())
+    val (n, bytes) = ManifestTable.vacuum(dir, graceMs = 0)
+    assert(n > 0 && bytes > 0)
+    assert(!new java.io.File(s"$dir/staging/opt-dead").exists())
+    // branch-referenced data survived; both reads intact
+    assert(ManifestTable.read(spark, dir).count() == 10)
+    assert(ManifestTable.readBranch(spark, dir, "wip").count() == 12)
+    // after dropping the branch, nothing remains to reclaim (dropBranch
+    // already deleted its exclusive files)
+    ManifestTable.dropBranch(dir, "wip")
+    assert(ManifestTable.vacuum(dir, graceMs = 0)._1 == 0)
   }
 
   test("snapshot isolation: a dataframe planned at v1 is untouched by later commits") {
