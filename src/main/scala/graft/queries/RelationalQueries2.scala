@@ -2329,6 +2329,25 @@ object RelationalQueries2 {
       .orderBy($"mon")
   }
 
+  // q356: distribution-rank window battery — percent_rank / cume_dist /
+  // ntile over mktsegment partitions: the three relative-position
+  // functions the board's rank/dense_rank/row_number coverage (q9-q11)
+  // didn't exercise. The ORDER BY carries c_custkey as a total-order
+  // tiebreak, so the rank integers are engine-identical and the two
+  // ratio functions are single IEEE divisions of exact ints (bit-equal;
+  // rounded 6 for repr safety). Same SQL text both engines. At scale:
+  // one keyed shuffle per partition set, no global funnel — ntile here
+  // is the WINDOW flavor over bounded segments (the distributed
+  // replacement for unbounded inputs is q122's distributedNtile).
+  private val rankBatterySql =
+    """SELECT c_mktsegment, c_custkey,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  ntile(4) OVER w AS nt
+      |FROM customer WHERE c_custkey % 20 = 0
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   // q230: null-safe comparison battery — IS [NOT] DISTINCT FROM over a
   // derived nullable column: the three-valued-logic parity face (count(col)
   // vs count(*), DISTINCT-counting of NULL groups). Same SQL text both
@@ -3048,6 +3067,7 @@ object RelationalQueries2 {
     "q237_spearman" -> spearmanCorr _,
     "q226_abc_xyz" -> abcXyz _,
     "q227_new_vs_returning" -> newVsReturning _,
+    "q356_rank_battery" -> bySql(Seq("customer"), rankBatterySql) _,
     "q230_null_safe" -> bySql(Seq("orders"), nullSafeSql) _,
     "q231_seasonality" -> seasonalityIndex _,
     "q220_tpch_q8" -> bySql(Seq("lineitem", "orders", "customer", "nation",
@@ -3547,6 +3567,7 @@ object RelationalQueries2 {
         |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS ret_rev
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q356_rank_battery" -> rankBatterySql,
     "q230_null_safe" -> nullSafeSql,
     "q231_seasonality" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,

@@ -625,6 +625,18 @@ object ManifestTable {
     }
   }
 
+  /** (version, publish wall-clock millis) for every version on disk —
+    * the publish instant IS the manifest file's mtime, set atomically by
+    * the link(2) claim, so TIMESTAMP AS OF resolution needs no extra
+    * metadata (the Delta convention: commit-file modification time). */
+  private[graft] def versionTimestamps(dir: String): Seq[(Int, Long)] = {
+    val md = manifests(dir)
+    if (!Files.isDirectory(md)) Seq.empty
+    else versionsOnDisk(md).map { v =>
+      v -> Files.getLastModifiedTime(md.resolve(s"v$v.list")).toMillis
+    }
+  }
+
   /** (isData, path, stats) of the entries visible at `v` — the planning
     * surface the SQL catalog ([[graft.sources.v2.GraftCatalog]]) consumes:
     * it prunes paths against the stats and refuses delete entries. */

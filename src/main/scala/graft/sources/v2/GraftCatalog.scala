@@ -99,6 +99,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"GraftCatalog: VERSION AS OF expects an integer commit, got '$version'")
     })
+  /** TIMESTAMP AS OF: the newest version published at or before the
+    * instant (micros since epoch, per the TableCatalog contract) — the
+    * publish instant is the manifest's atomically-set mtime, so no extra
+    * metadata exists to drift from it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val at = ManifestTable.versionTimestamps(dir)
+      .filter(_._2 * 1000L <= timestamp)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"GraftCatalog: $ident has no version at or before timestamp $timestamp")
+    loadAt(ident, at.map(_._1).max)
+  }
 
   private def loadAt(ident: Identifier, version: Int): Table = {
     val dir = tableDir(ident)
@@ -264,7 +277,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
                        fullSchema: StructType,
                        options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var conjuncts: Seq[Expression] = Nil
   private var required: StructType = fullSchema
@@ -274,8 +288,33 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     filters // all residual — stats pruning must stay a superset
   }
   override def pushedFilters(): Array[Predicate] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
+    innerOpt.foreach(_.pruneColumns(requiredSchema))
+  }
+
+  // Aggregate pushdown (COUNT/MIN/MAX from parquet footers, zero row
+  // reads — needs spark.sql.parquet.aggregatePushDown=true) forwards to
+  // the inner ParquetScanBuilder, which must therefore exist before
+  // build(): Spark pushes filters first, so the pruned path set is
+  // already stable here.
+  private var innerOpt: Option[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder] = None
+  private def inner(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+    innerOpt.getOrElse {
+      val t = ParquetTable(ident, spark,
+        new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+        prunedPaths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+      val sb = t.newScanBuilder(options)
+      sb.pushFilters(conjuncts): Unit
+      innerOpt = Some(sb)
+      sb
+    }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner().supportCompletePushDown(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner().pushAggregation(agg)
 
   private[v2] def prunedPaths: Seq[String] = {
     // interval extraction is shared with ManifestTable.updateWhere — the
@@ -292,19 +331,10 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   }
 
   override def build(): Scan = {
-    val paths = prunedPaths
-    // an empty table (or a fully pruned one) still needs a scan with the
-    // right schema: keep one path-less ParquetTable? ParquetTable needs
-    // files for inference, but `required` is already resolved — fall back
-    // to an empty LocalScan shape via the one-file case never arising:
-    // a manifest table with zero visible files has zero entries and an
-    // all-pruned list keeps at least zero files; Spark's InMemoryFileIndex
-    // handles an empty path list (zero partitions planned).
-    val inner = ParquetTable(ident, spark,
-      new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-      paths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
-    val sb = inner.newScanBuilder(options)
-    sb.pushFilters(conjuncts): Unit
+    // An empty table (or a fully pruned one) still builds: Spark's
+    // InMemoryFileIndex handles an empty path list (zero partitions
+    // planned) and `fullSchema` is supplied, so nothing is inferred.
+    val sb = inner()
     sb.pruneColumns(required)
     sb.build()
   }

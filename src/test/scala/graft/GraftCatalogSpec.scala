@@ -64,6 +64,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scannedFiles(spark.sql("SELECT * FROM gtest.ns.clustered")).length == 3)
   }
 
+  test("TIMESTAMP AS OF resolves via manifest publish instants") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.tt (k BIGINT)")
+    (1L to 10L).toDF("k").createOrReplaceTempView("src_t1")
+    spark.sql("INSERT INTO gtest.ns.tt SELECT * FROM src_t1")
+    Thread.sleep(1100) // second-granularity literal must separate v1/v2
+    (11L to 15L).toDF("k").createOrReplaceTempView("src_t2")
+    spark.sql("INSERT INTO gtest.ns.tt SELECT * FROM src_t2")
+    val v1Millis = graft.sources.ManifestTable
+      .versionTimestamps(s"$wh/ns/tt").find(_._1 == 1).get._2
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(java.time.Instant.ofEpochMilli(v1Millis)
+        .atZone(java.time.ZoneOffset.UTC))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtest.ns.tt TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.tt").head.getLong(0) == 15)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ns.tt TIMESTAMP AS OF '1990-01-01'").collect()
+    }
+    assert(e.getMessage.contains("no version at or before"), e.getMessage)
+  }
+
+  test("COUNT/MIN/MAX push down to parquet footers through the catalog") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.agg (k BIGINT)")
+    (1L to 1000L).toDF("k").createOrReplaceTempView("src_agg")
+    spark.sql("INSERT INTO gtest.ns.agg SELECT * FROM src_agg")
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try {
+      val q = spark.sql("SELECT count(*), min(k), max(k) FROM gtest.ns.agg")
+      val row = q.head
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1000L, 1L, 1000L))
+      // the pushed aggregation shows in the scan description
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+  }
+
   test("delete entries refuse the SQL face loudly; compaction restores it; pinned versions refuse writes") {
     import spark.implicits._
     wh: Unit
