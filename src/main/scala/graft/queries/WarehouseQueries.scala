@@ -1517,7 +1517,75 @@ object WarehouseQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // q357: SQL DELETE FROM — the verb that completes the catalog's SQL
+  // surface (CREATE / INSERT [OVERWRITE] / SELECT with VERSION AS OF +
+  // TIMESTAMP AS OF / DELETE). The catalog table accepts the pushed
+  // source filters, rebuilds the predicate, and routes to the
+  // copy-on-write delete: stats bounds limit the rewrite to overlapping
+  // files (2 of 7 year files pinned via updatePruneInfo — the write is
+  // bounded by the SAME metadata that prunes reads), rows where the
+  // predicate is NULL survive (SQL DELETE semantics), and the post-
+  // delete snapshot carries no delete entries, so every subsequent SQL
+  // verb keeps working without a compaction step. Time travel across
+  // the delete is proven THROUGH SQL (VERSION AS OF the pre-delete
+  // head); both stages hash-check against the oracle's recompute.
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q357_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    // own catalog NAME per face: a catalog instance caches its warehouse
+    // at first resolution, so q348's "graft_cat" must not be reused here
+    s.conf.set("spark.sql.catalog.graft_cat357", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat357.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").as("y"))
+      .createOrReplaceTempView("q357_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat357.db.del_t")
+    s.sql("""CREATE TABLE graft_cat357.db.del_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT, d BIGINT)
+            |""".stripMargin)
+    (1995 to 2001).foreach { y =>
+      s.sql(s"""INSERT INTO graft_cat357.db.del_t
+               |SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority, cents, d
+               |FROM q357_src WHERE y = $y""".stripMargin)
+    }
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/del_t"
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val (touch, carry) = ManifestTable.updatePruneInfo(tblDir,
+      $"d" >= lo.toDouble && $"d" <= hi.toDouble)
+    require(touch == 1 && carry == 6,
+      s"q357: the 1996 window must touch 1 of 7 year files, got ($touch, $carry)")
+    val beforeFiles = ManifestTable.read(s, tblDir, 7).inputFiles.toSet
+    s.sql(s"""DELETE FROM graft_cat357.db.del_t
+             |WHERE d >= $lo AND d <= $hi AND o_orderpriority = '1-URGENT'
+             |""".stripMargin)
+    require(ManifestTable.currentVersion(tblDir) == 8,
+      "q357: DELETE must land as one copy-on-write commit (v8)")
+    val afterFiles = ManifestTable.read(s, tblDir, 8).inputFiles.toSet
+    require(afterFiles.intersect(beforeFiles).size == 6 &&
+      (afterFiles -- beforeFiles).forall(_.contains("commit-8")),
+      "q357: six year files must carry forward verbatim")
+    def agg(stage: String, from: String) = s.sql(
+      s"""SELECT '$stage' AS stage, o_orderpriority,
+         |  count(*) AS n_rows, sum(cents) AS total_cents
+         |FROM $from GROUP BY o_orderpriority""".stripMargin)
+    agg("1_before", "graft_cat357.db.del_t VERSION AS OF 7")
+      .unionByName(agg("2_after_delete", "graft_cat357.db.del_t"))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_sql_delete" -> sqlDelete _,
     "q355_vacuum" -> vacuumFace _,
     "q352_update_where" -> updateWhereFace _,
     "q349_branches" -> branchesFastForward _,
@@ -1556,6 +1624,24 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q357_sql_delete" ->
+      """WITH src AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d FROM orders),
+        |kept AS (SELECT * FROM src WHERE NOT (
+        |  d BETWEEN datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |        AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |  AND o_orderpriority = '1-URGENT'))
+        |SELECT '1_before' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM src GROUP BY 2
+        |UNION ALL
+        |SELECT '2_after_delete', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM kept GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q355_vacuum" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

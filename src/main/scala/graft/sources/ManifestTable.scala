@@ -855,6 +855,41 @@ object ManifestTable {
     claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
   }
 
+  /** Copy-on-write DELETE: drop every row where `predicate` is TRUE
+    * (NULL keeps the row — SQL DELETE semantics), rewriting only the
+    * files whose stats overlap the predicate's bounds; every other
+    * manifest line carries forward verbatim. The alternative to
+    * [[deleteWhere]]'s merge-on-read position deletes when the caller
+    * wants a delete-free snapshot afterwards (the SQL catalog's DELETE
+    * FROM routes here so its reads keep working without compaction).
+    * Same delete-entry refusal as [[updateWhere]], same reason. */
+  def deleteWhereCow(spark: SparkSession, dir: String,
+                     predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val v = currentVersion(dir) + 1
+    require(v > 1, s"ManifestTable.deleteWhereCow: no committed data under $dir")
+    val lines = manifestFiles(dir, v - 1)
+    require(lines.map(parseEntry).forall(_.isData),
+      s"deleteWhereCow: $dir carries row-level delete entries — a rewrite " +
+        "would shift positions/sequences under them; compact first")
+    val bounds = predicateBounds(predicate)
+    val (touchedLines, keptLines) = lines.partition { l =>
+      val st = parseEntry(l).stats
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    }
+    if (touchedLines.isEmpty) return claimManifest(dir, v, keptLines)
+    val touched = touchedLines.map(parseEntry).map(_.path)
+    val rewritten =
+      dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+        .filter(not(coalesce(predicate, lit(false))))
+    val dataDir = s"$dir/data/commit-$v"
+    rewritten.write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
+  }
+
   /** (files to rewrite, files carried forward verbatim) for an
     * [[updateWhere]] touch set — assertable planning info, like
     * [[pruneInfo]]. */

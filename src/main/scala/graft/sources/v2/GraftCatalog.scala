@@ -139,10 +139,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident.toString, dir, -1)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: ALTER TABLE is not supported; schema evolution happens " +
-        "at commit time (a commit may add columns — ManifestTable docs)")
+  /** ALTER TABLE ADD COLUMNS — the catalog face of the manifest table's
+    * add-column evolution (q329): the widened schema lands in
+    * `_schema.ddl`, existing files read the new columns as NULL (the
+    * scan's user-specified schema back-fills), no data is rewritten, and
+    * time travel still serves whatever each version's files carry. Drops,
+    * renames, and type changes stay out of scope — same as the manifest
+    * line format's contract. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val cur = new GraftSqlTable(ident.toString, dir, -1).schema()
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "GraftCatalog: nested ADD COLUMN is not supported")
+        val name = a.fieldNames()(0)
+        require(!cur.fieldNames.contains(name),
+          s"GraftCatalog: column '$name' already exists on $ident")
+        StructField(name, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — only ADD " +
+          "COLUMNS (the manifest evolution contract) is supported")
+    }
+    val widened = StructType(cur.fields ++ added)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema.ddl"),
+      widened.toDDL.getBytes("UTF-8"))
+    new GraftSqlTable(ident.toString, dir, -1)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -210,9 +235,18 @@ object GraftCatalog {
 }
 
 /** One catalog table = one manifest directory, pinned at `version`
-  * (-1 = current at load time — snapshot-at-analysis). */
+  * (-1 = current at load time — snapshot-at-analysis).
+  *
+  * DELETE FROM routes to [[ManifestTable.deleteWhereCow]] — copy-on-write
+  * with the predicate's stats bounds limiting the rewrite to overlapping
+  * files — so the post-delete snapshot stays delete-entry-free and every
+  * SQL verb keeps working on it (the merge-on-read delete shapes remain
+  * the library path's choice). TRUNCATE TABLE publishes an empty
+  * overwrite commit: zero files, history intact. */
 class GraftSqlTable(ident: String, dir: String, version: Int)
-    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -237,18 +271,25 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       entries.map(_._1).toIndexedSeq, None, classOf[ParquetFileFormat]))
 
   override def name(): String = ident
-  override def schema(): StructType = innerTable match {
-    case Some(t) =>
-      val s: StructType = t.schema
-      require(!s.fieldNames.exists(_.startsWith("_ptn_")),
-        s"GraftCatalog: $ident carries hidden partition columns — read it " +
-          "via ManifestTable.readSourceDays/readSourceBucket")
-      s
-    case None =>
-      val ddl = java.nio.file.Paths.get(dir, "_schema.ddl")
-      if (java.nio.file.Files.exists(ddl))
-        StructType.fromDDL(new String(java.nio.file.Files.readAllBytes(ddl), "UTF-8"))
-      else new StructType()
+  override def schema(): StructType = {
+    val ddlPath = java.nio.file.Paths.get(dir, "_schema.ddl")
+    val ddl: Option[StructType] =
+      if (java.nio.file.Files.exists(ddlPath))
+        Some(StructType.fromDDL(
+          new String(java.nio.file.Files.readAllBytes(ddlPath), "UTF-8")))
+      else None
+    innerTable match {
+      case Some(t) =>
+        val s: StructType = t.schema
+        require(!s.fieldNames.exists(_.startsWith("_ptn_")),
+          s"GraftCatalog: $ident carries hidden partition columns — read it " +
+            "via ManifestTable.readSourceDays/readSourceBucket")
+        // ALTER-added columns not yet present in any file read as NULL
+        val missing = ddl.map(_.fields.filterNot(f => s.fieldNames.contains(f.name)))
+          .getOrElse(Array.empty[StructField])
+        StructType(s.fields ++ missing)
+      case None => ddl.getOrElse(new StructType())
+    }
   }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -262,6 +303,41 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       s"GraftCatalog: cannot write to $ident VERSION AS OF $version — " +
         "writes go to the table head")
     new ManifestWriteBuilder(dir, info.schema())
+  }
+
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case And(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case Or(l, r)  => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case Not(c)    => filterToColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    version <= 0 && filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(filterToColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestTable.deleteWhereCow(spark, dir, pred): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    ManifestTable.publish(dir, Seq.empty, append = false)
+    true
   }
 }
 

@@ -106,6 +106,52 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
   }
 
+  test("ALTER TABLE ADD COLUMNS: old files read NULL, new inserts carry the column, no rewrite") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.evo (k BIGINT, tag STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "tag").createOrReplaceTempView("src_e1")
+    spark.sql("INSERT INTO gtest.ns.evo SELECT * FROM src_e1")
+    spark.sql("ALTER TABLE gtest.ns.evo ADD COLUMNS (score BIGINT)")
+    // pre-evolution rows back-fill NULL without any rewrite
+    assert(spark.sql("SELECT score FROM gtest.ns.evo").collect()
+      .forall(_.isNullAt(0)))
+    Seq((3L, "c", 77L)).toDF("k", "tag", "score").createOrReplaceTempView("src_e2")
+    spark.sql("INSERT INTO gtest.ns.evo SELECT * FROM src_e2")
+    val got = spark.sql(
+      "SELECT k, coalesce(score, -1) FROM gtest.ns.evo ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, -1L), (2L, -1L), (3L, 77L)))
+    // duplicate add and unsupported changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.evo ADD COLUMNS (score BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.evo DROP COLUMN tag")
+    }
+  }
+
+  test("DELETE FROM is copy-on-write and NULL-predicate rows survive; TRUNCATE empties, history intact") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.d (k BIGINT, tag STRING)")
+    Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "a"))
+      .toDF("k", "tag").createOrReplaceTempView("src_d")
+    spark.sql("INSERT INTO gtest.ns.d SELECT * FROM src_d")
+    spark.sql("DELETE FROM gtest.ns.d WHERE tag = 'a'")
+    // SQL DELETE semantics: predicate NULL (k=2's tag) keeps the row
+    assert(spark.sql("SELECT k FROM gtest.ns.d ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // post-delete snapshot carries no delete entries — SELECT just works,
+    // and time travel crosses the delete
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.d VERSION AS OF 1")
+      .head.getLong(0) == 4)
+    spark.sql("TRUNCATE TABLE gtest.ns.d")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.d").head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.d VERSION AS OF 2")
+      .head.getLong(0) == 2)
+  }
+
   test("delete entries refuse the SQL face loudly; compaction restores it; pinned versions refuse writes") {
     import spark.implicits._
     wh: Unit
