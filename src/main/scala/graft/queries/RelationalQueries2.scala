@@ -926,6 +926,46 @@ object RelationalQueries2 {
       .orderBy($"l_returnflag")
   }
 
+  // q358: BOTTOM-K ORDER-STATISTICS SKETCH — a deterministic, mergeable
+  // quantile sketch the oracle reproduces bit-for-bit (unlike
+  // approx_percentile's engine-private buffer): per group, keep the k
+  // rows with the SMALLEST md5(row key). Because the hash is uniform and
+  // row-keyed, those k rows are a fixed-size uniform sample that is (a)
+  // independent of partitioning and arrival order, (b) mergeable —
+  // bottom-k of a union IS the k smallest of the concatenated bottom-k
+  // lists (associative, the q144 map-side top-k shape), and (c) exactly
+  // reproducible anywhere md5 exists. Quantile estimates are exact
+  // interpolated percentiles OVER the sample; the face emits them NEXT
+  // TO the exact full-data percentiles with the signed error — the
+  // O(1/√k) sampling error measured, not assumed. At 100 TB the sketch
+  // is k rows per group forever: shards sketch locally, partial sketches
+  // merge by list-concat + re-cut, and history never re-scans (persist
+  // the k rows, q310-style).
+  def bottomKSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val rows = Tables(s, dir).lineitem
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        md5(concat_ws(":", $"l_orderkey", $"l_linenumber")).as("h"))
+    val sample = graft.operators.Relational.topKPerGroup(rows,
+      Seq(col("l_returnflag")), Seq(col("h").asc), k, rankCol = "r")
+    val est = sample.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("sample_n"),
+        expr("percentile(cents, array(0.5, 0.9))").as("_e"))
+    val exact = rows.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile(cents, array(0.5, 0.9))").as("_x"))
+    est.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_rows", $"sample_n",
+        round($"_e".getItem(0), 6).as("est_p50"),
+        round($"_x".getItem(0), 6).as("exact_p50"),
+        round($"_e".getItem(0) - $"_x".getItem(0), 6).as("err_p50"),
+        round($"_e".getItem(1), 6).as("est_p90"),
+        round($"_x".getItem(1), 6).as("exact_p90"))
+      .orderBy($"l_returnflag")
+  }
+
   // q75: approximate-percentile accuracy face (same pattern as q28's HLL
   // face): the sketch value itself isn't cross-engine reproducible, so the
   // hash-checked output is the EXACT percentile plus a boolean asserting
@@ -2180,6 +2220,49 @@ object RelationalQueries2 {
       |ORDER BY s_suppkey""".stripMargin
 
   // q222: PageRank (3 iterations, damping 0.85) on the support-≥2 part
+  // q359: LABEL-PROPAGATION COMMUNITIES — the third iterative-graph
+  // primitive next to q222 (PageRank) and q58/q265 (components/BFS), and
+  // semantically distinct from both: min-label propagation converges to
+  // connected components, whereas LPA's MODE vote (most frequent
+  // neighbor label) finds dense substructure inside one component.
+  // Three SYNCHRONIZED iterations (all votes read the previous round's
+  // labels) with a fully deterministic vote: count desc, label asc — so
+  // the fixpoint-in-progress is engine- and partitioning-independent and
+  // the DuckDB oracle replays the exact same three rounds. Per
+  // iteration: one (dst)-keyed join + one (node, label) count + one
+  // per-node argmax window — 3 keyed shuffles over the EDGE table, never
+  // the fact table; per-iteration localCheckpoint pins the |nodes|-row
+  // frontier (the q222 lineage discipline). Output: the 20 largest
+  // communities, a shape that stays |labels|-bounded at any scale.
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables(s, dir).lineitem
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val und = items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"pa", $"pb")
+    val edges = und.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(und.select($"pb".as("src"), $"pa".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val votes = edges
+        .join(labels.select($"node", $"lbl"), edges("dst") === $"node")
+        .select(edges("src").as("v"), $"lbl")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"v".as("node"), $"lbl")
+        .localCheckpoint()
+    }
+    labels.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+      .orderBy($"community_size".desc, $"lbl".asc)
+      .limit(20)
+  }
+
   // co-purchase graph — the iterative-graph face next to q186's
   // triangles. Ranks are SCALED LONGS (total mass 1e12) with floor
   // division at every step, so the fixpoint math is bit-identical on any
@@ -3073,6 +3156,7 @@ object RelationalQueries2 {
     "q220_tpch_q8" -> bySql(Seq("lineitem", "orders", "customer", "nation",
       "region", "supplier", "part"), tpchQ8Sql) _,
     "q221_tpch_q15" -> bySql(Seq("lineitem", "supplier"), tpchQ15Sql) _,
+    "q359_label_propagation" -> labelPropagation _,
     "q222_pagerank" -> pageRank _,
     "q223_psi_drift" -> psiDrift _,
     "q219_grouping_id" -> bySql(Seq("orders"), groupingIdSql) _,
@@ -3146,6 +3230,7 @@ object RelationalQueries2 {
     "q37_exists_subquery" -> bySql(Seq("part", "lineitem"), existsSubquerySql) _,
     "q116_lateral_topk" -> bySql(Seq("customer", "orders"), lateralTopkSql) _,
     "q38_percentiles" -> percentiles _,
+    "q358_bottomk_sketch" -> bottomKSketch _,
     "q75_approx_percentile" -> approxPercentiles _,
     "q78_zorder_locality" -> zorderLocality _,
     "q87_profile_columns" -> profileColumns _,
@@ -3582,6 +3667,33 @@ object RelationalQueries2 {
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q220_tpch_q8" -> tpchQ8Sql,
     "q221_tpch_q15" -> tpchQ15Sql,
+    "q359_label_propagation" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |v1 AS (SELECT e.src AS v, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT v AS node, lbl FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |  FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.src AS v, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT v AS node, lbl FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |  FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.src AS v, l2.lbl, count(*) AS c
+        |  FROM e JOIN l2 ON e.dst = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT v AS node, lbl FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |  FROM v3) WHERE rn = 1)
+        |SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+        |FROM l3 GROUP BY 1
+        |ORDER BY community_size DESC, lbl ASC LIMIT 20""".stripMargin,
     "q222_pagerank" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
@@ -4486,6 +4598,25 @@ object RelationalQueries2 {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  TRUE AS files_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q358_bottomk_sketch" ->
+      """WITH r0 AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    md5(l_orderkey || ':' || l_linenumber) AS h FROM lineitem),
+        |samp AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS r
+        |  FROM r0) WHERE r <= 256),
+        |est AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sample_n,
+        |    quantile_cont(cents, 0.5) AS e50, quantile_cont(cents, 0.9) AS e90
+        |  FROM samp GROUP BY 1),
+        |ex AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    quantile_cont(cents, 0.5) AS x50, quantile_cont(cents, 0.9) AS x90
+        |  FROM r0 GROUP BY 1)
+        |SELECT l_returnflag, n_rows, sample_n,
+        |  round(e50, 6) AS est_p50, round(x50, 6) AS exact_p50,
+        |  round(e50 - x50, 6) AS err_p50,
+        |  round(e90, 6) AS est_p90, round(x90, 6) AS exact_p90
+        |FROM est JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q75_approx_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,

@@ -21,6 +21,27 @@ class PropertySpec extends SparkSpec {
     Gen.oneOf(Gen.const(None), Gen.const(Some("")),
       Gen.alphaNumStr.map(s => Some(s.take(8))))
 
+  test("bottom-k hash sample (q358) is merge-associative and partition-independent") {
+    // the sketch's load-bearing claim: bottom-k by a row-keyed uniform
+    // hash over a UNION equals the k smallest of the concatenated
+    // per-shard bottom-k lists, for any sharding — pure Scala model of
+    // the distributed merge, randomized over shardings and k
+    val gen = Gen.zip(Gen.listOfN(400, Gen.choose(0L, 1L << 40)),
+      Gen.choose(2, 7), Gen.choose(8, 64))
+    samples(gen, 8).foreach { case (keys0, nShards, k) =>
+      val keys = keys0.distinct
+      def h(x: Long): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.toString.getBytes("UTF-8"))
+        d.map(b => f"$b%02x").mkString
+      }
+      val global = keys.sortBy(h).take(k)
+      val shards = keys.groupBy(x => math.abs(x % nShards)).values.toSeq
+      val merged = shards.flatMap(_.sortBy(h).take(k)).sortBy(h).take(k)
+      assert(merged == global, s"k=$k shards=$nShards")
+    }
+  }
+
   test("global scan family: random data, random partitioning ≡ sequential reference") {
     import org.apache.spark.sql.functions._
     val gen = Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(-50L, 50L))
