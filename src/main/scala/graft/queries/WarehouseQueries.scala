@@ -1584,7 +1584,71 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q360: SQL UPDATE + MERGE INTO — the last two verbs, through Spark's
+  // group-based row-level rewrite (ReplaceData): the operation's scan
+  // reads the current snapshot, Spark applies the UPDATE/MERGE logic,
+  // and the result lands as ONE overwrite commit through the same
+  // staged-write protocol as INSERT OVERWRITE — so both mutations are
+  // time-travelable snapshots (VERSION AS OF pins below) and the
+  // catalog's SQL surface is now the complete verb matrix: CREATE /
+  // INSERT [OVERWRITE] / SELECT (+ VERSION AS OF / TIMESTAMP AS OF) /
+  // DELETE / UPDATE / MERGE INTO / TRUNCATE / ALTER ADD COLUMNS / DROP.
+  // This face runs the always-correct full-table copy-on-write (the
+  // ReplaceData discipline: `__row_operation` marker handled at the
+  // writer); the stats-bounded variants stay the library verbs
+  // (updateWhere q352, deleteWhereCow q357, merge q343). Both stages
+  // hash-check against the oracle's relational recompute.
+  def sqlUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q360_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat360", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat360.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q360_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat360.db.mut_t")
+    s.sql("""CREATE TABLE graft_cat360.db.mut_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)
+            |""".stripMargin)
+    s.sql("INSERT INTO graft_cat360.db.mut_t SELECT * FROM q360_src")
+    s.sql("""UPDATE graft_cat360.db.mut_t SET cents = cents + 1000
+            |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/mut_t"
+    require(ManifestTable.currentVersion(tblDir) == 2,
+      "q360: UPDATE must land as one overwrite commit (v2)")
+    s.sql("""MERGE INTO graft_cat360.db.mut_t t
+            |USING (SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+            |         cents + 7 AS cents FROM q360_src WHERE o_orderkey % 97 = 0
+            |       UNION ALL
+            |       SELECT o_orderkey + 10000000, 'NEW', 777 FROM q360_src
+            |       WHERE o_orderkey % 53 = 0) s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_orderpriority = s.o_orderpriority, cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(ManifestTable.currentVersion(tblDir) == 3,
+      "q360: MERGE must land as one overwrite commit (v3)")
+    def agg(stage: String, from: String) = s.sql(
+      s"""SELECT '$stage' AS stage, o_orderpriority,
+         |  count(*) AS n_rows, sum(cents) AS total_cents
+         |FROM $from GROUP BY o_orderpriority""".stripMargin)
+    require(s.sql("SELECT count(*) FROM graft_cat360.db.mut_t VERSION AS OF 1")
+      .head.getLong(0) == s.sql("SELECT count(*) FROM q360_src").head.getLong(0),
+      "q360: time travel to the pre-mutation snapshot must be intact")
+    agg("1_after_update", "graft_cat360.db.mut_t VERSION AS OF 2")
+      .unionByName(agg("2_after_merge", "graft_cat360.db.mut_t"))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_sql_update_merge" -> sqlUpdateMerge _,
     "q357_sql_delete" -> sqlDelete _,
     "q355_vacuum" -> vacuumFace _,
     "q352_update_where" -> updateWhereFace _,
@@ -1624,6 +1688,33 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q360_sql_update_merge" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 1000
+        |         ELSE cents END AS cents FROM src),
+        |ms AS (SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+        |    cents + 7 AS cents FROM src WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'NEW', 777 FROM src
+        |  WHERE o_orderkey % 53 = 0),
+        |merged AS (SELECT u.o_orderkey,
+        |    coalesce(m.o_orderpriority, u.o_orderpriority) AS o_orderpriority,
+        |    coalesce(m.cents, u.cents) AS cents
+        |  FROM upd u LEFT JOIN ms m USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT m.o_orderkey, m.o_orderpriority, m.cents FROM ms m
+        |  WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT '1_after_update' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM upd GROUP BY 2
+        |UNION ALL
+        |SELECT '2_after_merge', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM merged GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q357_sql_delete" ->
       """WITH src AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

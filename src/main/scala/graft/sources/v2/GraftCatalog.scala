@@ -246,7 +246,8 @@ object GraftCatalog {
 class GraftSqlTable(ident: String, dir: String, version: Int)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -338,6 +339,42 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   override def truncateTable(): Boolean = {
     ManifestTable.publish(dir, Seq.empty, append = false)
     true
+  }
+
+  /** UPDATE and MERGE INTO via Spark's group-based row-level rewrite:
+    * the operation's scan reads the WHOLE current snapshot (deliberately
+    * no file pruning and no filter forwarding — the group-based contract
+    * is "the write replaces exactly what the scan produced", so any scan-
+    * side row loss would silently drop rows), Spark applies the
+    * UPDATE/MERGE logic, and the write lands as ONE overwrite commit
+    * through the same staged-write protocol as INSERT OVERWRITE — time
+    * travel across the mutation for free. This is the always-correct
+    * full-table copy-on-write; the stats-bounded variants are the
+    * library verbs (updateWhere / deleteWhereCow / merge). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version <= 0,
+      s"GraftCatalog: cannot mutate $ident at a pinned version")
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, WriteBuilder}
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
+            options) {
+            // group = the whole table: never prune, never forward filters
+            override def pushFilters(filters: Seq[Expression]): Seq[Expression] = filters
+          }
+        override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder = {
+          if (sys.env.contains("GRAFT_DEBUG_RL"))
+            println("RL-WRITE-SCHEMA=" + wInfo.schema().toDDL)
+          val b = new ManifestWriteBuilder(dir, wInfo.schema())
+          b.truncate()
+          b
+        }
+      }
+    }
   }
 }
 

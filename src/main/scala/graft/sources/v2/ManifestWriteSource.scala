@@ -176,15 +176,24 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
   private val factory = new SimpleGroupFactory(parquetSchema)
 
   override def write(row: InternalRow): Unit = {
+    // Spark's group-based row-level rewrite (UPDATE / MERGE INTO →
+    // ReplaceData) PREPENDS a `__row_operation` marker column to the
+    // query while the declared write schema excludes it — the data
+    // columns sit at a fixed offset from the end. Plain writes have
+    // off = 0.
+    val off = row.numFields - schema.length
+    require(off >= 0,
+      s"graft-manifest writer: row has ${row.numFields} fields for a " +
+        s"${schema.length}-column schema")
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType    => g.add(i, row.getLong(i))
-        case IntegerType => g.add(i, row.getInt(i))
-        case DoubleType  => g.add(i, row.getDouble(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType  => g.add(i, row.getUTF8String(i).toString)
+      if (!row.isNullAt(i + off)) schema.fields(i).dataType match {
+        case LongType    => g.add(i, row.getLong(i + off))
+        case IntegerType => g.add(i, row.getInt(i + off))
+        case DoubleType  => g.add(i, row.getDouble(i + off))
+        case BooleanType => g.add(i, row.getBoolean(i + off))
+        case StringType  => g.add(i, row.getUTF8String(i + off).toString)
         case other => sys.error(s"unsupported $other")
       }
       i += 1

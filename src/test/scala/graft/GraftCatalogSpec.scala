@@ -106,6 +106,29 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
   }
 
+  test("UPDATE and MERGE INTO run as group-based copy-on-write overwrite commits") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.rl (k BIGINT, v BIGINT)")
+    (1L to 6L).map(k => (k, k * 10)).toDF("k", "v").createOrReplaceTempView("src_rl")
+    spark.sql("INSERT INTO gtest.ns.rl SELECT * FROM src_rl")
+    spark.sql("UPDATE gtest.ns.rl SET v = v + 1 WHERE k % 2 = 0")
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.rl").head.getLong(0)
+      == (1L to 6L).map(_ * 10).sum + 3)
+    // the mutation is one overwrite commit; time travel crosses it
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.rl VERSION AS OF 1")
+      .head.getLong(0) == (1L to 6L).map(_ * 10).sum)
+    Seq((5L, 500L), (9L, 900L)).toDF("k", "v").createOrReplaceTempView("src_m")
+    spark.sql("""MERGE INTO gtest.ns.rl t USING src_m s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM gtest.ns.rl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 41L,
+      5L -> 500L, 6L -> 61L, 9L -> 900L))
+    assert(graft.sources.ManifestTable.currentVersion(s"$wh/ns/rl") == 3)
+  }
+
   test("ALTER TABLE ADD COLUMNS: old files read NULL, new inserts carry the column, no rewrite") {
     import spark.implicits._
     wh: Unit
