@@ -929,8 +929,9 @@ object RelationalQueries2 {
   // q358: BOTTOM-K ORDER-STATISTICS SKETCH — a deterministic, mergeable
   // quantile sketch the oracle reproduces bit-for-bit (unlike
   // approx_percentile's engine-private buffer): per group, keep the k
-  // rows with the SMALLEST md5(row key). Because the hash is uniform and
-  // row-keyed, those k rows are a fixed-size uniform sample that is (a)
+  // rows with the SMALLEST 48-bit md5 prefix of their row key. Because
+  // the hash is uniform and row-keyed, those k rows are a fixed-size
+  // uniform sample that is (a)
   // independent of partitioning and arrival order, (b) mergeable —
   // bottom-k of a union IS the k smallest of the concatenated bottom-k
   // lists (associative, the q144 map-side top-k shape), and (c) exactly
@@ -944,12 +945,24 @@ object RelationalQueries2 {
   def bottomKSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 256
+    // 48 hash bits: lexicographic md5-prefix order becomes EXACT double
+    // arithmetic (< 2^53), so the mergeable aggregator's (score, id)
+    // total order is bit-identical to the oracle's (h48, cents) sort;
+    // ties (h48 collisions) break by the carried value itself, which
+    // both engines reproduce. The aggregate is q144's TopKAggregator —
+    // map tasks reduce to ≤k-row buffers, partials merge k-vs-k on the
+    // shuffle, only |groups|·k rows move: the window spelling would
+    // sort whole groups, which is exactly what a sketch must not do.
     val rows = Tables(s, dir).lineitem
       .select($"l_returnflag",
         round($"l_extendedprice" * 100).cast("long").as("cents"),
-        md5(concat_ws(":", $"l_orderkey", $"l_linenumber")).as("h"))
-    val sample = graft.operators.Relational.topKPerGroup(rows,
-      Seq(col("l_returnflag")), Seq(col("h").asc), k, rankCol = "r")
+        conv(substring(md5(concat_ws(":", $"l_orderkey", $"l_linenumber")),
+          1, 12), 16, 10).cast("long").as("h48"))
+    val topk = udaf(new graft.operators.TopKAggregator(k))
+    val sample = rows.groupBy($"l_returnflag")
+      .agg(topk((-$"h48").cast("double"), $"cents").as("top"))
+      .select($"l_returnflag", explode($"top").as("s"))
+      .select($"l_returnflag", $"s.id".as("cents"))
     val est = sample.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("sample_n"),
         expr("percentile(cents, array(0.5, 0.9))").as("_e"))
@@ -4601,9 +4614,10 @@ object RelationalQueries2 {
     "q358_bottomk_sketch" ->
       """WITH r0 AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-        |    md5(l_orderkey || ':' || l_linenumber) AS h FROM lineitem),
+        |    ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
         |samp AS (SELECT * FROM (SELECT *,
-        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS r
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h, cents) AS r
         |  FROM r0) WHERE r <= 256),
         |est AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sample_n,
         |    quantile_cont(cents, 0.5) AS e50, quantile_cont(cents, 0.9) AS e90
