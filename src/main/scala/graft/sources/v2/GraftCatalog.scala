@@ -136,6 +136,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // table that has no commits yet
     java.nio.file.Files.write(p.resolve("_schema.ddl"),
       schema.toDDL.getBytes("UTF-8"))
+    // TBLPROPERTIES('write.order'='col'): every INSERT range-clusters on
+    // the column (see ManifestWriteBuilder) — persist the declaration
+    Option(properties.get("write.order")).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"GraftCatalog: write.order column '$c' is not in the schema")
+      val parts = Option(properties.get("write.order.partitions"))
+        .map(_.trim).getOrElse("0")
+      java.nio.file.Files.write(p.resolve("_write.order"),
+        s"$c\n$parts".getBytes("UTF-8")): Unit
+    }
     new GraftSqlTable(ident.toString, dir, -1)
   }
 
@@ -299,11 +309,28 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(ident, spark, entries, schema(), options)
 
+  private def writeOrder: Option[(String, Int)] = {
+    val p = java.nio.file.Paths.get(dir, "_write.order")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val ls = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').map(_.trim)
+      Some((ls(0), if (ls.length > 1 && ls(1).nonEmpty) ls(1).toInt else 0))
+    }
+  }
+
+  override def properties(): util.Map[String, String] =
+    writeOrder.map { case (c, _) => util.Map.of("write.order", c) }
+      .getOrElse(util.Collections.emptyMap())
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version <= 0,
       s"GraftCatalog: cannot write to $ident VERSION AS OF $version — " +
         "writes go to the table head")
-    new ManifestWriteBuilder(dir, info.schema())
+    writeOrder match {
+      case Some((c, n)) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n)
+      case None         => new ManifestWriteBuilder(dir, info.schema())
+    }
   }
 
   private def filterToColumn(f: org.apache.spark.sql.sources.Filter)

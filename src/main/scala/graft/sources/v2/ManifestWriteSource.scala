@@ -84,12 +84,36 @@ class ManifestWriteTable(writeSchema: StructType, props: Map[String, String])
       info.schema())
 }
 
-class ManifestWriteBuilder(dir: String, schema: StructType)
+class ManifestWriteBuilder(dir: String, schema: StructType,
+                           orderCol: Option[String] = None,
+                           orderPartitions: Int = 0)
     extends WriteBuilder with SupportsTruncate {
   private var append = true
   override def truncate(): WriteBuilder = { append = false; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+  override def build(): Write = orderCol match {
+    case None => new Write {
+      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+    }
+    // Declarative clustered writes (`write.order` table property): the
+    // write REQUIRES a range distribution + sort on the declared column,
+    // so Spark plans one range exchange and every task's file covers a
+    // DISJOINT value range — the per-file min/max stats the manifest
+    // stores then prune range queries on every INSERT's output with no
+    // separate compaction pass (q331's clustering discipline, enforced
+    // at write time by the table itself; Iceberg's SortOrder contract).
+    case Some(c) => new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+      private val order = Array[SortOrder](
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      override def requiredDistribution(): Distribution = Distributions.ordered(order)
+      override def requiredOrdering(): Array[SortOrder] = order
+      // 0 = let Spark/AQE size the exchange (the 100 TB default);
+      // a pinned count serves small tables and tests, where AQE would
+      // otherwise coalesce to one file and no range layout exists
+      override def requiredNumPartitions(): Int = orderPartitions
+      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+    }
   }
 }
 

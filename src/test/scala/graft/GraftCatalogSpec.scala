@@ -106,6 +106,35 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
   }
 
+  test("write.order table property range-clusters every INSERT so stats prune automatically") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql(
+      """CREATE TABLE gtest.ns.wo (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('write.order'='k', 'write.order.partitions'='4')
+        |""".stripMargin)
+    // shuffled input, multiple partitions — the WRITE declares the range
+    // distribution, not the query
+    (0L until 400L).map(k => (k, k * 3)).sortBy(t => t._1 % 7)
+      .toDF("k", "v").repartition(8).createOrReplaceTempView("src_wo")
+    spark.sql("INSERT INTO gtest.ns.wo SELECT * FROM src_wo")
+    val dir = s"$wh/ns/wo"
+    val n = graft.sources.ManifestTable.fileCount(dir)
+    assert(n > 1, s"range distribution should emit several files, got $n")
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val q = spark.sql("SELECT sum(v) FROM gtest.ns.wo WHERE k >= 10 AND k < 60")
+    assert(scannedFiles(q).length < n,
+      "a narrow range over a write-ordered table must prune files")
+    assert(q.head.getLong(0) == (10L until 60L).map(_ * 3).sum)
+    assert(spark.sql("SHOW TBLPROPERTIES gtest.ns.wo").collect()
+      .exists(r => r.getString(0) == "write.order" && r.getString(1) == "k"))
+    // declaring an order on a column outside the schema refuses
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gtest.ns.wo2 (k BIGINT) TBLPROPERTIES ('write.order'='nope')")
+    }
+  }
+
   test("UPDATE and MERGE INTO run as group-based copy-on-write overwrite commits") {
     import spark.implicits._
     wh: Unit
