@@ -2444,6 +2444,24 @@ object RelationalQueries2 {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // q362: explicit NULL-ordering battery — ASC NULLS FIRST / DESC NULLS
+  // LAST over a derived nullable sort key: engines DIFFER in their
+  // default null placement (Spark: nulls first on ASC; standard
+  // databases vary), so production sorts that can see NULLs must spell
+  // the placement out — this face pins that the explicit spellings agree
+  // exactly (limit-k under a total order including the key tiebreak).
+  // Same SQL text both engines.
+  private val nullOrderingSql =
+    """WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0)
+      |SELECT 'asc_nulls_first' AS face, o_orderkey, st, cents FROM
+      |  (SELECT * FROM t ORDER BY st ASC NULLS FIRST, o_orderkey LIMIT 15)
+      |UNION ALL
+      |SELECT 'desc_nulls_last', o_orderkey, st, cents FROM
+      |  (SELECT * FROM t ORDER BY st DESC NULLS LAST, o_orderkey LIMIT 15)
+      |ORDER BY face, o_orderkey""".stripMargin
+
   // q230: null-safe comparison battery — IS [NOT] DISTINCT FROM over a
   // derived nullable column: the three-valued-logic parity face (count(col)
   // vs count(*), DISTINCT-counting of NULL groups). Same SQL text both
@@ -3163,6 +3181,7 @@ object RelationalQueries2 {
     "q237_spearman" -> spearmanCorr _,
     "q226_abc_xyz" -> abcXyz _,
     "q227_new_vs_returning" -> newVsReturning _,
+    "q362_null_ordering" -> bySql(Seq("orders"), nullOrderingSql) _,
     "q356_rank_battery" -> bySql(Seq("customer"), rankBatterySql) _,
     "q230_null_safe" -> bySql(Seq("orders"), nullSafeSql) _,
     "q231_seasonality" -> seasonalityIndex _,
@@ -3665,6 +3684,7 @@ object RelationalQueries2 {
         |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS ret_rev
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY mon ORDER BY mon""".stripMargin,
+    "q362_null_ordering" -> nullOrderingSql,
     "q356_rank_battery" -> rankBatterySql,
     "q230_null_safe" -> nullSafeSql,
     "q231_seasonality" ->
