@@ -1647,7 +1647,53 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q363: STREAMING READ of a catalog table — `spark.readStream.table`
+  // over the SAME identifier batch SQL uses: the unification Delta calls
+  // "the table is the stream". Three INSERT INTO commits stream as three
+  // micro-batches (version-offset admission, require-pinned), the
+  // checkpointed aggregate accumulates across them, and the final state
+  // must hash-equal the oracle's batch recompute over all events — a
+  // dropped or duplicated commit breaks it. At 100 TB this is the
+  // nightly-pipeline contract with ZERO broker infrastructure: writers
+  // INSERT through the catalog, consumers tail the same table with
+  // O(delta) planning per trigger, and the checkpoint survives restarts.
+  def sqlStreamTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q363_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat363", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat363.warehouse", out)
+    Tables(s, dir).events
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q363_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat363.db.events_t")
+    s.sql("""CREATE TABLE graft_cat363.db.events_t
+            |(event_id BIGINT, event_type STRING, cents BIGINT)""".stripMargin)
+    (0 to 2).foreach { i =>
+      s.sql(s"""INSERT INTO graft_cat363.db.events_t
+               |SELECT * FROM q363_src WHERE event_id % 3 = $i""".stripMargin)
+    }
+    val nm = "q363_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.table("graft_cat363.db.events_t")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete")
+      .option("checkpointLocation", s"$out/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches == 3,
+      s"q363: three INSERT commits must stream as three micro-batches, got $batches")
+    s.table(nm).orderBy($"event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_sql_stream_table" -> sqlStreamTable _,
     "q360_sql_update_merge" -> sqlUpdateMerge _,
     "q357_sql_delete" -> sqlDelete _,
     "q355_vacuum" -> vacuumFace _,
@@ -1688,6 +1734,11 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q363_sql_stream_table" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q360_sql_update_merge" ->
       """WITH src AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

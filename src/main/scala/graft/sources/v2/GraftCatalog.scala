@@ -236,12 +236,42 @@ object GraftCatalog {
   def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        r.scan match {
+        (r.scan match {
+          case s: GraftStreamableScan => s.batchScan
+          case s => s
+        }) match {
           case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             fs.fileIndex.inputFiles.toSeq
           case _ => Seq.empty
         }
     }.flatten
+}
+
+/** Batch scans delegate untouched; `spark.readStream.table("graft.db.t")`
+  * gets the q344 version-offset micro-batch stream (one commit = one
+  * batch, O(delta) planning, exactly-once resume) over the same table. */
+class GraftStreamableScan(val batchScan: Scan, dir: String,
+                          required: StructType) extends Scan {
+  override def readSchema(): StructType = batchScan.readSchema()
+  override def description(): String = batchScan.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    batchScan.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val bad = required.fields.filterNot(f => f.dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.BooleanType |
+           _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"GraftCatalog streaming read: unsupported column types " +
+        s"${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")} " +
+        "(the streaming reader carries long/int/double/boolean/string)")
+    new ManifestMicroBatchStream(dir, required, 0)
+  }
 }
 
 /** One catalog table = one manifest directory, pinned at `version`
@@ -304,10 +334,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(ident, spark, entries, schema(), options)
+    new GraftScanBuilder(ident, spark, entries, schema(), options,
+      streamDir = Some(dir))
 
   private def writeOrder: Option[(String, Int)] = {
     val p = java.nio.file.Paths.get(dir, "_write.order")
@@ -415,7 +446,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
 class GraftScanBuilder(ident: String, spark: SparkSession,
                        entries: Seq[(String, Map[String, (Double, Double)])],
                        fullSchema: StructType,
-                       options: CaseInsensitiveStringMap)
+                       options: CaseInsensitiveStringMap,
+                       streamDir: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -476,6 +508,10 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     // planned) and `fullSchema` is supplied, so nothing is inferred.
     val sb = inner()
     sb.pruneColumns(required)
-    sb.build()
+    val batchScan = sb.build()
+    streamDir match {
+      case None    => batchScan
+      case Some(d) => new GraftStreamableScan(batchScan, d, required)
+    }
   }
 }

@@ -135,6 +135,39 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("readStream.table streams catalog commits one micro-batch each; resume reads only the delta") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.st (k BIGINT, tag STRING)")
+    def ins(lo: Long, hi: Long, tag: String): Unit = {
+      (lo to hi).map(k => (k, tag)).toDF("k", "tag").createOrReplaceTempView("src_st")
+      spark.sql("INSERT INTO gtest.ns.st SELECT * FROM src_st"): Unit
+    }
+    ins(1, 10, "a"); ins(11, 15, "b")
+    val ckpt = java.nio.file.Files.createTempDirectory("st_ck").toString
+    val nm = "st_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def run() = {
+      val q = spark.readStream.table("gtest.ns.st")
+        .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"k").as("sk"))
+        .writeStream.format("memory").queryName(nm).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = run()
+    assert(q1.recentProgress.count(_.numInputRows > 0) == 2,
+      "two commits must stream as two micro-batches")
+    assert(spark.table(nm).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("a", 10L, 55L), ("b", 5L, 65L)))
+    ins(16, 18, "c")
+    val q2 = run()
+    assert(q2.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).sum == 3,
+      "the checkpointed resume must read only the new commit")
+    assert(spark.table(nm).collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 10L), ("b", 5L), ("c", 3L)))
+  }
+
   test("UPDATE and MERGE INTO run as group-based copy-on-write overwrite commits") {
     import spark.implicits._
     wh: Unit
