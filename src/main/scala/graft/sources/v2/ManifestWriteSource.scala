@@ -93,6 +93,8 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
   override def build(): Write = orderCol match {
     case None => new Write {
       override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ManifestStreamingWrite(dir, schema)
     }
     // Declarative clustered writes (`write.order` table property): the
     // write REQUIRES a range distribution + sort on the declared column,
@@ -161,6 +163,85 @@ class ManifestWriterFactory(stagingDir: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** Exactly-once STREAMING write into the manifest table — the native
+  * `df.writeStream.toTable("graft.db.t")` path, carrying
+  * [[graft.streaming.EventStreams.manifestAppendSink]]'s idempotence
+  * contract into the DSv2 streaming protocol: every epoch appends as one
+  * table version whose provenance is recorded in the `v<N>.src` ledger
+  * (claimed no-replace BEFORE the manifest CAS), so a retried or
+  * replayed epoch — same checkpoint or a fresh one re-delivering the
+  * same epoch ids — finds its own ledger entry and commits NOTHING,
+  * while a version taken by a foreign writer fails loudly instead of
+  * silently dropping the batch. One logical stream per table (the
+  * sink's single-writer contract); each committed epoch is a
+  * time-travelable snapshot feeding the change feed and any
+  * `readStream.table` consumer downstream. */
+class ManifestStreamingWrite(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val nonce = UUID.randomUUID().toString.take(8)
+  private def stagingDir(epochId: Long) = s"$dir/_staging/epoch-$epochId-$nonce"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ManifestStreamingWriterFactory(dir, nonce, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val tag = s"stream-epoch:$epochId"
+    val cur = ManifestTable.currentVersion(dir)
+    if ((1 to cur).exists(v => ManifestTable.sourceTag(dir, v).contains(tag))) {
+      cleanup(epochId) // epoch already committed (task retry / replay)
+      return
+    }
+    val v = cur + 1
+    ManifestTable.claimSourceTag(dir, v, tag)
+    val owned = ManifestTable.sourceTag(dir, v)
+    if (!owned.contains(tag)) throw new IllegalStateException(
+      s"graft streaming write: version $v of $dir is claimed by " +
+        s"${owned.map(t => s"'$t'").getOrElse("an untagged writer")} — a " +
+        s"foreign commit broke the epoch ledger; failing loudly instead of " +
+        s"dropping epoch $epochId")
+    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
+    java.nio.file.Files.createDirectories(dataDir)
+    val finalPaths = staged.toSeq.sorted.map { p =>
+      val target = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
+      target.toAbsolutePath.toString
+    }
+    try ManifestTable.publishExpected(dir, v, finalPaths, append = v > 1): Unit
+    catch {
+      case e: ManifestTable.CommitConflictException =>
+        throw new IllegalStateException(
+          s"graft streaming write: lost the v$v manifest CAS to a foreign " +
+            s"writer after claiming its ledger — single-writer contract " +
+            s"violated for epoch $epochId", e)
+    }
+    cleanup(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(epochId)
+
+  private def cleanup(epochId: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(stagingDir(epochId)))
+  }
+}
+
+/** Serializable factory shipped to executors (the enclosing
+  * StreamingWrite stays driver-side). */
+final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
+                                                schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(s"$dir/_staging/epoch-$epochId-$nonce", schema,
+      partitionId, taskId)
 }
 
 /** Per-task parquet writer over the example Group API (the only parquet

@@ -135,6 +135,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.toTable commits one version per epoch, exactly once under replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.ws (k BIGINT, tag STRING)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "a"))
+    val ckpt = java.nio.file.Files.createTempDirectory("ws_ck").toString
+    def run() = {
+      val q = mem.toDF().toDF("k", "tag").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gtest.ns.ws")
+      q.awaitTermination(); q
+    }
+    run()
+    val dir = s"$wh/ns/ws"
+    assert(graft.sources.ManifestTable.currentVersion(dir) == 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.ws").head.getLong(0) == 2)
+    mem.addData((3L, "b"))
+    run()
+    assert(graft.sources.ManifestTable.currentVersion(dir) == 2)
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.ws").head.getLong(0) == 6)
+    // a fresh checkpoint replays the same epochs: the ledger recognizes
+    // them and commits NOTHING
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, "a"), (2L, "a"))
+    val q3 = mem2.toDF().toDF("k", "tag").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ws_ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gtest.ns.ws")
+    q3.awaitTermination()
+    assert(graft.sources.ManifestTable.currentVersion(dir) == 2,
+      "a replayed epoch must commit nothing")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.ws").head.getLong(0) == 3)
+  }
+
   test("readStream.table streams catalog commits one micro-batch each; resume reads only the delta") {
     import spark.implicits._
     wh: Unit
