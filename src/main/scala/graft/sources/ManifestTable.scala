@@ -644,6 +644,13 @@ object ManifestTable {
       : Seq[(Boolean, String, Map[String, (Double, Double)])] =
     manifestFiles(dir, v).map(parseEntry).map(e => (e.isData, e.path, e.stats))
 
+  /** [[entriesAt]] for a branch snapshot — the catalog's
+    * `.option("branch", name)` read path. */
+  private[sources] def branchEntriesAt(dir: String, name: String, v: Int)
+      : Seq[(Boolean, String, Map[String, (Double, Double)])] =
+    Files.readAllLines(branchMd(dir, name).resolve(s"v$v.list")).asScala.toSeq
+      .map(parseEntry).map(e => (e.isData, e.path, e.stats))
+
   private val MetaCols = Seq("_graft_file", "_graft_pos")
 
   /** Strip reserved hidden-partition columns — they are commit-time

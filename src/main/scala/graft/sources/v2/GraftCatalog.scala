@@ -251,7 +251,8 @@ object GraftCatalog {
   * gets the q344 version-offset micro-batch stream (one commit = one
   * batch, O(delta) planning, exactly-once resume) over the same table. */
 class GraftStreamableScan(val batchScan: Scan, dir: String,
-                          required: StructType) extends Scan {
+                          required: StructType,
+                          startVersion: Int = 0) extends Scan {
   override def readSchema(): StructType = batchScan.readSchema()
   override def description(): String = batchScan.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
@@ -270,7 +271,7 @@ class GraftStreamableScan(val batchScan: Scan, dir: String,
       s"GraftCatalog streaming read: unsupported column types " +
         s"${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")} " +
         "(the streaming reader carries long/int/double/boolean/string)")
-    new ManifestMicroBatchStream(dir, required, 0)
+    new ManifestMicroBatchStream(dir, required, startVersion)
   }
 }
 
@@ -337,9 +338,24 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(ident, spark, entries, schema(), options,
-      streamDir = Some(dir))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `.option("branch", "exp")` reads the branch head instead of main —
+    // the q349 surface reachable from the reader API (branch manifests
+    // are full snapshot listings, so everything downstream — pruning,
+    // aggregate pushdown — works unchanged). Branches carry appends
+    // only through commitToBranch's default; delete-carrying branch
+    // snapshots hit the same refusal as main.
+    val branchEntries = Option(options.get("branch")).map { b =>
+      val v = ManifestTable.branchVersion(dir, b)
+      val es = ManifestTable.branchEntriesAt(dir, b, v)
+      require(es.forall(_._1),
+        s"GraftCatalog: branch '$b' of $ident carries delete entries — " +
+          "read it via ManifestTable.readBranch")
+      es.map { case (_, path, stats) => (path, stats) }
+    }
+    new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
+      schema(), options, streamDir = Some(dir))
+  }
 
   private def writeOrder: Option[(String, Int)] = {
     val p = java.nio.file.Paths.get(dir, "_write.order")
@@ -512,7 +528,11 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     val batchScan = sb.build()
     streamDir match {
       case None    => batchScan
-      case Some(d) => new GraftStreamableScan(batchScan, d, required)
+      case Some(d) => new GraftStreamableScan(batchScan, d, required,
+        // `.option("startVersion", "3")` tails the table from a chosen
+        // commit instead of the beginning (historical versions may
+        // already be expired — the CDC consumer's catch-up knob)
+        Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
     }
   }
 }

@@ -135,6 +135,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("branch read option and streaming startVersion through the catalog") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.br (k BIGINT)")
+    (1L to 10L).toDF("k").createOrReplaceTempView("src_br")
+    spark.sql("INSERT INTO gtest.ns.br SELECT * FROM src_br")
+    val dir = s"$wh/ns/br"
+    graft.sources.ManifestTable.createBranch(dir, "exp")
+    graft.sources.ManifestTable.commitToBranch((11L to 15L).toDF("k"), dir, "exp")
+    // main unchanged; the branch option reads the branch head
+    assert(spark.read.table("gtest.ns.br").count() == 10)
+    assert(spark.read.option("branch", "exp").table("gtest.ns.br").count() == 15)
+    assert(spark.read.option("branch", "exp").table("gtest.ns.br")
+      .agg(sum($"k")).head.getLong(0) == (1L to 15L).sum)
+    // streaming startVersion: tail from v2 only
+    (16L to 18L).toDF("k").createOrReplaceTempView("src_br2")
+    spark.sql("INSERT INTO gtest.ns.br SELECT * FROM src_br2") // main v2
+    val nm = "br_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.option("startVersion", "1").table("gtest.ns.br")
+      .groupBy().agg(count(lit(1)).as("n"), sum($"k").as("sk"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("br_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = spark.table(nm).head
+    assert((row.getLong(0), row.getLong(1)) == (3L, 51L),
+      "startVersion=1 must stream only the v2 delta")
+  }
+
   test("writeStream.toTable commits one version per epoch, exactly once under replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
