@@ -1692,7 +1692,71 @@ object WarehouseQueries {
     s.table(nm).orderBy($"event_type")
   }
 
+  // q364: BRANCH READS through the catalog reader option — the q349
+  // branch surface reachable from the DataFrame reader: an experiment
+  // branch forked off the SQL-managed table takes two commits, main
+  // reads stay pinned to the fork content (require), and
+  // `.option("branch", "exp")` serves the branch head THROUGH the same
+  // catalog scan (manifest-stats pruning and aggregate pushdown
+  // unchanged — a branch manifest is a full snapshot listing). After
+  // fast-forward, the plain SQL read equals the former branch head and
+  // the pre-fork version still time-travels — the collaboration loop
+  // (fork → write full-speed → audit → publish) with every read leg in
+  // the public reader API. Both stages hash-check against the oracle.
+  def sqlBranchRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q364_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat364", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat364.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("y"))
+    rows.createOrReplaceTempView("q364_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat364.db.br_t")
+    s.sql("""CREATE TABLE graft_cat364.db.br_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)""".stripMargin)
+    s.sql("""INSERT INTO graft_cat364.db.br_t
+            |SELECT o_orderkey, o_orderpriority, cents FROM q364_src
+            |WHERE y <= 1996""".stripMargin)
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/br_t"
+    ManifestTable.createBranch(tblDir, "exp")
+    ManifestTable.commitToBranch(
+      rows.filter($"y" === 1997).select($"o_orderkey", $"o_orderpriority", $"cents"),
+      tblDir, "exp")
+    ManifestTable.commitToBranch(
+      rows.filter($"y" === 1998).select($"o_orderkey", $"o_orderpriority", $"cents"),
+      tblDir, "exp")
+    val mainRows = s.read.table("graft_cat364.db.br_t").count()
+    val branchRows = s.read.option("branch", "exp").table("graft_cat364.db.br_t").count()
+    require(ManifestTable.currentVersion(tblDir) == 1 && branchRows > mainRows,
+      s"q364: branch commits must stay off main ($mainRows main, $branchRows branch)")
+    def agg(stage: String, df: DataFrame) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+        .select(lit(stage).as("stage"), $"o_orderpriority", $"n_rows", $"total_cents")
+    val faces = agg("1_main",
+        s.read.table("graft_cat364.db.br_t"))
+      .unionByName(agg("2_branch",
+        s.read.option("branch", "exp").table("graft_cat364.db.br_t")))
+    ManifestTable.fastForward(tblDir, "exp")
+    require(s.sql("SELECT count(*) FROM graft_cat364.db.br_t").head.getLong(0)
+        == branchRows,
+      "q364: after fast-forward the plain read must equal the branch head")
+    require(s.sql("SELECT count(*) FROM graft_cat364.db.br_t VERSION AS OF 1")
+        .head.getLong(0) == mainRows,
+      "q364: the pre-fork version must survive the fast-forward")
+    faces.orderBy($"stage", $"o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_sql_branch_read" -> sqlBranchRead _,
     "q363_sql_stream_table" -> sqlStreamTable _,
     "q360_sql_update_merge" -> sqlUpdateMerge _,
     "q357_sql_delete" -> sqlDelete _,
@@ -1734,6 +1798,19 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q364_sql_branch_read" ->
+      """WITH src AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    year(o_orderdate) AS y FROM orders)
+        |SELECT '1_main' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM src WHERE y <= 1996 GROUP BY 2
+        |UNION ALL
+        |SELECT '2_branch', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM src WHERE y <= 1998 GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q363_sql_stream_table" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
