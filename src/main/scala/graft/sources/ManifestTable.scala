@@ -169,8 +169,12 @@ object ManifestTable {
             case _ => false
           }) && !pt.getLogicalTypeAnnotation.isInstanceOf[DecimalLogicalTypeAnnotation]
           val name = c.getPath.toDotString
-          // a column name that collides with the line grammar gets no stats
-          if (ok && !name.exists("|;:".contains(_))) {
+          // a column name that collides with the line grammar gets no
+          // stats; same for a user column named `__rows`, which would
+          // otherwise merge into the reserved row-count entry and corrupt
+          // countStar() (ADVICE r9) — it loses min/max pruning only,
+          // never correctness (pruning is strictly best-effort)
+          if (ok && name != "__rows" && !name.exists("|;:".contains(_))) {
             val range: Option[(Double, Double)] = c.getStatistics match {
               case s: IntStatistics if s.hasNonNullValue =>
                 Some((s.getMin.toDouble, s.getMax.toDouble))
@@ -1427,6 +1431,39 @@ object ManifestTable {
     else None
   }
 
+  /** Durable stream-epoch ledger (`_manifests/stream.epochs`, one tag per
+    * line). The per-version `v<N>.src` sidecars are the commit-time
+    * record, but [[expire]] reclaims them with their manifests — before
+    * it does, any `stream-epoch:` tag is rolled up here, so a replayed
+    * epoch (checkpoint reset / re-delivery after retention) still finds
+    * its record and commits NOTHING instead of double-appending (ADVICE
+    * r9). The streaming sink also appends post-publish, making the ledger
+    * the O(1) dedup fast path and the O(versions) .src scan only the
+    * crash-window fallback. The single-logical-stream-per-table contract
+    * makes the read-check-append safe; the JVM-level lock covers an
+    * expire racing the sink in-process. */
+  private val epochLedgerLock = new Object
+  def recordStreamEpochs(dir: String, tags: Seq[String]): Unit =
+    epochLedgerLock.synchronized {
+      val fresh = tags.filter(_.startsWith("stream-")).distinct
+      if (fresh.isEmpty) return
+      Files.createDirectories(manifests(dir))
+      val p = manifests(dir).resolve("stream.epochs")
+      val have = if (Files.exists(p)) Files.readAllLines(p).asScala.toSet
+                 else Set.empty[String]
+      val add = fresh.filterNot(have)
+      if (add.nonEmpty)
+        Files.write(p, add.asJava,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+    }
+
+  def streamEpochLedger(dir: String): Set[String] = {
+    val p = manifests(dir).resolve("stream.epochs")
+    if (Files.exists(p)) Files.readAllLines(p).asScala.toSet
+    else Set.empty
+  }
+
   /** Roll the table BACK to `toVersion` as a NEW commit (Delta RESTORE /
     * Iceberg rollback semantics): the next version's manifest is the
     * target version's manifest verbatim — delete entries, file stats and
@@ -1648,8 +1685,13 @@ object ManifestTable {
   def dropBranch(dir: String, name: String): Int = {
     val md = branchMd(dir, name)
     require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    // survivors = main refs + every OTHER branch's refs: once a shared
+    // fork version has been expired from main, a sibling branch can be
+    // the only remaining reference to the fork snapshot's files —
+    // subtracting main alone would delete data under that sibling.
     val mainFiles = versionsOnDisk(manifests(dir))
-      .flatMap(manifestFiles(dir, _)).map(pathOf).toSet
+      .flatMap(manifestFiles(dir, _)).map(pathOf).toSet ++
+      allBranchEntries(dir, except = Set(name)).map(_.path)
     val branchOnly = versionsOnDisk(md)
       .flatMap(v => Files.readAllLines(md.resolve(s"v$v.list")).asScala)
       .map(pathOf).toSet -- mainFiles
@@ -1706,12 +1748,34 @@ object ManifestTable {
     (n, bytes)
   }
 
+  /** Every manifest entry of every branch except those in `except` —
+    * the branch side of the table's referenced set. Both [[expire]] and
+    * [[dropBranch]] must treat these as live: a branch forked before an
+    * overwrite can be the ONLY remaining reference to the fork
+    * snapshot's data files (and, via entry seqs, to their stat
+    * sidecars). */
+  private def allBranchEntries(dir: String,
+                               except: Set[String] = Set.empty): Seq[Entry] = {
+    val md = manifests(dir)
+    if (!Files.isDirectory(md)) return Seq.empty
+    Option(md.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("branch-") &&
+        !except.contains(f.getName.stripPrefix("branch-")))
+      .flatMap { b =>
+        versionsOnDisk(b.toPath).flatMap { v =>
+          Files.readAllLines(b.toPath.resolve(s"v$v.list")).asScala.map(parseEntry)
+        }
+      }
+  }
+
   def expire(dir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "expire: must keep at least the current version")
     val cutoff = currentVersion(dir) - keep + 1
     val md = manifests(dir)
     val (dead, live) = versionsOnDisk(md).partition(_ < cutoff)
-    val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet
+    val branchEntries = allBranchEntries(dir)
+    val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet ++
+      branchEntries.map(_.path)
     val orphans = dead.flatMap(manifestFiles(dir, _)).map(pathOf).toSet -- liveFiles
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
     // stat sidecars (vN.ndv / vN.hist) are keyed by COMMIT, and surviving
@@ -1722,11 +1786,18 @@ object ManifestTable {
     // sidecar can outlive its own manifest across several expires while
     // referenced, and must still be reclaimed once the last reference
     // goes.
-    val liveSeqs = live.flatMap(v => manifestFiles(dir, v).map(parseEntry).map(_.seq)).toSet
+    val liveSeqs =
+      live.flatMap(v => manifestFiles(dir, v).map(parseEntry).map(_.seq)).toSet ++
+        branchEntries.map(_.seq)
     val SidecarRe = raw"v(\d+)\.(ndv|hist|src|bloom)".r
     Option(md.toFile.listFiles()).toSeq.flatten.foreach { f =>
       f.getName match {
-        case SidecarRe(sq, _) if !liveSeqs.contains(sq.toInt) =>
+        case SidecarRe(sq, kind) if !liveSeqs.contains(sq.toInt) =>
+          // a .src sidecar is a streaming epoch's idempotence record —
+          // roll it up into the durable ledger BEFORE reclaiming it, or a
+          // post-expire replay of that epoch would double-append
+          if (kind == "src")
+            recordStreamEpochs(dir, Files.readAllLines(f.toPath).asScala.toSeq)
           Files.deleteIfExists(f.toPath): Unit
         case _ =>
       }

@@ -210,7 +210,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.isEmpty) listNamespaces()
     else throw new NoSuchNamespaceException(namespace)
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length <= 1
+    namespace.isEmpty || (namespace.length == 1 &&
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(warehouse, namespace.head)))
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
@@ -224,7 +226,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = java.nio.file.Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!java.nio.file.Files.isDirectory(p)) false
-    else { java.nio.file.Files.delete(p); true }
+    else if (cascade) {
+      // DROP NAMESPACE ... CASCADE: recursive delete of every table under
+      // the namespace (ADVICE r9 — a plain Files.delete threw
+      // DirectoryNotEmptyException on any non-empty namespace)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(p.toFile); true
+    } else {
+      val empty = {
+        val s = java.nio.file.Files.list(p)
+        try !s.iterator().hasNext finally s.close()
+      }
+      if (!empty)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace, s"namespace ${namespace.mkString(".")} contains tables; " +
+            "use DROP NAMESPACE ... CASCADE")
+      java.nio.file.Files.delete(p); true
+    }
   }
 }
 
@@ -443,8 +463,9 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           }
         override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder = {
           if (sys.env.contains("GRAFT_DEBUG_RL"))
-            println("RL-WRITE-SCHEMA=" + wInfo.schema().toDDL)
-          val b = new ManifestWriteBuilder(dir, wInfo.schema())
+            println("RL-WRITE-SCHEMA=" + wInfo.schema().toDDL +
+              " ROWID=" + wInfo.rowIdSchema() + " META=" + wInfo.metadataSchema())
+          val b = new ManifestWriteBuilder(dir, wInfo.schema(), rowLevel = true)
           b.truncate()
           b
         }

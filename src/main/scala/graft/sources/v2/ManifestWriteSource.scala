@@ -86,13 +86,14 @@ class ManifestWriteTable(writeSchema: StructType, props: Map[String, String])
 
 class ManifestWriteBuilder(dir: String, schema: StructType,
                            orderCol: Option[String] = None,
-                           orderPartitions: Int = 0)
+                           orderPartitions: Int = 0,
+                           rowLevel: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var append = true
   override def truncate(): WriteBuilder = { append = false; this }
   override def build(): Write = orderCol match {
     case None => new Write {
-      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append, rowLevel)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new ManifestStreamingWrite(dir, schema)
     }
@@ -121,12 +122,13 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
 
 final case class StagedFileMessage(path: String) extends WriterCommitMessage
 
-class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean)
+class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
+                         rowLevel: Boolean = false)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(stagingDir, schema)
+    new ManifestWriterFactory(stagingDir, schema, rowLevel)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedFileMessage(p) => p }
@@ -159,10 +161,11 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean)
   }
 }
 
-class ManifestWriterFactory(stagingDir: String, schema: StructType)
+class ManifestWriterFactory(stagingDir: String, schema: StructType,
+                            rowLevel: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(stagingDir, schema, partitionId, taskId)
+    new ManifestDataWriter(stagingDir, schema, partitionId, taskId, rowLevel)
 }
 
 /** Exactly-once STREAMING write into the manifest table — the native
@@ -191,7 +194,11 @@ class ManifestStreamingWrite(dir: String, schema: StructType)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tag = s"stream-epoch:$epochId"
     val cur = ManifestTable.currentVersion(dir)
-    if ((1 to cur).exists(v => ManifestTable.sourceTag(dir, v).contains(tag))) {
+    // dedup fast path: the durable ledger (survives expire(), O(1));
+    // fallback: the per-version .src scan, which covers the crash window
+    // between a publish and its ledger append
+    if (ManifestTable.streamEpochLedger(dir).contains(tag) ||
+        (1 to cur).exists(v => ManifestTable.sourceTag(dir, v).contains(tag))) {
       cleanup(epochId) // epoch already committed (task retry / replay)
       return
     }
@@ -219,6 +226,7 @@ class ManifestStreamingWrite(dir: String, schema: StructType)
             s"writer after claiming its ledger — single-writer contract " +
             s"violated for epoch $epochId", e)
     }
+    ManifestTable.recordStreamEpochs(dir, Seq(tag))
     cleanup(epochId)
   }
 
@@ -248,7 +256,8 @@ final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
   * write path available without Spark's private classes). Streams rows —
   * memory is one parquet row group, independent of partition size. */
 class ManifestDataWriter(stagingDir: String, schema: StructType,
-                         partitionId: Int, taskId: Long)
+                         partitionId: Int, taskId: Long,
+                         rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val parquetSchema: MessageType = {
@@ -280,16 +289,24 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
   }
   private val factory = new SimpleGroupFactory(parquetSchema)
 
+  // Spark's group-based row-level rewrite (UPDATE / MERGE INTO →
+  // ReplaceData) PREPENDS exactly one operation-marker column to the
+  // query while the declared write schema excludes it (verified against
+  // Spark 4.1: LogicalWriteInfo.rowIdSchema/metadataSchema are both
+  // empty for group-based ops, so the marker is NOT name-derivable from
+  // the write info — the builder flags row-level writes explicitly
+  // instead). The contract is pinned, not inferred: a plain write with
+  // ANY width mismatch, or a row-level write whose delta is not exactly
+  // one leading column, fails loudly rather than risking silent
+  // positional misalignment of same-typed columns.
+  private val off = if (rowLevel) 1 else 0
+
   override def write(row: InternalRow): Unit = {
-    // Spark's group-based row-level rewrite (UPDATE / MERGE INTO →
-    // ReplaceData) PREPENDS a `__row_operation` marker column to the
-    // query while the declared write schema excludes it — the data
-    // columns sit at a fixed offset from the end. Plain writes have
-    // off = 0.
-    val off = row.numFields - schema.length
-    require(off >= 0,
+    require(row.numFields == schema.length + off,
       s"graft-manifest writer: row has ${row.numFields} fields for a " +
-        s"${schema.length}-column schema")
+        s"${schema.length}-column schema (rowLevel=$rowLevel expects " +
+        s"exactly ${schema.length + off}) — Spark's write projection " +
+        s"changed shape; refusing to guess column positions")
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {

@@ -262,6 +262,11 @@ object EventStreams {
         val tag = s"stream-batch:$batchId"
         def verifyOurs(context: String): Unit = {
           val existing = ManifestTable.sourceTag(tableDir, v)
+          // expire() reclaims .src sidecars but rolls stream tags up into
+          // the durable ledger first — a replay after retention expiry
+          // must still recognize its own commit (ADVICE r9)
+          if (existing.isEmpty &&
+              ManifestTable.streamEpochLedger(tableDir).contains(tag)) return
           if (!existing.contains(tag)) throw new IllegalStateException(
             s"manifestAppendSink: $context, but version $v of $tableDir " +
               s"was committed by ${existing.map(t => s"'$t'")

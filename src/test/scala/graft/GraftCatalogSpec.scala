@@ -325,4 +325,31 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(w != null) // parser or analysis must refuse a pinned-version write
   }
+
+  test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
+    import spark.implicits._
+    wh: Unit
+    // nonexistent namespaces must NOT appear to exist (ADVICE r9)
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).forall(_ != "ghost"))
+    spark.sql("CREATE NAMESPACE gtest.nsd")
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).contains("nsd"))
+    spark.sql("CREATE TABLE gtest.nsd.t1 (k BIGINT)")
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("src_ns")
+    spark.sql("INSERT INTO gtest.nsd.t1 SELECT * FROM src_ns")
+    // non-cascade drop of a non-empty namespace refuses loudly
+    intercept[Exception] { spark.sql("DROP NAMESPACE gtest.nsd") }
+    assert(spark.sql("SELECT count(*) FROM gtest.nsd.t1").head.getLong(0) == 2)
+    // CASCADE removes the namespace and everything under it
+    spark.sql("DROP NAMESPACE gtest.nsd CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).contains("nsd"))
+    assert(!spark.catalog.tableExists("gtest.nsd.t1"))
+    // empty namespace drops without CASCADE
+    spark.sql("CREATE NAMESPACE gtest.nse")
+    spark.sql("DROP NAMESPACE gtest.nse")
+    assert(!spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).contains("nse"))
+  }
 }

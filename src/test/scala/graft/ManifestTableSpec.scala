@@ -501,6 +501,76 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir, 1).count() == 10)
   }
 
+  test("expire spares files referenced only by branches; dropBranch spares sibling-branch refs") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false) // v1
+    // two branches share the fork snapshot (v1's files)
+    ManifestTable.createBranch(dir, "a")
+    ManifestTable.createBranch(dir, "b")
+    // main OVERWRITES past the fork, then expires history: v1's files are
+    // now referenced ONLY by the branch manifests
+    ManifestTable.commit((100L to 101L).toDF("k"), dir, append = false) // v2
+    ManifestTable.expire(dir, keep = 1)
+    // before the r10 fix this deleted v1's files as orphans → branch reads
+    // failed on missing parquet
+    assert(ManifestTable.readBranch(spark, dir, "a").count() == 10)
+    assert(ManifestTable.readBranch(spark, dir, "b").count() == 10)
+    // dropBranch(a) must NOT reclaim the shared fork files b still needs
+    ManifestTable.dropBranch(dir, "a")
+    assert(ManifestTable.readBranch(spark, dir, "b").count() == 10)
+    // once the last referencing branch goes, the files ARE reclaimable
+    val reclaimedLast = ManifestTable.dropBranch(dir, "b")
+    assert(reclaimedLast > 0)
+    assert(ManifestTable.read(spark, dir).count() == 2) // main untouched
+  }
+
+  test("expire rolls stream tags into the durable epoch ledger; replay after expiry self-recognizes") {
+    import spark.implicits._
+    val dir = freshDir()
+    // three stream batches land as v1..v3 with .src provenance sidecars
+    (1 to 3).foreach { v =>
+      ManifestTable.claimSourceTag(dir, v, s"stream-epoch:${v - 1}")
+      ManifestTable.commitAt((v * 10L to v * 10L + 1L).toDF("k"), dir, v,
+        append = v > 1)
+    }
+    assert(ManifestTable.streamEpochLedger(dir).isEmpty)
+    // while a surviving manifest still references the commits (append
+    // chain), expire keeps the .src sidecars — no roll-up needed yet
+    ManifestTable.expire(dir, keep = 1)
+    assert(ManifestTable.sourceTag(dir, 1).contains("stream-epoch:0"))
+    // an overwrite unlinks commits 1-3; the next expire reclaims their
+    // .src sidecars — the tags must migrate to the non-expiring ledger
+    // first, or a post-expiry epoch replay would double-append
+    ManifestTable.commit((900L to 901L).toDF("k"), dir, append = false) // v4
+    ManifestTable.expire(dir, keep = 1)
+    assert(ManifestTable.sourceTag(dir, 1).isEmpty)
+    val ledger = ManifestTable.streamEpochLedger(dir)
+    assert(ledger.contains("stream-epoch:0") && ledger.contains("stream-epoch:1") &&
+      ledger.contains("stream-epoch:2"),
+      s"expired stream tags must survive in the ledger, got $ledger")
+    // idempotent re-record (the sink's post-publish append) adds nothing
+    ManifestTable.recordStreamEpochs(dir, Seq("stream-epoch:0"))
+    assert(ManifestTable.streamEpochLedger(dir) == ledger)
+    // non-stream tags are never rolled up
+    ManifestTable.recordStreamEpochs(dir, Seq("compaction:xyz"))
+    assert(ManifestTable.streamEpochLedger(dir) == ledger)
+  }
+
+  test("a user column named __rows gets no stats and never corrupts countStar") {
+    import spark.implicits._
+    val dir = freshDir()
+    // __rows values FAR below the true row count — a collision would
+    // min() them into the footer count
+    ManifestTable.commit((1L to 50L).map(i => (i, -1000L)).toDF("k", "__rows"),
+      dir, append = false)
+    assert(ManifestTable.countStar(dir).contains(50L),
+      s"countStar must ignore the user __rows column, got ${ManifestTable.countStar(dir)}")
+    // and the data itself round-trips untouched
+    assert(ManifestTable.read(spark, dir).agg(org.apache.spark.sql.functions.sum($"__rows"))
+      .head.getLong(0) == -50000L)
+  }
+
   test("vacuum: reclaims only unreferenced files, honors grace, spares branch-referenced files") {
     import spark.implicits._
     val dir = freshDir()
