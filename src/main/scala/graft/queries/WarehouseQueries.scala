@@ -1647,6 +1647,83 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q365: DELTA row-level SQL — UPDATE / MERGE INTO / DELETE on a KEYED
+  // table (TBLPROPERTIES 'write.key') land as O(|touched rows|)
+  // merge-on-read commits instead of q360's full-table ReplaceData
+  // rewrite: Spark's SupportsDelta rewrite hands the operation as per-row
+  // delete(id)/insert(row) deltas, each mutation publishes ONE manifest
+  // version pairing an equality-delete of the touched keys with an
+  // append of the replacement rows, and SELECT serves the result through
+  // the catalog's merge-on-read scan (delete-scope groups + broadcast
+  // key sets — GraftMoRScan). The asymptotic pin is the whole point: the
+  // require()s below prove EVERY pre-mutation data file is still
+  // referenced verbatim after all three mutations (zero rewrites), which
+  // is what makes a 0.01% UPDATE affordable on a 100 TB table. Three
+  // stage aggregates hash-check against the oracle's relational
+  // recompute of the same update+merge+delete pipeline.
+  def sqlDeltaUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q365_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat365", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat365.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q365_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat365.db.kd_t")
+    s.sql("""CREATE TABLE graft_cat365.db.kd_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)
+            |TBLPROPERTIES('write.key'='o_orderkey')""".stripMargin)
+    s.sql("INSERT INTO graft_cat365.db.kd_t " +
+      "SELECT /*+ REPARTITION(8) */ * FROM q365_src")
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/kd_t"
+    val baseFiles = ManifestTable.sqlEntriesAt(tblDir, 1)
+      .filter(_.isData).map(_.path).toSet
+    require(baseFiles.size >= 4, s"q365: need a multi-file base, got ${baseFiles.size}")
+    def deltaPin(v: Int, verb: String): Unit = {
+      require(ManifestTable.currentVersion(tblDir) == v,
+        s"q365: $verb must land as exactly one delta commit (v$v)")
+      val es = ManifestTable.sqlEntriesAt(tblDir, v)
+      require(baseFiles.subsetOf(es.filter(_.isData).map(_.path).toSet),
+        s"q365: $verb rewrote base data files — the delta contract is zero rewrites")
+      require(es.exists(_.deleteKey.contains("o_orderkey")),
+        s"q365: $verb must carry an equality-delete of the touched keys")
+    }
+    s.sql("""UPDATE graft_cat365.db.kd_t SET cents = cents + 1000
+            |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    deltaPin(2, "UPDATE")
+    s.sql("""MERGE INTO graft_cat365.db.kd_t t
+            |USING (SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+            |         cents + 7 AS cents FROM q365_src WHERE o_orderkey % 97 = 0
+            |       UNION ALL
+            |       SELECT o_orderkey + 10000000, 'NEW', 777 FROM q365_src
+            |       WHERE o_orderkey % 53 = 0) s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_orderpriority = s.o_orderpriority, cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    deltaPin(3, "MERGE")
+    s.sql("DELETE FROM graft_cat365.db.kd_t WHERE o_orderkey % 101 = 0")
+    deltaPin(4, "DELETE")
+    require(s.sql("SELECT count(*) FROM graft_cat365.db.kd_t VERSION AS OF 1")
+      .head.getLong(0) == s.sql("SELECT count(*) FROM q365_src").head.getLong(0),
+      "q365: time travel to the pre-mutation snapshot must be intact")
+    def agg(stage: String, from: String) = s.sql(
+      s"""SELECT '$stage' AS stage, o_orderpriority,
+         |  count(*) AS n_rows, sum(cents) AS total_cents
+         |FROM $from GROUP BY o_orderpriority""".stripMargin)
+    agg("1_after_update", "graft_cat365.db.kd_t VERSION AS OF 2")
+      .unionByName(agg("2_after_merge", "graft_cat365.db.kd_t VERSION AS OF 3"))
+      .unionByName(agg("3_after_delete", "graft_cat365.db.kd_t"))
+      .orderBy($"stage", $"o_orderpriority")
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -1756,6 +1833,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_sql_delta_mutations" -> sqlDeltaUpdateMerge _,
     "q364_sql_branch_read" -> sqlBranchRead _,
     "q363_sql_stream_table" -> sqlStreamTable _,
     "q360_sql_update_merge" -> sqlUpdateMerge _,
@@ -1816,6 +1894,38 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q365_sql_delta_mutations" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 1000
+        |         ELSE cents END AS cents FROM src),
+        |ms AS (SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+        |    cents + 7 AS cents FROM src WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'NEW', 777 FROM src
+        |  WHERE o_orderkey % 53 = 0),
+        |merged AS (SELECT u.o_orderkey,
+        |    coalesce(m.o_orderpriority, u.o_orderpriority) AS o_orderpriority,
+        |    coalesce(m.cents, u.cents) AS cents
+        |  FROM upd u LEFT JOIN ms m USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT m.o_orderkey, m.o_orderpriority, m.cents FROM ms m
+        |  WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+        |kept AS (SELECT * FROM merged WHERE o_orderkey % 101 <> 0)
+        |SELECT '1_after_update' AS stage, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM upd GROUP BY 2
+        |UNION ALL
+        |SELECT '2_after_merge', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM merged GROUP BY 2
+        |UNION ALL
+        |SELECT '3_after_delete', o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM kept GROUP BY 2
+        |ORDER BY stage, o_orderpriority""".stripMargin,
     "q360_sql_update_merge" ->
       """WITH src AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

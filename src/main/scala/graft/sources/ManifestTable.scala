@@ -655,6 +655,44 @@ object ManifestTable {
     Files.readAllLines(branchMd(dir, name).resolve(s"v$v.list")).asScala.toSeq
       .map(parseEntry).map(e => (e.isData, e.path, e.stats))
 
+  /** The SQL face's full view of one manifest entry — what
+    * [[graft.sources.v2.GraftScanBuilder]] needs to assemble a
+    * merge-on-read scan: the commit sequence (equality deletes scope to
+    * strictly-earlier data), the delete key column if the entry IS a
+    * delete, and the per-column stats for file pruning. */
+  private[graft] final case class SqlEntry(seq: Int, deleteKey: Option[String],
+      posDelete: Boolean, path: String, stats: Map[String, (Double, Double)]) {
+    def isData: Boolean = deleteKey.isEmpty && !posDelete
+  }
+  private[graft] def sqlEntriesAt(dir: String, v: Int): Seq[SqlEntry] =
+    manifestFiles(dir, v).map(parseEntry)
+      .map(e => SqlEntry(e.seq, e.deleteKey, e.posDelete, e.path, e.stats))
+  private[graft] def sqlBranchEntriesAt(dir: String, name: String,
+                                        v: Int): Seq[SqlEntry] =
+    Files.readAllLines(branchMd(dir, name).resolve(s"v$v.list")).asScala.toSeq
+      .map(parseEntry)
+      .map(e => SqlEntry(e.seq, e.deleteKey, e.posDelete, e.path, e.stats))
+
+  /** Publish ONE delta commit — equality-deletes of `keyCol` paired with
+    * appended row files — at EXACTLY version `v` (the [[merge]] manifest
+    * shape under the [[publishExpected]] CAS). This is the landing verb
+    * of the SupportsDelta SQL UPDATE/MERGE path: the delete files scope
+    * to data committed strictly before `v`, the row files carry seq `v`,
+    * so matched keys are replaced and the delta's own re-inserts survive
+    * — O(|delta|) with zero target-file rewrites. */
+  def publishDeltaExpected(dir: String, v: Int, keyCol: String,
+                           delFiles: Seq[String], rowFiles: Seq[String]): Int = {
+    val cur = currentVersion(dir)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishDeltaExpected: version $v is not next (current $cur) — concurrent writer")
+    require(v > 1, s"publishDeltaExpected: no committed data under $dir")
+    val lines = manifestFiles(dir, v - 1) ++
+      delFiles.sorted.map(f => s"D|$keyCol|$f") ++
+      rowFiles.sorted.map(f => dataLine(f))
+    claimManifest(dir, v, lines)
+  }
+
   private val MetaCols = Seq("_graft_file", "_graft_pos")
 
   /** Strip reserved hidden-partition columns — they are commit-time

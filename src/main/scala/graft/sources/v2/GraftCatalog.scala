@@ -146,6 +146,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       java.nio.file.Files.write(p.resolve("_write.order"),
         s"$c\n$parts".getBytes("UTF-8")): Unit
     }
+    // TBLPROPERTIES('write.key'='k'): declares k as the row identifier —
+    // SQL UPDATE/MERGE/DELETE then land as O(delta) merge-on-read commits
+    // (SupportsDelta) instead of full-table copy-on-write rewrites. The
+    // declaration is the user's uniqueness contract, like Iceberg's
+    // identifier-field-ids.
+    Option(properties.get("write.key")).foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"GraftCatalog: write.key column '$k' is not in the schema")
+      java.nio.file.Files.write(p.resolve("_write.key"),
+        k.getBytes("UTF-8")): Unit
+    }
     new GraftSqlTable(ident.toString, dir, -1)
   }
 
@@ -262,6 +273,7 @@ object GraftCatalog {
         }) match {
           case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             fs.fileIndex.inputFiles.toSeq
+          case mor: GraftMoRScan => mor.dataPaths
           case _ => Seq.empty
         }
     }.flatten
@@ -312,25 +324,30 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
 
   private def spark: SparkSession = SparkSession.active
 
-  /** The pinned snapshot's manifest entries; empty table → no entries. */
-  private lazy val entries: Seq[(String, Map[String, (Double, Double)])] = {
+  /** The pinned snapshot's manifest entries; empty table → no entries.
+    * Equality-delete entries are SERVED (merge-on-read, [[GraftMoRScan]]);
+    * position deletes still belong to `ManifestTable.read` and refuse
+    * loudly. */
+  private lazy val entries: Seq[ManifestTable.SqlEntry] = {
     val v = if (version > 0) version else ManifestTable.currentVersion(dir)
     if (v == 0) Seq.empty
     else {
-      val es = ManifestTable.entriesAt(dir, v)
-      require(es.forall(_._1),
-        s"GraftCatalog: $ident carries row-level delete entries at v$v — " +
-          "merge-on-read assembly is ManifestTable.read's job; compact the " +
-          "table to serve it through SQL again")
-      es.map { case (_, path, stats) => (path, stats) }
+      val es = ManifestTable.sqlEntriesAt(dir, v)
+      require(!es.exists(_.posDelete),
+        s"GraftCatalog: $ident carries POSITION-delete entries at v$v — " +
+          "merge-on-read position assembly is ManifestTable.read's job; " +
+          "compact the table to serve it through SQL again")
+      es
     }
   }
 
-  private lazy val innerTable: Option[ParquetTable] =
-    if (entries.isEmpty) None
+  private lazy val innerTable: Option[ParquetTable] = {
+    val dataPaths = entries.filter(_.isData).map(_.path)
+    if (dataPaths.isEmpty) None
     else Some(ParquetTable(ident, spark,
       new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-      entries.map(_._1).toIndexedSeq, None, classOf[ParquetFileFormat]))
+      dataPaths.toIndexedSeq, None, classOf[ParquetFileFormat]))
+  }
 
   override def name(): String = ident
   override def schema(): StructType = {
@@ -340,7 +357,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         Some(StructType.fromDDL(
           new String(java.nio.file.Files.readAllBytes(ddlPath), "UTF-8")))
       else None
-    innerTable match {
+    val base = innerTable match {
       case Some(t) =>
         val s: StructType = t.schema
         require(!s.fieldNames.exists(_.startsWith("_ptn_")),
@@ -351,6 +368,14 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           .getOrElse(Array.empty[StructField])
         StructType(s.fields ++ missing)
       case None => ddl.getOrElse(new StructType())
+    }
+    // the declared row identifier is non-nullable BY DECLARATION (Spark
+    // refuses nullable row-id attributes for delta ops; a NULL key insert
+    // fails loudly at write time instead)
+    writeKey match {
+      case Some(k) => StructType(base.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f))
+      case None => base
     }
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -367,11 +392,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // snapshots hit the same refusal as main.
     val branchEntries = Option(options.get("branch")).map { b =>
       val v = ManifestTable.branchVersion(dir, b)
-      val es = ManifestTable.branchEntriesAt(dir, b, v)
-      require(es.forall(_._1),
-        s"GraftCatalog: branch '$b' of $ident carries delete entries — " +
-          "read it via ManifestTable.readBranch")
-      es.map { case (_, path, stats) => (path, stats) }
+      val es = ManifestTable.sqlBranchEntriesAt(dir, b, v)
+      require(!es.exists(_.posDelete),
+        s"GraftCatalog: branch '$b' of $ident carries position-delete " +
+          "entries — read it via ManifestTable.readBranch")
+      es
     }
     new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
       schema(), options, streamDir = Some(dir))
@@ -387,9 +412,20 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     }
   }
 
-  override def properties(): util.Map[String, String] =
-    writeOrder.map { case (c, _) => util.Map.of("write.order", c) }
-      .getOrElse(util.Collections.emptyMap())
+  /** TBLPROPERTIES('write.key'): the table's declared row identifier —
+    * opting row-level SQL (UPDATE / MERGE / DELETE) into the delta path. */
+  private def writeKey: Option[String] = {
+    val p = java.nio.file.Paths.get(dir, "_write.key")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    writeOrder.foreach { case (c, _) => m.put("write.order", c): Unit }
+    writeKey.foreach(k => m.put("write.key", k): Unit)
+    m
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version <= 0,
@@ -421,8 +457,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     }
   }
 
+  // a keyed table routes DELETE through the delta row-level path (an
+  // O(matched-keys) equality-delete commit) instead of the stats-bounded
+  // copy-on-write — so refuse the metadata-delete fast path there
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    version <= 0 && filters.forall(filterToColumn(_).isDefined)
+    version <= 0 && writeKey.isEmpty && filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
@@ -451,7 +490,39 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version <= 0,
       s"GraftCatalog: cannot mutate $ident at a pinned version")
-    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, WriteBuilder}
+    import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, SupportsDelta, WriteBuilder}
+    writeKey match {
+      case Some(k) => return new RowLevelOperationBuilder {
+        // DELTA row-level ops (the keyed-table path): Spark rewrites
+        // UPDATE/MERGE/DELETE into per-row delete(id)/insert(row) deltas,
+        // the scan reads only what the operation needs (file pruning and
+        // filter pushdown stay ON — untouched rows are never rewritten,
+        // so scan-side pruning can't lose them), and the write lands as
+        // one O(|delta|) equality-delete + append commit. The full-table
+        // ReplaceData rewrite below remains the unkeyed fallback.
+        override def build(): RowLevelOperation = new RowLevelOperation with SupportsDelta {
+          override def command(): RowLevelOperation.Command = info.command()
+          override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions.column(k))
+          override def representUpdateAsDeleteAndInsert(): Boolean = true
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
+              options)
+          override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
+            new DeltaWriteBuilder {
+              override def build(): DeltaWrite = new DeltaWrite {
+                override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+                  val idSchema = wInfo.rowIdSchema().orElseThrow(() =>
+                    new IllegalStateException(
+                      s"GraftCatalog: delta write on $ident without a rowIdSchema"))
+                  new GraftDeltaBatchWrite(dir, k, wInfo.schema(), idSchema)
+                }
+              }
+            }
+        }
+      }
+      case None =>
+    }
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
@@ -482,7 +553,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   * stats — pruning is a strict superset by the same argument as
   * `ManifestTable.readWhere`. */
 class GraftScanBuilder(ident: String, spark: SparkSession,
-                       entries: Seq[(String, Map[String, (Double, Double)])],
+                       entries: Seq[ManifestTable.SqlEntry],
                        fullSchema: StructType,
                        options: CaseInsensitiveStringMap,
                        streamDir: Option[String] = None)
@@ -492,6 +563,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
 
   private var conjuncts: Seq[Expression] = Nil
   private var required: StructType = fullSchema
+
+  private def hasDeletes: Boolean = entries.exists(_.deleteKey.isDefined)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     conjuncts = filters
@@ -507,13 +580,15 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   // reads — needs spark.sql.parquet.aggregatePushDown=true) forwards to
   // the inner ParquetScanBuilder, which must therefore exist before
   // build(): Spark pushes filters first, so the pruned path set is
-  // already stable here.
+  // already stable here. A delete-carrying snapshot refuses — footer
+  // aggregates would count merged-out rows.
   private var innerOpt: Option[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder] = None
   private def inner(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
     innerOpt.getOrElse {
       val t = ParquetTable(ident, spark,
         new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-        prunedPaths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+        prunedDataEntries.map(_.path).toIndexedSeq, Some(fullSchema),
+        classOf[ParquetFileFormat])
       val sb = t.newScanBuilder(options)
       sb.pushFilters(conjuncts): Unit
       innerOpt = Some(sb)
@@ -521,26 +596,28 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner().supportCompletePushDown(agg)
+    !hasDeletes && inner().supportCompletePushDown(agg)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner().pushAggregation(agg)
+    !hasDeletes && inner().pushAggregation(agg)
 
-  private[v2] def prunedPaths: Seq[String] = {
+  private[v2] def prunedDataEntries: Seq[ManifestTable.SqlEntry] = {
     // interval extraction is shared with ManifestTable.updateWhere — the
     // same metadata bounds reads and writes
     val bounds = conjuncts.flatMap(ManifestTable.splitConjuncts)
       .flatMap(ManifestTable.intervalOf)
       .groupBy(_._1).map { case (c, ivs) =>
         c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
-    entries.filter { case (_, stats) =>
+    entries.filter(_.isData).filter { e =>
       bounds.forall { case (c, (lo, hi)) =>
-        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
-    }.map(_._1)
+    }
   }
+  private[v2] def prunedPaths: Seq[String] = prunedDataEntries.map(_.path)
 
   override def build(): Scan = {
+    if (hasDeletes) return buildMoR()
     // An empty table (or a fully pruned one) still builds: Spark's
     // InMemoryFileIndex handles an empty path list (zero partitions
     // planned) and `fullSchema` is supplied, so nothing is inferred.
@@ -555,5 +632,83 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         // already be expired — the CDC consumer's catch-up knob)
         Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
     }
+  }
+
+  /** Hard ceiling on driver-resident delete keys per scan. Delete files
+    * are key-only (orders of magnitude smaller than the data they mask),
+    * but a pathological chain must refuse loudly, not OOM the driver. */
+  private val MaxDeleteKeys = 5000000
+
+  /** Merge-on-read scan over a snapshot with equality-delete entries —
+    * see [[GraftMoRScan]] for the group/filter design. */
+  private def buildMoR(): Scan = {
+    val delEntries = entries.filter(_.deleteKey.isDefined)
+    val delSeqs = delEntries.map(_.seq).distinct.sorted
+    val data = prunedDataEntries
+
+    def kindOf(col: String): Int = {
+      val f = fullSchema.fields.find(_.name == col).getOrElse(sys.error(
+        s"GraftCatalog: delete key column '$col' of $ident is not in the schema"))
+      f.dataType match {
+        case LongType    => 0
+        case IntegerType => 1
+        case DoubleType  => 2
+        case StringType  => 3
+        case BooleanType => 4
+        case other => sys.error(
+          s"GraftCatalog: merge-on-read SQL serves long/int/double/string/" +
+            s"boolean delete keys; '$col' is $other — read via ManifestTable.read")
+      }
+    }
+
+    // each (delete seq, key col)'s key set is loaded ONCE, then unioned
+    // per group — a chain of k delete commits costs k small driver reads
+    val loaded = scala.collection.mutable.Map.empty[(Int, String), Array[Any]]
+    def keysOf(seq: Int, col: String): Array[Any] = loaded.getOrElseUpdate(
+      (seq, col), {
+        val paths = delEntries.filter(e => e.seq == seq && e.deleteKey.contains(col))
+          .map(_.path)
+        spark.read.parquet(paths: _*).select(col).collect().map(_.get(0))
+      })
+
+    // group data files by how many delete commits apply: a delete at seq
+    // d covers data with seq < d, so "applicable deletes" is a suffix of
+    // delSeqs and the groups are contiguous — at most |delSeqs|+1 of them
+    val groups = data.groupBy(e => delSeqs.count(_ > e.seq)).toSeq.sortBy(_._1)
+
+    val built = groups.map { case (nApplicable, es) =>
+      val applicable = delSeqs.takeRight(nApplicable)
+      val byCol: Seq[(String, Array[Any])] =
+        delEntries.filter(e => applicable.contains(e.seq))
+          .groupBy(_.deleteKey.get).toSeq.sortBy(_._1)
+          .map { case (col, ds) =>
+            col -> ds.map(_.seq).distinct.flatMap(s => keysOf(s, col)).toArray
+          }
+      val keyCols = byCol.map(_._1)
+      val internal = StructType(required.fields ++
+        keyCols.filterNot(c => required.fieldNames.contains(c))
+          .map(c => fullSchema.fields.find(_.name == c).get))
+      val t = ParquetTable(ident, spark,
+        new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+        es.map(_.path).toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+      val sb = t.newScanBuilder(options)
+      sb.pushFilters(conjuncts): Unit
+      sb.pruneColumns(internal)
+      val batch = sb.build().toBatch
+      val spec = MoRGroupSpec(
+        keyIdxs = keyCols.map(c => internal.fieldIndex(c)).toArray,
+        keyKinds = keyCols.map(kindOf).toArray,
+        keyValues = byCol.map(_._2).toArray,
+        projection = required.fields.map(f => internal.fieldIndex(f.name)),
+        readTypes = internal.fields.map(_.dataType),
+        readNullable = internal.fields.map(_.nullable))
+      (batch, spec)
+    }
+    val totalKeys = loaded.values.map(_.length.toLong).sum
+    require(totalKeys <= MaxDeleteKeys,
+      s"GraftCatalog: $ident carries $totalKeys equality-delete keys — " +
+        s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
+    new GraftMoRScan(spark, required, built.map(_._1), built.map(_._2),
+      data.map(_.path))
   }
 }

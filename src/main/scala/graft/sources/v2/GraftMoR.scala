@@ -1,0 +1,253 @@
+package graft.sources.v2
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.sources.ManifestTable
+
+/** MERGE-ON-READ through the SQL face (Iceberg's equality-delete read
+  * path, re-expressed over Spark's own DSv2 parquet machinery): a
+  * snapshot carrying equality-delete entries is served by grouping its
+  * data files by WHICH delete commits apply (a delete at sequence d
+  * erases matching keys only from data with seq < d, so the groups are
+  * contiguous in sequence and there are at most |delete commits|+1 of
+  * them), planning one stock parquet batch per group — file pruning,
+  * pushed filters, column pruning all intact — and filtering each
+  * group's rows against ITS applicable delete-key sets in the partition
+  * reader. The key sets are loaded once on the driver (delete files are
+  * key-only and orders of magnitude smaller than data; a loud cap
+  * refuses pathological sets with a pointer to compact()) and shipped to
+  * executors via a torrent broadcast, so a 1000-executor scan fetches
+  * each set once, not once per task.
+  *
+  * Null semantics match the library read path ([[ManifestTable.read]]'s
+  * left-anti join): a NULL key value never matches a delete — the row
+  * survives — and NULL delete keys erase nothing.
+  */
+private[v2] final case class MoRGroupSpec(
+    keyIdxs: Array[Int],          // key column positions in the group's read schema
+    keyKinds: Array[Int],         // 0=long 1=int 2=double 3=string 4=boolean
+    keyValues: Array[Array[Any]], // per key column: the boxed delete-key set
+    projection: Array[Int],       // read-schema position of each OUTPUT column
+    readTypes: Array[DataType],
+    readNullable: Array[Boolean]) {
+  def identityProjection: Boolean =
+    projection.length == readTypes.length &&
+      projection.zipWithIndex.forall { case (p, i) => p == i }
+}
+
+private[v2] final case class MoRInputPartition(group: Int,
+                                               inner: InputPartition)
+    extends InputPartition
+
+private[v2] final class MoRReaderFactory(
+    innerFactories: Array[PartitionReaderFactory],
+    specs: Broadcast[Array[MoRGroupSpec]])
+    extends PartitionReaderFactory {
+
+  // row-based on purpose: the delete filter needs per-row key extraction;
+  // Spark then asks the inner parquet factory for its row reader (which
+  // still decodes vectorized internally)
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MoRInputPartition]
+    val inner = innerFactories(p.group).createReader(p.inner)
+    val spec = specs.value(p.group)
+    if (spec.keyIdxs.isEmpty && spec.identityProjection) inner
+    else new MoRFilteringReader(inner, spec)
+  }
+}
+
+/** Drops rows whose key value is in an applicable delete set, then
+  * projects the group's (possibly widened) read schema down to the scan's
+  * declared output. */
+private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
+                                           spec: MoRGroupSpec)
+    extends PartitionReader[InternalRow] {
+
+  private val sets: Array[java.util.HashSet[Any]] = spec.keyValues.map { vs =>
+    val s = new java.util.HashSet[Any](math.max(16, vs.length * 2))
+    vs.foreach(v => if (v != null) { s.add(v): Unit })
+    s
+  }
+
+  private val project: InternalRow => InternalRow =
+    if (spec.identityProjection) identity
+    else {
+      val proj = UnsafeProjection.create(spec.projection.toIndexedSeq.map(i =>
+        BoundReference(i, spec.readTypes(i), spec.readNullable(i))))
+      row => proj(row)
+    }
+
+  private var current: InternalRow = _
+
+  private def deleted(row: InternalRow): Boolean = {
+    var j = 0
+    while (j < spec.keyIdxs.length) {
+      val i = spec.keyIdxs(j)
+      if (!row.isNullAt(i)) {
+        val v: Any = spec.keyKinds(j) match {
+          case 0 => row.getLong(i)
+          case 1 => row.getInt(i)
+          case 2 => row.getDouble(i)
+          case 3 => row.getUTF8String(i).toString
+          case 4 => row.getBoolean(i)
+        }
+        if (sets(j).contains(v)) return true
+      }
+      j += 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      if (!deleted(row)) { current = project(row); return true }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** The composite scan: one inner parquet batch per delete-scope group,
+  * partitions tagged with their group, one broadcast of the delete-key
+  * sets. `dataPaths` backs [[GraftCatalog.scannedFiles]] pruning
+  * assertions. */
+private[v2] final class GraftMoRScan(spark: SparkSession,
+                                     output: StructType,
+                                     groupBatches: Seq[Batch],
+                                     groupSpecs: Seq[MoRGroupSpec],
+                                     val dataPaths: Seq[String]) extends Scan {
+  override def readSchema(): StructType = output
+  override def description(): String =
+    s"GraftMoRScan(${groupBatches.length} delete-scope groups)"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      groupBatches.zipWithIndex.flatMap { case (b, gi) =>
+        b.planInputPartitions().map(MoRInputPartition(gi, _))
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MoRReaderFactory(
+        groupBatches.map(_.createReaderFactory()).toArray,
+        spark.sparkContext.broadcast(groupSpecs.toArray))
+  }
+}
+
+// ---------------------------------------------------------------- delta write
+
+/** SupportsDelta landing path for SQL UPDATE / MERGE INTO / DELETE on a
+  * keyed table (TBLPROPERTIES 'write.key'): Spark hands the operation as
+  * per-row deltas — delete(rowId) / insert(row) — and the whole mutation
+  * commits as ONE manifest version pairing an equality-delete of the
+  * touched keys with an append of the replacement rows
+  * ([[ManifestTable.publishDeltaExpected]]). Cost is O(|touched rows|)
+  * with ZERO target-file rewrites — the asymptotic fix over the
+  * group-based ReplaceData path, which rewrites the whole table. Readers
+  * serve the result merge-on-read ([[GraftMoRScan]]); compact()
+  * materializes it physically when the delete chain grows. */
+final case class DeltaStagedMessage(delPath: Option[String],
+                                    rowPath: Option[String])
+    extends WriterCommitMessage
+
+class GraftDeltaBatchWrite(dir: String, keyCol: String,
+                           rowSchema: StructType, idSchema: StructType)
+    extends DeltaBatchWrite {
+  private val stagingDir = s"$dir/_staging/delta-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory(stagingDir, rowSchema, idSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: DeltaStagedMessage => m }
+    val dels = msgs.flatMap(_.delPath).toSeq
+    val rows = msgs.flatMap(_.rowPath).toSeq
+    if (dels.isEmpty && rows.isEmpty) { cleanupStaging(); return } // no-op delta
+    // same claim-then-move-then-CAS shape as ManifestBatchWrite.commit
+    val v = ManifestTable.currentVersion(dir) + 1
+    def move(staged: Seq[String], sub: String): Seq[String] = {
+      val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v", sub)
+      java.nio.file.Files.createDirectories(dataDir)
+      staged.sorted.map { p =>
+        val t = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
+        java.nio.file.Files.move(java.nio.file.Paths.get(p), t)
+        t.toAbsolutePath.toString
+      }
+    }
+    val delFinal = move(dels, "del")
+    val rowFinal = move(rows, "rows")
+    ManifestTable.publishDeltaExpected(dir, v, keyCol, delFinal, rowFinal): Unit
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(stagingDir))
+  }
+}
+
+final case class GraftDeltaWriterFactory(stagingDir: String,
+                                         rowSchema: StructType,
+                                         idSchema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, rowSchema, idSchema, partitionId, taskId)
+}
+
+/** Per-task delta writer: touched-row ids stream into a key-only parquet
+  * file, replacement/new rows into a data parquet file — both lazily, so
+  * a task that only deletes stages no row file and vice versa. UPDATE
+  * arrives as delete+insert (`representUpdateAsDeleteAndInsert`), so
+  * `update` only exists for API completeness. */
+class GraftDeltaWriter(stagingDir: String, rowSchema: StructType,
+                       idSchema: StructType, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private var delWriter: ManifestDataWriter = _
+  private var rowWriter: ManifestDataWriter = _
+  private def del(): ManifestDataWriter = {
+    if (delWriter == null)
+      delWriter = new ManifestDataWriter(s"$stagingDir/del", idSchema,
+        partitionId, taskId)
+    delWriter
+  }
+  private def rows(): ManifestDataWriter = {
+    if (rowWriter == null)
+      rowWriter = new ManifestDataWriter(s"$stagingDir/rows", rowSchema,
+        partitionId, taskId)
+    rowWriter
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    del().write(id)
+  override def insert(row: InternalRow): Unit = rows().write(row)
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = DeltaStagedMessage(
+    Option(delWriter).map(_.commit()).map {
+      case StagedFileMessage(p) => p
+    },
+    Option(rowWriter).map(_.commit()).map {
+      case StagedFileMessage(p) => p
+    })
+
+  override def abort(): Unit = {
+    Option(delWriter).foreach(_.abort())
+    Option(rowWriter).foreach(_.abort())
+  }
+  override def close(): Unit = ()
+}

@@ -306,24 +306,119 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 2)
   }
 
-  test("delete entries refuse the SQL face loudly; compaction restores it; pinned versions refuse writes") {
+  test("equality deletes serve via merge-on-read; position deletes refuse; pinned versions refuse writes") {
     import spark.implicits._
     wh: Unit
     spark.sql("CREATE TABLE gtest.ns.refusals (k BIGINT, tag STRING)")
     (1L to 10L).map(k => (k, "x")).toDF("k", "tag").createOrReplaceTempView("src_r")
     spark.sql("INSERT INTO gtest.ns.refusals SELECT * FROM src_r")
     val dir = s"$wh/ns/refusals"
+    // library equality delete: SQL now serves the snapshot merge-on-read
+    // (r10 — the r9 face refused every delete shape)
     ManifestTable.delete(Seq(3L).toDF("k"), dir, "k")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 9)
+    assert(spark.sql("SELECT * FROM gtest.ns.refusals WHERE k = 3").count() == 0)
+    // POSITION deletes still belong to ManifestTable.read — loud refusal
+    ManifestTable.deleteWhere(spark, dir, col("k") === 5L)
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gtest.ns.refusals").collect()
     }
-    assert(e.getMessage.contains("delete entries"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("POSITION-delete"), s"got: ${e.getMessage}")
     ManifestTable.compact(spark, dir, 1)
-    assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 9)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 8)
     val w = intercept[Exception] {
       spark.sql("INSERT INTO gtest.ns.refusals VERSION AS OF 1 SELECT * FROM src_r")
     }
     assert(w != null) // parser or analysis must refuse a pinned-version write
+  }
+
+  test("keyed table: SQL UPDATE/MERGE/DELETE land as O(delta) commits; merge-on-read SELECT serves them") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.kd (k BIGINT, v BIGINT, tag STRING) " +
+      "TBLPROPERTIES('write.key'='k')")
+    (1L to 10L).map(k => (k, k * 10, s"t$k")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("src_kd")
+    spark.sql("INSERT INTO gtest.ns.kd SELECT /*+ REPARTITION(4) */ * FROM src_kd")
+    val dir = s"$wh/ns/kd"
+    val dataFilesV1 = ManifestTable.read(spark, dir, 1).inputFiles.toSet
+    assert(dataFilesV1.size >= 2) // several files, so "no rewrite" is meaningful
+
+    // UPDATE: one delta commit — every v1 data file still referenced
+    // verbatim (zero rewrites), plus a delete file + a replacement file
+    spark.sql("UPDATE gtest.ns.kd SET v = v + 100 WHERE k IN (2, 4)")
+    assert(ManifestTable.currentVersion(dir) == 2)
+    val v2 = spark.sql("SELECT k, v FROM gtest.ns.kd ORDER BY k").collect()
+    assert(v2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 10L).map(k => (k, if (k == 2 || k == 4) k * 10 + 100 else k * 10)))
+    val v2files = ManifestTable.read(spark, dir, 2).inputFiles.toSet
+    assert(dataFilesV1.subsetOf(v2files),
+      "delta UPDATE must keep every prior data file un-rewritten")
+    // aggregates stay correct under merge-on-read (pushdown refused)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.kd").head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.kd").head.getLong(0) ==
+      (1L to 10L).map(_ * 10).sum + 200)
+
+    // MERGE: matched update + unmatched insert in ONE commit
+    Seq((2L, 999L, "m2"), (11L, 110L, "m11")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("src_m2")
+    spark.sql("""MERGE INTO gtest.ns.kd t USING src_m2 s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(ManifestTable.currentVersion(dir) == 3)
+    assert(spark.sql("SELECT v FROM gtest.ns.kd WHERE k = 2").head.getLong(0) == 999)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.kd").head.getLong(0) == 11)
+
+    // DELETE routes through the delta path too (no copy-on-write)
+    spark.sql("DELETE FROM gtest.ns.kd WHERE k = 1")
+    assert(ManifestTable.currentVersion(dir) == 4)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.kd").head.getLong(0) == 10)
+    assert(dataFilesV1.subsetOf(ManifestTable.read(spark, dir, 4).inputFiles.toSet))
+
+    // sequence scoping: re-inserting a deleted key survives the earlier delete
+    Seq((1L, 1000L, "reborn")).toDF("k", "v", "tag").createOrReplaceTempView("src_re")
+    spark.sql("INSERT INTO gtest.ns.kd SELECT * FROM src_re")
+    val re = spark.sql("SELECT v, tag FROM gtest.ns.kd WHERE k = 1").collect()
+    assert(re.length == 1 && re(0).getLong(0) == 1000 && re(0).getString(1) == "reborn")
+
+    // time travel crosses every mutation
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.kd VERSION AS OF 1")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT v FROM gtest.ns.kd VERSION AS OF 2 WHERE k = 2")
+      .head.getLong(0) == 120)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.kd VERSION AS OF 4")
+      .head.getLong(0) == 10)
+
+    // the library read agrees with the SQL merge-on-read scan
+    val lib = ManifestTable.read(spark, dir).select($"k", $"v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val sqlr = spark.sql("SELECT k, v FROM gtest.ns.kd").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(lib == sqlr)
+
+    // WHERE pruning still bounds the merge-on-read scan's file set
+    val pruned = graft.sources.v2.GraftCatalog.scannedFiles(
+      spark.sql("SELECT * FROM gtest.ns.kd WHERE k = 999"))
+    assert(pruned.size < ManifestTable.read(spark, dir).inputFiles.length,
+      "stats pruning must survive the MoR scan path")
+  }
+
+  test("compacting a delta-mutated keyed table restores footer-aggregate pushdown; results identical") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.kd2 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.key'='k')")
+    (1L to 20L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_kd2")
+    spark.sql("INSERT INTO gtest.ns.kd2 SELECT * FROM src_kd2")
+    spark.sql("UPDATE gtest.ns.kd2 SET v = 0 WHERE k <= 5")
+    val before = spark.sql("SELECT k, v FROM gtest.ns.kd2").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val dir = s"$wh/ns/kd2"
+    ManifestTable.compact(spark, dir, 2)
+    val after = spark.sql("SELECT k, v FROM gtest.ns.kd2").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(before == after)
+    assert(before.filter(_._1 <= 5).forall(_._2 == 0L))
   }
 
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
