@@ -1724,6 +1724,142 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q366: RUNTIME file pruning for catalog star joins — the SQL face's
+  // dynamic partition pruning. The fact table declares `write.order` on
+  // the join key, so every file covers a disjoint key range; the scan
+  // advertises its stats-bearing columns via SupportsRuntimeV2Filtering;
+  // and Spark's DPP machinery hands the fact scan an IN-list of the keys
+  // the filtered dimension actually selects — the manifest then drops
+  // whole files BEFORE any footer opens, at RUN time, from a filter the
+  // optimizer could not know statically. The require() pins the shrink
+  // (planned files after runtime filtering < before); the join result
+  // hash-checks against the oracle. At 100 TB this is the difference
+  // between scanning a fact table and scanning the 2% of it one
+  // dimension slice touches.
+  def sqlRuntimeDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q366_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat366", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat366.warehouse", out)
+    // the classic DPP shape: a fact clustered by DAY and a calendar
+    // dimension — a one-month dim slice selects ~30 CONTIGUOUS day keys,
+    // which is exactly what per-file [min,max] stats can prune on (a
+    // value-scattered slice, e.g. "customers of nation 7", hits every
+    // file and prunes nothing at any scale)
+    Tables(s, dir).orders
+      .select(
+        datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        $"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q366_fact_src")
+    Tables(s, dir).orders
+      .select(
+        datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"))
+      .distinct()
+      .createOrReplaceTempView("q366_dim_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat366.db.fact")
+    s.sql("DROP TABLE IF EXISTS graft_cat366.db.dim")
+    s.sql("""CREATE TABLE graft_cat366.db.fact
+            |(d BIGINT, o_orderkey BIGINT, cents BIGINT)
+            |TBLPROPERTIES('write.order'='d',
+            |              'write.order.partitions'='8')""".stripMargin)
+    s.sql("INSERT INTO graft_cat366.db.fact SELECT * FROM q366_fact_src")
+    s.sql("""CREATE TABLE graft_cat366.db.dim
+            |(d BIGINT, y BIGINT, m BIGINT)""".stripMargin)
+    s.sql("INSERT INTO graft_cat366.db.dim SELECT * FROM q366_dim_src")
+    graft.sources.v2.GraftTrackedScan.runtimeLog.remove("db.fact")
+    // the dim is the build side BY CONSTRUCTION (at tiny test scales the
+    // planner might otherwise broadcast the fact, and DPP only prunes the
+    // probe side). AQE is off for THIS query only: under AQE an
+    // onlyInBroadcast DPP subquery races stage scheduling — if the fact
+    // stage plans before the dim broadcast materializes, the filter
+    // degrades to `true` and the pin flakes; the non-adaptive planner
+    // reuses the broadcast deterministically (the pruning itself is the
+    // scan's, not AQE's).
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val res = try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val r = s.sql(
+        """SELECT /*+ BROADCAST(d) */ d.y AS y, d.m AS m,
+          |  count(*) AS n_orders, sum(f.cents) AS total_cents
+          |FROM graft_cat366.db.fact f
+          |JOIN graft_cat366.db.dim d ON f.d = d.d
+          |WHERE d.y = 1996 AND d.m = 3
+          |GROUP BY d.y, d.m ORDER BY y, m""".stripMargin)
+      r.collect() // execute once: runtime filtering happens at execution
+      r
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val log = graft.sources.v2.GraftTrackedScan.runtimeLog.get("db.fact")
+    require(log != null, "q366: the runtime filter must reach the fact scan")
+    require(log._2 < log._1,
+      s"q366: DPP must shrink the fact file set at runtime, got ${log._2}/${log._1}")
+    res
+  }
+
+  // q367: BOUNDED group copy-on-write — SQL UPDATE on an UNKEYED table
+  // (no write.key, so the delta path is unavailable) now rewrites only
+  // the files that can contain matching rows: Spark's group-based scan
+  // planning pushes the command condition, the manifest prunes the scan
+  // to stats-overlapping files, and the commit replaces EXACTLY the
+  // scanned set while every other line — data files with their stats,
+  // delete entries — carries forward verbatim
+  // (ManifestTable.publishCowExpected). q360 keeps the degenerate shape
+  // (unprunable condition → full rewrite); this face pins the bounded
+  // one: survivors > 0 AND rewritten ≪ total, hash-green across two
+  // stages against the oracle's relational recompute.
+  def sqlBoundedGroupCow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q367_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat367", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat367.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q367_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat367.db.cow_t")
+    s.sql("""CREATE TABLE graft_cat367.db.cow_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, d BIGINT, cents BIGINT)
+            |TBLPROPERTIES('write.order'='d','write.order.partitions'='8')""".stripMargin)
+    s.sql("INSERT INTO graft_cat367.db.cow_t SELECT * FROM q367_src")
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/cow_t"
+    val v1Files = ManifestTable.sqlEntriesAt(tblDir, 1).filter(_.isData).map(_.path)
+    require(v1Files.size >= 4, s"q367: need a clustered multi-file base, got ${v1Files.size}")
+    // one-year window on the clustered day column: statically prunable
+    val lo = java.time.LocalDate.parse("1996-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1996-12-31").toEpochDay
+    s.sql(s"""UPDATE graft_cat367.db.cow_t SET cents = cents + 5
+             |WHERE d BETWEEN $lo AND $hi""".stripMargin)
+    require(ManifestTable.currentVersion(tblDir) == 2,
+      "q367: UPDATE must land as one bounded copy-on-write commit (v2)")
+    val v2Files = ManifestTable.sqlEntriesAt(tblDir, 2).filter(_.isData).map(_.path)
+    val survivors = v1Files.toSet.intersect(v2Files.toSet)
+    require(survivors.nonEmpty && survivors.size < v1Files.size,
+      s"q367: bounded rewrite expected — ${survivors.size} survivors of ${v1Files.size}")
+    require(s.sql("SELECT count(*) FROM graft_cat367.db.cow_t VERSION AS OF 1")
+      .head.getLong(0) == s.sql("SELECT count(*) FROM q367_src").head.getLong(0),
+      "q367: time travel to the pre-mutation snapshot must be intact")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+        |FROM graft_cat367.db.cow_t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -1833,6 +1969,8 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_bounded_group_cow" -> sqlBoundedGroupCow _,
+    "q366_runtime_dpp" -> sqlRuntimeDpp _,
     "q365_sql_delta_mutations" -> sqlDeltaUpdateMerge _,
     "q364_sql_branch_read" -> sqlBranchRead _,
     "q363_sql_stream_table" -> sqlStreamTable _,
@@ -1894,6 +2032,34 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q366_runtime_dpp" ->
+      """WITH fact AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dim AS (SELECT DISTINCT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m FROM orders)
+        |SELECT dim.y AS y, dim.m AS m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(fact.cents) AS BIGINT) AS total_cents
+        |FROM fact JOIN dim ON fact.d = dim.d
+        |WHERE dim.y = 1996 AND dim.m = 3
+        |GROUP BY dim.y, dim.m ORDER BY y, m""".stripMargin,
+    "q367_bounded_group_cow" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority, d,
+        |    CASE WHEN d BETWEEN datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |                    AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |         THEN cents + 5 ELSE cents END AS cents FROM src)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM upd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q365_sql_delta_mutations" ->
       """WITH src AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

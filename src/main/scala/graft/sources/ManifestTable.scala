@@ -693,6 +693,32 @@ object ManifestTable {
     claimManifest(dir, v, lines)
   }
 
+  /** Publish a GROUP copy-on-write commit at EXACTLY version `v`: the
+    * data files in `replaced` leave the manifest, `newFiles` (their
+    * rewritten content plus any inserts) enter with seq `v`, and every
+    * other line — untouched data files WITH their stats, delete entries
+    * still scoping surviving data — carries forward verbatim. This is
+    * the landing verb of the bounded group-based SQL UPDATE/MERGE: the
+    * scan reads only groups that may contain matching rows (static
+    * stats pruning + runtime group filtering), and the commit replaces
+    * exactly what the scan produced — Iceberg's copy-on-write contract.
+    * `replaced` = every scanned file, so an unpruned scan degenerates to
+    * the full overwrite this verb replaced. */
+  def publishCowExpected(dir: String, v: Int, replaced: Set[String],
+                         newFiles: Seq[String]): Int = {
+    val cur = currentVersion(dir)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishCowExpected: version $v is not next (current $cur) — concurrent writer")
+    val keep =
+      if (v > 1) manifestFiles(dir, v - 1).filter { l =>
+        val e = parseEntry(l)
+        !(e.isData && replaced.contains(e.path))
+      }
+      else Seq.empty
+    claimManifest(dir, v, keep ++ newFiles.sorted.map(f => dataLine(f)))
+  }
+
   private val MetaCols = Seq("_graft_file", "_graft_pos")
 
   /** Strip reserved hidden-partition columns — they are commit-time

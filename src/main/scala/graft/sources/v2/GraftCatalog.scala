@@ -268,7 +268,7 @@ object GraftCatalog {
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         (r.scan match {
-          case s: GraftStreamableScan => s.batchScan
+          case s: GraftTrackedScan => s.batchScan
           case s => s
         }) match {
           case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
@@ -277,34 +277,6 @@ object GraftCatalog {
           case _ => Seq.empty
         }
     }.flatten
-}
-
-/** Batch scans delegate untouched; `spark.readStream.table("graft.db.t")`
-  * gets the q344 version-offset micro-batch stream (one commit = one
-  * batch, O(delta) planning, exactly-once resume) over the same table. */
-class GraftStreamableScan(val batchScan: Scan, dir: String,
-                          required: StructType,
-                          startVersion: Int = 0) extends Scan {
-  override def readSchema(): StructType = batchScan.readSchema()
-  override def description(): String = batchScan.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    batchScan.toBatch
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    val bad = required.fields.filterNot(f => f.dataType match {
-      case _: org.apache.spark.sql.types.LongType |
-           _: org.apache.spark.sql.types.IntegerType |
-           _: org.apache.spark.sql.types.DoubleType |
-           _: org.apache.spark.sql.types.BooleanType |
-           _: org.apache.spark.sql.types.StringType => true
-      case _ => false
-    })
-    require(bad.isEmpty,
-      s"GraftCatalog streaming read: unsupported column types " +
-        s"${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")} " +
-        "(the streaming reader carries long/int/double/boolean/string)")
-    new ManifestMicroBatchStream(dir, required, startVersion)
-  }
 }
 
 /** One catalog table = one manifest directory, pinned at `version`
@@ -526,19 +498,48 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
+        // The commit replaces EXACTLY the files the scan read (Iceberg's
+        // bounded copy-on-write), which is what makes scan-side pruning
+        // SAFE here: a file whose stats exclude the command's condition
+        // provably holds no matching rows, is never scanned, and carries
+        // forward verbatim — so Spark's GroupBasedRowLevelOperationScan-
+        // Planning pushes the condition, the manifest prunes statically,
+        // and RowLevelOperationRuntimeGroupFiltering shrinks the set
+        // again at runtime from the matched-rows subquery. The r9 shape
+        // (never prune + truncate-the-table) survives as the degenerate
+        // case of an unprunable condition.
+        @volatile private var activeFiles: Option[() => Seq[String]] = None
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
           new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
             options) {
-            // group = the whole table: never prune, never forward filters
-            override def pushFilters(filters: Seq[Expression]): Seq[Expression] = filters
+            // single runtime attribute: the group-filter rule keys its
+            // subquery on ALL advertised attrs, and only single-key
+            // dynamic predicates translate to v2 runtime filters
+            override protected def runtimeAttrs(statCols: Seq[String]): Seq[String] =
+              (writeOrder.map(_._1).filter(statCols.contains) orElse
+                statCols.headOption).toSeq
+            override def build(): Scan = {
+              val s = super.build()
+              activeFiles = Some(s match {
+                case t: GraftTrackedScan => () => t.currentPaths
+                case m: GraftMoRScan     => () => m.dataPaths
+                case _ => () => entries.filter(_.isData).map(_.path)
+              })
+              s
+            }
           }
         override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder = {
           if (sys.env.contains("GRAFT_DEBUG_RL"))
             println("RL-WRITE-SCHEMA=" + wInfo.schema().toDDL +
               " ROWID=" + wInfo.rowIdSchema() + " META=" + wInfo.metadataSchema())
-          val b = new ManifestWriteBuilder(dir, wInfo.schema(), rowLevel = true)
-          b.truncate()
-          b
+          new WriteBuilder {
+            override def build(): org.apache.spark.sql.connector.write.Write =
+              new org.apache.spark.sql.connector.write.Write {
+                override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                  new GroupCowBatchWrite(dir, wInfo.schema(),
+                    () => activeFiles.map(_.apply()))
+              }
+          }
         }
       }
     }
@@ -598,8 +599,12 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     !hasDeletes && inner().supportCompletePushDown(agg)
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !hasDeletes && inner().pushAggregation(agg)
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = !hasDeletes && inner().pushAggregation(agg)
+    if (ok) aggPushed = true
+    ok
+  }
+  private var aggPushed = false
 
   private[v2] def prunedDataEntries: Seq[ManifestTable.SqlEntry] = {
     // interval extraction is shared with ManifestTable.updateWhere — the
@@ -616,22 +621,43 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   }
   private[v2] def prunedPaths: Seq[String] = prunedDataEntries.map(_.path)
 
+  /** Which columns the built scan advertises for RUNTIME filtering
+    * (DPP / group-filter `IN` predicates). Default: every stats-bearing
+    * column. The group copy-on-write op narrows this to ONE column —
+    * Spark's row-level group-filter rule keys its matched-rows subquery
+    * on ALL advertised attributes, and multi-key dynamic predicates do
+    * not translate to v2 runtime filters. */
+  protected def runtimeAttrs(statCols: Seq[String]): Seq[String] = statCols
+
   override def build(): Scan = {
     if (hasDeletes) return buildMoR()
+    if (aggPushed) {
+      // the aggregation is baked into the inner parquet scan (footer
+      // reads); its result set is tiny — no runtime pruning layer
+      val sb = inner()
+      sb.pruneColumns(required)
+      return sb.build()
+    }
     // An empty table (or a fully pruned one) still builds: Spark's
     // InMemoryFileIndex handles an empty path list (zero partitions
     // planned) and `fullSchema` is supplied, so nothing is inferred.
-    val sb = inner()
-    sb.pruneColumns(required)
-    val batchScan = sb.build()
-    streamDir match {
-      case None    => batchScan
-      case Some(d) => new GraftStreamableScan(batchScan, d, required,
-        // `.option("startVersion", "3")` tails the table from a chosen
-        // commit instead of the beginning (historical versions may
-        // already be expired — the CDC consumer's catch-up knob)
-        Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
-    }
+    val data = prunedDataEntries
+    // runtime-filterable columns must be part of the scan OUTPUT — Spark
+    // resolves filterAttributes against the pruned relation and fails
+    // loudly on a column the projection dropped
+    val statCols = required.fieldNames.toSeq
+      .filter(c => data.exists(_.stats.contains(c)))
+    val attrs = runtimeAttrs(statCols)
+    // `.option("startVersion", "3")` tails the table from a chosen
+    // commit instead of the beginning (historical versions may
+    // already be expired — the CDC consumer's catch-up knob)
+    val sv = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
+    if (attrs.nonEmpty)
+      new GraftAdaptiveScan(ident, spark, options, conjuncts, required,
+        fullSchema, data, attrs, streamDir, sv)
+    else
+      new GraftTrackedScan(ident, spark, options, conjuncts, required,
+        fullSchema, data, Nil, streamDir, sv)
   }
 
   /** Hard ceiling on driver-resident delete keys per scan. Delete files

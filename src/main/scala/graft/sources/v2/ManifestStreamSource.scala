@@ -121,15 +121,42 @@ class ManifestMicroBatchStream(dir: String, schema: StructType, startVersion: In
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  // The micro-batch engine plans partitions, then asks for the factory —
+  // both per trigger, serially. Planning builds Spark's OWN parquet batch
+  // over the delta's files (columnar/vectorized decode, the same reader
+  // the batch path uses — r10, replacing the row-at-a-time example-Group
+  // reader) and stashes its factory for the paired createReaderFactory
+  // call. Schema evolution holds: the supplied read schema back-fills
+  // columns missing from older files as NULL, exactly like the batch
+  // path's mergeSchema contract.
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
-    if (a >= b) return Array.empty
-    ManifestTable.addedDataFiles(dir, a, b)
-      .map(p => ManifestFilePartition(p): InputPartition).toArray
+    val files = if (a >= b) Seq.empty else ManifestTable.addedDataFiles(dir, a, b)
+    if (files.isEmpty) {
+      lastFactory = new ManifestStreamReaderFactory(schema)
+      return Array.empty
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      s"graft_manifest_stream($dir)", spark,
+      new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+      files.toIndexedSeq, Some(schema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    val sb = t.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb.pruneColumns(schema)
+    val batch = sb.build().toBatch
+    lastFactory = batch.createReaderFactory()
+    batch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestStreamReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = lastFactory
+    require(f != null,
+      "graft-manifest-stream: reader factory requested before partition planning")
+    f
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

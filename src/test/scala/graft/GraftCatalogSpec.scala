@@ -421,6 +421,74 @@ class GraftCatalogSpec extends SparkSpec {
     assert(before.filter(_._1 <= 5).forall(_._2 == 0L))
   }
 
+  test("group copy-on-write UPDATE is stats-bounded: unmatched files survive un-rewritten") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.gcow (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.order'='k','write.order.partitions'='4')")
+    (1L to 400L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_gcow")
+    spark.sql("INSERT INTO gtest.ns.gcow SELECT * FROM src_gcow")
+    val dir = s"$wh/ns/gcow"
+    val v1Files = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData).map(_.path)
+    assert(v1Files.size >= 3, s"need a clustered multi-file base, got ${v1Files.size}")
+    // condition bounded to one k-range: the scan planning rule pushes it,
+    // the manifest prunes to the overlapping file(s), and the commit
+    // replaces ONLY those — before r10 this rewrote all files
+    spark.sql("UPDATE gtest.ns.gcow SET v = 0 WHERE k BETWEEN 10 AND 20")
+    assert(ManifestTable.currentVersion(dir) == 2)
+    val v2Files = ManifestTable.sqlEntriesAt(dir, 2).filter(_.isData).map(_.path)
+    val survivors = v1Files.toSet.intersect(v2Files.toSet)
+    assert(survivors.nonEmpty && survivors.size < v1Files.size,
+      s"bounded rewrite expected: ${survivors.size} survivors of ${v1Files.size}")
+    // results exact
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.gcow").head.getLong(0) ==
+      (1L to 400L).sum - (10L to 20L).sum)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.gcow").head.getLong(0) == 400)
+    // time travel across the bounded mutation
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.gcow VERSION AS OF 1")
+      .head.getLong(0) == (1L to 400L).sum)
+    // an unprunable condition still degenerates to the full rewrite, correctly
+    spark.sql("UPDATE gtest.ns.gcow SET v = v + 1 WHERE k % 2 = 0")
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.gcow").head.getLong(0) ==
+      (1L to 400L).sum - (10L to 20L).sum + 200)
+  }
+
+  test("star-join SELECT: the fact scan's file set shrinks at runtime from the dim filter (DPP)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.fact (k BIGINT, amt BIGINT) " +
+      "TBLPROPERTIES('write.order'='k','write.order.partitions'='8')")
+    (1L to 800L).map(k => (k, k * 3)).toDF("k", "amt")
+      .createOrReplaceTempView("src_fact")
+    spark.sql("INSERT INTO gtest.ns.fact SELECT * FROM src_fact")
+    spark.sql("CREATE TABLE gtest.ns.dim (k BIGINT, grp STRING)")
+    (1L to 800L by 50).map(k => (k, if (k < 100) "hot" else "cold"))
+      .toDF("k", "grp").createOrReplaceTempView("src_dim")
+    spark.sql("INSERT INTO gtest.ns.dim SELECT * FROM src_dim")
+    val dir = s"$wh/ns/fact"
+    val total = ManifestTable.sqlEntriesAt(dir, 1).count(_.isData)
+    assert(total >= 6, s"need a clustered multi-file fact, got $total")
+    graft.sources.v2.GraftTrackedScan.runtimeLog.clear()
+    // AQE off: an onlyInBroadcast DPP subquery races AQE stage scheduling
+    // (see q366) — the non-adaptive planner reuses the broadcast
+    // deterministically
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val r = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql(
+        """SELECT /*+ BROADCAST(d) */ sum(f.amt) AS s, count(*) AS n
+          |FROM gtest.ns.fact f JOIN gtest.ns.dim d ON f.k = d.k
+          |WHERE d.grp = 'hot'""".stripMargin).collect()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // correctness: hot dim keys are 1 and 51
+    assert(r(0).getLong(0) == (1L + 51L) * 3 && r(0).getLong(1) == 2)
+    val log = graft.sources.v2.GraftTrackedScan.runtimeLog.get("ns.fact")
+    assert(log != null, "runtime filter must reach the fact scan")
+    val (before, after) = (log._1, log._2)
+    assert(after < before,
+      s"DPP must shrink the fact file set at runtime: $after of $before")
+  }
+
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
     import spark.implicits._
     wh: Unit
