@@ -1860,6 +1860,64 @@ object WarehouseQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q368: the branch WAP loop ENTIRELY through the public API — zero
+  // library imports in the query code. `CALL graft.system.create_branch`
+  // forks, `df.writeTo(...).option("branch", ...)` appends to the fork
+  // (main provably pinned by a count require between the writes),
+  // `.option("branch", ...)` on the reader audits the experiment, and
+  // `CALL graft.system.fast_forward` publishes the audited lineage onto
+  // main as pure metadata. Spark 4's ProcedureCatalog + the DSv2 writer
+  // option close the last branch legs that previously needed
+  // ManifestTable imports (q349/q364 did the fork/ff via the library).
+  // The post-ff aggregate hash-checks against the oracle's recompute of
+  // base ∪ experiment rows.
+  def sqlBranchWap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q368_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat368", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat368.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q368_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat368.db.wap_t")
+    s.sql("""CREATE TABLE graft_cat368.db.wap_t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)""".stripMargin)
+    s.sql("INSERT INTO graft_cat368.db.wap_t " +
+      "SELECT * FROM q368_src WHERE o_orderkey % 3 <> 0")
+    val fork = s.sql("CALL graft_cat368.system.create_branch('db.wap_t', 'exp')")
+      .head.getLong(0)
+    require(fork == 1, s"q368: fork at the current version, got $fork")
+    // two experiment appends — ONLY on the branch
+    s.table("q368_src").filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 2 === 0)
+      .writeTo("graft_cat368.db.wap_t").option("branch", "exp").append()
+    val mainBetween = s.sql("SELECT count(*) FROM graft_cat368.db.wap_t")
+      .head.getLong(0)
+    s.table("q368_src").filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 2 === 1)
+      .writeTo("graft_cat368.db.wap_t").option("branch", "exp").append()
+    val total = s.sql("SELECT count(*) FROM q368_src").head.getLong(0)
+    require(mainBetween == s.sql(
+      "SELECT count(*) FROM q368_src WHERE o_orderkey % 3 <> 0").head.getLong(0),
+      "q368: branch writes must be invisible on main")
+    // audit the whole experiment through the reader option
+    val audited = s.read.option("branch", "exp")
+      .table("graft_cat368.db.wap_t").count()
+    require(audited == total, s"q368: branch head must hold all rows, got $audited/$total")
+    // audited → publish: pure-metadata fast-forward through SQL
+    val head = s.sql("CALL graft_cat368.system.fast_forward('db.wap_t', 'exp')")
+      .head.getLong(0)
+    require(head == 3, s"q368: ff must land both branch commits, got head $head")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+        |FROM graft_cat368.db.wap_t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -1969,6 +2027,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_sql_branch_wap" -> sqlBranchWap _,
     "q367_bounded_group_cow" -> sqlBoundedGroupCow _,
     "q366_runtime_dpp" -> sqlRuntimeDpp _,
     "q365_sql_delta_mutations" -> sqlDeltaUpdateMerge _,
@@ -2032,6 +2091,11 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q368_sql_branch_wap" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q366_runtime_dpp" ->
       """WITH fact AS (SELECT
         |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -306,6 +306,14 @@ object ManifestTable {
         throw new CommitConflictException(
           s"lost the manifest CAS for v$v — another writer published it first", e)
     } finally Files.deleteIfExists(tmp)
+    // durable publish instant (v<N>.ts sidecar): TIMESTAMP AS OF prefers
+    // this over the manifest's mtime, so a copied/restored table resolves
+    // the same historical answers (mtimes do not survive a copy). Written
+    // AFTER the claim — a crash between leaves the mtime fallback, which
+    // at that instant is the publish time anyway.
+    try Files.write(md.resolve(s"v$v.ts"),
+      Seq(System.currentTimeMillis().toString).asJava): Unit
+    catch { case _: java.io.IOException => }
     v
   }
 
@@ -637,7 +645,14 @@ object ManifestTable {
     val md = manifests(dir)
     if (!Files.isDirectory(md)) Seq.empty
     else versionsOnDisk(md).map { v =>
-      v -> Files.getLastModifiedTime(md.resolve(s"v$v.list")).toMillis
+      val ts = md.resolve(s"v$v.ts")
+      val millis =
+        if (Files.exists(ts))
+          try Files.readAllLines(ts).get(0).trim.toLong
+          catch { case _: Exception =>
+            Files.getLastModifiedTime(md.resolve(s"v$v.list")).toMillis }
+        else Files.getLastModifiedTime(md.resolve(s"v$v.list")).toMillis
+      v -> millis
     }
   }
 
@@ -1703,6 +1718,36 @@ object ManifestTable {
     claimManifestIn(md, v, lines)
   }
 
+  /** Publish ALREADY-WRITTEN data files as the branch's next version —
+    * [[commitToBranch]]'s staged-file twin, backing the DataFrame writer's
+    * `.option("branch", name)` (the DSv2 batch writer stages per-task
+    * files, then one driver-side publish lands them on the branch). The
+    * caller must have staged the files under a `commit-<v>-<nonce>` data
+    * directory so sequence scoping parses ([[branchDataDir]] hands out
+    * the right target). Append-only (the branch contract); the claim is
+    * the same link-CAS as every commit. */
+  def publishBranchFiles(dir: String, name: String, v: Int,
+                         files: Seq[String]): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val head = versionsOnDisk(md).max
+    if (v != head + 1)
+      throw new CommitConflictException(
+        s"publishBranchFiles: version $v is not next on branch '$name' (head $head)")
+    val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
+      files.sorted.map(f => dataLine(f))
+    claimManifestIn(md, v, lines)
+  }
+
+  /** The branch's next version number and the data directory its files
+    * must land under (`data/commit-<v>-<branch nonce>` — the nonce keeps
+    * branch bytes out of main's commit directories and the version
+    * parses as the entry sequence). */
+  def branchNextCommitDir(dir: String, name: String): (Int, String) = {
+    val v = branchVersion(dir, name) + 1
+    (v, s"$dir/data/commit-$v-${branchNonce(name)}")
+  }
+
   /** Snapshot read of a branch (head by default, any branch version via
     * `version`) — the WAP-for-many-commits read: audit an experiment's
     * whole lineage without it ever being visible on main. */
@@ -1868,9 +1913,11 @@ object ManifestTable {
     }
     dead.foreach { v =>
       Files.delete(md.resolve(s"v$v.list"))
-      // rewrite markers are keyed by VERSION, not commit seq — they die
-      // with their manifest (no surviving manifest can name version v)
+      // rewrite markers and publish instants are keyed by VERSION, not
+      // commit seq — they die with their manifest (no surviving manifest
+      // can name version v)
       Files.deleteIfExists(md.resolve(s"v$v.rw")): Unit
+      Files.deleteIfExists(md.resolve(s"v$v.ts")): Unit
     }
     (dead.size, orphans.size)
   }

@@ -61,9 +61,19 @@ import graft.sources.ManifestTable
   * with that pointer rather than serving wrong rows. Compaction purges
   * deletes, after which the SQL face serves the table again.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // CALL graft.system.compact/expire/vacuum/zorder — see [[GraftProcedures]]
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -403,9 +413,27 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     require(version <= 0,
       s"GraftCatalog: cannot write to $ident VERSION AS OF $version — " +
         "writes go to the table head")
-    writeOrder match {
-      case Some((c, n)) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n)
-      case None         => new ManifestWriteBuilder(dir, info.schema())
+    // `.option("branch", "exp")` on the writer appends to the branch head
+    // instead of main — the write half of the q349/q364 branch surface,
+    // now reachable from df.writeTo(...).append() with zero library
+    // imports. Append-only (no SupportsTruncate): INSERT OVERWRITE of a
+    // branch refuses at analysis.
+    Option(info.options().get("branch")) match {
+      case Some(b) =>
+        require(ManifestTable.branchExists(dir, b),
+          s"GraftCatalog: no branch '$b' on $ident — create it with " +
+            "ManifestTable.createBranch first")
+        new WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.Write {
+              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                new BranchBatchWrite(dir, b, info.schema())
+            }
+        }
+      case None => writeOrder match {
+        case Some((c, n)) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n)
+        case None         => new ManifestWriteBuilder(dir, info.schema())
+      }
     }
   }
 

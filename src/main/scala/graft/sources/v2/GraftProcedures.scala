@@ -1,0 +1,154 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ManifestTable
+
+/** Maintenance verbs of the lakehouse as SQL stored procedures — the
+  * last library-only surface moved behind the catalog (Spark 4's
+  * ProcedureCatalog API; the Iceberg `CALL catalog.system.x` idiom):
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t', 4)      -- materialize merge-on-read, n files
+  *   CALL graft.system.expire('db.t', 3)       -- keep last 3 versions, reclaim
+  *   CALL graft.system.vacuum('db.t', 0)       -- sweep unreferenced files (grace ms)
+  *   CALL graft.system.zorder('db.t', 4, 'a,b')-- z-order compact on columns
+  * }}}
+  *
+  * Each returns one summary row (a [[LocalScan]]) so pipelines can
+  * assert on the effect — e.g. compact returning the delete-free
+  * version restores footer-aggregate pushdown and streaming reads after
+  * a chain of delta mutations (the q365 path's maintenance half). */
+private[v2] object GraftProcedures {
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"GraftCatalog: procedures live in the 'system' namespace, got $ident")
+    def tableDir(t: String): String = {
+      val dir = (warehouse +: t.split('.').toSeq).mkString("/")
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "_manifests")),
+        s"GraftCatalog: no committed table at '$t' under $warehouse")
+      dir
+    }
+    ident.name() match {
+      case "compact" => proc("compact", "materialize merge-on-read state into n files",
+        Seq(in("table", StringType), in("num_files", IntegerType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.compact(SparkSession.active,
+            tableDir(args.getUTF8String(0).toString), args.getInt(1))
+          Seq(row(v.toLong))
+        })
+      case "expire" => proc("expire", "drop manifests older than keep, reclaim orphans",
+        Seq(in("table", StringType), in("keep", IntegerType)),
+        StructType(Seq(
+          StructField("versions_removed", LongType, nullable = false),
+          StructField("files_removed", LongType, nullable = false))),
+        { args =>
+          val (nv, nf) = ManifestTable.expire(
+            tableDir(args.getUTF8String(0).toString), args.getInt(1))
+          Seq(row(nv.toLong, nf.toLong))
+        })
+      case "vacuum" => proc("vacuum", "delete unreferenced files older than grace_ms",
+        Seq(in("table", StringType), in("grace_ms", LongType)),
+        StructType(Seq(
+          StructField("files_removed", LongType, nullable = false),
+          StructField("bytes_removed", LongType, nullable = false))),
+        { args =>
+          val (n, b) = ManifestTable.vacuum(
+            tableDir(args.getUTF8String(0).toString), args.getLong(1))
+          Seq(row(n.toLong, b))
+        })
+      case "zorder" => proc("zorder", "z-order compact on the given columns",
+        Seq(in("table", StringType), in("num_files", IntegerType),
+          in("columns", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        { args =>
+          val cols = args.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+          require(cols.length == 2,
+            "GraftCatalog: zorder takes exactly two columns, e.g. 'a,b'")
+          val v = ManifestTable.compactZOrder(SparkSession.active,
+            tableDir(args.getUTF8String(0).toString), args.getInt(1),
+            cols(0), cols(1))
+          Seq(row(v.toLong))
+        })
+      case "create_branch" => proc("create_branch",
+        "fork a branch at the table's current version",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("fork_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.createBranch(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(v.toLong))
+        })
+      case "fast_forward" => proc("fast_forward",
+        "replay a branch's commits onto main (fails if main diverged)",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("head_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.fastForward(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(v.toLong))
+        })
+      case "drop_branch" => proc("drop_branch",
+        "delete a branch, reclaiming files only it references",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("files_reclaimed", LongType, nullable = false))),
+        { args =>
+          val n = ManifestTable.dropBranch(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(n.toLong))
+        })
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unknown procedure 'system.$other' — have " +
+          "compact, expire, vacuum, zorder, create_branch, fast_forward, " +
+          "drop_branch")
+    }
+  }
+
+  val names: Array[Identifier] =
+    Array("compact", "expire", "vacuum", "zorder",
+      "create_branch", "fast_forward", "drop_branch")
+      .map(Identifier.of(Array("system"), _))
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private def proc(pname: String, desc: String,
+                   params: Seq[ProcedureParameter], outSchema: StructType,
+                   body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val out = body(input).toArray
+          util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+            override def description(): String = s"graft.system.$pname result"
+          }).iterator()
+        }
+      }
+    }
+}

@@ -113,14 +113,60 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
       override def requiredOrdering(): Array[SortOrder] = order
       // 0 = let Spark/AQE size the exchange (the 100 TB default);
       // a pinned count serves small tables and tests, where AQE would
-      // otherwise coalesce to one file and no range layout exists
+      // otherwise coalesce to one file and no file-level range layout
+      // exists
       override def requiredNumPartitions(): Int = orderPartitions
       override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+      // streaming epochs honor the same declared clustering: the
+      // micro-batch planner applies this Write's distribution+ordering,
+      // so freshly-streamed commits carry the same disjoint per-file
+      // ranges — and the same stats-prune story — as batch INSERTs
+      // (r10; previously a writeStream.toTable on a write.order table
+      // threw on the missing toStreaming)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ManifestStreamingWrite(dir, schema)
     }
   }
 }
 
 final case class StagedFileMessage(path: String) extends WriterCommitMessage
+
+/** Batch write onto a BRANCH — `df.writeTo("graft.db.t")
+  * .option("branch", "exp").append()`: task-staged files land as the
+  * branch's next version via [[ManifestTable.publishBranchFiles]], main
+  * never sees them (the WAP surface through the public writer API).
+  * Append-only, like every branch commit; INSERT OVERWRITE refuses at
+  * the builder (no SupportsTruncate). */
+class BranchBatchWrite(dir: String, branch: String, schema: StructType)
+    extends BatchWrite {
+  private val stagingDir = s"$dir/_staging/branch-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val (v, dataDir) = ManifestTable.branchNextCommitDir(dir, branch)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
+    val finalPaths = staged.toSeq.sorted.map { p =>
+      val target = java.nio.file.Paths.get(dataDir)
+        .resolve(java.nio.file.Paths.get(p).getFileName)
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
+      target.toAbsolutePath.toString
+    }
+    ManifestTable.publishBranchFiles(dir, branch, v, finalPaths): Unit
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(stagingDir))
+  }
+}
 
 class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
                          rowLevel: Boolean = false)

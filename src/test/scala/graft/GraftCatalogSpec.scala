@@ -204,6 +204,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.ns.ws").head.getLong(0) == 3)
   }
 
+  test("writeStream.toTable honors write.order: streamed epochs land range-clustered with prunable stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.wso (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.order'='k','write.order.partitions'='4')")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L to 200L).map(k => (k, k)): _*)
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wso_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gtest.ns.wso")
+    q.awaitTermination()
+    val dir = s"$wh/ns/wso"
+    assert(ManifestTable.currentVersion(dir) == 1)
+    val entries = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData)
+    assert(entries.size >= 3,
+      s"the declared clustering must range-split the epoch, got ${entries.size} files")
+    // disjoint per-file ranges: the files sort into non-overlapping k windows
+    val ranges = entries.flatMap(_.stats.get("k")).sortBy(_._1)
+    assert(ranges.size == entries.size, "every streamed file must carry k stats")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"streamed files must cover disjoint ranges: $ranges")
+      case _ =>
+    }
+    // and the stats prune SQL point reads on the streamed table
+    val probe = spark.sql("SELECT v FROM gtest.ns.wso WHERE k = 150")
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    assert(scannedFiles(probe).size == 1 && probe.head.getLong(0) == 150)
+  }
+
   test("readStream.table streams catalog commits one micro-batch each; resume reads only the delta") {
     import spark.implicits._
     wh: Unit
@@ -487,6 +521,95 @@ class GraftCatalogSpec extends SparkSpec {
     val (before, after) = (log._1, log._2)
     assert(after < before,
       s"DPP must shrink the fact file set at runtime: $after of $before")
+  }
+
+  test("branch writes via .option('branch'): append lands on the branch, main untouched, ff completes the loop") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.bw (k BIGINT, v BIGINT)")
+    (1L to 6L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_bw")
+    spark.sql("INSERT INTO gtest.ns.bw SELECT * FROM src_bw")
+    val dir = s"$wh/ns/bw"
+    ManifestTable.createBranch(dir, "exp")
+    // the write half of the branch surface, pure DataFrame API
+    (7L to 9L).map(k => (k, k * 100)).toDF("k", "v")
+      .writeTo("gtest.ns.bw").option("branch", "exp").append()
+    assert(ManifestTable.branchVersion(dir, "exp") == 2)
+    assert(ManifestTable.currentVersion(dir) == 1) // main untouched
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.bw").head.getLong(0) == 6)
+    // the read half sees the branch append (catalog reader option)
+    assert(spark.read.option("branch", "exp").table("gtest.ns.bw").count() == 9)
+    assert(ManifestTable.readBranch(spark, dir, "exp").count() == 9)
+    // a second branch append composes
+    Seq((10L, 1000L)).toDF("k", "v")
+      .writeTo("gtest.ns.bw").option("branch", "exp").append()
+    assert(ManifestTable.readBranch(spark, dir, "exp").count() == 10)
+    // writing to a nonexistent branch refuses loudly
+    intercept[Exception] {
+      Seq((99L, 0L)).toDF("k", "v")
+        .writeTo("gtest.ns.bw").option("branch", "ghost").append()
+    }
+    // fast-forward publishes the branch lineage onto main
+    ManifestTable.fastForward(dir, "exp")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.bw").head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.bw WHERE k >= 7").head.getLong(0)
+      == 700 + 800 + 900 + 1000)
+  }
+
+  test("publish instants are durable: TIMESTAMP AS OF survives a table copy (mtimes do not)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.ti (k BIGINT)")
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("src_ti1")
+    spark.sql("INSERT INTO gtest.ns.ti SELECT * FROM src_ti1")
+    Thread.sleep(1100)
+    val mid = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1100)
+    Seq(3L, 4L, 5L).toDF("k").createOrReplaceTempView("src_ti2")
+    spark.sql("INSERT INTO gtest.ns.ti SELECT * FROM src_ti2")
+    assert(spark.sql(s"SELECT count(*) FROM gtest.ns.ti TIMESTAMP AS OF '$mid'")
+      .head.getLong(0) == 2)
+    // copy the table byte-for-byte; manifest mtimes become "now"
+    val dir = java.nio.file.Paths.get(s"$wh/ns/ti")
+    val cdir = java.nio.file.Paths.get(s"$wh/ns/ti_copy")
+    java.nio.file.Files.walk(dir).forEach { p =>
+      val t = cdir.resolve(dir.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else { java.nio.file.Files.copy(p, t): Unit }
+    }
+    // with mtime-based resolution every copied version would look
+    // published "now" and the mid-instant read would find nothing; the
+    // v<N>.ts sidecars keep the original instants
+    assert(spark.sql(s"SELECT count(*) FROM gtest.ns.ti_copy TIMESTAMP AS OF '$mid'")
+      .head.getLong(0) == 2)
+  }
+
+  test("CALL graft.system.{compact,expire,vacuum}: maintenance verbs through SQL with summary rows") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.pt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.key'='k')")
+    (1L to 20L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_pt")
+    spark.sql("INSERT INTO gtest.ns.pt SELECT * FROM src_pt")
+    spark.sql("UPDATE gtest.ns.pt SET v = 0 WHERE k <= 3") // delta commit (v2)
+    val dir = s"$wh/ns/pt"
+    assert(ManifestTable.sqlEntriesAt(dir, 2).exists(_.deleteKey.isDefined))
+    // compact materializes the merge-on-read state → summary row = new version
+    val cv = spark.sql("CALL gtest.system.compact('ns.pt', 2)").head.getLong(0)
+    assert(cv == 3)
+    assert(!ManifestTable.sqlEntriesAt(dir, 3).exists(_.deleteKey.isDefined))
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.pt").head.getLong(0) ==
+      (4L to 20L).sum)
+    // expire keeps the head only; reclaim counts surface in the row
+    val er = spark.sql("CALL gtest.system.expire('ns.pt', 1)").head
+    assert(er.getLong(0) == 2) // two historical versions dropped
+    // vacuum with zero grace returns counts (no orphans here)
+    val vr = spark.sql("CALL gtest.system.vacuum('ns.pt', 0L)").head
+    assert(vr.getLong(0) >= 0)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.pt").head.getLong(0) == 20)
+    // unknown procedure refuses loudly
+    intercept[Exception] { spark.sql("CALL gtest.system.nope('ns.pt')") }
   }
 
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
