@@ -1918,6 +1918,82 @@ object WarehouseQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q369: COMPOSITE-KEY delta mutations — the q365 path where the row
+  // identifier is ('write.key'='l_orderkey,l_linenumber'), lineitem's
+  // real primary key. The delta commits pair composite equality-deletes
+  // (`D|l_orderkey,l_linenumber|...` manifest lines) with appended rows;
+  // the merge-on-read scan probes tuple key sets; and the pins prove the
+  // IDENTITY is the pair: an UPDATE of line 1 only must leave the same
+  // order's other lines untouched (a first-column-only key would erase
+  // them). Same zero-rewrite accounting as q365, hash-green against the
+  // oracle's relational recompute.
+  def sqlCompositeKeyDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q369_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat369", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat369.warehouse", out)
+    // the synthetic lineitem repeats (orderkey, linenumber) pairs —
+    // aggregate to them so the composite key is unique BY CONSTRUCTION
+    // (the delta contract is the user's uniqueness declaration)
+    Tables(s, dir).lineitem
+      .groupBy($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"))
+      .agg(sum($"l_quantity".cast("long")).as("qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .createOrReplaceTempView("q369_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat369.db.li_t")
+    s.sql("""CREATE TABLE graft_cat369.db.li_t
+            |(l_orderkey BIGINT, l_linenumber BIGINT, qty BIGINT, cents BIGINT)
+            |TBLPROPERTIES('write.key'='l_orderkey,l_linenumber')""".stripMargin)
+    s.sql("INSERT INTO graft_cat369.db.li_t " +
+      "SELECT /*+ REPARTITION(8) */ * FROM q369_src")
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/li_t"
+    val baseFiles = ManifestTable.sqlEntriesAt(tblDir, 1)
+      .filter(_.isData).map(_.path).toSet
+    def deltaPin(v: Int, verb: String): Unit = {
+      require(ManifestTable.currentVersion(tblDir) == v,
+        s"q369: $verb must land as exactly one delta commit (v$v)")
+      val es = ManifestTable.sqlEntriesAt(tblDir, v)
+      require(baseFiles.subsetOf(es.filter(_.isData).map(_.path).toSet),
+        s"q369: $verb rewrote base data files — the delta contract is zero rewrites")
+      require(es.exists(_.deleteKey.contains("l_orderkey,l_linenumber")),
+        s"q369: $verb must carry a COMPOSITE equality-delete entry")
+    }
+    // UPDATE line 1 of every 13th order — sibling lines must survive
+    s.sql("""UPDATE graft_cat369.db.li_t SET qty = qty + 1000
+            |WHERE l_orderkey % 13 = 0 AND l_linenumber = 1""".stripMargin)
+    deltaPin(2, "UPDATE")
+    // MERGE keyed on BOTH columns: bump cents of line 2 where present,
+    // insert a synthetic line 90 for every 31st order
+    s.sql("""MERGE INTO graft_cat369.db.li_t t
+            |USING (SELECT l_orderkey, 2 AS l_linenumber, 0 AS qty,
+            |         77 AS cents FROM q369_src WHERE l_linenumber = 2
+            |         AND l_orderkey % 17 = 0
+            |       UNION ALL
+            |       SELECT DISTINCT l_orderkey, 90, 1, 9090 FROM q369_src
+            |       WHERE l_orderkey % 31 = 0) s
+            |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+            |WHEN MATCHED THEN UPDATE SET qty = s.qty, cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    deltaPin(3, "MERGE")
+    s.sql("""DELETE FROM graft_cat369.db.li_t
+            |WHERE l_orderkey % 19 = 0 AND l_linenumber >= 5""".stripMargin)
+    deltaPin(4, "DELETE")
+    require(s.sql("SELECT count(*) FROM graft_cat369.db.li_t VERSION AS OF 1")
+      .head.getLong(0) == s.sql("SELECT count(*) FROM q369_src").head.getLong(0),
+      "q369: time travel to the pre-mutation snapshot must be intact")
+    s.sql(
+      """SELECT l_linenumber, count(*) AS n_rows, sum(qty) AS total_qty,
+        |  sum(cents) AS total_cents
+        |FROM graft_cat369.db.li_t
+        |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2027,6 +2103,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_composite_key_delta" -> sqlCompositeKeyDelta _,
     "q368_sql_branch_wap" -> sqlBranchWap _,
     "q367_bounded_group_cow" -> sqlBoundedGroupCow _,
     "q366_runtime_dpp" -> sqlRuntimeDpp _,
@@ -2091,6 +2168,38 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q369_composite_key_delta" ->
+      """WITH src AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |upd AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 13 = 0 AND l_linenumber = 1
+        |         THEN qty + 1000 ELSE qty END AS qty, cents FROM src),
+        |ms AS (SELECT l_orderkey, CAST(2 AS BIGINT) AS l_linenumber,
+        |    CAST(0 AS BIGINT) AS qty, CAST(77 AS BIGINT) AS cents
+        |  FROM src WHERE l_linenumber = 2 AND l_orderkey % 17 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey, CAST(90 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(9090 AS BIGINT)
+        |  FROM src WHERE l_orderkey % 31 = 0),
+        |merged AS (SELECT u.l_orderkey, u.l_linenumber,
+        |    coalesce(m.qty, u.qty) AS qty, coalesce(m.cents, u.cents) AS cents
+        |  FROM upd u LEFT JOIN ms m
+        |    ON u.l_orderkey = m.l_orderkey AND u.l_linenumber = m.l_linenumber
+        |  UNION ALL
+        |  SELECT m.l_orderkey, m.l_linenumber, m.qty, m.cents FROM ms m
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |    WHERE u.l_orderkey = m.l_orderkey
+        |      AND u.l_linenumber = m.l_linenumber)),
+        |kept AS (SELECT * FROM merged
+        |  WHERE NOT (l_orderkey % 19 = 0 AND l_linenumber >= 5))
+        |SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS total_qty,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM kept GROUP BY 1 ORDER BY l_linenumber""".stripMargin,
     "q368_sql_branch_wap" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

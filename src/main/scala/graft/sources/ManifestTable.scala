@@ -130,6 +130,11 @@ object ManifestTable {
   }
   private def pathOf(line: String): String = parseEntry(line).path
 
+  /** A delete entry's key specification: one or more comma-separated
+    * column names (composite row identifiers). */
+  private[graft] def delKeyCols(keySpec: String): Seq[String] =
+    keySpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Per-column (min, max) of a parquet file, read from the FOOTER only —
     * O(file-count) metadata reads at commit time, never a data scan; this
     * is the planning metadata Iceberg keeps in its manifests. Covered:
@@ -702,6 +707,9 @@ object ManifestTable {
       throw new CommitConflictException(
         s"publishDeltaExpected: version $v is not next (current $cur) — concurrent writer")
     require(v > 1, s"publishDeltaExpected: no committed data under $dir")
+    val cols = delKeyCols(keyCol)
+    require(cols.nonEmpty && cols.forall(c => !c.exists("|;:".contains(_))),
+      s"publishDeltaExpected: illegal delete key spec '$keyCol'")
     val lines = manifestFiles(dir, v - 1) ++
       delFiles.sorted.map(f => s"D|$keyCol|$f") ++
       rowFiles.sorted.map(f => dataLine(f))
@@ -772,13 +780,22 @@ object ManifestTable {
       // BEFORE this commit's own files union in — a MERGE commit's
       // delete+append pair then replaces matched keys without erasing
       // its own re-inserted rows
-      dels.groupBy(_.deleteKey.get).foreach { case (keyCol, ds) =>
+      dels.groupBy(_.deleteKey.get).foreach { case (keySpec, ds) =>
         // a delete whose earlier data was entirely pruned away has
-        // nothing to erase — skip instead of failing the pruned read
+        // nothing to erase — skip instead of failing the pruned read.
+        // keySpec is one or more comma-separated columns (composite row
+        // identifiers, e.g. `l_orderkey,l_linenumber`); the anti join is
+        // null-rejecting per SQL semantics — a NULL in any key column
+        // keeps the row.
         if (df != null) {
+          val cols = delKeyCols(keySpec)
           val keys = spark.read.parquet(ds.map(_.path): _*)
-            .select(col(keyCol).as("_del_key"))
-          df = df.join(keys, df(keyCol) === keys("_del_key"), "left_anti")
+            .select(cols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"_del_k$i") }: _*)
+          val cond = cols.zipWithIndex
+            .map { case (c, i) => df(c) === keys(s"_del_k$i") }
+            .reduce(_ && _)
+          df = df.join(keys, cond, "left_anti")
         }
       }
       if (datas.nonEmpty) {
@@ -1288,9 +1305,14 @@ object ManifestTable {
         // ADVICE r8), semi-joined against this commit's keys
         val visible = assemble(spark,
           after.filter(_.seq < seq), dir, withMeta = false)
+        val cols = delKeyCols(keyCol)
         val keys = spark.read.parquet(des.map(_.path): _*)
-          .select(col(keyCol).as("_del_key"))
-        visible.join(keys, visible(keyCol) === keys("_del_key"), "left_semi")
+          .select(cols.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"_del_k$i") }: _*)
+        val cond = cols.zipWithIndex
+          .map { case (c, i) => visible(c) === keys(s"_del_k$i") }
+          .reduce(_ && _)
+        visible.join(keys, cond, "left_semi")
           .withColumn("_change_type", lit("delete"))
       }.toSeq
     // position-delete events: the erased rows are pinned by exact

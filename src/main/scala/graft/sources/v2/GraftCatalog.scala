@@ -162,10 +162,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // declaration is the user's uniqueness contract, like Iceberg's
     // identifier-field-ids.
     Option(properties.get("write.key")).foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"GraftCatalog: write.key column '$k' is not in the schema")
+      val cols = ManifestTable.delKeyCols(k)
+      require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
+        s"GraftCatalog: write.key columns '$k' are not all in the schema")
       java.nio.file.Files.write(p.resolve("_write.key"),
-        k.getBytes("UTF-8")): Unit
+        cols.mkString(",").getBytes("UTF-8")): Unit
     }
     new GraftSqlTable(ident.toString, dir, -1)
   }
@@ -355,8 +356,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // refuses nullable row-id attributes for delta ops; a NULL key insert
     // fails loudly at write time instead)
     writeKey match {
-      case Some(k) => StructType(base.fields.map(f =>
-        if (f.name == k) f.copy(nullable = false) else f))
+      case Some(ks) => StructType(base.fields.map(f =>
+        if (ks.contains(f.name)) f.copy(nullable = false) else f))
       case None => base
     }
   }
@@ -395,17 +396,20 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   }
 
   /** TBLPROPERTIES('write.key'): the table's declared row identifier —
-    * opting row-level SQL (UPDATE / MERGE / DELETE) into the delta path. */
-  private def writeKey: Option[String] = {
+    * one or more comma-separated columns (composite keys, e.g.
+    * 'l_orderkey,l_linenumber') — opting row-level SQL (UPDATE / MERGE /
+    * DELETE) into the delta path. */
+  private def writeKey: Option[Seq[String]] = {
     val p = java.nio.file.Paths.get(dir, "_write.key")
     if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else Some(ManifestTable.delKeyCols(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim))
   }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     writeOrder.foreach { case (c, _) => m.put("write.order", c): Unit }
-    writeKey.foreach(k => m.put("write.key", k): Unit)
+    writeKey.foreach(ks => m.put("write.key", ks.mkString(",")): Unit)
     m
   }
 
@@ -503,7 +507,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         override def build(): RowLevelOperation = new RowLevelOperation with SupportsDelta {
           override def command(): RowLevelOperation.Command = info.command()
           override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-            Array(org.apache.spark.sql.connector.expressions.Expressions.column(k))
+            k.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
           override def representUpdateAsDeleteAndInsert(): Boolean = true
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
             new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
@@ -515,7 +519,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                   val idSchema = wInfo.rowIdSchema().orElseThrow(() =>
                     new IllegalStateException(
                       s"GraftCatalog: delta write on $ident without a rowIdSchema"))
-                  new GraftDeltaBatchWrite(dir, k, wInfo.schema(), idSchema)
+                  new GraftDeltaBatchWrite(dir, k.mkString(","), wInfo.schema(), idSchema)
                 }
               }
             }
@@ -715,14 +719,18 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       }
     }
 
-    // each (delete seq, key col)'s key set is loaded ONCE, then unioned
-    // per group — a chain of k delete commits costs k small driver reads
-    val loaded = scala.collection.mutable.Map.empty[(Int, String), Array[Any]]
-    def keysOf(seq: Int, col: String): Array[Any] = loaded.getOrElseUpdate(
-      (seq, col), {
-        val paths = delEntries.filter(e => e.seq == seq && e.deleteKey.contains(col))
+    // each (delete seq, key spec)'s key set is loaded ONCE, then unioned
+    // per group — a chain of k delete commits costs k small driver reads.
+    // A spec is one or more comma-separated columns (composite row ids).
+    val loaded = scala.collection.mutable.Map.empty[(Int, String), Array[Array[Any]]]
+    def keysOf(seq: Int, spec: String): Array[Array[Any]] = loaded.getOrElseUpdate(
+      (seq, spec), {
+        val cols = ManifestTable.delKeyCols(spec)
+        val paths = delEntries.filter(e => e.seq == seq && e.deleteKey.contains(spec))
           .map(_.path)
-        spark.read.parquet(paths: _*).select(col).collect().map(_.get(0))
+        spark.read.parquet(paths: _*)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(r => Array.tabulate[Any](cols.length)(r.get))
       })
 
     // group data files by how many delete commits apply: a delete at seq
@@ -732,13 +740,14 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
 
     val built = groups.map { case (nApplicable, es) =>
       val applicable = delSeqs.takeRight(nApplicable)
-      val byCol: Seq[(String, Array[Any])] =
+      val bySpec: Seq[(Seq[String], Array[Array[Any]])] =
         delEntries.filter(e => applicable.contains(e.seq))
           .groupBy(_.deleteKey.get).toSeq.sortBy(_._1)
-          .map { case (col, ds) =>
-            col -> ds.map(_.seq).distinct.flatMap(s => keysOf(s, col)).toArray
+          .map { case (spec, ds) =>
+            ManifestTable.delKeyCols(spec) ->
+              ds.map(_.seq).distinct.flatMap(sq => keysOf(sq, spec)).toArray
           }
-      val keyCols = byCol.map(_._1)
+      val keyCols = bySpec.flatMap(_._1).distinct
       val internal = StructType(required.fields ++
         keyCols.filterNot(c => required.fieldNames.contains(c))
           .map(c => fullSchema.fields.find(_.name == c).get))
@@ -750,9 +759,12 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       sb.pruneColumns(internal)
       val batch = sb.build().toBatch
       val spec = MoRGroupSpec(
-        keyIdxs = keyCols.map(c => internal.fieldIndex(c)).toArray,
-        keyKinds = keyCols.map(kindOf).toArray,
-        keyValues = byCol.map(_._2).toArray,
+        deleteSets = bySpec.map { case (cols, rows) =>
+          MoRDeleteSet(
+            keyIdxs = cols.map(c => internal.fieldIndex(c)).toArray,
+            keyKinds = cols.map(kindOf).toArray,
+            keyRows = rows)
+        }.toArray,
         projection = required.fields.map(f => internal.fieldIndex(f.name)),
         readTypes = internal.fields.map(_.dataType),
         readNullable = internal.fields.map(_.nullable))

@@ -29,16 +29,24 @@ import graft.sources.ManifestTable
   * left-anti join): a NULL key value never matches a delete — the row
   * survives — and NULL delete keys erase nothing.
   */
+/** One delete specification applicable to a group: the (possibly
+  * composite) key columns' positions/kinds in the group's read schema and
+  * the deleted key tuples (each row = one composite key, scalar = one
+  * element). */
+private[v2] final case class MoRDeleteSet(
+    keyIdxs: Array[Int],
+    keyKinds: Array[Int],          // 0=long 1=int 2=double 3=string 4=boolean
+    keyRows: Array[Array[Any]])
+
 private[v2] final case class MoRGroupSpec(
-    keyIdxs: Array[Int],          // key column positions in the group's read schema
-    keyKinds: Array[Int],         // 0=long 1=int 2=double 3=string 4=boolean
-    keyValues: Array[Array[Any]], // per key column: the boxed delete-key set
+    deleteSets: Array[MoRDeleteSet],
     projection: Array[Int],       // read-schema position of each OUTPUT column
     readTypes: Array[DataType],
     readNullable: Array[Boolean]) {
   def identityProjection: Boolean =
     projection.length == readTypes.length &&
       projection.zipWithIndex.forall { case (p, i) => p == i }
+  def hasKeys: Boolean = deleteSets.nonEmpty
 }
 
 private[v2] final case class MoRInputPartition(group: Int,
@@ -59,7 +67,7 @@ private[v2] final class MoRReaderFactory(
     val p = partition.asInstanceOf[MoRInputPartition]
     val inner = innerFactories(p.group).createReader(p.inner)
     val spec = specs.value(p.group)
-    if (spec.keyIdxs.isEmpty && spec.identityProjection) inner
+    if (!spec.hasKeys && spec.identityProjection) inner
     else new MoRFilteringReader(inner, spec)
   }
 }
@@ -71,9 +79,16 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
                                            spec: MoRGroupSpec)
     extends PartitionReader[InternalRow] {
 
-  private val sets: Array[java.util.HashSet[Any]] = spec.keyValues.map { vs =>
-    val s = new java.util.HashSet[Any](math.max(16, vs.length * 2))
-    vs.foreach(v => if (v != null) { s.add(v): Unit })
+  // scalar keys probe a HashSet[Any] directly (no per-row allocation);
+  // composite keys probe a HashSet of value vectors
+  private val sets: Array[java.util.HashSet[Any]] = spec.deleteSets.map { ds =>
+    val s = new java.util.HashSet[Any](math.max(16, ds.keyRows.length * 2))
+    ds.keyRows.foreach { r =>
+      if (r.forall(_ != null)) {
+        val key: Any = if (r.length == 1) r(0) else r.toVector
+        s.add(key): Unit
+      }
+    }
     s
   }
 
@@ -87,19 +102,33 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
 
   private var current: InternalRow = _
 
+  private def extract(row: InternalRow, i: Int, kind: Int): Any =
+    kind match {
+      case 0 => row.getLong(i)
+      case 1 => row.getInt(i)
+      case 2 => row.getDouble(i)
+      case 3 => row.getUTF8String(i).toString
+      case 4 => row.getBoolean(i)
+    }
+
   private def deleted(row: InternalRow): Boolean = {
     var j = 0
-    while (j < spec.keyIdxs.length) {
-      val i = spec.keyIdxs(j)
-      if (!row.isNullAt(i)) {
-        val v: Any = spec.keyKinds(j) match {
-          case 0 => row.getLong(i)
-          case 1 => row.getInt(i)
-          case 2 => row.getDouble(i)
-          case 3 => row.getUTF8String(i).toString
-          case 4 => row.getBoolean(i)
-        }
-        if (sets(j).contains(v)) return true
+    while (j < spec.deleteSets.length) {
+      val ds = spec.deleteSets(j)
+      // a NULL in any key column never matches a delete (the left-anti
+      // null-rejecting contract) — skip this set
+      var i = 0
+      var anyNull = false
+      while (i < ds.keyIdxs.length && !anyNull) {
+        if (row.isNullAt(ds.keyIdxs(i))) anyNull = true
+        i += 1
+      }
+      if (!anyNull) {
+        val key: Any =
+          if (ds.keyIdxs.length == 1) extract(row, ds.keyIdxs(0), ds.keyKinds(0))
+          else Vector.tabulate(ds.keyIdxs.length)(k =>
+            extract(row, ds.keyIdxs(k), ds.keyKinds(k)))
+        if (sets(j).contains(key)) return true
       }
       j += 1
     }
@@ -125,8 +154,23 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
                                      output: StructType,
                                      groupBatches: Seq[Batch],
                                      groupSpecs: Seq[MoRGroupSpec],
-                                     val dataPaths: Seq[String]) extends Scan {
+                                     val dataPaths: Seq[String]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = output
+
+  // byte-size estimate from the data files themselves: without it the
+  // relation reports the default Long.MaxValue and every join over a
+  // merge-on-read snapshot plans sort-merge (no broadcast). Row count is
+  // deliberately absent — deletes make it unknowable without IO.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(dataPaths.map { p =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+          catch { case _: java.io.IOException => 0L }
+        }.sum)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"GraftMoRScan(${groupBatches.length} delete-scope groups)"
   override def toBatch: Batch = new Batch {

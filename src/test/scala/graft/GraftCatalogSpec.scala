@@ -612,6 +612,61 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gtest.system.nope('ns.pt')") }
   }
 
+  test("composite write.key: delta UPDATE/MERGE/DELETE on a two-column row identifier") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.ck (ok BIGINT, ln BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.key'='ok,ln')")
+    val rows = for (o <- 1L to 5L; l <- 1L to 4L) yield (o, l, o * 100 + l)
+    rows.toDF("ok", "ln", "v").createOrReplaceTempView("src_ck")
+    spark.sql("INSERT INTO gtest.ns.ck SELECT /*+ REPARTITION(3) */ * FROM src_ck")
+    val dir = s"$wh/ns/ck"
+    val baseFiles = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData).map(_.path).toSet
+
+    // UPDATE touches exactly the (ok, ln) pairs matching the predicate
+    spark.sql("UPDATE gtest.ns.ck SET v = 0 WHERE ok = 2 AND ln >= 3")
+    assert(ManifestTable.currentVersion(dir) == 2)
+    assert(ManifestTable.sqlEntriesAt(dir, 2)
+      .exists(_.deleteKey.contains("ok,ln")), "composite delete entry expected")
+    assert(baseFiles.subsetOf(
+      ManifestTable.sqlEntriesAt(dir, 2).filter(_.isData).map(_.path).toSet))
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.ck").head.getLong(0) ==
+      rows.map(_._3).sum - (203 + 204))
+    // same ok with OTHER line numbers untouched — the composite key is
+    // the identity, not its first column
+    assert(spark.sql("SELECT v FROM gtest.ns.ck WHERE ok = 2 AND ln = 1")
+      .head.getLong(0) == 201)
+
+    // MERGE on both key columns: one matched update, one insert
+    Seq((3L, 2L, 9999L), (6L, 1L, 601L)).toDF("ok", "ln", "v")
+      .createOrReplaceTempView("src_ckm")
+    spark.sql("""MERGE INTO gtest.ns.ck t USING src_ckm s
+                |ON t.ok = s.ok AND t.ln = s.ln
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT v FROM gtest.ns.ck WHERE ok = 3 AND ln = 2")
+      .head.getLong(0) == 9999)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.ck").head.getLong(0) == 21)
+
+    // DELETE by a predicate that spans both columns
+    spark.sql("DELETE FROM gtest.ns.ck WHERE ok = 1 AND ln <= 2")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.ck").head.getLong(0) == 19)
+    // the library merge-on-read read agrees with the SQL scan
+    val lib = ManifestTable.read(spark, dir).select($"ok", $"ln", $"v")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val sqlr = spark.sql("SELECT ok, ln, v FROM gtest.ns.ck")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(lib == sqlr)
+    // change feed reconstructs composite delete events
+    val feed = ManifestTable.changeFeed(spark, dir, 3, 4)
+    val delEvents = feed.filter($"_change_type" === "delete")
+      .select($"ok", $"ln").as[(Long, Long)].collect().sorted.toSeq
+    assert(delEvents == Seq((1L, 1L), (1L, 2L)))
+    // time travel across all three mutations
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.ck VERSION AS OF 1")
+      .head.getLong(0) == 20)
+  }
+
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
     import spark.implicits._
     wh: Unit
