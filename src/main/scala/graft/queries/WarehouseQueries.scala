@@ -1994,6 +1994,73 @@ object WarehouseQueries {
         |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin)
   }
 
+  // q370: STORAGE-PARTITIONED JOIN — two catalog tables declared
+  // PARTITIONED BY (bucket(16, custkey)) join with ZERO exchanges on
+  // either side: the INSERTs clustered each table by the catalog's own
+  // `bucket` function (one hash exchange at write time — the last
+  // shuffle those rows ever take), every staged file carries its bucket
+  // id as manifest metadata, the scans report KeyGroupedPartitioning
+  // over the SAME canonical function, and Spark aligns the sides
+  // partition-by-partition (spark.sql.sources.v2.bucketing). The
+  // require() pins the absence of Exchange nodes in the executed plan —
+  // at 100 TB this is the co-location discipline that makes repeated
+  // fact-to-fact joins affordable. Result hash-checks the join against
+  // the oracle's plain recompute.
+  def sqlStoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q370_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat370", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat370.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q370_fact_src")
+    Tables(s, dir).customer
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      .createOrReplaceTempView("q370_dim_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat370.db.of")
+    s.sql("DROP TABLE IF EXISTS graft_cat370.db.cd")
+    s.sql("""CREATE TABLE graft_cat370.db.of (o_custkey BIGINT, cents BIGINT)
+            |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+    s.sql("""CREATE TABLE graft_cat370.db.cd
+            |(c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING)
+            |PARTITIONED BY (bucket(16, c_custkey))""".stripMargin)
+    s.sql("INSERT INTO graft_cat370.db.of SELECT * FROM q370_fact_src")
+    s.sql("INSERT INTO graft_cat370.db.cd SELECT * FROM q370_dim_src")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // the join runs shuffle-free; the aggregate AFTER it may exchange
+      val joined = s.sql(
+        """SELECT d.c_nationkey, f.cents
+          |FROM graft_cat370.db.of f
+          |JOIN graft_cat370.db.cd d ON f.o_custkey = d.c_custkey""".stripMargin)
+      joined.collect(): Unit
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"q370: the co-bucketed join must plan ZERO exchanges, got:\n${plan.take(1500)}")
+      require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "q370: the probe must be a real two-sided join, not a broadcast")
+      s.sql(
+        """SELECT d.c_nationkey AS nation, count(*) AS n_orders,
+          |  sum(f.cents) AS total_cents
+          |FROM graft_cat370.db.of f
+          |JOIN graft_cat370.db.cd d ON f.o_custkey = d.c_custkey
+          |GROUP BY d.c_nationkey ORDER BY nation""".stripMargin)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2103,6 +2170,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_storage_partitioned_join" -> sqlStoragePartitionedJoin _,
     "q369_composite_key_delta" -> sqlCompositeKeyDelta _,
     "q368_sql_branch_wap" -> sqlBranchWap _,
     "q367_bounded_group_cow" -> sqlBoundedGroupCow _,
@@ -2168,6 +2236,13 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q370_storage_partitioned_join" ->
+      """SELECT d.c_nationkey AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
+        |GROUP BY d.c_nationkey ORDER BY nation""".stripMargin,
     "q369_composite_key_delta" ->
       """WITH src AS (SELECT l_orderkey,
         |    CAST(l_linenumber AS BIGINT) AS l_linenumber,

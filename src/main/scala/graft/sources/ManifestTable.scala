@@ -208,8 +208,9 @@ object ManifestTable {
     * yields usable stats or the commit built blooms, the bare legacy path
     * otherwise. */
   private def dataLine(path: String,
-                       blooms: Map[String, Array[Long]] = Map.empty): String = {
-    val st = fileStats(path)
+                       blooms: Map[String, Array[Long]] = Map.empty,
+                       extraStats: Map[String, (Double, Double)] = Map.empty): String = {
+    val st = fileStats(path) ++ extraStats
     if (st.isEmpty && blooms.isEmpty) path
     else {
       val statSeg =
@@ -222,6 +223,24 @@ object ManifestTable {
           c + ":" + ws.map(w => f"$w%016x").mkString }.mkString(";")
       "F|" + path + "|" + statSeg + bloomSeg
     }
+  }
+
+  /** Publish ALREADY-WRITTEN files at EXACTLY version `v`, each with
+    * caller-supplied EXTRA manifest stats merged over the footer's — the
+    * bucketed write's landing verb: the writer KNOWS each staged file's
+    * bucket id and records it as a `_ptn_bucket_<col>` stats entry
+    * (manifest-only planning metadata: no physical column, and the
+    * key-grouped scan + hidden-partition pruning both read it). */
+  def publishTaggedExpected(dir: String, v: Int,
+                            files: Seq[(String, Map[String, (Double, Double)])],
+                            append: Boolean): Int = {
+    val cur = currentVersion(dir)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishTaggedExpected: version $v is not next (current $cur) — concurrent writer")
+    val lines = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
+      files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }
+    claimManifest(dir, v, lines)
   }
 
   /** Commit `df` as the next version. Returns the new version number. */
@@ -1530,6 +1549,37 @@ object ManifestTable {
     val p = manifests(dir).resolve(s"v$v.src")
     if (Files.exists(p)) Some(Files.readAllLines(p).asScala.mkString("\n"))
     else None
+  }
+
+  /** RENAME the table directory and rewrite every manifest's absolute
+    * data paths (main versions AND branch namespaces) — zero data IO,
+    * O(|manifests|) string work. Backs ALTER TABLE RENAME in the SQL
+    * catalog. Rename is an offline admin verb: in-flight readers resolved
+    * their file lists at load time and keep working until they hit the
+    * moved bytes; there is no CAS across two directories. Stats, blooms,
+    * source tags, publish instants and the epoch ledger are path-free and
+    * move untouched. */
+  def renameDir(from: String, to: String): Unit = {
+    val src = Paths.get(from)
+    val dst = Paths.get(to)
+    require(Files.isDirectory(src), s"renameDir: no table at $from")
+    require(!Files.exists(dst), s"renameDir: target $to already exists")
+    Option(dst.getParent).foreach(p => Files.createDirectories(p): Unit)
+    val fromAbs = src.toAbsolutePath.normalize.toString
+    Files.move(src, dst)
+    val toAbs = dst.toAbsolutePath.normalize.toString
+    def rewrite(md: Path): Unit = versionsOnDisk(md).foreach { v =>
+      val f = md.resolve(s"v$v.list")
+      val lines = Files.readAllLines(f).asScala.map(_.replace(fromAbs, toAbs))
+      Files.write(f, lines.asJava): Unit
+    }
+    val md = manifests(to)
+    if (Files.isDirectory(md)) {
+      rewrite(md)
+      Option(md.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("branch-"))
+        .foreach(b => rewrite(b.toPath))
+    }
   }
 
   /** Durable stream-epoch ledger (`_manifests/stream.epochs`, one tag per

@@ -62,7 +62,23 @@ import graft.sources.ManifestTable
   * deletes, after which the SQL face serves the table again.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  // the storage-partition transform — resolvable as `bucket` so write
+  // distributions and scan-reported partitionings bind to ONE canonical
+  // function (the SPJ compatibility requirement; see GraftBucketed.scala)
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket" &&
+        (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "bucket"))
+    else Array.empty
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name() == "bucket"
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -134,14 +150,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "GraftCatalog: PARTITIONED BY is not supported — the manifest table " +
-        "prunes via file stats and hidden partition transforms instead " +
-        "(ManifestTable.commitPartitioned)")
+    // PARTITIONED BY (bucket(n, col)): the storage-partitioned-join
+    // declaration — INSERTs cluster by bucket and scans report
+    // KeyGroupedPartitioning. Any other transform keeps the r9 refusal
+    // (identity/range layouts are write.order's job; hidden day/bucket
+    // transforms remain the library's commitPartitioned).
+    val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        val args = t.arguments()
+        val n = args.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(sys.error("GraftCatalog: bucket(n, col) needs a literal count"))
+        val c = args.collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames().mkString(".")
+        }.getOrElse(sys.error("GraftCatalog: bucket(n, col) needs a column"))
+        require(n > 0, s"GraftCatalog: bucket count must be positive, got $n")
+        require(schema.fields.exists(f => f.name == c && f.dataType == LongType),
+          s"GraftCatalog: bucket column '$c' must be a BIGINT column of the schema")
+        Some((c, n))
+      case other => sys.error(
+        s"GraftCatalog: unsupported PARTITIONED BY ${other.mkString(", ")} — " +
+          "only bucket(n, col) (storage-partitioned joins); range layouts " +
+          "are the write.order table property")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
+    bucketSpec.foreach { case (c, n) =>
+      java.nio.file.Files.write(p.resolve("_partition.bucket"),
+        (c + "\n" + n).getBytes("UTF-8")): Unit
+    }
     // schema-on-read everywhere else; the DDL file only serves loads of a
     // table that has no commits yet
     java.nio.file.Files.write(p.resolve("_schema.ddl"),
@@ -155,6 +197,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(_.trim).getOrElse("0")
       java.nio.file.Files.write(p.resolve("_write.order"),
         s"$c\n$parts".getBytes("UTF-8")): Unit
+    }
+    // TBLPROPERTIES('write.target-file-size'='<bytes>'): writes aim
+    // files at this size via Spark's advisory partition sizing (AQE
+    // rebalance for plain inserts, exchange sizing for ordered ones)
+    Option(properties.get("write.target-file-size")).foreach { sz =>
+      val bytes = try sz.trim.toLong catch {
+        case _: NumberFormatException => sys.error(
+          s"GraftCatalog: write.target-file-size must be a byte count, got '$sz'")
+      }
+      require(bytes > 0, "GraftCatalog: write.target-file-size must be positive")
+      java.nio.file.Files.write(p.resolve("_write.size"),
+        bytes.toString.getBytes("UTF-8")): Unit
     }
     // TBLPROPERTIES('write.key'='k'): declares k as the row identifier —
     // SQL UPDATE/MERGE/DELETE then land as O(delta) merge-on-read commits
@@ -211,8 +265,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("GraftCatalog: RENAME is not supported")
+  /** ALTER TABLE ... RENAME TO — a metadata operation: move the
+    * directory and rewrite the manifests' absolute paths
+    * ([[ManifestTable.renameDir]]); zero data bytes move. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    ManifestTable.renameDir(from, to)
+  }
 
   // Namespaces are implicit directories (the JDBC-catalog convention):
   // any single level exists on demand, created physically by the first
@@ -382,7 +444,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       es
     }
     new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
-      schema(), options, streamDir = Some(dir))
+      schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec)
   }
 
   private def writeOrder: Option[(String, Int)] = {
@@ -393,6 +455,29 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         .split('\n').map(_.trim)
       Some((ls(0), if (ls.length > 1 && ls(1).nonEmpty) ls(1).toInt else 0))
     }
+  }
+
+  /** PARTITIONED BY (bucket(n, col)) declaration, if any. */
+  private def bucketSpec: Option[(String, Int)] = {
+    val p = java.nio.file.Paths.get(dir, "_partition.bucket")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val ls = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').map(_.trim)
+      Some((ls(0), ls(1).toInt))
+    }
+  }
+
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        : Transform
+    }.toArray
+
+  private def targetFileSize: Long = {
+    val p = java.nio.file.Paths.get(dir, "_write.size")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
   }
 
   /** TBLPROPERTIES('write.key'): the table's declared row identifier —
@@ -410,6 +495,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     val m = new util.HashMap[String, String]()
     writeOrder.foreach { case (c, _) => m.put("write.order", c): Unit }
     writeKey.foreach(ks => m.put("write.key", ks.mkString(",")): Unit)
+    if (targetFileSize > 0)
+      m.put("write.target-file-size", targetFileSize.toString): Unit
     m
   }
 
@@ -434,9 +521,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                 new BranchBatchWrite(dir, b, info.schema())
             }
         }
-      case None => writeOrder match {
-        case Some((c, n)) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n)
-        case None         => new ManifestWriteBuilder(dir, info.schema())
+      case None => (bucketSpec, writeOrder) match {
+        case (Some((c, n)), _) => new BucketedWriteBuilder(dir, info.schema(), c, n)
+        case (None, Some((c, n))) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n,
+          targetFileSize = targetFileSize)
+        case (None, None) => new ManifestWriteBuilder(dir, info.schema(),
+          targetFileSize = targetFileSize)
       }
     }
   }
@@ -589,7 +679,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
                        entries: Seq[ManifestTable.SqlEntry],
                        fullSchema: StructType,
                        options: CaseInsensitiveStringMap,
-                       streamDir: Option[String] = None)
+                       streamDir: Option[String] = None,
+                       bucketSpec: Option[(String, Int)] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -663,6 +754,20 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
 
   override def build(): Scan = {
     if (hasDeletes) return buildMoR()
+    // a bucket-partitioned table reports KeyGroupedPartitioning so joins
+    // between co-bucketed tables skip both exchanges (SPJ). Requires
+    // every (pruned) data file to carry its bucket tag — a library-side
+    // commit without tags falls back to the plain scan, losing only the
+    // partitioning report, never correctness.
+    bucketSpec match {
+      case Some((c, n)) if !aggPushed =>
+        val data = prunedDataEntries
+        val tag = s"_ptn_bucket_$c"
+        if (data.nonEmpty && data.forall(_.stats.contains(tag)))
+          return new GraftBucketedScan(ident, spark, options, conjuncts,
+            required, fullSchema, data, c, n)
+      case _ =>
+    }
     if (aggPushed) {
       // the aggregation is baked into the inner parquet scan (footer
       // reads); its result set is tiny — no runtime pruning layer

@@ -80,16 +80,31 @@ class GraftTrackedScan(ident: String, spark: SparkSession,
   // without this delegation the wrapped relation reports the default
   // Long.MaxValue size, every join plans as sort-merge, and DPP degrades
   // to `true` (onlyInBroadcast subqueries need a broadcast to reuse) —
-  // at 100 TB the broadcast decision IS the star-join plan
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  // at 100 TB the broadcast decision IS the star-join plan. Row counts
+  // come from the manifest's `__rows` footer counts over the PRUNED
+  // entry set — exact with zero IO (the countStar machinery feeding the
+  // planner), where the parquet scan alone would estimate rows from
+  // bytes.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val innerStats = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.empty()
-        override def numRows() = java.util.OptionalLong.empty()
-      }
+        Some(s.estimateStatistics())
+      case _ => None
     }
+    val exactRows: Option[Long] = {
+      val counts = entries.map(_.stats.get("__rows"))
+      if (counts.nonEmpty && counts.forall(_.isDefined))
+        Some(counts.flatten.map(_._1.toLong).sum)
+      else None
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        innerStats.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of).getOrElse(
+          innerStats.map(_.numRows()).getOrElse(java.util.OptionalLong.empty()))
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -208,7 +223,11 @@ class GroupCowBatchWrite(dir: String, schema: StructType,
     new ManifestWriterFactory(stagingDir, schema, rowLevel = true)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val staged = messages.flatMap {
+      case StagedFileMessage(p)   => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Seq.empty
+    }
     val v = ManifestTable.currentVersion(dir) + 1
     val replaced = scannedF().getOrElse(sys.error(
       "GroupCowBatchWrite: row-level write committed without a scan — " +

@@ -87,13 +87,21 @@ class ManifestWriteTable(writeSchema: StructType, props: Map[String, String])
 class ManifestWriteBuilder(dir: String, schema: StructType,
                            orderCol: Option[String] = None,
                            orderPartitions: Int = 0,
-                           rowLevel: Boolean = false)
+                           rowLevel: Boolean = false,
+                           targetFileSize: Long = 0)
     extends WriteBuilder with SupportsTruncate {
   private var append = true
   override def truncate(): WriteBuilder = { append = false; this }
   override def build(): Write = orderCol match {
+    // `write.target-file-size` WITHOUT a declared ordering: Spark
+    // refuses an advisory size on an unspecified distribution, so the
+    // split happens at the WRITER — each task ROLLS to a new parquet
+    // file when the in-progress file reaches the target (the Iceberg
+    // write.target-file-size-bytes contract: rolling bounds the maximum,
+    // the exchange bounds the minimum only when an ordering is declared).
     case None => new Write {
-      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append, rowLevel)
+      override def toBatch: BatchWrite =
+        new ManifestBatchWrite(dir, schema, append, rowLevel, targetFileSize)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new ManifestStreamingWrite(dir, schema)
     }
@@ -114,8 +122,14 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
       // 0 = let Spark/AQE size the exchange (the 100 TB default);
       // a pinned count serves small tables and tests, where AQE would
       // otherwise coalesce to one file and no file-level range layout
-      // exists
-      override def requiredNumPartitions(): Int = orderPartitions
+      // exists. An advisory target-file-size sizes the range exchange
+      // instead (the two knobs are mutually exclusive per the DSv2
+      // contract: numPartitions must be 0 when the advisory size is set).
+      override def requiredNumPartitions(): Int =
+        if (targetFileSize > 0) 0 else orderPartitions
+      override def advisoryPartitionSizeInBytes(): Long =
+        if (targetFileSize > 0) targetFileSize
+        else super.advisoryPartitionSizeInBytes()
       override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
       // streaming epochs honor the same declared clustering: the
       // micro-batch planner applies this Write's distribution+ordering,
@@ -130,6 +144,8 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
 }
 
 final case class StagedFileMessage(path: String) extends WriterCommitMessage
+/** A task that ROLLED files at `write.target-file-size` stages several. */
+final case class StagedFilesMessage(paths: Seq[String]) extends WriterCommitMessage
 
 /** Batch write onto a BRANCH — `df.writeTo("graft.db.t")
   * .option("branch", "exp").append()`: task-staged files land as the
@@ -145,7 +161,11 @@ class BranchBatchWrite(dir: String, branch: String, schema: StructType)
     new ManifestWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val staged = messages.flatMap {
+      case StagedFileMessage(p)   => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Seq.empty
+    }
     val (v, dataDir) = ManifestTable.branchNextCommitDir(dir, branch)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
     val finalPaths = staged.toSeq.sorted.map { p =>
@@ -169,15 +189,19 @@ class BranchBatchWrite(dir: String, branch: String, schema: StructType)
 }
 
 class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
-                         rowLevel: Boolean = false)
+                         rowLevel: Boolean = false, targetFileSize: Long = 0)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(stagingDir, schema, rowLevel)
+    new ManifestWriterFactory(stagingDir, schema, rowLevel, targetFileSize)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val staged = messages.flatMap {
+      case StagedFileMessage(p)   => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Seq.empty
+    }
     // Claim the version ONCE, move staged files under it, then publish at
     // exactly that version. publishExpected's no-replace manifest rename is
     // the atomic create: if a concurrent writer claimed v first, the
@@ -208,10 +232,12 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
 }
 
 class ManifestWriterFactory(stagingDir: String, schema: StructType,
-                            rowLevel: Boolean = false)
+                            rowLevel: Boolean = false,
+                            targetFileSize: Long = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(stagingDir, schema, partitionId, taskId, rowLevel)
+    new ManifestDataWriter(stagingDir, schema, partitionId, taskId, rowLevel,
+      targetFileSize)
 }
 
 /** Exactly-once STREAMING write into the manifest table — the native
@@ -256,7 +282,11 @@ class ManifestStreamingWrite(dir: String, schema: StructType)
         s"${owned.map(t => s"'$t'").getOrElse("an untagged writer")} — a " +
         s"foreign commit broke the epoch ledger; failing loudly instead of " +
         s"dropping epoch $epochId")
-    val staged = messages.collect { case StagedFileMessage(p) => p }
+    val staged = messages.flatMap {
+      case StagedFileMessage(p)   => Seq(p)
+      case StagedFilesMessage(ps) => ps
+      case _ => Seq.empty
+    }
     val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
     java.nio.file.Files.createDirectories(dataDir)
     val finalPaths = staged.toSeq.sorted.map { p =>
@@ -303,7 +333,8 @@ final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
   * memory is one parquet row group, independent of partition size. */
 class ManifestDataWriter(stagingDir: String, schema: StructType,
                          partitionId: Int, taskId: Long,
-                         rowLevel: Boolean = false)
+                         rowLevel: Boolean = false,
+                         targetFileSize: Long = 0)
     extends DataWriter[InternalRow] {
 
   private val parquetSchema: MessageType = {
@@ -325,14 +356,33 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
     b.named("graft_manifest_row")
   }
 
-  private val path = s"$stagingDir/part-$partitionId-$taskId.parquet"
-  private val writer: ParquetWriter[Group] = {
+  // file ROLLING (`write.target-file-size`): when the in-progress file's
+  // buffered+flushed size reaches the target, it closes and a new part
+  // opens — bounding the MAXIMUM file size at any input shape (the
+  // minimum is the exchange's job, and only when an ordering is declared)
+  private var fileSeq = 0
+  private var donePaths: List[String] = Nil
+  private def newPath(): String = {
+    val suffix = if (fileSeq == 0) "" else s"-r$fileSeq"
+    s"$stagingDir/part-$partitionId-$taskId$suffix.parquet"
+  }
+  private var path = newPath()
+  private def openWriter(): ParquetWriter[Group] = {
     new java.io.File(stagingDir).mkdirs()
     ExampleParquetWriter.builder(new HPath(path))
       .withConf(new Configuration(false))
       .withType(parquetSchema)
       .build()
   }
+  private var writer: ParquetWriter[Group] = openWriter()
+  private def maybeRoll(): Unit =
+    if (targetFileSize > 0 && writer.getDataSize >= targetFileSize) {
+      writer.close()
+      donePaths = path :: donePaths
+      fileSeq += 1
+      path = newPath()
+      writer = openWriter()
+    }
   private val factory = new SimpleGroupFactory(parquetSchema)
 
   // Spark's group-based row-level rewrite (UPDATE / MERGE INTO →
@@ -367,16 +417,20 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
       i += 1
     }
     writer.write(g)
+    maybeRoll()
   }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    StagedFileMessage(path)
+    donePaths match {
+      case Nil => StagedFileMessage(path)
+      case ps  => StagedFilesMessage((path :: ps).reverse)
+    }
   }
 
   override def abort(): Unit = {
     writer.close()
-    new java.io.File(path).delete(): Unit
+    (path :: donePaths).foreach(p => new java.io.File(p).delete(): Unit)
   }
 
   override def close(): Unit = ()

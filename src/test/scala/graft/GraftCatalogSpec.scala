@@ -667,6 +667,124 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 20)
   }
 
+  test("write.target-file-size: inserts bin-pack toward the declared size") {
+    import spark.implicits._
+    wh: Unit
+    // ~1.5 MB of rows, 30 KB target → many right-sized files; the control
+    // table without the property coalesces to few large files under AQE
+    spark.sql("CREATE TABLE gtest.ns.tfs (k BIGINT, pad STRING) " +
+      "TBLPROPERTIES('write.target-file-size'='30000')")
+    spark.sql("CREATE TABLE gtest.ns.tfs0 (k BIGINT, pad STRING)")
+    // incompressible padding so parquet sizes track the row volume
+    val wide = (1L to 20000L).map(k =>
+      (k, java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes).map(b => f"$b%02x").mkString * 2))
+      .toDF("k", "pad")
+    wide.createOrReplaceTempView("src_tfs")
+    spark.sql("INSERT INTO gtest.ns.tfs SELECT /*+ REPARTITION(2) */ * FROM src_tfs")
+    spark.sql("INSERT INTO gtest.ns.tfs0 SELECT /*+ REPARTITION(2) */ * FROM src_tfs")
+    def files(t: String): Seq[java.nio.file.Path] = {
+      val dir = s"$wh/ns/$t"
+      ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData)
+        .map(e => java.nio.file.Paths.get(e.path))
+    }
+    val sized = files("tfs")
+    val control = files("tfs0")
+    assert(sized.size > control.size,
+      s"advisory sizing must split toward the target: ${sized.size} vs ${control.size}")
+    // every sized file is within a loose band of the target (parquet
+    // encodes the padding away, so assert the ordering property, not
+    // exact bytes: no file dwarfs the target by the control's ratio)
+    val maxSized = sized.map(java.nio.file.Files.size).max
+    val maxControl = control.map(java.nio.file.Files.size).max
+    assert(maxSized < maxControl,
+      s"largest sized file $maxSized must undercut the control's $maxControl")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.tfs").head.getLong(0) == 20000)
+  }
+
+  test("ALTER TABLE RENAME: a metadata move — reads, time travel, branches survive") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.rn_a (k BIGINT)")
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("src_rn")
+    spark.sql("INSERT INTO gtest.ns.rn_a SELECT * FROM src_rn")
+    Seq(4L, 5L).toDF("k").createOrReplaceTempView("src_rn2")
+    spark.sql("INSERT INTO gtest.ns.rn_a SELECT * FROM src_rn2")
+    ManifestTable.createBranch(s"$wh/ns/rn_a", "exp")
+    Seq(9L).toDF("k").writeTo("gtest.ns.rn_a").option("branch", "exp").append()
+    spark.sql("ALTER TABLE gtest.ns.rn_a RENAME TO ns.rn_b")
+    assert(!spark.catalog.tableExists("gtest.ns.rn_a"))
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.rn_b").head.getLong(0) == 15)
+    // time travel crosses the rename (manifest paths were rewritten)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.rn_b VERSION AS OF 1")
+      .head.getLong(0) == 3)
+    // branch manifests were rewritten too
+    assert(ManifestTable.readBranch(spark, s"$wh/ns/rn_b", "exp").count() == 6)
+    // renaming onto an existing table refuses
+    spark.sql("CREATE TABLE gtest.ns.rn_c (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.rn_b RENAME TO ns.rn_c")
+    }
+  }
+
+  test("storage-partitioned join: co-bucketed tables join with ZERO exchanges") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.spj_f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE gtest.ns.spj_d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1L to 400L).map(k => (k, k * 2)).toDF("k", "v").createOrReplaceTempView("src_sf")
+    (1L to 400L by 3).map(k => (k, k * 5)).toDF("k", "w").createOrReplaceTempView("src_sd")
+    spark.sql("INSERT INTO gtest.ns.spj_f SELECT * FROM src_sf")
+    spark.sql("INSERT INTO gtest.ns.spj_d SELECT * FROM src_sd")
+    // every staged file carries exactly one bucket tag
+    val fdir = s"$wh/ns/spj_f"
+    val tags = ManifestTable.sqlEntriesAt(fdir, 1).filter(_.isData)
+      .map(_.stats.get("_ptn_bucket_k"))
+    assert(tags.forall(_.isDefined) && tags.flatten.forall(t => t._1 == t._2))
+    assert(tags.flatten.map(_._1.toInt).distinct.size == 8)
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force non-broadcast
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = spark.sql(
+        """SELECT f.k, f.v, d.w FROM gtest.ns.spj_f f
+          |JOIN gtest.ns.spj_d d ON f.k = d.k""".stripMargin)
+      val rows = q.collect()
+      assert(rows.length == (1L to 400L by 3).size)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 2 &&
+        r.getLong(2) == r.getLong(0) * 5))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed SPJ must plan ZERO exchanges:\n${plan.take(3000)}")
+      // control: without v2 bucketing the same join shuffles both sides
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val q2 = spark.sql(
+        """SELECT f.k, f.v, d.w FROM gtest.ns.spj_f f
+          |JOIN gtest.ns.spj_d d ON f.k = d.k""".stripMargin)
+      q2.collect()
+      assert(q2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the control join without v2 bucketing should shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // appends compose: a second bucketed INSERT lands tagged too
+    (401L to 450L).map(k => (k, k * 2)).toDF("k", "v").createOrReplaceTempView("src_sf2")
+    spark.sql("INSERT INTO gtest.ns.spj_f SELECT * FROM src_sf2")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.spj_f").head.getLong(0) == 450)
+    assert(ManifestTable.sqlEntriesAt(fdir, 2).filter(_.isData)
+      .forall(_.stats.contains("_ptn_bucket_k")))
+    // file pruning by the bucket key's ordinary min/max stats still works
+    // (bucketing and stats pruning compose)
+    assert(spark.sql("SELECT v FROM gtest.ns.spj_f WHERE k = 425").head.getLong(0) == 850)
+  }
+
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
     import spark.implicits._
     wh: Unit
