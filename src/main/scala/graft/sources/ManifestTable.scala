@@ -1761,6 +1761,20 @@ object ManifestTable {
   def branchExists(dir: String, name: String): Boolean =
     Files.isDirectory(branchMd(dir, name))
 
+  /** Every branch with its fork and head versions — the `.branches`
+    * metadata table's row set. */
+  def listBranches(dir: String): Seq[(String, Int, Int)] = {
+    val md = manifests(dir)
+    if (!Files.isDirectory(md)) return Seq.empty
+    Option(md.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("branch-"))
+      .map { b =>
+        val name = b.getName.stripPrefix("branch-")
+        val fork = Files.readAllLines(b.toPath.resolve("FORK")).get(0).trim.toInt
+        (name, fork, versionsOnDisk(b.toPath).max)
+      }.sortBy(_._1)
+  }
+
   /** Head version of the branch (its fork version until the first branch
     * commit). */
   def branchVersion(dir: String, name: String): Int = {

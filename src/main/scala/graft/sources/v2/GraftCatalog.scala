@@ -141,7 +141,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def loadAt(ident: Identifier, version: Int): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // metadata tables: `graft.db.t.files` arrives as namespace
+      // ["db","t"], name "files" — serve when the namespace IS a table
+      if (ident.namespace().length >= 2 &&
+          GraftMetadataTable.Kinds.contains(ident.name())) {
+        val parentDir = (warehouse +: ident.namespace().toSeq).mkString("/")
+        if (isTable(parentDir))
+          return new GraftMetadataTable(parentDir, ident.toString, ident.name())
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSqlTable(ident.toString, dir, version)
   }
 

@@ -762,6 +762,12 @@ class GraftCatalogSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"co-bucketed SPJ must plan ZERO exchanges:\n${plan.take(3000)}")
+      // GROUP BY on the bucket key is exchange-free too: the reported
+      // partitioning satisfies the aggregation's clustering
+      val qa = spark.sql("SELECT k, sum(v) AS s FROM gtest.ns.spj_f GROUP BY k")
+      qa.collect()
+      assert(!qa.queryExecution.executedPlan.toString.contains("Exchange"),
+        "aggregation over the bucket key must not shuffle")
       // control: without v2 bucketing the same join shuffles both sides
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val q2 = spark.sql(
@@ -783,6 +789,42 @@ class GraftCatalogSpec extends SparkSpec {
     // file pruning by the bucket key's ordinary min/max stats still works
     // (bucketing and stats pruning compose)
     assert(spark.sql("SELECT v FROM gtest.ns.spj_f WHERE k = 425").head.getLong(0) == 850)
+  }
+
+  test("metadata tables: .files / .history / .branches inspect the lakehouse through SQL") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.meta_t (k BIGINT)")
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("src_mt")
+    spark.sql("INSERT INTO gtest.ns.meta_t SELECT * FROM src_mt")
+    Seq(4L, 5L).toDF("k").createOrReplaceTempView("src_mt2")
+    spark.sql("INSERT INTO gtest.ns.meta_t SELECT * FROM src_mt2")
+    val dir = s"$wh/ns/meta_t"
+    ManifestTable.delete(Seq(2L).toDF("k"), dir, "k") // v3 with an eq-delete
+    ManifestTable.createBranch(dir, "exp")
+    ManifestTable.commitToBranch(Seq(9L).toDF("k"), dir, "exp")
+
+    // .files: entries of the CURRENT snapshot, kinds included
+    val files = spark.sql("SELECT kind, count(*) AS n FROM gtest.ns.meta_t.files " +
+      "GROUP BY kind ORDER BY kind").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(files("data") >= 2 && files("eq_delete") >= 1, files.toString)
+
+    // .history: one row per version with publish instants and kind counts
+    val hist = spark.sql("SELECT version, n_data_files, n_eq_deletes, publish_millis " +
+      "FROM gtest.ns.meta_t.history ORDER BY version").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist.last.getInt(2) >= 1) // the delete commit carries eq-delete entries
+    assert(hist.forall(_.getLong(3) > 0L)) // durable instants present
+
+    // .branches
+    val br = spark.sql("SELECT name, fork_version, head_version " +
+      "FROM gtest.ns.meta_t.branches").collect()
+    assert(br.length == 1 && br(0).getString(0) == "exp" &&
+      br(0).getInt(1) == 3 && br(0).getInt(2) == 4)
+
+    // a metadata name under a NONEXISTENT table still refuses
+    intercept[Exception] { spark.sql("SELECT * FROM gtest.ns.ghost.files").collect() }
   }
 
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
