@@ -45,8 +45,18 @@ private[v2] object GraftProcedures {
         Seq(in("table", StringType), in("num_files", IntegerType)),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         { args =>
-          val v = ManifestTable.compact(SparkSession.active,
-            tableDir(args.getUTF8String(0).toString), args.getInt(1))
+          val dir = tableDir(args.getUTF8String(0).toString)
+          val bucketFile = java.nio.file.Paths.get(dir, "_partition.bucket")
+          val v =
+            if (java.nio.file.Files.exists(bucketFile)) {
+              // a bucket-partitioned table compacts PER BUCKET and
+              // re-tags, so storage-partitioned joins survive compaction
+              // (a plain compact would strip the tags and silently
+              // degrade SPJ to shuffling)
+              val ls = new String(java.nio.file.Files.readAllBytes(bucketFile),
+                "UTF-8").split('\n').map(_.trim)
+              compactBucketed(SparkSession.active, dir, ls(0), ls(1).toInt)
+            } else ManifestTable.compact(SparkSession.active, dir, args.getInt(1))
           Seq(row(v.toLong))
         })
       case "expire" => proc("expire", "drop manifests older than keep, reclaim orphans",
@@ -123,6 +133,49 @@ private[v2] object GraftProcedures {
     Array("compact", "expire", "vacuum", "zorder",
       "create_branch", "fast_forward", "drop_branch")
       .map(Identifier.of(Array("system"), _))
+
+  /** Bucket-preserving compaction: the merged snapshot rewrites as ONE
+    * file per bucket (the bucket function routes rows exactly as the
+    * clustered write did), published as an overwrite commit with every
+    * file re-tagged — merge-on-read state materializes AND the
+    * key-grouped scan keeps reporting its partitioning. */
+  private def compactBucketed(spark: SparkSession, dir: String,
+                              col: String, n: Int): Int = {
+    import org.apache.spark.sql.functions.{col => c, pmod, lit}
+    val snap = ManifestTable.read(spark, dir)
+    val v = ManifestTable.currentVersion(dir) + 1
+    val dataDir = s"$dir/data/commit-$v"
+    // one pass: a directory write partitioned by the bucket value (the
+    // pmod formula matches GraftBucketFunction.bucketOf for long keys);
+    // partitionBy strips _b from the file content, so schemas are
+    // untouched and each leaf dir holds exactly one bucket's rows
+    snap.withColumn("_b",
+        pmod(pmod(c(col), lit(n.toLong)) + n, lit(n.toLong)))
+      .repartition(n, c("_b"))
+      .write.partitionBy("_b").mode("overwrite").parquet(s"$dataDir/staged")
+    // hoist each file out of its _b= dir into the commit root with a
+    // bucket-prefixed name (partition-dir layouts confuse downstream
+    // path handling; flat bucket-tagged files are the bucketed write's
+    // own shape)
+    val tagged = Option(new java.io.File(s"$dataDir/staged").listFiles()).toSeq
+      .flatten.filter(d => d.isDirectory && d.getName.startsWith("_b="))
+      .flatMap { d =>
+        val b = d.getName.stripPrefix("_b=").toInt
+        Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val target = java.nio.file.Paths.get(dataDir, s"b$b-${f.getName}")
+            java.nio.file.Files.move(f.toPath, target)
+            target.toAbsolutePath.toString ->
+              Map(s"_ptn_bucket_$col" -> (b.toDouble, b.toDouble))
+          }
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dataDir/staged"))
+    ManifestTable.publishTaggedExpected(dir, v, tagged, append = false)
+  }
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()

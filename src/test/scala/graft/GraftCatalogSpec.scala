@@ -789,6 +789,29 @@ class GraftCatalogSpec extends SparkSpec {
     // file pruning by the bucket key's ordinary min/max stats still works
     // (bucketing and stats pruning compose)
     assert(spark.sql("SELECT v FROM gtest.ns.spj_f WHERE k = 425").head.getLong(0) == 850)
+
+    // compaction is BUCKET-AWARE: CALL compact re-tags, so the SPJ story
+    // survives maintenance (a plain rewrite would strip the tags and
+    // silently degrade to shuffling)
+    spark.sql("CALL gtest.system.compact('ns.spj_f', 8)")
+    val post = ManifestTable.sqlEntriesAt(fdir, 3).filter(_.isData)
+    assert(post.nonEmpty && post.forall(_.stats.contains("_ptn_bucket_k")),
+      "compacted files must keep their bucket tags")
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.spj_f").head.getLong(0) ==
+      (1L to 450L).map(_ * 2).sum)
+    val saved2 = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q3 = spark.sql(
+        """SELECT f.k FROM gtest.ns.spj_f f
+          |JOIN gtest.ns.spj_d d ON f.k = d.k""".stripMargin)
+      q3.collect()
+      assert(!q3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SPJ must still plan zero exchanges after compaction")
+    } finally saved2.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("metadata tables: .files / .history / .branches inspect the lakehouse through SQL") {
