@@ -171,6 +171,63 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(rho(rev) + 1.0) < 1e-12, s"reversed rho != -1")
   }
 
+  test("merge-on-read SQL ≡ library read ≡ reference map under random delta-mutation sequences") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    // the adversarial scenario for the delete-scope grouping: a RANDOM
+    // interleaving of inserts, keyed updates, and deletes, where every
+    // intermediate snapshot must agree across (a) the catalog's MoR scan,
+    // (b) ManifestTable.read's anti-join assembly, and (c) a plain
+    // in-memory reference map — any scope-boundary error (a delete
+    // erasing its own commit's re-inserts, a group mapped to the wrong
+    // delete sets) diverges one of the three.
+    val wdir = java.nio.file.Files.createTempDirectory("graft_mor_prop")
+    spark.conf.set("spark.sql.catalog.gprop", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gprop.warehouse", wdir.toString)
+    spark.sql("CREATE TABLE gprop.ns.m (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.key'='k')")
+    val dir = s"$wdir/ns/m"
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    val rnd = new scala.util.Random(4242)
+    def syncInsert(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("k", "v").createOrReplaceTempView("prop_src")
+      spark.sql("INSERT INTO gprop.ns.m SELECT * FROM prop_src")
+      rows.foreach { case (k, v) => ref(k) = v }
+    }
+    syncInsert((1L to 40L).map(k => (k, k)))
+    (1 to 12).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // keyed UPDATE of a random residue class
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          spark.sql(s"UPDATE gprop.ns.m SET v = v + 1000 WHERE k % $m = $r")
+          ref.keys.toSeq.filter(_ % m == r).foreach(k => ref(k) = ref(k) + 1000)
+        case 1 => // DELETE of a random window
+          val lo = 1 + rnd.nextInt(45)
+          val hi = lo + rnd.nextInt(8)
+          spark.sql(s"DELETE FROM gprop.ns.m WHERE k BETWEEN $lo AND $hi")
+          (lo.toLong to hi.toLong).foreach(ref.remove)
+        case 2 => // INSERT (may re-create previously deleted keys)
+          val base = 1 + rnd.nextInt(60)
+          val fresh = (base.toLong until (base + 5).toLong)
+            .filterNot(ref.contains).map(k => (k, k * 7 + step))
+          if (fresh.nonEmpty) syncInsert(fresh)
+      }
+      val sqlRows = spark.sql("SELECT k, v FROM gprop.ns.m")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val libRows = ManifestTable.read(spark, dir).select($"k", $"v")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val refRows = ref.toSeq.sorted
+      assert(sqlRows == refRows,
+        s"step $step: SQL MoR diverged from reference\nsql=$sqlRows\nref=$refRows")
+      assert(libRows == refRows,
+        s"step $step: library read diverged from reference")
+    }
+    // and the whole history stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM gprop.ns.m VERSION AS OF 1")
+      .head.getLong(0) == 40)
+  }
+
   test("q222 PageRank: scaled mass is conserved up to floor-division loss, ranks positive") {
     import org.apache.spark.sql.functions._
     val ranks = SparkEntry.queries("q222_pagerank")(spark, "/root/testdata/sf0.001")
