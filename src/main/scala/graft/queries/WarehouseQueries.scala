@@ -2061,6 +2061,52 @@ object WarehouseQueries {
     }
   }
 
+  // q371: HIDDEN PARTITIONING through SQL — a table committed with
+  // declared transforms (bucket(8, user) major, days(ts) minor) serves
+  // plain SELECTs through the catalog: the reserved `_ptn_*` columns are
+  // invisible in the schema, and a WHERE on the SOURCE timestamp prunes
+  // whole files via the days-transform stats WITHOUT the query naming
+  // any transform (Iceberg's hidden-partitioning contract, previously a
+  // library-only read via readSourceDays). The require pins the prune;
+  // the week's aggregate hash-checks against the oracle recomputing the
+  // same filter relationally. SQL INSERT refuses — clustering stays
+  // commitPartitioned's discipline.
+  def sqlHiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q371_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat371", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat371.warehouse", out)
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
+    val tblDir = s"$out/db/ev_t"
+    ManifestTable.commitPartitioned(
+      Tables(s, dir).events
+        .select($"ts", $"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents")),
+      tblDir, append = false,
+      Seq(BucketTransform(8, "user_id"), DaysTransform("ts")), numFiles = 24)
+    val total = ManifestTable.fileCount(tblDir)
+    require(total >= 12, s"q371: need a clustered multi-file layout, got $total")
+    require(!s.sql("SELECT * FROM graft_cat371.db.ev_t").columns
+      .exists(_.startsWith("_ptn_")),
+      "q371: transform columns must be invisible through SQL")
+    val q = s.sql(
+      """SELECT event_type, count(*) AS n_events, sum(cents) AS total_cents
+        |FROM graft_cat371.db.ev_t
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val kept = graft.sources.v2.GraftCatalog.scannedFiles(q).size
+    require(kept < total,
+      s"q371: the source-timestamp WHERE must prune via days(ts), got $kept/$total")
+    q
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2170,6 +2216,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q370_storage_partitioned_join" -> sqlStoragePartitionedJoin _,
     "q369_composite_key_delta" -> sqlCompositeKeyDelta _,
     "q368_sql_branch_wap" -> sqlBranchWap _,
@@ -2236,6 +2283,14 @@ object WarehouseQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q371_sql_hidden_partitioning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q370_storage_partitioned_join" ->
       """SELECT d.c_nationkey AS nation,
         |  CAST(count(*) AS BIGINT) AS n_orders,

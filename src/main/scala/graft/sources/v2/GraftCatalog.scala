@@ -414,10 +414,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       else None
     val base = innerTable match {
       case Some(t) =>
-        val s: StructType = t.schema
-        require(!s.fieldNames.exists(_.startsWith("_ptn_")),
-          s"GraftCatalog: $ident carries hidden partition columns — read it " +
-            "via ManifestTable.readSourceDays/readSourceBucket")
+        // hidden-partition transform columns are commit-time planning
+        // metadata, never user data — drop them from the reported schema
+        // (r10: the r9 face refused these tables outright; the scan now
+        // maps source-column predicates through the declared transforms)
+        val s = StructType(t.schema.fields.filterNot(_.name.startsWith("_ptn_")))
         // ALTER-added columns not yet present in any file read as NULL
         val missing = ddl.map(_.fields.filterNot(f => s.fieldNames.contains(f.name)))
           .getOrElse(Array.empty[StructField])
@@ -454,7 +455,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       es
     }
     new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
-      schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec)
+      schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec,
+      hiddenTransforms = ManifestTable.partitionTransforms(dir))
   }
 
   private def writeOrder: Option[(String, Int)] = {
@@ -514,6 +516,10 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     require(version <= 0,
       s"GraftCatalog: cannot write to $ident VERSION AS OF $version — " +
         "writes go to the table head")
+    require(ManifestTable.partitionTransforms(dir).isEmpty,
+      s"GraftCatalog: $ident declares hidden partition transforms — " +
+        "write through ManifestTable.commitPartitioned, which clusters " +
+        "and materializes the transform values")
     // `.option("branch", "exp")` on the writer appends to the branch head
     // instead of main — the write half of the q349/q364 branch surface,
     // now reachable from df.writeTo(...).append() with zero library
@@ -690,7 +696,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
                        fullSchema: StructType,
                        options: CaseInsensitiveStringMap,
                        streamDir: Option[String] = None,
-                       bucketSpec: Option[(String, Int)] = None)
+                       bucketSpec: Option[(String, Int)] = None,
+                       hiddenTransforms: Seq[ManifestTable.Transform] = Nil)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -742,8 +749,34 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   private[v2] def prunedDataEntries: Seq[ManifestTable.SqlEntry] = {
     // interval extraction is shared with ManifestTable.updateWhere — the
     // same metadata bounds reads and writes
-    val bounds = conjuncts.flatMap(ManifestTable.splitConjuncts)
+    val direct = conjuncts.flatMap(ManifestTable.splitConjuncts)
       .flatMap(ManifestTable.intervalOf)
+    // HIDDEN PARTITIONING: a source-column interval also bounds the
+    // declared transform's reserved stats column — `WHERE ts >= X` prunes
+    // on `_ptn_days_ts` day grains, `WHERE k = v` on the bucket value —
+    // without the query ever naming the transform (Iceberg's contract)
+    val mapped = direct.flatMap { case (c, lo, hi) =>
+      hiddenTransforms.filter(_.source == c).flatMap {
+        case t: ManifestTable.DaysTransform =>
+          val dt = fullSchema.fields.find(_.name == c).map(_.dataType)
+          dt match {
+            case Some(_: TimestampType) | Some(_: TimestampNTZType) =>
+              // catalyst timestamp literals are micros since epoch
+              def day(v: Double, up: Boolean): Double =
+                if (v.isInfinite) v
+                else math.floor(v / 86400000000.0) + (if (up) 1 else 0)
+              Some((t.ptnCol, day(lo, up = false), day(hi, up = false)))
+            case Some(_: DateType) => Some((t.ptnCol, lo, hi))
+            case _ => None
+          }
+        case t: ManifestTable.BucketTransform
+            if lo == hi && lo.isFinite && lo == math.floor(lo) =>
+          val b = t.bucketOf(lo.toLong.toString).toDouble
+          Some((t.ptnCol, b, b))
+        case _ => None
+      }
+    }
+    val bounds = (direct ++ mapped)
       .groupBy(_._1).map { case (c, ivs) =>
         c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
     entries.filter(_.isData).filter { e =>

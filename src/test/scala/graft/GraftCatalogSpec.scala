@@ -850,6 +850,50 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gtest.ns.ghost.files").collect() }
   }
 
+  test("hidden-partition tables serve through SQL: source predicates prune via the declared transforms") {
+    import spark.implicits._
+    import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
+    wh: Unit
+    val dir = s"$wh/ns/hp"
+    // 120 days of events, 8 user buckets — committed through the library
+    // (the transform clustering discipline is commitPartitioned's)
+    val rows = (0 until 1200).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(1996, 1, 1, 12, 0).plusDays(i % 120)),
+        s"u${i % 40}", i.toLong)
+    }
+    ManifestTable.commitPartitioned(
+      rows.toDF("ts", "user", "amount"), dir, append = false,
+      Seq(BucketTransform(8, "user"), DaysTransform("ts")), numFiles = 16)
+
+    // SELECT through the catalog: hidden columns are invisible
+    val cols = spark.sql("SELECT * FROM gtest.ns.hp").columns.toSeq
+    assert(cols == Seq("ts", "user", "amount"), cols.toString)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hp").head.getLong(0) == 1200)
+
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val total = ManifestTable.fileCount(dir)
+    assert(total >= 8, s"need a multi-file layout, got $total")
+    // a time-range predicate on the SOURCE column prunes via _ptn_days_ts
+    val q = spark.sql("SELECT sum(amount) FROM gtest.ns.hp " +
+      "WHERE ts >= TIMESTAMP '1996-01-05 00:00:00' " +
+      "AND ts < TIMESTAMP '1996-01-12 00:00:00'")
+    assert(scannedFiles(q).size < total,
+      s"days-transform pruning expected: ${scannedFiles(q).size} of $total")
+    val expected = rows.filter { case (ts, _, _) =>
+      !ts.before(java.sql.Timestamp.valueOf("1996-01-05 00:00:00")) &&
+        ts.before(java.sql.Timestamp.valueOf("1996-01-12 00:00:00"))
+    }.map(_._3).sum
+    assert(q.head.getLong(0) == expected)
+    // note: string-keyed bucket point lookups stay the library's
+    // readSourceBucket (intervalOf only extracts numeric bounds)
+    // SQL writes refuse — the transform discipline is commitPartitioned's
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.ns.hp VALUES " +
+        "(TIMESTAMP '1996-01-01 00:00:00', 'u1', 1)")
+    }
+  }
+
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
     import spark.implicits._
     wh: Unit
