@@ -387,12 +387,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     val v = if (version > 0) version else ManifestTable.currentVersion(dir)
     if (v == 0) Seq.empty
     else {
-      val es = ManifestTable.sqlEntriesAt(dir, v)
-      require(!es.exists(_.posDelete),
-        s"GraftCatalog: $ident carries POSITION-delete entries at v$v — " +
-          "merge-on-read position assembly is ManifestTable.read's job; " +
-          "compact the table to serve it through SQL again")
-      es
+      ManifestTable.sqlEntriesAt(dir, v)
     }
   }
 
@@ -448,11 +443,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // snapshots hit the same refusal as main.
     val branchEntries = Option(options.get("branch")).map { b =>
       val v = ManifestTable.branchVersion(dir, b)
-      val es = ManifestTable.sqlBranchEntriesAt(dir, b, v)
-      require(!es.exists(_.posDelete),
-        s"GraftCatalog: branch '$b' of $ident carries position-delete " +
-          "entries — read it via ManifestTable.readBranch")
-      es
+      ManifestTable.sqlBranchEntriesAt(dir, b, v)
     }
     new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
       schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec,
@@ -705,7 +696,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   private var conjuncts: Seq[Expression] = Nil
   private var required: StructType = fullSchema
 
-  private def hasDeletes: Boolean = entries.exists(_.deleteKey.isDefined)
+  private def hasDeletes: Boolean =
+    entries.exists(e => e.deleteKey.isDefined || e.posDelete)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     conjuncts = filters
@@ -796,6 +788,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   protected def runtimeAttrs(statCols: Seq[String]): Seq[String] = statCols
 
   override def build(): Scan = {
+    if (entries.exists(_.posDelete)) return buildPosMoR()
     if (hasDeletes) return buildMoR()
     // a bucket-partitioned table reports KeyGroupedPartitioning so joins
     // between co-bucketed tables skip both exchanges (SPJ). Requires
@@ -844,6 +837,44 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     * are key-only (orders of magnitude smaller than the data they mask),
     * but a pathological chain must refuse loudly, not OOM the driver. */
   private val MaxDeleteKeys = 5000000
+
+  /** Merge-on-read over POSITION deletes (see [[GraftPosMoRScan]]):
+    * untouched files keep full pushdown; each position-deleted file
+    * reads whole through an ordinal-counting reader. Mixed
+    * position+equality chains refuse — compact materializes both. */
+  private def buildPosMoR(): Scan = {
+    require(!entries.exists(_.deleteKey.isDefined),
+      s"GraftCatalog: $ident carries BOTH equality and position deletes — " +
+        "compact the table to serve it through SQL")
+    val posFiles = entries.filter(_.posDelete).map(_.path)
+    def norm(p: String): String =
+      if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
+    val delRows = spark.read.parquet(posFiles: _*)
+      .select("file_path", "pos").collect()
+    require(delRows.length <= MaxDeleteKeys,
+      s"GraftCatalog: $ident carries ${delRows.length} position deletes — " +
+        s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
+    val deletes: Map[String, Array[Long]] = delRows
+      .groupBy(r => norm(r.getString(0)))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val data = prunedDataEntries
+    val (touched, untouched) = data.partition(e => deletes.contains(norm(e.path)))
+    def scanOver(paths: Seq[String], push: Boolean): Scan = {
+      val t = ParquetTable(ident, spark,
+        new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+        paths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+      val sb = t.newScanBuilder(options)
+      if (push) { sb.pushFilters(conjuncts): Unit }
+      sb.pruneColumns(required)
+      sb.build()
+    }
+    new GraftPosMoRScan(spark, required,
+      scanOver(untouched.map(_.path), push = true),
+      // NO pushed filters on touched files: row-group skipping or
+      // reader-side predicate filtering would shift row ordinals
+      scanOver(touched.map(_.path), push = false),
+      deletes.map { case (f, ps) => f -> ps }, data.map(_.path))
+  }
 
   /** Merge-on-read scan over a snapshot with equality-delete entries —
     * see [[GraftMoRScan]] for the group/filter design. */

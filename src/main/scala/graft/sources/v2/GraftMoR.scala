@@ -146,6 +146,58 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
+// -------------------------------------------------------- position deletes
+
+/** A touched file's partition: every byte range of ONE file, ordered, so
+  * the reader's row ordinal equals the parquet row index. */
+private[v2] final case class PosFilePartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    path: String) extends InputPartition
+
+private[v2] final class PosMoRReaderFactory(
+    untouchedFactory: PartitionReaderFactory,
+    touchedFactory: PartitionReaderFactory,
+    deletes: Broadcast[Map[String, Array[Long]]])
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case _: PosFilePartition => false // the ordinal counter is row-based
+      case p => untouchedFactory.supportColumnarReads(p)
+    }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case PosFilePartition(fp, path) =>
+        new PosFilteringReader(touchedFactory.createReader(fp),
+          deletes.value(path))
+      case p => untouchedFactory.createReader(p)
+    }
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    untouchedFactory.createColumnarReader(partition)
+}
+
+/** Drops rows whose ORDINAL within the file is position-deleted. Sound
+  * because the partition covers the whole file in range order and the
+  * inner scan pushed NO filters (row-group skipping or predicate
+  * filtering inside the reader would shift ordinals). */
+private[v2] final class PosFilteringReader(inner: PartitionReader[InternalRow],
+                                           deleted: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private val dels = new java.util.HashSet[Long](math.max(16, deleted.length * 2))
+  deleted.foreach(d => dels.add(d): Unit)
+  private var ordinal: Long = -1
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      ordinal += 1
+      if (!dels.contains(ordinal)) { current = inner.get(); return true }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
 /** The composite scan: one inner parquet batch per delete-scope group,
   * partitions tagged with their group, one broadcast of the delete-key
   * sets. `dataPaths` backs [[GraftCatalog.scannedFiles]] pruning
@@ -182,6 +234,55 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
       new MoRReaderFactory(
         groupBatches.map(_.createReaderFactory()).toArray,
         spark.sparkContext.broadcast(groupSpecs.toArray))
+  }
+}
+
+/** Merge-on-read over POSITION deletes: untouched files keep the fully
+  * pushed-down parquet batch; each touched file reads whole (no pushed
+  * filters, all ranges in one ordered partition) through an
+  * ordinal-counting reader that drops its deleted row positions. */
+private[v2] final class GraftPosMoRScan(spark: SparkSession,
+                                        output: StructType,
+                                        untouched: Scan,
+                                        touched: Scan,
+                                        deletes: Map[String, Array[Long]],
+                                        val dataPaths: Seq[String]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = output
+  override def description(): String =
+    s"GraftPosMoRScan(${deletes.size} position-deleted files)"
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(dataPaths.map { p =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+          catch { case _: java.io.IOException => 0L }
+        }.sum)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  override def toBatch: Batch = new Batch {
+    private val ub = untouched.toBatch
+    private val tb = touched.toBatch
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val plain = ub.planInputPartitions()
+      // regroup the touched scan's ranges: ALL ranges of one file in one
+      // partition, ordered by start — the ordinal precondition
+      val byFile = tb.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => sys.error(s"GraftPosMoRScan: unexpected partition $other")
+      }.groupBy(f => f.filePath.toPath.toUri.getPath)
+      plain ++ byFile.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((path, ranges), i) =>
+          PosFilePartition(
+            FilePartition(plain.length + i, ranges.sortBy(_.start)), path)
+            : InputPartition
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PosMoRReaderFactory(ub.createReaderFactory(),
+        tb.createReaderFactory(),
+        spark.sparkContext.broadcast(deletes))
   }
 }
 

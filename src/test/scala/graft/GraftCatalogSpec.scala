@@ -352,12 +352,12 @@ class GraftCatalogSpec extends SparkSpec {
     ManifestTable.delete(Seq(3L).toDF("k"), dir, "k")
     assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 9)
     assert(spark.sql("SELECT * FROM gtest.ns.refusals WHERE k = 3").count() == 0)
-    // POSITION deletes still belong to ManifestTable.read — loud refusal
+    // MIXED position+equality chains refuse (each shape alone serves)
     ManifestTable.deleteWhere(spark, dir, col("k") === 5L)
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gtest.ns.refusals").collect()
     }
-    assert(e.getMessage.contains("POSITION-delete"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("BOTH equality and position"), s"got: ${e.getMessage}")
     ManifestTable.compact(spark, dir, 1)
     assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 8)
     val w = intercept[Exception] {
@@ -892,6 +892,38 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO gtest.ns.hp VALUES " +
         "(TIMESTAMP '1996-01-01 00:00:00', 'u1', 1)")
     }
+  }
+
+  test("position deletes serve through SQL: ordinal-counted merge-on-read, filters stay correct") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.pd (k BIGINT, v BIGINT)")
+    (1L to 300L).map(k => (k, k * 10)).toDF("k", "v").createOrReplaceTempView("src_pd")
+    spark.sql("INSERT INTO gtest.ns.pd SELECT /*+ REPARTITION(3) */ * FROM src_pd")
+    val dir = s"$wh/ns/pd"
+    // arbitrary-predicate position delete (no key needed — the second
+    // Iceberg delete shape)
+    ManifestTable.deleteWhere(spark, dir, col("v") % 70 === 0)
+    val gone = (1L to 300L).filter(k => (k * 10) % 70 == 0)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.pd").head.getLong(0) ==
+      300 - gone.size)
+    // the deleted rows are exactly the predicate's
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.pd WHERE v % 70 = 0")
+      .head.getLong(0) == 0)
+    // pushed filters on UNTOUCHED rows still compute exactly (residual
+    // re-application keeps touched-file full reads correct)
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.pd WHERE k <= 50")
+      .head.getLong(0) == (1L to 50L).filterNot(gone.contains).map(_ * 10).sum)
+    // agrees with the library read
+    val lib = ManifestTable.read(spark, dir).agg(sum($"v")).head.getLong(0)
+    assert(spark.sql("SELECT sum(v) FROM gtest.ns.pd").head.getLong(0) == lib)
+    // a SECOND position delete composes
+    ManifestTable.deleteWhere(spark, dir, col("k") === 1L)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.pd").head.getLong(0) ==
+      299 - gone.size)
+    // time travel crosses both
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.pd VERSION AS OF 1")
+      .head.getLong(0) == 300)
   }
 
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
