@@ -228,6 +228,48 @@ class PropertySpec extends SparkSpec {
       .head.getLong(0) == 40)
   }
 
+  test("storage-partitioned join ≡ shuffled join on random co-bucketed data (incl. empty buckets)") {
+    import spark.implicits._
+    // random keys with gaps (some buckets empty on one side), random
+    // duplication — the partition-alignment edge cases: SPJ must produce
+    // bit-identical results to the shuffled plan on every draw
+    val wdir = java.nio.file.Files.createTempDirectory("graft_spj_prop")
+    spark.conf.set("spark.sql.catalog.gspjp", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gspjp.warehouse", wdir.toString)
+    spark.sql("CREATE TABLE gspjp.ns.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE gspjp.ns.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(8, k))")
+    val rnd = new scala.util.Random(777)
+    // side A: keys 0..199 with random dups; side B: a sparse subset
+    // hitting only SOME buckets
+    val aRows = (0 until 300).map(_ => { val k = rnd.nextInt(200).toLong; (k, k * 3) })
+    val bRows = (0 until 60).map(_ => { val k = (rnd.nextInt(25) * 8).toLong; (k, k + 1) })
+    aRows.toDF("k", "v").createOrReplaceTempView("spj_a")
+    bRows.toDF("k", "w").createOrReplaceTempView("spj_b")
+    spark.sql("INSERT INTO gspjp.ns.a SELECT * FROM spj_a")
+    spark.sql("INSERT INTO gspjp.ns.b SELECT * FROM spj_b")
+    def run(bucketing: Boolean): Seq[(Long, Long, Long)] = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bucketing.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try spark.sql(
+        """SELECT a.k, a.v, b.w FROM gspjp.ns.a a
+          |JOIN gspjp.ns.b b ON a.k = b.k""".stripMargin)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      }
+    }
+    val spj = run(bucketing = true)
+    val shuffled = run(bucketing = false)
+    assert(spj == shuffled, s"SPJ diverged: ${spj.size} vs ${shuffled.size} rows")
+    // reference recompute
+    val ref = for ((ka, va) <- aRows; (kb, wb) <- bRows if ka == kb)
+      yield (ka, va, wb)
+    assert(spj == ref.sorted, "SPJ diverged from the in-memory reference")
+  }
+
   test("q222 PageRank: scaled mass is conserved up to floor-division loss, ranks positive") {
     import org.apache.spark.sql.functions._
     val ranks = SparkEntry.queries("q222_pagerank")(spark, "/root/testdata/sf0.001")
