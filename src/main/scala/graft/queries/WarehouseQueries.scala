@@ -2107,6 +2107,132 @@ object WarehouseQueries {
     q
   }
 
+  // q372: the WRITE half of hidden partitioning through SQL — the full
+  // CREATE / INSERT / SELECT loop with zero library imports. CREATE
+  // declares PARTITIONED BY (days(ts)); each INSERT INTO requires a
+  // distribution clustered on the transform (resolved through the
+  // catalog's own `days` V2 function — the same FunctionCatalog path the
+  // SPJ bucket takes), the writer splits per day cell and materializes
+  // `_ptn_days_ts`, and the publish is the ordinary manifest CAS. The
+  // pins: the two INSERTs land one-day-per-file layouts (>= 20 files for
+  // a 30-day corpus), the transform column stays invisible, and the
+  // week-windowed SELECT opens a strict subset of the files. At 100 TB
+  // this is ingest-clusters-itself: every INSERT's files carry tight
+  // single-day stats, so time-ranged queries prune from the first commit
+  // with no compaction pass and no reader-side knowledge of the layout.
+  def sqlPartitionedInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q372_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat372", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat372.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q372_src")
+    s.sql("""CREATE TABLE graft_cat372.db.ev_w
+            |(ts TIMESTAMP, user_id BIGINT, event_type STRING, cents BIGINT)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    (0 to 1).foreach { i =>
+      s.sql(s"""INSERT INTO graft_cat372.db.ev_w
+               |SELECT * FROM q372_src WHERE user_id % 2 = $i""".stripMargin)
+    }
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/ev_w"
+    val total = ManifestTable.fileCount(tblDir)
+    require(total >= 20,
+      s"q372: clustered INSERTs must split per day cell, got $total files")
+    require(!s.sql("SELECT * FROM graft_cat372.db.ev_w").columns
+      .exists(_.startsWith("_ptn_")),
+      "q372: transform columns must be invisible through SQL")
+    val q = s.sql(
+      """SELECT event_type, count(*) AS n_events, sum(cents) AS total_cents
+        |FROM graft_cat372.db.ev_w
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val kept = graft.sources.v2.GraftCatalog.scannedFiles(q).size
+    require(kept < total,
+      s"q372: the week window must prune SQL-inserted files, got $kept/$total")
+    q
+  }
+
+  // q373: MIXED delete chains through SQL — the last delete shape the
+  // face refused. A keyed, custkey-clustered table takes a SQL DELETE
+  // (SupportsDelta → one equality-delete commit, zero rewrites) and then
+  // a library deleteWhere (position deletes pinning exact physical rows,
+  // touching ONLY the files whose clustered range overlaps the
+  // predicate). The snapshot now carries BOTH delete kinds, and SELECT
+  // serves it merge-on-read: equality keys scope by commit sequence,
+  // position ordinals bind to their named files, drop-if-either — the
+  // same row set `ManifestTable.assemble` produces (require-pinned).
+  // The require()s also pin the O(delta) shape: zero data files
+  // rewritten by either delete, and the position delete names a strict
+  // subset of the files. At 100 TB this is the operational reality of a
+  // mutable lakehouse table — interleaved key-wise and predicate-wise
+  // deletes accumulating between compactions — served exactly, with
+  // every untouched file still on the fully-pushed vectorized path.
+  def sqlMixedDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q373_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat373", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat373.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q373_src")
+    s.sql("""CREATE TABLE graft_cat373.db.mx_t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING,
+            | cents BIGINT)
+            |TBLPROPERTIES('write.key'='o_orderkey',
+            |  'write.order'='o_custkey','write.order.partitions'='8')""".stripMargin)
+    s.sql("INSERT INTO graft_cat373.db.mx_t SELECT * FROM q373_src")
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/mx_t"
+    val baseFiles = ManifestTable.sqlEntriesAt(tblDir, 1)
+      .filter(_.isData).map(_.path).toSet
+    require(baseFiles.size >= 4, s"q373: need a multi-file base, got ${baseFiles.size}")
+    // equality leg: SQL DELETE on the keyed table → one delta commit
+    s.sql("DELETE FROM graft_cat373.db.mx_t WHERE o_orderkey % 7 = 0")
+    // position leg: predicate delete on the LIVE view → P| entries.
+    // The cutoff is the lowest eighth of the custkey RANGE (data-derived,
+    // so the face scales from sf0.001 to sf1; the oracle recomputes the
+    // same floor-divided bound) — with 8 range-clustered files it can
+    // only overlap the low file(s)
+    val Seq(mn, mx) = s.sql("SELECT min(o_custkey), max(o_custkey) FROM q373_src")
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val cut = mn + (mx - mn) / 8
+    ManifestTable.deleteWhere(s, tblDir, $"o_custkey" < cut)
+    val es = ManifestTable.sqlEntriesAt(tblDir, ManifestTable.currentVersion(tblDir))
+    require(es.exists(_.deleteKey.isDefined) && es.exists(_.posDelete),
+      "q373: the snapshot must carry BOTH delete kinds")
+    require(es.filter(_.isData).map(_.path).toSet == baseFiles,
+      "q373: both delete kinds must be O(delta) — zero data-file rewrites")
+    val touched = s.read.parquet(es.filter(_.posDelete).map(_.path): _*)
+      .select("file_path").distinct().count()
+    require(touched > 0 && touched < baseFiles.size,
+      s"q373: the clustered position delete must touch a strict subset " +
+        s"of files, got $touched/${baseFiles.size}")
+    // SQL merge-on-read ≡ the library assembly, row for row
+    val sqlSum = s.sql("SELECT sum(cents) FROM graft_cat373.db.mx_t").head.getLong(0)
+    val libSum = ManifestTable.read(s, tblDir)
+      .agg(sum($"cents")).head.getLong(0)
+    require(sqlSum == libSum, s"q373: SQL ($sqlSum) != library ($libSum)")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+        |FROM graft_cat373.db.mx_t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2217,6 +2343,8 @@ object WarehouseQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
+    "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
+    "q373_sql_mixed_deletes" -> sqlMixedDeletes _,
     "q370_storage_partitioned_join" -> sqlStoragePartitionedJoin _,
     "q369_composite_key_delta" -> sqlCompositeKeyDelta _,
     "q368_sql_branch_wap" -> sqlBranchWap _,
@@ -2291,6 +2419,24 @@ object WarehouseQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q372_sql_partitioned_insert" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q373_sql_mixed_deletes" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |  AND o_custkey >= (SELECT min(o_custkey) +
+        |    CAST(floor((max(o_custkey) - min(o_custkey)) / 8.0) AS BIGINT)
+        |    FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q370_storage_partitioned_join" ->
       """SELECT d.c_nationkey AS nation,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -918,6 +918,24 @@ object ManifestTable {
     case other => Seq(other)
   }
 
+  /** `col = 'literal'` on a STRING column — the shape [[intervalOf]]
+    * cannot express on the number line, but a declared bucket transform
+    * CAN prune on: the bucket of the literal is computable driver-side
+    * (r10: previously string point lookups stayed a library-only read). */
+  private[sources] def stringEqOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
+    import org.apache.spark.sql.types.StringType
+    e match {
+      case EqualTo(a: Attribute, l: Literal) if l.dataType == StringType =>
+        Option(l.value).map(v => (a.name, v.toString))
+      case EqualTo(l: Literal, a: Attribute) if l.dataType == StringType =>
+        Option(l.value).map(v => (a.name, v.toString))
+      case _ => None
+    }
+  }
+
   /** Per-column bounds implied by a predicate — intersection of every
     * recognized conjunct's interval. A row satisfying the predicate
     * satisfies every bound, so a file whose stats miss ANY bound holds no
@@ -1444,13 +1462,15 @@ object ManifestTable {
     * files — no physical directories, no listing, and the layout can be
     * recomputed at any compaction because the transform derives from the
     * source columns. */
-  def commitPartitioned(df: DataFrame, dir: String, append: Boolean,
-                        transforms: Seq[Transform], numFiles: Int): Int = {
-    import org.apache.spark.sql.functions.col
-    require(transforms.nonEmpty, "commitPartitioned: no transforms given")
-    require(numFiles >= 1, "commitPartitioned: numFiles must be >= 1")
-    val declared = partitionTransforms(dir)
-    if (declared.isEmpty) {
+  /** Declare the table's partition spec without committing data — the
+    * `CREATE TABLE ... PARTITIONED BY (days(ts))` half of the SQL loop
+    * (the first `commitPartitioned` call declares it implicitly for the
+    * library path). Write-once: a concurrent declaration of the same
+    * spec is a benign race, a different one fails the next commit's
+    * spec check. */
+  def declareTransforms(dir: String, transforms: Seq[Transform]): Unit = {
+    require(transforms.nonEmpty, "declareTransforms: no transforms given")
+    if (partitionTransforms(dir).isEmpty) {
       Files.createDirectories(manifests(dir))
       val tmp = manifests(dir).resolve(s".ptn.tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, transforms.map(_.metaLine).asJava)
@@ -1458,6 +1478,14 @@ object ManifestTable {
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp): Unit }
     }
+  }
+
+  def commitPartitioned(df: DataFrame, dir: String, append: Boolean,
+                        transforms: Seq[Transform], numFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    require(transforms.nonEmpty, "commitPartitioned: no transforms given")
+    require(numFiles >= 1, "commitPartitioned: numFiles must be >= 1")
+    declareTransforms(dir, transforms)
     val spec = partitionTransforms(dir)
     require(spec == transforms,
       s"commitPartitioned: declared spec $spec != given $transforms — " +

@@ -55,11 +55,13 @@ import graft.sources.ManifestTable
   * atomic-publish commit protocol (and its type envelope:
   * long/int/double/boolean/string) is shared with the batch writer.
   *
-  * Honest partiality, enforced loudly: a snapshot carrying row-level
-  * DELETE entries or hidden-partition columns needs merge-on-read
-  * assembly, which belongs to `ManifestTable.read` — loadTable throws
-  * with that pointer rather than serving wrong rows. Compaction purges
-  * deletes, after which the SQL face serves the table again.
+  * Every snapshot shape serves: delete-carrying snapshots (equality,
+  * position, or mixed chains) assemble merge-on-read ([[GraftMoRScan]]),
+  * hidden-partition tables map source predicates through their declared
+  * transforms, and the remaining honest refusals are loud ceilings
+  * (driver-resident delete keys) and contracts (footer aggregates under
+  * deletes), each with a compact pointer. Compaction purges deletes and
+  * restores the fully-vectorized delete-free read path.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog with FunctionCatalog {
@@ -67,18 +69,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // the storage-partition transform — resolvable as `bucket` so write
   // distributions and scan-reported partitionings bind to ONE canonical
   // function (the SPJ compatibility requirement; see GraftBucketed.scala)
+  private val functions = Map[String,
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction](
+    "bucket"    -> GraftBucketFunction,     // SPJ: x mod n
+    "days"      -> GraftDaysFunction,       // hidden partitioning: UTC day
+    "md5bucket" -> GraftMd5BucketFunction)  // hidden partitioning: md5 hash
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name() == "bucket" &&
-        (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))))
-      GraftBucketFunction
+    if (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")))
+      functions.getOrElse(ident.name(), throw new org.apache.spark.sql
+        .catalyst.analysis.NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "bucket"))
+      functions.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
     else Array.empty
   override def functionExists(ident: Identifier): Boolean =
-    ident.name() == "bucket"
+    functions.contains(ident.name())
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -162,10 +169,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     // PARTITIONED BY (bucket(n, col)): the storage-partitioned-join
     // declaration — INSERTs cluster by bucket and scans report
-    // KeyGroupedPartitioning. Any other transform keeps the r9 refusal
-    // (identity/range layouts are write.order's job; hidden day/bucket
-    // transforms remain the library's commitPartitioned).
+    // KeyGroupedPartitioning. PARTITIONED BY (days(col), ...): the
+    // hidden-partitioning declaration — INSERTs cluster by UTC day and
+    // time-ranged SELECTs prune on the transform stats (q371/q372; the
+    // md5-bucket hidden transform stays a library declaration so its
+    // name never collides with the SPJ bucket). Identity/range layouts
+    // keep the r9 refusal — they are write.order's job.
+    val daysSpec: Seq[ManifestTable.DaysTransform] =
+      if (partitions.nonEmpty && partitions.forall(_.name() == "days")) {
+        partitions.toSeq.map { t =>
+          val c = t.arguments().collectFirst {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+              r.fieldNames().mkString(".")
+          }.getOrElse(sys.error("GraftCatalog: days(col) needs a column"))
+          val ok = schema.fields.exists(f => f.name == c && (f.dataType match {
+            case _: TimestampType | _: TimestampNTZType | _: DateType => true
+            case _ => false
+          }))
+          require(ok, s"GraftCatalog: days column '$c' must be a " +
+            "TIMESTAMP or DATE column of the schema")
+          ManifestTable.DaysTransform(c)
+        }
+      } else Seq.empty
     val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+      case _ if daysSpec.nonEmpty => None
       case Seq() => None
       case Seq(t) if t.name() == "bucket" =>
         val args = t.arguments()
@@ -194,6 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(p.resolve("_partition.bucket"),
         (c + "\n" + n).getBytes("UTF-8")): Unit
     }
+    if (daysSpec.nonEmpty) ManifestTable.declareTransforms(dir, daysSpec)
     // schema-on-read everywhere else; the DDL file only serves loads of a
     // table that has no commits yet
     java.nio.file.Files.write(p.resolve("_schema.ddl"),
@@ -380,9 +408,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   private def spark: SparkSession = SparkSession.active
 
   /** The pinned snapshot's manifest entries; empty table → no entries.
-    * Equality-delete entries are SERVED (merge-on-read, [[GraftMoRScan]]);
-    * position deletes still belong to `ManifestTable.read` and refuse
-    * loudly. */
+    * Delete entries of every kind — equality, position, and mixed
+    * chains — are SERVED (merge-on-read, [[GraftMoRScan]]). */
   private lazy val entries: Seq[ManifestTable.SqlEntry] = {
     val v = if (version > 0) version else ManifestTable.currentVersion(dir)
     if (v == 0) Seq.empty
@@ -507,10 +534,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     require(version <= 0,
       s"GraftCatalog: cannot write to $ident VERSION AS OF $version — " +
         "writes go to the table head")
-    require(ManifestTable.partitionTransforms(dir).isEmpty,
-      s"GraftCatalog: $ident declares hidden partition transforms — " +
-        "write through ManifestTable.commitPartitioned, which clusters " +
-        "and materializes the transform values")
+    // hidden-partition tables route to the transformed writer below —
+    // r10 session 3: previously refused with a pointer at
+    // commitPartitioned; the DSv2 write now clusters and materializes
+    // the transform values itself
+    val hiddenTransforms = ManifestTable.partitionTransforms(dir)
     // `.option("branch", "exp")` on the writer appends to the branch head
     // instead of main — the write half of the q349/q364 branch surface,
     // now reachable from df.writeTo(...).append() with zero library
@@ -528,6 +556,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                 new BranchBatchWrite(dir, b, info.schema())
             }
         }
+      case None if hiddenTransforms.nonEmpty =>
+        new TransformedWriteBuilder(dir, info.schema(), hiddenTransforms)
       case None => (bucketSpec, writeOrder) match {
         case (Some((c, n)), _) => new BucketedWriteBuilder(dir, info.schema(), c, n)
         case (None, Some((c, n))) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n,
@@ -768,7 +798,19 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         case _ => None
       }
     }
-    val bounds = (direct ++ mapped)
+    // string point lookups (`k = 'v'`) live outside the number line, but
+    // a bucket transform on a STRING source still prunes: the literal's
+    // bucket is computed driver-side, exactly like the library's
+    // readSourceBucket (r10 session 3 — previously library-only)
+    val mappedStr = conjuncts.flatMap(ManifestTable.splitConjuncts)
+      .flatMap(ManifestTable.stringEqOf).flatMap { case (c, s0) =>
+        hiddenTransforms.collect {
+          case t: ManifestTable.BucketTransform if t.source == c =>
+            val b = t.bucketOf(s0).toDouble
+            (t.ptnCol, b, b)
+        }
+      }
+    val bounds = (direct ++ mapped ++ mappedStr)
       .groupBy(_._1).map { case (c, ivs) =>
         c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
     entries.filter(_.isData).filter { e =>
@@ -788,7 +830,6 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   protected def runtimeAttrs(statCols: Seq[String]): Seq[String] = statCols
 
   override def build(): Scan = {
-    if (entries.exists(_.posDelete)) return buildPosMoR()
     if (hasDeletes) return buildMoR()
     // a bucket-partitioned table reports KeyGroupedPartitioning so joins
     // between co-bucketed tables skip both exchanges (SPJ). Requires
@@ -838,50 +879,31 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     * but a pathological chain must refuse loudly, not OOM the driver. */
   private val MaxDeleteKeys = 5000000
 
-  /** Merge-on-read over POSITION deletes (see [[GraftPosMoRScan]]):
-    * untouched files keep full pushdown; each position-deleted file
-    * reads whole through an ordinal-counting reader. Mixed
-    * position+equality chains refuse — compact materializes both. */
-  private def buildPosMoR(): Scan = {
-    require(!entries.exists(_.deleteKey.isDefined),
-      s"GraftCatalog: $ident carries BOTH equality and position deletes — " +
-        "compact the table to serve it through SQL")
-    val posFiles = entries.filter(_.posDelete).map(_.path)
-    def norm(p: String): String =
-      if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
-    val delRows = spark.read.parquet(posFiles: _*)
-      .select("file_path", "pos").collect()
-    require(delRows.length <= MaxDeleteKeys,
-      s"GraftCatalog: $ident carries ${delRows.length} position deletes — " +
-        s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
-    val deletes: Map[String, Array[Long]] = delRows
-      .groupBy(r => norm(r.getString(0)))
-      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    val data = prunedDataEntries
-    val (touched, untouched) = data.partition(e => deletes.contains(norm(e.path)))
-    def scanOver(paths: Seq[String], push: Boolean): Scan = {
-      val t = ParquetTable(ident, spark,
-        new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-        paths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
-      val sb = t.newScanBuilder(options)
-      if (push) { sb.pushFilters(conjuncts): Unit }
-      sb.pruneColumns(required)
-      sb.build()
-    }
-    new GraftPosMoRScan(spark, required,
-      scanOver(untouched.map(_.path), push = true),
-      // NO pushed filters on touched files: row-group skipping or
-      // reader-side predicate filtering would shift row ordinals
-      scanOver(touched.map(_.path), push = false),
-      deletes.map { case (f, ps) => f -> ps }, data.map(_.path))
-  }
-
-  /** Merge-on-read scan over a snapshot with equality-delete entries —
-    * see [[GraftMoRScan]] for the group/filter design. */
+  /** Merge-on-read scan over a snapshot carrying delete entries of
+    * EITHER kind (or both — the mixed chain, which until r10 session 3
+    * refused with a compact pointer) — see [[GraftMoRScan]] for the
+    * group/filter design. */
   private def buildMoR(): Scan = {
     val delEntries = entries.filter(_.deleteKey.isDefined)
     val delSeqs = delEntries.map(_.seq).distinct.sorted
     val data = prunedDataEntries
+
+    // position deletes: (file -> deleted physical ordinals), loaded once
+    // driver-side under the same loud ceiling as equality keys
+    def norm(p: String): String =
+      if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
+    val posFiles = entries.filter(_.posDelete).map(_.path)
+    val posDeletes: Map[String, Array[Long]] =
+      if (posFiles.isEmpty) Map.empty
+      else {
+        val delRows = spark.read.parquet(posFiles: _*)
+          .select("file_path", "pos").collect()
+        require(delRows.length <= MaxDeleteKeys,
+          s"GraftCatalog: $ident carries ${delRows.length} position deletes — " +
+            s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
+        delRows.groupBy(r => norm(r.getString(0)))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      }
 
     def kindOf(col: String): Int = {
       val f = fullSchema.fields.find(_.name == col).getOrElse(sys.error(
@@ -930,13 +952,20 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       val internal = StructType(required.fields ++
         keyCols.filterNot(c => required.fieldNames.contains(c))
           .map(c => fullSchema.fields.find(_.name == c).get))
-      val t = ParquetTable(ident, spark,
-        new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-        es.map(_.path).toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
-      val sb = t.newScanBuilder(options)
-      sb.pushFilters(conjuncts): Unit
-      sb.pruneColumns(internal)
-      val batch = sb.build().toBatch
+      def batchOver(paths: Seq[String], push: Boolean): org.apache.spark.sql.connector.read.Batch = {
+        val t = ParquetTable(ident, spark,
+          new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+          paths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+        val sb = t.newScanBuilder(options)
+        if (push) { sb.pushFilters(conjuncts): Unit }
+        sb.pruneColumns(internal)
+        sb.build().toBatch
+      }
+      // position-deleted files leave the pushed batch: each must read
+      // WHOLE in range order so the ordinal counter is exact (pushed
+      // filters would row-group-skip; the catalog's filters are all
+      // residual, so Spark re-applies them above the scan)
+      val (posTouched, plain) = es.partition(e => posDeletes.contains(norm(e.path)))
       val spec = MoRGroupSpec(
         deleteSets = bySpec.map { case (cols, rows) =>
           MoRDeleteSet(
@@ -947,13 +976,14 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         projection = required.fields.map(f => internal.fieldIndex(f.name)),
         readTypes = internal.fields.map(_.dataType),
         readNullable = internal.fields.map(_.nullable))
-      (batch, spec)
+      (batchOver(plain.map(_.path), push = true),
+        batchOver(posTouched.map(_.path), push = false), spec)
     }
     val totalKeys = loaded.values.map(_.length.toLong).sum
     require(totalKeys <= MaxDeleteKeys,
       s"GraftCatalog: $ident carries $totalKeys equality-delete keys — " +
         s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
     new GraftMoRScan(spark, required, built.map(_._1), built.map(_._2),
-      data.map(_.path))
+      built.map(_._3), posDeletes, data.map(_.path))
   }
 }

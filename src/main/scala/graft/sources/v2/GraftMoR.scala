@@ -49,26 +49,41 @@ private[v2] final case class MoRGroupSpec(
   def hasKeys: Boolean = deleteSets.nonEmpty
 }
 
+/** `posPath`: set when this partition is ONE position-deleted file read
+  * whole in range order — the reader then counts ordinals against the
+  * file's deleted positions before any key filtering. */
 private[v2] final case class MoRInputPartition(group: Int,
-                                               inner: InputPartition)
+                                               inner: InputPartition,
+                                               posPath: Option[String] = None)
     extends InputPartition
 
 private[v2] final class MoRReaderFactory(
     innerFactories: Array[PartitionReaderFactory],
-    specs: Broadcast[Array[MoRGroupSpec]])
+    touchedFactories: Array[PartitionReaderFactory],
+    specs: Broadcast[Array[MoRGroupSpec]],
+    posDeletes: Broadcast[Map[String, Array[Long]]])
     extends PartitionReaderFactory {
 
-  // row-based on purpose: the delete filter needs per-row key extraction;
-  // Spark then asks the inner parquet factory for its row reader (which
-  // still decodes vectorized internally)
+  // row-based on purpose — twice over: the delete filters need per-row
+  // key/ordinal handling, and Spark forbids mixing columnar and
+  // row-based partitions within one scan, so even delete-free groups
+  // read rows (the inner parquet reader still decodes pages vectorized
+  // internally)
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MoRInputPartition]
-    val inner = innerFactories(p.group).createReader(p.inner)
+    val base = p.posPath match {
+      case None => innerFactories(p.group).createReader(p.inner)
+      // ordinal filter FIRST (it must see every physical row of the
+      // file), key filter on whatever survives
+      case Some(path) => new PosFilteringReader(
+        touchedFactories(p.group).createReader(p.inner),
+        posDeletes.value(path))
+    }
     val spec = specs.value(p.group)
-    if (!spec.hasKeys && spec.identityProjection) inner
-    else new MoRFilteringReader(inner, spec)
+    if (!spec.hasKeys && spec.identityProjection) base
+    else new MoRFilteringReader(base, spec)
   }
 }
 
@@ -148,34 +163,6 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
 
 // -------------------------------------------------------- position deletes
 
-/** A touched file's partition: every byte range of ONE file, ordered, so
-  * the reader's row ordinal equals the parquet row index. */
-private[v2] final case class PosFilePartition(
-    inner: org.apache.spark.sql.execution.datasources.FilePartition,
-    path: String) extends InputPartition
-
-private[v2] final class PosMoRReaderFactory(
-    untouchedFactory: PartitionReaderFactory,
-    touchedFactory: PartitionReaderFactory,
-    deletes: Broadcast[Map[String, Array[Long]]])
-    extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition match {
-      case _: PosFilePartition => false // the ordinal counter is row-based
-      case p => untouchedFactory.supportColumnarReads(p)
-    }
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
-      case PosFilePartition(fp, path) =>
-        new PosFilteringReader(touchedFactory.createReader(fp),
-          deletes.value(path))
-      case p => untouchedFactory.createReader(p)
-    }
-  override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    untouchedFactory.createColumnarReader(partition)
-}
-
 /** Drops rows whose ORDINAL within the file is position-deleted. Sound
   * because the partition covers the whole file in range order and the
   * inner scan pushed NO filters (row-group skipping or predicate
@@ -198,14 +185,27 @@ private[v2] final class PosFilteringReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
-/** The composite scan: one inner parquet batch per delete-scope group,
-  * partitions tagged with their group, one broadcast of the delete-key
-  * sets. `dataPaths` backs [[GraftCatalog.scannedFiles]] pruning
-  * assertions. */
+/** The composite scan serving EVERY delete shape through SQL: one inner
+  * parquet batch per equality-delete-scope group (filters pushed, files
+  * pruned), plus — for position-deleted files — a per-group UNPUSHED
+  * batch whose partitions each cover one whole file in range order, so
+  * the ordinal counter sees every physical row (any pushed filter or
+  * row-group skip would shift ordinals; the catalog declares every
+  * filter residual, so Spark re-applies them above the scan and
+  * exactness never depends on the pushdown). A mixed chain — equality
+  * deletes AND position deletes on one snapshot, the shape the r10
+  * session-2 face still refused — composes as drop-if-either: ordinals
+  * are physical file positions (untouched by logical equality deletes),
+  * and equality deletes scope by commit sequence exactly as in the
+  * delete-free-file case, matching `ManifestTable.assemble`'s library
+  * semantics row for row. `dataPaths` backs
+  * [[GraftCatalog.scannedFiles]] pruning assertions. */
 private[v2] final class GraftMoRScan(spark: SparkSession,
                                      output: StructType,
                                      groupBatches: Seq[Batch],
+                                     touchedBatches: Seq[Batch],
                                      groupSpecs: Seq[MoRGroupSpec],
+                                     posDeletes: Map[String, Array[Long]],
                                      val dataPaths: Seq[String]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = output
@@ -224,65 +224,37 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   override def description(): String =
-    s"GraftMoRScan(${groupBatches.length} delete-scope groups)"
+    s"GraftMoRScan(${groupBatches.length} delete-scope groups, " +
+      s"${posDeletes.size} position-deleted files)"
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      groupBatches.zipWithIndex.flatMap { case (b, gi) =>
-        b.planInputPartitions().map(MoRInputPartition(gi, _))
-      }.toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      val out = Array.newBuilder[InputPartition]
+      var idx = 0
+      groupBatches.zipWithIndex.foreach { case (b, gi) =>
+        b.planInputPartitions().foreach { p =>
+          out += MoRInputPartition(gi, p); idx += 1
+        }
+        // regroup the group's pos-touched ranges: ALL ranges of one file
+        // in one partition, ordered by start — the ordinal precondition
+        val byFile = touchedBatches(gi).planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => sys.error(s"GraftMoRScan: unexpected partition $other")
+        }.groupBy(f => f.filePath.toPath.toUri.getPath)
+        byFile.toSeq.sortBy(_._1).foreach { case (path, ranges) =>
+          out += MoRInputPartition(gi,
+            FilePartition(idx, ranges.sortBy(_.start)), Some(path))
+          idx += 1
+        }
+      }
+      out.result()
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new MoRReaderFactory(
         groupBatches.map(_.createReaderFactory()).toArray,
-        spark.sparkContext.broadcast(groupSpecs.toArray))
-  }
-}
-
-/** Merge-on-read over POSITION deletes: untouched files keep the fully
-  * pushed-down parquet batch; each touched file reads whole (no pushed
-  * filters, all ranges in one ordered partition) through an
-  * ordinal-counting reader that drops its deleted row positions. */
-private[v2] final class GraftPosMoRScan(spark: SparkSession,
-                                        output: StructType,
-                                        untouched: Scan,
-                                        touched: Scan,
-                                        deletes: Map[String, Array[Long]],
-                                        val dataPaths: Seq[String]) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = output
-  override def description(): String =
-    s"GraftPosMoRScan(${deletes.size} position-deleted files)"
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(dataPaths.map { p =>
-          try java.nio.file.Files.size(java.nio.file.Paths.get(p))
-          catch { case _: java.io.IOException => 0L }
-        }.sum)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-    }
-  override def toBatch: Batch = new Batch {
-    private val ub = untouched.toBatch
-    private val tb = touched.toBatch
-    override def planInputPartitions(): Array[InputPartition] = {
-      import org.apache.spark.sql.execution.datasources.FilePartition
-      val plain = ub.planInputPartitions()
-      // regroup the touched scan's ranges: ALL ranges of one file in one
-      // partition, ordered by start — the ordinal precondition
-      val byFile = tb.planInputPartitions().flatMap {
-        case fp: FilePartition => fp.files
-        case other => sys.error(s"GraftPosMoRScan: unexpected partition $other")
-      }.groupBy(f => f.filePath.toPath.toUri.getPath)
-      plain ++ byFile.toSeq.sortBy(_._1).zipWithIndex.map {
-        case ((path, ranges), i) =>
-          PosFilePartition(
-            FilePartition(plain.length + i, ranges.sortBy(_.start)), path)
-            : InputPartition
-      }
-    }
-    override def createReaderFactory(): PartitionReaderFactory =
-      new PosMoRReaderFactory(ub.createReaderFactory(),
-        tb.createReaderFactory(),
-        spark.sparkContext.broadcast(deletes))
+        touchedBatches.map(_.createReaderFactory()).toArray,
+        spark.sparkContext.broadcast(groupSpecs.toArray),
+        spark.sparkContext.broadcast(posDeletes))
   }
 }
 

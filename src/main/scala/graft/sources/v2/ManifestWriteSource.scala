@@ -253,7 +253,8 @@ class ManifestWriterFactory(stagingDir: String, schema: StructType,
   * sink's single-writer contract); each committed epoch is a
   * time-travelable snapshot feeding the change feed and any
   * `readStream.table` consumer downstream. */
-class ManifestStreamingWrite(dir: String, schema: StructType)
+class ManifestStreamingWrite(dir: String, schema: StructType,
+                             ptnSpecs: Seq[PtnColSpec] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -261,7 +262,7 @@ class ManifestStreamingWrite(dir: String, schema: StructType)
   private def stagingDir(epochId: Long) = s"$dir/_staging/epoch-$epochId-$nonce"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestStreamingWriterFactory(dir, nonce, schema)
+    ManifestStreamingWriterFactory(dir, nonce, schema, ptnSpecs)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tag = s"stream-epoch:$epochId"
@@ -320,12 +321,19 @@ class ManifestStreamingWrite(dir: String, schema: StructType)
 /** Serializable factory shipped to executors (the enclosing
   * StreamingWrite stays driver-side). */
 final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
-                                                schema: StructType)
+                                                schema: StructType,
+                                                ptnSpecs: Seq[PtnColSpec] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(s"$dir/_staging/epoch-$epochId-$nonce", schema,
-      partitionId, taskId)
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = s"$dir/_staging/epoch-$epochId-$nonce"
+    // a hidden-partition table's epochs split per transform cell with
+    // materialized _ptn_* columns, exactly like its batch INSERTs — the
+    // streamed data carries the same single-cell stats and prunes the
+    // same way (r10 session 3)
+    if (ptnSpecs.isEmpty) new ManifestDataWriter(staging, schema, partitionId, taskId)
+    else new TransformedDataWriter(staging, schema, ptnSpecs, partitionId, taskId)
+  }
 }
 
 /** Per-task parquet writer over the example Group API (the only parquet
@@ -334,7 +342,8 @@ final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
 class ManifestDataWriter(stagingDir: String, schema: StructType,
                          partitionId: Int, taskId: Long,
                          rowLevel: Boolean = false,
-                         targetFileSize: Long = 0)
+                         targetFileSize: Long = 0,
+                         namePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   private val parquetSchema: MessageType = {
@@ -348,6 +357,18 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
         case BooleanType => new PrimitiveType(rep, PrimitiveTypeName.BOOLEAN, f.name)
         case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
           .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        // timestamps ride as INT64 micros (UTC-adjusted — Spark's own
+        // parquet convention), dates as INT32 epoch days; footer stats
+        // then carry them and time-ranged manifest pruning works on
+        // SQL-inserted files (r10 session 3 — previously refused)
+        case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
         case other => sys.error(
           s"graft-manifest DSv2 writer: unsupported type $other for column ${f.name}")
       }
@@ -364,7 +385,7 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
   private var donePaths: List[String] = Nil
   private def newPath(): String = {
     val suffix = if (fileSeq == 0) "" else s"-r$fileSeq"
-    s"$stagingDir/part-$partitionId-$taskId$suffix.parquet"
+    s"$stagingDir/${namePrefix}part-$partitionId-$taskId$suffix.parquet"
   }
   private var path = newPath()
   private def openWriter(): ParquetWriter[Group] = {
@@ -412,6 +433,8 @@ class ManifestDataWriter(stagingDir: String, schema: StructType,
         case DoubleType  => g.add(i, row.getDouble(i + off))
         case BooleanType => g.add(i, row.getBoolean(i + off))
         case StringType  => g.add(i, row.getUTF8String(i + off).toString)
+        case TimestampType | TimestampNTZType => g.add(i, row.getLong(i + off))
+        case DateType    => g.add(i, row.getInt(i + off))
         case other => sys.error(s"unsupported $other")
       }
       i += 1

@@ -238,6 +238,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scannedFiles(probe).size == 1 && probe.head.getLong(0) == 150)
   }
 
+  test("writeStream.toTable into a days-partitioned table: epochs land one-day-per-file with prunable stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    wh: Unit
+    spark.sql("""CREATE TABLE gtest.ns.wshp (ts TIMESTAMP, v BIGINT)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    // 5 days interleaved — the streamed epoch must regroup them per cell
+    mem.addData((0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2010, 7, 1, 9, 0).plusDays(i % 5)), i.toLong)
+    }: _*)
+    val q = mem.toDF().toDF("ts", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wshp_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gtest.ns.wshp")
+    q.awaitTermination()
+    val dir = s"$wh/ns/wshp"
+    assert(ManifestTable.currentVersion(dir) == 1)
+    val entries = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData)
+    assert(entries.size == 5,
+      s"one file per day cell expected, got ${entries.size}")
+    // every streamed file is a single day cell
+    entries.foreach { e =>
+      val (lo, hi) = e.stats("_ptn_days_ts")
+      assert(lo == hi, s"streamed file spans days [$lo,$hi] — not one cell")
+    }
+    // and a day-windowed SELECT on the streamed table prunes
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val probe = spark.sql("SELECT sum(v) FROM gtest.ns.wshp " +
+      "WHERE ts >= TIMESTAMP '2010-07-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2010-07-03 00:00:00'")
+    assert(scannedFiles(probe).size == 1 && probe.head.getLong(0) ==
+      (0 until 100).filter(_ % 5 == 1).map(_.toLong).sum)
+  }
+
   test("readStream.table streams catalog commits one micro-batch each; resume reads only the delta") {
     import spark.implicits._
     wh: Unit
@@ -352,12 +390,14 @@ class GraftCatalogSpec extends SparkSpec {
     ManifestTable.delete(Seq(3L).toDF("k"), dir, "k")
     assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 9)
     assert(spark.sql("SELECT * FROM gtest.ns.refusals WHERE k = 3").count() == 0)
-    // MIXED position+equality chains refuse (each shape alone serves)
+    // MIXED position+equality chains serve too (r10 session 3 — the
+    // last delete shape the face refused): drop-if-either, exactly the
+    // library's assemble semantics
     ManifestTable.deleteWhere(spark, dir, col("k") === 5L)
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM gtest.ns.refusals").collect()
-    }
-    assert(e.getMessage.contains("BOTH equality and position"), s"got: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 8)
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.refusals").head.getLong(0) ==
+      (1L to 10L).sum - 3 - 5)
+    assert(spark.sql("SELECT * FROM gtest.ns.refusals WHERE k IN (3, 5)").count() == 0)
     ManifestTable.compact(spark, dir, 1)
     assert(spark.sql("SELECT count(*) FROM gtest.ns.refusals").head.getLong(0) == 8)
     val w = intercept[Exception] {
@@ -885,13 +925,81 @@ class GraftCatalogSpec extends SparkSpec {
         ts.before(java.sql.Timestamp.valueOf("1996-01-12 00:00:00"))
     }.map(_._3).sum
     assert(q.head.getLong(0) == expected)
-    // note: string-keyed bucket point lookups stay the library's
-    // readSourceBucket (intervalOf only extracts numeric bounds)
-    // SQL writes refuse — the transform discipline is commitPartitioned's
-    intercept[Exception] {
-      spark.sql("INSERT INTO gtest.ns.hp VALUES " +
-        "(TIMESTAMP '1996-01-01 00:00:00', 'u1', 1)")
+    // string-keyed bucket point lookups prune through SQL too: the
+    // literal's md5 bucket is computed driver-side (r10 session 3 —
+    // previously a library-only readSourceBucket)
+    val qs = spark.sql("SELECT sum(amount) FROM gtest.ns.hp WHERE user = 'u7'")
+    assert(scannedFiles(qs).size < total,
+      s"string bucket pruning expected: ${scannedFiles(qs).size} of $total")
+    assert(qs.head.getLong(0) ==
+      rows.filter(_._2 == "u7").map(_._3).sum)
+    // SQL INSERT appends through the clustered transformed writer: the
+    // new file carries BOTH transform values and every lookup still
+    // agrees (r10 session 3 — previously refused)
+    spark.sql("INSERT INTO gtest.ns.hp VALUES " +
+      "(TIMESTAMP '1996-01-03 00:00:00', 'u1', 5000)")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hp").head.getLong(0) == 1201)
+    val u1 = ManifestTable.readSourceBucket(spark, dir, "user", "u1")
+      .where($"amount" === 5000L).count()
+    assert(u1 == 1, "the SQL-inserted row must land in u1's bucket cell")
+    val d3 = ManifestTable.readSourceDays(spark, dir, "ts",
+      java.time.LocalDate.of(1996, 1, 3).toEpochDay,
+      java.time.LocalDate.of(1996, 1, 3).toEpochDay)
+      .where($"amount" === 5000L).count()
+    assert(d3 == 1, "the SQL-inserted row must land in the Jan-3 day cell")
+  }
+
+  test("CREATE PARTITIONED BY (days(ts)) + INSERT: each commit lands one-day-per-file, SQL loop complete") {
+    import spark.implicits._
+    import graft.sources.ManifestTable.DaysTransform
+    wh: Unit
+    spark.sql("""CREATE TABLE gtest.ns.hpw (ts TIMESTAMP, k BIGINT, v BIGINT)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    val dir = s"$wh/ns/hpw"
+    assert(ManifestTable.partitionTransforms(dir) == Seq(DaysTransform("ts")),
+      "CREATE must declare the library-visible transform spec")
+    // 10 days x 20 rows, shuffled input — the REQUIRED clustered
+    // distribution must regroup them so each staged file holds one day
+    val rows = scala.util.Random.shuffle((0 until 200).toList).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2001, 3, 1, 6, 30).plusDays(i % 10)), i.toLong, i.toLong * 7)
     }
+    rows.toDF("ts", "k", "v").createOrReplaceTempView("src_hpw")
+    spark.sql("INSERT INTO gtest.ns.hpw SELECT /*+ REPARTITION(4) */ * FROM src_hpw")
+    assert(ManifestTable.fileCount(dir) == 10,
+      s"one file per day cell expected, got ${ManifestTable.fileCount(dir)}")
+    // hidden column invisible; full parity including exact timestamps
+    assert(spark.sql("SELECT * FROM gtest.ns.hpw").columns.toSeq ==
+      Seq("ts", "k", "v"))
+    assert(spark.sql("SELECT ts, k, v FROM gtest.ns.hpw").as[(java.sql.Timestamp, Long, Long)]
+      .collect().sortBy(_._2).toList == rows.sortBy(_._2),
+      "timestamp round-trip through the DSv2 writer must be exact")
+    // a 3-day window keeps exactly 3 of 10 files
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val q = spark.sql("SELECT sum(v) FROM gtest.ns.hpw " +
+      "WHERE ts >= TIMESTAMP '2001-03-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2001-03-05 00:00:00'")
+    assert(scannedFiles(q).size == 3,
+      s"3 day files expected, got ${scannedFiles(q).size}")
+    assert(q.head.getLong(0) == rows.filter(r => r._2 % 10 >= 1 && r._2 % 10 <= 3)
+      .map(_._3).sum)
+    // a NULL source value lands in the null cell and reads conservatively
+    spark.sql("INSERT INTO gtest.ns.hpw VALUES (NULL, 9999, 1)")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpw").head.getLong(0) == 201)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpw " +
+      "WHERE ts IS NULL").head.getLong(0) == 1)
+    // the library path accepts the SQL-declared spec (one shared table)
+    ManifestTable.commitPartitioned(
+      Seq((java.sql.Timestamp.valueOf("2001-03-20 00:00:00"), 10000L, 3L))
+        .toDF("ts", "k", "v"), dir, append = true,
+      Seq(DaysTransform("ts")), numFiles = 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpw").head.getLong(0) == 202)
+    // INSERT OVERWRITE resets; time travel still serves v1
+    spark.sql("INSERT OVERWRITE gtest.ns.hpw " +
+      "VALUES (TIMESTAMP '2001-04-01 00:00:00', 1, 1)")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpw").head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpw VERSION AS OF 1")
+      .head.getLong(0) == 200)
   }
 
   test("position deletes serve through SQL: ordinal-counted merge-on-read, filters stay correct") {

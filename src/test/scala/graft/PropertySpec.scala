@@ -195,8 +195,8 @@ class PropertySpec extends SparkSpec {
       rows.foreach { case (k, v) => ref(k) = v }
     }
     syncInsert((1L to 40L).map(k => (k, k)))
-    (1 to 12).foreach { step =>
-      rnd.nextInt(3) match {
+    (1 to 14).foreach { step =>
+      rnd.nextInt(4) match {
         case 0 => // keyed UPDATE of a random residue class
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
@@ -212,6 +212,17 @@ class PropertySpec extends SparkSpec {
           val fresh = (base.toLong until (base + 5).toLong)
             .filterNot(ref.contains).map(k => (k, k * 7 + step))
           if (fresh.nonEmpty) syncInsert(fresh)
+        case 3 => // POSITION delete via a VALUE predicate on the live
+          // view — mixes P| entries into the equality chain (the r10
+          // session-3 unified scan's adversarial surface: both delete
+          // kinds interleaved in random order)
+          val m = 3 + rnd.nextInt(4)
+          val r = rnd.nextInt(m)
+          ManifestTable.deleteWhere(spark, dir,
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("v"),
+              org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
+          ref.filter(_._2 % m == r).keys.toSeq.foreach(ref.remove)
       }
       val sqlRows = spark.sql("SELECT k, v FROM gprop.ns.m")
         .as[(Long, Long)].collect().sorted.toSeq
