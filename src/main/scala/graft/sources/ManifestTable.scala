@@ -1853,6 +1853,26 @@ object ManifestTable {
     claimManifestIn(md, v, lines)
   }
 
+  /** [[publishBranchFiles]] with caller-supplied EXTRA stats merged over
+    * each file's footer stats — the bucketed branch write's landing verb
+    * (the SPJ bucket id is metadata-only, so a plain branch publish would
+    * drop it and a fast-forwarded WAP cycle would silently degrade the
+    * key-grouped scan back to shuffling). Manifest lines carry the tags,
+    * and fastForward replays lines verbatim, so the tags survive onto
+    * main. */
+  def publishBranchTagged(dir: String, name: String, v: Int,
+                          files: Seq[(String, Map[String, (Double, Double)])]): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val head = versionsOnDisk(md).max
+    if (v != head + 1)
+      throw new CommitConflictException(
+        s"publishBranchTagged: version $v is not next on branch '$name' (head $head)")
+    val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
+      files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }
+    claimManifestIn(md, v, lines)
+  }
+
   /** The branch's next version number and the data directory its files
     * must land under (`data/commit-<v>-<branch nonce>` — the nonce keeps
     * branch bytes out of main's commit directories and the version

@@ -550,11 +550,43 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           s"GraftCatalog: no branch '$b' on $ident — create it with " +
             "ManifestTable.createBranch first")
         new WriteBuilder {
-          override def build(): org.apache.spark.sql.connector.write.Write =
-            new org.apache.spark.sql.connector.write.Write {
-              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                new BranchBatchWrite(dir, b, info.schema())
+          override def build(): org.apache.spark.sql.connector.write.Write = {
+            // a clustered table's branch appends keep its layout: same
+            // required distribution as a main-line INSERT, specs routed
+            // to the cell/bucket-splitting writers (see BranchBatchWrite)
+            import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            (bucketSpec, hiddenTransforms) match {
+              case (Some((c, n)), _) =>
+                new org.apache.spark.sql.connector.write.Write
+                    with RequiresDistributionAndOrdering {
+                  override def requiredDistribution(): Distribution =
+                    Distributions.clustered(Array(
+                      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)))
+                  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                    Array.empty
+                  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                    new BranchBatchWrite(dir, b, info.schema(),
+                      bucketSpec = Some((c, n)))
+                }
+              case (None, ts) if ts.nonEmpty =>
+                new org.apache.spark.sql.connector.write.Write
+                    with RequiresDistributionAndOrdering {
+                  override def requiredDistribution(): Distribution =
+                    Distributions.clustered(TransformedWriteBuilder.clusteringOf(ts))
+                  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                    Array.empty
+                  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                    new BranchBatchWrite(dir, b, info.schema(),
+                      ptnSpecs = PtnColSpec.of(ts, info.schema()))
+                }
+              case _ =>
+                new org.apache.spark.sql.connector.write.Write {
+                  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                    new BranchBatchWrite(dir, b, info.schema())
+                }
             }
+          }
         }
       case None if hiddenTransforms.nonEmpty =>
         new TransformedWriteBuilder(dir, info.schema(), hiddenTransforms)

@@ -179,6 +179,19 @@ object PtnColSpec {
     }
 }
 
+object TransformedWriteBuilder {
+  /** The declared transforms as V2 clustering expressions — shared by
+    * main-line INSERTs and branch appends so both land cell-clustered. */
+  def clusteringOf(transforms: Seq[ManifestTable.Transform])
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    transforms.map {
+      case ManifestTable.DaysTransform(src) => Expressions.days(src)
+      case ManifestTable.BucketTransform(n, src) =>
+        Expressions.apply("md5bucket", Expressions.literal(n),
+          Expressions.column(src))
+    }.toArray
+}
+
 /** Clustered write into a transform-partitioned table: one exchange on
   * the declared transforms, per-cell file splits, `_ptn_*` columns
   * materialized, ordinary CAS publish. */
@@ -196,12 +209,7 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
     new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       override def requiredDistribution(): Distribution =
-        Distributions.clustered(transforms.map {
-          case ManifestTable.DaysTransform(src) => Expressions.days(src)
-          case ManifestTable.BucketTransform(n, src) =>
-            Expressions.apply("md5bucket", Expressions.literal(n),
-              Expressions.column(src))
-        }.toArray)
+        Distributions.clustered(TransformedWriteBuilder.clusteringOf(transforms))
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =

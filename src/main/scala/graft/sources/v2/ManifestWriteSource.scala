@@ -152,29 +152,56 @@ final case class StagedFilesMessage(paths: Seq[String]) extends WriterCommitMess
   * branch's next version via [[ManifestTable.publishBranchFiles]], main
   * never sees them (the WAP surface through the public writer API).
   * Append-only, like every branch commit; INSERT OVERWRITE refuses at
-  * the builder (no SupportsTruncate). */
-class BranchBatchWrite(dir: String, branch: String, schema: StructType)
+  * the builder (no SupportsTruncate).
+  *
+  * A clustered table's branch appends keep its layout discipline (r10
+  * session 3 — previously branch writes staged plain unclustered files,
+  * so one fast-forwarded WAP cycle silently degraded SPJ and transform
+  * pruning on main): `ptnSpecs` routes rows through the per-cell
+  * splitting writer (physical `_ptn_*` columns → footer stats), and
+  * `bucketSpec` through the bucket splitter with the id published as a
+  * manifest tag — fastForward replays manifest lines verbatim, so both
+  * survive onto main. */
+class BranchBatchWrite(dir: String, branch: String, schema: StructType,
+                       ptnSpecs: Seq[PtnColSpec] = Nil,
+                       bucketSpec: Option[(String, Int)] = None)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/branch-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(stagingDir, schema)
+    (bucketSpec, ptnSpecs) match {
+      case (Some((c, n)), _) =>
+        BucketedWriterFactory(stagingDir, schema, schema.fieldIndex(c), n)
+      case (None, ps) if ps.nonEmpty => TransformedWriterFactory(stagingDir, schema, ps)
+      case _ => new ManifestWriterFactory(stagingDir, schema)
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.flatMap {
-      case StagedFileMessage(p)   => Seq(p)
-      case StagedFilesMessage(ps) => ps
+    // (bucket id, path) pairs — None for unbucketed writers
+    val staged: Seq[(Option[Int], String)] = messages.toSeq.flatMap {
+      case StagedFileMessage(p)        => Seq((None: Option[Int], p))
+      case StagedFilesMessage(ps)      => ps.map((None: Option[Int], _))
+      case StagedBucketFilesMessage(fs) => fs.map { case (b, p) => (Some(b), p) }
       case _ => Seq.empty
     }
     val (v, dataDir) = ManifestTable.branchNextCommitDir(dir, branch)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
-    val finalPaths = staged.toSeq.sorted.map { p =>
-      val target = java.nio.file.Paths.get(dataDir)
-        .resolve(java.nio.file.Paths.get(p).getFileName)
+    val moved = staged.sortBy(_._2).map { case (b, p) =>
+      val name = b.map(i => s"b$i-").getOrElse("") +
+        java.nio.file.Paths.get(p).getFileName
+      val target = java.nio.file.Paths.get(dataDir).resolve(name)
       java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
-      target.toAbsolutePath.toString
+      (b, target.toAbsolutePath.toString)
     }
-    ManifestTable.publishBranchFiles(dir, branch, v, finalPaths): Unit
+    bucketSpec match {
+      case Some((c, _)) =>
+        ManifestTable.publishBranchTagged(dir, branch, v, moved.map { case (b, p) =>
+          p -> Map(s"_ptn_bucket_$c" ->
+            (b.get.toDouble, b.get.toDouble))
+        }): Unit
+      case None =>
+        ManifestTable.publishBranchFiles(dir, branch, v, moved.map(_._2)): Unit
+    }
     cleanupStaging()
   }
 

@@ -854,6 +854,71 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("branch appends keep the clustering: SPJ and transform pruning survive a WAP fast-forward") {
+    import spark.implicits._
+    wh: Unit
+    // --- bucketed half: the branch append must carry bucket tags, or a
+    // fast-forwarded WAP cycle silently degrades SPJ on main
+    spark.sql("CREATE TABLE gtest.ns.wapb (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (1L to 100L).map(k => (k, k * 2)).toDF("k", "v").createOrReplaceTempView("src_wapb")
+    spark.sql("INSERT INTO gtest.ns.wapb SELECT * FROM src_wapb")
+    val bdir = s"$wh/ns/wapb"
+    ManifestTable.createBranch(bdir, "exp")
+    (101L to 140L).map(k => (k, k * 2)).toDF("k", "v")
+      .writeTo("gtest.ns.wapb").option("branch", "exp").append()
+    ManifestTable.fastForward(bdir, "exp")
+    val es = ManifestTable.sqlEntriesAt(bdir, ManifestTable.currentVersion(bdir))
+      .filter(_.isData)
+    assert(es.forall(_.stats.contains("_ptn_bucket_k")),
+      "every file after the WAP cycle must carry its bucket tag")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.wapb").head.getLong(0) == 140)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val qa = spark.sql("SELECT k, sum(v) AS s FROM gtest.ns.wapb GROUP BY k")
+      assert(qa.collect().length == 140)
+      assert(!qa.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key aggregation must stay exchange-free after the WAP cycle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // --- transform half: branch-appended files must carry _ptn_days_ts
+    // so day pruning keeps working on the branch AND on main after ff
+    spark.sql("""CREATE TABLE gtest.ns.waph (ts TIMESTAMP, v BIGINT)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    def dayRows(days: Range) = days.flatMap { d =>
+      (0 until 10).map(i => (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2015, 5, 1, 8, 0).plusDays(d)), d * 100L + i))
+    }
+    dayRows(0 until 5).toDF("ts", "v").createOrReplaceTempView("src_waph")
+    spark.sql("INSERT INTO gtest.ns.waph SELECT * FROM src_waph")
+    val hdir = s"$wh/ns/waph"
+    ManifestTable.createBranch(hdir, "exp")
+    dayRows(5 until 8).toDF("ts", "v")
+      .writeTo("gtest.ns.waph").option("branch", "exp").append()
+    // the branch read prunes a branch-only day down to its one cell file
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val qb = spark.read.option("branch", "exp").table("gtest.ns.waph")
+      .where("ts >= TIMESTAMP '2015-05-07 00:00:00' AND " +
+        "ts < TIMESTAMP '2015-05-08 00:00:00'")
+    assert(scannedFiles(qb).size == 1,
+      s"branch day prune expected 1 file, got ${scannedFiles(qb).size}")
+    assert(qb.count() == 10)
+    ManifestTable.fastForward(hdir, "exp")
+    val qm = spark.sql("SELECT sum(v) FROM gtest.ns.waph " +
+      "WHERE ts >= TIMESTAMP '2015-05-06 00:00:00' " +
+      "AND ts < TIMESTAMP '2015-05-07 00:00:00'")
+    assert(scannedFiles(qm).size == 1,
+      "main day prune after fast-forward must open one branch-added file")
+    assert(qm.head.getLong(0) == (0 until 10).map(i => 500L + i).sum)
+  }
+
   test("metadata tables: .files / .history / .branches inspect the lakehouse through SQL") {
     import spark.implicits._
     wh: Unit
