@@ -102,7 +102,16 @@ object ManifestTable {
         val parts = line.split('|')
         (Some(parts(1)), false, parts(2), Map.empty[String, (Double, Double)])
       } else if (line.startsWith("P|")) {
-        (None, true, line.stripPrefix("P|"), Map.empty[String, (Double, Double)])
+        // `P|path[|stats]` — stats (notably `__rows`) are optional for
+        // backward compatibility with pre-r10 position-delete lines
+        val parts = line.split('|')
+        val st =
+          if (parts.length <= 2 || parts(2) == "-") Map.empty[String, (Double, Double)]
+          else parts(2).split(';').iterator.map { s =>
+            val Array(n, lo, hi) = s.split(':')
+            n -> (lo.toDouble, hi.toDouble)
+          }.toMap
+        (None, true, parts(1), st)
       } else if (line.startsWith("F|")) {
         val parts = line.split('|')
         val st =
@@ -631,11 +640,20 @@ object ManifestTable {
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.countStar: no committed version under $dir")
     val entries = manifestFiles(dir, v).map(parseEntry)
-    if (entries.exists(e => !e.isData)) None
+    // equality deletes stay an honest refusal (their match count is
+    // unknowable without IO); POSITION deletes are exact-count erasures
+    // of live rows by construction (`deleteWhere` resolves positions on
+    // the already-filtered snapshot, so no position is ever deleted
+    // twice) — the snapshot count is Σ data __rows − Σ pos-delete __rows,
+    // still zero IO (r10 session 3; pre-r10 P| lines carry no count and
+    // fall back to the scan)
+    if (entries.exists(_.deleteKey.isDefined)) None
     else {
-      val counts = entries.map(_.stats.get("__rows"))
-      if (counts.exists(_.isEmpty)) None
-      else Some(counts.flatten.map(_._1.toLong).sum)
+      val counts = entries.filter(_.isData).map(_.stats.get("__rows"))
+      val posCounts = entries.filter(_.posDelete).map(_.stats.get("__rows"))
+      if (counts.exists(_.isEmpty) || posCounts.exists(_.isEmpty)) None
+      else Some(counts.flatten.map(_._1.toLong).sum -
+        posCounts.flatten.map(_._1.toLong).sum)
     }
   }
 
@@ -855,9 +873,19 @@ object ManifestTable {
       .select(col(MetaCols(0)).as("file_path"), col(MetaCols(1)).as("pos"))
     val dataDir = s"$dir/data/commit-$v"
     hits.write.mode("overwrite").parquet(dataDir)
+    // the delete file's own footer stats ride the line (`__rows` above
+    // all): positions are exact-count deletions, so a pos-only snapshot
+    // keeps zero-IO COUNT(*) — see [[countStar]]
     val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"P|${f.getAbsolutePath}").sorted
+      .map { f =>
+        val st = fileStats(f.getAbsolutePath)
+        val seg =
+          if (st.isEmpty) "-"
+          else st.toSeq.sortBy(_._1)
+            .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+        s"P|${f.getAbsolutePath}|$seg"
+      }.sorted
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 

@@ -427,6 +427,22 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.compact(spark, dir, 2)
     assert(ManifestTable.countStar(dir).contains(24L))
     assert(ManifestTable.statsMinMax(dir, "k").contains((1.0, 25.0)))
+    // POSITION deletes are exact-count erasures: COUNT(*) stays a
+    // zero-IO metadata answer (Σ data __rows − Σ pos __rows), stacking
+    // included — while min/max still refuse (a deleted row might have
+    // been the extremum) and equality deletes still refuse count
+    ManifestTable.deleteWhere(spark, dir, org.apache.spark.sql.functions
+      .col("k") % 5 === 0)                     // erases 10,15,20,25
+    assert(ManifestTable.countStar(dir).contains(20L),
+      s"pos-only count expected 20, got ${ManifestTable.countStar(dir)}")
+    assert(ManifestTable.statsMinMax(dir, "k").isEmpty)
+    ManifestTable.deleteWhere(spark, dir, org.apache.spark.sql.functions
+      .col("k") === 1L)
+    assert(ManifestTable.countStar(dir).contains(19L))
+    assert(ManifestTable.read(spark, dir).count() == 19)
+    ManifestTable.compact(spark, dir, 2)
+    assert(ManifestTable.countStar(dir).contains(19L))
+    assert(ManifestTable.statsMinMax(dir, "k").isDefined)
     // a legacy manifest line without stats poisons only what it can't answer
     val md = java.nio.file.Paths.get(dir, "_manifests")
     val v = ManifestTable.currentVersion(dir)
@@ -435,7 +451,7 @@ class ManifestTableSpec extends SparkSpec {
     legacy.set(0, lines.get(0).split('|')(1)) // strip F|…|stats → bare path
     java.nio.file.Files.write(md.resolve(s"v${v + 1}.list"), legacy)
     assert(ManifestTable.countStar(dir).isEmpty)
-    assert(ManifestTable.read(spark, dir).count() == 24) // reads still fine
+    assert(ManifestTable.read(spark, dir).count() == 19) // reads still fine
   }
 
   test("updateWhere: stats-bounded copy-on-write, simultaneous assignments, delete refusal") {
