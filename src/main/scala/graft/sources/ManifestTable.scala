@@ -934,6 +934,42 @@ object ManifestTable {
         for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
       case LessThan(l: Literal, a) =>
         for (c <- attr(a); v <- num(l)) yield (c, v, Double.PositiveInfinity)
+      // `<=>` with a non-null literal constrains exactly like `=`; a NULL
+      // literal yields no numeric bound (num() returns None) and the
+      // conjunct stays residual-only
+      case EqualNullSafe(a, l: Literal) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, v)
+      case EqualNullSafe(l: Literal, a) =>
+        for (c <- attr(a); v <- num(l)) yield (c, v, v)
+      // IN-list → the [min, max] HULL of its values: conservative (a file
+      // between two listed values survives pruning and the residual
+      // filter drops its rows), which is exactly the superset contract —
+      // and for CoW touch-sets a wider interval only rewrites more, never
+      // loses a matching row. Point lookups (`k IN (x)`) stay exact.
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        for {
+          c <- attr(a)
+          nums <- {
+            val ns = vs.map(v => num(v.asInstanceOf[Literal]))
+            if (ns.forall(_.isDefined)) Some(ns.flatten) else None
+          }
+        } yield (c, nums.min, nums.max)
+      // the optimizer rewrites long IN-lists (> spark.sql.optimizer
+      // .inSetConversionThreshold) to InSet over raw values
+      case ins: InSet if ins.hset.nonEmpty =>
+        for {
+          c <- attr(ins.child)
+          nums <- {
+            val ok = (ins.child.dataType match {
+              case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+                   _: FloatType | _: DoubleType | _: DateType |
+                   _: TimestampType | _: TimestampNTZType => true
+              case _ => false
+            }) && ins.hset.forall(_.isInstanceOf[java.lang.Number])
+            if (ok) Some(ins.hset.toSeq.map(_.asInstanceOf[java.lang.Number].doubleValue()))
+            else None
+          }
+        } yield (c, nums.min, nums.max)
       case _ => None
     }
   }

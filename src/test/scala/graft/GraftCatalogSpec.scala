@@ -60,6 +60,16 @@ class GraftCatalogSpec extends SparkSpec {
     // equality point lookup prunes too, and stays correct
     val p = spark.sql("SELECT bucket FROM gtest.ns.clustered WHERE k = 250")
     assert(scannedFiles(p).length == 1 && p.head.getLong(0) == 2L)
+    // IN-list prunes by its [min,max] hull (r10 session 3): same-file
+    // values keep one file; the residual filter keeps the rows exact
+    val pin = spark.sql(
+      "SELECT sum(k) FROM gtest.ns.clustered WHERE k IN (125, 130, 180)")
+    assert(scannedFiles(pin).length == 1,
+      s"IN-hull prune expected 1 file, got ${scannedFiles(pin).length}")
+    assert(pin.head.getLong(0) == 125L + 130L + 180L)
+    // null-safe equality prunes like equality
+    val pns = spark.sql("SELECT bucket FROM gtest.ns.clustered WHERE k <=> 42")
+    assert(scannedFiles(pns).length == 1 && pns.head.getLong(0) == 0L)
     // an unconstrained read scans everything
     assert(scannedFiles(spark.sql("SELECT * FROM gtest.ns.clustered")).length == 3)
   }
