@@ -1231,11 +1231,13 @@ object WarehouseQueries {
   // strings with ZERO data-file IO — on a 100 TB table, an instant
   // answer vs a full scan (Iceberg's count-from-manifests / DSv2
   // aggregate-pushdown contract). The contract is honestly partial and
-  // the face pins both halves: with position deletes visible the
-  // metadata path REFUSES (an equality/position delete's surviving-row
-  // count is unknowable without IO — require(None)), and after
-  // compaction purges the deletes physically the O(1) answers come back
-  // (require(Some)). Both emitted stages are computed purely from
+  // the face pins every edge: position deletes are EXACT-COUNT erasures
+  // so COUNT(*) keeps answering (Σ data __rows − Σ pos __rows, still
+  // zero IO; r10 session 3), min/max refuses while any delete is
+  // visible (the extremum may be erased), equality deletes refuse count
+  // outright (match cardinality unknowable without IO), and after
+  // compaction purges the deletes physically the full O(1) answers come
+  // back (require(Some)). Both emitted stages are computed purely from
   // metadata; the oracle recomputes them relationally, so a single stale
   // or wrong stat breaks the hash.
   def metadataAggregates(s: SparkSession, dir: String): DataFrame = {
@@ -1267,10 +1269,17 @@ object WarehouseQueries {
       Seq(stage, n, loC.toLong, hiC.toLong, loD.toLong, hiD.toLong)
     }
     val full = meta("1_append_only")
+    val erased = rows.filter($"cents" % 100 < 10).count()
     ManifestTable.deleteWhere(s, out, $"cents" % 100 < 10)
-    require(ManifestTable.countStar(out).isEmpty &&
-      ManifestTable.statsMinMax(out, "cents").isEmpty,
-      "q347: with position deletes visible the metadata path must refuse")
+    // position deletes are exact-count erasures: COUNT(*) stays a
+    // zero-IO metadata answer (Σ data __rows − Σ pos __rows; r10
+    // session 3 — previously an outright refusal), while min/max still
+    // refuses (the erased rows may have held the extremum)
+    require(ManifestTable.countStar(out)
+      .contains(full(1).asInstanceOf[Long] - erased),
+      "q347: metadata COUNT(*) under position deletes must answer exactly")
+    require(ManifestTable.statsMinMax(out, "cents").isEmpty,
+      "q347: min/max must refuse while deletes are visible")
     ManifestTable.compact(s, out, 4)
     val compacted = meta("3_compacted")
     Seq(full, compacted)
@@ -2233,6 +2242,74 @@ object WarehouseQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q374: the md5-bucket hidden transform DECLARED IN DDL — the one
+  // hidden-partitioning declaration that previously required a library
+  // call (`declareTransforms`; `bucket` in PARTITIONED BY is reserved
+  // for storage-partitioned joins and its `x mod n` semantics must never
+  // collide with the md5 hash on one name, so the DDL spells it
+  // `md5bucket(n, col)` — Spark's parser admits arbitrary transform
+  // names via ApplyTransform). CREATE declares a MIXED spec
+  // (md5bucket(4, event_type), days(ts)): major bucket for string point
+  // lookups, minor day grain for time windows. The pins: the declared
+  // spec round-trips through `partitionTransforms`, clustered INSERTs
+  // split per (bucket, day) cell, a string equality prunes through the
+  // driver-side md5 twin, the day window prunes FURTHER, and the final
+  // aggregate hash-checks against the oracle's relational recompute. At
+  // 100 TB this is the full Iceberg-style DDL story for hash layouts:
+  // one CREATE statement, and every downstream INSERT and point query
+  // organizes and prunes itself with zero library imports.
+  def sqlMd5BucketDdl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q374_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat374", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat374.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q374_src")
+    s.sql("""CREATE TABLE graft_cat374.db.ev_b
+            |(ts TIMESTAMP, user_id BIGINT, event_type STRING, cents BIGINT)
+            |PARTITIONED BY (md5bucket(4, event_type), days(ts))""".stripMargin)
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
+    val tblDir = s"$out/db/ev_b"
+    require(ManifestTable.partitionTransforms(tblDir) ==
+      Seq(BucketTransform(4, "event_type"), DaysTransform("ts")),
+      "q374: the DDL-declared spec must round-trip through the library")
+    s.sql("INSERT INTO graft_cat374.db.ev_b SELECT * FROM q374_src")
+    val total = ManifestTable.fileCount(tblDir)
+    require(total >= 12,
+      s"q374: the clustered INSERT must split per (bucket, day) cell, got $total")
+    require(!s.sql("SELECT * FROM graft_cat374.db.ev_b").columns
+      .exists(_.startsWith("_ptn_")),
+      "q374: transform columns must be invisible through SQL")
+    // string equality prunes through the md5 bucket ('purchase' hashes
+    // alone into bucket 2 of 4 on this corpus' five event types)
+    val qPoint = s.sql("SELECT sum(cents) FROM graft_cat374.db.ev_b " +
+      "WHERE event_type = 'purchase'")
+    val keptPoint = graft.sources.v2.GraftCatalog.scannedFiles(qPoint).size
+    require(keptPoint < total,
+      s"q374: the string lookup must prune via md5bucket, got $keptPoint/$total")
+    val q = s.sql(
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  sum(cents) AS total_cents
+        |FROM graft_cat374.db.ev_b
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
+    val kept = graft.sources.v2.GraftCatalog.scannedFiles(q).size
+    require(kept < keptPoint,
+      s"q374: the day window must prune FURTHER within the bucket, " +
+        s"got $kept vs $keptPoint")
+    q
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2342,6 +2419,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
     "q373_sql_mixed_deletes" -> sqlMixedDeletes _,
@@ -2427,6 +2505,15 @@ object WarehouseQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q374_sql_md5bucket_ddl" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
     "q373_sql_mixed_deletes" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -98,6 +98,12 @@ class BucketedWriteBuilder(dir: String, schema: StructType,
         Array.empty
       override def toBatch: BatchWrite =
         new BucketedBatchWrite(dir, schema, append, col, n)
+      // streamed epochs keep the bucket layout too: the micro-batch
+      // planner applies this Write's clustered distribution, the epoch
+      // writer splits per bucket, and the commit publishes tagged lines
+      // — so SPJ survives a streaming ingest with no compaction pass
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new ManifestStreamingWrite(dir, schema, bucketSpec = Some((col, n)))
     }
 }
 

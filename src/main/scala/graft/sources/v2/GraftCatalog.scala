@@ -169,30 +169,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     // PARTITIONED BY (bucket(n, col)): the storage-partitioned-join
     // declaration — INSERTs cluster by bucket and scans report
-    // KeyGroupedPartitioning. PARTITIONED BY (days(col), ...): the
-    // hidden-partitioning declaration — INSERTs cluster by UTC day and
-    // time-ranged SELECTs prune on the transform stats (q371/q372; the
-    // md5-bucket hidden transform stays a library declaration so its
-    // name never collides with the SPJ bucket). Identity/range layouts
-    // keep the r9 refusal — they are write.order's job.
-    val daysSpec: Seq[ManifestTable.DaysTransform] =
-      if (partitions.nonEmpty && partitions.forall(_.name() == "days")) {
+    // KeyGroupedPartitioning. PARTITIONED BY (days(col) | md5bucket(n,
+    // col), ...): the hidden-partitioning declaration — INSERTs cluster
+    // by transform cell and SELECTs prune on the transform stats
+    // (q371/q372). The md5 hash transform is spelled `md5bucket` in DDL
+    // precisely so it can NEVER collide with the SPJ `bucket` name —
+    // Spark's parser admits arbitrary transform names (ApplyTransform),
+    // and join compatibility binds to canonical function names, so the
+    // two hash semantics stay distinct end to end. Identity/range
+    // layouts keep the r9 refusal — they are write.order's job.
+    def colArg(t: Transform, what: String): String = t.arguments().collectFirst {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames().mkString(".")
+    }.getOrElse(sys.error(s"GraftCatalog: $what needs a column"))
+    def intArg(t: Transform, what: String): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(sys.error(s"GraftCatalog: $what needs a literal count"))
+    val hiddenNames = Set("days", "md5bucket")
+    val hiddenSpec: Seq[ManifestTable.Transform] =
+      if (partitions.nonEmpty && partitions.forall(t => hiddenNames(t.name()))) {
         partitions.toSeq.map { t =>
-          val c = t.arguments().collectFirst {
-            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-              r.fieldNames().mkString(".")
-          }.getOrElse(sys.error("GraftCatalog: days(col) needs a column"))
-          val ok = schema.fields.exists(f => f.name == c && (f.dataType match {
-            case _: TimestampType | _: TimestampNTZType | _: DateType => true
-            case _ => false
-          }))
-          require(ok, s"GraftCatalog: days column '$c' must be a " +
-            "TIMESTAMP or DATE column of the schema")
-          ManifestTable.DaysTransform(c)
+          t.name() match {
+            case "days" =>
+              val c = colArg(t, "days(col)")
+              val ok = schema.fields.exists(f => f.name == c && (f.dataType match {
+                case _: TimestampType | _: TimestampNTZType | _: DateType => true
+                case _ => false
+              }))
+              require(ok, s"GraftCatalog: days column '$c' must be a " +
+                "TIMESTAMP or DATE column of the schema")
+              ManifestTable.DaysTransform(c)
+            case "md5bucket" =>
+              val c = colArg(t, "md5bucket(n, col)")
+              val n = intArg(t, "md5bucket(n, col)")
+              val ok = schema.fields.exists(f => f.name == c && (f.dataType match {
+                case _: LongType | _: IntegerType | _: StringType => true
+                case _ => false
+              }))
+              require(ok, s"GraftCatalog: md5bucket column '$c' must be a " +
+                "BIGINT, INT, or STRING column of the schema")
+              ManifestTable.BucketTransform(n, c)
+          }
         }
       } else Seq.empty
     val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
-      case _ if daysSpec.nonEmpty => None
+      case _ if hiddenSpec.nonEmpty => None
       case Seq() => None
       case Seq(t) if t.name() == "bucket" =>
         val args = t.arguments()
@@ -221,7 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(p.resolve("_partition.bucket"),
         (c + "\n" + n).getBytes("UTF-8")): Unit
     }
-    if (daysSpec.nonEmpty) ManifestTable.declareTransforms(dir, daysSpec)
+    if (hiddenSpec.nonEmpty) ManifestTable.declareTransforms(dir, hiddenSpec)
     // schema-on-read everywhere else; the DDL file only serves loads of a
     // table that has no commits yet
     java.nio.file.Files.write(p.resolve("_schema.ddl"),
@@ -498,11 +520,19 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     }
   }
 
-  override def partitioning(): Array[Transform] =
-    bucketSpec.map { case (c, n) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-        : Transform
-    }.toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val spj = bucketSpec.map { case (c, n) => Expressions.bucket(n, c): Transform }
+    // hidden transforms surface in DESCRIBE/SHOW output under the same
+    // names createTable accepts, so the declared layout round-trips
+    val hidden = ManifestTable.partitionTransforms(dir).map {
+      case ManifestTable.DaysTransform(src) => Expressions.days(src): Transform
+      case ManifestTable.BucketTransform(n, src) =>
+        Expressions.apply("md5bucket", Expressions.literal(n),
+          Expressions.column(src)): Transform
+    }
+    (spj.toSeq ++ hidden).toArray
+  }
 
   private def targetFileSize: Long = {
     val p = java.nio.file.Paths.get(dir, "_write.size")
@@ -580,10 +610,35 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     new BranchBatchWrite(dir, b, info.schema(),
                       ptnSpecs = PtnColSpec.of(ts, info.schema()))
                 }
+              // a write.order table's branch appends stay range-clustered
+              // too (r10 session 4 — previously only bucket/transform
+              // layouts survived a branch write; an ordered table's WAP
+              // cycle landed unclustered files on main at fast-forward,
+              // degrading stats pruning until a compact)
+              case _ if writeOrder.isDefined =>
+                val (c, parts) = writeOrder.get
+                new org.apache.spark.sql.connector.write.Write
+                    with RequiresDistributionAndOrdering {
+                  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+                  private val order = Array[SortOrder](
+                    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+                  override def requiredDistribution(): Distribution =
+                    Distributions.ordered(order)
+                  override def requiredOrdering(): Array[SortOrder] = order
+                  override def requiredNumPartitions(): Int =
+                    if (targetFileSize > 0) 0 else parts
+                  override def advisoryPartitionSizeInBytes(): Long =
+                    if (targetFileSize > 0) targetFileSize
+                    else super.advisoryPartitionSizeInBytes()
+                  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                    new BranchBatchWrite(dir, b, info.schema(),
+                      targetFileSize = targetFileSize)
+                }
               case _ =>
                 new org.apache.spark.sql.connector.write.Write {
                   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                    new BranchBatchWrite(dir, b, info.schema())
+                    new BranchBatchWrite(dir, b, info.schema(),
+                      targetFileSize = targetFileSize)
                 }
             }
           }
@@ -724,11 +779,41 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
             println("RL-WRITE-SCHEMA=" + wInfo.schema().toDDL +
               " ROWID=" + wInfo.rowIdSchema() + " META=" + wInfo.metadataSchema())
           new WriteBuilder {
+            import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             override def build(): org.apache.spark.sql.connector.write.Write =
-              new org.apache.spark.sql.connector.write.Write {
-                override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                  new GroupCowBatchWrite(dir, wInfo.schema(),
-                    () => activeFiles.map(_.apply()))
+              writeOrder match {
+                // a write.order table's CoW rewrites stay range-clustered
+                // (r10 session 4): without this, every SQL UPDATE/MERGE
+                // replaced its touched files with UNCLUSTERED ones, so
+                // mutations silently degraded the stats-prune layout
+                // until a compact. The distribution binds to the order
+                // column BY NAME, which the row-level write's projection
+                // carries alongside the prepended __row_operation marker.
+                case Some((c, parts)) =>
+                  new org.apache.spark.sql.connector.write.Write
+                      with RequiresDistributionAndOrdering {
+                    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+                    private val order = Array[SortOrder](
+                      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+                    override def requiredDistribution(): Distribution =
+                      Distributions.ordered(order)
+                    override def requiredOrdering(): Array[SortOrder] = order
+                    override def requiredNumPartitions(): Int =
+                      if (targetFileSize > 0) 0 else parts
+                    override def advisoryPartitionSizeInBytes(): Long =
+                      if (targetFileSize > 0) targetFileSize
+                      else super.advisoryPartitionSizeInBytes()
+                    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                      new GroupCowBatchWrite(dir, wInfo.schema(),
+                        () => activeFiles.map(_.apply()))
+                  }
+                case None =>
+                  new org.apache.spark.sql.connector.write.Write {
+                    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                      new GroupCowBatchWrite(dir, wInfo.schema(),
+                        () => activeFiles.map(_.apply()))
+                  }
               }
           }
         }

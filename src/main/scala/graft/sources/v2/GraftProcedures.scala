@@ -112,6 +112,15 @@ private[v2] object GraftProcedures {
             args.getUTF8String(1).toString)
           Seq(row(v.toLong))
         })
+      case "rollback" => proc("rollback",
+        "restore an earlier version's state as a new head commit",
+        Seq(in("table", StringType), in("to_version", IntegerType)),
+        StructType(Seq(StructField("head_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.rollback(
+            tableDir(args.getUTF8String(0).toString), args.getInt(1))
+          Seq(row(v.toLong))
+        })
       case "drop_branch" => proc("drop_branch",
         "delete a branch, reclaiming files only it references",
         Seq(in("table", StringType), in("name", StringType)),
@@ -125,13 +134,13 @@ private[v2] object GraftProcedures {
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
           "compact, expire, vacuum, zorder, create_branch, fast_forward, " +
-          "drop_branch")
+          "drop_branch, rollback")
     }
   }
 
   val names: Array[Identifier] =
     Array("compact", "expire", "vacuum", "zorder",
-      "create_branch", "fast_forward", "drop_branch")
+      "create_branch", "fast_forward", "drop_branch", "rollback")
       .map(Identifier.of(Array("system"), _))
 
   /** Bucket-preserving compaction: the merged snapshot rewrites as ONE

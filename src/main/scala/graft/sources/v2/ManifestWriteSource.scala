@@ -164,7 +164,8 @@ final case class StagedFilesMessage(paths: Seq[String]) extends WriterCommitMess
   * survive onto main. */
 class BranchBatchWrite(dir: String, branch: String, schema: StructType,
                        ptnSpecs: Seq[PtnColSpec] = Nil,
-                       bucketSpec: Option[(String, Int)] = None)
+                       bucketSpec: Option[(String, Int)] = None,
+                       targetFileSize: Long = 0)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/branch-${UUID.randomUUID()}"
 
@@ -173,7 +174,8 @@ class BranchBatchWrite(dir: String, branch: String, schema: StructType,
       case (Some((c, n)), _) =>
         BucketedWriterFactory(stagingDir, schema, schema.fieldIndex(c), n)
       case (None, ps) if ps.nonEmpty => TransformedWriterFactory(stagingDir, schema, ps)
-      case _ => new ManifestWriterFactory(stagingDir, schema)
+      case _ => new ManifestWriterFactory(stagingDir, schema,
+        targetFileSize = targetFileSize)
     }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -281,7 +283,8 @@ class ManifestWriterFactory(stagingDir: String, schema: StructType,
   * time-travelable snapshot feeding the change feed and any
   * `readStream.table` consumer downstream. */
 class ManifestStreamingWrite(dir: String, schema: StructType,
-                             ptnSpecs: Seq[PtnColSpec] = Nil)
+                             ptnSpecs: Seq[PtnColSpec] = Nil,
+                             bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -289,7 +292,7 @@ class ManifestStreamingWrite(dir: String, schema: StructType,
   private def stagingDir(epochId: Long) = s"$dir/_staging/epoch-$epochId-$nonce"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestStreamingWriterFactory(dir, nonce, schema, ptnSpecs)
+    ManifestStreamingWriterFactory(dir, nonce, schema, ptnSpecs, bucketSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tag = s"stream-epoch:$epochId"
@@ -310,19 +313,32 @@ class ManifestStreamingWrite(dir: String, schema: StructType,
         s"${owned.map(t => s"'$t'").getOrElse("an untagged writer")} — a " +
         s"foreign commit broke the epoch ledger; failing loudly instead of " +
         s"dropping epoch $epochId")
-    val staged = messages.flatMap {
-      case StagedFileMessage(p)   => Seq(p)
-      case StagedFilesMessage(ps) => ps
+    val staged: Seq[(Option[Int], String)] = messages.toSeq.flatMap {
+      case StagedFileMessage(p)         => Seq((None: Option[Int], p))
+      case StagedFilesMessage(ps)       => ps.map((None: Option[Int], _))
+      case StagedBucketFilesMessage(fs) => fs.map { case (b, p) => (Some(b), p) }
       case _ => Seq.empty
     }
     val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
     java.nio.file.Files.createDirectories(dataDir)
-    val finalPaths = staged.toSeq.sorted.map { p =>
-      val target = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
+    val moved = staged.sortBy(_._2).map { case (b, p) =>
+      val name = b.map(i => s"b$i-").getOrElse("") +
+        java.nio.file.Paths.get(p).getFileName
+      val target = dataDir.resolve(name)
       java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
-      target.toAbsolutePath.toString
+      (b, target.toAbsolutePath.toString)
     }
-    try ManifestTable.publishExpected(dir, v, finalPaths, append = v > 1): Unit
+    try (bucketSpec match {
+      // bucketed epochs publish their bucket ids as manifest tags —
+      // the key-grouped scan needs EVERY file tagged, so a streamed
+      // commit must not break the SPJ contract
+      case Some((c, _)) =>
+        ManifestTable.publishTaggedExpected(dir, v, moved.map { case (b, p) =>
+          p -> Map(s"_ptn_bucket_$c" -> (b.get.toDouble, b.get.toDouble))
+        }, append = v > 1)
+      case None =>
+        ManifestTable.publishExpected(dir, v, moved.map(_._2), append = v > 1)
+    }): Unit
     catch {
       case e: ManifestTable.CommitConflictException =>
         throw new IllegalStateException(
@@ -349,17 +365,24 @@ class ManifestStreamingWrite(dir: String, schema: StructType,
   * StreamingWrite stays driver-side). */
 final case class ManifestStreamingWriterFactory(dir: String, nonce: String,
                                                 schema: StructType,
-                                                ptnSpecs: Seq[PtnColSpec] = Nil)
+                                                ptnSpecs: Seq[PtnColSpec] = Nil,
+                                                bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val staging = s"$dir/_staging/epoch-$epochId-$nonce"
-    // a hidden-partition table's epochs split per transform cell with
-    // materialized _ptn_* columns, exactly like its batch INSERTs — the
-    // streamed data carries the same single-cell stats and prunes the
-    // same way (r10 session 3)
-    if (ptnSpecs.isEmpty) new ManifestDataWriter(staging, schema, partitionId, taskId)
-    else new TransformedDataWriter(staging, schema, ptnSpecs, partitionId, taskId)
+    // a clustered table's epochs keep its layout, exactly like batch
+    // INSERTs: transform cells split with materialized _ptn_* columns,
+    // bucket ids split per bucket (tagged at the commit) — streamed
+    // data then carries the same pruning/SPJ story as batch data
+    (bucketSpec, ptnSpecs) match {
+      case (Some((c, n)), _) =>
+        new BucketedDataWriter(staging, schema, schema.fieldIndex(c), n,
+          partitionId, taskId)
+      case (None, ps) if ps.nonEmpty =>
+        new TransformedDataWriter(staging, schema, ps, partitionId, taskId)
+      case _ => new ManifestDataWriter(staging, schema, partitionId, taskId)
+    }
   }
 }
 

@@ -286,6 +286,45 @@ class GraftCatalogSpec extends SparkSpec {
       (0 until 100).filter(_ % 5 == 1).map(_.toLong).sum)
   }
 
+  test("writeStream.toTable into a bucketed table: epochs land tagged, SPJ survives streaming ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.wsspj (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L to 80L).map(k => (k, k * 3)): _*)
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wsspj_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gtest.ns.wsspj")
+    q.awaitTermination()
+    val dir = s"$wh/ns/wsspj"
+    assert(ManifestTable.currentVersion(dir) == 1)
+    val entries = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData)
+    assert(entries.forall(_.stats.contains("_ptn_bucket_k")),
+      "every streamed file must carry its bucket tag")
+    assert(entries.map(_.stats("_ptn_bucket_k")._1.toInt).distinct.size == 4)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.wsspj").head.getLong(0) == 80)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val qa = spark.sql("SELECT k, sum(v) AS s FROM gtest.ns.wsspj GROUP BY k")
+      assert(qa.collect().length == 80)
+      assert(!qa.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key aggregation over a streamed table must stay exchange-free")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("readStream.table streams catalog commits one micro-batch each; resume reads only the delta") {
     import spark.implicits._
     wh: Unit
@@ -662,6 +701,26 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gtest.system.nope('ns.pt')") }
   }
 
+  test("CALL graft.system.rollback: a bad commit undoes as a new head, history intact") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.rb (k BIGINT)")
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("src_rb")
+    spark.sql("INSERT INTO gtest.ns.rb SELECT * FROM src_rb")
+    Seq(100L, 200L).toDF("k").createOrReplaceTempView("src_rb2")
+    spark.sql("INSERT INTO gtest.ns.rb SELECT * FROM src_rb2") // the "bad" commit
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.rb").head.getLong(0) == 306)
+    val hv = spark.sql("CALL gtest.system.rollback('ns.rb', 1)").head.getLong(0)
+    assert(hv == 3, s"rollback must publish a NEW head, got v$hv")
+    // head state == v1 state; the bad commit stays time-travelable
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.rb").head.getLong(0) == 6)
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.rb VERSION AS OF 2")
+      .head.getLong(0) == 306)
+    // appends continue normally on the restored head
+    spark.sql("INSERT INTO gtest.ns.rb SELECT * FROM src_rb2")
+    assert(spark.sql("SELECT sum(k) FROM gtest.ns.rb").head.getLong(0) == 306)
+  }
+
   test("composite write.key: delta UPDATE/MERGE/DELETE on a two-column row identifier") {
     import spark.implicits._
     wh: Unit
@@ -927,6 +986,128 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scannedFiles(qm).size == 1,
       "main day prune after fast-forward must open one branch-added file")
     assert(qm.head.getLong(0) == (0 until 10).map(i => 500L + i).sum)
+  }
+
+  test("group CoW rewrites honor write.order: SQL UPDATE keeps the table range-clustered") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.cowo (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.order'='k','write.order.partitions'='4')")
+    (0L until 400L).map(k => (k, k)).toDF("k", "v")
+      .createOrReplaceTempView("src_cowo")
+    spark.sql("INSERT INTO gtest.ns.cowo SELECT * FROM src_cowo")
+    val dir = s"$wh/ns/cowo"
+    val before = ManifestTable.fileCount(dir)
+    assert(before > 1)
+    // an unprunable condition touches every file → full rewrite; without
+    // the ordered distribution on the row-level write the replacement
+    // files interleave k ranges and point queries stop pruning
+    spark.sql("UPDATE gtest.ns.cowo SET v = v + 1000 WHERE k % 2 = 0")
+    val es = ManifestTable.sqlEntriesAt(dir, ManifestTable.currentVersion(dir))
+      .filter(_.isData)
+    assert(es.size > 1, s"the ordered rewrite must emit several files, got ${es.size}")
+    val ranges = es.flatMap(_.stats.get("k")).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"post-UPDATE files must cover disjoint k ranges, got $ranges")
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val q = spark.sql("SELECT sum(v) FROM gtest.ns.cowo WHERE k >= 10 AND k < 60")
+    assert(scannedFiles(q).size < es.size,
+      "a narrow range after the UPDATE must still prune files")
+    assert(q.head.getLong(0) ==
+      (10L until 60L).map(k => if (k % 2 == 0) k + 1000 else k).sum)
+  }
+
+  test("branch appends honor write.order: an ordered WAP cycle keeps range clustering") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.wapo (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.order'='k','write.order.partitions'='4')")
+    (0L until 200L).map(k => (k, k * 2)).toDF("k", "v")
+      .createOrReplaceTempView("src_wapo")
+    spark.sql("INSERT INTO gtest.ns.wapo SELECT * FROM src_wapo")
+    val dir = s"$wh/ns/wapo"
+    ManifestTable.createBranch(dir, "exp")
+    // shuffled, multi-partition input: the BRANCH write must declare the
+    // range distribution itself, exactly like a main-line INSERT
+    (200L until 400L).map(k => (k, k * 2)).sortBy(_._1 % 7)
+      .toDF("k", "v").repartition(8)
+      .writeTo("gtest.ns.wapo").option("branch", "exp").append()
+    val bv = ManifestTable.branchVersion(dir, "exp")
+    val appended = ManifestTable.sqlBranchEntriesAt(dir, "exp", bv)
+      .filter(_.isData).filter(_.stats.get("k").exists(_._1 >= 200.0))
+    assert(appended.size > 1,
+      s"the ordered branch append should emit several files, got ${appended.size}")
+    // disjoint per-file ranges — the write.order contract
+    val ranges = appended.flatMap(_.stats.get("k")).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"branch-appended files must cover disjoint k ranges, got $ranges")
+    // a narrow branch read prunes to a strict file subset
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val qb = spark.read.option("branch", "exp").table("gtest.ns.wapo")
+      .where("k >= 210 AND k < 240")
+    assert(scannedFiles(qb).size < appended.size + ManifestTable.fileCount(dir))
+    assert(qb.agg(sum("v")).head.getLong(0) == (210L until 240L).map(_ * 2).sum)
+    // after fast-forward the clustering survives onto main
+    ManifestTable.fastForward(dir, "exp")
+    val qm = spark.sql(
+      "SELECT sum(v) FROM gtest.ns.wapo WHERE k >= 350 AND k < 380")
+    assert(scannedFiles(qm).size < ManifestTable.fileCount(dir),
+      "a narrow range on post-ff main must prune the ordered branch files")
+    assert(qm.head.getLong(0) == (350L until 380L).map(_ * 2).sum)
+  }
+
+  test("CREATE PARTITIONED BY (md5bucket(n, k), days(ts)): hidden transforms declared in DDL") {
+    import spark.implicits._
+    import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
+    wh: Unit
+    spark.sql("""CREATE TABLE gtest.ns.hpddl (ts TIMESTAMP, k STRING, v BIGINT)
+                |PARTITIONED BY (md5bucket(8, k), days(ts))""".stripMargin)
+    val dir = s"$wh/ns/hpddl"
+    // the DDL declares the same write-once spec the library verb would
+    assert(ManifestTable.partitionTransforms(dir) ==
+      Seq(BucketTransform(8, "k"), DaysTransform("ts")))
+    val rows = (0 until 6).flatMap { d =>
+      (0 until 40).map { i =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(2019, 3, 10, 9, 0).plusDays(d)), s"key${i % 10}", d * 1000L + i)
+      }
+    }
+    rows.toDF("ts", "k", "v").repartition(8).createOrReplaceTempView("src_hpddl")
+    spark.sql("INSERT INTO gtest.ns.hpddl SELECT * FROM src_hpddl")
+    // transform columns stay invisible
+    assert(spark.table("gtest.ns.hpddl").columns.toSeq == Seq("ts", "k", "v"))
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.hpddl").head.getLong(0) == 240)
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    val total = ManifestTable.fileCount(dir)
+    // a string point lookup prunes through the md5 bucket transform
+    val qk = spark.sql("SELECT sum(v) FROM gtest.ns.hpddl WHERE k = 'key3'")
+    assert(scannedFiles(qk).size < total,
+      s"md5bucket lookup must prune: ${scannedFiles(qk).size} of $total")
+    assert(qk.head.getLong(0) ==
+      rows.filter(_._2 == "key3").map(_._3).sum)
+    // a day window prunes through the days transform
+    val qd = spark.sql("SELECT sum(v) FROM gtest.ns.hpddl " +
+      "WHERE ts >= TIMESTAMP '2019-03-12 00:00:00' " +
+      "AND ts < TIMESTAMP '2019-03-13 00:00:00'")
+    assert(scannedFiles(qd).size < total,
+      s"day window must prune: ${scannedFiles(qd).size} of $total")
+    assert(qd.head.getLong(0) == rows.filter(_._3 / 1000L == 2).map(_._3).sum)
+    // DESCRIBE surfaces the declared layout under the DDL names
+    val desc = spark.sql("DESCRIBE TABLE gtest.ns.hpddl").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("md5bucket") || spark.sql(
+      "DESCRIBE TABLE EXTENDED gtest.ns.hpddl").collect()
+      .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      .contains("md5bucket"), "DESCRIBE must show the md5bucket transform")
+    // a non-hidden transform name still refuses with a pointer
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.ns.hpddl2 (k BIGINT) " +
+        "PARTITIONED BY (years(k))")
+    }
   }
 
   test("metadata tables: .files / .history / .branches inspect the lakehouse through SQL") {
