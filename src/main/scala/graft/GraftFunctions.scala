@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    // SQL views over GraftCatalog: Spark ships the ViewCatalog SPI but
+    // no engine integration, and ResolveSessionCatalog hard-refuses view
+    // DDL on non-session catalogs IN the Resolution batch — so the rule
+    // must fire earlier. The Hints batch runs before Resolution and
+    // admits extension rules (see GraftViewRules for the full contract).
+    e.injectHintResolutionRule(s => graft.sources.v2.GraftViewRules(s))
     // whole-operator extension: the native distributed prefix scan
     // (custom LogicalPlan + Strategy + SparkPlan, graft.plans.PrefixScan)
     e.injectPlannerStrategy(_ => graft.plans.PrefixScanStrategy)

@@ -2310,6 +2310,56 @@ object WarehouseQueries {
     q
   }
 
+  // q375: CTAS + SQL VIEWS through the catalog — the derived-query
+  // layer with zero library imports and zero external metastore. CREATE
+  // TABLE AS SELECT materializes the source as an ordinary manifest
+  // table (time travel from commit 1); CREATE VIEW stores a DEFINITION
+  // (the Spark 4 ViewCatalog SPI has no engine integration, so the
+  // repo's extension rule supplies the DDL commands and expands view
+  // reads inline — the Iceberg pattern); a second view stacks on the
+  // first, and the gate query reads through BOTH, so the whole
+  // expansion chain must plan correctly against the lakehouse scan. At
+  // 100 TB views are the governance layer: the expansion inherits
+  // every optimization of the underlying scan (manifest pruning,
+  // aggregate pushdown, DPP) because the reader plans AS IF the view
+  // body had been written inline — nothing materializes, nothing goes
+  // stale, and a view read costs exactly its query.
+  def sqlCtasViews(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q375_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat375", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat375.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q375_src")
+    // CTAS: one statement, a committed manifest table
+    s.sql("CREATE TABLE graft_cat375.db.ev AS SELECT * FROM q375_src")
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 1,
+      "q375: CTAS must land as an ordinary manifest commit")
+    // a view over the table, and a view over THAT view
+    s.sql("""CREATE VIEW graft_cat375.db.daily AS
+            |SELECT CAST(ts AS DATE) AS day, event_type,
+            |       count(*) AS n, sum(cents) AS total_cents
+            |FROM graft_cat375.db.ev
+            |GROUP BY CAST(ts AS DATE), event_type""".stripMargin)
+    s.sql("""CREATE VIEW graft_cat375.db.busy_days AS
+            |SELECT day, sum(n) AS n_events, sum(total_cents) AS total_cents
+            |FROM graft_cat375.db.daily
+            |GROUP BY day HAVING sum(n) >= 300""".stripMargin)
+    val shown = s.sql("SHOW VIEWS IN graft_cat375.db").collect()
+      .map(_.getString(1)).toSet
+    require(shown == Set("busy_days", "daily"),
+      s"q375: SHOW VIEWS must list both definitions, got $shown")
+    s.sql("""SELECT day, n_events, total_cents
+            |FROM graft_cat375.db.busy_days ORDER BY day""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2419,6 +2469,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_sql_ctas_views" -> sqlCtasViews _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
@@ -2505,6 +2556,17 @@ object WarehouseQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q375_sql_ctas_views" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS total_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(total_cents) AS BIGINT) AS total_cents
+        |FROM daily GROUP BY day HAVING sum(n) >= 300
+        |ORDER BY day""".stripMargin,
     "q374_sql_md5bucket_ddl" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

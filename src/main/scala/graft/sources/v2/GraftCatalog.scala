@@ -64,7 +64,32 @@ import graft.sources.ManifestTable
   * restores the fully-vectorized delete-free read path.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+
+  // CREATE/DROP/ALTER VIEW + SHOW VIEWS — definitions stored next to the
+  // tables they derive from (see [[GraftViews]]); a referenced view
+  // re-parses inline, so file pruning/pushdown apply to the expansion
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list((warehouse +: namespace).mkString("/"), namespace.toArray)
+  override def loadView(ident: Identifier): View =
+    GraftViews.load(tableDir(ident), ident)
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.isView(tableDir(ident))
+  override def createView(info: ViewInfo): View = {
+    require(!isTable(tableDir(info.ident())),
+      s"GraftCatalog: ${info.ident()} is a TABLE — pick another view name")
+    GraftViews.create(tableDir(info.ident()), info)
+  }
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(tableDir(ident))
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViews.rename(tableDir(from), tableDir(to), from,
+      GraftViews.isView(tableDir(to)) || isTable(tableDir(to)), to)
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    GraftViews.alter(tableDir(ident), ident, changes.toSeq.map {
+      case s: ViewChange.SetProperty    => s.property() -> Some(s.value())
+      case r: ViewChange.RemoveProperty => r.property() -> None
+    })
 
   // the storage-partition transform — resolvable as `bucket` so write
   // distributions and scan-reported partitionings bind to ONE canonical
@@ -237,6 +262,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.isView(dir),
+      s"GraftCatalog: $ident is a VIEW — pick another table name")
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
     bucketSpec.foreach { case (c, n) =>
