@@ -1733,6 +1733,72 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q379: the FULL MERGE matrix in one statement — five clauses spanning
+  // every direction the SQL standard allows: conditional MATCHED UPDATE,
+  // conditional MATCHED DELETE, NOT MATCHED INSERT, and the Spark-4
+  // NOT MATCHED BY SOURCE pair (conditional DELETE + catch-all UPDATE),
+  // on a keyed table so the whole matrix lands as ONE O(|touched rows|)
+  // delta commit (equality-delete + append — zero data files rewritten,
+  // require-pinned). NOT MATCHED BY SOURCE is the leg that turns MERGE
+  // into full table synchronization ("make the target look like the
+  // source, with policies"): at 100 TB it replaces the
+  // full-outer-join-and-rewrite job a naive engine runs nightly, and its
+  // cost here is exactly the touch set the clauses name — matched rows
+  // ride the join, unmatched target rows ride the anti side, and
+  // untouched files are never opened for rewrite. Hash-checked against
+  // the oracle's relational recompute of the same five-way CASE.
+  def sqlMergeMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q379_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat379", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat379.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q379_src")
+    s.sql("""CREATE TABLE graft_cat379.db.sync
+            |(o_orderkey BIGINT, cents BIGINT)
+            |TBLPROPERTIES('write.key'='o_orderkey')""".stripMargin)
+    s.sql("""INSERT INTO graft_cat379.db.sync
+            |SELECT /*+ REPARTITION(8) */ * FROM q379_src
+            |WHERE o_orderkey % 4 <> 3""".stripMargin)
+    import graft.sources.ManifestTable
+    val tblDir = s"$out/db/sync"
+    val baseFiles = ManifestTable.sqlEntriesAt(tblDir, 1)
+      .filter(_.isData).map(_.path).toSet
+    s.sql("""MERGE INTO graft_cat379.db.sync t
+            |USING (SELECT o_orderkey, cents + 7 AS cents FROM q379_src
+            |       WHERE o_orderkey % 2 = 0) s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.cents % 5 = 0 THEN UPDATE SET cents = s.cents
+            |WHEN MATCHED AND s.cents % 5 = 1 THEN DELETE
+            |WHEN NOT MATCHED THEN INSERT (o_orderkey, cents)
+            |  VALUES (s.o_orderkey, s.cents)
+            |WHEN NOT MATCHED BY SOURCE AND cents % 7 = 0 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = cents + 1
+            |""".stripMargin)
+    require(ManifestTable.currentVersion(tblDir) == 2,
+      "q379: the five-clause MERGE must land as exactly one delta commit")
+    val es = ManifestTable.sqlEntriesAt(tblDir, 2)
+    require(baseFiles.subsetOf(es.filter(_.isData).map(_.path).toSet),
+      "q379: the MERGE rewrote base data files — the delta contract is zero rewrites")
+    require(es.exists(_.deleteKey.contains("o_orderkey")),
+      "q379: the MERGE must carry an equality-delete of the touched keys")
+    require(s.sql("SELECT count(*) FROM graft_cat379.db.sync VERSION AS OF 1")
+      .head.getLong(0) ==
+      s.sql("SELECT count(*) FROM q379_src WHERE o_orderkey % 4 <> 3")
+        .head.getLong(0),
+      "q379: time travel to the pre-merge snapshot must be intact")
+    s.sql("""SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+            |       sum(cents) AS total_cents
+            |FROM graft_cat379.db.sync
+            |GROUP BY o_orderkey % 10 ORDER BY bucket""".stripMargin)
+  }
+
   // q366: RUNTIME file pruning for catalog star joins — the SQL face's
   // dynamic partition pruning. The fact table declares `write.order` on
   // the join key, so every file covers a disjoint key range; the scan
@@ -2360,6 +2426,205 @@ object WarehouseQueries {
             |FROM graft_cat375.db.busy_days ORDER BY day""".stripMargin)
   }
 
+  // q376: ATOMIC CTAS + RTAS (StagingTableCatalog) — the all-or-nothing
+  // DDL face. CREATE TABLE AS SELECT stages the whole query's output in
+  // an invisible directory and publishes it with ONE rename; REPLACE
+  // TABLE AS SELECT publishes with ONE manifest CAS onto the EXISTING
+  // version chain, so the pre-replace history stays time-travelable
+  // (Iceberg RTAS semantics). The face pins the two halves of the
+  // contract a non-staging catalog cannot give: (1) a replace whose
+  // query FAILS leaves the old table bit-identical at the same version —
+  // no drop-then-create window where readers see nothing or half the
+  // data; (2) a successful replace is version N+1 with version N still
+  // serving. At 100 TB this is the difference between "rebuild the
+  // derived table nightly" being routine and being a pager rotation:
+  // the rebuild can die at 99% with zero blast radius, and a reader
+  // pinned to VERSION AS OF never notices the swap.
+  def sqlAtomicRtas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q376_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat376", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat376.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q376_src")
+    s.sql("CREATE TABLE graft_cat376.db.ev AS SELECT * FROM q376_src")
+    val raw = s.sql("SELECT count(*) FROM graft_cat376.db.ev").head.getLong(0)
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 1,
+      "q376: atomic CTAS must land as manifest v1")
+    // a replace whose query fails must leave v1 untouched
+    val failed = try {
+      s.sql("""REPLACE TABLE graft_cat376.db.ev AS
+              |SELECT *, assert_true(cents < 0) AS chk FROM q376_src""".stripMargin)
+      false
+    } catch { case _: Exception => true }
+    require(failed, "q376: the poisoned replace must throw")
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 1,
+      "q376: a failed replace must not advance the version chain")
+    require(s.sql("SELECT count(*) FROM graft_cat376.db.ev").head.getLong(0) == raw,
+      "q376: a failed replace must leave the old snapshot bit-identical")
+    // the real replace: raw events -> the daily rollup, atomically
+    s.sql("""REPLACE TABLE graft_cat376.db.ev AS
+            |SELECT CAST(ts AS DATE) AS day, event_type,
+            |       count(*) AS n_events, sum(cents) AS total_cents
+            |FROM q376_src GROUP BY CAST(ts AS DATE), event_type""".stripMargin)
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 2,
+      "q376: the replace must be v2 ON the chain, not a fresh table")
+    require(s.sql("SELECT count(*) FROM graft_cat376.db.ev VERSION AS OF 1")
+      .head.getLong(0) == raw,
+      "q376: the pre-replace snapshot must stay time-travelable")
+    s.sql("""SELECT day, event_type, n_events, total_cents
+            |FROM graft_cat376.db.ev
+            |ORDER BY day, event_type""".stripMargin)
+  }
+
+  // q377: ENFORCED CHECK CONSTRAINTS — the declarative data-quality gate
+  // at ingest. The table declares its invariants in DDL (`CONSTRAINT ...
+  // CHECK (...)`); the catalog stores them and reports them through
+  // `Table.constraints()`; SPARK compiles every enforced check into the
+  // write query itself (codegen'd validation, no per-row UDF), so a
+  // violating row aborts the INSERT before the manifest commit point and
+  // the snapshot chain only ever contains conforming data. The face pins
+  // the three contract legs: a violating batch commits NOTHING (version
+  // unchanged — atomicity means no partial quality), a conforming batch
+  // lands, and ALTER TABLE ADD CONSTRAINT validates EXISTING rows with
+  // one distributed probe before accepting the declaration. At 100 TB
+  // this replaces the post-hoc "quality scan" job class entirely: the
+  // scan that would find bad rows tomorrow is the same predicate that
+  // rejects them today, enforced at every writer with zero reader cost.
+  def sqlCheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q377_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat377", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat377.warehouse", out)
+    Tables(s, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q377_src")
+    s.sql("""CREATE TABLE graft_cat377.db.ev (
+            |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+            |  event_type STRING, cents BIGINT,
+            |  CONSTRAINT cents_nonneg CHECK (cents >= 0),
+            |  CONSTRAINT known_type CHECK (event_type IS NOT NULL)
+            |)""".stripMargin)
+    // a batch carrying violations commits NOTHING (checks run inside the
+    // write; the staged files never publish)
+    val failed = try {
+      s.sql("""INSERT INTO graft_cat377.db.ev
+              |SELECT event_id, ts, user_id, event_type, cents - 1000000
+              |FROM q377_src""".stripMargin)
+      false
+    } catch { case _: Exception => true }
+    require(failed, "q377: the violating insert must throw")
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 0,
+      "q377: a rejected batch must not advance the version chain")
+    // the conforming batch lands
+    s.sql("INSERT INTO graft_cat377.db.ev SELECT * FROM q377_src")
+    require(graft.sources.ManifestTable.currentVersion(s"$out/db/ev") == 1,
+      "q377: the conforming insert must commit as v1")
+    // ALTER ... ADD CONSTRAINT probes existing data: an unsatisfiable
+    // check refuses, a satisfiable one lands and gates future writes
+    val refused = try {
+      s.sql("ALTER TABLE graft_cat377.db.ev ADD CONSTRAINT too_tight " +
+        "CHECK (cents >= 100000000)")
+      false
+    } catch { case _: Exception => true }
+    require(refused, "q377: adding a violated constraint must refuse")
+    s.sql("ALTER TABLE graft_cat377.db.ev ADD CONSTRAINT sane_user " +
+      "CHECK (user_id >= 0)")
+    s.sql("""SELECT event_type, count(*) AS n_events,
+            |       sum(cents) AS total_cents, min(cents) AS min_cents
+            |FROM graft_cat377.db.ev
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  // q378: LIVE SCHEMA + LAYOUT EVOLUTION — the DDL a table accumulates
+  // over a year of production, executed in one face with zero rewrites:
+  // ALTER SET TBLPROPERTIES retrofits range clustering onto an existing
+  // table (the pre-declaration files stay as they are; every later
+  // INSERT clusters, so stats pruning phases in with new data — the
+  // Iceberg contract), DROP COLUMN is a metadata tombstone (the bytes
+  // stay in old files, the schema stops admitting the name, column
+  // pruning means no scan decodes them again, and re-ADDing the name
+  // refuses — name-mapped resurrection is the one evolution this format
+  // must forbid), ADD COLUMN back-fills NULL, and SET
+  // TBLPROPERTIES('write.key') opts the table into delta row-level SQL
+  // after validating the identity over existing rows. At 100 TB every
+  // one of these is an O(metadata) statement where the naive engine
+  // answer (rewrite the table to a new schema) is a day of cluster time.
+  def sqlSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q378_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat378", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat378.warehouse", out)
+    Tables(s, dir).events
+      .select($"event_id", unix_timestamp($"ts").divide(86400).cast("long").as("day"),
+        $"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"), $"props")
+      .createOrReplaceTempView("q378_src")
+    // era 1: plain table, shuffled multi-partition insert — unclustered
+    s.sql("""CREATE TABLE graft_cat378.db.ev AS
+            |SELECT * FROM (SELECT * FROM q378_src WHERE event_id % 2 = 0
+            |               DISTRIBUTE BY event_id % 8)""".stripMargin)
+    val tdir = s"$out/db/ev"
+    val era1 = graft.sources.ManifestTable.fileCount(tdir)
+    // era 2: the clustering declaration arrives POST-HOC; later inserts obey
+    s.sql("ALTER TABLE graft_cat378.db.ev SET TBLPROPERTIES " +
+      "('write.order'='day', 'write.order.partitions'='8')")
+    s.sql("""INSERT INTO graft_cat378.db.ev
+            |SELECT * FROM q378_src WHERE event_id % 2 = 1""".stripMargin)
+    val total = graft.sources.ManifestTable.fileCount(tdir)
+    require(total > era1, "q378: the clustered insert must add files")
+    val probe = s.sql("SELECT sum(cents) FROM graft_cat378.db.ev " +
+      "WHERE day >= 19725 AND day < 19729")
+    probe.collect()
+    val scanned = graft.sources.v2.GraftCatalog.scannedFiles(probe).length
+    require(scanned < total,
+      s"q378: the retrofitted clustering must prune ($scanned of $total)")
+    // era 3: the scratch column retires — metadata-only, no rewrite
+    val verBefore = graft.sources.ManifestTable.currentVersion(tdir)
+    s.sql("ALTER TABLE graft_cat378.db.ev DROP COLUMN props")
+    require(graft.sources.ManifestTable.fileCount(tdir) == total &&
+      graft.sources.ManifestTable.currentVersion(tdir) == verBefore,
+      "q378: DROP COLUMN must rewrite nothing and commit nothing")
+    require(!s.table("graft_cat378.db.ev").columns.contains("props"),
+      "q378: the dropped column must vanish from the schema")
+    val resurrect = try {
+      s.sql("ALTER TABLE graft_cat378.db.ev ADD COLUMNS (props STRING)"); false
+    } catch { case _: Exception => true }
+    require(resurrect, "q378: re-adding a dropped name must refuse")
+    // era 4: the identity declaration arrives; row-level SQL goes delta
+    s.sql("ALTER TABLE graft_cat378.db.ev SET TBLPROPERTIES ('write.key'='event_id')")
+    val dataBefore = graft.sources.ManifestTable
+      .sqlEntriesAt(tdir, verBefore).filter(_.isData).map(_.path).toSet
+    s.sql("UPDATE graft_cat378.db.ev SET cents = cents + 100 " +
+      "WHERE event_type = 'click'")
+    val after = graft.sources.ManifestTable
+      .sqlEntriesAt(tdir, graft.sources.ManifestTable.currentVersion(tdir))
+    require(dataBefore.subsetOf(after.filter(_.isData).map(_.path).toSet),
+      "q378: the keyed UPDATE must leave every pre-mutation file referenced")
+    s.sql("""SELECT event_type, count(*) AS n_events,
+            |       sum(cents) AS total_cents
+            |FROM graft_cat378.db.ev
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2470,6 +2735,10 @@ object WarehouseQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q375_sql_ctas_views" -> sqlCtasViews _,
+    "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
+    "q377_sql_check_constraints" -> sqlCheckConstraints _,
+    "q378_sql_schema_evolution" -> sqlSchemaEvolution _,
+    "q379_sql_merge_matrix" -> sqlMergeMatrix _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
@@ -2567,6 +2836,47 @@ object WarehouseQueries {
         |  CAST(sum(total_cents) AS BIGINT) AS total_cents
         |FROM daily GROUP BY day HAVING sum(n) >= 300
         |ORDER BY day""".stripMargin,
+    "q376_sql_atomic_rtas" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "q377_sql_check_constraints" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q378_sql_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_type = 'click' THEN 100 ELSE 0 END)
+        |    AS BIGINT) AS total_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q379_sql_merge_matrix" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey % 4 <> 3),
+        |s AS (SELECT o_orderkey AS k,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |      FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL THEN
+        |           CASE WHEN s.cents % 5 = 0 THEN s.cents
+        |                WHEN s.cents % 5 = 1 THEN NULL
+        |                ELSE t.cents END
+        |         ELSE CASE WHEN t.cents % 7 = 0 THEN NULL
+        |              ELSE t.cents + 1 END
+        |    END AS cents
+        |  FROM t LEFT JOIN s ON t.k = s.k),
+        |ins AS (SELECT s.k, s.cents FROM s LEFT JOIN t ON s.k = t.k
+        |        WHERE t.k IS NULL),
+        |final AS (SELECT k, cents FROM upd WHERE cents IS NOT NULL
+        |          UNION ALL SELECT k, cents FROM ins)
+        |SELECT k % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q374_sql_md5bucket_ddl" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -302,6 +302,21 @@ object ManifestTable {
     publishAt(dir, v, files.sorted, append) // link-CAS conflicts throw CommitConflictException
   }
 
+  /** Publish a full replacement snapshot at exactly version `v` from
+    * pre-built manifest LINES — stats segments and bucket tags carried
+    * VERBATIM. The atomic-RTAS commit publishes through this: the staged
+    * table's manifest already holds each file's footer stats (and, for
+    * bucketed layouts, its `_ptn_bucket_*` tag), so re-deriving them here
+    * would re-open every footer for information the stage commit already
+    * paid for — at 100 TB, that is a second full round of metadata IO. */
+  def publishLinesExpected(dir: String, v: Int, lines: Seq[String]): Int = {
+    val cur = currentVersion(dir)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishLinesExpected: version $v is not next (current $cur) — concurrent writer")
+    claimManifest(dir, v, lines.sorted)
+  }
+
   private def publishAt(dir: String, v: Int, newFiles: Seq[String],
                         append: Boolean): Int = {
     // the new files enter the manifest WITH footer stats (file-skipping
@@ -777,6 +792,30 @@ object ManifestTable {
       }
       else Seq.empty
     claimManifest(dir, v, keep ++ newFiles.sorted.map(f => dataLine(f)))
+  }
+
+  /** [[publishCowExpected]] with caller-supplied extra stats per new file
+    * — the landing verb of a group copy-on-write rewrite on a BUCKETED
+    * table: the replacement files must re-enter the manifest with their
+    * `_ptn_bucket_*` tags or one SQL UPDATE would silently knock the
+    * table out of storage-partitioned-join eligibility (the key-grouped
+    * scan falls back to a shuffling plan when ANY file lacks its tag —
+    * at 100 TB that is every downstream join paying two exchanges again
+    * until someone notices and compacts). */
+  def publishCowTaggedExpected(dir: String, v: Int, replaced: Set[String],
+                               files: Seq[(String, Map[String, (Double, Double)])]): Int = {
+    val cur = currentVersion(dir)
+    if (v != cur + 1)
+      throw new CommitConflictException(
+        s"publishCowTaggedExpected: version $v is not next (current $cur) — concurrent writer")
+    val keep =
+      if (v > 1) manifestFiles(dir, v - 1).filter { l =>
+        val e = parseEntry(l)
+        !(e.isData && replaced.contains(e.path))
+      }
+      else Seq.empty
+    claimManifest(dir, v,
+      keep ++ files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
   }
 
   private val MetaCols = Seq("_graft_file", "_graft_pos")

@@ -108,11 +108,14 @@ class BucketedWriteBuilder(dir: String, schema: StructType,
 }
 
 class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
-                         col: String, n: Int) extends BatchWrite {
+                         col: String, n: Int,
+                         cowScanned: Option[() => Option[Seq[String]]] = None)
+    extends BatchWrite {
   private val stagingDir = s"$dir/_staging/bucketed-${java.util.UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    BucketedWriterFactory(stagingDir, schema, schema.fieldIndex(col), n)
+    BucketedWriterFactory(stagingDir, schema, schema.fieldIndex(col), n,
+      rowLevel = cowScanned.isDefined)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedBucketFilesMessage(fs) => fs }.flatten
@@ -128,7 +131,18 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
       target.toAbsolutePath.toString ->
         Map(s"_ptn_bucket_$col" -> (b.toDouble, b.toDouble))
     }
-    ManifestTable.publishTaggedExpected(dir, v, tagged, append): Unit
+    cowScanned match {
+      // group copy-on-write UPDATE/MERGE: replace exactly the scanned
+      // files, re-entering every replacement WITH its bucket tag so
+      // storage-partitioned joins survive the mutation
+      case Some(f) =>
+        val replaced = f().getOrElse(sys.error(
+          "BucketedBatchWrite: row-level write committed without a scan — " +
+            "cannot determine the replaced group set")).toSet
+        ManifestTable.publishCowTaggedExpected(dir, v, replaced, tagged): Unit
+      case None =>
+        ManifestTable.publishTaggedExpected(dir, v, tagged, append): Unit
+    }
     cleanupStaging()
   }
 
@@ -143,10 +157,12 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
 }
 
 final case class BucketedWriterFactory(stagingDir: String, schema: StructType,
-                                       keyIdx: Int, n: Int)
+                                       keyIdx: Int, n: Int,
+                                       rowLevel: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BucketedDataWriter(stagingDir, schema, keyIdx, n, partitionId, taskId)
+    new BucketedDataWriter(stagingDir, schema, keyIdx, n, partitionId, taskId,
+      rowLevel)
 }
 
 /** Routes each row to its bucket's file (the clustered distribution means
@@ -155,18 +171,24 @@ final case class BucketedWriterFactory(stagingDir: String, schema: StructType,
   * contract has nowhere correct to put them. */
 class BucketedDataWriter(stagingDir: String, schema: StructType,
                          keyIdx: Int, n: Int,
-                         partitionId: Int, taskId: Long)
+                         partitionId: Int, taskId: Long,
+                         rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable.Map.empty[Int, ManifestDataWriter]
+  // row-level rewrites prepend exactly one __row_operation marker (the
+  // inner writer strips it under its pinned one-column contract); the
+  // bucket key shifts right with every other column
+  private val off = if (rowLevel) 1 else 0
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(keyIdx),
+    require(!row.isNullAt(keyIdx + off),
       s"graft bucketed write: NULL bucket key (column #$keyIdx) — a " +
         "bucket-partitioned table cannot place NULL keys")
-    val b = GraftBucketFunction.bucketOf(row.getLong(keyIdx), n)
+    val b = GraftBucketFunction.bucketOf(row.getLong(keyIdx + off), n)
     writers.getOrElseUpdate(b,
-      new ManifestDataWriter(s"$stagingDir/b$b", schema, partitionId, taskId))
+      new ManifestDataWriter(s"$stagingDir/b$b", schema, partitionId, taskId,
+        rowLevel))
       .write(row)
   }
 

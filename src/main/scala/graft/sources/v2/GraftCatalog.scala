@@ -64,7 +64,8 @@ import graft.sources.ManifestTable
   * restores the fully-vectorized delete-free read path.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog
+    with StagingTableCatalog {
 
   // CREATE/DROP/ALTER VIEW + SHOW VIEWS — definitions stored next to the
   // tables they derive from (see [[GraftViews]]); a referenced view
@@ -192,6 +193,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.isView(dir),
+      s"GraftCatalog: $ident is a VIEW — pick another table name")
+    writeTableMeta(dir, schema, partitions, properties)
+    new GraftSqlTable(ident.toString, dir, -1)
+  }
+
+  // CREATE TABLE ... CHECK(...) — the TableInfo entry point carries the
+  // parsed constraints; enforcement is Spark's (ResolveTableConstraints
+  // compiles enforced checks into the write query), storage is ours
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(), info.properties())
+    if (info.constraints().nonEmpty)
+      GraftConstraints.store(tableDir(ident),
+        info.constraints().toSeq.map(GraftConstraints.asCheck))
+    t
+  }
+
+  /** Validate the declared layout and write the table-metadata files into
+    * `dir` — shared by [[createTable]] (writing in place) and the staged
+    * CTAS/RTAS path (writing into a stage directory that later moves or
+    * merges into place). */
+  private[v2] def writeTableMeta(dir: String, schema: StructType,
+                                 partitions: Array[Transform],
+                                 properties: util.Map[String, String]): Unit = {
     // PARTITIONED BY (bucket(n, col)): the storage-partitioned-join
     // declaration — INSERTs cluster by bucket and scans report
     // KeyGroupedPartitioning. PARTITIONED BY (days(col) | md5bucket(n,
@@ -260,10 +289,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "only bucket(n, col) (storage-partitioned joins); range layouts " +
           "are the write.order table property")
     }
-    val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    require(!GraftViews.isView(dir),
-      s"GraftCatalog: $ident is a VIEW — pick another table name")
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
     bucketSpec.foreach { case (c, n) =>
@@ -309,7 +334,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(p.resolve("_write.key"),
         cols.mkString(",").getBytes("UTF-8")): Unit
     }
-    new GraftSqlTable(ident.toString, dir, -1)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -------------------------
+  // CREATE TABLE AS SELECT, [CREATE OR] REPLACE TABLE [AS SELECT] become
+  // all-or-nothing: the query writes into an invisible stage directory and
+  // ONE rename (create) or ONE manifest CAS (replace) makes it visible. A
+  // failing query leaves no half-created table and no clobbered old table
+  // — without this, Spark's fallback is create-then-write-then-drop, which
+  // at 100 TB means hours of a live-but-wrong table on any mid-write
+  // failure. Replace commits land ON the existing manifest chain, so the
+  // pre-replace history stays time-travelable (Iceberg RTAS semantics).
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = false)
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties,
+      allowCreate = false, allowReplace = true)
+  }
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      allowCreate = true, allowReplace = true)
+
+  // the TableInfo variants additionally carry CHECK constraints into the
+  // stage — enforced DURING the CTAS/RTAS write (the staged table reports
+  // them, so a violating source row aborts before anything is visible)
+  private def stageWithConstraints(st: StagedTable,
+                                   info: TableInfo): StagedTable = {
+    if (info.constraints().nonEmpty)
+      GraftConstraints.store(st.asInstanceOf[GraftStagedTable].stageDirPath,
+        info.constraints().toSeq.map(GraftConstraints.asCheck))
+    st
+  }
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stageWithConstraints(stageCreate(ident, info.schema(), info.partitions(),
+      info.properties()), info)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageWithConstraints(stageReplace(ident, info.schema(), info.partitions(),
+      info.properties()), info)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageWithConstraints(stageCreateOrReplace(ident, info.schema(),
+      info.partitions(), info.properties()), info)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    allowCreate: Boolean, allowReplace: Boolean): StagedTable = {
+    val finalDir = tableDir(ident)
+    if (!allowReplace && isTable(finalDir))
+      throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.isView(finalDir),
+      s"GraftCatalog: $ident is a VIEW — pick another table name")
+    val root = s"$warehouse/.staging"
+    GraftStagedTable.sweepStale(root)
+    val stageDir = s"$root/${java.util.UUID.randomUUID()}/${ident.name()}"
+    writeTableMeta(stageDir, schema, partitions, properties)
+    new GraftStagedTable(ident, stageDir, finalDir, allowCreate, allowReplace)
   }
 
   /** ALTER TABLE ADD COLUMNS — the catalog face of the manifest table's
@@ -322,24 +409,228 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // ALTER TABLE ADD/DROP CONSTRAINT — adding VALIDATES the existing
+    // data first (one distributed existence probe: any surviving
+    // violation refuses the declaration — an unchecked promise on old
+    // data would make the constraint a lie from day one)
+    val (constraintOps, nonConstraint) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    val (propOps, rest) = nonConstraint.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propOps.nonEmpty) alterProperties(ident, dir, propOps)
+    constraintOps.foreach {
+      case a: TableChange.AddConstraint =>
+        val ck = GraftConstraints.asCheck(a.constraint())
+        val have = GraftConstraints.load(dir)
+        require(!have.exists(_.name() == ck.name()),
+          s"GraftCatalog: constraint '${ck.name()}' already exists on $ident")
+        if (ck.enforced() && ManifestTable.currentVersion(dir) > 0) {
+          import org.apache.spark.sql.functions.{expr, not, coalesce, lit}
+          val bad = ManifestTable.read(SparkSession.active, dir)
+            .where(coalesce(not(expr(ck.predicateSql())), lit(false)))
+            .limit(1).count()
+          require(bad == 0, s"GraftCatalog: cannot add constraint " +
+            s"'${ck.name()}' — existing rows of $ident violate " +
+            s"(${ck.predicateSql()})")
+        }
+        GraftConstraints.store(dir, have :+ ck)
+      case d: TableChange.DropConstraint =>
+        val have = GraftConstraints.load(dir)
+        require(d.ifExists() || have.exists(_.name() == d.name()),
+          s"GraftCatalog: no constraint '${d.name()}' on $ident")
+        GraftConstraints.store(dir, have.filterNot(_.name() == d.name()))
+    }
     val cur = new GraftSqlTable(ident.toString, dir, -1).schema()
-    val added = changes.map {
+    val dropped = rest.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        "GraftCatalog: nested DROP COLUMN is not supported")
+      val name = d.fieldNames()(0)
+      if (!cur.fieldNames.contains(name)) {
+        require(d.ifExists(),
+          s"GraftCatalog: no column '$name' on $ident")
+        None
+      } else {
+        dropGuards(ident, dir, name)
+        Some(name)
+      }
+    }.flatten
+    val added = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "GraftCatalog: nested ADD COLUMN is not supported")
         val name = a.fieldNames()(0)
         require(!cur.fieldNames.contains(name),
           s"GraftCatalog: column '$name' already exists on $ident")
-        StructField(name, a.dataType(), nullable = true)
+        // a tombstoned name can never come back: columns map by NAME, so
+        // re-adding 'x' would resurface the dropped x's values from every
+        // pre-drop file — the one evolution a name-mapped format must
+        // refuse (Iceberg re-adds safely only because of field ids)
+        require(!GraftSqlTable.droppedColumns(dir).contains(name),
+          s"GraftCatalog: column '$name' was previously dropped from " +
+            s"$ident — old files still carry its values, so re-adding the " +
+            "name would resurface them; pick a fresh name")
+        Some(StructField(name, a.dataType(), nullable = true))
+      case _: TableChange.DeleteColumn => None
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER TABLE change $other — only ADD " +
-          "COLUMNS (the manifest evolution contract) is supported")
+        s"GraftCatalog: unsupported ALTER TABLE change $other — ADD/DROP " +
+          "COLUMNS (the manifest evolution contract), ADD/DROP CONSTRAINT " +
+          "and SET/UNSET TBLPROPERTIES are supported")
+    }.flatten
+    if (added.nonEmpty || dropped.nonEmpty) {
+      require((cur.fieldNames.toSet -- dropped).nonEmpty || added.nonEmpty,
+        s"GraftCatalog: cannot drop every column of $ident")
+      val next = StructType(
+        cur.fields.filterNot(f => dropped.contains(f.name)) ++ added)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_schema.ddl"),
+        next.toDDL.getBytes("UTF-8")): Unit
+      if (dropped.nonEmpty)
+        GraftSqlTable.tombstone(dir, dropped)
     }
-    val widened = StructType(cur.fields ++ added)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_schema.ddl"),
-      widened.toDDL.getBytes("UTF-8"))
     new GraftSqlTable(ident.toString, dir, -1)
+  }
+
+  /** DROP COLUMN is metadata-only (no file is rewritten — at 100 TB a
+    * physical purge is a compaction job, not a DDL statement), so the
+    * column must not be load-bearing anywhere in the table's machinery:
+    * not the row identifier, not the declared clustering, not a
+    * partition-transform source, not referenced by a CHECK constraint. */
+  private def dropGuards(ident: Identifier, dir: String, name: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    def fileHeadIs(f: String): Boolean =
+      java.nio.file.Files.exists(p.resolve(f)) &&
+        new String(java.nio.file.Files.readAllBytes(p.resolve(f)), "UTF-8")
+          .split('\n').head.trim.split(',').map(_.trim).contains(name)
+    require(!fileHeadIs("_write.key"),
+      s"GraftCatalog: cannot drop '$name' — it is the write.key of $ident")
+    require(!fileHeadIs("_write.order"),
+      s"GraftCatalog: cannot drop '$name' — it is the write.order of $ident")
+    require(!fileHeadIs("_partition.bucket"),
+      s"GraftCatalog: cannot drop '$name' — $ident is bucket-partitioned on it")
+    require(!ManifestTable.partitionTransforms(dir).exists(_.source == name),
+      s"GraftCatalog: cannot drop '$name' — it is a partition-transform " +
+        s"source of $ident")
+    val ref = GraftConstraints.load(dir).find(ck =>
+      s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+        .findFirstIn(ck.predicateSql()).isDefined)
+    require(ref.isEmpty, s"GraftCatalog: cannot drop '$name' — constraint " +
+      s"'${ref.get.name()}' references it; DROP CONSTRAINT first")
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — the write-layout declarations
+    * (`write.order`, `write.order.partitions`, `write.target-file-size`,
+    * `write.key`) become mutable post-creation. Layout changes govern
+    * FUTURE writes only (existing files are what they are — `CALL
+    * compact` re-clusters them), which is exactly the Iceberg contract;
+    * `write.key` additionally re-validates the declaration it implies:
+    * declaring a row identifier over existing data probes for NULL keys
+    * (the delta path's equality deletes can never match a NULL, so a
+    * nullable key would make UPDATE silently skip rows), and changing or
+    * dropping the key while equality/position deletes are outstanding
+    * refuses — the unkeyed copy-on-write path cannot safely replace
+    * files underneath live delete lines, so the honest order is compact
+    * first. Unknown keys refuse loudly: a property the engine would
+    * silently ignore is a config lie. */
+  private def alterProperties(ident: Identifier, dir: String,
+                              ops: Seq[TableChange]): Unit = {
+    val schema = new GraftSqlTable(ident.toString, dir, -1).schema()
+    val p = java.nio.file.Paths.get(dir)
+    def hasDeletes: Boolean = {
+      val v = ManifestTable.currentVersion(dir)
+      v > 0 && ManifestTable.sqlEntriesAt(dir, v).exists(!_.isData)
+    }
+    def clustered: Boolean =
+      java.nio.file.Files.exists(p.resolve("_partition.bucket")) ||
+        ManifestTable.partitionTransforms(dir).nonEmpty
+    def writeOrderCol: Option[String] = {
+      val f = p.resolve("_write.order")
+      if (!java.nio.file.Files.exists(f)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split('\n').head.trim)
+    }
+    ops.foreach {
+      case s: TableChange.SetProperty => (s.property(), s.value()) match {
+        case ("write.order", c) =>
+          require(schema.fieldNames.contains(c),
+            s"GraftCatalog: write.order column '$c' is not in the schema of $ident")
+          require(!clustered, s"GraftCatalog: $ident is bucket/transform-" +
+            "partitioned — its layout is the partitioning's, not write.order's")
+          val parts = {
+            val f = p.resolve("_write.order")
+            if (java.nio.file.Files.exists(f)) {
+              val ls = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").split('\n')
+              if (ls.length > 1) ls(1).trim else "0"
+            } else "0"
+          }
+          java.nio.file.Files.write(p.resolve("_write.order"),
+            s"$c\n$parts".getBytes("UTF-8")): Unit
+        case ("write.order.partitions", n) =>
+          val c = writeOrderCol.getOrElse(sys.error(
+            s"GraftCatalog: write.order.partitions on $ident needs write.order set"))
+          require(n.trim.toInt >= 0,
+            "GraftCatalog: write.order.partitions must be non-negative")
+          java.nio.file.Files.write(p.resolve("_write.order"),
+            s"$c\n${n.trim}".getBytes("UTF-8")): Unit
+        case ("write.target-file-size", sz) =>
+          val bytes = try sz.trim.toLong catch {
+            case _: NumberFormatException => sys.error(
+              s"GraftCatalog: write.target-file-size must be a byte count, got '$sz'")
+          }
+          require(bytes > 0, "GraftCatalog: write.target-file-size must be positive")
+          java.nio.file.Files.write(p.resolve("_write.size"),
+            bytes.toString.getBytes("UTF-8")): Unit
+        case ("write.key", k) =>
+          val cols = ManifestTable.delKeyCols(k)
+          require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
+            s"GraftCatalog: write.key columns '$k' are not all in the schema of $ident")
+          val existing = p.resolve("_write.key")
+          val changing = java.nio.file.Files.exists(existing) &&
+            new String(java.nio.file.Files.readAllBytes(existing), "UTF-8").trim !=
+              cols.mkString(",")
+          require(!(changing && hasDeletes),
+            s"GraftCatalog: cannot change write.key of $ident while delete " +
+              "entries are outstanding — CALL graft.system.compact first")
+          if (ManifestTable.currentVersion(dir) > 0) {
+            import org.apache.spark.sql.functions.col
+            val nulls = ManifestTable.read(SparkSession.active, dir)
+              .where(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+            require(nulls == 0, s"GraftCatalog: cannot declare write.key " +
+              s"'$k' on $ident — existing rows carry NULL keys, which " +
+              "equality deletes can never match")
+          }
+          java.nio.file.Files.write(existing,
+            cols.mkString(",").getBytes("UTF-8")): Unit
+        case (other, _) => throw new UnsupportedOperationException(
+          s"GraftCatalog: unsupported table property '$other' — supported: " +
+            "write.order, write.order.partitions, write.target-file-size, " +
+            "write.key")
+      }
+      case r: TableChange.RemoveProperty =>
+        val file = r.property() match {
+          case "write.order"            => Some("_write.order")
+          case "write.order.partitions" => None // folded into _write.order
+          case "write.target-file-size" => Some("_write.size")
+          case "write.key" =>
+            require(!hasDeletes,
+              s"GraftCatalog: cannot unset write.key of $ident while delete " +
+                "entries are outstanding — CALL graft.system.compact first")
+            Some("_write.key")
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: unsupported table property '$other'")
+        }
+        file match {
+          case Some(f) => java.nio.file.Files.deleteIfExists(p.resolve(f)): Unit
+          case None => writeOrderCol.foreach { c =>
+            java.nio.file.Files.write(p.resolve("_write.order"),
+              s"$c\n0".getBytes("UTF-8")): Unit
+          }
+        }
+      case _ => ()
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -373,6 +664,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val s = java.nio.file.Files.list(root)
       try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
         .filterNot(p => isTable(p.toString))
+        // dot-dirs are catalog machinery (`.staging` holds in-flight
+        // atomic CTAS/RTAS stages), never user namespaces
+        .filterNot(p => p.getFileName.toString.startsWith("."))
         .map(p => Array(p.getFileName.toString)).toArray
       finally s.close()
     }
@@ -382,6 +676,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || (namespace.length == 1 &&
+      !namespace.head.startsWith(".") &&
       java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(warehouse, namespace.head)))
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
@@ -448,6 +743,24 @@ object GraftCatalog {
   * SQL verb keeps working on it (the merge-on-read delete shapes remain
   * the library path's choice). TRUNCATE TABLE publishes an empty
   * overwrite commit: zero files, history intact. */
+object GraftSqlTable {
+  /** Names DROP COLUMNed from the table — kept as a tombstone list
+    * (`_schema.drop`, one name per line) because pre-drop files still
+    * carry the bytes: the schema filter hides them, ADD COLUMN refuses
+    * re-use (name-mapped resurrection), and nothing is rewritten. */
+  def droppedColumns(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir, "_schema.drop")
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+  }
+  def tombstone(dir: String, names: Seq[String]): Unit = {
+    val all = droppedColumns(dir) ++ names
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_schema.drop"),
+      all.toSeq.sorted.mkString("\n").getBytes("UTF-8")): Unit
+  }
+}
+
 class GraftSqlTable(ident: String, dir: String, version: Int)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -483,13 +796,18 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         Some(StructType.fromDDL(
           new String(java.nio.file.Files.readAllBytes(ddlPath), "UTF-8")))
       else None
+    val dead = GraftSqlTable.droppedColumns(dir)
     val base = innerTable match {
       case Some(t) =>
         // hidden-partition transform columns are commit-time planning
         // metadata, never user data — drop them from the reported schema
         // (r10: the r9 face refused these tables outright; the scan now
-        // maps source-column predicates through the declared transforms)
-        val s = StructType(t.schema.fields.filterNot(_.name.startsWith("_ptn_")))
+        // maps source-column predicates through the declared transforms).
+        // Tombstoned (DROP COLUMNed) names vanish the same way: the bytes
+        // stay in pre-drop files, the schema stops admitting them, and
+        // column pruning means no scan ever decodes them again.
+        val s = StructType(t.schema.fields.filterNot(f =>
+          f.name.startsWith("_ptn_") || dead.contains(f.name)))
         // ALTER-added columns not yet present in any file read as NULL
         val missing = ddl.map(_.fields.filterNot(f => s.fieldNames.contains(f.name)))
           .getOrElse(Array.empty[StructField])
@@ -586,6 +904,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       m.put("write.target-file-size", targetFileSize.toString): Unit
     m
   }
+
+  /** Stored CHECK constraints — Spark's analyzer reads these and injects
+    * the enforcement into every batch write against this table. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftConstraints.load(dir).toArray
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version <= 0,
@@ -809,6 +1133,41 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
             import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             override def build(): org.apache.spark.sql.connector.write.Write =
+              (bucketSpec, ManifestTable.partitionTransforms(dir)) match {
+                // clustered layouts survive row-level SQL too: a bucketed
+                // table's CoW rewrite re-clusters on bucket(n, k) and
+                // republishes every replacement WITH its tag (SPJ
+                // eligibility is all-files-tagged — one untagged UPDATE
+                // would put two exchanges back under every downstream
+                // join); a transform table's rewrite re-splits per cell
+                // so hidden-partition pruning keeps cutting
+                case (Some((c, n)), _) =>
+                  new org.apache.spark.sql.connector.write.Write
+                      with RequiresDistributionAndOrdering {
+                    override def requiredDistribution(): Distribution =
+                      Distributions.clustered(Array(
+                        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)))
+                    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                      Array.empty
+                    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                      new BucketedBatchWrite(dir, wInfo.schema(), append = false,
+                        c, n, cowScanned = Some(() => activeFiles.map(_.apply())))
+                  }
+                case (None, ts) if ts.nonEmpty =>
+                  new org.apache.spark.sql.connector.write.Write
+                      with RequiresDistributionAndOrdering {
+                    override def requiredDistribution(): Distribution =
+                      Distributions.clustered(TransformedWriteBuilder.clusteringOf(ts))
+                    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                      Array.empty
+                    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                      new TransformedBatchWrite(dir, wInfo.schema(), append = false,
+                        PtnColSpec.of(ts, wInfo.schema()),
+                        cowScanned = Some(() => activeFiles.map(_.apply())))
+                  }
+                case _ => buildPlain()
+              }
+            private def buildPlain(): org.apache.spark.sql.connector.write.Write =
               writeOrder match {
                 // a write.order table's CoW rewrites stay range-clustered
                 // (r10 session 4): without this, every SQL UPDATE/MERGE

@@ -224,11 +224,14 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
 }
 
 class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
-                            specs: Seq[PtnColSpec]) extends BatchWrite {
+                            specs: Seq[PtnColSpec],
+                            cowScanned: Option[() => Option[Seq[String]]] = None)
+    extends BatchWrite {
   private val stagingDir = s"$dir/_staging/transformed-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TransformedWriterFactory(stagingDir, schema, specs)
+    TransformedWriterFactory(stagingDir, schema, specs,
+      rowLevel = cowScanned.isDefined)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
@@ -248,7 +251,18 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
     }
     // footer stats carry the physical _ptn_* columns — the manifest line
     // prunes on them exactly as it does for commitPartitioned's output
-    ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
+    cowScanned match {
+      // group copy-on-write UPDATE/MERGE: replace exactly the scanned
+      // files; the replacements re-enter cell-split with their _ptn_*
+      // footer stats, so hidden-partition pruning survives the mutation
+      case Some(f) =>
+        val replaced = f().getOrElse(sys.error(
+          "TransformedBatchWrite: row-level write committed without a scan — " +
+            "cannot determine the replaced group set")).toSet
+        ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
+      case None =>
+        ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
+    }
     cleanupStaging()
   }
 
@@ -264,10 +278,12 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
 
 final case class TransformedWriterFactory(stagingDir: String,
                                           schema: StructType,
-                                          specs: Seq[PtnColSpec])
+                                          specs: Seq[PtnColSpec],
+                                          rowLevel: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TransformedDataWriter(stagingDir, schema, specs, partitionId, taskId)
+    new TransformedDataWriter(stagingDir, schema, specs, partitionId, taskId,
+      rowLevel)
 }
 
 /** Routes each row to its partition cell's file (the clustered
@@ -277,18 +293,27 @@ final case class TransformedWriterFactory(stagingDir: String,
   * constant per cell — computed once, joined onto every row. */
 class TransformedDataWriter(stagingDir: String, schema: StructType,
                             specs: Seq[PtnColSpec],
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val widened = StructType(schema.fields ++
     specs.map(s => StructField(s.ptnCol, LongType, nullable = true)))
+
+  // row-level rewrites prepend exactly one __row_operation marker: the
+  // transform source indexes shift right with it, and the inner writer
+  // strips it under its pinned one-column contract (the JoinedRow keeps
+  // the marker leading, so [marker, base..., ptn...] minus the marker is
+  // exactly the widened schema)
+  private val effSpecs =
+    if (rowLevel) specs.map(s => s.copy(srcIdx = s.srcIdx + 1)) else specs
 
   private final class CellWriter(idx: Int, cell: Seq[Option[Long]]) {
     // per-cell staging subdir AND a per-cell file name prefix: the
     // driver-side commit moves staged files by bare file name, so two
     // cells of one task must never stage same-named parts
     val inner = new ManifestDataWriter(s"$stagingDir/g$idx", widened,
-      partitionId, taskId, namePrefix = s"c$idx-")
+      partitionId, taskId, rowLevel, namePrefix = s"c$idx-")
     private val suffix = new GenericInternalRow(
       cell.map(_.map(Long.box).orNull: Any).toArray)
     private val joined = new JoinedRow
@@ -299,7 +324,7 @@ class TransformedDataWriter(stagingDir: String, schema: StructType,
     scala.collection.mutable.LinkedHashMap.empty[Seq[Option[Long]], CellWriter]
 
   override def write(row: InternalRow): Unit = {
-    val cell = specs.map(_.valueOf(row))
+    val cell = effSpecs.map(_.valueOf(row))
     writers.getOrElseUpdate(cell, new CellWriter(writers.size, cell)).write(row)
   }
 

@@ -401,9 +401,13 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.ns.evo ADD COLUMNS (score BIGINT)")
     }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.ns.evo DROP COLUMN tag")
+    intercept[Exception] { // type changes stay out of scope
+      spark.sql("ALTER TABLE gtest.ns.evo ALTER COLUMN score TYPE STRING")
     }
+    // DROP COLUMN is the metadata-tombstone path (full matrix in
+    // DropColumnSpec)
+    spark.sql("ALTER TABLE gtest.ns.evo DROP COLUMN tag")
+    assert(spark.table("gtest.ns.evo").columns.toSeq == Seq("k", "score"))
   }
 
   test("DELETE FROM is copy-on-write and NULL-predicate rows survive; TRUNCATE empties, history intact") {
