@@ -2625,6 +2625,59 @@ object WarehouseQueries {
             |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // q380: COLUMN DEFAULT declarations — the last DDL affordance a
+  // warehouse user expects: `DEFAULT` in CREATE TABLE fills omitted
+  // columns at INSERT (the analyzer compiles CURRENT_DEFAULT from the
+  // reported schema into the write query — no engine-side row fixup),
+  // and ALTER ADD COLUMN with DEFAULT back-fills EVERY pre-ALTER row at
+  // scan time through EXISTS_DEFAULT metadata — zero files rewritten, the
+  // same O(metadata) evolution contract as q378's tombstones. The
+  // defaults live in the schema's JSON twin (`_schema.json`) because DDL
+  // text cannot carry field metadata. At 100 TB "add a column with a
+  // default" is the request that takes a naive engine a full-table
+  // rewrite; here it is one metadata write and the old files never learn.
+  def sqlColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q380_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat380", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat380.warehouse", out)
+    Tables(s, dir).events
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q380_src")
+    s.sql("""CREATE TABLE graft_cat380.db.ev (
+            |  event_id BIGINT,
+            |  event_type STRING DEFAULT 'unknown',
+            |  cents BIGINT DEFAULT 0
+            |)""".stripMargin)
+    // a partial-column INSERT: the omitted column takes its default
+    s.sql("""INSERT INTO graft_cat380.db.ev (event_id, cents)
+            |SELECT event_id, cents FROM q380_src WHERE event_id % 3 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft_cat380.db.ev
+            |SELECT * FROM q380_src WHERE event_id % 3 <> 0""".stripMargin)
+    // the post-hoc default column: zero rewrites, old rows read 'legacy'
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/ev"
+    val filesBefore = ManifestTable.fileCount(tdir)
+    val verBefore = ManifestTable.currentVersion(tdir)
+    s.sql("ALTER TABLE graft_cat380.db.ev ADD COLUMNS (tier STRING DEFAULT 'legacy')")
+    require(ManifestTable.fileCount(tdir) == filesBefore &&
+      ManifestTable.currentVersion(tdir) == verBefore,
+      "q380: ADD COLUMN DEFAULT must rewrite nothing and commit nothing")
+    require(s.sql("SELECT count(*) FROM graft_cat380.db.ev WHERE tier IS NULL")
+      .head.getLong(0) == 0,
+      "q380: every pre-ALTER row must read the EXISTS_DEFAULT, not NULL")
+    s.sql("""SELECT event_type, tier, count(*) AS n_events,
+            |       sum(cents) AS total_cents
+            |FROM graft_cat380.db.ev
+            |GROUP BY event_type, tier ORDER BY event_type, tier""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2739,6 +2792,7 @@ object WarehouseQueries {
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
     "q378_sql_schema_evolution" -> sqlSchemaEvolution _,
     "q379_sql_merge_matrix" -> sqlMergeMatrix _,
+    "q380_sql_column_defaults" -> sqlColumnDefaults _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
@@ -2877,6 +2931,13 @@ object WarehouseQueries {
         |SELECT k % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q380_sql_column_defaults" ->
+      """SELECT CASE WHEN event_id % 3 = 0 THEN 'unknown' ELSE event_type END
+        |         AS event_type,
+        |       'legacy' AS tier, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
     "q374_sql_md5bucket_ddl" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -205,7 +205,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // parsed constraints; enforcement is Spark's (ResolveTableConstraints
   // compiles enforced checks into the write query), storage is ours
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val t = createTable(ident, info.schema(), info.partitions(), info.properties())
     if (info.constraints().nonEmpty)
@@ -297,9 +298,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (hiddenSpec.nonEmpty) ManifestTable.declareTransforms(dir, hiddenSpec)
     // schema-on-read everywhere else; the DDL file only serves loads of a
-    // table that has no commits yet
+    // table that has no commits yet. The JSON twin carries what DDL text
+    // cannot: per-field METADATA — column DEFAULT declarations
+    // (CURRENT_DEFAULT/EXISTS_DEFAULT) ride there, and the reported
+    // schema overlays it back so the analyzer can compile defaults into
+    // INSERTs. Both files stay in sync at every write site.
     java.nio.file.Files.write(p.resolve("_schema.ddl"),
       schema.toDDL.getBytes("UTF-8"))
+    java.nio.file.Files.write(p.resolve("_schema.json"),
+      schema.json.getBytes("UTF-8"))
     // TBLPROPERTIES('write.order'='col'): every INSERT range-clusters on
     // the column (see ManifestWriteBuilder) — persist the declaration
     Option(properties.get("write.order")).foreach { c =>
@@ -458,7 +465,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(name)
       }
     }.flatten
-    val added = rest.map {
+    rest.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "GraftCatalog: nested ADD COLUMN is not supported")
@@ -473,21 +480,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: column '$name' was previously dropped from " +
             s"$ident — old files still carry its values, so re-adding the " +
             "name would resurface them; pick a fresh name")
-        Some(StructField(name, a.dataType(), nullable = true))
-      case _: TableChange.DeleteColumn => None
+        require(a.isNullable || a.defaultValue() != null ||
+          ManifestTable.currentVersion(dir) == 0,
+          s"GraftCatalog: cannot add NOT NULL column '$name' without a " +
+            s"DEFAULT to non-empty $ident — existing rows have no value for it")
+      case _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — ADD/DROP " +
           "COLUMNS (the manifest evolution contract), ADD/DROP CONSTRAINT " +
           "and SET/UNSET TBLPROPERTIES are supported")
-    }.flatten
-    if (added.nonEmpty || dropped.nonEmpty) {
-      require((cur.fieldNames.toSet -- dropped).nonEmpty || added.nonEmpty,
+    }
+    if (rest.nonEmpty) {
+      // Spark's own change application: positions, comments, and column
+      // DEFAULT declarations (CURRENT_DEFAULT/EXISTS_DEFAULT metadata)
+      // all land in the new StructType exactly as the analyzer expects
+      // to read them back
+      val next = org.apache.spark.sql.graftbridge.Bridge
+        .applySchemaChanges(cur, rest.toSeq)
+      require(next.fields.nonEmpty,
         s"GraftCatalog: cannot drop every column of $ident")
-      val next = StructType(
-        cur.fields.filterNot(f => dropped.contains(f.name)) ++ added)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "_schema.ddl"),
         next.toDDL.getBytes("UTF-8")): Unit
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_schema.json"),
+        next.json.getBytes("UTF-8")): Unit
       if (dropped.nonEmpty)
         GraftSqlTable.tombstone(dir, dropped)
     }
@@ -790,12 +807,26 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
 
   override def name(): String = ident
   override def schema(): StructType = {
+    // prefer the JSON twin (it carries per-field metadata — column
+    // DEFAULTs live there); the DDL file serves pre-JSON tables
+    val jsonPath = java.nio.file.Paths.get(dir, "_schema.json")
     val ddlPath = java.nio.file.Paths.get(dir, "_schema.ddl")
     val ddl: Option[StructType] =
-      if (java.nio.file.Files.exists(ddlPath))
+      if (java.nio.file.Files.exists(jsonPath))
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(jsonPath), "UTF-8"))
+          .asInstanceOf[StructType])
+      else if (java.nio.file.Files.exists(ddlPath))
         Some(StructType.fromDDL(
           new String(java.nio.file.Files.readAllBytes(ddlPath), "UTF-8")))
       else None
+    // parquet-derived fields re-attach their declared metadata by name —
+    // the file footer cannot carry a DEFAULT declaration
+    def overlay(f: StructField): StructField =
+      ddl.flatMap(_.fields.find(_.name == f.name)) match {
+        case Some(sf) => f.copy(metadata = sf.metadata)
+        case None     => f
+      }
     val dead = GraftSqlTable.droppedColumns(dir)
     val base = innerTable match {
       case Some(t) =>
@@ -807,7 +838,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         // stay in pre-drop files, the schema stops admitting them, and
         // column pruning means no scan ever decodes them again.
         val s = StructType(t.schema.fields.filterNot(f =>
-          f.name.startsWith("_ptn_") || dead.contains(f.name)))
+          f.name.startsWith("_ptn_") || dead.contains(f.name)).map(overlay))
         // ALTER-added columns not yet present in any file read as NULL
         val missing = ddl.map(_.fields.filterNot(f => s.fieldNames.contains(f.name)))
           .getOrElse(Array.empty[StructField])

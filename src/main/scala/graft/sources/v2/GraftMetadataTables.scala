@@ -27,7 +27,7 @@ import graft.sources.ManifestTable
   * exist?" answered without a library import. Served as a [[LocalScan]]:
   * the row set is metadata-sized by construction. */
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("files", "history", "branches")
+  val Kinds: Set[String] = Set("files", "history", "branches", "partitions")
 }
 
 class GraftMetadataTable(parentDir: String, ident: String, kind: String)
@@ -57,7 +57,60 @@ class GraftMetadataTable(parentDir: String, ident: String, kind: String)
       StructField("name", StringType, nullable = false),
       StructField("fork_version", IntegerType, nullable = false),
       StructField("head_version", IntegerType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      // null when any member file predates row-count stats
+      StructField("n_rows", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = false)))
     case other => sys.error(s"unknown metadata table kind '$other'")
+  }
+
+  /** `db.t.partitions` — per-cell file/row/byte counts straight from the
+    * manifest's `_ptn_*` stats entries (plus one `stat()` per file for
+    * bytes — still zero DATA IO): "is my clustering balanced?", "which
+    * day is the fat one?", "did compaction leave stragglers?" answered
+    * without opening a footer. A file whose cell stats span values (a
+    * pre-declaration straggler) reports as `<transform>=mixed`;
+    * unpartitioned tables roll up to one `(table)` row. */
+  private def partitionRows(): Seq[org.apache.spark.sql.Row] = {
+    val v = ManifestTable.currentVersion(parentDir)
+    val datas = if (v < 1) Seq.empty
+      else ManifestTable.sqlEntriesAt(parentDir, v).filter(_.isData)
+    // declared cells: the SPJ bucket column's manifest tag + every
+    // hidden transform's _ptn_ column
+    val bucketTag = {
+      val p = java.nio.file.Paths.get(parentDir, "_partition.bucket")
+      if (!java.nio.file.Files.exists(p)) None
+      else Some {
+        val c = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .split('\n').head.trim
+        (s"bucket($c)", s"_ptn_bucket_$c")
+      }
+    }
+    val transformTags = ManifestTable.partitionTransforms(parentDir).map {
+      case ManifestTable.DaysTransform(src) => (s"days($src)", s"_ptn_days_$src")
+      case b: ManifestTable.BucketTransform =>
+        (s"md5bucket(${b.n}, ${b.source})", b.ptnCol)
+    }
+    val tags = (bucketTag.toSeq ++ transformTags)
+    def cellOf(stats: Map[String, (Double, Double)]): String =
+      if (tags.isEmpty) "(table)"
+      else tags.map { case (label, key) =>
+        stats.get(key) match {
+          case Some((lo, hi)) if lo == hi => s"$label=${lo.toLong}"
+          case Some(_)                    => s"$label=mixed"
+          case None                       => s"$label=untracked"
+        }
+      }.mkString(", ")
+    datas.groupBy(e => cellOf(e.stats)).toSeq.sortBy(_._1).map {
+      case (cell, es) =>
+        val rows = es.map(_.stats.get("__rows").map(_._1.toLong))
+        val nRows: Any =
+          if (rows.forall(_.isDefined)) rows.map(_.get).sum else null
+        val bytes = es.map(e => new java.io.File(e.path).length()).sum
+        org.apache.spark.sql.Row(cell, es.size, nRows, bytes)
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -79,6 +132,7 @@ class GraftMetadataTable(parentDir: String, ident: String, kind: String)
             ManifestTable.listBranches(parentDir).map { case (n, fork, head) =>
               org.apache.spark.sql.Row(n, fork, head)
             }
+          case "partitions" => partitionRows()
         }
         val conv = CatalystTypeConverters.createToCatalystConverter(out)
         val internal = data.map(r => conv(r).asInstanceOf[InternalRow]).toArray

@@ -143,8 +143,8 @@ class GraftStagedTable(ident: Identifier, stageDir: String, finalDir: String,
     // declarations until the swap lands — conservative, never wrong:
     // untagged/unstatted files only DISABLE pruning and SPJ, both of
     // which degrade gracefully)
-    Seq("_schema.ddl", "_partition.bucket", "_write.order", "_write.size",
-        "_write.key", "_constraints").foreach { n =>
+    Seq("_schema.ddl", "_schema.json", "_partition.bucket", "_write.order",
+        "_write.size", "_write.key", "_constraints").foreach { n =>
       val s = Paths.get(stageDir, n)
       val d = Paths.get(finalDir, n)
       if (Files.exists(s)) Files.move(s, d, StandardCopyOption.REPLACE_EXISTING): Unit

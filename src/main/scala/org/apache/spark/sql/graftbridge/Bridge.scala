@@ -13,4 +13,16 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(df: DataFrame, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], plan)
+
+  /** `CatalogV2Util.applySchemaChanges` is `private[sql]`; ALTER TABLE
+    * column changes route through it so positions, comments, and column
+    * DEFAULT metadata land exactly as the analyzer reads them back. */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+                         changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .applySchemaChanges(schema, changes,
+        // the provider gates Spark's defaultColumn.allowedProviders
+        // check — graft tables ARE parquet storage
+        Some("parquet"), "ALTER TABLE")
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Column DEFAULT declarations on [[graft.sources.v2.GraftCatalog]]
+  * tables: stored in the schema's JSON twin (`_schema.json` — DDL text
+  * cannot carry metadata), compiled into INSERTs by Spark's analyzer
+  * from the reported schema's CURRENT_DEFAULT, and applied to pre-ALTER
+  * rows through EXISTS_DEFAULT at scan time. */
+class DefaultValuesSpec extends SparkSpec {
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_defaults")
+    d.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gdv", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", d.toString)
+    d.toString
+  }
+
+  test("CREATE TABLE with DEFAULT: partial INSERTs and the DEFAULT keyword fill in") {
+    wh: Unit
+    spark.sql("""CREATE TABLE gdv.ns.t (
+                |  k BIGINT,
+                |  status STRING DEFAULT 'new',
+                |  score BIGINT DEFAULT 100
+                |)""".stripMargin)
+    spark.sql("INSERT INTO gdv.ns.t (k) VALUES (1)")
+    spark.sql("INSERT INTO gdv.ns.t VALUES (2, DEFAULT, DEFAULT)")
+    spark.sql("INSERT INTO gdv.ns.t VALUES (3, 'done', 7)")
+    val got = spark.sql("SELECT k, status, score FROM gdv.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "new", 100L), (2L, "new", 100L), (3L, "done", 7L)))
+  }
+
+  test("ALTER ADD COLUMN with DEFAULT: old rows read the default, new inserts fill it") {
+    wh: Unit
+    spark.sql("CREATE TABLE gdv.ns.evo (k BIGINT)")
+    spark.sql("INSERT INTO gdv.ns.evo VALUES (1), (2)")
+    spark.sql("ALTER TABLE gdv.ns.evo ADD COLUMNS (tier STRING DEFAULT 'legacy')")
+    val pre = spark.sql("SELECT k, tier FROM gdv.ns.evo ORDER BY k").collect()
+    assert(pre.map(_.getString(1)).toSeq == Seq("legacy", "legacy"),
+      "pre-ALTER rows must read the EXISTS_DEFAULT, not NULL")
+    spark.sql("INSERT INTO gdv.ns.evo (k) VALUES (3)")
+    spark.sql("INSERT INTO gdv.ns.evo VALUES (4, 'vip')")
+    val got = spark.sql("SELECT k, tier FROM gdv.ns.evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "legacy"), (2L, "legacy"), (3L, "legacy"), (4L, "vip")))
+    // a NOT NULL add without a default refuses on a non-empty table
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gdv.ns.evo ADD COLUMNS (must STRING NOT NULL)")
+    }
+  }
+}

@@ -1150,6 +1150,40 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gtest.ns.ghost.files").collect() }
   }
 
+  test(".partitions metadata table: per-cell file/row/byte counts, zero data IO") {
+    import spark.implicits._
+    wh: Unit
+    // bucketed: one row per bucket, rows summed from __rows stats
+    spark.sql("CREATE TABLE gtest.ns.pmeta (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_pm")
+    spark.sql("INSERT INTO gtest.ns.pmeta SELECT * FROM src_pm")
+    val parts = spark.sql("SELECT partition, n_files, n_rows, total_bytes " +
+      "FROM gtest.ns.pmeta.partitions ORDER BY partition").collect()
+    assert(parts.length == 4, parts.mkString(","))
+    assert(parts.forall(r => r.getString(0).startsWith("bucket(k)=") &&
+      r.getInt(1) >= 1 && r.getLong(3) > 0L))
+    assert(parts.map(_.getLong(2)).sum == 100L,
+      "__rows stats must sum to the row count")
+    // day-transform: one row per day cell
+    spark.sql("CREATE TABLE gtest.ns.pmeta_d (id BIGINT, d DATE) " +
+      "PARTITIONED BY (days(d))")
+    spark.sql("""INSERT INTO gtest.ns.pmeta_d
+                |SELECT id, DATE_ADD(DATE'2024-03-01', CAST(id % 3 AS INT))
+                |FROM range(0, 30) r(id)""".stripMargin)
+    val dparts = spark.sql("SELECT partition, n_rows FROM " +
+      "gtest.ns.pmeta_d.partitions ORDER BY partition").collect()
+    assert(dparts.length == 3 && dparts.forall(r =>
+      r.getString(0).startsWith("days(d)=197") && r.getLong(1) == 10L),
+      dparts.mkString(","))
+    // unpartitioned: one (table) roll-up row
+    spark.sql("CREATE TABLE gtest.ns.pmeta_u (k BIGINT)")
+    spark.sql("INSERT INTO gtest.ns.pmeta_u SELECT id FROM range(0, 7) r(id)")
+    val u = spark.sql("SELECT * FROM gtest.ns.pmeta_u.partitions").collect()
+    assert(u.length == 1 && u(0).getString(0) == "(table)" &&
+      u(0).getLong(2) == 7L, u.mkString(","))
+  }
+
   test("hidden-partition tables serve through SQL: source predicates prune via the declared transforms") {
     import spark.implicits._
     import graft.sources.ManifestTable.{BucketTransform, DaysTransform}
