@@ -437,7 +437,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: constraint '${ck.name()}' already exists on $ident")
         if (ck.enforced() && ManifestTable.currentVersion(dir) > 0) {
           import org.apache.spark.sql.functions.{expr, not, coalesce, lit}
-          val bad = ManifestTable.read(SparkSession.active, dir)
+          val bad = catalogRead(ident, dir)
             .where(coalesce(not(expr(ck.predicateSql())), lit(false)))
             .limit(1).count()
           require(bad == 0, s"GraftCatalog: cannot add constraint " +
@@ -485,10 +485,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: cannot add NOT NULL column '$name' without a " +
             s"DEFAULT to non-empty $ident — existing rows have no value for it")
       case _: TableChange.DeleteColumn => ()
+      case r: TableChange.RenameColumn =>
+        // columns map by NAME in this format (no field ids), so a rename
+        // over existing data would disconnect every committed file's
+        // values from the new name — the honest window is before the
+        // first commit, where it is pure metadata
+        require(ManifestTable.currentVersion(dir) == 0,
+          s"GraftCatalog: cannot rename column '${r.fieldNames()(0)}' of " +
+            s"$ident — data is already committed under that name and this " +
+            "format maps columns by name (no field ids); rebuild via " +
+            "CREATE TABLE ... AS SELECT with the new name instead")
+        dropGuards(ident, dir, r.fieldNames()(0), verb = "rename")
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER TABLE change $other — ADD/DROP " +
-          "COLUMNS (the manifest evolution contract), ADD/DROP CONSTRAINT " +
-          "and SET/UNSET TBLPROPERTIES are supported")
+        s"GraftCatalog: unsupported ALTER TABLE change $other — ADD/DROP/" +
+          "RENAME (pre-data) COLUMNS, ADD/DROP CONSTRAINT and SET/UNSET " +
+          "TBLPROPERTIES are supported")
     }
     if (rest.nonEmpty) {
       // Spark's own change application: positions, comments, and column
@@ -511,30 +522,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(ident.toString, dir, -1)
   }
 
+  /** The table as the CATALOG reports it, for validation probes (ADD
+    * CONSTRAINT, write.key declaration): the library read only knows the
+    * committed files' physical columns, so ALTER-added columns back-fill
+    * here — with their EXISTS_DEFAULT when declared (a probe that saw
+    * NULL where every scan will see the default would validate the wrong
+    * table), NULL otherwise. */
+  private def catalogRead(ident: Identifier, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val tblSchema = new GraftSqlTable(ident.toString, dir, -1).schema()
+    var df = ManifestTable.read(SparkSession.active, dir)
+    tblSchema.fields.filterNot(f => df.columns.contains(f.name)).foreach { f =>
+      val fill =
+        if (f.metadata.contains("EXISTS_DEFAULT"))
+          expr(f.metadata.getString("EXISTS_DEFAULT")).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      df = df.withColumn(f.name, fill)
+    }
+    df.select(tblSchema.fieldNames.map(org.apache.spark.sql.functions.col(_))
+      .toIndexedSeq: _*)
+  }
+
   /** DROP COLUMN is metadata-only (no file is rewritten — at 100 TB a
     * physical purge is a compaction job, not a DDL statement), so the
     * column must not be load-bearing anywhere in the table's machinery:
     * not the row identifier, not the declared clustering, not a
     * partition-transform source, not referenced by a CHECK constraint. */
-  private def dropGuards(ident: Identifier, dir: String, name: String): Unit = {
+  private def dropGuards(ident: Identifier, dir: String, name: String,
+                         verb: String = "drop"): Unit = {
     val p = java.nio.file.Paths.get(dir)
     def fileHeadIs(f: String): Boolean =
       java.nio.file.Files.exists(p.resolve(f)) &&
         new String(java.nio.file.Files.readAllBytes(p.resolve(f)), "UTF-8")
           .split('\n').head.trim.split(',').map(_.trim).contains(name)
     require(!fileHeadIs("_write.key"),
-      s"GraftCatalog: cannot drop '$name' — it is the write.key of $ident")
+      s"GraftCatalog: cannot $verb '$name' — it is the write.key of $ident")
     require(!fileHeadIs("_write.order"),
-      s"GraftCatalog: cannot drop '$name' — it is the write.order of $ident")
+      s"GraftCatalog: cannot $verb '$name' — it is the write.order of $ident")
     require(!fileHeadIs("_partition.bucket"),
-      s"GraftCatalog: cannot drop '$name' — $ident is bucket-partitioned on it")
+      s"GraftCatalog: cannot $verb '$name' — $ident is bucket-partitioned on it")
     require(!ManifestTable.partitionTransforms(dir).exists(_.source == name),
-      s"GraftCatalog: cannot drop '$name' — it is a partition-transform " +
+      s"GraftCatalog: cannot $verb '$name' — it is a partition-transform " +
         s"source of $ident")
     val ref = GraftConstraints.load(dir).find(ck =>
       s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
         .findFirstIn(ck.predicateSql()).isDefined)
-    require(ref.isEmpty, s"GraftCatalog: cannot drop '$name' — constraint " +
+    require(ref.isEmpty, s"GraftCatalog: cannot $verb '$name' — constraint " +
       s"'${ref.get.name()}' references it; DROP CONSTRAINT first")
   }
 
@@ -613,7 +647,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "entries are outstanding — CALL graft.system.compact first")
           if (ManifestTable.currentVersion(dir) > 0) {
             import org.apache.spark.sql.functions.col
-            val nulls = ManifestTable.read(SparkSession.active, dir)
+            val nulls = catalogRead(ident, dir)
               .where(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
             require(nulls == 0, s"GraftCatalog: cannot declare write.key " +
               s"'$k' on $ident — existing rows carry NULL keys, which " +

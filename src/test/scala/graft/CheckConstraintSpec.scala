@@ -32,6 +32,33 @@ class CheckConstraintSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcc.ns.t").head.getLong(0) == 3)
   }
 
+  test("CHECK constraints gate row-level SQL too: delta UPDATE/MERGE and CoW UPDATE") {
+    wh: Unit
+    spark.sql("CREATE TABLE gcc.ns.rk (k BIGINT, v BIGINT, " +
+      "CONSTRAINT pos CHECK (v >= 0)) TBLPROPERTIES('write.key'='k')")
+    spark.sql("INSERT INTO gcc.ns.rk VALUES (1, 10), (2, 20)")
+    intercept[Exception] { // the delta path must not smuggle violations in
+      spark.sql("UPDATE gcc.ns.rk SET v = v - 100 WHERE k = 1")
+    }
+    assert(spark.sql("SELECT v FROM gcc.ns.rk WHERE k = 1").head.getLong(0) == 10L,
+      "a refused delta UPDATE must leave the row untouched")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cc_msrc AS SELECT 2 AS k, -7 AS nv")
+    intercept[Exception] {
+      spark.sql("MERGE INTO gcc.ns.rk t USING cc_msrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    assert(spark.sql("SELECT v FROM gcc.ns.rk WHERE k = 2").head.getLong(0) == 20L)
+    // the unkeyed group copy-on-write path enforces too
+    spark.sql("CREATE TABLE gcc.ns.ru (k BIGINT, v BIGINT, " +
+      "CONSTRAINT pos CHECK (v >= 0))")
+    spark.sql("INSERT INTO gcc.ns.ru VALUES (1, 10)")
+    intercept[Exception] {
+      spark.sql("UPDATE gcc.ns.ru SET v = -5 WHERE k = 1")
+    }
+    assert(spark.sql("SELECT v FROM gcc.ns.ru WHERE k = 1").head.getLong(0) == 10L,
+      "a refused CoW UPDATE must leave the snapshot untouched")
+  }
+
   test("ALTER TABLE ADD CONSTRAINT validates existing rows first") {
     import spark.implicits._
     wh: Unit

@@ -46,6 +46,21 @@ class DropColumnSpec extends SparkSpec {
     assert(spark.table("gdc.ns.t").columns.toSeq == Seq("k", "v", "note"))
   }
 
+  test("RENAME COLUMN: pure metadata before the first commit, refuses after") {
+    wh: Unit
+    spark.sql("CREATE TABLE gdc.ns.rn (old_name BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE gdc.ns.rn RENAME COLUMN old_name TO k")
+    assert(spark.table("gdc.ns.rn").columns.toSeq == Seq("k", "v"))
+    spark.sql("INSERT INTO gdc.ns.rn VALUES (1, 10)")
+    assert(spark.sql("SELECT k FROM gdc.ns.rn").head.getLong(0) == 1L)
+    // after data exists, the name IS the mapping — rename refuses with
+    // the CTAS pointer instead of silently disconnecting old files
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gdc.ns.rn RENAME COLUMN v TO w")
+    }
+    assert(e.getMessage.contains("AS SELECT"), e.getMessage)
+  }
+
   test("load-bearing columns refuse to drop") {
     wh: Unit
     spark.sql("CREATE TABLE gdc.ns.g (k BIGINT NOT NULL, v BIGINT, w BIGINT," +

@@ -1,0 +1,116 @@
+package graft
+
+import scala.collection.mutable
+
+/** Randomized DDL-evolution property test: a seeded interleaving of
+  * ADD/DROP COLUMN (with and without DEFAULTs), SET/UNSET write.order,
+  * CHECK add/drop, and INSERT batches against one catalog table, with an
+  * in-memory reference model checked after every step — schema names,
+  * row count, and per-column sums (NULL-aware) must agree exactly, and
+  * the guard matrix (tombstone resurrection, load-bearing drops) must
+  * refuse exactly when the model says so. */
+class EvolutionPropertySpec extends SparkSpec {
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_evoprop")
+    d.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gevo", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gevo.warehouse", d.toString)
+    d.toString
+  }
+
+  test("40-step random DDL/DML interleaving tracks the reference model exactly") {
+    wh: Unit
+    val rnd = new scala.util.Random(42)
+    val T = "gevo.ns.evo"
+    spark.sql(s"CREATE TABLE $T (c0 BIGINT)")
+
+    // the model: live columns in order (name -> default), dropped names,
+    // declared order column, and every row as name->Option[Long]
+    val cols = mutable.LinkedHashMap[String, Option[Long]]("c0" -> None)
+    val dropped = mutable.Set.empty[String]
+    var orderCol: Option[String] = None
+    val rows = mutable.Buffer.empty[Map[String, Option[Long]]]
+    var nextId = 1
+
+    def checkAgainstModel(step: Int): Unit = {
+      val t = spark.table(T)
+      assert(t.columns.toSeq == cols.keys.toSeq,
+        s"step $step: schema ${t.columns.toSeq} != model ${cols.keys.toSeq}")
+      val agg = spark.sql(
+        s"SELECT count(*) ${cols.keys.map(c => s", sum($c)").mkString} FROM $T")
+        .head
+      assert(agg.getLong(0) == rows.length,
+        s"step $step: count ${agg.getLong(0)} != ${rows.length}")
+      cols.keys.zipWithIndex.foreach { case (c, i) =>
+        val want = rows.flatMap(_.getOrElse(c, None))
+        val got = if (agg.isNullAt(i + 1)) None else Some(agg.getLong(i + 1))
+        val expect = if (want.isEmpty) None else Some(want.sum)
+        assert(got == expect, s"step $step: sum($c) $got != $expect")
+      }
+    }
+
+    for (step <- 1 to 40) {
+      rnd.nextInt(6) match {
+        case 0 => // ADD COLUMN, half the time with a DEFAULT
+          val name = s"c$nextId"; nextId += 1
+          if (rnd.nextBoolean()) {
+            val d = rnd.nextInt(100).toLong
+            spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT DEFAULT $d)")
+            cols(name) = Some(d)
+            // EXISTS_DEFAULT back-fills every pre-ALTER row
+            rows.indices.foreach(i => rows(i) = rows(i) + (name -> Some(d)))
+          } else {
+            spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
+            cols(name) = None
+            rows.indices.foreach(i => rows(i) = rows(i) + (name -> None))
+          }
+        case 1 => // DROP COLUMN — refuses on the order column, else drops
+          val victim = cols.keys.toSeq(rnd.nextInt(cols.size))
+          if (orderCol.contains(victim) || cols.size == 1) {
+            intercept[Exception] {
+              spark.sql(s"ALTER TABLE $T DROP COLUMN $victim")
+            }
+          } else {
+            spark.sql(s"ALTER TABLE $T DROP COLUMN $victim")
+            cols.remove(victim); dropped += victim
+            rows.indices.foreach(i => rows(i) = rows(i) - victim)
+          }
+        case 2 => // tombstone resurrection must refuse
+          if (dropped.nonEmpty) {
+            val name = dropped.toSeq(rnd.nextInt(dropped.size))
+            intercept[Exception] {
+              spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
+            }
+          }
+        case 3 => // SET / UNSET write.order
+          if (orderCol.isDefined && rnd.nextBoolean()) {
+            spark.sql(s"ALTER TABLE $T UNSET TBLPROPERTIES ('write.order')")
+            orderCol = None
+          } else {
+            val c = cols.keys.toSeq(rnd.nextInt(cols.size))
+            spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES ('write.order'='$c')")
+            orderCol = Some(c)
+          }
+        case 4 => // CHECK constraint round-trip (trivially-true predicate)
+          val cn = s"ck$step"
+          val c = cols.keys.head
+          spark.sql(s"ALTER TABLE $T ADD CONSTRAINT $cn " +
+            s"CHECK ($c IS NULL OR $c > -1000000)")
+          spark.sql(s"ALTER TABLE $T DROP CONSTRAINT $cn")
+        case 5 => // INSERT a batch of full-width rows
+          val n = 1 + rnd.nextInt(4)
+          val batch = (1 to n).map { _ =>
+            cols.keys.map(c => c -> Some(rnd.nextInt(1000).toLong)).toMap
+          }
+          val values = batch.map(r =>
+            cols.keys.map(c => r(c).get).mkString("(", ", ", ")"))
+            .mkString(", ")
+          spark.sql(s"INSERT INTO $T VALUES $values")
+          rows ++= batch
+      }
+      checkAgainstModel(step)
+    }
+    assert(rows.nonEmpty && dropped.nonEmpty,
+      "the interleaving must have exercised inserts and drops")
+  }
+}
