@@ -2678,6 +2678,63 @@ object WarehouseQueries {
             |GROUP BY event_type, tier ORDER BY event_type, tier""".stripMargin)
   }
 
+  // q381: DYNAMIC OVERWRITE — `df.writeTo(t).overwrite(cond)`: the
+  // nightly "re-ingest one day's partition" pattern as ONE atomic
+  // commit. The delete side is stats-bounded (the day-clustered layout
+  // means files outside the day carry forward VERBATIM — require-pinned
+  // by path), the insert side is the staged DSv2 write, and there is no
+  // two-commit window where readers see the day missing. At 100 TB this
+  // verb is the difference between "correct the bad upstream drop" being
+  // one statement and being a DELETE+INSERT choreography with a
+  // reader-visible hole (or a full-table INSERT OVERWRITE). Hash-checked
+  // against the oracle's relational recompute of the replacement.
+  def sqlDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q381_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat381", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat381.warehouse", out)
+    Tables(s, dir).events
+      .select(unix_timestamp($"ts").divide(86400).cast("long").as("day"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q381_src")
+    s.sql("""CREATE TABLE graft_cat381.db.ev (day BIGINT, event_type STRING,
+            |  cents BIGINT)
+            |TBLPROPERTIES ('write.order'='day', 'write.order.partitions'='8')
+            |""".stripMargin)
+    s.sql("INSERT INTO graft_cat381.db.ev SELECT * FROM q381_src")
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/ev"
+    val v1 = ManifestTable.currentVersion(tdir)
+    val untouched = ManifestTable.sqlEntriesAt(tdir, v1).filter(_.isData)
+      .filter(_.stats.get("day").exists { case (mn, mx) =>
+        mx < 19725 || mn > 19725 })
+      .map(_.path)
+    require(untouched.nonEmpty,
+      "q381: need files outside the overwritten day to pin carry-forward")
+    // the corrected re-ingestion of day 19725: cents revised upward by 5
+    s.table("graft_cat381.db.ev").where($"day" === 19725L)
+      .withColumn("cents", $"cents" + 5)
+      .writeTo("graft_cat381.db.ev").overwrite($"day" === 19725L)
+    require(ManifestTable.currentVersion(tdir) == v1 + 1,
+      "q381: the dynamic overwrite must land as exactly one commit")
+    val after = ManifestTable.sqlEntriesAt(tdir, v1 + 1)
+      .filter(_.isData).map(_.path).toSet
+    require(untouched.forall(after.contains),
+      "q381: files outside the overwrite scope must carry forward verbatim")
+    require(s.sql(s"SELECT count(*) FROM graft_cat381.db.ev VERSION AS OF $v1")
+      .head.getLong(0) ==
+      s.sql("SELECT count(*) FROM q381_src").head.getLong(0),
+      "q381: the pre-overwrite snapshot must stay time-travelable")
+    s.sql("""SELECT event_type, count(*) AS n_events, sum(cents) AS total_cents
+            |FROM graft_cat381.db.ev
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2793,6 +2850,7 @@ object WarehouseQueries {
     "q378_sql_schema_evolution" -> sqlSchemaEvolution _,
     "q379_sql_merge_matrix" -> sqlMergeMatrix _,
     "q380_sql_column_defaults" -> sqlColumnDefaults _,
+    "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
@@ -2938,6 +2996,12 @@ object WarehouseQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         AS total_cents
         |FROM events GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
+    "q381_dynamic_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN CAST(epoch(ts) AS BIGINT) // 86400 = 19725
+        |           THEN 5 ELSE 0 END) AS BIGINT) AS total_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q374_sql_md5bucket_ddl" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

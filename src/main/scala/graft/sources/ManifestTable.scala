@@ -1137,6 +1137,50 @@ object ManifestTable {
     claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
   }
 
+  /** DYNAMIC OVERWRITE as one commit: delete every row matching
+    * `predicate` AND append `newFiles`, atomically at the next version —
+    * the landing verb of `df.writeTo(t).overwrite(cond)`, i.e. the
+    * nightly "replace this day's partition" pattern. The delete side is
+    * stats-bounded exactly like [[deleteWhereCow]] (files whose stats
+    * exclude the predicate carry forward verbatim; only stats-overlapping
+    * files rewrite — bounds are necessary, not sufficient, so whole-match
+    * files still pass through the filter scan), and the insert side is
+    * the staged files the DSv2 write already produced. At 100 TB the alternative — DELETE then
+    * INSERT as two commits — has a window where readers see the day
+    * missing; this verb has none. */
+  def overwriteWhere(spark: SparkSession, dir: String,
+                     predicate: org.apache.spark.sql.Column,
+                     newFiles: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val v = currentVersion(dir) + 1
+    val lines = if (v > 1) manifestFiles(dir, v - 1) else Seq.empty
+    require(lines.map(parseEntry).forall(_.isData),
+      s"overwriteWhere: $dir carries row-level delete entries — a rewrite " +
+        "would shift positions/sequences under them; compact first")
+    val bounds = predicateBounds(predicate)
+    val (touchedLines, keptLines) = lines.partition { l =>
+      val st = parseEntry(l).stats
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    }
+    val rewrittenFiles: Seq[String] =
+      if (touchedLines.isEmpty) Seq.empty
+      else {
+        val touched = touchedLines.map(parseEntry).map(_.path)
+        val survivors =
+          dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+            .filter(not(coalesce(predicate, lit(false))))
+        // `rw` subdir: the staged INSERT files move into data/commit-$v
+        // by bare name before publish — the rewrite must never collide
+        val rwDir = s"$dir/data/commit-$v/rw"
+        survivors.write.mode("overwrite").parquet(rwDir)
+        Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      }
+    claimManifest(dir, v,
+      keptLines ++ (rewrittenFiles ++ newFiles).sorted.map(f => dataLine(f)))
+  }
+
   /** (files to rewrite, files carried forward verbatim) for an
     * [[updateWhere]] touch set — assertable planning info, like
     * [[pruneInfo]]. */

@@ -888,10 +888,19 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       case None => base
     }
   }
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE)
+    // dynamic overwrite (`writeTo.overwrite(cond)`) is the plain/ordered
+    // manifest writer's verb; bucket/transform layouts would need their
+    // cell-aware twin — advertise only where the builder delivers
+    val dynOver =
+      if (bucketSpec.isEmpty && ManifestTable.partitionTransforms(dir).isEmpty)
+        Set(TableCapability.OVERWRITE_BY_FILTER)
+      else Set.empty[TableCapability]
+    (base ++ dynOver).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `.option("branch", "exp")` reads the branch head instead of main —

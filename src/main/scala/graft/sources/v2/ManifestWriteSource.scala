@@ -89,9 +89,23 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
                            orderPartitions: Int = 0,
                            rowLevel: Boolean = false,
                            targetFileSize: Long = 0)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var append = true
+  // DYNAMIC OVERWRITE (`df.writeTo(t).overwrite(cond)`): delete-matching
+  // + append-new as ONE atomic commit (ManifestTable.overwriteWhere) —
+  // the nightly partition-replace pattern with no missing-day window
+  private var overwritePred: Option[org.apache.spark.sql.Column] = None
   override def truncate(): WriteBuilder = { append = false; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      return truncate()
+    val cols = filters.toSeq.map(f => V2Filters.toColumn(f).getOrElse(
+      sys.error(s"graft-manifest overwrite: untranslatable filter $f")))
+    overwritePred = Some(cols.reduce(_ && _))
+    this
+  }
   override def build(): Write = orderCol match {
     // `write.target-file-size` WITHOUT a declared ordering: Spark
     // refuses an advisory size on an unspecified distribution, so the
@@ -101,7 +115,8 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
     // the exchange bounds the minimum only when an ordering is declared).
     case None => new Write {
       override def toBatch: BatchWrite =
-        new ManifestBatchWrite(dir, schema, append, rowLevel, targetFileSize)
+        new ManifestBatchWrite(dir, schema, append, rowLevel, targetFileSize,
+          overwritePred)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new ManifestStreamingWrite(dir, schema)
     }
@@ -130,7 +145,8 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
       override def advisoryPartitionSizeInBytes(): Long =
         if (targetFileSize > 0) targetFileSize
         else super.advisoryPartitionSizeInBytes()
-      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, append)
+      override def toBatch: BatchWrite =
+        new ManifestBatchWrite(dir, schema, append, overwrite = overwritePred)
       // streaming epochs honor the same declared clustering: the
       // micro-batch planner applies this Write's distribution+ordering,
       // so freshly-streamed commits carry the same disjoint per-file
@@ -139,6 +155,36 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
       // threw on the missing toStreaming)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new ManifestStreamingWrite(dir, schema)
+    }
+  }
+}
+
+/** V1 `Filter` → `Column` translation for write-side predicates (the
+  * overwrite condition). Conservative: anything untranslatable returns
+  * None and the caller refuses loudly — an overwrite whose delete scope
+  * were silently narrowed would destroy data. */
+private[v2] object V2Filters {
+  def toColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c)    => toColumn(c).map(!_)
+      case AlwaysTrue  => Some(lit(true))
+      case AlwaysFalse => Some(lit(false))
+      case _ => None
     }
   }
 }
@@ -218,7 +264,8 @@ class BranchBatchWrite(dir: String, branch: String, schema: StructType,
 }
 
 class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
-                         rowLevel: Boolean = false, targetFileSize: Long = 0)
+                         rowLevel: Boolean = false, targetFileSize: Long = 0,
+                         overwrite: Option[org.apache.spark.sql.Column] = None)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/${UUID.randomUUID()}"
 
@@ -246,7 +293,13 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
       java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
       target.toAbsolutePath.toString
     }
-    ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
+    overwrite match {
+      // dynamic overwrite: delete-matching + append-new in ONE commit
+      case Some(pred) =>
+        ManifestTable.overwriteWhere(SparkSession.active, dir, pred, finalPaths): Unit
+      case None =>
+        ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
+    }
     cleanupStaging()
   }
 
