@@ -1150,7 +1150,8 @@ object ManifestTable {
     * missing; this verb has none. */
   def overwriteWhere(spark: SparkSession, dir: String,
                      predicate: org.apache.spark.sql.Column,
-                     newFiles: Seq[String]): Int = {
+                     newFiles: Seq[String],
+                     keepHidden: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val v = currentVersion(dir) + 1
     val lines = if (v > 1) manifestFiles(dir, v - 1) else Seq.empty
@@ -1167,15 +1168,22 @@ object ManifestTable {
       if (touchedLines.isEmpty) Seq.empty
       else {
         val touched = touchedLines.map(parseEntry).map(_.path)
-        val survivors =
-          dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
-            .filter(not(coalesce(predicate, lit(false))))
+        // transform tables keep their physical _ptn_* columns through the
+        // rewrite (keepHidden) so the surviving rows' cell stats — and the
+        // pruning they feed — ride into the replacement files' footers
+        val scan = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+        val survivors = (if (keepHidden) scan else dropHidden(scan))
+          .filter(not(coalesce(predicate, lit(false))))
         // `rw` subdir: the staged INSERT files move into data/commit-$v
         // by bare name before publish — the rewrite must never collide
         val rwDir = s"$dir/data/commit-$v/rw"
         survivors.write.mode("overwrite").parquet(rwDir)
         Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+          // a wholly-replaced file rewrites to zero rows — keep it out of
+          // the manifest (a stats-free empty file would survive every
+          // prune for nothing)
+          .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
       }
     claimManifest(dir, v,
       keptLines ++ (rewrittenFiles ++ newFiles).sorted.map(f => dataLine(f)))

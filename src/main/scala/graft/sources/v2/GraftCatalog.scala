@@ -892,12 +892,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
-    // dynamic overwrite (`writeTo.overwrite(cond)`) is the plain/ordered
-    // manifest writer's verb; bucket/transform layouts would need their
-    // cell-aware twin — advertise only where the builder delivers
+    // dynamic overwrite (`writeTo.overwrite(cond)`): plain/ordered and
+    // transform layouts deliver it (the day-partition replace is THE use
+    // case); bucketed tables refuse — "replace bucket 3" is not a user
+    // pattern and an untagged rewrite would silently cost SPJ
     val dynOver =
-      if (bucketSpec.isEmpty && ManifestTable.partitionTransforms(dir).isEmpty)
-        Set(TableCapability.OVERWRITE_BY_FILTER)
+      if (bucketSpec.isEmpty) Set(TableCapability.OVERWRITE_BY_FILTER)
       else Set.empty[TableCapability]
     (base ++ dynOver).asJava
   }

@@ -197,9 +197,25 @@ object TransformedWriteBuilder {
   * materialized, ordinary CAS publish. */
 class TransformedWriteBuilder(dir: String, schema: StructType,
                               transforms: Seq[ManifestTable.Transform])
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var append = true
   override def truncate(): WriteBuilder = { append = false; this }
+  // dynamic overwrite on a transform table — THE partition-replace use
+  // case ("re-ingest this day"): the condition's source-column bounds
+  // select the day's cells, the rewrite keeps the physical _ptn_*
+  // columns so surviving rows' cell stats ride into replacement footers,
+  // and the cell-split staged INSERT lands alongside in one commit
+  private var overwritePred: Option[org.apache.spark.sql.Column] = None
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      return truncate()
+    val cols = filters.toSeq.map(f => V2Filters.toColumn(f).getOrElse(
+      sys.error(s"graft transformed overwrite: untranslatable filter $f")))
+    overwritePred = Some(cols.reduce(_ && _))
+    this
+  }
 
   // validate eagerly — a bad source column must fail at analysis, not in
   // a task
@@ -213,7 +229,8 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =
-        new TransformedBatchWrite(dir, schema, append, specs)
+        new TransformedBatchWrite(dir, schema, append, specs,
+          overwrite = overwritePred)
       // writeStream.toTable epochs inherit the clustering: the
       // micro-batch planner applies this Write's distribution, and the
       // per-cell splitting writer gives every streamed commit the same
@@ -225,7 +242,8 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
 
 class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
                             specs: Seq[PtnColSpec],
-                            cowScanned: Option[() => Option[Seq[String]]] = None)
+                            cowScanned: Option[() => Option[Seq[String]]] = None,
+                            overwrite: Option[org.apache.spark.sql.Column] = None)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/transformed-${UUID.randomUUID()}"
 
@@ -251,16 +269,21 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
     }
     // footer stats carry the physical _ptn_* columns — the manifest line
     // prunes on them exactly as it does for commitPartitioned's output
-    cowScanned match {
+    (cowScanned, overwrite) match {
       // group copy-on-write UPDATE/MERGE: replace exactly the scanned
       // files; the replacements re-enter cell-split with their _ptn_*
       // footer stats, so hidden-partition pruning survives the mutation
-      case Some(f) =>
+      case (Some(f), _) =>
         val replaced = f().getOrElse(sys.error(
           "TransformedBatchWrite: row-level write committed without a scan — " +
             "cannot determine the replaced group set")).toSet
         ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
-      case None =>
+      // dynamic overwrite: delete-matching + append-new, one commit; the
+      // rewrite keeps _ptn_* so untouched rows' cell stats survive
+      case (None, Some(pred)) =>
+        ManifestTable.overwriteWhere(org.apache.spark.sql.SparkSession.active,
+          dir, pred, finalPaths, keepHidden = true): Unit
+      case (None, None) =>
         ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
     }
     cleanupStaging()

@@ -29,7 +29,23 @@ object ColumnBridge {
     import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute => UA, UnresolvedFunction => UF, Literal => NL}
     def num(l: NL): Option[Double] = l.value match {
       case x: java.lang.Number => Some(x.doubleValue())
-      case _ => None // strings, dates, instants — off the stats number line
+      // temporal literals map onto the SAME number line the manifest's
+      // footer stats use: INT32 dates are epoch days, INT64 timestamps
+      // are micros (UTC-adjusted for TimestampType, wall-clock for NTZ —
+      // LocalDateTime.toInstant(UTC) reproduces exactly that). Epoch
+      // micros stay under 2^53, so the double is exact — a rounded bound
+      // here would mis-partition a touch set and lose data.
+      case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay.toDouble)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+      case dt: java.time.LocalDateTime =>
+        val i = dt.toInstant(java.time.ZoneOffset.UTC)
+        Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+      case _ => None // strings — off the stats number line
     }
     def attr(x: ColumnNode): Option[String] = x match {
       case a: UA => a.nameParts.lastOption

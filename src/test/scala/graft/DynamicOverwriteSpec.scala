@@ -53,6 +53,40 @@ class DynamicOverwriteSpec extends SparkSpec {
       .head.getLong(0) == 500L)
   }
 
+  test("overwrite of one day on a days-transform table keeps cells and pruning") {
+    wh: Unit
+    import graft.sources.v2.GraftCatalog.scannedFiles
+    spark.sql("CREATE TABLE gdo.ns.ht (id BIGINT, d DATE, v BIGINT) " +
+      "PARTITIONED BY (days(d))")
+    spark.sql("""INSERT INTO gdo.ns.ht
+                |SELECT id, DATE_ADD(DATE'2024-03-01', CAST(id % 4 AS INT)), id
+                |FROM range(0, 400) r(id)""".stripMargin)
+    val dir = s"$wh/ns/ht"
+    val v1 = ManifestTable.currentVersion(dir)
+    val before = ManifestTable.sqlEntriesAt(dir, v1).filter(_.isData)
+    assert(before.length == 4, "one file per day")
+    val untouched = before.filterNot(_.stats.exists { case (k, mm) =>
+      k.startsWith("_ptn_days_") && mm._1 == 19785d }).map(_.path)
+    assert(untouched.length == 3)
+    // re-ingest 2024-03-03 (epoch day 19785) with corrected values
+    spark.sql("""SELECT id, DATE'2024-03-03' AS d, id + 1000000 AS v
+                |FROM range(0, 40) r(id)""".stripMargin)
+      .writeTo("gdo.ns.ht").overwrite(col("d") === java.sql.Date.valueOf("2024-03-03"))
+    assert(ManifestTable.currentVersion(dir) == v1 + 1, "one commit")
+    val after = ManifestTable.sqlEntriesAt(dir, v1 + 1).filter(_.isData)
+    assert(untouched.forall(after.map(_.path).toSet.contains),
+      "other days' cells must carry forward verbatim")
+    assert(after.forall(e => e.stats.exists { case (k, mm) =>
+      k.startsWith("_ptn_days_") && mm._1 == mm._2 }),
+      "every file must still be a single-day cell")
+    // pruning still cuts to one cell per day; values correct
+    val q = spark.sql("SELECT count(*), min(v) FROM gdo.ns.ht " +
+      "WHERE d = DATE'2024-03-03'")
+    assert(q.head.getLong(0) == 40L && q.head.getLong(1) == 1000000L)
+    assert(scannedFiles(q).length == 1, "day-point read must prune to 1 cell")
+    assert(spark.sql("SELECT count(*) FROM gdo.ns.ht").head.getLong(0) == 340L)
+  }
+
   test("overwrite on a plain table, compound conditions, and truncate equivalence") {
     import spark.implicits._
     wh: Unit
