@@ -1134,6 +1134,9 @@ object ManifestTable {
     rewritten.write.mode("overwrite").parquet(dataDir)
     val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      // a wholly-deleted file rewrites to zero rows — keep it out of the
+      // manifest (a stats-free empty file survives every prune for nothing)
+      .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
     claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
   }
 
