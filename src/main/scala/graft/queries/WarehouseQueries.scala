@@ -2735,6 +2735,204 @@ object WarehouseQueries {
             |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // q382: POST-DATA RENAME COLUMN — pure metadata over committed files
+  // (the r10 handoff's last honest DDL refusal, closed). The contract: a
+  // column's STORAGE identity is the name it was born with — every file,
+  // past and future, carries the physical name — and one table-level
+  // logical->physical map (`_schema.names`) translates at the scan and
+  // write boundaries. Rows are positional, so nothing else moves: zero
+  // commits, zero rewrites, time travel intact. Pinned here: (a) the
+  // rename commits nothing and touches no file; (b) footer-stats pruning
+  // TRANSLATES — a predicate on the renamed name still prunes through
+  // physical stats (at 100 TB the rename would otherwise silently turn
+  // every pruned scan into a full scan); (c) a SQL UPDATE after the
+  // rename lands correctly and its replacement files carry the PHYSICAL
+  // name; (d) re-adding the storage name refuses (committed files would
+  // resurface its values). Hash-checked against the oracle's relational
+  // recompute.
+  def sqlRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q382_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat382", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat382.warehouse", out)
+    Tables(s, dir).events
+      .select(unix_timestamp($"ts").divide(86400).cast("long").as("day"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q382_src")
+    s.sql("""CREATE TABLE graft_cat382.db.ev (day BIGINT, event_type STRING,
+            |  cents BIGINT)""".stripMargin)
+    // two INSERTs over DISJOINT cents ranges: their files' footer stats
+    // partition the cents number line — the substrate for pin (b)
+    s.sql("INSERT INTO graft_cat382.db.ev SELECT * FROM q382_src WHERE cents < 5000")
+    s.sql("INSERT INTO graft_cat382.db.ev SELECT * FROM q382_src WHERE cents >= 5000")
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/ev"
+    val v0 = ManifestTable.currentVersion(tdir)
+    val before = ManifestTable.sqlEntriesAt(tdir, v0).filter(_.isData)
+      .map(_.path).toSet
+    s.sql("ALTER TABLE graft_cat382.db.ev RENAME COLUMN cents TO amount_cents")
+    require(ManifestTable.currentVersion(tdir) == v0,
+      "q382: RENAME COLUMN must be pure metadata — no commit")
+    require(ManifestTable.sqlEntriesAt(tdir, v0).filter(_.isData)
+      .map(_.path).toSet == before,
+      "q382: RENAME COLUMN must touch no data file")
+    require(s.table("graft_cat382.db.ev").columns.toSeq ==
+      Seq("day", "event_type", "amount_cents"),
+      "q382: the schema must serve the renamed name only")
+    // (b) stats pruning through the rename: the low-cents slice must NOT
+    // open the high-cents INSERT's files
+    val probe = s.table("graft_cat382.db.ev").where($"amount_cents" < 500L)
+    val scanned = graft.sources.v2.GraftCatalog.scannedFiles(probe)
+    require(scanned.nonEmpty && scanned.size < before.size,
+      s"q382: a renamed-column predicate must still prune files " +
+        s"(${scanned.size} of ${before.size})")
+    require(probe.count() ==
+      s.sql("SELECT count(*) FROM q382_src WHERE cents < 500").head.getLong(0),
+      "q382: the renamed-column filter must return exactly the source slice")
+    // (c) row-level SQL through the rename: group copy-on-write UPDATE
+    s.sql("""UPDATE graft_cat382.db.ev SET amount_cents = amount_cents + 7
+            |WHERE day % 7 = 0""".stripMargin)
+    val vUp = ManifestTable.currentVersion(tdir)
+    val fresh = ManifestTable.sqlEntriesAt(tdir, vUp).filter(_.isData)
+      .map(_.path).filterNot(before.contains)
+    require(fresh.nonEmpty, "q382: the UPDATE must have written files")
+    val rawNames = s.read.parquet(fresh.head).schema.fieldNames.toSeq
+    require(rawNames.contains("cents") && !rawNames.contains("amount_cents"),
+      s"q382: post-rename files must carry the PHYSICAL name (got $rawNames)")
+    // (d) the storage name stays reserved
+    val refused =
+      try { s.sql("ALTER TABLE graft_cat382.db.ev ADD COLUMNS (cents BIGINT)")
+            false }
+      catch { case _: Exception => true }
+    require(refused,
+      "q382: re-adding the renamed column's storage name must refuse")
+    s.sql("""SELECT event_type, count(*) AS n_events,
+            |  sum(amount_cents) AS total_cents
+            |FROM graft_cat382.db.ev
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  // q383: SNAPSHOT TAGS — named, retention-pinned versions (Iceberg's
+  // tag refs): `CALL graft.system.create_tag` pins the audited snapshot
+  // under a name, `VERSION AS OF 'name'` resolves it from SQL, and
+  // expire() keeps a tagged version's manifest AND data files alive past
+  // any retention horizon until drop_tag. A tag takes no commits and
+  // owns no data (one metadata line), so "pin the pre-migration snapshot
+  // for the quarter" costs nothing at 100 TB — where the alternative is
+  // either unbounded retention (every nightly table keeps every version)
+  // or a full CTAS copy of the pinned state. Pinned here: expire
+  // reclaims the untagged middle version (manifest gone, VERSION AS OF
+  // refuses) while the OLDER tagged version still serves bit-exact —
+  // hash-checked against the oracle's recompute of the tagged slice.
+  def sqlSnapshotTags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q383_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat383", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat383.warehouse", out)
+    Tables(s, dir).events
+      .select(unix_timestamp($"ts").divide(86400).cast("long").as("day"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q383_src")
+    s.sql("""CREATE TABLE graft_cat383.db.ev (day BIGINT, event_type STRING,
+            |  cents BIGINT)""".stripMargin)
+    // v1: the snapshot worth keeping
+    s.sql("INSERT INTO graft_cat383.db.ev SELECT * FROM q383_src WHERE cents < 5000")
+    require(s.sql("CALL graft_cat383.system.create_tag('db.ev', 'baseline')")
+      .head.getLong(0) == 1L, "q383: the tag must pin version 1")
+    // v2 (will expire), v3 (head; the UPDATE replaces every v2 file, so
+    // v1's files survive ONLY through the tag pin)
+    s.sql("INSERT INTO graft_cat383.db.ev SELECT * FROM q383_src WHERE cents >= 5000")
+    s.sql("UPDATE graft_cat383.db.ev SET cents = cents + 3 WHERE day % 5 = 0")
+    val expired = s.sql("CALL graft_cat383.system.expire('db.ev', 1)").head
+    require(expired.getLong(0) == 1L,
+      s"q383: expire(keep=1) must reclaim exactly the untagged middle " +
+        s"version, removed ${expired.getLong(0)}")
+    // the untagged version is GONE; the older tagged one still serves
+    val midGone =
+      try { s.sql("SELECT count(*) FROM graft_cat383.db.ev VERSION AS OF 2")
+              .head.getLong(0); false }
+      catch { case _: Exception => true }
+    require(midGone, "q383: the expired untagged version must refuse")
+    require(s.sql("SELECT * FROM graft_cat383.db.ev.tags").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("baseline", 1)),
+      "q383: the .tags metadata table must list the pin")
+    s.sql("""SELECT event_type, count(*) AS n_events, sum(cents) AS total_cents
+            |FROM graft_cat383.db.ev VERSION AS OF 'baseline'
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  // q384: PARTITION SPEC EVOLUTION — `CALL graft.system.
+  // add_partition_field('db.t', 'days(ts)')` on a LIVE table with
+  // committed data. Nothing about the spec is physical (no directories,
+  // no file moves): new commits cluster by the added transform and
+  // carry its `_ptn_days_*` footer stats; old files simply LACK the
+  // stat and every prune keeps them conservatively. At 100 TB "start
+  // partitioning this table by day" is one metadata line with ZERO
+  // rewrite — the benefit phases in with each new commit (or all at
+  // once after a compaction). Pinned: post-evolution files carry day
+  // cells while pre-evolution files are untouched by path, a week
+  // window prunes the scan below the full file set, and the window
+  // aggregate over BOTH eras is hash-green — a wrongly-pruned old file
+  // would lose rows and break the hash.
+  def sqlPartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q384_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat384", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat384.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts", $"event_type", round($"value" * 100).cast("long").as("cents"),
+        $"event_id")
+      .createOrReplaceTempView("q384_src")
+    s.sql("""CREATE TABLE graft_cat384.db.ev (ts TIMESTAMP, event_type STRING,
+            |  cents BIGINT, event_id BIGINT)""".stripMargin)
+    // era 1: committed BEFORE the spec exists (plain unclustered files)
+    s.sql("INSERT INTO graft_cat384.db.ev SELECT * FROM q384_src WHERE event_id % 2 = 0")
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/ev"
+    val oldFiles = ManifestTable.sqlEntriesAt(tdir,
+      ManifestTable.currentVersion(tdir)).filter(_.isData).map(_.path).toSet
+    require(s.sql(
+      "CALL graft_cat384.system.add_partition_field('db.ev', 'days(ts)')")
+      .head.getLong(0) == 1L, "q384: the evolved spec must have one transform")
+    // era 2: clustered by the new spec (per-day cell files)
+    s.sql("INSERT INTO graft_cat384.db.ev SELECT * FROM q384_src WHERE event_id % 2 = 1")
+    val entries = ManifestTable.sqlEntriesAt(tdir,
+      ManifestTable.currentVersion(tdir)).filter(_.isData)
+    val tagged = entries.filter(_.stats.contains("_ptn_days_ts"))
+    require(tagged.size >= 10,
+      s"q384: era-2 files must carry day cells, got ${tagged.size}")
+    require(oldFiles.subsetOf(entries.map(_.path).toSet),
+      "q384: evolution must not touch era-1 files")
+    require(oldFiles.forall(p => !tagged.exists(_.path == p)),
+      "q384: era-1 files must stay untagged")
+    val probe = s.table("graft_cat384.db.ev")
+      .where($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-15 00:00:00").cast("timestamp"))
+    val scanned = graft.sources.v2.GraftCatalog.scannedFiles(probe).size
+    require(scanned < entries.size,
+      s"q384: the week window must prune ($scanned of ${entries.size})")
+    s.sql("""SELECT event_type, count(*) AS n_events, sum(cents) AS total_cents
+            |FROM graft_cat384.db.ev
+            |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -2851,6 +3049,9 @@ object WarehouseQueries {
     "q379_sql_merge_matrix" -> sqlMergeMatrix _,
     "q380_sql_column_defaults" -> sqlColumnDefaults _,
     "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
+    "q382_rename_column" -> sqlRenameColumn _,
+    "q383_snapshot_tags" -> sqlSnapshotTags _,
+    "q384_partition_evolution" -> sqlPartitionEvolution _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "q372_sql_partitioned_insert" -> sqlPartitionedInsert _,
@@ -2916,6 +3117,14 @@ object WarehouseQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM src WHERE y <= 1998 GROUP BY 2
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q384_partition_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q363_sql_stream_table" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -3002,6 +3211,19 @@ object WarehouseQueries {
         |    + CASE WHEN CAST(epoch(ts) AS BIGINT) // 86400 = 19725
         |           THEN 5 ELSE 0 END) AS BIGINT) AS total_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q382_rename_column" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN (CAST(epoch(ts) AS BIGINT) // 86400) % 7 = 0
+        |           THEN 7 ELSE 0 END) AS BIGINT) AS total_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q383_snapshot_tags" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE CAST(round(value * 100) AS BIGINT) < 5000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q374_sql_md5bucket_ddl" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -1111,7 +1111,8 @@ object ManifestTable {
     * FROM routes here so its reads keep working without compaction).
     * Same delete-entry refusal as [[updateWhere]], same reason. */
   def deleteWhereCow(spark: SparkSession, dir: String,
-                     predicate: org.apache.spark.sql.Column): Int = {
+                     predicate: org.apache.spark.sql.Column,
+                     tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val v = currentVersion(dir) + 1
     require(v > 1, s"ManifestTable.deleteWhereCow: no committed data under $dir")
@@ -1127,9 +1128,17 @@ object ManifestTable {
     }
     if (touchedLines.isEmpty) return claimManifest(dir, v, keptLines)
     val touched = touchedLines.map(parseEntry).map(_.path)
-    val rewritten =
-      dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
-        .filter(not(coalesce(predicate, lit(false))))
+    // same contract as overwriteWhere's rewrite scan: with a declared
+    // table schema, read the touched files AGAINST IT so ALTER-added
+    // columns fill their EXISTS_DEFAULT per file — a mixed pre/post-ALTER
+    // touch set under mergeSchema reads the old files' rows as NULL and
+    // both mis-scopes the delete AND materializes the nulls
+    val scan = tableSchema match {
+      case Some(sch) => spark.read.schema(sch).parquet(touched: _*)
+      case None =>
+        dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+    }
+    val rewritten = scan.filter(not(coalesce(predicate, lit(false))))
     val dataDir = s"$dir/data/commit-$v"
     rewritten.write.mode("overwrite").parquet(dataDir)
     val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
@@ -1154,14 +1163,20 @@ object ManifestTable {
   def overwriteWhere(spark: SparkSession, dir: String,
                      predicate: org.apache.spark.sql.Column,
                      newFiles: Seq[String],
-                     keepHidden: Boolean = false): Int = {
+                     keepHidden: Boolean = false,
+                     tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                     renames: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val v = currentVersion(dir) + 1
     val lines = if (v > 1) manifestFiles(dir, v - 1) else Seq.empty
     require(lines.map(parseEntry).forall(_.isData),
       s"overwriteWhere: $dir carries row-level delete entries — a rewrite " +
         "would shift positions/sequences under them; compact first")
-    val bounds = predicateBounds(predicate)
+    // the user predicate names LOGICAL columns; footer stats (and the
+    // files) carry PHYSICAL names — `renames` (logical -> physical, the
+    // catalog's RENAME COLUMN map) bridges both below
+    val bounds = predicateBounds(predicate).map { case (c, b) =>
+      (renames.getOrElse(c, c), b) }
     val (touchedLines, keptLines) = lines.partition { l =>
       val st = parseEntry(l).stats
       bounds.forall { case (c, (lo, hi)) =>
@@ -1171,12 +1186,43 @@ object ManifestTable {
       if (touchedLines.isEmpty) Seq.empty
       else {
         val touched = touchedLines.map(parseEntry).map(_.path)
-        // transform tables keep their physical _ptn_* columns through the
-        // rewrite (keepHidden) so the surviving rows' cell stats — and the
-        // pruning they feed — ride into the replacement files' footers
-        val scan = spark.read.option("mergeSchema", "true").parquet(touched: _*)
-        val survivors = (if (keepHidden) scan else dropHidden(scan))
-          .filter(not(coalesce(predicate, lit(false))))
+        // the rewrite must see the TABLE's view of every touched file,
+        // not the raw file bytes: ALTER-added columns missing from a
+        // PRE-ALTER file must read as their EXISTS_DEFAULT (the value
+        // every reader sees — filtering on NULL instead keeps/deletes
+        // the wrong rows, and the rewrite would MATERIALIZE the nulls).
+        // Passing `tableSchema` (PHYSICAL names, metadata intact) as the
+        // requested read schema makes Spark's parquet reader fill the
+        // defaults PER FILE — which a driver-side withColumn backfill
+        // cannot do once the touch set MIXES pre- and post-ALTER files
+        // (mergeSchema then reports the column present, and the old
+        // files' rows silently read NULL; found by the evolution
+        // property test's 56-step sequence). `keepHidden` (transform
+        // tables) appends the files' physical _ptn_* columns to the
+        // requested schema so the surviving rows' cell stats — and the
+        // pruning they feed — ride into the replacement files' footers.
+        val scan = tableSchema match {
+          case Some(sch) =>
+            val req =
+              if (!keepHidden) sch
+              else {
+                val ptn = spark.read.option("mergeSchema", "true")
+                  .parquet(touched: _*).schema.fields
+                  .filter(_.name.startsWith("_ptn_"))
+                org.apache.spark.sql.types.StructType(sch.fields ++ ptn)
+              }
+            spark.read.schema(req).parquet(touched: _*)
+          case None =>
+            val raw = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+            if (keepHidden) raw else dropHidden(raw)
+        }
+        val logicalScan =
+          if (renames.isEmpty) scan
+          else scan.withColumnsRenamed(renames.map(_.swap)) // phys -> logical
+        val survivors0 = logicalScan.filter(not(coalesce(predicate, lit(false))))
+        val survivors =
+          if (renames.isEmpty) survivors0
+          else survivors0.withColumnsRenamed(renames)       // back to physical
         // `rw` subdir: the staged INSERT files move into data/commit-$v
         // by bare name before publish — the rewrite must never collide
         val rwDir = s"$dir/data/commit-$v/rw"
@@ -1638,6 +1684,44 @@ object ManifestTable {
     }
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg's contract, re-expressed over
+    * manifest stats): the declared spec may gain or lose a transform on
+    * a LIVE table because nothing about it is physical — new commits
+    * cluster by the new spec and carry its `_ptn_*` footer stats; old
+    * files simply LACK the new transform's stats entry and every prune
+    * keeps them conservatively (`stats.get(c).forall` — a missing stat
+    * never cuts). No rewrite, no commit, no directory layout to
+    * migrate: at 100 TB "start partitioning this table by day" is one
+    * metadata line, and the benefit phases in with every new commit
+    * (or all at once after a compaction rewrites old files under the
+    * current spec). */
+  def addTransform(dir: String, t: Transform): Unit = {
+    val cur = partitionTransforms(dir)
+    require(!cur.exists(_.source == t.source),
+      s"addTransform: a transform on '${t.source}' is already declared")
+    writeTransformSpec(dir, cur :+ t)
+  }
+
+  /** Remove one transform from the spec: future commits stop clustering
+    * by it, existing files' `_ptn_*` stats become inert (the scan only
+    * maps predicates through DECLARED transforms). */
+  def dropTransform(dir: String, source: String): Unit = {
+    val cur = partitionTransforms(dir)
+    require(cur.exists(_.source == source),
+      s"dropTransform: no declared transform on '$source'")
+    writeTransformSpec(dir, cur.filterNot(_.source == source))
+  }
+
+  private def writeTransformSpec(dir: String, spec: Seq[Transform]): Unit = {
+    Files.createDirectories(manifests(dir))
+    val p = manifests(dir).resolve("ptn")
+    if (spec.isEmpty) { Files.deleteIfExists(p): Unit; return }
+    val tmp = manifests(dir).resolve(s".ptn.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, spec.map(_.metaLine).asJava)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   def commitPartitioned(df: DataFrame, dir: String, append: Boolean,
                         transforms: Seq[Transform], numFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
@@ -1947,6 +2031,63 @@ object ManifestTable {
   def branchExists(dir: String, name: String): Boolean =
     Files.isDirectory(branchMd(dir, name))
 
+  // ------------------------------------------------------------------ tags
+
+  /** Snapshot TAGS — named, immutable pins on committed versions
+    * (Iceberg's tag refs): `VERSION AS OF 'release_v1'` resolves through
+    * the catalog, and [[expire]] keeps a tagged version's manifest and
+    * files alive past any retention horizon until the tag is dropped.
+    * Unlike a branch, a tag takes no commits and owns no data — it is
+    * one line of metadata (`_manifests/tags`: `name|version`), so
+    * "pin the pre-migration snapshot for the quarter" costs nothing at
+    * 100 TB. Written atomically (tmp + move) like every manifest claim. */
+  def tags(dir: String): Map[String, Int] = {
+    val p = manifests(dir).resolve("tags")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.map(_.trim).filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf('|')
+      require(i > 0, s"corrupt tags line: $l")
+      l.substring(0, i) -> l.substring(i + 1).toInt
+    }.toMap
+  }
+
+  private def writeTags(dir: String, m: Map[String, Int]): Unit = {
+    val md = manifests(dir)
+    Files.createDirectories(md)
+    val p = md.resolve("tags")
+    if (m.isEmpty) { Files.deleteIfExists(p): Unit; return }
+    val tmp = md.resolve(s"tags.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (n, v) => s"$n|$v" }.asJava)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Pin `version` (default: the current head) under `name`. Tags are
+    * immutable — re-tagging an existing name refuses (drop it first). */
+  def createTag(dir: String, name: String, version: Int = -1): Int = {
+    require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
+      name.exists(!_.isDigit),
+      s"createTag: illegal tag name '$name' (non-empty, no '|', and not " +
+        "all digits — it must never shadow a numeric VERSION AS OF)")
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"createTag: no committed version under $dir")
+    require(Files.exists(manifests(dir).resolve(s"v$v.list")),
+      s"createTag: version $v of $dir does not exist (or is expired)")
+    val m = tags(dir)
+    if (m.contains(name))
+      throw new CommitConflictException(s"tag '$name' already exists")
+    writeTags(dir, m + (name -> v))
+    v
+  }
+
+  /** Drop the tag; the next [[expire]] may then reclaim its version. */
+  def dropTag(dir: String, name: String): Int = {
+    val m = tags(dir)
+    require(m.contains(name), s"dropTag: no tag '$name' under $dir")
+    writeTags(dir, m - name)
+    m(name)
+  }
+
   /** Every branch with its fork and head versions — the `.branches`
     * metadata table's row set. */
   def listBranches(dir: String): Seq[(String, Int, Int)] = {
@@ -2173,7 +2314,12 @@ object ManifestTable {
     require(keep >= 1, "expire: must keep at least the current version")
     val cutoff = currentVersion(dir) - keep + 1
     val md = manifests(dir)
-    val (dead, live) = versionsOnDisk(md).partition(_ < cutoff)
+    // TAGGED versions are retention-pinned: their manifests stay on disk
+    // (so the live-file and live-seq sets below keep their data files
+    // and stat sidecars), whatever the horizon — until dropTag
+    val tagged = tags(dir).values.toSet
+    val (dead, live) = versionsOnDisk(md)
+      .partition(v => v < cutoff && !tagged.contains(v))
     val branchEntries = allBranchEntries(dir)
     val liveFiles = live.flatMap(manifestFiles(dir, _)).map(pathOf).toSet ++
       branchEntries.map(_.path)

@@ -234,7 +234,8 @@ private[v2] final class GraftBucketedScan(ident: String, spark: SparkSession,
                                           required: StructType,
                                           fullSchema: StructType,
                                           entries: Seq[ManifestTable.SqlEntry],
-                                          col: String, n: Int)
+                                          col: String, n: Int,
+                                          renames: Map[String, String] = Map.empty)
     extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
 
   private val ptnCol = s"_ptn_bucket_$col"
@@ -254,7 +255,17 @@ private[v2] final class GraftBucketedScan(ident: String, spark: SparkSession,
     sb.build()
   }
 
-  override def readSchema(): StructType = inner.readSchema()
+  // inner schemas are PHYSICAL (renamed tables); report LOGICAL names —
+  // rows are positional, the bucket column itself is guarded un-renamed
+  override def readSchema(): StructType = {
+    val s = inner.readSchema()
+    if (renames.isEmpty) s
+    else {
+      val rev = renames.map(_.swap)
+      StructType(s.fields.map(f =>
+        rev.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+    }
+  }
   override def description(): String =
     inner.description() + s" GraftKeyGrouped(bucket($n, $col), ${buckets.size} buckets)"
 

@@ -152,11 +152,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, -1)
+  /** VERSION AS OF accepts a commit number or a TAG name — tag names
+    * must contain a non-digit, so the namespaces never collide. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, try version.toInt catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"GraftCatalog: VERSION AS OF expects an integer commit, got '$version'")
+        val dir = tableDir(ident)
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        ManifestTable.tags(dir).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"GraftCatalog: VERSION AS OF expects an integer commit or a " +
+              s"tag name, and $ident has no tag '$version'"))
     })
   /** TIMESTAMP AS OF: the newest version published at or before the
     * instant (micros since epoch, per the TableCatalog contract) — the
@@ -452,6 +458,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftConstraints.store(dir, have.filterNot(_.name() == d.name()))
     }
     val cur = new GraftSqlTable(ident.toString, dir, -1).schema()
+    val renameMap0 = GraftSqlTable.renameMap(dir)
+    // tombstones store the PHYSICAL name — that is what pre-drop files
+    // carry and what the schema filter must hide; the logical rename
+    // entry (if any) dies with the column
     val dropped = rest.collect { case d: TableChange.DeleteColumn =>
       require(d.fieldNames().length == 1,
         "GraftCatalog: nested DROP COLUMN is not supported")
@@ -480,22 +490,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: column '$name' was previously dropped from " +
             s"$ident — old files still carry its values, so re-adding the " +
             "name would resurface them; pick a fresh name")
+        // same hazard through the rename map: a new column's PHYSICAL
+        // name is its declared name, which must not collide with the
+        // storage name of a renamed column (old files carry those bytes)
+        require(!renameMap0.values.toSet.contains(name),
+          s"GraftCatalog: '$name' is the storage name of a renamed " +
+            s"column of $ident — adding it would collide with that " +
+            "column's committed values; pick a fresh name")
         require(a.isNullable || a.defaultValue() != null ||
           ManifestTable.currentVersion(dir) == 0,
           s"GraftCatalog: cannot add NOT NULL column '$name' without a " +
             s"DEFAULT to non-empty $ident — existing rows have no value for it")
       case _: TableChange.DeleteColumn => ()
       case r: TableChange.RenameColumn =>
-        // columns map by NAME in this format (no field ids), so a rename
-        // over existing data would disconnect every committed file's
-        // values from the new name — the honest window is before the
-        // first commit, where it is pure metadata
-        require(ManifestTable.currentVersion(dir) == 0,
-          s"GraftCatalog: cannot rename column '${r.fieldNames()(0)}' of " +
-            s"$ident — data is already committed under that name and this " +
-            "format maps columns by name (no field ids); rebuild via " +
-            "CREATE TABLE ... AS SELECT with the new name instead")
-        dropGuards(ident, dir, r.fieldNames()(0), verb = "rename")
+        // RENAME COLUMN over committed data is pure metadata (r10): the
+        // column's STORAGE identity stays the name it was born with
+        // (every file — past and future — carries it), and a table-level
+        // logical->physical map (`_schema.names`) translates at the scan
+        // and write boundaries. Load-bearing names are guarded in both
+        // directions (can't rename them; can't later declare a renamed
+        // column load-bearing), so the table machinery below the
+        // translation layer only ever sees physical==logical names.
+        require(r.fieldNames().length == 1,
+          "GraftCatalog: nested RENAME COLUMN is not supported")
+        val old = r.fieldNames()(0)
+        val nn = r.newName()
+        require(cur.fieldNames.contains(old),
+          s"GraftCatalog: no column '$old' on $ident")
+        dropGuards(ident, dir, old, verb = "rename")
+        require(!cur.fieldNames.contains(nn),
+          s"GraftCatalog: cannot rename '$old' to '$nn' — $ident already " +
+            "has a column with that name")
+        require(!nn.contains('|') && !nn.contains('\n') &&
+          !nn.startsWith("_ptn_") && nn != "__rows",
+          s"GraftCatalog: illegal column name '$nn'")
+        require(!GraftSqlTable.droppedColumns(dir).contains(nn),
+          s"GraftCatalog: cannot rename '$old' to '$nn' — that name was " +
+            s"previously dropped from $ident and old files still carry " +
+            "its values; pick a fresh name")
+        // the new LOGICAL name must not shadow another column's PHYSICAL
+        // name: translation maps would stay sound, but simultaneous-
+        // rename semantics get subtle — keep logical and foreign
+        // physical namespaces disjoint (renaming BACK to the column's
+        // own storage name is the one exception: it erases the entry)
+        val ownPhys = renameMap0.getOrElse(old, old)
+        val otherPhys = cur.fieldNames.filterNot(_ == old)
+          .map(n => renameMap0.getOrElse(n, n)).toSet
+        require(!otherPhys.contains(nn),
+          s"GraftCatalog: cannot rename '$old' to '$nn' — another column " +
+            s"of $ident is stored under that name in committed files")
+        val m = renameMap0 - old
+        GraftSqlTable.storeRenames(dir,
+          if (ownPhys == nn) m else m + (nn -> ownPhys))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — ADD/DROP/" +
           "RENAME (pre-data) COLUMNS, ADD/DROP CONSTRAINT and SET/UNSET " +
@@ -516,8 +562,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "_schema.json"),
         next.json.getBytes("UTF-8")): Unit
-      if (dropped.nonEmpty)
-        GraftSqlTable.tombstone(dir, dropped)
+      if (dropped.nonEmpty) {
+        GraftSqlTable.tombstone(dir,
+          dropped.map(n => renameMap0.getOrElse(n, n)))
+        GraftSqlTable.storeRenames(dir,
+          GraftSqlTable.renameMap(dir) -- dropped)
+      }
     }
     new GraftSqlTable(ident.toString, dir, -1)
   }
@@ -532,7 +582,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     val tblSchema = new GraftSqlTable(ident.toString, dir, -1).schema()
+    // committed files carry PHYSICAL names — rename to logical before
+    // the backfill, or a renamed column would read as a NULL twin
+    val rev = GraftSqlTable.renameMap(dir).map(_.swap)
     var df = ManifestTable.read(SparkSession.active, dir)
+      .withColumnsRenamed(rev)
     tblSchema.fields.filterNot(f => df.columns.contains(f.name)).foreach { f =>
       val fill =
         if (f.metadata.contains("EXISTS_DEFAULT"))
@@ -608,6 +662,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case ("write.order", c) =>
           require(schema.fieldNames.contains(c),
             s"GraftCatalog: write.order column '$c' is not in the schema of $ident")
+          // keep load-bearing names physical==logical (the rename guard
+          // matrix's other direction): the machinery below the scan/write
+          // translation layer matches this name against footer stats and
+          // manifest metadata directly
+          require(!GraftSqlTable.renameMap(dir).contains(c),
+            s"GraftCatalog: write.order column '$c' of $ident is renamed " +
+              "(stored under a different physical name) — rename it back " +
+              "or rebuild via CTAS before declaring it load-bearing")
           require(!clustered, s"GraftCatalog: $ident is bucket/transform-" +
             "partitioned — its layout is the partitioning's, not write.order's")
           val parts = {
@@ -638,6 +700,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val cols = ManifestTable.delKeyCols(k)
           require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
             s"GraftCatalog: write.key columns '$k' are not all in the schema of $ident")
+          require(!cols.exists(GraftSqlTable.renameMap(dir).contains),
+            s"GraftCatalog: write.key columns '$k' of $ident include a " +
+              "renamed column (stored under a different physical name) — " +
+              "rename it back or rebuild via CTAS before declaring it " +
+              "load-bearing")
           val existing = p.resolve("_write.key")
           val changing = java.nio.file.Files.exists(existing) &&
             new String(java.nio.file.Files.readAllBytes(existing), "UTF-8").trim !=
@@ -810,6 +877,32 @@ object GraftSqlTable {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_schema.drop"),
       all.toSeq.sorted.mkString("\n").getBytes("UTF-8")): Unit
   }
+
+  /** logical -> PHYSICAL column-name map (`_schema.names`, one
+    * `logical|physical` line per RENAMED column). The storage identity
+    * of a column is the name it was BORN with: every committed file —
+    * past and future — carries the physical name, so one table-level
+    * map serves every snapshot (no per-file name-mapping sidecars), and
+    * ALTER TABLE RENAME COLUMN over committed data is pure metadata.
+    * Readers translate logical -> physical at the scan boundary, writers
+    * at the file boundary; rows are positional, so nothing else moves. */
+  def renameMap(dir: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, "_schema.names")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('|')
+        require(i > 0, s"corrupt _schema.names line: $l")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+  def storeRenames(dir: String, m: Map[String, String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, "_schema.names")
+    if (m.isEmpty) { java.nio.file.Files.deleteIfExists(p): Unit }
+    else java.nio.file.Files.write(p,
+      m.toSeq.sorted.map { case (l, ph) => s"$l|$ph" }
+        .mkString("\n").getBytes("UTF-8")): Unit
+  }
 }
 
 class GraftSqlTable(ident: String, dir: String, version: Int)
@@ -840,6 +933,19 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   }
 
   override def name(): String = ident
+
+  /** logical -> physical column names (RENAME COLUMN map); empty on
+    * never-renamed tables, where every path below is the identity. */
+  private[v2] lazy val renames: Map[String, String] = GraftSqlTable.renameMap(dir)
+  /** Rename a logical-name struct to its physical twin — field order,
+    * types, nullability, and metadata (CURRENT/EXISTS_DEFAULT) all
+    * survive; only names change, because rows are positional and the
+    * files only ever know physical names. */
+  private[v2] def physSchema(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
   override def schema(): StructType = {
     // prefer the JSON twin (it carries per-field metadata — column
     // DEFAULTs live there); the DDL file serves pre-JSON tables
@@ -871,8 +977,14 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         // Tombstoned (DROP COLUMNed) names vanish the same way: the bytes
         // stay in pre-drop files, the schema stops admitting them, and
         // column pruning means no scan ever decodes them again.
-        val s = StructType(t.schema.fields.filterNot(f =>
-          f.name.startsWith("_ptn_") || dead.contains(f.name)).map(overlay))
+        // physical -> logical before the overlay: tombstones and `_ptn_*`
+        // filtering speak physical (the files' names), declared metadata
+        // speaks logical
+        val rev = renames.map(_.swap)
+        val s = StructType(t.schema.fields
+          .filterNot(f => f.name.startsWith("_ptn_") || dead.contains(f.name))
+          .map(f => rev.get(f.name).map(l => f.copy(name = l)).getOrElse(f))
+          .map(overlay))
         // ALTER-added columns not yet present in any file read as NULL
         val missing = ddl.map(_.fields.filterNot(f => s.fieldNames.contains(f.name)))
           .getOrElse(Array.empty[StructField])
@@ -915,7 +1027,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     }
     new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
       schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec,
-      hiddenTransforms = ManifestTable.partitionTransforms(dir))
+      hiddenTransforms = ManifestTable.partitionTransforms(dir),
+      renames = renames)
   }
 
   private def writeOrder: Option[(String, Int)] = {
@@ -994,6 +1107,13 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // commitPartitioned; the DSv2 write now clusters and materializes
     // the transform values itself
     val hiddenTransforms = ManifestTable.partitionTransforms(dir)
+    // the DECLARED write schema is logical; files carry PHYSICAL names
+    // (rename map) — translate once here so every writer below stages
+    // physical-named parquet. Distribution/ordering requirements keep
+    // LOGICAL names (they resolve against the input query), which is
+    // safe because load-bearing columns (key/order/bucket/transform)
+    // are guarded un-renameable in both directions.
+    val wSchema = physSchema(info.schema())
     // `.option("branch", "exp")` on the writer appends to the branch head
     // instead of main — the write half of the q349/q364 branch surface,
     // now reachable from df.writeTo(...).append() with zero library
@@ -1021,7 +1141,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                     Array.empty
                   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                    new BranchBatchWrite(dir, b, info.schema(),
+                    new BranchBatchWrite(dir, b, wSchema,
                       bucketSpec = Some((c, n)))
                 }
               case (None, ts) if ts.nonEmpty =>
@@ -1032,8 +1152,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                     Array.empty
                   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                    new BranchBatchWrite(dir, b, info.schema(),
-                      ptnSpecs = PtnColSpec.of(ts, info.schema()))
+                    new BranchBatchWrite(dir, b, wSchema,
+                      ptnSpecs = PtnColSpec.of(ts, wSchema))
                 }
               // a write.order table's branch appends stay range-clustered
               // too (r10 session 4 — previously only bucket/transform
@@ -1056,26 +1176,29 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     if (targetFileSize > 0) targetFileSize
                     else super.advisoryPartitionSizeInBytes()
                   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                    new BranchBatchWrite(dir, b, info.schema(),
+                    new BranchBatchWrite(dir, b, wSchema,
                       targetFileSize = targetFileSize)
                 }
               case _ =>
                 new org.apache.spark.sql.connector.write.Write {
                   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                    new BranchBatchWrite(dir, b, info.schema(),
+                    new BranchBatchWrite(dir, b, wSchema,
                       targetFileSize = targetFileSize)
                 }
             }
           }
         }
       case None if hiddenTransforms.nonEmpty =>
-        new TransformedWriteBuilder(dir, info.schema(), hiddenTransforms)
+        new TransformedWriteBuilder(dir, wSchema, hiddenTransforms,
+          tableSchema = Some(physSchema(schema())), renames = renames)
       case None => (bucketSpec, writeOrder) match {
-        case (Some((c, n)), _) => new BucketedWriteBuilder(dir, info.schema(), c, n)
-        case (None, Some((c, n))) => new ManifestWriteBuilder(dir, info.schema(), Some(c), n,
-          targetFileSize = targetFileSize)
-        case (None, None) => new ManifestWriteBuilder(dir, info.schema(),
-          targetFileSize = targetFileSize)
+        case (Some((c, n)), _) => new BucketedWriteBuilder(dir, wSchema, c, n)
+        case (None, Some((c, n))) => new ManifestWriteBuilder(dir, wSchema, Some(c), n,
+          targetFileSize = targetFileSize, tableSchema = Some(physSchema(schema())),
+          renames = renames)
+        case (None, None) => new ManifestWriteBuilder(dir, wSchema,
+          targetFileSize = targetFileSize, tableSchema = Some(physSchema(schema())),
+          renames = renames)
       }
     }
   }
@@ -1103,14 +1226,25 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   // a keyed table routes DELETE through the delta row-level path (an
   // O(matched-keys) equality-delete commit) instead of the stats-bounded
   // copy-on-write — so refuse the metadata-delete fast path there
+  // a renamed-column reference also refuses: the fast path would probe
+  // physical stats/files under the logical name — Spark then falls back
+  // to the row-level operation, whose scan translates properly
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    version <= 0 && writeKey.isEmpty && filters.forall(filterToColumn(_).isDefined)
+    version <= 0 && writeKey.isEmpty && filters.forall(filterToColumn(_).isDefined) &&
+      !filters.exists(_.references.exists(renames.contains))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
     val pred = filters.flatMap(filterToColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
-    ManifestTable.deleteWhereCow(spark, dir, pred): Unit
+    // deleting from a table with no commits is a no-op, not an error
+    if (ManifestTable.currentVersion(dir) == 0) return
+    // the rewrite reads against the table schema so ALTER-added columns
+    // fill their EXISTS_DEFAULT per file (canDeleteWhere already refused
+    // renamed references, so physical==logical for everything the
+    // predicate names)
+    ManifestTable.deleteWhereCow(spark, dir, pred,
+      tableSchema = Some(physSchema(schema()))): Unit
   }
 
   override def truncateTable(): Boolean = {
@@ -1150,7 +1284,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           override def representUpdateAsDeleteAndInsert(): Boolean = true
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
             new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
-              options)
+              options, renames = renames)
           override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
             new DeltaWriteBuilder {
               override def build(): DeltaWrite = new DeltaWrite {
@@ -1158,7 +1292,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                   val idSchema = wInfo.rowIdSchema().orElseThrow(() =>
                     new IllegalStateException(
                       s"GraftCatalog: delta write on $ident without a rowIdSchema"))
-                  new GraftDeltaBatchWrite(dir, k.mkString(","), wInfo.schema(), idSchema)
+                  new GraftDeltaBatchWrite(dir, k.mkString(","),
+                    physSchema(wInfo.schema()), idSchema)
                 }
               }
             }
@@ -1182,7 +1317,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         @volatile private var activeFiles: Option[() => Seq[String]] = None
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
           new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
-            options) {
+            options, renames = renames) {
             // single runtime attribute: the group-filter rule keys its
             // subquery on ALL advertised attrs, and only single-key
             // dynamic predicates translate to v2 runtime filters
@@ -1224,7 +1359,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                       Array.empty
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                      new BucketedBatchWrite(dir, wInfo.schema(), append = false,
+                      new BucketedBatchWrite(dir, physSchema(wInfo.schema()),
+                        append = false,
                         c, n, cowScanned = Some(() => activeFiles.map(_.apply())))
                   }
                 case (None, ts) if ts.nonEmpty =>
@@ -1235,8 +1371,9 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                       Array.empty
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                      new TransformedBatchWrite(dir, wInfo.schema(), append = false,
-                        PtnColSpec.of(ts, wInfo.schema()),
+                      new TransformedBatchWrite(dir, physSchema(wInfo.schema()),
+                        append = false,
+                        PtnColSpec.of(ts, physSchema(wInfo.schema())),
                         cowScanned = Some(() => activeFiles.map(_.apply())))
                   }
                 case _ => buildPlain()
@@ -1265,13 +1402,13 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                       if (targetFileSize > 0) targetFileSize
                       else super.advisoryPartitionSizeInBytes()
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                      new GroupCowBatchWrite(dir, wInfo.schema(),
+                      new GroupCowBatchWrite(dir, physSchema(wInfo.schema()),
                         () => activeFiles.map(_.apply()))
                   }
                 case None =>
                   new org.apache.spark.sql.connector.write.Write {
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-                      new GroupCowBatchWrite(dir, wInfo.schema(),
+                      new GroupCowBatchWrite(dir, physSchema(wInfo.schema()),
                         () => activeFiles.map(_.apply()))
                   }
               }
@@ -1295,25 +1432,48 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
                        options: CaseInsensitiveStringMap,
                        streamDir: Option[String] = None,
                        bucketSpec: Option[(String, Int)] = None,
-                       hiddenTransforms: Seq[ManifestTable.Transform] = Nil)
+                       hiddenTransforms: Seq[ManifestTable.Transform] = Nil,
+                       renames: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // RENAME COLUMN translation boundary: everything Spark hands in
+  // (filters, required columns, aggregations) speaks LOGICAL names;
+  // everything below — footer stats, manifest entries, the inner parquet
+  // scans — speaks PHYSICAL (the name each column was born with, which
+  // every committed file carries). Translate once on entry; the built
+  // scans translate back only in their reported readSchema (rows are
+  // positional). Empty map (the common case) = identity everywhere.
+  private def phys(n: String): String = renames.getOrElse(n, n)
+  private def physStruct(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      renames.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+  private def physExpr(e: Expression): Expression =
+    if (renames.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if renames.contains(a.name) => a.withName(renames(a.name))
+    }
+  private val physFull = physStruct(fullSchema)
+
   private var conjuncts: Seq[Expression] = Nil
-  private var required: StructType = fullSchema
+  private var logicalRequired: StructType = fullSchema
+  private var required: StructType = physFull
 
   private def hasDeletes: Boolean =
     entries.exists(e => e.deleteKey.isDefined || e.posDelete)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    conjuncts = filters
+    conjuncts = filters.map(physExpr)
     filters // all residual — stats pruning must stay a superset
   }
   override def pushedFilters(): Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    required = requiredSchema
-    innerOpt.foreach(_.pruneColumns(requiredSchema))
+    logicalRequired = requiredSchema
+    required = physStruct(requiredSchema)
+    innerOpt.foreach(_.pruneColumns(required))
   }
 
   // Aggregate pushdown (COUNT/MIN/MAX from parquet footers, zero row
@@ -1327,19 +1487,29 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     innerOpt.getOrElse {
       val t = ParquetTable(ident, spark,
         new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-        prunedDataEntries.map(_.path).toIndexedSeq, Some(fullSchema),
+        prunedDataEntries.map(_.path).toIndexedSeq, Some(physFull),
         classOf[ParquetFileFormat])
       val sb = t.newScanBuilder(options)
       sb.pushFilters(conjuncts): Unit
       innerOpt = Some(sb)
       sb
     }
+  // a footer aggregate over a RENAMED column refuses pushdown (the v2
+  // Aggregation names the logical column; translating it into the inner
+  // builder's FieldReferences is not worth the surface — Spark computes
+  // the aggregate normally, just not IO-free); unrenamed references
+  // forward untouched since their names match the footers
+  private def aggRenamed(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    renames.nonEmpty &&
+      (agg.aggregateExpressions() ++ agg.groupByExpressions()).exists(
+        _.references().exists(r => renames.contains(r.fieldNames().mkString("."))))
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !hasDeletes && inner().supportCompletePushDown(agg)
+    !hasDeletes && !aggRenamed(agg) && inner().supportCompletePushDown(agg)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = !hasDeletes && inner().pushAggregation(agg)
+    val ok = !hasDeletes && !aggRenamed(agg) && inner().pushAggregation(agg)
     if (ok) aggPushed = true
     ok
   }
@@ -1357,7 +1527,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     val mapped = direct.flatMap { case (c, lo, hi) =>
       hiddenTransforms.filter(_.source == c).flatMap {
         case t: ManifestTable.DaysTransform =>
-          val dt = fullSchema.fields.find(_.name == c).map(_.dataType)
+          val dt = physFull.fields.find(_.name == c).map(_.dataType)
           dt match {
             case Some(_: TimestampType) | Some(_: TimestampNTZType) =>
               // catalyst timestamp literals are micros since epoch
@@ -1419,7 +1589,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         val tag = s"_ptn_bucket_$c"
         if (data.nonEmpty && data.forall(_.stats.contains(tag)))
           return new GraftBucketedScan(ident, spark, options, conjuncts,
-            required, fullSchema, data, c, n)
+            required, physFull, data, c, n, renames = renames)
       case _ =>
     }
     if (aggPushed) {
@@ -1434,10 +1604,11 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     // planned) and `fullSchema` is supplied, so nothing is inferred.
     val data = prunedDataEntries
     // runtime-filterable columns must be part of the scan OUTPUT — Spark
-    // resolves filterAttributes against the pruned relation and fails
-    // loudly on a column the projection dropped
-    val statCols = required.fieldNames.toSeq
-      .filter(c => data.exists(_.stats.contains(c)))
+    // resolves filterAttributes against the pruned relation (LOGICAL
+    // names) and fails loudly on a column the projection dropped; the
+    // stats lookup, as always, speaks physical
+    val statCols = logicalRequired.fieldNames.toSeq
+      .filter(c => data.exists(_.stats.contains(phys(c))))
     val attrs = runtimeAttrs(statCols)
     // `.option("startVersion", "3")` tails the table from a chosen
     // commit instead of the beginning (historical versions may
@@ -1445,10 +1616,10 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     val sv = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
     if (attrs.nonEmpty)
       new GraftAdaptiveScan(ident, spark, options, conjuncts, required,
-        fullSchema, data, attrs, streamDir, sv)
+        physFull, data, attrs, streamDir, sv, renames = renames)
     else
       new GraftTrackedScan(ident, spark, options, conjuncts, required,
-        fullSchema, data, Nil, streamDir, sv)
+        physFull, data, Nil, streamDir, sv, renames = renames)
   }
 
   /** Hard ceiling on driver-resident delete keys per scan. Delete files
@@ -1483,7 +1654,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       }
 
     def kindOf(col: String): Int = {
-      val f = fullSchema.fields.find(_.name == col).getOrElse(sys.error(
+      val f = physFull.fields.find(_.name == col).getOrElse(sys.error(
         s"GraftCatalog: delete key column '$col' of $ident is not in the schema"))
       f.dataType match {
         case LongType    => 0
@@ -1528,11 +1699,11 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       val keyCols = bySpec.flatMap(_._1).distinct
       val internal = StructType(required.fields ++
         keyCols.filterNot(c => required.fieldNames.contains(c))
-          .map(c => fullSchema.fields.find(_.name == c).get))
+          .map(c => physFull.fields.find(_.name == c).get))
       def batchOver(paths: Seq[String], push: Boolean): org.apache.spark.sql.connector.read.Batch = {
         val t = ParquetTable(ident, spark,
           new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-          paths.toIndexedSeq, Some(fullSchema), classOf[ParquetFileFormat])
+          paths.toIndexedSeq, Some(physFull), classOf[ParquetFileFormat])
         val sb = t.newScanBuilder(options)
         if (push) { sb.pushFilters(conjuncts): Unit }
         sb.pruneColumns(internal)
@@ -1560,7 +1731,9 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     require(totalKeys <= MaxDeleteKeys,
       s"GraftCatalog: $ident carries $totalKeys equality-delete keys — " +
         s"over the merge-on-read ceiling ($MaxDeleteKeys); compact the table")
-    new GraftMoRScan(spark, required, built.map(_._1), built.map(_._2),
+    // the reported read schema speaks LOGICAL names (rows are
+    // positional; only Spark's attribute matching sees the names)
+    new GraftMoRScan(spark, logicalRequired, built.map(_._1), built.map(_._2),
       built.map(_._3), posDeletes, data.map(_.path))
   }
 }

@@ -27,7 +27,8 @@ import graft.sources.ManifestTable
   * exist?" answered without a library import. Served as a [[LocalScan]]:
   * the row set is metadata-sized by construction. */
 object GraftMetadataTable {
-  val Kinds: Set[String] = Set("files", "history", "branches", "partitions")
+  val Kinds: Set[String] = Set("files", "history", "branches", "partitions",
+    "tags")
 }
 
 class GraftMetadataTable(parentDir: String, ident: String, kind: String)
@@ -57,6 +58,9 @@ class GraftMetadataTable(parentDir: String, ident: String, kind: String)
       StructField("name", StringType, nullable = false),
       StructField("fork_version", IntegerType, nullable = false),
       StructField("head_version", IntegerType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType, nullable = false),
       StructField("n_files", IntegerType, nullable = false),
@@ -133,6 +137,10 @@ class GraftMetadataTable(parentDir: String, ident: String, kind: String)
               org.apache.spark.sql.Row(n, fork, head)
             }
           case "partitions" => partitionRows()
+          case "tags" =>
+            ManifestTable.tags(parentDir).toSeq.sortBy(_._1).map {
+              case (n, v) => org.apache.spark.sql.Row(n, v)
+            }
         }
         val conv = CatalystTypeConverters.createToCatalystConverter(out)
         val internal = data.map(r => conv(r).asInstanceOf[InternalRow]).toArray

@@ -47,6 +47,21 @@ private[v2] final case class MoRGroupSpec(
     projection.length == readTypes.length &&
       projection.zipWithIndex.forall { case (p, i) => p == i }
   def hasKeys: Boolean = deleteSets.nonEmpty
+
+  /** Executor-side probe sets, one per delete spec: scalar keys probe a
+    * HashSet[Any] directly (no per-row allocation); composite keys probe
+    * a HashSet of value vectors. NULL delete keys erase nothing (the
+    * left-anti contract), so they never enter a set. */
+  def buildSets(): Array[java.util.HashSet[Any]] = deleteSets.map { ds =>
+    val s = new java.util.HashSet[Any](math.max(16, ds.keyRows.length * 2))
+    ds.keyRows.foreach { r =>
+      if (r.forall(_ != null)) {
+        val key: Any = if (r.length == 1) r(0) else r.toVector
+        s.add(key): Unit
+      }
+    }
+    s
+  }
 }
 
 /** `posPath`: set when this partition is ONE position-deleted file read
@@ -61,15 +76,18 @@ private[v2] final class MoRReaderFactory(
     innerFactories: Array[PartitionReaderFactory],
     touchedFactories: Array[PartitionReaderFactory],
     specs: Broadcast[Array[MoRGroupSpec]],
-    posDeletes: Broadcast[Map[String, Array[Long]]])
+    posDeletes: Broadcast[Map[String, Array[Long]]],
+    columnar: Boolean)
     extends PartitionReaderFactory {
 
-  // row-based on purpose — twice over: the delete filters need per-row
-  // key/ordinal handling, and Spark forbids mixing columnar and
-  // row-based partitions within one scan, so even delete-free groups
-  // read rows (the inner parquet reader still decodes pages vectorized
-  // internally)
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  // Spark forbids mixing columnar and row-based partitions within one
+  // scan, so the decision is GLOBAL: when every planned partition's
+  // inner parquet reader can vectorize, the whole scan stays columnar
+  // and the delete filters apply as a selection-vector row-id mapping
+  // over each ColumnarBatch ([[MoRColumnarReader]] — the Iceberg
+  // ColumnVectorWithFilter shape); otherwise everything falls back to
+  // the row path below (inner parquet pages still decode vectorized).
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MoRInputPartition]
@@ -85,6 +103,25 @@ private[v2] final class MoRReaderFactory(
     if (!spec.hasKeys && spec.identityProjection) base
     else new MoRFilteringReader(base, spec)
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[MoRInputPartition]
+    val spec = specs.value(p.group)
+    p.posPath match {
+      case None =>
+        val base = innerFactories(p.group).createColumnarReader(p.inner)
+        // delete-free group with identity projection: zero-cost pass-through
+        if (!spec.hasKeys && spec.identityProjection) base
+        else new MoRColumnarReader(base, spec, null)
+      case Some(path) =>
+        val dels = posDeletes.value(path)
+        val set = new java.util.HashSet[java.lang.Long](math.max(16, dels.length * 2))
+        dels.foreach(d => set.add(d): Unit)
+        new MoRColumnarReader(
+          touchedFactories(p.group).createColumnarReader(p.inner), spec, set)
+    }
+  }
 }
 
 /** Drops rows whose key value is in an applicable delete set, then
@@ -94,18 +131,7 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
                                            spec: MoRGroupSpec)
     extends PartitionReader[InternalRow] {
 
-  // scalar keys probe a HashSet[Any] directly (no per-row allocation);
-  // composite keys probe a HashSet of value vectors
-  private val sets: Array[java.util.HashSet[Any]] = spec.deleteSets.map { ds =>
-    val s = new java.util.HashSet[Any](math.max(16, ds.keyRows.length * 2))
-    ds.keyRows.foreach { r =>
-      if (r.forall(_ != null)) {
-        val key: Any = if (r.length == 1) r(0) else r.toVector
-        s.add(key): Unit
-      }
-    }
-    s
-  }
+  private val sets: Array[java.util.HashSet[Any]] = spec.buildSets()
 
   private val project: InternalRow => InternalRow =
     if (spec.identityProjection) identity
@@ -185,6 +211,138 @@ private[v2] final class PosFilteringReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
+// ------------------------------------------------------- columnar delete path
+
+/** A read-only view of one column vector through a row-id mapping
+  * (selection vector): logical row `i` of the filtered batch reads
+  * physical row `mapping(i)` of the wrapped vector. Nothing is copied —
+  * a merge-on-read batch that drops k of n rows costs one int[] and k
+  * index indirections, and the surviving (n−k) values stay in the
+  * vectorized reader's own memory. Struct children wrap with the SAME
+  * mapping (ColumnarRow resolves fields via getChild at the parent's
+  * row id); arrays/maps delegate whole — their offsets index the child
+  * DATA vector, which the mapping never touches. */
+private[v2] final class MappedColumnVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector,
+    mapping: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(inner.dataType) {
+
+  // the inner parquet reader owns (and reuses) its vectors; closing the
+  // view must not free them twice
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull            // conservative
+  override def numNulls: Int = inner.numNulls
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(mapping(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(mapping(i))
+  override def getByte(i: Int): Byte = inner.getByte(mapping(i))
+  override def getShort(i: Int): Short = inner.getShort(mapping(i))
+  override def getInt(i: Int): Int = inner.getInt(mapping(i))
+  override def getLong(i: Int): Long = inner.getLong(mapping(i))
+  override def getFloat(i: Int): Float = inner.getFloat(mapping(i))
+  override def getDouble(i: Int): Double = inner.getDouble(mapping(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    inner.getArray(mapping(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    inner.getMap(mapping(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(mapping(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    inner.getUTF8String(mapping(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(mapping(i))
+  private val children =
+    new java.util.concurrent.ConcurrentHashMap[Integer, MappedColumnVector]()
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    children.computeIfAbsent(ordinal,
+      o => new MappedColumnVector(inner.getChild(o), mapping))
+}
+
+/** Columnar merge-on-read: applies the group's position + equality
+  * delete filters to each inner ColumnarBatch as a row-id mapping, then
+  * serves the scan's output columns as [[MappedColumnVector]] views —
+  * the whole delete-carrying read stays vectorized (the r10 handoff's
+  * "uniformly row-based" cost, removed). `posDeleted == null` for
+  * ordinary data files; for a position-deleted file the partition covers
+  * the WHOLE file in range order and `ordinal` counts every physical row
+  * across batches. */
+private[v2] final class MoRColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    spec: MoRGroupSpec,
+    posDeleted: java.util.HashSet[java.lang.Long])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val sets: Array[java.util.HashSet[Any]] = spec.buildSets()
+  private var ordinal: Long = -1L
+  private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  private def extract(v: org.apache.spark.sql.vectorized.ColumnVector,
+                      r: Int, kind: Int): Any = kind match {
+    case 0 => v.getLong(r)
+    case 1 => v.getInt(r)
+    case 2 => v.getDouble(r)
+    case 3 => v.getUTF8String(r).toString
+    case 4 => v.getBoolean(r)
+  }
+
+  private def keyDeleted(b: org.apache.spark.sql.vectorized.ColumnarBatch,
+                         r: Int): Boolean = {
+    var j = 0
+    while (j < spec.deleteSets.length) {
+      val ds = spec.deleteSets(j)
+      var i = 0
+      var anyNull = false
+      while (i < ds.keyIdxs.length && !anyNull) {
+        if (b.column(ds.keyIdxs(i)).isNullAt(r)) anyNull = true
+        i += 1
+      }
+      // a NULL in any key column never matches a delete
+      if (!anyNull) {
+        val key: Any =
+          if (ds.keyIdxs.length == 1)
+            extract(b.column(ds.keyIdxs(0)), r, ds.keyKinds(0))
+          else Vector.tabulate(ds.keyIdxs.length)(k =>
+            extract(b.column(ds.keyIdxs(k)), r, ds.keyKinds(k)))
+        if (sets(j).contains(key)) return true
+      }
+      j += 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val mapping = new Array[Int](n)
+      var kept = 0
+      var r = 0
+      while (r < n) {
+        var alive = true
+        if (posDeleted != null) { ordinal += 1; alive = !posDeleted.contains(ordinal) }
+        if (alive && !keyDeleted(b, r)) { mapping(kept) = r; kept += 1 }
+        r += 1
+      }
+      if (kept > 0) {
+        current =
+          if (kept == n && spec.identityProjection) b    // untouched batch
+          else {
+            val m = if (kept == n) null else java.util.Arrays.copyOf(mapping, kept)
+            val cols = spec.projection.map { i =>
+              val v = b.column(i)
+              if (m == null) v
+              else new MappedColumnVector(v, m)
+                : org.apache.spark.sql.vectorized.ColumnVector
+            }
+            new org.apache.spark.sql.vectorized.ColumnarBatch(cols, kept)
+          }
+        return true
+      }
+    }
+    false
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+  override def close(): Unit = inner.close()
+}
+
 /** The composite scan serving EVERY delete shape through SQL: one inner
   * parquet batch per equality-delete-scope group (filters pushed, files
   * pruned), plus — for position-deleted files — a per-group UNPUSHED
@@ -227,7 +385,12 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
     s"GraftMoRScan(${groupBatches.length} delete-scope groups, " +
       s"${posDeletes.size} position-deleted files)"
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
+    private lazy val innerFactories =
+      groupBatches.map(_.createReaderFactory()).toArray
+    private lazy val touchedFactories =
+      touchedBatches.map(_.createReaderFactory()).toArray
+
+    private lazy val parts: Array[InputPartition] = {
       import org.apache.spark.sql.execution.datasources.FilePartition
       val out = Array.newBuilder[InputPartition]
       var idx = 0
@@ -249,12 +412,27 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
       }
       out.result()
     }
+
+    // columnar iff EVERY planned partition's inner parquet reader can
+    // vectorize (Spark forbids mixing within one scan) — then the delete
+    // filters ride a selection-vector mapping and the whole
+    // delete-carrying read keeps the batch path's decode throughput
+    private lazy val columnar: Boolean = parts.forall {
+      case p: MoRInputPartition => p.posPath match {
+        case None    => innerFactories(p.group).supportColumnarReads(p.inner)
+        case Some(_) => touchedFactories(p.group).supportColumnarReads(p.inner)
+      }
+      case _ => false
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = parts
     override def createReaderFactory(): PartitionReaderFactory =
       new MoRReaderFactory(
-        groupBatches.map(_.createReaderFactory()).toArray,
-        touchedBatches.map(_.createReaderFactory()).toArray,
+        innerFactories,
+        touchedFactories,
         spark.sparkContext.broadcast(groupSpecs.toArray),
-        spark.sparkContext.broadcast(posDeletes))
+        spark.sparkContext.broadcast(posDeletes),
+        columnar)
   }
 }
 

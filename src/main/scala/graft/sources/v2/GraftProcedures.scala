@@ -87,9 +87,12 @@ private[v2] object GraftProcedures {
           val cols = args.getUTF8String(2).toString.split(',').map(_.trim).toSeq
           require(cols.length == 2,
             "GraftCatalog: zorder takes exactly two columns, e.g. 'a,b'")
+          // users name LOGICAL columns; the files carry physical names
+          val zdir = tableDir(args.getUTF8String(0).toString)
+          val rm = GraftSqlTable.renameMap(zdir)
           val v = ManifestTable.compactZOrder(SparkSession.active,
-            tableDir(args.getUTF8String(0).toString), args.getInt(1),
-            cols(0), cols(1))
+            zdir, args.getInt(1),
+            rm.getOrElse(cols(0), cols(0)), rm.getOrElse(cols(1), cols(1)))
           Seq(row(v.toLong))
         })
       case "create_branch" => proc("create_branch",
@@ -131,17 +134,111 @@ private[v2] object GraftProcedures {
             args.getUTF8String(1).toString)
           Seq(row(n.toLong))
         })
+      case "create_tag" => proc("create_tag",
+        "pin the table's current version under a name (expire keeps it)",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("tagged_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.createTag(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(v.toLong))
+        })
+      case "drop_tag" => proc("drop_tag",
+        "drop a tag; the next expire may reclaim its version",
+        Seq(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("untagged_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.dropTag(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(v.toLong))
+        })
+      case "add_partition_field" => proc("add_partition_field",
+        "evolve the partition spec: new commits cluster by the added " +
+          "transform, old files prune conservatively (no rewrite)",
+        Seq(in("table", StringType), in("transform", StringType)),
+        StructType(Seq(StructField("spec_size", LongType, nullable = false))),
+        { args =>
+          val dir = tableDir(args.getUTF8String(0).toString)
+          val t = parseTransform(args.getUTF8String(1).toString)
+          evolutionGuards(dir, t, adding = true)
+          ManifestTable.addTransform(dir, t)
+          Seq(row(ManifestTable.partitionTransforms(dir).size.toLong))
+        })
+      case "drop_partition_field" => proc("drop_partition_field",
+        "remove a transform from the partition spec (future commits stop " +
+          "clustering by it; existing files keep serving)",
+        Seq(in("table", StringType), in("source_column", StringType)),
+        StructType(Seq(StructField("spec_size", LongType, nullable = false))),
+        { args =>
+          val dir = tableDir(args.getUTF8String(0).toString)
+          ManifestTable.dropTransform(dir, args.getUTF8String(1).toString)
+          Seq(row(ManifestTable.partitionTransforms(dir).size.toLong))
+        })
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
           "compact, expire, vacuum, zorder, create_branch, fast_forward, " +
-          "drop_branch, rollback")
+          "drop_branch, rollback, create_tag, drop_tag, " +
+          "add_partition_field, drop_partition_field")
     }
   }
 
   val names: Array[Identifier] =
     Array("compact", "expire", "vacuum", "zorder",
-      "create_branch", "fast_forward", "drop_branch", "rollback")
+      "create_branch", "fast_forward", "drop_branch", "rollback",
+      "create_tag", "drop_tag", "add_partition_field", "drop_partition_field")
       .map(Identifier.of(Array("system"), _))
+
+  /** `days(col)` / `md5bucket(n, col)` — the same transform grammar
+    * CREATE TABLE ... PARTITIONED BY accepts. */
+  private def parseTransform(text: String): ManifestTable.Transform = {
+    val DaysRe = raw"days\s*\(\s*([A-Za-z0-9_]+)\s*\)".r
+    val BucketRe = raw"md5bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)".r
+    text.trim match {
+      case DaysRe(src)      => ManifestTable.DaysTransform(src)
+      case BucketRe(n, src) => ManifestTable.BucketTransform(n.toInt, src)
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog: unreadable transform '$other' — expected " +
+          "days(col) or md5bucket(n, col)")
+    }
+  }
+
+  /** Partition evolution keeps the load-bearing-name invariant: the
+    * source must exist under its PHYSICAL==logical name (renamed
+    * columns refuse), and a table whose layout is already owned by an
+    * SPJ bucket or a declared write.order refuses an ADD (two cluster
+    * owners would silently fight over every write's distribution). */
+  private def evolutionGuards(dir: String, t: ManifestTable.Transform,
+                              adding: Boolean): Unit = {
+    val source = t.source
+    val schema = new GraftSqlTable(dir, dir, -1).schema()
+    require(schema.fieldNames.contains(source),
+      s"GraftCatalog: partition-transform source '$source' is not in the schema")
+    require(!GraftSqlTable.renameMap(dir).contains(source),
+      s"GraftCatalog: '$source' is renamed (stored under a different " +
+        "physical name) — rename it back before making it load-bearing")
+    if (adding) {
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_partition.bucket")),
+        "GraftCatalog: the table is bucket-partitioned (SPJ) — its layout " +
+          "belongs to the bucket spec")
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_write.order")),
+        "GraftCatalog: the table declares write.order — UNSET it before " +
+          "adding a partition transform (one clustering owner per table)")
+      t match {
+        case _: ManifestTable.DaysTransform =>
+          schema.fields.find(_.name == source).map(_.dataType).foreach {
+            case _: TimestampType | _: TimestampNTZType | _: DateType => ()
+            case other => throw new IllegalArgumentException(
+              s"GraftCatalog: days('$source') needs a timestamp/date " +
+                s"source, got $other")
+          }
+        case _ => ()
+      }
+    }
+  }
 
   /** Bucket-preserving compaction: the merged snapshot rewrites as ONE
     * file per bucket (the bucket function routes rows exactly as the

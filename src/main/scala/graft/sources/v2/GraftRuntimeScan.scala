@@ -48,8 +48,16 @@ class GraftTrackedScan(ident: String, spark: SparkSession,
                        initial: Seq[ManifestTable.SqlEntry],
                        filterAttrs: Seq[String],
                        streamDir: Option[String],
-                       startVersion: Int) extends Scan
+                       startVersion: Int,
+                       renames: Map[String, String] = Map.empty) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  // `required`/`fullSchema`/`conjuncts` arrive in PHYSICAL names (the
+  // scan builder translated); `renames` (logical -> physical) exists
+  // only to (a) report the LOGICAL names back in readSchema and
+  // (b) translate runtime-filter predicates, which Spark resolves
+  // against the relation's logical output
+  private val reverseNames: Map[String, String] = renames.map(_.swap)
 
   @volatile private var entries: Seq[ManifestTable.SqlEntry] = initial
   @volatile private var inner: Scan = buildInner()
@@ -72,7 +80,12 @@ class GraftTrackedScan(ident: String, spark: SparkSession,
     sb.build()
   }
 
-  override def readSchema(): StructType = inner.readSchema()
+  override def readSchema(): StructType = {
+    val s = inner.readSchema()
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      reverseNames.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+  }
   override def description(): String =
     inner.description() + s" GraftRuntimeFilterable(${filterAttrs.mkString(",")})"
   override def toBatch: Batch = inner.toBatch
@@ -172,7 +185,7 @@ class GraftTrackedScan(ident: String, spark: SparkSession,
     (colOpt, values) match {
       case (Some(c), Some(vs)) if vs.isEmpty => false
       case (Some(c), Some(vs)) =>
-        e.stats.get(c) match {
+        e.stats.get(renames.getOrElse(c, c)) match {
           case Some((mn, mx)) => vs.exists(v => v >= mn && v <= mx)
           case None           => true
         }
@@ -199,9 +212,10 @@ class GraftAdaptiveScan(ident: String, spark: SparkSession,
                         initial: Seq[ManifestTable.SqlEntry],
                         filterAttrs: Seq[String],
                         streamDir: Option[String],
-                        startVersion: Int)
+                        startVersion: Int,
+                        renames: Map[String, String] = Map.empty)
     extends GraftTrackedScan(ident, spark, options, conjuncts, required,
-      fullSchema, initial, filterAttrs, streamDir, startVersion)
+      fullSchema, initial, filterAttrs, streamDir, startVersion, renames)
     with SupportsRuntimeV2Filtering {
   override def filterAttributes(): Array[NamedReference] =
     filterAttrs.map(Expressions.column).toArray

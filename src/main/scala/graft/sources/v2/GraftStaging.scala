@@ -143,7 +143,14 @@ class GraftStagedTable(ident: Identifier, stageDir: String, finalDir: String,
     // declarations until the swap lands — conservative, never wrong:
     // untagged/unstatted files only DISABLE pruning and SPJ, both of
     // which degrade gracefully)
-    Seq("_schema.ddl", "_schema.json", "_partition.bucket", "_write.order",
+    // `_schema.drop` / `_schema.names` carry (or CLEAR — the usual case:
+    // a fresh stage has neither) the tombstone and rename sidecars: an
+    // RTAS must not leave the OLD table's dropped-name tombstones or
+    // rename map active against the staged schema — a stale tombstone
+    // would silently hide a legitimately re-declared column of the new
+    // table, and a stale rename map would mistranslate its scans
+    Seq("_schema.ddl", "_schema.json", "_schema.drop", "_schema.names",
+        "_partition.bucket", "_write.order",
         "_write.size", "_write.key", "_constraints").foreach { n =>
       val s = Paths.get(stageDir, n)
       val d = Paths.get(finalDir, n)

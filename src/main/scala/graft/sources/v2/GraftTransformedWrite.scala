@@ -196,7 +196,9 @@ object TransformedWriteBuilder {
   * the declared transforms, per-cell file splits, `_ptn_*` columns
   * materialized, ordinary CAS publish. */
 class TransformedWriteBuilder(dir: String, schema: StructType,
-                              transforms: Seq[ManifestTable.Transform])
+                              transforms: Seq[ManifestTable.Transform],
+                              tableSchema: Option[StructType] = None,
+                              renames: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var append = true
@@ -230,7 +232,8 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
         Array.empty
       override def toBatch: BatchWrite =
         new TransformedBatchWrite(dir, schema, append, specs,
-          overwrite = overwritePred)
+          overwrite = overwritePred, tableSchema = tableSchema,
+          renames = renames)
       // writeStream.toTable epochs inherit the clustering: the
       // micro-batch planner applies this Write's distribution, and the
       // per-cell splitting writer gives every streamed commit the same
@@ -243,7 +246,9 @@ class TransformedWriteBuilder(dir: String, schema: StructType,
 class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
                             specs: Seq[PtnColSpec],
                             cowScanned: Option[() => Option[Seq[String]]] = None,
-                            overwrite: Option[org.apache.spark.sql.Column] = None)
+                            overwrite: Option[org.apache.spark.sql.Column] = None,
+                            tableSchema: Option[StructType] = None,
+                            renames: Map[String, String] = Map.empty)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/transformed-${UUID.randomUUID()}"
 
@@ -282,7 +287,8 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
       // rewrite keeps _ptn_* so untouched rows' cell stats survive
       case (None, Some(pred)) =>
         ManifestTable.overwriteWhere(org.apache.spark.sql.SparkSession.active,
-          dir, pred, finalPaths, keepHidden = true): Unit
+          dir, pred, finalPaths, keepHidden = true, tableSchema = tableSchema,
+          renames = renames): Unit
       case (None, None) =>
         ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
     }

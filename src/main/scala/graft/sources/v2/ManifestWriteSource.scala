@@ -88,7 +88,9 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
                            orderCol: Option[String] = None,
                            orderPartitions: Int = 0,
                            rowLevel: Boolean = false,
-                           targetFileSize: Long = 0)
+                           targetFileSize: Long = 0,
+                           tableSchema: Option[StructType] = None,
+                           renames: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var append = true
@@ -116,7 +118,7 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
     case None => new Write {
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(dir, schema, append, rowLevel, targetFileSize,
-          overwritePred)
+          overwritePred, tableSchema, renames)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new ManifestStreamingWrite(dir, schema)
     }
@@ -146,7 +148,8 @@ class ManifestWriteBuilder(dir: String, schema: StructType,
         if (targetFileSize > 0) targetFileSize
         else super.advisoryPartitionSizeInBytes()
       override def toBatch: BatchWrite =
-        new ManifestBatchWrite(dir, schema, append, overwrite = overwritePred)
+        new ManifestBatchWrite(dir, schema, append, overwrite = overwritePred,
+          tableSchema = tableSchema, renames = renames)
       // streaming epochs honor the same declared clustering: the
       // micro-batch planner applies this Write's distribution+ordering,
       // so freshly-streamed commits carry the same disjoint per-file
@@ -265,7 +268,9 @@ class BranchBatchWrite(dir: String, branch: String, schema: StructType,
 
 class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
                          rowLevel: Boolean = false, targetFileSize: Long = 0,
-                         overwrite: Option[org.apache.spark.sql.Column] = None)
+                         overwrite: Option[org.apache.spark.sql.Column] = None,
+                         tableSchema: Option[StructType] = None,
+                         renames: Map[String, String] = Map.empty)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/${UUID.randomUUID()}"
 
@@ -296,7 +301,8 @@ class ManifestBatchWrite(dir: String, schema: StructType, append: Boolean,
     overwrite match {
       // dynamic overwrite: delete-matching + append-new in ONE commit
       case Some(pred) =>
-        ManifestTable.overwriteWhere(SparkSession.active, dir, pred, finalPaths): Unit
+        ManifestTable.overwriteWhere(SparkSession.active, dir, pred, finalPaths,
+          tableSchema = tableSchema, renames = renames): Unit
       case None =>
         ManifestTable.publishExpected(dir, v, finalPaths, append): Unit
     }

@@ -46,19 +46,19 @@ class DropColumnSpec extends SparkSpec {
     assert(spark.table("gdc.ns.t").columns.toSeq == Seq("k", "v", "note"))
   }
 
-  test("RENAME COLUMN: pure metadata before the first commit, refuses after") {
+  test("RENAME COLUMN: pure metadata before AND after the first commit") {
     wh: Unit
     spark.sql("CREATE TABLE gdc.ns.rn (old_name BIGINT, v BIGINT)")
     spark.sql("ALTER TABLE gdc.ns.rn RENAME COLUMN old_name TO k")
     assert(spark.table("gdc.ns.rn").columns.toSeq == Seq("k", "v"))
     spark.sql("INSERT INTO gdc.ns.rn VALUES (1, 10)")
     assert(spark.sql("SELECT k FROM gdc.ns.rn").head.getLong(0) == 1L)
-    // after data exists, the name IS the mapping — rename refuses with
-    // the CTAS pointer instead of silently disconnecting old files
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gdc.ns.rn RENAME COLUMN v TO w")
-    }
-    assert(e.getMessage.contains("AS SELECT"), e.getMessage)
+    // post-data rename is pure metadata too (r10: the name-mapping
+    // contract — committed files keep the birth name, the catalog
+    // translates; RenameColumnSpec pins the full surface)
+    spark.sql("ALTER TABLE gdc.ns.rn RENAME COLUMN v TO w")
+    assert(spark.table("gdc.ns.rn").columns.toSeq == Seq("k", "w"))
+    assert(spark.sql("SELECT w FROM gdc.ns.rn").head.getLong(0) == 10L)
   }
 
   test("load-bearing columns refuse to drop") {

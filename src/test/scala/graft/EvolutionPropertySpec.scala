@@ -18,7 +18,7 @@ class EvolutionPropertySpec extends SparkSpec {
     d.toString
   }
 
-  test("40-step random DDL/DML interleaving tracks the reference model exactly") {
+  test("63-step random DDL/DML/overwrite/rename/delete interleaving tracks the reference model exactly") {
     wh: Unit
     val rnd = new scala.util.Random(42)
     val T = "gevo.ns.evo"
@@ -27,7 +27,8 @@ class EvolutionPropertySpec extends SparkSpec {
     // the model: live columns in order (name -> default), dropped names,
     // declared order column, and every row as name->Option[Long]
     val cols = mutable.LinkedHashMap[String, Option[Long]]("c0" -> None)
-    val dropped = mutable.Set.empty[String]
+    val dropped = mutable.Set.empty[String]     // PHYSICAL names (tombstones)
+    val physOf = mutable.Map.empty[String, String] // logical -> physical
     var orderCol: Option[String] = None
     val rows = mutable.Buffer.empty[Map[String, Option[Long]]]
     var nextId = 1
@@ -45,12 +46,19 @@ class EvolutionPropertySpec extends SparkSpec {
         val want = rows.flatMap(_.getOrElse(c, None))
         val got = if (agg.isNullAt(i + 1)) None else Some(agg.getLong(i + 1))
         val expect = if (want.isEmpty) None else Some(want.sum)
+        if (got != expect) {
+          println(s"ENGINE rows: " + spark.table(T).collect().toSeq
+            .map(_.toSeq.mkString("(", ",", ")")).sorted.mkString(" "))
+          println(s"MODEL rows: " + rows
+            .map(r => cols.keys.map(k => r.getOrElse(k, None).map(_.toString)
+              .getOrElse("null")).mkString("(", ",", ")")).sorted.mkString(" "))
+        }
         assert(got == expect, s"step $step: sum($c) $got != $expect")
       }
     }
 
-    for (step <- 1 to 40) {
-      rnd.nextInt(6) match {
+    for (step <- 1 to 63) {
+      rnd.nextInt(9) match {
         case 0 => // ADD COLUMN, half the time with a DEFAULT
           val name = s"c$nextId"; nextId += 1
           if (rnd.nextBoolean()) {
@@ -72,7 +80,9 @@ class EvolutionPropertySpec extends SparkSpec {
             }
           } else {
             spark.sql(s"ALTER TABLE $T DROP COLUMN $victim")
-            cols.remove(victim); dropped += victim
+            cols.remove(victim)
+            dropped += physOf.getOrElse(victim, victim) // tombstones are physical
+            physOf -= victim
             rows.indices.foreach(i => rows(i) = rows(i) - victim)
           }
         case 2 => // tombstone resurrection must refuse
@@ -107,10 +117,57 @@ class EvolutionPropertySpec extends SparkSpec {
             .mkString(", ")
           spark.sql(s"INSERT INTO $T VALUES $values")
           rows ++= batch
+        case 6 => // DYNAMIC OVERWRITE: delete-matching + append, one commit
+          import org.apache.spark.sql.functions.col
+          val c = cols.keys.toSeq(rnd.nextInt(cols.size))
+          val x = rnd.nextInt(1000).toLong
+          val n = 1 + rnd.nextInt(3)
+          val batch = (1 to n).map { _ =>
+            cols.keys.map(k => k -> Some(rnd.nextInt(1000).toLong)).toMap
+          }
+          val values = batch.map(r =>
+            cols.keys.map(k => r(k).get).mkString("(", ", ", ")"))
+            .mkString(", ")
+          spark.sql(s"SELECT * FROM VALUES $values AS " +
+            cols.keys.mkString("t(", ", ", ")"))
+            .writeTo(T).overwrite(col(c) >= x)
+          // NULL never matches `>= x`, so NULL-valued rows survive
+          val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
+          rows.clear(); rows ++= kept ++= batch
+        case 7 => // RENAME COLUMN: pure metadata over committed data
+          val victim = cols.keys.toSeq(rnd.nextInt(cols.size))
+          if (orderCol.contains(victim)) {
+            // load-bearing names refuse rename (guard matrix)
+            intercept[Exception] {
+              spark.sql(s"ALTER TABLE $T RENAME COLUMN $victim TO zz$step")
+            }
+          } else {
+            val nn = s"r$nextId"; nextId += 1
+            spark.sql(s"ALTER TABLE $T RENAME COLUMN $victim TO $nn")
+            val phys = physOf.getOrElse(victim, victim)
+            physOf -= victim; physOf(nn) = phys
+            val entries = cols.toSeq.map { case (k, v) =>
+              (if (k == victim) nn else k, v) }
+            cols.clear(); entries.foreach { case (k, v) => cols(k) = v }
+            rows.indices.foreach { i =>
+              rows(i) = rows(i).map { case (k, v) =>
+                (if (k == victim) nn else k, v) } }
+            // the STORAGE name stays reserved: committed files carry it
+            intercept[Exception] {
+              spark.sql(s"ALTER TABLE $T ADD COLUMNS ($phys BIGINT)")
+            }
+          }
+        case 8 => // SQL DELETE (stats-bounded copy-on-write fast path)
+          val c = cols.keys.toSeq(rnd.nextInt(cols.size))
+          val x = rnd.nextInt(1000).toLong
+          spark.sql(s"DELETE FROM $T WHERE $c >= $x")
+          // NULL never matches `>= x` (SQL three-valued logic)
+          val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
+          rows.clear(); rows ++= kept
       }
       checkAgainstModel(step)
     }
-    assert(rows.nonEmpty && dropped.nonEmpty,
-      "the interleaving must have exercised inserts and drops")
+    assert(rows.nonEmpty && (dropped.nonEmpty || physOf.nonEmpty),
+      "the interleaving must have exercised inserts and drops-or-renames")
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.ManifestTable
+
+/** Snapshot tags (q383's spec half): immutability, the numeric-name
+  * guard (a tag must never shadow `VERSION AS OF <n>`), and the
+  * drop-then-reclaim lifecycle that q383 leaves pinned. */
+class SnapshotTagSpec extends SparkSpec {
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_tags")
+    d.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gtag", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtag.warehouse", d.toString)
+    d.toString
+  }
+
+  test("tag lifecycle: pin survives expire, drop releases, guards refuse") {
+    wh: Unit
+    val T = "gtag.ns.t"
+    spark.sql(s"CREATE TABLE $T (a BIGINT)")
+    spark.sql(s"INSERT INTO $T VALUES (1), (2)")          // v1
+    val dir = s"$wh/ns/t"
+
+    // guards: numeric and grammar-colliding names refuse; duplicates too
+    intercept[Exception] { ManifestTable.createTag(dir, "123") }
+    intercept[Exception] { ManifestTable.createTag(dir, "a|b") }
+    assert(spark.sql(s"CALL gtag.system.create_tag('ns.t', 'audited')")
+      .head.getLong(0) == 1L)
+    intercept[Exception] { ManifestTable.createTag(dir, "audited") }
+
+    spark.sql(s"INSERT INTO $T VALUES (3)")               // v2 (append)
+    // v3 REWRITES every file: the `%` condition defeats stats pruning,
+    // so the group copy-on-write replaces the whole snapshot and v1's
+    // files are from here on referenced ONLY through the tag pin
+    spark.sql(s"UPDATE $T SET a = a + 4 WHERE a % 2 = 1") // v3: (5),(2),(7)
+    // keep=1 would normally leave only v3; the tag pins v1, v2 dies
+    val (nv, _) = ManifestTable.expire(dir, 1)
+    assert(nv == 1, s"expected exactly v2 reclaimed, removed $nv")
+    assert(spark.sql(s"SELECT sum(a) FROM $T VERSION AS OF 'audited'")
+      .head.getLong(0) == 3L, "the tagged snapshot must serve bit-exact")
+    assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 14L)
+
+    // drop the tag: the NEXT expire reclaims the pinned version + files
+    assert(spark.sql(s"CALL gtag.system.drop_tag('ns.t', 'audited')")
+      .head.getLong(0) == 1L)
+    val (nv2, nf2) = ManifestTable.expire(dir, 1)
+    assert(nv2 == 1 && nf2 >= 1,
+      s"dropping the tag must release v1 and its files, got ($nv2, $nf2)")
+    intercept[Exception] {
+      spark.sql(s"SELECT sum(a) FROM $T VERSION AS OF 'audited'").collect()
+    }
+    assert(spark.sql(s"SELECT * FROM $T.tags").collect().isEmpty)
+  }
+}
