@@ -862,6 +862,15 @@ object GraftCatalog {
   * the library path's choice). TRUNCATE TABLE publishes an empty
   * overwrite commit: zero files, history intact. */
 object GraftSqlTable {
+  /** Under `spark.graft.wap.branch` only plain appends route to the
+    * audit branch; every other mutation refuses LOUDLY — a row-level
+    * UPDATE silently landing on MAIN while the session believes it is
+    * staging would defeat the whole write-audit-publish contract. */
+  private[v2] def wapGuard(spark: SparkSession, verb: String): Unit =
+    require(spark.conf.get("spark.graft.wap.branch", "").isEmpty,
+      s"GraftCatalog: $verb does not route to a branch — unset " +
+        "spark.graft.wap.branch (audit appends only) or use the library verbs")
+
   /** Names DROP COLUMNed from the table — kept as a tombstone list
     * (`_schema.drop`, one name per line) because pre-drop files still
     * carry the bytes: the schema filter hides them, ADD COLUMN refuses
@@ -1025,7 +1034,14 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       val v = ManifestTable.branchVersion(dir, b)
       ManifestTable.sqlBranchEntriesAt(dir, b, v)
     }
-    new GraftScanBuilder(ident, spark, branchEntries.getOrElse(entries),
+    // DataFrame-reader time travel (`.option("versionAsOf", "3" |
+    // "tagname")` / `.option("timestampAsOf", "2026-01-01 00:00:00")`)
+    // needs NO handling here: Spark's analyzer (TimeTravelSpec) lifts
+    // those options into catalog.loadTable(ident, version/timestamp),
+    // where the tag-aware VERSION AS OF resolution above serves them —
+    // spec-pinned in TimeTravelWapSpec.
+    new GraftScanBuilder(ident, spark,
+      branchEntries.getOrElse(entries),
       schema(), options, streamDir = Some(dir), bucketSpec = bucketSpec,
       hiddenTransforms = ManifestTable.partitionTransforms(dir),
       renames = renames)
@@ -1118,8 +1134,17 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // instead of main — the write half of the q349/q364 branch surface,
     // now reachable from df.writeTo(...).append() with zero library
     // imports. Append-only (no SupportsTruncate): INSERT OVERWRITE of a
-    // branch refuses at analysis.
-    Option(info.options().get("branch")) match {
+    // branch refuses at analysis. The SESSION conf
+    // `spark.graft.wap.branch` routes every un-optioned append the same
+    // way (Iceberg's write-audit-publish idiom): the ETL job's INSERTs
+    // need zero changes to land on the audit branch — set the conf,
+    // run the job, audit the branch, fast_forward. Writes that are not
+    // plain appends (INSERT OVERWRITE, row-level ops, streaming) ignore
+    // the conf or refuse loudly downstream rather than silently
+    // mutating main.
+    Option(info.options().get("branch"))
+      .orElse(Option(spark.conf.get("spark.graft.wap.branch", ""))
+        .filter(_.nonEmpty)) match {
       case Some(b) =>
         require(ManifestTable.branchExists(dir, b),
           s"GraftCatalog: no branch '$b' on $ident — create it with " +
@@ -1235,6 +1260,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
+    GraftSqlTable.wapGuard(spark, "DELETE")
     val pred = filters.flatMap(filterToColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
     // deleting from a table with no commits is a no-op, not an error
@@ -1248,6 +1274,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   }
 
   override def truncateTable(): Boolean = {
+    GraftSqlTable.wapGuard(spark, "TRUNCATE")
     ManifestTable.publish(dir, Seq.empty, append = false)
     true
   }
@@ -1267,6 +1294,7 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version <= 0,
       s"GraftCatalog: cannot mutate $ident at a pinned version")
+    GraftSqlTable.wapGuard(spark, "row-level SQL (UPDATE/MERGE/DELETE)")
     import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, SupportsDelta, WriteBuilder}
     writeKey match {
       case Some(k) => return new RowLevelOperationBuilder {
