@@ -1344,8 +1344,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         // case of an unprunable condition.
         @volatile private var activeFiles: Option[() => Seq[String]] = None
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          // pushToFiles = false: the GROUP contract replaces whole files
+          // with the scan's output, so in-file filtering loses rows (see
+          // GraftScanBuilder.fileConjuncts) — the condition still prunes
+          // FILES statically and via the runtime group filter
           new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
-            options, renames = renames) {
+            options, renames = renames, pushToFiles = false) {
             // single runtime attribute: the group-filter rule keys its
             // subquery on ALL advertised attrs, and only single-key
             // dynamic predicates translate to v2 runtime filters
@@ -1461,7 +1465,8 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
                        streamDir: Option[String] = None,
                        bucketSpec: Option[(String, Int)] = None,
                        hiddenTransforms: Seq[ManifestTable.Transform] = Nil,
-                       renames: Map[String, String] = Map.empty)
+                       renames: Map[String, String] = Map.empty,
+                       pushToFiles: Boolean = true)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1493,6 +1498,20 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   private def hasDeletes: Boolean =
     entries.exists(e => e.deleteKey.isDefined || e.posDelete)
 
+  /** What the INNER file scans may filter by. A GROUP-based row-level
+    * operation scan (`pushToFiles = false`) must hand pushed conditions
+    * to the manifest FILE prune only — never into the parquet readers:
+    * the group contract is "the write replaces exactly what the scan
+    * produced", so a row dropped INSIDE a scanned file (row-group skip,
+    * page filter — e.g. `b >= 423` skipping all-NULL pages) would be
+    * silently ERASED by the rewrite. Found as real data loss by the
+    * evolution property test (seed 1337): a DELETE whose condition
+    * matched nothing rewrote every scanned file EMPTY. Ordinary reads
+    * keep full pushdown — there the dropped rows provably fail the
+    * query's own filter. */
+  private def fileConjuncts: Seq[Expression] =
+    if (pushToFiles) conjuncts else Nil
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     conjuncts = filters.map(physExpr)
     filters // all residual — stats pruning must stay a superset
@@ -1518,7 +1537,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         prunedDataEntries.map(_.path).toIndexedSeq, Some(physFull),
         classOf[ParquetFileFormat])
       val sb = t.newScanBuilder(options)
-      sb.pushFilters(conjuncts): Unit
+      sb.pushFilters(if (pushToFiles) conjuncts else Nil): Unit
       innerOpt = Some(sb)
       sb
     }
@@ -1616,7 +1635,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         val data = prunedDataEntries
         val tag = s"_ptn_bucket_$c"
         if (data.nonEmpty && data.forall(_.stats.contains(tag)))
-          return new GraftBucketedScan(ident, spark, options, conjuncts,
+          return new GraftBucketedScan(ident, spark, options, fileConjuncts,
             required, physFull, data, c, n, renames = renames)
       case _ =>
     }
@@ -1643,10 +1662,10 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     // already be expired — the CDC consumer's catch-up knob)
     val sv = Option(options.get("startVersion")).map(_.toInt).getOrElse(0)
     if (attrs.nonEmpty)
-      new GraftAdaptiveScan(ident, spark, options, conjuncts, required,
+      new GraftAdaptiveScan(ident, spark, options, fileConjuncts, required,
         physFull, data, attrs, streamDir, sv, renames = renames)
     else
-      new GraftTrackedScan(ident, spark, options, conjuncts, required,
+      new GraftTrackedScan(ident, spark, options, fileConjuncts, required,
         physFull, data, Nil, streamDir, sv, renames = renames)
   }
 
@@ -1733,7 +1752,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
           new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
           paths.toIndexedSeq, Some(physFull), classOf[ParquetFileFormat])
         val sb = t.newScanBuilder(options)
-        if (push) { sb.pushFilters(conjuncts): Unit }
+        if (push) { sb.pushFilters(fileConjuncts): Unit }
         sb.pruneColumns(internal)
         sb.build().toBatch
       }

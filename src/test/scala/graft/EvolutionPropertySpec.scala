@@ -18,10 +18,11 @@ class EvolutionPropertySpec extends SparkSpec {
     d.toString
   }
 
-  test("63-step random DDL/DML/overwrite/rename/delete interleaving tracks the reference model exactly") {
+  for (seed <- Seq(42, 7, 1337))
+  test(s"63-step random DDL/DML/overwrite/rename/delete interleaving tracks the reference model exactly (seed $seed)") {
     wh: Unit
-    val rnd = new scala.util.Random(42)
-    val T = "gevo.ns.evo"
+    val rnd = new scala.util.Random(seed)
+    val T = s"gevo.ns.evo$seed"
     spark.sql(s"CREATE TABLE $T (c0 BIGINT)")
 
     // the model: live columns in order (name -> default), dropped names,
@@ -57,18 +58,19 @@ class EvolutionPropertySpec extends SparkSpec {
       }
     }
 
+    def sqlL(q: String): org.apache.spark.sql.DataFrame = spark.sql(q)
     for (step <- 1 to 63) {
       rnd.nextInt(9) match {
         case 0 => // ADD COLUMN, half the time with a DEFAULT
           val name = s"c$nextId"; nextId += 1
           if (rnd.nextBoolean()) {
             val d = rnd.nextInt(100).toLong
-            spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT DEFAULT $d)")
+            sqlL(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT DEFAULT $d)")
             cols(name) = Some(d)
             // EXISTS_DEFAULT back-fills every pre-ALTER row
             rows.indices.foreach(i => rows(i) = rows(i) + (name -> Some(d)))
           } else {
-            spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
+            sqlL(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
             cols(name) = None
             rows.indices.foreach(i => rows(i) = rows(i) + (name -> None))
           }
@@ -76,10 +78,10 @@ class EvolutionPropertySpec extends SparkSpec {
           val victim = cols.keys.toSeq(rnd.nextInt(cols.size))
           if (orderCol.contains(victim) || cols.size == 1) {
             intercept[Exception] {
-              spark.sql(s"ALTER TABLE $T DROP COLUMN $victim")
+              sqlL(s"ALTER TABLE $T DROP COLUMN $victim")
             }
           } else {
-            spark.sql(s"ALTER TABLE $T DROP COLUMN $victim")
+            sqlL(s"ALTER TABLE $T DROP COLUMN $victim")
             cols.remove(victim)
             dropped += physOf.getOrElse(victim, victim) // tombstones are physical
             physOf -= victim
@@ -89,33 +91,44 @@ class EvolutionPropertySpec extends SparkSpec {
           if (dropped.nonEmpty) {
             val name = dropped.toSeq(rnd.nextInt(dropped.size))
             intercept[Exception] {
-              spark.sql(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
+              sqlL(s"ALTER TABLE $T ADD COLUMNS ($name BIGINT)")
             }
           }
         case 3 => // SET / UNSET write.order
           if (orderCol.isDefined && rnd.nextBoolean()) {
-            spark.sql(s"ALTER TABLE $T UNSET TBLPROPERTIES ('write.order')")
+            sqlL(s"ALTER TABLE $T UNSET TBLPROPERTIES ('write.order')")
             orderCol = None
           } else {
             val c = cols.keys.toSeq(rnd.nextInt(cols.size))
-            spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES ('write.order'='$c')")
-            orderCol = Some(c)
+            if (physOf.contains(c)) {
+              // renamed columns refuse becoming load-bearing (the guard
+              // matrix's second direction)
+              intercept[Exception] {
+                sqlL(s"ALTER TABLE $T SET TBLPROPERTIES ('write.order'='$c')")
+              }
+            } else {
+              sqlL(s"ALTER TABLE $T SET TBLPROPERTIES ('write.order'='$c')")
+              orderCol = Some(c)
+            }
           }
         case 4 => // CHECK constraint round-trip (trivially-true predicate)
           val cn = s"ck$step"
           val c = cols.keys.head
-          spark.sql(s"ALTER TABLE $T ADD CONSTRAINT $cn " +
+          sqlL(s"ALTER TABLE $T ADD CONSTRAINT $cn " +
             s"CHECK ($c IS NULL OR $c > -1000000)")
-          spark.sql(s"ALTER TABLE $T DROP CONSTRAINT $cn")
+          sqlL(s"ALTER TABLE $T DROP CONSTRAINT $cn")
         case 5 => // INSERT a batch of full-width rows
           val n = 1 + rnd.nextInt(4)
           val batch = (1 to n).map { _ =>
             cols.keys.map(c => c -> Some(rnd.nextInt(1000).toLong)).toMap
           }
+          // cols.keys is a SET — mapping key->value over it would
+          // DEDUPLICATE equal values within a row (a latent one-in-a-
+          // thousand width bug seed 7 found); render through a Seq
           val values = batch.map(r =>
-            cols.keys.map(c => r(c).get).mkString("(", ", ", ")"))
+            cols.keys.toSeq.map(c => r(c).get).mkString("(", ", ", ")"))
             .mkString(", ")
-          spark.sql(s"INSERT INTO $T VALUES $values")
+          sqlL(s"INSERT INTO $T VALUES $values")
           rows ++= batch
         case 6 => // DYNAMIC OVERWRITE: delete-matching + append, one commit
           import org.apache.spark.sql.functions.col
@@ -126,9 +139,9 @@ class EvolutionPropertySpec extends SparkSpec {
             cols.keys.map(k => k -> Some(rnd.nextInt(1000).toLong)).toMap
           }
           val values = batch.map(r =>
-            cols.keys.map(k => r(k).get).mkString("(", ", ", ")"))
+            cols.keys.toSeq.map(k => r(k).get).mkString("(", ", ", ")"))
             .mkString(", ")
-          spark.sql(s"SELECT * FROM VALUES $values AS " +
+          sqlL(s"SELECT * FROM VALUES $values AS " +
             cols.keys.mkString("t(", ", ", ")"))
             .writeTo(T).overwrite(col(c) >= x)
           // NULL never matches `>= x`, so NULL-valued rows survive
@@ -139,11 +152,11 @@ class EvolutionPropertySpec extends SparkSpec {
           if (orderCol.contains(victim)) {
             // load-bearing names refuse rename (guard matrix)
             intercept[Exception] {
-              spark.sql(s"ALTER TABLE $T RENAME COLUMN $victim TO zz$step")
+              sqlL(s"ALTER TABLE $T RENAME COLUMN $victim TO zz$step")
             }
           } else {
             val nn = s"r$nextId"; nextId += 1
-            spark.sql(s"ALTER TABLE $T RENAME COLUMN $victim TO $nn")
+            sqlL(s"ALTER TABLE $T RENAME COLUMN $victim TO $nn")
             val phys = physOf.getOrElse(victim, victim)
             physOf -= victim; physOf(nn) = phys
             val entries = cols.toSeq.map { case (k, v) =>
@@ -154,13 +167,13 @@ class EvolutionPropertySpec extends SparkSpec {
                 (if (k == victim) nn else k, v) } }
             // the STORAGE name stays reserved: committed files carry it
             intercept[Exception] {
-              spark.sql(s"ALTER TABLE $T ADD COLUMNS ($phys BIGINT)")
+              sqlL(s"ALTER TABLE $T ADD COLUMNS ($phys BIGINT)")
             }
           }
         case 8 => // SQL DELETE (stats-bounded copy-on-write fast path)
           val c = cols.keys.toSeq(rnd.nextInt(cols.size))
           val x = rnd.nextInt(1000).toLong
-          spark.sql(s"DELETE FROM $T WHERE $c >= $x")
+          sqlL(s"DELETE FROM $T WHERE $c >= $x")
           // NULL never matches `>= x` (SQL three-valued logic)
           val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
           rows.clear(); rows ++= kept
