@@ -195,12 +195,16 @@ class PropertySpec extends SparkSpec {
       rows.foreach { case (k, v) => ref(k) = v }
     }
     syncInsert((1L to 40L).map(k => (k, k)))
-    (1 to 14).foreach { step =>
-      rnd.nextInt(4) match {
+    // the value column's CURRENT logical name — the rename step changes
+    // it mid-chain (storage stays `v`, the birth name, in every file)
+    var vName = "v"
+    var renameId = 0
+    (1 to 16).foreach { step =>
+      rnd.nextInt(5) match {
         case 0 => // keyed UPDATE of a random residue class
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
-          spark.sql(s"UPDATE gprop.ns.m SET v = v + 1000 WHERE k % $m = $r")
+          spark.sql(s"UPDATE gprop.ns.m SET $vName = $vName + 1000 WHERE k % $m = $r")
           ref.keys.toSeq.filter(_ % m == r).foreach(k => ref(k) = ref(k) + 1000)
         case 1 => // DELETE of a random window
           val lo = 1 + rnd.nextInt(45)
@@ -223,8 +227,15 @@ class PropertySpec extends SparkSpec {
               org.apache.spark.sql.functions.col("v"),
               org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
           ref.filter(_._2 % m == r).keys.toSeq.foreach(ref.remove)
+        case 4 => // RENAME the value column mid-chain: pure metadata;
+          // every later verb (delta UPDATE, MoR SELECT) translates,
+          // while the library read keeps serving the physical name
+          renameId += 1
+          val nn = s"w$renameId"
+          spark.sql(s"ALTER TABLE gprop.ns.m RENAME COLUMN $vName TO $nn")
+          vName = nn
       }
-      val sqlRows = spark.sql("SELECT k, v FROM gprop.ns.m")
+      val sqlRows = spark.sql(s"SELECT k, $vName FROM gprop.ns.m")
         .as[(Long, Long)].collect().sorted.toSeq
       val libRows = ManifestTable.read(spark, dir).select($"k", $"v")
         .as[(Long, Long)].collect().sorted.toSeq
