@@ -748,7 +748,63 @@ object VectorQueries {
       .orderBy($"rank_bucket")
   }
 
+  // q386: HYBRID RETRIEVAL FUSION (reciprocal-rank fusion, k=60) — the
+  // retrieval shape every RAG / LLM-training search pipeline ships: a
+  // LEXICAL leg (token-set Jaccard against the query document) and a
+  // DENSE leg (exact cosine over embeddings) each rank the corpus
+  // independently, RRF fuses the two TOP-50 lists per query with
+  // score = Σ 1/(60 + rank), and the face returns the fused top-10.
+  // Truncated-list RRF is the production contract (fuse each leg's
+  // top-K; a candidate absent from a leg contributes 0 there), so no
+  // leg ever ranks the full corpus. Scale: the 5 query documents
+  // BROADCAST down both legs — the lexical leg is a broadcast token
+  // join + one (q_id, c_id) aggregation (candidate volume = Σ matched
+  // tokens, never a corpus self-join), the dense leg is q40's
+  // broadcast-query brute kNN — and the fusion full-outer-joins two
+  // ≤|q|·50-row lists. Every score is deterministic cross-engine:
+  // Jaccard and 1/(60+r) are single double divisions of exact
+  // integers, cosine is the 6-dp-rounded shared formula.
+  def rrfHybridFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val emb = Tables(s, dir).embeddings
+    // lexical leg: distinct lowercase alpha tokens per document
+    val tok = docs.select($"doc_id",
+        explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter($"w" =!= "").distinct()
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val qtok = tok.filter($"doc_id" < 5).select($"doc_id".as("q_id"), $"w")
+    val qsz = sz.filter($"doc_id" < 5).select($"doc_id".as("q_id"), $"n".as("qn"))
+    val inter = tok.select($"doc_id".as("c_id"), $"w")
+      .join(broadcast(qtok), Seq("w"))
+      .filter($"c_id" =!= $"q_id")
+      .groupBy($"q_id", $"c_id").agg(count(lit(1)).as("i"))
+    val lex = inter
+      .join(broadcast(qsz), Seq("q_id"))
+      .join(sz.select($"doc_id".as("c_id"), $"n".as("cn")), Seq("c_id"))
+      .select($"q_id", $"c_id",
+        ($"i".cast("double") / ($"qn" + $"cn" - $"i")).as("jac"))
+    val lexTop = graft.operators.Relational.topKPerGroup(lex, Seq($"q_id"),
+        Seq($"jac".desc, $"c_id".asc), 50, rankCol = "r_lex")
+      .select($"q_id", $"c_id", $"r_lex")
+    // dense leg: q40's broadcast brute kNN, top-50 (rounded-6dp cosine)
+    val queriesE = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpusE = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val denTop = Similarity.knnBruteForce(queriesE, corpusE, 50)
+      .select($"q_id", $"c_id", $"rank".as("r_den"))
+    val fused = lexTop.join(denTop, Seq("q_id", "c_id"), "full_outer")
+      .select($"q_id", $"c_id",
+        (coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60) + $"r_den"), lit(0.0))).as("rrf"))
+    graft.operators.Relational.topKPerGroup(fused, Seq($"q_id"),
+        Seq($"rrf".desc, $"c_id".asc), 10, rankCol = "rank")
+      .select($"q_id", $"c_id", $"rrf", $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_rrf_hybrid" -> rrfHybridFusion _,
     "q335_vector_sql" -> vectorSql _,
     "q346_ivfpq_residual" -> ivfPqResidual _,
     "q351_binary_sign_ann" -> binarySignAnn _,
@@ -772,6 +828,40 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q386_rrf_hybrid" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |    FROM documents) t WHERE w <> ''),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS i
+         |  FROM tok q JOIN tok c ON q.w = c.w AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 5 GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT q_id, c_id, CAST(i AS DOUBLE) / (sq.n + sc.n - i) AS jac
+         |  FROM inter JOIN sz sq ON sq.doc_id = inter.q_id
+         |             JOIN sz sc ON sc.doc_id = inter.c_id),
+         |lexr AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY jac DESC, c_id ASC) AS r_lex FROM lex),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |den AS (SELECT q_id, e.vec_id AS c_id, ${cosSql("qv", "v")} AS sim
+         |  FROM qe JOIN e ON e.vec_id <> q_id),
+         |denr AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS r_den FROM den),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+         |    COALESCE(l.c_id, d.c_id) AS c_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0) +
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + d.r_den), 0) AS rrf
+         |  FROM (SELECT * FROM lexr WHERE r_lex <= 50) l
+         |  FULL JOIN (SELECT * FROM denr WHERE r_den <= 50) d
+         |    ON l.q_id = d.q_id AND l.c_id = d.c_id),
+         |ranked AS (SELECT q_id, c_id, rrf, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rrf DESC, c_id ASC) AS rank FROM fused)
+         |SELECT q_id, c_id, rrf, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q351_binary_sign_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |qz AS (SELECT vec_id, list_transform(v, x -> CAST(round(

@@ -2933,6 +2933,82 @@ object WarehouseQueries {
             |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // q385: SQL MUTATIONS OVER POSITION-DELETE CHAINS — the r11 commit
+  // reconciliation as an oracle face. A library `deleteWhere` leaves
+  // position deletes (merge-on-read, zero rewrites); a bounded SQL
+  // UPDATE then reads the MoR view and replaces only stats-overlapping
+  // files — so the deletions it materialized must LEAVE the manifest
+  // with the files they masked, while deletes pinning rows in untouched
+  // files survive (rewritten if their delete file spanned both). Before
+  // the fix the stale P| lines double-subtracted: COUNT(*) silently
+  // wrong, the table pinned on merge-on-read forever. Pinned here:
+  // zero-IO countStar EXACT after every mutation, the rewrite bounded
+  // (survivors > 0), surviving position deletes still applied, and SQL
+  // DELETE routing to the row-level plan on a delete-carrying snapshot
+  // (canDeleteWhere refuses → the group CoW serves it) — hash-green
+  // against the oracle's three-stage relational recompute.
+  def sqlCowUnderPosDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q385_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat385", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat385.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q385_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat385.db.t")
+    s.sql("""CREATE TABLE graft_cat385.db.t
+            |(o_orderkey BIGINT, o_orderpriority STRING, d BIGINT, cents BIGINT)
+            |TBLPROPERTIES('write.order'='d','write.order.partitions'='8')""".stripMargin)
+    s.sql("INSERT INTO graft_cat385.db.t SELECT * FROM q385_src")          // v1
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/t"
+    val total = s.sql("SELECT count(*) FROM q385_src").head.getLong(0)
+    val nDel = s.sql("SELECT count(*) FROM q385_src WHERE o_orderkey % 7 = 0")
+      .head.getLong(0)
+    val v1Files = ManifestTable.sqlEntriesAt(tdir, 1).filter(_.isData).map(_.path)
+    // v2: library position delete — zero data rewrites, spread over
+    // every range file (the key is uncorrelated with the d clustering)
+    ManifestTable.deleteWhere(s, tdir, expr("o_orderkey % 7 = 0"))
+    require(ManifestTable.countStar(tdir).contains(total - nDel),
+      "q385: position deletes must keep zero-IO COUNT(*) exact")
+    // v3: bounded CoW UPDATE through SQL on the delete-carrying snapshot
+    val lo = java.time.LocalDate.parse("1996-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1996-12-31").toEpochDay
+    s.sql(s"""UPDATE graft_cat385.db.t SET cents = cents + 5
+             |WHERE d BETWEEN $lo AND $hi""".stripMargin)
+    val v3 = ManifestTable.sqlEntriesAt(tdir, 3)
+    val survivors = v1Files.toSet.intersect(v3.filter(_.isData).map(_.path).toSet)
+    require(survivors.nonEmpty && survivors.size < v1Files.size,
+      s"q385: bounded rewrite expected — ${survivors.size} of ${v1Files.size} survive")
+    require(v3.exists(_.posDelete),
+      "q385: deletes pinning rows in untouched files must survive the CoW")
+    require(ManifestTable.countStar(tdir).contains(total - nDel),
+      "q385: COUNT(*) must stay exact after the CoW — a stale P| line " +
+        "would double-subtract its rows")
+    // v4: SQL DELETE on the still-delete-carrying snapshot — the
+    // metadata fast path refuses (outstanding delete entries), Spark
+    // falls back to the row-level plan, and the group CoW lands it
+    val cut = java.time.LocalDate.parse("1998-01-01").toEpochDay
+    s.sql(s"DELETE FROM graft_cat385.db.t WHERE d >= $cut")
+    val nCut = s.sql(
+      s"SELECT count(*) FROM q385_src WHERE o_orderkey % 7 <> 0 AND d >= $cut")
+      .head.getLong(0)
+    require(nCut > 0, "q385: the DELETE window must be non-empty")
+    require(ManifestTable.countStar(tdir).contains(total - nDel - nCut),
+      "q385: COUNT(*) must stay exact after the row-level SQL DELETE")
+    s.sql("""SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+            |FROM graft_cat385.db.t
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -3051,6 +3127,7 @@ object WarehouseQueries {
     "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
     "q382_rename_column" -> sqlRenameColumn _,
     "q383_snapshot_tags" -> sqlSnapshotTags _,
+    "q385_cow_under_pos_deletes" -> sqlCowUnderPosDeletes _,
     "q384_partition_evolution" -> sqlPartitionEvolution _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
     "q371_sql_hidden_partitioning" -> sqlHiddenPartitioning _,
@@ -3117,6 +3194,21 @@ object WarehouseQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM src WHERE y <= 1998 GROUP BY 2
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q385_cow_under_pos_deletes" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |live AS (SELECT * FROM src WHERE o_orderkey % 7 <> 0),
+        |upd AS (SELECT o_orderkey, o_orderpriority, d,
+        |    CASE WHEN d BETWEEN datediff('day', DATE '1970-01-01', DATE '1996-01-01')
+        |                    AND datediff('day', DATE '1970-01-01', DATE '1996-12-31')
+        |         THEN cents + 5 ELSE cents END AS cents FROM live),
+        |kept AS (SELECT * FROM upd
+        |  WHERE d < datediff('day', DATE '1970-01-01', DATE '1998-01-01'))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM kept GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q384_partition_evolution" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

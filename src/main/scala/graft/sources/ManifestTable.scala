@@ -603,10 +603,13 @@ object ManifestTable {
     * the end — so the plan is data-file scans plus one anti join per
     * surviving delete commit (compaction collapses the chain). A
     * delete-free manifest takes the plain multi-path scan. */
-  def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
+  def read(spark: SparkSession, dir: String, version: Int = -1,
+           tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"ManifestTable.read: no committed version under $dir")
-    assemble(spark, manifestFiles(dir, v).map(parseEntry), dir, withMeta = false)
+    assemble(spark, manifestFiles(dir, v).map(parseEntry), dir,
+      withMeta = false, tableSchema = tableSchema)
   }
 
   /** Stats-pruned read: every row of the snapshot whose file MAY contain
@@ -791,7 +794,66 @@ object ManifestTable {
         !(e.isData && replaced.contains(e.path))
       }
       else Seq.empty
-    claimManifest(dir, v, keep ++ newFiles.sorted.map(f => dataLine(f)))
+    claimManifest(dir, v,
+      reconcilePosDeletes(dir, v, keep, replaced) ++
+        newFiles.sorted.map(f => dataLine(f)))
+  }
+
+  /** Reconcile prior POSITION-DELETE entries with a copy-on-write
+    * replacement set. The row-level scan that produced the replacement
+    * files read the MERGE-ON-READ view, so every position delete
+    * targeting a replaced file is already MATERIALIZED in the rewritten
+    * content — carrying its `P|` line forward would erase the same rows
+    * twice: [[countStar]] subtracts the delete's `__rows` from a data sum
+    * that no longer contains them (silent wrong COUNT(*)), and the table
+    * stays pinned on the merge-on-read path forever (ADVICE r10, high).
+    * Per delete file: every referenced data file replaced → drop the
+    * line; none replaced → carry verbatim; mixed → rewrite the delete
+    * file keeping only positions that still reference SURVIVING files
+    * (their physical ordinals are untouched by the rewrite — position
+    * deletes pin rows in files the CoW never opened). Cost is
+    * O(|position deletes|) driver-coordinated reads of key-only files —
+    * the same order as the MoR scan already paid to serve them. */
+  private def reconcilePosDeletes(dir: String, v: Int, keep: Seq[String],
+                                  replaced: Set[String]): Seq[String] = {
+    if (replaced.isEmpty || !keep.exists(_.startsWith("P|"))) return keep
+    val spark = org.apache.spark.sql.SparkSession.active
+    def norm(p: String): String =
+      if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
+    val replacedNorm = replaced.map(norm)
+    keep.flatMap { l =>
+      val e = parseEntry(l)
+      if (!e.posDelete) Some(l)
+      else {
+        // raw values as stored (the `_metadata.file_path` URI form);
+        // membership tests normalize, the filter uses the raw strings
+        val refs = spark.read.parquet(e.path).select("file_path")
+          .distinct().collect().map(_.getString(0))
+        val (dead, live) = refs.partition(r => replacedNorm.contains(norm(r)))
+        if (dead.isEmpty) Some(l)
+        else if (live.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.col
+          val dataDir = Paths.get(dir, "data", s"commit-$v")
+          Files.createDirectories(dataDir)
+          val rwDir = dataDir.resolve(
+            s"posrw-${java.util.UUID.randomUUID().toString.take(8)}").toString
+          spark.read.parquet(e.path)
+            .filter(!col("file_path").isin(dead.toIndexedSeq: _*))
+            .coalesce(1).write.parquet(rwDir)
+          Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+            .map { f =>
+              val st = fileStats(f.getAbsolutePath)
+              val seg =
+                if (st.isEmpty) "-"
+                else st.toSeq.sortBy(_._1)
+                  .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+              s"P|${f.getAbsolutePath}|$seg"
+            }.sorted
+        }
+      }
+    }
   }
 
   /** [[publishCowExpected]] with caller-supplied extra stats per new file
@@ -815,7 +877,8 @@ object ManifestTable {
       }
       else Seq.empty
     claimManifest(dir, v,
-      keep ++ files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
+      reconcilePosDeletes(dir, v, keep, replaced) ++
+        files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
   }
 
   private val MetaCols = Seq("_graft_file", "_graft_pos")
@@ -828,12 +891,21 @@ object ManifestTable {
   }
 
   private def assemble(spark: SparkSession, entries: Seq[Entry], dir: String,
-                       withMeta: Boolean): DataFrame = {
+                       withMeta: Boolean,
+                       tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     val needMeta = withMeta || entries.exists(_.posDelete)
+    // with a declared TABLE schema (the catalog's physical view), every
+    // file reads against it so ALTER-added columns fill their
+    // EXISTS_DEFAULT per file — the one correct mechanism (see
+    // overwriteWhere); without it, the raw mergeSchema library view
+    def base(paths: Seq[String]): DataFrame = tableSchema match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
     if (!needMeta && entries.forall(_.isData))
-      return dropHidden(spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(_.path): _*))
+      return dropHidden(base(entries.map(_.path)))
     // _metadata is only addressable at the scan, so (file, pos) are
     // materialized as ordinary columns immediately and dropped at the end.
     // mergeSchema within a scan + allowMissingColumns across commits =
@@ -841,7 +913,7 @@ object ManifestTable {
     // them as NULL — no rewrite of history (the Iceberg add-column
     // contract; drops/renames are out of scope for the line format).
     def scan(paths: Seq[String]): DataFrame = {
-      val d = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val d = base(paths)
       if (needMeta)
         d.withColumn(MetaCols(0), col("_metadata.file_path"))
           .withColumn(MetaCols(1), col("_metadata.row_index"))
@@ -1238,6 +1310,86 @@ object ManifestTable {
       keptLines ++ (rewrittenFiles ++ newFiles).sorted.map(f => dataLine(f)))
   }
 
+  /** [[overwriteWhere]] for a BUCKET-partitioned table (r11; previously
+    * a capability refusal): the delete-side rewrite re-splits survivors
+    * PER BUCKET and every replacement file re-enters the manifest with
+    * its `_ptn_bucket_*` tag — an untagged rewrite would silently knock
+    * the table out of storage-partitioned-join eligibility (the
+    * key-grouped scan falls back when ANY file lacks its tag; at 100 TB
+    * that is every downstream join paying two exchanges again until a
+    * compact). The INSERT side arrives already bucket-split and tagged
+    * from the clustered DSv2 writer. Untouched files carry forward
+    * verbatim, tags and all. */
+  def overwriteWhereTagged(spark: SparkSession, dir: String,
+                           predicate: org.apache.spark.sql.Column,
+                           newTagged: Seq[(String, Map[String, (Double, Double)])],
+                           bucketCol: String, n: Int,
+                           tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                           renames: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, pmod}
+    val v = currentVersion(dir) + 1
+    val lines = if (v > 1) manifestFiles(dir, v - 1) else Seq.empty
+    require(lines.map(parseEntry).forall(_.isData),
+      s"overwriteWhereTagged: $dir carries row-level delete entries — a " +
+        "rewrite would shift positions/sequences under them; compact first")
+    val bounds = predicateBounds(predicate).map { case (c, b) =>
+      (renames.getOrElse(c, c), b) }
+    val (touchedLines, keptLines) = lines.partition { l =>
+      val st = parseEntry(l).stats
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    }
+    val dataDir = s"$dir/data/commit-$v"
+    val rewrittenTagged: Seq[(String, Map[String, (Double, Double)])] =
+      if (touchedLines.isEmpty) Seq.empty
+      else {
+        val touched = touchedLines.map(parseEntry).map(_.path)
+        // same TABLE-schema contract as overwriteWhere: ALTER-added
+        // columns fill their EXISTS_DEFAULT per file
+        val scan = tableSchema match {
+          case Some(sch) => spark.read.schema(sch).parquet(touched: _*)
+          case None =>
+            dropHidden(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+        }
+        val logicalScan =
+          if (renames.isEmpty) scan
+          else scan.withColumnsRenamed(renames.map(_.swap))
+        val survivors0 = logicalScan.filter(not(coalesce(predicate, lit(false))))
+        val survivors =
+          if (renames.isEmpty) survivors0
+          else survivors0.withColumnsRenamed(renames)
+        // re-split per bucket, compactBucketed's shape: partitionBy
+        // strips the routing column from file content, each leaf dir
+        // holds one bucket, files hoist out bucket-prefixed + tagged
+        survivors.withColumn("_b",
+            pmod(pmod(col(bucketCol), lit(n.toLong)) + n, lit(n.toLong)))
+          .repartition(n, col("_b"))
+          .write.partitionBy("_b").mode("overwrite").parquet(s"$dataDir/rw")
+        val tagged = Option(new java.io.File(s"$dataDir/rw").listFiles()).toSeq
+          .flatten.filter(d => d.isDirectory && d.getName.startsWith("_b="))
+          .flatMap { d =>
+            val b = d.getName.stripPrefix("_b=").toInt
+            Option(d.listFiles()).toSeq.flatten
+              .filter(_.getName.endsWith(".parquet"))
+              .map { f =>
+                val target = Paths.get(dataDir, s"rwb$b-${f.getName}")
+                Files.move(f.toPath, target)
+                target.toAbsolutePath.toString ->
+                  Map(s"_ptn_bucket_$bucketCol" -> (b.toDouble, b.toDouble))
+              }
+          }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$dataDir/rw"))
+        tagged.filterNot { case (f, _) =>
+          fileStats(f).get("__rows").exists(_._1 == 0) }
+      }
+    claimManifest(dir, v,
+      keptLines ++ (rewrittenTagged ++ newTagged).sortBy(_._1)
+        .map { case (f, ex) => dataLine(f, extraStats = ex) })
+  }
+
   /** (files to rewrite, files carried forward verbatim) for an
     * [[updateWhere]] touch set — assertable planning info, like
     * [[pruneInfo]]. */
@@ -1304,8 +1456,16 @@ object ManifestTable {
     * subsequent reads plan O(numFiles) splits instead of O(appends). At
     * 100 TB the equivalent operation binpacks per partition; the commit
     * protocol — rewrite, publish, never mutate — is identical. */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
-    markRewrite(dir, commit(read(spark, dir).coalesce(numFiles), dir, append = false))
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+              tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int =
+    // `tableSchema` (the catalog's physical view) makes the rewrite
+    // default-aware: an ALTER-added DEFAULT column fills per file, so
+    // compaction materializes the value every catalog reader already
+    // sees — a raw mergeSchema compact would materialize NULL instead
+    // and the default would be lost FOREVER (found by the r11 property
+    // test's compact step; same class as the overwriteWhere fix)
+    markRewrite(dir, commit(read(spark, dir, tableSchema = tableSchema)
+      .coalesce(numFiles), dir, append = false))
 
   /** Flag version `v` as a REWRITE commit (`dataChange = false` in Delta
     * terms): its snapshot is bit-identical in content to `v-1`, only the
@@ -1333,10 +1493,12 @@ object ManifestTable {
     * restores skipping. Same commit protocol: readers of older versions
     * untouched. */
   def compactClustered(spark: SparkSession, dir: String, numFiles: Int,
-                       cols: Seq[String]): Int = {
+                       cols: Seq[String],
+                       tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     import org.apache.spark.sql.functions.col
     val cs = cols.map(col)
-    markRewrite(dir, commit(read(spark, dir).repartitionByRange(numFiles, cs: _*)
+    markRewrite(dir, commit(read(spark, dir, tableSchema = tableSchema)
+      .repartitionByRange(numFiles, cs: _*)
       .sortWithinPartitions(cs: _*), dir, append = false))
   }
 
@@ -1482,8 +1644,10 @@ object ManifestTable {
     * not better). Same commit protocol; stats land in the manifest at
     * publish like any commit. */
   def compactZOrder(spark: SparkSession, dir: String, numFiles: Int,
-                    colA: String, colB: String): Int =
-    markRewrite(dir, commit(graft.operators.ZOrder.zOrderBy(read(spark, dir),
+                    colA: String, colB: String,
+                    tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int =
+    markRewrite(dir, commit(graft.operators.ZOrder.zOrderBy(
+      read(spark, dir, tableSchema = tableSchema),
       colA, colB, numPartitions = numFiles), dir, append = false))
 
   /** Change-data-feed between two versions: every row the range ADDED
@@ -2038,28 +2202,113 @@ object ManifestTable {
     * the catalog, and [[expire]] keeps a tagged version's manifest and
     * files alive past any retention horizon until the tag is dropped.
     * Unlike a branch, a tag takes no commits and owns no data — it is
-    * one line of metadata (`_manifests/tags`: `name|version`), so
-    * "pin the pre-migration snapshot for the quarter" costs nothing at
-    * 100 TB. Written atomically (tmp + move) like every manifest claim. */
+    * one line of metadata (`name|version`), so "pin the pre-migration
+    * snapshot for the quarter" costs nothing at 100 TB.
+    *
+    * Mutations are SERIALIZED through the same link(2) CAS as manifest
+    * claims (ADVICE r10): the tag set lives in numbered generation files
+    * `_manifests/tags.g<N>` (highest N wins), and each create/drop claims
+    * generation N+1 with create-no-overwrite — two concurrent tag
+    * operations can never silently lose one (the old read-modify-write
+    * over a single file could, after which [[expire]] might reclaim a
+    * version the user believed retention-pinned). The legacy un-numbered
+    * `tags` file reads as generation 0. */
   def tags(dir: String): Map[String, Int] = {
-    val p = manifests(dir).resolve("tags")
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.map(_.trim).filter(_.nonEmpty).map { l =>
+    val md = manifests(dir)
+    if (!Files.isDirectory(md)) return Map.empty
+    // a generation picked from the listing may be GC'd by a concurrent
+    // claim before the read lands — re-list and retry (the claimed MAX
+    // is never deleted, so this converges)
+    var tries = 0
+    while (true) {
+      try {
+        return tagGens(md).lastOption match {
+          case Some(g) =>
+            parseTags(Files.readAllLines(md.resolve(s"tags.g$g")).asScala.toSeq)
+          case None =>
+            val p = md.resolve("tags")
+            if (!Files.exists(p)) Map.empty
+            else parseTags(Files.readAllLines(p).asScala.toSeq)
+        }
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          tries += 1
+          if (tries > 8) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def parseTags(lines: Seq[String]): Map[String, Int] =
+    lines.map(_.trim).filter(_.nonEmpty).map { l =>
       val i = l.lastIndexOf('|')
       require(i > 0, s"corrupt tags line: $l")
       l.substring(0, i) -> l.substring(i + 1).toInt
     }.toMap
-  }
 
-  private def writeTags(dir: String, m: Map[String, Int]): Unit = {
+  private def tagGens(md: Path): Seq[Int] =
+    Option(md.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("tags\\.g\\d+"))
+      .map(_.stripPrefix("tags.g").toInt).sorted
+
+  /** Read-validate-claim loop for tag mutations: read the CURRENT
+    * generation's map, apply `f` (which validates against exactly that
+    * snapshot), and claim the next generation via create-no-overwrite —
+    * a loser re-reads and re-validates, so e.g. two concurrent
+    * `createTag` calls for the same name end with exactly one winner and
+    * one loud duplicate error. Generations older than the one consumed
+    * are GC'd after a successful claim (the immediately-previous file
+    * survives one round as a reader-race buffer). */
+  private def mutateTags(dir: String, f: Map[String, Int] => Map[String, Int]): Unit = {
     val md = manifests(dir)
     Files.createDirectories(md)
-    val p = md.resolve("tags")
-    if (m.isEmpty) { Files.deleteIfExists(p): Unit; return }
-    val tmp = md.resolve(s"tags.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (n, v) => s"$n|$v" }.asJava)
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val gen = tagGens(md).lastOption.getOrElse(0)
+      val cur =
+        try {
+          if (gen > 0) Some(
+            parseTags(Files.readAllLines(md.resolve(s"tags.g$gen")).asScala.toSeq))
+          else {
+            val p = md.resolve("tags")
+            Some(if (Files.exists(p)) parseTags(Files.readAllLines(p).asScala.toSeq)
+                 else Map.empty[String, Int])
+          }
+        } catch {
+          // the generation listed as MAX was GC'd by a concurrent winner
+          // before our read landed — a newer one exists, loop to find it
+          case _: java.nio.file.NoSuchFileException => None
+        }
+      cur.foreach { m =>
+        val next = f(m)
+        val tmp = md.resolve(
+          s".tags.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        Files.write(tmp,
+          next.toSeq.sortBy(_._1).map { case (n, v) => s"$n|$v" }.asJava)
+        val won =
+          try { Files.createLink(md.resolve(s"tags.g${gen + 1}"), tmp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          finally Files.deleteIfExists(tmp)
+        if (won) {
+          // GC with a 16-generation buffer. Deleting a RECENT number
+          // would let a contender re-claim it invisibly (its stale map
+          // published under a number every reader skips — the lost-update
+          // this CAS exists to prevent): a loser holds its listed `gen`
+          // for exactly ONE (read, link) attempt and re-lists on every
+          // EEXIST, so re-claiming g+1 requires 16 complete mutations by
+          // other writers inside that two-syscall window. Same pragmatic
+          // class as vacuum's mtime grace window; growth is bounded at
+          // 16 ~50-byte files.
+          tagGens(md).filter(_ < gen - 16).foreach(g =>
+            Files.deleteIfExists(md.resolve(s"tags.g$g")): Unit)
+          Files.deleteIfExists(md.resolve("tags")): Unit // legacy, superseded
+          return
+        }
+      }
+    }
+    throw new CommitConflictException(
+      s"tag mutation on $dir lost the CAS $attempts times — giving up")
   }
 
   /** Pin `version` (default: the current head) under `name`. Tags are
@@ -2073,19 +2322,23 @@ object ManifestTable {
     require(v > 0, s"createTag: no committed version under $dir")
     require(Files.exists(manifests(dir).resolve(s"v$v.list")),
       s"createTag: version $v of $dir does not exist (or is expired)")
-    val m = tags(dir)
-    if (m.contains(name))
-      throw new CommitConflictException(s"tag '$name' already exists")
-    writeTags(dir, m + (name -> v))
+    mutateTags(dir, { m =>
+      if (m.contains(name))
+        throw new CommitConflictException(s"tag '$name' already exists")
+      m + (name -> v)
+    })
     v
   }
 
   /** Drop the tag; the next [[expire]] may then reclaim its version. */
   def dropTag(dir: String, name: String): Int = {
-    val m = tags(dir)
-    require(m.contains(name), s"dropTag: no tag '$name' under $dir")
-    writeTags(dir, m - name)
-    m(name)
+    var dropped = -1
+    mutateTags(dir, { m =>
+      require(m.contains(name), s"dropTag: no tag '$name' under $dir")
+      dropped = m(name)
+      m - name
+    })
+    dropped
   }
 
   /** Every branch with its fork and head versions — the `.branches`

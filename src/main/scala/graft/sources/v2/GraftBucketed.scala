@@ -85,10 +85,28 @@ final case class StagedBucketFilesMessage(files: Seq[(Int, String)])
   * distribution, splits each task's rows per bucket id, publishes every
   * file tagged with its bucket. */
 class BucketedWriteBuilder(dir: String, schema: StructType,
-                           col: String, n: Int)
-    extends WriteBuilder with SupportsTruncate {
+                           col: String, n: Int,
+                           tableSchema: Option[StructType] = None,
+                           renames: Map[String, String] = Map.empty)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var append = true
+  // DYNAMIC OVERWRITE on a bucketed table (r11; previously a capability
+  // refusal): the delete side re-splits survivors per bucket and
+  // republishes them TAGGED (ManifestTable.overwriteWhereTagged), the
+  // insert side is this builder's own bucket-split staged files — so
+  // storage-partitioned joins survive the nightly partition replace
+  private var overwritePred: Option[org.apache.spark.sql.Column] = None
   override def truncate(): WriteBuilder = { append = false; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      return truncate()
+    val cols = filters.toSeq.map(f => V2Filters.toColumn(f).getOrElse(
+      sys.error(s"graft bucketed overwrite: untranslatable filter $f")))
+    overwritePred = Some(cols.reduce(_ && _))
+    this
+  }
   override def build(): Write =
     new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -97,7 +115,9 @@ class BucketedWriteBuilder(dir: String, schema: StructType,
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =
-        new BucketedBatchWrite(dir, schema, append, col, n)
+        new BucketedBatchWrite(dir, schema, append, col, n,
+          overwrite = overwritePred, tableSchema = tableSchema,
+          renames = renames)
       // streamed epochs keep the bucket layout too: the micro-batch
       // planner applies this Write's clustered distribution, the epoch
       // writer splits per bucket, and the commit publishes tagged lines
@@ -109,7 +129,10 @@ class BucketedWriteBuilder(dir: String, schema: StructType,
 
 class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
                          col: String, n: Int,
-                         cowScanned: Option[() => Option[Seq[String]]] = None)
+                         cowScanned: Option[() => Option[Seq[String]]] = None,
+                         overwrite: Option[org.apache.spark.sql.Column] = None,
+                         tableSchema: Option[StructType] = None,
+                         renames: Map[String, String] = Map.empty)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/bucketed-${java.util.UUID.randomUUID()}"
 
@@ -131,16 +154,21 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
       target.toAbsolutePath.toString ->
         Map(s"_ptn_bucket_$col" -> (b.toDouble, b.toDouble))
     }
-    cowScanned match {
+    (cowScanned, overwrite) match {
       // group copy-on-write UPDATE/MERGE: replace exactly the scanned
       // files, re-entering every replacement WITH its bucket tag so
       // storage-partitioned joins survive the mutation
-      case Some(f) =>
+      case (Some(f), _) =>
         val replaced = f().getOrElse(sys.error(
           "BucketedBatchWrite: row-level write committed without a scan — " +
             "cannot determine the replaced group set")).toSet
         ManifestTable.publishCowTaggedExpected(dir, v, replaced, tagged): Unit
-      case None =>
+      // dynamic overwrite: delete-matching + append-new, one atomic
+      // commit, every file (kept / rewritten / new) bucket-tagged
+      case (None, Some(pred)) =>
+        ManifestTable.overwriteWhereTagged(SparkSession.active, dir, pred,
+          tagged, col, n, tableSchema = tableSchema, renames = renames): Unit
+      case (None, None) =>
         ManifestTable.publishTaggedExpected(dir, v, tagged, append): Unit
     }
     cleanupStaging()
@@ -193,10 +221,14 @@ class BucketedDataWriter(stagingDir: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage =
-    StagedBucketFilesMessage(writers.toSeq.map { case (b, w) =>
+    // a rolled inner writer stages MULTIPLE files for one bucket — every
+    // one must propagate with its bucket id (taking only the head would
+    // silently drop committed rows if write.target-file-size is ever
+    // wired into bucketed writes; ADVICE r10)
+    StagedBucketFilesMessage(writers.toSeq.flatMap { case (b, w) =>
       w.commit() match {
-        case StagedFileMessage(p)   => b -> p
-        case StagedFilesMessage(ps) => b -> ps.head // no rolling configured here
+        case StagedFileMessage(p)   => Seq(b -> p)
+        case StagedFilesMessage(ps) => ps.map(b -> _)
         case other => sys.error(s"unexpected $other")
       }
     })

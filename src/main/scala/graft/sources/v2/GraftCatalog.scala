@@ -1013,14 +1013,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
-    // dynamic overwrite (`writeTo.overwrite(cond)`): plain/ordered and
-    // transform layouts deliver it (the day-partition replace is THE use
-    // case); bucketed tables refuse — "replace bucket 3" is not a user
-    // pattern and an untagged rewrite would silently cost SPJ
-    val dynOver =
-      if (bucketSpec.isEmpty) Set(TableCapability.OVERWRITE_BY_FILTER)
-      else Set.empty[TableCapability]
-    (base ++ dynOver).asJava
+    // dynamic overwrite (`writeTo.overwrite(cond)`): every layout
+    // delivers it — plain/ordered, transform (the day-partition replace
+    // is THE use case), and since r11 bucketed too: the rewrite
+    // re-splits survivors per bucket and republishes them tagged
+    // (overwriteWhereTagged), so SPJ survives the replace
+    (base + TableCapability.OVERWRITE_BY_FILTER).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1217,7 +1215,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         new TransformedWriteBuilder(dir, wSchema, hiddenTransforms,
           tableSchema = Some(physSchema(schema())), renames = renames)
       case None => (bucketSpec, writeOrder) match {
-        case (Some((c, n)), _) => new BucketedWriteBuilder(dir, wSchema, c, n)
+        case (Some((c, n)), _) => new BucketedWriteBuilder(dir, wSchema, c, n,
+          tableSchema = Some(physSchema(schema())), renames = renames)
         case (None, Some((c, n))) => new ManifestWriteBuilder(dir, wSchema, Some(c), n,
           targetFileSize = targetFileSize, tableSchema = Some(physSchema(schema())),
           renames = renames)
@@ -1254,8 +1253,13 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   // a renamed-column reference also refuses: the fast path would probe
   // physical stats/files under the logical name — Spark then falls back
   // to the row-level operation, whose scan translates properly
+  // a delete-carrying snapshot also refuses (ADVICE r10, medium): the
+  // fast path lands on deleteWhereCow, whose "compact first" require
+  // would fail the statement — whereas the group row-level plan Spark
+  // falls back to reads merge-on-read and commits a pos-delete-safe CoW
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    version <= 0 && writeKey.isEmpty && filters.forall(filterToColumn(_).isDefined) &&
+    version <= 0 && writeKey.isEmpty && entries.forall(_.isData) &&
+      filters.forall(filterToColumn(_).isDefined) &&
       !filters.exists(_.references.exists(renames.contains))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -1524,7 +1528,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
   }
 
   // Aggregate pushdown (COUNT/MIN/MAX from parquet footers, zero row
-  // reads — needs spark.sql.parquet.aggregatePushDown=true) forwards to
+  // reads — needs spark.sql.parquet.aggregatePushdown=true) forwards to
   // the inner ParquetScanBuilder, which must therefore exist before
   // build(): Spark pushes filters first, so the pruned path set is
   // already stable here. A delete-carrying snapshot refuses — footer
@@ -1541,22 +1545,56 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       innerOpt = Some(sb)
       sb
     }
-  // a footer aggregate over a RENAMED column refuses pushdown (the v2
-  // Aggregation names the logical column; translating it into the inner
-  // builder's FieldReferences is not worth the surface — Spark computes
-  // the aggregate normally, just not IO-free); unrenamed references
-  // forward untouched since their names match the footers
-  private def aggRenamed(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    renames.nonEmpty &&
-      (agg.aggregateExpressions() ++ agg.groupByExpressions()).exists(
-        _.references().exists(r => renames.contains(r.fieldNames().mkString("."))))
+  // a footer aggregate over a RENAMED column forwards with its
+  // references rebuilt on PHYSICAL names (r11; previously refused): the
+  // parquet footers only know the storage name, so the inner builder
+  // would fail to resolve the logical one and the aggregate lost its
+  // IO-free path for the rest of the table's life after one RENAME.
+  // Spark matches the pushed-aggregate output to the plan POSITIONALLY
+  // (V2ScanRelationPushDown builds its own aliases over readSchema), so
+  // no rename-back is needed. An aggregate kind we can't rebuild
+  // (anything beyond MIN/MAX/COUNT/COUNT(*) — parquet footers serve
+  // nothing else) refuses only when a rename actually applies.
+  private def physAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = {
+    if (renames.isEmpty) return Some(agg)
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Expression => V2Expr}
+    def touched(e: V2Expr): Boolean =
+      e.references().exists(r => renames.contains(r.fieldNames().mkString(".")))
+    if (!(agg.aggregateExpressions() ++ agg.groupByExpressions()).exists(touched))
+      return Some(agg)
+    def tr(e: V2Expr): V2Expr = e match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+          renames.contains(r.fieldNames()(0)) =>
+        Expressions.column(renames(r.fieldNames()(0)))
+      case other => other
+    }
+    val aggs = agg.aggregateExpressions().map {
+      case f: CountStar => Some(f): Option[AggregateFunc]
+      case f: Min   => Some(new Min(tr(f.column)))
+      case f: Max   => Some(new Max(tr(f.column)))
+      case f: Count => Some(new Count(tr(f.column), f.isDistinct))
+      case _        => None
+    }
+    if (aggs.exists(_.isEmpty)) None
+    else Some(new Aggregation(aggs.flatten, agg.groupByExpressions().map(tr)))
+  }
+  // NOTE Spark 4.1: ParquetScanBuilder no longer claims COMPLETE
+  // pushdown (the interface default `false` stands) — footer aggregates
+  // ride the PARTIAL contract: pushAggregation succeeds, the scan emits
+  // per-file partials from footers, Spark's final aggregate folds them.
+  // The session conf key is `spark.sql.parquet.aggregatePushdown`
+  // (lowercase 'down' — set via SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key).
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !hasDeletes && !aggRenamed(agg) && inner().supportCompletePushDown(agg)
+    !hasDeletes &&
+      physAggregation(agg).exists(inner().supportCompletePushDown)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = !hasDeletes && !aggRenamed(agg) && inner().pushAggregation(agg)
+    val ok = !hasDeletes &&
+      physAggregation(agg).exists(inner().pushAggregation)
     if (ok) aggPushed = true
     ok
   }

@@ -45,7 +45,8 @@ private[v2] object GraftProcedures {
         Seq(in("table", StringType), in("num_files", IntegerType)),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         { args =>
-          val dir = tableDir(args.getUTF8String(0).toString)
+          val tName = args.getUTF8String(0).toString
+          val dir = tableDir(tName)
           val bucketFile = java.nio.file.Paths.get(dir, "_partition.bucket")
           val v =
             if (java.nio.file.Files.exists(bucketFile)) {
@@ -55,8 +56,10 @@ private[v2] object GraftProcedures {
               // degrade SPJ to shuffling)
               val ls = new String(java.nio.file.Files.readAllBytes(bucketFile),
                 "UTF-8").split('\n').map(_.trim)
-              compactBucketed(SparkSession.active, dir, ls(0), ls(1).toInt)
-            } else ManifestTable.compact(SparkSession.active, dir, args.getInt(1))
+              compactBucketed(SparkSession.active, dir, ls(0), ls(1).toInt,
+                tableSchema = Some(physicalSchemaOf(tName, dir)))
+            } else ManifestTable.compact(SparkSession.active, dir, args.getInt(1),
+              tableSchema = Some(physicalSchemaOf(tName, dir)))
           Seq(row(v.toLong))
         })
       case "expire" => proc("expire", "drop manifests older than keep, reclaim orphans",
@@ -92,7 +95,8 @@ private[v2] object GraftProcedures {
           val rm = GraftSqlTable.renameMap(zdir)
           val v = ManifestTable.compactZOrder(SparkSession.active,
             zdir, args.getInt(1),
-            rm.getOrElse(cols(0), cols(0)), rm.getOrElse(cols(1), cols(1)))
+            rm.getOrElse(cols(0), cols(0)), rm.getOrElse(cols(1), cols(1)),
+            tableSchema = Some(physicalSchemaOf(args.getUTF8String(0).toString, zdir)))
           Seq(row(v.toLong))
         })
       case "create_branch" => proc("create_branch",
@@ -240,15 +244,28 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** The catalog's PHYSICAL view of the table: reported schema (with
+    * per-field metadata — DEFAULTs live there) translated to storage
+    * names. Maintenance rewrites must read against THIS, never the raw
+    * files: an ALTER-added DEFAULT column is missing from pre-ALTER
+    * files and a mergeSchema read materializes NULL where every catalog
+    * reader sees the EXISTS_DEFAULT — a compact would then lose the
+    * default forever (same class as the overwriteWhere r10 fix). */
+  private def physicalSchemaOf(tableName: String, dir: String): StructType = {
+    val t = new GraftSqlTable(tableName, dir, -1)
+    t.physSchema(t.schema())
+  }
+
   /** Bucket-preserving compaction: the merged snapshot rewrites as ONE
     * file per bucket (the bucket function routes rows exactly as the
     * clustered write did), published as an overwrite commit with every
     * file re-tagged — merge-on-read state materializes AND the
     * key-grouped scan keeps reporting its partitioning. */
   private def compactBucketed(spark: SparkSession, dir: String,
-                              col: String, n: Int): Int = {
+                              col: String, n: Int,
+                              tableSchema: Option[StructType] = None): Int = {
     import org.apache.spark.sql.functions.{col => c, pmod, lit}
-    val snap = ManifestTable.read(spark, dir)
+    val snap = ManifestTable.read(spark, dir, tableSchema = tableSchema)
     val v = ManifestTable.currentVersion(dir) + 1
     val dataDir = s"$dir/data/commit-$v"
     // one pass: a directory write partitioned by the bucket value (the

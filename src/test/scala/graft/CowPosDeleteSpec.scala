@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions.col
+
+/** ADVICE r10 (high): a GROUP copy-on-write SQL mutation on a snapshot
+  * carrying POSITION deletes reads the merge-on-read view — so every
+  * position delete targeting a replaced file is already MATERIALIZED in
+  * the rewritten content. Carrying the `P|` manifest lines forward
+  * verbatim would erase the same rows twice: `countStar` subtracts the
+  * delete's `__rows` from a data sum that no longer contains them (a
+  * silent wrong COUNT(*)), and the table stays pinned on the
+  * merge-on-read path forever. `publishCowExpected` /
+  * `publishCowTaggedExpected` now reconcile: fully-covered delete files
+  * drop, untouched ones carry verbatim, and a delete file spanning
+  * touched AND untouched files is rewritten to keep only positions that
+  * reference surviving files. ADVICE r10 (medium): `canDeleteWhere`
+  * refuses delete-carrying snapshots so SQL DELETE falls back to the
+  * (now-safe) row-level plan instead of dying on deleteWhereCow's
+  * "compact first" require. */
+class CowPosDeleteSpec extends SparkSpec {
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cowpos")
+    d.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gcpd", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcpd.warehouse", d.toString)
+    d.toString
+  }
+
+  test("SQL UPDATE after a library position delete drops materialized P| lines — COUNT(*) stays exact") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t1 (k BIGINT, v BIGINT)")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src1")
+    spark.sql("INSERT INTO gcpd.ns.t1 SELECT * FROM cpd_src1")           // v1
+    val dir = s"$wh/ns/t1"
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 10L)               // v2: pos delete
+    assert(ManifestTable.sqlEntriesAt(dir, 2).exists(_.posDelete))
+    assert(ManifestTable.countStar(dir).contains(90L))
+
+    // `%` defeats stats pruning → the group CoW replaces EVERY data file;
+    // the position deletes are materialized in the rewrite and their
+    // stale lines must leave the manifest with them
+    spark.sql("UPDATE gcpd.ns.t1 SET v = v + 1000 WHERE k % 2 = 0")      // v3
+    val es = ManifestTable.sqlEntriesAt(dir, 3)
+    assert(!es.exists(_.posDelete),
+      "fully-materialized position deletes must leave the manifest")
+    assert(ManifestTable.countStar(dir).contains(90L),
+      "COUNT(*) must stay exact after the CoW (no double subtraction)")
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t1").head.getLong(0) == 90L)
+    val expect = (11L to 100L).map(k => if (k % 2 == 0) k + 1000 else k).sum
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t1").head.getLong(0) == expect)
+    // time travel across both mutations stays intact
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t1 VERSION AS OF 1")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t1 VERSION AS OF 2")
+      .head.getLong(0) == 90L)
+  }
+
+  test("bounded CoW REWRITES a position-delete file spanning touched and untouched files") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("""CREATE TABLE gcpd.ns.t2 (k BIGINT, v BIGINT)
+                |TBLPROPERTIES('write.order'='k','write.order.partitions'='4')
+                |""".stripMargin)
+    (1L to 400L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src2")
+    spark.sql("INSERT INTO gcpd.ns.t2 SELECT * FROM cpd_src2")           // v1: 4 range files
+    val dir = s"$wh/ns/t2"
+    val v1Files = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData).map(_.path)
+    assert(v1Files.size == 4)
+    // ONE delete file spanning all four range files (k = 1, 101, 201,
+    // 301): `deleteWhere` happens to write one delete file per scanned
+    // data file, which only exercises the drop/keep branches — the
+    // rewrite branch needs a genuinely spanning file, the shape a
+    // coalesced scan (or another engine's compactor) writes
+    val spanDir = s"$dir/data/commit-2/span"
+    spark.read.parquet(v1Files: _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(col("k") % 100L === 1L)
+      .select("file_path", "pos")
+      .coalesce(1).write.parquet(spanDir)
+    val delFile = Option(new java.io.File(spanDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).head
+    val v1Lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_manifests", "v1.list"))
+    ManifestTable.publishLinesExpected(dir, 2,
+      (v1Lines.toArray(Array.empty[String]).toSeq :+
+        s"P|$delFile|__rows:4.0:4.0"))                                   // v2
+    val oldPos = ManifestTable.sqlEntriesAt(dir, 2).filter(_.posDelete)
+    assert(oldPos.size == 1 && ManifestTable.countStar(dir).contains(396L))
+
+    // window prunable to the FIRST range file only: the delete position
+    // k=1 is materialized there; k=101/201/301 pin rows in files the
+    // rewrite never opens — their entries must survive, re-written into
+    // a delete file that no longer references the replaced file
+    spark.sql("UPDATE gcpd.ns.t2 SET v = v + 1000 WHERE k BETWEEN 2 AND 80") // v3
+    val v3 = ManifestTable.sqlEntriesAt(dir, 3)
+    val survivors = v1Files.toSet.intersect(v3.filter(_.isData).map(_.path).toSet)
+    assert(survivors.nonEmpty && survivors.size < v1Files.size,
+      s"expected a BOUNDED rewrite, got ${survivors.size} of ${v1Files.size} untouched")
+    val newPos = v3.filter(_.posDelete)
+    assert(newPos.nonEmpty, "position deletes on surviving files must not vanish")
+    assert(newPos.map(_.path).toSet.intersect(oldPos.map(_.path).toSet).isEmpty,
+      "the spanning delete file must be REWRITTEN, not carried verbatim")
+    assert(newPos.flatMap(_.stats.get("__rows")).map(_._1.toLong).sum == 3L,
+      "the rewritten delete file holds exactly the 3 surviving positions")
+    assert(ManifestTable.countStar(dir).contains(396L),
+      "COUNT(*) must stay exact across the bounded CoW")
+    // values: k=1/101/201/301 gone, the window bumped, everything else intact
+    val expect = (1L to 400L).filterNot(k => k % 100 == 1)
+      .map(k => if (k >= 2 && k <= 80) k + 1000 else k).sum
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t2").head.getLong(0) == expect)
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t2").head.getLong(0) == 396L)
+  }
+
+  test("SQL DELETE on a position-delete-carrying snapshot routes to the row-level plan") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t3 (k BIGINT, v BIGINT)")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src3")
+    spark.sql("INSERT INTO gcpd.ns.t3 SELECT * FROM cpd_src3")           // v1
+    val dir = s"$wh/ns/t3"
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 10L)               // v2
+    // before the canDeleteWhere fix this statement died on
+    // deleteWhereCow's "compact first" require — even though the group
+    // row-level plan serves it
+    spark.sql("DELETE FROM gcpd.ns.t3 WHERE k > 90")                     // v3
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t3").head.getLong(0) == 80L)
+    assert(ManifestTable.countStar(dir).contains(80L))
+    assert(spark.sql("SELECT sum(k) FROM gcpd.ns.t3").head.getLong(0) ==
+      (11L to 90L).sum)
+  }
+
+  test("bucketed CoW under position deletes reconciles P| lines AND keeps SPJ tags") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t4 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    (1L to 200L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src4")
+    spark.sql("INSERT INTO gcpd.ns.t4 SELECT * FROM cpd_src4")           // v1
+    val dir = s"$wh/ns/t4"
+    ManifestTable.deleteWhere(spark, dir, col("k") <= 20L)               // v2
+    spark.sql("UPDATE gcpd.ns.t4 SET v = v + 1 WHERE k % 2 = 0")         // v3: all buckets
+    val es = ManifestTable.sqlEntriesAt(dir, 3)
+    assert(!es.exists(_.posDelete),
+      "the tagged CoW path must reconcile position deletes too")
+    assert(es.filter(_.isData).forall(_.stats.contains("_ptn_bucket_k")),
+      "replacement files must re-enter WITH their bucket tags")
+    assert(ManifestTable.countStar(dir).contains(180L))
+    val expect = (21L to 200L).map(k => if (k % 2 == 0) k + 1 else k).sum
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t4").head.getLong(0) == expect)
+  }
+}

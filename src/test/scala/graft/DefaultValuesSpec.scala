@@ -47,4 +47,22 @@ class DefaultValuesSpec extends SparkSpec {
       spark.sql("ALTER TABLE gdv.ns.evo ADD COLUMNS (must STRING NOT NULL)")
     }
   }
+
+  test("CALL compact preserves EXISTS_DEFAULTs (reads the catalog view, not raw files)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gdv.ns.cmp (k BIGINT)")
+    spark.sql("INSERT INTO gdv.ns.cmp VALUES (1), (2), (3)")        // pre-ALTER file
+    spark.sql("ALTER TABLE gdv.ns.cmp ADD COLUMNS (score BIGINT DEFAULT 100)")
+    spark.sql("INSERT INTO gdv.ns.cmp VALUES (4, 7)")               // post-ALTER file
+    assert(spark.sql("SELECT sum(score) FROM gdv.ns.cmp").head.getLong(0) == 307L)
+    // the maintenance rewrite must materialize the EXISTS_DEFAULT the
+    // catalog readers see — a raw mergeSchema compact writes NULL for
+    // the pre-ALTER rows and the default is lost FOREVER (r11; same
+    // class as the overwriteWhere mixed-touch-set fix)
+    spark.sql("CALL gdv.system.compact('ns.cmp', 1)").collect()
+    assert(spark.sql("SELECT sum(score) FROM gdv.ns.cmp").head.getLong(0) == 307L,
+      "compaction must not replace EXISTS_DEFAULT values with NULL")
+    assert(spark.sql("SELECT count(*) FROM gdv.ns.cmp WHERE score = 100")
+      .head.getLong(0) == 3L)
+  }
 }

@@ -87,6 +87,64 @@ class DynamicOverwriteSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdo.ns.ht").head.getLong(0) == 340L)
   }
 
+  test("overwrite on a bucketed table re-splits survivors and keeps every file SPJ-tagged") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gdo.ns.bf (k BIGINT, src BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gdo.ns.bd (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // two source batches → files with disjoint src stats, so the
+    // overwrite's delete side is provably bounded
+    (1L to 100L).map(k => (k, 1L, k * 2)).toDF("k", "src", "v")
+      .createOrReplaceTempView("do_b1")
+    (101L to 200L).map(k => (k, 2L, k * 2)).toDF("k", "src", "v")
+      .createOrReplaceTempView("do_b2")
+    spark.sql("INSERT INTO gdo.ns.bf SELECT * FROM do_b1")
+    spark.sql("INSERT INTO gdo.ns.bf SELECT * FROM do_b2")
+    (1L to 200L).map(k => (k, k * 5)).toDF("k", "w").createOrReplaceTempView("do_bd")
+    spark.sql("INSERT INTO gdo.ns.bd SELECT * FROM do_bd")
+    val dir = s"$wh/ns/bf"
+    val v0 = ManifestTable.currentVersion(dir)
+    val before = ManifestTable.sqlEntriesAt(dir, v0).filter(_.isData)
+    val untouched = before.filter(e =>
+      e.stats.get("src").exists { case (mn, _) => mn >= 2 }).map(_.path)
+    assert(untouched.nonEmpty, "need src=2 files to pin carry-forward")
+    // the nightly re-ingest of source 1, corrected (and 20 rows shorter)
+    (1L to 80L).map(k => (k, 1L, k * 3)).toDF("k", "src", "v")
+      .writeTo("gdo.ns.bf").overwrite($"src" === 1L)
+    assert(ManifestTable.currentVersion(dir) == v0 + 1,
+      "bucketed dynamic overwrite must be exactly one commit")
+    val after = ManifestTable.sqlEntriesAt(dir, v0 + 1).filter(_.isData)
+    assert(untouched.forall(after.map(_.path).toSet.contains),
+      "files outside the overwrite scope must carry forward verbatim")
+    assert(after.forall(_.stats.contains("_ptn_bucket_k")),
+      "every post-overwrite file (kept, rewritten, new) must be SPJ-tagged")
+    assert(spark.sql("SELECT count(*) FROM gdo.ns.bf").head.getLong(0) == 180L)
+    assert(spark.sql("SELECT sum(v) FROM gdo.ns.bf WHERE src = 1").head.getLong(0)
+      == (1L to 80L).map(_ * 3).sum)
+    // SPJ still plans zero exchanges after the overwrite
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, x) => spark.conf.set(c, x) }
+      val q = spark.sql(
+        "SELECT f.k, f.v, d.w FROM gdo.ns.bf f JOIN gdo.ns.bd d ON f.k = d.k")
+      assert(q.collect().length == 180)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SPJ must survive the dynamic overwrite with zero exchanges")
+    } finally saved.foreach {
+      case (c, Some(x)) => spark.conf.set(c, x)
+      case (c, None)    => spark.conf.unset(c)
+    }
+    // pre-overwrite snapshot still time-travelable
+    assert(spark.sql(s"SELECT count(*) FROM gdo.ns.bf VERSION AS OF $v0")
+      .head.getLong(0) == 200L)
+  }
+
   test("overwrite on a plain table, compound conditions, and truncate equivalence") {
     import spark.implicits._
     wh: Unit

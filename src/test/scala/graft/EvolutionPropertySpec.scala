@@ -24,6 +24,7 @@ class EvolutionPropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val T = s"gevo.ns.evo$seed"
     spark.sql(s"CREATE TABLE $T (c0 BIGINT)")
+    val dir = s"$wh/ns/evo$seed"
 
     // the model: live columns in order (name -> default), dropped names,
     // declared order column, and every row as name->Option[Long]
@@ -33,11 +34,20 @@ class EvolutionPropertySpec extends SparkSpec {
     var orderCol: Option[String] = None
     val rows = mutable.Buffer.empty[Map[String, Option[Long]]]
     var nextId = 1
+    var posOutstanding = false // library position deletes in the snapshot
 
     def checkAgainstModel(step: Int): Unit = {
       val t = spark.table(T)
       assert(t.columns.toSeq == cols.keys.toSeq,
         s"step $step: schema ${t.columns.toSeq} != model ${cols.keys.toSeq}")
+      // zero-IO COUNT(*) must stay exact through EVERY mutation — the
+      // invariant that catches a stale P| line double-subtracting after
+      // a copy-on-write materialized its deletions (ADVICE r10 high)
+      if (graft.sources.ManifestTable.currentVersion(dir) > 0) {
+        val cs = graft.sources.ManifestTable.countStar(dir)
+        assert(cs.contains(rows.length.toLong),
+          s"step $step: countStar $cs != model ${rows.length}")
+      }
       val agg = spark.sql(
         s"SELECT count(*) ${cols.keys.map(c => s", sum($c)").mkString} FROM $T")
         .head
@@ -60,7 +70,7 @@ class EvolutionPropertySpec extends SparkSpec {
 
     def sqlL(q: String): org.apache.spark.sql.DataFrame = spark.sql(q)
     for (step <- 1 to 63) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(12) match {
         case 0 => // ADD COLUMN, half the time with a DEFAULT
           val name = s"c$nextId"; nextId += 1
           if (rnd.nextBoolean()) {
@@ -141,12 +151,20 @@ class EvolutionPropertySpec extends SparkSpec {
           val values = batch.map(r =>
             cols.keys.toSeq.map(k => r(k).get).mkString("(", ", ", ")"))
             .mkString(", ")
-          sqlL(s"SELECT * FROM VALUES $values AS " +
+          val w = sqlL(s"SELECT * FROM VALUES $values AS " +
             cols.keys.mkString("t(", ", ", ")"))
-            .writeTo(T).overwrite(col(c) >= x)
-          // NULL never matches `>= x`, so NULL-valued rows survive
-          val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
-          rows.clear(); rows ++= kept ++= batch
+            .writeTo(T)
+          if (posOutstanding) {
+            // overwriteWhere refuses under outstanding row-level delete
+            // entries (a rewrite would shift positions) — model the
+            // refusal: loud error, snapshot untouched
+            intercept[Exception] { w.overwrite(col(c) >= x) }
+          } else {
+            w.overwrite(col(c) >= x)
+            // NULL never matches `>= x`, so NULL-valued rows survive
+            val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
+            rows.clear(); rows ++= kept ++= batch
+          }
         case 7 => // RENAME COLUMN: pure metadata over committed data
           val victim = cols.keys.toSeq(rnd.nextInt(cols.size))
           if (orderCol.contains(victim)) {
@@ -170,15 +188,57 @@ class EvolutionPropertySpec extends SparkSpec {
               sqlL(s"ALTER TABLE $T ADD COLUMNS ($phys BIGINT)")
             }
           }
-        case 8 => // SQL DELETE (stats-bounded copy-on-write fast path)
+        case 8 => // SQL DELETE (metadata fast path; row-level plan when
+          // the snapshot carries position deletes — canDeleteWhere
+          // refuses there and the group CoW + reconcile serves it)
           val c = cols.keys.toSeq(rnd.nextInt(cols.size))
           val x = rnd.nextInt(1000).toLong
           sqlL(s"DELETE FROM $T WHERE $c >= $x")
           // NULL never matches `>= x` (SQL three-valued logic)
           val kept = rows.filterNot(_.getOrElse(c, None).exists(_ >= x))
           rows.clear(); rows ++= kept
+        case 9 => // LIBRARY POSITION DELETE (merge-on-read, zero rewrites)
+          // — restricted to the birth column c0: it exists PHYSICALLY in
+          // every committed file, so the library view (raw file bytes,
+          // no EXISTS_DEFAULT overlay) and the catalog view agree on it
+          import org.apache.spark.sql.functions.col
+          val c0Logical = cols.keys.find(k => physOf.getOrElse(k, k) == "c0")
+          if (c0Logical.isDefined && rows.nonEmpty &&
+              graft.sources.ManifestTable.currentVersion(dir) > 0) {
+            val x = rnd.nextInt(1000).toLong
+            graft.sources.ManifestTable.deleteWhere(spark, dir,
+              col("c0") >= x): Unit
+            val kept = rows.filterNot(
+              _.getOrElse(c0Logical.get, None).exists(_ >= x))
+            rows.clear(); rows ++= kept
+          }
+        case 10 => // SQL UPDATE (group copy-on-write; under outstanding
+          // position deletes this reads merge-on-read and the commit
+          // reconciles the P| lines — the r11 fix's exact surface)
+          val a = cols.keys.toSeq(rnd.nextInt(cols.size))
+          val b = cols.keys.toSeq(rnd.nextInt(cols.size))
+          val x = rnd.nextInt(1000).toLong
+          if (graft.sources.ManifestTable.currentVersion(dir) > 0) {
+            sqlL(s"UPDATE $T SET $a = $a + 1 WHERE $b >= $x")
+            rows.indices.foreach { i =>
+              if (rows(i).getOrElse(b, None).exists(_ >= x))
+                rows(i) = rows(i) + (a -> rows(i).getOrElse(a, None).map(_ + 1))
+            }
+          }
+        case 11 => // CALL compact: materialize merge-on-read state —
+          // the maintenance loop that clears position deletes and
+          // restores every delete-refusing verb
+          if (rows.nonEmpty &&
+              graft.sources.ManifestTable.currentVersion(dir) > 0) {
+            sqlL(s"CALL gevo.system.compact('ns.evo$seed', 2)").collect(): Unit
+          }
       }
       checkAgainstModel(step)
+      posOutstanding = {
+        val v = graft.sources.ManifestTable.currentVersion(dir)
+        v > 0 && graft.sources.ManifestTable.sqlEntriesAt(dir, v)
+          .exists(_.posDelete)
+      }
     }
     assert(rows.nonEmpty && (dropped.nonEmpty || physOf.nonEmpty),
       "the interleaving must have exercised inserts and drops-or-renames")

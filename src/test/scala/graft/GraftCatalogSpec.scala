@@ -105,15 +105,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE gtest.ns.agg (k BIGINT)")
     (1L to 1000L).toDF("k").createOrReplaceTempView("src_agg")
     spark.sql("INSERT INTO gtest.ns.agg SELECT * FROM src_agg")
-    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "true")
     try {
       val q = spark.sql("SELECT count(*), min(k), max(k) FROM gtest.ns.agg")
       val row = q.head
       assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1000L, 1L, 1000L))
-      // the pushed aggregation shows in the scan description
+      // the pushed aggregation shows NON-EMPTY in the scan description
+      // (`contains("PushedAggregation")` alone matches the empty `[]` —
+      // that weak assert hid a silently-OFF conf: Spark 4.1's key is
+      // `spark.sql.parquet.aggregatePushdown`, lowercase 'down', so the
+      // specs now set SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key)
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation"), plan.take(2000))
-    } finally spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+      assert(plan.contains("PushedAggregation: [COUNT"), plan.take(2000))
+    } finally spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "false")
   }
 
   test("write.order table property range-clusters every INSERT so stats prune automatically") {

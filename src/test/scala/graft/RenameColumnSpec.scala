@@ -54,6 +54,31 @@ class RenameColumnSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 6L)
   }
 
+  test("footer aggregates push down through a rename on physical references") {
+    import spark.implicits._
+    wh: Unit
+    val T = "grnc.ns.fagg"
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT)")
+    (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+      .createOrReplaceTempView("rn_agg_src")
+    spark.sql(s"INSERT INTO $T SELECT * FROM rn_agg_src")
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN k TO key")
+    spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "true")
+    try {
+      // r11: previously a renamed reference REFUSED pushdown for the
+      // rest of the table's life; now the v2 Aggregation is rebuilt on
+      // the physical (storage) names the footers actually carry
+      val q = spark.sql(s"SELECT count(*), min(key), max(key), min(v) FROM $T")
+      val row = q.head
+      assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+        (1000L, 1L, 1000L, 2L))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan.take(2000))
+      assert(plan.contains("MIN(k)"), // the PHYSICAL name reaches the scan
+        plan.take(2000))
+    } finally spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "false")
+  }
+
   test("keyed table: delta UPDATE and merge-on-read SELECT through a renamed column") {
     wh: Unit
     val T = "grnc.ns.keyed"

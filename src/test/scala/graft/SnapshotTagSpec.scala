@@ -51,4 +51,54 @@ class SnapshotTagSpec extends SparkSpec {
     }
     assert(spark.sql(s"SELECT * FROM $T.tags").collect().isEmpty)
   }
+
+  test("concurrent tag mutations never lose a tag (read-validate-claim CAS)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gtag.ns.cc (a BIGINT)")
+    spark.sql("INSERT INTO gtag.ns.cc VALUES (1)")
+    val dir = s"$wh/ns/cc"
+    // ADVICE r10: the old read-modify-write over one tags file let two
+    // concurrent operations silently lose one pin — after which expire()
+    // could reclaim a version the user believed retention-pinned. The
+    // generation CAS makes every mutation a create-no-overwrite claim.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { ManifestTable.createTag(dir, s"pin$i"); () }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    val m = ManifestTable.tags(dir)
+    assert(m.keySet == (1 to 16).map(i => s"pin$i").toSet,
+      s"all 16 concurrent tags must survive, got ${m.keySet.toSeq.sorted}")
+    assert(m.values.forall(_ == 1))
+
+    // duplicate create under contention: exactly one winner, loud losers
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val outcomes = (1 to 4).map { _ =>
+        pool2.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { ManifestTable.createTag(dir, "dup"); true }
+            catch { case _: Exception => false }
+        })
+      }.map(_.get())
+      assert(outcomes.count(identity) == 1,
+        s"exactly one duplicate-create must win, got $outcomes")
+    } finally pool2.shutdown()
+    assert(ManifestTable.tags(dir).contains("dup"))
+
+    // concurrent drops: each tag dropped exactly once, none resurrected
+    val pool3 = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (1 to 16).map { i =>
+        pool3.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { ManifestTable.dropTag(dir, s"pin$i"); () }
+        })
+      }.foreach(_.get())
+    } finally pool3.shutdown()
+    assert(ManifestTable.tags(dir).keySet == Set("dup"))
+  }
 }
