@@ -3009,6 +3009,76 @@ object WarehouseQueries {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q387: WAP-STAGED ROW-LEVEL MUTATIONS (r11) — write-audit-publish for
+  // UPDATE / MERGE / DELETE, not just appends: with
+  // `spark.graft.wap.branch` set, a keyed table's row-level SQL stages
+  // as O(|delta|) equality-delete commits on the audit branch (the op
+  // scan reads the BRANCH head so sequential mutations compose), main
+  // stays pinned for every reader until `CALL fast_forward` publishes
+  // the audited lineage as pure metadata. At 100 TB this is "run the
+  // nightly correction job, check the numbers, THEN let users see it" —
+  // with zero data movement at publish and zero target-file rewrites at
+  // staging. Pinned: main's version and content frozen across three
+  // staged mutations, every pre-mutation file referenced verbatim by
+  // the branch head, the audit read serving merge-on-read over the
+  // staged deltas, and the post-publish aggregate hash-green against
+  // the oracle's relational recompute.
+  def sqlWapStagedMutations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q387_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat387", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat387.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q387_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat387.db.t")
+    s.sql("""CREATE TABLE graft_cat387.db.t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)
+            |TBLPROPERTIES('write.key'='o_orderkey')""".stripMargin)
+    s.sql("INSERT INTO graft_cat387.db.t SELECT * FROM q387_src")      // main v1
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/t"
+    val mainFiles = ManifestTable.sqlEntriesAt(tdir, 1).filter(_.isData).map(_.path)
+    val baseSum = s.sql("SELECT sum(cents) FROM q387_src").head.getLong(0)
+    s.sql("CALL graft_cat387.system.create_branch('db.t', 'stage')")
+    s.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      s.sql("""UPDATE graft_cat387.db.t SET cents = cents + 5
+              |WHERE o_orderpriority = '1-URGENT'""".stripMargin)      // stage v2
+      s.sql("DELETE FROM graft_cat387.db.t WHERE o_orderkey % 10 = 0") // stage v3
+      require(ManifestTable.currentVersion(tdir) == 1,
+        "q387: main must stay pinned while mutations stage")
+      require(s.sql("SELECT sum(cents) FROM graft_cat387.db.t")
+        .head.getLong(0) == baseSum,
+        "q387: main's content must be frozen during staging")
+      val bv = ManifestTable.branchVersion(tdir, "stage")
+      require(bv == 3, s"q387: two staged mutations expected, branch head v$bv")
+      val be = ManifestTable.sqlBranchEntriesAt(tdir, "stage", bv)
+      require(mainFiles.toSet.subsetOf(be.filter(_.isData).map(_.path).toSet),
+        "q387: staging must rewrite ZERO pre-mutation files (pure deltas)")
+      require(be.exists(_.deleteKey.isDefined),
+        "q387: the staged mutations must be equality-delete commits")
+      // the audit leg: merge-on-read over the staged deltas
+      val audited = s.read.option("branch", "stage")
+        .table("graft_cat387.db.t").count()
+      val expectRows = s.sql(
+        "SELECT count(*) FROM q387_src WHERE o_orderkey % 10 <> 0")
+        .head.getLong(0)
+      require(audited == expectRows,
+        s"q387: audit read must see the staged state ($audited vs $expectRows)")
+    } finally s.conf.unset("spark.graft.wap.branch")
+    s.sql("CALL graft_cat387.system.fast_forward('db.t', 'stage')")
+    s.sql("""SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+            |FROM graft_cat387.db.t
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -3127,6 +3197,7 @@ object WarehouseQueries {
     "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
     "q382_rename_column" -> sqlRenameColumn _,
     "q383_snapshot_tags" -> sqlSnapshotTags _,
+    "q387_wap_staged_mutations" -> sqlWapStagedMutations _,
     "q385_cow_under_pos_deletes" -> sqlCowUnderPosDeletes _,
     "q384_partition_evolution" -> sqlPartitionEvolution _,
     "q374_sql_md5bucket_ddl" -> sqlMd5BucketDdl _,
@@ -3194,6 +3265,16 @@ object WarehouseQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM src WHERE y <= 1998 GROUP BY 2
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q387_wap_staged_mutations" ->
+      """WITH src AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 5
+        |         ELSE cents END AS cents FROM src),
+        |kept AS (SELECT * FROM upd WHERE o_orderkey % 10 <> 0)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM kept GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q385_cow_under_pos_deletes" ->
       """WITH src AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -2405,6 +2405,32 @@ object ManifestTable {
     claimManifestIn(md, v, lines)
   }
 
+  /** [[publishDeltaExpected]] on a BRANCH head — the landing verb of
+    * WAP-staged row-level SQL (r11): with `spark.graft.wap.branch` set, a
+    * keyed table's UPDATE / MERGE / DELETE deltas commit to the audit
+    * branch instead of main, so mutations stage + audit + fast-forward
+    * exactly like appends. Sequence scoping is inherited from the branch
+    * data-dir convention (`commit-<v>-<nonce>` parses to seq `v`, which
+    * the fork's files and earlier branch commits all precede), so the
+    * equality deletes scope identically before AND after fast-forward. */
+  def publishDeltaToBranch(dir: String, name: String, v: Int, keyCol: String,
+                           delFiles: Seq[String], rowFiles: Seq[String]): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val head = versionsOnDisk(md).max
+    if (v != head + 1)
+      throw new CommitConflictException(
+        s"publishDeltaToBranch: version $v is not next on branch '$name' (head $head)")
+    require(v > 1, s"publishDeltaToBranch: no committed data under $dir")
+    val cols = delKeyCols(keyCol)
+    require(cols.nonEmpty && cols.forall(c => !c.exists("|;:".contains(_))),
+      s"publishDeltaToBranch: illegal delete key spec '$keyCol'")
+    val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
+      delFiles.sorted.map(f => s"D|$keyCol|$f") ++
+      rowFiles.sorted.map(f => dataLine(f))
+    claimManifestIn(md, v, lines)
+  }
+
   /** [[publishBranchFiles]] with caller-supplied EXTRA stats merged over
     * each file's footer stats — the bucketed branch write's landing verb
     * (the SPJ bucket id is metadata-only, so a plain branch publish would

@@ -1025,9 +1025,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // `.option("branch", "exp")` reads the branch head instead of main —
     // the q349 surface reachable from the reader API (branch manifests
     // are full snapshot listings, so everything downstream — pruning,
-    // aggregate pushdown — works unchanged). Branches carry appends
-    // only through commitToBranch's default; delete-carrying branch
-    // snapshots hit the same refusal as main.
+    // aggregate pushdown, merge-on-read over WAP-staged delta mutations
+    // — works exactly as on main).
     val branchEntries = Option(options.get("branch")).map { b =>
       val v = ManifestTable.branchVersion(dir, b)
       ManifestTable.sqlBranchEntriesAt(dir, b, v)
@@ -1298,8 +1297,21 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version <= 0,
       s"GraftCatalog: cannot mutate $ident at a pinned version")
-    GraftSqlTable.wapGuard(spark, "row-level SQL (UPDATE/MERGE/DELETE)")
     import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, SupportsDelta, WriteBuilder}
+    // WAP-staged mutations (r11): with `spark.graft.wap.branch` set, a
+    // KEYED table's UPDATE / MERGE / DELETE stages on the audit branch —
+    // the op scan reads the BRANCH head (so sequential staged mutations
+    // compose) and the delta commits there; main stays pinned until
+    // fast_forward. Unkeyed tables still refuse loudly below: their
+    // group copy-on-write REPLACES files, and a branch-side replace has
+    // no commit verb (nor an audit story for half-rewritten snapshots).
+    val wapBranch = Option(spark.conf.get("spark.graft.wap.branch", ""))
+      .filter(_.nonEmpty)
+    wapBranch.filter(_ => writeKey.isDefined).foreach { b =>
+      require(ManifestTable.branchExists(dir, b),
+        s"GraftCatalog: no branch '$b' on $ident — create it with " +
+          "CALL system.create_branch first")
+    }
     writeKey match {
       case Some(k) => return new RowLevelOperationBuilder {
         // DELTA row-level ops (the keyed-table path): Spark rewrites
@@ -1314,9 +1326,15 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
             k.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
           override def representUpdateAsDeleteAndInsert(): Boolean = true
-          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-            new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
-              options, renames = renames)
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+            val scanEntries = wapBranch match {
+              case Some(b) => ManifestTable.sqlBranchEntriesAt(dir, b,
+                ManifestTable.branchVersion(dir, b))
+              case None => entries
+            }
+            new GraftScanBuilder(ident, spark, scanEntries,
+              GraftSqlTable.this.schema(), options, renames = renames)
+          }
           override def newWriteBuilder(wInfo: LogicalWriteInfo): DeltaWriteBuilder =
             new DeltaWriteBuilder {
               override def build(): DeltaWrite = new DeltaWrite {
@@ -1325,13 +1343,14 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     new IllegalStateException(
                       s"GraftCatalog: delta write on $ident without a rowIdSchema"))
                   new GraftDeltaBatchWrite(dir, k.mkString(","),
-                    physSchema(wInfo.schema()), idSchema)
+                    physSchema(wInfo.schema()), idSchema, branch = wapBranch)
                 }
               }
             }
         }
       }
       case None =>
+        GraftSqlTable.wapGuard(spark, "row-level SQL (UPDATE/MERGE/DELETE on an unkeyed table)")
     }
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {

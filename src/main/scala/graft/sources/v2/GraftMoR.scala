@@ -453,7 +453,8 @@ final case class DeltaStagedMessage(delPath: Option[String],
     extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(dir: String, keyCol: String,
-                           rowSchema: StructType, idSchema: StructType)
+                           rowSchema: StructType, idSchema: StructType,
+                           branch: Option[String] = None)
     extends DeltaBatchWrite {
   private val stagingDir = s"$dir/_staging/delta-${java.util.UUID.randomUUID()}"
 
@@ -465,10 +466,18 @@ class GraftDeltaBatchWrite(dir: String, keyCol: String,
     val dels = msgs.flatMap(_.delPath).toSeq
     val rows = msgs.flatMap(_.rowPath).toSeq
     if (dels.isEmpty && rows.isEmpty) { cleanupStaging(); return } // no-op delta
-    // same claim-then-move-then-CAS shape as ManifestBatchWrite.commit
-    val v = ManifestTable.currentVersion(dir) + 1
+    // same claim-then-move-then-CAS shape as ManifestBatchWrite.commit;
+    // WAP-staged mutations land on the audit branch's head instead
+    // (per-branch-nonce commit dirs keep sequence scoping correct both
+    // before and after fast-forward)
+    val (v, commitDir) = branch match {
+      case Some(b) => ManifestTable.branchNextCommitDir(dir, b)
+      case None =>
+        val v0 = ManifestTable.currentVersion(dir) + 1
+        (v0, java.nio.file.Paths.get(dir, "data", s"commit-$v0").toString)
+    }
     def move(staged: Seq[String], sub: String): Seq[String] = {
-      val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v", sub)
+      val dataDir = java.nio.file.Paths.get(commitDir, sub)
       java.nio.file.Files.createDirectories(dataDir)
       staged.sorted.map { p =>
         val t = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
@@ -478,7 +487,14 @@ class GraftDeltaBatchWrite(dir: String, keyCol: String,
     }
     val delFinal = move(dels, "del")
     val rowFinal = move(rows, "rows")
-    ManifestTable.publishDeltaExpected(dir, v, keyCol, delFinal, rowFinal): Unit
+    branch match {
+      case Some(b) =>
+        ManifestTable.publishDeltaToBranch(dir, b, v, keyCol,
+          delFinal, rowFinal): Unit
+      case None =>
+        ManifestTable.publishDeltaExpected(dir, v, keyCol,
+          delFinal, rowFinal): Unit
+    }
     cleanupStaging()
   }
 

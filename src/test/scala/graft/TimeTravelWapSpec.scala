@@ -69,4 +69,55 @@ class TimeTravelWapSpec extends SparkSpec {
     ManifestTable.fastForward(dir, "audit")
     assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 6L)
   }
+
+  test("spark.graft.wap.branch stages KEYED row-level SQL on the audit branch (r11)") {
+    import spark.implicits._
+    wh: Unit
+    val T = "gwap.ns.kw"
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) TBLPROPERTIES('write.key'='k')")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("wap_src")
+    spark.sql(s"INSERT INTO $T SELECT * FROM wap_src")                // main v1
+    val dir = s"$wh/ns/kw"
+    val mainFiles = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData).map(_.path)
+    ManifestTable.createBranch(dir, "stage")
+    spark.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      // staged mutations COMPOSE: each op scan reads the branch head
+      spark.sql(s"UPDATE $T SET v = v + 1000 WHERE k <= 10")          // branch v2
+      spark.sql(s"DELETE FROM $T WHERE k > 90")                       // branch v3
+      (5L to 15L).map(k => (k, k * 7)).toDF("k", "nv")
+        .createOrReplaceTempView("wap_m")
+      spark.sql(s"""MERGE INTO $T t USING wap_m s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET v = s.nv
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+                   |""".stripMargin)                                  // branch v4
+      // main NEVER moved; the op scans saw only the branch
+      assert(ManifestTable.currentVersion(dir) == 1, "main must stay pinned")
+      assert(spark.sql(s"SELECT sum(v) FROM $T").head.getLong(0) == (1L to 100L).sum)
+      // zero pre-mutation data files rewritten — pure delta staging
+      val bv = ManifestTable.branchVersion(dir, "stage")
+      assert(bv == 4, s"three staged mutations expected, head v$bv")
+      val branchEntries = ManifestTable.sqlBranchEntriesAt(dir, "stage", bv)
+      assert(mainFiles.toSet.subsetOf(
+        branchEntries.filter(_.isData).map(_.path).toSet),
+        "staged deltas must keep every pre-mutation file")
+      assert(branchEntries.exists(_.deleteKey.isDefined))
+      // the AUDIT leg: merge-on-read over the staged deltas
+      val expect = ((1L to 90L).map(k => k ->
+          (if (k <= 10) k + 1000 else k)).toMap ++
+        (5L to 15L).map(k => k -> k * 7).toMap).values.sum
+      assert(spark.read.option("branch", "stage").table(T)
+        .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == expect,
+        "the audit read must serve the staged merge-on-read state")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // publish: the staged lineage replays onto main verbatim
+    ManifestTable.fastForward(dir, "stage")
+    assert(spark.sql(s"SELECT sum(v) FROM $T").head.getLong(0) == {
+      ((1L to 90L).map(k => k -> (if (k <= 10) k + 1000 else k)).toMap ++
+        (5L to 15L).map(k => k -> k * 7).toMap).values.sum
+    })
+    // maintenance materializes the fast-forwarded deltas physically
+    spark.sql("CALL gwap.system.compact('ns.kw', 2)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $T").head.getLong(0) == 90L)
+  }
 }
