@@ -2213,8 +2213,21 @@ object ManifestTable {
     * over a single file could, after which [[expire]] might reclaim a
     * version the user believed retention-pinned). The legacy un-numbered
     * `tags` file reads as generation 0. */
-  def tags(dir: String): Map[String, Int] = {
-    val md = manifests(dir)
+  def tags(dir: String): Map[String, Int] = tagsIn(manifests(dir))
+
+  /** Tags of a BRANCH namespace (r11, verdict handoff #9): same file
+    * format, same CAS, living in `_manifests/branch-<name>/` — so an
+    * experiment's mid-lineage versions can be pinned by name and read
+    * via `.option("branch", b).option("branchVersion", "tag")`. Branch
+    * manifests are never expire()d (only dropBranch reclaims them), so
+    * a branch tag is a pure label — no retention machinery needed. */
+  def branchTags(dir: String, branch: String): Map[String, Int] = {
+    val md = branchMd(dir, branch)
+    require(Files.isDirectory(md), s"no branch '$branch' under $dir")
+    tagsIn(md)
+  }
+
+  private def tagsIn(md: Path): Map[String, Int] = {
     if (!Files.isDirectory(md)) return Map.empty
     // a generation picked from the listing may be GC'd by a concurrent
     // claim before the read lands — re-list and retry (the claimed MAX
@@ -2259,8 +2272,11 @@ object ManifestTable {
     * one loud duplicate error. Generations older than the one consumed
     * are GC'd after a successful claim (the immediately-previous file
     * survives one round as a reader-race buffer). */
-  private def mutateTags(dir: String, f: Map[String, Int] => Map[String, Int]): Unit = {
-    val md = manifests(dir)
+  private def mutateTags(dir: String, f: Map[String, Int] => Map[String, Int]): Unit =
+    mutateTagsIn(manifests(dir), dir, f)
+
+  private def mutateTagsIn(md: Path, dir: String,
+                           f: Map[String, Int] => Map[String, Int]): Unit = {
     Files.createDirectories(md)
     var attempts = 0
     while (attempts < 64) {
@@ -2340,6 +2356,49 @@ object ManifestTable {
     })
     dropped
   }
+
+  /** Pin a BRANCH version under `name` — see [[branchTags]]. Same name
+    * grammar and immutability contract as main-line [[createTag]]. */
+  def createBranchTag(dir: String, branch: String, name: String,
+                      version: Int = -1): Int = {
+    require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
+      name.exists(!_.isDigit),
+      s"createBranchTag: illegal tag name '$name' (non-empty, no '|', and " +
+        "not all digits — it must never shadow a numeric branch version)")
+    val md = branchMd(dir, branch)
+    require(Files.isDirectory(md), s"no branch '$branch' under $dir")
+    val v = if (version > 0) version else versionsOnDisk(md).max
+    require(Files.exists(md.resolve(s"v$v.list")),
+      s"createBranchTag: version $v of branch '$branch' does not exist")
+    mutateTagsIn(md, dir, { m =>
+      if (m.contains(name))
+        throw new CommitConflictException(
+          s"tag '$name' already exists on branch '$branch'")
+      m + (name -> v)
+    })
+    v
+  }
+
+  def dropBranchTag(dir: String, branch: String, name: String): Int = {
+    val md = branchMd(dir, branch)
+    require(Files.isDirectory(md), s"no branch '$branch' under $dir")
+    var dropped = -1
+    mutateTagsIn(md, dir, { m =>
+      require(m.contains(name),
+        s"dropBranchTag: no tag '$name' on branch '$branch' under $dir")
+      dropped = m(name)
+      m - name
+    })
+    dropped
+  }
+
+  /** Resolve a branch version REFERENCE — a numeric version or a branch
+    * tag name — to its version number (the `branchVersion` reader
+    * option's resolution). */
+  def resolveBranchVersion(dir: String, branch: String, ref: String): Int =
+    if (ref.forall(_.isDigit)) ref.toInt
+    else branchTags(dir, branch).getOrElse(ref,
+      sys.error(s"no tag '$ref' on branch '$branch' under $dir"))
 
   /** Every branch with its fork and head versions — the `.branches`
     * metadata table's row set. */

@@ -1028,7 +1028,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     // aggregate pushdown, merge-on-read over WAP-staged delta mutations
     // — works exactly as on main).
     val branchEntries = Option(options.get("branch")).map { b =>
-      val v = ManifestTable.branchVersion(dir, b)
+      // `.option("branchVersion", "3" | "tagname")` pins a branch
+      // version (numeric or a branch tag, r11) instead of the head —
+      // branch-side time travel for the audit loop
+      val v = Option(options.get("branchVersion"))
+        .map(ManifestTable.resolveBranchVersion(dir, b, _))
+        .getOrElse(ManifestTable.branchVersion(dir, b))
       ManifestTable.sqlBranchEntriesAt(dir, b, v)
     }
     // DataFrame-reader time travel (`.option("versionAsOf", "3" |

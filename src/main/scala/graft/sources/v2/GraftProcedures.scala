@@ -158,6 +158,30 @@ private[v2] object GraftProcedures {
             args.getUTF8String(1).toString)
           Seq(row(v.toLong))
         })
+      case "create_branch_tag" => proc("create_branch_tag",
+        "pin the branch's current version under a name",
+        Seq(in("table", StringType), in("branch", StringType),
+          in("name", StringType)),
+        StructType(Seq(StructField("tagged_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.createBranchTag(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString,
+            args.getUTF8String(2).toString)
+          Seq(row(v.toLong))
+        })
+      case "drop_branch_tag" => proc("drop_branch_tag",
+        "drop a branch tag",
+        Seq(in("table", StringType), in("branch", StringType),
+          in("name", StringType)),
+        StructType(Seq(StructField("untagged_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.dropBranchTag(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString,
+            args.getUTF8String(2).toString)
+          Seq(row(v.toLong))
+        })
       case "add_partition_field" => proc("add_partition_field",
         "evolve the partition spec: new commits cluster by the added " +
           "transform, old files prune conservatively (no rewrite)",
@@ -183,15 +207,16 @@ private[v2] object GraftProcedures {
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
           "compact, expire, vacuum, zorder, create_branch, fast_forward, " +
-          "drop_branch, rollback, create_tag, drop_tag, " +
-          "add_partition_field, drop_partition_field")
+          "drop_branch, rollback, create_tag, drop_tag, create_branch_tag, " +
+          "drop_branch_tag, add_partition_field, drop_partition_field")
     }
   }
 
   val names: Array[Identifier] =
     Array("compact", "expire", "vacuum", "zorder",
       "create_branch", "fast_forward", "drop_branch", "rollback",
-      "create_tag", "drop_tag", "add_partition_field", "drop_partition_field")
+      "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
+      "add_partition_field", "drop_partition_field")
       .map(Identifier.of(Array("system"), _))
 
   /** `days(col)` / `md5bucket(n, col)` — the same transform grammar

@@ -101,4 +101,37 @@ class SnapshotTagSpec extends SparkSpec {
     } finally pool3.shutdown()
     assert(ManifestTable.tags(dir).keySet == Set("dup"))
   }
+
+  test("branch tags pin mid-lineage versions; the reader resolves them (r11)") {
+    import spark.implicits._
+    wh: Unit
+    val T = "gtag.ns.bt"
+    spark.sql(s"CREATE TABLE $T (a BIGINT)")
+    spark.sql(s"INSERT INTO $T VALUES (1), (2)")                     // main v1
+    val dir = s"$wh/ns/bt"
+    spark.sql(s"CALL gtag.system.create_branch('ns.bt', 'exp')")
+    Seq(3L).toDF("a").writeTo(T).option("branch", "exp").append()    // exp v2
+    assert(spark.sql(s"CALL gtag.system.create_branch_tag('ns.bt', 'exp', 'mid')")
+      .head.getLong(0) == 2L)
+    Seq(4L).toDF("a").writeTo(T).option("branch", "exp").append()    // exp v3
+    // head read vs the tagged mid-lineage read
+    assert(spark.read.option("branch", "exp").table(T).count() == 4L)
+    assert(spark.read.option("branch", "exp").option("branchVersion", "mid")
+      .table(T).count() == 3L)
+    assert(spark.read.option("branch", "exp").option("branchVersion", "2")
+      .table(T).count() == 3L)
+    // main tags and branch tags are separate namespaces
+    assert(ManifestTable.tags(dir).isEmpty)
+    assert(ManifestTable.branchTags(dir, "exp") == Map("mid" -> 2))
+    // guards: duplicates, numeric names, unknown refs
+    intercept[Exception] { ManifestTable.createBranchTag(dir, "exp", "mid") }
+    intercept[Exception] { ManifestTable.createBranchTag(dir, "exp", "123") }
+    intercept[Exception] {
+      spark.read.option("branch", "exp").option("branchVersion", "nope")
+        .table(T).count()
+    }
+    assert(spark.sql(s"CALL gtag.system.drop_branch_tag('ns.bt', 'exp', 'mid')")
+      .head.getLong(0) == 2L)
+    assert(ManifestTable.branchTags(dir, "exp").isEmpty)
+  }
 }
