@@ -803,7 +803,70 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q388: MMR DIVERSIFICATION (maximal marginal relevance, λ=0.7) —
+  // the rerank every retrieval stack runs after fusion: from each
+  // query's top-20 cosine candidates, greedily pick 5 maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) — relevance traded
+  // against redundancy, so near-duplicate hits stop crowding the
+  // context window. Scale: the rerank is PER-QUERY bounded state (20
+  // candidates × dim doubles) inside `flatMapGroups` — a million
+  // queries parallelize across the cluster, and no stage ever
+  // materializes more than the top-k lists the retrieval already
+  // paid for. Cross-engine determinism: rel and pairwise sims are the
+  // shared 6-dp-rounded cosine; the greedy argmax tie-breaks on
+  // (score DESC, c_id ASC); λ enters as the same double literal both
+  // sides — the oracle unrolls the 5 greedy steps as CTE stages.
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val top = Similarity.knnBruteForce(queries, corpus, 20)
+      .select($"q_id", $"c_id", $"sim".as("rel"))
+    // candidate vectors ride into the per-query rerank group
+    val withVec = top.join(emb.select($"vec_id".as("c_id"),
+        $"embedding".cast("array<double>").as("v")), Seq("c_id"))
+      .select($"q_id", $"c_id", $"rel", $"v")
+      .as[(Long, Long, Double, Seq[Double])]
+    val picked = withVec.groupByKey(_._1).flatMapGroups {
+      (q: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        // deterministic entry order (iterator order is not guaranteed)
+        var remaining = it.toVector.sortBy(_._2)
+        // Spark round(col, 6)'s exact twin: BigDecimal HALF_UP — the
+        // same rounding the rel leg and the oracle's round() apply
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        var sel = Vector.empty[Seq[Double]]
+        val out = scala.collection.mutable.Buffer.empty[(Long, Long, Double, Int)]
+        var step = 1
+        while (step <= 5 && remaining.nonEmpty) {
+          val scored = remaining.map { case (_, cId, rel, v) =>
+            val pen = if (sel.isEmpty) 0.0 else sel.map(sv => cos(v, sv)).max
+            (cId, v, 0.7 * rel - 0.3 * pen)
+          }
+          val best = scored.minBy { case (cId, _, sc) => (-sc, cId) }
+          out += ((q, best._1, best._3, step))
+          sel = sel :+ best._2
+          remaining = remaining.filterNot(_._2 == best._1)
+          step += 1
+        }
+        out.iterator
+    }
+    picked.toDF("q_id", "c_id", "mmr", "rank")
+      .select($"q_id", $"c_id", $"mmr", $"rank".cast("int").as("rank"))
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_mmr_diversify" -> mmrDiversify _,
     "q386_rrf_hybrid" -> rrfHybridFusion _,
     "q335_vector_sql" -> vectorSql _,
     "q346_ivfpq_residual" -> ivfPqResidual _,
@@ -827,7 +890,56 @@ object VectorQueries {
     "q99_semantic_dedup" -> semanticDedupFace _
   )
 
+  /** One greedy MMR step as oracle CTEs: score the not-yet-picked
+    * candidates against the selected set `sel<i-1>`, pick the argmax
+    * (score DESC, c_id ASC), extend the set. The 5 steps unroll because
+    * the greedy recurrence has no closed SQL form — this IS the
+    * definition, stage by stage. */
+  private def mmrStage(i: Int): String = {
+    val p = i - 1
+    s"""score$i AS (SELECT c.q_id, c.c_id,
+       |    CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*pn.pen AS mmr
+       |  FROM cand c
+       |  JOIN (SELECT s.q_id, s.x AS c_id, max(s.sim) AS pen FROM sims s
+       |        JOIN sel$p z ON z.q_id = s.q_id AND z.c_id = s.y GROUP BY 1, 2) pn
+       |    ON pn.q_id = c.q_id AND pn.c_id = c.c_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel$p z
+       |                    WHERE z.q_id = c.q_id AND z.c_id = c.c_id)),
+       |pick$i AS (SELECT q_id, c_id, mmr, $i AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, c_id ASC) rn
+       |  FROM score$i) t WHERE rn = 1),
+       |sel$i AS (SELECT q_id, c_id FROM sel$p UNION ALL SELECT q_id, c_id FROM pick$i)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q388_mmr_diversify" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |rel0 AS (SELECT q_id, e.vec_id AS c_id, ${cosSql("qv", "v")} AS rel,
+         |    e.v AS cv
+         |  FROM qe JOIN e ON e.vec_id <> q_id),
+         |cand AS (SELECT q_id, c_id, rel, cv FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) rn
+         |  FROM rel0) t WHERE rn <= 20),
+         |sims AS (SELECT a.q_id, a.c_id AS x, b.c_id AS y,
+         |    ${cosSql("a.cv", "b.cv")} AS sim
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+         |pick1 AS (SELECT q_id, c_id, CAST(0.7 AS DOUBLE) * rel AS mmr,
+         |    1 AS rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) rn
+         |  FROM cand) t WHERE rn = 1),
+         |sel1 AS (SELECT q_id, c_id FROM pick1),
+         |${mmrStage(2)},
+         |${mmrStage(3)},
+         |${mmrStage(4)},
+         |${mmrStage(5)}
+         |SELECT q_id, c_id, mmr, CAST(rank AS INT) AS rank FROM (
+         |  SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
+         |  UNION ALL SELECT * FROM pick3 UNION ALL SELECT * FROM pick4
+         |  UNION ALL SELECT * FROM pick5) u
+         |ORDER BY q_id, rank""".stripMargin,
     "q386_rrf_hybrid" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, w FROM (
