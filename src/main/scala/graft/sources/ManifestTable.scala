@@ -815,7 +815,8 @@ object ManifestTable {
     * O(|position deletes|) driver-coordinated reads of key-only files —
     * the same order as the MoR scan already paid to serve them. */
   private def reconcilePosDeletes(dir: String, v: Int, keep: Seq[String],
-                                  replaced: Set[String]): Seq[String] = {
+                                  replaced: Set[String],
+                                  commitDir: Option[Path] = None): Seq[String] = {
     if (replaced.isEmpty || !keep.exists(_.startsWith("P|"))) return keep
     val spark = org.apache.spark.sql.SparkSession.active
     def norm(p: String): String =
@@ -834,7 +835,7 @@ object ManifestTable {
         else if (live.isEmpty) None
         else {
           import org.apache.spark.sql.functions.col
-          val dataDir = Paths.get(dir, "data", s"commit-$v")
+          val dataDir = commitDir.getOrElse(Paths.get(dir, "data", s"commit-$v"))
           Files.createDirectories(dataDir)
           val rwDir = dataDir.resolve(
             s"posrw-${java.util.UUID.randomUUID().toString.take(8)}").toString
@@ -2488,6 +2489,34 @@ object ManifestTable {
       delFiles.sorted.map(f => s"D|$keyCol|$f") ++
       rowFiles.sorted.map(f => dataLine(f))
     claimManifestIn(md, v, lines)
+  }
+
+  /** [[publishCowExpected]] on a BRANCH head — the landing verb of
+    * WAP-staged row-level SQL on UNKEYED tables (r11): the group
+    * rewrite's scan read the BRANCH snapshot, so the commit replaces
+    * exactly those files within the branch manifest; untouched lines —
+    * including delete entries scoping surviving data — carry forward,
+    * and position-delete lines reconcile against the replaced set
+    * exactly like on main (the rewritten delete files land in the
+    * branch's nonce commit dir). fastForward replays the resulting
+    * manifests verbatim. */
+  def publishCowToBranch(dir: String, name: String, v: Int,
+                         replaced: Set[String], newFiles: Seq[String],
+                         commitDir: Path): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val head = versionsOnDisk(md).max
+    if (v != head + 1)
+      throw new CommitConflictException(
+        s"publishCowToBranch: version $v is not next on branch '$name' (head $head)")
+    val keep = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq
+      .filter { l =>
+        val e = parseEntry(l)
+        !(e.isData && replaced.contains(e.path))
+      }
+    claimManifestIn(md, v,
+      reconcilePosDeletes(dir, v, keep, replaced, commitDir = Some(commitDir)) ++
+        newFiles.sorted.map(f => dataLine(f)))
   }
 
   /** [[publishBranchFiles]] with caller-supplied EXTRA stats merged over

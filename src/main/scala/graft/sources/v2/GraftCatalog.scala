@@ -1261,8 +1261,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
   // fast path lands on deleteWhereCow, whose "compact first" require
   // would fail the statement — whereas the group row-level plan Spark
   // falls back to reads merge-on-read and commits a pos-delete-safe CoW
+  // the WAP conf also refuses the fast path (r11): the metadata delete
+  // would land on MAIN while the session believes it is staging — the
+  // row-level fallback routes to the audit branch instead
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     version <= 0 && writeKey.isEmpty && entries.forall(_.isData) &&
+      spark.conf.get("spark.graft.wap.branch", "").isEmpty &&
       filters.forall(filterToColumn(_).isDefined) &&
       !filters.exists(_.references.exists(renames.contains))
 
@@ -1355,7 +1359,25 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         }
       }
       case None =>
-        GraftSqlTable.wapGuard(spark, "row-level SQL (UPDATE/MERGE/DELETE on an unkeyed table)")
+        // unkeyed WAP staging works for PLAIN and write.order layouts
+        // (the group CoW has a branch commit verb, r11); bucketed and
+        // transform layouts refuse — their branch rewrite would need
+        // tagged/cell-split branch CoW verbs nobody has asked for
+        wapBranch.foreach { b =>
+          require(bucketSpec.isEmpty &&
+            ManifestTable.partitionTransforms(dir).isEmpty,
+            s"GraftCatalog: WAP staging of row-level SQL on a bucketed/" +
+              s"transform-partitioned UNKEYED table is not supported — " +
+              "declare a write.key (delta staging) or unset spark.graft.wap.branch")
+          require(ManifestTable.branchExists(dir, b),
+            s"GraftCatalog: no branch '$b' on $ident — create it with " +
+              "CALL system.create_branch first")
+        }
+    }
+    val cowScanEntries = wapBranch match {
+      case Some(b) => ManifestTable.sqlBranchEntriesAt(dir, b,
+        ManifestTable.branchVersion(dir, b))
+      case None => entries
     }
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
@@ -1376,20 +1398,28 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
           // with the scan's output, so in-file filtering loses rows (see
           // GraftScanBuilder.fileConjuncts) — the condition still prunes
           // FILES statically and via the runtime group filter
-          new GraftScanBuilder(ident, spark, entries, GraftSqlTable.this.schema(),
+          new GraftScanBuilder(ident, spark, cowScanEntries, GraftSqlTable.this.schema(),
             options, renames = renames, pushToFiles = false) {
             // single runtime attribute: the group-filter rule keys its
             // subquery on ALL advertised attrs, and only single-key
-            // dynamic predicates translate to v2 runtime filters
+            // dynamic predicates translate to v2 runtime filters.
+            // Under WAP staging, advertise NONE: Spark's group-filter
+            // subquery reads the TABLE's normal scan — which serves
+            // MAIN while the op scans the BRANCH — so its IN-list would
+            // prune against the wrong snapshot (observed: an empty
+            // match on main pruned the whole branch scan and the
+            // staged UPDATE became a silent no-op). Static stats
+            // pruning still bounds the rewrite.
             override protected def runtimeAttrs(statCols: Seq[String]): Seq[String] =
-              (writeOrder.map(_._1).filter(statCols.contains) orElse
+              if (wapBranch.isDefined) Nil
+              else (writeOrder.map(_._1).filter(statCols.contains) orElse
                 statCols.headOption).toSeq
             override def build(): Scan = {
               val s = super.build()
               activeFiles = Some(s match {
                 case t: GraftTrackedScan => () => t.currentPaths
                 case m: GraftMoRScan     => () => m.dataPaths
-                case _ => () => entries.filter(_.isData).map(_.path)
+                case _ => () => cowScanEntries.filter(_.isData).map(_.path)
               })
               s
             }
@@ -1463,13 +1493,13 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                       else super.advisoryPartitionSizeInBytes()
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                       new GroupCowBatchWrite(dir, physSchema(wInfo.schema()),
-                        () => activeFiles.map(_.apply()))
+                        () => activeFiles.map(_.apply()), branch = wapBranch)
                   }
                 case None =>
                   new org.apache.spark.sql.connector.write.Write {
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                       new GroupCowBatchWrite(dir, physSchema(wInfo.schema()),
-                        () => activeFiles.map(_.apply()))
+                        () => activeFiles.map(_.apply()), branch = wapBranch)
                   }
               }
           }

@@ -229,7 +229,8 @@ class GraftAdaptiveScan(ident: String, spark: SparkSession,
   * resolves at COMMIT time, after runtime group filtering has shrunk the
   * scan's file set. */
 class GroupCowBatchWrite(dir: String, schema: StructType,
-                         scannedF: () => Option[Seq[String]])
+                         scannedF: () => Option[Seq[String]],
+                         branch: Option[String] = None)
     extends BatchWrite {
   private val stagingDir = s"$dir/_staging/${java.util.UUID.randomUUID()}"
 
@@ -242,18 +243,36 @@ class GroupCowBatchWrite(dir: String, schema: StructType,
       case StagedFilesMessage(ps) => ps
       case _ => Seq.empty
     }
-    val v = ManifestTable.currentVersion(dir) + 1
     val replaced = scannedF().getOrElse(sys.error(
       "GroupCowBatchWrite: row-level write committed without a scan — " +
         "cannot determine the replaced group set")).toSet
-    val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
+    // WAP staging (unkeyed tables): the rewrite replaces files WITHIN
+    // the audit branch's snapshot; main is untouched until fast_forward
+    val (v, dataDir) = branch match {
+      case Some(b) =>
+        val (bv, d) = ManifestTable.branchNextCommitDir(dir, b)
+        (bv, java.nio.file.Paths.get(d))
+      case None =>
+        val v0 = ManifestTable.currentVersion(dir) + 1
+        (v0, java.nio.file.Paths.get(dir, "data", s"commit-$v0"))
+    }
     java.nio.file.Files.createDirectories(dataDir)
     val finalPaths = staged.toSeq.sorted.map { p =>
       val target = dataDir.resolve(java.nio.file.Paths.get(p).getFileName)
       java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
       target.toAbsolutePath.toString
+      // a group DELETE matching every row of its scanned files rewrites
+      // to zero rows — keep empty outputs out of the manifest (same
+      // rule as overwriteWhere)
+    }.filterNot(f =>
+      ManifestTable.fileStats(f).get("__rows").exists(_._1 == 0))
+    branch match {
+      case Some(b) =>
+        ManifestTable.publishCowToBranch(dir, b, v, replaced, finalPaths,
+          commitDir = dataDir): Unit
+      case None =>
+        ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
     }
-    ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
     cleanupStaging()
   }
 

@@ -60,14 +60,36 @@ class TimeTravelWapSpec extends SparkSpec {
       assert(spark.read.option("branch", "audit").table(T)
         .agg(org.apache.spark.sql.functions.sum("a")).head.getLong(0) == 6L,
         "the audit branch must hold the staged rows")
-      // non-append mutations refuse loudly instead of touching main
-      intercept[Exception] { spark.sql(s"UPDATE $T SET a = 0 WHERE a = 1") }
-      intercept[Exception] { spark.sql(s"DELETE FROM $T WHERE a = 1") }
+      // r11: unkeyed row-level SQL now STAGES too (the group CoW has a
+      // branch commit verb) — main still never moves
+      spark.sql(s"UPDATE $T SET a = a + 10 WHERE a = 2")
+      spark.sql(s"DELETE FROM $T WHERE a = 3")
+      assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 1L,
+        "main must stay untouched across staged row-level SQL")
+      assert(spark.read.option("branch", "audit").table(T)
+        .agg(org.apache.spark.sql.functions.sum("a")).head.getLong(0) == 13L,
+        "the audit branch must serve the staged mutations (1 + 12)")
+      // verbs with no branch story still refuse loudly
       intercept[Exception] { spark.sql(s"TRUNCATE TABLE $T") }
     } finally spark.conf.unset("spark.graft.wap.branch")
-    // publish: fast-forward replays the audited commit onto main
+    // publish: fast-forward replays the audited lineage onto main
     ManifestTable.fastForward(dir, "audit")
-    assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 6L)
+    assert(spark.sql(s"SELECT sum(a) FROM $T").head.getLong(0) == 13L)
+    assert(spark.sql(s"SELECT count(*) FROM $T").head.getLong(0) == 2L)
+  }
+
+  test("WAP staging refuses on bucketed UNKEYED tables (no tagged branch CoW verb)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gwap.ns.bw (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gwap.ns.bw VALUES (1, 1), (2, 2)")
+    ManifestTable.createBranch(s"$wh/ns/bw", "audit")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      intercept[Exception] { spark.sql("UPDATE gwap.ns.bw SET v = 0 WHERE k = 1") }
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // and the refusal left both main and the branch untouched
+    assert(spark.sql("SELECT sum(v) FROM gwap.ns.bw").head.getLong(0) == 3L)
+    assert(ManifestTable.branchVersion(s"$wh/ns/bw", "audit") == 1)
   }
 
   test("spark.graft.wap.branch stages KEYED row-level SQL on the audit branch (r11)") {
