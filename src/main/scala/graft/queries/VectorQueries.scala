@@ -865,7 +865,41 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q389: CONTEXT PACKING — the last step of a retrieval pipeline:
+  // walk each query's ranked hits in order and keep the PREFIX whose
+  // cumulative whitespace-token count fits the context budget (256
+  // here). Pure window algebra — a running sum over (q_id, rank) and a
+  // prefix filter — so it rides whole-stage codegen end to end: no
+  // UDF, no per-query loop. Scale: the ranked lists are |q|·20 rows
+  // (broadcastable), token counts join on c_id (one bounded shuffle),
+  // and the window partitions by q_id over ≤20 rows each — millions of
+  // queries parallelize with no skew (every partition is the same
+  // size by construction).
+  def contextPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val docs = Tables(s, dir).documents
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val top = Similarity.knnBruteForce(queries, corpus, 20)
+      .select($"q_id", $"c_id", $"rank")
+    // doc_id = vec_id in the corpus; token counts via the shared
+    // whitespace tokenizer (PF.tokens ≡ the oracle's wordsSql)
+    val toks = docs.select($"doc_id".as("c_id"),
+      size(graft.functions.ParityFunctions.tokens($"text"))
+        .cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"rank")
+    top.join(toks, Seq("c_id"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= 256L)
+      .select($"q_id", $"c_id", $"rank", $"n_tokens", $"cum_tokens")
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_context_pack" -> contextPack _,
     "q388_mmr_diversify" -> mmrDiversify _,
     "q386_rrf_hybrid" -> rrfHybridFusion _,
     "q335_vector_sql" -> vectorSql _,
@@ -912,6 +946,25 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q389_context_pack" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |rel0 AS (SELECT q_id, e.vec_id AS c_id, ${cosSql("qv", "v")} AS sim
+         |  FROM qe JOIN e ON e.vec_id <> q_id),
+         |top AS (SELECT q_id, c_id, rank FROM (
+         |  SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+         |  FROM rel0) t WHERE rank <= 20),
+         |tok AS (SELECT doc_id AS c_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |packed AS (SELECT t.q_id, t.c_id, t.rank, k.n_tokens,
+         |    CAST(sum(k.n_tokens) OVER
+         |      (PARTITION BY t.q_id ORDER BY t.rank) AS BIGINT) AS cum_tokens
+         |  FROM top t JOIN tok k ON k.c_id = t.c_id)
+         |SELECT q_id, c_id, CAST(rank AS INT) AS rank, n_tokens, cum_tokens
+         |FROM packed WHERE cum_tokens <= 256 ORDER BY q_id, rank""".stripMargin,
     "q388_mmr_diversify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -831,7 +831,8 @@ object ManifestTable {
         val refs = spark.read.parquet(e.path).select("file_path")
           .distinct().collect().map(_.getString(0))
         val (dead, live) = refs.partition(r => replacedNorm.contains(norm(r)))
-        if (dead.isEmpty) Some(l)
+        if (refs.isEmpty) None // a ref-less delete file masks nothing
+        else if (dead.isEmpty) Some(l)
         else if (live.isEmpty) None
         else {
           import org.apache.spark.sql.functions.col
@@ -905,6 +906,17 @@ object ManifestTable {
       case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+    // a snapshot with NO data files (empty table, or every data file
+    // deleted away leaving only delete entries) is an EMPTY frame:
+    // typed when the caller supplied the table schema; schema-less
+    // otherwise (zero paths cannot infer one — the library contract's
+    // honest limit, and spark.read.parquet() would throw)
+    def emptyFrame(): DataFrame = tableSchema match {
+      case Some(sch) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case None => spark.emptyDataFrame
+    }
+    if (!entries.exists(_.isData)) return emptyFrame()
     if (!needMeta && entries.forall(_.isData))
       return dropHidden(base(entries.map(_.path)))
     // _metadata is only addressable at the scan, so (file, pos) are
@@ -961,7 +973,7 @@ object ManifestTable {
         "left_anti")
     }
     if (df != null && !withMeta && needMeta) df = df.drop(MetaCols: _*)
-    if (df != null) dropHidden(df) else df
+    if (df != null) dropHidden(df) else emptyFrame()
   }
 
   /** Row-level DELETE WHERE via POSITION deletes — the second Iceberg
@@ -979,8 +991,11 @@ object ManifestTable {
     import org.apache.spark.sql.functions.col
     val v = currentVersion(dir) + 1
     require(v > 1, s"ManifestTable.deleteWhere: no committed data under $dir")
-    val snap = assemble(spark, manifestFiles(dir, v - 1).map(parseEntry), dir,
-      withMeta = true)
+    val snapEntries = manifestFiles(dir, v - 1).map(parseEntry)
+    // a data-less snapshot has nothing to delete — a NO-OP, not a crash
+    // (the predicate could not even resolve against an empty frame)
+    if (!snapEntries.exists(_.isData)) return v - 1
+    val snap = assemble(spark, snapEntries, dir, withMeta = true)
     val hits = snap.filter(predicate)
       .select(col(MetaCols(0)).as("file_path"), col(MetaCols(1)).as("pos"))
     val dataDir = s"$dir/data/commit-$v"
@@ -990,6 +1005,10 @@ object ManifestTable {
     // keeps zero-IO COUNT(*) — see [[countStar]]
     val delFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
+      // a predicate matching NOTHING writes zero-row delete files — keep
+      // them out of the manifest (an empty delete file masks nothing but
+      // pins the table on the merge-on-read path forever)
+      .filterNot(f => fileStats(f.getAbsolutePath).get("__rows").exists(_._1 == 0))
       .map { f =>
         val st = fileStats(f.getAbsolutePath)
         val seg =
@@ -998,6 +1017,9 @@ object ManifestTable {
             .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
         s"P|${f.getAbsolutePath}|$seg"
       }.sorted
+    // no matches at all → a NO-OP, not an empty commit (the snapshot is
+    // bit-identical; versioning it would only churn retention)
+    if (delFiles.isEmpty) return v - 1
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 

@@ -34,6 +34,7 @@ class EvolutionPropertySpec extends SparkSpec {
     var orderCol: Option[String] = None
     val rows = mutable.Buffer.empty[Map[String, Option[Long]]]
     var nextId = 1
+    var inserted = false
     var posOutstanding = false // library position deletes in the snapshot
 
     def checkAgainstModel(step: Int): Unit = {
@@ -140,6 +141,7 @@ class EvolutionPropertySpec extends SparkSpec {
             .mkString(", ")
           sqlL(s"INSERT INTO $T VALUES $values")
           rows ++= batch
+          inserted = true
         case 6 => // DYNAMIC OVERWRITE: delete-matching + append, one commit
           import org.apache.spark.sql.functions.col
           val c = cols.keys.toSeq(rnd.nextInt(cols.size))
@@ -240,7 +242,9 @@ class EvolutionPropertySpec extends SparkSpec {
           .exists(_.posDelete)
       }
     }
-    assert(rows.nonEmpty && (dropped.nonEmpty || physOf.nonEmpty),
+    // the END state may legitimately be empty (delete-heavy tails) —
+    // what must hold is that the run EXERCISED the surfaces
+    assert(inserted && (dropped.nonEmpty || physOf.nonEmpty),
       "the interleaving must have exercised inserts and drops-or-renames")
   }
 }
