@@ -132,6 +132,41 @@ class CowPosDeleteSpec extends SparkSpec {
       (11L to 90L).sum)
   }
 
+  test("SQL DELETE and UPDATE on an EQUALITY-delete-carrying unkeyed snapshot") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t5 (k BIGINT, v BIGINT)")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src5")
+    spark.sql("INSERT INTO gcpd.ns.t5 SELECT * FROM cpd_src5")           // v1
+    val dir = s"$wh/ns/t5"
+    // library MERGE: equality-delete + re-insert (k=1..10 bumped +500)
+    ManifestTable.merge(
+      (1L to 10L).map(k => (k, k + 500)).toDF("k", "v"), dir, "k")       // v2
+    assert(ManifestTable.sqlEntriesAt(dir, 2).exists(_.deleteKey.isDefined))
+    // countStar honestly refuses under equality deletes (match
+    // cardinality unknowable without IO)
+    assert(ManifestTable.countStar(dir).isEmpty)
+    // SQL DELETE routes to the row-level plan (the metadata path would
+    // die on deleteWhereCow's delete-entry guard)
+    spark.sql("DELETE FROM gcpd.ns.t5 WHERE k > 90")                     // v3
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t5").head.getLong(0) == 90L)
+    // SQL UPDATE over the still-delete-carrying snapshot: the MoR scan
+    // materializes the equality deletes in the rewrite; rewritten files
+    // carry seq v so the old D| lines no longer apply to them
+    spark.sql("UPDATE gcpd.ns.t5 SET v = v + 1000 WHERE k % 2 = 0")      // v4
+    val expect = (1L to 90L).map { k =>
+      val base = if (k <= 10) k + 500 else k
+      if (k % 2 == 0) base + 1000 else base
+    }.sum
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t5").head.getLong(0) == expect)
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t5").head.getLong(0) == 90L)
+    // time travel across all three mutations
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t5 VERSION AS OF 1")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t5 VERSION AS OF 2")
+      .head.getLong(0) == (1L to 100L).sum + 10L * 500L)
+  }
+
   test("bucketed CoW under position deletes reconciles P| lines AND keeps SPJ tags") {
     import spark.implicits._
     wh: Unit
