@@ -3079,6 +3079,89 @@ object WarehouseQueries {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q390: PHYSICAL ERASURE PROOF (right-to-be-forgotten) — the
+  // compliance loop every regulated 100 TB lakehouse runs, composed
+  // from verbs that all exist: SQL DELETE on a keyed table lands as an
+  // O(delta) equality-delete commit — a LOGICAL erasure whose bytes
+  // remain on disk (require-pinned: the victim's rows are still
+  // readable in the raw files, which is exactly why "DELETE ran" is
+  // not a compliance answer) — then CALL compact materializes the
+  // merge-on-read state into victim-free files, CALL expire reclaims
+  // the pre-erasure manifests (time travel to the victim's data must
+  // die too), and CALL vacuum(0) physically deletes every unreferenced
+  // file, INCLUDING the delete files that carried the victim's keys.
+  // The proof leg re-reads EVERY parquet file left under the table and
+  // requires zero victim rows — not "the query can't see them", but
+  // "the bytes are gone". Hash-green vs the oracle's minus-victim
+  // recompute.
+  def sqlErasureProof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q390_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat390", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat390.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q390_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat390.db.t")
+    s.sql("""CREATE TABLE graft_cat390.db.t
+            |(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING,
+            | cents BIGINT)
+            |TBLPROPERTIES('write.key'='o_orderkey')""".stripMargin)
+    s.sql("INSERT INTO graft_cat390.db.t SELECT * FROM q390_src")        // v1
+    val tdir = s"$out/db/t"
+    val victim = s.sql("SELECT min(o_custkey) FROM q390_src").head.getLong(0)
+    val victimKeys = s.sql(
+      s"SELECT o_orderkey FROM q390_src WHERE o_custkey = $victim")
+      .collect().map(_.getLong(0)).toSet
+    require(victimKeys.nonEmpty, "q390: the victim must own rows")
+    def allParquet(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$tdir/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+    def victimRowsOnDisk(): Long = {
+      // every file — data AND delete files — carries o_orderkey; read
+      // each against that one-column schema (missing columns are not
+      // possible here, the key is the first column everywhere)
+      val paths = allParquet()
+      if (paths.isEmpty) 0L
+      else s.read.schema("o_orderkey BIGINT").parquet(paths: _*)
+        .filter($"o_orderkey".isin(victimKeys.toSeq: _*)).count()
+    }
+    // LOGICAL erasure: one O(delta) commit, reads hide the victim …
+    s.sql(s"DELETE FROM graft_cat390.db.t WHERE o_custkey = $victim")    // v2
+    require(s.sql(
+      s"SELECT count(*) FROM graft_cat390.db.t WHERE o_custkey = $victim")
+      .head.getLong(0) == 0L, "q390: the DELETE must hide the victim")
+    // … but the BYTES are still on disk (delete files even re-listed
+    // the keys) — the pin that makes the rest of the loop necessary
+    require(victimRowsOnDisk() >= victimKeys.size,
+      "q390: logical deletion must leave the physical bytes in place")
+    s.sql("CALL graft_cat390.system.compact('db.t', 4)").collect()       // v3
+    s.sql("CALL graft_cat390.system.expire('db.t', 1)").collect()
+    s.sql("CALL graft_cat390.system.vacuum('db.t', 0)").collect()
+    require(victimRowsOnDisk() == 0L,
+      "q390: after compact+expire+vacuum the victim's bytes must be GONE " +
+        "from every remaining file")
+    // pre-erasure time travel died with its manifests
+    val gone =
+      try { s.sql("SELECT count(*) FROM graft_cat390.db.t VERSION AS OF 1")
+        .collect(); false }
+      catch { case _: Exception => true }
+    require(gone, "q390: expired pre-erasure versions must refuse")
+    s.sql("""SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+            |FROM graft_cat390.db.t
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q363: STREAMING READ of a catalog table — `spark.readStream.table`
   // over the SAME identifier batch SQL uses: the unification Delta calls
   // "the table is the stream". Three INSERT INTO commits stream as three
@@ -3197,6 +3280,7 @@ object WarehouseQueries {
     "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
     "q382_rename_column" -> sqlRenameColumn _,
     "q383_snapshot_tags" -> sqlSnapshotTags _,
+    "q390_erasure_proof" -> sqlErasureProof _,
     "q387_wap_staged_mutations" -> sqlWapStagedMutations _,
     "q385_cow_under_pos_deletes" -> sqlCowUnderPosDeletes _,
     "q384_partition_evolution" -> sqlPartitionEvolution _,
@@ -3265,6 +3349,14 @@ object WarehouseQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM src WHERE y <= 1998 GROUP BY 2
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q390_erasure_proof" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v AS (SELECT min(o_custkey) AS victim FROM src),
+        |kept AS (SELECT s.* FROM src s, v WHERE s.o_custkey <> v.victim)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM kept GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q387_wap_staged_mutations" ->
       """WITH src AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
