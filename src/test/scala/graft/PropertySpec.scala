@@ -188,7 +188,7 @@ class PropertySpec extends SparkSpec {
       "TBLPROPERTIES('write.key'='k')")
     val dir = s"$wdir/ns/m"
     val ref = scala.collection.mutable.Map.empty[Long, Long]
-    val rnd = new scala.util.Random(4242)
+    val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_PROP_SEED", "4242").toLong)
     def syncInsert(rows: Seq[(Long, Long)]): Unit = {
       rows.toDF("k", "v").createOrReplaceTempView("prop_src")
       spark.sql("INSERT INTO gprop.ns.m SELECT * FROM prop_src")
