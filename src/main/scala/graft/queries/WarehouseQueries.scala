@@ -3116,10 +3116,14 @@ object WarehouseQueries {
     s.sql("INSERT INTO graft_cat390.db.t SELECT * FROM q390_src")        // v1
     val tdir = s"$out/db/t"
     val victim = s.sql("SELECT min(o_custkey) FROM q390_src").head.getLong(0)
-    val victimKeys = s.sql(
+    // the victim's key set stays DISTRIBUTED (r11 verdict: a hot data
+    // subject with 10⁶ keys must not become a 10⁶-literal IN expression
+    // on the driver) — the on-disk proof filters via a broadcast semi
+    // join on it instead
+    val victimKeyDf = s.sql(
       s"SELECT o_orderkey FROM q390_src WHERE o_custkey = $victim")
-      .collect().map(_.getLong(0)).toSet
-    require(victimKeys.nonEmpty, "q390: the victim must own rows")
+    val nVictimKeys = victimKeyDf.count()
+    require(nVictimKeys > 0, "q390: the victim must own rows")
     def allParquet(): Seq[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -3133,8 +3137,15 @@ object WarehouseQueries {
       // possible here, the key is the first column everywhere)
       val paths = allParquet()
       if (paths.isEmpty) 0L
-      else s.read.schema("o_orderkey BIGINT").parquet(paths: _*)
-        .filter($"o_orderkey".isin(victimKeys.toSeq: _*)).count()
+      else {
+        val probe = s.read.schema("o_orderkey BIGINT").parquet(paths: _*)
+          .join(org.apache.spark.sql.functions.broadcast(victimKeyDf),
+            Seq("o_orderkey"), "left_semi")
+        require(probe.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "q390: the erasure proof must probe via a broadcast semi join")
+        probe.count()
+      }
     }
     // LOGICAL erasure: one O(delta) commit, reads hide the victim …
     s.sql(s"DELETE FROM graft_cat390.db.t WHERE o_custkey = $victim")    // v2
@@ -3143,7 +3154,7 @@ object WarehouseQueries {
       .head.getLong(0) == 0L, "q390: the DELETE must hide the victim")
     // … but the BYTES are still on disk (delete files even re-listed
     // the keys) — the pin that makes the rest of the loop necessary
-    require(victimRowsOnDisk() >= victimKeys.size,
+    require(victimRowsOnDisk() >= nVictimKeys,
       "q390: logical deletion must leave the physical bytes in place")
     s.sql("CALL graft_cat390.system.compact('db.t', 4)").collect()       // v3
     s.sql("CALL graft_cat390.system.expire('db.t', 1)").collect()

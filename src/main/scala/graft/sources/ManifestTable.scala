@@ -811,51 +811,77 @@ object ManifestTable {
     * line; none replaced → carry verbatim; mixed → rewrite the delete
     * file keeping only positions that still reference SURVIVING files
     * (their physical ordinals are untouched by the rewrite — position
-    * deletes pin rows in files the CoW never opened). Cost is
-    * O(|position deletes|) driver-coordinated reads of key-only files —
-    * the same order as the MoR scan already paid to serve them. */
+    * deletes pin rows in files the CoW never opened). Cost is TWO Spark
+    * jobs regardless of how many delete files the snapshot carries
+    * (ADVICE r11: the per-file sequential version serialized hundreds of
+    * tiny driver-coordinated jobs inside the commit's critical section at
+    * a 100 TB delete cadence): one metadata-scale job collects every
+    * (delete file, referenced data file) pair across ALL `P|` paths via
+    * `_metadata.file_path`, one batch job rewrites every SPANNING delete
+    * file — merged into a single surviving delete file, which is safe
+    * because position deletes carry no sequence scoping (the MoR reader
+    * anti-joins one global (file_path, pos) set) and is compaction for
+    * free. */
   private def reconcilePosDeletes(dir: String, v: Int, keep: Seq[String],
                                   replaced: Set[String],
                                   commitDir: Option[Path] = None): Seq[String] = {
     if (replaced.isEmpty || !keep.exists(_.startsWith("P|"))) return keep
     val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.col
     def norm(p: String): String =
       if (p.startsWith("file:")) java.net.URI.create(p).getPath else p
     val replacedNorm = replaced.map(norm)
-    keep.flatMap { l =>
+    val posEntries = keep.map(parseEntry).filter(_.posDelete)
+    // job 1: every (delete file, referenced data file) distinct pair in
+    // one pass — |pairs| ≤ |delete files| × |data files in their scope|,
+    // metadata scale (raw ref strings as stored, the URI form; membership
+    // tests normalize, filters use the raw strings)
+    val refPairs = spark.read.parquet(posEntries.map(_.path): _*)
+      .select(col("_metadata.file_path").as("del"), col("file_path"))
+      .distinct().collect()
+      .map(r => (norm(r.getString(0)), r.getString(1)))
+    val refsByDel: Map[String, Array[String]] =
+      refPairs.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2) }
+    def isDead(raw: String): Boolean = replacedNorm.contains(norm(raw))
+    // classify: all-dead (or ref-less) → drop; all-live → carry verbatim;
+    // spanning → batch-rewrite below
+    val spanning = posEntries.filter { e =>
+      val refs = refsByDel.getOrElse(norm(e.path), Array.empty)
+      refs.exists(isDead) && refs.exists(!isDead(_))
+    }.map(_.path).toSet
+    val kept = keep.flatMap { l =>
       val e = parseEntry(l)
       if (!e.posDelete) Some(l)
       else {
-        // raw values as stored (the `_metadata.file_path` URI form);
-        // membership tests normalize, the filter uses the raw strings
-        val refs = spark.read.parquet(e.path).select("file_path")
-          .distinct().collect().map(_.getString(0))
-        val (dead, live) = refs.partition(r => replacedNorm.contains(norm(r)))
-        if (refs.isEmpty) None // a ref-less delete file masks nothing
-        else if (dead.isEmpty) Some(l)
-        else if (live.isEmpty) None
-        else {
-          import org.apache.spark.sql.functions.col
-          val dataDir = commitDir.getOrElse(Paths.get(dir, "data", s"commit-$v"))
-          Files.createDirectories(dataDir)
-          val rwDir = dataDir.resolve(
-            s"posrw-${java.util.UUID.randomUUID().toString.take(8)}").toString
-          spark.read.parquet(e.path)
-            .filter(!col("file_path").isin(dead.toIndexedSeq: _*))
-            .coalesce(1).write.parquet(rwDir)
-          Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
-            .filter(_.getName.endsWith(".parquet"))
-            .map { f =>
-              val st = fileStats(f.getAbsolutePath)
-              val seg =
-                if (st.isEmpty) "-"
-                else st.toSeq.sortBy(_._1)
-                  .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
-              s"P|${f.getAbsolutePath}|$seg"
-            }.sorted
-        }
+        val refs = refsByDel.getOrElse(norm(e.path), Array.empty)
+        if (refs.nonEmpty && !refs.exists(isDead)) Some(l) else None
       }
     }
+    val rewritten =
+      if (spanning.isEmpty) Seq.empty
+      else {
+        // job 2: one rewrite over every spanning file — deadness depends
+        // only on the replaced set, so one global filter serves them all
+        val deadRaw = refPairs.map(_._2).distinct.filter(isDead)
+        val dataDir = commitDir.getOrElse(Paths.get(dir, "data", s"commit-$v"))
+        Files.createDirectories(dataDir)
+        val rwDir = dataDir.resolve(
+          s"posrw-${java.util.UUID.randomUUID().toString.take(8)}").toString
+        spark.read.parquet(spanning.toSeq.sorted: _*)
+          .filter(!col("file_path").isin(deadRaw.toIndexedSeq: _*))
+          .coalesce(1).write.parquet(rwDir)
+        Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val st = fileStats(f.getAbsolutePath)
+            val seg =
+              if (st.isEmpty) "-"
+              else st.toSeq.sortBy(_._1)
+                .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+            s"P|${f.getAbsolutePath}|$seg"
+          }.sorted
+      }
+    kept ++ rewritten
   }
 
   /** [[publishCowExpected]] with caller-supplied extra stats per new file
@@ -1018,8 +1044,17 @@ object ManifestTable {
         s"P|${f.getAbsolutePath}|$seg"
       }.sorted
     // no matches at all → a NO-OP, not an empty commit (the snapshot is
-    // bit-identical; versioning it would only churn retention)
-    if (delFiles.isEmpty) return v - 1
+    // bit-identical; versioning it would only churn retention) — and the
+    // zero-row parquet (+ _SUCCESS/.crc) already written under
+    // data/commit-$v must not linger: the directory belongs to a FUTURE
+    // commit, and directory-listing tooling would misread the orphans
+    if (delFiles.isEmpty) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(): Unit
+      }
+      rmTree(new java.io.File(dataDir))
+      return v - 1
+    }
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 
@@ -2275,12 +2310,20 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
-  private def parseTags(lines: Seq[String]): Map[String, Int] =
+  private def parseTags(lines: Seq[String]): Map[String, Int] = {
+    // a `#gc` marker is a reclaimed generation — semantically "no such
+    // file": both read paths already converge on NoSuchFileException by
+    // re-listing and finding the true (newer) max. Tag names may not
+    // start with '#' (grammar, enforced at create), so no legit map
+    // collides with the marker.
+    if (lines.headOption.exists(_.startsWith("#gc")))
+      throw new java.nio.file.NoSuchFileException("GC'd tag generation")
     lines.map(_.trim).filter(_.nonEmpty).map { l =>
       val i = l.lastIndexOf('|')
       require(i > 0, s"corrupt tags line: $l")
       l.substring(0, i) -> l.substring(i + 1).toInt
     }.toMap
+  }
 
   private def tagGens(md: Path): Seq[Int] =
     Option(md.toFile.listFiles()).toSeq.flatten
@@ -2330,17 +2373,32 @@ object ManifestTable {
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
           finally Files.deleteIfExists(tmp)
         if (won) {
-          // GC with a 16-generation buffer. Deleting a RECENT number
-          // would let a contender re-claim it invisibly (its stale map
-          // published under a number every reader skips — the lost-update
-          // this CAS exists to prevent): a loser holds its listed `gen`
-          // for exactly ONE (read, link) attempt and re-lists on every
-          // EEXIST, so re-claiming g+1 requires 16 complete mutations by
-          // other writers inside that two-syscall window. Same pragmatic
-          // class as vacuum's mtime grace window; growth is bounded at
-          // 16 ~50-byte files.
-          tagGens(md).filter(_ < gen - 16).foreach(g =>
-            Files.deleteIfExists(md.resolve(s"tags.g$g")): Unit)
+          // GC by MARKER OVERWRITE, never deletion (16-generation buffer
+          // keeps recent maps readable for stragglers). A DELETED number
+          // could be re-CLAIMED: a writer stalled across 17+ complete
+          // mutations still holds the old listing, its createLink
+          // SUCCEEDS on the vacated name, it believes it won — while
+          // every reader takes max(gen) and silently skips the mutation
+          // (ADVICE r11: for retention pins, exactly the lost update this
+          // CAS exists to prevent). A `#gc` placeholder keeps
+          // create-no-overwrite refusing FOREVER, so a stale claim gets
+          // EEXIST, re-lists, and re-validates against the true head; a
+          // stale READ of a marker is indistinguishable from the file
+          // being gone ([[parseTags]] raises NoSuchFileException) and
+          // retries the same way. (Re-list-after-win can't fix the claim
+          // race: a legitimate successor may build on our claim between
+          // link and re-list, and "higher gen exists" would then
+          // double-apply the mutation.) The descending scan stops at the
+          // first already-marked generation — markers form a suffix-free
+          // prefix, so each file is written once ever (amortized O(1) per
+          // mutation); growth is one 4-byte inode per tag mutation —
+          // human-cadence retention ops.
+          tagGens(md).filter(_ < gen - 16).sorted(Ordering[Int].reverse)
+            .iterator.map(g => md.resolve(s"tags.g$g"))
+            .takeWhile(p => !Files.exists(p) ||
+              Files.size(p) == 0 || Files.readAllLines(p).asScala
+                .headOption.forall(!_.startsWith("#gc")))
+            .foreach(p => Files.write(p, java.util.List.of("#gc")): Unit)
           Files.deleteIfExists(md.resolve("tags")): Unit // legacy, superseded
           return
         }
@@ -2354,9 +2412,10 @@ object ManifestTable {
     * immutable — re-tagging an existing name refuses (drop it first). */
   def createTag(dir: String, name: String, version: Int = -1): Int = {
     require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
-      name.exists(!_.isDigit),
-      s"createTag: illegal tag name '$name' (non-empty, no '|', and not " +
-        "all digits — it must never shadow a numeric VERSION AS OF)")
+      name.exists(!_.isDigit) && !name.startsWith("#"),
+      s"createTag: illegal tag name '$name' (non-empty, no '|', no leading " +
+        "'#' — the GC marker — and not all digits: it must never shadow a " +
+        "numeric VERSION AS OF)")
     val v = if (version > 0) version else currentVersion(dir)
     require(v > 0, s"createTag: no committed version under $dir")
     require(Files.exists(manifests(dir).resolve(s"v$v.list")),
@@ -2385,9 +2444,10 @@ object ManifestTable {
   def createBranchTag(dir: String, branch: String, name: String,
                       version: Int = -1): Int = {
     require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
-      name.exists(!_.isDigit),
-      s"createBranchTag: illegal tag name '$name' (non-empty, no '|', and " +
-        "not all digits — it must never shadow a numeric branch version)")
+      name.exists(!_.isDigit) && !name.startsWith("#"),
+      s"createBranchTag: illegal tag name '$name' (non-empty, no '|', no " +
+        "leading '#' — the GC marker — and not all digits: it must never " +
+        "shadow a numeric branch version)")
     val md = branchMd(dir, branch)
     require(Files.isDirectory(md), s"no branch '$branch' under $dir")
     val v = if (version > 0) version else versionsOnDisk(md).max
@@ -2417,11 +2477,14 @@ object ManifestTable {
 
   /** Resolve a branch version REFERENCE — a numeric version or a branch
     * tag name — to its version number (the `branchVersion` reader
-    * option's resolution). */
+    * option's resolution). `forall(_.isDigit)` alone is true for the
+    * empty string and for digit runs beyond Int range (raw
+    * NumberFormatException); both now fall through to the tag lookup,
+    * which raises the descriptive no-such-tag error. */
   def resolveBranchVersion(dir: String, branch: String, ref: String): Int =
-    if (ref.forall(_.isDigit)) ref.toInt
-    else branchTags(dir, branch).getOrElse(ref,
-      sys.error(s"no tag '$ref' on branch '$branch' under $dir"))
+    (if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toIntOption else None)
+      .getOrElse(branchTags(dir, branch).getOrElse(ref,
+        sys.error(s"no tag '$ref' on branch '$branch' under $dir")))
 
   /** Every branch with its fork and head versions — the `.branches`
     * metadata table's row set. */

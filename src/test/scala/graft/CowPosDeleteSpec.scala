@@ -167,6 +167,84 @@ class CowPosDeleteSpec extends SparkSpec {
       .head.getLong(0) == (1L to 100L).sum + 10L * 500L)
   }
 
+  test("reconcile batches: 20 spanning delete files → O(1) jobs, ONE merged rewrite") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("""CREATE TABLE gcpd.ns.t6 (k BIGINT, v BIGINT)
+                |TBLPROPERTIES('write.order'='k','write.order.partitions'='4')
+                |""".stripMargin)
+    (1L to 400L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src6")
+    spark.sql("INSERT INTO gcpd.ns.t6 SELECT * FROM cpd_src6")           // v1
+    val dir = s"$wh/ns/t6"
+    val v1Files = ManifestTable.sqlEntriesAt(dir, 1).filter(_.isData).map(_.path)
+    assert(v1Files.size == 4)
+    // 20 SPANNING delete files: file i holds positions k = i, 100+i,
+    // 200+i, 300+i — one row in each of the four range files
+    val base = spark.read.parquet(v1Files: _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+    val pLines = (1 to 20).map { i =>
+      val spanDir = s"$dir/data/commit-2/span$i"
+      base.filter(col("k") % 100L === i.toLong)
+        .select("file_path", "pos").coalesce(1).write.parquet(spanDir)
+      val f = Option(new java.io.File(spanDir).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).head
+      s"P|$f|__rows:4.0:4.0"
+    }
+    val v1Lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_manifests", "v1.list"))
+    ManifestTable.publishLinesExpected(dir, 2,
+      v1Lines.toArray(Array.empty[String]).toSeq ++ pLines)              // v2
+    assert(ManifestTable.countStar(dir).contains(320L))
+
+    // bounded CoW touching ONLY the first range file: every one of the
+    // 20 delete files spans (1 dead ref + 3 live) → before the batch fix
+    // this ran 20 sequential read jobs + 20 rewrite jobs inside the
+    // commit; now it is ONE classify job + ONE merged rewrite
+    spark.sparkContext.setJobGroup("cowpos_batch", "reconcile job count")
+    spark.sql("UPDATE gcpd.ns.t6 SET v = v + 1000 WHERE k BETWEEN 30 AND 80") // v3
+    spark.sparkContext.clearJobGroup()
+    var jobs = Array.empty[Int]
+    val deadline = System.nanoTime + 10e9.toLong
+    while (jobs.length == 0 && System.nanoTime < deadline) {
+      Thread.sleep(200)
+      jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("cowpos_batch")
+    }
+    assert(jobs.nonEmpty && jobs.length <= 12,
+      s"reconcile must be O(1) jobs, the whole UPDATE ran ${jobs.length} " +
+        "(the per-delete-file version ran 40+ here)")
+
+    val v3 = ManifestTable.sqlEntriesAt(dir, 3)
+    val newPos = v3.filter(_.posDelete)
+    assert(newPos.size == 1,
+      s"the 20 spanning files must merge into ONE rewritten delete file, got ${newPos.size}")
+    assert(newPos.flatMap(_.stats.get("__rows")).map(_._1.toLong).sum == 60L,
+      "the merged delete file holds exactly the 20×3 surviving positions")
+    assert(ManifestTable.countStar(dir).contains(320L))
+    // values: k ≡ 1..20 (mod 100) erased; the window bumped on survivors
+    val expect = (1L to 400L).filterNot(k => (k % 100) >= 1 && (k % 100) <= 20)
+      .map(k => if (k >= 30 && k <= 80) k + 1000 else k).sum
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t6").head.getLong(0) == expect)
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t6").head.getLong(0) == 320L)
+  }
+
+  test("deleteWhere no-op leaves no orphan commit directory (ADVICE r11)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t7 (k BIGINT, v BIGINT)")
+    (1L to 50L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src7")
+    spark.sql("INSERT INTO gcpd.ns.t7 SELECT * FROM cpd_src7")           // v1
+    val dir = s"$wh/ns/t7"
+    assert(ManifestTable.deleteWhere(spark, dir, col("k") > 999L) == 1,
+      "a no-match delete must NO-OP at the prior version")
+    // the zero-row parquet + _SUCCESS staged under data/commit-2 must be
+    // cleaned up — that directory belongs to a future commit
+    assert(!new java.io.File(s"$dir/data/commit-2").exists(),
+      "no-op deleteWhere must remove its staged commit directory")
+    spark.sql("INSERT INTO gcpd.ns.t7 VALUES (51, 51)")                  // v2 (real)
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t7").head.getLong(0) == 51L)
+  }
+
   test("bucketed CoW under position deletes reconciles P| lines AND keeps SPJ tags") {
     import spark.implicits._
     wh: Unit

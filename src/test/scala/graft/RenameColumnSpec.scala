@@ -79,6 +79,40 @@ class RenameColumnSpec extends SparkSpec {
     } finally spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "false")
   }
 
+  test("GROUPED aggregates through a rename: correct, and footer pushdown falls back (ADVICE r11)") {
+    import spark.implicits._
+    wh: Unit
+    val T = "grnc.ns.gagg"
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT)")
+    (1L to 1000L).map(k => (k % 7, k)).toDF("k", "v")
+      .createOrReplaceTempView("rn_gagg_src")
+    spark.sql(s"INSERT INTO $T SELECT * FROM rn_gagg_src")
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN k TO key")
+    spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "true")
+    try {
+      // ParquetScanBuilder only pushes GROUP BY over PARTITION columns
+      // and the inner table declares none — so a grouped aggregate must
+      // take the ordinary scan+agg plan. ADVICE r11: the positional
+      // output contract for a PUSHED group-by through a rename is
+      // undocumented; this pins the fallback path (correct values, no
+      // grouped PushedAggregation) so a Spark upgrade that starts
+      // pushing it fails loudly here instead of silently mis-mapping.
+      val q = spark.sql(
+        s"SELECT key, count(*) AS n, min(v) AS lo FROM $T GROUP BY key ORDER BY key")
+      val rows = q.collect()
+      assert(rows.length == 7)
+      assert(rows.map(_.getLong(1)).sum == 1000L)
+      assert(rows.head.getLong(0) == 0L && rows.head.getLong(2) == 7L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("PushedAggregation: [COUNT"),
+        "grouped aggregates must NOT ride the footer path: " + plan.take(2000))
+      // the ungrouped shape in the same session still pushes (sanity)
+      val p2 = spark.sql(s"SELECT count(*), min(key) FROM $T")
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("PushedAggregation: [COUNT"), p2.take(2000))
+    } finally spark.conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED.key, "false")
+  }
+
   test("keyed table: delta UPDATE and merge-on-read SELECT through a renamed column") {
     wh: Unit
     val T = "grnc.ns.keyed"

@@ -102,6 +102,86 @@ class SnapshotTagSpec extends SparkSpec {
     assert(ManifestTable.tags(dir).keySet == Set("dup"))
   }
 
+  test("expire() never touches branch manifests or branch tags (retention guard, r11 handoff #3)") {
+    import spark.implicits._
+    wh: Unit
+    val T = "gtag.ns.bg"
+    spark.sql(s"CREATE TABLE $T (a BIGINT)")
+    spark.sql(s"INSERT INTO $T VALUES (1)")                              // main v1
+    val dir = s"$wh/ns/bg"
+    spark.sql(s"CALL gtag.system.create_branch('ns.bg', 'keepme')")
+    Seq(2L).toDF("a").writeTo(T).option("branch", "keepme").append()     // branch v2
+    spark.sql(s"CALL gtag.system.create_branch_tag('ns.bg', 'keepme', 'pin')")
+    spark.sql(s"INSERT INTO $T VALUES (3)")                              // main v2
+    spark.sql(s"INSERT INTO $T VALUES (4)")                              // main v3
+    // aggressive main-line retention: branch manifests live in their own
+    // namespace and are reclaimed ONLY by drop_branch — if branch expire
+    // is ever added, it MUST honor branch tags; this spec is the tripwire
+    ManifestTable.expire(dir, 1): Unit
+    assert(ManifestTable.branchTags(dir, "keepme") == Map("pin" -> 2),
+      "main-line expire must never consume branch tags")
+    assert(spark.read.option("branch", "keepme").option("branchVersion", "pin")
+      .table(T).count() == 2L,
+      "the tagged branch version must survive main-line expire")
+    assert(ManifestTable.listBranches(dir).map(_._1) == Seq("keepme"))
+  }
+
+  test("tag GC marks generations instead of deleting — a stale claim can NEVER re-win (ADVICE r11)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gtag.ns.gc (a BIGINT)")
+    spark.sql("INSERT INTO gtag.ns.gc VALUES (1)")
+    val dir = s"$wh/ns/gc"
+    // 24 mutations → generations g1..g24; the GC horizon is gen-16, so
+    // g1..g7 are reclaimed by the time g24 lands
+    (1 to 12).foreach { i =>
+      ManifestTable.createTag(dir, s"t$i")
+      ManifestTable.dropTag(dir, s"t$i")
+    }
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    // the lost-update window (a writer stalled 17+ mutations re-claiming
+    // a DELETED generation number and silently losing its mutation) is
+    // closed structurally: reclaimed generations remain as `#gc` marker
+    // files, so create-no-overwrite refuses FOREVER
+    val g2 = md.resolve("tags.g2")
+    assert(java.nio.file.Files.exists(g2),
+      "GC'd generations must survive as marker files, never be deleted")
+    assert(java.nio.file.Files.readAllLines(g2).get(0).startsWith("#gc"))
+    val tmp = md.resolve(".stale.tmp")
+    java.nio.file.Files.write(tmp, java.util.List.of("stale|1"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(g2, tmp)
+    }
+    java.nio.file.Files.delete(tmp)
+    // the live head still reads clean through the marker prefix
+    assert(ManifestTable.tags(dir).isEmpty)
+    ManifestTable.createTag(dir, "live")
+    assert(ManifestTable.tags(dir) == Map("live" -> 1))
+    // '#' names are reserved for the marker grammar
+    intercept[Exception] { ManifestTable.createTag(dir, "#gc") }
+  }
+
+  test("resolveBranchVersion: empty and over-long numeric refs raise the descriptive error (ADVICE r11)") {
+    import spark.implicits._
+    wh: Unit
+    val T = "gtag.ns.rbv"
+    spark.sql(s"CREATE TABLE $T (a BIGINT)")
+    spark.sql(s"INSERT INTO $T VALUES (1)")
+    val dir = s"$wh/ns/rbv"
+    spark.sql(s"CALL gtag.system.create_branch('ns.rbv', 'b')")
+    Seq(2L).toDF("a").writeTo(T).option("branch", "b").append()
+    assert(ManifestTable.resolveBranchVersion(dir, "b", "2") == 2)
+    // before the guard: "" and >Int-range digit runs threw a raw
+    // NumberFormatException out of `ref.toInt`
+    val e1 = intercept[Exception] {
+      ManifestTable.resolveBranchVersion(dir, "b", "")
+    }
+    assert(e1.getMessage.contains("no tag"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      ManifestTable.resolveBranchVersion(dir, "b", "99999999999999999999")
+    }
+    assert(e2.getMessage.contains("no tag"), s"got: ${e2.getMessage}")
+  }
+
   test("branch tags pin mid-lineage versions; the reader resolves them (r11)") {
     import spark.implicits._
     wh: Unit
