@@ -2604,6 +2604,34 @@ object ManifestTable {
         newFiles.sorted.map(f => dataLine(f)))
   }
 
+  /** [[publishCowTaggedExpected]] on a BRANCH head — the landing verb of
+    * WAP-staged row-level SQL on BUCKETED unkeyed tables (r12, closes the
+    * r11 refusal): the group rewrite's scan read the BRANCH snapshot, the
+    * commit replaces exactly those files within the branch manifest, and
+    * every replacement re-enters WITH its `_ptn_bucket_*` tag — so a
+    * staged-then-fast-forwarded UPDATE keeps the table SPJ-eligible on
+    * main exactly as a direct one does. Position-delete lines reconcile
+    * into the branch's nonce commit dir. */
+  def publishCowTaggedToBranch(dir: String, name: String, v: Int,
+                               replaced: Set[String],
+                               files: Seq[(String, Map[String, (Double, Double)])],
+                               commitDir: Path): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val head = versionsOnDisk(md).max
+    if (v != head + 1)
+      throw new CommitConflictException(
+        s"publishCowTaggedToBranch: version $v is not next on branch '$name' (head $head)")
+    val keep = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq
+      .filter { l =>
+        val e = parseEntry(l)
+        !(e.isData && replaced.contains(e.path))
+      }
+    claimManifestIn(md, v,
+      reconcilePosDeletes(dir, v, keep, replaced, commitDir = Some(commitDir)) ++
+        files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
+  }
+
   /** [[publishBranchFiles]] with caller-supplied EXTRA stats merged over
     * each file's footer stats — the bucketed branch write's landing verb
     * (the SPJ bucket id is metadata-only, so a plain branch publish would

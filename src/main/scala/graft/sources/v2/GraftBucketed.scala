@@ -132,8 +132,12 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
                          cowScanned: Option[() => Option[Seq[String]]] = None,
                          overwrite: Option[org.apache.spark.sql.Column] = None,
                          tableSchema: Option[StructType] = None,
-                         renames: Map[String, String] = Map.empty)
+                         renames: Map[String, String] = Map.empty,
+                         branch: Option[String] = None)
     extends BatchWrite {
+  require(branch.isEmpty || cowScanned.isDefined,
+    "BucketedBatchWrite: branch routing is a row-level (CoW) contract — " +
+      "plain branch appends go through the branch write path")
   private val stagingDir = s"$dir/_staging/bucketed-${java.util.UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -142,8 +146,15 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedBucketFilesMessage(fs) => fs }.flatten
-    val v = ManifestTable.currentVersion(dir) + 1
-    val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
+    // WAP staging (r12): a branch-routed CoW lands under the branch's
+    // nonce commit dir at the BRANCH head's next version
+    val (v, dataDirStr) = branch match {
+      case Some(b) => ManifestTable.branchNextCommitDir(dir, b)
+      case None =>
+        val nv = ManifestTable.currentVersion(dir) + 1
+        (nv, s"$dir/data/commit-$nv")
+    }
+    val dataDir = java.nio.file.Paths.get(dataDirStr)
     java.nio.file.Files.createDirectories(dataDir)
     val tagged = staged.toSeq.sortBy(_._2).map { case (b, p) =>
       // bucket-prefixed name: one task stages same-named parts for
@@ -162,7 +173,12 @@ class BucketedBatchWrite(dir: String, schema: StructType, append: Boolean,
         val replaced = f().getOrElse(sys.error(
           "BucketedBatchWrite: row-level write committed without a scan — " +
             "cannot determine the replaced group set")).toSet
-        ManifestTable.publishCowTaggedExpected(dir, v, replaced, tagged): Unit
+        branch match {
+          case Some(b) => ManifestTable.publishCowTaggedToBranch(
+            dir, b, v, replaced, tagged, dataDir): Unit
+          case None =>
+            ManifestTable.publishCowTaggedExpected(dir, v, replaced, tagged): Unit
+        }
       // dynamic overwrite: delete-matching + append-new, one atomic
       // commit, every file (kept / rewritten / new) bucket-tagged
       case (None, Some(pred)) =>

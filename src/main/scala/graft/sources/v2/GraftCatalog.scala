@@ -1359,16 +1359,12 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
         }
       }
       case None =>
-        // unkeyed WAP staging works for PLAIN and write.order layouts
-        // (the group CoW has a branch commit verb, r11); bucketed and
-        // transform layouts refuse — their branch rewrite would need
-        // tagged/cell-split branch CoW verbs nobody has asked for
+        // unkeyed WAP staging covers EVERY layout (r12): plain and
+        // write.order through publishCowToBranch (r11), bucketed through
+        // publishCowTaggedToBranch (replacements re-enter with their SPJ
+        // tags), transform through the cell-split rewrite + branch CoW
+        // (hidden-partition stats ride the files' own _ptn_* footers)
         wapBranch.foreach { b =>
-          require(bucketSpec.isEmpty &&
-            ManifestTable.partitionTransforms(dir).isEmpty,
-            s"GraftCatalog: WAP staging of row-level SQL on a bucketed/" +
-              s"transform-partitioned UNKEYED table is not supported — " +
-              "declare a write.key (delta staging) or unset spark.graft.wap.branch")
           require(ManifestTable.branchExists(dir, b),
             s"GraftCatalog: no branch '$b' on $ident — create it with " +
               "CALL system.create_branch first")
@@ -1451,7 +1447,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                     override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                       new BucketedBatchWrite(dir, physSchema(wInfo.schema()),
                         append = false,
-                        c, n, cowScanned = Some(() => activeFiles.map(_.apply())))
+                        c, n, cowScanned = Some(() => activeFiles.map(_.apply())),
+                        branch = wapBranch)
                   }
                 case (None, ts) if ts.nonEmpty =>
                   new org.apache.spark.sql.connector.write.Write
@@ -1464,7 +1461,8 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
                       new TransformedBatchWrite(dir, physSchema(wInfo.schema()),
                         append = false,
                         PtnColSpec.of(ts, physSchema(wInfo.schema())),
-                        cowScanned = Some(() => activeFiles.map(_.apply())))
+                        cowScanned = Some(() => activeFiles.map(_.apply())),
+                        branch = wapBranch)
                   }
                 case _ => buildPlain()
               }

@@ -248,8 +248,12 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
                             cowScanned: Option[() => Option[Seq[String]]] = None,
                             overwrite: Option[org.apache.spark.sql.Column] = None,
                             tableSchema: Option[StructType] = None,
-                            renames: Map[String, String] = Map.empty)
+                            renames: Map[String, String] = Map.empty,
+                            branch: Option[String] = None)
     extends BatchWrite {
+  require(branch.isEmpty || cowScanned.isDefined,
+    "TransformedBatchWrite: branch routing is a row-level (CoW) contract — " +
+      "plain branch appends go through the branch write path")
   private val stagingDir = s"$dir/_staging/transformed-${UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -262,8 +266,15 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
       case StagedFilesMessage(ps) => ps
       case _ => Seq.empty
     }
-    val v = ManifestTable.currentVersion(dir) + 1
-    val dataDir = java.nio.file.Paths.get(dir, "data", s"commit-$v")
+    // WAP staging (r12): a branch-routed CoW lands under the branch's
+    // nonce commit dir at the BRANCH head's next version
+    val (v, dataDirStr) = branch match {
+      case Some(b) => ManifestTable.branchNextCommitDir(dir, b)
+      case None =>
+        val nv = ManifestTable.currentVersion(dir) + 1
+        (nv, s"$dir/data/commit-$nv")
+    }
+    val dataDir = java.nio.file.Paths.get(dataDirStr)
     java.nio.file.Files.createDirectories(dataDir)
     val finalPaths = staged.toSeq.sorted.map { p =>
       // cell-prefixed names are unique across a task's cells (the
@@ -282,7 +293,12 @@ class TransformedBatchWrite(dir: String, schema: StructType, append: Boolean,
         val replaced = f().getOrElse(sys.error(
           "TransformedBatchWrite: row-level write committed without a scan — " +
             "cannot determine the replaced group set")).toSet
-        ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
+        branch match {
+          case Some(b) => ManifestTable.publishCowToBranch(
+            dir, b, v, replaced, finalPaths, dataDir): Unit
+          case None =>
+            ManifestTable.publishCowExpected(dir, v, replaced, finalPaths): Unit
+        }
       // dynamic overwrite: delete-matching + append-new, one commit; the
       // rewrite keeps _ptn_* so untouched rows' cell stats survive
       case (None, Some(pred)) =>

@@ -78,18 +78,83 @@ class TimeTravelWapSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $T").head.getLong(0) == 2L)
   }
 
-  test("WAP staging refuses on bucketed UNKEYED tables (no tagged branch CoW verb)") {
+  test("WAP stages row-level SQL on BUCKETED unkeyed tables; SPJ survives fast-forward (r12)") {
+    import spark.implicits._
     wh: Unit
+    // bucketed fact + co-bucketed dim: the SPJ pin is the point — a
+    // staged UPDATE whose replacements lost their bucket tags would put
+    // two exchanges back under every downstream join after publish
     spark.sql("CREATE TABLE gwap.ns.bw (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
-    spark.sql("INSERT INTO gwap.ns.bw VALUES (1, 1), (2, 2)")
-    ManifestTable.createBranch(s"$wh/ns/bw", "audit")
+    spark.sql("CREATE TABLE gwap.ns.bwd (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    (1L to 200L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("wapb_src")
+    spark.sql("INSERT INTO gwap.ns.bw SELECT * FROM wapb_src")
+    (1L to 200L).map(k => (k, k * 5)).toDF("k", "w").createOrReplaceTempView("wapb_dim")
+    spark.sql("INSERT INTO gwap.ns.bwd SELECT * FROM wapb_dim")
+    val dir = s"$wh/ns/bw"
+    ManifestTable.createBranch(dir, "audit")
     spark.conf.set("spark.graft.wap.branch", "audit")
     try {
-      intercept[Exception] { spark.sql("UPDATE gwap.ns.bw SET v = 0 WHERE k = 1") }
+      spark.sql("UPDATE gwap.ns.bw SET v = v + 1000 WHERE k % 2 = 0")  // branch v2
+      spark.sql("DELETE FROM gwap.ns.bw WHERE k > 190")                // branch v3
+      assert(ManifestTable.currentVersion(dir) == 1, "main must stay pinned")
+      assert(spark.sql("SELECT sum(v) FROM gwap.ns.bw").head.getLong(0) ==
+        (1L to 200L).sum, "main reads must not see staged mutations")
+      val bv = ManifestTable.branchVersion(dir, "audit")
+      assert(bv == 3, s"two staged mutations expected, head v$bv")
+      val be = ManifestTable.sqlBranchEntriesAt(dir, "audit", bv)
+      assert(be.filter(_.isData).forall(_.stats.contains("_ptn_bucket_k")),
+        "every staged replacement must re-enter WITH its bucket tag")
+      val expectStaged = (1L to 190L).map(k => if (k % 2 == 0) k + 1000 else k).sum
+      assert(spark.read.option("branch", "audit").table("gwap.ns.bw")
+        .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == expectStaged,
+        "the audit read must serve the staged copy-on-write state")
     } finally spark.conf.unset("spark.graft.wap.branch")
-    // and the refusal left both main and the branch untouched
-    assert(spark.sql("SELECT sum(v) FROM gwap.ns.bw").head.getLong(0) == 3L)
-    assert(ManifestTable.branchVersion(s"$wh/ns/bw", "audit") == 1)
+    ManifestTable.fastForward(dir, "audit")
+    val expect = (1L to 190L).map(k => if (k % 2 == 0) k + 1000 else k).sum
+    assert(spark.sql("SELECT sum(v) FROM gwap.ns.bw").head.getLong(0) == expect)
+    // zero-exchange storage-partitioned join AFTER the staged publish
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, x) => spark.conf.set(c, x) }
+      val q = spark.sql(
+        "SELECT f.k, f.v, d.w FROM gwap.ns.bw f JOIN gwap.ns.bwd d ON f.k = d.k")
+      assert(q.collect().length == 190)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SPJ must survive WAP-staged row-level SQL with zero exchanges")
+    } finally saved.foreach {
+      case (c, Some(x)) => spark.conf.set(c, x)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
+
+  test("WAP stages row-level SQL on TRANSFORM-partitioned unkeyed tables (r12)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gwap.ns.tw (d DATE, v BIGINT) PARTITIONED BY (days(d))")
+    (0 until 6).flatMap(i => (1L to 10L).map(r =>
+      (java.sql.Date.valueOf(s"2024-03-0${i + 1}"), i * 10L + r)))
+      .toDF("d", "v").createOrReplaceTempView("wapt_src")
+    spark.sql("INSERT INTO gwap.ns.tw SELECT * FROM wapt_src")
+    val dir = s"$wh/ns/tw"
+    ManifestTable.createBranch(dir, "audit")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      spark.sql("UPDATE gwap.ns.tw SET v = v + 1000 WHERE v % 2 = 0")  // branch v2
+      assert(ManifestTable.currentVersion(dir) == 1, "main must stay pinned")
+      val bv = ManifestTable.branchVersion(dir, "audit")
+      val be = ManifestTable.sqlBranchEntriesAt(dir, "audit", bv)
+      assert(be.filter(_.isData).forall(_.stats.contains("_ptn_days_d")),
+        "staged cell-split replacements must keep their _ptn_* day stats")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    ManifestTable.fastForward(dir, "audit")
+    val allV = (0 until 6).flatMap(i => (1L to 10L).map(r => i * 10L + r))
+    assert(spark.sql("SELECT sum(v) FROM gwap.ns.tw").head.getLong(0) ==
+      allV.map(v => if (v % 2 == 0) v + 1000 else v).sum)
+    assert(spark.sql("SELECT count(*) FROM gwap.ns.tw").head.getLong(0) == 60L)
   }
 
   test("spark.graft.wap.branch stages KEYED row-level SQL on the audit branch (r11)") {
