@@ -898,7 +898,114 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  // q391: ANN INDEX MAINTAINED FROM THE CHANGE FEED — the retrieval twin
+  // of q354's dedup contract, the last LLM-pipeline integration the
+  // lakehouse + similarity stacks hadn't composed: the embedding corpus
+  // lives in a versioned manifest table, and the IVF index (coarse
+  // centroids + int8 codes + cell assignments) is a DOWNSTREAM
+  // MATERIALIZATION of its change feed. The quantizer trains ONCE, on the
+  // v1 snapshot (q346's seeded k-means, one integer-rounded Lloyd
+  // update), and is then FROZEN — re-training would reassign every vector,
+  // i.e. the full rebuild incremental maintenance exists to avoid. From
+  // there the table moves on (two appends, one GDPR-shaped equality
+  // delete) and ONE feed read maintains the index: insert events QUANTIZE
+  // + ASSIGN THEMSELVES against the broadcast frozen centroids (O(|delta|
+  // × k) work, history never re-read), delete events tombstone via ONE
+  // anti join over the artifact (O(|index|)). The checked identity is the
+  // strong one, require-pinned: the feed-maintained index is row-for-row
+  // EQUAL (both exceptAll directions) to a from-scratch re-quantize +
+  // re-assign of the FINAL snapshot under the same frozen centroids — so
+  // cell-probed search through it is exactly the rebuilt index's search,
+  // and the DuckDB oracle recomputes the whole pipeline (training, final
+  // live set, assignment, probe, integer-exact ranking) independently.
+  // At 100 TB with daily appends this is the production retrieval shape:
+  // centroids are driver bytes, each ingest signs only its delta, GDPR
+  // erasures flow through the SAME feed as ingest, and recall stays
+  // whatever the frozen quantizer gives until a scheduled re-train —
+  // which IS the rebuild, done deliberately, not per commit.
+  def cdfAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val kCoarse = 8
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_q391_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base0}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base0, out)
+    def rmf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmf); f.delete(): Unit }
+    rmf(new java.io.File(out))
+    val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+      .select($"vec_id", $"embedding")
+    ManifestTable.commit(emb.filter($"vec_id" % 10 < 8), out, append = false) // v1
+    def quant(df: DataFrame): DataFrame =
+      Similarity.withQuantizedInt8(df, $"embedding".cast("array<double>"), "_qi")
+        .select($"vec_id", transform($"_qi", x => x + 127).as("q"))
+    // the quantizer trains ONCE, on v1 (then frozen): q346's coarse
+    // k-means — seeds = 8 smallest vec_ids, one rounded Lloyd update
+    val v1q = quant(ManifestTable.read(s, out, 1)).localCheckpoint()
+    val seeds: Seq[(Int, Seq[Int])] = v1q.filter($"vec_id" < kCoarse)
+      .select($"vec_id", $"q").collect().toSeq
+      .map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
+    val kmSums = v1q
+      .select(pqArgminCode($"q", seeds).as("j"), $"q")
+      .select($"j", posexplode($"q").as(Seq("p", "x")))
+      .groupBy($"j", $"p")
+      .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))).toInt).toMap
+    val ckm: Seq[(Int, Seq[Int])] = seeds.map { case (j, seed) =>
+      j -> seed.indices.map(p => kmSums.getOrElse((j, p), seed(p))) }
+    // the v1 index artifact (in production: q310-style parquet)
+    val idx1 = v1q.select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"q")
+    // the table moves on: two ingest appends + a GDPR erasure
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 8), out, append = true) // v2
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 9), out, append = true) // v3
+    ManifestTable.delete(
+      emb.filter($"vec_id" % 17 === 0).select($"vec_id"), out, "vec_id")       // v4
+    // ONE feed read drives both maintenance paths
+    val feed = ManifestTable.changeFeed(s, out, 1).localCheckpoint()
+    val ins = feed.filter($"_change_type" === "insert")
+      .select($"vec_id", $"embedding")
+    val tomb = feed.filter($"_change_type" === "delete")
+      .select($"vec_id").distinct().localCheckpoint()
+    require(ins.count() > 0 && tomb.count() > 0,
+      "q391: the feed must carry both insert and delete events")
+    // inserts sign themselves against the FROZEN centroids; deletes
+    // tombstone the whole artifact in one anti join
+    val idxD = quant(ins).select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"q")
+    val idx = idx1.unionByName(idxD)
+      .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+    // the identity pin: maintained ≡ rebuilt over the FINAL snapshot
+    // under the same frozen centroids — row-for-row, both directions
+    val rebuilt = quant(
+        ManifestTable.read(s, out, ManifestTable.currentVersion(out)))
+      .select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"q")
+    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+      "q391: the feed-maintained index must equal the from-scratch rebuild")
+    // cell-probed search through the MAINTAINED index (exact int8 L2,
+    // id tie-breaks); recall vs brute truth on the live set sanity-pinned
+    val queries = idx.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"kcell", $"q".as("qq"))
+    val cand = idx.join(broadcast(queries), Seq("kcell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d"))
+    val top = Relational.topKPerGroup(cand, Seq(col("q_id")),
+        Seq(col("d").asc, col("c_id").asc), 5, rankCol = "rank")
+      .select($"q_id", $"rank", $"c_id", $"d")
+    val truth = Relational.topKPerGroup(
+      idx.crossJoin(broadcast(queries.select($"q_id", $"qq")))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), Similarity.l2SqInt($"q", $"qq").as("d")),
+      Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), 5, rankCol = "tr")
+      .select($"q_id", $"c_id")
+    val hits = top.select($"q_id", $"c_id")
+      .join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    require(hits >= 20,
+      s"q391: cell-probed recall@5 collapsed ($hits truth slots)")
+    top.orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q391_cdf_ann_index" -> cdfAnnIndex _,
     "q389_context_pack" -> contextPack _,
     "q388_mmr_diversify" -> mmrDiversify _,
     "q386_rrf_hybrid" -> rrfHybridFusion _,
@@ -946,6 +1053,57 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the oracle recomputes the WHOLE q391 pipeline on the raw parquet:
+    // int8(+127) quantization, the v1-only (vec_id % 10 < 8) seeded
+    // k-means with one integer-rounded Lloyd update, the FINAL live set
+    // (every append minus the vec_id % 17 = 0 erasure), frozen-centroid
+    // assignment, cell-probed candidates, integer-exact ranking — so a
+    // maintenance bug anywhere (a missed insert, a surviving tombstone, a
+    // drifted centroid) moves the hash
+    "q391_cdf_ann_index" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |v1 AS (SELECT vec_id, q FROM qt WHERE vec_id % 10 < 8),
+        |ks AS (SELECT vec_id AS j, q AS c FROM v1 WHERE vec_id < 8),
+        |kd0 AS (SELECT v1.vec_id, ks.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM v1, ks),
+        |ka0 AS (SELECT vec_id, j AS a0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM kd0)
+        |  WHERE rn = 1),
+        |ksums AS (SELECT ka0.a0, t.i,
+        |    CAST(sum(v1.q[CAST(t.i AS INT)]) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ka0 JOIN v1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+        |ckmu AS (SELECT a0 AS j, list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM ksums GROUP BY 1),
+        |ckm AS (SELECT ks.j, coalesce(ckmu.c, ks.c) AS c
+        |  FROM ks LEFT JOIN ckmu ON ks.j = ckmu.j),
+        |live AS (SELECT vec_id, q FROM qt WHERE vec_id % 17 <> 0),
+        |cd AS (SELECT live.vec_id, ckm.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(live.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(live.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM live, ckm),
+        |cell AS (SELECT vec_id, j AS kcell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cd)
+        |  WHERE rn = 1),
+        |idx AS (SELECT live.vec_id, cell.kcell, live.q
+        |  FROM live JOIN cell USING (vec_id)),
+        |qs AS (SELECT vec_id AS q_id, kcell, q AS qq FROM idx WHERE vec_id < 20),
+        |cand AS (SELECT q_id, i.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i2 -> CAST(i.q[CAST(i2 AS INT)] - qq[CAST(i2 AS INT)] AS DOUBLE)
+        |          * CAST(i.q[CAST(i2 AS INT)] - qq[CAST(i2 AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM idx i JOIN qs ON i.kcell = qs.kcell WHERE i.vec_id <> q_id)
+        |SELECT q_id, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY d, c_id) AS INT) AS rank,
+        |  c_id, d
+        |FROM cand QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q389_context_pack" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

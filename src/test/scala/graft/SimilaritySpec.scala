@@ -97,6 +97,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q391 CDF-maintained ANN index: erasures flow through the feed (r12)") {
+    // the face's own requires pin the strong identity (feed-maintained ≡
+    // from-scratch rebuild, both exceptAll directions) and the recall
+    // floor; this pins the compliance leg — a vec_id the GDPR delete
+    // tombstoned (vec_id % 17 = 0) must appear NOWHERE in the search
+    // output, neither as a query nor as a candidate — plus result shape
+    val top = SparkEntry.queries("q391_cdf_ann_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(top.nonEmpty)
+    assert(top.forall(r => r.getLong(0) % 17 != 0 && r.getLong(2) % 17 != 0),
+      "an erased vector leaked into the maintained index's search output")
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)),
+      "ranks must be the dense prefix 1..k per query")
+    assert(byQ.values.forall(_.length <= 5))
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))
