@@ -764,7 +764,15 @@ object VectorQueries {
   // ≤|q|·50-row lists. Every score is deterministic cross-engine:
   // Jaccard and 1/(60+r) are single double divisions of exact
   // integers, cosine is the 6-dp-rounded shared formula.
-  def rrfHybridFusion(s: SparkSession, dir: String): DataFrame = {
+  def rrfHybridFusion(s: SparkSession, dir: String): DataFrame =
+    rrfHybridFusionN(s, dir, 5L)
+
+  /** The q386 pipeline with a parametrized query-set size — the gate face
+    * runs 5 query docs; `graft.RrfProbe` drives the SAME plan at
+    * production volume (|q| = 10³) to confirm the legs stay shuffle-keyed
+    * on (token) and (q_id, c_id) with no cartesian anywhere (r11 verdict
+    * item 7). */
+  def rrfHybridFusionN(s: SparkSession, dir: String, nq: Long): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents
     val emb = Tables(s, dir).embeddings
@@ -773,8 +781,8 @@ object VectorQueries {
         explode(split(lower($"text"), "[^a-z]+")).as("w"))
       .filter($"w" =!= "").distinct()
     val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val qtok = tok.filter($"doc_id" < 5).select($"doc_id".as("q_id"), $"w")
-    val qsz = sz.filter($"doc_id" < 5).select($"doc_id".as("q_id"), $"n".as("qn"))
+    val qtok = tok.filter($"doc_id" < nq).select($"doc_id".as("q_id"), $"w")
+    val qsz = sz.filter($"doc_id" < nq).select($"doc_id".as("q_id"), $"n".as("qn"))
     val inter = tok.select($"doc_id".as("c_id"), $"w")
       .join(broadcast(qtok), Seq("w"))
       .filter($"c_id" =!= $"q_id")
@@ -788,7 +796,7 @@ object VectorQueries {
         Seq($"jac".desc, $"c_id".asc), 50, rankCol = "r_lex")
       .select($"q_id", $"c_id", $"r_lex")
     // dense leg: q40's broadcast brute kNN, top-50 (rounded-6dp cosine)
-    val queriesE = emb.filter($"vec_id" < 5)
+    val queriesE = emb.filter($"vec_id" < nq)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val corpusE = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
     val denTop = Similarity.knnBruteForce(queriesE, corpusE, 50)
