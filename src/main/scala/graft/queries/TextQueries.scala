@@ -742,6 +742,103 @@ object TextQueries {
         (round($"score_raw", 6) + lit(0.0)).as("score"))
   }
 
+  // q392: LEXICAL (BM25) INDEX MAINTAINED FROM THE CHANGE FEED — the
+  // third leg of the incremental-index triad (q354 dedup, q391 ANN):
+  // the corpus lives in a versioned manifest table; the search index —
+  // per-doc lexical records (len + query-vocabulary tfs; at 100 TB the
+  // same shape sharded by term) AND the BM25 corpus statistics — is a
+  // downstream materialization of its change feed. The statistics are
+  // the INTERESTING part: N, Σlen, and per-term df are distributive
+  // aggregates, so they maintain by PARTIAL MERGE (the q100 IVM
+  // contract): v1's partials persist with the index, insert events add
+  // their delta partials, and delete events SUBTRACT partials looked up
+  // in the live index — history text is never re-read and no full
+  // recount ever runs. Two appends + one GDPR-shaped delete drive one
+  // feed read; require-pinned: (a) the maintained per-doc records equal
+  // a from-scratch rebuild of the final snapshot (both exceptAll
+  // directions), (b) the MERGED statistics equal a full recount over the
+  // maintained index — a drifted counter (the classic silent IVM bug)
+  // crashes the gate. Scoring is q303's integer-exact BM25 over the
+  // maintained artifacts with the merged stats as the broadcast row; the
+  // DuckDB oracle recomputes everything over the surviving corpus.
+  def cdfTextIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val terms = Seq("merge", "window", "stream")
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_q392_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base0}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base0, out)
+    def rmf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmf); f.delete(): Unit }
+    rmf(new java.io.File(out))
+    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+    ManifestTable.commit(docs.filter($"doc_id" % 10 < 8), out, append = false) // v1
+    def lex(df: DataFrame): DataFrame =
+      df.select($"doc_id", PF.tokens($"text").as("toks"))
+        .select(($"doc_id" +: size($"toks").cast("long").as("len") +:
+          terms.zipWithIndex.map { case (w, i) =>
+            size(filter($"toks", x => x === w)).cast("long").as(s"tf$i") }): _*)
+    def partials(df: DataFrame): (Long, Long, Seq[Long]) = {
+      val aggCols = count(lit(1)).cast("long").as("n") +:
+        coalesce(sum($"len"), lit(0L)).as("sl") +:
+        terms.indices.map(i =>
+          coalesce(sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)), lit(0L))
+            .as(s"df$i"))
+      val r = df.agg(aggCols.head, aggCols.tail: _*).head
+      (r.getLong(0), r.getLong(1), terms.indices.map(i => r.getLong(2 + i)))
+    }
+    // the v1 index artifact + its stats partials (both persist together)
+    val idx1 = lex(ManifestTable.read(s, out, 1)).localCheckpoint()
+    val (n1, sl1, df1) = partials(idx1)
+    // the table moves on: two ingest appends + a GDPR erasure
+    ManifestTable.commit(docs.filter($"doc_id" % 10 === 8), out, append = true) // v2
+    ManifestTable.commit(docs.filter($"doc_id" % 10 === 9), out, append = true) // v3
+    ManifestTable.delete(
+      docs.filter($"doc_id" % 17 === 0).select($"doc_id"), out, "doc_id")       // v4
+    // ONE feed read drives records AND statistics maintenance
+    val feed = ManifestTable.changeFeed(s, out, 1).localCheckpoint()
+    val ins = feed.filter($"_change_type" === "insert").select($"doc_id", $"text")
+    val tomb = feed.filter($"_change_type" === "delete")
+      .select($"doc_id").distinct().localCheckpoint()
+    require(ins.count() > 0 && tomb.count() > 0,
+      "q392: the feed must carry both insert and delete events")
+    val idxD = lex(ins).localCheckpoint()
+    val idxAll = idx1.unionByName(idxD)
+    // delete partials come from the LIVE INDEX (one semi join), never
+    // from re-reading history text
+    val (nI, slI, dfI) = partials(idxD)
+    val (nT, slT, dfT) = partials(idxAll.join(tomb, Seq("doc_id"), "left_semi"))
+    val (n, sl) = (n1 + nI - nT, sl1 + slI - slT)
+    val dfs = terms.indices.map(i => df1(i) + dfI(i) - dfT(i))
+    val idx = idxAll.join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+    // identity pins: records ≡ rebuild; merged stats ≡ full recount
+    val rebuilt = lex(ManifestTable.read(s, out, ManifestTable.currentVersion(out)))
+    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+      "q392: the feed-maintained index must equal the from-scratch rebuild")
+    val (nC, slC, dfC) = partials(idx)
+    require(n == nC && sl == slC && dfs == dfC,
+      s"q392: merged stats drifted — ($n,$sl,$dfs) vs recount ($nC,$slC,$dfC)")
+    // q303's integer-exact BM25 over the maintained artifacts, merged
+    // stats as the broadcast row (same expression, same float contract)
+    val st = Seq((n, sl, dfs(0), dfs(1), dfs(2)))
+      .toDF("n", "sl", "df0", "df1", "df2")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val df = col(s"df$i")
+      val idf6 = round(
+        log(($"n".cast("double") - df + 0.5) / (df + lit(0.5))), 6)
+      idf6 * (tf * lit(22L) * $"sl").cast("double") /
+        (tf * lit(10L) * $"sl" + lit(3L) * $"sl" +
+          lit(9L) * $"len" * $"n").cast("double")
+    }.reduce(_ + _)
+    idx.crossJoin(broadcast(st))
+      .withColumn("score_raw", score)
+      .orderBy($"score_raw".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"tf0", $"tf1", $"tf2",
+        (round($"score_raw", 6) + lit(0.0)).as("score"))
+  }
+
   // q304: the SQL leg of the native CDC chunker — `cdc_cuts` reached
   // through its GraftExtensions registration (q197's pattern for
   // dot_product): plain SQL text over a temp view, proving a SQL-only
@@ -856,6 +953,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q353_language_id" -> languageId _,
     "q285_cdc_chunks" -> cdcChunks _,
+    "q392_cdf_text_index" -> cdfTextIndex _,
     "q303_bm25" -> bm25 _,
     "q304_cdc_cuts_sql" -> cdcCutsSql _,
     "q312_chunk_contamination" -> chunkContamination _,
@@ -1148,6 +1246,37 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(text)) AS BIGINT) AS total_chars
         |FROM c GROUP BY 1 ORDER BY n_chunks""".stripMargin,
+    // q392's oracle = the q303 recompute over the SURVIVING corpus (every
+    // append minus the doc_id % 17 = 0 erasure) — a maintenance bug in
+    // records or stats moves scores, ranks, or membership
+    "q392_cdf_text_index" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents
+         |  WHERE doc_id % 17 <> 0),
+         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+         |    CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf0,
+         |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS tf2
+         |  FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS sl,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |  FROM t),
+         |sc AS (SELECT doc_id, tf0, tf1, tf2,
+         |    round(ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)), 6)
+         |      * CAST(tf0 * 22 * sl AS DOUBLE)
+         |      / CAST(tf0 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |    + round(ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)), 6)
+         |      * CAST(tf1 * 22 * sl AS DOUBLE)
+         |      / CAST(tf1 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |    + round(ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)), 6)
+         |      * CAST(tf2 * 22 * sl AS DOUBLE)
+         |      / CAST(tf2 * 10 * sl + 3 * sl + 9 * len * n AS DOUBLE)
+         |      AS score_raw
+         |  FROM t, st)
+         |SELECT doc_id, tf0, tf1, tf2, round(score_raw, 6) + 0.0 AS score
+         |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     "q303_bm25" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
          |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len,

@@ -115,6 +115,18 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.values.forall(_.length <= 5))
   }
 
+  test("q392 CDF-maintained BM25 index: erasures flow through the feed (r12)") {
+    // the face's own requires pin the rebuild identity AND the IVM stats
+    // merge (merged partials ≡ full recount); this pins the compliance
+    // leg — an erased doc (doc_id % 17 = 0) must never rank — and the
+    // top-20 shape
+    val top = SparkEntry.queries("q392_cdf_text_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(top.nonEmpty && top.length <= 20)
+    assert(top.forall(_.getLong(0) % 17 != 0),
+      "an erased document leaked into the maintained index's ranking")
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))
