@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{ParityFunctions => PF, RollingHash, StripAccents}
+import graft.operators.Relational
 
 /** Text-analysis surface (training-data pipeline ops) + the reference's
   * scalar transforms T2/T3/T4 re-expressed declaratively. All integer-count
@@ -839,6 +840,86 @@ object TextQueries {
         (round($"score_raw", 6) + lit(0.0)).as("score"))
   }
 
+  // q393: SLIDING-WINDOW DOCUMENT CHUNKING — the RAG-ingest counterpart
+  // of the content-defined chunker (q285/q300): fixed 64-token windows
+  // at stride 48 (16-token overlap), the convention embedding pipelines
+  // feed their encoders. Start offsets are a per-row `sequence()`
+  // explode — pure codegen, no UDF, no shuffle before the output sort —
+  // and each chunk pins its CONTENT with an md5 over the space-joined
+  // token window, so a one-token boundary drift anywhere moves the gate
+  // hash. At 100 TB chunking is embarrassingly parallel map work whose
+  // output feeds q391's feed-maintained embedding index and q394's
+  // chunk-granular retrieval; the 25% overlap is the standard recall/
+  // storage trade (boundary-straddling passages appear whole in at
+  // least one window).
+  private val ChunkW = 64
+  private val ChunkS = 48
+  def docChunks(s: SparkSession, dir: String, docs0: DataFrame = null): DataFrame = {
+    import s.implicits._
+    val docs = Option(docs0).getOrElse(Tables(s, dir).documents)
+    docs.select($"doc_id", PF.tokens($"text").as("toks"))
+      .withColumn("len", size($"toks").cast("long"))
+      .filter($"len" > 0)
+      .select($"doc_id", $"len", $"toks",
+        explode(sequence(lit(0L),
+          (($"len" - 1L) / ChunkS).cast("long") * ChunkS,
+          lit(ChunkS.toLong))).as("start"))
+      .select($"doc_id", ($"start" / ChunkS).cast("long").as("chunk_idx"),
+        least(lit(ChunkW.toLong), $"len" - $"start").as("n_tokens"),
+        slice($"toks", ($"start" + 1L).cast("int"), lit(ChunkW)).as("ct"))
+  }
+  def slidingChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docChunks(s, dir)
+      .select($"doc_id", $"chunk_idx", $"n_tokens",
+        md5(concat_ws(" ", $"ct")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  // q394: SMALL-TO-BIG CHUNK RETRIEVAL — retrieval scores CHUNKS (the
+  // granularity encoders and rerankers actually see), the answer returns
+  // PARENT DOCUMENTS: per (query, doc) keep the BEST chunk (max score,
+  // tie → smallest chunk_idx), then rank docs per query — the
+  // "small-to-big" pattern every production RAG stack runs so a long
+  // document can't dilute its one highly-relevant passage (which is
+  // exactly what whole-doc Jaccard does to it). Scoring is the q386
+  // lexical contract chunk-granular: distinct-token Jaccard vs the query
+  // doc, every score one exact-integer division (cross-engine
+  // bit-identical). Scale: the 5 query docs' tokens broadcast, candidate
+  // volume = Σ matched tokens (never corpus × chunks), the two windows
+  // partition by (q_id, doc_id) then q_id over candidate-sized inputs
+  // only.
+  def chunkRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val chunks = docChunks(s, dir)
+      .select($"doc_id", $"chunk_idx",
+        array_distinct($"ct").as("cts"))
+      .select($"doc_id", $"chunk_idx",
+        size($"cts").cast("long").as("cn"), $"cts")
+    val qtok = docs.filter($"doc_id" < 5)
+      .select($"doc_id".as("q_id"),
+        explode(array_distinct(PF.tokens($"text"))).as("w"))
+    val qsz = qtok.groupBy($"q_id").agg(count(lit(1)).as("qn"))
+    val inter = chunks
+      .select($"doc_id", $"chunk_idx", $"cn", explode($"cts").as("w"))
+      .join(broadcast(qtok), Seq("w"))
+      .filter($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id", $"chunk_idx", $"cn")
+      .agg(count(lit(1)).as("i"))
+    val scored = inter.join(broadcast(qsz), Seq("q_id"))
+      .select($"q_id", $"doc_id", $"chunk_idx",
+        ($"i".cast("double") / ($"qn" + $"cn" - $"i")).as("jac"))
+    val best = Relational.topKPerGroup(scored, Seq($"q_id", $"doc_id"),
+        Seq($"jac".desc, $"chunk_idx".asc), 1, rankCol = "_bc")
+      .select($"q_id", $"doc_id", $"chunk_idx", $"jac")
+    Relational.topKPerGroup(best, Seq($"q_id"),
+        Seq($"jac".desc, $"doc_id".asc), 10, rankCol = "rank")
+      .select($"q_id", $"doc_id", $"chunk_idx",
+        round($"jac", 6).as("jac"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   // q304: the SQL leg of the native CDC chunker — `cdc_cuts` reached
   // through its GraftExtensions registration (q197's pattern for
   // dot_product): plain SQL text over a temp view, proving a SQL-only
@@ -953,6 +1034,8 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q353_language_id" -> languageId _,
     "q285_cdc_chunks" -> cdcChunks _,
+    "q394_chunk_retrieval" -> chunkRetrieval _,
+    "q393_sliding_chunks" -> slidingChunks _,
     "q392_cdf_text_index" -> cdfTextIndex _,
     "q303_bm25" -> bm25 _,
     "q304_cdc_cuts_sql" -> cdcCutsSql _,
@@ -1246,6 +1329,49 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(text)) AS BIGINT) AS total_chars
         |FROM c GROUP BY 1 ORDER BY n_chunks""".stripMargin,
+    "q393_sliding_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len, w FROM w
+         |  WHERE len(w) > 0),
+         |st AS (SELECT doc_id, len, w,
+         |    unnest(range(0, ((len - 1) // 48) * 48 + 1, 48)) AS start FROM s),
+         |c AS (SELECT doc_id, start // 48 AS chunk_idx,
+         |    least(64, len - start) AS n_tokens,
+         |    w[CAST(start + 1 AS INT) : CAST(least(start + 64, len) AS INT)] AS ct
+         |  FROM st)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  md5(list_aggregate(ct, 'string_agg', ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q394_chunk_retrieval" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len, w FROM w
+         |  WHERE len(w) > 0),
+         |st AS (SELECT doc_id, len, w,
+         |    unnest(range(0, ((len - 1) // 48) * 48 + 1, 48)) AS start FROM s),
+         |c AS (SELECT doc_id, start // 48 AS chunk_idx,
+         |    list_distinct(w[CAST(start + 1 AS INT) :
+         |      CAST(least(start + 64, len) AS INT)]) AS cts
+         |  FROM st),
+         |ch AS (SELECT doc_id, chunk_idx, CAST(len(cts) AS BIGINT) AS cn, cts
+         |  FROM c),
+         |q AS (SELECT doc_id AS q_id, list_distinct(w) AS qts FROM w
+         |  WHERE doc_id < 5),
+         |qs AS (SELECT q_id, CAST(len(qts) AS BIGINT) AS qn FROM q),
+         |inter AS (SELECT q_id, ch.doc_id, chunk_idx, cn,
+         |    CAST(len(list_intersect(cts, qts)) AS BIGINT) AS i
+         |  FROM ch, q WHERE ch.doc_id <> q_id),
+         |scored AS (SELECT q_id, doc_id, chunk_idx,
+         |    CAST(i AS DOUBLE) / (qn + cn - i) AS jac
+         |  FROM inter JOIN qs USING (q_id) WHERE i > 0),
+         |best AS (SELECT q_id, doc_id, chunk_idx, jac FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY q_id, doc_id
+         |      ORDER BY jac DESC, chunk_idx) AS bc
+         |  FROM scored) WHERE bc = 1)
+         |SELECT q_id, doc_id, chunk_idx, round(jac, 6) AS jac,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, doc_id)
+         |    AS INT) AS rank
+         |FROM best QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // q392's oracle = the q303 recompute over the SURVIVING corpus (every
     // append minus the doc_id % 17 = 0 erasure) — a maintenance bug in
     // records or stats moves scores, ranks, or membership
