@@ -3009,6 +3009,68 @@ object WarehouseQueries {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // q395: DELETE-FILE MAINTENANCE (r12) — `CALL rewrite_deletes` merges a
+  // snapshot's accumulated position-delete files into ONE with zero data
+  // IO. The 100 TB problem it exists for: a steady deleteWhere cadence
+  // writes one delete file per delete per scanned data file, and every
+  // merge-on-read scan thereafter opens O(|delete files|) parquet footers
+  // before its first data byte; folding them back to one file is pure
+  // metadata-scale maintenance (position deletes carry no sequence
+  // scoping, so the union is semantics-preserving — the same argument as
+  // the CoW reconcile's spanning-file merge). Pinned: three delete rounds
+  // leave ≥ 3 P| files, the procedure reports (before, 1), zero-IO
+  // COUNT(*) stays exact across the merge, time travel to the pre-merge
+  // snapshot survives, and the final aggregate is hash-green vs the
+  // oracle's recompute over the surviving rows.
+  def sqlRewriteDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q395_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    s.conf.set("spark.sql.catalog.graft_cat395", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat395.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q395_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat395.db.t")
+    s.sql("""CREATE TABLE graft_cat395.db.t
+            |(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)""".stripMargin)
+    s.sql("INSERT INTO graft_cat395.db.t SELECT * FROM q395_src")          // v1
+    import graft.sources.ManifestTable
+    val tdir = s"$out/db/t"
+    val total = s.sql("SELECT count(*) FROM q395_src").head.getLong(0)
+    val nDel = s.sql("SELECT count(*) FROM q395_src WHERE o_orderkey % 9 < 3")
+      .head.getLong(0)
+    // three maintenance-cadence delete rounds, each merge-on-read
+    ManifestTable.deleteWhere(s, tdir, expr("o_orderkey % 9 = 0"))         // v2
+    ManifestTable.deleteWhere(s, tdir, expr("o_orderkey % 9 = 1"))         // v3
+    ManifestTable.deleteWhere(s, tdir, expr("o_orderkey % 9 = 2"))         // v4
+    val beforeFiles =
+      ManifestTable.sqlEntriesAt(tdir, 4).count(_.posDelete)
+    require(beforeFiles >= 3,
+      s"q395: three delete rounds must leave >= 3 delete files, got $beforeFiles")
+    require(ManifestTable.countStar(tdir).contains(total - nDel),
+      "q395: zero-IO COUNT(*) must be exact before the merge")
+    val r = s.sql("CALL graft_cat395.system.rewrite_deletes('db.t')").head
+    require(r.getLong(0) == beforeFiles.toLong && r.getLong(1) == 1L,
+      s"q395: expected ($beforeFiles -> 1) delete files, got $r")
+    val v5 = ManifestTable.sqlEntriesAt(tdir, 5)
+    require(v5.count(_.posDelete) == 1,
+      "q395: the merged snapshot must carry exactly ONE delete file")
+    require(ManifestTable.countStar(tdir).contains(total - nDel),
+      "q395: zero-IO COUNT(*) must stay exact across the merge")
+    require(s.sql("SELECT count(*) FROM graft_cat395.db.t VERSION AS OF 4")
+      .head.getLong(0) == total - nDel,
+      "q395: the pre-merge snapshot must stay time-travelable")
+    s.sql("""SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
+            |FROM graft_cat395.db.t
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q387: WAP-STAGED ROW-LEVEL MUTATIONS (r11) — write-audit-publish for
   // UPDATE / MERGE / DELETE, not just appends: with
   // `spark.graft.wap.branch` set, a keyed table's row-level SQL stages
@@ -3291,6 +3353,7 @@ object WarehouseQueries {
     "q381_dynamic_overwrite" -> sqlDynamicOverwrite _,
     "q382_rename_column" -> sqlRenameColumn _,
     "q383_snapshot_tags" -> sqlSnapshotTags _,
+    "q395_rewrite_deletes" -> sqlRewriteDeletes _,
     "q390_erasure_proof" -> sqlErasureProof _,
     "q387_wap_staged_mutations" -> sqlWapStagedMutations _,
     "q385_cow_under_pos_deletes" -> sqlCowUnderPosDeletes _,
@@ -3360,6 +3423,12 @@ object WarehouseQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM src WHERE y <= 1998 GROUP BY 2
         |ORDER BY stage, o_orderpriority""".stripMargin,
+    "q395_rewrite_deletes" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey % 9 >= 3
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q390_erasure_proof" ->
       """WITH src AS (SELECT o_orderkey, o_custkey, o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -1058,6 +1058,51 @@ object ManifestTable {
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ delFiles)
   }
 
+  /** Maintenance verb: merge the head snapshot's POSITION-delete files
+    * into ONE (r12) — zero data-file IO, one commit. A 100 TB table on a
+    * steady `deleteWhere` cadence accumulates one `P|` file per delete
+    * per scanned data file, and every merge-on-read scan thereafter pays
+    * O(|delete files|) opens before its first data byte; this folds the
+    * whole set back to a single file the way [[reconcilePosDeletes]]
+    * already merges spanning files during CoW — safe for the same
+    * reason (position deletes carry no sequence scoping: the reader
+    * anti-joins one global (file_path, pos) set). EQUALITY delete files
+    * are deliberately untouched — they scope to strictly-earlier
+    * sequences, so merging across commits would change which data files
+    * they apply to ([[compact]] is their maintenance verb). Duplicate
+    * positions are preserved verbatim (the library never writes them;
+    * preserving keeps `__rows` exact-count semantics bit-stable).
+    * Returns (delete files before, after); ≤ 1 before → NO-OP without a
+    * commit. */
+  def rewriteDeletes(spark: SparkSession, dir: String): (Int, Int) = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"ManifestTable.rewriteDeletes: no committed version under $dir")
+    val lines = manifestFiles(dir, cur)
+    val pos = lines.map(parseEntry).filter(_.posDelete)
+    if (pos.size <= 1) return (pos.size, pos.size)
+    val v = cur + 1
+    val dataDir = Paths.get(dir, "data", s"commit-$v")
+    Files.createDirectories(dataDir)
+    val rwDir = dataDir.resolve(
+      s"posmerge-${java.util.UUID.randomUUID().toString.take(8)}").toString
+    spark.read.parquet(pos.map(_.path): _*).coalesce(1).write.parquet(rwDir)
+    val merged = Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      // an all-empty delete set merges to zero rows → drop entirely (an
+      // empty delete file masks nothing but pins the MoR path)
+      .filterNot(f => fileStats(f.getAbsolutePath).get("__rows").exists(_._1 == 0))
+      .map { f =>
+        val st = fileStats(f.getAbsolutePath)
+        val seg =
+          if (st.isEmpty) "-"
+          else st.toSeq.sortBy(_._1)
+            .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+        s"P|${f.getAbsolutePath}|$seg"
+      }.sorted
+    claimManifest(dir, v, lines.filterNot(parseEntry(_).posDelete) ++ merged)
+    (pos.size, merged.size)
+  }
+
   /** Conjunct → (column, lo, hi) when it is a simple comparison between a
     * column and a literal on the same number line as the stored footer
     * stats (ints/longs/floats/doubles; date days; timestamp micros).

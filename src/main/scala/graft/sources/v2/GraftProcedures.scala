@@ -99,6 +99,17 @@ private[v2] object GraftProcedures {
             tableSchema = Some(physicalSchemaOf(args.getUTF8String(0).toString, zdir)))
           Seq(row(v.toLong))
         })
+      case "rewrite_deletes" => proc("rewrite_deletes",
+        "merge the snapshot's position-delete files into one (no data IO)",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("delete_files_before", LongType, nullable = false),
+          StructField("delete_files_after", LongType, nullable = false))),
+        { args =>
+          val (before, after) = ManifestTable.rewriteDeletes(
+            SparkSession.active, tableDir(args.getUTF8String(0).toString))
+          Seq(row(before.toLong, after.toLong))
+        })
       case "create_branch" => proc("create_branch",
         "fork a branch at the table's current version",
         Seq(in("table", StringType), in("name", StringType)),
@@ -206,14 +217,15 @@ private[v2] object GraftProcedures {
         })
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
-          "compact, expire, vacuum, zorder, create_branch, fast_forward, " +
-          "drop_branch, rollback, create_tag, drop_tag, create_branch_tag, " +
-          "drop_branch_tag, add_partition_field, drop_partition_field")
+          "compact, rewrite_deletes, expire, vacuum, zorder, create_branch, " +
+          "fast_forward, drop_branch, rollback, create_tag, drop_tag, " +
+          "create_branch_tag, drop_branch_tag, add_partition_field, " +
+          "drop_partition_field")
     }
   }
 
   val names: Array[Identifier] =
-    Array("compact", "expire", "vacuum", "zorder",
+    Array("compact", "rewrite_deletes", "expire", "vacuum", "zorder",
       "create_branch", "fast_forward", "drop_branch", "rollback",
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field")

@@ -245,6 +245,41 @@ class CowPosDeleteSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcpd.ns.t7").head.getLong(0) == 51L)
   }
 
+  test("rewriteDeletes merges P| files only; equality deletes untouched; no-op skips the commit (r12)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t8 (k BIGINT, v BIGINT)")
+    (1L to 300L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src8")
+    spark.sql("INSERT INTO gcpd.ns.t8 SELECT * FROM cpd_src8")           // v1
+    val dir = s"$wh/ns/t8"
+    ManifestTable.deleteWhere(spark, dir, col("k") % 50L === 0L)         // v2
+    ManifestTable.deleteWhere(spark, dir, col("k") % 50L === 1L)         // v3
+    // an EQUALITY delete chain on top (library MERGE): must be untouched
+    ManifestTable.merge(
+      (1L to 10L).map(k => (k, k + 500)).toDF("k", "v"), dir, "k")       // v4
+    val e4 = ManifestTable.sqlEntriesAt(dir, 4)
+    val (posBefore, eqBefore) =
+      (e4.count(_.posDelete), e4.count(_.deleteKey.isDefined))
+    assert(posBefore >= 2 && eqBefore >= 1)
+    val (b, a) = ManifestTable.rewriteDeletes(spark, dir)                // v5
+    assert(b == posBefore && a == 1, s"expected ($posBefore -> 1), got ($b, $a)")
+    val e5 = ManifestTable.sqlEntriesAt(dir, 5)
+    assert(e5.count(_.posDelete) == 1,
+      "all position-delete files must merge into one")
+    assert(e5.count(_.deleteKey.isDefined) == eqBefore,
+      "equality-delete lines are sequence-scoped and must carry verbatim")
+    // content identical to the model: 300 − 12 pos − 9 eq + 10 reinserts
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t8").head.getLong(0) == 289L)
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t8").head.getLong(0) == 48345L)
+    // time travel to the pre-merge snapshot survives
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t8 VERSION AS OF 4")
+      .head.getLong(0) == 289L)
+    // a second call is a NO-OP with no commit churn
+    val v5 = ManifestTable.currentVersion(dir)
+    assert(ManifestTable.rewriteDeletes(spark, dir) == ((1, 1)))
+    assert(ManifestTable.currentVersion(dir) == v5)
+  }
+
   test("bucketed CoW under position deletes reconciles P| lines AND keeps SPJ tags") {
     import spark.implicits._
     wh: Unit

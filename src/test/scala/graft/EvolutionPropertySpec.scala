@@ -18,7 +18,13 @@ class EvolutionPropertySpec extends SparkSpec {
     d.toString
   }
 
-  for (seed <- Seq(42, 7, 1337))
+  // committed seeds stay 42/7/1337 for suite speed; offline hunts append
+  // more via GRAFT_EVO_SEEDS=5,99,31415 (the round ritual whenever the
+  // step vocabulary or a commit-path implementation changes — both r11
+  // latent bugs came from draws the committed seeds never produce)
+  private val seeds = Seq(42, 7, 1337) ++ sys.env.get("GRAFT_EVO_SEEDS")
+    .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+  for (seed <- seeds)
   test(s"63-step random DDL/DML/overwrite/rename/delete interleaving tracks the reference model exactly (seed $seed)") {
     wh: Unit
     val rnd = new scala.util.Random(seed)
