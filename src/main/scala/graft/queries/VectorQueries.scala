@@ -1012,7 +1012,61 @@ object VectorQueries {
     top.orderBy($"q_id", $"rank")
   }
 
+  // q396: RETRIEVAL QUALITY EVALUATION — the harness that decides
+  // whether the hybrid stack (q386 fusion) is actually good before
+  // anyone ships it: NDCG@10 with graded relevance and reciprocal rank
+  // with binary relevance, per query. Ground truth is the exact
+  // rounded-cosine ordering (the dense leg's own metric, so the eval
+  // isolates what FUSION gains/loses vs pure dense retrieval).
+  // Cross-engine float contract, the strictest in the repo: gains are
+  // INTEGERS (round(cos·10⁶) clamped at 0), discount weights are
+  // INTEGER literals W_i = round(10⁶/log2(i+1)) computed ONCE in Scala
+  // and inlined into BOTH engines' queries — so DCG and IDCG are exact
+  // long sums (order-free), and NDCG is ONE division of two longs.
+  // Reciprocal rank is 1/first-relevant-rank (exact binary fraction).
+  // No float ever enters an aggregation. Per-query rows (no cross-query
+  // mean) keep even the output order-free. At 100 TB the eval is two
+  // top-k joins over lists the retrieval already paid for.
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fused = rrfHybridFusionN(s, dir, 5L).select($"q_id", $"c_id", $"rank")
+    val emb = Tables(s, dir).embeddings
+    val queriesE = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpusE = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    // the full graded ordering per query (rank = the IDEAL ordering)
+    val simAll = Similarity.knnBruteForce(queriesE, corpusE, 1 << 30)
+      .select($"q_id", $"c_id", $"sim", $"rank".as("ideal_rank"))
+      .localCheckpoint()
+    val gain = greatest(round($"sim" * 1e6).cast("long"), lit(0L))
+    val wOf = (r: Column) => element_at(typedLit(NdcgW), r)
+    val dcg = fused
+      .join(simAll.select($"q_id", $"c_id", $"sim"), Seq("q_id", "c_id"), "left")
+      .select($"q_id", (coalesce(gain, lit(0L)) * wOf($"rank")).as("t"))
+      .groupBy($"q_id").agg(sum($"t").as("dcg"))
+    val idcg = simAll.filter($"ideal_rank" <= 10)
+      .select($"q_id", (gain * wOf($"ideal_rank")).as("t"))
+      .groupBy($"q_id").agg(sum($"t").as("idcg"))
+    val rel5 = simAll.filter($"ideal_rank" <= 5).select($"q_id", $"c_id")
+    val hits = fused.join(rel5, Seq("q_id", "c_id"), "left_semi")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_rel"), min($"rank").as("first_rel"))
+    val out = dcg.join(idcg, Seq("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_rel", lit(0L)).as("n_rel_at_10"),
+        coalesce(lit(1.0) / $"first_rel", lit(0.0)).as("rr"),
+        ($"dcg".cast("double") / $"idcg".cast("double")).as("ndcg"))
+      .orderBy($"q_id")
+    require(out.filter($"ndcg".isNull || $"ndcg" < 0).isEmpty,
+      "q396: NDCG must be defined and non-negative for every query")
+    out
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_retrieval_metrics" -> retrievalMetrics _,
     "q391_cdf_ann_index" -> cdfAnnIndex _,
     "q389_context_pack" -> contextPack _,
     "q388_mmr_diversify" -> mmrDiversify _,
@@ -1060,7 +1114,65 @@ object VectorQueries {
        |sel$i AS (SELECT q_id, c_id FROM sel$p UNION ALL SELECT q_id, c_id FROM pick$i)""".stripMargin
   }
 
+  private val ndcgWCase: String =
+    (1 to 10).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}").mkString(" ")
+
   val oracles: Map[String, String] = Map(
+    // q396: the full q386 fusion pipeline re-derived, then the metric
+    // legs — integer gains × the SAME inlined integer weights, exact
+    // long sums, one final division (see the face's float contract)
+    "q396_retrieval_metrics" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |    FROM documents) t WHERE w <> ''),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS i
+         |  FROM tok q JOIN tok c ON q.w = c.w AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 5 GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT q_id, c_id, CAST(i AS DOUBLE) / (sq.n + sc.n - i) AS jac
+         |  FROM inter JOIN sz sq ON sq.doc_id = inter.q_id
+         |             JOIN sz sc ON sc.doc_id = inter.c_id),
+         |lexr AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY jac DESC, c_id ASC) AS r_lex FROM lex),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |den AS (SELECT q_id, e.vec_id AS c_id, ${cosSql("qv", "v")} AS sim
+         |  FROM qe JOIN e ON e.vec_id <> q_id),
+         |denr AS (SELECT q_id, c_id, sim, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS r_den FROM den),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+         |    COALESCE(l.c_id, d.c_id) AS c_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0) +
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + d.r_den), 0) AS rrf
+         |  FROM (SELECT * FROM lexr WHERE r_lex <= 50) l
+         |  FULL JOIN (SELECT q_id, c_id, r_den FROM denr WHERE r_den <= 50) d
+         |    ON l.q_id = d.q_id AND l.c_id = d.c_id),
+         |ranked AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rrf DESC, c_id ASC) AS rank FROM fused),
+         |top AS (SELECT q_id, c_id, rank FROM ranked WHERE rank <= 10),
+         |dcg AS (SELECT t.q_id, CAST(sum(
+         |    COALESCE(greatest(CAST(round(d.sim * 1000000) AS BIGINT), 0), 0)
+         |    * (CASE t.rank $ndcgWCase END)) AS BIGINT) AS dcg
+         |  FROM top t LEFT JOIN den d ON d.q_id = t.q_id AND d.c_id = t.c_id
+         |  GROUP BY 1),
+         |idcg AS (SELECT q_id, CAST(sum(
+         |    greatest(CAST(round(sim * 1000000) AS BIGINT), 0)
+         |    * (CASE r_den $ndcgWCase END)) AS BIGINT) AS idcg
+         |  FROM denr WHERE r_den <= 10 GROUP BY 1),
+         |hits AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_rel,
+         |    min(t.rank) AS first_rel
+         |  FROM top t JOIN denr r
+         |    ON r.q_id = t.q_id AND r.c_id = t.c_id AND r.r_den <= 5
+         |  GROUP BY 1)
+         |SELECT d.q_id, CAST(COALESCE(h.n_rel, 0) AS BIGINT) AS n_rel_at_10,
+         |  COALESCE(CAST(1 AS DOUBLE) / h.first_rel, 0.0) AS rr,
+         |  CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg
+         |FROM dcg d JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id)
+         |ORDER BY d.q_id""".stripMargin,
     // the oracle recomputes the WHOLE q391 pipeline on the raw parquet:
     // int8(+127) quantization, the v1-only (vec_id % 10 < 8) seeded
     // k-means with one integer-rounded Lloyd update, the FINAL live set

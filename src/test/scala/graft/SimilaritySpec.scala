@@ -127,6 +127,23 @@ class SimilaritySpec extends SparkSpec {
       "an erased document leaked into the maintained index's ranking")
   }
 
+  test("q396 retrieval metrics: NDCG/RR bounds and gradings hold (r12)") {
+    val rows = SparkEntry.queries("q396_retrieval_metrics")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (nRel, rr, ndcg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nRel >= 0 && nRel <= 5, s"n_rel_at_10 out of range: $nRel")
+      assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-12,
+        s"NDCG@10 must be in (0, 1] vs the ideal ordering, got $ndcg")
+      assert(rr == 0.0 || (rr >= 0.1 && rr <= 1.0), s"rr out of range: $rr")
+      // a query whose top hit is the true best has rr = 1 exactly; one
+      // with no truth doc in the fused top-10 has rr = 0 AND nRel = 0
+      assert((rr == 0.0) == (nRel == 0L),
+        "rr and n_rel must agree on emptiness")
+    }
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))
