@@ -931,6 +931,36 @@ object VectorQueries {
   // erasures flow through the SAME feed as ingest, and recall stays
   // whatever the frozen quantizer gives until a scheduled re-train —
   // which IS the rebuild, done deliberately, not per commit.
+  /** int8(+127)-quantize an (vec_id, embedding) frame — the index-code
+    * view shared by the CDF-maintained (q391) and stream-maintained
+    * (q397) index faces. */
+  private def annQuant(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    Similarity.withQuantizedInt8(df, $"embedding".cast("array<double>"), "_qi")
+      .select($"vec_id", transform($"_qi", x => x + 127).as("q"))
+  }
+
+  /** q346's coarse k-means over a quantized frame: seeds = the kCoarse
+    * smallest vec_ids, ONE integer-rounded Lloyd update — trained once
+    * on the v1 snapshot, then FROZEN (re-training reassigns every
+    * vector: that IS the rebuild incremental maintenance avoids). */
+  private def annTrainCentroids(s: SparkSession, v1q: DataFrame,
+                                kCoarse: Int = 8): Seq[(Int, Seq[Int])] = {
+    import s.implicits._
+    val seeds: Seq[(Int, Seq[Int])] = v1q.filter($"vec_id" < kCoarse)
+      .select($"vec_id", $"q").collect().toSeq
+      .map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
+    val kmSums = v1q
+      .select(pqArgminCode($"q", seeds).as("j"), $"q")
+      .select($"j", posexplode($"q").as(Seq("p", "x")))
+      .groupBy($"j", $"p")
+      .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))).toInt).toMap
+    seeds.map { case (j, seed) =>
+      j -> seed.indices.map(p => kmSums.getOrElse((j, p), seed(p))) }
+  }
+
   def cdfAnnIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.ManifestTable
@@ -944,24 +974,11 @@ object VectorQueries {
     val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
       .select($"vec_id", $"embedding")
     ManifestTable.commit(emb.filter($"vec_id" % 10 < 8), out, append = false) // v1
-    def quant(df: DataFrame): DataFrame =
-      Similarity.withQuantizedInt8(df, $"embedding".cast("array<double>"), "_qi")
-        .select($"vec_id", transform($"_qi", x => x + 127).as("q"))
+    def quant(df: DataFrame): DataFrame = annQuant(s, df)
     // the quantizer trains ONCE, on v1 (then frozen): q346's coarse
     // k-means — seeds = 8 smallest vec_ids, one rounded Lloyd update
     val v1q = quant(ManifestTable.read(s, out, 1)).localCheckpoint()
-    val seeds: Seq[(Int, Seq[Int])] = v1q.filter($"vec_id" < kCoarse)
-      .select($"vec_id", $"q").collect().toSeq
-      .map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1)
-    val kmSums = v1q
-      .select(pqArgminCode($"q", seeds).as("j"), $"q")
-      .select($"j", posexplode($"q").as(Seq("p", "x")))
-      .groupBy($"j", $"p")
-      .agg(sum($"x").cast("long").as("sv"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-        ((2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))).toInt).toMap
-    val ckm: Seq[(Int, Seq[Int])] = seeds.map { case (j, seed) =>
-      j -> seed.indices.map(p => kmSums.getOrElse((j, p), seed(p))) }
+    val ckm = annTrainCentroids(s, v1q, kCoarse)
     // the v1 index artifact (in production: q310-style parquet)
     val idx1 = v1q.select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"q")
     // the table moves on: two ingest appends + a GDPR erasure
@@ -1065,7 +1082,82 @@ object VectorQueries {
     out
   }
 
+  // q397: STREAM-MAINTAINED ANN INDEX — q391's maintenance contract on
+  // the streaming trigger path: the versioned embedding table is ALSO a
+  // stream (q344's one-commit-per-micro-batch source), and a foreachBatch
+  // sink maintains the index artifact per trigger — each batch quantizes
+  // + assigns ITSELF against the broadcast frozen centroids and appends
+  // (vec_id, kcell) to the parquet index, no history ever re-read
+  // (require-pinned: exactly one micro-batch per appended commit). The
+  // GDPR erasure then flows through the BATCH compliance path — the
+  // change feed's delete events tombstone the artifact in one anti join —
+  // because the ingest stream is append-only by contract (a delete
+  // commit in its range fails loudly; separating the two paths is how
+  // production systems wire it too). Identity require-pinned: the
+  // stream+tombstone-maintained index equals a from-scratch re-assign of
+  // the final snapshot under the same frozen centroids, both exceptAll
+  // directions. Output = the per-cell index state (counts + id
+  // checksums), so any drift in routing, batch boundaries, or tombstones
+  // moves the gate hash. At 100 TB: per-trigger work is O(|commit| × k)
+  // map-side assignment; the checkpoint makes restarts exactly-once.
+  def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_q397_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base0}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base0, out)
+    def rmf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmf); f.delete(): Unit }
+    rmf(new java.io.File(out))
+    val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+      .select($"vec_id", $"embedding")
+    val tbl = s"$out/tbl"
+    ManifestTable.commit(emb.filter($"vec_id" % 10 < 8), tbl, append = false) // v1
+    val v1 = ManifestTable.read(s, tbl, 1)
+    val tblSchema = v1.schema
+    val v1q = annQuant(s, v1).localCheckpoint()
+    val ckm = annTrainCentroids(s, v1q)
+    val indexDir = s"$out/index"
+    v1q.select($"vec_id", pqArgminCode($"q", ckm).as("kcell"))
+      .write.mode("overwrite").parquet(indexDir)
+    // two ingest commits land; the stream drains them as two triggers
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 8), tbl, append = true) // v2
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 9), tbl, append = true) // v3
+    val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+      .schema(tblSchema).option("path", tbl).option("startVersion", "1").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annQuant(s, batch)
+          .select(col("vec_id"), pqArgminCode(col("q"), ckm).as("kcell"))
+          .write.mode("append").parquet(indexDir)
+      }
+      .option("checkpointLocation", s"$out/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches == 2,
+      s"q397: two appended commits must maintain the index as two micro-batches, got $batches")
+    // the compliance path: delete events tombstone the artifact
+    ManifestTable.delete(
+      emb.filter($"vec_id" % 17 === 0).select($"vec_id"), tbl, "vec_id")       // v4
+    val tomb = ManifestTable.changeFeed(s, tbl, 3)
+      .filter($"_change_type" === "delete").select($"vec_id").distinct()
+    require(tomb.count() > 0, "q397: the feed must carry delete events")
+    val live = s.read.parquet(indexDir)
+      .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+    val rebuilt = annQuant(s,
+        ManifestTable.read(s, tbl, ManifestTable.currentVersion(tbl)))
+      .select($"vec_id", pqArgminCode($"q", ckm).as("kcell"))
+    require(live.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(live).isEmpty,
+      "q397: the stream-maintained index must equal the from-scratch rebuild")
+    live.groupBy($"kcell".cast("long").as("kcell"))
+      .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_ids"),
+        min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
+      .orderBy($"kcell")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q397_stream_ann_ingest" -> streamAnnIngest _,
     "q396_retrieval_metrics" -> retrievalMetrics _,
     "q391_cdf_ann_index" -> cdfAnnIndex _,
     "q389_context_pack" -> contextPack _,
@@ -1173,6 +1265,46 @@ object VectorQueries {
          |  CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg
          |FROM dcg d JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id)
          |ORDER BY d.q_id""".stripMargin,
+    // q397: q391's training + assignment recompute, summarized per cell
+    // (the stream face outputs index STATE: counts + id checksums)
+    "q397_stream_ann_ingest" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |v1 AS (SELECT vec_id, q FROM qt WHERE vec_id % 10 < 8),
+        |ks AS (SELECT vec_id AS j, q AS c FROM v1 WHERE vec_id < 8),
+        |kd0 AS (SELECT v1.vec_id, ks.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM v1, ks),
+        |ka0 AS (SELECT vec_id, j AS a0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM kd0)
+        |  WHERE rn = 1),
+        |ksums AS (SELECT ka0.a0, t.i,
+        |    CAST(sum(v1.q[CAST(t.i AS INT)]) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ka0 JOIN v1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+        |ckmu AS (SELECT a0 AS j, list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM ksums GROUP BY 1),
+        |ckm AS (SELECT ks.j, coalesce(ckmu.c, ks.c) AS c
+        |  FROM ks LEFT JOIN ckmu ON ks.j = ckmu.j),
+        |live AS (SELECT vec_id, q FROM qt WHERE vec_id % 17 <> 0),
+        |cd AS (SELECT live.vec_id, ckm.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(live.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(live.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM live, ckm),
+        |cell AS (SELECT vec_id, j AS kcell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cd)
+        |  WHERE rn = 1)
+        |SELECT CAST(kcell AS BIGINT) AS kcell,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        |  CAST(min(vec_id) AS BIGINT) AS min_id,
+        |  CAST(max(vec_id) AS BIGINT) AS max_id
+        |FROM cell GROUP BY 1 ORDER BY kcell""".stripMargin,
     // the oracle recomputes the WHOLE q391 pipeline on the raw parquet:
     // int8(+127) quantization, the v1-only (vec_id % 10 < 8) seeded
     // k-means with one integer-rounded Lloyd update, the FINAL live set

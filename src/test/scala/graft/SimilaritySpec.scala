@@ -144,6 +144,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q397 stream-maintained ANN index: cell state accounts for every live vector (r12)") {
+    import org.apache.spark.sql.functions._
+    // the face's requires pin the trigger count (one micro-batch per
+    // commit) and the rebuild identity; this pins the global accounting:
+    // Σ n_vectors = |live corpus| (every vector indexed exactly once,
+    // every erased vector gone), ids inside [0, max vec_id], cells ≤ 8
+    val rows = SparkEntry.queries("q397_stream_ann_ingest")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val total = emb.count()
+    val erased = emb.filter(col("vec_id") % 17 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == total - erased,
+      "per-cell counts must account for exactly the live corpus")
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) % 17 != 0),
+      "no cell may hold an erased minimum id")
+  }
+
   test("hyperplaneBucket is a pure map: no shuffle in the plan") {
     val df = spark.range(0, 100)
       .select($"id", array((0 until 64).map(i => (rand(42 + i) - 0.5)): _*).as("v"))
