@@ -542,7 +542,63 @@ object DedupQueries {
       .orderBy($"jac_bucket")
   }
 
+  // q398: MAXIMAL DUPLICATED-SPAN EXTRACTION — q107 measures span-level
+  // duplication (a ppm score per doc); this face LOCALIZES it into the
+  // artifact exact substring dedup actually ships: the maximal merged
+  // token spans shared across documents (Lee et al. 2022's suffix-array
+  // output, re-expressed as a distributed fingerprint join + island
+  // merge). Seeds are 8-token windows fingerprinted md5; a seed is
+  // duplicated iff its fingerprint occurs in ≥ 2 DISTINCT docs (cross-doc
+  // — within-doc self-repeats are q207/q51's business); per doc,
+  // consecutive duplicated seed starts merge into maximal spans by the
+  // gaps-and-islands anchor (p − row_number), so the emitted rows are the
+  // CUT LIST: (start token, span length, content md5) per span. Every
+  // value is exact/integer/md5 — cross-engine bit-identical. Scale shape:
+  // seed fingerprinting is map-side over Σ tokens; "duplicated" is ONE
+  // fingerprint-keyed aggregate (count distinct doc per h — the same
+  // shuffle volume a suffix-array build would sort, this is the known
+  // price of EXACT substring dedup); the semi join back reuses the
+  // aggregate's hash partitioning; island merge + final slice are
+  // doc-keyed over duplicated seeds only (≪ corpus). No all-pairs
+  // anywhere; at 100 TB production would fingerprint to 128-bit ints
+  // instead of md5 strings (same plan, narrower shuffle rows).
+  private val SpanK = 8
+  def repeatedSpans(s: SparkSession, dir: String,
+                    docs0: DataFrame = null): DataFrame = {
+    import s.implicits._
+    val docs = Option(docs0).getOrElse(
+      Relational.spread(Tables(s, dir).documents, $"doc_id"))
+    val toks = docs
+      .select($"doc_id", PF.tokens($"text").as("w"))
+      .withColumn("len", size($"w").cast("long"))
+      .filter($"len" >= SpanK)
+    val seeds = toks
+      .select($"doc_id", $"w", explode(sequence(lit(0L), $"len" - SpanK)).as("p"))
+      .select($"doc_id", $"p",
+        md5(concat_ws(" ", slice($"w", ($"p" + 1L).cast("int"), lit(SpanK)))).as("h"))
+    val dup = seeds.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"h")
+    val hits = seeds.join(dup, Seq("h"), "left_semi")
+    val isl = hits.withColumn("g",
+      $"p" - row_number().over(Window.partitionBy($"doc_id").orderBy($"p")))
+    val sp = isl.groupBy($"doc_id", $"g")
+      .agg(min($"p").as("start_tok"), (max($"p") + SpanK).as("endx"),
+        count(lit(1)).as("n_seeds"))
+    sp.join(toks.select($"doc_id", $"w"), Seq("doc_id"))
+      .select($"doc_id", $"start_tok",
+        ($"endx" - $"start_tok").as("span_tokens"), $"n_seeds",
+        md5(concat_ws(" ", slice($"w", ($"start_tok" + 1L).cast("int"),
+          ($"endx" - $"start_tok").cast("int")))).as("span_md5"))
+      .withColumn("span_idx", row_number()
+        .over(Window.partitionBy($"doc_id").orderBy($"start_tok")).cast("long"))
+      .select($"doc_id", $"span_idx", $"start_tok", $"span_tokens",
+        $"n_seeds", $"span_md5")
+      .orderBy($"doc_id", $"start_tok")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_repeated_spans" -> ((s: SparkSession, dir: String) => repeatedSpans(s, dir)),
     "q354_cdc_dedup_index" -> cdcDedupIndex _,
     "q336_incremental_dedup_del" -> incrementalDedupDelete _,
     "q322_prefix_filter_join" -> prefixFilterJoin _,
@@ -604,6 +660,36 @@ object DedupQueries {
          |  FROM rc GROUP BY src)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q398_repeated_spans" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len, w FROM w
+         |  WHERE len(w) >= 8),
+         |seeds AS (SELECT doc_id, w, unnest(range(0, len - 8 + 1)) AS p FROM s),
+         |f AS (SELECT doc_id, p,
+         |    md5(list_aggregate(w[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)],
+         |      'string_agg', ' ')) AS h
+         |  FROM seeds),
+         |dup AS (SELECT h FROM f GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, p FROM f JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |  FROM d),
+         |sp AS (SELECT doc_id, min(p) AS start_tok, max(p) + 8 AS endx,
+         |    count(*) AS n_seeds
+         |  FROM isl GROUP BY doc_id, g),
+         |j AS (SELECT sp.doc_id, start_tok, endx - start_tok AS span_tokens,
+         |    n_seeds,
+         |    md5(list_aggregate(
+         |      s.w[CAST(start_tok + 1 AS INT) : CAST(endx AS INT)],
+         |      'string_agg', ' ')) AS span_md5
+         |  FROM sp JOIN s ON s.doc_id = sp.doc_id)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         |    AS BIGINT) AS span_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(span_tokens AS BIGINT) AS span_tokens,
+         |  CAST(n_seeds AS BIGINT) AS n_seeds, span_md5
+         |FROM j ORDER BY doc_id, start_tok""".stripMargin,
     "q322_prefix_filter_join" ->
       """WITH tk AS (SELECT doc_id, unnest(list_distinct(
         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS tok

@@ -1418,6 +1418,97 @@ object WarehouseQueries {
       .orderBy($"stage", $"o_orderpriority")
   }
 
+  // q399: CHERRY-PICK — selective publish onto a MOVED main (Iceberg's
+  // cherrypick_snapshot), the verb for exactly the case q349's
+  // fast-forward refuses by design: main advanced past the fork, or only
+  // SOME branch commits should ship. An experiment branch takes three
+  // append commits; main independently takes an equality DELETE (so
+  // fastForward provably refuses — pinned); then branch commits are
+  // picked OUT OF ORDER (v3 then v2), each landing as main's next
+  // version with ZERO data bytes copied — the delta files are
+  // hard-LINKED into a fresh nonce'd commit dir (inode equality
+  // require-pinned), which simultaneously RE-SEQUENCES them: the
+  // manifest sequence parses from the path, and main's pre-pick delete
+  // (sequence 2) must not scope rows that land after it. The gate's
+  // sharpest tooth: the delete's key set deliberately overlaps the
+  // picked rows' keys — a re-sequencing bug (publishing the branch paths
+  // verbatim) would silently erase those rows, moving n_rows/sum_k/sum_v
+  // for grp 'b'. Branch lineage and pre-pick time travel pinned intact.
+  // At 100 TB a cherry-pick is O(delta files) link(2) + one manifest
+  // claim — promotion of a validated backfill slice costs no data IO.
+  def cherryPickFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q399_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val keys = Tables(s, dir).orders.select($"o_orderkey".cast("long").as("k"))
+    def slice(m: Int, grp: String, mult: Int) =
+      keys.filter($"k" % 10 === m)
+        .select($"k", lit(grp).as("grp"), ($"k" * mult).as("v"))
+    val baseRows = keys.filter($"k" % 10 < 5)
+      .select($"k", lit("base").as("grp"), ($"k" * 2).as("v"))
+    ManifestTable.commit(baseRows, out, append = false)           // main v1
+    ManifestTable.createBranch(out, "exp")
+    ManifestTable.commitToBranch(slice(5, "a", 3), out, "exp")    // branch v2
+    ManifestTable.commitToBranch(slice(6, "b", 5), out, "exp")    // branch v3
+    ManifestTable.commitToBranch(slice(7, "c", 7), out, "exp")    // branch v4
+    // main moves past the fork: equality delete at sequence 2 whose key
+    // set OVERLAPS the yet-unpicked branch rows' keys
+    ManifestTable.delete(
+      keys.filter($"k" % 3 === 0).select($"k"), out, "k")         // main v2
+    val ffRefused =
+      try { ManifestTable.fastForward(out, "exp"); false }
+      catch { case _: ManifestTable.CommitConflictException => true }
+    require(ffRefused, "q399: fastForward must refuse a moved main")
+    def dataDirs() = Option(new java.io.File(s"$out/data").listFiles())
+      .toSeq.flatten.map(_.getName).toSet
+    val preDirs = dataDirs()
+    val v3 = ManifestTable.cherryPick(out, "exp", 3)              // pick 'b'
+    require(v3 == 3, s"q399: first pick must land at main v3, got v$v3")
+    // zero-copy pin: every picked file shares its INODE with the branch
+    // original (hard link, not a byte copy)
+    val pickDir = (dataDirs() -- preDirs).toSeq match {
+      case Seq(one) => one
+      case other => sys.error(s"q399: expected one new commit dir, got $other")
+    }
+    val branchV3Dir = preDirs.filter(_.startsWith("commit-3-"))
+      .headOption.getOrElse(sys.error("q399: branch commit-3 dir missing"))
+    import java.nio.file.attribute.BasicFileAttributes
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    Option(new java.io.File(s"$out/data/$pickDir").listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val a = JFiles.readAttributes(f.toPath, classOf[BasicFileAttributes]).fileKey
+        val b = JFiles.readAttributes(
+          JPaths.get(s"$out/data/$branchV3Dir/${f.getName}"),
+          classOf[BasicFileAttributes]).fileKey
+        require(a == b, s"q399: ${f.getName} must be a hard link of the branch file")
+      }
+    val v4 = ManifestTable.cherryPick(out, "exp", 2)              // pick 'a' (out of order)
+    require(v4 == 4, s"q399: second pick must land at main v4, got v$v4")
+    // the sequencing tooth: picked rows whose keys sit in the v2 delete
+    // file must SURVIVE (their sequence post-dates the delete's)
+    require(ManifestTable.read(s, out)
+        .filter($"grp" === "b" && $"k" % 3 === 0).count() > 0,
+      "q399: picked rows must not be scoped by the pre-pick equality delete")
+    // branch lineage and pre-pick time travel intact
+    val branchN = ManifestTable.readBranch(s, out, "exp").count()
+    val expectN = baseRows.count() +
+      slice(5, "a", 3).count() + slice(6, "b", 5).count() + slice(7, "c", 7).count()
+    require(branchN == expectN,
+      s"q399: branch head must be untouched by the picks ($branchN vs $expectN)")
+    require(ManifestTable.read(s, out, 1)
+        .filter($"grp" =!= "base").isEmpty,
+      "q399: time travel to v1 must still serve the pre-branch base")
+    ManifestTable.read(s, out)
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"), sum($"v").as("sum_v"))
+      .orderBy($"grp")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3344,6 +3435,7 @@ object WarehouseQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_cherry_pick" -> cherryPickFace _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
@@ -3410,6 +3502,20 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle recomputes the post-pick main relationally: base minus
+    // the deleted keys, plus the two picked slices IN FULL — including
+    // their k % 3 = 0 rows, which only survive if cherry-pick
+    // re-sequenced the picked files past the delete
+    "q399_cherry_pick" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (
+        |  SELECT k, 'base' AS grp, k * 2 AS v FROM k
+        |  WHERE k % 10 < 5 AND k % 3 <> 0
+        |  UNION ALL SELECT k, 'a', k * 3 FROM k WHERE k % 10 = 5
+        |  UNION ALL SELECT k, 'b', k * 5 FROM k WHERE k % 10 = 6)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
     "q364_sql_branch_read" ->
       """WITH src AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

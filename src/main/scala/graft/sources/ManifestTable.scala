@@ -2205,6 +2205,33 @@ object ManifestTable {
     }.toDF("version", "n_entries", "n_data_files", "n_eq_deletes", "n_pos_deletes")
   }
 
+  /** The snapshot read PLUS row provenance: a `_commit_version` column
+    * carrying the commit sequence of the FILE each live row resides in —
+    * "which ingest wrote this row?" answered with zero extra IO (the
+    * `_metadata.file_path` column is free at the scan, and the file→seq
+    * map is the manifest the driver already holds, broadcast as
+    * |files| rows). Merge-on-read deletes apply as usual — provenance is
+    * reported for LIVE rows only. Honesty note (same as Iceberg): a
+    * file's sequence is the commit that WROTE THE FILE, so compaction or
+    * copy-on-write rewrites re-stamp the rows they move; the change feed
+    * ([[changeFeed]]) is the true ingest ledger across rewrites. */
+  def readWithProvenance(spark: SparkSession, dir: String,
+                         version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, broadcast}
+    import spark.implicits._
+    val v = if (version > 0) version else currentVersion(dir)
+    require(v > 0, s"ManifestTable.readWithProvenance: no committed version under $dir")
+    val entries = manifestFiles(dir, v).map(parseEntry)
+    val df = assemble(spark, entries, dir, withMeta = true)
+    if (!entries.exists(_.isData)) return df
+    val fmap = entries.filter(_.isData).map(e => (e.path, e.seq))
+      .toDF("_pv_path", "_commit_version")
+    df.join(broadcast(fmap),
+        regexp_replace(col(MetaCols(0)), "^file:/+", "/") === fmap("_pv_path"),
+        "left")
+      .drop("_pv_path").drop(MetaCols: _*)
+  }
+
   /** Write-Audit-Publish: stage `df`'s files where no reader looks, AUDIT
     * the staged bytes with row-level quality checks, and publish the
     * manifest only if clean — the pattern that keeps a bad upstream batch
@@ -2743,6 +2770,77 @@ object ManifestTable {
       claimManifest(dir, v, Files.readAllLines(md.resolve(s"v$v.list")).asScala.toSeq)
     }
     head
+  }
+
+  /** Cherry-pick ONE branch commit onto main's CURRENT head (Iceberg's
+    * `cherrypick_snapshot`): the selective-publish verb for exactly the
+    * case [[fastForward]] refuses — main moved past the fork, or only
+    * SOME of the branch's commits should ship. Only pure APPEND commits
+    * qualify (the delta must be data lines appended to the parent's
+    * manifest; row-level / delete / overwrite commits are order-dependent
+    * — replaying them against a different base changes answers — so they
+    * refuse loudly, the same restriction Iceberg imposes).
+    *
+    * Zero data bytes are COPIED: each delta file is hard-LINKED into
+    * main's next commit directory. The link serves two purposes at once —
+    * it reuses the physical bytes (same inode, O(files) metadata ops),
+    * and it RE-SEQUENCES the rows: a manifest entry's sequence number is
+    * parsed from its `commit-N` path segment, and an equality delete
+    * already on main (sequence ≤ head) must not scope rows that land
+    * AFTER it. Re-publishing the branch paths verbatim would smuggle the
+    * branch's (stale, lower) sequence onto main and silently erase the
+    * picked rows under any later delete. Stats/bloom segments carry
+    * VERBATIM with the path swapped — no footer re-reads. The claim is
+    * the same link-CAS as every commit; on a lost race the created links
+    * are removed before rethrowing (nothing referenced them yet).
+    * Returns main's new head. */
+  def cherryPick(dir: String, name: String, v: Int): Int = {
+    val md = branchMd(dir, name)
+    require(Files.isDirectory(md), s"no branch '$name' under $dir")
+    val vs = versionsOnDisk(md).toSet
+    require(vs.contains(v) && vs.contains(v - 1),
+      s"cherryPick: branch '$name' has no commit v$v (or no parent v${v - 1})")
+    val prev = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq
+    val cur = Files.readAllLines(md.resolve(s"v$v.list")).asScala.toSeq
+    if (!(cur.size > prev.size && cur.take(prev.size) == prev))
+      throw new CommitConflictException(
+        s"cherryPick: branch commit v$v is not a pure append — only append " +
+          "commits can re-land on a moved main (row-level/overwrite commits " +
+          "are order-dependent; use fastForward from an un-moved fork)")
+    val delta = cur.drop(prev.size)
+    delta.find(l => !parseEntry(l).isData).foreach { l =>
+      throw new CommitConflictException(
+        s"cherryPick: branch commit v$v carries a delete entry ($l) — " +
+          "only append commits can be cherry-picked")
+    }
+    val target = currentVersion(dir) + 1
+    require(target > 1, s"cherryPick: no committed version under $dir")
+    // nonce'd commit dir (the appendOptimistic convention): a contending
+    // plain writer overwrite-stages into `commit-$target` and would nuke
+    // our links before either CAS lands — a suffixed dir is ours alone,
+    // and SeqRe parses the sequence through the suffix
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dataDir = Paths.get(s"$dir/data/commit-$target-$id")
+    Files.createDirectories(dataDir)
+    val linked = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val relined = delta.map { l =>
+        val e = parseEntry(l)
+        val src = Paths.get(e.path)
+        val dst = dataDir.resolve(src.getFileName.toString)
+        Files.createLink(dst, src)
+        linked += dst
+        if (l.startsWith("F|")) {
+          val parts = l.split('|'); parts(1) = dst.toString; parts.mkString("|")
+        } else dst.toString
+      }.sorted
+      claimManifest(dir, target, manifestFiles(dir, target - 1) ++ relined)
+    } catch {
+      case e: Throwable =>
+        linked.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(dataDir)
+        throw e
+    }
   }
 
   /** Delete an abandoned branch: reclaims data files that ONLY the branch

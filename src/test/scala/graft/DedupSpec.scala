@@ -82,4 +82,50 @@ class DedupSpec extends SparkSpec {
     }
     ()
   }
+
+  // q398: maximal duplicated-span extraction — cross-doc seeds merge into
+  // maximal spans; within-doc self-repeats are excluded by contract.
+  test("q398 repeated spans: maximal merge, cross-doc only, exact content md5") {
+    val run = (5 to 14).map(i => s"t$i")                       // 10 shared tokens
+    val r1 = (0 until 8).map(i => s"r1_$i")                    // 8 shared tokens
+    val r2 = (0 until 8).map(i => s"r2_$i")                    // 8 shared tokens
+    val x = (0 until 8).map(i => s"x$i")                       // within-doc only
+    val docs = Seq(
+      // doc 0: run at token positions 5..14 of 20
+      0L -> ((0 to 4).map(i => s"a$i") ++ run ++ (15 to 19).map(i => s"a$i")),
+      // doc 1: the same run at positions 3..12 of 17
+      1L -> ((0 to 2).map(i => s"b$i") ++ run ++ (3 to 6).map(i => s"b$i")),
+      // doc 2: an 8-token sequence repeated twice WITHIN itself only
+      2L -> (Seq("c0") ++ x ++ Seq("c1") ++ x ++ Seq("c2")),
+      // docs 3/4: two DISJOINT shared runs → two spans each
+      3L -> (Seq("d0") ++ r1 ++ Seq("d1") ++ r2 ++ Seq("d2")),
+      4L -> (Seq("e0", "e1") ++ r1 ++ Seq("e2") ++ r2)
+    ).map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.queries.DedupQueries.repeatedSpans(spark, "", docs)
+      .select($"doc_id", $"span_idx", $"start_tok", $"span_tokens",
+        $"n_seeds", $"span_md5")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    def spansOf(id: Long) = out.filter(_._1 == id).sortBy(_._3)
+    // doc 0: one maximal span covering the full 10-token run (3 seeds)
+    assert(spansOf(0L).map(t => (t._3, t._4, t._5)) == Seq((5L, 10L, 3L)),
+      s"doc 0 spans wrong: ${spansOf(0L)}")
+    // doc 1: the same content at its own offset
+    assert(spansOf(1L).map(t => (t._3, t._4, t._5)) == Seq((3L, 10L, 3L)),
+      s"doc 1 spans wrong: ${spansOf(1L)}")
+    // identical content ⇒ identical md5 across docs, and it is THE md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(run.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(spansOf(0L).head._6 == expected && spansOf(1L).head._6 == expected,
+      "span_md5 must be the md5 of the space-joined span tokens")
+    // doc 2: within-doc repetition alone emits nothing
+    assert(spansOf(2L).isEmpty, s"within-doc repeats must not emit: ${spansOf(2L)}")
+    // docs 3/4: two disjoint spans each, span_idx ordered by start
+    assert(spansOf(3L).map(t => (t._2, t._3, t._4, t._5)) ==
+      Seq((1L, 1L, 8L, 1L), (2L, 10L, 8L, 1L)), s"doc 3: ${spansOf(3L)}")
+    assert(spansOf(4L).map(t => (t._2, t._3, t._4, t._5)) ==
+      Seq((1L, 2L, 8L, 1L), (2L, 11L, 8L, 1L)), s"doc 4: ${spansOf(4L)}")
+    ()
+  }
 }

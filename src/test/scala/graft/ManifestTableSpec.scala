@@ -665,4 +665,58 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(dir) == 2 + n) // only the foreign commit landed
     assert(ManifestTable.read(spark, dir).count() == (n + 2).toLong)
   }
+
+  test("cherryPick lands one append commit on a moved main; hard-links, re-sequences, refuses non-appends") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)  // main v1
+    ManifestTable.createBranch(dir, "exp")
+    ManifestTable.commitToBranch((11L to 13L).toDF("k"), dir, "exp")  // branch v2
+    ManifestTable.commitToBranch((21L to 23L).toDF("k"), dir, "exp")  // branch v3
+    // main moves: equality delete at sequence 2, whose keys include a
+    // yet-unpicked branch row (k = 22)
+    ManifestTable.delete(Seq(2L, 22L).toDF("k"), dir, "k")            // main v2
+    assert(ManifestTable.read(spark, dir).count() == 9)
+    // pick branch v3 only (out of lineage order is fine for appends)
+    assert(ManifestTable.cherryPick(dir, "exp", 3) == 3)
+    val main = ManifestTable.read(spark, dir).select($"k").as[Long].collect().toSet
+    // 22 SURVIVES: its file re-sequenced past the delete; 2 stays deleted
+    assert(main == ((1L to 10L).toSet - 2L) ++ Set(21L, 22L, 23L), s"got $main")
+    // the picked files are hard links (same inode), not byte copies
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    val pickDir = dataDirs.filter(_.matches("commit-3-[0-9a-f]{12}"))
+      .filterNot(d => new java.io.File(s"$dir/data/$d").listFiles()
+        .exists(_.getName.endsWith("_SUCCESS")))
+    assert(pickDir.length == 1, s"expected one linked pick dir, got ${dataDirs.toSeq}")
+    val branchV3 = dataDirs.filter(_.startsWith("commit-3-"))
+      .filterNot(pickDir.contains).head
+    import java.nio.file.attribute.BasicFileAttributes
+    new java.io.File(s"$dir/data/${pickDir.head}").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val a = java.nio.file.Files.readAttributes(
+          f.toPath, classOf[BasicFileAttributes]).fileKey
+        val b = java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(s"$dir/data/$branchV3/${f.getName}"),
+          classOf[BasicFileAttributes]).fileKey
+        assert(a == b, s"${f.getName} must be a hard link of the branch file")
+      }
+    // branch and main v1 untouched
+    assert(ManifestTable.readBranch(spark, dir, "exp").count() == 16)
+    assert(ManifestTable.read(spark, dir, 1).count() == 10)
+    // second pick of the remaining commit lands next
+    assert(ManifestTable.cherryPick(dir, "exp", 2) == 4)
+    assert(ManifestTable.read(spark, dir).count() == 9 + 3 + 3)
+    // refusal: an overwrite branch commit is not a pure append
+    ManifestTable.commitToBranch((50L to 51L).toDF("k"), dir, "exp", append = false) // branch v4
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.cherryPick(dir, "exp", 4)
+    }
+    // refusal: unknown branch version
+    intercept[IllegalArgumentException] {
+      ManifestTable.cherryPick(dir, "exp", 9)
+    }
+    // a refused pick leaves no new data dir behind
+    val after = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith("commit-5-")), s"refused pick left debris: $after")
+  }
 }
