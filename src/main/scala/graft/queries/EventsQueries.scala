@@ -995,6 +995,86 @@ object EventsQueries {
     s.table(nm).orderBy($"event_type")
   }
 
+  // q402: STREAMING ENRICHMENT AGAINST A LIVE VERSIONED DIM — the gap
+  // between q242 (stream-static with a FIXED dim) and production: the
+  // dimension table keeps moving while the fact stream runs, and each
+  // scheduled micro-batch run must enrich against the dim AS OF that
+  // run — the slowly-changing-dimension refresh pattern every warehouse
+  // streaming pipeline needs. Facts live in a versioned manifest table
+  // streamed via q344's one-commit-per-micro-batch source; enrichment
+  // happens in foreachBatch, which re-resolves the dim's CURRENT
+  // version per run (a broadcast-sized read — at 100 TB the dim read is
+  // manifest planning + a small scan, the fact side never re-reads
+  // history). Pinned: run 1 drains exactly the first fact commit joined
+  // against dim v1; the dim is then OVERWRITTEN (v2 re-labels every
+  // third customer) and a second fact commit lands; the checkpointed
+  // run 2 reads ONLY the new fact commit (numInputRows pinned) and its
+  // rows carry dim-v2 labels — so the final enriched table mixes
+  // attributions by INGEST TIME, which is exactly what the oracle
+  // recomputes (fact slice 1 ⋈ dim v1 ∪ fact slice 2 ⋈ dim v2). A
+  // pipeline that cached the dim across runs, or re-processed old
+  // batches under the new dim, moves the gate hash.
+  def streamDimRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.types.StructType
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q402_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    val orders = Tables(s, dir).orders
+      .select($"o_custkey".cast("long").as("ckey"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("y"))
+    val dimV1 = Tables(s, dir).customer
+      .select($"c_custkey".cast("long").as("ckey"), $"c_mktsegment".as("seg"))
+    val (facts, dim, enriched) = (s"$out/facts", s"$out/dim", s"$out/enriched")
+    ManifestTable.commit(dimV1, dim, append = false)                       // dim v1
+    ManifestTable.commit(orders.filter($"y" <= 1996).drop("y"),
+      facts, append = false)                                               // facts v1
+    val schema = new StructType().add("ckey", "long").add("cents", "long")
+    def run() = {
+      val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+        .schema(schema).option("path", facts).load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the dim re-resolves to its CURRENT version at every run
+          val d = ManifestTable.read(s, dim)
+          batch.join(broadcast(d), Seq("ckey"))
+            .select(col("ckey"), col("seg"), col("cents"))
+            .write.mode("append").parquet(enriched)
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = run()
+    require(q1.recentProgress.count(_.numInputRows > 0) == 1,
+      "q402: run 1 must drain exactly the first fact commit")
+    // the dim MOVES: every third customer re-labeled (overwrite = dim v2)
+    ManifestTable.commit(
+      dimV1.select($"ckey",
+        when($"ckey" % 3 === 0, concat($"seg", lit("_X")))
+          .otherwise($"seg").as("seg")),
+      dim, append = false)                                                 // dim v2
+    val slice2 = orders.filter($"y" === 1997).drop("y")
+    val n2 = slice2.count()
+    ManifestTable.commit(slice2, facts, append = true)                     // facts v2
+    val q2 = run()
+    val resumed = q2.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).sum
+    require(resumed == n2,
+      s"q402: run 2 must read only the new fact commit ($resumed vs $n2)")
+    val res = s.read.parquet(enriched)
+    require(res.filter($"seg".endsWith("_X")).count() > 0,
+      "q402: run-2 rows must carry dim-v2 labels")
+    res.groupBy($"seg")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("total_cents"))
+      .orderBy($"seg")
+  }
+
   // q272: stream-stream join parity — the real streaming engine joining
   // TWO unbounded sides (view events ⋈ purchase events per user within
   // 1 hour), the capability stream-static enrichment (q242) can't
@@ -1762,6 +1842,7 @@ object EventsQueries {
     "q241_typed_sessions" -> typedSessions _,
     "q242_stream_enrich" -> streamEnrich _,
     "q344_stream_manifest_source" -> streamManifestSource _,
+    "q402_stream_dim_refresh" -> streamDimRefresh _,
     "q350_medallion_pipeline" -> medallionPipeline _,
     "q232_stream_parity" -> streamingParity _,
     "q267_stream_dedup" -> streamingDedupParity _,
@@ -1834,6 +1915,24 @@ object EventsQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // enrichment is attributed BY INGEST TIME: the 1996-and-earlier fact
+    // slice joined the original dim, the 1997 slice the re-labeled one
+    "q402_stream_dim_refresh" ->
+      """WITH f1 AS (SELECT CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) <= 1996),
+        |f2 AS (SELECT CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1997),
+        |d1 AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+        |    c_mktsegment AS seg FROM customer),
+        |d2 AS (SELECT ckey, CASE WHEN ckey % 3 = 0 THEN seg || '_X'
+        |    ELSE seg END AS seg FROM d1),
+        |u AS (SELECT seg, cents FROM f1 JOIN d1 USING (ckey)
+        |  UNION ALL SELECT seg, cents FROM f2 JOIN d2 USING (ckey))
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM u GROUP BY seg ORDER BY seg""".stripMargin,
     "q350_medallion_pipeline" ->
       """SELECT CAST(user_id % 50 AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_purchases,

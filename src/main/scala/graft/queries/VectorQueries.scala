@@ -1156,7 +1156,49 @@ object VectorQueries {
       .orderBy($"kcell")
   }
 
+  // q403: INDEX DRIFT MONITOR — the RETRAIN TRIGGER the frozen-quantizer
+  // contract (q391/q397) deliberately leaves open: incremental
+  // maintenance keeps the index CORRECT under a frozen quantizer, but
+  // recall decays silently as the corpus distribution walks away from
+  // the train-time one — so production schedules retrains off a drift
+  // signal, not a calendar. The signal here is q223's PSI applied to the
+  // index's OWN routing: per IVF cell, the train-time population share
+  // vs the current population share (both from ONE frozen-centroid
+  // assignment pass — O(n·k) map-side against broadcast centroids, one
+  // cell-keyed aggregate, PSI algebra over the k=8 cell rows). Counts
+  // are exact integers; the only floats are q223's proven contract
+  // (share division, one ln, 6-dp rounding); empty-on-either-side cells
+  // contribute NULL, never ±inf. At 100 TB the monitor rides the
+  // assignment the maintenance pipeline already computes — drift
+  // detection costs one k-row aggregate per audit.
+  def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val allq = annQuant(s,
+      Tables(s, dir).embeddings.select($"vec_id", $"embedding"))
+      .localCheckpoint()
+    val ckm = annTrainCentroids(s, allq.filter($"vec_id" % 10 < 8))
+    val byCell = allq
+      .select($"vec_id", pqArgminCode($"q", ckm).as("kcell"))
+      .groupBy($"kcell".cast("long").as("kcell"))
+      .agg(sum(when($"vec_id" % 10 < 8, 1L).otherwise(0L)).as("n_train"),
+        count(lit(1)).as("n_now"))
+    byCell
+      .select($"kcell", $"n_train", $"n_now",
+        ($"n_train".cast("double") / sum($"n_train").over(w)).as("_pa"),
+        ($"n_now".cast("double") / sum($"n_now").over(w)).as("_pb"))
+      .select($"kcell", $"n_train", $"n_now", $"_pa", $"_pb",
+        when($"n_train" > 0 && $"n_now" > 0,
+          ($"_pa" - $"_pb") * log($"_pa" / $"_pb")).as("_c"))
+      .select($"kcell", $"n_train", $"n_now",
+        round($"_pa", 6).as("p_train"), round($"_pb", 6).as("p_now"),
+        round($"_c", 6).as("contrib"), round(sum($"_c").over(w), 6).as("psi"))
+      .orderBy($"kcell")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_index_drift" -> indexDrift _,
     "q397_stream_ann_ingest" -> streamAnnIngest _,
     "q396_retrieval_metrics" -> retrievalMetrics _,
     "q391_cdf_ann_index" -> cdfAnnIndex _,
@@ -1210,6 +1252,53 @@ object VectorQueries {
     (1 to 10).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}").mkString(" ")
 
   val oracles: Map[String, String] = Map(
+    // q403: q397's quantize+train CTEs, then frozen-centroid assignment
+    // of the WHOLE corpus and the q223 PSI algebra over cell shares
+    "q403_index_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |v1 AS (SELECT vec_id, q FROM qt WHERE vec_id % 10 < 8),
+        |ks AS (SELECT vec_id AS j, q AS c FROM v1 WHERE vec_id < 8),
+        |kd0 AS (SELECT v1.vec_id, ks.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(v1.q[CAST(i AS INT)] - ks.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM v1, ks),
+        |ka0 AS (SELECT vec_id, j AS a0 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM kd0)
+        |  WHERE rn = 1),
+        |ksums AS (SELECT ka0.a0, t.i,
+        |    CAST(sum(v1.q[CAST(t.i AS INT)]) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ka0 JOIN v1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+        |ckmu AS (SELECT a0 AS j, list((2 * sv + n) // (2 * n) ORDER BY i) AS c
+        |  FROM ksums GROUP BY 1),
+        |ckm AS (SELECT ks.j, coalesce(ckmu.c, ks.c) AS c
+        |  FROM ks LEFT JOIN ckmu ON ks.j = ckmu.j),
+        |cd AS (SELECT qt.vec_id, ckm.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qt.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(qt.q[CAST(i AS INT)] - ckm.c[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM qt, ckm),
+        |cell AS (SELECT vec_id, j AS kcell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cd)
+        |  WHERE rn = 1),
+        |b AS (SELECT CAST(kcell AS BIGINT) AS kcell,
+        |    sum(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END) AS nt_raw,
+        |    count(*) AS nn_raw
+        |  FROM cell GROUP BY 1),
+        |p AS (SELECT kcell, CAST(nt_raw AS BIGINT) AS n_train,
+        |    CAST(nn_raw AS BIGINT) AS n_now,
+        |    CAST(nt_raw AS DOUBLE) / sum(nt_raw) OVER () AS pa_r,
+        |    CAST(nn_raw AS DOUBLE) / sum(nn_raw) OVER () AS pb_r FROM b),
+        |c AS (SELECT *, CASE WHEN n_train > 0 AND n_now > 0
+        |    THEN (pa_r - pb_r) * ln(pa_r / pb_r) END AS c_r FROM p)
+        |SELECT kcell, n_train, n_now, round(pa_r, 6) AS p_train,
+        |  round(pb_r, 6) AS p_now, round(c_r, 6) AS contrib,
+        |  round(sum(c_r) OVER (), 6) AS psi
+        |FROM c ORDER BY kcell""".stripMargin,
     // q396: the full q386 fusion pipeline re-derived, then the metric
     // legs — integer gains × the SAME inlined integer weights, exact
     // long sums, one final division (see the face's float contract)

@@ -1509,6 +1509,129 @@ object WarehouseQueries {
       .orderBy($"grp")
   }
 
+  // q400: ROW PROVENANCE — "which commit wrote this row?" answered for
+  // every LIVE row of the snapshot with ZERO extra IO: the scan's free
+  // `_metadata.file_path` column joins the manifest's file→sequence map
+  // (driver-held, |files| rows, broadcast). The audit face every
+  // regulated pipeline needs — attribute a bad record to its ingest
+  // batch WITHOUT a lineage column baked into the data (which upstream
+  // can forge and backfills must rewrite). Three year-sliced appends +
+  // one equality DELETE build the table; provenance must map every
+  // surviving row to exactly its ingest commit, with the MoR delete
+  // changing membership but never provenance. Require-pins: no NULL
+  // provenance, and the provenance column agrees with the year slicing
+  // row-for-row (the oracle recomputes the commit assignment
+  // relationally). Honesty contract documented on the verb: compaction/
+  // CoW re-stamp the rows they rewrite — the change feed is the ledger
+  // across rewrites; this face keeps data files untouched so file
+  // sequence IS ingest identity. At 100 TB: the map is manifest-sized,
+  // the join broadcast, the scan unchanged — provenance costs nothing.
+  def rowProvenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q400_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), year($"o_orderdate").as("y"))
+    ManifestTable.commit(rows.filter($"y" <= 1996).drop("y"), out, append = false) // v1
+    ManifestTable.commit(rows.filter($"y" === 1997).drop("y"), out, append = true) // v2
+    ManifestTable.commit(rows.filter($"y" === 1998).drop("y"), out, append = true) // v3
+    ManifestTable.delete(rows.filter($"k" % 7 === 0).select($"k"), out, "k")       // v4
+    val pv = ManifestTable.readWithProvenance(s, out)
+    require(pv.filter($"_commit_version".isNull).isEmpty,
+      "q400: every live row must carry its ingest commit")
+    require(pv.count() == ManifestTable.read(s, out).count(),
+      "q400: provenance must not change snapshot membership")
+    pv.groupBy($"_commit_version".cast("long").as("commit_version"))
+      .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"))
+      .orderBy($"commit_version")
+  }
+
+  // q401: ZERO-COPY CLONE — an instant dev/test copy of a live table
+  // (Delta SHALLOW CLONE, but dangle-proof): `cloneTable` hard-links
+  // every data and equality-delete file into the clone's own roots
+  // (inode-shared, zero data bytes copied — nlink ≥ 2 require-pinned),
+  // preserves equality-delete sequence scoping by mirroring each file's
+  // commit-<seq> dir, and re-points POSITION-delete rows at the linked
+  // paths (the one physical rewrite — O(|pos-delete rows|), merged into
+  // one clone-owned file per the q395 unscoped-union argument). The
+  // gate then proves full INDEPENDENCE in both directions: source
+  // appends don't move the clone, clone appends don't move the source —
+  // and the dangle-proof claim gets the adversarial treatment: the
+  // source COMPACTS, EXPIRES to depth 1, and VACUUMS with zero grace
+  // (physically deleting every pre-compaction source path), after which
+  // the clone must still read bit-identically — the linked inodes, not
+  // the source paths, own the bytes. A path-referencing shallow clone
+  // dies exactly there. At 100 TB: O(files) link(2) + one manifest
+  // claim; the hot use is fearless staging-env copies of prod.
+  def zeroCopyClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q401_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val (src, dst) = (s"$out/src", s"$out/clone")
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), year($"o_orderdate").as("y"))
+    ManifestTable.commit(rows.filter($"y" <= 1996).drop("y")
+      .withColumn("grp", lit("v1")), src, append = false)                  // v1
+    ManifestTable.commit(rows.filter($"y" === 1997).drop("y")
+      .withColumn("grp", lit("v2")), src, append = true)                   // v2
+    ManifestTable.delete(rows.filter($"k" % 5 === 0).select($"k"), src, "k") // v3 eq-delete
+    ManifestTable.deleteWhere(s, src, col("k") % 11 === 0)                 // v4 pos-delete
+    val srcBefore = ManifestTable.read(s, src).localCheckpoint()
+    val cloneV = ManifestTable.cloneTable(s, src, dst)
+    // head = max cloned sequence (4: two appends + two delete rounds) so
+    // the clone's own commits sequence PAST the cloned deletes
+    require(cloneV == 4, s"q401: clone head must claim the max cloned seq, got v$cloneV")
+    val cloneRead = ManifestTable.read(s, dst)
+    require(cloneRead.exceptAll(srcBefore).isEmpty &&
+      srcBefore.exceptAll(cloneRead).isEmpty,
+      "q401: the clone must read bit-identically to the cloned snapshot")
+    // zero-copy pin: every clone parquet except the ONE rewritten
+    // position-delete file shares its inode with a source file
+    val cloneParquets = Option(new java.io.File(s"$dst/data").listFiles())
+      .toSeq.flatten.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.endsWith(".parquet"))
+    val linked = cloneParquets.count { f =>
+      java.nio.file.Files.getAttribute(f.toPath, "unix:nlink")
+        .asInstanceOf[Integer] >= 2 }
+    require(cloneParquets.nonEmpty && linked == cloneParquets.size - 1,
+      s"q401: expected all but one clone file hard-linked " +
+        s"($linked of ${cloneParquets.size})")
+    // independence, both directions
+    ManifestTable.commit(rows.filter($"y" === 1998).drop("y")
+      .withColumn("grp", lit("src_add")), src, append = true)
+    require(ManifestTable.read(s, dst).count() == srcBefore.count(),
+      "q401: a source append must not move the clone")
+    ManifestTable.commit(rows.filter($"y" === 1998).drop("y")
+      .withColumn("grp", lit("clone_add")), dst, append = true)
+    require(ManifestTable.read(s, src)
+        .filter($"grp" === "clone_add").isEmpty,
+      "q401: a clone append must not move the source")
+    // the dangle-proof tooth: source compacts, expires, vacuums — every
+    // pre-compaction source PATH is physically gone, clone still reads
+    ManifestTable.compact(s, src, 2)
+    ManifestTable.expire(src, keep = 1)
+    ManifestTable.vacuum(src, graceMs = 0)
+    val cloneAfter = ManifestTable.read(s, dst)
+      .filter($"grp" =!= "clone_add")
+    require(cloneAfter.exceptAll(srcBefore).isEmpty &&
+      srcBefore.exceptAll(cloneAfter).isEmpty,
+      "q401: the clone must survive source compact+expire+vacuum bit-identically")
+    ManifestTable.read(s, dst)
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"))
+      .orderBy($"grp")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3436,6 +3559,8 @@ object WarehouseQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_cherry_pick" -> cherryPickFace _,
+    "q400_row_provenance" -> rowProvenance _,
+    "q401_zero_copy_clone" -> zeroCopyClone _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
@@ -3516,6 +3641,33 @@ object WarehouseQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    // the oracle recomputes the clone's final content: the cloned
+    // snapshot (two year slices minus both delete rounds) plus the
+    // clone's own append — source-side appends/compaction/vacuum must
+    // leave all of it untouched or counts/sums move
+    "q401_zero_copy_clone" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    year(o_orderdate) AS y FROM orders),
+        |f AS (
+        |  SELECT k, 'v1' AS grp FROM src
+        |  WHERE y <= 1996 AND k % 5 <> 0 AND k % 11 <> 0
+        |  UNION ALL SELECT k, 'v2' FROM src
+        |  WHERE y = 1997 AND k % 5 <> 0 AND k % 11 <> 0
+        |  UNION ALL SELECT k, 'clone_add' FROM src WHERE y = 1998)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    // the oracle re-derives each surviving row's ingest commit from the
+    // year slicing the face committed by
+    "q400_row_provenance" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE WHEN year(o_orderdate) <= 1996 THEN 1
+        |         WHEN year(o_orderdate) = 1997 THEN 2 ELSE 3 END AS cv
+        |  FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND year(o_orderdate) <= 1998)
+        |SELECT CAST(cv AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM src GROUP BY cv ORDER BY cv""".stripMargin,
     "q364_sql_branch_read" ->
       """WITH src AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

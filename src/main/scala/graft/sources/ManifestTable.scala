@@ -2843,6 +2843,115 @@ object ManifestTable {
     }
   }
 
+  /** Zero-copy CLONE: create a NEW table at `dst` whose v1 is `src`'s
+    * current snapshot, with every data and equality-delete file
+    * HARD-LINKED under the clone's own roots. Unlike a path-referencing
+    * shallow clone (Delta's SHALLOW CLONE), the linked inodes keep the
+    * bytes alive no matter what the source later does — compact, expire,
+    * vacuum, even dropBranch — so the clone can never dangle, while
+    * still copying ZERO data bytes: a 100 TB dev copy is O(files)
+    * link(2) calls plus one manifest claim.
+    *
+    * Sequence structure is PRESERVED: each file links into
+    * `commit-<its own seq>-<clone nonce>`, so equality-delete scoping
+    * (delete applies to strictly-earlier data) survives verbatim. The
+    * one physical rewrite is POSITION-delete files: their rows reference
+    * source data paths by STRING, which the clone's scan will never
+    * yield — all of them are re-pointed through the src→dst link map and
+    * merged into ONE clone-owned delete file (position deletes carry no
+    * sequence scoping, so the global union is semantics-preserving — the
+    * q395 rewrite_deletes argument). That costs O(|pos-delete rows|) IO,
+    * which compaction keeps tiny. Schema sidecars (`_schema.ddl/.json`)
+    * copy byte-for-byte; bloom/NDV sidecars are NOT carried (absent
+    * planning stats degrade to conservative scans — rebuildable by
+    * maintenance); tags and branches stay with the source. The clone's
+    * single manifest claims version = the max cloned SEQUENCE (so its
+    * own next commit sequences past every cloned delete), and it commits
+    * independently from there on. Returns the clone's head version. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Int = {
+    val v = currentVersion(src)
+    require(v > 0, s"cloneTable: no committed version under $src")
+    require(currentVersion(dst) == 0,
+      s"cloneTable: target $dst already has commits")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val entries = manifestFiles(src, v)
+    def linkInto(e: Entry): Path = {
+      val srcP = Paths.get(e.path)
+      val dDir = Paths.get(s"$dst/data/commit-${e.seq}-$id")
+      Files.createDirectories(dDir)
+      val dstP = dDir.resolve(srcP.getFileName.toString)
+      Files.createLink(dstP, srcP)
+      dstP
+    }
+    val parsed = entries.map(l => l -> parseEntry(l))
+    // pass 1: data + equality-delete files link; build the path map the
+    // position-delete rewrite needs
+    val pathMap = scala.collection.mutable.Map.empty[String, String]
+    val relined = parsed.flatMap {
+      case (l, e) if e.isData =>
+        val dstP = linkInto(e)
+        pathMap(e.path) = dstP.toString
+        Some(if (l.startsWith("F|")) {
+          val parts = l.split('|'); parts(1) = dstP.toString; parts.mkString("|")
+        } else dstP.toString)
+      case (l, e) if e.deleteKey.isDefined =>
+        val dstP = linkInto(e)
+        val parts = l.split('|'); parts(2) = dstP.toString
+        Some(parts.mkString("|"))
+      case _ => None // P| handled below
+    }
+    // pass 2: position deletes re-point at the linked paths and merge
+    // into one clone-owned file (unscoped — global union preserves MoR)
+    val posPaths = parsed.collect { case (_, e) if e.posDelete => e.path }
+    val posLine: Seq[String] =
+      if (posPaths.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{col, concat, element_at, lit,
+          regexp_replace, typedLit}
+        // delete rows carry the scan's `file:` + raw form; normalize the
+        // key to the manifest's raw path, emit the value back in scan
+        // form so the clone's own MoR compare matches
+        val mapped = spark.read.parquet(posPaths: _*)
+          .withColumn("_raw_dst", element_at(typedLit(pathMap.toMap),
+            regexp_replace(col("file_path"), "^file:/+", "/")))
+          .filter(col("_raw_dst").isNotNull)
+          .select(concat(lit("file:"), col("_raw_dst")).as("file_path"),
+            col("pos"))
+        // rows merge VERBATIM (no distinct) — the q395 decision: countStar
+        // subtracts delete-file __rows, so preserving any (foreign-written)
+        // duplicate positions keeps the clone's zero-IO count ≡ source's
+        val id2 = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val dDir = s"$dst/data/commit-1-$id2"
+        mapped.coalesce(1).write.mode("overwrite").parquet(dDir)
+        Option(new java.io.File(dDir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .filterNot(f => fileStats(f.getAbsolutePath).get("__rows").exists(_._1 == 0))
+          .map { f =>
+            val st = fileStats(f.getAbsolutePath)
+            val seg =
+              if (st.isEmpty) "-"
+              else st.toSeq.sortBy(_._1)
+                .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
+            s"P|${f.getAbsolutePath}|$seg"
+          }
+      }
+    // schema sidecars travel (catalog-level metadata lives at the root)
+    Seq("_schema.ddl", "_schema.json").foreach { n =>
+      val sp = Paths.get(src, n)
+      if (Files.exists(sp))
+        Files.copy(sp, Paths.get(dst, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    // the clone's FIRST manifest claims version = max cloned sequence
+    // (not 1): version numbers drive future commit dirs, which drive
+    // entry SEQUENCES — claiming v1 would hand the clone's next commit
+    // seq 2, BELOW the cloned equality deletes, which would then
+    // (wrongly) scope brand-new rows. Found by the q401 gate: an
+    // appended batch lost its k%5=0 rows to a delete that pre-dated it.
+    val headV = math.max(1, parsed.map(_._2.seq).foldLeft(0)(math.max))
+    claimManifest(dst, headV, relined ++ posLine)
+  }
+
   /** Delete an abandoned branch: reclaims data files that ONLY the branch
     * references (never anything any main manifest lists — live or
     * historical, so main's time travel is untouched), then removes the

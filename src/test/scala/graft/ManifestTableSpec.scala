@@ -719,4 +719,67 @@ class ManifestTableSpec extends SparkSpec {
     val after = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
     assert(!after.exists(_.startsWith("commit-5-")), s"refused pick left debris: $after")
   }
+
+  test("readWithProvenance stamps every live row with its file's commit; deletes never re-stamp") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 6L).toDF("k"), dir, append = false)   // v1
+    ManifestTable.commit((11L to 13L).toDF("k"), dir, append = true)  // v2
+    ManifestTable.delete(Seq(2L, 12L).toDF("k"), dir, "k")            // v3
+    val pv = ManifestTable.readWithProvenance(spark, dir)
+      .select($"k", $"_commit_version").as[(Long, Int)].collect().toMap
+    assert(pv == Map(1L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1,
+      11L -> 2, 13L -> 2), s"got $pv")
+    // a historical version reports its own snapshot's provenance
+    val pv1 = ManifestTable.readWithProvenance(spark, dir, 1)
+      .select($"_commit_version").distinct().as[Int].collect().toSeq
+    assert(pv1 == Seq(1))
+  }
+
+  test("cloneTable: linked snapshot with both delete kinds; independent; survives source vacuum") {
+    import spark.implicits._
+    val dir = freshDir()
+    val dst = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("k"), dir, append = false)  // v1
+    ManifestTable.commit((11L to 16L).toDF("k"), dir, append = true)  // v2
+    ManifestTable.delete(Seq(3L, 13L).toDF("k"), dir, "k")            // v3 eq-delete
+    ManifestTable.deleteWhere(spark, dir, col("k") % 5 === 0)         // v4 pos-delete (5,10,15)
+    val want = Set(1L, 2L, 4L, 6L, 7L, 8L, 9L, 11L, 12L, 14L, 16L)
+    assert(ManifestTable.read(spark, dir).as[Long].collect().toSet == want)
+    // head claims the max cloned sequence (4), so future clone commits
+    // sequence past the cloned deletes
+    assert(ManifestTable.cloneTable(spark, dir, dst) == 4)
+    assert(ManifestTable.read(spark, dst).as[Long].collect().toSet == want)
+    // countStar parity: eq-deletes make BOTH sides an honest None
+    assert(ManifestTable.countStar(dst) == ManifestTable.countStar(dir))
+    // independence both ways — and 3L (a key in the cloned eq-delete
+    // file) RE-APPENDED to the clone must survive: the new commit's
+    // sequence post-dates the cloned delete
+    ManifestTable.commit(Seq(100L).toDF("k"), dir, append = true)
+    ManifestTable.commit(Seq(200L, 3L).toDF("k"), dst, append = true)
+    assert(ManifestTable.read(spark, dst).as[Long].collect().toSet ==
+      want + 200L + 3L)
+    assert(ManifestTable.read(spark, dir).as[Long].collect().toSet == want + 100L)
+    // dangle-proof: source compact + expire + vacuum(0) kills every
+    // pre-compaction source PATH; the clone still reads via its links
+    ManifestTable.compact(spark, dir, 1)
+    ManifestTable.expire(dir, keep = 1)
+    ManifestTable.vacuum(dir, graceMs = 0)
+    assert(ManifestTable.read(spark, dst).as[Long].collect().toSet ==
+      want + 200L + 3L)
+    // refusal: a target with commits
+    intercept[IllegalArgumentException] {
+      ManifestTable.cloneTable(spark, dir, dst)
+    }
+    // a pos-delete-only table keeps its exact zero-IO count through the
+    // clone (the rewritten delete file must carry the same __rows)
+    val dir2 = freshDir(); val dst2 = freshDir()
+    ManifestTable.commit((1L to 8L).toDF("k"), dir2, append = false)
+    ManifestTable.deleteWhere(spark, dir2, col("k") > 6)
+    assert(ManifestTable.countStar(dir2).contains(6L))
+    ManifestTable.cloneTable(spark, dir2, dst2)
+    assert(ManifestTable.countStar(dst2).contains(6L))
+    assert(ManifestTable.read(spark, dst2).as[Long].collect().toSet == (1L to 6L).toSet)
+    ()
+  }
 }
