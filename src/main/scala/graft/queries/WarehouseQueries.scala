@@ -1632,6 +1632,65 @@ object WarehouseQueries {
       .orderBy($"grp")
   }
 
+  // q404: CLONE CATCH-UP — the re-sync loop that makes q401's clone a
+  // maintainable REPLICA instead of a one-shot copy: `syncClone` replays
+  // the source's commits since the clone's sync point through the change
+  // feed, one clone commit per source version, deletes before inserts
+  // within a version. Moved rows only — a nightly refresh of a 100 TB
+  // clone is O(day's delta), never a re-clone. The gate's ordering
+  // tooth: after the clone, the source DELETES k%4=0 and then
+  // RE-APPENDS the k%8=0 subset with different payloads — an apply that
+  // batches all inserts before all deletes (or dedups events across
+  // versions) erases the re-inserted rows or revives dead ones, and the
+  // oracle's relational replay catches either. Pinned: re-synced clone
+  // ≡ source head row-for-row (both exceptAll directions), the
+  // re-inserted keys carry the NEW payload, and the clone's replayed
+  // history is itself time-travelable (its pre-sync snapshot intact).
+  def cloneCatchup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q404_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val (src, dst) = (s"$out/src", s"$out/clone")
+    val keys = Tables(s, dir).orders.select($"o_orderkey".cast("long").as("k"))
+    def slice(ms: Seq[Int], mult: Int) =
+      keys.filter(($"k" % 10).isin(ms.map(Int.box): _*))
+        .select($"k", ($"k" * mult).as("cents"))
+    ManifestTable.commit(slice(Seq(0, 1, 2, 3), 2), src, append = false)  // v1
+    ManifestTable.commit(slice(Seq(4, 5), 2), src, append = true)         // v2
+    val syncedAt = ManifestTable.currentVersion(src)
+    val cloneV0 = ManifestTable.cloneTable(s, src, dst)
+    // the source moves on: append, delete, RE-APPEND a deleted subset
+    ManifestTable.commit(slice(Seq(6, 7), 2), src, append = true)         // v3
+    ManifestTable.delete(keys.filter($"k" % 4 === 0).select($"k"), src, "k") // v4
+    ManifestTable.commit(
+      keys.filter($"k" % 8 === 0).select($"k", ($"k" * 9).as("cents")),
+      src, append = true)                                                 // v5
+    val head = ManifestTable.syncClone(s, src, dst, syncedAt, "k")
+    require(head > cloneV0, s"q404: catch-up must advance the clone ($cloneV0 -> $head)")
+    val a = ManifestTable.read(s, src)
+    val b = ManifestTable.read(s, dst)
+    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "q404: the re-synced clone must equal the source head row-for-row")
+    // k = 0 is excluded from the payload probes: 0·2 = 0·9, so it cannot
+    // distinguish old from new payload (membership is still hash-checked)
+    require(b.filter($"k" % 8 === 0 && $"k" =!= 0 &&
+        $"cents" === $"k" * 9).count() > 0 &&
+      b.filter($"k" % 8 === 0 && $"k" =!= 0 && $"cents" === $"k" * 2).isEmpty,
+      "q404: re-inserted keys must carry the NEW payload only (apply order)")
+    // the clone's own pre-sync snapshot stays time-travelable
+    require(ManifestTable.read(s, dst, cloneV0).count() ==
+      slice(Seq(0, 1, 2, 3, 4, 5), 2).count(),
+      "q404: the pre-sync clone snapshot must survive the replay")
+    b.groupBy(($"k" % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3561,6 +3620,7 @@ object WarehouseQueries {
     "q399_cherry_pick" -> cherryPickFace _,
     "q400_row_provenance" -> rowProvenance _,
     "q401_zero_copy_clone" -> zeroCopyClone _,
+    "q404_clone_catchup" -> cloneCatchup _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
@@ -3641,6 +3701,18 @@ object WarehouseQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    // the oracle replays the source's history relationally: appended
+    // buckets minus the k%4 delete, plus the k%8 re-insert with the NEW
+    // payload — a mis-ordered clone apply moves n_rows or sum_cents
+    "q404_clone_catchup" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (
+        |  SELECT k, k * 2 AS cents FROM k WHERE k % 10 < 8 AND k % 4 <> 0
+        |  UNION ALL SELECT k, k * 9 FROM k WHERE k % 8 = 0)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the oracle recomputes the clone's final content: the cloned
     // snapshot (two year slices minus both delete rounds) plus the
     // clone's own append — source-side appends/compaction/vacuum must

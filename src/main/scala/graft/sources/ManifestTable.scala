@@ -2952,6 +2952,42 @@ object ManifestTable {
     claimManifest(dst, headV, relined ++ posLine)
   }
 
+  /** Catch a CLONE up with its source: replay the source's commits
+    * (fromVersion, head] onto the clone through the change feed — ONE
+    * clone commit per source version, in version order, delete events
+    * before insert events within a version (the keyed-merge commit shape
+    * carries both, and its new rows must survive its own deletes). Each
+    * version's feed is the O(delta) manifest diff, so a nightly re-sync
+    * of a 100 TB clone moves only the day's rows; compaction markers in
+    * range contribute zero events by the feed's contract (content
+    * unchanged — the clone correctly skips them), and an overwrite in
+    * range inherits [[changeFeed]]'s loud refusal (re-clone instead).
+    * The CALLER owns two contracts: `fromVersion` is the source version
+    * the clone last synced to, and the clone has not diverged since —
+    * a diverged clone is a fork, not a replica, and re-syncing one
+    * silently interleaves histories. `keyCol` names the clone-side
+    * equality-delete key for replayed delete events. Returns the clone's
+    * new head version. */
+  def syncClone(spark: SparkSession, src: String, dst: String,
+                fromVersion: Int, keyCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val to = currentVersion(src)
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"syncClone: fromVersion $fromVersion not in [1, $to]")
+    (fromVersion + 1 to to).foreach { v =>
+      val feed = changeFeed(spark, src, v - 1, v)
+      if (!feed.isEmpty) {
+        val dels = feed.filter(col("_change_type") === "delete")
+          .select(delKeyCols(keyCol).map(col): _*).distinct()
+        if (!dels.isEmpty) delete(dels, dst, keyCol): Unit
+        val ins = feed.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        if (!ins.isEmpty) commit(ins, dst, append = true): Unit
+      }
+    }
+    currentVersion(dst)
+  }
+
   /** Delete an abandoned branch: reclaims data files that ONLY the branch
     * references (never anything any main manifest lists — live or
     * historical, so main's time travel is untouched), then removes the

@@ -782,4 +782,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dst2).as[Long].collect().toSet == (1L to 6L).toSet)
     ()
   }
+
+  test("syncClone replays appends, deletes, and merge commits in order; no-op when current") {
+    import spark.implicits._
+    val src = freshDir(); val dst = freshDir()
+    ManifestTable.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      src, append = false)                                           // v1
+    val synced = ManifestTable.cloneTable(spark, src, dst)
+    // source moves: append, delete, MERGE (delete+insert in ONE version),
+    // re-append of a deleted key
+    ManifestTable.commit(Seq((4L, 40L)).toDF("k", "v"), src, append = true) // v2
+    ManifestTable.delete(Seq(2L).toDF("k"), src, "k")                       // v3
+    ManifestTable.merge(Seq((3L, 333L), (5L, 50L)).toDF("k", "v"), src, "k") // v4
+    ManifestTable.commit(Seq((2L, 222L)).toDF("k", "v"), src, append = true) // v5
+    ManifestTable.syncClone(spark, src, dst, synced, "k")
+    val want = Map(1L -> 10L, 3L -> 333L, 4L -> 40L, 5L -> 50L, 2L -> 222L)
+    def asMap(d: String) = ManifestTable.read(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(asMap(src) == want, s"src drifted: ${asMap(src)}")
+    assert(asMap(dst) == want, s"clone wrong: ${asMap(dst)}")
+    // idempotent when already current: zero new clone versions
+    val head = ManifestTable.currentVersion(dst)
+    ManifestTable.syncClone(spark, src, dst, ManifestTable.currentVersion(src), "k")
+    assert(ManifestTable.currentVersion(dst) == head)
+    ()
+  }
 }
