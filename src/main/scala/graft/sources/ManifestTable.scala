@@ -2861,8 +2861,10 @@ object ManifestTable {
     * merged into ONE clone-owned delete file (position deletes carry no
     * sequence scoping, so the global union is semantics-preserving — the
     * q395 rewrite_deletes argument). That costs O(|pos-delete rows|) IO,
-    * which compaction keeps tiny. Schema sidecars (`_schema.ddl/.json`)
-    * copy byte-for-byte; bloom/NDV sidecars are NOT carried (absent
+    * which compaction keeps tiny. Catalog sidecars copy byte-for-byte:
+    * schema (+ rename map, drop tombstones), constraints, write-layout
+    * declarations (key/order/size/bucket), and the declared partition
+    * spec (`_manifests/ptn`). Bloom/NDV sidecars are NOT carried (absent
     * planning stats degrade to conservative scans — rebuildable by
     * maintenance); tags and branches stay with the source. The clone's
     * single manifest claims version = the max cloned SEQUENCE (so its
@@ -2935,12 +2937,26 @@ object ManifestTable {
             s"P|${f.getAbsolutePath}|$seg"
           }
       }
-    // schema sidecars travel (catalog-level metadata lives at the root)
-    Seq("_schema.ddl", "_schema.json").foreach { n =>
+    // catalog-level sidecars travel: schema (+ rename map, drop
+    // tombstones), constraints, and the write-layout declarations
+    // (key/order/size/bucket — without them a cloned keyed or bucketed
+    // table would silently lose its mutation contract and SPJ layout)
+    Seq("_schema.ddl", "_schema.json", "_schema.names", "_schema.drop",
+        "_constraints", "_write.key", "_write.order", "_write.size",
+        "_partition.bucket").foreach { n =>
       val sp = Paths.get(src, n)
       if (Files.exists(sp))
         Files.copy(sp, Paths.get(dst, n),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    // the declared partition spec lives NEXT TO the manifests — a
+    // hidden-partitioned clone without it would stop pruning and refuse
+    // partitioned commits
+    val ptn = manifests(Paths.get(src).toString).resolve("ptn")
+    if (Files.exists(ptn)) {
+      Files.createDirectories(manifests(dst))
+      Files.copy(ptn, manifests(dst).resolve("ptn"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
     // the clone's FIRST manifest claims version = max cloned sequence
     // (not 1): version numbers drive future commit dirs, which drive

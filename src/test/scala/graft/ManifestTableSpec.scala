@@ -780,6 +780,18 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.cloneTable(spark, dir2, dst2)
     assert(ManifestTable.countStar(dst2).contains(6L))
     assert(ManifestTable.read(spark, dst2).as[Long].collect().toSet == (1L to 6L).toSet)
+    // catalog sidecars travel: declared partition spec + write-layout files
+    val dir3 = freshDir(); val dst3 = freshDir()
+    ManifestTable.commitPartitioned(
+      (1L to 40L).toDF("k"), dir3, append = false,
+      Seq(ManifestTable.BucketTransform(4, "k")), numFiles = 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir3, "_write.key"),
+      "k".getBytes("UTF-8"))
+    ManifestTable.cloneTable(spark, dir3, dst3)
+    assert(ManifestTable.partitionTransforms(dst3) ==
+      ManifestTable.partitionTransforms(dir3))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst3, "_write.key")))
+    assert(ManifestTable.read(spark, dst3).count() == 40)
     ()
   }
 
