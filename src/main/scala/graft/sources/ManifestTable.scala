@@ -2965,7 +2965,41 @@ object ManifestTable {
     // (wrongly) scope brand-new rows. Found by the q401 gate: an
     // appended batch lost its k%5=0 rows to a delete that pre-dated it.
     val headV = math.max(1, parsed.map(_._2.seq).foldLeft(0)(math.max))
-    claimManifest(dst, headV, relined ++ posLine)
+    val claimed = claimManifest(dst, headV, relined ++ posLine)
+    // origin marker: which source and source VERSION this clone mirrors,
+    // and the clone head that state corresponds to — [[syncCloneTracked]]
+    // uses it to make the replica contract self-enforcing
+    Files.write(Paths.get(dst, "_clone.origin"),
+      Seq(src, v.toString, claimed.toString).asJava)
+    claimed
+  }
+
+  /** [[syncClone]] with the replica contract ENFORCED: reads the clone's
+    * `_clone.origin` marker (written by [[cloneTable]] and updated here),
+    * refuses loudly if the clone took ANY commit the marker doesn't
+    * account for — a diverged clone is a fork, and replaying source
+    * history into a fork silently interleaves two histories — then
+    * replays and advances the marker. The production shape: a nightly
+    * `syncCloneTracked(dst)` needs no bookkeeping in the scheduler; the
+    * clone carries its own sync state. */
+  def syncCloneTracked(spark: SparkSession, dst: String, keyCol: String): Int = {
+    val marker = Paths.get(dst, "_clone.origin")
+    require(Files.exists(marker),
+      s"syncCloneTracked: $dst carries no _clone.origin marker — not a tracked clone")
+    val lines = Files.readAllLines(marker).asScala
+    require(lines.size >= 3, s"syncCloneTracked: corrupt marker under $dst")
+    val (src, srcV, dstHead) = (lines(0), lines(1).trim.toInt, lines(2).trim.toInt)
+    val cur = currentVersion(dst)
+    if (cur != dstHead)
+      throw new CommitConflictException(
+        s"syncCloneTracked: clone diverged — head v$cur but the marker " +
+          s"expects v$dstHead (foreign commits since the last sync); a " +
+          "diverged clone is a fork: re-clone, or sync explicitly with " +
+          "syncClone if you accept interleaved histories")
+    val newHead = syncClone(spark, src, dst, srcV, keyCol)
+    Files.write(marker,
+      Seq(src, currentVersion(src).toString, newHead.toString).asJava)
+    newHead
   }
 
   /** Catch a CLONE up with its source: replay the source's commits

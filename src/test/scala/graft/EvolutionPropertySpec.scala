@@ -242,6 +242,24 @@ class EvolutionPropertySpec extends SparkSpec {
           }
       }
       checkAgainstModel(step)
+      // every 16 steps: ZERO-COPY CLONE identity at whatever evolution
+      // state the interleaving landed on — renames, defaults, drops,
+      // outstanding position deletes, post-compact. Fixed steps (not a
+      // random case) so the committed seeds' draw sequences are
+      // untouched. Library-view comparison: both sides read raw files,
+      // so any clone bug (lost delete, mis-sequenced line, un-carried
+      // sidecar changing the merge view) breaks row equality.
+      if (step % 16 == 0 && rows.nonEmpty &&
+          graft.sources.ManifestTable.currentVersion(dir) > 0) {
+        val cd = java.nio.file.Files.createTempDirectory("gevo_clone")
+        cd.toFile.deleteOnExit()
+        val cdir = cd.toString + "/t"
+        graft.sources.ManifestTable.cloneTable(spark, dir, cdir)
+        val a = graft.sources.ManifestTable.read(spark, dir)
+        val b = graft.sources.ManifestTable.read(spark, cdir)
+        assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+          s"step $step: clone must read identically to its source")
+      }
       posOutstanding = {
         val v = graft.sources.ManifestTable.currentVersion(dir)
         v > 0 && graft.sources.ManifestTable.sqlEntriesAt(dir, v)

@@ -819,4 +819,36 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(dst) == head)
     ()
   }
+
+  test("syncCloneTracked: marker-driven re-sync, divergence refused loudly") {
+    import spark.implicits._
+    val src = freshDir(); val dst = freshDir()
+    ManifestTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      src, append = false)                                            // v1
+    ManifestTable.cloneTable(spark, src, dst)
+    // two tracked syncs in a row, no bookkeeping on the caller
+    ManifestTable.commit(Seq((3L, 30L)).toDF("k", "v"), src, append = true)
+    ManifestTable.syncCloneTracked(spark, dst, "k")
+    ManifestTable.delete(Seq(1L).toDF("k"), src, "k")
+    ManifestTable.commit(Seq((4L, 40L)).toDF("k", "v"), src, append = true)
+    ManifestTable.syncCloneTracked(spark, dst, "k")
+    assert(ManifestTable.read(spark, dst).as[(Long, Long)].collect().toMap ==
+      Map(2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // a current clone re-syncs as a no-op
+    val head = ManifestTable.currentVersion(dst)
+    ManifestTable.syncCloneTracked(spark, dst, "k")
+    assert(ManifestTable.currentVersion(dst) == head)
+    // divergence: a foreign commit on the clone makes the next tracked
+    // sync refuse (a fork, not a replica)
+    ManifestTable.commit(Seq((99L, 990L)).toDF("k", "v"), dst, append = true)
+    ManifestTable.commit(Seq((5L, 50L)).toDF("k", "v"), src, append = true)
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.syncCloneTracked(spark, dst, "k")
+    }
+    // a non-clone refuses for want of a marker
+    intercept[IllegalArgumentException] {
+      ManifestTable.syncCloneTracked(spark, src, "k")
+    }
+    ()
+  }
 }
