@@ -1197,7 +1197,73 @@ object VectorQueries {
       .orderBy($"kcell")
   }
 
+  // q406: FILTERED ANN — metadata-constrained vector search ("top-k
+  // similar AND grp = 1"), the retrieval shape every production system
+  // serves and naive stacks get wrong. The gate output is the CORRECT
+  // answer: exact int8-L2 top-5 over the FILTERED corpus (25%
+  // selectivity via vec_id % 4), integer-exact so the oracle recomputes
+  // it bit-for-bit. Two require-pinned contrasts ride along: (a) the
+  // POST-FILTER anti-pattern — global top-5 then filter — returns
+  // FEWER than k results for at least one query (the deficiency that
+  // silently starves downstream rerankers); (b) the scale path —
+  // candidates from the query's top-2 IVF cells (frozen q403 centroids)
+  // intersected with the filter — reaches a recall floor against the
+  // exact answer while touching only probed-cell rows. At 100 TB:
+  // the filter pushes into the cell scan (grp is a stats/partition
+  // column there), candidates = |probed cells ∩ filter|, queries
+  // broadcast, never a corpus-sized shuffle.
+  def filteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allq = annQuant(s,
+      Tables(s, dir).embeddings.select($"vec_id", $"embedding"))
+      .localCheckpoint()
+    val corpus = allq.select($"vec_id", ($"vec_id" % 4).as("grp"), $"q")
+    val queries = allq.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"q".as("qq"))
+    val filtered = corpus.filter($"grp" === 1)
+    def rank(cand: DataFrame, k: Int, rc: String) =
+      Relational.topKPerGroup(
+        cand.filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("c_id"),
+            Similarity.l2SqInt($"q", $"qq").as("d")),
+        Seq(col("q_id")), Seq(col("d").asc, col("c_id").asc), k, rankCol = rc)
+    // the CORRECT pre-filter answer: exact over the filtered corpus
+    val exact = rank(filtered.crossJoin(broadcast(queries)), 5, "rank")
+      .select($"q_id", $"rank", $"c_id", $"d")
+      .localCheckpoint()
+    // (a) post-filter anti-pattern: global top-5, THEN filter — starves
+    val postFiltered = rank(corpus.crossJoin(broadcast(queries)), 5, "_r")
+      .filter($"c_id" % 4 === 1)
+      .groupBy($"q_id").agg(count(lit(1)).as("n"))
+    val minPost = postFiltered.agg(min($"n")).head.getLong(0)
+    require(minPost < 5,
+      s"q406: post-filter must under-fill k for some query (min $minPost)")
+    // (b) the scale path: filter ∩ top-2 probed cells, recall floor
+    val ckm = annTrainCentroids(s, allq.filter($"vec_id" % 10 < 8))
+    val cellOf = corpus.select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"grp", $"q")
+    val qCells = queries.select($"q_id", $"qq",
+        posexplode(pqTop2Cells($"qq", ckm)).as(Seq("_p", "kcell")))
+      .select($"q_id", $"qq", $"kcell")
+    val probed = rank(cellOf.filter($"grp" === 1)
+        .join(broadcast(qCells), Seq("kcell")), 5, "_r")
+      .select($"q_id", $"c_id")
+    val hits = probed.join(exact.select($"q_id", $"c_id"),
+      Seq("q_id", "c_id"), "left_semi").count()
+    require(hits >= 15,
+      s"q406: cell-probed filtered recall collapsed ($hits of 25 slots)")
+    exact.orderBy($"q_id", $"rank")
+  }
+
+  /** The query's two nearest coarse cells (by int8 L2) — the multiprobe
+    * list for the filtered-ANN face. */
+  private def pqTop2Cells(q: Column, ckm: Seq[(Int, Seq[Int])]): Column = {
+    val ds = ckm.map { case (j, c) =>
+      struct(Similarity.l2SqInt(q, typedLit(c)).as("d"), lit(j).as("j")) }
+    slice(array_sort(array(ds: _*)), 1, 2).getField("j")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_filtered_ann" -> filteredAnn _,
     "q403_index_drift" -> indexDrift _,
     "q397_stream_ann_ingest" -> streamAnnIngest _,
     "q396_retrieval_metrics" -> retrievalMetrics _,
@@ -1252,6 +1318,25 @@ object VectorQueries {
     (1 to 10).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}").mkString(" ")
 
   val oracles: Map[String, String] = Map(
+    // q406: the exact filtered top-k recomputed — int8(+127) quantize,
+    // 25% metadata filter, integer L2, rank (the post-filter and
+    // cell-probe contrasts are require-pins in the face, not hashed)
+    "q406_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM qt WHERE vec_id < 5),
+        |f AS (SELECT vec_id AS c_id, q FROM qt WHERE vec_id % 4 = 1),
+        |cand AS (SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(f.q[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE)
+        |         * CAST(f.q[CAST(i AS INT)] - qq[CAST(i AS INT)] AS DOUBLE))) AS BIGINT) AS d
+        |  FROM f, qs WHERE c_id <> q_id)
+        |SELECT q_id, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY d, c_id) AS INT) AS rank,
+        |  c_id, d
+        |FROM cand QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // q403: q397's quantize+train CTEs, then frozen-centroid assignment
     // of the WHOLE corpus and the q223 PSI algebra over cell shares
     "q403_index_drift" ->

@@ -1691,6 +1691,68 @@ object WarehouseQueries {
       .orderBy($"bucket")
   }
 
+  // q405: BIN-PACK COMPACTION — the steady-state maintenance verb plain
+  // compact is too blunt for: after an append-heavy week a 100 TB table
+  // has a few GB of streaming-sized stragglers, and rewriting 100 TB to
+  // fix them is absurd. `compactSmall` merges ONLY files under the
+  // size threshold and carries every large file's manifest line VERBATIM
+  // — write amplification bounded by the small-file bytes alone
+  // (require-pinned: the big commit's file PATHS are byte-identical
+  // strings in the post-compaction manifest, so not one big byte moved).
+  // Published as a dataChange=false rewrite: the change feed across it
+  // emits ZERO events (pinned), exactly like compact/zorder. Refuses
+  // under outstanding deletes (rewritten rows would change file identity
+  // and sequence — materialize first); zero-IO COUNT(*) stays exact
+  // across the merge; the pre-compaction snapshot stays time-travelable.
+  def binpackCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q405_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderpriority".as("pri"))
+    ManifestTable.commit(rows.filter($"k" % 10 < 8).repartition(2),
+      out, append = false)                                            // v1: two BIG files
+    Seq(8, 9, 18, 19, 28, 38).foreach { m =>                          // v2..v7: six tiny files
+      ManifestTable.commit(rows.filter($"k" % 100 === m).coalesce(1),
+        out, append = true)
+    }
+    val preV = ManifestTable.currentVersion(out)
+    val preCount = ManifestTable.countStar(out)
+    require(preCount.isDefined, "q405: zero-IO count must hold pre-merge")
+    val bigPaths = ManifestTable.filesTable(s, out)
+      .filter($"seq" === 1).select($"path").as[String].collect().toSet
+    require(bigPaths.size == 2, s"q405: expected 2 big files, got ${bigPaths.size}")
+    val nBefore = ManifestTable.filesTable(s, out).count()
+    val v = ManifestTable.compactSmall(s, out, smallBytes = 32 * 1024)
+    require(v == preV + 1, s"q405: binpack must commit v${preV + 1}, got v$v")
+    val after = ManifestTable.filesTable(s, out)
+    // the big files carried VERBATIM — identical path strings, no rewrite
+    require(after.filter($"path".isin(bigPaths.toSeq: _*)).count() == 2,
+      "q405: big files must carry into the new manifest byte-identically")
+    require(after.count() < nBefore && after.count() == 3,
+      s"q405: 6 small files must merge to 1 (got ${after.count()} entries)")
+    require(ManifestTable.countStar(out) == preCount,
+      "q405: zero-IO COUNT(*) must be exact across the merge")
+    // a dataChange=false rewrite: the feed across it emits nothing
+    require(ManifestTable.changeFeed(s, out, preV, v).isEmpty,
+      "q405: the binpack commit must be invisible to change feeds")
+    // content identity with the pre-compaction snapshot
+    val a = ManifestTable.read(s, out, preV)
+    val b = ManifestTable.read(s, out)
+    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "q405: binpack must not change table content")
+    b.groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3621,6 +3683,7 @@ object WarehouseQueries {
     "q400_row_provenance" -> rowProvenance _,
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
+    "q405_binpack_compact" -> binpackCompact _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
@@ -3701,6 +3764,18 @@ object WarehouseQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    // content identity across the binpack: the oracle recomputes the
+    // (big ∪ six tiny slices) union — any row lost/duplicated by the
+    // merge moves a count or sum
+    "q405_binpack_compact" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS pri FROM orders)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM src
+        |WHERE k % 10 < 8 OR k % 100 IN (8, 9, 18, 19, 28, 38)
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     // the oracle replays the source's history relationally: appended
     // buckets minus the k%4 delete, plus the k%8 re-insert with the NEW
     // payload — a mis-ordered clone apply moves n_rows or sum_cents

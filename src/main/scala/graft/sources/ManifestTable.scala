@@ -1587,6 +1587,54 @@ object ManifestTable {
   private def rewriteVersions(dir: String, from: Int, to: Int): Seq[Int] =
     ((from + 1) to to).filter(v => Files.exists(manifests(dir).resolve(s"v$v.rw")))
 
+  /** BIN-PACK compaction: merge only the snapshot's SMALL data files
+    * (on-disk size < `smallBytes`) into ~`targetBytes` outputs, carrying
+    * every large file's manifest line VERBATIM — zero IO on the bytes
+    * that are already well-sized. Plain [[compact]] rewrites the whole
+    * snapshot, which at 100 TB means re-writing 100 TB to fix a few
+    * thousand streaming-sized stragglers; the append-heavy steady state
+    * needs exactly this verb (Iceberg's rewrite_data_files binpack with
+    * min-input thresholds), where write amplification is bounded by the
+    * small-file bytes alone. Published as a `dataChange=false` rewrite
+    * (change feeds skip it). Refuses under ANY outstanding delete entry:
+    * rewritten rows change file identity (breaking position deletes) and
+    * sequence (escaping equality deletes) — materialize with [[compact]]
+    * first; that refusal is the same honest contract the metadata
+    * aggregates keep. No-ops (no commit) when fewer than two files
+    * qualify. Returns the new version, or the current one on a no-op. */
+  def compactSmall(spark: SparkSession, dir: String, smallBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"compactSmall: no committed version under $dir")
+    require(smallBytes > 0 && targetBytes > 0,
+      "compactSmall: thresholds must be positive")
+    val entries = manifestFiles(dir, cur).map(parseEntry)
+    require(entries.forall(_.isData),
+      s"compactSmall: snapshot v$cur carries delete entries — rewriting " +
+        "files under them would break position references and sequence " +
+        "scoping; run compact (materialize) first")
+    val (small, big) = entries.partition { e =>
+      val f = new java.io.File(e.path); f.exists() && f.length() < smallBytes
+    }
+    if (small.size < 2) return cur
+    val smallTotal = small.map(e => new java.io.File(e.path).length()).sum
+    val nOut = math.max(1, math.ceil(smallTotal.toDouble / targetBytes).toInt)
+    val v = cur + 1
+    val dataDir = s"$dir/data/commit-$v"
+    spark.read.option("mergeSchema", "true")
+      .parquet(small.map(_.path): _*)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(dataDir)
+    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    // big lines carry VERBATIM (stats, blooms, tags — no footer re-reads);
+    // only the merged small files enter with fresh footer stats
+    val bigLines = manifestFiles(dir, cur).filter { l =>
+      big.exists(_.path == pathOf(l)) }
+    markRewrite(dir, claimManifest(dir, v,
+      bigLines ++ newFiles.map(f => dataLine(f))))
+  }
+
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned + sorted
     * on `cols`, so each output file owns a narrow value range and the
     * manifest's min/max stats (q315) actually prune. Plain [[compact]]

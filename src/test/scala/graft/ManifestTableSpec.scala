@@ -820,6 +820,31 @@ class ManifestTableSpec extends SparkSpec {
     ()
   }
 
+  test("compactSmall merges only sub-threshold files, refuses under deletes, no-ops under two") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 20000L).toDF("k").coalesce(1), dir, append = false) // big
+    ManifestTable.commit(Seq(100001L).toDF("k"), dir, append = true)                // tiny
+    ManifestTable.commit(Seq(100002L).toDF("k"), dir, append = true)                // tiny
+    val bigPath = ManifestTable.filesTable(spark, dir)
+      .filter($"seq" === 1).select($"path").as[String].head
+    val v = ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024)
+    assert(v == 4)
+    val after = ManifestTable.filesTable(spark, dir)
+    assert(after.count() == 2, s"expected big + merged, got ${after.count()}")
+    assert(after.filter($"path" === bigPath).count() == 1, "big file must carry verbatim")
+    assert(ManifestTable.read(spark, dir).count() == 20002)
+    assert(ManifestTable.countStar(dir).contains(20002L))
+    // fewer than two small files -> no-op, no commit
+    assert(ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024) == 4)
+    // outstanding deletes refuse
+    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
+    intercept[IllegalArgumentException] {
+      ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024)
+    }
+    ()
+  }
+
   test("syncCloneTracked: marker-driven re-sync, divergence refused loudly") {
     import spark.implicits._
     val src = freshDir(); val dst = freshDir()
