@@ -1036,6 +1036,7 @@ object TextQueries {
     "q285_cdc_chunks" -> cdcChunks _,
     "q394_chunk_retrieval" -> chunkRetrieval _,
     "q393_sliding_chunks" -> slidingChunks _,
+    "q407_luhn_scrub" -> luhnScrub _,
     "q392_cdf_text_index" -> cdfTextIndex _,
     "q303_bm25" -> bm25 _,
     "q304_cdc_cuts_sql" -> cdcCutsSql _,
@@ -1206,10 +1207,74 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q407: LUHN-VALIDATED CARD SCRUB — the PII class q67's email/phone
+  // regexes can't serve: a 13-19 digit run is only a payment card if its
+  // LUHN CHECKSUM holds, and redacting every digit run would maul
+  // order ids, timestamps, and hashes (the candidates column counts how
+  // much a checksum-free scrubber would have destroyed). Detection is
+  // regexp_extract_all → filter(luhn_check) — Spark's native codegen'd
+  // Luhncheck expression inside a higher-order filter, zero UDFs, pure
+  // map-side work at any scale. The corpus is salted deterministically:
+  // every doc_id%7=0 doc gains a Luhn-VALID test number (detection
+  // require-pinned complete), doc_id%7=1 an INVALID twin (same shape,
+  // fails the checksum — only the checksum separates them). The oracle
+  // re-implements Luhn digit-by-digit in SQL, so the two engines agree
+  // on the full candidate set, validity, and redacted volume.
+  def luhnScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+      .select($"doc_id", $"source",
+        concat($"text",
+          when($"doc_id" % 7 === 0, lit(" card 4539148803436467"))
+            .when($"doc_id" % 7 === 1, lit(" card 4539148803436468"))
+            .otherwise(lit(""))).as("text2"))
+    val scanned = docs.select($"doc_id", $"source",
+      expr("regexp_extract_all(text2, '[0-9]{13,19}', 0)").as("cands"))
+      .select($"doc_id", $"source", $"cands",
+        expr("filter(cands, c -> luhn_check(c))").as("valid"))
+    require(scanned.filter($"doc_id" % 7 === 0 && size($"valid") === 0).isEmpty,
+      "q407: every salted Luhn-valid card must be detected")
+    scanned.groupBy($"source")
+      .agg(sum(when(size($"valid") > 0, 1L).otherwise(0L)).as("n_docs_with_card"),
+        sum(size($"valid")).cast("long").as("n_cards"),
+        sum(size($"cands")).cast("long").as("n_candidates"),
+        sum(expr("aggregate(valid, 0L, (a, c) -> a + length(c))"))
+          .cast("long").as("redacted_chars"))
+      .orderBy($"source")
+  }
+
   private val wordsSql =
     "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    // Luhn re-implemented digit-by-digit (right-to-left, odd positions
+    // verbatim, even doubled with the >9 fold); empty list_sum is NULL
+    // in DuckDB, hence the coalesces
+    "q407_luhn_scrub" ->
+      """WITH t AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' card 4539148803436467'
+        |         WHEN doc_id % 7 = 1 THEN ' card 4539148803436468'
+        |         ELSE '' END AS text2 FROM documents),
+        |c0 AS (SELECT doc_id, source,
+        |    regexp_extract_all(text2, '[0-9]{13,19}') AS cands FROM t),
+        |cd AS (SELECT doc_id, source, cands,
+        |    list_filter(cands, c -> list_sum(list_transform(
+        |      range(1, length(c) + 1),
+        |      i -> CASE
+        |        WHEN i % 2 = 1 THEN CAST(c[CAST(length(c) - i + 1 AS INT)] AS INT)
+        |        WHEN 2 * CAST(c[CAST(length(c) - i + 1 AS INT)] AS INT) > 9
+        |          THEN 2 * CAST(c[CAST(length(c) - i + 1 AS INT)] AS INT) - 9
+        |        ELSE 2 * CAST(c[CAST(length(c) - i + 1 AS INT)] AS INT)
+        |      END)) % 10 = 0) AS valid
+        |  FROM c0)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN len(valid) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_card,
+        |  CAST(sum(len(valid)) AS BIGINT) AS n_cards,
+        |  CAST(sum(len(cands)) AS BIGINT) AS n_candidates,
+        |  CAST(sum(coalesce(list_sum(list_transform(valid, c -> length(c))), 0))
+        |    AS BIGINT) AS redacted_chars
+        |FROM cd GROUP BY source ORDER BY source""".stripMargin,
     "q353_language_id" ->
       """WITH tg AS (SELECT doc_id, lang,
         |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),

@@ -3176,6 +3176,21 @@ object ManifestTable {
       }
   }
 
+  /** AGE-based retention (Iceberg's `expire_snapshots(older_than)`): keep
+    * every version published at-or-after `cutoffMs` — plus the current
+    * head unconditionally — and expire the rest through [[expire]]'s
+    * machinery (tag pins, branch references, append-chain liveness, stat
+    * sidecars all honored). Publish instants come from the durable
+    * `v<N>.ts` sidecars (mtime fallback), so the policy survives table
+    * copies. The production retention loop is a cron with a wall-clock
+    * horizon, not a version count — this is its verb. */
+  def expireBefore(dir: String, cutoffMs: Long): (Int, Int) = {
+    val ts = versionTimestamps(dir)
+    require(ts.nonEmpty, s"expireBefore: no committed version under $dir")
+    val keep = math.max(1, ts.count(_._2 >= cutoffMs))
+    expire(dir, keep)
+  }
+
   def expire(dir: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "expire: must keep at least the current version")
     val cutoff = currentVersion(dir) - keep + 1

@@ -845,6 +845,29 @@ class ManifestTableSpec extends SparkSpec {
     ()
   }
 
+  test("expireBefore keeps versions published at-or-after the horizon, head always") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("k"), dir, append = false)  // v1
+    ManifestTable.commit(Seq(2L).toDF("k"), dir, append = true)   // v2
+    ManifestTable.commit(Seq(3L).toDF("k"), dir, append = true)   // v3
+    // craft durable publish instants (the policy input)
+    Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L).foreach { case (v, t) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_manifests", s"v$v.ts"),
+        t.toString.getBytes("UTF-8"))
+    }
+    ManifestTable.expireBefore(dir, 1500L)  // v1 ages out, v2/v3 stay
+    intercept[Exception] { ManifestTable.read(spark, dir, 1).collect() }
+    assert(ManifestTable.read(spark, dir, 2).count() == 2)
+    assert(ManifestTable.read(spark, dir, 3).count() == 3)
+    // a horizon beyond every instant keeps the head alone
+    ManifestTable.expireBefore(dir, Long.MaxValue)
+    intercept[Exception] { ManifestTable.read(spark, dir, 2).collect() }
+    assert(ManifestTable.read(spark, dir).count() == 3)
+    ()
+  }
+
   test("syncCloneTracked: marker-driven re-sync, divergence refused loudly") {
     import spark.implicits._
     val src = freshDir(); val dst = freshDir()
