@@ -215,18 +215,72 @@ private[v2] object GraftProcedures {
           ManifestTable.dropTransform(dir, args.getUTF8String(1).toString)
           Seq(row(ManifestTable.partitionTransforms(dir).size.toLong))
         })
+      case "binpack" => proc("binpack",
+        "merge only sub-threshold files; large files carry verbatim",
+        Seq(in("table", StringType), in("small_bytes", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.compactSmall(SparkSession.active,
+            tableDir(args.getUTF8String(0).toString), args.getLong(1))
+          Seq(row(v.toLong))
+        })
+      case "cherry_pick" => proc("cherry_pick",
+        "re-land one append branch commit on main's current head (zero copy)",
+        Seq(in("table", StringType), in("branch", StringType),
+          in("branch_version", IntegerType)),
+        StructType(Seq(StructField("head_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.cherryPick(
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString, args.getInt(2))
+          Seq(row(v.toLong))
+        })
+      case "clone" => proc("clone",
+        "zero-copy clone of the table's current snapshot into a new table",
+        Seq(in("table", StringType), in("target_table", StringType)),
+        StructType(Seq(StructField("head_version", LongType, nullable = false))),
+        { args =>
+          val dstName = args.getUTF8String(1).toString
+          val dst = (warehouse +: dstName.split('.').toSeq).mkString("/")
+          val v = ManifestTable.cloneTable(SparkSession.active,
+            tableDir(args.getUTF8String(0).toString), dst)
+          Seq(row(v.toLong))
+        })
+      case "sync_clone" => proc("sync_clone",
+        "catch a tracked clone up with its source via the change feed",
+        Seq(in("table", StringType), in("key_col", StringType)),
+        StructType(Seq(StructField("head_version", LongType, nullable = false))),
+        { args =>
+          val v = ManifestTable.syncCloneTracked(SparkSession.active,
+            tableDir(args.getUTF8String(0).toString),
+            args.getUTF8String(1).toString)
+          Seq(row(v.toLong))
+        })
+      case "expire_before" => proc("expire_before",
+        "age-based retention: expire versions published before cutoff_ms",
+        Seq(in("table", StringType), in("cutoff_ms", LongType)),
+        StructType(Seq(
+          StructField("versions_removed", LongType, nullable = false),
+          StructField("files_removed", LongType, nullable = false))),
+        { args =>
+          val (nv, nf) = ManifestTable.expireBefore(
+            tableDir(args.getUTF8String(0).toString), args.getLong(1))
+          Seq(row(nv.toLong, nf.toLong))
+        })
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
-          "compact, rewrite_deletes, expire, vacuum, zorder, create_branch, " +
-          "fast_forward, drop_branch, rollback, create_tag, drop_tag, " +
+          "compact, binpack, rewrite_deletes, expire, expire_before, " +
+          "vacuum, zorder, create_branch, fast_forward, cherry_pick, " +
+          "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
           "drop_partition_field")
     }
   }
 
   val names: Array[Identifier] =
-    Array("compact", "rewrite_deletes", "expire", "vacuum", "zorder",
-      "create_branch", "fast_forward", "drop_branch", "rollback",
+    Array("compact", "binpack", "rewrite_deletes", "expire", "expire_before",
+      "vacuum", "zorder", "create_branch", "fast_forward", "cherry_pick",
+      "drop_branch", "rollback", "clone", "sync_clone",
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field")
       .map(Identifier.of(Array("system"), _))

@@ -709,6 +709,53 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gtest.system.nope('ns.pt')") }
   }
 
+  test("CALL graft.system.{binpack,clone,sync_clone,cherry_pick,expire_before}: r12 verbs through SQL") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gtest.ns.cv (k BIGINT, v BIGINT)")
+    (1L to 12L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("src_cv")
+    spark.sql("INSERT INTO gtest.ns.cv SELECT * FROM src_cv")
+    spark.sql("INSERT INTO gtest.ns.cv VALUES (100, 100)")   // v2 tiny
+    spark.sql("INSERT INTO gtest.ns.cv VALUES (101, 101)")   // v3 tiny
+    val dir = s"$wh/ns/cv"
+    // binpack: everything is sub-threshold here → all files merge
+    val bv = spark.sql("CALL gtest.system.binpack('ns.cv', 1048576L)")
+      .head.getLong(0)
+    assert(bv == 4)
+    assert(ManifestTable.filesTable(spark, dir).count() == 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv").head.getLong(0) == 14)
+    // clone + tracked catch-up, both through SQL; the clone reads
+    // through the catalog like any table
+    spark.sql("CALL gtest.system.clone('ns.cv', 'ns.cv_copy')").collect()
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv_copy").head.getLong(0) == 14)
+    spark.sql("INSERT INTO gtest.ns.cv VALUES (200, 200)")
+    spark.sql("CALL gtest.system.sync_clone('ns.cv_copy', 'k')").collect()
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv_copy").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv_copy WHERE k = 200")
+      .head.getLong(0) == 1)
+    // cherry-pick: a branch append re-lands although main moved past it
+    val fork = spark.sql("CALL gtest.system.create_branch('ns.cv', 'exp')")
+      .head.getLong(0).toInt
+    ManifestTable.commitToBranch(Seq((300L, 300L)).toDF("k", "v"), dir, "exp")
+    spark.sql("INSERT INTO gtest.ns.cv VALUES (201, 201)")   // main diverges
+    intercept[Exception] {
+      spark.sql("CALL gtest.system.fast_forward('ns.cv', 'exp')").collect()
+    }
+    spark.sql(s"CALL gtest.system.cherry_pick('ns.cv', 'exp', ${fork + 1})")
+      .collect()
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv WHERE k = 300")
+      .head.getLong(0) == 1)
+    // age-based retention: a beyond-everything horizon keeps the head only
+    val er = spark.sql(
+      s"CALL gtest.system.expire_before('ns.cv', ${Long.MaxValue}L)").head
+    assert(er.getLong(0) >= 1)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gtest.ns.cv VERSION AS OF 1").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM gtest.ns.cv").head.getLong(0) == 17)
+    ()
+  }
+
   test("CALL graft.system.rollback: a bad commit undoes as a new head, history intact") {
     import spark.implicits._
     wh: Unit
