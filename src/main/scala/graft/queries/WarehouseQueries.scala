@@ -1730,7 +1730,11 @@ object WarehouseQueries {
       .filter($"seq" === 1).select($"path").as[String].collect().toSet
     require(bigPaths.size == 2, s"q405: expected 2 big files, got ${bigPaths.size}")
     val nBefore = ManifestTable.filesTable(s, out).count()
-    val v = ManifestTable.compactSmall(s, out, smallBytes = 32 * 1024)
+    // scale-relative threshold: the tiny commits are ~2.5% of a big
+    // file's rows at ANY sf, so half the smallest big file cleanly
+    // separates the classes (a fixed byte count would misclassify at 10×)
+    val smallBytes = bigPaths.map(p => new java.io.File(p).length()).min / 2
+    val v = ManifestTable.compactSmall(s, out, smallBytes)
     require(v == preV + 1, s"q405: binpack must commit v${preV + 1}, got v$v")
     val after = ManifestTable.filesTable(s, out)
     // the big files carried VERBATIM — identical path strings, no rewrite
