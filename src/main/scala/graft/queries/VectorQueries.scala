@@ -1262,7 +1262,47 @@ object VectorQueries {
     slice(array_sort(array(ds: _*)), 1, 2).getField("j")
   }
 
+  // q408: LATE-INTERACTION (MAXSIM) RETRIEVAL — the ColBERT scoring
+  // family, the third retrieval interaction pattern after single-vector
+  // dense (q40/q41) and lexical (q303): documents and queries are BAGS
+  // of token vectors, and score(q, d) = Σ over query tokens of the MAX
+  // dot product against d's tokens — fine-grained term matching that a
+  // single pooled vector provably loses. Token bags derive
+  // deterministically from the embeddings table (vec_id/4 = doc,
+  // vec_id%4 = token slot); every dot product is int8×int8 integer
+  // arithmetic, max and sum over integers — bit-exact cross-engine.
+  // Scale shape: queries (2 docs × ≤4 tokens) broadcast; the token-pair
+  // score is ONE map-side pass over corpus tokens; max-per-(q,qt,d) and
+  // sum-per-(q,d) are two keyed aggregates whose cardinality is
+  // |corpus tokens| × |query tokens| / |doc| — never a corpus×corpus
+  // product. In production the corpus side is the q391 feed-maintained
+  // index and candidates come cell-pruned; here the exact full ranking
+  // IS the gate output (top-5 docs/query, oracle-recomputed).
+  def maxsimRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = annQuant(s,
+        Tables(s, dir).embeddings.select($"vec_id", $"embedding"))
+      .select(($"vec_id" / 4).cast("long").as("d_id"),
+        ($"vec_id" % 4).as("slot"), $"q")
+      .localCheckpoint()
+    val qtoks = toks.filter($"d_id" < 2)
+      .select($"d_id".as("q_id"), $"slot".as("q_slot"), $"q".as("qq"))
+    val pair = toks.crossJoin(broadcast(qtoks))
+      .filter($"d_id" =!= $"q_id")
+      .select($"q_id", $"q_slot", $"d_id",
+        Similarity.dotInt8($"q", $"qq").as("dp"))
+    val best = pair.groupBy($"q_id", $"q_slot", $"d_id")
+      .agg(max($"dp").as("m"))
+    val scored = best.groupBy($"q_id", $"d_id")
+      .agg(sum($"m").cast("long").as("maxsim"))
+    Relational.topKPerGroup(scored, Seq(col("q_id")),
+        Seq(col("maxsim").desc, col("d_id").asc), 5, rankCol = "rank")
+      .select($"q_id", $"rank", $"d_id", $"maxsim")
+      .orderBy($"q_id", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_maxsim_retrieval" -> maxsimRetrieval _,
     "q406_filtered_ann" -> filteredAnn _,
     "q403_index_drift" -> indexDrift _,
     "q397_stream_ann_ingest" -> streamAnnIngest _,
@@ -1318,6 +1358,29 @@ object VectorQueries {
     (1 to 10).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}").mkString(" ")
 
   val oracles: Map[String, String] = Map(
+    // q408: the maxsim recompute — same quantization, integer dots,
+    // max per (query, query-token, doc), sum per (query, doc), rank
+    "q408_maxsim_retrieval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
+        |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
+        |  FROM e),
+        |tk AS (SELECT vec_id // 4 AS d_id, vec_id % 4 AS slot, q FROM qt),
+        |qs AS (SELECT d_id AS q_id, slot AS q_slot, q AS qq FROM tk
+        |  WHERE d_id < 2),
+        |pair AS (SELECT q_id, q_slot, tk.d_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(tk.q[CAST(i AS INT)] AS BIGINT)
+        |         * CAST(qs.qq[CAST(i AS INT)] AS BIGINT))) AS BIGINT) AS dp
+        |  FROM tk, qs WHERE tk.d_id <> q_id),
+        |best AS (SELECT q_id, q_slot, d_id, max(dp) AS m
+        |  FROM pair GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, d_id, CAST(sum(m) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY maxsim DESC, d_id) AS INT) AS rank,
+        |  CAST(d_id AS BIGINT) AS d_id, maxsim
+        |FROM sc QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // q406: the exact filtered top-k recomputed — int8(+127) quantize,
     // 25% metadata filter, integer L2, rank (the post-filter and
     // cell-probe contrasts are require-pins in the face, not hashed)
