@@ -1757,6 +1757,71 @@ object WarehouseQueries {
       .orderBy($"pri")
   }
 
+  // q409: SCD2 HISTORY FROM THE CHANGE FEED — q90 builds SCD2 from a
+  // staged batch, q260 folds a changelog; this face makes the validity
+  // history a DOWNSTREAM MATERIALIZATION of the versioned dim's change
+  // feed (the q354/q391/q392 contract applied to warehouse modeling):
+  // each feed version's delete events CLOSE the touched keys' current
+  // rows (valid_to = version), insert events OPEN new ones (valid_from =
+  // version) — a keyed-merge commit emits both, which is exactly one
+  // SCD2 transition. History text never re-read; per refresh the work
+  // is O(|delta| + |open rows touched|). The pin is the SCD2 correctness
+  // statement itself, require-checked at EVERY version: the interval
+  // table must reconstruct each historical snapshot exactly
+  // (valid_from <= v < valid_to ≡ read AS OF v, both exceptAll
+  // directions) — one drifted interval breaks some version. The oracle
+  // recomputes the interval algebra relationally (per-key event list,
+  // lead() for closure, the delete horizon as the final valid_to).
+  def cdfScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q409_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val keys = Tables(s, dir).customer
+      .select($"c_custkey".cast("long").as("k"))
+    ManifestTable.commit(keys.select($"k", ($"k" * 2).as("v")),
+      out, append = false)                                              // v1
+    ManifestTable.merge(keys.filter($"k" % 5 === 0)
+      .select($"k", ($"k" * 3).as("v")), out, "k")                      // v2 update
+    ManifestTable.merge(keys.filter($"k" % 3 === 0)
+      .select($"k", ($"k" * 7).as("v")), out, "k")                      // v3 update
+    ManifestTable.delete(keys.filter($"k" % 11 === 0).select($"k"),
+      out, "k")                                                         // v4 delete
+    var hist = ManifestTable.read(s, out, 1)
+      .select($"k", $"v", lit(1L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    (2 to ManifestTable.currentVersion(out)).foreach { ver =>
+      val feed = ManifestTable.changeFeed(s, out, ver - 1, ver)
+        .localCheckpoint()
+      val del = feed.filter($"_change_type" === "delete")
+        .select($"k").distinct().withColumn("_d", lit(1))
+      val ins = feed.filter($"_change_type" === "insert")
+        .select($"k", $"v", lit(ver.toLong).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      hist = hist.join(del, Seq("k"), "left")
+        .withColumn("valid_to",
+          when($"valid_to".isNull && $"_d" === 1, ver.toLong)
+            .otherwise($"valid_to"))
+        .drop("_d")
+        .unionByName(ins)
+        .localCheckpoint()
+    }
+    // the SCD2 correctness statement, checked at EVERY version
+    (1 to ManifestTable.currentVersion(out)).foreach { v =>
+      val fromHist = hist
+        .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
+        .select($"k", $"v")
+      val snap = ManifestTable.read(s, out, v).select($"k", $"v")
+      require(fromHist.exceptAll(snap).isEmpty && snap.exceptAll(fromHist).isEmpty,
+        s"q409: the interval table must reconstruct snapshot v$v exactly")
+    }
+    hist.orderBy($"k", $"valid_from")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3688,6 +3753,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q409_cdf_scd2" -> cdfScd2 _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
     "q377_sql_check_constraints" -> sqlCheckConstraints _,
@@ -3768,6 +3834,21 @@ object WarehouseQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    // the interval algebra recomputed relationally: per-key segment
+    // list from the commit formulas, lead() closes each segment, the
+    // delete horizon is the final valid_to for its keys
+    "q409_cdf_scd2" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |seg AS (
+        |  SELECT k, 1 AS vf, k * 2 AS v FROM k
+        |  UNION ALL SELECT k, 2, k * 3 FROM k WHERE k % 5 = 0
+        |  UNION ALL SELECT k, 3, k * 7 FROM k WHERE k % 3 = 0),
+        |iv AS (SELECT k, v, vf,
+        |    lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt FROM seg)
+        |SELECT k, v, CAST(vf AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN vt IS NOT NULL THEN vt
+        |            WHEN k % 11 = 0 THEN 4 END AS BIGINT) AS valid_to
+        |FROM iv ORDER BY k, valid_from""".stripMargin,
     // content identity across the binpack: the oracle recomputes the
     // (big ∪ six tiny slices) union — any row lost/duplicated by the
     // merge moves a count or sum
