@@ -1700,10 +1700,15 @@ object WarehouseQueries {
   // (require-pinned: the big commit's file PATHS are byte-identical
   // strings in the post-compaction manifest, so not one big byte moved).
   // Published as a dataChange=false rewrite: the change feed across it
-  // emits ZERO events (pinned), exactly like compact/zorder. Refuses
-  // under outstanding deletes (rewritten rows would change file identity
-  // and sequence — materialize first); zero-IO COUNT(*) stays exact
-  // across the merge; the pre-compaction snapshot stays time-travelable.
+  // emits ZERO events (pinned), exactly like compact/zorder.
+  // DELETE-TOLERANT (r13): the small subset reads MERGE-ON-READ, so
+  // outstanding deletes materialize into the merged output while
+  // equality-delete lines carry verbatim (they still scope the untouched
+  // large files) and position-delete lines reconcile — pinned below by a
+  // second binpack round under BOTH delete kinds with content identity
+  // and big-file delete scoping checked. Zero-IO COUNT(*) stays exact
+  // across the delete-free merge; the pre-compaction snapshot stays
+  // time-travelable.
   def binpackCompact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = s"${sys.props("java.io.tmpdir")}/graft_q405_${Integer.toHexString(dir.hashCode)}"
@@ -1752,7 +1757,35 @@ object WarehouseQueries {
     val b = ManifestTable.read(s, out)
     require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
       "q405: binpack must not change table content")
-    b.groupBy($"pri")
+    // ROUND 2 (r13): binpack on a DELETE-CARRYING snapshot. Two more
+    // tiny appends, then both delete kinds: an equality delete (erases
+    // from big AND small data committed before it) and a position
+    // delete. The MoR binpack must materialize the deletes into the
+    // merged output, carry the equality line for the untouched big
+    // files, reconcile the position line, and leave content
+    // bit-identical — the pre-r13 verb refused here outright.
+    Seq(48, 58).foreach { m =>
+      ManifestTable.commit(rows.filter($"k" % 100 === m).coalesce(1),
+        out, append = true)
+    }
+    ManifestTable.delete(
+      rows.filter($"k" % 100 === 18).select($"k"), out, "k")   // equality
+    ManifestTable.deleteWhere(s, out, $"k" % 100 === 48)       // position
+    val preV2 = ManifestTable.currentVersion(out)
+    val a2 = ManifestTable.read(s, out, preV2)
+    val v2 = ManifestTable.compactSmall(s, out, smallBytes)
+    require(v2 == preV2 + 1, s"q405: delete-tolerant binpack must commit, got v$v2")
+    val b2 = ManifestTable.read(s, out)
+    require(b2.exceptAll(a2).isEmpty && a2.exceptAll(b2).isEmpty,
+      "q405: delete-tolerant binpack must not change table content")
+    require(b2.filter($"k" % 100 === 18 || $"k" % 100 === 48).isEmpty,
+      "q405: deleted rows must stay deleted across the MoR merge")
+    val after2 = ManifestTable.filesTable(s, out)
+    require(after2.filter($"path".isin(bigPaths.toSeq: _*)).count() == 2,
+      "q405: big files must carry verbatim through the delete-tolerant merge")
+    require(ManifestTable.changeFeed(s, out, preV2, v2).isEmpty,
+      "q405: the delete-tolerant binpack must stay feed-invisible")
+    b2.groupBy($"pri")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
       .orderBy($"pri")
   }
@@ -1820,6 +1853,108 @@ object WarehouseQueries {
         s"q409: the interval table must reconstruct snapshot v$v exactly")
     }
     hist.orderBy($"k", $"valid_from")
+  }
+
+  // q412: SCD2 AT ITS CLAIMED BOUND (r13) — q409 proves the interval
+  // algebra as a change-feed materialization, but its refresh folds each
+  // delta into the WHOLE history frame: an O(|hist|) pass per refresh,
+  // which on a 100 TB dimension history is exactly the rescan IVM
+  // exists to avoid. This face maintains the history as TWO keyed
+  // manifest tables: an OPEN-rows table keyed by k (the working state —
+  // |live keys| rows, the only state a refresh reads) and an APPEND-ONLY
+  // closed-intervals table that is never read again once written. A
+  // refresh is then: feed (O(|delta|)) → close the TOUCHED keys' open
+  // rows (one key-pruned semi join against the open table, appended to
+  // closed) → equality-delete the touched keys from open + append the
+  // delta's new opens (the keyed-merge commit shape: O(|delta|), zero
+  // target IO). Pinned: (a) the same per-version reconstruction battery
+  // as q409 — the split state must reconstruct EVERY historical snapshot
+  // exactly, including a key deleted and later RE-INSERTED (two disjoint
+  // validity intervals, the case a drifted open-set maintenance breaks
+  // first); (b) THE DELTA PIN — each refresh's closing set is bounded by
+  // the delta's touched keys (never more state read than keys touched),
+  // and the closed table survives `changes()`, which THROWS on any
+  // rewrite or delete: history was only ever extended, never rescanned
+  // into a rewrite. The oracle recomputes the interval algebra
+  // relationally (per-key event list, lead() closure, delete horizon,
+  // reopen after delete).
+  def scd2Keyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q412_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val (src, open, closed) = (s"$out/src", s"$out/open", s"$out/closed")
+    val keys = Tables(s, dir).customer
+      .select($"c_custkey".cast("long").as("k"))
+    // source history: init, two updates, a delete, a RE-INSERT of
+    // deleted keys (k%18=0 ⊂ k%9=0, so every v5 key was closed at v4)
+    ManifestTable.commit(keys.select($"k", ($"k" * 2).as("v")),
+      src, append = false)                                              // v1
+    ManifestTable.merge(keys.filter($"k" % 4 === 0)
+      .select($"k", ($"k" * 3).as("v")), src, "k")                      // v2
+    ManifestTable.merge(keys.filter($"k" % 6 === 0)
+      .select($"k", ($"k" * 7).as("v")), src, "k")                      // v3
+    ManifestTable.delete(keys.filter($"k" % 9 === 0).select($"k"),
+      src, "k")                                                         // v4
+    ManifestTable.merge(keys.filter($"k" % 18 === 0)
+      .select($"k", ($"k" * 13).as("v")), src, "k")                     // v5
+    // open state initializes from the v1 snapshot
+    ManifestTable.commit(ManifestTable.read(s, src, 1)
+      .select($"k", $"v", lit(1L).as("valid_from")), open, append = false)
+    (2 to ManifestTable.currentVersion(src)).foreach { ver =>
+      val feed = ManifestTable.changeFeed(s, src, ver - 1, ver)
+        .localCheckpoint()
+      val touched = feed.select($"k").distinct().localCheckpoint()
+      val nTouched = touched.count()
+      if (nTouched > 0) {
+        // CLOSE: only the touched keys' open rows move — never the
+        // closed history (at 100 TB the open table is key-clustered and
+        // this semi join is file-skipped to the touched key ranges)
+        val closing = ManifestTable.read(s, open)
+          .join(broadcast(touched), Seq("k"), "left_semi")
+          .withColumn("valid_to", lit(ver.toLong))
+          .localCheckpoint()
+        val nClosing = closing.count()
+        require(nClosing <= nTouched,
+          s"q412: refresh v$ver closed $nClosing rows for $nTouched touched " +
+            "keys — state read beyond the delta's touch set")
+        if (nClosing > 0)
+          ManifestTable.commit(closing, closed,
+            append = ManifestTable.currentVersion(closed) > 0): Unit
+        // OPEN: the keyed-merge maintenance shape — equality-delete the
+        // touched keys, append the delta's new opens; O(|delta|), zero
+        // target IO
+        ManifestTable.delete(touched, open, "k")
+        val ins = feed.filter($"_change_type" === "insert")
+          .select($"k", $"v", lit(ver.toLong).as("valid_from"))
+        if (!ins.isEmpty)
+          ManifestTable.commit(ins, open, append = true): Unit
+      }
+    }
+    // the append-only pin: changes() THROWS if any closed-table commit
+    // rewrote or deleted — the history was only ever EXTENDED
+    require(ManifestTable.changes(s, closed, 0).count() > 0,
+      "q412: the closed-interval history must be non-empty and append-only")
+    val hist = (ManifestTable.read(s, closed)
+      .unionByName(ManifestTable.read(s, open)
+        .withColumn("valid_to", lit(null).cast("long"))))
+      .select($"k", $"v", $"valid_from", $"valid_to")
+      .localCheckpoint()
+    // q409's reconstruction battery, now over the SPLIT state — with the
+    // reopen case in range
+    (1 to ManifestTable.currentVersion(src)).foreach { v =>
+      val fromHist = hist
+        .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
+        .select($"k", $"v")
+      val snap = ManifestTable.read(s, src, v).select($"k", $"v")
+      require(fromHist.exceptAll(snap).isEmpty && snap.exceptAll(fromHist).isEmpty,
+        s"q412: the split interval state must reconstruct snapshot v$v exactly")
+    }
+    hist.orderBy($"k", $"valid_from", $"valid_to")
   }
 
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
@@ -3470,6 +3605,15 @@ object WarehouseQueries {
     require(s.sql("SELECT count(*) FROM graft_cat395.db.t VERSION AS OF 4")
       .head.getLong(0) == total - nDel,
       "q395: the pre-merge snapshot must stay time-travelable")
+    // the merge is dataChange=false (r13, ADVICE r12): incremental
+    // consumers spanning it must neither refuse nor see phantom events —
+    // the boundary contributes ZERO rows and a feed across the whole
+    // history still decomposes into exactly the three deletes' rows
+    require(ManifestTable.changeFeed(s, tdir, 4, 5).isEmpty,
+      "q395: rewrite_deletes must be invisible to change feeds")
+    require(ManifestTable.changeFeed(s, tdir, 1, 5)
+      .filter($"_change_type" === "delete").count() == nDel,
+      "q395: a feed spanning the merge must still carry the deletes' rows")
     s.sql("""SELECT o_orderpriority, count(*) AS n_rows, sum(cents) AS total_cents
             |FROM graft_cat395.db.t
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
@@ -3753,6 +3897,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q412_scd2_keyed" -> scd2Keyed _,
     "q409_cdf_scd2" -> cdfScd2 _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
     "q376_sql_atomic_rtas" -> sqlAtomicRtas _,
@@ -3837,6 +3982,23 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q412: the same interval algebra as q409's oracle, over the split
+    // open/closed state's history — update moduli differ, the delete
+    // horizon closes at v4, and the v5 RE-INSERT opens a second interval
+    // for k%18=0 keys (reopen-after-close, the drifted-open-set killer)
+    "q412_scd2_keyed" ->
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |seg AS (
+        |  SELECT k, 1 AS vf, k * 2 AS v FROM k
+        |  UNION ALL SELECT k, 2, k * 3 FROM k WHERE k % 4 = 0
+        |  UNION ALL SELECT k, 3, k * 7 FROM k WHERE k % 6 = 0
+        |  UNION ALL SELECT k, 5, k * 13 FROM k WHERE k % 18 = 0),
+        |iv AS (SELECT k, v, vf,
+        |    lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt FROM seg)
+        |SELECT k, v, CAST(vf AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN k % 9 = 0 AND vf < 4 AND (vt IS NULL OR vt > 4) THEN 4
+        |            ELSE vt END AS BIGINT) AS valid_to
+        |FROM iv ORDER BY k, valid_from""".stripMargin,
     "q409_cdf_scd2" ->
       """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |seg AS (
@@ -3852,6 +4014,10 @@ object WarehouseQueries {
     // content identity across the binpack: the oracle recomputes the
     // (big ∪ six tiny slices) union — any row lost/duplicated by the
     // merge moves a count or sum
+    // final content after BOTH binpack rounds: the original buckets plus
+    // the round-2 appends (48, 58), minus the equality delete (18) and
+    // the position delete (48) — the delete-tolerant merge must
+    // materialize exactly this
     "q405_binpack_compact" ->
       """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -3859,7 +4025,7 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM src
-        |WHERE k % 10 < 8 OR k % 100 IN (8, 9, 18, 19, 28, 38)
+        |WHERE k % 10 < 8 OR k % 100 IN (8, 9, 19, 28, 38, 58)
         |GROUP BY pri ORDER BY pri""".stripMargin,
     // the oracle replays the source's history relationally: appended
     // buckets minus the k%4 delete, plus the k%8 re-insert with the NEW

@@ -861,14 +861,22 @@ object ManifestTable {
       if (spanning.isEmpty) Seq.empty
       else {
         // job 2: one rewrite over every spanning file — deadness depends
-        // only on the replaced set, so one global filter serves them all
+        // only on the replaced set, so one global anti join serves them
+        // all. A broadcast ANTI JOIN, not an isin literal: a CoW touch
+        // set has no size bound (an unselective UPDATE replaces
+        // thousands of files), and a literal list that size bloats the
+        // plan string and the codegen'd predicate — the dead-path FRAME
+        // stays one broadcast of file-path strings at any touch-set size
         val deadRaw = refPairs.map(_._2).distinct.filter(isDead)
         val dataDir = commitDir.getOrElse(Paths.get(dir, "data", s"commit-$v"))
         Files.createDirectories(dataDir)
         val rwDir = dataDir.resolve(
           s"posrw-${java.util.UUID.randomUUID().toString.take(8)}").toString
+        import spark.implicits._
+        val deadDf = org.apache.spark.sql.functions.broadcast(
+          deadRaw.toIndexedSeq.toDF("file_path"))
         spark.read.parquet(spanning.toSeq.sorted: _*)
-          .filter(!col("file_path").isin(deadRaw.toIndexedSeq: _*))
+          .join(deadDf, Seq("file_path"), "left_anti")
           .coalesce(1).write.parquet(rwDir)
         Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet"))
@@ -1099,7 +1107,13 @@ object ManifestTable {
             .map { case (n, (lo, hi)) => s"$n:$lo:$hi" }.mkString(";")
         s"P|${f.getAbsolutePath}|$seg"
       }.sorted
-    claimManifest(dir, v, lines.filterNot(parseEntry(_).posDelete) ++ merged)
+    // dataChange=false: the merged delete set masks the exact same rows,
+    // so the snapshot is bit-identical to v-1 — without the rewrite
+    // marker, every change feed spanning this commit would refuse the
+    // range ("removed files") and one maintenance CALL would break all
+    // incremental consumers, syncClone included (ADVICE r12 medium)
+    markRewrite(dir,
+      claimManifest(dir, v, lines.filterNot(parseEntry(_).posDelete) ++ merged))
     (pos.size, merged.size)
   }
 
@@ -1596,24 +1610,43 @@ object ManifestTable {
     * needs exactly this verb (Iceberg's rewrite_data_files binpack with
     * min-input thresholds), where write amplification is bounded by the
     * small-file bytes alone. Published as a `dataChange=false` rewrite
-    * (change feeds skip it). Refuses under ANY outstanding delete entry:
-    * rewritten rows change file identity (breaking position deletes) and
-    * sequence (escaping equality deletes) — materialize with [[compact]]
-    * first; that refusal is the same honest contract the metadata
-    * aggregates keep. No-ops (no commit) when fewer than two files
-    * qualify. Returns the new version, or the current one on a no-op. */
+    * (change feeds skip it). DELETE-TOLERANT (r13): the small subset is
+    * read MERGE-ON-READ — equality deletes sequence-scope against the
+    * small files' own sequences and position deletes anti-join exactly as
+    * any snapshot read would — so the merged output materializes its
+    * deletes; equality-delete lines carry VERBATIM (they still scope the
+    * untouched large files, and the rewritten rows re-enter at sequence
+    * v > delete seq, already materialized), while position-delete lines
+    * go through [[reconcilePosDeletes]] (refs to rewritten files drop,
+    * refs to surviving files carry, spanning files rewrite) — content is
+    * bit-identical by construction, so the rewrite marker stays honest.
+    * `tableSchema` (the catalog's physical view) makes the merge
+    * default-aware exactly like [[compact]]: without it a raw mergeSchema
+    * read would materialize NULL where every catalog reader sees an
+    * ALTER-added EXISTS_DEFAULT, losing the default forever (ADVICE r12
+    * high — the same class compact fixed in r11). REFUSES on a
+    * bucket-partitioned table: bucket tags are manifest metadata, not
+    * footer stats, so a cross-bucket merge would silently knock the table
+    * out of storage-partitioned-join eligibility (compact's SQL verb
+    * routes per-bucket; binpack's honest contract is refusal). No-ops
+    * (no commit) when fewer than two files qualify. Returns the new
+    * version, or the current one on a no-op. */
   def compactSmall(spark: SparkSession, dir: String, smallBytes: Long,
-                   targetBytes: Long = 128L * 1024 * 1024): Int = {
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val cur = currentVersion(dir)
     require(cur > 0, s"compactSmall: no committed version under $dir")
     require(smallBytes > 0 && targetBytes > 0,
       "compactSmall: thresholds must be positive")
-    val entries = manifestFiles(dir, cur).map(parseEntry)
-    require(entries.forall(_.isData),
-      s"compactSmall: snapshot v$cur carries delete entries — rewriting " +
-        "files under them would break position references and sequence " +
-        "scoping; run compact (materialize) first")
-    val (small, big) = entries.partition { e =>
+    val lines = manifestFiles(dir, cur)
+    val entries = lines.map(parseEntry)
+    require(!Files.exists(Paths.get(dir, "_partition.bucket")) &&
+      !lines.exists(_.contains("_ptn_bucket_")),
+      s"compactSmall: $dir is bucket-partitioned — a cross-bucket merge " +
+        "drops the metadata-only _ptn_bucket_* tags and the key-grouped " +
+        "scan silently falls back to shuffling; use compact (the SQL verb " +
+        "rewrites per bucket and re-tags)")
+    val (small, big) = entries.filter(_.isData).partition { e =>
       val f = new java.io.File(e.path); f.exists() && f.length() < smallBytes
     }
     if (small.size < 2) return cur
@@ -1621,18 +1654,31 @@ object ManifestTable {
     val nOut = math.max(1, math.ceil(smallTotal.toDouble / targetBytes).toInt)
     val v = cur + 1
     val dataDir = s"$dir/data/commit-$v"
-    spark.read.option("mergeSchema", "true")
-      .parquet(small.map(_.path): _*)
+    // MoR view of JUST the small files: their data entries plus every
+    // delete entry of the snapshot — equality deletes apply by sequence,
+    // position deletes by (file, pos); refs to large files match nothing
+    val smallPaths = small.map(_.path).toSet
+    val delEntries = entries.filterNot(_.isData)
+    assemble(spark, small ++ delEntries, dir, withMeta = false,
+        tableSchema = tableSchema)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(dataDir)
     val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-    // big lines carry VERBATIM (stats, blooms, tags — no footer re-reads);
-    // only the merged small files enter with fresh footer stats
-    val bigLines = manifestFiles(dir, cur).filter { l =>
-      big.exists(_.path == pathOf(l)) }
+      // an all-deleted small subset merges to zero rows — keep empty
+      // outputs out of the manifest (harmless to read, but they pin a
+      // scan split and skew stats)
+      .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
+    // big data lines + equality-delete lines carry VERBATIM (stats,
+    // blooms — no footer re-reads); position-delete lines reconcile
+    // against the rewritten set; merged files enter with fresh footers
+    val carried = lines.filter { l =>
+      val e = parseEntry(l)
+      !(e.isData && smallPaths.contains(e.path))
+    }
     markRewrite(dir, claimManifest(dir, v,
-      bigLines ++ newFiles.map(f => dataLine(f))))
+      reconcilePosDeletes(dir, v, carried, smallPaths) ++
+        newFiles.map(f => dataLine(f))))
   }
 
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned + sorted
@@ -2518,7 +2564,22 @@ object ManifestTable {
             .takeWhile(p => !Files.exists(p) ||
               Files.size(p) == 0 || Files.readAllLines(p).asScala
                 .headOption.forall(!_.startsWith("#gc")))
-            .foreach(p => Files.write(p, java.util.List.of("#gc")): Unit)
+            .foreach { p =>
+              // marker lands by ATOMIC RENAME, never in-place truncate:
+              // Files.write opens TRUNCATE_EXISTING, and a straggler
+              // reading inside the truncate-to-write window would see an
+              // EMPTY file — which parseTags must accept as a legitimate
+              // map (dropping the last tag writes zero lines), so the
+              // straggler would take "no tags" as the answer instead of
+              // the retry signal (ADVICE r12 low). rename(2) leaves
+              // readers either the old full content or the marker.
+              val tmp = md.resolve(
+                s".gc.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+              Files.write(tmp, java.util.List.of("#gc"))
+              Files.move(tmp, p,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            }
           Files.deleteIfExists(md.resolve("tags")): Unit // legacy, superseded
           return
         }
@@ -2956,15 +3017,23 @@ object ManifestTable {
     val posLine: Seq[String] =
       if (posPaths.isEmpty) Seq.empty
       else {
-        import org.apache.spark.sql.functions.{col, concat, element_at, lit,
-          regexp_replace, typedLit}
+        import org.apache.spark.sql.functions.{broadcast, col, concat, lit,
+          regexp_replace}
+        import spark.implicits._
         // delete rows carry the scan's `file:` + raw form; normalize the
         // key to the manifest's raw path, emit the value back in scan
-        // form so the clone's own MoR compare matches
+        // form so the clone's own MoR compare matches. The src→dst map
+        // rides as a BROADCAST JOIN frame, not a typedLit map literal: a
+        // 100 TB snapshot's manifest lists millions of files, and a map
+        // literal that size serializes into every task's expression tree
+        // (blowing the codegen method limit long before that) — the join
+        // keeps it one broadcast variable of path pairs. Inner join ≡
+        // the old isNotNull filter (refs outside the map drop).
+        val pathDf = broadcast(pathMap.toSeq.toDF("_raw_src", "_raw_dst"))
         val mapped = spark.read.parquet(posPaths: _*)
-          .withColumn("_raw_dst", element_at(typedLit(pathMap.toMap),
-            regexp_replace(col("file_path"), "^file:/+", "/")))
-          .filter(col("_raw_dst").isNotNull)
+          .withColumn("_raw_src",
+            regexp_replace(col("file_path"), "^file:/+", "/"))
+          .join(pathDf, Seq("_raw_src"))
           .select(concat(lit("file:"), col("_raw_dst")).as("file_path"),
             col("pos"))
         // rows merge VERBATIM (no distinct) — the q395 decision: countStar
@@ -3044,9 +3113,15 @@ object ManifestTable {
           s"expects v$dstHead (foreign commits since the last sync); a " +
           "diverged clone is a fork: re-clone, or sync explicitly with " +
           "syncClone if you accept interleaved histories")
-    val newHead = syncClone(spark, src, dst, srcV, keyCol)
+    // resolve the source head ONCE, replay to exactly it, and record
+    // exactly it — re-reading currentVersion(src) after the replay races
+    // a concurrent source commit into the marker as "synced" without
+    // ever replaying it, silently diverging the replica forever (ADVICE
+    // r12 medium: the precise lost update this wrapper exists to prevent)
+    val srcHead = currentVersion(src)
+    val newHead = syncClone(spark, src, dst, srcV, keyCol, toVersion = srcHead)
     Files.write(marker,
-      Seq(src, currentVersion(src).toString, newHead.toString).asJava)
+      Seq(src, srcHead.toString, newHead.toString).asJava)
     newHead
   }
 
@@ -3067,9 +3142,14 @@ object ManifestTable {
     * equality-delete key for replayed delete events. Returns the clone's
     * new head version. */
   def syncClone(spark: SparkSession, src: String, dst: String,
-                fromVersion: Int, keyCol: String): Int = {
+                fromVersion: Int, keyCol: String, toVersion: Int = -1): Int = {
     import org.apache.spark.sql.functions.col
-    val to = currentVersion(src)
+    // `toVersion` lets a tracking caller pin the replay's upper bound to
+    // a head IT resolved — the marker it writes then records exactly
+    // what was replayed, not whatever the source grew to meanwhile
+    val to = if (toVersion > 0) toVersion else currentVersion(src)
+    require(to <= currentVersion(src),
+      s"syncClone: toVersion $to beyond source head ${currentVersion(src)}")
     require(fromVersion >= 1 && fromVersion <= to,
       s"syncClone: fromVersion $fromVersion not in [1, $to]")
     (fromVersion + 1 to to).foreach { v =>

@@ -220,8 +220,15 @@ private[v2] object GraftProcedures {
         Seq(in("table", StringType), in("small_bytes", LongType)),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         { args =>
+          // the merge must read against the catalog's PHYSICAL schema so
+          // ALTER-added DEFAULT columns fill per file, exactly like
+          // compact/zorder — a raw mergeSchema merge would freeze NULL
+          // into the rewritten rows (ADVICE r12 high)
+          val tName = args.getUTF8String(0).toString
+          val dir = tableDir(tName)
           val v = ManifestTable.compactSmall(SparkSession.active,
-            tableDir(args.getUTF8String(0).toString), args.getLong(1))
+            dir, args.getLong(1),
+            tableSchema = Some(physicalSchemaOf(tName, dir)))
           Seq(row(v.toLong))
         })
       case "cherry_pick" => proc("cherry_pick",

@@ -278,6 +278,16 @@ class CowPosDeleteSpec extends SparkSpec {
     val v5 = ManifestTable.currentVersion(dir)
     assert(ManifestTable.rewriteDeletes(spark, dir) == ((1, 1)))
     assert(ManifestTable.currentVersion(dir) == v5)
+    // the merge is dataChange=false: a change feed SPANNING it must not
+    // refuse (one maintenance CALL must never break incremental
+    // consumers) and the boundary itself contributes zero events —
+    // the v1→v5 feed decomposes into exactly v2-v4's row changes
+    // (ADVICE r12 medium)
+    assert(ManifestTable.changeFeed(spark, dir, v5 - 1, v5).isEmpty,
+      "rewriteDeletes must be feed-invisible")
+    val spanning = ManifestTable.changeFeed(spark, dir, 1, v5)
+    assert(spanning.filter(col("_change_type") === "delete").count() == 21L)
+    assert(spanning.filter(col("_change_type") === "insert").count() == 10L)
   }
 
   test("bucketed CoW under position deletes reconciles P| lines AND keeps SPJ tags") {

@@ -65,4 +65,24 @@ class DefaultValuesSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdv.ns.cmp WHERE score = 100")
       .head.getLong(0) == 3L)
   }
+
+  test("CALL binpack preserves EXISTS_DEFAULTs (reads the catalog view, not raw files) (r13)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gdv.ns.bp (k BIGINT)")
+    spark.sql("INSERT INTO gdv.ns.bp VALUES (1), (2), (3)")         // pre-ALTER small file
+    spark.sql("ALTER TABLE gdv.ns.bp ADD COLUMNS (score BIGINT DEFAULT 100)")
+    spark.sql("INSERT INTO gdv.ns.bp VALUES (4, 7)")                // post-ALTER small file
+    assert(spark.sql("SELECT sum(score) FROM gdv.ns.bp").head.getLong(0) == 307L)
+    // same contract as compact, through the SMALL-FILE merge path: the
+    // binpack rewrite must read each sub-threshold file against the
+    // catalog's physical schema, or the pre-ALTER rows' EXISTS_DEFAULT
+    // freezes to NULL in the merged file (ADVICE r12 high — the exact
+    // bug compact fixed in r11, reintroduced by the raw-mergeSchema
+    // compactSmall)
+    spark.sql("CALL gdv.system.binpack('ns.bp', 1048576L)").collect()
+    assert(spark.sql("SELECT sum(score) FROM gdv.ns.bp").head.getLong(0) == 307L,
+      "binpack must not replace EXISTS_DEFAULT values with NULL")
+    assert(spark.sql("SELECT count(*) FROM gdv.ns.bp WHERE score = 100")
+      .head.getLong(0) == 3L)
+  }
 }

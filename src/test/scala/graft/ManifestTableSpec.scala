@@ -837,11 +837,58 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.countStar(dir).contains(20002L))
     // fewer than two small files -> no-op, no commit
     assert(ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024) == 4)
-    // outstanding deletes refuse
-    ManifestTable.delete(Seq(5L).toDF("k"), dir, "k")
-    intercept[IllegalArgumentException] {
+    ()
+  }
+
+  test("compactSmall is delete-tolerant: MoR-merges the small subset, carries delete scoping (r13)") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit((1L to 20000L).toDF("k").coalesce(1), dir, append = false) // v1 big
+    ManifestTable.commit(Seq(100001L, 100002L).toDF("k"), dir, append = true)       // v2 tiny
+    ManifestTable.delete(Seq(100001L, 5L).toDF("k"), dir, "k")                      // v3 eq-delete
+    ManifestTable.commit(Seq(100001L).toDF("k"), dir, append = true)                // v4 tiny: re-insert AFTER the delete
+    // position delete spanning a big and a small file
+    ManifestTable.deleteWhere(spark, dir, $"k".isin(7L, 100002L))                   // v5
+    val expected = ManifestTable.read(spark, dir).as[Long].collect().sorted
+    val bigPath = ManifestTable.filesTable(spark, dir)
+      .filter($"seq" === 1).select($"path").as[String].head
+    val v = ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024)
+    assert(v == 6)
+    // content bit-identical to the pre-binpack MoR view
+    assert(ManifestTable.read(spark, dir).as[Long].collect().sorted
+      .sameElements(expected))
+    // big file verbatim; the merged output materialized its deletes, so
+    // the re-inserted 100001 survives (sequence scoping respected) and
+    // 100002 stays gone (position delete applied in the merge)
+    val after = ManifestTable.filesTable(spark, dir)
+    assert(after.filter($"path" === bigPath).count() == 1)
+    // the equality-delete line still scopes the big file (k=5 stays
+    // erased) and the spanning position-delete line was reconciled to
+    // reference only the surviving big file (k=7 stays erased)
+    assert(!expected.contains(5L) && !expected.contains(7L) &&
+      expected.contains(100001L) && !expected.contains(100002L))
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_manifests", s"v$v.list")).asScala
+    assert(lines.exists(_.startsWith("D|")), "equality delete must carry")
+    val posLines = lines.filter(_.startsWith("P|"))
+    assert(posLines.size == 1, s"spanning pos-delete must rewrite to one line: $posLines")
+    // the rewrite is feed-silent: a feed spanning it sees zero events
+    assert(ManifestTable.changeFeed(spark, dir, v - 1, v).isEmpty)
+    ()
+  }
+
+  test("compactSmall refuses on a bucket-partitioned table (SPJ tags are metadata-only) (r13)") {
+    import spark.implicits._
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("k"), dir, append = false)
+    ManifestTable.commit(Seq(2L).toDF("k"), dir, append = true)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_partition.bucket"),
+      "k\n4".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
       ManifestTable.compactSmall(spark, dir, smallBytes = 16 * 1024)
     }
+    assert(e.getMessage.contains("bucket"))
     ()
   }
 
@@ -897,6 +944,39 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.syncCloneTracked(spark, src, "k")
     }
+    ()
+  }
+
+  test("syncClone toVersion pins the replay bound; tracked marker records the replayed head (r13)") {
+    import spark.implicits._
+    val src = freshDir(); val dst = freshDir()
+    ManifestTable.commit(Seq((1L, 10L)).toDF("k", "v"), src, append = false) // v1
+    val synced = ManifestTable.cloneTable(spark, src, dst)
+    ManifestTable.commit(Seq((2L, 20L)).toDF("k", "v"), src, append = true)  // v2
+    ManifestTable.commit(Seq((3L, 30L)).toDF("k", "v"), src, append = true)  // v3
+    // replay pinned to v2: the v3 commit must NOT arrive (a tracked
+    // caller resolves the head once — a concurrent commit landing after
+    // that resolution is the NEXT sync's work, never silently skipped)
+    ManifestTable.syncClone(spark, src, dst, synced, "k", toVersion = 2)
+    assert(ManifestTable.read(spark, dst).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 20L))
+    // beyond-head bound refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.syncClone(spark, src, dst, 2, "k", toVersion = 99)
+    }
+    // the tracked marker's recorded source version equals what was
+    // REPLAYED: after a tracked sync, a fresh tracked sync picks up v3
+    // (nothing lost between resolution and marker write)
+    val marker = java.nio.file.Paths.get(dst, "_clone.origin")
+    java.nio.file.Files.write(marker,
+      java.util.List.of(src, "2", ManifestTable.currentVersion(dst).toString))
+    ManifestTable.syncCloneTracked(spark, dst, "k")
+    assert(ManifestTable.read(spark, dst).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    import scala.jdk.CollectionConverters._
+    val m = java.nio.file.Files.readAllLines(marker).asScala
+    assert(m(1).trim.toInt == 3 &&
+      m(2).trim.toInt == ManifestTable.currentVersion(dst))
     ()
   }
 }

@@ -152,6 +152,16 @@ class SnapshotTagSpec extends SparkSpec {
       java.nio.file.Files.createLink(g2, tmp)
     }
     java.nio.file.Files.delete(tmp)
+    // markers land by ATOMIC RENAME (r13): an in-place truncate-write
+    // would hand a straggler an EMPTY file mid-write, which parseTags
+    // must accept as a legitimate map — the drop of t12 above leaves the
+    // HEAD generation legitimately empty, pinned by the isEmpty read
+    // below, so "treat empty as GC'd" was never an option. No rename
+    // temp files may linger.
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(md).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".gc.")).toSeq
+    assert(leftovers.isEmpty, s"GC rename temps must not linger: $leftovers")
     // the live head still reads clean through the marker prefix
     assert(ManifestTable.tags(dir).isEmpty)
     ManifestTable.createTag(dir, "live")
