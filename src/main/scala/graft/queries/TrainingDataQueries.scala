@@ -55,6 +55,66 @@ object TrainingDataQueries {
       .orderBy($"epoch", $"pos")
   }
 
+  // q414: SPAN CORRUPTION (r13) — the T5/UL2 denoising objective's
+  // preprocessing as a deterministic relational pipeline: ~5% of token
+  // positions START a 3-token corruption span (md5-keyed, so the same
+  // rows corrupt identically on every engine, every retry, every
+  // epoch-seed — rand() would break retries AND the oracle), overlapping
+  // spans merge into maximal masked runs (the max-over-3-preceding
+  // window), each run gets a consecutive sentinel id per doc
+  // (gaps-and-islands), and the face emits the (input, target) pair the
+  // encoder actually trains on: input = unmasked tokens with
+  // <extra_id_N> at each run, target = <extra_id_N> + the masked
+  // tokens, both pinned by md5 so a one-token boundary drift moves the
+  // gate hash. Scale shape: one explode + three doc-keyed window passes
+  // + two doc-keyed aggregations — the corpus shuffles ONCE on doc_id
+  // and every subsequent pass reuses that partitioning; sentinel
+  // numbering needs no global coordination (per-doc running sum).
+  def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables(s, dir).documents
+      .select($"doc_id", posexplode(
+        filter(split($"text", "\\s+"), t => length(t) > 0)).as(Seq("pos", "tok")))
+    val marked = toks
+      .withColumn("st", (TD.hashBucket(
+        concat($"doc_id".cast("string"), lit(":"), $"pos".cast("string")), 20) === 0)
+        .cast("int"))
+      .withColumn("masked", max($"st").over(w.rowsBetween(-2, 0)) === 1)
+      .withColumn("run_start",
+        $"masked" && !coalesce(lag($"masked", 1).over(w), lit(false)))
+      .withColumn("sid",
+        sum($"run_start".cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .localCheckpoint()
+    val sentinel = concat(lit("<extra_id_"), $"sid", lit(">"))
+    val inputStr = marked.filter(!$"masked")
+      .select($"doc_id", $"pos", $"tok".as("piece"))
+      .unionByName(marked.filter($"run_start")
+        .select($"doc_id", $"pos", sentinel.as("piece")))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"piece"))),
+        x => x.getField("piece")), " ").as("input_s"))
+    val targetStr = marked.filter($"masked")
+      .select($"doc_id", $"pos", lit(1).as("ord"), $"tok".as("piece"))
+      .unionByName(marked.filter($"run_start")
+        .select($"doc_id", $"pos", lit(0).as("ord"), sentinel.as("piece")))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"ord", $"piece"))),
+        x => x.getField("piece")), " ").as("target_s"))
+    marked.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"masked".cast("long")).as("n_masked"),
+        sum($"run_start".cast("long")).as("n_spans"))
+      .join(inputStr, Seq("doc_id"), "left")
+      .join(targetStr, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+        md5(coalesce($"input_s", lit(""))).as("input_md5"),
+        md5(coalesce($"target_s", lit(""))).as("target_md5"))
+      .orderBy($"doc_id")
+  }
+
   // q101: stratified sampling — per-language rates (en 20%, fr 50%, de
   // 80%, es 100%, zh dropped) in ONE stateless per-row filter: the domain
   // rebalancing move of a pretraining mix with no shuffle and no
@@ -428,6 +488,7 @@ object TrainingDataQueries {
     "q92_chunk_overlap" -> chunkOverlap _,
     "q93_repetition_filter" -> repetitionFilter _,
     "q94_domain_mix" -> domainMix _,
+    "q414_span_corruption" -> spanCorruption _,
     "q320_epoch_shuffle" -> epochShuffle _,
     "q63_hash_sample" -> hashSample _,
     "q101_stratified_sample" -> stratifiedSample _,
@@ -611,6 +672,49 @@ object TrainingDataQueries {
         |  len(list_filter(pt, t -> regexp_full_match(t, '\p{N}+'))) AS n_num,
         |  len(list_distinct(pt)) AS n_distinct
         |FROM pt ORDER BY doc_id""".stripMargin,
+    // q414: the denoising recompute — same md5-keyed span starts, the
+    // 3-token mask window, island sentinel numbering, and both
+    // assembled strings hashed
+    "q414_span_corruption" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |    unnest(toks) AS tok FROM t0),
+        |mk AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos AS VARCHAR)), 1, 6))::BIGINT % 20 = 0
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM tk),
+        |m2 AS (SELECT *, max(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked FROM mk),
+        |m3 AS (SELECT *, masked AND NOT coalesce(lag(masked) OVER
+        |    (PARTITION BY doc_id ORDER BY pos), FALSE) AS run_start FROM m2),
+        |m4 AS (SELECT *, CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) AS BIGINT) - 1 AS sid FROM m3),
+        |ip AS (
+        |  SELECT doc_id, pos, tok AS piece FROM m4 WHERE NOT masked
+        |  UNION ALL
+        |  SELECT doc_id, pos, '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+        |  FROM m4 WHERE run_start),
+        |istr AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_s
+        |  FROM ip GROUP BY doc_id),
+        |tp AS (
+        |  SELECT doc_id, pos, 1 AS ord, tok AS piece FROM m4 WHERE masked
+        |  UNION ALL
+        |  SELECT doc_id, pos, 0, '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+        |  FROM m4 WHERE run_start),
+        |tstr AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, ord) AS target_s
+        |  FROM tp GROUP BY doc_id),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |    CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM m4 GROUP BY doc_id)
+        |SELECT s.doc_id, n_tokens, n_masked, n_spans,
+        |  md5(coalesce(input_s, '')) AS input_md5,
+        |  md5(coalesce(target_s, '')) AS target_md5
+        |FROM st s LEFT JOIN istr USING (doc_id) LEFT JOIN tstr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q320_epoch_shuffle" ->
       """WITH e AS (SELECT d.doc_id, CAST(t.e AS INT) AS epoch,
         |    md5(CAST(t.e AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS sk

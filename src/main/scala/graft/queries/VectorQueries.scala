@@ -1405,6 +1405,9 @@ object VectorQueries {
     // variable — the versioned sidecar is the handoff between the
     // scheduled retrainer and the always-on maintainer
     val ckm2 = readCentroids(2)
+    require(ckm2 != readCentroids(1),
+      "q410: the retrain must actually move the centroids (the drifted " +
+        "corpus changed the Lloyd update's inputs)")
     idx = assign(rq, ckm2).localCheckpoint()
     // ---- (5) maintenance RESUMES under cv=2: ingest + GDPR erasure
     ManifestTable.commit(emb.filter($"vec_id" % 10 === 9), out, append = true) // v4

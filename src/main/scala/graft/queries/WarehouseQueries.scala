@@ -1957,6 +1957,76 @@ object WarehouseQueries {
     hist.orderBy($"k", $"valid_from", $"valid_to")
   }
 
+  // q413: MAINTENANCE-TRANSPARENT REPLICATION (r13) — the composition
+  // proof the round's marker work buys: a replica keeps syncing while
+  // the source runs its FULL maintenance loop. Source history: a big
+  // commit, a keyed merge, clone, two tiny appends, two position-delete
+  // rounds, `rewrite_deletes`, a delete-tolerant binpack, one more
+  // append. The tracked sync replays the feed version by version; the
+  // two maintenance commits are dataChange=false rewrites, so they
+  // contribute ZERO events and ZERO clone commits (require-pinned: the
+  // clone head grows by exactly the number of ROW-LEVEL source
+  // versions) — before r13's marker fix, ONE rewrite_deletes would have
+  // made every spanning feed refuse and stranded all replicas. Clone ≡
+  // source head require-pinned both exceptAll directions; the gate
+  // output aggregates the REPLICA (the oracle recomputes the final
+  // content relationally, so a mis-replayed delete, a phantom event
+  // from a rewrite, or a lost re-insert all move the hash). At 100 TB:
+  // each nightly sync moves O(day's rows); maintenance cadence and
+  // replication cadence stay fully decoupled — the property production
+  // replication actually needs.
+  def maintenanceSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q413_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    val (src, dst) = (s"$out/src", s"$out/replica")
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    ManifestTable.commit(rows.filter($"k" % 10 < 8).repartition(2),
+      src, append = false)                                              // v1 big
+    ManifestTable.merge(rows.filter($"k" % 10 < 8 && $"k" % 7 === 0)
+      .select($"k", $"pri", ($"k" * 5).as("cents")), src, "k")          // v2 keyed update
+    ManifestTable.cloneTable(s, src, dst)
+    ManifestTable.commit(rows.filter($"k" % 100 === 8).coalesce(1),
+      src, append = true)                                               // v3 tiny
+    ManifestTable.commit(rows.filter($"k" % 100 === 18).coalesce(1),
+      src, append = true)                                               // v4 tiny
+    ManifestTable.deleteWhere(s, src, $"k" % 13 === 0)                  // v5 pos-delete
+    ManifestTable.deleteWhere(s, src, $"k" % 17 === 0)                  // v6 pos-delete
+    // the maintenance loop: fold delete files, bin-pack the stragglers
+    val (pb, pa) = ManifestTable.rewriteDeletes(s, src)                 // v7 rewrite
+    require(pb >= 2 && pa == 1, s"q413: expected delete-file fold, got ($pb, $pa)")
+    val bigMin = ManifestTable.filesTable(s, src)
+      .filter($"seq" === 1).select($"path").as[String].collect()
+      .map(p => new java.io.File(p).length()).min
+    val v8 = ManifestTable.compactSmall(s, src, bigMin / 2)             // v8 binpack
+    require(v8 == 8, s"q413: binpack must commit v8, got v$v8")
+    ManifestTable.commit(rows.filter($"k" % 100 === 28).coalesce(1),
+      src, append = true)                                               // v9 append
+    // the replica syncs ONCE across the whole span — row-level versions
+    // replay, maintenance versions contribute nothing
+    val dstPre = ManifestTable.currentVersion(dst)
+    ManifestTable.syncCloneTracked(s, dst, "k")
+    val dstPost = ManifestTable.currentVersion(dst)
+    // v3, v4, v9 insert; v5, v6 delete; v7, v8 NOTHING → exactly 5
+    require(dstPost - dstPre == 5,
+      s"q413: 5 row-level versions must replay as 5 clone commits " +
+        s"(maintenance must contribute zero), got ${dstPost - dstPre}")
+    val a = ManifestTable.read(s, src)
+    val b = ManifestTable.read(s, dst)
+    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "q413: the replica must equal the source head across maintenance")
+    b.groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3897,6 +3967,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q413_maintenance_sync" -> maintenanceSync _,
     "q412_scd2_keyed" -> scd2Keyed _,
     "q409_cdf_scd2" -> cdfScd2 _,
     "q375_sql_ctas_views" -> sqlCtasViews _,
@@ -3982,6 +4053,26 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q413: the oracle recomputes the REPLICA's final content — the
+    // keyed merge's payloads (k%7 rows re-priced, only for rows present
+    // at merge time, i.e. k%10<8), both position-delete rounds, and the
+    // post-delete append surviving untouched — so a mis-replayed
+    // delete, a phantom rewrite event, or a lost re-insert moves a
+    // count or a sum
+    "q413_maintenance_sync" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |f AS (
+        |  SELECT k, pri, CASE WHEN k % 7 = 0 THEN k * 5 ELSE k * 2 END AS cents
+        |  FROM src WHERE k % 10 < 8 AND k % 13 <> 0 AND k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k, pri, k * 2 FROM src
+        |  WHERE k % 100 IN (8, 18) AND k % 13 <> 0 AND k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k, pri, k * 2 FROM src WHERE k % 100 = 28)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q412: the same interval algebra as q409's oracle, over the split
     // open/closed state's history — update moduli differ, the delete
     // horizon closes at v4, and the v5 RE-INSERT opens a second interval

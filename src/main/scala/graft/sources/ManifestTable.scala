@@ -1681,6 +1681,76 @@ object ManifestTable {
         newFiles.map(f => dataLine(f))))
   }
 
+  /** [[compactSmall]] for a BUCKET-PARTITIONED table (r13, handoff #2):
+    * the plain verb refuses there because a cross-bucket merge cannot
+    * carry the metadata-only `_ptn_bucket_*` tags; this one merges the
+    * small subset PER BUCKET — the merged rows re-route through the same
+    * pmod the clustered write used (recomputed from the key column, so
+    * even an untagged straggler file lands right), each output file owns
+    * exactly one bucket and re-enters the manifest WITH its tag — the
+    * key-grouped scan keeps reporting its partitioning and
+    * storage-partitioned joins survive binpack (Iceberg's binpack
+    * preserves partitioning the same way). Delete handling, schema
+    * handling, the dataChange=false marker, and the no-op contract are
+    * [[compactSmall]]'s; the caller supplies the declared bucket spec
+    * (the SQL procedure reads it from `_partition.bucket`). */
+  def compactSmallBucketed(spark: SparkSession, dir: String,
+                           bucketCol: String, nBuckets: Int, smallBytes: Long,
+                           tableSchema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val cur = currentVersion(dir)
+    require(cur > 0, s"compactSmallBucketed: no committed version under $dir")
+    require(smallBytes > 0 && nBuckets > 0,
+      "compactSmallBucketed: thresholds must be positive")
+    val lines = manifestFiles(dir, cur)
+    val entries = lines.map(parseEntry)
+    val (small, _) = entries.filter(_.isData).partition { e =>
+      val f = new java.io.File(e.path); f.exists() && f.length() < smallBytes
+    }
+    if (small.size < 2) return cur
+    val smallPaths = small.map(_.path).toSet
+    val delEntries = entries.filterNot(_.isData)
+    val v = cur + 1
+    val dataDir = s"$dir/data/commit-$v"
+    // MoR view of the small subset, re-routed by the declared bucket
+    // function (pmod formula = GraftBucketFunction.bucketOf for longs)
+    assemble(spark, small ++ delEntries, dir, withMeta = false,
+        tableSchema = tableSchema)
+      .withColumn("_b",
+        pmod(pmod(col(bucketCol), lit(nBuckets.toLong)) + nBuckets,
+          lit(nBuckets.toLong)))
+      .repartition(nBuckets, col("_b"))
+      .write.partitionBy("_b").mode("overwrite").parquet(s"$dataDir/staged")
+    // hoist each file out of its _b= dir with a bucket-prefixed name and
+    // its SPJ tag (flat bucket-tagged files are the bucketed write's own
+    // shape; partition-dir layouts confuse downstream path handling)
+    val tagged = Option(new java.io.File(s"$dataDir/staged").listFiles()).toSeq
+      .flatten.filter(d => d.isDirectory && d.getName.startsWith("_b="))
+      .flatMap { d =>
+        val b = d.getName.stripPrefix("_b=").toInt
+        Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .filterNot(f => fileStats(f.getAbsolutePath)
+            .get("__rows").exists(_._1 == 0))
+          .map { f =>
+            val target = Paths.get(dataDir, s"b$b-${f.getName}")
+            Files.move(f.toPath, target)
+            target.toAbsolutePath.toString ->
+              Map(s"_ptn_bucket_$bucketCol" -> (b.toDouble, b.toDouble))
+          }
+      }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(): Unit }
+    rmTree(new java.io.File(s"$dataDir/staged"))
+    val carried = lines.filter { l =>
+      val e = parseEntry(l)
+      !(e.isData && smallPaths.contains(e.path))
+    }
+    markRewrite(dir, claimManifest(dir, v,
+      reconcilePosDeletes(dir, v, carried, smallPaths) ++
+        tagged.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }))
+  }
+
   /** CLUSTERED compaction: rewrite the snapshot range-partitioned + sorted
     * on `cols`, so each output file owns a narrow value range and the
     * manifest's min/max stats (q315) actually prune. Plain [[compact]]

@@ -226,9 +226,19 @@ private[v2] object GraftProcedures {
           // into the rewritten rows (ADVICE r12 high)
           val tName = args.getUTF8String(0).toString
           val dir = tableDir(tName)
-          val v = ManifestTable.compactSmall(SparkSession.active,
-            dir, args.getLong(1),
-            tableSchema = Some(physicalSchemaOf(tName, dir)))
+          val sch = Some(physicalSchemaOf(tName, dir))
+          val bucketFile = java.nio.file.Paths.get(dir, "_partition.bucket")
+          val v =
+            if (java.nio.file.Files.exists(bucketFile)) {
+              // bucket-partitioned tables bin-pack PER BUCKET and re-tag
+              // every merged file, so storage-partitioned joins survive
+              // (the library-level verb refuses the cross-bucket merge)
+              val ls = new String(java.nio.file.Files.readAllBytes(bucketFile),
+                "UTF-8").split('\n').map(_.trim)
+              ManifestTable.compactSmallBucketed(SparkSession.active, dir,
+                ls(0), ls(1).toInt, args.getLong(1), tableSchema = sch)
+            } else ManifestTable.compactSmall(SparkSession.active,
+              dir, args.getLong(1), tableSchema = sch)
           Seq(row(v.toLong))
         })
       case "cherry_pick" => proc("cherry_pick",

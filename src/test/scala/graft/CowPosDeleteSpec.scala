@@ -308,4 +308,54 @@ class CowPosDeleteSpec extends SparkSpec {
     val expect = (21L to 200L).map(k => if (k % 2 == 0) k + 1 else k).sum
     assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t4").head.getLong(0) == expect)
   }
+
+  test("CALL binpack on a bucketed table merges per bucket, re-tags, keeps content + feed silence (r13)") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE TABLE gcpd.ns.t9 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    (1L to 400L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("cpd_src9")
+    spark.sql("INSERT INTO gcpd.ns.t9 SELECT * FROM cpd_src9")           // v1: 4 big bucket files
+    spark.sql("INSERT INTO gcpd.ns.t9 VALUES (1001, 1), (1002, 2)")      // v2: tiny
+    spark.sql("INSERT INTO gcpd.ns.t9 VALUES (1003, 3), (1004, 4)")      // v3: tiny
+    val dir = s"$wh/ns/t9"
+    val bigPaths = ManifestTable.filesTable(spark, dir)
+      .filter(col("seq") === 1).select(col("path")).as[String].collect().toSet
+    val smallBytes = bigPaths.map(p => new java.io.File(p).length()).min / 2
+    val preV = ManifestTable.currentVersion(dir)
+    val preSum = spark.sql("SELECT sum(v), count(*) FROM gcpd.ns.t9").head
+    // the library-level verb still refuses the cross-bucket merge…
+    intercept[IllegalArgumentException] {
+      ManifestTable.compactSmall(spark, dir, smallBytes)
+    }
+    // …but the SQL procedure routes per bucket
+    val bv = spark.sql(s"CALL gcpd.system.binpack('ns.t9', ${smallBytes}L)")
+      .head.getLong(0)
+    assert(bv == preV + 1)
+    val es = ManifestTable.sqlEntriesAt(dir, bv.toInt)
+    assert(es.filter(_.isData).forall(_.stats.contains("_ptn_bucket_k")),
+      "every post-binpack data file must carry its SPJ bucket tag")
+    val after = ManifestTable.filesTable(spark, dir)
+    assert(after.filter(col("path").isin(bigPaths.toSeq: _*)).count() == 4,
+      "big bucket files must carry verbatim")
+    assert(after.count() <= 4 + 4,
+      s"small files must merge to at most one per bucket, got ${after.count()}")
+    assert(spark.sql("SELECT sum(v), count(*) FROM gcpd.ns.t9").head == preSum,
+      "per-bucket binpack must not change table content")
+    assert(ManifestTable.changeFeed(spark, dir, preV, bv.toInt).isEmpty,
+      "per-bucket binpack must be feed-invisible")
+    // a delete-carrying round: the MoR merge materializes the delete and
+    // the merged outputs stay tagged
+    ManifestTable.deleteWhere(spark, dir, col("k") === 1001L)
+    spark.sql("INSERT INTO gcpd.ns.t9 VALUES (1005, 5), (1006, 6)")
+    val pre2 = ManifestTable.currentVersion(dir)
+    val bv2 = spark.sql(s"CALL gcpd.system.binpack('ns.t9', ${smallBytes}L)")
+      .head.getLong(0)
+    assert(bv2 == pre2 + 1)
+    assert(ManifestTable.sqlEntriesAt(dir, bv2.toInt)
+      .filter(_.isData).forall(_.stats.contains("_ptn_bucket_k")))
+    assert(spark.sql("SELECT count(*) FROM gcpd.ns.t9 WHERE k = 1001")
+      .head.getLong(0) == 0L, "the deleted row must stay deleted across the merge")
+    assert(spark.sql("SELECT sum(v) FROM gcpd.ns.t9").head.getLong(0) ==
+      (1L to 400L).sum + (2 + 3 + 4 + 5 + 6))
+  }
 }

@@ -260,6 +260,24 @@ class EvolutionPropertySpec extends SparkSpec {
         assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
           s"step $step: clone must read identically to its source")
       }
+      // every 16 steps (offset 8): CALL binpack at an everything-is-small
+      // threshold — the r13 DELETE-TOLERANT small-file merge must
+      // preserve content under whatever evolution state the interleaving
+      // produced (ALTER-added defaults, renames, drops, outstanding
+      // deletes of both kinds). Fixed step, no rnd draws — committed
+      // seeds' sequences untouched; checkAgainstModel re-verifies the
+      // whole table after the rewrite.
+      if (step % 16 == 8 && rows.nonEmpty &&
+          graft.sources.ManifestTable.currentVersion(dir) > 0) {
+        val sizes = graft.sources.ManifestTable.filesTable(spark, dir)
+          .select("path").collect()
+          .map(r => new java.io.File(r.getString(0)).length())
+        if (sizes.length >= 2) {
+          sqlL(s"CALL gevo.system.binpack('ns.evo$seed', ${sizes.max + 1}L)")
+            .collect(): Unit
+          checkAgainstModel(step)
+        }
+      }
       posOutstanding = {
         val v = graft.sources.ManifestTable.currentVersion(dir)
         v > 0 && graft.sources.ManifestTable.sqlEntriesAt(dir, v)
