@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: the native distributed prefix scan
     // (custom LogicalPlan + Strategy + SparkPlan, graft.plans.PrefixScan)
     e.injectPlannerStrategy(_ => graft.plans.PrefixScanStrategy)
+    // materialized-view automatic rewrite: post-hoc resolution (the plan
+    // is fully resolved, filters not yet pushed into scans), exact-match
+    // + version-fresh only (graft.sources.v2.GraftMaterializedViews)
+    e.injectPostHocResolutionRule(s => graft.sources.v2.GraftMvRewriteRule(s))
   }
 }

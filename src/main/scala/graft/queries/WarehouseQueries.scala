@@ -2027,6 +2027,148 @@ object WarehouseQueries {
       .orderBy($"pri")
   }
 
+  // q415: CDC-OUT TO A SERVING DATABASE (r13) — the reference's whole
+  // pipeline ends in Postgres (spark_streaming.py:73-87: read the FULL
+  // existing table, anti-join one key, append); this face is its
+  // lake-native successor: the warehouse table IS the replayable stream
+  // and the serving DB follows it by key through `JdbcIO.syncFromFeed` —
+  // per source version, feed deletes apply as distributed
+  // prepared-statement batches, feed inserts land through the J1
+  // idempotent anti-join against the sink's PRUNED key scan (never the
+  // full table — the reference's exact scale bug, fixed). Require-pinned:
+  // a full REPLAY of the already-applied feed changes nothing (crash
+  // recovery = re-run, no offset bookkeeping beyond the source version),
+  // and the sink equals the source head row-for-row (both exceptAll
+  // directions) across an update (keyed merge), a GDPR equality delete,
+  // and a post-delete append whose re-used keys must survive. The gate
+  // output aggregates the JDBC TABLE READ BACK (embedded Derby here —
+  // the same engine the reference's psycopg2 DDL targets in production
+  // is one URL away); the oracle recomputes the final serving state
+  // relationally. At 100 TB: each sync moves O(day's rows) + one pruned
+  // key scan (partitionable via readKeys), and table maintenance
+  // (compact/binpack/rewrite_deletes) never disturbs the serving DB —
+  // rewrite commits are feed-invisible.
+  def cdcJdbc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q415_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.{JdbcIO, ManifestTable}
+    val src = s"$out/src"
+    val url = s"jdbc:derby:memory:q415_${ProcessHandle.current().pid()}_${System.nanoTime()};create=true"
+    val props = JdbcIO.props("u", "p",
+      driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      // PRIMARY KEY on the replication key is load-bearing, not
+      // decoration: the CDC deletes are per-key prepared-statement
+      // batches, and without an index each DELETE full-scans the sink —
+      // O(|deletes| × |sink|) row touches (measured: a 12k-delete replay
+      // into a 120k-row heap table serialized for 20+ minutes; with the
+      // index it is seconds). Any real serving table is keyed anyway.
+      try st.execute(
+        "CREATE TABLE sink (k BIGINT PRIMARY KEY, pri VARCHAR(32), cents BIGINT)")
+      finally st.close()
+    } finally conn.close()
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    ManifestTable.commit(rows.filter($"k" % 10 < 8), src, append = false)  // v1
+    ManifestTable.merge(rows.filter($"k" % 10 < 8 && $"k" % 7 === 0)
+      .select($"k", $"pri", ($"k" * 5).as("cents")), src, "k")             // v2 update
+    ManifestTable.delete(rows.filter($"k" % 11 === 0).select($"k"),
+      src, "k")                                                            // v3 GDPR
+    ManifestTable.commit(rows.filter($"k" % 10 === 8), src, append = true) // v4 append
+    // initial load = the v1 snapshot; CDC replay carries the rest
+    JdbcIO.append(ManifestTable.read(s, src, 1), url, "sink", props)
+    val head = JdbcIO.syncFromFeed(s, src, url, "sink", "k", props,
+      fromVersion = 1)
+    require(head == 4, s"q415: sync must replay to the source head, got v$head")
+    // idempotency: a FULL second replay of the applied feed is a no-op
+    JdbcIO.syncFromFeed(s, src, url, "sink", "k", props, fromVersion = 1)
+    val sink = JdbcIO.readTable(s, url, "sink", props)
+      .toDF("k", "pri", "cents").select($"k", $"pri", $"cents")
+      .localCheckpoint()
+    val srcHead = ManifestTable.read(s, src).select($"k", $"pri", $"cents")
+    require(sink.exceptAll(srcHead).isEmpty && srcHead.exceptAll(sink).isEmpty,
+      "q415: the serving table must equal the source head after replay " +
+        "(and stay equal after a duplicate replay)")
+    sink.groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
+      .orderBy($"pri")
+  }
+
+  // q416: MATERIALIZED-VIEW AUTOMATIC REWRITE (r13) — the engine-level
+  // extension (injectPostHocResolutionRule) that serves a user's
+  // UNCHANGED aggregate SQL from a precomputed manifest table when, and
+  // only when, it is exact-match AND version-fresh. The lakehouse makes
+  // staleness EXACT: registration records each dependency's manifest
+  // version; the rule consults the current version (O(1)) and fails
+  // CLOSED the moment the base advances — require-pinned here by the
+  // complete lifecycle: (1) the definition query re-run verbatim is
+  // served from the MV (hit counter + the MV path in the executed plan);
+  // (2) a base INSERT makes the SAME query compute the NEW answer from
+  // base (no stale serve — the bug class that makes teams distrust MV
+  // systems); (3) refresh re-materializes and the query serves again,
+  // row-identical to the from-base answer. The gate output is the final
+  // served result; the oracle recomputes the aggregate over both
+  // batches, so a stale serve or a mis-mapped rewrite projection moves
+  // the hash. At 100 TB: the dashboard query that re-aggregated the
+  // fact table every morning becomes a scan of |groups| rows, and the
+  // version check costs one directory listing.
+  def mvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q416_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat416", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat416.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q416_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat416.db.base")
+    s.sql("CREATE TABLE graft_cat416.db.base (pri STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat416.db.base " +
+      "SELECT pri, cents FROM q416_src WHERE k % 10 < 8")
+    val defSql = "SELECT pri, count(*) AS n_rows, sum(cents) AS total_cents " +
+      "FROM graft_cat416.db.base GROUP BY pri"
+    GraftMaterializedViews.register(s, "q416_mv", defSql,
+      s"$out/db/_mv_pri", deps = Seq(s"$out/db/base"))
+    val h0 = GraftMaterializedViews.hits("q416_mv")
+    // (1) the verbatim query is served from the MV
+    val q1 = s.sql(defSql + " ORDER BY pri")
+    q1.collect(): Unit
+    require(GraftMaterializedViews.hits("q416_mv") == h0 + 1,
+      "q416: the exact-match query must be served from the MV")
+    require(q1.queryExecution.executedPlan.toString.contains("_mv_pri"),
+      "q416: the executed plan must scan the MV table")
+    // (2) staleness fails CLOSED: after a base commit the same query
+    // computes the new answer from base
+    s.sql("INSERT INTO graft_cat416.db.base " +
+      "SELECT pri, cents FROM q416_src WHERE k % 10 = 8")
+    val q2 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q416_mv") == h0 + 1,
+      "q416: a stale MV must never be served")
+    // (3) refresh re-arms; the served answer is row-identical to base's
+    GraftMaterializedViews.refresh(s, "q416_mv")
+    val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q416_mv") == h0 + 2,
+      "q416: the refreshed MV must serve again")
+    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "q416: the MV-served answer must equal the from-base answer")
+    GraftMaterializedViews.drop("q416_mv")
+    q3.orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -3967,6 +4109,8 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q416_mv_rewrite" -> mvRewrite _,
+    "q415_cdc_jdbc" -> cdcJdbc _,
     "q413_maintenance_sync" -> maintenanceSync _,
     "q412_scd2_keyed" -> scd2Keyed _,
     "q409_cdf_scd2" -> cdfScd2 _,
@@ -4053,6 +4197,31 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q416: the oracle recomputes the aggregate over BOTH batches — a
+    // stale MV serve (missing the k%10=8 batch) or a mis-projected
+    // rewrite moves counts/sums
+    "q416_mv_rewrite" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k * 2) AS BIGINT) AS total_cents
+        |FROM src WHERE k % 10 < 9
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+    // q415: the oracle recomputes the SERVING DATABASE's final state —
+    // v1 load, the k%7 repricing (scoped to rows present at merge time),
+    // the k%11 erasure (sequence-scoped: the post-delete k%10=8 append
+    // survives, re-used keys included), aggregated per priority
+    "q415_cdc_jdbc" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |f AS (
+        |  SELECT k, pri, CASE WHEN k % 7 = 0 THEN k * 5 ELSE k * 2 END AS cents
+        |  FROM src WHERE k % 10 < 8 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k, pri, k * 2 FROM src WHERE k % 10 = 8)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q413: the oracle recomputes the REPLICA's final content — the
     // keyed merge's payloads (k%7 rows re-priced, only for rows present
     // at merge time, i.e. k%10<8), both position-delete rounds, and the

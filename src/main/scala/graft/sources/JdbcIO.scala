@@ -74,6 +74,77 @@ object JdbcIO {
   def append(df: DataFrame, url: String, table: String, properties: Properties): Unit =
     df.write.mode("append").jdbc(url, table, properties)
 
+  /** Row-level DELETE by key, executed distributed: each partition opens
+    * one connection and runs a single prepared-statement batch. The
+    * delete half of the CDC-out path — Spark's JDBC writer has no
+    * delete mode, and collecting keys to the driver would bound the verb
+    * at driver memory. */
+  def deleteKeys(keys: DataFrame, url: String, table: String, key: String,
+                 properties: Properties): Unit = {
+    keys.select(key).distinct().foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url, properties)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(s"DELETE FROM $table WHERE $key = ?")
+            try {
+              rows.foreach { r => ps.setObject(1, r.get(0)); ps.addBatch() }
+              ps.executeBatch()
+              conn.commit()
+            } finally ps.close()
+          } finally conn.close()
+        }
+    }
+  }
+
+  /** CDC-OUT (r13): replay a manifest table's change feed
+    * `(fromVersion, toVersion]` into a JDBC table — the lake-native
+    * successor of the reference's Kafka→Postgres hop: the WAREHOUSE
+    * TABLE is the replayable stream, and the serving database follows it
+    * by key. One source version at a time, deletes before inserts within
+    * a version (the keyed-merge commit shape carries both and its
+    * re-inserts must survive its own deletes); inserts are IDEMPOTENT by
+    * the J1 anti-join against the sink's pruned key scan, so a crashed
+    * or repeated sync re-applies safely — deletes of absent keys no-op,
+    * duplicate inserts anti-join away. Rewrite commits
+    * (compact/binpack/rewrite_deletes) contribute zero events by the
+    * feed's marker contract, so serving-DB sync and table maintenance
+    * stay decoupled. O(delta + sink key scan) per version — the sink's
+    * 100 TB-scale cousin partitions `readKeys`. The sink table MUST be
+    * indexed on `key` (PRIMARY KEY): the delete batches are per-key
+    * statements, and an unindexed sink turns each into a full table
+    * scan — O(|deletes| × |sink|) row touches. Returns the source head
+    * replayed to. */
+  def syncFromFeed(spark: SparkSession, srcDir: String, url: String,
+                   table: String, key: String, properties: Properties,
+                   fromVersion: Int, toVersion: Int = -1): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.sources.ManifestTable
+    val to = if (toVersion > 0) toVersion
+             else ManifestTable.currentVersion(srcDir)
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"syncFromFeed: fromVersion $fromVersion not in [1, $to]")
+    (fromVersion + 1 to to).foreach { v =>
+      val feed = ManifestTable.changeFeed(spark, srcDir, v - 1, v)
+      if (!feed.isEmpty) {
+        val dels = feed.filter(col("_change_type") === "delete")
+          .select(col(key)).distinct()
+        if (!dels.isEmpty) deleteKeys(dels, url, table, key, properties)
+        val ins = feed.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        if (!ins.isEmpty) {
+          val existing = readKeys(spark, url, table, key, properties)
+            .toDF("_sink_k")
+          val fresh = ins.join(broadcast(existing),
+            col(key) === col("_sink_k"), "left_anti")
+          if (!fresh.isEmpty) append(fresh, url, table, properties)
+        }
+      }
+    }
+    to
+  }
+
   /** D1: CREATE TABLE with all-text columns and a primary key, issued over
     * plain JDBC (the reference's psycopg2 DDL). `colType` defaults to
     * postgres `text`; embedded engines without it (e.g. Derby in tests)

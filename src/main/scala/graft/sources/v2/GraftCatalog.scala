@@ -920,6 +920,11 @@ class GraftSqlTable(ident: String, dir: String, version: Int)
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** The pinned snapshot version (-1 = current head) — part of a
+    * relation's IDENTITY for the materialized-view fingerprint: a
+    * `VERSION AS OF` read must never match a current-version definition. */
+  private[v2] def snapshotVersion: Int = version
+
   private def spark: SparkSession = SparkSession.active
 
   /** The pinned snapshot's manifest entries; empty table → no entries.

@@ -1,0 +1,161 @@
+package graft.sources.v2
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.ManifestTable
+
+/** MATERIALIZED VIEWS with automatic query rewrite (r13) — the engine
+  * feature that turns the repo's incremental-view faces (q100/q259) into
+  * something the USER's unchanged query benefits from: register a view
+  * once, and every query whose plan IS the view definition silently reads
+  * the precomputed table instead of re-aggregating the base — when, and
+  * only when, the materialization is FRESH.
+  *
+  * Contract (the honest scope production systems actually ship for
+  * automatic rewrite — BigQuery/Snowflake restrict theirs similarly):
+  *
+  *  - **exact-match rewrite**: a query subtree rewrites iff its
+  *    canonicalized ANALYZED plan equals the view definition's — same
+  *    aggregate, same grouping, same base relations at the same pinned
+  *    version. Containment rewrite (query ⊂ view) is out of scope; the
+  *    fingerprint (below) makes a near-miss fail CLOSED (no rewrite,
+  *    correct answer from base).
+  *  - **version-based staleness**: registration records each dependency
+  *    table's manifest version; the rule consults the CURRENT version at
+  *    rewrite time (an O(1) directory listing) and skips the view the
+  *    moment any dependency advances — a stale MV is never served, the
+  *    query computes from base, and `refresh` re-materializes +
+  *    re-records. This is the lakehouse advantage: versions make
+  *    staleness EXACT, not clock-based.
+  *  - **resolution-time substitution**: the rule runs post-hoc in the
+  *    analyzer (before any filter pushdown rewrites the tree), replacing
+  *    the matched subtree with a scan of the MV's manifest table behind a
+  *    Project that preserves the subtree's output attribute ids — parents
+  *    of the rewritten node never know.
+  *
+  * At 100 TB: the MV table is O(|groups|), the rewrite decision is
+  * O(plan nodes), and the dashboard query that re-aggregated the fact
+  * table every morning becomes a scan of a few thousand rows. Fingerprint
+  * includes the relation's PINNED version, so `VERSION AS OF` time-travel
+  * queries never false-match a current-version view definition.
+  */
+object GraftMaterializedViews {
+
+  final case class MvDef(name: String, defSql: String, mvDir: String,
+                         deps: Seq[(String, Int)], fingerprint: String,
+                         outputWidth: Int)
+
+  private val views = new ConcurrentHashMap[String, MvDef]()
+  private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Materialize `defSql` into the manifest table at `mvDir`, record the
+    * dependency versions, and arm the rewrite. `deps` = the manifest
+    * directories of every base table the definition reads (the staleness
+    * domain). Registration itself never rewrites: the view enters the
+    * registry only after the materialization lands. */
+  def register(spark: SparkSession, name: String, defSql: String,
+               mvDir: String, deps: Seq[String]): Unit = {
+    val df = spark.sql(defSql)
+    ManifestTable.commit(df, mvDir, append = false): Unit
+    val fp = fingerprint(df.queryExecution.analyzed)
+    views.put(name, MvDef(name, defSql, mvDir,
+      deps.map(d => d -> ManifestTable.currentVersion(d)), fp,
+      df.queryExecution.analyzed.output.length)): Unit
+    hitCounters.putIfAbsent(name, new AtomicLong(0L)): Unit
+  }
+
+  /** Re-materialize and re-record dependency versions. The definition
+    * query cannot self-serve from the stale MV: a refresh is only needed
+    * when a dependency advanced, which is exactly when the rule already
+    * refuses the rewrite. */
+  def refresh(spark: SparkSession, name: String): Unit = {
+    val v = Option(views.get(name)).getOrElse(
+      sys.error(s"GraftMaterializedViews.refresh: no view '$name'"))
+    register(spark, name, v.defSql, v.mvDir, v.deps.map(_._1))
+  }
+
+  def drop(name: String): Unit = { views.remove(name): Unit }
+
+  /** Rewrites served for `name` since registration (test/monitoring). */
+  def hits(name: String): Long =
+    Option(hitCounters.get(name)).map(_.get()).getOrElse(0L)
+
+  private[v2] def freshViews(): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    views.values().asScala.toSeq.filter(v =>
+      v.deps.forall { case (d, ver) => ManifestTable.currentVersion(d) == ver })
+  }
+
+  private[v2] def recordHit(name: String): Unit = {
+    Option(hitCounters.get(name)).foreach(_.incrementAndGet(): Unit)
+  }
+
+  /** Structural identity of an analyzed plan, safe across separately
+    * analyzed copies of the same query text: nodes + canonicalized
+    * expressions (exprIds normalized), with relations rendered as
+    * `identifier @ pinned-version : output schema` — two different
+    * tables, two different snapshots, or two different pushable filters
+    * all fingerprint apart (fail closed). */
+  private[v2] def fingerprint(plan: LogicalPlan): String = {
+    val sb = new StringBuilder
+    plan.canonicalized.foreach {
+      case r: DataSourceV2Relation =>
+        val id = r.identifier.map(_.toString).getOrElse(r.name)
+        val ver = r.table match {
+          case t: GraftSqlTable => t.snapshotVersion.toString
+          case _ => "?"
+        }
+        sb.append(s"rel[$id@$ver:")
+          .append(r.output.map(a => a.name + ":" + a.dataType.catalogString)
+            .mkString(","))
+          .append("];"): Unit
+      case other =>
+        sb.append(other.nodeName).append('[')
+          .append(other.expressions.map(_.toString).mkString("|"))
+          .append("];"): Unit
+    }
+    sb.toString
+  }
+}
+
+/** The rewrite rule — injected post-hoc in the analyzer (after
+  * resolution, before the optimizer moves filters into scans), once per
+  * query. Matching is bottom-up; a substituted subtree is a plain scan
+  * and cannot re-match, so the rule is idempotent by construction. */
+case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftMaterializedViews._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!plan.resolved) return plan
+    val fresh = freshViews()
+    if (fresh.isEmpty) return plan
+    plan.transformUp {
+      case p if p.resolved && p.output.nonEmpty =>
+        fresh.find(v => v.outputWidth == p.output.length &&
+            v.fingerprint == fingerprint(p)) match {
+          case Some(v) =>
+            // a fresh scan per substitution: new attribute ids every
+            // time, so the same view serving twice in one query never
+            // collides
+            val mv = ManifestTable.read(spark, v.mvDir)
+              .queryExecution.analyzed
+            require(mv.output.length == p.output.length,
+              s"materialized view '${v.name}': stored table width " +
+                s"${mv.output.length} != definition width ${p.output.length}")
+            recordHit(v.name)
+            // preserve the subtree's output attribute ids — parents of
+            // the rewritten node keep resolving against them
+            Project(p.output.zip(mv.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId) }, mv)
+          case None => p
+        }
+    }
+  }
+}

@@ -136,7 +136,8 @@ class GraftTrackedScan(ident: String, spark: SparkSession,
       s"GraftCatalog streaming read: unsupported column types " +
         s"${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")} " +
         "(the streaming reader carries long/int/double/boolean/string)")
-    new ManifestMicroBatchStream(d, required, startVersion)
+    new ManifestMicroBatchStream(d, required, startVersion,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1))
   }
 
   protected def applyRuntimePredicates(predicates: Array[Predicate]): Unit = {

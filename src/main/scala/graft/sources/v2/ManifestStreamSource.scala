@@ -79,7 +79,8 @@ class ManifestStreamTable(readSchema: StructType, props: Map[String, String])
         override def readSchema(): StructType = ManifestStreamTable.this.readSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(dir, ManifestStreamTable.this.readSchema,
-            props.getOrElse("startVersion", "0").toInt)
+            props.getOrElse("startVersion", "0").toInt,
+            props.getOrElse("maxVersionsPerTrigger", "1").toInt)
       }
     }
 }
@@ -89,9 +90,13 @@ final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
-class ManifestMicroBatchStream(dir: String, schema: StructType, startVersion: Int)
+class ManifestMicroBatchStream(dir: String, schema: StructType, startVersion: Int,
+                               maxVersionsPerTrigger: Int = 1)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger >= 1,
+    s"graft-manifest-stream: maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
   // AvailableNow pins the end bound at trigger start so the run terminates
   // even if writers keep committing; -1 = unbounded (continuous trigger)
@@ -107,12 +112,21 @@ class ManifestMicroBatchStream(dir: String, schema: StructType, startVersion: In
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** One commit per micro-batch: advance a single version, capped at the
-    * trigger-start bound under AvailableNow. */
+  /** One commit per micro-batch by default: advance a single version,
+    * capped at the trigger-start bound under AvailableNow.
+    * `maxVersionsPerTrigger > 1` is the CATCH-UP knob (r13): a consumer
+    * resuming behind 100 commits coalesces up to N pending APPEND
+    * versions into one batch instead of paying 100 trigger fixed costs —
+    * the append-only planner (addedDataFiles) makes a multi-version
+    * batch exactly the union of the versions' deltas, so exactly-once
+    * and O(delta) planning hold unchanged; once caught up, batches fall
+    * back to per-commit grain naturally (Delta's own
+    * maxFilesPerTrigger/maxBytesPerTrigger shape, at version grain). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = ManifestTable.currentVersion(dir)
     val cap = if (availableEnd >= 0) math.min(availableEnd, cur) else cur
-    VersionOffset(math.min(start.asInstanceOf[VersionOffset].v + 1, cap))
+    VersionOffset(
+      math.min(start.asInstanceOf[VersionOffset].v + maxVersionsPerTrigger, cap))
   }
 
   override def reportLatestOffset(): Offset =

@@ -94,4 +94,38 @@ class JdbcSpec extends SparkSpec {
     assert(keys.count() == 0)
     assert(keys.rdd.getNumPartitions == 1)
   }
+
+  test("syncFromFeed replays merge/delete/append into JDBC; duplicate replay is a no-op (r13)") {
+    import graft.sources.ManifestTable
+    val table = "cdc_sink"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (k BIGINT PRIMARY KEY, v BIGINT)")
+      st.close()
+    } finally conn.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcout").toString + "/t"
+    ManifestTable.commit((1L to 20L).map(k => (k, k * 2)).toDF("k", "v"),
+      dir, append = false)                                                // v1
+    ManifestTable.merge(Seq((4L, 400L), (8L, 800L)).toDF("k", "v"),
+      dir, "k")                                                           // v2 update
+    ManifestTable.delete(Seq(5L, 10L).toDF("k"), dir, "k")                // v3 delete
+    ManifestTable.commit(Seq((5L, 555L), (21L, 42L)).toDF("k", "v"),
+      dir, append = true)                                                 // v4: re-used key + new
+    JdbcIO.append(ManifestTable.read(spark, dir, 1), url, table, props)
+    assert(JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 1) == 4)
+    def sinkMap() = JdbcIO.readTable(spark, url, table, props)
+      .toDF("k", "v").as[(Long, Long)].collect().toMap
+    val expect = ((1L to 20L).map(k => k -> k * 2).toMap
+      ++ Map(4L -> 400L, 8L -> 800L) -- Seq(5L, 10L)
+      ++ Map(5L -> 555L, 21L -> 42L))
+    assert(sinkMap() == expect)
+    // crash recovery = re-run: the full replay must change nothing
+    JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 1)
+    assert(sinkMap() == expect)
+    // an incremental follow-up replays only the new commit
+    ManifestTable.commit(Seq((22L, 44L)).toDF("k", "v"), dir, append = true)
+    JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 4)
+    assert(sinkMap() == expect + (22L -> 44L))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+import graft.sources.v2.GraftMaterializedViews
+
+/** The materialized-view rewrite contract (r13): exact-match + fresh →
+  * the user's unchanged SQL silently reads the MV table; ANY dependency
+  * commit makes the rule fail CLOSED (correct answer from base); refresh
+  * re-arms; near-miss queries never rewrite. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mv_wh").toString
+    spark.conf.set("spark.sql.catalog.gmvs", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvs.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmvs.ns")
+    d
+  }
+
+  test("exact-match rewrite serves the MV; staleness fails closed; refresh re-arms") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.base (grp STRING, v BIGINT)")
+    Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("grp", "v")
+      .createOrReplaceTempView("mv_src1")
+    spark.sql("INSERT INTO gmvs.ns.base SELECT * FROM mv_src1")
+    val defSql =
+      "SELECT grp, count(*) AS n, sum(v) AS total FROM gmvs.ns.base GROUP BY grp"
+    val mvDir = s"$wh/ns/_mv_agg"
+    GraftMaterializedViews.register(spark, "mv_t1", defSql, mvDir,
+      deps = Seq(s"$wh/ns/base"))
+    val h0 = GraftMaterializedViews.hits("mv_t1")
+
+    // the UNCHANGED query rewrites to the MV scan
+    val q1 = spark.sql(defSql + " ORDER BY grp")
+    assert(q1.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 1,
+      "the exact-match query must be served from the MV")
+    assert(q1.queryExecution.executedPlan.toString.contains("_mv_agg"),
+      "the executed plan must scan the MV table")
+
+    // near-misses never rewrite: extra filter, different grouping
+    spark.sql(s"SELECT grp, count(*) AS n, sum(v) AS total FROM gmvs.ns.base " +
+      "WHERE v > 1 GROUP BY grp").collect()
+    spark.sql(s"SELECT count(*) AS n FROM gmvs.ns.base").collect()
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 1,
+      "near-miss queries must not be served from the MV")
+
+    // a dependency commit makes the view STALE: the rule fails closed and
+    // the query computes the CURRENT answer from base
+    spark.sql("INSERT INTO gmvs.ns.base VALUES ('b', 20)")
+    val q2 = spark.sql(defSql + " ORDER BY grp")
+    assert(q2.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L), ("b", 2L, 30L)),
+      "a stale MV must never be served — the base answer wins")
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 1)
+    assert(!q2.queryExecution.executedPlan.toString.contains("_mv_agg"))
+
+    // refresh re-materializes + re-records versions: rewrite re-arms
+    GraftMaterializedViews.refresh(spark, "mv_t1")
+    val q3 = spark.sql(defSql + " ORDER BY grp")
+    assert(q3.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L), ("b", 2L, 30L)))
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 2)
+    GraftMaterializedViews.drop("mv_t1")
+  }
+
+  test("time travel never false-matches; a second table with the same shape never collides") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t2 (grp STRING, v BIGINT)")
+    Seq(("x", 5L)).toDF("grp", "v").createOrReplaceTempView("mv_src2")
+    spark.sql("INSERT INTO gmvs.ns.t2 SELECT * FROM mv_src2")
+    val defSql = "SELECT grp, sum(v) AS total FROM gmvs.ns.t2 GROUP BY grp"
+    GraftMaterializedViews.register(spark, "mv_t2", defSql,
+      s"$wh/ns/_mv_t2", deps = Seq(s"$wh/ns/t2"))
+    val h0 = GraftMaterializedViews.hits("mv_t2")
+    // a VERSION AS OF query over the same table carries a PINNED version
+    // in its relation fingerprint — it must compute from the snapshot,
+    // never the MV
+    spark.sql("SELECT grp, sum(v) AS total FROM gmvs.ns.t2 VERSION AS OF 1 " +
+      "GROUP BY grp").collect()
+    assert(GraftMaterializedViews.hits("mv_t2") == h0,
+      "time-travel reads must never be served from a current-version MV")
+    // same shape, DIFFERENT table → different fingerprint → no rewrite
+    spark.sql("CREATE TABLE gmvs.ns.t3 (grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t3 VALUES ('x', 7)")
+    val other = spark.sql("SELECT grp, sum(v) AS total FROM gmvs.ns.t3 GROUP BY grp")
+    assert(other.as[(String, Long)].collect().toSeq == Seq(("x", 7L)))
+    assert(GraftMaterializedViews.hits("mv_t2") == h0)
+    // the exact definition still serves
+    assert(spark.sql(defSql).as[(String, Long)].collect().toSeq ==
+      Seq(("x", 5L)))
+    assert(GraftMaterializedViews.hits("mv_t2") == h0 + 1)
+    GraftMaterializedViews.drop("mv_t2")
+  }
+}
