@@ -2169,6 +2169,72 @@ object WarehouseQueries {
     q3.orderBy($"pri")
   }
 
+  // q417: INCREMENTAL MV REFRESH (r13) — q416's registry closed with
+  // the refresh shape a 100 TB base actually affords: `registerAgg`
+  // declares the distributive shape (group keys + count + sums), and
+  // `refreshIncremental` folds the base's CHANGE FEED since the
+  // recorded version into the stored |groups| rows — insert events add,
+  // delete events subtract, an update's delete+insert pair nets the
+  // difference — one full-outer join, groups reaching zero dropped,
+  // history never re-aggregated (the q100 partial-merge contract at
+  // engine level, now feeding the automatic rewrite). Lifecycle
+  // require-pinned: serve from the registered view; a keyed MERGE + a
+  // GDPR delete + an append make it stale (no serve, fresh answer from
+  // base); ONE incremental refresh re-arms the rewrite and the served
+  // answer is row-identical to the from-base recompute — a drifted
+  // counter (the IVM bug class), a missed delete event, or a surviving
+  // zero-count group all break the identity or the oracle hash. At
+  // 100 TB: refresh cost is O(day's rows + |groups|), rewrite decision
+  // O(plan), serve O(|groups|).
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q417_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat417", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat417.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    rows.createOrReplaceTempView("q417_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat417.db.base")
+    s.sql("CREATE TABLE graft_cat417.db.base (k BIGINT, pri STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat417.db.base " +
+      "SELECT k, pri, cents FROM q417_src WHERE k % 10 < 8")
+    val baseDir = s"$out/db/base"
+    val defSql = GraftMaterializedViews.registerAgg(s, "q417_mv",
+      "graft_cat417.db.base", baseDir, Seq("pri"), Seq("cents"),
+      s"$out/db/_mv_inc")
+    val h0 = GraftMaterializedViews.hits("q417_mv")
+    s.sql(defSql + " ORDER BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q417_mv") == h0 + 1,
+      "q417: the registered aggregate must serve from the MV")
+    // the base moves on: keyed update, GDPR erasure, fresh ingest
+    ManifestTable.merge(rows.filter($"k" % 10 < 8 && $"k" % 7 === 0)
+      .select($"k", $"pri", ($"k" * 5).as("cents")), baseDir, "k")
+    ManifestTable.delete(rows.filter($"k" % 11 === 0).select($"k"),
+      baseDir, "k")
+    ManifestTable.commit(rows.filter($"k" % 10 === 8), baseDir, append = true)
+    val q2 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q417_mv") == h0 + 1,
+      "q417: the stale MV must not serve")
+    // ONE incremental refresh: the feed folds into |groups| rows
+    GraftMaterializedViews.refreshIncremental(s, "q417_mv")
+    val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q417_mv") == h0 + 2,
+      "q417: the incrementally refreshed MV must serve again")
+    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "q417: the incrementally maintained groups must equal the " +
+        "from-base recompute (drifted-counter IVM bug class)")
+    GraftMaterializedViews.drop("q417_mv")
+    q3.orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -4109,6 +4175,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q417_mv_incremental" -> mvIncremental _,
     "q416_mv_rewrite" -> mvRewrite _,
     "q415_cdc_jdbc" -> cdcJdbc _,
     "q413_maintenance_sync" -> maintenanceSync _,
@@ -4197,6 +4264,21 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q417: the oracle recomputes the FINAL groups from scratch — the
+    // k%7 repricing (rows present at merge time), the k%11 erasure
+    // (post-delete appends survive), the k%10=8 ingest — so a drifted
+    // incremental counter or a missed feed event moves the hash
+    "q417_mv_incremental" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |f AS (
+        |  SELECT k, pri, CASE WHEN k % 7 = 0 THEN k * 5 ELSE k * 2 END AS cents
+        |  FROM src WHERE k % 10 < 8 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k, pri, k * 2 FROM src WHERE k % 10 = 8)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q416: the oracle recomputes the aggregate over BOTH batches — a
     // stale MV serve (missing the k%10=8 batch) or a mis-projected
     // rewrite moves counts/sums

@@ -48,9 +48,14 @@ import graft.sources.ManifestTable
   */
 object GraftMaterializedViews {
 
+  /** The incrementally-maintainable aggregate shape: group keys +
+    * count(*) + per-column sums over ONE base table. */
+  final case class AggShape(baseDir: String, groupCols: Seq[String],
+                            sumCols: Seq[String])
+
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
-                         outputWidth: Int)
+                         outputWidth: Int, aggShape: Option[AggShape] = None)
 
   private val views = new ConcurrentHashMap[String, MvDef]()
   private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
@@ -78,7 +83,76 @@ object GraftMaterializedViews {
   def refresh(spark: SparkSession, name: String): Unit = {
     val v = Option(views.get(name)).getOrElse(
       sys.error(s"GraftMaterializedViews.refresh: no view '$name'"))
+    val shape = v.aggShape
     register(spark, name, v.defSql, v.mvDir, v.deps.map(_._1))
+    shape.foreach { sh =>
+      views.computeIfPresent(name, (_, m) => m.copy(aggShape = Some(sh))): Unit
+    }
+  }
+
+  /** Register the INCREMENTALLY-maintainable shape — group keys +
+    * count(*) + sums over one base table (`baseSql` is the SQL
+    * identifier the user queries; `baseDir` its manifest directory).
+    * Distributive aggregates are the shape every production MV system
+    * maintains incrementally (the q100 partial-merge contract, here at
+    * engine level): [[refreshIncremental]] folds the base's change feed
+    * into the stored groups instead of re-aggregating history. Group
+    * keys must be non-null (the merge joins by key equality). Returns
+    * the definition SQL (exactly what the rewrite will match). */
+  def registerAgg(spark: SparkSession, name: String, baseSql: String,
+                  baseDir: String, groupCols: Seq[String],
+                  sumCols: Seq[String], mvDir: String): String = {
+    require(groupCols.nonEmpty, "registerAgg: no group columns")
+    val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
+      sumCols.map(c => s", sum($c) AS sum_$c").mkString +
+      s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
+    register(spark, name, defSql, mvDir, Seq(baseDir))
+    views.computeIfPresent(name, (_, m) =>
+      m.copy(aggShape = Some(AggShape(baseDir, groupCols, sumCols)))): Unit
+    defSql
+  }
+
+  /** Incremental refresh for [[registerAgg]] views: read ONLY the base's
+    * change feed since the recorded version (insert events add, delete
+    * events subtract — an update's delete+insert pair nets the
+    * difference), merge the delta partials into the stored |groups| rows
+    * with one full-outer join, drop groups whose count reaches zero, and
+    * overwrite the MV. O(|delta| + |groups|) — history is never
+    * re-aggregated, which is the only refresh shape that survives a
+    * 100 TB base with daily deltas. Rewrite commits in range contribute
+    * zero events (the feed's marker contract), so compaction on the base
+    * never forces a full recompute. Content is identical to [[refresh]]
+    * by the distributive-aggregate algebra — spec-pinned both
+    * exceptAll directions. */
+  def refreshIncremental(spark: SparkSession, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val v = Option(views.get(name)).getOrElse(
+      sys.error(s"GraftMaterializedViews.refreshIncremental: no view '$name'"))
+    val sh = v.aggShape.getOrElse(sys.error(
+      s"refreshIncremental: view '$name' was not registered with " +
+        "registerAgg (arbitrary definitions re-materialize with refresh)"))
+    val (dir, recorded) = v.deps.head
+    val head = ManifestTable.currentVersion(dir)
+    if (head == recorded) return
+    val feed = ManifestTable.changeFeed(spark, dir, recorded, head)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = feed.groupBy(sh.groupCols.map(col): _*)
+      .agg(sum(sign).as("_d_n"),
+        sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
+    val cur = ManifestTable.read(spark, v.mvDir)
+    val merged = cur.join(delta, sh.groupCols, "full_outer")
+      .select(sh.groupCols.map(col) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("_d_n"), lit(0L))).as("n_rows")) ++
+        sh.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+          coalesce(col(s"_d_$c"), lit(0L)))
+          // the stored column's own type — integer sums merge EXACTLY
+          // (the identity-to-recompute pin holds); float sums would
+          // differ by summation order, same as any distributive merge
+          .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0)
+    ManifestTable.commit(merged, v.mvDir, append = false): Unit
+    views.put(name, v.copy(deps = Seq(dir -> head))): Unit
   }
 
   def drop(name: String): Unit = { views.remove(name): Unit }

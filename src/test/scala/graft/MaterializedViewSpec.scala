@@ -67,6 +67,45 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t1")
   }
 
+  test("refreshIncremental folds the feed into the groups ≡ full recompute; zero-count groups drop") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t4 (k BIGINT, grp STRING, v BIGINT)")
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L))
+      .toDF("k", "grp", "v").createOrReplaceTempView("mv_src4")
+    spark.sql("INSERT INTO gmvs.ns.t4 SELECT * FROM mv_src4")
+    val baseDir = s"$wh/ns/t4"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_t4",
+      "gmvs.ns.t4", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_t4")
+    val h0 = GraftMaterializedViews.hits("mv_t4")
+    // mutate through every event shape: update (delete+insert pair),
+    // erasure of a whole group, fresh inserts
+    ManifestTable.merge(Seq((2L, "a", 200L)).toDF("k", "grp", "v"),
+      baseDir, "k")                                   // a: 20 -> 200
+    ManifestTable.delete(Seq(4L).toDF("k"), baseDir, "k") // group c vanishes
+    ManifestTable.commit(Seq((5L, "b", 50L), (6L, "d", 1L))
+      .toDF("k", "grp", "v"), baseDir, append = true)
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t4")
+    // the maintained groups ≡ a from-scratch recompute over the base
+    val served = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_t4") == h0 + 1,
+      "the incrementally refreshed view must serve the rewrite")
+    assert(served.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 210L), ("b", 2L, 55L), ("d", 1L, 1L)),
+      "groups must net updates, drop at zero count, and admit new keys")
+    // a no-op incremental refresh (no new commits) changes nothing
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t4")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().length == 3)
+    // non-agg views refuse the incremental path loudly
+    GraftMaterializedViews.register(spark, "mv_t4b",
+      "SELECT k, v FROM gmvs.ns.t4", s"$wh/ns/_mv_t4b", Seq(baseDir))
+    intercept[RuntimeException] {
+      GraftMaterializedViews.refreshIncremental(spark, "mv_t4b")
+    }
+    GraftMaterializedViews.drop("mv_t4")
+    GraftMaterializedViews.drop("mv_t4b")
+  }
+
   test("time travel never false-matches; a second table with the same shape never collides") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t2 (grp STRING, v BIGINT)")
