@@ -118,7 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // CALL graft.system.compact/expire/vacuum/zorder — see [[GraftProcedures]]
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(warehouse, ident)
+    GraftProcedures.load(warehouse, ident, catalogName)
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.names

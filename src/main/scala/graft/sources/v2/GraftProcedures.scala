@@ -30,7 +30,8 @@ import graft.sources.ManifestTable
   * a chain of delta mutations (the q365 path's maintenance half). */
 private[v2] object GraftProcedures {
 
-  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+  def load(warehouse: String, ident: Identifier,
+           catalogName: String = "graft"): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),
       s"GraftCatalog: procedures live in the 'system' namespace, got $ident")
     def tableDir(t: String): String = {
@@ -284,13 +285,57 @@ private[v2] object GraftProcedures {
             tableDir(args.getUTF8String(0).toString), args.getLong(1))
           Seq(row(nv.toLong, nf.toLong))
         })
+      case "create_agg_mv" => proc("create_agg_mv",
+        "register + materialize an incremental aggregate view over a table",
+        Seq(in("name", StringType), in("table", StringType),
+          in("group_cols", StringType), in("sum_cols", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          val mvName = args.getUTF8String(0).toString
+          val tName = args.getUTF8String(1).toString
+          val dir = tableDir(tName)
+          val defSql = GraftMaterializedViews.registerAgg(
+            SparkSession.active, mvName,
+            s"$catalogName.$tName", dir,
+            args.getUTF8String(2).toString.split(',').map(_.trim).toSeq,
+            args.getUTF8String(3).toString.split(',').map(_.trim).toSeq
+              .filter(_.nonEmpty),
+            s"$dir/_mv_$mvName")
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
+      case "refresh_mv" => proc("refresh_mv",
+        "full re-materialization of a registered view",
+        Seq(in("name", StringType)),
+        StructType(Seq(StructField("refreshed", LongType, nullable = false))),
+        { args =>
+          GraftMaterializedViews.refresh(SparkSession.active,
+            args.getUTF8String(0).toString)
+          Seq(row(1L))
+        })
+      case "refresh_mv_incremental" => proc("refresh_mv_incremental",
+        "fold the base's change feed into a registerAgg view's groups",
+        Seq(in("name", StringType)),
+        StructType(Seq(StructField("refreshed", LongType, nullable = false))),
+        { args =>
+          GraftMaterializedViews.refreshIncremental(SparkSession.active,
+            args.getUTF8String(0).toString)
+          Seq(row(1L))
+        })
+      case "drop_mv" => proc("drop_mv", "unregister a materialized view",
+        Seq(in("name", StringType)),
+        StructType(Seq(StructField("dropped", LongType, nullable = false))),
+        { args =>
+          GraftMaterializedViews.drop(args.getUTF8String(0).toString)
+          Seq(row(1L))
+        })
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unknown procedure 'system.$other' — have " +
           "compact, binpack, rewrite_deletes, expire, expire_before, " +
           "vacuum, zorder, create_branch, fast_forward, cherry_pick, " +
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
-          "drop_partition_field")
+          "drop_partition_field, create_agg_mv, refresh_mv, " +
+          "refresh_mv_incremental, drop_mv")
     }
   }
 
@@ -299,7 +344,8 @@ private[v2] object GraftProcedures {
       "vacuum", "zorder", "create_branch", "fast_forward", "cherry_pick",
       "drop_branch", "rollback", "clone", "sync_clone",
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
-      "add_partition_field", "drop_partition_field")
+      "add_partition_field", "drop_partition_field",
+      "create_agg_mv", "refresh_mv", "refresh_mv_incremental", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `days(col)` / `md5bucket(n, col)` — the same transform grammar

@@ -106,6 +106,29 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t4b")
   }
 
+  test("CALL create_agg_mv / refresh_mv_incremental / drop_mv: the MV loop through SQL alone") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t5 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t5 VALUES (1, 'a', 10), (2, 'b', 20)")
+    val defSql = spark.sql(
+      "CALL gmvs.system.create_agg_mv('sqlmv', 'ns.t5', 'grp', 'v')")
+      .head.getString(0)
+    val h0 = GraftMaterializedViews.hits("sqlmv")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("sqlmv") == h0 + 1)
+    spark.sql("INSERT INTO gmvs.ns.t5 VALUES (3, 'a', 30)")
+    spark.sql("CALL gmvs.system.refresh_mv_incremental('sqlmv')").collect()
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 40L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
+    spark.sql("CALL gmvs.system.drop_mv('sqlmv')").collect()
+    assert(spark.sql(defSql).count() == 2) // still correct, from base
+    assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
+  }
+
   test("time travel never false-matches; a second table with the same shape never collides") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t2 (grp STRING, v BIGINT)")
