@@ -128,6 +128,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       sys.error(s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse"))
+    // durable MV registry: re-arm every view a prior session persisted
+    // under this warehouse's `_mv/` sidecar (fingerprints re-derive
+    // lazily at first match attempt in this session)
+    GraftMaterializedViews.loadFrom(s"$warehouse/_mv")
   }
   override def name(): String = catalogName
 

@@ -1,7 +1,10 @@
 package graft.sources.v2
 
+import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
@@ -11,12 +14,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.sources.ManifestTable
 
-/** MATERIALIZED VIEWS with automatic query rewrite (r13) — the engine
-  * feature that turns the repo's incremental-view faces (q100/q259) into
-  * something the USER's unchanged query benefits from: register a view
-  * once, and every query whose plan IS the view definition silently reads
-  * the precomputed table instead of re-aggregating the base — when, and
-  * only when, the materialization is FRESH.
+/** MATERIALIZED VIEWS with automatic query rewrite (r13, hardened +
+  * persisted r14) — the engine feature that turns the repo's
+  * incremental-view faces (q100/q259) into something the USER's unchanged
+  * query benefits from: register a view once, and every query whose plan
+  * IS the view definition silently reads the precomputed table instead of
+  * re-aggregating the base — when, and only when, the materialization is
+  * FRESH.
   *
   * Contract (the honest scope production systems actually ship for
   * automatic rewrite — BigQuery/Snowflake restrict theirs similarly):
@@ -28,23 +32,56 @@ import graft.sources.ManifestTable
   *    fingerprint (below) makes a near-miss fail CLOSED (no rewrite,
   *    correct answer from base).
   *  - **version-based staleness**: registration records each dependency
-  *    table's manifest version; the rule consults the CURRENT version at
-  *    rewrite time (an O(1) directory listing) and skips the view the
+  *    table's manifest version BEFORE materializing (a base commit that
+  *    lands while the definition query is running leaves the recorded
+  *    version behind the data's true read — the view is then STALE and
+  *    the rule refuses it, never fresh-at-a-version-its-data-misses);
+  *    the rule consults the CURRENT version at rewrite time (an O(1)
+  *    directory listing, memoized per query) and skips the view the
   *    moment any dependency advances — a stale MV is never served, the
   *    query computes from base, and `refresh` re-materializes +
   *    re-records. This is the lakehouse advantage: versions make
   *    staleness EXACT, not clock-based.
+  *  - **manifest-backed dependencies only**: a definition may read
+  *    nothing but graft-catalog (manifest) tables. Any other leaf — a
+  *    temp view over raw parquet, a LocalRelation, a v1 file scan —
+  *    carries no pinned-version identity, so its fingerprint could not
+  *    distinguish two same-schema sources over different data and its
+  *    staleness could not be tracked at all. `register` REFUSES such
+  *    definitions loudly.
   *  - **resolution-time substitution**: the rule runs post-hoc in the
   *    analyzer (before any filter pushdown rewrites the tree), replacing
   *    the matched subtree with a scan of the MV's manifest table behind a
   *    Project that preserves the subtree's output attribute ids — parents
-  *    of the rewritten node never know.
+  *    of the rewritten node never know. The decision is made ONCE, when
+  *    the DataFrame is ANALYZED: a handle analyzed while the view was
+  *    fresh and executed (or re-executed) after a later base commit still
+  *    reads the substituted MV scan — the same plan-pinning semantics as
+  *    `VERSION AS OF` (an analyzed graft plan pins its snapshot). Callers
+  *    holding DataFrames across base commits get snapshot semantics, not
+  *    read-latest; re-issue the SQL for the current answer. `hits`
+  *    counts these analysis-time substitutions, not executions.
+  *  - **durable registry**: views registered with a `persistDir` (the
+  *    warehouse's `_mv/` sidecar — the catalog's `create_agg_mv`
+  *    procedure always passes it) survive the session: each view's
+  *    definition rows (name, defSql, mvDir, deps@versions, fingerprint,
+  *    shape) live in per-view generation files claimed by
+  *    create-no-overwrite hard links — the same CAS discipline as tags —
+  *    and [[GraftCatalog.initialize]] reloads them, so a restarted
+  *    session serves the same queries from the same materializations.
+  *    Reloaded fingerprints are re-derived lazily (first query that
+  *    finds the view fresh re-analyzes the stored definition SQL in THIS
+  *    session) — the match never trusts a string another Spark version
+  *    may canonicalize differently.
   *
   * At 100 TB: the MV table is O(|groups|), the rewrite decision is
-  * O(plan nodes), and the dashboard query that re-aggregated the fact
-  * table every morning becomes a scan of a few thousand rows. Fingerprint
-  * includes the relation's PINNED version, so `VERSION AS OF` time-travel
-  * queries never false-match a current-version view definition.
+  * O(candidate nodes) — subtrees are fingerprinted only when their
+  * output width AND root node name match some armed view, and each
+  * dependency's head version is listed once per query — and the
+  * dashboard query that re-aggregated the fact table every morning
+  * becomes a scan of a few thousand rows. Fingerprint includes the
+  * relation's PINNED version, so `VERSION AS OF` time-travel queries
+  * never false-match a current-version view definition.
   */
 object GraftMaterializedViews {
 
@@ -55,39 +92,95 @@ object GraftMaterializedViews {
 
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
-                         outputWidth: Int, aggShape: Option[AggShape] = None)
+                         outputWidth: Int, aggShape: Option[AggShape] = None,
+                         rootNode: String = "", persistDir: Option[String] = None,
+                         fpVerified: Boolean = true)
 
   private val views = new ConcurrentHashMap[String, MvDef]()
   private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** True while register/refresh analyze a definition query on this
+    * thread — the rewrite rule must NOT fire there: a refresh of a
+    * still-fresh view (or of one equivalent to another fresh view) would
+    * otherwise materialize the MV from itself and fingerprint the
+    * REWRITTEN plan, silently killing every future match. */
+  private val analyzing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[v2] def suppressed: Boolean = analyzing.get()
+  private[v2] def suppressRewrite[T](f: => T): T = {
+    val old = analyzing.get()
+    analyzing.set(true)
+    try f finally analyzing.set(old)
+  }
+
   /** Materialize `defSql` into the manifest table at `mvDir`, record the
     * dependency versions, and arm the rewrite. `deps` = the manifest
     * directories of every base table the definition reads (the staleness
-    * domain). Registration itself never rewrites: the view enters the
-    * registry only after the materialization lands. */
+    * domain). Registration itself never rewrites: the definition is
+    * analyzed under [[suppressRewrite]] and the view enters the registry
+    * only after the materialization lands. Pass `persistDir` (the
+    * warehouse `_mv/` sidecar) to make the registration durable across
+    * sessions. */
   def register(spark: SparkSession, name: String, defSql: String,
-               mvDir: String, deps: Seq[String]): Unit = {
-    val df = spark.sql(defSql)
-    ManifestTable.commit(df, mvDir, append = false): Unit
-    val fp = fingerprint(df.queryExecution.analyzed)
-    views.put(name, MvDef(name, defSql, mvDir,
-      deps.map(d => d -> ManifestTable.currentVersion(d)), fp,
-      df.queryExecution.analyzed.output.length)): Unit
-    hitCounters.putIfAbsent(name, new AtomicLong(0L)): Unit
+               mvDir: String, deps: Seq[String],
+               persistDir: Option[String] = None): Unit =
+    install(materialize(spark, name, defSql, mvDir, deps, persistDir))
+
+  private def materialize(spark: SparkSession, name: String, defSql: String,
+                          mvDir: String, deps: Seq[String],
+                          persistDir: Option[String]): MvDef = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"GraftMaterializedViews.register: illegal view name '$name' " +
+        "(letters, digits, '_', '-', '.' — it names the sidecar file)")
+    // dependency versions BEFORE materializing: a concurrent base commit
+    // leaves `recorded < current` → the view is born stale → fail closed
+    val depVers = deps.map(d => d -> ManifestTable.currentVersion(d))
+    val (fp, width, root) = suppressRewrite {
+      val df = spark.sql(defSql)
+      val analyzed = df.queryExecution.analyzed
+      guardLeaves(analyzed, name)
+      ManifestTable.commit(df, mvDir, append = false): Unit
+      (fingerprint(analyzed), analyzed.output.length, analyzed.nodeName)
+    }
+    MvDef(name, defSql, mvDir, depVers, fp, width, rootNode = root,
+      persistDir = persistDir)
   }
 
-  /** Re-materialize and re-record dependency versions. The definition
-    * query cannot self-serve from the stale MV: a refresh is only needed
-    * when a dependency advanced, which is exactly when the rule already
-    * refuses the rewrite. */
+  private def install(d: MvDef): Unit = {
+    views.put(d.name, d): Unit
+    d.persistDir.foreach(pd => persist(pd, d))
+    hitCounters.putIfAbsent(d.name, new AtomicLong(0L)): Unit
+  }
+
+  /** Every leaf of a definition must be a graft-catalog manifest table —
+    * the only leaf kind whose fingerprint carries a data identity
+    * (identifier @ pinned version) and whose staleness the registry can
+    * track. A LocalRelation / temp-view-over-parquet / v1 relation leaf
+    * would fingerprint by schema alone, letting a query over DIFFERENT
+    * data match this view's materialization. */
+  private def guardLeaves(plan: LogicalPlan, name: String): Unit =
+    plan.collectLeaves().foreach {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] => ()
+      case other => throw new IllegalArgumentException(
+        s"GraftMaterializedViews.register('$name'): definition reads a " +
+          s"${other.nodeName} leaf — only graft catalog (manifest-backed) " +
+          "tables carry the pinned-version identity the fingerprint and " +
+          "staleness tracking require; CREATE TABLE + INSERT the source " +
+          "into the catalog first")
+    }
+
+  /** Re-materialize and re-record dependency versions. Runs under the
+    * same rewrite suppression as registration — refreshing a view that
+    * is still fresh (an explicit warm-up, or a crash-retry) must read
+    * the BASE, never its own stale materialization. */
   def refresh(spark: SparkSession, name: String): Unit = {
     val v = Option(views.get(name)).getOrElse(
       sys.error(s"GraftMaterializedViews.refresh: no view '$name'"))
-    val shape = v.aggShape
-    register(spark, name, v.defSql, v.mvDir, v.deps.map(_._1))
-    shape.foreach { sh =>
-      views.computeIfPresent(name, (_, m) => m.copy(aggShape = Some(sh))): Unit
-    }
+    val nd = materialize(spark, name, v.defSql, v.mvDir, v.deps.map(_._1),
+      v.persistDir)
+    install(nd.copy(aggShape = v.aggShape))
   }
 
   /** Register the INCREMENTALLY-maintainable shape — group keys +
@@ -101,14 +194,14 @@ object GraftMaterializedViews {
     * the definition SQL (exactly what the rewrite will match). */
   def registerAgg(spark: SparkSession, name: String, baseSql: String,
                   baseDir: String, groupCols: Seq[String],
-                  sumCols: Seq[String], mvDir: String): String = {
+                  sumCols: Seq[String], mvDir: String,
+                  persistDir: Option[String] = None): String = {
     require(groupCols.nonEmpty, "registerAgg: no group columns")
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
-    register(spark, name, defSql, mvDir, Seq(baseDir))
-    views.computeIfPresent(name, (_, m) =>
-      m.copy(aggShape = Some(AggShape(baseDir, groupCols, sumCols)))): Unit
+    val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
+    install(nd.copy(aggShape = Some(AggShape(baseDir, groupCols, sumCols))))
     defSql
   }
 
@@ -139,7 +232,7 @@ object GraftMaterializedViews {
     val delta = feed.groupBy(sh.groupCols.map(col): _*)
       .agg(sum(sign).as("_d_n"),
         sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
-    val cur = ManifestTable.read(spark, v.mvDir)
+    val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
     val merged = cur.join(delta, sh.groupCols, "full_outer")
       .select(sh.groupCols.map(col) ++
         Seq((coalesce(col("n_rows"), lit(0L)) +
@@ -152,23 +245,177 @@ object GraftMaterializedViews {
           .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
       .filter(col("n_rows") > 0)
     ManifestTable.commit(merged, v.mvDir, append = false): Unit
-    views.put(name, v.copy(deps = Seq(dir -> head))): Unit
+    install(v.copy(deps = Seq(dir -> head), fpVerified = true))
   }
 
-  def drop(name: String): Unit = { views.remove(name): Unit }
+  /** Unregister (and, for persisted views, tombstone the sidecar so a
+    * restarted session does not resurrect it). The materialization at
+    * `mvDir` is left in place — dropping a view is a registry operation,
+    * not a data deletion. */
+  def drop(name: String): Unit = {
+    val v = views.remove(name)
+    Option(v).flatMap(_.persistDir).foreach(pd => persistDrop(pd, name))
+  }
 
-  /** Rewrites served for `name` since registration (test/monitoring). */
+  /** Rewrites served for `name` since registration — counts
+    * ANALYSIS-time substitutions (the decision point), not executions;
+    * a DataFrame collected twice is one hit (test/monitoring). */
   def hits(name: String): Long =
     Option(hitCounters.get(name)).map(_.get()).getOrElse(0L)
 
-  private[v2] def freshViews(): Seq[MvDef] = {
+  /** Views whose every dependency is still at its recorded version.
+    * `ver` memoizes the per-directory head listing so N views over one
+    * base cost ONE listing per query, not N. */
+  private[v2] def freshViews(ver: String => Int): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values().asScala.toSeq.filter(v =>
-      v.deps.forall { case (d, ver) => ManifestTable.currentVersion(d) == ver })
+      v.deps.forall { case (d, recorded) => ver(d) == recorded })
   }
+
+  /** A view reloaded from the sidecar carries the fingerprint a PRIOR
+    * session derived; before its first match in THIS session, re-derive
+    * it from the stored definition SQL (under suppression — the
+    * re-analysis itself must not rewrite). Fails soft: a definition this
+    * session cannot analyze (its catalog not registered here) just never
+    * matches — fail closed, retried on a later query. */
+  private[v2] def ensureFingerprint(spark: SparkSession, v: MvDef): Option[MvDef] =
+    if (v.fpVerified) Some(v)
+    else try {
+      val analyzed = suppressRewrite(spark.sql(v.defSql).queryExecution.analyzed)
+      val nd = v.copy(fingerprint = fingerprint(analyzed),
+        outputWidth = analyzed.output.length, rootNode = analyzed.nodeName,
+        fpVerified = true)
+      views.put(v.name, nd): Unit
+      Some(nd)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private[v2] def recordHit(name: String): Unit = {
     Option(hitCounters.get(name)).foreach(_.incrementAndGet(): Unit)
+  }
+
+  /** Monitoring: how many plan subtrees have been serialized for a match
+    * attempt. The (output width, root node) pre-filter keeps this near
+    * zero for queries unrelated to any armed view — spec-pinned. */
+  private[graft] val fingerprintCalls = new AtomicLong(0L)
+
+  /** Test hook: clear the IN-MEMORY registry, simulating a JVM restart.
+    * Persisted sidecar state is untouched and re-arms on the next
+    * catalog initialization. */
+  private[graft] def forgetInMemory(): Unit = views.clear()
+
+  // ---------------------------------------------------------------------
+  // Durable registry: per-view generation files under the warehouse's
+  // `_mv/` sidecar, claimed by create-no-overwrite hard links (the tags
+  // CAS discipline — ManifestTable.mutateTags). One file family per view
+  // (`<name>.g<N>`), so registrations of DIFFERENT views never contend;
+  // a re-register/refresh/drop of the SAME view claims generation N+1 and
+  // retries on EEXIST. Values are URL-encoded (definition SQL spans
+  // lines); a `#dropped` first line tombstones the view.
+  // ---------------------------------------------------------------------
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def serialize(d: MvDef): Seq[String] = {
+    val b = mutable.ArrayBuffer[String]()
+    b += s"defSql=${enc(d.defSql)}"
+    b += s"mvDir=${enc(d.mvDir)}"
+    d.deps.foreach { case (dir, v) => b += s"dep=${enc(dir)}|$v" }
+    b += s"fingerprint=${enc(d.fingerprint)}"
+    b += s"outputWidth=${d.outputWidth}"
+    b += s"rootNode=${enc(d.rootNode)}"
+    d.aggShape.foreach { sh =>
+      b += s"agg.baseDir=${enc(sh.baseDir)}"
+      b += s"agg.groupCols=${sh.groupCols.map(enc).mkString(",")}"
+      b += s"agg.sumCols=${sh.sumCols.map(enc).mkString(",")}"
+    }
+    b.toSeq
+  }
+
+  private def deserialize(name: String, lines: Seq[String],
+                          persistDir: String): MvDef = {
+    val kv = lines.filter(_.contains('=')).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+    def one(k: String): String = kv.collectFirst {
+      case (`k`, v) => v }.getOrElse(
+      sys.error(s"corrupt _mv sidecar for '$name': missing $k"))
+    def opt(k: String): Option[String] = kv.collectFirst { case (`k`, v) => v }
+    def cols(s: String): Seq[String] =
+      if (s.isEmpty) Nil else s.split(',').toSeq.map(dec)
+    val deps = kv.collect { case ("dep", v) =>
+      val i = v.lastIndexOf('|'); dec(v.substring(0, i)) -> v.substring(i + 1).toInt }
+    val agg = opt("agg.baseDir").map(bd =>
+      AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols"))))
+    MvDef(name, dec(one("defSql")), dec(one("mvDir")), deps,
+      dec(one("fingerprint")), one("outputWidth").toInt, agg,
+      rootNode = dec(one("rootNode")), persistDir = Some(persistDir),
+      // fingerprints are session artifacts: re-derive before first use
+      fpVerified = false)
+  }
+
+  private def gensOf(md: Path, name: String): Seq[Int] =
+    Option(md.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches(java.util.regex.Pattern.quote(name) + "\\.g\\d+"))
+      .map(_.substring(name.length + 2).toInt).sorted
+
+  private def claim(md: Path, name: String, lines: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(md): Unit
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val gen = gensOf(md, name).lastOption.getOrElse(0)
+      val tmp = md.resolve(
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, lines.asJava): Unit
+      val won =
+        try { Files.createLink(md.resolve(s"$name.g${gen + 1}"), tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally Files.deleteIfExists(tmp)
+      if (won) {
+        // keep a 4-generation straggler buffer; older files are tiny and
+        // registry mutations are human-cadence, but don't grow unbounded
+        gensOf(md, name).filter(_ < gen - 3).foreach(g =>
+          Files.deleteIfExists(md.resolve(s"$name.g$g")): Unit)
+        return
+      }
+    }
+    sys.error(s"GraftMaterializedViews: sidecar claim for '$name' lost the " +
+      "CAS 64 times — giving up")
+  }
+
+  private def persist(dir: String, d: MvDef): Unit =
+    claim(Paths.get(dir), d.name, serialize(d))
+
+  private def persistDrop(dir: String, name: String): Unit =
+    claim(Paths.get(dir), name, Seq("#dropped"))
+
+  /** Reload every persisted view under `dir` (the warehouse `_mv/`
+    * sidecar) into the registry — called by [[GraftCatalog.initialize]].
+    * In-memory definitions win (they are what the disk state was written
+    * from); fingerprints of newly loaded views are re-derived lazily at
+    * first match attempt. */
+  def loadFrom(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val md = Paths.get(dir)
+    if (!Files.isDirectory(md)) return
+    val names = Option(md.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches(".+\\.g\\d+"))
+      .map(_.replaceAll("\\.g\\d+$", "")).filterNot(_.startsWith("."))
+      .distinct
+    names.foreach { name =>
+      gensOf(md, name).lastOption.foreach { g =>
+        val lines = Files.readAllLines(md.resolve(s"$name.g$g")).asScala.toSeq
+        if (lines.headOption.exists(_.startsWith("#dropped"))) ()
+        else {
+          val d = deserialize(name, lines, dir)
+          if (views.putIfAbsent(name, d) == null)
+            hitCounters.putIfAbsent(name, new AtomicLong(0L)): Unit
+        }
+      }
+    }
   }
 
   /** Structural identity of an analyzed plan, safe across separately
@@ -176,8 +423,11 @@ object GraftMaterializedViews {
     * expressions (exprIds normalized), with relations rendered as
     * `identifier @ pinned-version : output schema` — two different
     * tables, two different snapshots, or two different pushable filters
-    * all fingerprint apart (fail closed). */
+    * all fingerprint apart (fail closed). Only [[GraftSqlTable]]-backed
+    * relations can appear at the leaves ([[guardLeaves]]), so every leaf
+    * contributes a data identity, never schema alone. */
   private[v2] def fingerprint(plan: LogicalPlan): String = {
+    fingerprintCalls.incrementAndGet(): Unit
     val sb = new StringBuilder
     plan.canonicalized.foreach {
       case r: DataSourceV2Relation =>
@@ -202,24 +452,38 @@ object GraftMaterializedViews {
 /** The rewrite rule — injected post-hoc in the analyzer (after
   * resolution, before the optimizer moves filters into scans), once per
   * query. Matching is bottom-up; a substituted subtree is a plain scan
-  * and cannot re-match, so the rule is idempotent by construction. */
+  * and cannot re-match, so the rule is idempotent by construction.
+  * Cost discipline: dependency head versions are listed once per query,
+  * and a subtree is fingerprinted only when its output width AND root
+  * node name match some armed view — an unrelated query pays a few
+  * integer/string compares per node, never O(plan²) serialization. */
 case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftMaterializedViews._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!plan.resolved) return plan
-    val fresh = freshViews()
+    if (suppressed || !plan.resolved) return plan
+    val verCache = mutable.HashMap.empty[String, Int]
+    def ver(d: String): Int =
+      verCache.getOrElseUpdate(d, ManifestTable.currentVersion(d))
+    val candidates = freshViews(ver)
+    if (candidates.isEmpty) return plan
+    val fresh = candidates.flatMap(v => ensureFingerprint(spark, v))
     if (fresh.isEmpty) return plan
+    val widths = fresh.map(_.outputWidth).toSet
+    val roots = fresh.map(_.rootNode).toSet
     plan.transformUp {
-      case p if p.resolved && p.output.nonEmpty =>
+      case p if p.resolved && widths.contains(p.output.length) &&
+          roots.contains(p.nodeName) =>
+        val fp = fingerprint(p)
         fresh.find(v => v.outputWidth == p.output.length &&
-            v.fingerprint == fingerprint(p)) match {
+            v.fingerprint == fp) match {
           case Some(v) =>
             // a fresh scan per substitution: new attribute ids every
             // time, so the same view serving twice in one query never
-            // collides
-            val mv = ManifestTable.read(spark, v.mvDir)
-              .queryExecution.analyzed
+            // collides. Suppressed: analyzing the MV scan itself must
+            // not re-enter this rule.
+            val mv = suppressRewrite(ManifestTable.read(spark, v.mvDir)
+              .queryExecution.analyzed)
             require(mv.output.length == p.output.length,
               s"materialized view '${v.name}': stored table width " +
                 s"${mv.output.length} != definition width ${p.output.length}")

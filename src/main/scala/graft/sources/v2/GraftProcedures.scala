@@ -300,7 +300,10 @@ private[v2] object GraftProcedures {
             args.getUTF8String(2).toString.split(',').map(_.trim).toSeq,
             args.getUTF8String(3).toString.split(',').map(_.trim).toSeq
               .filter(_.nonEmpty),
-            s"$dir/_mv_$mvName")
+            s"$dir/_mv_$mvName",
+            // catalog-created views are always DURABLE: a restarted
+            // session over this warehouse re-arms them from `_mv/`
+            persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
       case "refresh_mv" => proc("refresh_mv",

@@ -157,4 +157,115 @@ class MaterializedViewSpec extends SparkSpec {
     assert(GraftMaterializedViews.hits("mv_t2") == h0 + 1)
     GraftMaterializedViews.drop("mv_t2")
   }
+
+  test("durable registry: a restarted session over the same warehouse re-arms the MV") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t6 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t6 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 5)")
+    // the CALL procedure always persists to the warehouse `_mv/` sidecar
+    val defSql = spark.sql(
+      "CALL gmvs.system.create_agg_mv('persmv', 'ns.t6', 'grp', 'v')")
+      .head.getString(0)
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/_mv"))
+      .anyMatch(p => p.getFileName.toString.startsWith("persmv.g")),
+      "the registration must land in the warehouse _mv/ sidecar")
+    // simulate a JVM restart: in-memory registry gone, sidecar remains
+    GraftMaterializedViews.forgetInMemory()
+    assert(GraftMaterializedViews.hits("persmv") +
+      spark.sql(defSql).count() >= 2) // from base — no view armed
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gmvs", "graft.sources.v2.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmvs.warehouse", wh)
+    s2.sql("SHOW TABLES IN gmvs.ns").collect() // initialize → loadFrom
+    val h0 = GraftMaterializedViews.hits("persmv")
+    val q = s2.sql(defSql + " ORDER BY grp")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("persmv") == h0 + 1,
+      "the reloaded view must serve the rewrite in the new session")
+    assert(q.queryExecution.executedPlan.toString.contains("_mv_persmv"),
+      "the new session's executed plan must scan the persisted MV table")
+    // staleness semantics survive the reload: a base commit fails closed
+    s2.sql("INSERT INTO gmvs.ns.t6 VALUES (4, 'b', 1)")
+    s2.sql(defSql).collect()
+    assert(GraftMaterializedViews.hits("persmv") == h0 + 1)
+    // drop tombstones the sidecar: another restart must NOT resurrect it
+    GraftMaterializedViews.drop("persmv")
+    GraftMaterializedViews.forgetInMemory()
+    GraftMaterializedViews.loadFrom(s"$wh/_mv")
+    assert(GraftMaterializedViews.hits("persmv") +
+      spark.sql(defSql).count() >= 2)
+    val h1 = GraftMaterializedViews.hits("persmv")
+    spark.sql(defSql).collect()
+    assert(GraftMaterializedViews.hits("persmv") == h1,
+      "a dropped view must stay dropped across restarts")
+  }
+
+  test("definitions over non-manifest relations refuse (no trackable identity)") {
+    wh: Unit
+    Seq((1L, "a"), (2L, "b")).toDF("k", "grp")
+      .createOrReplaceTempView("mv_raw_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftMaterializedViews.register(spark, "bad_mv",
+        "SELECT grp, count(*) AS n FROM mv_raw_src GROUP BY grp",
+        s"$wh/ns/_mv_bad", deps = Nil)
+    }
+    assert(e.getMessage.contains("manifest-backed"),
+      s"refusal must name the contract, got: ${e.getMessage}")
+    assert(GraftMaterializedViews.hits("bad_mv") == 0L)
+  }
+
+  test("refresh of a still-fresh view reads the base, never its own materialization") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t7 (grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t7 VALUES ('a', 1), ('a', 2), ('b', 3)")
+    val defSql = "SELECT grp, count(*) AS n, sum(v) AS total " +
+      "FROM gmvs.ns.t7 GROUP BY grp"
+    GraftMaterializedViews.register(spark, "mv_t7", defSql,
+      s"$wh/ns/_mv_t7", deps = Seq(s"$wh/ns/t7"))
+    val h0 = GraftMaterializedViews.hits("mv_t7")
+    spark.sql(defSql).collect()
+    assert(GraftMaterializedViews.hits("mv_t7") == h0 + 1)
+    // the view is STILL FRESH here: without suppression, the refresh's
+    // definition query would exact-match the armed view, materialize the
+    // MV from itself, and store a fingerprint of the REWRITTEN plan —
+    // permanently killing future matches (and double-counting a hit)
+    GraftMaterializedViews.refresh(spark, "mv_t7")
+    assert(GraftMaterializedViews.hits("mv_t7") == h0 + 1,
+      "a refresh must never count as a rewrite hit")
+    val q = spark.sql(defSql + " ORDER BY grp")
+    assert(q.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L), ("b", 1L, 3L)))
+    assert(GraftMaterializedViews.hits("mv_t7") == h0 + 2,
+      "the exact query must still serve after an idle refresh " +
+        "(self-rewrite would have poisoned the fingerprint)")
+    GraftMaterializedViews.drop("mv_t7")
+  }
+
+  test("rewrite cost pre-filter: unrelated queries are never fingerprinted") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t8 (grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t8 VALUES ('a', 1)")
+    val defSql = "SELECT grp, count(*) AS n, sum(v) AS total " +
+      "FROM gmvs.ns.t8 GROUP BY grp"
+    GraftMaterializedViews.register(spark, "mv_t8", defSql,
+      s"$wh/ns/_mv_t8", deps = Seq(s"$wh/ns/t8"))
+    val c0 = GraftMaterializedViews.fingerprintCalls.get()
+    // a query sharing neither output width (3) nor an Aggregate root
+    // with the armed view: the (width, root) pre-filter must reject every
+    // subtree before any O(subtree) serialization happens
+    spark.sql("SELECT grp, v, v * 2 AS d, 'x' AS tag, grp AS g2 " +
+      "FROM gmvs.ns.t8 WHERE v > 0").collect()
+    assert(GraftMaterializedViews.fingerprintCalls.get() == c0,
+      "no subtree of an unrelated query may be fingerprinted")
+    // the real match still costs exactly one fingerprint per candidate
+    val c1 = GraftMaterializedViews.fingerprintCalls.get()
+    spark.sql(defSql).collect()
+    assert(GraftMaterializedViews.fingerprintCalls.get() <= c1 + 2,
+      "an exact match should fingerprint only width/root candidates")
+    GraftMaterializedViews.drop("mv_t8")
+  }
 }
