@@ -14,6 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object JdbcIO {
 
+  /** Monitoring: how many FULL sink key scans ([[readKeys]]) have run.
+    * The CDC-out path must stay delta-bounded ([[probeExistingKeys]]) —
+    * spec-pinned to never bump this. */
+  private[graft] val fullKeyScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def props(user: String, password: String,
             driver: String = "org.postgresql.Driver"): Properties = {
     val p = new Properties()
@@ -35,7 +40,8 @@ object JdbcIO {
   def readKeys(spark: SparkSession, url: String, table: String, key: String,
                properties: Properties, numPartitions: Int = 1,
                partitionExpr: Option[String] = None,
-               bounds: Option[(Long, Long)] = None): DataFrame =
+               bounds: Option[(Long, Long)] = None): DataFrame = {
+    fullKeyScans.incrementAndGet(): Unit
     partitionExpr match {
       case Some(expr) if numPartitions > 1 =>
         // MIN/MAX over an empty table (or all-NULL partitionExpr) is SQL
@@ -65,6 +71,50 @@ object JdbcIO {
       case _ =>
         spark.read.jdbc(url, s"(SELECT $key FROM $table) AS ${table}_keys", properties)
     }
+  }
+
+  /** Which of `keys` already exist in the sink — probed DISTRIBUTED and
+    * DELTA-BOUNDED: each partition issues batched `WHERE key IN (…)`
+    * point lookups against the indexed sink (the same per-key discipline
+    * as [[deleteKeys]]), so the cost is O(|keys|) index probes regardless
+    * of sink size — the sink's key set is never scanned into Spark, let
+    * alone broadcast. Returns the subset of `keys` rows (original Spark
+    * values, one column) the sink already holds. */
+  def probeExistingKeys(keys: DataFrame, url: String, table: String,
+                        key: String, properties: Properties,
+                        batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"probeExistingKeys: batchSize $batchSize < 1")
+    val spark = keys.sparkSession
+    val kdf = keys.select(key).distinct()
+    val schema = kdf.schema
+    val rdd = kdf.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        val conn = java.sql.DriverManager.getConnection(url, properties)
+        try {
+          rows.grouped(batchSize).foreach { batch =>
+            val ph = batch.map(_ => "?").mkString(",")
+            val ps = conn.prepareStatement(
+              s"SELECT $key FROM $table WHERE $key IN ($ph)")
+            try {
+              batch.zipWithIndex.foreach { case (r, i) =>
+                ps.setObject(i + 1, r.get(0)) }
+              val rs = ps.executeQuery()
+              val found = scala.collection.mutable.HashSet[String]()
+              while (rs.next()) found += String.valueOf(rs.getObject(1)): Unit
+              rs.close()
+              // emit the PROBED row, not the DB's value — output types
+              // stay exactly the input schema's
+              out ++= batch.filter(r => found(String.valueOf(r.get(0))))
+            } finally ps.close()
+          }
+        } finally conn.close()
+        out.iterator
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   def readTable(spark: SparkSession, url: String, table: String,
                 properties: Properties): DataFrame =
@@ -105,13 +155,14 @@ object JdbcIO {
     * by key. One source version at a time, deletes before inserts within
     * a version (the keyed-merge commit shape carries both and its
     * re-inserts must survive its own deletes); inserts are IDEMPOTENT by
-    * the J1 anti-join against the sink's pruned key scan, so a crashed
+    * the J1 anti-join against the keys [[probeExistingKeys]] finds in
+    * the sink — batched point lookups bounded by the DELTA, so a crashed
     * or repeated sync re-applies safely — deletes of absent keys no-op,
     * duplicate inserts anti-join away. Rewrite commits
     * (compact/binpack/rewrite_deletes) contribute zero events by the
     * feed's marker contract, so serving-DB sync and table maintenance
-    * stay decoupled. O(delta + sink key scan) per version — the sink's
-    * 100 TB-scale cousin partitions `readKeys`. The sink table MUST be
+    * stay decoupled. O(|delta| × index probe) per version — the sink's
+    * size never enters the bound. The sink table MUST be
     * indexed on `key` (PRIMARY KEY): the delete batches are per-key
     * statements, and an unindexed sink turns each into a full table
     * scan — O(|deletes| × |sink|) row touches. Returns the source head
@@ -134,8 +185,12 @@ object JdbcIO {
         val ins = feed.filter(col("_change_type") === "insert")
           .drop("_change_type")
         if (!ins.isEmpty) {
-          val existing = readKeys(spark, url, table, key, properties)
-            .toDF("_sink_k")
+          // idempotence stays DELTA-BOUNDED: probe only the incoming
+          // keys against the indexed sink (per-key point lookups) — a
+          // 100 TB sink's key set is never scanned, and the broadcast
+          // frame is ≤ |delta| rows by construction
+          val existing = probeExistingKeys(ins.select(col(key)), url,
+            table, key, properties).toDF("_sink_k")
           val fresh = ins.join(broadcast(existing),
             col(key) === col("_sink_k"), "left_anti")
           if (!fresh.isEmpty) append(fresh, url, table, properties)

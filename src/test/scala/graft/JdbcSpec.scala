@@ -128,4 +128,42 @@ class JdbcSpec extends SparkSpec {
     JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 4)
     assert(sinkMap() == expect + (22L -> 44L))
   }
+
+  test("syncFromFeed stays delta-bounded: the sink key set is never fully scanned (r14)") {
+    import graft.sources.ManifestTable
+    val table = "cdc_sink_bd"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (k BIGINT PRIMARY KEY, v BIGINT)")
+      st.close()
+    } finally conn.close()
+    // a "large" pre-existing sink the delta must never scan
+    JdbcIO.append((1L to 5000L).map(k => (k, k)).toDF("k", "v"),
+      url, table, props)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcbd").toString + "/t"
+    ManifestTable.commit((1L to 5000L).map(k => (k, k)).toDF("k", "v"),
+      dir, append = false)
+    // delta: 3 updates + 2 fresh keys (spanning multiple probe batches
+    // is covered below); replay from v1
+    ManifestTable.merge(Seq((7L, 70L), (9L, 90L), (11L, 110L))
+      .toDF("k", "v"), dir, "k")
+    ManifestTable.commit(Seq((6001L, 1L), (6002L, 2L)).toDF("k", "v"),
+      dir, append = true)
+    val scans0 = JdbcIO.fullKeyScans.get()
+    JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 1)
+    assert(JdbcIO.fullKeyScans.get() == scans0,
+      "CDC-out must probe the delta's keys point-wise, never run a " +
+        "full sink key scan (readKeys)")
+    val sink = JdbcIO.readTable(spark, url, table, props)
+      .toDF("k", "v").as[(Long, Long)].collect().toMap
+    assert(sink(7L) == 70L && sink(9L) == 90L && sink(11L) == 110L &&
+      sink(6001L) == 1L && sink(6002L) == 2L && sink.size == 5002)
+    // probeExistingKeys itself: multi-batch probe returns exactly the
+    // present subset, with the caller's types
+    val probed = JdbcIO.probeExistingKeys(
+      ((4990L to 5010L) ++ Seq(6001L)).toDF("k"), url, table, "k", props,
+      batchSize = 7).as[Long].collect().toSet
+    assert(probed == ((4990L to 5000L).toSet + 6001L))
+  }
 }
