@@ -2235,6 +2235,81 @@ object WarehouseQueries {
     q3.orderBy($"pri")
   }
 
+  // q418: JOIN-MV INCREMENTAL REFRESH (r14) — the star-schema dashboard
+  // query (fact ⋈ dim, grouped on a DIM attribute) maintained from BOTH
+  // bases' change feeds via the delta-join identity
+  // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD (every feed row signed ±1, a joined
+  // row's sign the product of its sides') — q259's identity composed
+  // into the MV registry, so the history join F₀⋈D₀ is NEVER recomputed
+  // and a fact-only day never reads the fact snapshot at all. Lifecycle
+  // require-pinned: serve; fact reprice + GDPR erasure + ingest AND a
+  // dim re-homing make it stale (fails closed); ONE incremental refresh
+  // re-arms and the served answer ≡ the from-base join recompute. The
+  // dim re-homing is the hard leg: rows of re-homed dim keys must
+  // MIGRATE between groups (F₀⋈ΔD nets −old +new per fact row), and the
+  // fresh fact batch on a re-homed key must land in the NEW home only
+  // (ΔF⋈D₀ + ΔF⋈ΔD cancel the old). At 100 TB: refresh cost is
+  // O(|ΔF| ⋈ dim + |ΔD| ⋈ fact + |groups|) — the dim-delta leg probes
+  // the fact with a broadcast of the day's dim changes — vs re-joining
+  // the full fact every morning.
+  def mvJoinIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q418_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat418", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat418.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"),
+        ($"o_orderkey".cast("long") % 50).as("jk"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    rows.createOrReplaceTempView("q418_fact_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat418.db.fact")
+    s.sql("DROP TABLE IF EXISTS graft_cat418.db.dim")
+    s.sql("CREATE TABLE graft_cat418.db.fact (k BIGINT, jk BIGINT, cents BIGINT)")
+    s.sql("CREATE TABLE graft_cat418.db.dim (jk BIGINT, grp STRING)")
+    s.sql("INSERT INTO graft_cat418.db.fact " +
+      "SELECT k, jk, cents FROM q418_fact_src WHERE k % 10 < 8")
+    s.sql("INSERT INTO graft_cat418.db.dim SELECT id AS jk, " +
+      "CASE WHEN id % 5 = 0 THEN 'z' ELSE concat('g', CAST(id % 5 AS STRING)) " +
+      "END AS grp FROM range(50)")
+    val fDir = s"$out/db/fact"; val dDir = s"$out/db/dim"
+    val defSql = GraftMaterializedViews.registerJoinAgg(s, "q418_mv",
+      "graft_cat418.db.fact", fDir, "graft_cat418.db.dim", dDir, "jk",
+      Seq("grp"), Seq("cents"), s"$out/db/_mv_star")
+    val h0 = GraftMaterializedViews.hits("q418_mv")
+    s.sql(defSql + " ORDER BY grp").collect(): Unit
+    require(GraftMaterializedViews.hits("q418_mv") == h0 + 1,
+      "q418: the registered star aggregate must serve from the MV")
+    // both bases move on: fact reprice (k%7), GDPR erasure (k%11),
+    // fresh ingest (k%10=8); dim re-homes every jk%10=3 key
+    ManifestTable.merge(rows.filter($"k" % 10 < 8 && $"k" % 7 === 0)
+      .select($"k", $"jk", ($"k" * 5).as("cents")), fDir, "k")
+    ManifestTable.delete(rows.filter($"k" % 11 === 0).select($"k"),
+      fDir, "k")
+    ManifestTable.commit(rows.filter($"k" % 10 === 8), fDir, append = true)
+    ManifestTable.merge(s.range(50).filter($"id" % 10 === 3)
+      .select($"id".as("jk"), lit("moved").as("grp")), dDir, "jk")
+    val q2 = s.sql(defSql + " ORDER BY grp").localCheckpoint()
+    require(GraftMaterializedViews.hits("q418_mv") == h0 + 1,
+      "q418: the stale star MV must not serve")
+    GraftMaterializedViews.refreshIncremental(s, "q418_mv")
+    val q3 = s.sql(defSql + " ORDER BY grp").localCheckpoint()
+    require(GraftMaterializedViews.hits("q418_mv") == h0 + 2,
+      "q418: the incrementally refreshed star MV must serve again")
+    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "q418: the delta-join-maintained groups must equal the from-base " +
+        "join recompute (missed-migration / double-count IVM bug class)")
+    GraftMaterializedViews.drop("q418_mv")
+    q3.orderBy($"grp")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -4175,6 +4250,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q418_mv_join_incremental" -> mvJoinIncremental _,
     "q417_mv_incremental" -> mvIncremental _,
     "q416_mv_rewrite" -> mvRewrite _,
     "q415_cdc_jdbc" -> cdcJdbc _,
@@ -4264,6 +4340,26 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q418: the oracle recomputes the star join's FINAL groups from
+    // scratch — fact after reprice/erasure/ingest joined to the dim
+    // after re-homing — so a missed migration (F₀⋈ΔD leg), a
+    // double-count (ΔF⋈ΔD cancellation), or a drifted counter moves
+    // the hash
+    "q418_mv_join_incremental" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (
+        |  SELECT k, k % 50 AS jk,
+        |    CASE WHEN k % 7 = 0 THEN k * 5 ELSE k * 2 END AS cents
+        |  FROM src WHERE k % 10 < 8 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k, k % 50, k * 2 FROM src WHERE k % 10 = 8),
+        |d AS (SELECT i AS jk, CASE WHEN i % 10 = 3 THEN 'moved'
+        |  WHEN i % 5 = 0 THEN 'z'
+        |  ELSE 'g' || CAST(i % 5 AS VARCHAR) END AS grp
+        |  FROM range(50) t(i))
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d USING (jk) GROUP BY grp ORDER BY grp""".stripMargin,
     // q417: the oracle recomputes the FINAL groups from scratch — the
     // k%7 repricing (rows present at merge time), the k%11 erasure
     // (post-delete appends survive), the k%10=8 ingest — so a drifted

@@ -90,9 +90,16 @@ object GraftMaterializedViews {
   final case class AggShape(baseDir: String, groupCols: Seq[String],
                             sumCols: Seq[String])
 
+  /** The two-table star shape: fact ⋈ dim on one key, grouped +
+    * count/sums — maintained from BOTH bases' change feeds via the
+    * delta-join identity (q259 at engine level). */
+  final case class JoinShape(factDir: String, dimDir: String, joinKey: String,
+                             groupCols: Seq[String], sumCols: Seq[String])
+
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
                          outputWidth: Int, aggShape: Option[AggShape] = None,
+                         joinShape: Option[JoinShape] = None,
                          rootNode: String = "", persistDir: Option[String] = None,
                          fpVerified: Boolean = true)
 
@@ -180,7 +187,7 @@ object GraftMaterializedViews {
       sys.error(s"GraftMaterializedViews.refresh: no view '$name'"))
     val nd = materialize(spark, name, v.defSql, v.mvDir, v.deps.map(_._1),
       v.persistDir)
-    install(nd.copy(aggShape = v.aggShape))
+    install(nd.copy(aggShape = v.aggShape, joinShape = v.joinShape))
   }
 
   /** Register the INCREMENTALLY-maintainable shape — group keys +
@@ -205,25 +212,67 @@ object GraftMaterializedViews {
     defSql
   }
 
-  /** Incremental refresh for [[registerAgg]] views: read ONLY the base's
-    * change feed since the recorded version (insert events add, delete
-    * events subtract — an update's delete+insert pair nets the
-    * difference), merge the delta partials into the stored |groups| rows
-    * with one full-outer join, drop groups whose count reaches zero, and
-    * overwrite the MV. O(|delta| + |groups|) — history is never
-    * re-aggregated, which is the only refresh shape that survives a
-    * 100 TB base with daily deltas. Rewrite commits in range contribute
-    * zero events (the feed's marker contract), so compaction on the base
-    * never forces a full recompute. Content is identical to [[refresh]]
-    * by the distributive-aggregate algebra — spec-pinned both
-    * exceptAll directions. */
+  /** Register the two-table STAR shape: `factSql ⋈ dimSql USING
+    * (joinKey)`, grouped, with count(*) + per-column sums — the
+    * dashboard query over a 100 TB fact and its dimension. Incremental
+    * maintenance composes the q259 delta-join identity with the
+    * distributive fold: [[refreshIncremental]] refreshes from BOTH
+    * bases' change feeds without ever re-joining history. Returns the
+    * definition SQL (exactly what the rewrite will match). */
+  def registerJoinAgg(spark: SparkSession, name: String,
+                      factSql: String, factDir: String,
+                      dimSql: String, dimDir: String, joinKey: String,
+                      groupCols: Seq[String], sumCols: Seq[String],
+                      mvDir: String,
+                      persistDir: Option[String] = None): String = {
+    require(groupCols.nonEmpty, "registerJoinAgg: no group columns")
+    require(factDir != dimDir,
+      "registerJoinAgg: fact and dim must be distinct tables " +
+        "(self-join deltas need both sides' versions to move independently)")
+    val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
+      sumCols.map(c => s", sum($c) AS sum_$c").mkString +
+      s" FROM $factSql JOIN $dimSql USING ($joinKey)" +
+      s" GROUP BY ${groupCols.mkString(", ")}"
+    val nd = materialize(spark, name, defSql, mvDir, Seq(factDir, dimDir),
+      persistDir)
+    install(nd.copy(joinShape =
+      Some(JoinShape(factDir, dimDir, joinKey, groupCols, sumCols))))
+    defSql
+  }
+
+  /** Incremental refresh for [[registerAgg]] / [[registerJoinAgg]]
+    * views: read ONLY the bases' change feeds since the recorded
+    * versions (insert events add, delete events subtract — an update's
+    * delete+insert pair nets the difference), merge the delta partials
+    * into the stored |groups| rows with one full-outer join, drop groups
+    * whose count reaches zero, and overwrite the MV. Single-table shape:
+    * O(|delta| + |groups|) — history is never re-aggregated, which is
+    * the only refresh shape that survives a 100 TB base with daily
+    * deltas. Join shape: the delta of the join is
+    * `ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD` (signed) — F₀⋈D₀, the history join, is
+    * never recomputed, and an UNCHANGED side skips its snapshot read
+    * entirely (the common fact-only day touches the dim snapshot only
+    * as the broadcast probe target of the fact delta). Rewrite commits
+    * in range contribute zero events (the feed's marker contract), so
+    * compaction on a base never forces a full recompute. Content is
+    * identical to [[refresh]] by the distributive-aggregate algebra —
+    * spec-pinned both exceptAll directions. */
   def refreshIncremental(spark: SparkSession, name: String): Unit = {
-    import org.apache.spark.sql.functions._
     val v = Option(views.get(name)).getOrElse(
       sys.error(s"GraftMaterializedViews.refreshIncremental: no view '$name'"))
-    val sh = v.aggShape.getOrElse(sys.error(
-      s"refreshIncremental: view '$name' was not registered with " +
-        "registerAgg (arbitrary definitions re-materialize with refresh)"))
+    (v.aggShape, v.joinShape) match {
+      case (Some(sh), _) => refreshIncrementalAgg(spark, v, sh)
+      case (_, Some(sh)) => refreshIncrementalJoin(spark, v, sh)
+      case _ => sys.error(
+        s"refreshIncremental: view '$name' was not registered with " +
+          "registerAgg/registerJoinAgg (arbitrary definitions " +
+          "re-materialize with refresh)")
+    }
+  }
+
+  private def refreshIncrementalAgg(spark: SparkSession, v: MvDef,
+                                    sh: AggShape): Unit = {
+    import org.apache.spark.sql.functions._
     val (dir, recorded) = v.deps.head
     val head = ManifestTable.currentVersion(dir)
     if (head == recorded) return
@@ -232,12 +281,64 @@ object GraftMaterializedViews {
     val delta = feed.groupBy(sh.groupCols.map(col): _*)
       .agg(sum(sign).as("_d_n"),
         sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
+    foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head))
+  }
+
+  private def refreshIncrementalJoin(spark: SparkSession, v: MvDef,
+                                     sh: JoinShape): Unit = {
+    import org.apache.spark.sql.functions._
+    val Seq((fDir, fRec), (dDir, dRec)) = v.deps
+    val fHead = ManifestTable.currentVersion(fDir)
+    val dHead = ManifestTable.currentVersion(dDir)
+    if (fHead == fRec && dHead == dRec) return
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    def proj(df: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.Column) =
+      df.select(sh.groupCols.map(col) ++ sh.sumCols.map(col) :+
+        s.as("_sign"): _*)
+    val dF = if (fHead > fRec)
+      Some(ManifestTable.changeFeed(spark, fDir, fRec, fHead)
+        .withColumn("_sf", sign).drop("_change_type")) else None
+    val dD = if (dHead > dRec)
+      Some(ManifestTable.changeFeed(spark, dDir, dRec, dHead)
+        .withColumn("_sd", sign).drop("_change_type")) else None
+    // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD, every event row signed ±1 and a
+    // joined row's sign the PRODUCT of its sides' — the q259 identity.
+    // The deltas are the small side of every join: broadcast them.
+    val parts = mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    dF.foreach { f =>
+      parts += proj(broadcast(f)
+        .join(ManifestTable.read(spark, dDir, dRec), Seq(sh.joinKey)),
+        col("_sf")): Unit
+    }
+    dD.foreach { d =>
+      parts += proj(ManifestTable.read(spark, fDir, fRec)
+        .join(broadcast(d), Seq(sh.joinKey)), col("_sd")): Unit
+    }
+    for (f <- dF; d <- dD)
+      parts += proj(f.join(broadcast(d), Seq(sh.joinKey)),
+        col("_sf") * col("_sd")): Unit
+    val delta = parts.reduce(_ unionByName _)
+      .groupBy(sh.groupCols.map(col): _*)
+      .agg(sum(col("_sign")).as("_d_n"),
+        sh.sumCols.map(c => sum(col("_sign") * col(c)).as(s"_d_$c")): _*)
+    foldDelta(spark, v, sh.groupCols, sh.sumCols, delta,
+      Seq(fDir -> fHead, dDir -> dHead))
+  }
+
+  /** Fold signed delta partials (`_d_n`, `_d_<c>`) into the stored
+    * groups: one full-outer join against the O(|groups|) MV, zero-count
+    * groups dropped, MV overwritten, dependency versions advanced. */
+  private def foldDelta(spark: SparkSession, v: MvDef,
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        delta: org.apache.spark.sql.DataFrame,
+                        newDeps: Seq[(String, Int)]): Unit = {
+    import org.apache.spark.sql.functions._
     val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
-    val merged = cur.join(delta, sh.groupCols, "full_outer")
-      .select(sh.groupCols.map(col) ++
+    val merged = cur.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++
         Seq((coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("_d_n"), lit(0L))).as("n_rows")) ++
-        sh.sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+        sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
           coalesce(col(s"_d_$c"), lit(0L)))
           // the stored column's own type — integer sums merge EXACTLY
           // (the identity-to-recompute pin holds); float sums would
@@ -245,7 +346,7 @@ object GraftMaterializedViews {
           .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
       .filter(col("n_rows") > 0)
     ManifestTable.commit(merged, v.mvDir, append = false): Unit
-    install(v.copy(deps = Seq(dir -> head), fpVerified = true))
+    install(v.copy(deps = newDeps, fpVerified = true))
   }
 
   /** Unregister (and, for persisted views, tombstone the sidecar so a
@@ -331,6 +432,13 @@ object GraftMaterializedViews {
       b += s"agg.groupCols=${sh.groupCols.map(enc).mkString(",")}"
       b += s"agg.sumCols=${sh.sumCols.map(enc).mkString(",")}"
     }
+    d.joinShape.foreach { sh =>
+      b += s"join.factDir=${enc(sh.factDir)}"
+      b += s"join.dimDir=${enc(sh.dimDir)}"
+      b += s"join.joinKey=${enc(sh.joinKey)}"
+      b += s"join.groupCols=${sh.groupCols.map(enc).mkString(",")}"
+      b += s"join.sumCols=${sh.sumCols.map(enc).mkString(",")}"
+    }
     b.toSeq
   }
 
@@ -348,8 +456,11 @@ object GraftMaterializedViews {
       val i = v.lastIndexOf('|'); dec(v.substring(0, i)) -> v.substring(i + 1).toInt }
     val agg = opt("agg.baseDir").map(bd =>
       AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols"))))
+    val join = opt("join.factDir").map(fd =>
+      JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
+        cols(one("join.groupCols")), cols(one("join.sumCols"))))
     MvDef(name, dec(one("defSql")), dec(one("mvDir")), deps,
-      dec(one("fingerprint")), one("outputWidth").toInt, agg,
+      dec(one("fingerprint")), one("outputWidth").toInt, agg, join,
       rootNode = dec(one("rootNode")), persistDir = Some(persistDir),
       // fingerprints are session artifacts: re-derive before first use
       fpVerified = false)

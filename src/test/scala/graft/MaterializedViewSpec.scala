@@ -158,6 +158,56 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t2")
   }
 
+  test("registerJoinAgg: star MV refreshes from BOTH feeds via the delta-join identity") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.jf (k BIGINT, jk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.jd (jk BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gmvs.ns.jf VALUES (1,0,10),(2,1,20),(3,0,30),(4,2,40)")
+    spark.sql("INSERT INTO gmvs.ns.jd VALUES (0,'a'),(1,'b'),(2,'a')")
+    val fDir = s"$wh/ns/jf"; val dDir = s"$wh/ns/jd"
+    val defSql = GraftMaterializedViews.registerJoinAgg(spark, "mv_join",
+      "gmvs.ns.jf", fDir, "gmvs.ns.jd", dDir, "jk", Seq("grp"), Seq("v"),
+      s"$wh/ns/_mv_join")
+    val h0 = GraftMaterializedViews.hits("mv_join")
+    val q1 = spark.sql(defSql + " ORDER BY grp")
+    assert(q1.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 80L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("mv_join") == h0 + 1,
+      "the exact star query must serve from the MV")
+    // fact churn: reprice k=1, erase k=2 (grp b's only row), ingest k=5;
+    // dim churn: jk=2 re-homes a → c — the F₀⋈ΔD leg must move k=4's
+    // row AND the ΔF⋈ΔD leg must net k=5 into 'c', not 'a'
+    ManifestTable.merge(Seq((1L, 0L, 100L)).toDF("k", "jk", "v"), fDir, "k")
+    ManifestTable.delete(Seq(2L).toDF("k"), fDir, "k")
+    ManifestTable.commit(Seq((5L, 2L, 5L)).toDF("k", "jk", "v"),
+      fDir, append = true)
+    ManifestTable.merge(Seq((2L, "c")).toDF("jk", "grp"), dDir, "jk")
+    val q2 = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    assert(GraftMaterializedViews.hits("mv_join") == h0 + 1,
+      "the stale star MV must not serve")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_join")
+    val q3 = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_join") == h0 + 2,
+      "the incrementally refreshed star MV must serve again")
+    assert(q3.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 130L), ("c", 2L, 45L)),
+      "delta-join fold: repriced row nets, erased group drops at zero, " +
+        "re-homed dim rows migrate, new fact row lands in the NEW home")
+    assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "incrementally maintained star groups must equal the from-base join")
+    // a no-op refresh (no new commits on either base) changes nothing
+    GraftMaterializedViews.refreshIncremental(spark, "mv_join")
+    assert(spark.sql(defSql).count() == 2)
+    // dim-ONLY churn: jk=0 re-homes a → d; the refresh reads the fact
+    // SNAPSHOT only as the probe side, never re-joining history twice
+    ManifestTable.merge(Seq((0L, "d")).toDF("jk", "grp"), dDir, "jk")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_join")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("c", 2L, 45L), ("d", 2L, 130L)))
+    GraftMaterializedViews.drop("mv_join")
+  }
+
   test("durable registry: a restarted session over the same warehouse re-arms the MV") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t6 (k BIGINT, grp STRING, v BIGINT)")
