@@ -2310,6 +2310,69 @@ object WarehouseQueries {
     q3.orderBy($"grp")
   }
 
+  // q419: MIN/MAX MV REFRESH (r14) — the non-subtractable aggregate
+  // shape: a delete can remove a group's extremum and the true
+  // runner-up lives only in the base, so a signed feed fold is
+  // structurally impossible. `refreshIncremental` instead re-aggregates
+  // ONLY the TOUCHED groups (distinct group keys in the feed) from a
+  // semi-join-pruned base scan and carries every untouched group's
+  // stored row verbatim — at 100 TB the touched set is the day's active
+  // groups, and with the base clustered on the group key the pruned
+  // scan file-skips too; history is never re-aggregated for the
+  // untouched (nearly all) groups. The face deletes each group's
+  // CURRENT MAX row (per-group argmax — the adversarial delete), then
+  // ingests a fresh batch; ONE refresh must recover the runner-up max
+  // where the ingest didn't overtake it, admit the ingested extrema
+  // where it did, and keep counts/sums exact — pinned ≡ the from-base
+  // recompute and oracle-recomputed from scratch.
+  def mvMinMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.max
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q419_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat419", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat419.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    rows.createOrReplaceTempView("q419_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat419.db.base")
+    s.sql("CREATE TABLE graft_cat419.db.base (k BIGINT, pri STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat419.db.base " +
+      "SELECT k, pri, cents FROM q419_src WHERE k % 10 < 8")
+    val baseDir = s"$out/db/base"
+    val defSql = GraftMaterializedViews.registerAgg(s, "q419_mv",
+      "graft_cat419.db.base", baseDir, Seq("pri"), Seq("cents"),
+      s"$out/db/_mv_mm", minCols = Seq("cents"), maxCols = Seq("cents"))
+    val h0 = GraftMaterializedViews.hits("q419_mv")
+    s.sql(defSql + " ORDER BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q419_mv") == h0 + 1,
+      "q419: the registered min/max aggregate must serve from the MV")
+    // the adversarial delete: each group's current argmax (cents is
+    // monotone in k, so max k per pri) — the runner-up max is base-only
+    ManifestTable.delete(rows.filter($"k" % 10 < 8)
+      .groupBy($"pri").agg(max($"k").as("k")).select($"k"), baseDir, "k")
+    ManifestTable.commit(rows.filter($"k" % 10 === 8), baseDir, append = true)
+    val q2 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q419_mv") == h0 + 1,
+      "q419: the stale min/max MV must not serve")
+    GraftMaterializedViews.refreshIncremental(s, "q419_mv")
+    val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+    require(GraftMaterializedViews.hits("q419_mv") == h0 + 2,
+      "q419: the refreshed min/max MV must serve again")
+    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "q419: touched-group re-aggregation must equal the from-base " +
+        "recompute (stale-extremum IVM bug class)")
+    GraftMaterializedViews.drop("q419_mv")
+    q3.orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -4250,6 +4313,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q419_mv_minmax" -> mvMinMax _,
     "q418_mv_join_incremental" -> mvJoinIncremental _,
     "q417_mv_incremental" -> mvIncremental _,
     "q416_mv_rewrite" -> mvRewrite _,
@@ -4340,6 +4404,24 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q419: the oracle recomputes min/max/count/sum per group from the
+    // FINAL base — per-group argmax deleted, fresh batch ingested — so
+    // a stale extremum (the subtractive-fold bug) or a missed touched
+    // group moves the hash
+    "q419_mv_minmax" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |b AS (SELECT k, pri, k * 2 AS cents FROM src WHERE k % 10 < 8),
+        |mx AS (SELECT pri, max(k) AS mk FROM b GROUP BY pri),
+        |f AS (
+        |  SELECT b.k, b.pri, b.cents FROM b JOIN mx ON b.pri = mx.pri
+        |  WHERE b.k <> mx.mk
+        |  UNION ALL SELECT k, pri, k * 2 FROM src WHERE k % 10 = 8)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q418: the oracle recomputes the star join's FINAL groups from
     // scratch — fact after reprice/erasure/ingest joined to the dim
     // after re-homing — so a missed migration (F₀⋈ΔD leg), a

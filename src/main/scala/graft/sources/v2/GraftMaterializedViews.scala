@@ -86,9 +86,15 @@ import graft.sources.ManifestTable
 object GraftMaterializedViews {
 
   /** The incrementally-maintainable aggregate shape: group keys +
-    * count(*) + per-column sums over ONE base table. */
+    * count(*) + per-column sums (and optionally mins/maxs) over ONE
+    * base table. Sums/counts are SUBTRACTABLE (deletes fold as −1);
+    * min/max are not — a delete may remove the extremum, so their
+    * refresh re-aggregates the TOUCHED groups from a key-pruned base
+    * scan instead (see [[refreshIncremental]]). */
   final case class AggShape(baseDir: String, groupCols: Seq[String],
-                            sumCols: Seq[String])
+                            sumCols: Seq[String],
+                            minCols: Seq[String] = Nil,
+                            maxCols: Seq[String] = Nil)
 
   /** The two-table star shape: fact ⋈ dim on one key, grouped +
     * count/sums — maintained from BOTH bases' change feeds via the
@@ -202,13 +208,18 @@ object GraftMaterializedViews {
   def registerAgg(spark: SparkSession, name: String, baseSql: String,
                   baseDir: String, groupCols: Seq[String],
                   sumCols: Seq[String], mvDir: String,
-                  persistDir: Option[String] = None): String = {
+                  persistDir: Option[String] = None,
+                  minCols: Seq[String] = Nil,
+                  maxCols: Seq[String] = Nil): String = {
     require(groupCols.nonEmpty, "registerAgg: no group columns")
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
+      minCols.map(c => s", min($c) AS min_$c").mkString +
+      maxCols.map(c => s", max($c) AS max_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
-    install(nd.copy(aggShape = Some(AggShape(baseDir, groupCols, sumCols))))
+    install(nd.copy(aggShape =
+      Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols))))
     defSql
   }
 
@@ -277,11 +288,38 @@ object GraftMaterializedViews {
     val head = ManifestTable.currentVersion(dir)
     if (head == recorded) return
     val feed = ManifestTable.changeFeed(spark, dir, recorded, head)
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val delta = feed.groupBy(sh.groupCols.map(col): _*)
-      .agg(sum(sign).as("_d_n"),
-        sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
-    foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head))
+    if (sh.minCols.isEmpty && sh.maxCols.isEmpty) {
+      // pure-distributive shape: fold the feed, never touch the base
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val delta = feed.groupBy(sh.groupCols.map(col): _*)
+        .agg(sum(sign).as("_d_n"),
+          sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
+      foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head))
+    } else {
+      // min/max don't subtract: a delete may remove a group's extremum
+      // and the true runner-up lives only in the base. Re-aggregate the
+      // TOUCHED groups (distinct group keys in the feed) from a
+      // semi-join-pruned base scan — O(|groups| + base∩touched), still
+      // never full history re-aggregated for the untouched groups,
+      // which at 100 TB is nearly all of them. Cluster the base on the
+      // group key (`write.order`) and the touched scan file-skips too.
+      val touched = feed.select(sh.groupCols.map(col): _*).distinct()
+      val base = ManifestTable.read(spark, dir)
+      val recomputed = base
+        .join(broadcast(touched), sh.groupCols, "left_semi")
+        .groupBy(sh.groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sh.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          sh.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          sh.maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+      val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
+      // untouched groups carry verbatim; touched groups (including any
+      // whose last row vanished — absent from `recomputed`) replace
+      val merged = cur.join(broadcast(touched), sh.groupCols, "left_anti")
+        .unionByName(recomputed.select(cur.columns.map(col).toSeq: _*))
+      ManifestTable.commit(merged, v.mvDir, append = false): Unit
+      install(v.copy(deps = Seq(dir -> head), fpVerified = true))
+    }
   }
 
   private def refreshIncrementalJoin(spark: SparkSession, v: MvDef,
@@ -431,6 +469,10 @@ object GraftMaterializedViews {
       b += s"agg.baseDir=${enc(sh.baseDir)}"
       b += s"agg.groupCols=${sh.groupCols.map(enc).mkString(",")}"
       b += s"agg.sumCols=${sh.sumCols.map(enc).mkString(",")}"
+      if (sh.minCols.nonEmpty)
+        b += s"agg.minCols=${sh.minCols.map(enc).mkString(",")}"
+      if (sh.maxCols.nonEmpty)
+        b += s"agg.maxCols=${sh.maxCols.map(enc).mkString(",")}"
     }
     d.joinShape.foreach { sh =>
       b += s"join.factDir=${enc(sh.factDir)}"
@@ -455,7 +497,9 @@ object GraftMaterializedViews {
     val deps = kv.collect { case ("dep", v) =>
       val i = v.lastIndexOf('|'); dec(v.substring(0, i)) -> v.substring(i + 1).toInt }
     val agg = opt("agg.baseDir").map(bd =>
-      AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols"))))
+      AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols")),
+        opt("agg.minCols").map(cols).getOrElse(Nil),
+        opt("agg.maxCols").map(cols).getOrElse(Nil)))
     val join = opt("join.factDir").map(fd =>
       JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
         cols(one("join.groupCols")), cols(one("join.sumCols"))))

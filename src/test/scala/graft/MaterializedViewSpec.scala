@@ -158,6 +158,53 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t2")
   }
 
+  test("min/max MV: a deleted extremum recovers the true runner-up via touched-group re-aggregation") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.mm (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.mm VALUES " +
+      "(1,'a',10),(2,'a',20),(3,'a',15),(4,'b',5),(5,'b',8),(6,'c',99)")
+    val baseDir = s"$wh/ns/mm"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_mm",
+      "gmvs.ns.mm", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_mm",
+      minCols = Seq("v"), maxCols = Seq("v"))
+    assert(defSql.contains("min(v) AS min_v") &&
+      defSql.contains("max(v) AS max_v"))
+    val h0 = GraftMaterializedViews.hits("mv_mm")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 45L, 10L, 20L), ("b", 2L, 13L, 5L, 8L),
+        ("c", 1L, 99L, 99L, 99L)))
+    assert(GraftMaterializedViews.hits("mv_mm") == h0 + 1)
+    // delete a's CURRENT MAX (k=2, v=20) and b's CURRENT MIN (k=4, v=5);
+    // the true runner-ups (15, 8) live only in the base — a subtractive
+    // fold cannot recover them. Erase group c entirely. Untouched
+    // groups… there are none here, so also insert a fresh group d to
+    // pin that recompute admits new groups.
+    ManifestTable.delete(Seq(2L, 4L, 6L).toDF("k"), baseDir, "k")
+    ManifestTable.commit(Seq((7L, "d", 3L)).toDF("k", "grp", "v"),
+      baseDir, append = true)
+    val q2 = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    assert(GraftMaterializedViews.hits("mv_mm") == h0 + 1,
+      "the stale min/max MV must not serve")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_mm")
+    val q3 = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_mm") == h0 + 2)
+    assert(q3.as[(String, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 25L, 10L, 15L), ("b", 1L, 8L, 8L, 8L),
+        ("d", 1L, 3L, 3L, 3L)),
+      "deleted extrema must recover the runner-up; zero-count groups " +
+        "drop; new groups admit")
+    assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty)
+    // an update that RAISES the max folds through the same path
+    ManifestTable.merge(Seq((1L, "a", 70L)).toDF("k", "grp", "v"),
+      baseDir, "k")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_mm")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().head ==
+      (("a", 2L, 85L, 15L, 70L)))
+    GraftMaterializedViews.drop("mv_mm")
+  }
+
   test("registerJoinAgg: star MV refreshes from BOTH feeds via the delta-join identity") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.jf (k BIGINT, jk BIGINT, v BIGINT)")
