@@ -1877,7 +1877,14 @@ object WarehouseQueries {
   // rewrite or delete: history was only ever extended, never rescanned
   // into a rewrite. The oracle recomputes the interval algebra
   // relationally (per-key event list, lead() closure, delete horizon,
-  // reopen after delete).
+  // reopen after delete). r14 composition upgrades: (1) the open table
+  // is KEY-CLUSTERED (range-partitioned on k) and every CLOSE scan is
+  // stats-bounded to the delta's key range — the narrow v6 refresh
+  // require-pins the file-skip; (2) a delete-tolerant BINPACK runs on
+  // the open table MID-BATTERY (content carried bit-exactly,
+  // require-pinned) and the refresh loop continues from the compacted
+  // state — maintenance cadence and refresh cadence decoupled, the
+  // closed table's append-only pin surviving both.
   def scd2Keyed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = s"${sys.props("java.io.tmpdir")}/graft_q412_${Integer.toHexString(dir.hashCode)}"
@@ -1902,19 +1909,39 @@ object WarehouseQueries {
       src, "k")                                                         // v4
     ManifestTable.merge(keys.filter($"k" % 18 === 0)
       .select($"k", ($"k" * 13).as("v")), src, "k")                     // v5
-    // open state initializes from the v1 snapshot
+    ManifestTable.merge(keys.filter($"k" >= 100 && $"k" < 200)
+      .select($"k", ($"k" * 17).as("v")), src, "k")                     // v6 narrow
+    // open state initializes from the v1 snapshot, CLUSTERED on the key
+    // (write.order on k): disjoint per-file k ranges make every
+    // range-bounded refresh file-skippable
     ManifestTable.commit(ManifestTable.read(s, src, 1)
-      .select($"k", $"v", lit(1L).as("valid_from")), open, append = false)
-    (2 to ManifestTable.currentVersion(src)).foreach { ver =>
+      .select($"k", $"v", lit(1L).as("valid_from"))
+      .repartitionByRange(2, $"k"), open, append = false)
+    def refresh(ver: Int): Unit = {
       val feed = ManifestTable.changeFeed(s, src, ver - 1, ver)
         .localCheckpoint()
       val touched = feed.select($"k").distinct().localCheckpoint()
       val nTouched = touched.count()
       if (nTouched > 0) {
         // CLOSE: only the touched keys' open rows move — never the
-        // closed history (at 100 TB the open table is key-clustered and
-        // this semi join is file-skipped to the touched key ranges)
-        val closing = ManifestTable.read(s, open)
+        // closed history. The open scan is STATS-BOUNDED to the touched
+        // key range (readWhere prunes on the manifest's per-file
+        // min/max), so on the key-clustered open table a narrow delta
+        // opens only the files its range intersects.
+        val bnd = touched.agg(min($"k").as("lo"), max($"k").as("hi")).head
+        val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+        if (ver == 6) {
+          // the 100 TB pin: the narrow [100, 200) refresh must SKIP
+          // open files outside its range — clustering + stats, proven,
+          // not assumed
+          val (kept, total) = ManifestTable.pruneInfo(open, "k",
+            lo.toDouble, hi.toDouble)
+          require(kept < total,
+            s"q412: the range-bounded refresh must file-skip the " +
+              s"clustered open table (kept $kept of $total files)")
+        }
+        val closing = ManifestTable.readWhere(s, open, "k",
+            lo.toDouble, hi.toDouble)
           .join(broadcast(touched), Seq("k"), "left_semi")
           .withColumn("valid_to", lit(ver.toLong))
           .localCheckpoint()
@@ -1935,6 +1962,24 @@ object WarehouseQueries {
           ManifestTable.commit(ins, open, append = true): Unit
       }
     }
+    (2 to 3).foreach(refresh)
+    // MAINTENANCE MID-BATTERY: the open table accumulates one MoR
+    // delete chain per refresh — production compacts it on the same
+    // cadence as any keyed table. Bin-pack the small files (the
+    // refreshes' appends, under their equality-delete chains) while the
+    // loop is mid-flight: content must carry bit-exactly, the LATER
+    // refreshes continue from the compacted state, and the final
+    // battery + the closed table's append-only pin prove nothing bent.
+    val openBefore = ManifestTable.read(s, open).localCheckpoint()
+    val bigMin = ManifestTable.filesTable(s, open)
+      .filter($"seq" === 1).select($"path").as[String].collect()
+      .map(p => new java.io.File(p).length()).min
+    ManifestTable.compactSmall(s, open, (bigMin * 3) / 4): Unit
+    val openAfter = ManifestTable.read(s, open)
+    require(openBefore.exceptAll(openAfter).isEmpty &&
+      openAfter.exceptAll(openBefore).isEmpty,
+      "q412: binpack on the open table must preserve its content exactly")
+    (4 to ManifestTable.currentVersion(src)).foreach(refresh)
     // the append-only pin: changes() THROWS if any closed-table commit
     // rewrote or deleted — the history was only ever EXTENDED
     require(ManifestTable.changes(s, closed, 0).count() > 0,
@@ -4504,15 +4549,20 @@ object WarehouseQueries {
         |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q412: the same interval algebra as q409's oracle, over the split
     // open/closed state's history — update moduli differ, the delete
-    // horizon closes at v4, and the v5 RE-INSERT opens a second interval
-    // for k%18=0 keys (reopen-after-close, the drifted-open-set killer)
+    // horizon closes at v4, the v5 RE-INSERT opens a second interval
+    // for k%18=0 keys (reopen-after-close, the drifted-open-set killer),
+    // and v6 narrowly touches [100, 200) — the range the face's
+    // clustered open table must file-skip to (r14; a deleted-at-4 key
+    // in range re-inserts at 6, which the delete-horizon CASE leaves
+    // open-ended correctly)
     "q412_scd2_keyed" ->
       """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
         |seg AS (
         |  SELECT k, 1 AS vf, k * 2 AS v FROM k
         |  UNION ALL SELECT k, 2, k * 3 FROM k WHERE k % 4 = 0
         |  UNION ALL SELECT k, 3, k * 7 FROM k WHERE k % 6 = 0
-        |  UNION ALL SELECT k, 5, k * 13 FROM k WHERE k % 18 = 0),
+        |  UNION ALL SELECT k, 5, k * 13 FROM k WHERE k % 18 = 0
+        |  UNION ALL SELECT k, 6, k * 17 FROM k WHERE k >= 100 AND k < 200),
         |iv AS (SELECT k, v, vf,
         |    lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt FROM seg)
         |SELECT k, v, CAST(vf AS BIGINT) AS valid_from,
