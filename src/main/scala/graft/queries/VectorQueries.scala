@@ -1434,6 +1434,149 @@ object VectorQueries {
       .orderBy($"kcell")
   }
 
+  // q420: THE RETRAIN LOOP ON THE STREAMING PATH (r14) — q410 closes
+  // monitor → retrain → rebuild → resumed maintenance as a BATCH
+  // choreography; q397 maintains the index from the table-as-stream
+  // under frozen centroids. This face composes them: the foreachBatch
+  // maintainer resolves the quantizer from the VERSIONED SIDECAR ON
+  // EVERY TRIGGER (never a closure-captured driver variable), the PSI
+  // monitor rides each batch on the counts maintenance already
+  // computes, and when the drifted batch trips the 0.2 bar the retrain
+  // lands BETWEEN TRIGGERS — cv=2 centroids + an index rebuilt at
+  // exactly the stream's delivered version — so the NEXT trigger
+  // self-assigns under cv=2 with zero duplicated and zero lost rows.
+  // Require-pinned: the per-batch artifact log must read (batch0→cv1
+  // quiet, batch1→cv1 trips, batch2→cv2) — a per-job quantizer
+  // resolution (the natural bug: read the sidecar once at stream start)
+  // leaves batch2 on cv1 and fails the log pin, and any drift in the
+  // rebuild-at-boundary handoff breaks the final identity: the finished
+  // index (plus the post-stream GDPR tombstones) must equal the
+  // from-scratch cv=2 rebuild of the final snapshot, both exceptAll
+  // directions. End state ≡ q410's loop, so the oracle recomputes the
+  // same retrain-corpus k-means + final live assignment from scratch.
+  // At 100 TB: the sidecar listing is one O(1) directory read per
+  // trigger — the price of a maintainer that never needs restarting
+  // when the scheduled retrainer publishes a new quantizer.
+  def streamRetrainLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val kCoarse = 8
+    val Thresh = 0.2
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_q420_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base0}_p${ProcessHandle.current().pid()}"
+    graft.queries.Q88Scratch.sweepAndRegister(base0, out)
+    def rmf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmf); f.delete(): Unit }
+    rmf(new java.io.File(out))
+    val emb = Relational.spread(Tables(s, dir).embeddings, $"vec_id")
+      .select($"vec_id", $"embedding")
+    val embT = emb.schema("embedding").dataType
+    def quant(df: DataFrame): DataFrame = annQuant(s, df)
+    def writeCentroids(cv: Int, ckm: Seq[(Int, Seq[Int])]): Unit =
+      ckm.toDF("j", "c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/_index/centroids_v$cv")
+    def readCentroids(cv: Int): Seq[(Int, Seq[Int])] =
+      s.read.parquet(s"$out/_index/centroids_v$cv").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    // the maintainer's handshake with the retrainer: the LATEST
+    // centroid version is whatever the sidecar directory holds NOW
+    def latestCv(): Int =
+      Option(new java.io.File(s"$out/_index").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.matches("centroids_v\\d+"))
+        .map(_.stripPrefix("centroids_v").toInt).max
+    def cellShares(idx: DataFrame): Map[Int, Long] =
+      idx.groupBy($"kcell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def psiOf(a: Map[Int, Long], b: Map[Int, Long]): Double = {
+      val (ta, tb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        val pa = a.getOrElse(k, 0L) / ta; val pb = b.getOrElse(k, 0L) / tb
+        if (pa > 0 && pb > 0) (pa - pb) * math.log(pa / pb) else 0.0
+      }.sum
+    }
+    val tbl = s"$out/tbl"
+    // v1: init, train cv=1, build index_cv1
+    ManifestTable.commit(emb.filter($"vec_id" % 10 < 8), tbl, append = false)
+    val tblSchema = ManifestTable.read(s, tbl, 1).schema
+    val v1q = quant(ManifestTable.read(s, tbl, 1)).localCheckpoint()
+    val ckm1 = annTrainCentroids(s, v1q, kCoarse)
+    writeCentroids(1, ckm1)
+    v1q.select($"vec_id", pqArgminCode($"q", ckm1).as("kcell"))
+      .write.mode("overwrite").parquet(s"$out/index_cv1")
+    val trainShares = cellShares(s.read.parquet(s"$out/index_cv1"))
+    // three versions pend: routine ingest, the DRIFT batch, more ingest
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 8), tbl,
+      append = true)                                                    // v2
+    ManifestTable.commit(emb.filter($"vec_id" % 10 < 8)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding".cast("array<double>"), _ => lit(1.0))
+          .cast(embT).as("embedding")), tbl, append = true)             // v3 drift
+    ManifestTable.commit(emb.filter($"vec_id" % 10 === 9), tbl,
+      append = true)                                                    // v4
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val psis = scala.collection.mutable.ArrayBuffer[Double]()
+    val retrained = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+      .schema(tblSchema).option("path", tbl).option("startVersion", "1").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cv = latestCv() // EVERY trigger re-resolves the artifact
+        val ckm = readCentroids(cv)
+        annQuant(s, batch)
+          .select(col("vec_id"), pqArgminCode(col("q"), ckm).as("kcell"))
+          .write.mode("append").parquet(s"$out/index_cv$cv")
+        applied += ((id, cv))
+        // the monitor rides the batch: PSI of the maintained routing vs
+        // the train-time shares — one k-row aggregate
+        val psi = psiOf(trainShares,
+          cellShares(s.read.parquet(s"$out/index_cv$cv")))
+        psis += psi
+        if (psi >= Thresh && retrained.compareAndSet(false, true)) {
+          // RETRAIN between triggers, at exactly the delivered version
+          // (startVersion 1 + batches 0..id → v(2+id)): cv=2 sidecar +
+          // index rebuilt at that boundary — the next trigger's batch
+          // is precisely the first version the rebuild does NOT cover
+          val rv = 2 + id.toInt
+          val rq = quant(ManifestTable.read(s, tbl, rv))
+          writeCentroids(2, annTrainCentroids(s, rq, kCoarse))
+          val ckm2 = readCentroids(2)
+          rq.select(col("vec_id"), pqArgminCode(col("q"), ckm2).as("kcell"))
+            .write.mode("overwrite").parquet(s"$out/index_cv2")
+        }
+      }
+      .option("checkpointLocation", s"$out/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(applied.toSeq == Seq((0L, 1), (1L, 1), (2L, 2)),
+      s"q420: the maintainer must pick the retrained artifact up at the " +
+        s"NEXT trigger (per-batch sidecar read, not per-job): $applied")
+    require(psis.head < Thresh,
+      f"q420: the monitor must stay quiet on routine ingest (PSI ${psis.head}%.4f)")
+    require(psis(1) >= Thresh,
+      f"q420: the drifted batch must trip the retrain (PSI ${psis(1)}%.4f)")
+    // the compliance path stays post-stream (q397's shape): tombstone
+    // the GDPR erasure out of the cv=2 artifact
+    ManifestTable.delete(
+      emb.filter($"vec_id" % 17 === 0).select($"vec_id"), tbl, "vec_id") // v5
+    val tomb = ManifestTable.changeFeed(s, tbl, 4)
+      .filter($"_change_type" === "delete").select($"vec_id").distinct()
+    val ckm2 = readCentroids(2)
+    val live = s.read.parquet(s"$out/index_cv2")
+      .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+    val rebuilt = quant(
+        ManifestTable.read(s, tbl, ManifestTable.currentVersion(tbl)))
+      .select($"vec_id", pqArgminCode($"q", ckm2).as("kcell"))
+    require(live.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(live).isEmpty,
+      "q420: the stream-maintained index across the retrain boundary " +
+        "must equal the cv=2 from-scratch rebuild")
+    live.groupBy($"kcell".cast("long").as("kcell"))
+      .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_ids"),
+        min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
+      .select(lit(2).as("cv"), $"kcell", $"n_vectors", $"sum_ids",
+        $"min_id", $"max_id")
+      .orderBy($"kcell")
+  }
+
   // q411: MAXSIM SERVED FROM THE MAINTAINED INDEX (r13) — q408 scores
   // late-interaction against the exact corpus; production serves it
   // from the q391 feed-maintained IVF artifact: candidates come
@@ -1528,6 +1671,7 @@ object VectorQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q411_maxsim_index" -> maxsimOverIndex _,
+    "q420_stream_retrain" -> streamRetrainLoop _,
     "q410_ann_retrain" -> annRetrainLoop _,
     "q408_maxsim_retrieval" -> maxsimRetrieval _,
     "q406_filtered_ann" -> filteredAnn _,
@@ -1594,7 +1738,20 @@ object VectorQueries {
     // quantizer version, a drifted centroid, a missed insert, or a
     // surviving tombstone all move the hash. The drift rows quantize to
     // the constant round(127/sqrt(dim)) + 127 vector (all-ones input).
-    "q410_ann_retrain" ->
+    // q420: the streaming composition reproduces EXACTLY q410's end
+    // state (same corpus, same drift batch, same retrain boundary, same
+    // erasure) — the oracle is shared: the k-means + final-assignment
+    // recompute below
+    "q420_stream_retrain" -> retrainLoopOracle,
+    "q410_ann_retrain" -> retrainLoopOracle,
+  ) ++ oracles2
+
+  // the retrain loop's end state recomputed from scratch: int8
+  // quantization, the drift batch's closed-form codes, the retrain
+  // corpus (v1+v2+drift) k-means — seeded on vec_id < 8, one Lloyd
+  // step with (2·s+n)/(2·n) rounding, empty cells keeping their seed —
+  // then the final live set's assignment and per-cell rollup
+  private lazy val retrainLoopOracle: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(
         |    x / sqrt(list_sum(list_transform(v, y -> y * y))) * 127) AS INT) + 127) AS q
@@ -1636,7 +1793,9 @@ object VectorQueries {
         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         |  CAST(min(vec_id) AS BIGINT) AS min_id,
         |  CAST(max(vec_id) AS BIGINT) AS max_id
-        |FROM cell GROUP BY 2 ORDER BY kcell""".stripMargin,
+        |FROM cell GROUP BY 2 ORDER BY kcell""".stripMargin
+
+  private lazy val oracles2: Map[String, String] = Map(
     // q411: q408's maxsim recompute over the LIVE corpus (the GDPR
     // erasure applied) — the cell-probe production path is a require-pin
     // in the face, the exact answer is the hash
