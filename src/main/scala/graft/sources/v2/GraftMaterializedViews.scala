@@ -94,7 +94,8 @@ object GraftMaterializedViews {
   final case class AggShape(baseDir: String, groupCols: Seq[String],
                             sumCols: Seq[String],
                             minCols: Seq[String] = Nil,
-                            maxCols: Seq[String] = Nil)
+                            maxCols: Seq[String] = Nil,
+                            avgCols: Seq[String] = Nil)
 
   /** The two-table star shape: fact ⋈ dim on one key, grouped +
     * count/sums — maintained from BOTH bases' change feeds via the
@@ -210,16 +211,22 @@ object GraftMaterializedViews {
                   sumCols: Seq[String], mvDir: String,
                   persistDir: Option[String] = None,
                   minCols: Seq[String] = Nil,
-                  maxCols: Seq[String] = Nil): String = {
+                  maxCols: Seq[String] = Nil,
+                  avgCols: Seq[String] = Nil): String = {
     require(groupCols.nonEmpty, "registerAgg: no group columns")
+    require(avgCols.forall(sumCols.contains),
+      "registerAgg: every avg column must also be a sum column — avg is " +
+        "DERIVED (sum/count are the partials an incremental refresh folds; " +
+        "avg itself is not distributive)")
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
       minCols.map(c => s", min($c) AS min_$c").mkString +
       maxCols.map(c => s", max($c) AS max_$c").mkString +
+      avgCols.map(c => s", avg($c) AS avg_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
     install(nd.copy(aggShape =
-      Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols))))
+      Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols, avgCols))))
     defSql
   }
 
@@ -294,7 +301,8 @@ object GraftMaterializedViews {
       val delta = feed.groupBy(sh.groupCols.map(col): _*)
         .agg(sum(sign).as("_d_n"),
           sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
-      foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head))
+      foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head),
+        avgCols = sh.avgCols)
     } else {
       // min/max don't subtract: a delete may remove a group's extremum
       // and the true runner-up lives only in the base. Re-aggregate the
@@ -311,7 +319,8 @@ object GraftMaterializedViews {
         .agg(count(lit(1)).as("n_rows"),
           sh.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           sh.minCols.map(c => min(col(c)).as(s"min_$c")) ++
-          sh.maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
+          sh.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+          sh.avgCols.map(c => avg(col(c)).as(s"avg_$c")): _*)
       val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
       // untouched groups carry verbatim; touched groups (including any
       // whose last row vanished — absent from `recomputed`) replace
@@ -365,11 +374,15 @@ object GraftMaterializedViews {
 
   /** Fold signed delta partials (`_d_n`, `_d_<c>`) into the stored
     * groups: one full-outer join against the O(|groups|) MV, zero-count
-    * groups dropped, MV overwritten, dependency versions advanced. */
+    * groups dropped, declared averages RE-DERIVED from the folded
+    * sum/count partials (avg is not distributive; sum and count are its
+    * partials — the same derivation Spark's own Average performs), MV
+    * overwritten, dependency versions advanced. */
   private def foldDelta(spark: SparkSession, v: MvDef,
                         groupCols: Seq[String], sumCols: Seq[String],
                         delta: org.apache.spark.sql.DataFrame,
-                        newDeps: Seq[(String, Int)]): Unit = {
+                        newDeps: Seq[(String, Int)],
+                        avgCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
     val merged = cur.join(delta, groupCols, "full_outer")
@@ -383,7 +396,11 @@ object GraftMaterializedViews {
           // differ by summation order, same as any distributive merge
           .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
       .filter(col("n_rows") > 0)
-    ManifestTable.commit(merged, v.mvDir, append = false): Unit
+    val withAvg = avgCols.foldLeft(merged)((df, c) =>
+      df.withColumn(s"avg_$c", (col(s"sum_$c").cast("double") /
+        col("n_rows")).cast(cur.schema(s"avg_$c").dataType)))
+    ManifestTable.commit(withAvg.select(cur.columns.map(col).toSeq: _*),
+      v.mvDir, append = false): Unit
     install(v.copy(deps = newDeps, fpVerified = true))
   }
 
@@ -473,6 +490,8 @@ object GraftMaterializedViews {
         b += s"agg.minCols=${sh.minCols.map(enc).mkString(",")}"
       if (sh.maxCols.nonEmpty)
         b += s"agg.maxCols=${sh.maxCols.map(enc).mkString(",")}"
+      if (sh.avgCols.nonEmpty)
+        b += s"agg.avgCols=${sh.avgCols.map(enc).mkString(",")}"
     }
     d.joinShape.foreach { sh =>
       b += s"join.factDir=${enc(sh.factDir)}"
@@ -499,7 +518,8 @@ object GraftMaterializedViews {
     val agg = opt("agg.baseDir").map(bd =>
       AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols")),
         opt("agg.minCols").map(cols).getOrElse(Nil),
-        opt("agg.maxCols").map(cols).getOrElse(Nil)))
+        opt("agg.maxCols").map(cols).getOrElse(Nil),
+        opt("agg.avgCols").map(cols).getOrElse(Nil)))
     val join = opt("join.factDir").map(fd =>
       JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
         cols(one("join.groupCols")), cols(one("join.sumCols"))))

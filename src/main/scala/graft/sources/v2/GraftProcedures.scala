@@ -306,6 +306,46 @@ private[v2] object GraftProcedures {
             persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
+      case "create_minmax_mv" => proc("create_minmax_mv",
+        "register + materialize an aggregate view with min/max columns",
+        Seq(in("name", StringType), in("table", StringType),
+          in("group_cols", StringType), in("sum_cols", StringType),
+          in("min_cols", StringType), in("max_cols", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          def cols(i: Int): Seq[String] = args.getUTF8String(i).toString
+            .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+          val mvName = args.getUTF8String(0).toString
+          val tName = args.getUTF8String(1).toString
+          val dir = tableDir(tName)
+          val defSql = GraftMaterializedViews.registerAgg(
+            SparkSession.active, mvName, s"$catalogName.$tName", dir,
+            cols(2), cols(3), s"$dir/_mv_$mvName",
+            persistDir = Some(s"$warehouse/_mv"),
+            minCols = cols(4), maxCols = cols(5))
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
+      case "create_join_mv" => proc("create_join_mv",
+        "register + materialize an incremental star (fact JOIN dim) view",
+        Seq(in("name", StringType), in("fact_table", StringType),
+          in("dim_table", StringType), in("join_key", StringType),
+          in("group_cols", StringType), in("sum_cols", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          def cols(i: Int): Seq[String] = args.getUTF8String(i).toString
+            .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+          val mvName = args.getUTF8String(0).toString
+          val fact = args.getUTF8String(1).toString
+          val dim = args.getUTF8String(2).toString
+          val fDir = tableDir(fact)
+          val defSql = GraftMaterializedViews.registerJoinAgg(
+            SparkSession.active, mvName,
+            s"$catalogName.$fact", fDir,
+            s"$catalogName.$dim", tableDir(dim),
+            args.getUTF8String(3).toString, cols(4), cols(5),
+            s"$fDir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"))
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
       case "refresh_mv" => proc("refresh_mv",
         "full re-materialization of a registered view",
         Seq(in("name", StringType)),
@@ -337,8 +377,8 @@ private[v2] object GraftProcedures {
           "vacuum, zorder, create_branch, fast_forward, cherry_pick, " +
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
-          "drop_partition_field, create_agg_mv, refresh_mv, " +
-          "refresh_mv_incremental, drop_mv")
+          "drop_partition_field, create_agg_mv, create_minmax_mv, " +
+          "create_join_mv, refresh_mv, refresh_mv_incremental, drop_mv")
     }
   }
 
@@ -348,7 +388,8 @@ private[v2] object GraftProcedures {
       "drop_branch", "rollback", "clone", "sync_clone",
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field",
-      "create_agg_mv", "refresh_mv", "refresh_mv_incremental", "drop_mv")
+      "create_agg_mv", "create_minmax_mv", "create_join_mv",
+      "refresh_mv", "refresh_mv_incremental", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `days(col)` / `md5bucket(n, col)` — the same transform grammar

@@ -129,6 +129,47 @@ class MaterializedViewSpec extends SparkSpec {
     assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
   }
 
+  test("CALL create_minmax_mv / create_join_mv: the r14 shapes through SQL alone") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.p9f (k BIGINT, jk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.p9d (jk BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gmvs.ns.p9f VALUES (1,0,10),(2,1,20),(3,0,30)")
+    spark.sql("INSERT INTO gmvs.ns.p9d VALUES (0,'a'),(1,'b')")
+    val jSql = spark.sql("CALL gmvs.system.create_join_mv('sqljmv', " +
+      "'ns.p9f', 'ns.p9d', 'jk', 'grp', 'v')").head.getString(0)
+    val h0 = GraftMaterializedViews.hits("sqljmv")
+    assert(spark.sql(jSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 40L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("sqljmv") == h0 + 1)
+    // both feeds fold through the SQL refresh verb
+    ManifestTable.commit(Seq((4L, 1L, 5L)).toDF("k", "jk", "v"),
+      s"$wh/ns/p9f", append = true)
+    ManifestTable.merge(Seq((0L, "c")).toDF("jk", "grp"), s"$wh/ns/p9d", "jk")
+    spark.sql("CALL gmvs.system.refresh_mv_incremental('sqljmv')").collect()
+    assert(spark.sql(jSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("b", 2L, 25L), ("c", 2L, 40L)))
+    assert(GraftMaterializedViews.hits("sqljmv") == h0 + 2)
+    spark.sql("CALL gmvs.system.drop_mv('sqljmv')").collect()
+
+    spark.sql("CREATE TABLE gmvs.ns.p9m (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.p9m VALUES (1,'a',10),(2,'a',20),(3,'b',5)")
+    val mSql = spark.sql("CALL gmvs.system.create_minmax_mv('sqlmmv', " +
+      "'ns.p9m', 'grp', 'v', 'v', 'v')").head.getString(0)
+    assert(mSql.contains("min(v) AS min_v") && mSql.contains("max(v) AS max_v"))
+    val h1 = GraftMaterializedViews.hits("sqlmmv")
+    spark.sql(mSql).collect()
+    assert(GraftMaterializedViews.hits("sqlmmv") == h1 + 1)
+    // the adversarial delete through the SQL verb: a's max vanishes
+    ManifestTable.delete(Seq(2L).toDF("k"), s"$wh/ns/p9m", "k")
+    spark.sql("CALL gmvs.system.refresh_mv_incremental('sqlmmv')").collect()
+    assert(spark.sql(mSql + " ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 10L, 10L), ("b", 1L, 5L, 5L, 5L)))
+    spark.sql("CALL gmvs.system.drop_mv('sqlmmv')").collect()
+  }
+
   test("time travel never false-matches; a second table with the same shape never collides") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t2 (grp STRING, v BIGINT)")
@@ -203,6 +244,40 @@ class MaterializedViewSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().head ==
       (("a", 2L, 85L, 15L, 70L)))
     GraftMaterializedViews.drop("mv_mm")
+  }
+
+  test("declared-avg MV: the average re-derives from the folded sum/count partials") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.av (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.av VALUES (1,'a',10),(2,'a',20),(3,'b',7)")
+    val baseDir = s"$wh/ns/av"
+    // avg must ride a declared sum (it is DERIVED, not distributive)
+    intercept[IllegalArgumentException] {
+      GraftMaterializedViews.registerAgg(spark, "mv_av_bad", "gmvs.ns.av",
+        baseDir, Seq("grp"), Nil, s"$wh/ns/_mv_avb", avgCols = Seq("v"))
+    }
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_av",
+      "gmvs.ns.av", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_av",
+      avgCols = Seq("v"))
+    assert(defSql.contains("avg(v) AS avg_v"))
+    val h0 = GraftMaterializedViews.hits("mv_av")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 30L, 15.0), ("b", 1L, 7L, 7.0)))
+    assert(GraftMaterializedViews.hits("mv_av") == h0 + 1)
+    // delete + insert shift the mean; ONE feed fold must re-derive it
+    ManifestTable.delete(Seq(1L).toDF("k"), baseDir, "k")
+    ManifestTable.commit(Seq((4L, "a", 40L), (5L, "b", 1L))
+      .toDF("k", "grp", "v"), baseDir, append = true)
+    val q2 = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    GraftMaterializedViews.refreshIncremental(spark, "mv_av")
+    val q3 = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_av") == h0 + 2)
+    assert(q3.as[(String, Long, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 60L, 30.0), ("b", 2L, 8L, 4.0)))
+    assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "the derived average must bit-equal Spark's own avg over the base")
+    GraftMaterializedViews.drop("mv_av")
   }
 
   test("registerJoinAgg: star MV refreshes from BOTH feeds via the delta-join identity") {
