@@ -2418,6 +2418,70 @@ object WarehouseQueries {
     q3.orderBy($"pri")
   }
 
+  // q421: MV ROLLUP CONTAINMENT (r14) — the first containment dimension
+  // on top of the exact-match contract: a query that aggregates the
+  // SAME base subtree (child fingerprints equal — same relations at the
+  // same pinned versions) by a SUBSET of a fresh view's group keys is
+  // served by RE-AGGREGATING the O(|groups|) MV: count(*) → sum of the
+  // stored count partial, sum → sum of sums, min → min of mins, max →
+  // max of maxes (the textbook distributive-rollup algebra every
+  // production MV system ships). Fail-closed edges carry over intact:
+  // count(col), avg (Spark's integral average sums through an
+  // incremental DOUBLE a sum-of-sums division can diverge from past
+  // 2^53), DISTINCT, FILTER, expression group keys, sums the view never
+  // stored, staleness, and time travel all compute from base.
+  // Require-pinned: the coarse query serves (hit + MV in the executed
+  // plan) while a count(DISTINCT) probe does not; the gate output is
+  // the rolled-up answer, oracle-recomputed directly from the raw
+  // table — a wrong partial fold (summing maxes, dropping a group)
+  // moves the hash. At 100 TB: the dashboard's coarse rollup touches
+  // |finer groups| rows instead of the fact — and ONE registered view
+  // now serves the whole rollup lattice beneath it, not one query text.
+  def mvRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q421_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat421", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat421.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") % 8).as("bucket"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q421_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat421.db.base")
+    s.sql("CREATE TABLE graft_cat421.db.base (pri STRING, bucket BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat421.db.base " +
+      "SELECT pri, bucket, cents FROM q421_src")
+    GraftMaterializedViews.registerAgg(s, "q421_mv",
+      "graft_cat421.db.base", s"$out/db/base", Seq("pri", "bucket"),
+      Seq("cents"), s"$out/db/_mv_fine",
+      minCols = Seq("cents"), maxCols = Seq("cents"))
+    val h0 = GraftMaterializedViews.hits("q421_mv")
+    // the COARSE query — never registered as its own view: the rollup
+    // lattice under (pri, bucket) serves it from the fine MV
+    val roll = "SELECT pri, count(*) AS n_rows, sum(cents) AS sum_cents, " +
+      "min(cents) AS min_cents, max(cents) AS max_cents " +
+      "FROM graft_cat421.db.base GROUP BY pri ORDER BY pri"
+    val q = s.sql(roll)
+    q.collect(): Unit
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 1,
+      "q421: the coarse rollup must be served from the fine MV")
+    require(q.queryExecution.executedPlan.toString.contains("_mv_fine"),
+      "q421: the rolled-up plan must scan the MV table, not the base")
+    // fail-closed probe: a shape the partials cannot reproduce
+    s.sql("SELECT pri, count(DISTINCT bucket) AS n " +
+      "FROM graft_cat421.db.base GROUP BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 1,
+      "q421: count(DISTINCT) must fail closed to the base")
+    GraftMaterializedViews.drop("q421_mv")
+    q.orderBy($"pri")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -4358,6 +4422,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q421_mv_rollup" -> mvRollup _,
     "q419_mv_minmax" -> mvMinMax _,
     "q418_mv_join_incremental" -> mvJoinIncremental _,
     "q417_mv_incremental" -> mvIncremental _,
@@ -4449,6 +4514,17 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q421: the oracle recomputes the COARSE rollup directly from the
+    // raw rows — a wrong partial fold (summing maxes, min of sums,
+    // dropped group) or a stale serve moves the hash
+    "q421_mv_rollup" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
+        |  CAST(min(k * 2) AS BIGINT) AS min_cents,
+        |  CAST(max(k * 2) AS BIGINT) AS max_cents
+        |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
     // q419: the oracle recomputes min/max/count/sum per group from the
     // FINAL base — per-group argmax deleted, fresh batch ingested — so
     // a stale extremum (the subtractive-fold bug) or a missed touched

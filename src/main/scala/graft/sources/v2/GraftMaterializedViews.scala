@@ -7,8 +7,9 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -103,12 +104,28 @@ object GraftMaterializedViews {
   final case class JoinShape(factDir: String, dimDir: String, joinKey: String,
                              groupCols: Seq[String], sumCols: Seq[String])
 
+  /** Everything the ROLLUP containment rewrite needs, derived from the
+    * view's analyzed definition at registration (and re-derived after a
+    * reload): the fingerprint of the aggregate's CHILD (the base
+    * relation/join subtree a coarser query must share), and the
+    * mapping from base-side column names to the MV's stored columns.
+    * Present only when the definition is a plain rollup-capable
+    * aggregate (AttributeReference group keys; count(*)/sum/min/max
+    * without DISTINCT or FILTER). */
+  final case class RollupInfo(childFp: String,
+                              groupMap: Map[String, String],
+                              countCol: Option[String],
+                              sumMap: Map[String, String],
+                              minMap: Map[String, String],
+                              maxMap: Map[String, String])
+
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
                          outputWidth: Int, aggShape: Option[AggShape] = None,
                          joinShape: Option[JoinShape] = None,
                          rootNode: String = "", persistDir: Option[String] = None,
-                         fpVerified: Boolean = true)
+                         fpVerified: Boolean = true,
+                         rollup: Option[RollupInfo] = None)
 
   private val views = new ConcurrentHashMap[String, MvDef]()
   private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
@@ -151,15 +168,58 @@ object GraftMaterializedViews {
     // dependency versions BEFORE materializing: a concurrent base commit
     // leaves `recorded < current` → the view is born stale → fail closed
     val depVers = deps.map(d => d -> ManifestTable.currentVersion(d))
-    val (fp, width, root) = suppressRewrite {
+    val (fp, width, root, ri) = suppressRewrite {
       val df = spark.sql(defSql)
       val analyzed = df.queryExecution.analyzed
       guardLeaves(analyzed, name)
       ManifestTable.commit(df, mvDir, append = false): Unit
-      (fingerprint(analyzed), analyzed.output.length, analyzed.nodeName)
+      (fingerprint(analyzed), analyzed.output.length, analyzed.nodeName,
+        deriveRollup(analyzed))
     }
     MvDef(name, defSql, mvDir, depVers, fp, width, rootNode = root,
-      persistDir = persistDir)
+      persistDir = persistDir, rollup = ri)
+  }
+
+  /** If the analyzed definition is a plain rollup-capable aggregate,
+    * extract the containment-rewrite metadata; None otherwise (the view
+    * still serves exact matches). Rollup-capable = every group key a
+    * bare column, every aggregate count(*), sum(col), min(col) or
+    * max(col) — no DISTINCT, no FILTER, no expressions (those shapes
+    * don't re-aggregate from stored partials; avg deliberately excluded:
+    * Spark averages integral inputs through an incrementally-summed
+    * DOUBLE, which a sum-of-sums/sum-of-counts division can diverge from
+    * past 2^53 — fail closed rather than almost-equal). */
+  private def deriveRollup(plan: LogicalPlan): Option[RollupInfo] = plan match {
+    case Aggregate(groupExprs, aggExprs, child, _)
+        if groupExprs.nonEmpty &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      val groups = groupExprs.map(_.asInstanceOf[AttributeReference].name)
+      var count: Option[String] = None
+      val sums = mutable.Map[String, String]()
+      val mins = mutable.Map[String, String]()
+      val maxs = mutable.Map[String, String]()
+      val gmap = mutable.Map[String, String]()
+      val ok = aggExprs.forall {
+        case a: AttributeReference if groups.contains(a.name) =>
+          gmap(a.name) = a.name; true
+        case Alias(a: AttributeReference, nm) if groups.contains(a.name) =>
+          gmap(a.name) = nm; true
+        case Alias(ae: AggregateExpression, nm)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(1, _))) => count = Some(nm); true
+            case Sum(a: AttributeReference, _) => sums(a.name) = nm; true
+            case Min(a: AttributeReference) => mins(a.name) = nm; true
+            case Max(a: AttributeReference) => maxs(a.name) = nm; true
+            case _ => false
+          }
+        case _ => false
+      }
+      if (ok && groups.forall(gmap.contains))
+        Some(RollupInfo(fingerprint(child), gmap.toMap, count,
+          sums.toMap, mins.toMap, maxs.toMap))
+      else None
+    case _ => None
   }
 
   private def install(d: MvDef): Unit = {
@@ -440,7 +500,7 @@ object GraftMaterializedViews {
       val analyzed = suppressRewrite(spark.sql(v.defSql).queryExecution.analyzed)
       val nd = v.copy(fingerprint = fingerprint(analyzed),
         outputWidth = analyzed.output.length, rootNode = analyzed.nodeName,
-        fpVerified = true)
+        fpVerified = true, rollup = deriveRollup(analyzed))
       views.put(v.name, nd): Unit
       Some(nd)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -646,12 +706,18 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (fresh.isEmpty) return plan
     val widths = fresh.map(_.outputWidth).toSet
     val roots = fresh.map(_.rootNode).toSet
+    val anyRollup = fresh.exists(_.rollup.isDefined)
     plan.transformUp {
-      case p if p.resolved && widths.contains(p.output.length) &&
-          roots.contains(p.nodeName) =>
-        val fp = fingerprint(p)
-        fresh.find(v => v.outputWidth == p.output.length &&
-            v.fingerprint == fp) match {
+      case p if p.resolved && ((widths.contains(p.output.length) &&
+          roots.contains(p.nodeName)) ||
+          (anyRollup && p.isInstanceOf[Aggregate])) =>
+        val exact =
+          if (widths.contains(p.output.length) && roots.contains(p.nodeName)) {
+            val fp = fingerprint(p)
+            fresh.find(v => v.outputWidth == p.output.length &&
+              v.fingerprint == fp)
+          } else None
+        exact match {
           case Some(v) =>
             // a fresh scan per substitution: new attribute ids every
             // time, so the same view serving twice in one query never
@@ -667,8 +733,92 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // the rewritten node keep resolving against them
             Project(p.output.zip(mv.output).map { case (o, n) =>
               Alias(n, o.name)(exprId = o.exprId) }, mv)
-          case None => p
+          case None => p match {
+            case a: Aggregate if anyRollup =>
+              tryRollup(a, fresh).getOrElse(p)
+            case _ => p
+          }
         }
     }
+  }
+
+  /** ROLLUP containment rewrite: a query that aggregates the SAME base
+    * subtree (child fingerprints equal — same relations at the same
+    * pinned versions, same pre-aggregation shape) by a SUBSET of a
+    * fresh view's group keys re-aggregates the O(|groups|) MV instead
+    * of the base: count(*) → sum(count partial), sum → sum of sums,
+    * min → min of mins, max → max of maxes. Anything the stored
+    * partials cannot reproduce exactly — count(col), DISTINCT, FILTER,
+    * avg, expression group keys — fails closed to the base. */
+  private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+    if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
+    val gNames = a.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference].name)
+    val childFp = fingerprint(a.child)
+    // translate each output expression against a view's stored partials:
+    // Left(mvGroupCol) for a group-key passthrough, Right(re-aggregate)
+    // for a rollup-able aggregate; None anywhere → this view can't serve
+    def translate(ri: RollupInfo, e: NamedExpression)
+        : Option[Either[String, org.apache.spark.sql.Column]] = e match {
+      case g: AttributeReference if gNames.contains(g.name) =>
+        Some(Left(ri.groupMap(g.name)))
+      case Alias(g: AttributeReference, _) if gNames.contains(g.name) =>
+        Some(Left(ri.groupMap(g.name)))
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) =>
+            // the GLOBAL rollup (no group keys) of an EMPTY view must
+            // still answer 0, not sum-over-nothing's NULL
+            ri.countCol.map(c => Right(org.apache.spark.sql.functions
+              .coalesce(fsum(col(c)), org.apache.spark.sql.functions.lit(0L))))
+          case Sum(attr: AttributeReference, _)
+              // a re-summed DECIMAL widens its precision (p+10 again),
+              // so the rolled column's type would not match the query's
+              // output — fail closed; integral sums are LongType fixed
+              // points and float sums are order-nondeterministic in
+              // Spark's own partial aggregation already
+              if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            ri.sumMap.get(attr.name).map(c => Right(fsum(col(c))))
+          case Min(attr: AttributeReference) =>
+            ri.minMap.get(attr.name).map(c => Right(fmin(col(c))))
+          case Max(attr: AttributeReference) =>
+            ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
+          case _ => None
+        }
+      case _ => None
+    }
+    fresh.iterator.flatMap { v =>
+      v.rollup match {
+        case Some(ri) if ri.childFp == childFp &&
+            gNames.forall(ri.groupMap.contains) =>
+          val parts = a.aggregateExpressions.map(e => translate(ri, e))
+          if (parts.contains(None)) None
+          else {
+            val items = parts.map(_.get)
+            val aggCols = items.zipWithIndex.collect {
+              case (Right(c), i) => c.as(s"_r$i") }
+            val mv = suppressRewrite(ManifestTable.read(spark, v.mvDir))
+            val gCols = gNames.map(n => col(ri.groupMap(n)))
+            // a group-cols-only query (the DISTINCT shape) has no
+            // aggregates — it's the distinct of the MV's group columns
+            val rolled =
+              if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
+              else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
+            // restore the query's output ORDER (group keys may sit
+            // anywhere among the aggregates), then its attribute ids
+            val ordered = rolled.select(items.zipWithIndex.map {
+              case (Left(g), _) => col(g)
+              case (Right(_), i) => col(s"_r$i")
+            }: _*).queryExecution.analyzed
+            recordHit(v.name)
+            Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId) }, ordered))
+          }
+        case _ => None
+      }
+    }.nextOption()
   }
 }

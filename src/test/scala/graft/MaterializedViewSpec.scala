@@ -41,12 +41,18 @@ class MaterializedViewSpec extends SparkSpec {
     assert(q1.queryExecution.executedPlan.toString.contains("_mv_agg"),
       "the executed plan must scan the MV table")
 
-    // near-misses never rewrite: extra filter, different grouping
+    // near-miss never rewrites: the extra filter changes the child
+    // subtree, so neither exact-match nor rollup can serve it
     spark.sql(s"SELECT grp, count(*) AS n, sum(v) AS total FROM gmvs.ns.base " +
       "WHERE v > 1 GROUP BY grp").collect()
-    spark.sql(s"SELECT count(*) AS n FROM gmvs.ns.base").collect()
     assert(GraftMaterializedViews.hits("mv_t1") == h0 + 1,
       "near-miss queries must not be served from the MV")
+    // the GLOBAL aggregate is the coarsest point of the rollup lattice:
+    // count(*) folds the stored count partials (r14 containment rewrite)
+    val g = spark.sql(s"SELECT count(*) AS n FROM gmvs.ns.base")
+    assert(g.as[Long].head() == 3L)
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 2,
+      "the global rollup must serve from the MV's partials")
 
     // a dependency commit makes the view STALE: the rule fails closed and
     // the query computes the CURRENT answer from base
@@ -55,7 +61,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(q2.as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 2L, 3L), ("b", 2L, 30L)),
       "a stale MV must never be served — the base answer wins")
-    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 1)
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 2)
     assert(!q2.queryExecution.executedPlan.toString.contains("_mv_agg"))
 
     // refresh re-materializes + re-records versions: rewrite re-arms
@@ -63,7 +69,7 @@ class MaterializedViewSpec extends SparkSpec {
     val q3 = spark.sql(defSql + " ORDER BY grp")
     assert(q3.as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 2L, 3L), ("b", 2L, 30L)))
-    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 2)
+    assert(GraftMaterializedViews.hits("mv_t1") == h0 + 3)
     GraftMaterializedViews.drop("mv_t1")
   }
 
@@ -328,6 +334,85 @@ class MaterializedViewSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq ==
       Seq(("c", 2L, 45L), ("d", 2L, 130L)))
     GraftMaterializedViews.drop("mv_join")
+  }
+
+  test("ROLLUP containment: coarser groupings re-aggregate the MV; non-rollupable shapes fail closed") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.ru (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.ru VALUES " +
+      "(1,'a','x',10),(2,'a','y',20),(3,'b','x',5),(4,'b','x',3)")
+    val baseDir = s"$wh/ns/ru"
+    GraftMaterializedViews.registerAgg(spark, "mv_ru", "gmvs.ns.ru",
+      baseDir, Seq("g1", "g2"), Seq("v"), s"$wh/ns/_mv_ru",
+      minCols = Seq("v"), maxCols = Seq("v"))
+    val h0 = GraftMaterializedViews.hits("mv_ru")
+    // coarser grouping — every aggregate re-derives from the partials
+    val q = spark.sql("SELECT g1, count(*) AS n, sum(v) AS sv, " +
+      "min(v) AS mn, max(v) AS mx FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
+    assert(q.as[(String, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L, 10L, 20L), ("b", 2L, 8L, 3L, 5L)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 1,
+      "a subset grouping must be served by re-aggregating the MV")
+    assert(q.queryExecution.executedPlan.toString.contains("_mv_ru"),
+      "the rolled-up plan must scan the MV table")
+    // output order/aliasing freedom: aggregate before the group key
+    val q2 = spark.sql("SELECT max(v) AS mx, g1 AS grp FROM gmvs.ns.ru " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(q2.as[(Long, String)].collect().toSeq ==
+      Seq((20L, "a"), (5L, "b")))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 2)
+    // group-cols-only (the DISTINCT shape)
+    val q3 = spark.sql("SELECT g1 FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
+    assert(q3.as[String].collect().toSeq == Seq("a", "b"))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3)
+    // fail-closed battery: shapes the stored partials cannot reproduce
+    spark.sql("SELECT g1, count(v) AS n FROM gmvs.ns.ru GROUP BY g1").collect()
+    spark.sql("SELECT g1, avg(v) AS a FROM gmvs.ns.ru GROUP BY g1").collect()
+    spark.sql("SELECT g1, count(DISTINCT g2) AS n FROM gmvs.ns.ru GROUP BY g1")
+      .collect()
+    spark.sql("SELECT g1, sum(v) FILTER (WHERE v > 5) AS s " +
+      "FROM gmvs.ns.ru GROUP BY g1").collect()
+    spark.sql("SELECT upper(g1) AS u, sum(v) AS s FROM gmvs.ns.ru " +
+      "GROUP BY upper(g1)").collect()
+    spark.sql("SELECT g1, sum(k) AS s FROM gmvs.ns.ru GROUP BY g1").collect()
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3,
+      "count(col)/avg/DISTINCT/FILTER/expression-group/unstored-sum " +
+        "must all fail closed to the base")
+    // staleness gates rollup exactly like exact-match
+    spark.sql("INSERT INTO gmvs.ns.ru VALUES (5,'a','z',100)")
+    val q4 = spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(q4.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 130L), ("b", 8L)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3)
+    GraftMaterializedViews.refreshIncremental(spark, "mv_ru")
+    val q5 = spark.sql("SELECT g1, min(v) AS mn, sum(v) AS sv " +
+      "FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
+    assert(q5.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 10L, 130L), ("b", 3L, 8L)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
+      "refresh must re-arm the rollup path")
+    GraftMaterializedViews.drop("mv_ru")
+
+    // the JOIN view rolls up the same way: same join subtree, coarser keys
+    spark.sql("CREATE TABLE gmvs.ns.rjf (k BIGINT, jk BIGINT, cat STRING, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.rjd (jk BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gmvs.ns.rjf VALUES " +
+      "(1,0,'c1',10),(2,0,'c2',20),(3,1,'c1',5)")
+    spark.sql("INSERT INTO gmvs.ns.rjd VALUES (0,'a'),(1,'b')")
+    GraftMaterializedViews.registerJoinAgg(spark, "mv_rj",
+      "gmvs.ns.rjf", s"$wh/ns/rjf", "gmvs.ns.rjd", s"$wh/ns/rjd", "jk",
+      Seq("grp", "cat"), Seq("v"), s"$wh/ns/_mv_rj")
+    val h1 = GraftMaterializedViews.hits("mv_rj")
+    val jq = spark.sql("SELECT grp, count(*) AS n, sum(v) AS sv " +
+      "FROM gmvs.ns.rjf JOIN gmvs.ns.rjd USING (jk) GROUP BY grp ORDER BY grp")
+    assert(jq.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    assert(GraftMaterializedViews.hits("mv_rj") == h1 + 1,
+      "a coarser grouping over the SAME join subtree must roll up the " +
+        "join MV — the fact is never re-joined")
+    assert(jq.queryExecution.executedPlan.toString.contains("_mv_rj"))
+    GraftMaterializedViews.drop("mv_rj")
   }
 
   test("durable registry: a restarted session over the same warehouse re-arms the MV") {
