@@ -2478,6 +2478,14 @@ object WarehouseQueries {
       "FROM graft_cat421.db.base GROUP BY pri").collect(): Unit
     require(GraftMaterializedViews.hits("q421_mv") == h0 + 1,
       "q421: count(DISTINCT) must fail closed to the base")
+    // group-key FILTER containment: the WHERE transfers to MV rows
+    val qf = s.sql("SELECT pri, sum(cents) AS s FROM graft_cat421.db.base " +
+      "WHERE bucket < 4 GROUP BY pri")
+    qf.collect(): Unit
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 2,
+      "q421: a group-key WHERE must be served from the MV's groups")
+    require(qf.queryExecution.executedPlan.toString.contains("_mv_fine"),
+      "q421: the filtered rollup must scan the MV, not the base")
     GraftMaterializedViews.drop("q421_mv")
     q.orderBy($"pri")
   }

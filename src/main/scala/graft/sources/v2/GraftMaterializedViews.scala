@@ -9,7 +9,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -747,16 +747,25 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * pinned versions, same pre-aggregation shape) by a SUBSET of a
     * fresh view's group keys re-aggregates the O(|groups|) MV instead
     * of the base: count(*) → sum(count partial), sum → sum of sums,
-    * min → min of mins, max → max of maxes. Anything the stored
-    * partials cannot reproduce exactly — count(col), DISTINCT, FILTER,
-    * avg, expression group keys — fails closed to the base. */
+    * min → min of mins, max → max of maxes. A deterministic WHERE
+    * between the aggregate and the base transfers to the MV rows
+    * verbatim when it references ONLY view group keys (every key is
+    * constant within an MV group, so filtering groups ≡ filtering
+    * rows). Anything the stored partials cannot reproduce exactly —
+    * count(col), aggregate-level DISTINCT/FILTER, avg, expression group
+    * keys, predicates on non-key columns — fails closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
     if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
       return None
     val gNames = a.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].name)
-    val childFp = fingerprint(a.child)
+    // peel one deterministic Filter between the aggregate and the base
+    val (cond, aggChild) = a.child match {
+      case Filter(c, ch) if c.deterministic => (Some(c), ch)
+      case ch => (None, ch)
+    }
+    val childFp = fingerprint(aggChild)
     // translate each output expression against a view's stored partials:
     // Left(mvGroupCol) for a group-key passthrough, Right(re-aggregate)
     // for a rollup-able aggregate; None anywhere → this view can't serve
@@ -793,14 +802,27 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     fresh.iterator.flatMap { v =>
       v.rollup match {
         case Some(ri) if ri.childFp == childFp &&
-            gNames.forall(ri.groupMap.contains) =>
+            gNames.forall(ri.groupMap.contains) &&
+            cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) =>
           val parts = a.aggregateExpressions.map(e => translate(ri, e))
           if (parts.contains(None)) None
           else {
             val items = parts.map(_.get)
             val aggCols = items.zipWithIndex.collect {
               case (Right(c), i) => c.as(s"_r$i") }
-            val mv = suppressRewrite(ManifestTable.read(spark, v.mvDir))
+            val mv0 = suppressRewrite(ManifestTable.read(spark, v.mvDir))
+            // the group-key WHERE re-targets the MV's own attributes
+            val mv = cond match {
+              case Some(c) =>
+                val mvPlan = mv0.queryExecution.analyzed
+                val byName = mvPlan.output.map(o => o.name -> o).toMap
+                val remapped = c.transform {
+                  case ar: AttributeReference => byName(ri.groupMap(ar.name))
+                }
+                org.apache.spark.sql.graftbridge.Bridge
+                  .ofRows(mv0, Filter(remapped, mvPlan))
+              case None => mv0
+            }
             val gCols = gNames.map(n => col(ri.groupMap(n)))
             // a group-cols-only query (the DISTINCT shape) has no
             // aggregates — it's the distinct of the MV's group columns

@@ -392,6 +392,26 @@ class MaterializedViewSpec extends SparkSpec {
       Seq(("a", 10L, 130L), ("b", 3L, 8L)))
     assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
       "refresh must re-arm the rollup path")
+    // group-key FILTER containment: a WHERE on view group keys filters
+    // the MV's rows (keys are constant within a group) — the base is
+    // never scanned even for the predicate
+    val qf = spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru " +
+      "WHERE g2 = 'x' GROUP BY g1 ORDER BY g1")
+    assert(qf.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 10L), ("b", 8L)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
+      "a group-key WHERE must transfer to the MV rows")
+    assert(qf.queryExecution.executedPlan.toString.contains("_mv_ru"))
+    // the filtered GLOBAL aggregate (coarsest lattice point + predicate)
+    val qg = spark.sql("SELECT count(*) AS n FROM gmvs.ns.ru " +
+      "WHERE g2 IN ('x', 'z')")
+    assert(qg.as[Long].head() == 4L)
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6)
+    // a predicate on a NON-key column cannot transfer: fail closed
+    spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru WHERE v > 4 " +
+      "GROUP BY g1").collect()
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6,
+      "non-group-key predicates must fail closed to the base")
     GraftMaterializedViews.drop("mv_ru")
 
     // the JOIN view rolls up the same way: same join subtree, coarser keys
