@@ -2418,6 +2418,77 @@ object WarehouseQueries {
     q3.orderBy($"pri")
   }
 
+  // q422: CONTINUOUS MV MAINTENANCE ON THE STREAMING PATH (r14) — the
+  // MV registry composed with the table-as-stream source the way a
+  // production dashboard actually runs: an always-on maintainer wakes
+  // on every new base commit (three AvailableNow runs over one
+  // checkpoint — each drains exactly the new version, exercising the
+  // resume path twice), folds the delta into the stored groups with
+  // refreshIncremental inside foreachBatch, and BETWEEN triggers the
+  // UNCHANGED dashboard SQL is require-pinned to (a) serve from the MV
+  // (hit counter — a lagging or over-eager refresh breaks freshness and
+  // the serve disappears) and (b) equal the from-base recompute at the
+  // delivered version, both exceptAll directions. At 100 TB: the
+  // dashboard pays O(|groups|) per render and the maintainer O(|day's
+  // delta| + |groups|) per commit — the base is re-aggregated by
+  // NOBODY. The oracle recomputes the final groups from all four
+  // batches.
+  def streamMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q422_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat422", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat422.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+    rows.createOrReplaceTempView("q422_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat422.db.base")
+    s.sql("CREATE TABLE graft_cat422.db.base (k BIGINT, pri STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat422.db.base " +
+      "SELECT k, pri, cents FROM q422_src WHERE k % 10 < 7")
+    val baseDir = s"$out/db/base"
+    val defSql = GraftMaterializedViews.registerAgg(s, "q422_mv",
+      "graft_cat422.db.base", baseDir, Seq("pri"), Seq("cents"),
+      s"$out/db/_mv_live")
+    val tblSchema = ManifestTable.read(s, baseDir, 1).schema
+    var prevHits = GraftMaterializedViews.hits("q422_mv")
+    (0 until 3).foreach { i =>
+      ManifestTable.commit(rows.filter($"k" % 10 === 7 + i), baseDir,
+        append = true)
+      val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+        .schema(tblSchema).option("path", baseDir)
+        .option("startVersion", "1").load()
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          GraftMaterializedViews.refreshIncremental(s, "q422_mv")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val served = s.sql(defSql + " ORDER BY pri").localCheckpoint()
+      require(GraftMaterializedViews.hits("q422_mv") == prevHits + 1,
+        s"q422: the dashboard after trigger $i must be MV-served " +
+          "(a lagging refresh leaves the view stale)")
+      prevHits += 1
+      val expect = ManifestTable.read(s, baseDir).groupBy($"pri")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      require(served.exceptAll(expect).isEmpty &&
+        expect.exceptAll(served).isEmpty,
+        s"q422: trigger $i's served groups must equal the from-base " +
+          "recompute at the delivered version")
+    }
+    GraftMaterializedViews.drop("q422_mv")
+    s.sql(defSql + " ORDER BY pri")
+  }
+
   // q421: MV ROLLUP CONTAINMENT (r14) — the first containment dimension
   // on top of the exact-match contract: a query that aggregates the
   // SAME base subtree (child fingerprints equal — same relations at the
@@ -4430,6 +4501,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q422_stream_mv" -> streamMv _,
     "q421_mv_rollup" -> mvRollup _,
     "q419_mv_minmax" -> mvMinMax _,
     "q418_mv_join_incremental" -> mvJoinIncremental _,
@@ -4522,6 +4594,15 @@ object WarehouseQueries {
     // the interval algebra recomputed relationally: per-key segment
     // list from the commit formulas, lead() closes each segment, the
     // delete horizon is the final valid_to for its keys
+    // q422: the oracle recomputes the final groups over all four
+    // streamed batches — a lost batch, a double-folded delta, or a
+    // stale serve at the last trigger moves counts/sums
+    "q422_stream_mv" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
+        |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
     // q421: the oracle recomputes the COARSE rollup directly from the
     // raw rows — a wrong partial fold (summing maxes, min of sums,
     // dropped group) or a stale serve moves the hash

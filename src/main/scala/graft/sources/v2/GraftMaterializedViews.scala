@@ -514,6 +514,27 @@ object GraftMaterializedViews {
     * zero for queries unrelated to any armed view — spec-pinned. */
   private[graft] val fingerprintCalls = new AtomicLong(0L)
 
+  /** Observability (`CALL graft.system.list_mvs`): one row per
+    * registered view — name, current freshness (every dependency at its
+    * recorded version; an unreadable dependency reads as stale), the
+    * declared shape, rewrite hits, and the materialization directory. */
+  def describeAll(): Seq[(String, Boolean, String, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val cache = mutable.HashMap.empty[String, Option[Int]]
+    def ver(d: String): Option[Int] = cache.getOrElseUpdate(d,
+      scala.util.Try(ManifestTable.currentVersion(d)).toOption)
+    views.values().asScala.toSeq.sortBy(_.name).map { v =>
+      val fresh = v.deps.forall { case (d, r) => ver(d).contains(r) }
+      val shape =
+        if (v.joinShape.isDefined) "join-agg"
+        else if (v.aggShape.exists(s => s.minCols.nonEmpty || s.maxCols.nonEmpty))
+          "minmax-agg"
+        else if (v.aggShape.isDefined) "agg"
+        else "exact"
+      (v.name, fresh, shape, hits(v.name), v.mvDir)
+    }
+  }
+
   /** Test hook: clear the IN-MEMORY registry, simulating a JVM restart.
     * Persisted sidecar state is untouched and re-arms on the next
     * catalog initialization. */

@@ -364,6 +364,24 @@ private[v2] object GraftProcedures {
             args.getUTF8String(0).toString)
           Seq(row(1L))
         })
+      case "list_mvs" => proc("list_mvs",
+        "registered materialized views: freshness, shape, hits",
+        Seq(),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("fresh", BooleanType, nullable = false),
+          StructField("shape", StringType, nullable = false),
+          StructField("hits", LongType, nullable = false),
+          StructField("mv_dir", StringType, nullable = false))),
+        { _ =>
+          GraftMaterializedViews.describeAll().map { d =>
+            row(org.apache.spark.unsafe.types.UTF8String.fromString(d._1),
+              d._2,
+              org.apache.spark.unsafe.types.UTF8String.fromString(d._3),
+              d._4,
+              org.apache.spark.unsafe.types.UTF8String.fromString(d._5))
+          }
+        })
       case "drop_mv" => proc("drop_mv", "unregister a materialized view",
         Seq(in("name", StringType)),
         StructType(Seq(StructField("dropped", LongType, nullable = false))),
@@ -378,7 +396,8 @@ private[v2] object GraftProcedures {
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
           "drop_partition_field, create_agg_mv, create_minmax_mv, " +
-          "create_join_mv, refresh_mv, refresh_mv_incremental, drop_mv")
+          "create_join_mv, refresh_mv, refresh_mv_incremental, " +
+          "list_mvs, drop_mv")
     }
   }
 
@@ -389,7 +408,7 @@ private[v2] object GraftProcedures {
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field",
       "create_agg_mv", "create_minmax_mv", "create_join_mv",
-      "refresh_mv", "refresh_mv_incremental", "drop_mv")
+      "refresh_mv", "refresh_mv_incremental", "list_mvs", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `days(col)` / `md5bucket(n, col)` — the same transform grammar

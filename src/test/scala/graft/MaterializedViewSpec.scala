@@ -130,9 +130,22 @@ class MaterializedViewSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 2L, 40L), ("b", 1L, 20L)))
     assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
+    // observability: list_mvs reports name/freshness/shape/hits
+    val listed = spark.sql("CALL gmvs.system.list_mvs()")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getLong(3)))).toMap
+    assert(listed.contains("sqlmv"))
+    assert(listed("sqlmv") == ((true, "agg", h0 + 2)),
+      s"list_mvs must report the fresh agg view with its hits: $listed")
+    spark.sql("INSERT INTO gmvs.ns.t5 VALUES (4, 'c', 1)")
+    assert(!spark.sql("CALL gmvs.system.list_mvs()").collect()
+      .find(_.getString(0) == "sqlmv").get.getBoolean(1),
+      "list_mvs must report staleness after a base commit")
     spark.sql("CALL gmvs.system.drop_mv('sqlmv')").collect()
-    assert(spark.sql(defSql).count() == 2) // still correct, from base
+    assert(spark.sql(defSql).count() == 3) // still correct, from base
     assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
+    assert(!spark.sql("CALL gmvs.system.list_mvs()").collect()
+      .exists(_.getString(0) == "sqlmv"))
   }
 
   test("CALL create_minmax_mv / create_join_mv: the r14 shapes through SQL alone") {
