@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+import graft.sources.v2.GraftMaterializedViews
+
+/** Property net for the incremental-view algebra (r14): random
+  * interleavings of keyed merges (including GROUP MIGRATIONS — the merge
+  * may re-home a key's group), GDPR deletes, fresh appends, and
+  * feed-invisible BINPACK maintenance, with incremental refreshes at
+  * random points — after every refresh, BOTH registered shapes (plain
+  * distributive agg and the min/max+avg touched-group shape) must serve
+  * the rewrite AND equal the from-base recompute, both exceptAll
+  * directions. The fixed-test suite pins each transition once; the
+  * random walk pins their COMPOSITIONS (the drifted-counter /
+  * stale-extremum / missed-migration IVM bug classes compound across
+  * steps — one wrong fold poisons every later identity). Committed
+  * seeds are fixed (never runtime-random) so a failure replays. */
+class MaterializedViewPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recompute(baseDir: String, minmax: Boolean) = {
+    val base = ManifestTable.read(spark, baseDir)
+    if (minmax)
+      base.groupBy($"grp").agg(count(lit(1)).as("n_rows"),
+        sum($"v").as("sum_v"), min($"v").as("min_v"), max($"v").as("max_v"),
+        avg($"v").as("avg_v"))
+    else
+      base.groupBy($"grp").agg(count(lit(1)).as("n_rows"),
+        sum($"v").as("sum_v"))
+  }
+
+  test("random mutate/maintain/refresh walks: incremental ≡ recompute for both shapes") {
+    for (seed <- Seq(42L, 1337L)) {
+      // a GraftCatalog instance caches its warehouse at first resolution
+      // — one catalog name per seed (the q348-family spec discipline)
+      val cat = s"gmvp$seed"
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_mvp_$seed").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      val tbl = s"t$seed"
+      spark.sql(s"CREATE TABLE $cat.ns.$tbl (k BIGINT, grp STRING, v BIGINT)")
+      val rnd = new scala.util.Random(seed)
+      var nextId = 1L
+      var live = Set.empty[Long]
+      def freshRows(n: Int): Seq[(Long, String, Long)] = {
+        val rows = (0 until n).map { _ =>
+          val r = (nextId, s"g${rnd.nextInt(6)}", rnd.nextInt(1000).toLong)
+          nextId += 1; r
+        }
+        live ++= rows.map(_._1)
+        rows
+      }
+      val baseDir = s"$wh/ns/$tbl"
+      freshRows(30).toDF("k", "grp", "v").createOrReplaceTempView(s"mvp_src_$seed")
+      spark.sql(s"INSERT INTO $cat.ns.$tbl SELECT * FROM mvp_src_$seed")
+      val aggSql = GraftMaterializedViews.registerAgg(spark, s"mvp_agg_$seed",
+        s"$cat.ns.$tbl", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_a")
+      val mmSql = GraftMaterializedViews.registerAgg(spark, s"mvp_mm_$seed",
+        s"$cat.ns.$tbl", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_m",
+        minCols = Seq("v"), maxCols = Seq("v"), avgCols = Seq("v"))
+      def sample(n: Int): Seq[Long] =
+        rnd.shuffle(live.toSeq.sorted).take(n)
+      (1 to 18).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // keyed merge — may MIGRATE keys to a different group
+            val ks = sample(1 + rnd.nextInt(5))
+            if (ks.nonEmpty)
+              ManifestTable.merge(ks.map(k =>
+                  (k, s"g${rnd.nextInt(6)}", rnd.nextInt(1000).toLong))
+                .toDF("k", "grp", "v"), baseDir, "k"): Unit
+          case 1 => // GDPR delete (live set stays non-empty)
+            val ks = sample(math.min(4, live.size - 5))
+            if (ks.nonEmpty) {
+              ManifestTable.delete(ks.toDF("k"), baseDir, "k")
+              live --= ks
+            }
+          case 2 => // fresh ingest
+            ManifestTable.commit(freshRows(2 + rnd.nextInt(4))
+              .toDF("k", "grp", "v"), baseDir, append = true): Unit
+          case 3 => // feed-invisible maintenance: binpack everything small
+            ManifestTable.compactSmall(spark, baseDir, Long.MaxValue): Unit
+        }
+        if (step % 4 == 0 || step == 18) {
+          GraftMaterializedViews.refreshIncremental(spark, s"mvp_agg_$seed")
+          GraftMaterializedViews.refreshIncremental(spark, s"mvp_mm_$seed")
+          for ((name, sql, mm) <- Seq((s"mvp_agg_$seed", aggSql, false),
+              (s"mvp_mm_$seed", mmSql, true))) {
+            val h = GraftMaterializedViews.hits(name)
+            val served = spark.sql(sql).localCheckpoint()
+            assert(GraftMaterializedViews.hits(name) == h + 1,
+              s"seed $seed step $step: '$name' must serve after refresh")
+            val expect = recompute(baseDir, mm)
+            assert(served.exceptAll(expect).isEmpty &&
+              expect.exceptAll(served).isEmpty,
+              s"seed $seed step $step: '$name' incremental state diverged " +
+                "from the from-base recompute")
+          }
+        }
+      }
+      GraftMaterializedViews.drop(s"mvp_agg_$seed")
+      GraftMaterializedViews.drop(s"mvp_mm_$seed")
+    }
+  }
+}
