@@ -355,6 +355,15 @@ object GraftMaterializedViews {
     val head = ManifestTable.currentVersion(dir)
     if (head == recorded) return
     val feed = ManifestTable.changeFeed(spark, dir, recorded, head)
+    if (!feed.columns.contains("_change_type")) {
+      // an all-REWRITE range (compaction/binpack/rewrite_deletes only)
+      // contributes zero events and the feed collapses to a schemaless
+      // empty relation — content is bit-identical, so just advance the
+      // recorded version (found by the r14 random-walk soak: a
+      // binpack-only gap between two refreshes crashed the fold)
+      install(v.copy(deps = Seq(dir -> head), fpVerified = true))
+      return
+    }
     if (sh.minCols.isEmpty && sh.maxCols.isEmpty) {
       // pure-distributive shape: fold the feed, never touch the base
       val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
@@ -402,12 +411,19 @@ object GraftMaterializedViews {
     def proj(df: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.Column) =
       df.select(sh.groupCols.map(col) ++ sh.sumCols.map(col) :+
         s.as("_sign"): _*)
-    val dF = if (fHead > fRec)
-      Some(ManifestTable.changeFeed(spark, fDir, fRec, fHead)
-        .withColumn("_sf", sign).drop("_change_type")) else None
-    val dD = if (dHead > dRec)
-      Some(ManifestTable.changeFeed(spark, dDir, dRec, dHead)
-        .withColumn("_sd", sign).drop("_change_type")) else None
+    // a side whose range is all-rewrite (schemaless empty feed — zero
+    // events) is an UNCHANGED side: its delta legs drop entirely
+    def sideDelta(dir0: String, from: Int, to: Int, s0: String)
+        : Option[org.apache.spark.sql.DataFrame] =
+      if (to <= from) None
+      else {
+        val f = ManifestTable.changeFeed(spark, dir0, from, to)
+        if (f.columns.contains("_change_type"))
+          Some(f.withColumn(s0, sign).drop("_change_type"))
+        else None
+      }
+    val dF = sideDelta(fDir, fRec, fHead, "_sf")
+    val dD = sideDelta(dDir, dRec, dHead, "_sd")
     // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD, every event row signed ±1 and a
     // joined row's sign the PRODUCT of its sides' — the q259 identity.
     // The deltas are the small side of every join: broadcast them.
@@ -424,6 +440,12 @@ object GraftMaterializedViews {
     for (f <- dF; d <- dD)
       parts += proj(f.join(broadcast(d), Seq(sh.joinKey)),
         col("_sf") * col("_sd")): Unit
+    if (parts.isEmpty) {
+      // both ranges were maintenance-only: content unchanged
+      install(v.copy(deps = Seq(fDir -> fHead, dDir -> dHead),
+        fpVerified = true))
+      return
+    }
     val delta = parts.reduce(_ unionByName _)
       .groupBy(sh.groupCols.map(col): _*)
       .agg(sum(col("_sign")).as("_d_n"),

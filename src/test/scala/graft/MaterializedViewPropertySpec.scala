@@ -31,7 +31,12 @@ class MaterializedViewPropertySpec extends SparkSpec {
   }
 
   test("random mutate/maintain/refresh walks: incremental ≡ recompute for both shapes") {
-    for (seed <- Seq(42L, 1337L)) {
+    // committed seeds are fixed; GRAFT_MVP_SEEDS widens the sweep for
+    // offline soak runs (r13's evolution-spec pattern)
+    val seeds = sys.env.get("GRAFT_MVP_SEEDS")
+      .map(_.split(',').toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(42L, 1337L))
+    for (seed <- seeds) {
       // a GraftCatalog instance caches its warehouse at first resolution
       // — one catalog name per seed (the q348-family spec discipline)
       val cat = s"gmvp$seed"

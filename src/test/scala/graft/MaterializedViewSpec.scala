@@ -349,6 +349,55 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_join")
   }
 
+  test("maintenance-only version ranges refresh to a no-op (zero-event feed, r14 soak find)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t9 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t9 VALUES (1,'a',10),(2,'b',20),(3,'b',5)")
+    val baseDir = s"$wh/ns/t9"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_t9",
+      "gmvs.ns.t9", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_t9")
+    // a binpack-only gap bumps the version but the feed carries ZERO
+    // events and collapses to a schemaless empty relation — the fold
+    // must advance the recorded version, not crash on it
+    ManifestTable.compactSmall(spark, baseDir, Long.MaxValue): Unit
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t9")
+    val h0 = GraftMaterializedViews.hits("mv_t9")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L), ("b", 2L, 25L)))
+    assert(GraftMaterializedViews.hits("mv_t9") == h0 + 1,
+      "the view must be FRESH after a maintenance-only refresh")
+    GraftMaterializedViews.drop("mv_t9")
+
+    // join view: dim-side maintenance-only → both delta legs drop;
+    // then a REAL fact append mixed with another dim binpack → the
+    // fact leg folds, the dim legs stay dropped
+    spark.sql("CREATE TABLE gmvs.ns.jf9 (k BIGINT, jk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.jd9 (jk BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gmvs.ns.jf9 VALUES (1,0,10),(2,1,20)")
+    spark.sql("INSERT INTO gmvs.ns.jd9 VALUES (0,'a'),(1,'b')")
+    val jSql = GraftMaterializedViews.registerJoinAgg(spark, "mv_j9",
+      "gmvs.ns.jf9", s"$wh/ns/jf9", "gmvs.ns.jd9", s"$wh/ns/jd9", "jk",
+      Seq("grp"), Seq("v"), s"$wh/ns/_mv_j9")
+    ManifestTable.compactSmall(spark, s"$wh/ns/jd9", Long.MaxValue): Unit
+    GraftMaterializedViews.refreshIncremental(spark, "mv_j9")
+    val h1 = GraftMaterializedViews.hits("mv_j9")
+    assert(spark.sql(jSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("mv_j9") == h1 + 1)
+    ManifestTable.commit(Seq((3L, 0L, 7L)).toDF("k", "jk", "v"),
+      s"$wh/ns/jf9", append = true)
+    ManifestTable.compactSmall(spark, s"$wh/ns/jd9", Long.MaxValue): Unit
+    GraftMaterializedViews.refreshIncremental(spark, "mv_j9")
+    assert(spark.sql(jSql + " ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 17L), ("b", 1L, 20L)),
+      "a real fact delta must fold while the dim's maintenance-only " +
+        "range contributes nothing")
+    GraftMaterializedViews.drop("mv_j9")
+  }
+
   test("ROLLUP containment: coarser groupings re-aggregate the MV; non-rollupable shapes fail closed") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.ru (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
