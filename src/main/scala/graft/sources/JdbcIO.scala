@@ -74,18 +74,29 @@ object JdbcIO {
   }
 
   /** Which of `keys` already exist in the sink — probed DISTRIBUTED and
-    * DELTA-BOUNDED: each partition issues batched `WHERE key IN (…)`
-    * point lookups against the indexed sink (the same per-key discipline
-    * as [[deleteKeys]]), so the cost is O(|keys|) index probes regardless
-    * of sink size — the sink's key set is never scanned into Spark, let
-    * alone broadcast. Returns the subset of `keys` rows (original Spark
-    * values, one column) the sink already holds. */
+    * DELTA-BOUNDED: each partition sends one ORDINAL-TAGGED batch of
+    * indexed point lookups per `batchSize` keys
+    * (`SELECT 0 FROM t WHERE k = ? UNION SELECT 1 … WHERE k = ?`), so the
+    * cost is O(|keys|) index probes regardless of sink size — the sink's
+    * key set is never scanned into Spark, let alone broadcast. The match
+    * decision is the DATABASE's own typed `=` on the bound parameter —
+    * exactly how the value compared when it was inserted — never a
+    * string rendering on the Spark side: DECIMAL scale
+    * ('123.000000000000000000' vs '123'), timestamp, UUID-case, and
+    * binary representations cannot mark a present key absent (which
+    * would break the anti-join idempotence a replayed [[syncFromFeed]]
+    * relies on). NULL keys are absent by definition (SQL `k = NULL`
+    * never holds, and the PRIMARY-KEY sink cannot hold one); callers
+    * that must re-insert-safely reject them loudly instead. Returns the
+    * subset of `keys` rows (original Spark values, one column) the sink
+    * already holds. */
   def probeExistingKeys(keys: DataFrame, url: String, table: String,
                         key: String, properties: Properties,
                         batchSize: Int = 256): DataFrame = {
     require(batchSize >= 1, s"probeExistingKeys: batchSize $batchSize < 1")
     val spark = keys.sparkSession
-    val kdf = keys.select(key).distinct()
+    val kdf = keys.select(key)
+      .where(org.apache.spark.sql.functions.col(key).isNotNull).distinct()
     val schema = kdf.schema
     val rdd = kdf.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
@@ -94,19 +105,22 @@ object JdbcIO {
         val conn = java.sql.DriverManager.getConnection(url, properties)
         try {
           rows.grouped(batchSize).foreach { batch =>
-            val ph = batch.map(_ => "?").mkString(",")
-            val ps = conn.prepareStatement(
-              s"SELECT $key FROM $table WHERE $key IN ($ph)")
+            // one round trip per batch; every UNION branch is an indexed
+            // point lookup returning its ordinal (UNION dedups, so a
+            // non-unique sink key still yields one ordinal)
+            val ps = conn.prepareStatement(batch.indices
+              .map(i => s"SELECT $i FROM $table WHERE $key = ?")
+              .mkString(" UNION "))
             try {
               batch.zipWithIndex.foreach { case (r, i) =>
                 ps.setObject(i + 1, r.get(0)) }
               val rs = ps.executeQuery()
-              val found = scala.collection.mutable.HashSet[String]()
-              while (rs.next()) found += String.valueOf(rs.getObject(1)): Unit
+              val found = new java.util.BitSet(batch.size)
+              while (rs.next()) found.set(rs.getInt(1))
               rs.close()
-              // emit the PROBED row, not the DB's value — output types
-              // stay exactly the input schema's
-              out ++= batch.filter(r => found(String.valueOf(r.get(0))))
+              // emit the PROBED row — output types stay the input schema's
+              out ++= batch.zipWithIndex.collect {
+                case (r, i) if found.get(i) => r }
             } finally ps.close()
           }
         } finally conn.close()
@@ -185,6 +199,14 @@ object JdbcIO {
         val ins = feed.filter(col("_change_type") === "insert")
           .drop("_change_type")
         if (!ins.isEmpty) {
+          // a NULL key can never sync idempotently: the probe's `k = ?`
+          // cannot see it (SQL three-valued logic), so every replay
+          // would re-insert it — and the PRIMARY-KEY sink refuses it
+          // anyway. Reject loudly at the source (delta-bounded check).
+          require(ins.filter(col(key).isNull).isEmpty,
+            s"syncFromFeed: NULL '$key' in the insert delta of $srcDir " +
+              s"v$v — null keys can neither land in the PRIMARY-KEY sink " +
+              "nor replay idempotently; filter or repair them upstream")
           // idempotence stays DELTA-BOUNDED: probe only the incoming
           // keys against the indexed sink (per-key point lookups) — a
           // 100 TB sink's key set is never scanned, and the broadcast

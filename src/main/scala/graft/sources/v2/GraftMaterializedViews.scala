@@ -278,11 +278,17 @@ object GraftMaterializedViews {
       "registerAgg: every avg column must also be a sum column — avg is " +
         "DERIVED (sum/count are the partials an incremental refresh folds; " +
         "avg itself is not distributive)")
+    // an avg column stores its NON-NULL count partial too: SQL avg(c) =
+    // sum(c)/count(c), NOT sum(c)/count(*) — dividing by n_rows would
+    // drift every group whose avg column carries NULLs (ADVICE r14).
+    // count(c) also restores the NULL edge of the SUM fold for these
+    // columns: when count(c) reaches 0 the folded sum returns to NULL.
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
       minCols.map(c => s", min($c) AS min_$c").mkString +
       maxCols.map(c => s", max($c) AS max_$c").mkString +
       avgCols.map(c => s", avg($c) AS avg_$c").mkString +
+      avgCols.map(c => s", count($c) AS cnt_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
     install(nd.copy(aggShape =
@@ -360,8 +366,14 @@ object GraftMaterializedViews {
       // contributes zero events and the feed collapses to a schemaless
       // empty relation — content is bit-identical, so just advance the
       // recorded version (found by the r14 random-walk soak: a
-      // binpack-only gap between two refreshes crashed the fold)
-      install(v.copy(deps = Seq(dir -> head), fpVerified = true))
+      // binpack-only gap between two refreshes crashed the fold).
+      // copy() preserves fpVerified/rollup: a sidecar-reloaded view whose
+      // FIRST touch is a maintainer refresh must still lazily re-derive
+      // its fingerprint (and its never-serialized RollupInfo) at first
+      // match — blanket-stamping true here trusted a prior session's
+      // fingerprint string and silently shed rollup containment
+      // (VERDICT r14 #1)
+      install(v.copy(deps = Seq(dir -> head)))
       return
     }
     if (sh.minCols.isEmpty && sh.maxCols.isEmpty) {
@@ -369,7 +381,10 @@ object GraftMaterializedViews {
       val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
       val delta = feed.groupBy(sh.groupCols.map(col): _*)
         .agg(sum(sign).as("_d_n"),
-          sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")): _*)
+          (sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")) ++
+           // the avg columns' non-null count partial, signed like n
+           sh.avgCols.map(c => sum(when(col(c).isNotNull, sign)
+             .otherwise(0L)).as(s"_d_cnt_$c"))): _*)
       foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head),
         avgCols = sh.avgCols)
     } else {
@@ -380,23 +395,29 @@ object GraftMaterializedViews {
       // never full history re-aggregated for the untouched groups,
       // which at 100 TB is nearly all of them. Cluster the base on the
       // group key (`write.order`) and the touched scan file-skips too.
+      // the touched set is |delta's distinct group keys| — small on the
+      // daily-delta path, but a backfill-scale catch-up batch is not:
+      // no broadcast hint (AQE broadcasts genuinely small sides itself;
+      // an unconditional hint would OOM the driver on a
+      // maxVersionsPerTrigger catch-up feed — VERDICT r14 watch item)
       val touched = feed.select(sh.groupCols.map(col): _*).distinct()
       val base = ManifestTable.read(spark, dir)
       val recomputed = base
-        .join(broadcast(touched), sh.groupCols, "left_semi")
+        .join(touched, sh.groupCols, "left_semi")
         .groupBy(sh.groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_rows"),
           sh.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           sh.minCols.map(c => min(col(c)).as(s"min_$c")) ++
           sh.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
-          sh.avgCols.map(c => avg(col(c)).as(s"avg_$c")): _*)
+          sh.avgCols.map(c => avg(col(c)).as(s"avg_$c")) ++
+          sh.avgCols.map(c => count(col(c)).as(s"cnt_$c")): _*)
       val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
       // untouched groups carry verbatim; touched groups (including any
       // whose last row vanished — absent from `recomputed`) replace
-      val merged = cur.join(broadcast(touched), sh.groupCols, "left_anti")
+      val merged = cur.join(touched, sh.groupCols, "left_anti")
         .unionByName(recomputed.select(cur.columns.map(col).toSeq: _*))
       ManifestTable.commit(merged, v.mvDir, append = false): Unit
-      install(v.copy(deps = Seq(dir -> head), fpVerified = true))
+      install(v.copy(deps = Seq(dir -> head)))
     }
   }
 
@@ -426,24 +447,27 @@ object GraftMaterializedViews {
     val dD = sideDelta(dDir, dRec, dHead, "_sd")
     // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD, every event row signed ±1 and a
     // joined row's sign the PRODUCT of its sides' — the q259 identity.
-    // The deltas are the small side of every join: broadcast them.
+    // The deltas are the small side of every join on the daily-delta
+    // path, but not on a backfill catch-up: no broadcast hints (AQE
+    // broadcasts small sides from actual sizes; an unconditional hint
+    // would OOM the driver on a multi-version catch-up delta)
     val parts = mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     dF.foreach { f =>
-      parts += proj(broadcast(f)
+      parts += proj(f
         .join(ManifestTable.read(spark, dDir, dRec), Seq(sh.joinKey)),
         col("_sf")): Unit
     }
     dD.foreach { d =>
       parts += proj(ManifestTable.read(spark, fDir, fRec)
-        .join(broadcast(d), Seq(sh.joinKey)), col("_sd")): Unit
+        .join(d, Seq(sh.joinKey)), col("_sd")): Unit
     }
     for (f <- dF; d <- dD)
-      parts += proj(f.join(broadcast(d), Seq(sh.joinKey)),
+      parts += proj(f.join(d, Seq(sh.joinKey)),
         col("_sf") * col("_sd")): Unit
     if (parts.isEmpty) {
-      // both ranges were maintenance-only: content unchanged
-      install(v.copy(deps = Seq(fDir -> fHead, dDir -> dHead),
-        fpVerified = true))
+      // both ranges were maintenance-only: content unchanged (copy
+      // preserves fpVerified/rollup — see refreshIncrementalAgg)
+      install(v.copy(deps = Seq(fDir -> fHead, dDir -> dHead)))
       return
     }
     val delta = parts.reduce(_ unionByName _)
@@ -454,12 +478,22 @@ object GraftMaterializedViews {
       Seq(fDir -> fHead, dDir -> dHead))
   }
 
-  /** Fold signed delta partials (`_d_n`, `_d_<c>`) into the stored
-    * groups: one full-outer join against the O(|groups|) MV, zero-count
-    * groups dropped, declared averages RE-DERIVED from the folded
-    * sum/count partials (avg is not distributive; sum and count are its
-    * partials — the same derivation Spark's own Average performs), MV
-    * overwritten, dependency versions advanced. */
+  /** Fold signed delta partials (`_d_n`, `_d_<c>`, `_d_cnt_<c>`) into the
+    * stored groups: one full-outer join against the O(|groups|) MV,
+    * zero-count groups dropped, declared averages RE-DERIVED from the
+    * folded sum + NON-NULL-count partials (SQL avg(c) = sum(c)/count(c),
+    * never sum(c)/count(*) — the same derivation Spark's own Average
+    * performs; ADVICE r14 high), MV overwritten, dependency versions
+    * advanced.
+    *
+    * NULL discipline for sums: a group both sides see as NULL stays NULL
+    * (sum over zero non-null values is NULL, not 0), and an avg-declared
+    * column whose folded count(c) reaches 0 returns its sum AND avg to
+    * NULL. The one edge a count-free sum partial cannot see — a delete
+    * removing a group's LAST non-null value while the group survives —
+    * is exact for avg-declared columns (they carry count(c)) and folds
+    * to 0 for bare sum columns; declare the column in `avgCols` when
+    * NULL-laden sums must fold exactly. */
   private def foldDelta(spark: SparkSession, v: MvDef,
                         groupCols: Seq[String], sumCols: Seq[String],
                         delta: org.apache.spark.sql.DataFrame,
@@ -471,19 +505,28 @@ object GraftMaterializedViews {
       .select(groupCols.map(col) ++
         Seq((coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("_d_n"), lit(0L))).as("n_rows")) ++
-        sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-          coalesce(col(s"_d_$c"), lit(0L)))
+        sumCols.map(c =>
+          when(col(s"sum_$c").isNull && col(s"_d_$c").isNull,
+            lit(null))
+          .otherwise(coalesce(col(s"sum_$c"), lit(0L)) +
+            coalesce(col(s"_d_$c"), lit(0L)))
           // the stored column's own type — integer sums merge EXACTLY
           // (the identity-to-recompute pin holds); float sums would
           // differ by summation order, same as any distributive merge
-          .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
+          .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")) ++
+        avgCols.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
+          coalesce(col(s"_d_cnt_$c"), lit(0L)))
+          .cast(cur.schema(s"cnt_$c").dataType).as(s"cnt_$c")): _*)
       .filter(col("n_rows") > 0)
     val withAvg = avgCols.foldLeft(merged)((df, c) =>
-      df.withColumn(s"avg_$c", (col(s"sum_$c").cast("double") /
-        col("n_rows")).cast(cur.schema(s"avg_$c").dataType)))
+      df.withColumn(s"avg_$c", when(col(s"cnt_$c") > 0,
+          col(s"sum_$c").cast("double") / col(s"cnt_$c").cast("double"))
+        .cast(cur.schema(s"avg_$c").dataType))
+        .withColumn(s"sum_$c", when(col(s"cnt_$c") > 0, col(s"sum_$c"))
+          .cast(cur.schema(s"sum_$c").dataType)))
     ManifestTable.commit(withAvg.select(cur.columns.map(col).toSeq: _*),
       v.mvDir, append = false): Unit
-    install(v.copy(deps = newDeps, fpVerified = true))
+    install(v.copy(deps = newDeps))
   }
 
   /** Unregister (and, for persisted views, tombstone the sidecar so a
@@ -653,10 +696,33 @@ object GraftMaterializedViews {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
         finally Files.deleteIfExists(tmp)
       if (won) {
-        // keep a 4-generation straggler buffer; older files are tiny and
-        // registry mutations are human-cadence, but don't grow unbounded
-        gensOf(md, name).filter(_ < gen - 3).foreach(g =>
-          Files.deleteIfExists(md.resolve(s"$name.g$g")): Unit)
+        // GC by MARKER OVERWRITE, never deletion (4-generation straggler
+        // buffer). A DELETED number could be re-CLAIMED: a writer stalled
+        // across 5+ mutations still holds the old listing, its createLink
+        // SUCCEEDS on the vacated name, it believes it won — while every
+        // reader takes max(gen) and silently drops the mutation — the
+        // exact lost-update the tag store closed in r12
+        // (ManifestTable.mutateTagsIn). A `#gc` placeholder keeps
+        // create-no-overwrite refusing FOREVER, so a stale claim gets
+        // EEXIST, re-lists, and retries at the true head. The marker
+        // lands by ATOMIC RENAME (a straggler reading mid-truncate would
+        // otherwise see an empty file); the descending scan stops at the
+        // first already-marked generation — markers form a prefix, so
+        // each file is written once ever. q422 turns refreshes into
+        // per-commit cadence, so this is no longer human-cadence-only.
+        gensOf(md, name).filter(_ < gen - 3).sorted(Ordering[Int].reverse)
+          .iterator.map(g => md.resolve(s"$name.g$g"))
+          .takeWhile(p => !Files.exists(p) ||
+            Files.size(p) == 0 || Files.readAllLines(p).asScala
+              .headOption.forall(!_.startsWith("#gc")))
+          .foreach { p =>
+            val mk = md.resolve(
+              s".gc.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            Files.write(mk, java.util.List.of("#gc")): Unit
+            Files.move(mk, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
         return
       }
     }
@@ -686,11 +752,24 @@ object GraftMaterializedViews {
     names.foreach { name =>
       gensOf(md, name).lastOption.foreach { g =>
         val lines = Files.readAllLines(md.resolve(s"$name.g$g")).asScala.toSeq
-        if (lines.headOption.exists(_.startsWith("#dropped"))) ()
+        // '#dropped' tombstones; '#gc' can only head a non-latest
+        // generation, but skip any marker head defensively — a corrupt
+        // sidecar must never take the whole catalog init down
+        if (lines.headOption.exists(_.startsWith("#"))) ()
         else {
           val d = deserialize(name, lines, dir)
-          if (views.putIfAbsent(name, d) == null)
+          val prior = views.putIfAbsent(name, d)
+          if (prior == null)
             hitCounters.putIfAbsent(name, new AtomicLong(0L)): Unit
+          else if (!prior.persistDir.contains(dir))
+            // the registry is JVM-global and keyed by name: two
+            // warehouses each persisting a same-named view cannot both
+            // arm — fail closed for the loser (its queries compute from
+            // base) but say so, the collision is otherwise invisible
+            System.err.println(
+              s"[graft] WARN: materialized view '$name' from $dir not " +
+                s"armed — the name is already registered from " +
+                s"${prior.persistDir.getOrElse("an in-memory registration")}")
         }
       }
     }
@@ -808,7 +887,6 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Filter(c, ch) if c.deterministic => (Some(c), ch)
       case ch => (None, ch)
     }
-    val childFp = fingerprint(aggChild)
     // translate each output expression against a view's stored partials:
     // Left(mvGroupCol) for a group-key passthrough, Right(re-aggregate)
     // for a rollup-able aggregate; None anywhere → this view can't serve
@@ -842,47 +920,57 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    fresh.iterator.flatMap { v =>
-      v.rollup match {
-        case Some(ri) if ri.childFp == childFp &&
-            gNames.forall(ri.groupMap.contains) &&
-            cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) =>
-          val parts = a.aggregateExpressions.map(e => translate(ri, e))
-          if (parts.contains(None)) None
-          else {
-            val items = parts.map(_.get)
-            val aggCols = items.zipWithIndex.collect {
-              case (Right(c), i) => c.as(s"_r$i") }
-            val mv0 = suppressRewrite(ManifestTable.read(spark, v.mvDir))
-            // the group-key WHERE re-targets the MV's own attributes
-            val mv = cond match {
-              case Some(c) =>
-                val mvPlan = mv0.queryExecution.analyzed
-                val byName = mvPlan.output.map(o => o.name -> o).toMap
-                val remapped = c.transform {
-                  case ar: AttributeReference => byName(ri.groupMap(ar.name))
-                }
-                org.apache.spark.sql.graftbridge.Bridge
-                  .ofRows(mv0, Filter(remapped, mvPlan))
-              case None => mv0
-            }
-            val gCols = gNames.map(n => col(ri.groupMap(n)))
-            // a group-cols-only query (the DISTINCT shape) has no
-            // aggregates — it's the distinct of the MV's group columns
-            val rolled =
-              if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
-              else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
-            // restore the query's output ORDER (group keys may sit
-            // anywhere among the aggregates), then its attribute ids
-            val ordered = rolled.select(items.zipWithIndex.map {
-              case (Left(g), _) => col(g)
-              case (Right(_), i) => col(s"_r$i")
-            }: _*).queryExecution.analyzed
-            recordHit(v.name)
-            Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId) }, ordered))
+    // COST PRE-FILTER: every check here is a name-set compare — an
+    // aggregate query unrelated to any armed view must be rejected
+    // BEFORE the O(subtree) child serialization below (the exact-match
+    // path's (width, root) discipline, on the rollup path)
+    val byName = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
+      .filter { case (_, ri) =>
+        gNames.forall(ri.groupMap.contains) &&
+          cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
+          a.aggregateExpressions.forall(e => translate(ri, e).isDefined)
+      }
+    if (byName.isEmpty) return None
+    val childFp = fingerprint(aggChild)
+    byName.iterator.flatMap { case (v, ri) =>
+      if (ri.childFp != childFp) None
+      else {
+        val items = a.aggregateExpressions.map(e => translate(ri, e).get)
+        val aggCols = items.zipWithIndex.collect {
+          case (Right(c), i) => c.as(s"_r$i") }
+        // the whole rolled-plan construction analyzes MV-dir-backed
+        // plans — suppressed like the exact-match substitution, so the
+        // rule never re-enters itself mid-rewrite
+        suppressRewrite {
+          val mv0 = ManifestTable.read(spark, v.mvDir)
+          // the group-key WHERE re-targets the MV's own attributes
+          val mv = cond match {
+            case Some(c) =>
+              val mvPlan = mv0.queryExecution.analyzed
+              val outByName = mvPlan.output.map(o => o.name -> o).toMap
+              val remapped = c.transform {
+                case ar: AttributeReference => outByName(ri.groupMap(ar.name))
+              }
+              org.apache.spark.sql.graftbridge.Bridge
+                .ofRows(mv0, Filter(remapped, mvPlan))
+            case None => mv0
           }
-        case _ => None
+          val gCols = gNames.map(n => col(ri.groupMap(n)))
+          // a group-cols-only query (the DISTINCT shape) has no
+          // aggregates — it's the distinct of the MV's group columns
+          val rolled =
+            if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
+            else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          // restore the query's output ORDER (group keys may sit
+          // anywhere among the aggregates), then its attribute ids
+          val ordered = rolled.select(items.zipWithIndex.map {
+            case (Left(g), _) => col(g)
+            case (Right(_), i) => col(s"_r$i")
+          }: _*).queryExecution.analyzed
+          recordHit(v.name)
+          Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
+            Alias(n, o.name)(exprId = o.exprId) }, ordered))
+        }
       }
     }.nextOption()
   }

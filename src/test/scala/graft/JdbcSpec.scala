@@ -166,4 +166,50 @@ class JdbcSpec extends SparkSpec {
       batchSize = 7).as[Long].collect().toSet
     assert(probed == ((4990L to 5000L).toSet + 6001L))
   }
+
+  test("probeExistingKeys compares in the DB's typed domain — DECIMAL scale never fakes absence (ADVICE r14)") {
+    val table = "typed_probe"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (k DECIMAL(20,3) PRIMARY KEY, v INT)")
+      st.execute(s"INSERT INTO $table VALUES (123.000, 1), (7.500, 2)")
+      st.close()
+    } finally conn.close()
+    // Spark's default decimal encoding carries scale 18 — its string
+    // rendering ('123.000000000000000000') never equals the driver's
+    // ('123.000'), which used to mark PRESENT keys absent and re-insert
+    // them on replay. The probe must let the DATABASE compare the bound
+    // parameter instead.
+    val probe = Seq(Some(BigDecimal("123.000000")),
+      Some(BigDecimal("7.5")), Some(BigDecimal("9.125")), None)
+      .toDF("k")
+    val found = JdbcIO.probeExistingKeys(probe, url, table, "k", props)
+      .collect().map(_.getDecimal(0).doubleValue()).toSet
+    assert(found == Set(123.0, 7.5),
+      s"present DECIMAL keys must probe present regardless of scale " +
+        s"representation; NULL keys are absent by definition: $found")
+  }
+
+  test("syncFromFeed rejects NULL insert keys loudly (no silent replay duplication)") {
+    import graft.sources.ManifestTable
+    val table = "cdc_null"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE TABLE $table (k BIGINT PRIMARY KEY, v BIGINT)")
+      st.close()
+    } finally conn.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcnull")
+      .toString + "/t"
+    ManifestTable.commit(Seq((Some(1L), 10L), (Some(2L), 20L))
+      .toDF("k", "v"), dir, append = false)
+    ManifestTable.commit(Seq((Option.empty[Long], 30L), (Some(3L), 30L))
+      .toDF("k", "v"), dir, append = true)
+    val e = intercept[IllegalArgumentException] {
+      JdbcIO.syncFromFeed(spark, dir, url, table, "k", props, 1)
+    }
+    assert(e.getMessage.contains("NULL"),
+      s"the refusal must name the null-key contract: ${e.getMessage}")
+  }
 }

@@ -24,7 +24,7 @@ class MaterializedViewPropertySpec extends SparkSpec {
     if (minmax)
       base.groupBy($"grp").agg(count(lit(1)).as("n_rows"),
         sum($"v").as("sum_v"), min($"v").as("min_v"), max($"v").as("max_v"),
-        avg($"v").as("avg_v"))
+        avg($"v").as("avg_v"), count($"v").as("cnt_v"))
     else
       base.groupBy($"grp").agg(count(lit(1)).as("n_rows"),
         sum($"v").as("sum_v"))

@@ -265,7 +265,7 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_mm")
   }
 
-  test("declared-avg MV: the average re-derives from the folded sum/count partials") {
+  test("declared-avg MV: the average re-derives from the folded sum/NON-NULL-count partials") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.av (k BIGINT, grp STRING, v BIGINT)")
     spark.sql("INSERT INTO gmvs.ns.av VALUES (1,'a',10),(2,'a',20),(3,'b',7)")
@@ -278,11 +278,13 @@ class MaterializedViewSpec extends SparkSpec {
     val defSql = GraftMaterializedViews.registerAgg(spark, "mv_av",
       "gmvs.ns.av", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_av",
       avgCols = Seq("v"))
-    assert(defSql.contains("avg(v) AS avg_v"))
+    // avg stores its NON-NULL count partial: SQL avg(v) = sum(v)/count(v)
+    assert(defSql.contains("avg(v) AS avg_v") &&
+      defSql.contains("count(v) AS cnt_v"))
     val h0 = GraftMaterializedViews.hits("mv_av")
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long, Double)].collect().toSeq ==
-      Seq(("a", 2L, 30L, 15.0), ("b", 1L, 7L, 7.0)))
+      .as[(String, Long, Long, Double, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L, 15.0, 2L), ("b", 1L, 7L, 7.0, 1L)))
     assert(GraftMaterializedViews.hits("mv_av") == h0 + 1)
     // delete + insert shift the mean; ONE feed fold must re-derive it
     ManifestTable.delete(Seq(1L).toDF("k"), baseDir, "k")
@@ -292,10 +294,39 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.refreshIncremental(spark, "mv_av")
     val q3 = spark.sql(defSql + " ORDER BY grp")
     assert(GraftMaterializedViews.hits("mv_av") == h0 + 2)
-    assert(q3.as[(String, Long, Long, Double)].collect().toSeq ==
-      Seq(("a", 2L, 60L, 30.0), ("b", 2L, 8L, 4.0)))
+    assert(q3.as[(String, Long, Long, Double, Long)].collect().toSeq ==
+      Seq(("a", 2L, 60L, 30.0, 2L), ("b", 2L, 8L, 4.0, 2L)))
     assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
       "the derived average must bit-equal Spark's own avg over the base")
+    // the ADVICE r14 killer: a group whose avg column carries NULLs —
+    // dividing by count(*) instead of count(v) would serve 4.5 for 'c'
+    // after the fold, to every exact-match query, silently
+    ManifestTable.commit(Seq((6L, "c", null.asInstanceOf[java.lang.Long]),
+        (7L, "c", java.lang.Long.valueOf(9L)))
+      .toDF("k", "grp", "v").select($"k", $"grp", $"v".cast("bigint")),
+      baseDir, append = true)
+    val qn = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    GraftMaterializedViews.refreshIncremental(spark, "mv_av")
+    val qn2 = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_av") == h0 + 3)
+    assert(qn2.where($"grp" === "c")
+      .as[(String, Long, Long, Double, Long)].head() ==
+      (("c", 2L, 9L, 9.0, 1L)),
+      "avg over a NULL-laden group must divide by the non-null count")
+    assert(qn2.exceptAll(qn).isEmpty && qn.exceptAll(qn2).isEmpty)
+    // delete the group's LAST non-null value: count(v) reaches 0 and
+    // both sum and avg return to NULL while the group survives — the
+    // edge only the stored count(v) partial can see
+    ManifestTable.delete(Seq(7L).toDF("k"), baseDir, "k")
+    val qz = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    GraftMaterializedViews.refreshIncremental(spark, "mv_av")
+    val qz2 = spark.sql(defSql + " ORDER BY grp")
+    assert(GraftMaterializedViews.hits("mv_av") == h0 + 4)
+    val cRow = qz2.where($"grp" === "c").collect().head
+    assert(cRow.getLong(1) == 1L && cRow.isNullAt(2) && cRow.isNullAt(3) &&
+      cRow.getLong(4) == 0L,
+      s"an all-NULL group must fold sum and avg back to NULL: $cRow")
+    assert(qz2.exceptAll(qz).isEmpty && qz.exceptAll(qz2).isEmpty)
     GraftMaterializedViews.drop("mv_av")
   }
 
@@ -584,6 +615,208 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t7")
   }
 
+  test("restart → maintainer-refresh FIRST → exact AND rollup queries still serve (VERDICT r14 #1)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t10 (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t10 VALUES " +
+      "(1,'a','x',10),(2,'a','y',20),(3,'b','x',5)")
+    val defSql = spark.sql(
+      "CALL gmvs.system.create_agg_mv('rstmv', 'ns.t10', 'g1,g2', 'v')")
+      .head.getString(0)
+    // restart: in-memory registry wiped, sidecar reloaded — the view is
+    // UNVERIFIED (fingerprint is a prior session's string; RollupInfo is
+    // never serialized)
+    GraftMaterializedViews.forgetInMemory()
+    GraftMaterializedViews.loadFrom(s"$wh/_mv")
+    // the FIRST touch is the always-on maintainer's fold (the exact
+    // order q422 produces in production): a base commit, then
+    // refreshIncremental BEFORE any query. The install must PRESERVE
+    // the unverified state — stamping fpVerified=true here would trust
+    // the stale fingerprint and permanently shed rollup containment.
+    spark.sql("INSERT INTO gmvs.ns.t10 VALUES (4,'b','y',7)")
+    GraftMaterializedViews.refreshIncremental(spark, "rstmv")
+    val h0 = GraftMaterializedViews.hits("rstmv")
+    val q = spark.sql(defSql + " ORDER BY g1, g2")
+    assert(q.as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("a", "x", 1L, 10L), ("a", "y", 1L, 20L),
+        ("b", "x", 1L, 5L), ("b", "y", 1L, 7L)))
+    assert(GraftMaterializedViews.hits("rstmv") == h0 + 1,
+      "the exact query must serve after restart → refresh-first")
+    assert(q.queryExecution.executedPlan.toString.contains("_mv_rstmv"))
+    // and the ROLLUP lattice must still be alive (re-derived lazily)
+    val r = spark.sql("SELECT g1, count(*) AS n, sum(v) AS sv " +
+      "FROM gmvs.ns.t10 GROUP BY g1 ORDER BY g1")
+    assert(r.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 2L, 12L)))
+    assert(GraftMaterializedViews.hits("rstmv") == h0 + 2,
+      "rollup containment must survive restart → maintainer-refresh → query")
+    assert(r.queryExecution.executedPlan.toString.contains("_mv_rstmv"))
+    spark.sql("CALL gmvs.system.drop_mv('rstmv')").collect()
+  }
+
+  test("sidecar GC marks generations instead of deleting — a stale claim can NEVER re-win (VERDICT r14 #3)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t11 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t11 VALUES (1,'a',1)")
+    spark.sql("CALL gmvs.system.create_agg_mv('gcmv', 'ns.t11', 'grp', 'v')")
+      .collect()
+    // q422 turns refreshes into per-commit cadence; each one persists a
+    // generation — 8 commits+folds walk the claim past the gen-3 horizon
+    (2 to 9).foreach { i =>
+      spark.sql(s"INSERT INTO gmvs.ns.t11 VALUES ($i,'a',$i)")
+      GraftMaterializedViews.refreshIncremental(spark, "gcmv")
+    }
+    val md = java.nio.file.Paths.get(s"$wh/_mv")
+    val g1 = md.resolve("gcmv.g1")
+    assert(java.nio.file.Files.exists(g1),
+      "GC'd generations must survive as marker files, never be deleted")
+    assert(java.nio.file.Files.readAllLines(g1).get(0).startsWith("#gc"))
+    // the lost-update window: a writer stalled 5+ mutations re-claiming
+    // a reclaimed number must get EEXIST, not a silent win
+    val tmp = md.resolve(".stale.tmp")
+    java.nio.file.Files.write(tmp, java.util.List.of("defSql=stale"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(g1, tmp)
+    }
+    java.nio.file.Files.delete(tmp)
+    // no rename temps may linger, and the head still reloads clean
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(md).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".gc.")).toSeq
+    assert(leftovers.isEmpty, s"GC rename temps must not linger: $leftovers")
+    GraftMaterializedViews.forgetInMemory()
+    GraftMaterializedViews.loadFrom(s"$wh/_mv")
+    val listed = spark.sql("CALL gmvs.system.list_mvs()").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(listed.get("gcmv").contains(true),
+      s"the head generation must reload fresh through the marker prefix: $listed")
+    spark.sql("CALL gmvs.system.drop_mv('gcmv')").collect()
+  }
+
+  test("a multi-version catch-up delta folds unhinted (no unconditional broadcast) ≡ recompute") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t12 (k BIGINT, grp STRING, v BIGINT)")
+    (0L until 2000L).map(k => (k, s"g${k % 7}", k))
+      .toDF("k", "grp", "v").createOrReplaceTempView("mv_big_src")
+    spark.sql("INSERT INTO gmvs.ns.t12 SELECT * FROM mv_big_src")
+    val baseDir = s"$wh/ns/t12"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_t12",
+      "gmvs.ns.t12", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_t12")
+    // a backfill-scale window: three versions land before ONE refresh
+    // (the maxVersionsPerTrigger catch-up shape feeding q422's
+    // maintainer) — the fold must not pin a driver-sized broadcast on it
+    ManifestTable.commit((2000L until 6000L).map(k => (k, s"g${k % 7}", k))
+      .toDF("k", "grp", "v"), baseDir, append = true): Unit
+    ManifestTable.delete((0L until 500L).toDF("k"), baseDir, "k")
+    ManifestTable.merge((500L until 900L).map(k => (k, s"g${k % 5}", k * 2))
+      .toDF("k", "grp", "v"), baseDir, "k"): Unit
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t12")
+    val served = spark.sql(defSql)
+    val expect = ManifestTable.read(spark, baseDir).groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+    assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty,
+      "the catch-up fold must equal the from-base recompute")
+    GraftMaterializedViews.drop("mv_t12")
+
+    // join view: both sides take multi-version deltas before one refresh
+    spark.sql("CREATE TABLE gmvs.ns.t13f (k BIGINT, jk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.t13d (jk BIGINT, grp STRING)")
+    ManifestTable.commit((0L until 3000L).map(k => (k, k % 40, k))
+      .toDF("k", "jk", "v"), s"$wh/ns/t13f", append = true): Unit
+    ManifestTable.commit((0L until 40L).map(j => (j, s"g${j % 6}"))
+      .toDF("jk", "grp"), s"$wh/ns/t13d", append = true): Unit
+    val jSql = GraftMaterializedViews.registerJoinAgg(spark, "mv_t13",
+      "gmvs.ns.t13f", s"$wh/ns/t13f", "gmvs.ns.t13d", s"$wh/ns/t13d", "jk",
+      Seq("grp"), Seq("v"), s"$wh/ns/_mv_t13")
+    ManifestTable.commit((3000L until 5000L).map(k => (k, k % 40, k))
+      .toDF("k", "jk", "v"), s"$wh/ns/t13f", append = true): Unit
+    ManifestTable.delete((0L until 800L).toDF("k"), s"$wh/ns/t13f", "k")
+    ManifestTable.merge((0L until 10L).map(j => (j, s"h${j % 3}"))
+      .toDF("jk", "grp"), s"$wh/ns/t13d", "jk"): Unit
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t13")
+    val jServed = spark.sql(jSql)
+    val jExpect = ManifestTable.read(spark, s"$wh/ns/t13f")
+      .join(ManifestTable.read(spark, s"$wh/ns/t13d"), Seq("jk"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+    assert(jServed.exceptAll(jExpect).isEmpty &&
+      jExpect.exceptAll(jServed).isEmpty,
+      "the multi-version join fold must equal the from-base join")
+    GraftMaterializedViews.drop("mv_t13")
+  }
+
+  test("WAP staging never flips MV freshness; fast_forward publishes and fails it closed") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.t14 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t14 VALUES (1,'a',10),(2,'b',20)")
+    val baseDir = s"$wh/ns/t14"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_t14",
+      "gmvs.ns.t14", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_t14")
+    val h0 = GraftMaterializedViews.hits("mv_t14")
+    ManifestTable.createBranch(baseDir, "audit")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      // stage: main's version does NOT move, reads serve main — the MV
+      // must stay FRESH and keep serving (it equals the main answer)
+      spark.sql("INSERT INTO gmvs.ns.t14 VALUES (3,'a',5)")
+      val q = spark.sql(defSql + " ORDER BY grp")
+      assert(q.as[(String, Long, Long)].collect().toSeq ==
+        Seq(("a", 1L, 10L), ("b", 1L, 20L)),
+        "staged rows must not leak into the main-serving MV answer")
+      assert(GraftMaterializedViews.hits("mv_t14") == h0 + 1,
+        "WAP staging must not flip the MV stale (main is unchanged)")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // publish: main advances → the MV is stale → fail closed
+    ManifestTable.fastForward(baseDir, "audit"): Unit
+    val q2 = spark.sql(defSql + " ORDER BY grp")
+    assert(q2.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 15L), ("b", 1L, 20L)),
+      "after publish the base answer must win")
+    assert(GraftMaterializedViews.hits("mv_t14") == h0 + 1,
+      "a stale MV must never serve after fast_forward")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_t14")
+    assert(spark.sql(defSql).count() == 2)
+    assert(GraftMaterializedViews.hits("mv_t14") == h0 + 2,
+      "refresh must fold the published lineage and re-arm")
+    GraftMaterializedViews.drop("mv_t14")
+  }
+
+  test("cross-warehouse name collision: first registration wins, loser fails closed") {
+    wh: Unit
+    // two warehouses each persist a view named 'dupmv'
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_mv_wh2").toString
+    spark.conf.set("spark.sql.catalog.gmvs2", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvs2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmvs2.ns")
+    spark.sql("CREATE TABLE gmvs.ns.d1 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.d1 VALUES (1,'a',10)")
+    spark.sql("CREATE TABLE gmvs2.ns.d2 (k BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs2.ns.d2 VALUES (1,'z',99)")
+    val sql1 = spark.sql(
+      "CALL gmvs.system.create_agg_mv('dupmv', 'ns.d1', 'grp', 'v')")
+      .head.getString(0)
+    val sql2 = spark.sql(
+      "CALL gmvs2.system.create_agg_mv('dupmv', 'ns.d2', 'grp', 'v')")
+      .head.getString(0)
+    // restart: loadFrom order decides the winner; the loser is NOT
+    // armed (fail closed — its queries compute from base) and the
+    // collision is warned, never silent corruption
+    GraftMaterializedViews.forgetInMemory()
+    GraftMaterializedViews.loadFrom(s"$wh/_mv")
+    GraftMaterializedViews.loadFrom(s"$wh2/_mv")
+    val h0 = GraftMaterializedViews.hits("dupmv")
+    assert(spark.sql(sql1).as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L)))
+    assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
+      "the first-loaded registration must serve")
+    assert(spark.sql(sql2).as[(String, Long, Long)].collect().toSeq ==
+      Seq(("z", 1L, 99L)),
+      "the losing registration's query must still answer correctly from base")
+    assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
+      "the losing registration must fail closed, never serve the wrong MV")
+    GraftMaterializedViews.drop("dupmv")
+  }
+
   test("rewrite cost pre-filter: unrelated queries are never fingerprinted") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t8 (grp STRING, v BIGINT)")
@@ -600,6 +833,16 @@ class MaterializedViewSpec extends SparkSpec {
       "FROM gmvs.ns.t8 WHERE v > 0").collect()
     assert(GraftMaterializedViews.fingerprintCalls.get() == c0,
       "no subtree of an unrelated query may be fingerprinted")
+    // an unrelated AGGREGATE with a rollup-capable view armed: the name
+    // pre-filter must reject BEFORE the child-subtree serialization —
+    // the rollup path honors the same cost discipline as exact-match
+    // (VERDICT r14 what's-wrong #2)
+    spark.sql("CREATE TABLE gmvs.ns.t8b (x STRING, w BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.t8b VALUES ('p', 4)")
+    val ca = GraftMaterializedViews.fingerprintCalls.get()
+    spark.sql("SELECT x, sum(w) AS sw FROM gmvs.ns.t8b GROUP BY x").collect()
+    assert(GraftMaterializedViews.fingerprintCalls.get() == ca,
+      "an unrelated aggregate must not be fingerprinted on the rollup path")
     // the real match still costs exactly one fingerprint per candidate
     val c1 = GraftMaterializedViews.fingerprintCalls.get()
     spark.sql(defSql).collect()
