@@ -2561,6 +2561,73 @@ object WarehouseQueries {
     q.orderBy($"pri")
   }
 
+  // q423: TIME-HIERARCHY MV CONTAINMENT (r15) — the single most common
+  // production containment: a DAY-grain view serving the month/quarter/
+  // year dashboards beneath it. The rollup rewrite now admits query
+  // group keys that are DETERMINISTIC EXPRESSIONS over view group keys
+  // (`trunc(day,'MM')`, `year(day)`, …): keys are constant within an MV
+  // group, so any function of keys is too, and re-grouping the MV by
+  // the remapped expression merges exactly the day-groups sharing the
+  // coarser grain — count/sum partials fold associatively across the
+  // refinement. Require-pinned: the month dashboard AND a
+  // year+WHERE-transfer query serve (hits + MV scan in the executed
+  // plan) while a group expression referencing a NON-key column fails
+  // closed. The gate output is the month × type dashboard,
+  // oracle-recomputed from the raw events — a wrong grain merge or a
+  // partial mis-fold moves the hash. At 100 TB: ONE day-grain view
+  // (O(|days × types|) rows) serves every calendar rollup a dashboard
+  // asks, and the fact table is never re-scanned for any of them.
+  def mvTimeHierarchy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q423_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat423", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat423.warehouse", out)
+    Tables(s, dir).events
+      .select($"ts".cast("date").as("day"), $"event_type".as("etype"),
+        ($"event_id" % 997).cast("long").as("cents"))
+      .createOrReplaceTempView("q423_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat423.db.ev")
+    s.sql("CREATE TABLE graft_cat423.db.ev (day DATE, etype STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat423.db.ev SELECT day, etype, cents FROM q423_src")
+    GraftMaterializedViews.registerAgg(s, "q423_mv",
+      "graft_cat423.db.ev", s"$out/db/ev", Seq("day", "etype"),
+      Seq("cents"), s"$out/db/_mv_day")
+    val h0 = GraftMaterializedViews.hits("q423_mv")
+    // the MONTH dashboard — never registered as its own view: the
+    // day-grain MV serves it through the grain-of-grain rewrite
+    val mon = "SELECT trunc(day, 'MM') AS mon, etype, count(*) AS n_rows, " +
+      "sum(cents) AS sum_cents FROM graft_cat423.db.ev " +
+      "GROUP BY trunc(day, 'MM'), etype"
+    val q = s.sql(mon)
+    q.collect(): Unit
+    require(GraftMaterializedViews.hits("q423_mv") == h0 + 1,
+      "q423: the month dashboard must be served from the day-grain MV")
+    require(q.queryExecution.executedPlan.toString.contains("_mv_day"),
+      "q423: the month plan must scan the MV table, not the base")
+    // the YEAR grain with a group-key WHERE: both transfer to MV rows
+    val qy = s.sql("SELECT year(day) AS y, sum(cents) AS s " +
+      "FROM graft_cat423.db.ev WHERE etype = 'click' GROUP BY year(day)")
+    qy.collect(): Unit
+    require(GraftMaterializedViews.hits("q423_mv") == h0 + 2,
+      "q423: the filtered year grain must be served from the day-grain MV")
+    require(qy.queryExecution.executedPlan.toString.contains("_mv_day"),
+      "q423: the year plan must scan the MV table, not the base")
+    // fail-closed probe: a grain derived from a NON-key column cannot
+    // be reproduced from the stored day groups
+    s.sql("SELECT cents % 10 AS b, count(*) AS n " +
+      "FROM graft_cat423.db.ev GROUP BY cents % 10").collect(): Unit
+    require(GraftMaterializedViews.hits("q423_mv") == h0 + 2,
+      "q423: a non-key grain must fail closed to the base")
+    GraftMaterializedViews.drop("q423_mv")
+    q.orderBy($"mon", $"etype")
+  }
+
   // q352: COPY-ON-WRITE UPDATE, stats-bounded — the third row-level verb
   // (deleteWhere = merge-on-read erase, merge = keyed upsert, updateWhere
   // = arbitrary-predicate mutation). The write path derives per-column
@@ -4501,6 +4568,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q423_mv_time_hierarchy" -> mvTimeHierarchy _,
     "q422_stream_mv" -> streamMv _,
     "q421_mv_rollup" -> mvRollup _,
     "q419_mv_minmax" -> mvMinMax _,
@@ -4603,6 +4671,17 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q423: the oracle recomputes the month × type dashboard from the
+    // raw events — a wrong grain merge (day-groups landing in the wrong
+    // month) or a partial mis-fold moves the hash
+    "q423_mv_time_hierarchy" ->
+      """WITH src AS (SELECT CAST(ts AS DATE) AS day,
+        |    event_type AS etype,
+        |    CAST(event_id % 997 AS BIGINT) AS cents FROM events)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS mon, etype,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM src GROUP BY 1, 2 ORDER BY mon, etype""".stripMargin,
     // q421: the oracle recomputes the COARSE rollup directly from the
     // raw rows — a wrong partial fold (summing maxes, min of sums,
     // dropped group) or a stale serve moves the hash

@@ -867,66 +867,82 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** ROLLUP containment rewrite: a query that aggregates the SAME base
     * subtree (child fingerprints equal — same relations at the same
     * pinned versions, same pre-aggregation shape) by a SUBSET of a
-    * fresh view's group keys re-aggregates the O(|groups|) MV instead
-    * of the base: count(*) → sum(count partial), sum → sum of sums,
-    * min → min of mins, max → max of maxes. A deterministic WHERE
-    * between the aggregate and the base transfers to the MV rows
-    * verbatim when it references ONLY view group keys (every key is
-    * constant within an MV group, so filtering groups ≡ filtering
-    * rows). Anything the stored partials cannot reproduce exactly —
-    * count(col), aggregate-level DISTINCT/FILTER, avg, expression group
-    * keys, predicates on non-key columns — fails closed to the base. */
+    * fresh view's group keys — or by any DETERMINISTIC EXPRESSION over
+    * them (the r15 time-hierarchy containment: `month(day)`,
+    * `date_trunc('quarter', day)`, `year(day)` over a day-grain view) —
+    * re-aggregates the O(|groups|) MV instead of the base: count(*) →
+    * sum(count partial), sum → sum of sums, min → min of mins, max →
+    * max of maxes. A deterministic WHERE between the aggregate and the
+    * base transfers to the MV rows verbatim when it references ONLY
+    * view group keys (every key is constant within an MV group, so
+    * filtering groups ≡ filtering rows). Anything the stored partials
+    * cannot reproduce exactly — count(col), aggregate-level
+    * DISTINCT/FILTER, avg, group keys referencing non-key columns,
+    * non-deterministic keys, predicates on non-key columns — fails
+    * closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
-    if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
-      return None
-    val gNames = a.groupingExpressions
-      .map(_.asInstanceOf[AttributeReference].name)
+    // every grouping expression must be DETERMINISTIC and reference only
+    // base columns the view stores as group keys. Keys are constant
+    // within an MV group, so ANY deterministic function of keys —
+    // `date_trunc('month', day)`, `year(day)`, a substring, a bucket
+    // expression — is also constant there, and re-grouping the MV by
+    // the remapped expression merges exactly the base groups that share
+    // its value (partition refinement: count/sum/min/max partials fold
+    // associatively across it). This is the TIME-HIERARCHY containment
+    // (r15): a day-grain view serves every month/quarter/year dashboard
+    // beneath it. Non-deterministic keys and keys referencing non-key
+    // columns fail closed.
+    val gExprs = a.groupingExpressions
+    if (!gExprs.forall(_.deterministic)) return None
     // peel one deterministic Filter between the aggregate and the base
     val (cond, aggChild) = a.child match {
       case Filter(c, ch) if c.deterministic => (Some(c), ch)
       case ch => (None, ch)
     }
     // translate each output expression against a view's stored partials:
-    // Left(mvGroupCol) for a group-key passthrough, Right(re-aggregate)
-    // for a rollup-able aggregate; None anywhere → this view can't serve
+    // Left(i) for (a semantic copy of) the i-th grouping expression,
+    // Right(re-aggregate) for a rollup-able aggregate; None anywhere →
+    // this view can't serve
     def translate(ri: RollupInfo, e: NamedExpression)
-        : Option[Either[String, org.apache.spark.sql.Column]] = e match {
-      case g: AttributeReference if gNames.contains(g.name) =>
-        Some(Left(ri.groupMap(g.name)))
-      case Alias(g: AttributeReference, _) if gNames.contains(g.name) =>
-        Some(Left(ri.groupMap(g.name)))
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(1, _))) =>
-            // the GLOBAL rollup (no group keys) of an EMPTY view must
-            // still answer 0, not sum-over-nothing's NULL
-            ri.countCol.map(c => Right(org.apache.spark.sql.functions
-              .coalesce(fsum(col(c)), org.apache.spark.sql.functions.lit(0L))))
-          case Sum(attr: AttributeReference, _)
-              // a re-summed DECIMAL widens its precision (p+10 again),
-              // so the rolled column's type would not match the query's
-              // output — fail closed; integral sums are LongType fixed
-              // points and float sums are order-nondeterministic in
-              // Spark's own partial aggregation already
-              if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-            ri.sumMap.get(attr.name).map(c => Right(fsum(col(c))))
-          case Min(attr: AttributeReference) =>
-            ri.minMap.get(attr.name).map(c => Right(fmin(col(c))))
-          case Max(attr: AttributeReference) =>
-            ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
-          case _ => None
-        }
-      case _ => None
+        : Option[Either[Int, org.apache.spark.sql.Column]] = {
+      val stripped = e match { case Alias(c, _) => c; case other => other }
+      val gi = gExprs.indexWhere(_.semanticEquals(stripped))
+      if (gi >= 0) Some(Left(gi))
+      else e match {
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(1, _))) =>
+              // the GLOBAL rollup (no group keys) of an EMPTY view must
+              // still answer 0, not sum-over-nothing's NULL
+              ri.countCol.map(c => Right(org.apache.spark.sql.functions
+                .coalesce(fsum(col(c)), org.apache.spark.sql.functions.lit(0L))))
+            case Sum(attr: AttributeReference, _)
+                // a re-summed DECIMAL widens its precision (p+10 again),
+                // so the rolled column's type would not match the query's
+                // output — fail closed; integral sums are LongType fixed
+                // points and float sums are order-nondeterministic in
+                // Spark's own partial aggregation already
+                if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              ri.sumMap.get(attr.name).map(c => Right(fsum(col(c))))
+            case Min(attr: AttributeReference) =>
+              ri.minMap.get(attr.name).map(c => Right(fmin(col(c))))
+            case Max(attr: AttributeReference) =>
+              ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
+            case _ => None
+          }
+        case _ => None
+      }
     }
-    // COST PRE-FILTER: every check here is a name-set compare — an
-    // aggregate query unrelated to any armed view must be rejected
-    // BEFORE the O(subtree) child serialization below (the exact-match
-    // path's (width, root) discipline, on the rollup path)
+    // COST PRE-FILTER: every check here is a name-set compare or a
+    // local expression match — an aggregate query unrelated to any
+    // armed view must be rejected BEFORE the O(subtree) child
+    // serialization below (the exact-match path's (width, root)
+    // discipline, on the rollup path)
     val byName = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
       .filter { case (_, ri) =>
-        gNames.forall(ri.groupMap.contains) &&
+        gExprs.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
           cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
           a.aggregateExpressions.forall(e => translate(ri, e).isDefined)
       }
@@ -943,28 +959,33 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // rule never re-enters itself mid-rewrite
         suppressRewrite {
           val mv0 = ManifestTable.read(spark, v.mvDir)
-          // the group-key WHERE re-targets the MV's own attributes
+          val mvPlan = mv0.queryExecution.analyzed
+          val outByName = mvPlan.output.map(o => o.name -> o).toMap
+          // re-target a base-side expression at the MV's own attributes
+          // (group keys are stored verbatim, so names map 1:1)
+          def remap(ex: org.apache.spark.sql.catalyst.expressions.Expression)
+              : org.apache.spark.sql.catalyst.expressions.Expression =
+            ex.transform {
+              case ar: AttributeReference => outByName(ri.groupMap(ar.name))
+            }
+          // the group-key WHERE transfers to the MV's rows
           val mv = cond match {
-            case Some(c) =>
-              val mvPlan = mv0.queryExecution.analyzed
-              val outByName = mvPlan.output.map(o => o.name -> o).toMap
-              val remapped = c.transform {
-                case ar: AttributeReference => outByName(ri.groupMap(ar.name))
-              }
-              org.apache.spark.sql.graftbridge.Bridge
-                .ofRows(mv0, Filter(remapped, mvPlan))
+            case Some(c) => org.apache.spark.sql.graftbridge.Bridge
+              .ofRows(mv0, Filter(remap(c), mvPlan))
             case None => mv0
           }
-          val gCols = gNames.map(n => col(ri.groupMap(n)))
+          val gCols = gExprs.zipWithIndex.map { case (ge, i) =>
+            org.apache.spark.sql.graftbridge.Bridge.column(remap(ge))
+              .as(s"_g$i") }
           // a group-cols-only query (the DISTINCT shape) has no
-          // aggregates — it's the distinct of the MV's group columns
+          // aggregates — it's the distinct of the remapped group exprs
           val rolled =
             if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
             else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
           // restore the query's output ORDER (group keys may sit
           // anywhere among the aggregates), then its attribute ids
           val ordered = rolled.select(items.zipWithIndex.map {
-            case (Left(g), _) => col(g)
+            case (Left(g), _) => col(s"_g$g")
             case (Right(_), i) => col(s"_r$i")
           }: _*).queryExecution.analyzed
           recordHit(v.name)

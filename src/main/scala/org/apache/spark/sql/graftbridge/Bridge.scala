@@ -11,6 +11,7 @@ import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => C
   */
 object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
   def ofRows(df: DataFrame, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(df.sparkSession.asInstanceOf[ClassicSession], plan)
 

@@ -458,6 +458,15 @@ class MaterializedViewSpec extends SparkSpec {
     val q3 = spark.sql("SELECT g1 FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
     assert(q3.as[String].collect().toSeq == Seq("a", "b"))
     assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3)
+    // EXPRESSION over a view group key (r15): deterministic functions of
+    // keys are constant within an MV group — the rollup serves them
+    val qe = spark.sql("SELECT upper(g1) AS u, sum(v) AS s FROM gmvs.ns.ru " +
+      "GROUP BY upper(g1) ORDER BY u")
+    assert(qe.as[(String, Long)].collect().toSeq ==
+      Seq(("A", 30L), ("B", 8L)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
+      "a deterministic expression over view group keys must roll up")
+    assert(qe.queryExecution.executedPlan.toString.contains("_mv_ru"))
     // fail-closed battery: shapes the stored partials cannot reproduce
     spark.sql("SELECT g1, count(v) AS n FROM gmvs.ns.ru GROUP BY g1").collect()
     spark.sql("SELECT g1, avg(v) AS a FROM gmvs.ns.ru GROUP BY g1").collect()
@@ -465,25 +474,27 @@ class MaterializedViewSpec extends SparkSpec {
       .collect()
     spark.sql("SELECT g1, sum(v) FILTER (WHERE v > 5) AS s " +
       "FROM gmvs.ns.ru GROUP BY g1").collect()
-    spark.sql("SELECT upper(g1) AS u, sum(v) AS s FROM gmvs.ns.ru " +
-      "GROUP BY upper(g1)").collect()
+    // a group expression referencing a NON-key column cannot be
+    // reproduced from the stored groups
+    spark.sql("SELECT upper(cast(v AS STRING)) AS u, count(*) AS n " +
+      "FROM gmvs.ns.ru GROUP BY upper(cast(v AS STRING))").collect()
     spark.sql("SELECT g1, sum(k) AS s FROM gmvs.ns.ru GROUP BY g1").collect()
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3,
-      "count(col)/avg/DISTINCT/FILTER/expression-group/unstored-sum " +
-        "must all fail closed to the base")
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
+      "count(col)/avg/DISTINCT/FILTER/non-key-expression-group/" +
+        "unstored-sum must all fail closed to the base")
     // staleness gates rollup exactly like exact-match
     spark.sql("INSERT INTO gmvs.ns.ru VALUES (5,'a','z',100)")
     val q4 = spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru " +
       "GROUP BY g1 ORDER BY g1")
     assert(q4.as[(String, Long)].collect().toSeq ==
       Seq(("a", 130L), ("b", 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 3)
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4)
     GraftMaterializedViews.refreshIncremental(spark, "mv_ru")
     val q5 = spark.sql("SELECT g1, min(v) AS mn, sum(v) AS sv " +
       "FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
     assert(q5.as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 10L, 130L), ("b", 3L, 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
       "refresh must re-arm the rollup path")
     // group-key FILTER containment: a WHERE on view group keys filters
     // the MV's rows (keys are constant within a group) — the base is
@@ -492,18 +503,18 @@ class MaterializedViewSpec extends SparkSpec {
       "WHERE g2 = 'x' GROUP BY g1 ORDER BY g1")
     assert(qf.as[(String, Long)].collect().toSeq ==
       Seq(("a", 10L), ("b", 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6,
       "a group-key WHERE must transfer to the MV rows")
     assert(qf.queryExecution.executedPlan.toString.contains("_mv_ru"))
     // the filtered GLOBAL aggregate (coarsest lattice point + predicate)
     val qg = spark.sql("SELECT count(*) AS n FROM gmvs.ns.ru " +
       "WHERE g2 IN ('x', 'z')")
     assert(qg.as[Long].head() == 4L)
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6)
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 7)
     // a predicate on a NON-key column cannot transfer: fail closed
     spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru WHERE v > 4 " +
       "GROUP BY g1").collect()
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 7,
       "non-group-key predicates must fail closed to the base")
     GraftMaterializedViews.drop("mv_ru")
 
