@@ -2561,6 +2561,93 @@ object WarehouseQueries {
     q.orderBy($"pri")
   }
 
+  // q424: N-TABLE SNOWFLAKE MV INCREMENTAL REFRESH (r15) — the TPC-H
+  // Q9 shape (fact ⋈ dim ⋈ dim) as a maintained view. The telescoping
+  // identity folds k change feeds in ONE refresh with one leg per
+  // CHANGED side (N₁⋈…⋈N_{i-1} ⋈ Δᵢ ⋈ O_{i+1}⋈…⋈O_k — consecutive
+  // terms cancel because the chain join is multilinear in each side),
+  // so the k-way HISTORY join is never re-executed and an unchanged
+  // side contributes nothing. The battery mutates ALL THREE bases in
+  // one window — fact reprice + GDPR erase + fresh ingest, a FIRST-level
+  // dim re-home (part rows migrate region keys) and a SECOND-level one
+  // (a region renames) — then runs ONE incremental refresh.
+  // Require-pinned: the exact query serves before and after (hits), the
+  // refreshed MV scan is in the executed plan, and a coarser grouping
+  // rolls up the snowflake MV (the containment lattice composes with
+  // the k-table shape). Oracle: the final 3-way join recomputed from
+  // scratch in DuckDB — a missed migration leg, a double-folded ΔF⋈ΔD
+  // interaction, or a drifted counter moves the hash. At 100 TB: the
+  // profit-rollup dashboard refreshes at O(Σ|deltas| ⋈ probes) instead
+  // of re-joining the fact against every dimension nightly.
+  def mvSnowflake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q424_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat424", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat424.warehouse", out)
+    val keys = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k")).localCheckpoint()
+    keys.createOrReplaceTempView("q424_keys")
+    Seq("fact", "d1", "d2").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat424.db.$t"))
+    s.sql("CREATE TABLE graft_cat424.db.fact (k BIGINT, pk BIGINT, cents BIGINT)")
+    s.sql("CREATE TABLE graft_cat424.db.d1 (pk BIGINT, rk BIGINT, cat STRING)")
+    s.sql("CREATE TABLE graft_cat424.db.d2 (rk BIGINT, region STRING)")
+    s.sql("INSERT INTO graft_cat424.db.fact " +
+      "SELECT k, k % 50, k * 3 FROM q424_keys WHERE k % 10 < 8")
+    (0L until 50L).map(pk => (pk, pk % 7, s"c${pk % 4}"))
+      .toDF("pk", "rk", "cat").createOrReplaceTempView("q424_d1")
+    s.sql("INSERT INTO graft_cat424.db.d1 SELECT * FROM q424_d1")
+    (0L until 7L).map(rk => (rk, s"r$rk"))
+      .toDF("rk", "region").createOrReplaceTempView("q424_d2")
+    s.sql("INSERT INTO graft_cat424.db.d2 SELECT * FROM q424_d2")
+    val (fDir, d1Dir, d2Dir) =
+      (s"$out/db/fact", s"$out/db/d1", s"$out/db/d2")
+    val defSql = GraftMaterializedViews.registerSnowflakeAgg(s, "q424_mv",
+      Seq("graft_cat424.db.fact" -> fDir, "graft_cat424.db.d1" -> d1Dir,
+        "graft_cat424.db.d2" -> d2Dir),
+      Seq("pk", "rk"), Seq("region", "cat"), Seq("cents"), s"$out/db/_mv_snow")
+    val h0 = GraftMaterializedViews.hits("q424_mv")
+    s.sql(defSql).collect(): Unit
+    require(GraftMaterializedViews.hits("q424_mv") == h0 + 1,
+      "q424: the exact snowflake query must serve from the MV")
+    // ONE maintenance window touching ALL THREE bases
+    ManifestTable.merge(keys.where($"k" % 10 === 3)
+      .select($"k", ($"k" % 50).as("pk"), ($"k" * 7).as("cents")), fDir, "k")
+    ManifestTable.delete(keys.where($"k" % 10 === 4).select($"k"), fDir, "k")
+    ManifestTable.commit(keys.where($"k" % 10 === 8)
+      .select($"k", ($"k" % 50).as("pk"), ($"k" * 3).as("cents")),
+      fDir, append = true): Unit
+    ManifestTable.merge((0L until 50L).filter(_ % 5 == 0)
+      .map(pk => (pk, (pk + 1) % 7, s"c${pk % 4}"))
+      .toDF("pk", "rk", "cat"), d1Dir, "pk")
+    ManifestTable.merge(Seq((2L, "rX")).toDF("rk", "region"), d2Dir, "rk")
+    GraftMaterializedViews.refreshIncremental(s, "q424_mv")
+    val q = s.sql(defSql)
+    q.collect(): Unit
+    require(GraftMaterializedViews.hits("q424_mv") == h0 + 2,
+      "q424: the telescoped refresh must re-arm the exact rewrite")
+    require(q.queryExecution.executedPlan.toString.contains("_mv_snow"),
+      "q424: the served plan must scan the refreshed MV, not re-join")
+    // the containment lattice composes with the k-table shape
+    val rq = s.sql("SELECT region, sum(cents) AS s FROM graft_cat424.db.fact " +
+      "JOIN graft_cat424.db.d1 USING (pk) JOIN graft_cat424.db.d2 USING (rk) " +
+      "GROUP BY region")
+    rq.collect(): Unit
+    require(GraftMaterializedViews.hits("q424_mv") == h0 + 3,
+      "q424: the coarser grouping must roll up the snowflake MV")
+    require(rq.queryExecution.executedPlan.toString.contains("_mv_snow"),
+      "q424: the rolled plan must scan the MV, never re-join the fact")
+    GraftMaterializedViews.drop("q424_mv")
+    q.orderBy($"region", $"cat")
+  }
+
   // q423: TIME-HIERARCHY MV CONTAINMENT (r15) — the single most common
   // production containment: a DAY-grain view serving the month/quarter/
   // year dashboards beneath it. The rollup rewrite now admits query
@@ -4568,6 +4655,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q424_mv_snowflake" -> mvSnowflake _,
     "q423_mv_time_hierarchy" -> mvTimeHierarchy _,
     "q422_stream_mv" -> streamMv _,
     "q421_mv_rollup" -> mvRollup _,
@@ -4671,6 +4759,28 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q424: the oracle recomputes the FINAL 3-way snowflake join from
+    // scratch — fact after reprice/erase/ingest, d1 after the pk-level
+    // re-home, d2 after the region rename — so a missed migration leg,
+    // a double-folded delta interaction, or a drifted counter moves
+    // the hash
+    "q424_mv_snowflake" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (
+        |  SELECT k, k % 50 AS pk,
+        |    CASE WHEN k % 10 = 3 THEN k * 7 ELSE k * 3 END AS cents
+        |  FROM k WHERE k % 10 < 8 AND k % 10 <> 4
+        |  UNION ALL SELECT k, k % 50, k * 3 FROM k WHERE k % 10 = 8),
+        |d1 AS (SELECT pk,
+        |    CASE WHEN pk % 5 = 0 THEN (pk + 1) % 7 ELSE pk % 7 END AS rk,
+        |    'c' || CAST(pk % 4 AS VARCHAR) AS cat FROM range(50) t(pk)),
+        |d2 AS (SELECT rk,
+        |    CASE WHEN rk = 2 THEN 'rX' ELSE 'r' || CAST(rk AS VARCHAR) END
+        |      AS region FROM range(7) t(rk))
+        |SELECT region, cat, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d1 USING (pk) JOIN d2 USING (rk)
+        |GROUP BY region, cat ORDER BY region, cat""".stripMargin,
     // q423: the oracle recomputes the month × type dashboard from the
     // raw events — a wrong grain merge (day-groups landing in the wrong
     // month) or a partial mis-fold moves the hash

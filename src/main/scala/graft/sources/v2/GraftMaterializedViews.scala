@@ -104,6 +104,16 @@ object GraftMaterializedViews {
   final case class JoinShape(factDir: String, dimDir: String, joinKey: String,
                              groupCols: Seq[String], sumCols: Seq[String])
 
+  /** The k-table SNOWFLAKE shape (r15): side 0 (the fact) left-folds
+    * through `sideDirs.tail` with `JOIN … USING (joinKeys(i-1))` —
+    * each key resolves against the ACCUMULATED join output, so both
+    * star (all keys on the fact) and snowflake (a key introduced by an
+    * earlier dim) topologies express. Maintained from ALL k change
+    * feeds by the telescoping identity (see
+    * [[refreshIncrementalSnowflake]]). */
+  final case class SnowflakeShape(sideDirs: Seq[String], joinKeys: Seq[String],
+                                  groupCols: Seq[String], sumCols: Seq[String])
+
   /** Everything the ROLLUP containment rewrite needs, derived from the
     * view's analyzed definition at registration (and re-derived after a
     * reload): the fingerprint of the aggregate's CHILD (the base
@@ -125,7 +135,8 @@ object GraftMaterializedViews {
                          joinShape: Option[JoinShape] = None,
                          rootNode: String = "", persistDir: Option[String] = None,
                          fpVerified: Boolean = true,
-                         rollup: Option[RollupInfo] = None)
+                         rollup: Option[RollupInfo] = None,
+                         snowShape: Option[SnowflakeShape] = None)
 
   private val views = new ConcurrentHashMap[String, MvDef]()
   private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
@@ -254,7 +265,8 @@ object GraftMaterializedViews {
       sys.error(s"GraftMaterializedViews.refresh: no view '$name'"))
     val nd = materialize(spark, name, v.defSql, v.mvDir, v.deps.map(_._1),
       v.persistDir)
-    install(nd.copy(aggShape = v.aggShape, joinShape = v.joinShape))
+    install(nd.copy(aggShape = v.aggShape, joinShape = v.joinShape,
+      snowShape = v.snowShape))
   }
 
   /** Register the INCREMENTALLY-maintainable shape — group keys +
@@ -324,6 +336,49 @@ object GraftMaterializedViews {
     defSql
   }
 
+  /** Register the k-table SNOWFLAKE shape: `sides` = (SQL identifier,
+    * manifest dir) pairs, the first the fact; side i (i ≥ 1) joins the
+    * accumulated result `USING (joinKeys(i-1))` — the TPC-H Q9 profit
+    * rollup is `(lineitem, part, supplier)` in this grammar. Incremental
+    * maintenance folds ALL k change feeds in one refresh without ever
+    * re-joining history ([[refreshIncrementalSnowflake]]). Returns the
+    * definition SQL (exactly what the rewrite will match). */
+  def registerSnowflakeAgg(spark: SparkSession, name: String,
+                           sides: Seq[(String, String)],
+                           joinKeys: Seq[String],
+                           groupCols: Seq[String], sumCols: Seq[String],
+                           mvDir: String,
+                           persistDir: Option[String] = None): String = {
+    require(sides.length >= 2,
+      "registerSnowflakeAgg: need at least two sides (use registerAgg " +
+        "for a single table)")
+    require(joinKeys.length == sides.length - 1,
+      s"registerSnowflakeAgg: ${sides.length} sides need " +
+        s"${sides.length - 1} join keys, got ${joinKeys.length}")
+    require(sides.map(_._2).distinct.length == sides.length,
+      "registerSnowflakeAgg: sides must be distinct tables (self-join " +
+        "deltas need every side's version to move independently)")
+    require(groupCols.nonEmpty, "registerSnowflakeAgg: no group columns")
+    val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
+      sumCols.map(c => s", sum($c) AS sum_$c").mkString +
+      s" FROM ${sides.head._1}" +
+      sides.tail.zip(joinKeys).map { case ((sql, _), k) =>
+        s" JOIN $sql USING ($k)" }.mkString +
+      s" GROUP BY ${groupCols.mkString(", ")}"
+    val nd = materialize(spark, name, defSql, mvDir, sides.map(_._2),
+      persistDir)
+    install(nd.copy(snowShape = Some(
+      SnowflakeShape(sides.map(_._2), joinKeys, groupCols, sumCols))))
+    defSql
+  }
+
+  /** Monitoring: base-SNAPSHOT reads issued by snowflake incremental
+    * refreshes. Pins the telescoping bound: an all-unchanged refresh
+    * reads zero snapshots; a single-changed-side refresh reads exactly
+    * k−1 (its leg's probe sides) — the k-way HISTORY join is never
+    * re-executed. */
+  private[graft] val refreshSnapshotReads = new AtomicLong(0L)
+
   /** Incremental refresh for [[registerAgg]] / [[registerJoinAgg]]
     * views: read ONLY the bases' change feeds since the recorded
     * versions (insert events add, delete events subtract — an update's
@@ -344,13 +399,14 @@ object GraftMaterializedViews {
   def refreshIncremental(spark: SparkSession, name: String): Unit = {
     val v = Option(views.get(name)).getOrElse(
       sys.error(s"GraftMaterializedViews.refreshIncremental: no view '$name'"))
-    (v.aggShape, v.joinShape) match {
-      case (Some(sh), _) => refreshIncrementalAgg(spark, v, sh)
-      case (_, Some(sh)) => refreshIncrementalJoin(spark, v, sh)
+    (v.aggShape, v.joinShape, v.snowShape) match {
+      case (Some(sh), _, _) => refreshIncrementalAgg(spark, v, sh)
+      case (_, Some(sh), _) => refreshIncrementalJoin(spark, v, sh)
+      case (_, _, Some(sh)) => refreshIncrementalSnowflake(spark, v, sh)
       case _ => sys.error(
         s"refreshIncremental: view '$name' was not registered with " +
-          "registerAgg/registerJoinAgg (arbitrary definitions " +
-          "re-materialize with refresh)")
+          "registerAgg/registerJoinAgg/registerSnowflakeAgg (arbitrary " +
+          "definitions re-materialize with refresh)")
     }
   }
 
@@ -478,6 +534,71 @@ object GraftMaterializedViews {
       Seq(fDir -> fHead, dDir -> dHead))
   }
 
+  /** k-table snowflake incremental refresh via the TELESCOPING identity:
+    * with `N_j` = side j at its NEW head, `O_j` = side j at its RECORDED
+    * version, and `J_i` = the chain join with sides 1..i new and
+    * i+1..k old,
+    *
+    *   `J_k − J_0  =  Σᵢ (J_i − J_{i-1})
+    *              =  Σᵢ  N_1 ⋈ … ⋈ N_{i-1} ⋈ Δᵢ ⋈ O_{i+1} ⋈ … ⋈ O_k`
+    *
+    * (the chain join is multilinear in each side under signed-multiset
+    * semantics, so consecutive terms cancel). ONE leg per CHANGED side,
+    * each carrying exactly one signed delta — the k-way history join
+    * `J_0` is never re-executed, an unchanged side contributes no leg,
+    * and a single-changed-side refresh reads exactly k−1 snapshots (its
+    * leg's probe sides; [[refreshSnapshotReads]] pins the bound). This
+    * is the standard sequential IVM fold — k legs instead of the
+    * 2ᵏ−1-term inclusion–exclusion expansion. */
+  private def refreshIncrementalSnowflake(spark: SparkSession, v: MvDef,
+                                          sh: SnowflakeShape): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = sh.sideDirs.length
+    val rec = v.deps.map(_._2)
+    val heads = sh.sideDirs.map(ManifestTable.currentVersion)
+    if (heads.zip(rec).forall { case (h, r) => h == r }) return
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    // a side whose range is all-rewrite (schemaless empty feed — zero
+    // events) is an UNCHANGED side: its leg drops entirely
+    def sideDelta(i: Int): Option[org.apache.spark.sql.DataFrame] =
+      if (heads(i) <= rec(i)) None
+      else {
+        val f = ManifestTable.changeFeed(spark, sh.sideDirs(i), rec(i), heads(i))
+        if (f.columns.contains("_change_type"))
+          Some(f.withColumn("_sign", sign).drop("_change_type"))
+        else None
+      }
+    def snap(i: Int, ver: Int): org.apache.spark.sql.DataFrame = {
+      refreshSnapshotReads.incrementAndGet(): Unit
+      ManifestTable.read(spark, sh.sideDirs(i), ver)
+    }
+    val parts = mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    for (i <- 0 until k; d <- sideDelta(i)) {
+      var acc = if (i == 0) d else snap(0, heads(0))
+      for (j <- 1 until k) {
+        val right =
+          if (j < i) snap(j, heads(j))
+          else if (j == i) d
+          else snap(j, rec(j))
+        acc = acc.join(right, Seq(sh.joinKeys(j - 1)))
+      }
+      parts += acc.select(sh.groupCols.map(col) ++ sh.sumCols.map(col) :+
+        col("_sign"): _*): Unit
+    }
+    if (parts.isEmpty) {
+      // every range was maintenance-only: content unchanged (copy
+      // preserves fpVerified/rollup — see refreshIncrementalAgg)
+      install(v.copy(deps = sh.sideDirs.zip(heads)))
+      return
+    }
+    val delta = parts.reduce(_ unionByName _)
+      .groupBy(sh.groupCols.map(col): _*)
+      .agg(sum(col("_sign")).as("_d_n"),
+        sh.sumCols.map(c => sum(col("_sign") * col(c)).as(s"_d_$c")): _*)
+    foldDelta(spark, v, sh.groupCols, sh.sumCols, delta,
+      sh.sideDirs.zip(heads))
+  }
+
   /** Fold signed delta partials (`_d_n`, `_d_<c>`, `_d_cnt_<c>`) into the
     * stored groups: one full-outer join against the O(|groups|) MV,
     * zero-count groups dropped, declared averages RE-DERIVED from the
@@ -591,7 +712,8 @@ object GraftMaterializedViews {
     views.values().asScala.toSeq.sortBy(_.name).map { v =>
       val fresh = v.deps.forall { case (d, r) => ver(d).contains(r) }
       val shape =
-        if (v.joinShape.isDefined) "join-agg"
+        if (v.snowShape.isDefined) "snowflake-agg"
+        else if (v.joinShape.isDefined) "join-agg"
         else if (v.aggShape.exists(s => s.minCols.nonEmpty || s.maxCols.nonEmpty))
           "minmax-agg"
         else if (v.aggShape.isDefined) "agg"
@@ -646,6 +768,12 @@ object GraftMaterializedViews {
       b += s"join.groupCols=${sh.groupCols.map(enc).mkString(",")}"
       b += s"join.sumCols=${sh.sumCols.map(enc).mkString(",")}"
     }
+    d.snowShape.foreach { sh =>
+      b += s"snow.sideDirs=${sh.sideDirs.map(enc).mkString(",")}"
+      b += s"snow.joinKeys=${sh.joinKeys.map(enc).mkString(",")}"
+      b += s"snow.groupCols=${sh.groupCols.map(enc).mkString(",")}"
+      b += s"snow.sumCols=${sh.sumCols.map(enc).mkString(",")}"
+    }
     b.toSeq
   }
 
@@ -669,11 +797,14 @@ object GraftMaterializedViews {
     val join = opt("join.factDir").map(fd =>
       JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
         cols(one("join.groupCols")), cols(one("join.sumCols"))))
+    val snow = opt("snow.sideDirs").map(sd =>
+      SnowflakeShape(cols(sd), cols(one("snow.joinKeys")),
+        cols(one("snow.groupCols")), cols(one("snow.sumCols"))))
     MvDef(name, dec(one("defSql")), dec(one("mvDir")), deps,
       dec(one("fingerprint")), one("outputWidth").toInt, agg, join,
       rootNode = dec(one("rootNode")), persistDir = Some(persistDir),
       // fingerprints are session artifacts: re-derive before first use
-      fpVerified = false)
+      fpVerified = false, snowShape = snow)
   }
 
   private def gensOf(md: Path, name: String): Seq[Int] =

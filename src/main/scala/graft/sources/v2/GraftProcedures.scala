@@ -346,6 +346,25 @@ private[v2] object GraftProcedures {
             s"$fDir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
+      case "create_snowflake_mv" => proc("create_snowflake_mv",
+        "register + materialize a k-table snowflake (chain-join) view",
+        Seq(in("name", StringType), in("tables", StringType),
+          in("join_keys", StringType), in("group_cols", StringType),
+          in("sum_cols", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          def cols(i: Int): Seq[String] = args.getUTF8String(i).toString
+            .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+          val mvName = args.getUTF8String(0).toString
+          val tables = cols(1)
+          val firstDir = tableDir(tables.head)
+          val defSql = GraftMaterializedViews.registerSnowflakeAgg(
+            SparkSession.active, mvName,
+            tables.map(t => s"$catalogName.$t" -> tableDir(t)),
+            cols(2), cols(3), cols(4),
+            s"$firstDir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"))
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
       case "refresh_mv" => proc("refresh_mv",
         "full re-materialization of a registered view",
         Seq(in("name", StringType)),
@@ -396,7 +415,8 @@ private[v2] object GraftProcedures {
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
           "drop_partition_field, create_agg_mv, create_minmax_mv, " +
-          "create_join_mv, refresh_mv, refresh_mv_incremental, " +
+          "create_join_mv, create_snowflake_mv, refresh_mv, " +
+          "refresh_mv_incremental, " +
           "list_mvs, drop_mv")
     }
   }
@@ -408,6 +428,7 @@ private[v2] object GraftProcedures {
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field",
       "create_agg_mv", "create_minmax_mv", "create_join_mv",
+      "create_snowflake_mv",
       "refresh_mv", "refresh_mv_incremental", "list_mvs", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 

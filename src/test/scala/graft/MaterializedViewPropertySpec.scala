@@ -30,6 +30,11 @@ class MaterializedViewPropertySpec extends SparkSpec {
         sum($"v").as("sum_v"))
   }
 
+  private def recomputeSnow(baseDir: String, dimDir: String) =
+    ManifestTable.read(spark, baseDir)
+      .join(ManifestTable.read(spark, dimDir), Seq("grp"))
+      .groupBy($"band").agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+
   test("random mutate/maintain/refresh walks: incremental ≡ recompute for both shapes") {
     // committed seeds are fixed; GRAFT_MVP_SEEDS widens the sweep for
     // offline soak runs (r13's evolution-spec pattern)
@@ -65,10 +70,22 @@ class MaterializedViewPropertySpec extends SparkSpec {
       val mmSql = GraftMaterializedViews.registerAgg(spark, s"mvp_mm_$seed",
         s"$cat.ns.$tbl", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_m",
         minCols = Seq("v"), maxCols = Seq("v"), avgCols = Seq("v"))
+      // a dim the base chains through — the SNOWFLAKE shape soaks the
+      // telescoping fold under the same random interleavings (r15);
+      // op 4 re-homes dim rows so fact rows MIGRATE bands mid-walk
+      spark.sql(s"CREATE TABLE $cat.ns.d$tbl (grp STRING, band STRING)")
+      spark.sql(s"INSERT INTO $cat.ns.d$tbl " +
+        (0 until 6).map(g => s"SELECT 'g$g', 'b${g % 3}'")
+          .mkString(" UNION ALL "))
+      val dimDir = s"$wh/ns/d$tbl"
+      val snowSql = GraftMaterializedViews.registerSnowflakeAgg(spark,
+        s"mvp_sn_$seed",
+        Seq(s"$cat.ns.$tbl" -> baseDir, s"$cat.ns.d$tbl" -> dimDir),
+        Seq("grp"), Seq("band"), Seq("v"), s"$wh/ns/_mv_s")
       def sample(n: Int): Seq[Long] =
         rnd.shuffle(live.toSeq.sorted).take(n)
       (1 to 18).foreach { step =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // keyed merge — may MIGRATE keys to a different group
             val ks = sample(1 + rnd.nextInt(5))
             if (ks.nonEmpty)
@@ -86,17 +103,23 @@ class MaterializedViewPropertySpec extends SparkSpec {
               .toDF("k", "grp", "v"), baseDir, append = true): Unit
           case 3 => // feed-invisible maintenance: binpack everything small
             ManifestTable.compactSmall(spark, baseDir, Long.MaxValue): Unit
+          case 4 => // dim re-home: a random grp migrates to another band
+            ManifestTable.merge(
+              Seq((s"g${rnd.nextInt(6)}", s"b${rnd.nextInt(3)}"))
+                .toDF("grp", "band"), dimDir, "grp"): Unit
         }
         if (step % 4 == 0 || step == 18) {
           GraftMaterializedViews.refreshIncremental(spark, s"mvp_agg_$seed")
           GraftMaterializedViews.refreshIncremental(spark, s"mvp_mm_$seed")
-          for ((name, sql, mm) <- Seq((s"mvp_agg_$seed", aggSql, false),
-              (s"mvp_mm_$seed", mmSql, true))) {
+          GraftMaterializedViews.refreshIncremental(spark, s"mvp_sn_$seed")
+          for ((name, sql, expect) <- Seq(
+              (s"mvp_agg_$seed", aggSql, recompute(baseDir, minmax = false)),
+              (s"mvp_mm_$seed", mmSql, recompute(baseDir, minmax = true)),
+              (s"mvp_sn_$seed", snowSql, recomputeSnow(baseDir, dimDir)))) {
             val h = GraftMaterializedViews.hits(name)
             val served = spark.sql(sql).localCheckpoint()
             assert(GraftMaterializedViews.hits(name) == h + 1,
               s"seed $seed step $step: '$name' must serve after refresh")
-            val expect = recompute(baseDir, mm)
             assert(served.exceptAll(expect).isEmpty &&
               expect.exceptAll(served).isEmpty,
               s"seed $seed step $step: '$name' incremental state diverged " +
@@ -106,6 +129,7 @@ class MaterializedViewPropertySpec extends SparkSpec {
       }
       GraftMaterializedViews.drop(s"mvp_agg_$seed")
       GraftMaterializedViews.drop(s"mvp_mm_$seed")
+      GraftMaterializedViews.drop(s"mvp_sn_$seed")
     }
   }
 }

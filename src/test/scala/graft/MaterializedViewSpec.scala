@@ -626,6 +626,92 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t7")
   }
 
+  test("snowflake MV: a 3-table chain refreshes from ALL feeds via the telescoping identity (r15)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.sf (k BIGINT, pk BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.sd1 (pk BIGINT, rk BIGINT, cat STRING)")
+    spark.sql("CREATE TABLE gmvs.ns.sd2 (rk BIGINT, reg STRING)")
+    spark.sql("INSERT INTO gmvs.ns.sf VALUES (1,0,10),(2,1,20),(3,0,30),(4,2,40)")
+    spark.sql("INSERT INTO gmvs.ns.sd1 VALUES (0,0,'c0'),(1,1,'c1'),(2,0,'c2')")
+    spark.sql("INSERT INTO gmvs.ns.sd2 VALUES (0,'ra'),(1,'rb')")
+    val (fDir, d1Dir, d2Dir) = (s"$wh/ns/sf", s"$wh/ns/sd1", s"$wh/ns/sd2")
+    val defSql = GraftMaterializedViews.registerSnowflakeAgg(spark, "mv_snow",
+      Seq("gmvs.ns.sf" -> fDir, "gmvs.ns.sd1" -> d1Dir, "gmvs.ns.sd2" -> d2Dir),
+      Seq("pk", "rk"), Seq("reg", "cat"), Seq("v"), s"$wh/ns/_mv_snow")
+    val h0 = GraftMaterializedViews.hits("mv_snow")
+    assert(spark.sql(defSql + " ORDER BY reg, cat")
+      .as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("ra", "c0", 2L, 40L), ("ra", "c2", 1L, 40L), ("rb", "c1", 1L, 20L)))
+    assert(GraftMaterializedViews.hits("mv_snow") == h0 + 1,
+      "the exact snowflake query must serve from the MV")
+    // mutate ALL THREE sides in one window: fact reprice/erase/ingest;
+    // dim1 re-homes pk=2 to a different region key (k=4/k=5 rows must
+    // MIGRATE reg); dim2 renames region rk=0 (second-level re-home)
+    ManifestTable.merge(Seq((1L, 0L, 100L)).toDF("k", "pk", "v"), fDir, "k")
+    ManifestTable.delete(Seq(2L).toDF("k"), fDir, "k")
+    ManifestTable.commit(Seq((5L, 2L, 5L)).toDF("k", "pk", "v"),
+      fDir, append = true)
+    ManifestTable.merge(Seq((2L, 1L, "c2")).toDF("pk", "rk", "cat"), d1Dir, "pk")
+    ManifestTable.merge(Seq((0L, "rz")).toDF("rk", "reg"), d2Dir, "rk")
+    val q2 = spark.sql(defSql + " ORDER BY reg, cat").localCheckpoint()
+    assert(GraftMaterializedViews.hits("mv_snow") == h0 + 1,
+      "the stale snowflake MV must not serve")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_snow")
+    val q3 = spark.sql(defSql + " ORDER BY reg, cat")
+    assert(GraftMaterializedViews.hits("mv_snow") == h0 + 2)
+    assert(q3.as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("rb", "c2", 2L, 45L), ("rz", "c0", 2L, 130L)),
+      "one telescoped refresh must net fact churn, first- AND " +
+        "second-level dim re-homing")
+    assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+      "the telescoped fold must equal the from-base 3-way join")
+    // single-changed-side discipline: a dim2-only delta builds ONE leg
+    // reading exactly k-1 = 2 snapshots — the 3-way history join is
+    // never re-executed, and nothing at all reads when nothing changed
+    val r0 = GraftMaterializedViews.refreshSnapshotReads.get()
+    ManifestTable.merge(Seq((1L, "ry")).toDF("rk", "reg"), d2Dir, "rk")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_snow")
+    assert(GraftMaterializedViews.refreshSnapshotReads.get() == r0 + 2,
+      "a single-changed-side refresh must read exactly k-1 snapshots")
+    assert(spark.sql(defSql + " ORDER BY reg, cat")
+      .as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("ry", "c2", 2L, 45L), ("rz", "c0", 2L, 130L)))
+    val r1 = GraftMaterializedViews.refreshSnapshotReads.get()
+    GraftMaterializedViews.refreshIncremental(spark, "mv_snow")
+    assert(GraftMaterializedViews.refreshSnapshotReads.get() == r1,
+      "an all-unchanged refresh must read zero snapshots")
+    // maintenance-only range on the fact collapses its leg while a real
+    // dim1 delta still folds (pk=0 re-homes: k=1/k=3 migrate to 'ry')
+    ManifestTable.compactSmall(spark, fDir, Long.MaxValue): Unit
+    ManifestTable.merge(Seq((0L, 1L, "c0")).toDF("pk", "rk", "cat"), d1Dir, "pk")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_snow")
+    val q4 = spark.sql(defSql + " ORDER BY reg, cat")
+    assert(q4.as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("ry", "c0", 2L, 130L), ("ry", "c2", 2L, 45L)),
+      "a binpacked fact contributes no leg; the dim delta still folds")
+    // ROLLUP containment composes: a coarser grouping over the SAME
+    // 3-way join subtree re-aggregates the snowflake MV
+    val hr = GraftMaterializedViews.hits("mv_snow")
+    val rq = spark.sql("SELECT reg, sum(v) AS sv FROM gmvs.ns.sf " +
+      "JOIN gmvs.ns.sd1 USING (pk) JOIN gmvs.ns.sd2 USING (rk) " +
+      "GROUP BY reg ORDER BY reg")
+    assert(rq.as[(String, Long)].collect().toSeq == Seq(("ry", 175L)))
+    assert(GraftMaterializedViews.hits("mv_snow") == hr + 1,
+      "the coarser grouping must roll up the snowflake MV")
+    assert(rq.queryExecution.executedPlan.toString.contains("_mv_snow"))
+    // the SQL verb drives the same lifecycle (durable via the sidecar)
+    val sqlSnow = spark.sql("CALL gmvs.system.create_snowflake_mv(" +
+      "'sqlsnow', 'ns.sf,ns.sd1,ns.sd2', 'pk,rk', 'reg,cat', 'v')")
+      .head.getString(0)
+    val hs = GraftMaterializedViews.hits("sqlsnow")
+    assert(spark.sql(sqlSnow).count() == 2)
+    assert(GraftMaterializedViews.hits("sqlsnow") == hs + 1)
+    assert(spark.sql("CALL gmvs.system.list_mvs()").collect()
+      .find(_.getString(0) == "sqlsnow").get.getString(2) == "snowflake-agg")
+    spark.sql("CALL gmvs.system.drop_mv('sqlsnow')").collect()
+    GraftMaterializedViews.drop("mv_snow")
+  }
+
   test("restart → maintainer-refresh FIRST → exact AND rollup queries still serve (VERDICT r14 #1)") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t10 (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
