@@ -2561,6 +2561,94 @@ object WarehouseQueries {
     q.orderBy($"pri")
   }
 
+  // q425: DISTINCT-COUNT MV VIA HLL SKETCH PARTIALS (r15) — the
+  // second-most-common dashboard aggregate behind count/sum. Exact
+  // distinct counts are not distributive (a count partial can neither
+  // subtract a delete nor re-add across a coarser grain), so the view
+  // stores a RE-AGGREGATABLE sketch per group (`hll_sketch_agg`, the
+  // q135 machinery): inserts fold by sketch UNION (register-wise max —
+  // lossless, the union's estimate BIT-EQUALS the direct estimate),
+  // deletes route through the q419 touched-group re-sketch, and the
+  // rollup rewrite serves `hll_sketch_estimate(hll_sketch_agg(c))` at
+  // the view's own grain, any coarser grain, and the global grain from
+  // the stored partials. Require-pinned: MV-served estimates equal the
+  // from-base estimates after BOTH refresh kinds (exceptAll both ways),
+  // relative error vs the exact count < 5% (lgK=12 ⇒ ~1.6% RSE), the
+  // exact count(DISTINCT) and raw-sketch shapes fail closed, and the
+  // estimate plan scans the MV. The gate output is the EXACT per-type
+  // user count over the final base — DuckDB-recomputable; a wrong
+  // touched-set or a lost delta moves counts and the hash. At 100 TB:
+  // the daily-uniques dashboard reads O(|groups|) sketch bytes, and a
+  // GDPR purge costs one touched-group re-sketch, never a full rescan
+  // of history for every grain.
+  def mvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q425_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat425", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat425.warehouse", out)
+    val src = Tables(s, dir).events
+      .select($"event_id".cast("long").as("k"), $"event_type".as("etype"),
+        $"user_id".cast("long").as("uid")).localCheckpoint()
+    src.createOrReplaceTempView("q425_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat425.db.ev")
+    s.sql("CREATE TABLE graft_cat425.db.ev (k BIGINT, etype STRING, uid BIGINT)")
+    s.sql("INSERT INTO graft_cat425.db.ev " +
+      "SELECT k, etype, uid FROM q425_src WHERE k % 10 < 8")
+    val evDir = s"$out/db/ev"
+    GraftMaterializedViews.registerAgg(s, "q425_mv", "graft_cat425.db.ev",
+      evDir, Seq("etype"), Nil, s"$out/db/_mv_nd", distinctCols = Seq("uid"))
+    val estSql = "SELECT etype, hll_sketch_estimate(hll_sketch_agg(uid)) " +
+      "AS nd FROM graft_cat425.db.ev GROUP BY etype"
+    def requireServed(tag: String): Unit = {
+      val h = GraftMaterializedViews.hits("q425_mv")
+      val served = s.sql(estSql)
+      served.collect(): Unit
+      require(GraftMaterializedViews.hits("q425_mv") == h + 1,
+        s"q425: the estimate must serve from the sketch partials ($tag)")
+      require(served.queryExecution.executedPlan.toString.contains("_mv_nd"),
+        s"q425: the estimate plan must scan the MV ($tag)")
+      val expect = ManifestTable.read(s, evDir).groupBy($"etype")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"uid")).as("nd"))
+      require(served.exceptAll(expect).isEmpty &&
+        expect.exceptAll(served).isEmpty,
+        s"q425: MV-served estimates must equal the from-base estimates ($tag)")
+      // accuracy contract vs the EXACT count (fails closed → from base)
+      val exact = s.sql("SELECT etype, count(DISTINCT uid) AS x " +
+        "FROM graft_cat425.db.ev GROUP BY etype")
+        .as[(String, Long)].collect().toMap
+      served.as[(String, Long)].collect().foreach { case (t, nd) =>
+        require(math.abs(nd - exact(t)).toDouble / exact(t) < 0.05,
+          s"q425: estimate $nd vs exact ${exact(t)} for '$t' ($tag)") }
+    }
+    requireServed("initial")
+    // insert-only window → the pure fold UNIONS the delta sketches in
+    ManifestTable.commit(src.where($"k" % 10 === 8)
+      .select($"k", $"etype", $"uid"), evDir, append = true): Unit
+    GraftMaterializedViews.refreshIncremental(s, "q425_mv")
+    requireServed("after insert-only union fold")
+    // GDPR purge → sketches can't subtract: touched groups re-sketch
+    ManifestTable.delete(src.where($"k" % 10 === 3).select($"k"), evDir, "k")
+    GraftMaterializedViews.refreshIncremental(s, "q425_mv")
+    requireServed("after delete re-sketch")
+    // the raw-sketch shape stays fail-closed
+    val h = GraftMaterializedViews.hits("q425_mv")
+    s.sql("SELECT etype, hll_sketch_agg(uid) AS sk " +
+      "FROM graft_cat425.db.ev GROUP BY etype").collect(): Unit
+    require(GraftMaterializedViews.hits("q425_mv") == h,
+      "q425: raw sketch bytes must fail closed to the base")
+    GraftMaterializedViews.drop("q425_mv")
+    // gate output: the EXACT final per-type counts (DuckDB-recomputable)
+    s.sql("SELECT etype, count(*) AS n_rows, count(DISTINCT uid) AS n_users " +
+      "FROM graft_cat425.db.ev GROUP BY etype ORDER BY etype")
+  }
+
   // q424: N-TABLE SNOWFLAKE MV INCREMENTAL REFRESH (r15) — the TPC-H
   // Q9 shape (fact ⋈ dim ⋈ dim) as a maintained view. The telescoping
   // identity folds k change feeds in ONE refresh with one leg per
@@ -4655,6 +4743,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q425_mv_distinct" -> mvDistinct _,
     "q424_mv_snowflake" -> mvSnowflake _,
     "q423_mv_time_hierarchy" -> mvTimeHierarchy _,
     "q422_stream_mv" -> streamMv _,
@@ -4759,6 +4848,18 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q425: the oracle recomputes the EXACT per-type user counts over
+    // the final base (initial slice + insert window − GDPR purge) — a
+    // lost delta, a wrong touched set, or a stale MV serving the gate's
+    // count(DISTINCT) probe (which must fail closed) moves the hash
+    "q425_mv_distinct" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    event_type AS etype, CAST(user_id AS BIGINT) AS uid
+        |  FROM events),
+        |f AS (SELECT * FROM src WHERE k % 10 <= 8 AND k % 10 <> 3)
+        |SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+        |FROM f GROUP BY etype ORDER BY etype""".stripMargin,
     // q424: the oracle recomputes the FINAL 3-way snowflake join from
     // scratch — fact after reprice/erase/ingest, d1 after the pk-level
     // re-home, d2 after the region rename — so a missed migration leg,

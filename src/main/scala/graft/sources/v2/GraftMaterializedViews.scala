@@ -7,8 +7,8 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -96,7 +96,8 @@ object GraftMaterializedViews {
                             sumCols: Seq[String],
                             minCols: Seq[String] = Nil,
                             maxCols: Seq[String] = Nil,
-                            avgCols: Seq[String] = Nil)
+                            avgCols: Seq[String] = Nil,
+                            distinctCols: Seq[String] = Nil)
 
   /** The two-table star shape: fact ⋈ dim on one key, grouped +
     * count/sums — maintained from BOTH bases' change feeds via the
@@ -127,7 +128,11 @@ object GraftMaterializedViews {
                               countCol: Option[String],
                               sumMap: Map[String, String],
                               minMap: Map[String, String],
-                              maxMap: Map[String, String])
+                              maxMap: Map[String, String],
+                              // base col → (stored sketch col, lgConfigK):
+                              // serves hll_sketch_estimate(hll_sketch_agg(c))
+                              // at any coarser grain by sketch UNION
+                              hllMap: Map[String, (String, Int)] = Map.empty)
 
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
@@ -209,6 +214,7 @@ object GraftMaterializedViews {
       val sums = mutable.Map[String, String]()
       val mins = mutable.Map[String, String]()
       val maxs = mutable.Map[String, String]()
+      val hlls = mutable.Map[String, (String, Int)]()
       val gmap = mutable.Map[String, String]()
       val ok = aggExprs.forall {
         case a: AttributeReference if groups.contains(a.name) =>
@@ -222,13 +228,20 @@ object GraftMaterializedViews {
             case Sum(a: AttributeReference, _) => sums(a.name) = nm; true
             case Min(a: AttributeReference) => mins(a.name) = nm; true
             case Max(a: AttributeReference) => maxs(a.name) = nm; true
+            case h: HllSketchAgg => h.left match {
+              // the stored sketch partial — re-aggregatable by UNION
+              // (register-wise max), unlike the count it estimates
+              case a: AttributeReference =>
+                hlls(a.name) = (nm, h.lgConfigK); true
+              case _ => false
+            }
             case _ => false
           }
         case _ => false
       }
       if (ok && groups.forall(gmap.contains))
         Some(RollupInfo(fingerprint(child), gmap.toMap, count,
-          sums.toMap, mins.toMap, maxs.toMap))
+          sums.toMap, mins.toMap, maxs.toMap, hlls.toMap))
       else None
     case _ => None
   }
@@ -284,7 +297,8 @@ object GraftMaterializedViews {
                   persistDir: Option[String] = None,
                   minCols: Seq[String] = Nil,
                   maxCols: Seq[String] = Nil,
-                  avgCols: Seq[String] = Nil): String = {
+                  avgCols: Seq[String] = Nil,
+                  distinctCols: Seq[String] = Nil): String = {
     require(groupCols.nonEmpty, "registerAgg: no group columns")
     require(avgCols.forall(sumCols.contains),
       "registerAgg: every avg column must also be a sum column — avg is " +
@@ -295,16 +309,25 @@ object GraftMaterializedViews {
     // drift every group whose avg column carries NULLs (ADVICE r14).
     // count(c) also restores the NULL edge of the SUM fold for these
     // columns: when count(c) reaches 0 the folded sum returns to NULL.
+    //
+    // a DISTINCT column (r15) stores a re-aggregatable HLL sketch
+    // partial (`hll_sketch_agg`) — exact distinct counts are not
+    // distributive (a partial can't subtract, a coarser grain can't
+    // re-add), but sketches UNION losslessly (register-wise max), so
+    // the rollup rewrite serves `hll_sketch_estimate(hll_sketch_agg(c))`
+    // at ANY grain beneath the view from the stored partials.
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
       minCols.map(c => s", min($c) AS min_$c").mkString +
       maxCols.map(c => s", max($c) AS max_$c").mkString +
       avgCols.map(c => s", avg($c) AS avg_$c").mkString +
       avgCols.map(c => s", count($c) AS cnt_$c").mkString +
+      distinctCols.map(c => s", hll_sketch_agg($c) AS hll_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
     install(nd.copy(aggShape =
-      Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols, avgCols))))
+      Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols, avgCols,
+        distinctCols))))
     defSql
   }
 
@@ -432,7 +455,14 @@ object GraftMaterializedViews {
       install(v.copy(deps = Seq(dir -> head)))
       return
     }
-    if (sh.minCols.isEmpty && sh.maxCols.isEmpty) {
+    // sketches (like min/max) don't subtract: a delete-bearing feed
+    // routes a distinct-declared view through the touched-group
+    // recompute; an insert-only feed (the append-heavy common case)
+    // stays on the pure fold and UNIONS the delta sketches in
+    val sketchFold = sh.distinctCols.nonEmpty &&
+      feed.filter(col("_change_type") === "delete").isEmpty
+    if (sh.minCols.isEmpty && sh.maxCols.isEmpty &&
+        (sh.distinctCols.isEmpty || sketchFold)) {
       // pure-distributive shape: fold the feed, never touch the base
       val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
       val delta = feed.groupBy(sh.groupCols.map(col): _*)
@@ -440,9 +470,11 @@ object GraftMaterializedViews {
           (sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")) ++
            // the avg columns' non-null count partial, signed like n
            sh.avgCols.map(c => sum(when(col(c).isNotNull, sign)
-             .otherwise(0L)).as(s"_d_cnt_$c"))): _*)
+             .otherwise(0L)).as(s"_d_cnt_$c")) ++
+           sh.distinctCols.map(c =>
+             hll_sketch_agg(col(c)).as(s"_d_hll_$c"))): _*)
       foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head),
-        avgCols = sh.avgCols)
+        avgCols = sh.avgCols, distinctCols = sh.distinctCols)
     } else {
       // min/max don't subtract: a delete may remove a group's extremum
       // and the true runner-up lives only in the base. Re-aggregate the
@@ -466,7 +498,8 @@ object GraftMaterializedViews {
           sh.minCols.map(c => min(col(c)).as(s"min_$c")) ++
           sh.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
           sh.avgCols.map(c => avg(col(c)).as(s"avg_$c")) ++
-          sh.avgCols.map(c => count(col(c)).as(s"cnt_$c")): _*)
+          sh.avgCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+          sh.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")): _*)
       val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
       // untouched groups carry verbatim; touched groups (including any
       // whose last row vanished — absent from `recomputed`) replace
@@ -619,7 +652,8 @@ object GraftMaterializedViews {
                         groupCols: Seq[String], sumCols: Seq[String],
                         delta: org.apache.spark.sql.DataFrame,
                         newDeps: Seq[(String, Int)],
-                        avgCols: Seq[String] = Nil): Unit = {
+                        avgCols: Seq[String] = Nil,
+                        distinctCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
     val merged = cur.join(delta, groupCols, "full_outer")
@@ -637,7 +671,14 @@ object GraftMaterializedViews {
           .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")) ++
         avgCols.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
           coalesce(col(s"_d_cnt_$c"), lit(0L)))
-          .cast(cur.schema(s"cnt_$c").dataType).as(s"cnt_$c")): _*)
+          .cast(cur.schema(s"cnt_$c").dataType).as(s"cnt_$c")) ++
+        // sketches UNION in (insert-only path — deletes re-sketch the
+        // touched groups instead); either side absent carries the other
+        distinctCols.map(c =>
+          when(col(s"hll_$c").isNull, col(s"_d_hll_$c"))
+          .when(col(s"_d_hll_$c").isNull, col(s"hll_$c"))
+          .otherwise(hll_union(col(s"hll_$c"), col(s"_d_hll_$c")))
+          .as(s"hll_$c")): _*)
       .filter(col("n_rows") > 0)
     val withAvg = avgCols.foldLeft(merged)((df, c) =>
       df.withColumn(s"avg_$c", when(col(s"cnt_$c") > 0,
@@ -714,6 +755,7 @@ object GraftMaterializedViews {
       val shape =
         if (v.snowShape.isDefined) "snowflake-agg"
         else if (v.joinShape.isDefined) "join-agg"
+        else if (v.aggShape.exists(_.distinctCols.nonEmpty)) "distinct-agg"
         else if (v.aggShape.exists(s => s.minCols.nonEmpty || s.maxCols.nonEmpty))
           "minmax-agg"
         else if (v.aggShape.isDefined) "agg"
@@ -760,6 +802,8 @@ object GraftMaterializedViews {
         b += s"agg.maxCols=${sh.maxCols.map(enc).mkString(",")}"
       if (sh.avgCols.nonEmpty)
         b += s"agg.avgCols=${sh.avgCols.map(enc).mkString(",")}"
+      if (sh.distinctCols.nonEmpty)
+        b += s"agg.distinctCols=${sh.distinctCols.map(enc).mkString(",")}"
     }
     d.joinShape.foreach { sh =>
       b += s"join.factDir=${enc(sh.factDir)}"
@@ -793,7 +837,8 @@ object GraftMaterializedViews {
       AggShape(dec(bd), cols(one("agg.groupCols")), cols(one("agg.sumCols")),
         opt("agg.minCols").map(cols).getOrElse(Nil),
         opt("agg.maxCols").map(cols).getOrElse(Nil),
-        opt("agg.avgCols").map(cols).getOrElse(Nil)))
+        opt("agg.avgCols").map(cols).getOrElse(Nil),
+        opt("agg.distinctCols").map(cols).getOrElse(Nil)))
     val join = opt("join.factDir").map(fd =>
       JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
         cols(one("join.groupCols")), cols(one("join.sumCols"))))
@@ -1012,7 +1057,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * non-deterministic keys, predicates on non-key columns — fails
     * closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg, max => fmax, min => fmin, sum => fsum}
     // every grouping expression must be DETERMINISTIC and reference only
     // base columns the view stores as group keys. Keys are constant
     // within an MV group, so ANY deterministic function of keys —
@@ -1061,6 +1106,26 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               ri.minMap.get(attr.name).map(c => Right(fmin(col(c))))
             case Max(attr: AttributeReference) =>
               ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
+            case _ => None
+          }
+        // the DISTINCT-count estimate (r15): sketches union losslessly
+        // (register-wise max — merged registers equal the directly-built
+        // ones), so estimate(union of stored partials) IS the estimate
+        // the query would compute from base — at the view's own grain
+        // and at every coarser one. Same lgK required; the RAW sketch
+        // output (bytes, not the estimate) still fails closed — two
+        // valid encodings of equal registers need not be byte-equal.
+        case Alias(HllSketchEstimate(ae: AggregateExpression), _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case h: HllSketchAgg => h.left match {
+              case attr: AttributeReference =>
+                ri.hllMap.get(attr.name).collect {
+                  case (c, lgk) if lgk == h.lgConfigK =>
+                    Right(hll_sketch_estimate(hll_union_agg(col(c))))
+                }
+              case _ => None
+            }
             case _ => None
           }
         case _ => None

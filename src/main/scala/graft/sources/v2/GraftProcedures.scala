@@ -346,6 +346,24 @@ private[v2] object GraftProcedures {
             s"$fDir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
+      case "create_distinct_mv" => proc("create_distinct_mv",
+        "register + materialize an aggregate view with HLL distinct partials",
+        Seq(in("name", StringType), in("table", StringType),
+          in("group_cols", StringType), in("sum_cols", StringType),
+          in("distinct_cols", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          def cols(i: Int): Seq[String] = args.getUTF8String(i).toString
+            .split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+          val mvName = args.getUTF8String(0).toString
+          val tName = args.getUTF8String(1).toString
+          val dir = tableDir(tName)
+          val defSql = GraftMaterializedViews.registerAgg(
+            SparkSession.active, mvName, s"$catalogName.$tName", dir,
+            cols(2), cols(3), s"$dir/_mv_$mvName",
+            persistDir = Some(s"$warehouse/_mv"), distinctCols = cols(4))
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
       case "create_snowflake_mv" => proc("create_snowflake_mv",
         "register + materialize a k-table snowflake (chain-join) view",
         Seq(in("name", StringType), in("tables", StringType),
@@ -415,7 +433,8 @@ private[v2] object GraftProcedures {
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
           "drop_partition_field, create_agg_mv, create_minmax_mv, " +
-          "create_join_mv, create_snowflake_mv, refresh_mv, " +
+          "create_join_mv, create_snowflake_mv, create_distinct_mv, " +
+          "refresh_mv, " +
           "refresh_mv_incremental, " +
           "list_mvs, drop_mv")
     }
@@ -428,7 +447,7 @@ private[v2] object GraftProcedures {
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field",
       "create_agg_mv", "create_minmax_mv", "create_join_mv",
-      "create_snowflake_mv",
+      "create_snowflake_mv", "create_distinct_mv",
       "refresh_mv", "refresh_mv_incremental", "list_mvs", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 

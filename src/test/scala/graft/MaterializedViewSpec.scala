@@ -712,6 +712,89 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_snow")
   }
 
+  test("distinct-count MV: sketch partials union on inserts, re-sketch on deletes, serve estimates at every grain (r15)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.dc (k BIGINT, g1 STRING, g2 STRING, u BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.dc VALUES " +
+      "(1,'a','x',10),(2,'a','x',11),(3,'a','y',10),(4,'b','x',12),(5,'b','y',12)")
+    val baseDir = s"$wh/ns/dc"
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_dc",
+      "gmvs.ns.dc", baseDir, Seq("g1", "g2"), Nil, s"$wh/ns/_mv_dc",
+      distinctCols = Seq("u"))
+    assert(defSql.contains("hll_sketch_agg(u) AS hll_u"))
+    val h0 = GraftMaterializedViews.hits("mv_dc")
+    def est(group: String): org.apache.spark.sql.DataFrame = spark.sql(
+      s"SELECT $group, hll_sketch_estimate(hll_sketch_agg(u)) AS nd " +
+        s"FROM gmvs.ns.dc GROUP BY $group ORDER BY $group")
+    // the estimate serves at the view's own grain …
+    val q1 = est("g1, g2")
+    assert(q1.as[(String, String, Long)].collect().toSeq ==
+      Seq(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 1L), ("b", "y", 1L)))
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 1,
+      "the estimate at the view's own grain must serve from the partials")
+    assert(q1.queryExecution.executedPlan.toString.contains("_mv_dc"))
+    // … at a COARSER grain (sketches union across merged groups) …
+    val q2 = est("g1")
+    assert(q2.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L), ("b", 1L)),
+      "the coarser estimate must union the stored sketches")
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 2)
+    // … and at the GLOBAL grain, bit-equal to the from-base estimate
+    val q3 = spark.sql("SELECT hll_sketch_estimate(hll_sketch_agg(u)) " +
+      "AS nd FROM gmvs.ns.dc")
+    assert(q3.as[Long].head() == 3L)
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 3)
+    val expect = ManifestTable.read(spark, baseDir).groupBy($"g1")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("nd"))
+    assert(q2.exceptAll(expect).isEmpty && expect.exceptAll(q2).isEmpty,
+      "union-of-partials estimates must BIT-EQUAL the direct estimate " +
+        "(register-wise max is lossless)")
+    // shapes the partials cannot reproduce fail closed: the exact
+    // count(DISTINCT), and the RAW sketch bytes (two valid encodings of
+    // equal registers need not be byte-equal)
+    spark.sql("SELECT g1, count(DISTINCT u) AS n FROM gmvs.ns.dc GROUP BY g1")
+      .collect()
+    spark.sql("SELECT g1, hll_sketch_agg(u) AS s FROM gmvs.ns.dc GROUP BY g1")
+      .collect()
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 3,
+      "exact count(DISTINCT) and raw-sketch outputs must fail closed")
+    // insert-only refresh: the pure fold UNIONS the delta sketches in
+    ManifestTable.commit(Seq((6L, "a", "x", 13L), (7L, "b", "y", 12L))
+      .toDF("k", "g1", "g2", "u"), baseDir, append = true)
+    GraftMaterializedViews.refreshIncremental(spark, "mv_dc")
+    val q4 = est("g1")
+    assert(q4.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 1L)),
+      "an insert-only fold must union the new values into the sketches")
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 4)
+    // delete refresh: sketches don't subtract — the touched groups
+    // re-sketch from the base, recovering the true remaining set
+    ManifestTable.delete(Seq(2L).toDF("k"), baseDir, "k") // (a,x,11) gone
+    GraftMaterializedViews.refreshIncremental(spark, "mv_dc")
+    val q5 = est("g1")
+    assert(q5.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L), ("b", 1L)),
+      "a delete must re-sketch the touched group — a pure union could " +
+        "never subtract the removed value")
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 5)
+    val expect5 = ManifestTable.read(spark, baseDir).groupBy($"g1")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("nd"))
+    assert(q5.exceptAll(expect5).isEmpty && expect5.exceptAll(q5).isEmpty)
+    GraftMaterializedViews.drop("mv_dc")
+
+    // the SQL verb drives the same lifecycle; list_mvs reports the shape
+    spark.sql("CREATE TABLE gmvs.ns.dc2 (k BIGINT, grp STRING, u BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.dc2 VALUES (1,'a',5),(2,'a',5),(3,'b',6)")
+    val sqlDc = spark.sql("CALL gmvs.system.create_distinct_mv(" +
+      "'sqldc', 'ns.dc2', 'grp', '', 'u')").head.getString(0)
+    val hs = GraftMaterializedViews.hits("sqldc")
+    assert(spark.sql(sqlDc).count() == 2)
+    assert(GraftMaterializedViews.hits("sqldc") == hs + 1)
+    assert(spark.sql("CALL gmvs.system.list_mvs()").collect()
+      .find(_.getString(0) == "sqldc").get.getString(2) == "distinct-agg")
+    spark.sql("CALL gmvs.system.drop_mv('sqldc')").collect()
+  }
+
   test("restart → maintainer-refresh FIRST → exact AND rollup queries still serve (VERDICT r14 #1)") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.t10 (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
