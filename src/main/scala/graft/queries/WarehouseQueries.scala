@@ -2561,26 +2561,235 @@ object WarehouseQueries {
     q.orderBy($"pri")
   }
 
+  // q427: CONTINUOUS SNOWFLAKE MAINTENANCE — the q422 always-on
+  // maintainer composed with the r15 k-table shape: the profit
+  // dashboard (fact ⋈ dim ⋈ dim, grouped) follows the FACT STREAM while
+  // the dimensions churn between triggers. The maintainer wakes per
+  // fact commit (three AvailableNow runs over one checkpoint — the
+  // resume path exercised twice) and ONE refreshIncremental per trigger
+  // telescopes BOTH the fact delta and any dim deltas that landed since
+  // the last fold — first-level (part → region key) and second-level
+  // (region rename) re-homes ride the same refresh as the day's
+  // ingest. Require-pinned per trigger: the unchanged dashboard SQL
+  // serves from the MV (hit counter) and equals the from-base 3-way
+  // join at the delivered version, both exceptAll directions. Oracle:
+  // the final join recomputed from all three ingest slices + both
+  // re-homes. At 100 TB: the dashboard pays O(|groups|) per render, the
+  // maintainer O(Σ|deltas| ⋈ probes) per commit — the fact is
+  // re-joined by NOBODY.
+  def streamSnowflakeMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q427_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat427", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat427.warehouse", out)
+    val rows = Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"),
+        ($"o_orderkey".cast("long") % 40).as("pk"),
+        ($"o_orderkey".cast("long") * 2).as("cents")).localCheckpoint()
+    rows.createOrReplaceTempView("q427_src")
+    Seq("fact", "d1", "d2").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat427.db.$t"))
+    s.sql("CREATE TABLE graft_cat427.db.fact (k BIGINT, pk BIGINT, cents BIGINT)")
+    s.sql("CREATE TABLE graft_cat427.db.d1 (pk BIGINT, rk BIGINT, cat STRING)")
+    s.sql("CREATE TABLE graft_cat427.db.d2 (rk BIGINT, reg STRING)")
+    s.sql("INSERT INTO graft_cat427.db.fact " +
+      "SELECT k, pk, cents FROM q427_src WHERE k % 10 < 7")
+    (0L until 40L).map(pk => (pk, pk % 5, s"c${pk % 3}"))
+      .toDF("pk", "rk", "cat").createOrReplaceTempView("q427_d1")
+    s.sql("INSERT INTO graft_cat427.db.d1 SELECT * FROM q427_d1")
+    (0L until 5L).map(rk => (rk, s"r$rk"))
+      .toDF("rk", "reg").createOrReplaceTempView("q427_d2")
+    s.sql("INSERT INTO graft_cat427.db.d2 SELECT * FROM q427_d2")
+    val (fDir, d1Dir, d2Dir) =
+      (s"$out/db/fact", s"$out/db/d1", s"$out/db/d2")
+    val defSql = GraftMaterializedViews.registerSnowflakeAgg(s, "q427_mv",
+      Seq("graft_cat427.db.fact" -> fDir, "graft_cat427.db.d1" -> d1Dir,
+        "graft_cat427.db.d2" -> d2Dir),
+      Seq("pk", "rk"), Seq("reg", "cat"), Seq("cents"), s"$out/db/_mv_live")
+    val tblSchema = ManifestTable.read(s, fDir, 1).schema
+    var prevHits = GraftMaterializedViews.hits("q427_mv")
+    (0 until 3).foreach { i =>
+      // dim churn lands BETWEEN fact commits; the trigger's single
+      // refresh telescopes it together with the day's ingest
+      if (i == 1)
+        ManifestTable.merge((0L until 40L).filter(_ % 4 == 0)
+          .map(pk => (pk, (pk + 2) % 5, s"c${pk % 3}"))
+          .toDF("pk", "rk", "cat"), d1Dir, "pk")
+      if (i == 2)
+        ManifestTable.merge(Seq((1L, "rY")).toDF("rk", "reg"), d2Dir, "rk")
+      ManifestTable.commit(rows.where($"k" % 10 === 7 + i)
+        .select($"k", $"pk", $"cents"), fDir, append = true): Unit
+      val q = s.readStream.format("graft.sources.v2.ManifestStreamSource")
+        .schema(tblSchema).option("path", fDir)
+        .option("startVersion", "1").load()
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          GraftMaterializedViews.refreshIncremental(s, "q427_mv")
+        }
+        .option("checkpointLocation", s"$out/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val served = s.sql(defSql + " ORDER BY reg, cat").localCheckpoint()
+      require(GraftMaterializedViews.hits("q427_mv") == prevHits + 1,
+        s"q427: the dashboard after trigger $i must be MV-served")
+      prevHits += 1
+      val expect = ManifestTable.read(s, fDir)
+        .join(ManifestTable.read(s, d1Dir), Seq("pk"))
+        .join(ManifestTable.read(s, d2Dir), Seq("rk"))
+        .groupBy($"reg", $"cat")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      require(served.exceptAll(expect).isEmpty &&
+        expect.exceptAll(served).isEmpty,
+        s"q427: trigger $i's served groups must equal the from-base " +
+          "3-way join at the delivered version")
+    }
+    GraftMaterializedViews.drop("q427_mv")
+    s.sql(defSql + " ORDER BY reg, cat")
+  }
+
+  // q426: DAILY→MONTHLY UNIQUES — the day-grain sketch table as the
+  // uniques dashboard's serving surface (r15). THE canonical rollup
+  // naive systems get wrong: monthly unique users is NOT the sum of
+  // daily uniques (every user active on two days double-counts). One
+  // DAY-grain view maintains an HLL partial per (day, type); the
+  // dashboard reads the O(|days × types|) SKETCH TABLE and unions the
+  // partials to any calendar grain (week, month, global). The automatic
+  // rewrite keeps ESTIMATE shapes fail-closed (merge-structure-
+  // dependent numbers — graft.HllProbe) while the SAME view's exact
+  // count partials serve the month count dashboard through the
+  // time-hierarchy containment (plan-pinned). Require-pinned: the
+  // naive sum-of-daily-estimates STRICTLY exceeds the deduped month
+  // estimate for every type (30 days × ~100 daily actives vs 150 true
+  // uniques — the overcount the union exists to prevent); week-grain
+  // estimates stay within 5% of exact after an insert window (union
+  // fold) AND a GDPR purge (touched-group re-sketch). Gate output: the
+  // EXACT week × type user counts over the final base,
+  // DuckDB-recomputed. At 100 TB: every calendar uniques question
+  // reads sketch bytes, never the events fact.
+  def mvDailyUniques(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q426_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat426", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat426.warehouse", out)
+    val src = Tables(s, dir).events
+      .select($"event_id".cast("long").as("k"), $"ts".cast("date").as("day"),
+        $"event_type".as("etype"), $"user_id".cast("long").as("uid"))
+      .localCheckpoint()
+    src.createOrReplaceTempView("q426_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat426.db.ev")
+    s.sql("CREATE TABLE graft_cat426.db.ev " +
+      "(k BIGINT, day DATE, etype STRING, uid BIGINT)")
+    s.sql("INSERT INTO graft_cat426.db.ev " +
+      "SELECT k, day, etype, uid FROM q426_src WHERE k % 10 < 8")
+    val evDir = s"$out/db/ev"
+    val mvDir = s"$out/db/_mv_du"
+    GraftMaterializedViews.registerAgg(s, "q426_mv", "graft_cat426.db.ev",
+      evDir, Seq("day", "etype"), Nil, mvDir, distinctCols = Seq("uid"))
+    val h0 = GraftMaterializedViews.hits("q426_mv")
+    // the estimate shape NEVER substitutes (fail-closed pin) …
+    s.sql("SELECT trunc(day, 'MM') AS mon, etype, " +
+      "hll_sketch_estimate(hll_sketch_agg(uid)) AS nd " +
+      "FROM graft_cat426.db.ev GROUP BY trunc(day, 'MM'), etype")
+      .collect(): Unit
+    require(GraftMaterializedViews.hits("q426_mv") == h0,
+      "q426: the estimate shape must fail closed to the base")
+    // … while the month COUNT dashboard serves through the
+    // time-hierarchy containment from the very same day-grain view
+    val qm = s.sql("SELECT trunc(day, 'MM') AS mon, etype, " +
+      "count(*) AS n FROM graft_cat426.db.ev " +
+      "GROUP BY trunc(day, 'MM'), etype")
+    qm.collect(): Unit
+    require(GraftMaterializedViews.hits("q426_mv") == h0 + 1,
+      "q426: the month count must roll up the day-grain view")
+    require(qm.queryExecution.executedPlan.toString.contains("_mv_du"),
+      "q426: the rolled count plan must scan the MV, never the fact")
+    // the sketch TABLE serves the uniques dashboard at any grain
+    def grainEst(grain: String): Map[(String, String), Long] =
+      ManifestTable.read(s, mvDir)
+        .groupBy(trunc($"day", grain).as("g"), $"etype")
+        .agg(hll_sketch_estimate(hll_union_agg($"hll_uid")).as("nd"))
+        .as[(java.sql.Date, String, Long)].collect()
+        .map { case (g, t, nd) => (g.toString, t) -> nd }.toMap
+    def grainExact(grain: String): Map[(String, String), Long] =
+      s.sql(s"SELECT trunc(day, '$grain') AS g, etype, " +
+        "count(DISTINCT uid) AS x FROM graft_cat426.db.ev " +
+        s"GROUP BY trunc(day, '$grain'), etype")
+        .as[(java.sql.Date, String, Long)].collect()
+        .map { case (g, t, x) => (g.toString, t) -> x }.toMap
+    def requireAccurate(grain: String, tag: String): Unit = {
+      val (est, exact) = (grainEst(grain), grainExact(grain))
+      require(est.keySet == exact.keySet,
+        s"q426: sketch-table groups must match ($grain, $tag)")
+      est.foreach { case (k, nd) =>
+        require(math.abs(nd - exact(k)).toDouble / exact(k) < 0.05,
+          s"q426: estimate $nd vs exact ${exact(k)} for $k ($grain, $tag)") }
+    }
+    requireAccurate("MM", "initial")
+    // the overcount pin: summing DAILY uniques must STRICTLY exceed the
+    // deduped month estimate for every type — the error a naive
+    // sum-of-counts rollup bakes into the dashboard
+    val naive = ManifestTable.read(s, mvDir)
+      .select($"etype", hll_sketch_estimate($"hll_uid").as("nd"))
+      .groupBy($"etype").agg(sum($"nd").as("naive"))
+      .as[(String, Long)].collect().toMap
+    grainEst("MM").foreach { case ((_, t), nd) =>
+      require(naive(t) > nd,
+        s"q426: naive sum of daily uniques (${naive(t)}) must overcount " +
+          s"the deduped month estimate ($nd) for '$t'")
+    }
+    // insert window (sketch-union fold), then GDPR purge (re-sketch)
+    ManifestTable.commit(src.where($"k" % 10 === 8)
+      .select($"k", $"day", $"etype", $"uid"), evDir, append = true): Unit
+    GraftMaterializedViews.refreshIncremental(s, "q426_mv")
+    requireAccurate("WEEK", "after insert-only union fold")
+    ManifestTable.delete(src.where($"k" % 10 === 3).select($"k"), evDir, "k")
+    GraftMaterializedViews.refreshIncremental(s, "q426_mv")
+    requireAccurate("WEEK", "after delete re-sketch")
+    requireAccurate("MM", "final")
+    GraftMaterializedViews.drop("q426_mv")
+    // gate output: the EXACT final week × type counts (DuckDB-checkable)
+    s.sql("SELECT trunc(day, 'WEEK') AS wk, etype, count(*) AS n_rows, " +
+      "count(DISTINCT uid) AS n_users FROM graft_cat426.db.ev " +
+      "GROUP BY trunc(day, 'WEEK'), etype ORDER BY wk, etype")
+  }
+
   // q425: DISTINCT-COUNT MV VIA HLL SKETCH PARTIALS (r15) — the
   // second-most-common dashboard aggregate behind count/sum. Exact
   // distinct counts are not distributive (a count partial can neither
-  // subtract a delete nor re-add across a coarser grain), so the view
-  // stores a RE-AGGREGATABLE sketch per group (`hll_sketch_agg`, the
-  // q135 machinery): inserts fold by sketch UNION (register-wise max —
-  // lossless, the union's estimate BIT-EQUALS the direct estimate),
-  // deletes route through the q419 touched-group re-sketch, and the
-  // rollup rewrite serves `hll_sketch_estimate(hll_sketch_agg(c))` at
-  // the view's own grain, any coarser grain, and the global grain from
-  // the stored partials. Require-pinned: MV-served estimates equal the
-  // from-base estimates after BOTH refresh kinds (exceptAll both ways),
-  // relative error vs the exact count < 5% (lgK=12 ⇒ ~1.6% RSE), the
-  // exact count(DISTINCT) and raw-sketch shapes fail closed, and the
-  // estimate plan scans the MV. The gate output is the EXACT per-type
-  // user count over the final base — DuckDB-recomputable; a wrong
-  // touched-set or a lost delta moves counts and the hash. At 100 TB:
-  // the daily-uniques dashboard reads O(|groups|) sketch bytes, and a
-  // GDPR purge costs one touched-group re-sketch, never a full rescan
-  // of history for every grain.
+  // subtract a delete nor re-add across a coarser grain); sketches are:
+  // the view stores an `hll_sketch_agg` partial per group (the q135
+  // machinery), inserts fold by sketch UNION, deletes route through the
+  // q419 touched-group re-sketch, and the MAINTAINED SKETCH TABLE is
+  // the dashboard's serving surface. The automatic rewrite deliberately
+  // REFUSES every sketch-derived base-query shape — estimate numbers
+  // are merge-structure-dependent (DataSketches switches HIP →
+  // composite estimation on union; graft.HllProbe shows direct,
+  // single-partition, and union-of-parts all differing at |set| ≈
+  // 1000), and approximate-but-DIFFERENT is still a changed answer —
+  // while the SAME view's exact count partials keep serving the rollup
+  // lattice. Require-pinned: estimate and count(DISTINCT) probes fail
+  // closed; the exact defSql serves; the global count(*) rolls up from
+  // the view (plan-pinned); sketch-table estimates stay within 5% of
+  // exact (lgK=12 ⇒ ~1.6% RSE) after BOTH refresh kinds. Gate output:
+  // the EXACT per-type user counts over the final base,
+  // DuckDB-recomputed — a lost delta or wrong touched set moves the
+  // hash. At 100 TB: the uniques dashboard reads O(|groups|) sketch
+  // bytes; a GDPR purge costs one touched-group re-sketch, never a
+  // full rescan of history.
   def mvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.ManifestTable
@@ -2602,47 +2811,53 @@ object WarehouseQueries {
     s.sql("INSERT INTO graft_cat425.db.ev " +
       "SELECT k, etype, uid FROM q425_src WHERE k % 10 < 8")
     val evDir = s"$out/db/ev"
-    GraftMaterializedViews.registerAgg(s, "q425_mv", "graft_cat425.db.ev",
-      evDir, Seq("etype"), Nil, s"$out/db/_mv_nd", distinctCols = Seq("uid"))
-    val estSql = "SELECT etype, hll_sketch_estimate(hll_sketch_agg(uid)) " +
-      "AS nd FROM graft_cat425.db.ev GROUP BY etype"
-    def requireServed(tag: String): Unit = {
-      val h = GraftMaterializedViews.hits("q425_mv")
-      val served = s.sql(estSql)
-      served.collect(): Unit
-      require(GraftMaterializedViews.hits("q425_mv") == h + 1,
-        s"q425: the estimate must serve from the sketch partials ($tag)")
-      require(served.queryExecution.executedPlan.toString.contains("_mv_nd"),
-        s"q425: the estimate plan must scan the MV ($tag)")
-      val expect = ManifestTable.read(s, evDir).groupBy($"etype")
-        .agg(hll_sketch_estimate(hll_sketch_agg($"uid")).as("nd"))
-      require(served.exceptAll(expect).isEmpty &&
-        expect.exceptAll(served).isEmpty,
-        s"q425: MV-served estimates must equal the from-base estimates ($tag)")
-      // accuracy contract vs the EXACT count (fails closed → from base)
+    val mvDir = s"$out/db/_mv_nd"
+    val defSql = GraftMaterializedViews.registerAgg(s, "q425_mv",
+      "graft_cat425.db.ev", evDir, Seq("etype"), Nil, mvDir,
+      distinctCols = Seq("uid"))
+    // fail-closed pins: no sketch-derived base-query shape substitutes
+    val h0 = GraftMaterializedViews.hits("q425_mv")
+    s.sql("SELECT etype, hll_sketch_estimate(hll_sketch_agg(uid)) AS nd " +
+      "FROM graft_cat425.db.ev GROUP BY etype").collect(): Unit
+    s.sql("SELECT etype, hll_sketch_agg(uid) AS sk " +
+      "FROM graft_cat425.db.ev GROUP BY etype").collect(): Unit
+    require(GraftMaterializedViews.hits("q425_mv") == h0,
+      "q425: estimate and raw-sketch shapes must fail closed to the base")
+    // the SAME view's exact partials still serve: defSql exact match +
+    // the global count rollup (the containment lattice is alive)
+    s.sql(defSql).collect(): Unit
+    require(GraftMaterializedViews.hits("q425_mv") == h0 + 1,
+      "q425: the exact definition must serve from the MV")
+    val qg = s.sql("SELECT count(*) AS n FROM graft_cat425.db.ev")
+    qg.collect(): Unit
+    require(GraftMaterializedViews.hits("q425_mv") == h0 + 2,
+      "q425: the global count must roll up the distinct view's partials")
+    require(qg.queryExecution.executedPlan.toString.contains("_mv_nd"),
+      "q425: the rolled plan must scan the MV")
+    // the sketch TABLE serves the uniques dashboard; accuracy vs exact
+    def requireAccurate(tag: String): Unit = {
+      val est = ManifestTable.read(s, mvDir)
+        .select($"etype", hll_sketch_estimate($"hll_uid").as("nd"))
+        .as[(String, Long)].collect().toMap
       val exact = s.sql("SELECT etype, count(DISTINCT uid) AS x " +
         "FROM graft_cat425.db.ev GROUP BY etype")
         .as[(String, Long)].collect().toMap
-      served.as[(String, Long)].collect().foreach { case (t, nd) =>
+      require(est.keySet == exact.keySet,
+        s"q425: the sketch table must cover every group ($tag)")
+      est.foreach { case (t, nd) =>
         require(math.abs(nd - exact(t)).toDouble / exact(t) < 0.05,
           s"q425: estimate $nd vs exact ${exact(t)} for '$t' ($tag)") }
     }
-    requireServed("initial")
+    requireAccurate("initial")
     // insert-only window → the pure fold UNIONS the delta sketches in
     ManifestTable.commit(src.where($"k" % 10 === 8)
       .select($"k", $"etype", $"uid"), evDir, append = true): Unit
     GraftMaterializedViews.refreshIncremental(s, "q425_mv")
-    requireServed("after insert-only union fold")
+    requireAccurate("after insert-only union fold")
     // GDPR purge → sketches can't subtract: touched groups re-sketch
     ManifestTable.delete(src.where($"k" % 10 === 3).select($"k"), evDir, "k")
     GraftMaterializedViews.refreshIncremental(s, "q425_mv")
-    requireServed("after delete re-sketch")
-    // the raw-sketch shape stays fail-closed
-    val h = GraftMaterializedViews.hits("q425_mv")
-    s.sql("SELECT etype, hll_sketch_agg(uid) AS sk " +
-      "FROM graft_cat425.db.ev GROUP BY etype").collect(): Unit
-    require(GraftMaterializedViews.hits("q425_mv") == h,
-      "q425: raw sketch bytes must fail closed to the base")
+    requireAccurate("after delete re-sketch")
     GraftMaterializedViews.drop("q425_mv")
     // gate output: the EXACT final per-type counts (DuckDB-recomputable)
     s.sql("SELECT etype, count(*) AS n_rows, count(DISTINCT uid) AS n_users " +
@@ -4743,6 +4958,8 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q427_stream_snowflake" -> streamSnowflakeMv _,
+    "q426_mv_daily_uniques" -> mvDailyUniques _,
     "q425_mv_distinct" -> mvDistinct _,
     "q424_mv_snowflake" -> mvSnowflake _,
     "q423_mv_time_hierarchy" -> mvTimeHierarchy _,
@@ -4848,6 +5065,37 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q427: the oracle recomputes the FINAL 3-way join over all three
+    // ingest slices + both dim re-homes — a trigger that lost its dim
+    // delta (or folded it twice) lands rows in the wrong region/cat
+    // and moves the hash
+    "q427_stream_snowflake" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (SELECT k, k % 40 AS pk, k * 2 AS cents FROM k),
+        |d1 AS (SELECT pk,
+        |    CASE WHEN pk % 4 = 0 THEN (pk + 2) % 5 ELSE pk % 5 END AS rk,
+        |    'c' || CAST(pk % 3 AS VARCHAR) AS cat FROM range(40) t(pk)),
+        |d2 AS (SELECT rk,
+        |    CASE WHEN rk = 1 THEN 'rY' ELSE 'r' || CAST(rk AS VARCHAR) END
+        |      AS reg FROM range(5) t(rk))
+        |SELECT reg, cat, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d1 USING (pk) JOIN d2 USING (rk)
+        |GROUP BY reg, cat ORDER BY reg, cat""".stripMargin,
+    // q426: the oracle recomputes the EXACT week × type user counts
+    // over the final base — a wrong grain merge, a lost refresh, or a
+    // sketch-fold bug surfacing in the face's require-pins (estimates
+    // vs from-base vs exact) aborts the face; the exact counts move
+    // the hash
+    "q426_mv_daily_uniques" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    CAST(ts AS DATE) AS day, event_type AS etype,
+        |    CAST(user_id AS BIGINT) AS uid FROM events),
+        |f AS (SELECT * FROM src WHERE k % 10 <= 8 AND k % 10 <> 3)
+        |SELECT CAST(date_trunc('week', day) AS DATE) AS wk, etype,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY wk, etype""".stripMargin,
     // q425: the oracle recomputes the EXACT per-type user counts over
     // the final base (initial slice + insert window − GDPR purge) — a
     // lost delta, a wrong touched set, or a stale MV serving the gate's

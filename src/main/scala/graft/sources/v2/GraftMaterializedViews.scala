@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -128,11 +128,7 @@ object GraftMaterializedViews {
                               countCol: Option[String],
                               sumMap: Map[String, String],
                               minMap: Map[String, String],
-                              maxMap: Map[String, String],
-                              // base col → (stored sketch col, lgConfigK):
-                              // serves hll_sketch_estimate(hll_sketch_agg(c))
-                              // at any coarser grain by sketch UNION
-                              hllMap: Map[String, (String, Int)] = Map.empty)
+                              maxMap: Map[String, String])
 
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
@@ -214,7 +210,6 @@ object GraftMaterializedViews {
       val sums = mutable.Map[String, String]()
       val mins = mutable.Map[String, String]()
       val maxs = mutable.Map[String, String]()
-      val hlls = mutable.Map[String, (String, Int)]()
       val gmap = mutable.Map[String, String]()
       val ok = aggExprs.forall {
         case a: AttributeReference if groups.contains(a.name) =>
@@ -225,23 +220,27 @@ object GraftMaterializedViews {
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case Count(Seq(Literal(1, _))) => count = Some(nm); true
+            // a stored sketch partial does not DISQUALIFY the view from
+            // rollup (its count/sum partials still serve coarser
+            // grains exactly) — but no sketch-derived OUTPUT is ever
+            // served: the estimate of a union of partials is NOT the
+            // estimate the direct query computes (DataSketches switches
+            // HIP → composite estimation on union, so the number
+            // depends on merge structure — graft.HllProbe demonstrates
+            // direct, single-partition, and union-of-parts all
+            // differing at |set| ≈ 1000). Approximate-but-different is
+            // still a changed answer: fail closed.
+            case h: HllSketchAgg => h.left.isInstanceOf[AttributeReference]
             case Sum(a: AttributeReference, _) => sums(a.name) = nm; true
             case Min(a: AttributeReference) => mins(a.name) = nm; true
             case Max(a: AttributeReference) => maxs(a.name) = nm; true
-            case h: HllSketchAgg => h.left match {
-              // the stored sketch partial — re-aggregatable by UNION
-              // (register-wise max), unlike the count it estimates
-              case a: AttributeReference =>
-                hlls(a.name) = (nm, h.lgConfigK); true
-              case _ => false
-            }
             case _ => false
           }
         case _ => false
       }
       if (ok && groups.forall(gmap.contains))
         Some(RollupInfo(fingerprint(child), gmap.toMap, count,
-          sums.toMap, mins.toMap, maxs.toMap, hlls.toMap))
+          sums.toMap, mins.toMap, maxs.toMap))
       else None
     case _ => None
   }
@@ -313,9 +312,14 @@ object GraftMaterializedViews {
     // a DISTINCT column (r15) stores a re-aggregatable HLL sketch
     // partial (`hll_sketch_agg`) — exact distinct counts are not
     // distributive (a partial can't subtract, a coarser grain can't
-    // re-add), but sketches UNION losslessly (register-wise max), so
-    // the rollup rewrite serves `hll_sketch_estimate(hll_sketch_agg(c))`
-    // at ANY grain beneath the view from the stored partials.
+    // re-add), sketches are. The MAINTAINED SKETCH TABLE is the serving
+    // surface: dashboards read it and `hll_union_agg` +
+    // `hll_sketch_estimate` at any grain. The automatic rewrite
+    // deliberately does NOT substitute sketch math for a base query's
+    // `hll_sketch_estimate(hll_sketch_agg(c))`: the estimate of a union
+    // of partials is merge-structure-dependent (HIP → composite,
+    // graft.HllProbe) — approximate-but-DIFFERENT is still a changed
+    // answer, so that shape fails closed.
     val defSql = s"SELECT ${groupCols.mkString(", ")}, count(*) AS n_rows" +
       sumCols.map(c => s", sum($c) AS sum_$c").mkString +
       minCols.map(c => s", min($c) AS min_$c").mkString +
@@ -1057,7 +1061,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * non-deterministic keys, predicates on non-key columns — fails
     * closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
     // every grouping expression must be DETERMINISTIC and reference only
     // base columns the view stores as group keys. Keys are constant
     // within an MV group, so ANY deterministic function of keys —
@@ -1108,26 +1112,12 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
             case _ => None
           }
-        // the DISTINCT-count estimate (r15): sketches union losslessly
-        // (register-wise max — merged registers equal the directly-built
-        // ones), so estimate(union of stored partials) IS the estimate
-        // the query would compute from base — at the view's own grain
-        // and at every coarser one. Same lgK required; the RAW sketch
-        // output (bytes, not the estimate) still fails closed — two
-        // valid encodings of equal registers need not be byte-equal.
-        case Alias(HllSketchEstimate(ae: AggregateExpression), _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case h: HllSketchAgg => h.left match {
-              case attr: AttributeReference =>
-                ri.hllMap.get(attr.name).collect {
-                  case (c, lgk) if lgk == h.lgConfigK =>
-                    Right(hll_sketch_estimate(hll_union_agg(col(c))))
-                }
-              case _ => None
-            }
-            case _ => None
-          }
+        // NO sketch-derived output is served (estimate OR raw bytes):
+        // DataSketches estimates switch HIP → composite on union, so
+        // estimate(union of stored partials) ≠ estimate(direct query)
+        // in general — merge-structure-dependent numbers
+        // (graft.HllProbe). The sketch TABLE is the serving surface for
+        // uniques dashboards; the rewrite fails closed here.
         case _ => None
       }
     }

@@ -712,7 +712,7 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_snow")
   }
 
-  test("distinct-count MV: sketch partials union on inserts, re-sketch on deletes, serve estimates at every grain (r15)") {
+  test("distinct-count MV: sketch partials maintain incrementally; estimate rewrites fail closed (r15)") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.dc (k BIGINT, g1 STRING, g2 STRING, u BIGINT)")
     spark.sql("INSERT INTO gmvs.ns.dc VALUES " +
@@ -722,64 +722,63 @@ class MaterializedViewSpec extends SparkSpec {
       "gmvs.ns.dc", baseDir, Seq("g1", "g2"), Nil, s"$wh/ns/_mv_dc",
       distinctCols = Seq("u"))
     assert(defSql.contains("hll_sketch_agg(u) AS hll_u"))
+    // NO sketch-derived shape is ever substituted: estimates are
+    // merge-structure-dependent (HIP vs composite — graft.HllProbe
+    // shows direct/1-partition/union-of-parts all differing at
+    // |set| ≈ 1000) and raw bytes encoding-dependent. Approximate but
+    // DIFFERENT is a changed answer: every probe computes from base.
     val h0 = GraftMaterializedViews.hits("mv_dc")
-    def est(group: String): org.apache.spark.sql.DataFrame = spark.sql(
-      s"SELECT $group, hll_sketch_estimate(hll_sketch_agg(u)) AS nd " +
-        s"FROM gmvs.ns.dc GROUP BY $group ORDER BY $group")
-    // the estimate serves at the view's own grain …
-    val q1 = est("g1, g2")
-    assert(q1.as[(String, String, Long)].collect().toSeq ==
-      Seq(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 1L), ("b", "y", 1L)))
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 1,
-      "the estimate at the view's own grain must serve from the partials")
-    assert(q1.queryExecution.executedPlan.toString.contains("_mv_dc"))
-    // … at a COARSER grain (sketches union across merged groups) …
-    val q2 = est("g1")
-    assert(q2.as[(String, Long)].collect().toSeq ==
-      Seq(("a", 2L), ("b", 1L)),
-      "the coarser estimate must union the stored sketches")
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 2)
-    // … and at the GLOBAL grain, bit-equal to the from-base estimate
-    val q3 = spark.sql("SELECT hll_sketch_estimate(hll_sketch_agg(u)) " +
-      "AS nd FROM gmvs.ns.dc")
-    assert(q3.as[Long].head() == 3L)
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 3)
-    val expect = ManifestTable.read(spark, baseDir).groupBy($"g1")
-      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("nd"))
-    assert(q2.exceptAll(expect).isEmpty && expect.exceptAll(q2).isEmpty,
-      "union-of-partials estimates must BIT-EQUAL the direct estimate " +
-        "(register-wise max is lossless)")
-    // shapes the partials cannot reproduce fail closed: the exact
-    // count(DISTINCT), and the RAW sketch bytes (two valid encodings of
-    // equal registers need not be byte-equal)
+    spark.sql("SELECT g1, g2, hll_sketch_estimate(hll_sketch_agg(u)) AS nd " +
+      "FROM gmvs.ns.dc GROUP BY g1, g2").collect()
+    spark.sql("SELECT g1, hll_sketch_estimate(hll_sketch_agg(u)) AS nd " +
+      "FROM gmvs.ns.dc GROUP BY g1").collect()
+    spark.sql("SELECT hll_sketch_estimate(hll_sketch_agg(u)) AS nd " +
+      "FROM gmvs.ns.dc").collect()
     spark.sql("SELECT g1, count(DISTINCT u) AS n FROM gmvs.ns.dc GROUP BY g1")
       .collect()
     spark.sql("SELECT g1, hll_sketch_agg(u) AS s FROM gmvs.ns.dc GROUP BY g1")
       .collect()
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 3,
-      "exact count(DISTINCT) and raw-sketch outputs must fail closed")
+    assert(GraftMaterializedViews.hits("mv_dc") == h0,
+      "estimate/exact-distinct/raw-sketch shapes must ALL fail closed")
+    // the view's EXACT partials still serve the rollup lattice
+    val qc = spark.sql("SELECT g1, count(*) AS n FROM gmvs.ns.dc " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(qc.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 1,
+      "count partials of a distinct view must still roll up")
+    assert(qc.queryExecution.executedPlan.toString.contains("_mv_dc"))
+    // the SKETCH TABLE is the serving surface: dashboards union the
+    // stored partials at any grain (exact at these cardinalities —
+    // sparse-mode sketches are coupon-exact)
+    def fromMv(): Map[String, Long] = ManifestTable
+      .read(spark, s"$wh/ns/_mv_dc").groupBy($"g1")
+      .agg(hll_sketch_estimate(hll_union_agg($"hll_u")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(fromMv() == Map("a" -> 2L, "b" -> 1L))
     // insert-only refresh: the pure fold UNIONS the delta sketches in
     ManifestTable.commit(Seq((6L, "a", "x", 13L), (7L, "b", "y", 12L))
       .toDF("k", "g1", "g2", "u"), baseDir, append = true)
     GraftMaterializedViews.refreshIncremental(spark, "mv_dc")
-    val q4 = est("g1")
-    assert(q4.as[(String, Long)].collect().toSeq ==
-      Seq(("a", 3L), ("b", 1L)),
+    assert(fromMv() == Map("a" -> 3L, "b" -> 1L),
       "an insert-only fold must union the new values into the sketches")
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 4)
+    // the exact partials folded alongside: n_rows identity holds
+    val nrows = ManifestTable.read(spark, s"$wh/ns/_mv_dc")
+      .groupBy($"g1").agg(sum($"n_rows").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(nrows == Map("a" -> 4L, "b" -> 3L))
     // delete refresh: sketches don't subtract — the touched groups
     // re-sketch from the base, recovering the true remaining set
     ManifestTable.delete(Seq(2L).toDF("k"), baseDir, "k") // (a,x,11) gone
     GraftMaterializedViews.refreshIncremental(spark, "mv_dc")
-    val q5 = est("g1")
-    assert(q5.as[(String, Long)].collect().toSeq ==
-      Seq(("a", 2L), ("b", 1L)),
+    assert(fromMv() == Map("a" -> 2L, "b" -> 1L),
       "a delete must re-sketch the touched group — a pure union could " +
         "never subtract the removed value")
-    assert(GraftMaterializedViews.hits("mv_dc") == h0 + 5)
-    val expect5 = ManifestTable.read(spark, baseDir).groupBy($"g1")
-      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("nd"))
-    assert(q5.exceptAll(expect5).isEmpty && expect5.exceptAll(q5).isEmpty)
+    // the refreshed view still serves its exact surface
+    val h1 = GraftMaterializedViews.hits("mv_dc")
+    spark.sql(defSql).collect()
+    assert(GraftMaterializedViews.hits("mv_dc") == h1 + 1,
+      "the exact defSql must serve after both refresh kinds")
     GraftMaterializedViews.drop("mv_dc")
 
     // the SQL verb drives the same lifecycle; list_mvs reports the shape
