@@ -2479,7 +2479,8 @@ object WarehouseQueries {
           "(a lagging refresh leaves the view stale)")
       prevHits += 1
       val expect = ManifestTable.read(s, baseDir).groupBy($"pri")
-        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+          count($"cents").as("cnt_cents"))
       require(served.exceptAll(expect).isEmpty &&
         expect.exceptAll(served).isEmpty,
         s"q422: trigger $i's served groups must equal the from-base " +
@@ -5063,7 +5064,8 @@ object WarehouseQueries {
       """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    o_orderpriority AS pri FROM orders)
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(k * 2) AS BIGINT) AS sum_cents
+        |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
+        |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
     // q427: the oracle recomputes the FINAL 3-way join over all three
     // ingest slices + both dim re-homes — a trigger that lost its dim
@@ -5168,7 +5170,8 @@ object WarehouseQueries {
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(min(cents) AS BIGINT) AS min_cents,
-        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(count(cents) AS BIGINT) AS cnt_cents
         |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q418: the oracle recomputes the star join's FINAL groups from
     // scratch — fact after reprice/erasure/ingest joined to the dim
@@ -5203,7 +5206,8 @@ object WarehouseQueries {
         |  UNION ALL
         |  SELECT k, pri, k * 2 FROM src WHERE k % 10 = 8)
         |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS cnt_cents
         |FROM f GROUP BY pri ORDER BY pri""".stripMargin,
     // q416: the oracle recomputes the aggregate over BOTH batches — a
     // stale MV serve (missing the k%10=8 batch) or a mis-projected

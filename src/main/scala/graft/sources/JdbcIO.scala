@@ -93,7 +93,13 @@ object JdbcIO {
   def probeExistingKeys(keys: DataFrame, url: String, table: String,
                         key: String, properties: Properties,
                         batchSize: Int = 256): DataFrame = {
-    require(batchSize >= 1, s"probeExistingKeys: batchSize $batchSize < 1")
+    // 500 is the floor of the engines' compound-select limits (SQLite's
+    // default SQLITE_MAX_COMPOUND_SELECT is 500; parser/term ceilings on
+    // other engines sit higher) — a larger batch would fail only at the
+    // sink, at runtime, on the biggest replay
+    require(batchSize >= 1 && batchSize <= 500,
+      s"probeExistingKeys: batchSize $batchSize not in [1, 500] " +
+        "(500 = the smallest common compound-SELECT limit, SQLite's)")
     val spark = keys.sparkSession
     val kdf = keys.select(key)
       .where(org.apache.spark.sql.functions.col(key).isNotNull).distinct()
@@ -105,12 +111,14 @@ object JdbcIO {
         val conn = java.sql.DriverManager.getConnection(url, properties)
         try {
           rows.grouped(batchSize).foreach { batch =>
-            // one round trip per batch; every UNION branch is an indexed
-            // point lookup returning its ordinal (UNION dedups, so a
-            // non-unique sink key still yields one ordinal)
+            // one round trip per batch; every branch is an indexed point
+            // lookup returning its ordinal. UNION ALL, not UNION: a
+            // duplicate ordinal (non-unique sink key) is harmless —
+            // BitSet.set is idempotent — and ALL spares the engine a
+            // needless dedup sort across branches
             val ps = conn.prepareStatement(batch.indices
               .map(i => s"SELECT $i FROM $table WHERE $key = ?")
-              .mkString(" UNION "))
+              .mkString(" UNION ALL "))
             try {
               batch.zipWithIndex.foreach { case (r, i) =>
                 ps.setObject(i + 1, r.get(0)) }

@@ -1917,6 +1917,30 @@ object ManifestTable {
       read(spark, dir, tableSchema = tableSchema),
       colA, colB, numPartitions = numFiles), dir, append = false))
 
+  /** The event-kind column every [[changeFeed]] row carries
+    * (`insert` | `delete`). */
+  val ChangeTypeCol = "_change_type"
+
+  /** The [[changeFeed]] contract for a MAINTENANCE-ONLY range (every
+    * commit in range marked `dataChange=false` — compaction, binpack,
+    * rewrite_deletes): the feed collapses to the SCHEMALESS empty
+    * relation (`spark.emptyDataFrame`), never a typed empty frame.
+    * Consumers (MV refresh, replication) must treat that shape as
+    * "content bit-identical — advance the cursor", which is NOT the same
+    * as an empty delta of a typed feed (an error state upstream could
+    * look like one). This helper is the seam: it answers the question
+    * AND enforces the contract — a [[ChangeTypeCol]]-less feed that
+    * nonetheless carries a schema is a corrupt feed and fails loudly
+    * here instead of silently reading as "no changes". */
+  def isMaintenanceOnlyFeed(feed: DataFrame): Boolean = {
+    val maintOnly = !feed.columns.contains(ChangeTypeCol)
+    require(!maintOnly || feed.schema.isEmpty,
+      "changeFeed contract violation: a feed without " +
+        s"'$ChangeTypeCol' must be the schemaless empty relation " +
+        s"(maintenance-only range); got schema ${feed.schema.simpleString}")
+    maintOnly
+  }
+
   /** Change-data-feed between two versions: every row the range ADDED
     * (`insert`) and every previously-visible row the range ERASED via
     * equality deletes (`delete`) — the Delta-CDF/Iceberg-changelog shape

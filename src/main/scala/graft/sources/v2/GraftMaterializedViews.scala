@@ -8,7 +8,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -128,7 +128,8 @@ object GraftMaterializedViews {
                               countCol: Option[String],
                               sumMap: Map[String, String],
                               minMap: Map[String, String],
-                              maxMap: Map[String, String])
+                              maxMap: Map[String, String],
+                              cntMap: Map[String, String] = Map.empty)
 
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
@@ -195,12 +196,14 @@ object GraftMaterializedViews {
   /** If the analyzed definition is a plain rollup-capable aggregate,
     * extract the containment-rewrite metadata; None otherwise (the view
     * still serves exact matches). Rollup-capable = every group key a
-    * bare column, every aggregate count(*), sum(col), min(col) or
-    * max(col) — no DISTINCT, no FILTER, no expressions (those shapes
-    * don't re-aggregate from stored partials; avg deliberately excluded:
-    * Spark averages integral inputs through an incrementally-summed
-    * DOUBLE, which a sum-of-sums/sum-of-counts division can diverge from
-    * past 2^53 — fail closed rather than almost-equal). */
+    * bare column, every aggregate count(*), count(col), sum(col),
+    * min(col), max(col) or avg(col) — no DISTINCT, no FILTER, no
+    * expressions (those shapes don't re-aggregate from stored partials).
+    * A stored count(col) partial additionally lets the rewrite serve a
+    * contained query's count(col) (sum of partials) and integral
+    * avg(col) (sum of sums / sum of counts — the exact division Spark's
+    * own Average performs on integral input; DECIMAL/float avg stays
+    * fail-closed in [[GraftMvRewriteRule.tryRollup]]'s translate). */
   private def deriveRollup(plan: LogicalPlan): Option[RollupInfo] = plan match {
     case Aggregate(groupExprs, aggExprs, child, _)
         if groupExprs.nonEmpty &&
@@ -210,6 +213,7 @@ object GraftMaterializedViews {
       val sums = mutable.Map[String, String]()
       val mins = mutable.Map[String, String]()
       val maxs = mutable.Map[String, String]()
+      val cnts = mutable.Map[String, String]()
       val gmap = mutable.Map[String, String]()
       val ok = aggExprs.forall {
         case a: AttributeReference if groups.contains(a.name) =>
@@ -231,16 +235,21 @@ object GraftMaterializedViews {
             // differing at |set| ≈ 1000). Approximate-but-different is
             // still a changed answer: fail closed.
             case h: HllSketchAgg => h.left.isInstanceOf[AttributeReference]
+            case Count(Seq(a: AttributeReference)) => cnts(a.name) = nm; true
             case Sum(a: AttributeReference, _) => sums(a.name) = nm; true
             case Min(a: AttributeReference) => mins(a.name) = nm; true
             case Max(a: AttributeReference) => maxs(a.name) = nm; true
+            // a stored avg(col) output is DERIVED (sum/cnt already serve
+            // it) — its presence must not disqualify the view's other
+            // partials from rolling up
+            case Average(a: AttributeReference, _) => true
             case _ => false
           }
         case _ => false
       }
       if (ok && groups.forall(gmap.contains))
         Some(RollupInfo(fingerprint(child), gmap.toMap, count,
-          sums.toMap, mins.toMap, maxs.toMap))
+          sums.toMap, mins.toMap, maxs.toMap, cnts.toMap))
       else None
     case _ => None
   }
@@ -303,11 +312,20 @@ object GraftMaterializedViews {
       "registerAgg: every avg column must also be a sum column — avg is " +
         "DERIVED (sum/count are the partials an incremental refresh folds; " +
         "avg itself is not distributive)")
-    // an avg column stores its NON-NULL count partial too: SQL avg(c) =
-    // sum(c)/count(c), NOT sum(c)/count(*) — dividing by n_rows would
-    // drift every group whose avg column carries NULLs (ADVICE r14).
-    // count(c) also restores the NULL edge of the SUM fold for these
-    // columns: when count(c) reaches 0 the folded sum returns to NULL.
+    // EVERY sum column stores its NON-NULL count partial (r16; avg-only
+    // in r15): `cnt_<c> = count(c)`. Three things ride on it —
+    //  1. SQL avg(c) = sum(c)/count(c), NOT sum(c)/count(*): dividing by
+    //     n_rows would drift every group whose column carries NULLs
+    //     (ADVICE r14);
+    //  2. the SUM fold's NULL edge is exact for ALL sum columns: when a
+    //     delete removes a group's last non-null value the folded
+    //     count(c) reaches 0 and the sum returns to NULL — without the
+    //     partial, a bare sum column folded to 0 where a recompute says
+    //     NULL (ADVICE r15);
+    //  3. the ROLLUP containment rewrite serves count(col) (= sum of cnt
+    //     partials) and integral avg(col) (= sum of sums / sum of cnts)
+    //     at any contained grain — the most-asked dashboard aggregates
+    //     after count(*)/sum (VERDICT r15 #1).
     //
     // a DISTINCT column (r15) stores a re-aggregatable HLL sketch
     // partial (`hll_sketch_agg`) — exact distinct counts are not
@@ -325,7 +343,7 @@ object GraftMaterializedViews {
       minCols.map(c => s", min($c) AS min_$c").mkString +
       maxCols.map(c => s", max($c) AS max_$c").mkString +
       avgCols.map(c => s", avg($c) AS avg_$c").mkString +
-      avgCols.map(c => s", count($c) AS cnt_$c").mkString +
+      sumCols.map(c => s", count($c) AS cnt_$c").mkString +
       distinctCols.map(c => s", hll_sketch_agg($c) AS hll_$c").mkString +
       s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
@@ -444,12 +462,15 @@ object GraftMaterializedViews {
     val head = ManifestTable.currentVersion(dir)
     if (head == recorded) return
     val feed = ManifestTable.changeFeed(spark, dir, recorded, head)
-    if (!feed.columns.contains("_change_type")) {
+    if (ManifestTable.isMaintenanceOnlyFeed(feed)) {
       // an all-REWRITE range (compaction/binpack/rewrite_deletes only)
-      // contributes zero events and the feed collapses to a schemaless
-      // empty relation — content is bit-identical, so just advance the
-      // recorded version (found by the r14 random-walk soak: a
-      // binpack-only gap between two refreshes crashed the fold).
+      // contributes zero events — content is bit-identical, so just
+      // advance the recorded version (found by the r14 random-walk soak:
+      // a binpack-only gap between two refreshes crashed the fold).
+      // the "is it maintenance-only" decision lives in ManifestTable
+      // (the feed's producer), which also REQUIRES the schemaless-empty
+      // shape — a typed-but-column-less feed fails loudly there instead
+      // of silently reading as "no changes" here.
       // copy() preserves fpVerified/rollup: a sidecar-reloaded view whose
       // FIRST touch is a maintainer refresh must still lazily re-derive
       // its fingerprint (and its never-serialized RollupInfo) at first
@@ -459,6 +480,14 @@ object GraftMaterializedViews {
       install(v.copy(deps = Seq(dir -> head)))
       return
     }
+    // a distinct-declared view reads the feed twice (the delete-presence
+    // gate below, then the delta fold or touched-set) — persist the
+    // O(|delta|) feed once per refresh instead of re-planning the
+    // change-feed scan per pass. Other shapes read it once: no persist
+    // (the per-commit maintainer path stays allocation-free).
+    if (sh.distinctCols.nonEmpty)
+      feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+    try {
     // sketches (like min/max) don't subtract: a delete-bearing feed
     // routes a distinct-declared view through the touched-group
     // recompute; an insert-only feed (the append-heavy common case)
@@ -472,13 +501,14 @@ object GraftMaterializedViews {
       val delta = feed.groupBy(sh.groupCols.map(col): _*)
         .agg(sum(sign).as("_d_n"),
           (sh.sumCols.map(c => sum(sign * col(c)).as(s"_d_$c")) ++
-           // the avg columns' non-null count partial, signed like n
-           sh.avgCols.map(c => sum(when(col(c).isNotNull, sign)
+           // every sum column's non-null count partial, signed like n
+           sh.sumCols.map(c => sum(when(col(c).isNotNull, sign)
              .otherwise(0L)).as(s"_d_cnt_$c")) ++
            sh.distinctCols.map(c =>
              hll_sketch_agg(col(c)).as(s"_d_hll_$c"))): _*)
       foldDelta(spark, v, sh.groupCols, sh.sumCols, delta, Seq(dir -> head),
-        avgCols = sh.avgCols, distinctCols = sh.distinctCols)
+        avgCols = sh.avgCols, distinctCols = sh.distinctCols,
+        cntCols = sh.sumCols)
     } else {
       // min/max don't subtract: a delete may remove a group's extremum
       // and the true runner-up lives only in the base. Re-aggregate the
@@ -502,7 +532,7 @@ object GraftMaterializedViews {
           sh.minCols.map(c => min(col(c)).as(s"min_$c")) ++
           sh.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
           sh.avgCols.map(c => avg(col(c)).as(s"avg_$c")) ++
-          sh.avgCols.map(c => count(col(c)).as(s"cnt_$c")) ++
+          sh.sumCols.map(c => count(col(c)).as(s"cnt_$c")) ++
           sh.distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")): _*)
       val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
       // untouched groups carry verbatim; touched groups (including any
@@ -512,6 +542,7 @@ object GraftMaterializedViews {
       ManifestTable.commit(merged, v.mvDir, append = false): Unit
       install(v.copy(deps = Seq(dir -> head)))
     }
+    } finally if (sh.distinctCols.nonEmpty) feed.unpersist(): Unit
   }
 
   private def refreshIncrementalJoin(spark: SparkSession, v: MvDef,
@@ -525,16 +556,16 @@ object GraftMaterializedViews {
     def proj(df: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.Column) =
       df.select(sh.groupCols.map(col) ++ sh.sumCols.map(col) :+
         s.as("_sign"): _*)
-    // a side whose range is all-rewrite (schemaless empty feed — zero
-    // events) is an UNCHANGED side: its delta legs drop entirely
+    // a side whose range is maintenance-only (zero events — the
+    // isMaintenanceOnlyFeed contract, enforced at the producer) is an
+    // UNCHANGED side: its delta legs drop entirely
     def sideDelta(dir0: String, from: Int, to: Int, s0: String)
         : Option[org.apache.spark.sql.DataFrame] =
       if (to <= from) None
       else {
         val f = ManifestTable.changeFeed(spark, dir0, from, to)
-        if (f.columns.contains("_change_type"))
-          Some(f.withColumn(s0, sign).drop("_change_type"))
-        else None
+        if (ManifestTable.isMaintenanceOnlyFeed(f)) None
+        else Some(f.withColumn(s0, sign).drop("_change_type"))
       }
     val dF = sideDelta(fDir, fRec, fHead, "_sf")
     val dD = sideDelta(dDir, dRec, dHead, "_sd")
@@ -595,15 +626,15 @@ object GraftMaterializedViews {
     val heads = sh.sideDirs.map(ManifestTable.currentVersion)
     if (heads.zip(rec).forall { case (h, r) => h == r }) return
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    // a side whose range is all-rewrite (schemaless empty feed — zero
-    // events) is an UNCHANGED side: its leg drops entirely
+    // a side whose range is maintenance-only (zero events — the
+    // isMaintenanceOnlyFeed contract, enforced at the producer) is an
+    // UNCHANGED side: its leg drops entirely
     def sideDelta(i: Int): Option[org.apache.spark.sql.DataFrame] =
       if (heads(i) <= rec(i)) None
       else {
         val f = ManifestTable.changeFeed(spark, sh.sideDirs(i), rec(i), heads(i))
-        if (f.columns.contains("_change_type"))
-          Some(f.withColumn("_sign", sign).drop("_change_type"))
-        else None
+        if (ManifestTable.isMaintenanceOnlyFeed(f)) None
+        else Some(f.withColumn("_sign", sign).drop("_change_type"))
       }
     def snap(i: Int, ver: Int): org.apache.spark.sql.DataFrame = {
       refreshSnapshotReads.incrementAndGet(): Unit
@@ -645,21 +676,27 @@ object GraftMaterializedViews {
     * advanced.
     *
     * NULL discipline for sums: a group both sides see as NULL stays NULL
-    * (sum over zero non-null values is NULL, not 0), and an avg-declared
-    * column whose folded count(c) reaches 0 returns its sum AND avg to
-    * NULL. The one edge a count-free sum partial cannot see — a delete
-    * removing a group's LAST non-null value while the group survives —
-    * is exact for avg-declared columns (they carry count(c)) and folds
-    * to 0 for bare sum columns; declare the column in `avgCols` when
-    * NULL-laden sums must fold exactly. */
+    * (sum over zero non-null values is NULL, not 0), and any
+    * cnt-carrying column whose folded count(c) reaches 0 returns its sum
+    * (and avg) to NULL — the delete-removing-the-last-non-null-value
+    * edge only a stored count can see. Since r16 the agg shape stores
+    * count(c) for EVERY sum column, so that edge is exact across the
+    * board (ADVICE r15: bare sums used to fold to 0 where a recompute
+    * says NULL); join/snowflake shapes don't store counts and keep the
+    * documented 0-fold on that edge. */
   private def foldDelta(spark: SparkSession, v: MvDef,
                         groupCols: Seq[String], sumCols: Seq[String],
                         delta: org.apache.spark.sql.DataFrame,
                         newDeps: Seq[(String, Int)],
                         avgCols: Seq[String] = Nil,
-                        distinctCols: Seq[String] = Nil): Unit = {
+                        distinctCols: Seq[String] = Nil,
+                        cntCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val cur = suppressRewrite(ManifestTable.read(spark, v.mvDir))
+    // a view materialized before cnt partials covered every sum column
+    // (pre-r16 sidecar generation) folds only the partials its table
+    // actually stores — extra delta columns are simply never selected
+    val cnts = cntCols.filter(c => cur.columns.contains(s"cnt_$c"))
     val merged = cur.join(delta, groupCols, "full_outer")
       .select(groupCols.map(col) ++
         Seq((coalesce(col("n_rows"), lit(0L)) +
@@ -673,7 +710,7 @@ object GraftMaterializedViews {
           // (the identity-to-recompute pin holds); float sums would
           // differ by summation order, same as any distributive merge
           .cast(cur.schema(s"sum_$c").dataType).as(s"sum_$c")) ++
-        avgCols.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
+        cnts.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
           coalesce(col(s"_d_cnt_$c"), lit(0L)))
           .cast(cur.schema(s"cnt_$c").dataType).as(s"cnt_$c")) ++
         // sketches UNION in (insert-only path — deletes re-sketch the
@@ -684,12 +721,13 @@ object GraftMaterializedViews {
           .otherwise(hll_union(col(s"hll_$c"), col(s"_d_hll_$c")))
           .as(s"hll_$c")): _*)
       .filter(col("n_rows") > 0)
-    val withAvg = avgCols.foldLeft(merged)((df, c) =>
+    val withCnt = cnts.foldLeft(merged)((df, c) =>
+      df.withColumn(s"sum_$c", when(col(s"cnt_$c") > 0, col(s"sum_$c"))
+        .cast(cur.schema(s"sum_$c").dataType)))
+    val withAvg = avgCols.foldLeft(withCnt)((df, c) =>
       df.withColumn(s"avg_$c", when(col(s"cnt_$c") > 0,
           col(s"sum_$c").cast("double") / col(s"cnt_$c").cast("double"))
-        .cast(cur.schema(s"avg_$c").dataType))
-        .withColumn(s"sum_$c", when(col(s"cnt_$c") > 0, col(s"sum_$c"))
-          .cast(cur.schema(s"sum_$c").dataType)))
+        .cast(cur.schema(s"avg_$c").dataType)))
     ManifestTable.commit(withAvg.select(cur.columns.map(col).toSeq: _*),
       v.mvDir, append = false): Unit
     install(v.copy(deps = newDeps))
@@ -1051,15 +1089,18 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * them (the r15 time-hierarchy containment: `month(day)`,
     * `date_trunc('quarter', day)`, `year(day)` over a day-grain view) —
     * re-aggregates the O(|groups|) MV instead of the base: count(*) →
-    * sum(count partial), sum → sum of sums, min → min of mins, max →
-    * max of maxes. A deterministic WHERE between the aggregate and the
-    * base transfers to the MV rows verbatim when it references ONLY
-    * view group keys (every key is constant within an MV group, so
-    * filtering groups ≡ filtering rows). Anything the stored partials
-    * cannot reproduce exactly — count(col), aggregate-level
-    * DISTINCT/FILTER, avg, group keys referencing non-key columns,
-    * non-deterministic keys, predicates on non-key columns — fails
-    * closed to the base. */
+    * sum(count partial), count(col) → sum(cnt_col partial), sum → sum
+    * of sums, min → min of mins, max → max of maxes, integral avg(col)
+    * → sum(sum_col)/sum(cnt_col) (exact — the same double division
+    * Spark's Average performs on integral input). A deterministic WHERE
+    * between the aggregate and the base transfers to the MV rows
+    * verbatim when it references ONLY view group keys (every key is
+    * constant within an MV group, so filtering groups ≡ filtering
+    * rows). Anything the stored partials cannot reproduce exactly —
+    * aggregate-level DISTINCT/FILTER, DECIMAL sums/avgs (re-widened
+    * types), float avg, count/avg of columns without a stored cnt
+    * partial, group keys referencing non-key columns, non-deterministic
+    * keys, predicates on non-key columns — fails closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
     // every grouping expression must be DETERMINISTIC and reference only
@@ -1098,6 +1139,32 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // still answer 0, not sum-over-nothing's NULL
               ri.countCol.map(c => Right(org.apache.spark.sql.functions
                 .coalesce(fsum(col(c)), org.apache.spark.sql.functions.lit(0L))))
+            case Count(Seq(attr: AttributeReference)) =>
+              // count(col) = sum of the stored NON-NULL count partials
+              // (cnt_<c>, kept for every sum column since r16); same
+              // empty-global edge as count(*)
+              ri.cntMap.get(attr.name).map(c => Right(org.apache.spark.sql
+                .functions.coalesce(fsum(col(c)),
+                  org.apache.spark.sql.functions.lit(0L))))
+            case Average(attr: AttributeReference, _)
+                // exact for INTEGRAL inputs: both the direct query and
+                // this rollup divide the exact integer sum by the exact
+                // non-null count in double arithmetic (Spark's Average
+                // accumulates integral input through doubles — exact
+                // below 2^53, and the fold pins sum(sum)/sum(cnt)
+                // bit-equal to Spark's avg there). DECIMAL avg re-widens
+                // scale (p+4/s+4) and float avg is order-dependent in
+                // the partials themselves — both fail closed.
+                if Seq(org.apache.spark.sql.types.ByteType,
+                  org.apache.spark.sql.types.ShortType,
+                  org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.LongType).contains(attr.dataType) =>
+              for {
+                sc <- ri.sumMap.get(attr.name)
+                cc <- ri.cntMap.get(attr.name)
+              } yield Right(
+                org.apache.spark.sql.functions.when(fsum(col(cc)) > 0,
+                  fsum(col(sc)).cast("double") / fsum(col(cc)).cast("double")))
             case Sum(attr: AttributeReference, _)
                 // a re-summed DECIMAL widens its precision (p+10 again),
                 // so the rolled column's type would not match the query's

@@ -61,10 +61,11 @@ class MaterializedViewPropertySpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       var nextId = 1L
       var live = Set.empty[Long]
-      // ~1 in 8 values NULL: both registered agg shapes declare v in
-      // avgCols, so their sum/avg/cnt folds are NULL-exact (r15 — a
-      // bare-sum view would hit the documented delete-last-non-null
-      // edge and is deliberately not part of this walk)
+      // ~1 in 8 values NULL: both agg shapes declare v in avgCols, so
+      // the walk soaks the avg = sum/cnt derivation on top of the
+      // NULL-exact sum fold (since r16 EVERY sum column carries a
+      // count(c) partial, so the delete-last-non-null edge is exact
+      // even for bare sums — the fixed suite pins that edge directly)
       def drawV(): java.lang.Long =
         if (rnd.nextInt(8) == 0) null
         else java.lang.Long.valueOf(rnd.nextInt(1000).toLong)

@@ -95,13 +95,12 @@ class MaterializedViewSpec extends SparkSpec {
     val served = spark.sql(defSql + " ORDER BY grp")
     assert(GraftMaterializedViews.hits("mv_t4") == h0 + 1,
       "the incrementally refreshed view must serve the rewrite")
-    assert(served.as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 2L, 210L), ("b", 2L, 55L), ("d", 1L, 1L)),
+    assert(served.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 210L, 2L), ("b", 2L, 55L, 2L), ("d", 1L, 1L, 1L)),
       "groups must net updates, drop at zero count, and admit new keys")
     // a no-op incremental refresh (no new commits) changes nothing
     GraftMaterializedViews.refreshIncremental(spark, "mv_t4")
-    assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long)].collect().length == 3)
+    assert(spark.sql(defSql + " ORDER BY grp").collect().length == 3)
     // non-agg views refuse the incremental path loudly
     GraftMaterializedViews.register(spark, "mv_t4b",
       "SELECT k, v FROM gmvs.ns.t4", s"$wh/ns/_mv_t4b", Seq(baseDir))
@@ -121,14 +120,14 @@ class MaterializedViewSpec extends SparkSpec {
       .head.getString(0)
     val h0 = GraftMaterializedViews.hits("sqlmv")
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 1L), ("b", 1L, 20L, 1L)))
     assert(GraftMaterializedViews.hits("sqlmv") == h0 + 1)
     spark.sql("INSERT INTO gmvs.ns.t5 VALUES (3, 'a', 30)")
     spark.sql("CALL gmvs.system.refresh_mv_incremental('sqlmv')").collect()
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 2L, 40L), ("b", 1L, 20L)))
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 40L, 2L), ("b", 1L, 20L, 1L)))
     assert(GraftMaterializedViews.hits("sqlmv") == h0 + 2)
     // observability: list_mvs reports name/freshness/shape/hits
     val listed = spark.sql("CALL gmvs.system.list_mvs()")
@@ -184,8 +183,8 @@ class MaterializedViewSpec extends SparkSpec {
     ManifestTable.delete(Seq(2L).toDF("k"), s"$wh/ns/p9m", "k")
     spark.sql("CALL gmvs.system.refresh_mv_incremental('sqlmmv')").collect()
     assert(spark.sql(mSql + " ORDER BY grp")
-      .as[(String, Long, Long, Long, Long)].collect().toSeq ==
-      Seq(("a", 1L, 10L, 10L, 10L), ("b", 1L, 5L, 5L, 5L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 10L, 10L, 1L), ("b", 1L, 5L, 5L, 5L, 1L)))
     spark.sql("CALL gmvs.system.drop_mv('sqlmmv')").collect()
   }
 
@@ -231,9 +230,9 @@ class MaterializedViewSpec extends SparkSpec {
       defSql.contains("max(v) AS max_v"))
     val h0 = GraftMaterializedViews.hits("mv_mm")
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long, Long, Long)].collect().toSeq ==
-      Seq(("a", 3L, 45L, 10L, 20L), ("b", 2L, 13L, 5L, 8L),
-        ("c", 1L, 99L, 99L, 99L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 45L, 10L, 20L, 3L), ("b", 2L, 13L, 5L, 8L, 2L),
+        ("c", 1L, 99L, 99L, 99L, 1L)))
     assert(GraftMaterializedViews.hits("mv_mm") == h0 + 1)
     // delete a's CURRENT MAX (k=2, v=20) and b's CURRENT MIN (k=4, v=5);
     // the true runner-ups (15, 8) live only in the base — a subtractive
@@ -249,9 +248,9 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.refreshIncremental(spark, "mv_mm")
     val q3 = spark.sql(defSql + " ORDER BY grp")
     assert(GraftMaterializedViews.hits("mv_mm") == h0 + 2)
-    assert(q3.as[(String, Long, Long, Long, Long)].collect().toSeq ==
-      Seq(("a", 2L, 25L, 10L, 15L), ("b", 1L, 8L, 8L, 8L),
-        ("d", 1L, 3L, 3L, 3L)),
+    assert(q3.as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 25L, 10L, 15L, 2L), ("b", 1L, 8L, 8L, 8L, 1L),
+        ("d", 1L, 3L, 3L, 3L, 1L)),
       "deleted extrema must recover the runner-up; zero-count groups " +
         "drop; new groups admit")
     assert(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty)
@@ -260,8 +259,8 @@ class MaterializedViewSpec extends SparkSpec {
       baseDir, "k")
     GraftMaterializedViews.refreshIncremental(spark, "mv_mm")
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long, Long, Long)].collect().head ==
-      (("a", 2L, 85L, 15L, 70L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head ==
+      (("a", 2L, 85L, 15L, 70L, 2L)))
     GraftMaterializedViews.drop("mv_mm")
   }
 
@@ -330,6 +329,38 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_av")
   }
 
+  test("bare-sum MV: deleting a group's last non-null value folds sum to NULL (ADVICE r15)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.bs (k BIGINT, grp STRING, v BIGINT)")
+    ManifestTable.commit(Seq(
+        (1L, "a", null.asInstanceOf[java.lang.Long]),
+        (2L, "a", java.lang.Long.valueOf(5L)),
+        (3L, "b", java.lang.Long.valueOf(7L)))
+      .toDF("k", "grp", "v").select($"k", $"grp", $"v".cast("bigint")),
+      s"$wh/ns/bs", append = true): Unit
+    val baseDir = s"$wh/ns/bs"
+    // NO avg declaration: since r16 every sum column carries its own
+    // count(c) partial, so the delete-last-non-null edge is exact for
+    // bare sums too (they used to fold to 0 where a recompute says NULL)
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_bs",
+      "gmvs.ns.bs", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_bs")
+    assert(defSql.contains("count(v) AS cnt_v"))
+    ManifestTable.delete(Seq(2L).toDF("k"), baseDir, "k")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_bs")
+    val served = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    val aRow = served.collect().head
+    assert(aRow.getString(0) == "a" && aRow.getLong(1) == 1L &&
+      aRow.isNullAt(2) && aRow.getLong(3) == 0L,
+      s"the surviving all-NULL group must fold its bare sum to NULL: $aRow")
+    val expect = ManifestTable.read(spark, baseDir).groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"),
+        count($"v").as("cnt_v"))
+    assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty,
+      "the bare-sum fold must equal the from-base recompute on the " +
+        "delete-last-non-null edge")
+    GraftMaterializedViews.drop("mv_bs")
+  }
+
   test("registerJoinAgg: star MV refreshes from BOTH feeds via the delta-join identity") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.jf (k BIGINT, jk BIGINT, v BIGINT)")
@@ -394,8 +425,8 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.refreshIncremental(spark, "mv_t9")
     val h0 = GraftMaterializedViews.hits("mv_t9")
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 1L, 10L), ("b", 2L, 25L)))
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 1L), ("b", 2L, 25L, 2L)))
     assert(GraftMaterializedViews.hits("mv_t9") == h0 + 1,
       "the view must be FRESH after a maintenance-only refresh")
     GraftMaterializedViews.drop("mv_t9")
@@ -467,9 +498,22 @@ class MaterializedViewSpec extends SparkSpec {
     assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
       "a deterministic expression over view group keys must roll up")
     assert(qe.queryExecution.executedPlan.toString.contains("_mv_ru"))
-    // fail-closed battery: shapes the stored partials cannot reproduce
-    spark.sql("SELECT g1, count(v) AS n FROM gmvs.ns.ru GROUP BY g1").collect()
-    spark.sql("SELECT g1, avg(v) AS a FROM gmvs.ns.ru GROUP BY g1").collect()
+    // count(col) and integral avg(col) serve from the cnt partials (r16):
+    // count(v) = sum of per-group non-null counts, avg(v) = exact
+    // sum-of-sums / sum-of-counts — the same double division Spark's
+    // Average performs on integral input
+    val qc = spark.sql("SELECT g1, count(v) AS n, avg(v) AS a " +
+      "FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
+    assert(qc.as[(String, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 15.0), ("b", 2L, 4.0)))
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
+      "count(col)/avg(col) must be served from the stored cnt partials")
+    assert(qc.queryExecution.executedPlan.toString.contains("_mv_ru"))
+    // fail-closed battery: shapes the stored partials GENUINELY cannot
+    // reproduce — count/avg of a column with no stored cnt partial,
+    // DISTINCT, FILTER, non-key group expressions, unstored sums
+    spark.sql("SELECT g1, count(k) AS n FROM gmvs.ns.ru GROUP BY g1").collect()
+    spark.sql("SELECT g1, avg(k) AS a FROM gmvs.ns.ru GROUP BY g1").collect()
     spark.sql("SELECT g1, count(DISTINCT g2) AS n FROM gmvs.ns.ru GROUP BY g1")
       .collect()
     spark.sql("SELECT g1, sum(v) FILTER (WHERE v > 5) AS s " +
@@ -479,22 +523,22 @@ class MaterializedViewSpec extends SparkSpec {
     spark.sql("SELECT upper(cast(v AS STRING)) AS u, count(*) AS n " +
       "FROM gmvs.ns.ru GROUP BY upper(cast(v AS STRING))").collect()
     spark.sql("SELECT g1, sum(k) AS s FROM gmvs.ns.ru GROUP BY g1").collect()
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4,
-      "count(col)/avg/DISTINCT/FILTER/non-key-expression-group/" +
-        "unstored-sum must all fail closed to the base")
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
+      "count/avg of an unstored column, DISTINCT, FILTER, non-key-" +
+        "expression-group and unstored-sum must all fail closed to the base")
     // staleness gates rollup exactly like exact-match
     spark.sql("INSERT INTO gmvs.ns.ru VALUES (5,'a','z',100)")
     val q4 = spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru " +
       "GROUP BY g1 ORDER BY g1")
     assert(q4.as[(String, Long)].collect().toSeq ==
       Seq(("a", 130L), ("b", 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 4)
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5)
     GraftMaterializedViews.refreshIncremental(spark, "mv_ru")
     val q5 = spark.sql("SELECT g1, min(v) AS mn, sum(v) AS sv " +
       "FROM gmvs.ns.ru GROUP BY g1 ORDER BY g1")
     assert(q5.as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 10L, 130L), ("b", 3L, 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6,
       "refresh must re-arm the rollup path")
     // group-key FILTER containment: a WHERE on view group keys filters
     // the MV's rows (keys are constant within a group) — the base is
@@ -503,18 +547,18 @@ class MaterializedViewSpec extends SparkSpec {
       "WHERE g2 = 'x' GROUP BY g1 ORDER BY g1")
     assert(qf.as[(String, Long)].collect().toSeq ==
       Seq(("a", 10L), ("b", 8L)))
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 6,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 7,
       "a group-key WHERE must transfer to the MV rows")
     assert(qf.queryExecution.executedPlan.toString.contains("_mv_ru"))
     // the filtered GLOBAL aggregate (coarsest lattice point + predicate)
     val qg = spark.sql("SELECT count(*) AS n FROM gmvs.ns.ru " +
       "WHERE g2 IN ('x', 'z')")
     assert(qg.as[Long].head() == 4L)
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 7)
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 8)
     // a predicate on a NON-key column cannot transfer: fail closed
     spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru WHERE v > 4 " +
       "GROUP BY g1").collect()
-    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 7,
+    assert(GraftMaterializedViews.hits("mv_ru") == h0 + 8,
       "non-group-key predicates must fail closed to the base")
     GraftMaterializedViews.drop("mv_ru")
 
@@ -548,8 +592,8 @@ class MaterializedViewSpec extends SparkSpec {
       "CALL gmvs.system.create_agg_mv('persmv', 'ns.t6', 'grp', 'v')")
       .head.getString(0)
     assert(spark.sql(defSql + " ORDER BY grp")
-      .as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 15L, 2L), ("b", 1L, 20L, 1L)))
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/_mv"))
       .anyMatch(p => p.getFileName.toString.startsWith("persmv.g")),
       "the registration must land in the warehouse _mv/ sidecar")
@@ -563,8 +607,9 @@ class MaterializedViewSpec extends SparkSpec {
     s2.sql("SHOW TABLES IN gmvs.ns").collect() // initialize → loadFrom
     val h0 = GraftMaterializedViews.hits("persmv")
     val q = s2.sql(defSql + " ORDER BY grp")
-    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq == Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq == Seq(("a", 2L, 15L, 2L), ("b", 1L, 20L, 1L)))
     assert(GraftMaterializedViews.hits("persmv") == h0 + 1,
       "the reloaded view must serve the rewrite in the new session")
     assert(q.queryExecution.executedPlan.toString.contains("_mv_persmv"),
@@ -816,9 +861,9 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.refreshIncremental(spark, "rstmv")
     val h0 = GraftMaterializedViews.hits("rstmv")
     val q = spark.sql(defSql + " ORDER BY g1, g2")
-    assert(q.as[(String, String, Long, Long)].collect().toSeq ==
-      Seq(("a", "x", 1L, 10L), ("a", "y", 1L, 20L),
-        ("b", "x", 1L, 5L), ("b", "y", 1L, 7L)))
+    assert(q.as[(String, String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", "x", 1L, 10L, 1L), ("a", "y", 1L, 20L, 1L),
+        ("b", "x", 1L, 5L, 1L), ("b", "y", 1L, 7L, 1L)))
     assert(GraftMaterializedViews.hits("rstmv") == h0 + 1,
       "the exact query must serve after restart → refresh-first")
     assert(q.queryExecution.executedPlan.toString.contains("_mv_rstmv"))
@@ -925,7 +970,8 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.refreshIncremental(spark, "mv_t12")
     val served = spark.sql(defSql)
     val expect = ManifestTable.read(spark, baseDir).groupBy($"grp")
-      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"),
+        count($"v").as("cnt_v"))
     assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty,
       "the catch-up fold must equal the from-base recompute")
     GraftMaterializedViews.drop("mv_t12")
@@ -972,8 +1018,8 @@ class MaterializedViewSpec extends SparkSpec {
       // must stay FRESH and keep serving (it equals the main answer)
       spark.sql("INSERT INTO gmvs.ns.t14 VALUES (3,'a',5)")
       val q = spark.sql(defSql + " ORDER BY grp")
-      assert(q.as[(String, Long, Long)].collect().toSeq ==
-        Seq(("a", 1L, 10L), ("b", 1L, 20L)),
+      assert(q.as[(String, Long, Long, Long)].collect().toSeq ==
+        Seq(("a", 1L, 10L, 1L), ("b", 1L, 20L, 1L)),
         "staged rows must not leak into the main-serving MV answer")
       assert(GraftMaterializedViews.hits("mv_t14") == h0 + 1,
         "WAP staging must not flip the MV stale (main is unchanged)")
@@ -981,8 +1027,8 @@ class MaterializedViewSpec extends SparkSpec {
     // publish: main advances → the MV is stale → fail closed
     ManifestTable.fastForward(baseDir, "audit"): Unit
     val q2 = spark.sql(defSql + " ORDER BY grp")
-    assert(q2.as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 2L, 15L), ("b", 1L, 20L)),
+    assert(q2.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 15L, 2L), ("b", 1L, 20L, 1L)),
       "after publish the base answer must win")
     assert(GraftMaterializedViews.hits("mv_t14") == h0 + 1,
       "a stale MV must never serve after fast_forward")
@@ -1017,12 +1063,12 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.loadFrom(s"$wh/_mv")
     GraftMaterializedViews.loadFrom(s"$wh2/_mv")
     val h0 = GraftMaterializedViews.hits("dupmv")
-    assert(spark.sql(sql1).as[(String, Long, Long)].collect().toSeq ==
-      Seq(("a", 1L, 10L)))
+    assert(spark.sql(sql1).as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 1L)))
     assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
       "the first-loaded registration must serve")
-    assert(spark.sql(sql2).as[(String, Long, Long)].collect().toSeq ==
-      Seq(("z", 1L, 99L)),
+    assert(spark.sql(sql2).as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("z", 1L, 99L, 1L)),
       "the losing registration's query must still answer correctly from base")
     assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
       "the losing registration must fail closed, never serve the wrong MV")
