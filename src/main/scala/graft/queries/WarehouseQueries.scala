@@ -2562,6 +2562,104 @@ object WarehouseQueries {
     q.orderBy($"pri")
   }
 
+  // q428: COUNT(col)/AVG(col) THROUGH THE CONTAINMENT REWRITE (r16) —
+  // the two most-asked dashboard aggregates after count(*)/sum, served
+  // from the cnt_<c> partials every sum column now stores: count(col)
+  // re-aggregates as the sum of per-group NON-NULL counts, and integral
+  // avg(col) as sum(sum partials) / sum(cnt partials) — the exact double
+  // division Spark's own Average performs on integral input (exact
+  // below 2^53), so the served number is bit-identical to the from-base
+  // answer, never approximately equal. The NULL discipline is visible
+  // in the data (every 7th cents is NULL, so count(cents) < count(*)
+  // per group and avg divides by the smaller number). Fail-closed pins
+  // cover what the partials genuinely cannot reproduce: avg of a
+  // stored DOUBLE sum column (float partial sums are order-dependent —
+  // the integral-only type rule) and count of an unstored column. A
+  // GDPR delete + one incremental fold re-arms the same lattice.
+  // Require-pinned: coarse AND global grains serve (hit counter + MV
+  // scan in the executed plan); the oracle recomputes count/avg from
+  // the raw rows. At 100 TB: the average-order-value dashboard reads
+  // |groups| rows instead of the fact — for the price of one long
+  // column per sum column in an O(|groups|) table.
+  def mvCountAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q428_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat428", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat428.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") % 8).as("bucket"),
+        when($"o_orderkey".cast("long") % 7 === 0, lit(null).cast("bigint"))
+          .otherwise($"o_orderkey".cast("long") * 2).as("cents"),
+        (($"o_orderkey".cast("long") % 100) * 0.5).as("dbl"))
+      .createOrReplaceTempView("q428_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat428.db.base")
+    s.sql("CREATE TABLE graft_cat428.db.base " +
+      "(k BIGINT, pri STRING, bucket BIGINT, cents BIGINT, dbl DOUBLE)")
+    s.sql("INSERT INTO graft_cat428.db.base " +
+      "SELECT k, pri, bucket, cents, dbl FROM q428_src")
+    val baseDir = s"$out/db/base"
+    GraftMaterializedViews.registerAgg(s, "q428_mv",
+      "graft_cat428.db.base", baseDir, Seq("pri", "bucket"),
+      Seq("cents", "dbl"), s"$out/db/_mv_ca")
+    val h0 = GraftMaterializedViews.hits("q428_mv")
+    val roll = "SELECT pri, count(*) AS n_rows, count(cents) AS cnt_cents, " +
+      "sum(cents) AS sum_cents, avg(cents) AS avg_cents " +
+      "FROM graft_cat428.db.base GROUP BY pri ORDER BY pri"
+    val q1 = s.sql(roll)
+    val rows1 = q1.collect()
+    require(GraftMaterializedViews.hits("q428_mv") == h0 + 1,
+      "q428: the coarse count(col)/avg(col) dashboard must be MV-served")
+    require(q1.queryExecution.executedPlan.toString.contains("_mv_ca"),
+      "q428: the rolled count/avg plan must scan the MV, not the base")
+    require(rows1.forall(r => r.getLong(1) > r.getLong(2)),
+      "q428: the NULL-laden column must show count(cents) < count(*) — " +
+        "otherwise avg is not exercising the non-null divisor")
+    // the GLOBAL grain (coarsest lattice point) serves the same way
+    val qg = s.sql("SELECT count(cents) AS c, avg(cents) AS a " +
+      "FROM graft_cat428.db.base")
+    qg.collect(): Unit
+    require(GraftMaterializedViews.hits("q428_mv") == h0 + 2,
+      "q428: the global count(col)/avg(col) must be MV-served")
+    require(qg.queryExecution.executedPlan.toString.contains("_mv_ca"),
+      "q428: the global plan must scan the MV")
+    // fail-closed: avg of the stored DOUBLE column — sum AND cnt
+    // partials exist, but float partial sums are order-dependent, so
+    // the integral-only rule refuses (approximately-equal is a changed
+    // answer)
+    s.sql("SELECT pri, avg(dbl) AS a FROM graft_cat428.db.base " +
+      "GROUP BY pri").collect(): Unit
+    // fail-closed: count/avg of a column with no stored partial
+    s.sql("SELECT pri, count(k) AS n FROM graft_cat428.db.base " +
+      "GROUP BY pri").collect(): Unit
+    s.sql("SELECT pri, avg(k) AS a FROM graft_cat428.db.base " +
+      "GROUP BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q428_mv") == h0 + 2,
+      "q428: DOUBLE avg and unstored count/avg must fail closed to the base")
+    // GDPR delete, then ONE incremental fold re-arms the whole lattice
+    ManifestTable.delete(s.sql("SELECT k FROM q428_src WHERE k % 10 = 4"),
+      baseDir, "k")
+    s.sql(roll).collect(): Unit
+    require(GraftMaterializedViews.hits("q428_mv") == h0 + 2,
+      "q428: the stale view must not serve")
+    GraftMaterializedViews.refreshIncremental(s, "q428_mv")
+    val q2 = s.sql(roll)
+    q2.collect(): Unit
+    require(GraftMaterializedViews.hits("q428_mv") == h0 + 3,
+      "q428: the refreshed view must serve the count/avg lattice again")
+    require(q2.queryExecution.executedPlan.toString.contains("_mv_ca"),
+      "q428: the post-refresh plan must scan the MV")
+    GraftMaterializedViews.drop("q428_mv")
+    q2.orderBy($"pri")
+  }
+
   // q427: CONTINUOUS SNOWFLAKE MAINTENANCE — the q422 always-on
   // maintainer composed with the r15 k-table shape: the profit
   // dashboard (fact ⋈ dim ⋈ dim, grouped) follows the FACT STREAM while
@@ -4959,6 +5057,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q428_mv_count_avg" -> mvCountAvg _,
     "q427_stream_snowflake" -> streamSnowflakeMv _,
     "q426_mv_daily_uniques" -> mvDailyUniques _,
     "q425_mv_distinct" -> mvDistinct _,
@@ -5067,6 +5166,22 @@ object WarehouseQueries {
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
         |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q428: the oracle recomputes count(*)/count(cents)/sum/avg per
+    // priority from the raw rows after the GDPR delete — a rollup that
+    // divided by count(*) instead of the non-null count, summed the
+    // wrong partial, or served a stale fold moves the hash (avg is a
+    // bit-exact double: exact integer sum / exact count)
+    "q428_mv_count_avg" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |b AS (SELECT pri,
+        |    CASE WHEN k % 7 = 0 THEN NULL ELSE k * 2 END AS cents
+        |  FROM src WHERE k % 10 <> 4)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(cents) AS BIGINT) AS cnt_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  avg(cents) AS avg_cents
+        |FROM b GROUP BY pri ORDER BY pri""".stripMargin,
     // q427: the oracle recomputes the FINAL 3-way join over all three
     // ingest slices + both dim re-homes — a trigger that lost its dim
     // delta (or folded it twice) lands rows in the wrong region/cat
