@@ -615,9 +615,16 @@ object GraftMaterializedViews {
     * each carrying exactly one signed delta — the k-way history join
     * `J_0` is never re-executed, an unchanged side contributes no leg,
     * and a single-changed-side refresh reads exactly k−1 snapshots (its
-    * leg's probe sides; [[refreshSnapshotReads]] pins the bound). This
-    * is the standard sequential IVM fold — k legs instead of the
-    * 2ᵏ−1-term inclusion–exclusion expansion. */
+    * leg's probe sides; [[refreshSnapshotReads]] pins the bound, and
+    * pins ≤ 2k−2 distinct reads when ALL sides changed — snapshots are
+    * memoized per (side, version) across legs). Each leg is built
+    * DELTA-FIRST (ADVICE r15): Δᵢ is a side of the leg's first join and
+    * the accumulation of every later one, so the probe snapshots are
+    * only ever joined against a delta-bounded row set — the executed
+    * join cost is O(Σᵢ |Δᵢ| ⋈ probes), not a re-execution of the
+    * history join under a different name. This is the standard
+    * sequential IVM fold — k legs instead of the 2ᵏ−1-term
+    * inclusion–exclusion expansion. */
   private def refreshIncrementalSnowflake(spark: SparkSession, v: MvDef,
                                           sh: SnowflakeShape): Unit = {
     import org.apache.spark.sql.functions._
@@ -636,19 +643,59 @@ object GraftMaterializedViews {
         if (ManifestTable.isMaintenanceOnlyFeed(f)) None
         else Some(f.withColumn("_sign", sign).drop("_change_type"))
       }
-    def snap(i: Int, ver: Int): org.apache.spark.sql.DataFrame = {
-      refreshSnapshotReads.incrementAndGet(): Unit
-      ManifestTable.read(spark, sh.sideDirs(i), ver)
-    }
+    // snapshots MEMOIZED per (side, version): across all k legs each
+    // distinct pair is manifest-planned once — an all-k-sides-changed
+    // refresh issues at most 2k−2 distinct snapshot reads (side j at
+    // its new head for legs i > j, at its recorded version for legs
+    // i < j; the endpoints appear once each), never O(k²)
+    val snapCache = mutable.HashMap.empty[(Int, Int), org.apache.spark.sql.DataFrame]
+    def snap(i: Int, ver: Int): org.apache.spark.sql.DataFrame =
+      snapCache.getOrElseUpdate((i, ver), {
+        refreshSnapshotReads.incrementAndGet(): Unit
+        ManifestTable.read(spark, sh.sideDirs(i), ver)
+      })
+    // leg i probes side j at its NEW head when j < i, RECORDED when j > i
+    // (the telescoping identity's N₁…N_{i-1} ⋈ Δᵢ ⋈ O_{i+1}…O_k)
+    def probe(i: Int, j: Int): org.apache.spark.sql.DataFrame =
+      snap(j, if (j < i) heads(j) else rec(j))
     val parts = mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     for (i <- 0 until k; d <- sideDelta(i)) {
-      var acc = if (i == 0) d else snap(0, heads(0))
-      for (j <- 1 until k) {
-        val right =
-          if (j < i) snap(j, heads(j))
-          else if (j == i) d
-          else snap(j, rec(j))
-        acc = acc.join(right, Seq(sh.joinKeys(j - 1)))
+      // DELTA-LEADING leg order (ADVICE r15): start from Δᵢ and join
+      // OUTWARD along the chain's join tree, so the delta-bounded
+      // accumulation is a side of EVERY join in the leg — Spark does
+      // not reorder inner joins without CBO, so the old fact-first left
+      // fold re-executed a (k−1)-way history join in full on a dim-only
+      // change. The tree: `USING (k_m)` in the left fold binds side m+1
+      // to the FIRST earlier side carrying column k_m (USING coalesces,
+      // so later references resolve to that carrier) — one edge per
+      // key, reconstructed here by name. Re-ordering inner equi-joins
+      // along tree edges, applying each edge's key exactly where both
+      // endpoints meet, reproduces the left fold's multiset for star,
+      // chain, and mixed topologies.
+      def legCols(j: Int): Set[String] =
+        if (j == i) d.columns.toSet else probe(i, j).columns.toSet
+      val edges = (1 until k).map { s =>
+        val kk = sh.joinKeys(s - 1)
+        val owner = (0 until s).find(j => legCols(j).contains(kk))
+          .getOrElse(sys.error(
+            s"refreshIncrementalSnowflake('${v.name}'): join key '$kk' " +
+              s"for side $s is not carried by any earlier side"))
+        (owner, s, kk)
+      }
+      var acc = d
+      val included = mutable.Set(i)
+      while (included.size < k) {
+        val next = (0 until k).find(j => !included.contains(j) &&
+          edges.exists { case (a, b, _) =>
+            (a == j && included.contains(b)) ||
+              (b == j && included.contains(a)) }).getOrElse(sys.error(
+          s"refreshIncrementalSnowflake('${v.name}'): the join tree is " +
+            s"disconnected from side $i — cannot order the delta leg"))
+        val using = edges.collect { case (a, b, kk)
+          if (a == next && included.contains(b)) ||
+            (b == next && included.contains(a)) => kk }.distinct
+        acc = acc.join(probe(i, next), using)
+        included += next: Unit
       }
       parts += acc.select(sh.groupCols.map(col) ++ sh.sumCols.map(col) :+
         col("_sign"): _*): Unit

@@ -701,7 +701,14 @@ class MaterializedViewSpec extends SparkSpec {
     val q2 = spark.sql(defSql + " ORDER BY reg, cat").localCheckpoint()
     assert(GraftMaterializedViews.hits("mv_snow") == h0 + 1,
       "the stale snowflake MV must not serve")
+    // ALL-changed discipline: per-(side, version) snapshots memoize
+    // across legs, so the 3-leg refresh reads at most 2k−2 = 4 distinct
+    // snapshots (fact@head, d1@head, d1@rec, d2@rec), never O(k²)
+    val rAll = GraftMaterializedViews.refreshSnapshotReads.get()
     GraftMaterializedViews.refreshIncremental(spark, "mv_snow")
+    assert(GraftMaterializedViews.refreshSnapshotReads.get() <= rAll + 4,
+      "an all-k-sides-changed refresh must read at most 2k-2 distinct " +
+        "snapshots (memoized across legs)")
     val q3 = spark.sql(defSql + " ORDER BY reg, cat")
     assert(GraftMaterializedViews.hits("mv_snow") == h0 + 2)
     assert(q3.as[(String, String, Long, Long)].collect().toSeq ==
