@@ -2660,6 +2660,100 @@ object WarehouseQueries {
     q2.orderBy($"pri")
   }
 
+  // q429: FILTERED (HOT-WINDOW) MV (r16) — the standard production
+  // dashboard view the registry could not declare before: "last 90 days
+  // of events by (day, type)". `create_filtered_mv` stores the predicate
+  // in the definition; the refresh applies it to every feed delta
+  // (inserts and deletes filter identically, so the signed fold identity
+  // is unchanged on the filtered multiset — an out-of-window delete is
+  // the no-op it should be), and the unpeeled-child containment match
+  // serves every query that repeats the view's WHERE at any contained
+  // grain, including time-hierarchy grains. Require-pinned: out-of-window
+  // rows provably absent from the materialization (min stored day ≥ the
+  // cutoff); the etype dashboard and the month rollup with the same
+  // WHERE serve (hits + MV-scan plans); the UNFILTERED query fails
+  // closed; one refresh folds an ingest window + a GDPR purge straddling
+  // the cutoff. Oracle recomputes the windowed dashboard from raw rows.
+  // At 100 TB: the hot-window MV is O(|window groups|) — the dominant
+  // dashboard pattern stops re-scanning the fact's cold history just to
+  // throw it away at the filter.
+  def mvFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q429_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat429", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat429.warehouse", out)
+    val src = Tables(s, dir).events
+      .select($"event_id".cast("long").as("k"), $"ts".cast("date").as("day"),
+        $"event_type".as("etype"),
+        ($"event_id" % 997).cast("long").as("cents"))
+      .localCheckpoint()
+    src.createOrReplaceTempView("q429_src")
+    // the window cutoff derives from the DATA (max day − 90), so the
+    // face holds at every scale factor
+    val cutoff = src.agg(max($"day")).head.getDate(0).toLocalDate.minusDays(90)
+    s.sql("DROP TABLE IF EXISTS graft_cat429.db.ev")
+    s.sql("CREATE TABLE graft_cat429.db.ev " +
+      "(k BIGINT, day DATE, etype STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat429.db.ev " +
+      "SELECT k, day, etype, cents FROM q429_src WHERE k % 10 < 8")
+    val whereSql = s"day >= DATE'$cutoff'"
+    val defSql = s.sql("CALL graft_cat429.system.create_filtered_mv(" +
+      s"'q429_mv', 'db.ev', 'day,etype', 'cents', " +
+      s"'${whereSql.replace("'", "''")}')").head.getString(0)
+    require(defSql.contains(s"WHERE $whereSql"),
+      "q429: the predicate must be part of the stored definition")
+    val h0 = GraftMaterializedViews.hits("q429_mv")
+    s.sql(defSql).collect(): Unit
+    require(GraftMaterializedViews.hits("q429_mv") == h0 + 1,
+      "q429: the exact filtered definition must serve from the MV")
+    // out-of-window rows are provably absent from the materialization
+    val minDay = ManifestTable.read(s, s"$out/db/ev/_mv_q429_mv")
+      .agg(min($"day")).head.getDate(0).toLocalDate
+    require(!minDay.isBefore(cutoff),
+      s"q429: the MV holds a day before the cutoff ($minDay < $cutoff)")
+    // one window of churn straddling the cutoff: fresh ingest + GDPR
+    // purge, then ONE incremental fold
+    ManifestTable.commit(src.where($"k" % 10 === 8)
+      .select($"k", $"day", $"etype", $"cents"), s"$out/db/ev",
+      append = true): Unit
+    ManifestTable.delete(src.where($"k" % 10 === 4).select($"k"),
+      s"$out/db/ev", "k")
+    s.sql("CALL graft_cat429.system.refresh_mv_incremental('q429_mv')")
+      .collect(): Unit
+    // the hot-window dashboard: same WHERE, coarser (etype) grain —
+    // served through the unpeeled-child containment
+    val dash = s"SELECT etype, count(*) AS n_rows, sum(cents) AS sum_cents " +
+      s"FROM graft_cat429.db.ev WHERE $whereSql GROUP BY etype ORDER BY etype"
+    val q = s.sql(dash)
+    q.collect(): Unit
+    require(GraftMaterializedViews.hits("q429_mv") == h0 + 2,
+      "q429: the windowed dashboard must be MV-served after the fold")
+    require(q.queryExecution.executedPlan.toString.contains("_mv_q429_mv"),
+      "q429: the dashboard plan must scan the MV, not the base")
+    // time-hierarchy composes with the window: month grain, same WHERE
+    val qm = s.sql("SELECT trunc(day, 'MM') AS mon, count(*) AS n " +
+      s"FROM graft_cat429.db.ev WHERE $whereSql GROUP BY trunc(day, 'MM')")
+    qm.collect(): Unit
+    require(GraftMaterializedViews.hits("q429_mv") == h0 + 3,
+      "q429: the month grain with the view's WHERE must serve")
+    require(qm.queryExecution.executedPlan.toString.contains("_mv_q429_mv"),
+      "q429: the month plan must scan the MV")
+    // the UNFILTERED dashboard sees rows the view never stored
+    s.sql("SELECT etype, count(*) AS n FROM graft_cat429.db.ev " +
+      "GROUP BY etype").collect(): Unit
+    require(GraftMaterializedViews.hits("q429_mv") == h0 + 3,
+      "q429: the unfiltered query must fail closed to the base")
+    GraftMaterializedViews.drop("q429_mv")
+    q.orderBy($"etype")
+  }
+
   // q427: CONTINUOUS SNOWFLAKE MAINTENANCE — the q422 always-on
   // maintainer composed with the r15 k-table shape: the profit
   // dashboard (fact ⋈ dim ⋈ dim, grouped) follows the FACT STREAM while
@@ -5057,6 +5151,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q429_mv_filtered" -> mvFiltered _,
     "q428_mv_count_avg" -> mvCountAvg _,
     "q427_stream_snowflake" -> streamSnowflakeMv _,
     "q426_mv_daily_uniques" -> mvDailyUniques _,
@@ -5166,6 +5261,20 @@ object WarehouseQueries {
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
         |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q429: the oracle recomputes the hot-window dashboard from the raw
+    // rows — final base (initial + ingest − purge) filtered to the same
+    // max(day) − 90 cutoff the face derived; a fold that leaked an
+    // out-of-window row in (or dropped an in-window delete) moves the
+    // hash
+    "q429_mv_filtered" ->
+      """WITH src AS (SELECT CAST(event_id AS BIGINT) AS k,
+        |    CAST(ts AS DATE) AS day, event_type AS etype,
+        |    CAST(event_id % 997 AS BIGINT) AS cents FROM events),
+        |f AS (SELECT * FROM src WHERE k % 10 <= 8 AND k % 10 <> 4)
+        |SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f WHERE day >= (SELECT max(day) FROM src) - 90
+        |GROUP BY etype ORDER BY etype""".stripMargin,
     // q428: the oracle recomputes count(*)/count(cents)/sum/avg per
     // priority from the raw rows after the GDPR delete — a rollup that
     // divided by count(*) instead of the non-null count, summed the

@@ -97,7 +97,8 @@ object GraftMaterializedViews {
                             minCols: Seq[String] = Nil,
                             maxCols: Seq[String] = Nil,
                             avgCols: Seq[String] = Nil,
-                            distinctCols: Seq[String] = Nil)
+                            distinctCols: Seq[String] = Nil,
+                            where: Option[String] = None)
 
   /** The two-table star shape: fact ⋈ dim on one key, grouped +
     * count/sums — maintained from BOTH bases' change feeds via the
@@ -306,8 +307,25 @@ object GraftMaterializedViews {
                   minCols: Seq[String] = Nil,
                   maxCols: Seq[String] = Nil,
                   avgCols: Seq[String] = Nil,
-                  distinctCols: Seq[String] = Nil): String = {
+                  distinctCols: Seq[String] = Nil,
+                  where: Option[String] = None): String = {
     require(groupCols.nonEmpty, "registerAgg: no group columns")
+    // a FILTERED view (r16): `where` scopes the view to a slice of the
+    // base — the hot-window dashboard MV ("last 90 days by (day, type)")
+    // that would otherwise re-scan or hand-maintain. The predicate must
+    // be DETERMINISTIC over base columns: the refresh applies it to
+    // every feed delta, and insert and delete events filter identically,
+    // so the signed fold identity is unchanged on the filtered multiset.
+    // (A non-deterministic predicate would classify an insert and its
+    // later delete differently — refuse up front.)
+    where.foreach { w =>
+      val probe = suppressRewrite(
+        spark.sql(s"SELECT * FROM $baseSql WHERE $w").queryExecution.analyzed)
+      val det = probe.collectFirst { case Filter(c, _) => c.deterministic }
+      require(det.getOrElse(false),
+        s"registerAgg('$name'): the where predicate must be a " +
+          s"deterministic filter over base columns, got: $w")
+    }
     require(avgCols.forall(sumCols.contains),
       "registerAgg: every avg column must also be a sum column — avg is " +
         "DERIVED (sum/count are the partials an incremental refresh folds; " +
@@ -345,11 +363,12 @@ object GraftMaterializedViews {
       avgCols.map(c => s", avg($c) AS avg_$c").mkString +
       sumCols.map(c => s", count($c) AS cnt_$c").mkString +
       distinctCols.map(c => s", hll_sketch_agg($c) AS hll_$c").mkString +
-      s" FROM $baseSql GROUP BY ${groupCols.mkString(", ")}"
+      s" FROM $baseSql" + where.map(w => s" WHERE $w").getOrElse("") +
+      s" GROUP BY ${groupCols.mkString(", ")}"
     val nd = materialize(spark, name, defSql, mvDir, Seq(baseDir), persistDir)
     install(nd.copy(aggShape =
       Some(AggShape(baseDir, groupCols, sumCols, minCols, maxCols, avgCols,
-        distinctCols))))
+        distinctCols, where))))
     defSql
   }
 
@@ -461,8 +480,8 @@ object GraftMaterializedViews {
     val (dir, recorded) = v.deps.head
     val head = ManifestTable.currentVersion(dir)
     if (head == recorded) return
-    val feed = ManifestTable.changeFeed(spark, dir, recorded, head)
-    if (ManifestTable.isMaintenanceOnlyFeed(feed)) {
+    val feed0 = ManifestTable.changeFeed(spark, dir, recorded, head)
+    if (ManifestTable.isMaintenanceOnlyFeed(feed0)) {
       // an all-REWRITE range (compaction/binpack/rewrite_deletes only)
       // contributes zero events — content is bit-identical, so just
       // advance the recorded version (found by the r14 random-walk soak:
@@ -480,6 +499,12 @@ object GraftMaterializedViews {
       install(v.copy(deps = Seq(dir -> head)))
       return
     }
+    // a FILTERED view folds only its slice: the predicate applies to
+    // every feed event — inserts and deletes filter identically, so the
+    // signed fold identity is unchanged on the filtered multiset, and
+    // an out-of-window delete is the no-op it should be (its row never
+    // entered the view)
+    val feed = sh.where.map(w => feed0.filter(expr(w))).getOrElse(feed0)
     // a distinct-declared view reads the feed twice (the delete-presence
     // gate below, then the delta fold or touched-set) — persist the
     // O(|delta|) feed once per refresh instead of re-planning the
@@ -523,7 +548,8 @@ object GraftMaterializedViews {
       // an unconditional hint would OOM the driver on a
       // maxVersionsPerTrigger catch-up feed — VERDICT r14 watch item)
       val touched = feed.select(sh.groupCols.map(col): _*).distinct()
-      val base = ManifestTable.read(spark, dir)
+      val base0 = ManifestTable.read(spark, dir)
+      val base = sh.where.map(w => base0.filter(expr(w))).getOrElse(base0)
       val recomputed = base
         .join(touched, sh.groupCols, "left_semi")
         .groupBy(sh.groupCols.map(col): _*)
@@ -893,6 +919,7 @@ object GraftMaterializedViews {
         b += s"agg.avgCols=${sh.avgCols.map(enc).mkString(",")}"
       if (sh.distinctCols.nonEmpty)
         b += s"agg.distinctCols=${sh.distinctCols.map(enc).mkString(",")}"
+      sh.where.foreach(w => b += s"agg.where=${enc(w)}")
     }
     d.joinShape.foreach { sh =>
       b += s"join.factDir=${enc(sh.factDir)}"
@@ -927,7 +954,8 @@ object GraftMaterializedViews {
         opt("agg.minCols").map(cols).getOrElse(Nil),
         opt("agg.maxCols").map(cols).getOrElse(Nil),
         opt("agg.avgCols").map(cols).getOrElse(Nil),
-        opt("agg.distinctCols").map(cols).getOrElse(Nil)))
+        opt("agg.distinctCols").map(cols).getOrElse(Nil),
+        opt("agg.where").map(dec)))
     val join = opt("join.factDir").map(fd =>
       JoinShape(dec(fd), dec(one("join.dimDir")), dec(one("join.joinKey")),
         cols(one("join.groupCols")), cols(one("join.sumCols"))))
@@ -1163,11 +1191,18 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // columns fail closed.
     val gExprs = a.groupingExpressions
     if (!gExprs.forall(_.deterministic)) return None
-    // peel one deterministic Filter between the aggregate and the base
-    val (cond, aggChild) = a.child match {
-      case Filter(c, ch) if c.deterministic => (Some(c), ch)
-      case ch => (None, ch)
-    }
+    // candidate (predicate-to-transfer, child) shapes, UNPEELED first:
+    // a FILTERED view's child fingerprint INCLUDES its Filter, so a
+    // query repeating the view's WHERE (at any contained grain) matches
+    // the unpeeled child with nothing to transfer; the peeled shape then
+    // covers the unfiltered view + group-key-WHERE transfer. A query
+    // WHERE that only EXTENDS a filtered view's predicate fails closed
+    // (neither fingerprint matches).
+    val shapes = (Option.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+        a.child) +: (a.child match {
+      case Filter(c, ch) if c.deterministic => Seq((Some(c), ch))
+      case _ => Nil
+    })
     // translate each output expression against a view's stored partials:
     // Left(i) for (a semantic copy of) the i-th grouping expression,
     // Right(re-aggregate) for a rollup-able aggregate; None anywhere →
@@ -1240,13 +1275,17 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // armed view must be rejected BEFORE the O(subtree) child
     // serialization below (the exact-match path's (width, root)
     // discipline, on the rollup path)
-    val byName = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
+    val byName0 = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
       .filter { case (_, ri) =>
         gExprs.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
-          cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
           a.aggregateExpressions.forall(e => translate(ri, e).isDefined)
       }
-    if (byName.isEmpty) return None
+    if (byName0.isEmpty) return None
+    shapes.iterator.flatMap { case (cond, aggChild) =>
+    val byName = byName0.filter { case (_, ri) =>
+      cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) }
+    if (byName.isEmpty) Iterator.empty
+    else {
     val childFp = fingerprint(aggChild)
     byName.iterator.flatMap { case (v, ri) =>
       if (ri.childFp != childFp) None
@@ -1293,6 +1332,8 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(n, o.name)(exprId = o.exprId) }, ordered))
         }
       }
+    }
+    }
     }.nextOption()
   }
 }

@@ -306,6 +306,26 @@ private[v2] object GraftProcedures {
             persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
+      case "create_filtered_mv" => proc("create_filtered_mv",
+        "register + materialize an incremental aggregate view over a " +
+          "predicate-scoped slice of a table (the hot-window dashboard MV)",
+        Seq(in("name", StringType), in("table", StringType),
+          in("group_cols", StringType), in("sum_cols", StringType),
+          in("where", StringType)),
+        StructType(Seq(StructField("def_sql", StringType, nullable = false))),
+        { args =>
+          val mvName = args.getUTF8String(0).toString
+          val tName = args.getUTF8String(1).toString
+          val dir = tableDir(tName)
+          val defSql = GraftMaterializedViews.registerAgg(
+            SparkSession.active, mvName, s"$catalogName.$tName", dir,
+            args.getUTF8String(2).toString.split(',').map(_.trim).toSeq,
+            args.getUTF8String(3).toString.split(',').map(_.trim).toSeq
+              .filter(_.nonEmpty),
+            s"$dir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"),
+            where = Some(args.getUTF8String(4).toString))
+          Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
+        })
       case "create_minmax_mv" => proc("create_minmax_mv",
         "register + materialize an aggregate view with min/max columns",
         Seq(in("name", StringType), in("table", StringType),
@@ -432,7 +452,8 @@ private[v2] object GraftProcedures {
           "vacuum, zorder, create_branch, fast_forward, cherry_pick, " +
           "drop_branch, rollback, clone, sync_clone, create_tag, drop_tag, " +
           "create_branch_tag, drop_branch_tag, add_partition_field, " +
-          "drop_partition_field, create_agg_mv, create_minmax_mv, " +
+          "drop_partition_field, create_agg_mv, create_filtered_mv, " +
+          "create_minmax_mv, " +
           "create_join_mv, create_snowflake_mv, create_distinct_mv, " +
           "refresh_mv, " +
           "refresh_mv_incremental, " +
@@ -446,8 +467,8 @@ private[v2] object GraftProcedures {
       "drop_branch", "rollback", "clone", "sync_clone",
       "create_tag", "drop_tag", "create_branch_tag", "drop_branch_tag",
       "add_partition_field", "drop_partition_field",
-      "create_agg_mv", "create_minmax_mv", "create_join_mv",
-      "create_snowflake_mv", "create_distinct_mv",
+      "create_agg_mv", "create_filtered_mv", "create_minmax_mv",
+      "create_join_mv", "create_snowflake_mv", "create_distinct_mv",
       "refresh_mv", "refresh_mv_incremental", "list_mvs", "drop_mv")
       .map(Identifier.of(Array("system"), _))
 

@@ -361,6 +361,107 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_bs")
   }
 
+  test("filtered view: WHERE scopes the registration; refresh folds only the slice; containment composes (r16)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.fw (k BIGINT, day BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.fw VALUES " +
+      "(1,3,'a',10),(2,5,'a',20),(3,7,'b',5),(4,9,'b',3),(5,2,'b',50)")
+    val baseDir = s"$wh/ns/fw"
+    // a non-deterministic predicate cannot fold (an insert and its later
+    // delete could classify differently) — refuse at registration
+    intercept[IllegalArgumentException] {
+      GraftMaterializedViews.registerAgg(spark, "mv_fw_bad", "gmvs.ns.fw",
+        baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_fwb",
+        where = Some("rand() < 0.5"))
+    }
+    // the hot-window shape: only day >= 5 enters the view
+    val defSql = GraftMaterializedViews.registerAgg(spark, "mv_fw",
+      "gmvs.ns.fw", baseDir, Seq("grp"), Seq("v"), s"$wh/ns/_mv_fw",
+      where = Some("day >= 5"))
+    assert(defSql.contains("WHERE day >= 5"))
+    val h0 = GraftMaterializedViews.hits("mv_fw")
+    assert(spark.sql(defSql + " ORDER BY grp")
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 20L, 1L), ("b", 2L, 8L, 2L)))
+    assert(GraftMaterializedViews.hits("mv_fw") == h0 + 1,
+      "the exact filtered definition must serve from the MV")
+    // out-of-window rows are provably ABSENT from the materialization
+    val mvRows = ManifestTable.read(spark, s"$wh/ns/_mv_fw")
+    assert(mvRows.agg(sum($"n_rows")).as[Long].head() == 3L,
+      "only in-window rows may enter the MV")
+    // feed fold: in-window insert + out-of-window insert + one delete on
+    // EACH side of the window — the out-of-window delete must be a no-op
+    ManifestTable.commit(Seq((6L, 8L, "a", 7L), (7L, 1L, "a", 999L))
+      .toDF("k", "day", "grp", "v"), baseDir, append = true)
+    ManifestTable.delete(Seq(3L, 5L).toDF("k"), baseDir, "k")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_fw")
+    val served = spark.sql(defSql + " ORDER BY grp").localCheckpoint()
+    assert(GraftMaterializedViews.hits("mv_fw") == h0 + 2)
+    val expect = ManifestTable.read(spark, baseDir).where($"day" >= 5)
+      .groupBy($"grp").agg(count(lit(1)).as("n_rows"),
+        sum($"v").as("sum_v"), count($"v").as("cnt_v"))
+    assert(served.exceptAll(expect).isEmpty && expect.exceptAll(served).isEmpty,
+      "the filtered fold must equal the from-base filtered recompute")
+    // containment over the SAME WHERE: the unpeeled child fingerprint
+    // matches the filtered view, so any contained grain serves
+    val qr = spark.sql("SELECT grp, count(*) AS n FROM gmvs.ns.fw " +
+      "WHERE day >= 5 GROUP BY grp ORDER BY grp")
+    assert(qr.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    assert(GraftMaterializedViews.hits("mv_fw") == h0 + 3,
+      "a contained grain repeating the view's WHERE must serve")
+    assert(qr.queryExecution.executedPlan.toString.contains("_mv_fw"))
+    val qg = spark.sql("SELECT sum(v) AS s FROM gmvs.ns.fw WHERE day >= 5")
+    assert(qg.as[Long].head() == 30L)
+    assert(GraftMaterializedViews.hits("mv_fw") == h0 + 4,
+      "the filtered GLOBAL aggregate must serve")
+    // fail closed: the unfiltered query and an EXTENDED predicate see
+    // rows the view never stored
+    spark.sql("SELECT grp, count(*) AS n FROM gmvs.ns.fw GROUP BY grp")
+      .collect()
+    spark.sql("SELECT grp, count(*) AS n FROM gmvs.ns.fw " +
+      "WHERE day >= 5 AND v > 5 GROUP BY grp").collect()
+    assert(GraftMaterializedViews.hits("mv_fw") == h0 + 4,
+      "unfiltered and extended-predicate queries must fail closed")
+    GraftMaterializedViews.drop("mv_fw")
+
+    // the min/max (touched-group) path recomputes from the FILTERED base
+    spark.sql("CREATE TABLE gmvs.ns.fwm (k BIGINT, day BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.fwm VALUES " +
+      "(1,6,'a',10),(2,7,'a',20),(3,2,'a',999),(4,8,'b',5)")
+    val mmSql = GraftMaterializedViews.registerAgg(spark, "mv_fwm",
+      "gmvs.ns.fwm", s"$wh/ns/fwm", Seq("grp"), Seq("v"), s"$wh/ns/_mv_fwm",
+      minCols = Seq("v"), maxCols = Seq("v"), where = Some("day >= 5"))
+    // delete a's in-window max (k=2): the runner-up must come from the
+    // filtered base — an unfiltered recompute would resurrect the
+    // out-of-window 999 as the new max
+    ManifestTable.delete(Seq(2L).toDF("k"), s"$wh/ns/fwm", "k")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_fwm")
+    assert(spark.sql(mmSql + " ORDER BY grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L, 10L, 10L, 1L), ("b", 1L, 5L, 5L, 5L, 1L)),
+      "the touched-group recompute must scan the FILTERED base — an " +
+        "out-of-window row must never become the new extremum")
+    GraftMaterializedViews.drop("mv_fwm")
+
+    // durable: the predicate round-trips the sidecar and keeps folding
+    spark.sql("CREATE TABLE gmvs.ns.fwd (k BIGINT, day BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.fwd VALUES (1,6,'a',10),(2,2,'a',99)")
+    val dSql = GraftMaterializedViews.registerAgg(spark, "mv_fwd",
+      "gmvs.ns.fwd", s"$wh/ns/fwd", Seq("grp"), Seq("v"), s"$wh/ns/_mv_fwd",
+      persistDir = Some(s"$wh/_mv"), where = Some("day >= 5"))
+    GraftMaterializedViews.forgetInMemory()
+    GraftMaterializedViews.loadFrom(s"$wh/_mv")
+    spark.sql("INSERT INTO gmvs.ns.fwd VALUES (3,7,'a',5),(4,1,'a',77)")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_fwd")
+    val hd = GraftMaterializedViews.hits("mv_fwd")
+    assert(spark.sql(dSql).as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 15L, 2L)),
+      "the reloaded filtered view must fold only the in-window delta")
+    assert(GraftMaterializedViews.hits("mv_fwd") == hd + 1)
+    GraftMaterializedViews.drop("mv_fwd")
+  }
+
   test("registerJoinAgg: star MV refreshes from BOTH feeds via the delta-join identity") {
     wh: Unit
     spark.sql("CREATE TABLE gmvs.ns.jf (k BIGINT, jk BIGINT, v BIGINT)")
