@@ -2932,6 +2932,16 @@ object WarehouseQueries {
           s"q426: estimate $nd vs exact ${exact(k)} for $k ($grain, $tag)") }
     }
     requireAccurate("MM", "initial")
+    // the same dashboard as ONE CALL (r16): graft.system.uniques
+    // re-grains the sketch table; HLL union is register-lossless and
+    // order-independent, so the CALL's numbers EQUAL the hand-written
+    // sketch SQL, not merely approximate it
+    val called = s.sql("CALL graft_cat426.system.uniques('q426_mv', 'MM')")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    require(called == grainEst("MM"),
+      "q426: CALL uniques('q426_mv','MM') must equal the hand-written " +
+        "sketch-table SQL at the same grain")
     // the overcount pin: summing DAILY uniques must STRICTLY exceed the
     // deduped month estimate for every type — the error a naive
     // sum-of-counts rollup bakes into the dashboard

@@ -879,6 +879,11 @@ object GraftMaterializedViews {
     }
   }
 
+  /** Registry lookup for catalog verbs that operate ON a view (e.g.
+    * `CALL graft.system.uniques`) rather than through the rewrite. */
+  private[v2] def lookup(name: String): Option[MvDef] =
+    Option(views.get(name))
+
   /** Test hook: clear the IN-MEMORY registry, simulating a JVM restart.
     * Persisted sidecar state is untouched and re-arms on the next
     * catalog initialization. */

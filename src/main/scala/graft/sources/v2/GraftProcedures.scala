@@ -403,6 +403,64 @@ private[v2] object GraftProcedures {
             s"$firstDir/_mv_$mvName", persistDir = Some(s"$warehouse/_mv"))
           Seq(row(org.apache.spark.unsafe.types.UTF8String.fromString(defSql)))
         })
+      case "uniques" => proc("uniques",
+        "distinct-count dashboard over a distinct-MV's sketch table at " +
+          "any calendar grain — the q426 idiom as one CALL",
+        Seq(in("name", StringType), in("grain", StringType)),
+        StructType(Seq(
+          StructField("bucket", StringType, nullable = true),
+          StructField("groups", StringType, nullable = true),
+          StructField("column", StringType, nullable = false),
+          StructField("uniques", LongType, nullable = false))),
+        { args =>
+          // re-grain the view's FIRST group column (the date grain of a
+          // (day, type, …) sketch view): 'DAY' passes it through, 'WEEK'
+          // / 'MM' / 'QUARTER' / 'YEAR' truncate, 'GLOBAL' collapses it.
+          // The maintained sketch TABLE is the serving surface — HLL
+          // union is register-lossless and order-independent, so the
+          // estimate at any grain is a well-defined number (unlike the
+          // withdrawn estimate-serving rewrite, which depended on merge
+          // structure relative to a direct query). Serves the LAST
+          // MAINTAINED state; freshness is the maintainer's contract
+          // (list_mvs reports it), not this read's.
+          import org.apache.spark.sql.functions._
+          val spark = SparkSession.active
+          val mvName = args.getUTF8String(0).toString
+          val grain = args.getUTF8String(1).toString.trim.toUpperCase
+          val v = GraftMaterializedViews.lookup(mvName).getOrElse(
+            throw new IllegalArgumentException(
+              s"uniques: no registered view '$mvName'"))
+          val sh = v.aggShape.filter(_.distinctCols.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"uniques: view '$mvName' stores no distinct (hll) " +
+                "partials — register it with distinct_cols"))
+          val mv = GraftMaterializedViews.suppressRewrite(
+            ManifestTable.read(spark, v.mvDir))
+          val first = sh.groupCols.head
+          val bucket = grain match {
+            case "GLOBAL"      => lit(null).cast("string")
+            case "DAY" | ""    => col(first).cast("string")
+            case g             => trunc(col(first), g).cast("string")
+          }
+          val rest = sh.groupCols.tail
+          val grp =
+            if (rest.isEmpty) lit(null).cast("string")
+            else concat_ws("|", rest.map(c => col(c).cast("string")): _*)
+          val out = sh.distinctCols.map { c =>
+            mv.groupBy(bucket.as("bucket"), grp.as("groups"))
+              .agg(hll_sketch_estimate(hll_union_agg(col(s"hll_$c")))
+                .as("uniques"))
+              .select(col("bucket"), col("groups"),
+                lit(c).as("column"), col("uniques"))
+          }.reduce(_ unionByName _)
+          out.collect().toSeq.map(r => row(
+            if (r.isNullAt(0)) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            if (r.isNullAt(1)) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2)),
+            r.getLong(3)))
+        })
       case "refresh_mv" => proc("refresh_mv",
         "full re-materialization of a registered view",
         Seq(in("name", StringType)),
@@ -457,7 +515,7 @@ private[v2] object GraftProcedures {
           "create_join_mv, create_snowflake_mv, create_distinct_mv, " +
           "refresh_mv, " +
           "refresh_mv_incremental, " +
-          "list_mvs, drop_mv")
+          "uniques, list_mvs, drop_mv")
     }
   }
 
@@ -469,7 +527,8 @@ private[v2] object GraftProcedures {
       "add_partition_field", "drop_partition_field",
       "create_agg_mv", "create_filtered_mv", "create_minmax_mv",
       "create_join_mv", "create_snowflake_mv", "create_distinct_mv",
-      "refresh_mv", "refresh_mv_incremental", "list_mvs", "drop_mv")
+      "refresh_mv", "refresh_mv_incremental", "uniques", "list_mvs",
+      "drop_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `days(col)` / `md5bucket(n, col)` — the same transform grammar
