@@ -139,7 +139,16 @@ object GraftMaterializedViews {
                          rootNode: String = "", persistDir: Option[String] = None,
                          fpVerified: Boolean = true,
                          rollup: Option[RollupInfo] = None,
-                         snowShape: Option[SnowflakeShape] = None)
+                         snowShape: Option[SnowflakeShape] = None,
+                         regKey: String = "") {
+    /** Registry key: the bare name, unless this view lost a
+      * cross-warehouse name collision at [[loadFrom]] — then the
+      * QUALIFIED `<persistDir>::<name>` (never serialized; a session
+      * artifact like the hit counters). Both collided views serve the
+      * rewrite (fingerprints keep them apart); name-keyed verbs
+      * (refresh/drop/hits) take either form. */
+    def key: String = if (regKey.isEmpty) name else regKey
+  }
 
   private val views = new ConcurrentHashMap[String, MvDef]()
   private val hitCounters = new ConcurrentHashMap[String, AtomicLong]()
@@ -256,9 +265,9 @@ object GraftMaterializedViews {
   }
 
   private def install(d: MvDef): Unit = {
-    views.put(d.name, d): Unit
+    views.put(d.key, d): Unit
     d.persistDir.foreach(pd => persist(pd, d))
-    hitCounters.putIfAbsent(d.name, new AtomicLong(0L)): Unit
+    hitCounters.putIfAbsent(d.key, new AtomicLong(0L)): Unit
   }
 
   /** Every leaf of a definition must be a graft-catalog manifest table —
@@ -812,7 +821,11 @@ object GraftMaterializedViews {
     * not a data deletion. */
   def drop(name: String): Unit = {
     val v = views.remove(name)
-    Option(v).flatMap(_.persistDir).foreach(pd => persistDrop(pd, name))
+    // the sidecar file family is keyed by the view's BARE name — a
+    // qualified registry key ('dir::name') still tombstones '<name>.gN'
+    // in its own persistDir
+    Option(v).foreach(d =>
+      d.persistDir.foreach(pd => persistDrop(pd, d.name)))
   }
 
   /** Rewrites served for `name` since registration — counts
@@ -843,7 +856,7 @@ object GraftMaterializedViews {
       val nd = v.copy(fingerprint = fingerprint(analyzed),
         outputWidth = analyzed.output.length, rootNode = analyzed.nodeName,
         fpVerified = true, rollup = deriveRollup(analyzed))
-      views.put(v.name, nd): Unit
+      views.put(v.key, nd): Unit
       Some(nd)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -865,7 +878,7 @@ object GraftMaterializedViews {
     val cache = mutable.HashMap.empty[String, Option[Int]]
     def ver(d: String): Option[Int] = cache.getOrElseUpdate(d,
       scala.util.Try(ManifestTable.currentVersion(d)).toOption)
-    views.values().asScala.toSeq.sortBy(_.name).map { v =>
+    views.values().asScala.toSeq.sortBy(_.key).map { v =>
       val fresh = v.deps.forall { case (d, r) => ver(d).contains(r) }
       val shape =
         if (v.snowShape.isDefined) "snowflake-agg"
@@ -875,7 +888,7 @@ object GraftMaterializedViews {
           "minmax-agg"
         else if (v.aggShape.isDefined) "agg"
         else "exact"
-      (v.name, fresh, shape, hits(v.name), v.mvDir)
+      (v.key, fresh, shape, hits(v.key), v.mvDir)
     }
   }
 
@@ -1059,15 +1072,22 @@ object GraftMaterializedViews {
           val prior = views.putIfAbsent(name, d)
           if (prior == null)
             hitCounters.putIfAbsent(name, new AtomicLong(0L)): Unit
-          else if (!prior.persistDir.contains(dir))
-            // the registry is JVM-global and keyed by name: two
-            // warehouses each persisting a same-named view cannot both
-            // arm — fail closed for the loser (its queries compute from
-            // base) but say so, the collision is otherwise invisible
-            System.err.println(
-              s"[graft] WARN: materialized view '$name' from $dir not " +
-                s"armed — the name is already registered from " +
-                s"${prior.persistDir.getOrElse("an in-memory registration")}")
+          else if (!prior.persistDir.contains(dir)) {
+            // the registry is JVM-global: two warehouses each persisting
+            // a same-named view collide on the bare name. BOTH serve
+            // (r16) — the loser arms under its QUALIFIED key
+            // `<dir>::<name>` (fingerprints keep the rewrites apart, so
+            // serving both is always safe); name-keyed verbs reach it by
+            // the qualified form, reported by list_mvs
+            val qk = s"$dir::$name"
+            if (views.putIfAbsent(qk, d.copy(regKey = qk)) == null) {
+              hitCounters.putIfAbsent(qk, new AtomicLong(0L)): Unit
+              System.err.println(
+                s"[graft] WARN: materialized view '$name' from $dir " +
+                  s"collides with ${prior.persistDir.getOrElse(
+                    "an in-memory registration")} — armed as '$qk'")
+            }
+          }
         }
       }
     }
@@ -1148,7 +1168,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             require(mv.output.length == p.output.length,
               s"materialized view '${v.name}': stored table width " +
                 s"${mv.output.length} != definition width ${p.output.length}")
-            recordHit(v.name)
+            recordHit(v.key)
             // preserve the subtree's output attribute ids — parents of
             // the rewritten node keep resolving against them
             Project(p.output.zip(mv.output).map { case (o, n) =>
@@ -1332,7 +1352,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case (Left(g), _) => col(s"_g$g")
             case (Right(_), i) => col(s"_r$i")
           }: _*).queryExecution.analyzed
-          recordHit(v.name)
+          recordHit(v.key)
           Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
             Alias(n, o.name)(exprId = o.exprId) }, ordered))
         }

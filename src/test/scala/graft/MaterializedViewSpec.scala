@@ -1188,7 +1188,7 @@ class MaterializedViewSpec extends SparkSpec {
     GraftMaterializedViews.drop("mv_t14")
   }
 
-  test("cross-warehouse name collision: first registration wins, loser fails closed") {
+  test("cross-warehouse name collision: BOTH views serve — the later load arms under its qualified key (r16)") {
     wh: Unit
     // two warehouses each persist a view named 'dupmv'
     val wh2 = java.nio.file.Files.createTempDirectory("graft_mv_wh2").toString
@@ -1205,23 +1205,35 @@ class MaterializedViewSpec extends SparkSpec {
     val sql2 = spark.sql(
       "CALL gmvs2.system.create_agg_mv('dupmv', 'ns.d2', 'grp', 'v')")
       .head.getString(0)
-    // restart: loadFrom order decides the winner; the loser is NOT
-    // armed (fail closed — its queries compute from base) and the
-    // collision is warned, never silent corruption
+    // restart: loadFrom order decides who owns the bare name; the later
+    // load arms under its QUALIFIED `<dir>::<name>` key — BOTH serve
+    // (fingerprints keep the rewrites apart), and the collision is
+    // warned so operators can rename
     GraftMaterializedViews.forgetInMemory()
     GraftMaterializedViews.loadFrom(s"$wh/_mv")
     GraftMaterializedViews.loadFrom(s"$wh2/_mv")
+    val qk = s"$wh2/_mv::dupmv"
     val h0 = GraftMaterializedViews.hits("dupmv")
+    val hq = GraftMaterializedViews.hits(qk)
     assert(spark.sql(sql1).as[(String, Long, Long, Long)].collect().toSeq ==
       Seq(("a", 1L, 10L, 1L)))
     assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
-      "the first-loaded registration must serve")
+      "the first-loaded registration must serve under the bare name")
     assert(spark.sql(sql2).as[(String, Long, Long, Long)].collect().toSeq ==
       Seq(("z", 1L, 99L, 1L)),
-      "the losing registration's query must still answer correctly from base")
+      "the second warehouse's query must answer correctly")
+    assert(GraftMaterializedViews.hits(qk) == hq + 1,
+      "the second warehouse's view must ALSO serve, under its qualified key")
     assert(GraftMaterializedViews.hits("dupmv") == h0 + 1,
-      "the losing registration must fail closed, never serve the wrong MV")
+      "the collided views must never cross-serve")
+    // the qualified key drives the name-keyed verbs too
+    spark.sql("INSERT INTO gmvs2.ns.d2 VALUES (2,'z',1)")
+    GraftMaterializedViews.refreshIncremental(spark, qk)
+    assert(spark.sql(sql2).as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("z", 2L, 100L, 2L)))
+    assert(GraftMaterializedViews.hits(qk) == hq + 2)
     GraftMaterializedViews.drop("dupmv")
+    GraftMaterializedViews.drop(qk)
   }
 
   test("rewrite cost pre-filter: unrelated queries are never fingerprinted") {
