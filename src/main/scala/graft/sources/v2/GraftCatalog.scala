@@ -1799,6 +1799,32 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
           .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
       }
 
+    // row-group layout of every position-touched file, read ONCE from
+    // its parquet footer (offsets and row counts are free metadata):
+    // the MoR scan plans one partition PER ROW GROUP, each carrying its
+    // ordinal BASE (= Σ row counts of preceding groups), so pushed
+    // filters may eliminate whole row groups without shifting any
+    // surviving row's ordinal — the r10 "read whole, push nothing"
+    // design restored to full pushdown (VERDICT r15 #4). Footer opens
+    // are bounded by the number of pos-touched files (rewrite_deletes
+    // compacts them away).
+    val rowGroups: Map[String, Array[(Long, Long)]] =
+      if (posDeletes.isEmpty) Map.empty
+      else {
+        val touchedPaths = data.map(e => norm(e.path))
+          .filter(posDeletes.contains).distinct
+        val hc = spark.sessionState.newHadoopConf()
+        touchedPaths.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            p -> r.getFooter.getBlocks.asScala.toArray
+              .map(b => (b.getStartingPos, b.getRowCount))
+          } finally r.close()
+        }.toMap
+      }
+
     def kindOf(col: String): Int = {
       val f = physFull.fields.find(_.name == col).getOrElse(sys.error(
         s"GraftCatalog: delete key column '$col' of $ident is not in the schema"))
@@ -1846,19 +1872,27 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       val internal = StructType(required.fields ++
         keyCols.filterNot(c => required.fieldNames.contains(c))
           .map(c => physFull.fields.find(_.name == c).get))
-      def batchOver(paths: Seq[String], push: Boolean): org.apache.spark.sql.connector.read.Batch = {
+      def batchOver(paths: Seq[String], push: Boolean,
+                    extraOpts: Map[String, String] = Map.empty)
+          : org.apache.spark.sql.connector.read.Batch = {
         val t = ParquetTable(ident, spark,
           new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
           paths.toIndexedSeq, Some(physFull), classOf[ParquetFileFormat])
-        val sb = t.newScanBuilder(options)
+        val sbOpts =
+          if (extraOpts.isEmpty) options
+          else new CaseInsensitiveStringMap(
+            (options.asScala.toMap ++ extraOpts).asJava)
+        val sb = t.newScanBuilder(sbOpts)
         if (push) { sb.pushFilters(fileConjuncts): Unit }
         sb.pruneColumns(internal)
         sb.build().toBatch
       }
-      // position-deleted files leave the pushed batch: each must read
-      // WHOLE in range order so the ordinal counter is exact (pushed
-      // filters would row-group-skip; the catalog's filters are all
-      // residual, so Spark re-applies them above the scan)
+      // position-deleted files get their OWN pushed batch (r16): filters
+      // push down, but anything finer than whole-row-group elimination
+      // would shift ordinals, so page-level (column index) and
+      // record-level filtering are disabled for these readers — the
+      // per-row-group partitions in GraftMoRScan carry footer-derived
+      // ordinal bases, making group-level skipping ordinal-exact
       val (posTouched, plain) = es.partition(e => posDeletes.contains(norm(e.path)))
       val spec = MoRGroupSpec(
         deleteSets = bySpec.map { case (cols, rows) =>
@@ -1871,7 +1905,9 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         readTypes = internal.fields.map(_.dataType),
         readNullable = internal.fields.map(_.nullable))
       (batchOver(plain.map(_.path), push = true),
-        batchOver(posTouched.map(_.path), push = false), spec)
+        batchOver(posTouched.map(_.path), push = true, extraOpts = Map(
+          "parquet.filter.columnindex.enabled" -> "false",
+          "parquet.filter.record-level.enabled" -> "false")), spec)
     }
     val totalKeys = loaded.values.map(_.length.toLong).sum
     require(totalKeys <= MaxDeleteKeys,
@@ -1880,6 +1916,7 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
     // the reported read schema speaks LOGICAL names (rows are
     // positional; only Spark's attribute matching sees the names)
     new GraftMoRScan(spark, logicalRequired, built.map(_._1), built.map(_._2),
-      built.map(_._3), posDeletes, data.map(_.path))
+      built.map(_._3), posDeletes, data.map(_.path), rowGroups,
+      pushedToTouched = fileConjuncts.length, scanIdent = ident.toString)
   }
 }

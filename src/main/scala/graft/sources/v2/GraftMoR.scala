@@ -64,12 +64,17 @@ private[v2] final case class MoRGroupSpec(
   }
 }
 
-/** `posPath`: set when this partition is ONE position-deleted file read
-  * whole in range order — the reader then counts ordinals against the
-  * file's deleted positions before any key filtering. */
+/** `posPath`: set when this partition covers (part of) ONE
+  * position-deleted file — since r16, exactly one ROW GROUP of it, with
+  * `posBase` = the sum of all PRECEDING row groups' row counts from the
+  * parquet footer. The reader counts ordinals from that base against
+  * the file's deleted positions before any key filtering, so a pushed
+  * filter that eliminates a whole row group (whose partition then
+  * yields nothing) never shifts another partition's ordinals. */
 private[v2] final case class MoRInputPartition(group: Int,
                                                inner: InputPartition,
-                                               posPath: Option[String] = None)
+                                               posPath: Option[String] = None,
+                                               posBase: Long = 0L)
     extends InputPartition
 
 private[v2] final class MoRReaderFactory(
@@ -97,7 +102,7 @@ private[v2] final class MoRReaderFactory(
       // file), key filter on whatever survives
       case Some(path) => new PosFilteringReader(
         touchedFactories(p.group).createReader(p.inner),
-        posDeletes.value(path))
+        posDeletes.value(path), p.posBase)
     }
     val spec = specs.value(p.group)
     if (!spec.hasKeys && spec.identityProjection) base
@@ -119,7 +124,8 @@ private[v2] final class MoRReaderFactory(
         val set = new java.util.HashSet[java.lang.Long](math.max(16, dels.length * 2))
         dels.foreach(d => set.add(d): Unit)
         new MoRColumnarReader(
-          touchedFactories(p.group).createColumnarReader(p.inner), spec, set)
+          touchedFactories(p.group).createColumnarReader(p.inner), spec, set,
+          p.posBase)
     }
   }
 }
@@ -190,15 +196,18 @@ private[v2] final class MoRFilteringReader(inner: PartitionReader[InternalRow],
 // -------------------------------------------------------- position deletes
 
 /** Drops rows whose ORDINAL within the file is position-deleted. Sound
-  * because the partition covers the whole file in range order and the
-  * inner scan pushed NO filters (row-group skipping or predicate
-  * filtering inside the reader would shift ordinals). */
+  * because the partition covers exactly one row group whose starting
+  * ordinal (`base`) comes from the parquet footer, and the inner scan
+  * filters at whole-row-group granularity only (column-index and
+  * record-level filtering are disabled for touched batches — anything
+  * finer would shift ordinals inside a surviving group). */
 private[v2] final class PosFilteringReader(inner: PartitionReader[InternalRow],
-                                           deleted: Array[Long])
+                                           deleted: Array[Long],
+                                           base: Long = 0L)
     extends PartitionReader[InternalRow] {
   private val dels = new java.util.HashSet[Long](math.max(16, deleted.length * 2))
   deleted.foreach(d => dels.add(d): Unit)
-  private var ordinal: Long = -1
+  private var ordinal: Long = base - 1
   private var current: InternalRow = _
   override def next(): Boolean = {
     while (inner.next()) {
@@ -267,11 +276,12 @@ private[v2] final class MappedColumnVector(
 private[v2] final class MoRColumnarReader(
     inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
     spec: MoRGroupSpec,
-    posDeleted: java.util.HashSet[java.lang.Long])
+    posDeleted: java.util.HashSet[java.lang.Long],
+    posBase: Long = 0L)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val sets: Array[java.util.HashSet[Any]] = spec.buildSets()
-  private var ordinal: Long = -1L
+  private var ordinal: Long = posBase - 1L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   private def extract(v: org.apache.spark.sql.vectorized.ColumnVector,
@@ -364,7 +374,10 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
                                      touchedBatches: Seq[Batch],
                                      groupSpecs: Seq[MoRGroupSpec],
                                      posDeletes: Map[String, Array[Long]],
-                                     val dataPaths: Seq[String]) extends Scan
+                                     val dataPaths: Seq[String],
+                                     rowGroups: Map[String, Array[(Long, Long)]] = Map.empty,
+                                     pushedToTouched: Int = 0,
+                                     scanIdent: String = "") extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = output
 
@@ -383,7 +396,11 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
     }
   override def description(): String =
     s"GraftMoRScan(${groupBatches.length} delete-scope groups, " +
-      s"${posDeletes.size} position-deleted files)"
+      s"${posDeletes.size} position-deleted files" +
+      (if (posDeletes.nonEmpty)
+        s", $pushedToTouched filters pushed to row-group-aligned " +
+          "pos-touched partitions"
+      else "") + ")"
   override def toBatch: Batch = new Batch {
     private lazy val innerFactories =
       groupBatches.map(_.createReaderFactory()).toArray
@@ -398,17 +415,43 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
         b.planInputPartitions().foreach { p =>
           out += MoRInputPartition(gi, p); idx += 1
         }
-        // regroup the group's pos-touched ranges: ALL ranges of one file
-        // in one partition, ordered by start — the ordinal precondition
+        // re-slice the group's pos-touched files along their ROW GROUP
+        // boundaries (footer offsets): one partition per row group, each
+        // carrying its starting ordinal. A byte range [start_g, start_g+1)
+        // contains exactly row group g's midpoint, so the parquet reader
+        // assigns each group to exactly one partition; pushed filters may
+        // then skip whole groups (their partitions read nothing) while
+        // every surviving partition counts ordinals from its own base.
         val byFile = touchedBatches(gi).planInputPartitions().flatMap {
           case fp: FilePartition => fp.files
           case other => sys.error(s"GraftMoRScan: unexpected partition $other")
         }.groupBy(f => f.filePath.toPath.toUri.getPath)
+        var touchedParts = 0
         byFile.toSeq.sortBy(_._1).foreach { case (path, ranges) =>
-          out += MoRInputPartition(gi,
-            FilePartition(idx, ranges.sortBy(_.start)), Some(path))
-          idx += 1
+          rowGroups.get(path) match {
+            case Some(rgs) if rgs.nonEmpty =>
+              val rep = ranges.minBy(_.start)
+              var base = 0L
+              rgs.indices.foreach { g =>
+                val (st, nrows) = rgs(g)
+                val end = if (g + 1 < rgs.length) rgs(g + 1)._1 else rep.fileSize
+                out += MoRInputPartition(gi,
+                  FilePartition(idx, Array(rep.copy(start = st, length = end - st))),
+                  Some(path), posBase = base)
+                idx += 1; touchedParts += 1
+                base += nrows
+              }
+            case _ =>
+              // no footer info (defensive): whole file in range order,
+              // base 0 — the pre-r16 shape, still exact
+              out += MoRInputPartition(gi,
+                FilePartition(idx, ranges.sortBy(_.start)), Some(path))
+              idx += 1; touchedParts += 1
+          }
         }
+        if (scanIdent.nonEmpty && byFile.nonEmpty)
+          GraftMoRScan.touchedPlanLog.put(scanIdent,
+            (touchedParts, pushedToTouched)): Unit
       }
       out.result()
     }
@@ -434,6 +477,14 @@ private[v2] final class GraftMoRScan(spark: SparkSession,
         spark.sparkContext.broadcast(posDeletes),
         columnar)
   }
+}
+
+private[graft] object GraftMoRScan {
+  /** Planning observability for specs: ident → (pos-touched partitions
+    * planned — one per row group since r16 — and pushed-filter count on
+    * the touched batches). */
+  val touchedPlanLog =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 }
 
 // ---------------------------------------------------------------- delta write

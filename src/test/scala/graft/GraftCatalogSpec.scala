@@ -1379,6 +1379,56 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 300)
   }
 
+  test("position-deleted files: filters push down, partitions align to row groups, ordinals stay exact (r16)") {
+    import spark.implicits._
+    wh: Unit
+    // a SINGLE data file with MANY row groups (tiny parquet block size),
+    // written in k order so every row group carries a disjoint k range
+    // in its stats — the shape where row-group skipping pays
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 2048)
+    try {
+      spark.sql("CREATE TABLE gtest.ns.pdr (k BIGINT, v BIGINT)")
+      val dir = s"$wh/ns/pdr"
+      ManifestTable.commit((1L to 4000L).map(k => (k, k * 10)).toDF("k", "v")
+        .coalesce(1).sortWithinPartitions("k"), dir, append = true): Unit
+      ManifestTable.deleteWhere(spark, dir, col("k") % 100 === 0)
+      val gone = (1L to 4000L).filter(_ % 100 == 0).toSet
+      // a pushable range predicate: most row groups prune; the surviving
+      // groups' ordinals must still line up with the file-global deleted
+      // positions — the pre-r16 whole-file reader could not skip at all,
+      // and a base-less skip would delete the WRONG rows here
+      val q = spark.sql(
+        "SELECT sum(v) AS s FROM gtest.ns.pdr WHERE k BETWEEN 1001 AND 2000")
+      assert(q.head.getLong(0) ==
+        (1001L to 2000L).filterNot(gone).map(_ * 10).sum)
+      // planning pins: filters PUSHED to the pos-touched batch, and one
+      // partition per row group (the tiny block size forces many)
+      val planned = graft.sources.v2.GraftMoRScan.touchedPlanLog.get("ns.pdr")
+      assert(planned != null, "the MoR scan must log its touched planning")
+      val (parts, pushed) = planned
+      assert(pushed > 0, "filters must be pushed to the pos-touched batch")
+      assert(parts >= 3,
+        s"expected one partition per row group (many), got $parts")
+      // unfiltered identity with the library read
+      val lib = ManifestTable.read(spark, dir)
+        .agg(sum($"v"), count(lit(1))).as[(Long, Long)].head()
+      assert(spark.sql("SELECT sum(v), count(*) FROM gtest.ns.pdr")
+        .as[(Long, Long)].head() == lib)
+      // a second position delete composes across row-group partitions
+      ManifestTable.deleteWhere(spark, dir, col("k") === 1501L)
+      assert(spark.sql(
+        "SELECT count(*) FROM gtest.ns.pdr WHERE k BETWEEN 1001 AND 2000")
+        .head.getLong(0) == 1000 - 10 - 1)
+      assert(spark.sql("SELECT count(*) FROM gtest.ns.pdr").head.getLong(0)
+        == 4000 - gone.size - 1)
+    } finally oldBlock match {
+      case Some(b) => hc.set("parquet.block.size", b)
+      case None    => hc.unset("parquet.block.size")
+    }
+  }
+
   test("namespaces: existence reflects disk; DROP honors CASCADE and refuses non-empty otherwise") {
     import spark.implicits._
     wh: Unit
