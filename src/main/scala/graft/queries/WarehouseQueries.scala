@@ -2497,13 +2497,14 @@ object WarehouseQueries {
   // served by RE-AGGREGATING the O(|groups|) MV: count(*) → sum of the
   // stored count partial, sum → sum of sums, min → min of mins, max →
   // max of maxes (the textbook distributive-rollup algebra every
-  // production MV system ships). Fail-closed edges carry over intact:
-  // count(col), avg (Spark's integral average sums through an
-  // incremental DOUBLE a sum-of-sums division can diverge from past
-  // 2^53), DISTINCT, FILTER, expression group keys, sums the view never
-  // stored, staleness, and time travel all compute from base.
-  // Require-pinned: the coarse query serves (hit + MV in the executed
-  // plan) while a count(DISTINCT) probe does not; the gate output is
+  // production MV system ships). Fail-closed edges: DISTINCT over
+  // non-key measures, FILTER over non-keys, expression group keys over
+  // non-keys, sums the view never stored, staleness, and time travel
+  // all compute from base (count(col)/avg serve since r16 via the cnt
+  // partials — q428; DISTINCT/FILTER over KEYS serve since r16 too —
+  // q430). Require-pinned: the coarse query serves (hit + MV in the
+  // executed plan), count(DISTINCT key) serves, count(DISTINCT
+  // non-key) does not; the gate output is
   // the rolled-up answer, oracle-recomputed directly from the raw
   // table — a wrong partial fold (summing maxes, dropping a group)
   // moves the hash. At 100 TB: the dashboard's coarse rollup touches
@@ -2545,16 +2546,22 @@ object WarehouseQueries {
       "q421: the coarse rollup must be served from the fine MV")
     require(q.queryExecution.executedPlan.toString.contains("_mv_fine"),
       "q421: the rolled-up plan must scan the MV table, not the base")
-    // fail-closed probe: a shape the partials cannot reproduce
+    // DISTINCT over a KEY serves since r16 (the MV rows ARE the distinct
+    // key combos); DISTINCT over a non-key measure is the genuinely
+    // unservable probe (its multiplicity was folded away)
     s.sql("SELECT pri, count(DISTINCT bucket) AS n " +
       "FROM graft_cat421.db.base GROUP BY pri").collect(): Unit
-    require(GraftMaterializedViews.hits("q421_mv") == h0 + 1,
-      "q421: count(DISTINCT) must fail closed to the base")
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 2,
+      "q421: count(DISTINCT key) must serve from the MV")
+    s.sql("SELECT pri, count(DISTINCT cents) AS n " +
+      "FROM graft_cat421.db.base GROUP BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 2,
+      "q421: count(DISTINCT non-key) must fail closed to the base")
     // group-key FILTER containment: the WHERE transfers to MV rows
     val qf = s.sql("SELECT pri, sum(cents) AS s FROM graft_cat421.db.base " +
       "WHERE bucket < 4 GROUP BY pri")
     qf.collect(): Unit
-    require(GraftMaterializedViews.hits("q421_mv") == h0 + 2,
+    require(GraftMaterializedViews.hits("q421_mv") == h0 + 3,
       "q421: a group-key WHERE must be served from the MV's groups")
     require(qf.queryExecution.executedPlan.toString.contains("_mv_fine"),
       "q421: the filtered rollup must scan the MV, not the base")
@@ -2659,6 +2666,197 @@ object WarehouseQueries {
     GraftMaterializedViews.drop("q428_mv")
     q2.orderBy($"pri")
   }
+
+  // q430: DISTINCT + FILTER THROUGH THE CONTAINMENT (r16) — the pivot
+  // dashboard served from one fine-grained MV. Two containment
+  // extensions land here: (1) DISTINCT over key expressions — the MV
+  // holds EXACTLY one row per distinct group-key combination, so the
+  // distinct input set of any deterministic key expression is IDENTICAL
+  // over MV rows and base rows, and the UNCHANGED aggregate over the MV
+  // is the exact answer (count(DISTINCT bucket) per pri — the EXACT
+  // complement of the q425/q426 sketch path, which covers distinct of
+  // NON-key columns); (2) FILTER (WHERE p) with p over keys — p is
+  // constant per MV group, so it guards the partial (`sum(when(p,
+  // partial))`), folding exactly the groups whose rows the base
+  // aggregate would have kept. The pivot query exercises both in ONE
+  // statement: conditional sums split by bucket band + the distinct
+  // bucket count, per priority. Require-pinned: the pivot AND the
+  // global distinct serve (hits + MV-scan plans); DISTINCT over a
+  // non-key measure and FILTER over a non-key measure fail closed; a
+  // GDPR delete + one incremental fold re-arms. Oracle recomputes the
+  // pivot from raw rows (DuckDB FILTER clause). At 100 TB: the N-column
+  // pivot dashboard — the most common BI shape after plain rollup —
+  // reads |groups| rows instead of re-scanning the fact N times.
+  def mvDistinctFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q430_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat430", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat430.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") % 8).as("bucket"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q430_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat430.db.base")
+    s.sql("CREATE TABLE graft_cat430.db.base (pri STRING, bucket BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat430.db.base " +
+      "SELECT pri, bucket, cents FROM q430_src")
+    val baseDir = s"$out/db/base"
+    GraftMaterializedViews.registerAgg(s, "q430_mv",
+      "graft_cat430.db.base", baseDir, Seq("pri", "bucket"),
+      Seq("cents"), s"$out/db/_mv_piv")
+    val h0 = GraftMaterializedViews.hits("q430_mv")
+    // the pivot: distinct key count + conditional sums, one statement
+    val pivot = "SELECT pri, count(DISTINCT bucket) AS n_buckets, " +
+      "sum(cents) FILTER (WHERE bucket < 4) AS low_cents, " +
+      "sum(cents) FILTER (WHERE bucket >= 4) AS high_cents, " +
+      "count(*) FILTER (WHERE bucket = 0) AS n_b0 " +
+      "FROM graft_cat430.db.base GROUP BY pri ORDER BY pri"
+    val q1 = s.sql(pivot)
+    q1.collect(): Unit
+    require(GraftMaterializedViews.hits("q430_mv") == h0 + 1,
+      "q430: the DISTINCT+FILTER pivot must be MV-served")
+    require(q1.queryExecution.executedPlan.toString.contains("_mv_piv"),
+      "q430: the pivot plan must scan the MV, not the base")
+    // the GLOBAL distinct (coarsest lattice point)
+    val qg = s.sql("SELECT count(DISTINCT bucket) AS n, " +
+      "sum(DISTINCT bucket) AS sb FROM graft_cat430.db.base")
+    qg.collect(): Unit
+    require(GraftMaterializedViews.hits("q430_mv") == h0 + 2,
+      "q430: the global distinct-over-key must be MV-served")
+    require(qg.queryExecution.executedPlan.toString.contains("_mv_piv"),
+      "q430: the global plan must scan the MV")
+    // fail-closed: DISTINCT and FILTER over the NON-key measure — its
+    // per-row multiplicity was folded away at materialization
+    s.sql("SELECT pri, count(DISTINCT cents) AS n " +
+      "FROM graft_cat430.db.base GROUP BY pri").collect(): Unit
+    s.sql("SELECT pri, sum(cents) FILTER (WHERE cents > 100) AS sc " +
+      "FROM graft_cat430.db.base GROUP BY pri").collect(): Unit
+    require(GraftMaterializedViews.hits("q430_mv") == h0 + 2,
+      "q430: non-key DISTINCT/FILTER must fail closed to the base")
+    // GDPR delete, then ONE incremental fold re-arms the pivot
+    ManifestTable.delete(s.sql("SELECT cents FROM q430_src WHERE k % 10 = 4"),
+      baseDir, "cents")
+    s.sql(pivot).collect(): Unit
+    require(GraftMaterializedViews.hits("q430_mv") == h0 + 2,
+      "q430: the stale view must not serve")
+    GraftMaterializedViews.refreshIncremental(s, "q430_mv")
+    val q2 = s.sql(pivot)
+    q2.collect(): Unit
+    require(GraftMaterializedViews.hits("q430_mv") == h0 + 3,
+      "q430: the refreshed view must serve the pivot again")
+    require(q2.queryExecution.executedPlan.toString.contains("_mv_piv"),
+      "q430: the post-refresh plan must scan the MV")
+    GraftMaterializedViews.drop("q430_mv")
+    q2.orderBy($"pri")
+  }
+
+  // q431: JOIN-BACK REWRITE (r16) — the star dashboard WITHOUT a join
+  // MV: one agg view over the FACT ALONE serves every query that joins
+  // the fact to a dimension on the view's key and groups by dim
+  // attributes. Correctness rests on the pair-set identity: an INNER
+  // join whose condition is deterministic with fact-side references
+  // confined to view keys decides its matches per (key combo, dim row),
+  // so MV ⋈ dim replicates every group exactly as base ⋈ dim replicates
+  // that group's rows — count(*) folds the count partial across the
+  // replication, sum/avg of fact columns fold their partials, min/max
+  // and DISTINCT of key/dim expressions evaluate directly (replication
+  // never changes them). The dim subtree transplants VERBATIM into the
+  // rewritten plan, read at whatever version the query planned — dim
+  // churn never stales the view. Require-pinned: the dim-grouped
+  // dashboard serves (hit + MV scan + the FACT ABSENT from the executed
+  // plan); a dim-weighted sum (sum of a dim column — fact multiplicity
+  // folded away) and a LEFT join fail closed; fact churn + one fold
+  // re-arms. Oracle recomputes the star join from raw rows. At 100 TB:
+  // the fact is re-joined by NOBODY — the dashboard joins |groups| MV
+  // rows to the dim instead of 100 TB of fact, with no join-specific
+  // view to declare or maintain.
+  def mvJoinBack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q431_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat431", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat431.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"),
+        ($"o_orderkey".cast("long") % 50).as("ck"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q431_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat431.db.fact")
+    s.sql("DROP TABLE IF EXISTS graft_cat431.db.dim")
+    s.sql("CREATE TABLE graft_cat431.db.fact (k BIGINT, ck BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat431.db.fact SELECT k, ck, cents FROM q431_src " +
+      "WHERE k % 10 < 8")
+    // the dim COVERS ONLY ck < 40: the inner join must drop uncovered
+    // groups on the MV path exactly as it drops their rows on the base
+    s.sql("CREATE TABLE graft_cat431.db.dim (ck BIGINT, region STRING)")
+    s.sql("INSERT INTO graft_cat431.db.dim " +
+      "SELECT DISTINCT ck, concat('r', ck % 5) FROM q431_src WHERE ck < 40")
+    val factDir = s"$out/db/fact"
+    GraftMaterializedViews.registerAgg(s, "q431_mv",
+      "graft_cat431.db.fact", factDir, Seq("ck"), Seq("cents"),
+      s"$out/db/_mv_star")
+    val h0 = GraftMaterializedViews.hits("q431_mv")
+    val dash = "SELECT region, count(*) AS n_rows, sum(cents) AS sum_cents, " +
+      "max(ck) AS max_ck FROM graft_cat431.db.fact " +
+      "JOIN graft_cat431.db.dim USING (ck) GROUP BY region ORDER BY region"
+    val q1 = s.sql(dash)
+    q1.collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 1,
+      "q431: the dim-grouped star dashboard must be MV-served")
+    val p1 = q1.queryExecution.executedPlan.toString
+    require(p1.contains("_mv_star"),
+      "q431: the join-back plan must scan the MV")
+    require(!p1.contains("db/fact"),
+      "q431: the FACT must be absent from the join-back plan")
+    // DISTINCT over a dim column + a WHERE above the join
+    val q2 = s.sql("SELECT count(DISTINCT region) AS n " +
+      "FROM graft_cat431.db.fact JOIN graft_cat431.db.dim USING (ck) " +
+      "WHERE ck < 20")
+    q2.collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
+      "q431: distinct-over-dim with a transferred WHERE must serve")
+    // fail-closed: a dim-weighted sum needs per-row fact multiplicity;
+    // a LEFT join changes the unmatched-group story
+    s.sql("SELECT region, sum(ck) AS s FROM graft_cat431.db.fact " +
+      "JOIN graft_cat431.db.dim USING (ck) GROUP BY region").collect(): Unit
+    s.sql("SELECT region, sum(cents) AS s FROM graft_cat431.db.fact " +
+      "LEFT JOIN graft_cat431.db.dim USING (ck) GROUP BY region")
+      .collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
+      "q431: dim-weighted sums and outer joins must fail closed")
+    // fact churn: ingest + GDPR purge, ONE fold re-arms the join-back
+    ManifestTable.commit(s.sql("SELECT k, ck, cents FROM q431_src " +
+      "WHERE k % 10 = 8"), factDir, append = true): Unit
+    ManifestTable.delete(s.sql("SELECT k FROM q431_src WHERE k % 10 = 3"),
+      factDir, "k")
+    s.sql(dash).collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
+      "q431: the stale fact must fail the join-back closed")
+    GraftMaterializedViews.refreshIncremental(s, "q431_mv")
+    val q3 = s.sql(dash)
+    q3.collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 3,
+      "q431: the refreshed view must serve the dashboard again")
+    require(q3.queryExecution.executedPlan.toString.contains("_mv_star"),
+      "q431: the post-refresh plan must scan the MV")
+    GraftMaterializedViews.drop("q431_mv")
+    q3.orderBy($"region")
+  }
+
 
   // q429: FILTERED (HOT-WINDOW) MV (r16) — the standard production
   // dashboard view the registry could not declare before: "last 90 days
@@ -5161,6 +5359,8 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q431_mv_join_back" -> mvJoinBack _,
+    "q430_mv_distinct_filter" -> mvDistinctFilter _,
     "q429_mv_filtered" -> mvFiltered _,
     "q428_mv_count_avg" -> mvCountAvg _,
     "q427_stream_snowflake" -> streamSnowflakeMv _,
@@ -5271,6 +5471,34 @@ object WarehouseQueries {
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
         |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q430: the oracle recomputes the pivot from raw rows — a distinct
+    // set polluted by fold-away multiplicity, a FILTER guard applied to
+    // the wrong band, or a leaked deleted row all move the hash
+    "q430_mv_distinct_filter" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |b AS (SELECT pri, k % 8 AS bucket, k * 2 AS cents
+        |  FROM src WHERE k % 10 <> 4)
+        |SELECT pri, CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+        |  CAST(sum(cents) FILTER (WHERE bucket < 4) AS BIGINT) AS low_cents,
+        |  CAST(sum(cents) FILTER (WHERE bucket >= 4) AS BIGINT) AS high_cents,
+        |  CAST(count(*) FILTER (WHERE bucket = 0) AS BIGINT) AS n_b0
+        |FROM b GROUP BY pri ORDER BY pri""".stripMargin,
+    // q431: the oracle recomputes the star join from raw rows over the
+    // FINAL fact (initial + ingest - purge) and the partial-coverage
+    // dim — a join-back that kept an uncovered group, dropped a
+    // replicated one, or served the stale fact moves the hash
+    "q431_mv_join_back" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |f AS (SELECT k, k % 50 AS ck, k * 2 AS cents FROM src
+        |  WHERE k % 10 <= 8 AND k % 10 <> 3),
+        |d AS (SELECT DISTINCT k % 50 AS ck,
+        |    'r' || CAST((k % 50) % 5 AS VARCHAR) AS region
+        |  FROM src WHERE k % 50 < 40)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(ck) AS BIGINT) AS max_ck
+        |FROM f JOIN d USING (ck) GROUP BY region ORDER BY region""".stripMargin,
     // q429: the oracle recomputes the hot-window dashboard from the raw
     // rows — final base (initial + ingest − purge) filtered to the same
     // max(day) − 90 cutoff the face derived; a fold that leaked an

@@ -7,9 +7,10 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -1181,7 +1182,6 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
   }
-
   /** ROLLUP containment rewrite: a query that aggregates the SAME base
     * subtree (child fingerprints equal — same relations at the same
     * pinned versions, same pre-aggregation shape) by a SUBSET of a
@@ -1196,63 +1196,162 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * between the aggregate and the base transfers to the MV rows
     * verbatim when it references ONLY view group keys (every key is
     * constant within an MV group, so filtering groups ≡ filtering
-    * rows). Anything the stored partials cannot reproduce exactly —
-    * aggregate-level DISTINCT/FILTER, DECIMAL sums/avgs (re-widened
-    * types), float avg, count/avg of columns without a stored cnt
-    * partial, group keys referencing non-key columns, non-deterministic
-    * keys, predicates on non-key columns — fails closed to the base. */
+    * rows).
+    *
+    * Three containment extensions (r16):
+    *
+    *  - **DISTINCT over key expressions**: the MV holds EXACTLY one row
+    *    per distinct group-key combination, so the distinct input set
+    *    of any deterministic expression over keys is IDENTICAL over MV
+    *    rows and base rows — count/sum/min/max/avg(DISTINCT e) serve as
+    *    the UNCHANGED aggregate evaluated over the MV ("distinct active
+    *    days per month" from a (day, type) view, exactly — the EXACT
+    *    complement of the q425/q426 sketch path, which covers distinct
+    *    of NON-key columns). No type restriction: the same operator
+    *    runs over the same value set, so even DECIMAL sum(DISTINCT) is
+    *    bit-identical.
+    *  - **FILTER clauses over keys**: `agg(x) FILTER (WHERE p)` with p
+    *    deterministic over view keys is constant per MV group, so p
+    *    guards the partial — `sum(when(p, partial))` folds exactly the
+    *    groups whose rows the base aggregate would have kept (the pivot
+    *    dashboard: one pass, N conditional columns).
+    *  - **JOIN-BACK**: `Aggregate(fact ⋈ dim)` grouped by dim
+    *    attributes serves from `MV ⋈ dim` when the join is INNER, its
+    *    condition is deterministic with fact-side references confined
+    *    to view keys: the match set is decided per (key combo, dim
+    *    row), so the join replicates every MV group exactly as it
+    *    replicates that group's base rows. count(*) folds the count
+    *    partial across the replication; sum/count/avg of fact columns
+    *    fold their partials; min/max and DISTINCT aggregates of any
+    *    key/dim expression evaluate directly (replication never changes
+    *    a min, a max, or a distinct set). The dim subtree transplants
+    *    VERBATIM (same attribute ids), so it is read at whatever
+    *    version the query itself planned. Aggregates that WEIGH dim
+    *    columns by fact multiplicity (sum/avg of a dim column) fail
+    *    closed.
+    *
+    * Anything the stored partials cannot reproduce exactly —
+    * DISTINCT/FILTER over non-key columns, DECIMAL sums/avgs
+    * (re-widened types), float avg, count/avg of columns without a
+    * stored cnt partial, non-deterministic expressions anywhere, outer
+    * joins — fails closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
-    // every grouping expression must be DETERMINISTIC and reference only
-    // base columns the view stores as group keys. Keys are constant
-    // within an MV group, so ANY deterministic function of keys —
-    // `date_trunc('month', day)`, `year(day)`, a substring, a bucket
-    // expression — is also constant there, and re-grouping the MV by
-    // the remapped expression merges exactly the base groups that share
-    // its value (partition refinement: count/sum/min/max partials fold
-    // associatively across it). This is the TIME-HIERARCHY containment
-    // (r15): a day-grain view serves every month/quarter/year dashboard
-    // beneath it. Non-deterministic keys and keys referencing non-key
-    // columns fail closed.
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.graftbridge.Bridge
     val gExprs = a.groupingExpressions
     if (!gExprs.forall(_.deterministic)) return None
-    // candidate (predicate-to-transfer, child) shapes, UNPEELED first:
-    // a FILTERED view's child fingerprint INCLUDES its Filter, so a
-    // query repeating the view's WHERE (at any contained grain) matches
-    // the unpeeled child with nothing to transfer; the peeled shape then
-    // covers the unfiltered view + group-key-WHERE transfer. A query
-    // WHERE that only EXTENDS a filtered view's predicate fails closed
-    // (neither fingerprint matches).
-    val shapes = (Option.empty[org.apache.spark.sql.catalyst.expressions.Expression],
-        a.child) +: (a.child match {
-      case Filter(c, ch) if c.deterministic => Seq((Some(c), ch))
+    val byRollup = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
+    if (byRollup.isEmpty) return None
+
+    // candidate shapes, UNPEELED first: a FILTERED view's child
+    // fingerprint INCLUDES its Filter, so a query repeating the view's
+    // WHERE (at any contained grain) matches the unpeeled child with
+    // nothing to transfer; the peeled shape then covers the unfiltered
+    // view + group-key-WHERE transfer; the join shapes cover the
+    // join-back (with or without a transferred WHERE above the join). A
+    // query WHERE that only EXTENDS a filtered view's predicate fails
+    // closed (neither fingerprint matches).
+    final case class Shape(cond: Option[Expression], child: LogicalPlan,
+                           dim: Option[(LogicalPlan, Expression, Boolean)])
+    // `FROM a JOIN b USING (k)` analyzes as Project(attrs, Join) — the
+    // Project only forwards attributes (ids intact), so it is
+    // transparent to the join-back reconstruction, which re-references
+    // those attributes directly over MV ⋈ dim
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(ch)
+      case other => other
+    }
+    def joinShapes(c: Option[Expression], p: LogicalPlan): Seq[Shape] = p match {
+      case Join(l, r, Inner, Some(jc), _) if jc.deterministic =>
+        Seq(Shape(c, l, Some((r, jc, true))), Shape(c, r, Some((l, jc, false))))
       case _ => Nil
+    }
+    val shapes = Shape(None, a.child, None) +: (a.child match {
+      case Filter(c, ch) if c.deterministic =>
+        Shape(Some(c), ch, None) +: joinShapes(Some(c), unwrap(ch))
+      case other => joinShapes(None, unwrap(other))
     })
-    // translate each output expression against a view's stored partials:
-    // Left(i) for (a semantic copy of) the i-th grouping expression,
-    // Right(re-aggregate) for a rollup-able aggregate; None anywhere →
-    // this view can't serve
-    def translate(ri: RollupInfo, e: NamedExpression)
-        : Option[Either[Int, org.apache.spark.sql.Column]] = {
+
+    // translate each output expression against a view's stored partials
+    // given the shape's join-back side: TrGroup(i) for (a semantic copy
+    // of) the i-th grouping expression, TrDerived for a deterministic
+    // function OF grouping expressions (constant per query group),
+    // TrAgg(build) for a servable aggregate — `build` takes the
+    // base→MV attribute remapper, constructed only once a view's child
+    // fingerprint matches. None anywhere → this view can't serve.
+    sealed trait Tr
+    final case class TrGroup(i: Int) extends Tr
+    final case class TrDerived(ex: Expression) extends Tr
+    // build args: (base→MV attribute remapper, stored-partial-column
+    // resolver). The resolver returns the MV's OWN attribute for a
+    // stored column name — never a bare col() lookup, which could
+    // collide with a same-named dim column in the join-back frame.
+    final case class TrAgg(build: (Expression => Expression,
+        String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column) extends Tr
+
+    def translate(ri: RollupInfo, dimSet: AttributeSet, e: NamedExpression)
+        : Option[Tr] = {
+      // a reference is servable iff it is a view group key (remaps to
+      // the MV's stored key column) or comes from the join-back dim
+      // side (kept verbatim — the dim subtree transplants with its ids)
+      def refOk(ex: Expression): Boolean = ex.references.forall(r =>
+        dimSet.contains(r) || ri.groupMap.contains(r.name))
       val stripped = e match { case Alias(c, _) => c; case other => other }
       val gi = gExprs.indexWhere(_.semanticEquals(stripped))
-      if (gi >= 0) Some(Left(gi))
-      else e match {
-        case Alias(ae: AggregateExpression, _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
+      if (gi >= 0) return Some(TrGroup(gi))
+      stripped match {
+        case ae: AggregateExpression =>
+          // a FILTER (WHERE p) over keys/dim columns is constant per MV
+          // group (and per (group, dim row) pair), so it guards the
+          // partial: rows failing p contribute NULL, which
+          // sum/min/max/count all skip — exactly the rows the base
+          // aggregate would have skipped
+          if (!ae.filter.forall(f => f.deterministic && refOk(f))) return None
+          def guard(remap: Expression => Expression,
+                    partial: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            ae.filter.map(f => when(Bridge.column(remap(f)), partial))
+              .getOrElse(partial)
+          if (ae.isDistinct) {
+            // DISTINCT over key/dim expressions: serve the UNCHANGED
+            // aggregate over the MV — the distinct input set is
+            // identical (see scaladoc). Confined to the five
+            // value-deterministic folds; an order-sensitive collector
+            // (collect_list) would expose row order, which the MV does
+            // not preserve — fail closed.
+            val fnOk = ae.aggregateFunction match {
+              case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+              case _ => false
+            }
+            if (fnOk && ae.aggregateFunction.children.forall(c =>
+                c.deterministic && refOk(c)))
+              Some(TrAgg((remap, _) => Bridge.column(remap(ae))))
+            else None
+          } else ae.aggregateFunction match {
             case Count(Seq(Literal(1, _))) =>
               // the GLOBAL rollup (no group keys) of an EMPTY view must
               // still answer 0, not sum-over-nothing's NULL
-              ri.countCol.map(c => Right(org.apache.spark.sql.functions
-                .coalesce(fsum(col(c)), org.apache.spark.sql.functions.lit(0L))))
-            case Count(Seq(attr: AttributeReference)) =>
+              ri.countCol.map(c => TrAgg((remap, st) =>
+                coalesce(fsum(guard(remap, st(c))), lit(0L))))
+            case Count(Seq(attr: AttributeReference))
+                if ri.cntMap.contains(attr.name) =>
               // count(col) = sum of the stored NON-NULL count partials
-              // (cnt_<c>, kept for every sum column since r16); same
-              // empty-global edge as count(*)
-              ri.cntMap.get(attr.name).map(c => Right(org.apache.spark.sql
-                .functions.coalesce(fsum(col(c)),
-                  org.apache.spark.sql.functions.lit(0L))))
+              // (cnt_<c>, kept for every sum column since r16)
+              ri.cntMap.get(attr.name).map(c => TrAgg((remap, st) =>
+                coalesce(fsum(guard(remap, st(c))), lit(0L))))
+            case Count(exprs) if ri.countCol.isDefined &&
+                exprs.forall(x => x.deterministic && refOk(x)) =>
+              // count of ANY deterministic key/dim expression: every MV
+              // row stands for `cnt` base rows sharing the expression's
+              // value, and count skips a row iff any argument is NULL —
+              // the same test, applied once per group instead of once
+              // per row
+              Some(TrAgg { (remap, st) =>
+                val nn = exprs.map(x => Bridge.column(remap(x)).isNotNull)
+                  .reduce(_ && _)
+                coalesce(fsum(when(nn, guard(remap, st(ri.countCol.get)))),
+                  lit(0L))
+              })
             case Average(attr: AttributeReference, _)
                 // exact for INTEGRAL inputs: both the direct query and
                 // this rollup divide the exact integer sum by the exact
@@ -1269,9 +1368,10 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               for {
                 sc <- ri.sumMap.get(attr.name)
                 cc <- ri.cntMap.get(attr.name)
-              } yield Right(
-                org.apache.spark.sql.functions.when(fsum(col(cc)) > 0,
-                  fsum(col(sc)).cast("double") / fsum(col(cc)).cast("double")))
+              } yield TrAgg((remap, st) =>
+                when(fsum(guard(remap, st(cc))) > 0,
+                  fsum(guard(remap, st(sc))).cast("double") /
+                    fsum(guard(remap, st(cc))).cast("double")))
             case Sum(attr: AttributeReference, _)
                 // a re-summed DECIMAL widens its precision (p+10 again),
                 // so the rolled column's type would not match the query's
@@ -1279,11 +1379,24 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 // points and float sums are order-nondeterministic in
                 // Spark's own partial aggregation already
                 if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-              ri.sumMap.get(attr.name).map(c => Right(fsum(col(c))))
+              ri.sumMap.get(attr.name).map(c => TrAgg((remap, st) =>
+                fsum(guard(remap, st(c)))))
+            // min/max of any deterministic key/dim expression: join-back
+            // replication never changes a min/max, and the expression is
+            // constant per (group, dim row) — evaluate it directly over
+            // MV rows (subsumes min/max of a bare key)
+            case Min(x) if x.deterministic && refOk(x) =>
+              Some(TrAgg((remap, _) =>
+                fmin(guard(remap, Bridge.column(remap(x))))))
+            case Max(x) if x.deterministic && refOk(x) =>
+              Some(TrAgg((remap, _) =>
+                fmax(guard(remap, Bridge.column(remap(x))))))
             case Min(attr: AttributeReference) =>
-              ri.minMap.get(attr.name).map(c => Right(fmin(col(c))))
+              ri.minMap.get(attr.name).map(c => TrAgg((remap, st) =>
+                fmin(guard(remap, st(c)))))
             case Max(attr: AttributeReference) =>
-              ri.maxMap.get(attr.name).map(c => Right(fmax(col(c))))
+              ri.maxMap.get(attr.name).map(c => TrAgg((remap, st) =>
+                fmax(guard(remap, st(c)))))
             case _ => None
           }
         // NO sketch-derived output is served (estimate OR raw bytes):
@@ -1292,73 +1405,108 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // in general — merge-structure-dependent numbers
         // (graft.HllProbe). The sketch TABLE is the serving surface for
         // uniques dashboards; the rewrite fails closed here.
+        case ex if ex.deterministic && refOk(ex) &&
+            !ex.exists(_.isInstanceOf[AggregateExpression]) && {
+          // a non-aggregate output that is not itself a grouping
+          // expression must be a deterministic FUNCTION of grouping
+          // expressions to be constant per query group (`SELECT
+          // year(day) … GROUP BY day`). Replace every grouping-expr
+          // occurrence top-down and require no free reference survives —
+          // the rule runs before CheckAnalysis, so this also refuses
+          // plans CheckAnalysis is about to reject.
+          ex.transform {
+            case sub if gExprs.exists(_.semanticEquals(sub)) => Literal(0)
+          }.references.isEmpty && gExprs.nonEmpty
+        } => Some(TrDerived(ex))
         case _ => None
       }
     }
+
     // COST PRE-FILTER: every check here is a name-set compare or a
     // local expression match — an aggregate query unrelated to any
     // armed view must be rejected BEFORE the O(subtree) child
     // serialization below (the exact-match path's (width, root)
     // discipline, on the rollup path)
-    val byName0 = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
-      .filter { case (_, ri) =>
-        gExprs.forall(_.references.forall(r => ri.groupMap.contains(r.name))) &&
-          a.aggregateExpressions.forall(e => translate(ri, e).isDefined)
+    shapes.iterator.flatMap { shape =>
+      val dimSet = shape.dim.map(d => d._1.outputSet).getOrElse(AttributeSet.empty)
+      def refOk(ri: RollupInfo, ex: Expression): Boolean =
+        ex.references.forall(r => dimSet.contains(r) || ri.groupMap.contains(r.name))
+      val byName = byRollup.filter { case (_, ri) =>
+        gExprs.forall(refOk(ri, _)) && shape.cond.forall(refOk(ri, _)) &&
+          shape.dim.forall(d => refOk(ri, d._2)) &&
+          a.aggregateExpressions.forall(e => translate(ri, dimSet, e).isDefined)
       }
-    if (byName0.isEmpty) return None
-    shapes.iterator.flatMap { case (cond, aggChild) =>
-    val byName = byName0.filter { case (_, ri) =>
-      cond.forall(_.references.forall(r => ri.groupMap.contains(r.name))) }
-    if (byName.isEmpty) Iterator.empty
-    else {
-    val childFp = fingerprint(aggChild)
-    byName.iterator.flatMap { case (v, ri) =>
-      if (ri.childFp != childFp) None
+      if (byName.isEmpty) Iterator.empty
       else {
-        val items = a.aggregateExpressions.map(e => translate(ri, e).get)
-        val aggCols = items.zipWithIndex.collect {
-          case (Right(c), i) => c.as(s"_r$i") }
-        // the whole rolled-plan construction analyzes MV-dir-backed
-        // plans — suppressed like the exact-match substitution, so the
-        // rule never re-enters itself mid-rewrite
-        suppressRewrite {
-          val mv0 = ManifestTable.read(spark, v.mvDir)
-          val mvPlan = mv0.queryExecution.analyzed
-          val outByName = mvPlan.output.map(o => o.name -> o).toMap
-          // re-target a base-side expression at the MV's own attributes
-          // (group keys are stored verbatim, so names map 1:1)
-          def remap(ex: org.apache.spark.sql.catalyst.expressions.Expression)
-              : org.apache.spark.sql.catalyst.expressions.Expression =
-            ex.transform {
-              case ar: AttributeReference => outByName(ri.groupMap(ar.name))
+        val childFp = fingerprint(shape.child)
+        byName.iterator.flatMap { case (v, ri) =>
+          if (ri.childFp != childFp) None
+          else {
+            val items = a.aggregateExpressions.map(e =>
+              translate(ri, dimSet, e).get)
+            // the whole rolled-plan construction analyzes MV-dir-backed
+            // plans — suppressed like the exact-match substitution, so the
+            // rule never re-enters itself mid-rewrite
+            suppressRewrite {
+              val mv0 = ManifestTable.read(spark, v.mvDir)
+              val mvPlan = mv0.queryExecution.analyzed
+              val outByName = mvPlan.output.map(o => o.name -> o).toMap
+              // re-target base-side references at the MV's stored keys;
+              // join-back dim references keep their original attributes
+              // (the dim subtree transplants verbatim, ids intact)
+              def remap(ex: Expression): Expression = ex.transform {
+                case ar: AttributeReference if !dimSet.contains(ar) =>
+                  outByName(ri.groupMap(ar.name))
+              }
+              var planned: LogicalPlan = mvPlan
+              shape.dim.foreach { case (dimPlan, jc, factOnLeft) =>
+                planned =
+                  if (factOnLeft) Join(planned, dimPlan, Inner,
+                    Some(remap(jc)), JoinHint.NONE)
+                  else Join(dimPlan, planned, Inner,
+                    Some(remap(jc)), JoinHint.NONE)
+              }
+              // the group-key (or key+dim) WHERE transfers to the MV rows
+              shape.cond.foreach(c => planned = Filter(remap(c), planned))
+              val mv = Bridge.ofRows(mv0, planned)
+              val aggCols = items.zipWithIndex.collect {
+                case (TrAgg(b), i) =>
+                  b(remap, c => Bridge.column(outByName(c))).as(s"_r$i") }
+              val gCols = gExprs.zipWithIndex.map { case (ge, i) =>
+                Bridge.column(remap(ge)).as(s"_g$i") }
+              // a group-cols-only query (the DISTINCT shape) has no
+              // aggregates — it's the distinct of the remapped group exprs
+              val rolled =
+                if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
+                else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
+              // restore the query's output ORDER (group keys may sit
+              // anywhere among the aggregates); a derived output
+              // re-computes from the _g columns it is a function of
+              val ordered = rolled.select(items.zipWithIndex.map {
+                case (TrGroup(g), _) => col(s"_g$g")
+                case (TrDerived(ex), _) => Bridge.column(ex.transform {
+                  case sub if gExprs.exists(_.semanticEquals(sub)) =>
+                    Bridge.expression(
+                      col(s"_g${gExprs.indexWhere(_.semanticEquals(sub))}"))
+                })
+                case (TrAgg(_), i) => col(s"_r$i")
+              }: _*).queryExecution.analyzed
+              // defensive: the rolled output must TYPE-match the query's
+              // (it does by construction; a slip here fails closed — the
+              // base computes the answer — never serves a changed type)
+              if (ordered.output.map(_.dataType) != a.output.map(_.dataType))
+                None
+              else {
+                recordHit(v.key)
+                // restore the query's attribute ids — parents of the
+                // rewritten node keep resolving against them
+                Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
+                  Alias(n, o.name)(exprId = o.exprId) }, ordered))
+              }
             }
-          // the group-key WHERE transfers to the MV's rows
-          val mv = cond match {
-            case Some(c) => org.apache.spark.sql.graftbridge.Bridge
-              .ofRows(mv0, Filter(remap(c), mvPlan))
-            case None => mv0
           }
-          val gCols = gExprs.zipWithIndex.map { case (ge, i) =>
-            org.apache.spark.sql.graftbridge.Bridge.column(remap(ge))
-              .as(s"_g$i") }
-          // a group-cols-only query (the DISTINCT shape) has no
-          // aggregates — it's the distinct of the remapped group exprs
-          val rolled =
-            if (aggCols.isEmpty) mv.select(gCols: _*).distinct()
-            else mv.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
-          // restore the query's output ORDER (group keys may sit
-          // anywhere among the aggregates), then its attribute ids
-          val ordered = rolled.select(items.zipWithIndex.map {
-            case (Left(g), _) => col(s"_g$g")
-            case (Right(_), i) => col(s"_r$i")
-          }: _*).queryExecution.analyzed
-          recordHit(v.key)
-          Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
-            Alias(n, o.name)(exprId = o.exprId) }, ordered))
         }
       }
-    }
-    }
     }.nextOption()
   }
 }

@@ -612,10 +612,13 @@ class MaterializedViewSpec extends SparkSpec {
     assert(qc.queryExecution.executedPlan.toString.contains("_mv_ru"))
     // fail-closed battery: shapes the stored partials GENUINELY cannot
     // reproduce — count/avg of a column with no stored cnt partial,
-    // DISTINCT, FILTER, non-key group expressions, unstored sums
+    // DISTINCT over a non-key column (multiplicity was folded away),
+    // FILTER over a non-key column, non-key group expressions, unstored
+    // sums. (DISTINCT/FILTER over KEY columns serve since r16 — their
+    // served pins live in the dedicated distinct/filter test.)
     spark.sql("SELECT g1, count(k) AS n FROM gmvs.ns.ru GROUP BY g1").collect()
     spark.sql("SELECT g1, avg(k) AS a FROM gmvs.ns.ru GROUP BY g1").collect()
-    spark.sql("SELECT g1, count(DISTINCT g2) AS n FROM gmvs.ns.ru GROUP BY g1")
+    spark.sql("SELECT g1, count(DISTINCT v) AS n FROM gmvs.ns.ru GROUP BY g1")
       .collect()
     spark.sql("SELECT g1, sum(v) FILTER (WHERE v > 5) AS s " +
       "FROM gmvs.ns.ru GROUP BY g1").collect()
@@ -625,8 +628,9 @@ class MaterializedViewSpec extends SparkSpec {
       "FROM gmvs.ns.ru GROUP BY upper(cast(v AS STRING))").collect()
     spark.sql("SELECT g1, sum(k) AS s FROM gmvs.ns.ru GROUP BY g1").collect()
     assert(GraftMaterializedViews.hits("mv_ru") == h0 + 5,
-      "count/avg of an unstored column, DISTINCT, FILTER, non-key-" +
-        "expression-group and unstored-sum must all fail closed to the base")
+      "count/avg of an unstored column, non-key DISTINCT, non-key " +
+        "FILTER, non-key-expression-group and unstored-sum must all " +
+        "fail closed to the base")
     // staleness gates rollup exactly like exact-match
     spark.sql("INSERT INTO gmvs.ns.ru VALUES (5,'a','z',100)")
     val q4 = spark.sql("SELECT g1, sum(v) AS sv FROM gmvs.ns.ru " +
@@ -1268,5 +1272,175 @@ class MaterializedViewSpec extends SparkSpec {
     assert(GraftMaterializedViews.fingerprintCalls.get() <= c1 + 2,
       "an exact match should fingerprint only width/root candidates")
     GraftMaterializedViews.drop("mv_t8")
+  }
+
+  test("DISTINCT aggregates and FILTER clauses over view keys serve from the MV (r16)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.dk (k BIGINT, g1 STRING, g2 BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.dk VALUES " +
+      "(1,'a',1,10),(2,'a',2,20),(3,'a',2,30),(4,'b',5,40),(5,'b',6,NULL)")
+    GraftMaterializedViews.registerAgg(spark, "mv_dk", "gmvs.ns.dk",
+      s"$wh/ns/dk", Seq("g1", "g2"), Seq("v"), s"$wh/ns/_mv_dk",
+      minCols = Seq("v"))
+    val h0 = GraftMaterializedViews.hits("mv_dk")
+    def hitsNow: Long = GraftMaterializedViews.hits("mv_dk")
+    // DISTINCT over a key: the MV holds EXACTLY one row per distinct
+    // (g1, g2) combination, so the distinct input set of g2 per g1 is
+    // identical over MV rows and base rows — the UNCHANGED aggregate
+    // over the MV is the exact answer
+    val qd = spark.sql("SELECT g1, count(DISTINCT g2) AS n FROM gmvs.ns.dk " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(qd.as[(String, Long)].collect().toSeq == Seq(("a", 2L), ("b", 2L)))
+    assert(hitsNow == h0 + 1, "count(DISTINCT key) must serve from the MV")
+    assert(qd.queryExecution.executedPlan.toString.contains("_mv_dk"),
+      "the distinct-over-key plan must scan the MV")
+    // sum/avg(DISTINCT key) — same distinct set, same operator, exact
+    // (no integral-only restriction: nothing is re-derived from partials)
+    assert(spark.sql("SELECT sum(DISTINCT g2) AS s FROM gmvs.ns.dk")
+      .as[Long].head() == 14L)
+    assert(hitsNow == h0 + 2)
+    val qa = spark.sql("SELECT g1, avg(DISTINCT g2) AS a FROM gmvs.ns.dk " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(qa.as[(String, Double)].collect().toSeq ==
+      Seq(("a", 1.5), ("b", 5.5)))
+    assert(hitsNow == h0 + 3)
+    // DISTINCT over an EXPRESSION of keys
+    val qe = spark.sql("SELECT g1, count(DISTINCT g2 % 2) AS n " +
+      "FROM gmvs.ns.dk GROUP BY g1 ORDER BY g1")
+    assert(qe.as[(String, Long)].collect().toSeq == Seq(("a", 2L), ("b", 2L)))
+    assert(hitsNow == h0 + 4)
+    // FILTER over keys guards the partials: constant per MV group, so
+    // `sum(when(p, partial))` folds exactly the groups the base kept
+    val qf = spark.sql("SELECT g1, sum(v) FILTER (WHERE g2 >= 2) AS s, " +
+      "count(*) FILTER (WHERE g2 = 2) AS n FROM gmvs.ns.dk " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(qf.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 50L, 2L), ("b", 40L, 0L)))
+    assert(hitsNow == h0 + 5, "FILTER over keys must serve from the MV")
+    assert(qf.queryExecution.executedPlan.toString.contains("_mv_dk"))
+    // filtered integral avg: both divisor and dividend guard identically
+    // (b keeps row (5,40) and the all-NULL (6,NULL) row — avg ignores it)
+    val qav = spark.sql("SELECT g1, avg(v) FILTER (WHERE g2 >= 2) AS a " +
+      "FROM gmvs.ns.dk GROUP BY g1 ORDER BY g1")
+    assert(qav.as[(String, Double)].collect().toSeq ==
+      Seq(("a", 25.0), ("b", 40.0)))
+    assert(hitsNow == h0 + 6)
+    // min with FILTER rides the stored min partial behind the guard
+    val qmn = spark.sql("SELECT g1, min(v) FILTER (WHERE g2 >= 2) AS m " +
+      "FROM gmvs.ns.dk GROUP BY g1 ORDER BY g1")
+    assert(qmn.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 20L), ("b", 40L)))
+    assert(hitsNow == h0 + 7)
+    // DISTINCT and FILTER compose when both stay on keys
+    val qdf = spark.sql("SELECT g1, count(DISTINCT g2) " +
+      "FILTER (WHERE g2 >= 2) AS n FROM gmvs.ns.dk GROUP BY g1 ORDER BY g1")
+    assert(qdf.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    assert(hitsNow == h0 + 8)
+    // a non-aggregate output that is a deterministic FUNCTION of the
+    // grouping expressions (not itself one) re-computes from the rolled
+    // group columns
+    val qdr = spark.sql("SELECT concat(g1, '_z') AS lbl, sum(v) AS s " +
+      "FROM gmvs.ns.dk GROUP BY g1 ORDER BY lbl")
+    assert(qdr.as[(String, Long)].collect().toSeq ==
+      Seq(("a_z", 60L), ("b_z", 40L)))
+    assert(hitsNow == h0 + 9,
+      "a derived function of grouping exprs must not block the rollup")
+    // fail-closed: DISTINCT over a NON-key (multiplicity folded away),
+    // FILTER over a NON-key, and an order-sensitive DISTINCT collector
+    // (the MV does not preserve row order)
+    spark.sql("SELECT g1, count(DISTINCT v) AS n FROM gmvs.ns.dk " +
+      "GROUP BY g1").collect()
+    spark.sql("SELECT g1, sum(v) FILTER (WHERE v > 15) AS s " +
+      "FROM gmvs.ns.dk GROUP BY g1").collect()
+    spark.sql("SELECT g1, collect_list(DISTINCT g2) AS l FROM gmvs.ns.dk " +
+      "GROUP BY g1").collect()
+    assert(hitsNow == h0 + 9,
+      "non-key DISTINCT/FILTER and order-sensitive collectors must " +
+        "fail closed to the base")
+    // staleness gates these paths exactly like every other rewrite
+    spark.sql("INSERT INTO gmvs.ns.dk VALUES (6,'a',9,1)")
+    val qs = spark.sql("SELECT g1, count(DISTINCT g2) AS n FROM gmvs.ns.dk " +
+      "GROUP BY g1 ORDER BY g1")
+    assert(qs.as[(String, Long)].collect().toSeq == Seq(("a", 3L), ("b", 2L)))
+    assert(hitsNow == h0 + 9, "a stale view must not serve DISTINCT")
+    GraftMaterializedViews.drop("mv_dk")
+  }
+
+  test("JOIN-BACK: an aggregate over base JOIN dim serves from MV JOIN dim (r16)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.jbf (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gmvs.ns.jbd (ck BIGINT, region STRING)")
+    spark.sql("INSERT INTO gmvs.ns.jbf VALUES " +
+      "(1,1,10),(2,1,20),(3,2,30),(4,3,40),(5,4,99)")
+    spark.sql("INSERT INTO gmvs.ns.jbd VALUES (1,'e'),(2,'e'),(3,'w')")
+    // the view is over the FACT ALONE — the dim arrives at query time
+    GraftMaterializedViews.registerAgg(spark, "mv_jb", "gmvs.ns.jbf",
+      s"$wh/ns/jbf", Seq("ck"), Seq("v"), s"$wh/ns/_mv_jb")
+    val h0 = GraftMaterializedViews.hits("mv_jb")
+    def hitsNow: Long = GraftMaterializedViews.hits("mv_jb")
+    // the star dashboard: group by a DIM attribute. ck=4 has no dim row
+    // (inner join drops it on both sides); e covers ck 1+2, w covers 3
+    val q1 = spark.sql("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM gmvs.ns.jbf JOIN gmvs.ns.jbd USING (ck) " +
+      "GROUP BY region ORDER BY region")
+    assert(q1.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("e", 3L, 60L), ("w", 1L, 40L)))
+    assert(hitsNow == h0 + 1,
+      "the dim-grouped star aggregate must serve from MV JOIN dim")
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(p1.contains("_mv_jb"), "the plan must scan the MV")
+    assert(!p1.contains("jbf/"), "the fact table must NOT be scanned")
+    // explicit ON condition, avg folded from the partials
+    val q2 = spark.sql("SELECT d.region, avg(f.v) AS a " +
+      "FROM gmvs.ns.jbf f JOIN gmvs.ns.jbd d ON f.ck = d.ck " +
+      "GROUP BY d.region ORDER BY d.region")
+    assert(q2.as[(String, Double)].collect().toSeq ==
+      Seq(("e", 20.0), ("w", 40.0)))
+    assert(hitsNow == h0 + 2)
+    // min/max of a DIM column: replication never changes a min/max
+    val q3 = spark.sql("SELECT ck, max(region) AS mr FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck) GROUP BY ck ORDER BY ck")
+    assert(q3.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "e"), (2L, "e"), (3L, "w")))
+    assert(hitsNow == h0 + 3)
+    // DISTINCT over a dim column: the (key, dim-row) pair set is
+    // identical between base-join and MV-join
+    assert(spark.sql("SELECT count(DISTINCT region) AS n FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck)").as[Long].head() == 2L)
+    assert(hitsNow == h0 + 4)
+    // a WHERE above the join transfers (keys and dim columns both allowed)
+    val q4 = spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck) WHERE region <> 'w' AND ck < 9 " +
+      "GROUP BY region")
+    assert(q4.as[(String, Long)].collect().toSeq == Seq(("e", 60L)))
+    assert(hitsNow == h0 + 5)
+    // fail-closed: sum over a DIM column weighs dim values by fact
+    // multiplicity, which the MV folded away; LEFT joins change the
+    // unmatched-row story; a join keyed on a NON-key fact column
+    // cannot remap
+    spark.sql("SELECT region, sum(ck) AS s FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck) GROUP BY region").collect()
+    spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
+      "LEFT JOIN gmvs.ns.jbd USING (ck) GROUP BY region").collect()
+    spark.sql("SELECT region, count(*) AS n FROM gmvs.ns.jbf f " +
+      "JOIN gmvs.ns.jbd d ON f.v = d.ck GROUP BY region").collect()
+    assert(hitsNow == h0 + 5,
+      "dim-weighted sums, outer joins and non-key join conditions must " +
+        "fail closed to the base")
+    // staleness of the FACT gates the join-back like every rewrite
+    spark.sql("INSERT INTO gmvs.ns.jbf VALUES (6,1,5)")
+    val q5 = spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck) GROUP BY region ORDER BY region")
+    assert(q5.as[(String, Long)].collect().toSeq ==
+      Seq(("e", 65L), ("w", 40L)))
+    assert(hitsNow == h0 + 5, "a stale fact must fail the join-back closed")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_jb")
+    val q6 = spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
+      "JOIN gmvs.ns.jbd USING (ck) GROUP BY region ORDER BY region")
+    assert(q6.as[(String, Long)].collect().toSeq ==
+      Seq(("e", 65L), ("w", 40L)))
+    assert(hitsNow == h0 + 6, "refresh must re-arm the join-back")
+    GraftMaterializedViews.drop("mv_jb")
   }
 }
