@@ -2829,6 +2829,22 @@ object WarehouseQueries {
     q2.collect(): Unit
     require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
       "q431: distinct-over-dim with a transferred WHERE must serve")
+    // MULTI-DIM snowflake chain: zone joins on a column INTRODUCED BY
+    // the first dim — the flattened join tree rebuilds greedily from
+    // the MV outward, every join delta-sized
+    s.sql("DROP TABLE IF EXISTS graft_cat431.db.zone")
+    s.sql("CREATE TABLE graft_cat431.db.zone (region STRING, zone STRING)")
+    s.sql("INSERT INTO graft_cat431.db.zone " +
+      "SELECT DISTINCT concat('r', ck % 5), concat('z', ck % 5 % 2) " +
+      "FROM q431_src WHERE ck < 40")
+    val qz = s.sql("SELECT zone, count(*) AS n, sum(cents) AS s " +
+      "FROM graft_cat431.db.fact JOIN graft_cat431.db.dim USING (ck) " +
+      "JOIN graft_cat431.db.zone USING (region) GROUP BY zone")
+    qz.collect(): Unit
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 3,
+      "q431: the two-dim snowflake chain must be MV-served")
+    require(qz.queryExecution.executedPlan.toString.contains("_mv_star"),
+      "q431: the snowflake join-back plan must scan the MV")
     // fail-closed: a dim-weighted sum needs per-row fact multiplicity;
     // a LEFT join changes the unmatched-group story
     s.sql("SELECT region, sum(ck) AS s FROM graft_cat431.db.fact " +
@@ -2836,7 +2852,7 @@ object WarehouseQueries {
     s.sql("SELECT region, sum(cents) AS s FROM graft_cat431.db.fact " +
       "LEFT JOIN graft_cat431.db.dim USING (ck) GROUP BY region")
       .collect(): Unit
-    require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 3,
       "q431: dim-weighted sums and outer joins must fail closed")
     // fact churn: ingest + GDPR purge, ONE fold re-arms the join-back
     ManifestTable.commit(s.sql("SELECT k, ck, cents FROM q431_src " +
@@ -2844,12 +2860,12 @@ object WarehouseQueries {
     ManifestTable.delete(s.sql("SELECT k FROM q431_src WHERE k % 10 = 3"),
       factDir, "k")
     s.sql(dash).collect(): Unit
-    require(GraftMaterializedViews.hits("q431_mv") == h0 + 2,
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 3,
       "q431: the stale fact must fail the join-back closed")
     GraftMaterializedViews.refreshIncremental(s, "q431_mv")
     val q3 = s.sql(dash)
     q3.collect(): Unit
-    require(GraftMaterializedViews.hits("q431_mv") == h0 + 3,
+    require(GraftMaterializedViews.hits("q431_mv") == h0 + 4,
       "q431: the refreshed view must serve the dashboard again")
     require(q3.queryExecution.executedPlan.toString.contains("_mv_star"),
       "q431: the post-refresh plan must scan the MV")

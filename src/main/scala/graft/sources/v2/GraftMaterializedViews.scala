@@ -1215,17 +1215,19 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     *    guards the partial — `sum(when(p, partial))` folds exactly the
     *    groups whose rows the base aggregate would have kept (the pivot
     *    dashboard: one pass, N conditional columns).
-    *  - **JOIN-BACK**: `Aggregate(fact ⋈ dim)` grouped by dim
-    *    attributes serves from `MV ⋈ dim` when the join is INNER, its
-    *    condition is deterministic with fact-side references confined
-    *    to view keys: the match set is decided per (key combo, dim
-    *    row), so the join replicates every MV group exactly as it
-    *    replicates that group's base rows. count(*) folds the count
-    *    partial across the replication; sum/count/avg of fact columns
-    *    fold their partials; min/max and DISTINCT aggregates of any
-    *    key/dim expression evaluate directly (replication never changes
-    *    a min, a max, or a distinct set). The dim subtree transplants
-    *    VERBATIM (same attribute ids), so it is read at whatever
+    *  - **JOIN-BACK**: `Aggregate(fact ⋈ d1 ⋈ … ⋈ dn)` grouped by dim
+    *    attributes serves from `MV ⋈ d1 ⋈ … ⋈ dn` when every join in
+    *    the flattened tree is INNER with a deterministic condition
+    *    whose fact-side references are confined to view keys (the
+    *    star AND the snowflake chain — a dim-to-dim condition is
+    *    allowed outright): the match set is decided per (key combo,
+    *    dim-row tuple), so the joins replicate every MV group exactly
+    *    as they replicate that group's base rows. count(*) folds the
+    *    count partial across the replication; sum/count/avg of fact
+    *    columns fold their partials; min/max and DISTINCT aggregates
+    *    of any key/dim expression evaluate directly (replication never
+    *    changes a min, a max, or a distinct set). Dim subtrees
+    *    transplant VERBATIM (same attribute ids), read at whatever
     *    version the query itself planned. Aggregates that WEIGH dim
     *    columns by fact multiplicity (sum/avg of a dim column) fail
     *    closed.
@@ -1251,26 +1253,45 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // join-back (with or without a transferred WHERE above the join). A
     // query WHERE that only EXTENDS a filtered view's predicate fails
     // closed (neither fingerprint matches).
+    // A join shape carries the OTHER leaves of the flattened inner-join
+    // tree plus every join condition; one Shape is generated per leaf,
+    // each trying that leaf as the view-backed side
     final case class Shape(cond: Option[Expression], child: LogicalPlan,
-                           dim: Option[(LogicalPlan, Expression, Boolean)])
+                           dims: Seq[LogicalPlan],
+                           joinConds: Seq[Expression])
     // `FROM a JOIN b USING (k)` analyzes as Project(attrs, Join) — the
     // Project only forwards attributes (ids intact), so it is
     // transparent to the join-back reconstruction, which re-references
-    // those attributes directly over MV ⋈ dim
+    // those attributes directly over MV ⋈ dims
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         unwrap(ch)
       case other => other
     }
-    def joinShapes(c: Option[Expression], p: LogicalPlan): Seq[Shape] = p match {
-      case Join(l, r, Inner, Some(jc), _) if jc.deterministic =>
-        Seq(Shape(c, l, Some((r, jc, true))), Shape(c, r, Some((l, jc, false))))
-      case _ => Nil
+    // flatten a tree of INNER joins with deterministic conditions into
+    // (leaves, conditions) — the multi-dimension star/snowflake shape.
+    // Anything else (outer join, non-deterministic or missing condition)
+    // stays an opaque leaf and transplants verbatim if it lands on the
+    // dim side, or fails the fingerprint match if it would be the fact.
+    def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+      unwrap(p) match {
+        case Join(l, r, Inner, Some(jc), _) if jc.deterministic =>
+          val (ll, lc) = flatten(l); val (rl, rc) = flatten(r)
+          (ll ++ rl, lc ++ rc :+ jc)
+        case other => (Seq(other), Nil)
+      }
+    def joinShapes(c: Option[Expression], p: LogicalPlan): Seq[Shape] = {
+      val (leaves, conds) = flatten(p)
+      // 2..6 leaves: a single leaf is not a join; beyond 6 the k shapes
+      // × per-shape checks stop being the cheap pre-filter they must be
+      if (leaves.size < 2 || leaves.size > 6) Nil
+      else leaves.indices.map(i =>
+        Shape(c, leaves(i), leaves.patch(i, Nil, 1), conds))
     }
-    val shapes = Shape(None, a.child, None) +: (a.child match {
+    val shapes = Shape(None, a.child, Nil, Nil) +: (a.child match {
       case Filter(c, ch) if c.deterministic =>
-        Shape(Some(c), ch, None) +: joinShapes(Some(c), unwrap(ch))
-      case other => joinShapes(None, unwrap(other))
+        Shape(Some(c), ch, Nil, Nil) +: joinShapes(Some(c), ch)
+      case other => joinShapes(None, other)
     })
 
     // translate each output expression against a view's stored partials
@@ -1428,12 +1449,12 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // serialization below (the exact-match path's (width, root)
     // discipline, on the rollup path)
     shapes.iterator.flatMap { shape =>
-      val dimSet = shape.dim.map(d => d._1.outputSet).getOrElse(AttributeSet.empty)
+      val dimSet = AttributeSet(shape.dims.flatMap(_.output))
       def refOk(ri: RollupInfo, ex: Expression): Boolean =
         ex.references.forall(r => dimSet.contains(r) || ri.groupMap.contains(r.name))
       val byName = byRollup.filter { case (_, ri) =>
         gExprs.forall(refOk(ri, _)) && shape.cond.forall(refOk(ri, _)) &&
-          shape.dim.forall(d => refOk(ri, d._2)) &&
+          shape.joinConds.forall(refOk(ri, _)) &&
           a.aggregateExpressions.forall(e => translate(ri, dimSet, e).isDefined)
       }
       if (byName.isEmpty) Iterator.empty
@@ -1458,13 +1479,39 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case ar: AttributeReference if !dimSet.contains(ar) =>
                   outByName(ri.groupMap(ar.name))
               }
+              // greedy join rebuild, MV first: attach at each step a
+              // leaf that some pending condition connects to the frame
+              // built so far (the original tree is connected, so fact-
+              // first traversal always finds one); every condition
+              // lands on the FIRST join where all its references are in
+              // scope. Inner-join algebra is associative/commutative
+              // over the same conjunction set, so this reproduces the
+              // original multiset with the delta-sized MV as the
+              // build-out spine.
               var planned: LogicalPlan = mvPlan
-              shape.dim.foreach { case (dimPlan, jc, factOnLeft) =>
-                planned =
-                  if (factOnLeft) Join(planned, dimPlan, Inner,
-                    Some(remap(jc)), JoinHint.NONE)
-                  else Join(dimPlan, planned, Inner,
-                    Some(remap(jc)), JoinHint.NONE)
+              if (shape.dims.nonEmpty) {
+                val pendingLeaves = mutable.Buffer(shape.dims: _*)
+                val pendingConds = mutable.Buffer(shape.joinConds.map(remap): _*)
+                var avail = AttributeSet(mvPlan.output)
+                while (pendingLeaves.nonEmpty) {
+                  val i = {
+                    val c = pendingLeaves.indexWhere(l => pendingConds.exists(
+                      _.references.subsetOf(avail ++ l.outputSet)))
+                    if (c >= 0) c else 0
+                  }
+                  val leaf = pendingLeaves.remove(i)
+                  avail = avail ++ leaf.outputSet
+                  val usable = pendingConds.filter(
+                    _.references.subsetOf(avail)).toSeq
+                  pendingConds --= usable
+                  planned = Join(planned, leaf, Inner,
+                    usable.reduceOption(org.apache.spark.sql.catalyst
+                      .expressions.And), JoinHint.NONE)
+                }
+                // a condition whose references span leaves joined
+                // earlier cannot remain: every condition attaches at
+                // the first join closing over its references
+                pendingConds.foreach(c => planned = Filter(c, planned))
               }
               // the group-key (or key+dim) WHERE transfers to the MV rows
               shape.cond.foreach(c => planned = Filter(remap(c), planned))

@@ -1428,19 +1428,34 @@ class MaterializedViewSpec extends SparkSpec {
     assert(hitsNow == h0 + 5,
       "dim-weighted sums, outer joins and non-key join conditions must " +
         "fail closed to the base")
+    // MULTI-DIM join-back: the snowflake chain fact ⋈ d1 ⋈ d2, where
+    // d2 joins on a column INTRODUCED BY d1 (a dim-to-dim condition) —
+    // the flattened tree rebuilds greedily from the MV outward
+    spark.sql("CREATE TABLE gmvs.ns.jbz (region STRING, zone STRING)")
+    spark.sql("INSERT INTO gmvs.ns.jbz VALUES ('e','east'),('w','west')")
+    val qz = spark.sql("SELECT zone, count(*) AS n, sum(v) AS s, " +
+      "max(region) AS mr FROM gmvs.ns.jbf JOIN gmvs.ns.jbd USING (ck) " +
+      "JOIN gmvs.ns.jbz USING (region) GROUP BY zone ORDER BY zone")
+    assert(qz.as[(String, Long, Long, String)].collect().toSeq ==
+      Seq(("east", 3L, 60L, "e"), ("west", 1L, 40L, "w")))
+    assert(hitsNow == h0 + 6,
+      "the two-dim snowflake chain must serve from MV JOIN d1 JOIN d2")
+    val pz = qz.queryExecution.executedPlan.toString
+    assert(pz.contains("_mv_jb") && !pz.contains("jbf/"),
+      "the snowflake join-back plan must scan the MV, never the fact")
     // staleness of the FACT gates the join-back like every rewrite
     spark.sql("INSERT INTO gmvs.ns.jbf VALUES (6,1,5)")
     val q5 = spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
       "JOIN gmvs.ns.jbd USING (ck) GROUP BY region ORDER BY region")
     assert(q5.as[(String, Long)].collect().toSeq ==
       Seq(("e", 65L), ("w", 40L)))
-    assert(hitsNow == h0 + 5, "a stale fact must fail the join-back closed")
+    assert(hitsNow == h0 + 6, "a stale fact must fail the join-back closed")
     GraftMaterializedViews.refreshIncremental(spark, "mv_jb")
     val q6 = spark.sql("SELECT region, sum(v) AS s FROM gmvs.ns.jbf " +
       "JOIN gmvs.ns.jbd USING (ck) GROUP BY region ORDER BY region")
     assert(q6.as[(String, Long)].collect().toSeq ==
       Seq(("e", 65L), ("w", 40L)))
-    assert(hitsNow == h0 + 6, "refresh must re-arm the join-back")
+    assert(hitsNow == h0 + 7, "refresh must re-arm the join-back")
     GraftMaterializedViews.drop("mv_jb")
   }
 }
