@@ -1268,25 +1268,50 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         unwrap(ch)
       case other => other
     }
-    // flatten a tree of INNER joins with deterministic conditions into
-    // (leaves, conditions) — the multi-dimension star/snowflake shape.
-    // Anything else (outer join, non-deterministic or missing condition)
-    // stays an opaque leaf and transplants verbatim if it lands on the
-    // dim side, or fails the fingerprint match if it would be the fact.
-    def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
-      unwrap(p) match {
-        case Join(l, r, Inner, Some(jc), _) if jc.deterministic =>
-          val (ll, lc) = flatten(l); val (rl, rc) = flatten(r)
-          (ll ++ rl, lc ++ rc :+ jc)
-        case other => (Seq(other), Nil)
-      }
+    // flatten a tree of INNER joins with deterministic conditions —
+    // the multi-dimension star/snowflake shape — and enumerate EVERY
+    // node of the tree as a candidate view-backed side: a leaf covers
+    // the fact-only view, an internal node covers a JOIN-DEFINED view
+    // (registerJoinAgg / snowflake) that a query extends with further
+    // dims. Each candidate keeps the leaves outside its subtree as
+    // transplanted dims and the conditions outside its subtree as the
+    // join conditions to rebuild. Anything non-inner/non-deterministic
+    // stays an opaque leaf: verbatim on the dim side, fingerprint-
+    // mismatched if it would be the fact.
     def joinShapes(c: Option[Expression], p: LogicalPlan): Seq[Shape] = {
-      val (leaves, conds) = flatten(p)
-      // 2..6 leaves: a single leaf is not a join; beyond 6 the k shapes
-      // × per-shape checks stop being the cheap pre-filter they must be
-      if (leaves.size < 2 || leaves.size > 6) Nil
-      else leaves.indices.map(i =>
-        Shape(c, leaves(i), leaves.patch(i, Nil, 1), conds))
+      // per node: (subtree AS WRITTEN — Project wrappers intact, so a
+      // USING-join view's childFp matches —, leaves under it, conds
+      // under it)
+      val nodes = mutable.Buffer.empty[(LogicalPlan, Seq[LogicalPlan], Seq[Expression])]
+      def walk(q: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) = {
+        val res = unwrap(q) match {
+          case Join(l, r, Inner, Some(jc), _) if jc.deterministic =>
+            val (ll, lc) = walk(l); val (rl, rc) = walk(r)
+            (ll ++ rl, lc ++ rc :+ jc)
+          case other => (Seq(other), Nil)
+        }
+        nodes += ((q, res._1, res._2))
+        res
+      }
+      val (allLeaves, allConds) = walk(p)
+      // 2..6 leaves: a single leaf is not a join; beyond 6 the shape
+      // count × per-shape checks stop being the cheap pre-filter they
+      // must be
+      if (allLeaves.size < 2 || allLeaves.size > 6) Nil
+      else nodes.toSeq.flatMap { case (sub, under, condsUnder) =>
+        val dims = allLeaves.filterNot(l => under.exists(_ eq l))
+        // dims empty = the root: the plain (non-join) shapes cover it
+        if (dims.isEmpty) Nil
+        else {
+          val conds = allConds.filterNot(cd => condsUnder.exists(_ eq cd))
+          // a leaf candidate is matched both as written and unwrapped
+          // (a bare-attribute Project above a leaf is not part of any
+          // view definition's child)
+          val u = unwrap(sub)
+          val children = if (u eq sub) Seq(sub) else Seq(sub, u)
+          children.map(ch => Shape(c, ch, dims, conds))
+        }
+      }
     }
     val shapes = Shape(None, a.child, Nil, Nil) +: (a.child match {
       case Filter(c, ch) if c.deterministic =>

@@ -685,6 +685,23 @@ class MaterializedViewSpec extends SparkSpec {
       "a coarser grouping over the SAME join subtree must roll up the " +
         "join MV — the fact is never re-joined")
     assert(jq.queryExecution.executedPlan.toString.contains("_mv_rj"))
+    // a JOIN-DEFINED view serves a query that EXTENDS the same join
+    // subtree with a further dim (r16 subtree join-back): the candidate
+    // child is the internal node fact ⋈ rjd, the extra dim transplants
+    val h2 = GraftMaterializedViews.hits("mv_rj")
+    spark.sql("CREATE TABLE gmvs.ns.rjz (grp STRING, zone STRING)")
+    spark.sql("INSERT INTO gmvs.ns.rjz VALUES ('a','north'),('b','south')")
+    val jz = spark.sql("SELECT zone, count(*) AS n, sum(v) AS sv " +
+      "FROM gmvs.ns.rjf JOIN gmvs.ns.rjd USING (jk) " +
+      "JOIN gmvs.ns.rjz USING (grp) GROUP BY zone ORDER BY zone")
+    assert(jz.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("north", 2L, 30L), ("south", 1L, 5L)))
+    assert(GraftMaterializedViews.hits("mv_rj") == h2 + 1,
+      "a join view extended by a further dim must serve via the " +
+        "subtree join-back — the fact ⋈ rjd history is never re-joined")
+    val pz2 = jz.queryExecution.executedPlan.toString
+    assert(pz2.contains("_mv_rj") && !pz2.contains("ns/rjf"),
+      "the extended-join plan must scan the MV, never the fact")
     GraftMaterializedViews.drop("mv_rj")
   }
 
