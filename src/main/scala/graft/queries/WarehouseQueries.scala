@@ -2874,6 +2874,103 @@ object WarehouseQueries {
   }
 
 
+  // q432: THE BI CUBE FROM THE MV (r16) — `GROUP BY ROLLUP/CUBE/
+  // GROUPING SETS` analyzes as Aggregate over an Expand that replicates
+  // every input row once per grouping set with the set's keys nulled.
+  // The containment rewrite replays that exact Expand over the MV: each
+  // group's PARTIALS replicate once per set, and aggregating by
+  // (copies, grouping_id) merges MV groups into each cell exactly as
+  // the base merges rows — count(*) folds the count partial, sum folds
+  // sums, DISTINCT over keys evaluates directly. Require-pinned:
+  // ROLLUP, CUBE and explicit GROUPING SETS (with count(DISTINCT key))
+  // all serve (hits + MV-scan plans); a grouping() projection of the
+  // gid and a DISTINCT over the non-key measure fail closed; a GDPR
+  // delete + one fold re-arms. Oracle recomputes the rollup lattice
+  // from raw rows (the gate output labels the null cells 'ALL' so both
+  // engines order identically). At 100 TB: the BI cube — one query
+  // rendering every subtotal level — reads |sets| × |groups| MV
+  // replicas instead of scanning the fact once per dashboard render.
+  def mvCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q432_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.GraftMaterializedViews
+    s.conf.set("spark.sql.catalog.graft_cat432", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat432.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") % 8).as("bucket"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q432_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat432.db.base")
+    s.sql("CREATE TABLE graft_cat432.db.base (pri STRING, bucket BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat432.db.base " +
+      "SELECT pri, bucket, cents FROM q432_src")
+    val baseDir = s"$out/db/base"
+    GraftMaterializedViews.registerAgg(s, "q432_mv",
+      "graft_cat432.db.base", baseDir, Seq("pri", "bucket"),
+      Seq("cents"), s"$out/db/_mv_cube")
+    val h0 = GraftMaterializedViews.hits("q432_mv")
+    val rollup = "SELECT pri, bucket, count(*) AS n_rows, " +
+      "sum(cents) AS sum_cents FROM graft_cat432.db.base " +
+      "GROUP BY ROLLUP(pri, bucket)"
+    val q1 = s.sql(rollup)
+    q1.collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 1,
+      "q432: GROUP BY ROLLUP must be MV-served")
+    require(q1.queryExecution.executedPlan.toString.contains("_mv_cube"),
+      "q432: the rollup-cube plan must scan the MV, not the base")
+    // the full CUBE (adds the bucket-only sets)
+    val qc = s.sql("SELECT pri, bucket, sum(cents) AS s " +
+      "FROM graft_cat432.db.base GROUP BY CUBE(pri, bucket)")
+    qc.collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 2,
+      "q432: GROUP BY CUBE must be MV-served")
+    // explicit GROUPING SETS with a DISTINCT-over-key aggregate
+    val qg = s.sql("SELECT pri, count(DISTINCT bucket) AS nb " +
+      "FROM graft_cat432.db.base GROUP BY GROUPING SETS ((pri), ())")
+    qg.collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 3,
+      "q432: GROUPING SETS with count(DISTINCT key) must be MV-served")
+    require(qg.queryExecution.executedPlan.toString.contains("_mv_cube"),
+      "q432: the grouping-sets plan must scan the MV")
+    // fail-closed: a grouping() projection of the gid, and DISTINCT
+    // over the non-key measure
+    s.sql("SELECT pri, grouping(pri) AS gi, count(*) AS n " +
+      "FROM graft_cat432.db.base GROUP BY ROLLUP(pri)").collect(): Unit
+    s.sql("SELECT pri, count(DISTINCT cents) AS n " +
+      "FROM graft_cat432.db.base GROUP BY ROLLUP(pri, bucket)")
+      .collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 3,
+      "q432: grouping() projections and non-key DISTINCT must fail closed")
+    // GDPR delete, then ONE incremental fold re-arms the cube
+    ManifestTable.delete(s.sql("SELECT cents FROM q432_src WHERE k % 10 = 4"),
+      baseDir, "cents")
+    s.sql(rollup).collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 3,
+      "q432: the stale view must not serve the cube")
+    GraftMaterializedViews.refreshIncremental(s, "q432_mv")
+    val q2 = s.sql(rollup)
+    q2.collect(): Unit
+    require(GraftMaterializedViews.hits("q432_mv") == h0 + 4,
+      "q432: the refreshed view must serve the cube again")
+    require(q2.queryExecution.executedPlan.toString.contains("_mv_cube"),
+      "q432: the post-refresh plan must scan the MV")
+    GraftMaterializedViews.drop("q432_mv")
+    // gate output: label the rolled-up (null) cells so both engines
+    // order identically; the rewrite already served the inner Aggregate
+    q2.select(coalesce($"pri", lit("ALL")).as("pri"),
+        coalesce($"bucket".cast("string"), lit("ALL")).as("bucket"),
+        $"n_rows", $"sum_cents")
+      .orderBy($"pri", $"bucket")
+  }
+
+
   // q429: FILTERED (HOT-WINDOW) MV (r16) — the standard production
   // dashboard view the registry could not declare before: "last 90 days
   // of events by (day, type)". `create_filtered_mv` stores the predicate
@@ -5375,6 +5472,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q432_mv_cube" -> mvCube _,
     "q431_mv_join_back" -> mvJoinBack _,
     "q430_mv_distinct_filter" -> mvDistinctFilter _,
     "q429_mv_filtered" -> mvFiltered _,
@@ -5487,6 +5585,22 @@ object WarehouseQueries {
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
         |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q432: the oracle recomputes the ROLLUP lattice from raw rows —
+    // a replayed Expand that lost a set, double-counted a replica, or
+    // served stale partials moves subtotal cells
+    "q432_mv_cube" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |b AS (SELECT pri, k % 8 AS bucket, k * 2 AS cents
+        |  FROM src WHERE k % 10 <> 4),
+        |r AS (SELECT pri, bucket, count(*) AS n_rows,
+        |    sum(cents) AS sum_cents
+        |  FROM b GROUP BY ROLLUP(pri, bucket))
+        |SELECT coalesce(pri, 'ALL') AS pri,
+        |  coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents
+        |FROM r ORDER BY pri, bucket""".stripMargin,
     // q430: the oracle recomputes the pivot from raw rows — a distinct
     // set polluted by fold-away multiplicity, a FILTER guard applied to
     // the wrong band, or a leaked deleted row all move the hash

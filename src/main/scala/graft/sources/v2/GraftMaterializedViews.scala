@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -132,6 +132,22 @@ object GraftMaterializedViews {
                               minMap: Map[String, String],
                               maxMap: Map[String, String],
                               cntMap: Map[String, String] = Map.empty)
+
+  /** Output-expression translation result for the containment rewrite
+    * (private to the rule, hosted here so the case classes carry no
+    * outer-instance reference): TrGroup(i) = a semantic copy of the
+    * i-th grouping expression; TrDerived = a deterministic function of
+    * grouping expressions (constant per query group); TrAgg = a
+    * servable aggregate. TrAgg's build args: (base→MV attribute
+    * remapper, stored-partial-column resolver — the resolver returns
+    * the MV's OWN attribute for a stored column name, never a bare
+    * col() lookup, which could collide with a same-named dim column in
+    * the join-back frame). */
+  private[v2] sealed trait Tr
+  private[v2] final case class TrGroup(i: Int) extends Tr
+  private[v2] final case class TrDerived(ex: Expression) extends Tr
+  private[v2] final case class TrAgg(build: (Expression => Expression,
+      String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column) extends Tr
 
   final case class MvDef(name: String, defSql: String, mvDir: String,
                          deps: Seq[(String, Int)], fingerprint: String,
@@ -1176,12 +1192,155 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Alias(n, o.name)(exprId = o.exprId) }, mv)
           case None => p match {
             case a: Aggregate if anyRollup =>
-              tryRollup(a, fresh).getOrElse(p)
+              tryRollup(a, fresh).orElse(tryExpandRollup(a, fresh)).getOrElse(p)
             case _ => p
           }
         }
     }
   }
+  // translate each output expression against a view's stored partials
+  // given the shape's join-back side: TrGroup(i) for (a semantic copy
+  // of) the i-th grouping expression, TrDerived for a deterministic
+  // function OF grouping expressions (constant per query group),
+  // TrAgg(build) for a servable aggregate — `build` takes the
+  // base→MV attribute remapper, constructed only once a view's child
+  // fingerprint matches. None anywhere → this view can't serve.
+
+  private def translate(ri: RollupInfo, gExprs: Seq[Expression],
+      dimSet: AttributeSet, e: NamedExpression): Option[Tr] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.graftbridge.Bridge
+    // a reference is servable iff it is a view group key (remaps to
+    // the MV's stored key column) or comes from the join-back dim
+    // side (kept verbatim — the dim subtree transplants with its ids)
+    def refOk(ex: Expression): Boolean = ex.references.forall(r =>
+      dimSet.contains(r) || ri.groupMap.contains(r.name))
+    val stripped = e match { case Alias(c, _) => c; case other => other }
+    val gi = gExprs.indexWhere(_.semanticEquals(stripped))
+    if (gi >= 0) return Some(TrGroup(gi))
+    stripped match {
+      case ae: AggregateExpression =>
+        // a FILTER (WHERE p) over keys/dim columns is constant per MV
+        // group (and per (group, dim row) pair), so it guards the
+        // partial: rows failing p contribute NULL, which
+        // sum/min/max/count all skip — exactly the rows the base
+        // aggregate would have skipped
+        if (!ae.filter.forall(f => f.deterministic && refOk(f))) return None
+        def guard(remap: Expression => Expression,
+                  partial: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          ae.filter.map(f => when(Bridge.column(remap(f)), partial))
+            .getOrElse(partial)
+        if (ae.isDistinct) {
+          // DISTINCT over key/dim expressions: serve the UNCHANGED
+          // aggregate over the MV — the distinct input set is
+          // identical (see scaladoc). Confined to the five
+          // value-deterministic folds; an order-sensitive collector
+          // (collect_list) would expose row order, which the MV does
+          // not preserve — fail closed.
+          val fnOk = ae.aggregateFunction match {
+            case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+            case _ => false
+          }
+          if (fnOk && ae.aggregateFunction.children.forall(c =>
+              c.deterministic && refOk(c)))
+            Some(TrAgg((remap, _) => Bridge.column(remap(ae))))
+          else None
+        } else ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) =>
+            // the GLOBAL rollup (no group keys) of an EMPTY view must
+            // still answer 0, not sum-over-nothing's NULL
+            ri.countCol.map(c => TrAgg((remap, st) =>
+              coalesce(fsum(guard(remap, st(c))), lit(0L))))
+          case Count(Seq(attr: AttributeReference))
+              if ri.cntMap.contains(attr.name) =>
+            // count(col) = sum of the stored NON-NULL count partials
+            // (cnt_<c>, kept for every sum column since r16)
+            ri.cntMap.get(attr.name).map(c => TrAgg((remap, st) =>
+              coalesce(fsum(guard(remap, st(c))), lit(0L))))
+          case Count(exprs) if ri.countCol.isDefined &&
+              exprs.forall(x => x.deterministic && refOk(x)) =>
+            // count of ANY deterministic key/dim expression: every MV
+            // row stands for `cnt` base rows sharing the expression's
+            // value, and count skips a row iff any argument is NULL —
+            // the same test, applied once per group instead of once
+            // per row
+            Some(TrAgg { (remap, st) =>
+              val nn = exprs.map(x => Bridge.column(remap(x)).isNotNull)
+                .reduce(_ && _)
+              coalesce(fsum(when(nn, guard(remap, st(ri.countCol.get)))),
+                lit(0L))
+            })
+          case Average(attr: AttributeReference, _)
+              // exact for INTEGRAL inputs: both the direct query and
+              // this rollup divide the exact integer sum by the exact
+              // non-null count in double arithmetic (Spark's Average
+              // accumulates integral input through doubles — exact
+              // below 2^53, and the fold pins sum(sum)/sum(cnt)
+              // bit-equal to Spark's avg there). DECIMAL avg re-widens
+              // scale (p+4/s+4) and float avg is order-dependent in
+              // the partials themselves — both fail closed.
+              if Seq(org.apache.spark.sql.types.ByteType,
+                org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.LongType).contains(attr.dataType) =>
+            for {
+              sc <- ri.sumMap.get(attr.name)
+              cc <- ri.cntMap.get(attr.name)
+            } yield TrAgg((remap, st) =>
+              when(fsum(guard(remap, st(cc))) > 0,
+                fsum(guard(remap, st(sc))).cast("double") /
+                  fsum(guard(remap, st(cc))).cast("double")))
+          case Sum(attr: AttributeReference, _)
+              // a re-summed DECIMAL widens its precision (p+10 again),
+              // so the rolled column's type would not match the query's
+              // output — fail closed; integral sums are LongType fixed
+              // points and float sums are order-nondeterministic in
+              // Spark's own partial aggregation already
+              if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            ri.sumMap.get(attr.name).map(c => TrAgg((remap, st) =>
+              fsum(guard(remap, st(c)))))
+          // min/max of any deterministic key/dim expression: join-back
+          // replication never changes a min/max, and the expression is
+          // constant per (group, dim row) — evaluate it directly over
+          // MV rows (subsumes min/max of a bare key)
+          case Min(x) if x.deterministic && refOk(x) =>
+            Some(TrAgg((remap, _) =>
+              fmin(guard(remap, Bridge.column(remap(x))))))
+          case Max(x) if x.deterministic && refOk(x) =>
+            Some(TrAgg((remap, _) =>
+              fmax(guard(remap, Bridge.column(remap(x))))))
+          case Min(attr: AttributeReference) =>
+            ri.minMap.get(attr.name).map(c => TrAgg((remap, st) =>
+              fmin(guard(remap, st(c)))))
+          case Max(attr: AttributeReference) =>
+            ri.maxMap.get(attr.name).map(c => TrAgg((remap, st) =>
+              fmax(guard(remap, st(c)))))
+          case _ => None
+        }
+      // NO sketch-derived output is served (estimate OR raw bytes):
+      // DataSketches estimates switch HIP → composite on union, so
+      // estimate(union of stored partials) ≠ estimate(direct query)
+      // in general — merge-structure-dependent numbers
+      // (graft.HllProbe). The sketch TABLE is the serving surface for
+      // uniques dashboards; the rewrite fails closed here.
+      case ex if ex.deterministic && refOk(ex) &&
+          !ex.exists(_.isInstanceOf[AggregateExpression]) && {
+        // a non-aggregate output that is not itself a grouping
+        // expression must be a deterministic FUNCTION of grouping
+        // expressions to be constant per query group (`SELECT
+        // year(day) … GROUP BY day`). Replace every grouping-expr
+        // occurrence top-down and require no free reference survives —
+        // the rule runs before CheckAnalysis, so this also refuses
+        // plans CheckAnalysis is about to reject.
+        ex.transform {
+          case sub if gExprs.exists(_.semanticEquals(sub)) => Literal(0)
+        }.references.isEmpty && gExprs.nonEmpty
+      } => Some(TrDerived(ex))
+      case _ => None
+    }
+  }
+
+
   /** ROLLUP containment rewrite: a query that aggregates the SAME base
     * subtree (child fingerprints equal — same relations at the same
     * pinned versions, same pre-aggregation shape) by a SUBSET of a
@@ -1238,7 +1397,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * stored cnt partial, non-deterministic expressions anywhere, outer
     * joins — fails closed to the base. */
   private def tryRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.Bridge
     val gExprs = a.groupingExpressions
     if (!gExprs.forall(_.deterministic)) return None
@@ -1319,155 +1478,6 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => joinShapes(None, other)
     })
 
-    // translate each output expression against a view's stored partials
-    // given the shape's join-back side: TrGroup(i) for (a semantic copy
-    // of) the i-th grouping expression, TrDerived for a deterministic
-    // function OF grouping expressions (constant per query group),
-    // TrAgg(build) for a servable aggregate — `build` takes the
-    // base→MV attribute remapper, constructed only once a view's child
-    // fingerprint matches. None anywhere → this view can't serve.
-    sealed trait Tr
-    final case class TrGroup(i: Int) extends Tr
-    final case class TrDerived(ex: Expression) extends Tr
-    // build args: (base→MV attribute remapper, stored-partial-column
-    // resolver). The resolver returns the MV's OWN attribute for a
-    // stored column name — never a bare col() lookup, which could
-    // collide with a same-named dim column in the join-back frame.
-    final case class TrAgg(build: (Expression => Expression,
-        String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column) extends Tr
-
-    def translate(ri: RollupInfo, dimSet: AttributeSet, e: NamedExpression)
-        : Option[Tr] = {
-      // a reference is servable iff it is a view group key (remaps to
-      // the MV's stored key column) or comes from the join-back dim
-      // side (kept verbatim — the dim subtree transplants with its ids)
-      def refOk(ex: Expression): Boolean = ex.references.forall(r =>
-        dimSet.contains(r) || ri.groupMap.contains(r.name))
-      val stripped = e match { case Alias(c, _) => c; case other => other }
-      val gi = gExprs.indexWhere(_.semanticEquals(stripped))
-      if (gi >= 0) return Some(TrGroup(gi))
-      stripped match {
-        case ae: AggregateExpression =>
-          // a FILTER (WHERE p) over keys/dim columns is constant per MV
-          // group (and per (group, dim row) pair), so it guards the
-          // partial: rows failing p contribute NULL, which
-          // sum/min/max/count all skip — exactly the rows the base
-          // aggregate would have skipped
-          if (!ae.filter.forall(f => f.deterministic && refOk(f))) return None
-          def guard(remap: Expression => Expression,
-                    partial: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-            ae.filter.map(f => when(Bridge.column(remap(f)), partial))
-              .getOrElse(partial)
-          if (ae.isDistinct) {
-            // DISTINCT over key/dim expressions: serve the UNCHANGED
-            // aggregate over the MV — the distinct input set is
-            // identical (see scaladoc). Confined to the five
-            // value-deterministic folds; an order-sensitive collector
-            // (collect_list) would expose row order, which the MV does
-            // not preserve — fail closed.
-            val fnOk = ae.aggregateFunction match {
-              case _: Count | _: Sum | _: Min | _: Max | _: Average => true
-              case _ => false
-            }
-            if (fnOk && ae.aggregateFunction.children.forall(c =>
-                c.deterministic && refOk(c)))
-              Some(TrAgg((remap, _) => Bridge.column(remap(ae))))
-            else None
-          } else ae.aggregateFunction match {
-            case Count(Seq(Literal(1, _))) =>
-              // the GLOBAL rollup (no group keys) of an EMPTY view must
-              // still answer 0, not sum-over-nothing's NULL
-              ri.countCol.map(c => TrAgg((remap, st) =>
-                coalesce(fsum(guard(remap, st(c))), lit(0L))))
-            case Count(Seq(attr: AttributeReference))
-                if ri.cntMap.contains(attr.name) =>
-              // count(col) = sum of the stored NON-NULL count partials
-              // (cnt_<c>, kept for every sum column since r16)
-              ri.cntMap.get(attr.name).map(c => TrAgg((remap, st) =>
-                coalesce(fsum(guard(remap, st(c))), lit(0L))))
-            case Count(exprs) if ri.countCol.isDefined &&
-                exprs.forall(x => x.deterministic && refOk(x)) =>
-              // count of ANY deterministic key/dim expression: every MV
-              // row stands for `cnt` base rows sharing the expression's
-              // value, and count skips a row iff any argument is NULL —
-              // the same test, applied once per group instead of once
-              // per row
-              Some(TrAgg { (remap, st) =>
-                val nn = exprs.map(x => Bridge.column(remap(x)).isNotNull)
-                  .reduce(_ && _)
-                coalesce(fsum(when(nn, guard(remap, st(ri.countCol.get)))),
-                  lit(0L))
-              })
-            case Average(attr: AttributeReference, _)
-                // exact for INTEGRAL inputs: both the direct query and
-                // this rollup divide the exact integer sum by the exact
-                // non-null count in double arithmetic (Spark's Average
-                // accumulates integral input through doubles — exact
-                // below 2^53, and the fold pins sum(sum)/sum(cnt)
-                // bit-equal to Spark's avg there). DECIMAL avg re-widens
-                // scale (p+4/s+4) and float avg is order-dependent in
-                // the partials themselves — both fail closed.
-                if Seq(org.apache.spark.sql.types.ByteType,
-                  org.apache.spark.sql.types.ShortType,
-                  org.apache.spark.sql.types.IntegerType,
-                  org.apache.spark.sql.types.LongType).contains(attr.dataType) =>
-              for {
-                sc <- ri.sumMap.get(attr.name)
-                cc <- ri.cntMap.get(attr.name)
-              } yield TrAgg((remap, st) =>
-                when(fsum(guard(remap, st(cc))) > 0,
-                  fsum(guard(remap, st(sc))).cast("double") /
-                    fsum(guard(remap, st(cc))).cast("double")))
-            case Sum(attr: AttributeReference, _)
-                // a re-summed DECIMAL widens its precision (p+10 again),
-                // so the rolled column's type would not match the query's
-                // output — fail closed; integral sums are LongType fixed
-                // points and float sums are order-nondeterministic in
-                // Spark's own partial aggregation already
-                if !attr.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-              ri.sumMap.get(attr.name).map(c => TrAgg((remap, st) =>
-                fsum(guard(remap, st(c)))))
-            // min/max of any deterministic key/dim expression: join-back
-            // replication never changes a min/max, and the expression is
-            // constant per (group, dim row) — evaluate it directly over
-            // MV rows (subsumes min/max of a bare key)
-            case Min(x) if x.deterministic && refOk(x) =>
-              Some(TrAgg((remap, _) =>
-                fmin(guard(remap, Bridge.column(remap(x))))))
-            case Max(x) if x.deterministic && refOk(x) =>
-              Some(TrAgg((remap, _) =>
-                fmax(guard(remap, Bridge.column(remap(x))))))
-            case Min(attr: AttributeReference) =>
-              ri.minMap.get(attr.name).map(c => TrAgg((remap, st) =>
-                fmin(guard(remap, st(c)))))
-            case Max(attr: AttributeReference) =>
-              ri.maxMap.get(attr.name).map(c => TrAgg((remap, st) =>
-                fmax(guard(remap, st(c)))))
-            case _ => None
-          }
-        // NO sketch-derived output is served (estimate OR raw bytes):
-        // DataSketches estimates switch HIP → composite on union, so
-        // estimate(union of stored partials) ≠ estimate(direct query)
-        // in general — merge-structure-dependent numbers
-        // (graft.HllProbe). The sketch TABLE is the serving surface for
-        // uniques dashboards; the rewrite fails closed here.
-        case ex if ex.deterministic && refOk(ex) &&
-            !ex.exists(_.isInstanceOf[AggregateExpression]) && {
-          // a non-aggregate output that is not itself a grouping
-          // expression must be a deterministic FUNCTION of grouping
-          // expressions to be constant per query group (`SELECT
-          // year(day) … GROUP BY day`). Replace every grouping-expr
-          // occurrence top-down and require no free reference survives —
-          // the rule runs before CheckAnalysis, so this also refuses
-          // plans CheckAnalysis is about to reject.
-          ex.transform {
-            case sub if gExprs.exists(_.semanticEquals(sub)) => Literal(0)
-          }.references.isEmpty && gExprs.nonEmpty
-        } => Some(TrDerived(ex))
-        case _ => None
-      }
-    }
-
     // COST PRE-FILTER: every check here is a name-set compare or a
     // local expression match — an aggregate query unrelated to any
     // armed view must be rejected BEFORE the O(subtree) child
@@ -1480,7 +1490,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val byName = byRollup.filter { case (_, ri) =>
         gExprs.forall(refOk(ri, _)) && shape.cond.forall(refOk(ri, _)) &&
           shape.joinConds.forall(refOk(ri, _)) &&
-          a.aggregateExpressions.forall(e => translate(ri, dimSet, e).isDefined)
+          a.aggregateExpressions.forall(e => translate(ri, gExprs, dimSet, e).isDefined)
       }
       if (byName.isEmpty) Iterator.empty
       else {
@@ -1489,7 +1499,7 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (ri.childFp != childFp) None
           else {
             val items = a.aggregateExpressions.map(e =>
-              translate(ri, dimSet, e).get)
+              translate(ri, gExprs, dimSet, e).get)
             // the whole rolled-plan construction analyzes MV-dir-backed
             // plans — suppressed like the exact-match substitution, so the
             // rule never re-enters itself mid-rewrite
@@ -1580,5 +1590,142 @@ case class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     }.nextOption()
+  }
+
+  /** GROUPING-SETS containment (r16): `GROUP BY ROLLUP/CUBE/GROUPING
+    * SETS` analyzes as `Aggregate(copies + spark_grouping_id,
+    * Expand(one projection per set, Project(key duplications, child)))`.
+    * When `child` fingerprints as a fresh view's child, the same Expand
+    * replays over the MV: each MV row (a group with its partials)
+    * replicates once per grouping set with the SAME null/copy pattern,
+    * and aggregating by (copies, gid) merges MV groups into each cell
+    * exactly as the base merges rows — count(*) folds the count
+    * partial, sum/count/avg of measures fold their partials, min/max
+    * and DISTINCT of key expressions evaluate directly. The BI cube
+    * that re-scans the fact once per dashboard render becomes
+    * |sets| × |groups| MV replicas. v1 scope: grouping expressions must
+    * be bare Expand-output attributes and aggregate arguments must bind
+    * to base-child attributes (never the per-set nulled copies — a
+    * copy-bound aggregate is a different number per set); grouping()/
+    * grouping_id() projections of the gid and copy-bound aggregates
+    * fail closed to the base. */
+  private def tryExpandRollup(a: Aggregate, fresh: Seq[MvDef]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.Bridge
+    val byRollup = fresh.flatMap(v => v.rollup.map(ri => (v, ri)))
+    if (byRollup.isEmpty) return None
+    a.child match {
+      case ex0: Expand =>
+        val (child, aliasSrc) = ex0.child match {
+          case Project(pl, ch) if pl.forall {
+              case _: AttributeReference => true
+              case Alias(_: AttributeReference, _) => true
+              case _ => false } =>
+            (ch, pl.collect { case al @ Alias(src: AttributeReference, _) =>
+              al.exprId -> src }.toMap)
+          case _ => return None
+        }
+        val childSet = child.outputSet
+        // resolve a projection-entry attribute to the child attr it copies
+        def toChild(ar: AttributeReference): Option[AttributeReference] =
+          if (childSet.contains(ar)) Some(ar) else aliasSrc.get(ar.exprId)
+        val gExprs = a.groupingExpressions
+        val outIdx = ex0.output.map(_.exprId).zipWithIndex.toMap
+        // every grouping expression must be a bare Expand-output
+        // attribute that is NOT a passthrough of the child (i.e. a
+        // copy or the grouping id)
+        val gPosOpt: Seq[Option[Int]] = gExprs.map {
+          case ar: AttributeReference if outIdx.contains(ar.exprId) &&
+              !childSet.contains(ar) => Some(outIdx(ar.exprId))
+          case _ => None
+        }
+        if (gPosOpt.exists(_.isEmpty)) return None
+        val gPos = gPosOpt.map(_.get)
+        // aggregates must bind to child attrs; non-aggregate outputs
+        // must be (copies of) grouping attrs — all name-level checks,
+        // before any fingerprinting
+        val aggOk = a.aggregateExpressions.forall { e =>
+          val stripped = e match { case Alias(c, _) => c; case o => o }
+          if (gExprs.exists(_.semanticEquals(stripped))) true
+          else stripped match {
+            case ae: AggregateExpression =>
+              ae.references.forall(childSet.contains)
+            case _ => false
+          }
+        }
+        if (!aggOk) return None
+        val entriesOk = ex0.projections.forall { row =>
+          gPos.forall(j => row(j) match {
+            case _: Literal => true
+            case ar: AttributeReference => toChild(ar).isDefined
+            case _ => false })
+        }
+        if (!entriesOk) return None
+        val byName = byRollup.filter { case (_, ri) =>
+          ex0.projections.forall(row => gPos.forall(j => row(j) match {
+            case ar: AttributeReference =>
+              toChild(ar).exists(c => ri.groupMap.contains(c.name))
+            case _ => true })) &&
+            a.aggregateExpressions.forall(e =>
+              translate(ri, gExprs, AttributeSet.empty, e).isDefined)
+        }
+        if (byName.isEmpty) return None
+        val childFp = fingerprint(child)
+        byName.iterator.flatMap { case (v, ri) =>
+          if (ri.childFp != childFp) None
+          else suppressRewrite {
+            val mv0 = ManifestTable.read(spark, v.mvDir)
+            val mvPlan = mv0.queryExecution.analyzed
+            val outByName = mvPlan.output.map(o => o.name -> o).toMap
+            def remap(ex: org.apache.spark.sql.catalyst.expressions.Expression)
+                : org.apache.spark.sql.catalyst.expressions.Expression =
+              ex.transform {
+                case ar: AttributeReference => outByName(ri.groupMap(ar.name))
+              }
+            // fresh attrs for the copies/gid, one per grouping position,
+            // nullable (rolled-up sets null their keys)
+            val newG = gPos.map { j =>
+              val o = ex0.output(j)
+              AttributeReference(o.name, o.dataType, nullable = true)()
+            }
+            val projections = ex0.projections.map { row =>
+              mvPlan.output ++ gPos.map(j => row(j) match {
+                case l: Literal => l
+                case ar: AttributeReference =>
+                  outByName(ri.groupMap(toChild(ar).get.name))
+              })
+            }
+            val expand = Expand(projections, mvPlan.output ++ newG, mvPlan)
+            val frame = Bridge.ofRows(mv0, expand)
+            val items = a.aggregateExpressions.map(e =>
+              translate(ri, gExprs, AttributeSet.empty, e).get)
+            val aggCols = items.zipWithIndex.collect {
+              case (TrAgg(b), i) =>
+                b(remap, c => Bridge.column(outByName(c))).as(s"_r$i") }
+            val gCols = newG.zipWithIndex.map { case (ng, i) =>
+              Bridge.column(ng).as(s"_g$i") }
+            val rolled =
+              if (aggCols.isEmpty) frame.select(gCols: _*).distinct()
+              else frame.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
+            val ordered = rolled.select(items.zipWithIndex.map {
+              case (TrGroup(g), _) => col(s"_g$g")
+              case (TrDerived(ex2), _) => Bridge.column(ex2.transform {
+                case sub if gExprs.exists(_.semanticEquals(sub)) =>
+                  Bridge.expression(
+                    col(s"_g${gExprs.indexWhere(_.semanticEquals(sub))}"))
+              })
+              case (TrAgg(_), i) => col(s"_r$i")
+            }: _*).queryExecution.analyzed
+            if (ordered.output.map(_.dataType) != a.output.map(_.dataType))
+              None
+            else {
+              recordHit(v.key)
+              Some(Project(a.output.zip(ordered.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId) }, ordered))
+            }
+          }
+        }.nextOption()
+      case _ => None
+    }
   }
 }

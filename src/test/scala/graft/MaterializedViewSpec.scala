@@ -1475,4 +1475,66 @@ class MaterializedViewSpec extends SparkSpec {
     assert(hitsNow == h0 + 7, "refresh must re-arm the join-back")
     GraftMaterializedViews.drop("mv_jb")
   }
+
+  test("GROUPING SETS / ROLLUP / CUBE serve from the MV via the replayed Expand (r16)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gmvs.ns.gs (k BIGINT, g1 STRING, g2 STRING, v BIGINT)")
+    spark.sql("INSERT INTO gmvs.ns.gs VALUES " +
+      "(1,'a','x',10),(2,'a','y',20),(3,'b','x',5)")
+    GraftMaterializedViews.registerAgg(spark, "mv_gs", "gmvs.ns.gs",
+      s"$wh/ns/gs", Seq("g1", "g2"), Seq("v"), s"$wh/ns/_mv_gs",
+      minCols = Seq("v"))
+    val h0 = GraftMaterializedViews.hits("mv_gs")
+    def hitsNow: Long = GraftMaterializedViews.hits("mv_gs")
+    // the BI cube: the Expand replays over the MV — each group's
+    // partials replicate once per grouping set and re-fold per cell
+    val qr = spark.sql("SELECT g1, g2, count(*) AS n, sum(v) AS s " +
+      "FROM gmvs.ns.gs GROUP BY ROLLUP(g1, g2)")
+    assert(qr.as[(Option[String], Option[String], Long, Long)].collect()
+      .toSet == Set(
+        (Some("a"), Some("x"), 1L, 10L), (Some("a"), Some("y"), 1L, 20L),
+        (Some("b"), Some("x"), 1L, 5L), (Some("a"), None, 2L, 30L),
+        (Some("b"), None, 1L, 5L), (None, None, 3L, 35L)))
+    assert(hitsNow == h0 + 1, "GROUP BY ROLLUP must serve from the MV")
+    assert(qr.queryExecution.executedPlan.toString.contains("_mv_gs"),
+      "the rollup-cube plan must scan the MV, not the base")
+    // CUBE adds the g2-only sets; min folds its partial per cell
+    val qc = spark.sql("SELECT g1, g2, min(v) AS m " +
+      "FROM gmvs.ns.gs GROUP BY CUBE(g1, g2)")
+    assert(qc.as[(Option[String], Option[String], Long)].collect().toSet ==
+      Set((Some("a"), Some("x"), 10L), (Some("a"), Some("y"), 20L),
+        (Some("b"), Some("x"), 5L), (Some("a"), None, 10L),
+        (Some("b"), None, 5L), (None, Some("x"), 5L),
+        (None, Some("y"), 20L), (None, None, 5L)))
+    assert(hitsNow == h0 + 2, "GROUP BY CUBE must serve from the MV")
+    // explicit GROUPING SETS with a DISTINCT-over-key aggregate (args
+    // bind to the base child, so the distinct set per cell is exact)
+    val qg = spark.sql("SELECT g1, count(DISTINCT g2) AS nd " +
+      "FROM gmvs.ns.gs GROUP BY GROUPING SETS ((g1), ())")
+    assert(qg.as[(Option[String], Long)].collect().toSet ==
+      Set((Some("a"), 2L), (Some("b"), 1L), (None, 2L)))
+    assert(hitsNow == h0 + 3, "GROUPING SETS must serve from the MV")
+    // fail-closed: grouping_id() projects the gid (a non-aggregate
+    // output that is not a grouping attr), and an unstored sum
+    spark.sql("SELECT g1, grouping(g1) AS gi, count(*) AS n " +
+      "FROM gmvs.ns.gs GROUP BY ROLLUP(g1)").collect()
+    spark.sql("SELECT g1, g2, sum(k) AS s FROM gmvs.ns.gs " +
+      "GROUP BY ROLLUP(g1, g2)").collect()
+    assert(hitsNow == h0 + 3,
+      "grouping() projections and unstored sums must fail closed")
+    // staleness gates the expand path like every rewrite
+    spark.sql("INSERT INTO gmvs.ns.gs VALUES (4,'b','y',100)")
+    val q2 = spark.sql("SELECT g1, sum(v) AS s FROM gmvs.ns.gs " +
+      "GROUP BY ROLLUP(g1)")
+    assert(q2.as[(Option[String], Long)].collect().toSet ==
+      Set((Some("a"), 30L), (Some("b"), 105L), (None, 135L)))
+    assert(hitsNow == h0 + 3, "a stale view must not serve the cube")
+    GraftMaterializedViews.refreshIncremental(spark, "mv_gs")
+    val q3 = spark.sql("SELECT g1, sum(v) AS s FROM gmvs.ns.gs " +
+      "GROUP BY ROLLUP(g1)")
+    assert(q3.as[(Option[String], Long)].collect().toSet ==
+      Set((Some("a"), 30L), (Some("b"), 105L), (None, 135L)))
+    assert(hitsNow == h0 + 4, "refresh must re-arm the cube path")
+    GraftMaterializedViews.drop("mv_gs")
+  }
 }
