@@ -5593,13 +5593,12 @@ object WarehouseQueries {
         |    o_orderpriority AS pri FROM orders),
         |b AS (SELECT pri, k % 8 AS bucket, k * 2 AS cents
         |  FROM src WHERE k % 10 <> 4),
-        |r AS (SELECT pri, bucket, count(*) AS n_rows,
-        |    sum(cents) AS sum_cents
+        |r AS (SELECT pri, bucket, count(*) AS nr, sum(cents) AS sc
         |  FROM b GROUP BY ROLLUP(pri, bucket))
         |SELECT coalesce(pri, 'ALL') AS pri,
         |  coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket,
-        |  CAST(n_rows AS BIGINT) AS n_rows,
-        |  CAST(sum_cents AS BIGINT) AS sum_cents
+        |  CAST(nr AS BIGINT) AS n_rows,
+        |  CAST(sc AS BIGINT) AS sum_cents
         |FROM r ORDER BY pri, bucket""".stripMargin,
     // q430: the oracle recomputes the pivot from raw rows — a distinct
     // set polluted by fold-away multiplicity, a FILTER guard applied to
