@@ -1768,10 +1768,18 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
         physFull, data, Nil, streamDir, sv, renames = renames)
   }
 
-  /** Hard ceiling on driver-resident delete keys per scan. Delete files
-    * are key-only (orders of magnitude smaller than the data they mask),
-    * but a pathological chain must refuse loudly, not OOM the driver. */
-  private val MaxDeleteKeys = 5000000
+  /** Ceiling on driver-resident delete keys per scan. Delete files are
+    * key-only (orders of magnitude smaller than the data they mask);
+    * below the ceiling they collect on the driver once and ship to
+    * executors inside the broadcast specs. ABOVE it (r16), equality
+    * deletes switch to the executor-side path: the specs carry the
+    * delete FILE PATHS and each executor JVM loads+caches the key set
+    * once ([[MoRDeleteKeyLoader]]) — the Iceberg posture, bounded by
+    * executor memory instead of a driver cliff. Position deletes keep
+    * the hard ceiling (their per-file ordinal maps drive row-group
+    * planning on the driver). Test override: -Dgraft.mor.maxDeleteKeys. */
+  private def MaxDeleteKeys: Int =
+    sys.props.get("graft.mor.maxDeleteKeys").map(_.toInt).getOrElse(5000000)
 
   /** Merge-on-read scan over a snapshot carrying delete entries of
     * EITHER kind (or both — the mixed chain, which until r10 session 3
@@ -1840,6 +1848,28 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       }
     }
 
+    // footer row counts of every equality-delete file (free metadata —
+    // the same bounded pass the position path uses) decide eager vs
+    // executor-side loading BEFORE any driver collect can OOM
+    val eqDeleteRows: Long = {
+      val eqPaths = delEntries.filterNot(_.posDelete).map(_.path).distinct
+      if (eqPaths.isEmpty) 0L
+      else {
+        val hc = spark.sessionState.newHadoopConf()
+        eqPaths.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+      }
+    }
+    val lazyEqKeys = eqDeleteRows > MaxDeleteKeys
+    val lazyConf =
+      if (lazyEqKeys) new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      else null
+
     // each (delete seq, key spec)'s key set is loaded ONCE, then unioned
     // per group — a chain of k delete commits costs k small driver reads.
     // A spec is one or more comma-separated columns (composite row ids).
@@ -1861,12 +1891,19 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
 
     val built = groups.map { case (nApplicable, es) =>
       val applicable = delSeqs.takeRight(nApplicable)
-      val bySpec: Seq[(Seq[String], Array[Array[Any]])] =
+      // (key cols, eager rows, lazy files) per delete spec: exactly one
+      // of rows/files is populated, chosen by the footer estimate above
+      val bySpec: Seq[(Seq[String], Array[Array[Any]], Seq[String])] =
         delEntries.filter(e => applicable.contains(e.seq))
           .groupBy(_.deleteKey.get).toSeq.sortBy(_._1)
           .map { case (spec, ds) =>
-            ManifestTable.delKeyCols(spec) ->
-              ds.map(_.seq).distinct.flatMap(sq => keysOf(sq, spec)).toArray
+            if (lazyEqKeys)
+              (ManifestTable.delKeyCols(spec), Array.empty[Array[Any]],
+                ds.map(_.path).distinct)
+            else
+              (ManifestTable.delKeyCols(spec),
+                ds.map(_.seq).distinct.flatMap(sq => keysOf(sq, spec)).toArray,
+                Seq.empty[String])
           }
       val keyCols = bySpec.flatMap(_._1).distinct
       val internal = StructType(required.fields ++
@@ -1895,11 +1932,14 @@ class GraftScanBuilder(ident: String, spark: SparkSession,
       // ordinal bases, making group-level skipping ordinal-exact
       val (posTouched, plain) = es.partition(e => posDeletes.contains(norm(e.path)))
       val spec = MoRGroupSpec(
-        deleteSets = bySpec.map { case (cols, rows) =>
+        deleteSets = bySpec.map { case (cols, rows, files) =>
           MoRDeleteSet(
             keyIdxs = cols.map(c => internal.fieldIndex(c)).toArray,
             keyKinds = cols.map(kindOf).toArray,
-            keyRows = rows)
+            keyRows = rows,
+            keyFiles = files.toArray,
+            keyNames = cols.toArray,
+            conf = lazyConf)
         }.toArray,
         projection = required.fields.map(f => internal.fieldIndex(f.name)),
         readTypes = internal.fields.map(_.dataType),

@@ -36,7 +36,92 @@ import graft.sources.ManifestTable
 private[v2] final case class MoRDeleteSet(
     keyIdxs: Array[Int],
     keyKinds: Array[Int],          // 0=long 1=int 2=double 3=string 4=boolean
-    keyRows: Array[Array[Any]])
+    keyRows: Array[Array[Any]],
+    // the OVER-CEILING path (r16): when the footer-estimated key count
+    // exceeds the driver ceiling, the driver ships the delete FILES
+    // (paths + key column names + a serializable hadoop conf) instead
+    // of collected rows, and executors load them once per JVM through
+    // [[MoRDeleteKeyLoader]] — the Iceberg posture: delete-set size is
+    // bounded by executor memory, never by the driver
+    keyFiles: Array[String] = Array.empty,
+    keyNames: Array[String] = Array.empty,
+    conf: SerializableHadoopConf = null)
+
+/** Minimal serializable Hadoop Configuration carrier (Spark's own
+  * wrapper is private[spark]): writes the conf's XML-backed key/value
+  * state through Java serialization. */
+private[v2] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Executor-side delete-key loading with a process-level cache: each
+  * executor JVM materializes a given (delete files, key columns) set
+  * ONCE — a 1000-executor scan pays 1000 small parquet reads, not one
+  * per task — and every partition reader probes the shared HashSet.
+  * Values land in the exact domain the row probe extracts
+  * (boxed Long/Int/Double/String/Boolean; composite keys as Vector), so
+  * eager and lazy sets are interchangeable. */
+private[graft] object MoRDeleteKeyLoader {
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[Any]]()
+
+  def set(ds: MoRDeleteSet): java.util.HashSet[Any] = {
+    val key = ds.keyFiles.mkString("|") + "#" + ds.keyNames.mkString(",")
+    // delete files are immutable (manifest commits never rewrite them),
+    // so path-keyed entries never go stale; bound the cache coarsely
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(key, _ => load(ds))
+  }
+
+  private def load(ds: MoRDeleteSet): java.util.HashSet[Any] = {
+    loads.incrementAndGet(): Unit
+    val s = new java.util.HashSet[Any]()
+    val conf =
+      if (ds.conf == null) new org.apache.hadoop.conf.Configuration()
+      else ds.conf.value
+    ds.keyFiles.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(f)).withConf(conf).build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          var anyNull = false
+          val vals = new Array[Any](ds.keyNames.length)
+          var i = 0
+          while (i < ds.keyNames.length && !anyNull) {
+            val nm = ds.keyNames(i)
+            // NULL delete keys erase nothing (the left-anti contract)
+            if (g.getFieldRepetitionCount(nm) == 0) anyNull = true
+            else vals(i) = ds.keyKinds(i) match {
+              case 0 => g.getLong(nm, 0)
+              case 1 => g.getInteger(nm, 0)
+              case 2 => g.getDouble(nm, 0)
+              case 3 => g.getString(nm, 0)
+              case 4 => g.getBoolean(nm, 0)
+            }
+            i += 1
+          }
+          if (!anyNull)
+            s.add(if (vals.length == 1) vals(0) else vals.toVector): Unit
+          g = rdr.read()
+        }
+      } finally rdr.close()
+    }
+    s
+  }
+}
 
 private[v2] final case class MoRGroupSpec(
     deleteSets: Array[MoRDeleteSet],
@@ -47,20 +132,24 @@ private[v2] final case class MoRGroupSpec(
     projection.length == readTypes.length &&
       projection.zipWithIndex.forall { case (p, i) => p == i }
   def hasKeys: Boolean = deleteSets.nonEmpty
+  def lazyKeys: Boolean = deleteSets.exists(_.keyFiles.nonEmpty)
 
   /** Executor-side probe sets, one per delete spec: scalar keys probe a
     * HashSet[Any] directly (no per-row allocation); composite keys probe
     * a HashSet of value vectors. NULL delete keys erase nothing (the
     * left-anti contract), so they never enter a set. */
   def buildSets(): Array[java.util.HashSet[Any]] = deleteSets.map { ds =>
-    val s = new java.util.HashSet[Any](math.max(16, ds.keyRows.length * 2))
-    ds.keyRows.foreach { r =>
-      if (r.forall(_ != null)) {
-        val key: Any = if (r.length == 1) r(0) else r.toVector
-        s.add(key): Unit
+    if (ds.keyFiles.nonEmpty) MoRDeleteKeyLoader.set(ds)
+    else {
+      val s = new java.util.HashSet[Any](math.max(16, ds.keyRows.length * 2))
+      ds.keyRows.foreach { r =>
+        if (r.forall(_ != null)) {
+          val key: Any = if (r.length == 1) r(0) else r.toVector
+          s.add(key): Unit
+        }
       }
+      s
     }
-    s
   }
 }
 
