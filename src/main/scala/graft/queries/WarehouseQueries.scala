@@ -2971,6 +2971,88 @@ object WarehouseQueries {
   }
 
 
+  // q433: EXECUTOR-SIDE DELETE-KEY LOADING (r16) — the merge-on-read
+  // equality-delete path above the driver ceiling. The ceiling check
+  // moved from "collect then refuse" to a PATH SWITCH decided from the
+  // delete files' parquet FOOTER row counts before any driver collect:
+  // over the ceiling, the scan's broadcast specs carry delete FILE
+  // PATHS (+ key column names + a serializable hadoop conf) instead of
+  // collected key rows, and each executor JVM loads + caches the probe
+  // set once (MoRDeleteKeyLoader) — the Iceberg posture: delete-set
+  // size bounds at executor memory, and a 1000-executor scan pays one
+  // small parquet read per executor, never one per task. This face
+  // forces the switch with the test ceiling (-Dgraft.mor.maxDeleteKeys
+  // equivalent via sys.props, restored in finally), drives a TWO-commit
+  // delete chain through the SQL read, and require-pins that the lazy
+  // loader actually engaged AND loaded at most once per distinct
+  // (files, key cols) set across all partitions. The oracle recomputes
+  // the surviving rows from the raw slices — a lazy set that dropped a
+  // key, matched a NULL, or double-applied a chain group moves the
+  // hash. At 100 TB: a GDPR-heavy table's delete chain no longer has a
+  // driver-sized cliff between "works" and "compact first".
+  def morLazyDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q433_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${base}_p${ProcessHandle.current().pid()}"
+    Q88Scratch.sweepAndRegister(base, out)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(out))
+    import graft.sources.ManifestTable
+    import graft.sources.v2.MoRDeleteKeyLoader
+    s.conf.set("spark.sql.catalog.graft_cat433", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat433.warehouse", out)
+    Tables(s, dir).orders
+      .select($"o_orderkey".cast("long").as("k"), $"o_orderpriority".as("pri"),
+        ($"o_orderkey".cast("long") * 2).as("cents"))
+      .createOrReplaceTempView("q433_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat433.db.t")
+    s.sql("CREATE TABLE graft_cat433.db.t (k BIGINT, pri STRING, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat433.db.t SELECT k, pri, cents FROM q433_src")
+    val tDir = s"$out/db/t"
+    // a two-commit delete chain: the second delete applies to data the
+    // first already masked (two applicable-suffix groups in the scan)
+    ManifestTable.delete(s.sql("SELECT k FROM q433_src WHERE k % 3 = 0"),
+      tDir, "k")
+    // negated keys: disjoint from every positive delete-key value at
+    // ANY scale factor (no fixed-shift collision as keys grow)
+    ManifestTable.commit(s.sql(
+      "SELECT -k AS k, pri, cents FROM q433_src WHERE k % 10 = 7"),
+      tDir, append = true): Unit
+    ManifestTable.delete(s.sql("SELECT k FROM q433_src WHERE k % 10 = 5"),
+      tDir, "k")
+    val dash = "SELECT pri, count(*) AS n_rows, sum(cents) AS sum_cents " +
+      "FROM graft_cat433.db.t GROUP BY pri ORDER BY pri"
+    // eager baseline (default ceiling)
+    val eager = s.sql(dash).collect().map(_.toString).toSeq
+    // force the over-ceiling switch; the footer estimate decides BEFORE
+    // any collect
+    val l0 = MoRDeleteKeyLoader.loads.get()
+    sys.props("graft.mor.maxDeleteKeys") = "8"
+    val q =
+      try {
+        val lz = s.sql(dash)
+        val got = lz.collect().map(_.toString).toSeq
+        require(got == eager,
+          "q433: the executor-loaded delete sets must serve exactly the " +
+            "driver-collected answer")
+        val loads = MoRDeleteKeyLoader.loads.get() - l0
+        require(loads >= 1,
+          "q433: the over-ceiling read must engage the lazy loader")
+        require(loads <= 2,
+          s"q433: each distinct (files, key cols) set must load at most " +
+            s"once per JVM across all partitions (got $loads)")
+        // a pushed-filter aggregate on the lazy path, and cache reuse
+        s.sql("SELECT count(*) AS n FROM graft_cat433.db.t WHERE k <= 500")
+          .collect(): Unit
+        require(MoRDeleteKeyLoader.loads.get() - l0 == loads,
+          "q433: repeat scans must reuse the cached executor-side sets")
+        lz
+      } finally { sys.props.remove("graft.mor.maxDeleteKeys"): Unit }
+    q.orderBy($"pri")
+  }
+
+
   // q429: FILTERED (HOT-WINDOW) MV (r16) — the standard production
   // dashboard view the registry could not declare before: "last 90 days
   // of events by (day, type)". `create_filtered_mv` stores the predicate
@@ -5472,6 +5554,7 @@ object WarehouseQueries {
     "q401_zero_copy_clone" -> zeroCopyClone _,
     "q404_clone_catchup" -> cloneCatchup _,
     "q405_binpack_compact" -> binpackCompact _,
+    "q433_mor_lazy_deletes" -> morLazyDeletes _,
     "q432_mv_cube" -> mvCube _,
     "q431_mv_join_back" -> mvJoinBack _,
     "q430_mv_distinct_filter" -> mvDistinctFilter _,
@@ -5585,6 +5668,22 @@ object WarehouseQueries {
         |  CAST(sum(k * 2) AS BIGINT) AS sum_cents,
         |  CAST(count(k * 2) AS BIGINT) AS cnt_cents
         |FROM src GROUP BY pri ORDER BY pri""".stripMargin,
+    // q433: the oracle recomputes the surviving rows from the raw
+    // slices — initial minus the k%3 chain-1 deletes, plus the NEGATED
+    // ingest (appended after chain 1, so chain 1 never masks it; its
+    // keys are negative, so chain 2's positive key set never matches),
+    // minus the k%10=5 chain-2 deletes over the originals
+    "q433_mor_lazy_deletes" ->
+      """WITH src AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS pri FROM orders),
+        |t AS (
+        |  SELECT k, pri, k * 2 AS cents FROM src
+        |  WHERE k % 3 <> 0 AND k % 10 <> 5
+        |  UNION ALL
+        |  SELECT -k, pri, k * 2 FROM src WHERE k % 10 = 7)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY pri ORDER BY pri""".stripMargin,
     // q432: the oracle recomputes the ROLLUP lattice from raw rows —
     // a replayed Expand that lost a set, double-counted a replica, or
     // served stale partials moves subtotal cells
