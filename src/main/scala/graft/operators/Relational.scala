@@ -14,6 +14,59 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Multiset-difference WITNESS in one pass: rows whose multiplicities
+    * differ between `a` and `b` (positional columns, exceptAll
+    * semantics), with the signed count in `_bag_diff`. Empty ⇔ the two
+    * frames are multiset-equal.
+    *
+    * The identity-pin idiom `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty` costs TWO aggregate-shaped jobs — Spark
+    * rewrites each ExceptAll into union + signed-count aggregate — so
+    * every pin scans both inputs twice and shuffles twice. This is the
+    * same signed-count algebra computed ONCE: each side scanned once,
+    * one shuffle, one action (guide §1.2/§2.4: remove redundant passes).
+    * Grouping equality matches exceptAll's (NULL == NULL, NaN == NaN,
+    * -0.0 == 0.0 via NormalizeFloatingNumbers). */
+  def bagDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.length == b.columns.length,
+      s"bagDiff: arity mismatch (${a.columns.length} vs ${b.columns.length})")
+    // b's struct reuses a's field names so the union is type-compatible
+    // even when the sides name their columns differently (positional,
+    // like exceptAll)
+    def packed(df: DataFrame, names: Array[String], sign: Long) =
+      df.select(struct(df.columns.zip(names).map { case (c, n) =>
+        df(c).as(n) }.toSeq: _*).as("_bag_row"), lit(sign).as("_bag_sign"))
+    packed(a, a.columns, 1L).unionAll(packed(b, a.columns, -1L))
+      .groupBy(col("_bag_row"))
+      .agg(sum(col("_bag_sign")).as("_bag_diff"))
+      .where(col("_bag_diff") =!= 0L)
+  }
+
+  /** Run independent read-only Spark actions concurrently from a small
+    * driver-side pool (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially — overlapping lets the next
+    * job's tasks back-fill cores idled by the current job's tail; FIFO
+    * scheduling gives exactly that). For proof batteries over immutable
+    * snapshots/checkpoints only — never for actions that commit state.
+    * Failures propagate with their original exception (require messages
+    * stay intact). */
+  def inParallel(tasks: Seq[() => Unit], parallelism: Int = 4): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, tasks.size)))
+    try {
+      val futs = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdownNow(): Unit
+  }
+
   /** Exact top-k rows per group, deterministic via the caller's orderBy
     * columns (include a unique tie-breaker for stable results).
     * One shuffle on `partitionCols`; rank prunes before any later join.

@@ -814,7 +814,7 @@ object TextQueries {
     val idx = idxAll.join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
     // identity pins: records ≡ rebuild; merged stats ≡ full recount
     val rebuilt = lex(ManifestTable.read(s, out, ManifestTable.currentVersion(out)))
-    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+    require(Relational.bagDiff(idx, rebuilt).isEmpty,
       "q392: the feed-maintained index must equal the from-scratch rebuild")
     val (nC, slC, dfC) = partials(idx)
     require(n == nC && sl == slC && dfs == dfC,

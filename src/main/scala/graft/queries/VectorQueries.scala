@@ -1004,7 +1004,7 @@ object VectorQueries {
     val rebuilt = quant(
         ManifestTable.read(s, out, ManifestTable.currentVersion(out)))
       .select($"vec_id", pqArgminCode($"q", ckm).as("kcell"), $"q")
-    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+    require(Relational.bagDiff(idx, rebuilt).isEmpty,
       "q391: the feed-maintained index must equal the from-scratch rebuild")
     // cell-probed search through the MAINTAINED index (exact int8 L2,
     // id tie-breaks); recall vs brute truth on the live set sanity-pinned
@@ -1148,7 +1148,7 @@ object VectorQueries {
     val rebuilt = annQuant(s,
         ManifestTable.read(s, tbl, ManifestTable.currentVersion(tbl)))
       .select($"vec_id", pqArgminCode($"q", ckm).as("kcell"))
-    require(live.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(live).isEmpty,
+    require(Relational.bagDiff(live, rebuilt).isEmpty,
       "q397: the stream-maintained index must equal the from-scratch rebuild")
     live.groupBy($"kcell".cast("long").as("kcell"))
       .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_ids"),
@@ -1424,7 +1424,7 @@ object VectorQueries {
     // of the final snapshot under the same re-trained centroids
     val rebuilt = assign(quant(
       ManifestTable.read(s, out, ManifestTable.currentVersion(out))), ckm2)
-    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+    require(Relational.bagDiff(idx, rebuilt).isEmpty,
       "q410: resumed maintenance must equal the cv=2 from-scratch rebuild")
     idx.groupBy($"kcell".cast("long").as("kcell"))
       .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_ids"),
@@ -1566,7 +1566,7 @@ object VectorQueries {
     val rebuilt = quant(
         ManifestTable.read(s, tbl, ManifestTable.currentVersion(tbl)))
       .select($"vec_id", pqArgminCode($"q", ckm2).as("kcell"))
-    require(live.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(live).isEmpty,
+    require(Relational.bagDiff(live, rebuilt).isEmpty,
       "q420: the stream-maintained index across the retrain boundary " +
         "must equal the cv=2 from-scratch rebuild")
     live.groupBy($"kcell".cast("long").as("kcell"))
@@ -1625,7 +1625,7 @@ object VectorQueries {
       .unionByName(assign(annQuant(s, ins), ckm))
       .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
     val rebuilt = assign(annQuant(s, ManifestTable.read(s, out)), ckm)
-    require(idx.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(idx).isEmpty,
+    require(Relational.bagDiff(idx, rebuilt).isEmpty,
       "q411: the feed-maintained index must equal the from-scratch rebuild")
     // token-bag view OVER THE INDEX (vec_id/4 = doc, vec_id%4 = slot)
     val toks = idx.select(($"vec_id" / 4).cast("long").as("d_id"),

@@ -1592,8 +1592,7 @@ object WarehouseQueries {
     // the clone's own commits sequence PAST the cloned deletes
     require(cloneV == 4, s"q401: clone head must claim the max cloned seq, got v$cloneV")
     val cloneRead = ManifestTable.read(s, dst)
-    require(cloneRead.exceptAll(srcBefore).isEmpty &&
-      srcBefore.exceptAll(cloneRead).isEmpty,
+    require(Relational.bagDiff(cloneRead, srcBefore).isEmpty,
       "q401: the clone must read bit-identically to the cloned snapshot")
     // zero-copy pin: every clone parquet except the ONE rewritten
     // position-delete file shares its inode with a source file
@@ -1623,8 +1622,7 @@ object WarehouseQueries {
     ManifestTable.vacuum(src, graceMs = 0)
     val cloneAfter = ManifestTable.read(s, dst)
       .filter($"grp" =!= "clone_add")
-    require(cloneAfter.exceptAll(srcBefore).isEmpty &&
-      srcBefore.exceptAll(cloneAfter).isEmpty,
+    require(Relational.bagDiff(cloneAfter, srcBefore).isEmpty,
       "q401: the clone must survive source compact+expire+vacuum bit-identically")
     ManifestTable.read(s, dst)
       .groupBy($"grp")
@@ -1674,7 +1672,7 @@ object WarehouseQueries {
     require(head > cloneV0, s"q404: catch-up must advance the clone ($cloneV0 -> $head)")
     val a = ManifestTable.read(s, src)
     val b = ManifestTable.read(s, dst)
-    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+    require(Relational.bagDiff(b, a).isEmpty,
       "q404: the re-synced clone must equal the source head row-for-row")
     // k = 0 is excluded from the payload probes: 0·2 = 0·9, so it cannot
     // distinguish old from new payload (membership is still hash-checked)
@@ -1755,7 +1753,7 @@ object WarehouseQueries {
     // content identity with the pre-compaction snapshot
     val a = ManifestTable.read(s, out, preV)
     val b = ManifestTable.read(s, out)
-    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+    require(Relational.bagDiff(b, a).isEmpty,
       "q405: binpack must not change table content")
     // ROUND 2 (r13): binpack on a DELETE-CARRYING snapshot. Two more
     // tiny appends, then both delete kinds: an equality delete (erases
@@ -1776,7 +1774,7 @@ object WarehouseQueries {
     val v2 = ManifestTable.compactSmall(s, out, smallBytes)
     require(v2 == preV2 + 1, s"q405: delete-tolerant binpack must commit, got v$v2")
     val b2 = ManifestTable.read(s, out)
-    require(b2.exceptAll(a2).isEmpty && a2.exceptAll(b2).isEmpty,
+    require(Relational.bagDiff(b2, a2).isEmpty,
       "q405: delete-tolerant binpack must not change table content")
     require(b2.filter($"k" % 100 === 18 || $"k" % 100 === 48).isEmpty,
       "q405: deleted rows must stay deleted across the MoR merge")
@@ -1843,15 +1841,19 @@ object WarehouseQueries {
         .unionByName(ins)
         .localCheckpoint()
     }
-    // the SCD2 correctness statement, checked at EVERY version
-    (1 to ManifestTable.currentVersion(out)).foreach { v =>
-      val fromHist = hist
-        .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
-        .select($"k", $"v")
-      val snap = ManifestTable.read(s, out, v).select($"k", $"v")
-      require(fromHist.exceptAll(snap).isEmpty && snap.exceptAll(fromHist).isEmpty,
-        s"q409: the interval table must reconstruct snapshot v$v exactly")
-    }
+    // the SCD2 correctness statement, checked at EVERY version — the
+    // per-version proofs read only the checkpointed hist + immutable
+    // snapshots, so they overlap on the scheduler (guide §2.6)
+    Relational.inParallel((1 to ManifestTable.currentVersion(out)).map { v =>
+      () => {
+        val fromHist = hist
+          .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
+          .select($"k", $"v")
+        val snap = ManifestTable.read(s, out, v).select($"k", $"v")
+        require(Relational.bagDiff(fromHist, snap).isEmpty,
+          s"q409: the interval table must reconstruct snapshot v$v exactly")
+      }
+    })
     hist.orderBy($"k", $"valid_from")
   }
 
@@ -1921,15 +1923,18 @@ object WarehouseQueries {
       val feed = ManifestTable.changeFeed(s, src, ver - 1, ver)
         .localCheckpoint()
       val touched = feed.select($"k").distinct().localCheckpoint()
-      val nTouched = touched.count()
+      // one pass folds the touch count AND the key bounds (was a count
+      // job plus a separate min/max job per refresh)
+      val bnd = touched.agg(count(lit(1)).as("n"),
+        min($"k").as("lo"), max($"k").as("hi")).head
+      val nTouched = bnd.getLong(0)
       if (nTouched > 0) {
         // CLOSE: only the touched keys' open rows move — never the
         // closed history. The open scan is STATS-BOUNDED to the touched
         // key range (readWhere prunes on the manifest's per-file
         // min/max), so on the key-clustered open table a narrow delta
         // opens only the files its range intersects.
-        val bnd = touched.agg(min($"k").as("lo"), max($"k").as("hi")).head
-        val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+        val (lo, hi) = (bnd.getLong(1), bnd.getLong(2))
         if (ver == 6) {
           // the 100 TB pin: the narrow [100, 200) refresh must SKIP
           // open files outside its range — clustering + stats, proven,
@@ -1976,8 +1981,7 @@ object WarehouseQueries {
       .map(p => new java.io.File(p).length()).min
     ManifestTable.compactSmall(s, open, (bigMin * 3) / 4): Unit
     val openAfter = ManifestTable.read(s, open)
-    require(openBefore.exceptAll(openAfter).isEmpty &&
-      openAfter.exceptAll(openBefore).isEmpty,
+    require(Relational.bagDiff(openBefore, openAfter).isEmpty,
       "q412: binpack on the open table must preserve its content exactly")
     (4 to ManifestTable.currentVersion(src)).foreach(refresh)
     // the append-only pin: changes() THROWS if any closed-table commit
@@ -1990,15 +1994,19 @@ object WarehouseQueries {
       .select($"k", $"v", $"valid_from", $"valid_to")
       .localCheckpoint()
     // q409's reconstruction battery, now over the SPLIT state — with the
-    // reopen case in range
-    (1 to ManifestTable.currentVersion(src)).foreach { v =>
-      val fromHist = hist
-        .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
-        .select($"k", $"v")
-      val snap = ManifestTable.read(s, src, v).select($"k", $"v")
-      require(fromHist.exceptAll(snap).isEmpty && snap.exceptAll(fromHist).isEmpty,
-        s"q412: the split interval state must reconstruct snapshot v$v exactly")
-    }
+    // reopen case in range. The per-version proofs are independent reads
+    // over the checkpointed hist + immutable snapshots, so they run
+    // concurrently (guide §2.6) instead of serializing six tiny jobs.
+    Relational.inParallel((1 to ManifestTable.currentVersion(src)).map { v =>
+      () => {
+        val fromHist = hist
+          .filter($"valid_from" <= v && ($"valid_to".isNull || $"valid_to" > v))
+          .select($"k", $"v")
+        val snap = ManifestTable.read(s, src, v).select($"k", $"v")
+        require(Relational.bagDiff(fromHist, snap).isEmpty,
+          s"q412: the split interval state must reconstruct snapshot v$v exactly")
+      }
+    })
     hist.orderBy($"k", $"valid_from", $"valid_to")
   }
 
@@ -2065,7 +2073,7 @@ object WarehouseQueries {
         s"(maintenance must contribute zero), got ${dstPost - dstPre}")
     val a = ManifestTable.read(s, src)
     val b = ManifestTable.read(s, dst)
-    require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+    require(Relational.bagDiff(b, a).isEmpty,
       "q413: the replica must equal the source head across maintenance")
     b.groupBy($"pri")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("total_cents"))
@@ -2139,7 +2147,7 @@ object WarehouseQueries {
       .toDF("k", "pri", "cents").select($"k", $"pri", $"cents")
       .localCheckpoint()
     val srcHead = ManifestTable.read(s, src).select($"k", $"pri", $"cents")
-    require(sink.exceptAll(srcHead).isEmpty && srcHead.exceptAll(sink).isEmpty,
+    require(Relational.bagDiff(sink, srcHead).isEmpty,
       "q415: the serving table must equal the source head after replay " +
         "(and stay equal after a duplicate replay)")
     sink.groupBy($"pri")
@@ -2208,7 +2216,7 @@ object WarehouseQueries {
     val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
     require(GraftMaterializedViews.hits("q416_mv") == h0 + 2,
       "q416: the refreshed MV must serve again")
-    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+    require(Relational.bagDiff(q3, q2).isEmpty,
       "q416: the MV-served answer must equal the from-base answer")
     GraftMaterializedViews.drop("q416_mv")
     q3.orderBy($"pri")
@@ -2273,7 +2281,7 @@ object WarehouseQueries {
     val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
     require(GraftMaterializedViews.hits("q417_mv") == h0 + 2,
       "q417: the incrementally refreshed MV must serve again")
-    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+    require(Relational.bagDiff(q3, q2).isEmpty,
       "q417: the incrementally maintained groups must equal the " +
         "from-base recompute (drifted-counter IVM bug class)")
     GraftMaterializedViews.drop("q417_mv")
@@ -2348,7 +2356,7 @@ object WarehouseQueries {
     val q3 = s.sql(defSql + " ORDER BY grp").localCheckpoint()
     require(GraftMaterializedViews.hits("q418_mv") == h0 + 2,
       "q418: the incrementally refreshed star MV must serve again")
-    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+    require(Relational.bagDiff(q3, q2).isEmpty,
       "q418: the delta-join-maintained groups must equal the from-base " +
         "join recompute (missed-migration / double-count IVM bug class)")
     GraftMaterializedViews.drop("q418_mv")
@@ -2411,7 +2419,7 @@ object WarehouseQueries {
     val q3 = s.sql(defSql + " ORDER BY pri").localCheckpoint()
     require(GraftMaterializedViews.hits("q419_mv") == h0 + 2,
       "q419: the refreshed min/max MV must serve again")
-    require(q3.exceptAll(q2).isEmpty && q2.exceptAll(q3).isEmpty,
+    require(Relational.bagDiff(q3, q2).isEmpty,
       "q419: touched-group re-aggregation must equal the from-base " +
         "recompute (stale-extremum IVM bug class)")
     GraftMaterializedViews.drop("q419_mv")
@@ -2481,8 +2489,7 @@ object WarehouseQueries {
       val expect = ManifestTable.read(s, baseDir).groupBy($"pri")
         .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
           count($"cents").as("cnt_cents"))
-      require(served.exceptAll(expect).isEmpty &&
-        expect.exceptAll(served).isEmpty,
+      require(Relational.bagDiff(served, expect).isEmpty,
         s"q422: trigger $i's served groups must equal the from-base " +
           "recompute at the delivered version")
     }
@@ -3231,8 +3238,7 @@ object WarehouseQueries {
         .join(ManifestTable.read(s, d2Dir), Seq("rk"))
         .groupBy($"reg", $"cat")
         .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
-      require(served.exceptAll(expect).isEmpty &&
-        expect.exceptAll(served).isEmpty,
+      require(Relational.bagDiff(served, expect).isEmpty,
         s"q427: trigger $i's served groups must equal the from-base " +
           "3-way join at the delivered version")
     }

@@ -199,7 +199,13 @@ object JdbcIO {
     require(fromVersion >= 1 && fromVersion <= to,
       s"syncFromFeed: fromVersion $fromVersion not in [1, $to]")
     (fromVersion + 1 to to).foreach { v =>
+      // one version's delta is consulted up to five times below (empty
+      // gate, deletes, inserts, null-key check, probe input) — persist
+      // the O(|delta|) frame once per version instead of re-planning the
+      // change-feed scan per pass (guide §5: cache what is reused)
       val feed = ManifestTable.changeFeed(spark, srcDir, v - 1, v)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       if (!feed.isEmpty) {
         val dels = feed.filter(col("_change_type") === "delete")
           .select(col(key)).distinct()
@@ -226,6 +232,7 @@ object JdbcIO {
           if (!fresh.isEmpty) append(fresh, url, table, properties)
         }
       }
+      } finally feed.unpersist(): Unit
     }
     to
   }
