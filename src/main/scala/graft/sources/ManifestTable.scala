@@ -153,7 +153,48 @@ object ManifestTable {
     * binary/boolean, nested paths. Long bounds are widened one ulp when
     * they exceed 2^53 so the Double encoding can only OVER-approximate a
     * file's range — pruning stays conservative by construction. */
-  private[graft] def fileStats(path: String): Map[String, (Double, Double)] =
+  private[graft] def fileStats(path: String): Map[String, (Double, Double)] = {
+    // Data files are immutable once written (the manifest IS the state),
+    // but several commit verbs stat the same new file twice (a zero-row
+    // filter, then the manifest line) and maintenance re-stats carried
+    // files — memoize per (path, length, mtime) so every footer is parsed
+    // once per content. The (length, mtime) key keeps a re-created scratch
+    // path from serving stale stats.
+    val f = new java.io.File(path)
+    val key = (path, f.length(), f.lastModified())
+    val hit = statsCache.get(key)
+    if (hit != null) hit
+    else {
+      val computed = computeFileStats(path)
+      if (statsCache.size > 65536) statsCache.clear() // bound driver memory
+      statsCache.put(key, computed)
+      computed
+    }
+  }
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Map[String, (Double, Double)]]()
+
+  /** Pre-compute footer stats for many files CONCURRENTLY (they are
+    * independent metadata reads); subsequent per-file [[fileStats]] /
+    * [[dataLine]] calls hit the memo. Commit-time stats for a 32-file
+    * commit drop from 32 sequential footer opens to one parallel burst. */
+  private def warmFileStats(paths: Iterable[String]): Unit = {
+    val distinct = paths.toSeq.distinct
+    if (distinct.sizeIs > 1)
+      java.util.Arrays.stream(distinct.toArray)
+        .parallel().forEach(p => fileStats(p): Unit)
+  }
+
+  /** Manifest lines for a batch of plain data files: one parallel
+    * footer-stat burst, then order-preserving line construction. */
+  private def dataLines(files: Seq[String]): Seq[String] = {
+    warmFileStats(files)
+    files.map(f => dataLine(f))
+  }
+
+  private def computeFileStats(path: String): Map[String, (Double, Double)] =
     scala.util.Try {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -164,9 +205,17 @@ object ManifestTable {
         if (math.abs(v) <= (1L << 53)) v.toDouble else math.nextDown(v.toDouble)
       def widenHi(v: Long): Double =
         if (math.abs(v) <= (1L << 53)) v.toDouble else math.nextUp(v.toDouble)
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        new org.apache.hadoop.conf.Configuration(false)))
+      // local paths skip the Hadoop FileSystem layer entirely (3x
+      // cheaper per footer: no FS cache lookups, no checksum stream)
+      val rd =
+        if (path.contains("://"))
+          ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path),
+            new org.apache.hadoop.conf.Configuration(false)))
+        else
+          ParquetFileReader.open(
+            new org.apache.parquet.io.LocalInputFile(
+              java.nio.file.Paths.get(path)))
       try {
         val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
         // Footer row count rides the stats map as the reserved pseudo-column
@@ -247,6 +296,7 @@ object ManifestTable {
     if (v != cur + 1)
       throw new CommitConflictException(
         s"publishTaggedExpected: version $v is not next (current $cur) — concurrent writer")
+    warmFileStats(files.map(_._1))
     val lines = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
       files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }
     claimManifest(dir, v, lines)
@@ -323,7 +373,7 @@ object ManifestTable {
     // metadata); prior lines carry forward verbatim — stats are written
     // once, at the only moment the file is new
     val all = (if (append && v > 1) manifestFiles(dir, v - 1) else Seq.empty) ++
-      newFiles.map(f => dataLine(f))
+      dataLines(newFiles)
     claimManifest(dir, v, all)
   }
 
@@ -592,7 +642,7 @@ object ManifestTable {
       Option(new java.io.File(s"$dataDir/$sub").listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
     val lines = files("del").map(f => s"D|$keyCol|$f") ++
-      files("rows").map(f => dataLine(f))
+      dataLines(files("rows"))
     claimManifest(dir, v, manifestFiles(dir, v - 1) ++ lines)
   }
 
@@ -767,7 +817,7 @@ object ManifestTable {
       s"publishDeltaExpected: illegal delete key spec '$keyCol'")
     val lines = manifestFiles(dir, v - 1) ++
       delFiles.sorted.map(f => s"D|$keyCol|$f") ++
-      rowFiles.sorted.map(f => dataLine(f))
+      dataLines(rowFiles.sorted)
     claimManifest(dir, v, lines)
   }
 
@@ -796,7 +846,7 @@ object ManifestTable {
       else Seq.empty
     claimManifest(dir, v,
       reconcilePosDeletes(dir, v, keep, replaced) ++
-        newFiles.sorted.map(f => dataLine(f)))
+        dataLines(newFiles.sorted))
   }
 
   /** Reconcile prior POSITION-DELETE entries with a copy-on-write
@@ -912,6 +962,7 @@ object ManifestTable {
         !(e.isData && replaced.contains(e.path))
       }
       else Seq.empty
+    warmFileStats(files.map(_._1))
     claimManifest(dir, v,
       reconcilePosDeletes(dir, v, keep, replaced) ++
         files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
@@ -1288,7 +1339,7 @@ object ManifestTable {
     rewritten.write.mode("overwrite").parquet(dataDir)
     val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-    claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
+    claimManifest(dir, v, keptLines ++ dataLines(newFiles))
   }
 
   /** Copy-on-write DELETE: drop every row where `predicate` is TRUE
@@ -1330,12 +1381,14 @@ object ManifestTable {
     val rewritten = scan.filter(not(coalesce(predicate, lit(false))))
     val dataDir = s"$dir/data/commit-$v"
     rewritten.write.mode("overwrite").parquet(dataDir)
-    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+    val rawFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-      // a wholly-deleted file rewrites to zero rows — keep it out of the
-      // manifest (a stats-free empty file survives every prune for nothing)
+    warmFileStats(rawFiles)
+    // a wholly-deleted file rewrites to zero rows — keep it out of the
+    // manifest (a stats-free empty file survives every prune for nothing)
+    val newFiles = rawFiles
       .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
-    claimManifest(dir, v, keptLines ++ newFiles.map(f => dataLine(f)))
+    claimManifest(dir, v, keptLines ++ dataLines(newFiles))
   }
 
   /** DYNAMIC OVERWRITE as one commit: delete every row matching
@@ -1416,15 +1469,16 @@ object ManifestTable {
         // by bare name before publish — the rewrite must never collide
         val rwDir = s"$dir/data/commit-$v/rw"
         survivors.write.mode("overwrite").parquet(rwDir)
-        Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
+        val raw = Option(new java.io.File(rwDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-          // a wholly-replaced file rewrites to zero rows — keep it out of
-          // the manifest (a stats-free empty file would survive every
-          // prune for nothing)
-          .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
+        warmFileStats(raw)
+        // a wholly-replaced file rewrites to zero rows — keep it out of
+        // the manifest (a stats-free empty file would survive every
+        // prune for nothing)
+        raw.filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
       }
     claimManifest(dir, v,
-      keptLines ++ (rewrittenFiles ++ newFiles).sorted.map(f => dataLine(f)))
+      keptLines ++ dataLines((rewrittenFiles ++ newFiles).sorted))
   }
 
   /** [[overwriteWhere]] for a BUCKET-partitioned table (r11; previously
@@ -1499,9 +1553,11 @@ object ManifestTable {
           Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
         }
         rm(new java.io.File(s"$dataDir/rw"))
+        warmFileStats(tagged.map(_._1))
         tagged.filterNot { case (f, _) =>
           fileStats(f).get("__rows").exists(_._1 == 0) }
       }
+    warmFileStats((rewrittenTagged ++ newTagged).map(_._1))
     claimManifest(dir, v,
       keptLines ++ (rewrittenTagged ++ newTagged).sortBy(_._1)
         .map { case (f, ex) => dataLine(f, extraStats = ex) })
@@ -1663,11 +1719,13 @@ object ManifestTable {
         tableSchema = tableSchema)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(dataDir)
-    val newFiles = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
+    val rawNew = Option(new java.io.File(dataDir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-      // an all-deleted small subset merges to zero rows — keep empty
-      // outputs out of the manifest (harmless to read, but they pin a
-      // scan split and skew stats)
+    warmFileStats(rawNew)
+    // an all-deleted small subset merges to zero rows — keep empty
+    // outputs out of the manifest (harmless to read, but they pin a
+    // scan split and skew stats)
+    val newFiles = rawNew
       .filterNot(f => fileStats(f).get("__rows").exists(_._1 == 0))
     // big data lines + equality-delete lines carry VERBATIM (stats,
     // blooms — no footer re-reads); position-delete lines reconcile
@@ -1678,7 +1736,7 @@ object ManifestTable {
     }
     markRewrite(dir, claimManifest(dir, v,
       reconcilePosDeletes(dir, v, carried, smallPaths) ++
-        newFiles.map(f => dataLine(f))))
+        dataLines(newFiles)))
   }
 
   /** [[compactSmall]] for a BUCKET-PARTITIONED table (r13, handoff #2):
@@ -1746,6 +1804,7 @@ object ManifestTable {
       val e = parseEntry(l)
       !(e.isData && smallPaths.contains(e.path))
     }
+    warmFileStats(tagged.map(_._1))
     markRewrite(dir, claimManifest(dir, v,
       reconcilePosDeletes(dir, v, carried, smallPaths) ++
         tagged.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }))
@@ -2800,7 +2859,7 @@ object ManifestTable {
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
     val lines = (if (append) Files.readAllLines(md.resolve(s"v${v - 1}.list"))
                    .asScala.toSeq
-                 else Seq.empty) ++ newFiles.map(f => dataLine(f))
+                 else Seq.empty) ++ dataLines(newFiles)
     claimManifestIn(md, v, lines)
   }
 
@@ -2821,7 +2880,7 @@ object ManifestTable {
       throw new CommitConflictException(
         s"publishBranchFiles: version $v is not next on branch '$name' (head $head)")
     val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
-      files.sorted.map(f => dataLine(f))
+      dataLines(files.sorted)
     claimManifestIn(md, v, lines)
   }
 
@@ -2847,7 +2906,7 @@ object ManifestTable {
       s"publishDeltaToBranch: illegal delete key spec '$keyCol'")
     val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
       delFiles.sorted.map(f => s"D|$keyCol|$f") ++
-      rowFiles.sorted.map(f => dataLine(f))
+      dataLines(rowFiles.sorted)
     claimManifestIn(md, v, lines)
   }
 
@@ -2876,7 +2935,7 @@ object ManifestTable {
       }
     claimManifestIn(md, v,
       reconcilePosDeletes(dir, v, keep, replaced, commitDir = Some(commitDir)) ++
-        newFiles.sorted.map(f => dataLine(f)))
+        dataLines(newFiles.sorted))
   }
 
   /** [[publishCowTaggedExpected]] on a BRANCH head — the landing verb of
@@ -2902,6 +2961,7 @@ object ManifestTable {
         val e = parseEntry(l)
         !(e.isData && replaced.contains(e.path))
       }
+    warmFileStats(files.map(_._1))
     claimManifestIn(md, v,
       reconcilePosDeletes(dir, v, keep, replaced, commitDir = Some(commitDir)) ++
         files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) })
@@ -2922,6 +2982,7 @@ object ManifestTable {
     if (v != head + 1)
       throw new CommitConflictException(
         s"publishBranchTagged: version $v is not next on branch '$name' (head $head)")
+    warmFileStats(files.map(_._1))
     val lines = Files.readAllLines(md.resolve(s"v${v - 1}.list")).asScala.toSeq ++
       files.sortBy(_._1).map { case (f, ex) => dataLine(f, extraStats = ex) }
     claimManifestIn(md, v, lines)
