@@ -26,7 +26,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
 
-  def table(name: String): DataFrame =
+  def table(name: String): DataFrame = {
     // The driver's generator writes timestamps with isAdjustedToUTC=false;
     // Spark 4 would infer those as TIMESTAMP_NTZ, which half the timestamp
     // function surface (unix_millis, to_utc_timestamp, …) rejects. Read them
@@ -34,9 +34,25 @@ final case class Tables(spark: SparkSession, dir: String) {
     // wall-clock values are identical) — same runtime-conf pattern as the
     // nanosAsLong shim below. Verify re-emits NTZ at the output boundary so
     // the dumped parquet stays repr-identical with DuckDB's naive reads.
-    withConf("spark.sql.parquet.inferTimestampNTZ.enabled", "false") {
-      spark.read.parquet(s"$dir/$name.parquet")
+    //
+    // Schema inference is DRIVER work repeated per load (~93 ms vs ~8 ms
+    // with the schema provided — measured, guide §5): memoize the
+    // inferred StructType per (path, length, mtime) so every later load
+    // of the same immutable file skips the footer-inference pass. The
+    // type produced is identical by construction (the memo stores exactly
+    // what inference produced under the same confs), so plans, pushdown
+    // and results are unchanged.
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = (path, f.length(), f.lastModified())
+    val cached = Tables.schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else withConf("spark.sql.parquet.inferTimestampNTZ.enabled", "false") {
+      val df = spark.read.parquet(path)
+      Tables.schemaCache.put(key, df.schema)
+      df
     }
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -61,4 +77,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Inferred parquet schema per (path, length, mtime) — the input files
+    * are immutable per driver contract, and the (length, mtime) key
+    * invalidates on any rewrite. JVM-global: a 400-query bench session
+    * pays schema inference once per table, not once per load. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
 }

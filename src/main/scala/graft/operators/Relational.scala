@@ -51,15 +51,20 @@ object Relational {
     * Failures propagate with their original exception (require messages
     * stay intact). */
   def inParallel(tasks: Seq[() => Unit], parallelism: Int = 4): Unit = {
+    inParallelEval[Unit](tasks, parallelism): Unit
+  }
+
+  /** [[inParallel]] that returns each task's value, in input order. */
+  def inParallelEval[T](tasks: Seq[() => T], parallelism: Int = 4): Seq[T] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, math.max(1, tasks.size)))
     try {
       val futs = tasks.map { t =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = t()
+        pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = t()
         })
       }
-      futs.foreach { f =>
+      futs.map { f =>
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException =>
           throw e.getCause }

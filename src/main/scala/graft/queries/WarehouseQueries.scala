@@ -3322,23 +3322,29 @@ object WarehouseQueries {
         s"GROUP BY trunc(day, '$grain'), etype")
         .as[(java.sql.Date, String, Long)].collect()
         .map { case (g, t, x) => (g.toString, t) -> x }.toMap
-    def requireAccurate(grain: String, tag: String): Unit = {
-      val (est, exact) = (grainEst(grain), grainExact(grain))
+    def requireAccurate(grain: String, tag: String)
+        : Map[(String, String), Long] = {
+      // estimate and exact are independent reads — overlap them
+      // (guide §2.6); the estimate map returns for reuse
+      val Seq(est, exact) = Relational.inParallelEval(Seq(
+        () => grainEst(grain), () => grainExact(grain)))
       require(est.keySet == exact.keySet,
         s"q426: sketch-table groups must match ($grain, $tag)")
       est.foreach { case (k, nd) =>
         require(math.abs(nd - exact(k)).toDouble / exact(k) < 0.05,
           s"q426: estimate $nd vs exact ${exact(k)} for $k ($grain, $tag)") }
+      est
     }
-    requireAccurate("MM", "initial")
+    val estMM = requireAccurate("MM", "initial")
     // the same dashboard as ONE CALL (r16): graft.system.uniques
     // re-grains the sketch table; HLL union is register-lossless and
     // order-independent, so the CALL's numbers EQUAL the hand-written
-    // sketch SQL, not merely approximate it
+    // sketch SQL, not merely approximate it (estMM: the same base state,
+    // computed once above)
     val called = s.sql("CALL graft_cat426.system.uniques('q426_mv', 'MM')")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
       .toMap
-    require(called == grainEst("MM"),
+    require(called == estMM,
       "q426: CALL uniques('q426_mv','MM') must equal the hand-written " +
         "sketch-table SQL at the same grain")
     // the overcount pin: summing DAILY uniques must STRICTLY exceed the
@@ -3438,12 +3444,15 @@ object WarehouseQueries {
       "q425: the rolled plan must scan the MV")
     // the sketch TABLE serves the uniques dashboard; accuracy vs exact
     def requireAccurate(tag: String): Unit = {
-      val est = ManifestTable.read(s, mvDir)
-        .select($"etype", hll_sketch_estimate($"hll_uid").as("nd"))
-        .as[(String, Long)].collect().toMap
-      val exact = s.sql("SELECT etype, count(DISTINCT uid) AS x " +
-        "FROM graft_cat425.db.ev GROUP BY etype")
-        .as[(String, Long)].collect().toMap
+      // the sketch-table estimate and the exact distinct scan are
+      // independent reads — overlap them (guide §2.6)
+      val Seq(est, exact) = Relational.inParallelEval(Seq(
+        () => ManifestTable.read(s, mvDir)
+          .select($"etype", hll_sketch_estimate($"hll_uid").as("nd"))
+          .as[(String, Long)].collect().toMap,
+        () => s.sql("SELECT etype, count(DISTINCT uid) AS x " +
+          "FROM graft_cat425.db.ev GROUP BY etype")
+          .as[(String, Long)].collect().toMap))
       require(est.keySet == exact.keySet,
         s"q425: the sketch table must cover every group ($tag)")
       est.foreach { case (t, nd) =>

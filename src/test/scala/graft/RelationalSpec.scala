@@ -143,4 +143,41 @@ class RelationalSpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().toSet
     assert(merged == full)
   }
+
+  test("bagDiff: empty iff multiset-equal, exceptAll semantics (r16 pins)") {
+    val a = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v")
+    val bSame = Seq((2L, "y"), (1L, "x"), (1L, "x")).toDF("kk", "vv") // names differ: positional
+    assert(Relational.bagDiff(a, bSame).isEmpty)
+    // multiplicity mismatch is a difference even when the SET is equal
+    val bOnce = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val d = Relational.bagDiff(a, bOnce).collect()
+    assert(d.length == 1 && d.head.getLong(1) == 1L) // (1,x) has +1 surplus in a
+    assert(!Relational.bagDiff(bOnce, a).isEmpty)
+    // NULL == NULL and NaN == NaN, like exceptAll
+    val n1 = Seq[(java.lang.Long, java.lang.Double)]((null, Double.NaN)).toDF("k", "x")
+    val n2 = Seq[(java.lang.Long, java.lang.Double)]((null, Double.NaN)).toDF("k", "x")
+    assert(Relational.bagDiff(n1, n2).isEmpty)
+    assert(n1.exceptAll(n2).isEmpty) // the semantics bagDiff replaces
+    // empty vs empty and empty vs non-empty
+    assert(Relational.bagDiff(a.limit(0), bOnce.limit(0)).isEmpty)
+    assert(!Relational.bagDiff(a.limit(0), bOnce).isEmpty)
+    // arity mismatch refuses loudly (exceptAll would too)
+    intercept[IllegalArgumentException] {
+      Relational.bagDiff(a, a.select($"k")): Unit
+    }
+  }
+
+  test("inParallelEval returns task values in input order; failures propagate") {
+    val out = Relational.inParallelEval(Seq(
+      () => spark.range(10).count(),
+      () => spark.range(5).count(),
+      () => 42L))
+    assert(out == Seq(10L, 5L, 42L))
+    val boom = intercept[IllegalArgumentException] {
+      Relational.inParallel(Seq(
+        () => (),
+        () => require(false, "battery pin message survives")))
+    }
+    assert(boom.getMessage.contains("battery pin message survives"))
+  }
 }
