@@ -886,7 +886,7 @@ object ManifestTable {
     // one pass — |pairs| ≤ |delete files| × |data files in their scope|,
     // metadata scale (raw ref strings as stored, the URI form; membership
     // tests normalize, filters use the raw strings)
-    val refPairs = spark.read.parquet(posEntries.map(_.path): _*)
+    val refPairs = readParquet(spark, posEntries.map(_.path), merge = false)
       .select(col("_metadata.file_path").as("del"), col("file_path"))
       .distinct().collect()
       .map(r => (norm(r.getString(0)), r.getString(1)))
@@ -989,7 +989,7 @@ object ManifestTable {
     // overwriteWhere); without it, the raw mergeSchema library view
     def base(paths: Seq[String]): DataFrame = tableSchema match {
       case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None => readParquet(spark, paths, merge = true)
     }
     // a snapshot with NO data files (empty table, or every data file
     // deleted away leaving only delete entries) is an EMPTY frame:
@@ -1035,7 +1035,7 @@ object ManifestTable {
         // keeps the row.
         if (df != null) {
           val cols = delKeyCols(keySpec)
-          val keys = spark.read.parquet(ds.map(_.path): _*)
+          val keys = readParquet(spark, ds.map(_.path), merge = false)
             .select(cols.zipWithIndex.map { case (c, i) =>
               col(c).as(s"_del_k$i") }: _*)
           val cond = cols.zipWithIndex
@@ -1052,7 +1052,7 @@ object ManifestTable {
     }
     val posFiles = entries.filter(_.posDelete).map(_.path)
     if (posFiles.nonEmpty && df != null) {
-      val dels = spark.read.parquet(posFiles: _*)
+      val dels = readParquet(spark, posFiles, merge = false)
       df = df.join(dels,
         df(MetaCols(0)) === dels("file_path") && df(MetaCols(1)) === dels("pos"),
         "left_anti")
@@ -2061,7 +2061,7 @@ object ManifestTable {
         val visible = assemble(spark,
           after.filter(_.seq < seq), dir, withMeta = false)
         val cols = delKeyCols(keyCol)
-        val keys = spark.read.parquet(des.map(_.path): _*)
+        val keys = readParquet(spark, des.map(_.path), merge = false)
           .select(cols.zipWithIndex.map { case (c, i) =>
             col(c).as(s"_del_k$i") }: _*)
         val cond = cols.zipWithIndex
@@ -2078,7 +2078,7 @@ object ManifestTable {
       .map { case (seq, des) =>
         val visible = assemble(spark,
           after.filter(e => e.seq < seq), dir, withMeta = true)
-        val dels = spark.read.parquet(des.map(_.path): _*)
+        val dels = readParquet(spark, des.map(_.path), merge = false)
         visible.join(dels,
             visible(MetaCols(0)) === dels("file_path") &&
               visible(MetaCols(1)) === dels("pos"), "left_semi")
@@ -2091,7 +2091,35 @@ object ManifestTable {
   }
 
   private def scanPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
-    dropHidden(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    dropHidden(readParquet(spark, paths, merge = true))
+
+  /** `spark.read[.option("mergeSchema")].parquet(paths)` with the
+    * INFERENCE memoized per exact file set: committed files are immutable
+    * and every path's (length, mtime) enters the key, so the cached
+    * StructType is byte-for-byte what inference would produce — and the
+    * read plan is identical (an explicit schema and an inferred one drive
+    * the same per-file clipping/NULL-fill). Inference was a per-call
+    * driver pass over every footer (a distributed JOB when mergeSchema
+    * spans many files); a lifecycle face re-reads the same snapshot
+    * dozens of times and paid it each time (guide §5: driver work). */
+  private val inferCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readParquet(spark: SparkSession, paths: Seq[String],
+                          merge: Boolean): DataFrame = {
+    val key = (if (merge) "M\n" else "1\n") + paths.sorted.map { p =>
+      val f = new java.io.File(p); s"$p|${f.length}|${f.lastModified}"
+    }.mkString("\n")
+    val hit = inferCache.get(key)
+    if (hit != null) spark.read.schema(hit).parquet(paths: _*)
+    else {
+      val df =
+        if (merge) spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        else spark.read.parquet(paths: _*)
+      if (inferCache.size > 8192) inferCache.clear() // bound driver memory
+      inferCache.put(key, df.schema)
+      df
+    }
+  }
 
   // ------------------------------------------------------------------
   // Hidden partitioning (Iceberg-style partition transforms)
